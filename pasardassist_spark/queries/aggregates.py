@@ -1,0 +1,327 @@
+"""Aggregations (SURVEY.md §2.4 A1-A12) bound to the driver test tables.
+
+All money sums use the decimal-exact pattern from functions/money.py so the
+result is bit-identical to the DuckDB oracle regardless of partial-agg
+order — the property that also makes these jobs rerun-stable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pasardassist_spark.functions.money import dec2, dec4, small2
+from pasardassist_spark.queries.registry import query
+from pasardassist_spark.tables import load
+
+# CAST chain shared by every disc_price oracle expression.
+_DISC_PRICE_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))"
+    " AS DECIMAL(18,4))"
+)
+
+
+def _disc_price() -> F.Column:
+    """l_extendedprice * (1 - l_discount), decimal-exact, DECIMAL(18,4)."""
+    one_minus = (F.lit(1) - small2("l_discount")).cast("decimal(4,2)")
+    return dec4(dec2("l_extendedprice") * one_minus)
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST({_DISC_PRICE_SQL}
+               * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))
+               AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A12: the canonical multi-aggregate group-by (TPC-H Q1 shape) — the
+    reference's per-chain trading-volume / items group-bys
+    (app.service.ts:1463-1482) widened to 8 aggregates in one shuffle."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = _disc_price()
+    one_plus_tax = (F.lit(1) + small2("l_tax")).cast("decimal(4,2)")
+    charge = (disc_price * one_plus_tax).cast("decimal(18,6)")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(dec2("l_quantity")).cast("double") / n).alias("avg_qty"),
+        (F.sum(dec2("l_extendedprice")).cast("double") / n).alias("avg_price"),
+        (F.sum(small2("l_discount")).cast("double") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@query(
+    "a3_distinct_buyers",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT o_custkey) AS n_buyers,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def a3_distinct_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: distinct-count — collection owners via distinct('tokenOwner')
+    (app.service.ts:1471-1474, db.service.ts:237-242)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_buyers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query("a3_approx_distinct")  # HLL sketches differ per engine: rows-only check
+def a3_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 at-scale variant: approx_count_distinct (HLL) — the 100 TB answer
+    to the reference's exact distinct scans. No oracle: HLL estimates are
+    engine-specific; correctness is bounded-error, asserted in tests/."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_buyers")
+    )
+
+
+@query(
+    "a4_lowest_price",
+    oracle="""
+    SELECT p_brand, MIN(l_extendedprice) AS lowest_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_returnflag <> 'A'
+    GROUP BY p_brand
+    """,
+)
+def a4_lowest_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: min-with-filter — lowest non-cancelled listing price
+    (app.service.ts:1484-1489, db.service.ts:256-264)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(F.col("l_returnflag") != "A")
+        .groupBy("p_brand")
+        .agg(F.min("l_extendedprice").alias("lowest_price"))
+    )
+
+
+@query(
+    "a5_latest_event",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 1
+    """,
+)
+def a5_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: latest-row argmax — findOne(sort {timestamp:-1}) for the latest
+    platform price (app.service.ts:40-42, 204-209)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@query(
+    "a7_earnings_case",
+    oracle=f"""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN {_DISC_PRICE_SQL}
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS returned_revenue,
+           CAST(SUM(CASE WHEN l_returnflag = 'N' THEN {_DISC_PRICE_SQL}
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS kept_revenue
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def a7_earnings_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: conditional-sum earnings fold — sum(CASE role/orderType ->
+    price - fees | royalty) (app.service.ts:326-341) as a sum(when())
+    expression instead of a client-side loop."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = _disc_price()
+    zero = F.lit(0).cast("decimal(18,4)")
+    return li.groupBy("l_linestatus").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", disc_price).otherwise(zero))
+        .cast("double")
+        .alias("returned_revenue"),
+        F.sum(F.when(F.col("l_returnflag") == "N", disc_price).otherwise(zero))
+        .cast("double")
+        .alias("kept_revenue"),
+    )
+
+
+@query(
+    "a9_event_type_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+    FROM events GROUP BY user_id
+    """,
+)
+def a9_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: grouped count reshaped to a column-per-value map — attribute
+    counts reshaped to {key: {value: count}} (app.service.ts:2377-2392).
+    Explicit pivot value list keeps the schema stable (and avoids the
+    pivot-discovery extra job at scale)."""
+    ev = load(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    piv = ev.groupBy("user_id").pivot("event_type", kinds).agg(F.count(F.lit(1))).na.fill(0, kinds)
+    return piv.select("user_id", *[F.col(k).alias(f"n_{k}") for k in kinds])
+
+
+@query(
+    "a10_attribute_counts",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n
+    FROM documents GROUP BY lang, source
+    """,
+)
+def a10_attribute_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: incremental grouped count — collection_attributes $inc upserts
+    (db.service.ts:299-303) recomputed as one group-by (streaming update-mode
+    in streaming/ covers the incremental form)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "a11_collection_stats",
+    oracle=f"""
+    SELECT s_suppkey, s_name,
+           items, owners, trade_volume, lowest_price
+    FROM (
+        SELECT l_suppkey,
+               COUNT(*) AS items,
+               COUNT(DISTINCT o_custkey) AS owners,
+               CAST(SUM(CASE WHEN l_linestatus = 'F' THEN {_DISC_PRICE_SQL}
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS trade_volume,
+               MIN(CASE WHEN l_returnflag <> 'A' THEN l_extendedprice END) AS lowest_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_suppkey
+    ) stats JOIN supplier ON l_suppkey = s_suppkey
+    """,
+)
+def a11_collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 flagship: the reference's statisticCollectionItems cron runs 4
+    queries + 1 RPC per collection every 10 min (tasks.common.ts:124-154,
+    db.service.ts:226-274). Here: ONE job, one shuffle — count, distinct
+    owners, conditional volume sum, and min price per supplier (stand-in
+    collection), then a broadcast join to the supplier dimension."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load(spark, sf_dir, "supplier")
+    disc_price = _disc_price()
+    zero = F.lit(0).cast("decimal(18,4)")
+    stats = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("items"),
+            F.countDistinct("o_custkey").alias("owners"),
+            F.sum(F.when(F.col("l_linestatus") == "F", disc_price).otherwise(zero))
+            .cast("double")
+            .alias("trade_volume"),
+            F.min(F.when(F.col("l_returnflag") != "A", F.col("l_extendedprice"))).alias(
+                "lowest_price"
+            ),
+        )
+    )
+    return stats.join(F.broadcast(s), stats.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", "items", "owners", "trade_volume", "lowest_price"
+    )
+
+
+@query(
+    "a12_wallet_dashboard",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_buyers
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def a12_wallet_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: multi-count dashboards — the reference issues 6 separate counts
+    per wallet (app.service.ts:1629-1654, 1999-2026); one conditional-agg
+    pass replaces N scans."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    status = F.col("o_orderstatus")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.when(status == "O", 1).otherwise(0)).alias("n_open"),
+            F.sum(F.when(status == "F", 1).otherwise(0)).alias("n_filled"),
+            F.sum(F.when(status == "P", 1).otherwise(0)).alias("n_pending"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_buyers"),
+        )
+    )
+
+
+@query(
+    "s5_royalty_fanout",
+    oracle="""
+    SELECT o_orderkey, income_type, income FROM (
+        SELECT o_orderkey, 'sale' AS income_type,
+               CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    * CAST(0.98 AS DECIMAL(4,2)) AS DECIMAL(18,4)) AS DOUBLE) AS income
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'royalty' AS income_type,
+               CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    * CAST(0.02 AS DECIMAL(4,2)) AS DECIMAL(18,4)) AS DOUBLE) AS income
+        FROM orders
+    )
+    """,
+)
+def s5_royalty_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5: fan-out 1 event -> N income rows — OrderFilled explodes into
+    seller income + per-royalty-owner income (sub-tasks.service.ts:353-398).
+    explode(array(struct...)) keeps it one narrow JVM-side pass."""
+    o = load(spark, sf_dir, "orders")
+    price = dec2("o_totalprice")
+    sale = dec4(price * F.lit(0.98).cast("decimal(4,2)")).cast("double")
+    royalty = dec4(price * F.lit(0.02).cast("decimal(4,2)")).cast("double")
+    rows = F.explode(
+        F.array(
+            F.struct(F.lit("sale").alias("income_type"), sale.alias("income")),
+            F.struct(F.lit("royalty").alias("income_type"), royalty.alias("income")),
+        )
+    )
+    return o.select("o_orderkey", rows.alias("r")).select(
+        "o_orderkey", F.col("r.income_type").alias("income_type"), F.col("r.income").alias("income")
+    )

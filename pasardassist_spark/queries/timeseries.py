@@ -1,0 +1,103 @@
+"""Event-stream batch queries (SURVEY.md §2.8 scalar funcs, §2.9 ST3/ST4).
+
+The streaming forms live in pasardassist_spark/streaming/; these are the
+batch-recompute equivalents the replay-equals-batch test (§5.2) compares
+against, each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pasardassist_spark.functions.chain import uint256_hex
+from pasardassist_spark.functions.money import dec2
+from pasardassist_spark.operators.latest import latest_per_key
+from pasardassist_spark.queries.registry import query
+from pasardassist_spark.tables import load
+
+
+@query(
+    "scalar_funcs",
+    oracle="""
+    SELECT event_id,
+           lower(to_hex(event_id)) AS id_hex,
+           date_trunc('day', ts) AS day,
+           upper(event_type) AS kind,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+    FROM events
+    """,
+)
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 scalar family: uint->hex (tokenIdHex, sub-tasks.service.ts:84),
+    day truncation ("today's earnings" bounds, app.service.ts:282-287),
+    string upper, JSON field extraction (IPFS metadata merge,
+    sub-tasks.service.ts:63-94)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        uint256_hex("event_id").alias("id_hex"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.upper("event_type").alias("kind"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+@query(
+    "time_day_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def time_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3: tumbling-day rollup — the reference has only a query-time "today"
+    window (app.service.ts:282-287); this is the daily-volume gold table the
+    Spark engine maintains instead (streaming window() form in streaming/)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec2("value")).cast("double").alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "st4_latest_state",
+    oracle="""
+    SELECT l.user_id, l.last_event_type, l.last_value, l.last_ts,
+           a.n_events, a.total_value
+    FROM (
+        SELECT user_id, event_type AS last_event_type, value AS last_value,
+               ts AS last_ts
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn FROM events
+        ) WHERE rn = 1
+    ) l JOIN (
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY user_id
+    ) a ON l.user_id = a.user_id
+    """,
+)
+def st4_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4/A6: entity state as latest-event-per-key — the order state machine
+    Created->{Filled,Cancelled} maintained by upserts (tasks.service.ts:
+    367-373, 585-591) is equivalently the argmax event per key; this batch
+    view is the invariant the streaming MERGE must reproduce (§5.2)."""
+    ev = load(spark, sf_dir, "events")
+    latest = latest_per_key(ev, ["user_id"], [F.desc("ts"), F.desc("event_id")]).select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+    aggs = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec2("value")).cast("double").alias("total_value"),
+    )
+    return latest.join(aggs, "user_id")

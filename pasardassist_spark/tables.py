@@ -1,0 +1,51 @@
+"""Loaders for the driver-generated test tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file each under /root/testdata/sf*/.
+
+At 100 TB these would be partitioned tables (bronze partitioned by
+chain/date in the reference domain — SURVEY.md §1.4); here each is a single
+parquet file, but every query still goes through ``load`` so the scan layer
+is one swap away from a catalog/Delta table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS), surfaced as long nanos via
+        # spark.sql.legacy.parquet.nanosAsLong; values are microsecond-aligned
+        # so the div-1000 conversion is lossless.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for the SQL API path)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
