@@ -1,0 +1,84 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop sink (no driver collect, no
+result materialization skew). One tiny warmup query amortizes codegen/JIT
+and OS page-cache effects out of the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pasardassist_spark import get_spark
+from pasardassist_spark.queries import all_queries
+from pasardassist_spark.tables import load
+
+# Representative, scale-meaningful subset of the registry: one per operator
+# family that dominates cost at 100 TB (wide agg, latest-per-key window,
+# fact-fact join, union-sort, pivot, text scan, hash dedup, minhash chain,
+# similarity scan, pandas-UDF stage).
+HEADLINE = [
+    "q1_pricing_summary",
+    "a11_collection_stats",
+    "j3_latest_order_per_customer",
+    "j2_composite_key",
+    "a12_wallet_dashboard",
+    "j6_region_rollup",
+    "u1_union_timeline",
+    "o3_top5_per_group",
+    "st4_latest_state",
+    "a9_event_type_pivot",
+    "text_token_stats",
+    "text_quality",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "mm_decode_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("pasardassist-bench")
+    qs = all_queries()
+
+    # warmup: touch the big table once (page cache + codegen paths)
+    load(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline. The
+  query side is broadcast (queries are few), candidates stream: no shuffle
+  of the big side at all, and the per-query top-k is a window over
+  (query, rounded cosine, id).
+- ``random_projection_buckets`` / ``ann_topk``: the scale path — sign-random-
+  projection LSH. L tables x B hyperplanes from a seeded generator; vectors
+  land in 2^B buckets per table; candidates = bucket collisions in any
+  table. At 100 TB the bucket id becomes the partition/bucketing key so a
+  query probes L partitions instead of scanning the corpus; recall tunes
+  with L and B.
+
+Dot products use built-in higher-order functions (zip_with + aggregate):
+JVM-evaluated, sequential fold => deterministic. Cosines are rounded to 6
+decimals *before* ranking so rank order is reproducible across engines.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+LSH_SEED = 42
+# 4 tables x 6 planes: on the driver's near-random gaussian embeddings
+# (top-10 cosine ~0.25-0.39 => per-plane collision ~0.6) expected recall is
+# ~4 * 0.6^6 ~ 0.18 with ~64-candidate probes per query at 500 vectors.
+# Production embeddings with real cluster structure (near-dup cosine >= 0.8)
+# push per-plane collision to ~0.9 and recall to ~4 * 0.9^6 ~ 1.0. Scale rule:
+# planes ~ log2(corpus/target_bucket_size), tables = recall budget.
+N_TABLES = 4
+N_PLANES = 6
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def brute_force_topk(
+    emb: DataFrame, query_ids: list[int], k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact cosine top-k for each query id (self excluded)."""
+    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    q = e.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplanes(dim: int, seed: int = LSH_SEED) -> list[tuple[int, int, list[float]]]:
+    """Deterministic (table, plane, weights) list from a seeded PRNG."""
+    rng = random.Random(seed)
+    planes = []
+    for t in range(N_TABLES):
+        for p in range(N_PLANES):
+            planes.append((t, p, [rng.gauss(0.0, 1.0) for _ in range(dim)]))
+    return planes
+
+
+def random_projection_buckets(
+    emb: DataFrame, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, table, bucket) — bucket = sign bits of the hyperplane dots."""
+    spark = emb.sparkSession
+    planes = spark.createDataFrame(
+        hyperplanes(dim), "tbl int, plane int, w array<double>"
+    )
+    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    bit = F.when(dot(F.col("v"), F.col("w")) > 0, 1).otherwise(0)
+    return (
+        e.crossJoin(F.broadcast(planes))
+        .select(F.col(id_col), "tbl", (bit * F.expr("shiftleft(1, plane)")).alias("bitval"))
+        .groupBy(id_col, "tbl")
+        .agg(F.sum("bitval").alias("bucket"))
+    )
+
+
+def ann_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates from LSH bucket collisions, exact
+    cosine re-rank on the (small) candidate set."""
+    buckets = random_projection_buckets(emb, dim, id_col, vec_col)
+    qb = buckets.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), "tbl", "bucket"
+    )
+    cand = (
+        F.broadcast(qb)
+        .join(buckets, ["tbl", "bucket"])
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    qv = e.select(F.col(id_col).alias("q_id"), F.col("v").alias("qv"))
+    nv = e.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"))
+    scored = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(nv, "neighbor_id")
+        .select("q_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cosine", "rank")
+    )

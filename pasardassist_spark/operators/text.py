@@ -1,0 +1,106 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All expressions are built-in Column functions (JVM-side, whole-stage
+codegen) — no Python in the hot path, so a 100 TB documents table runs these
+at parquet-scan speed. Token/shingle arrays are computed once per row and
+shared by downstream dedup/fingerprint operators.
+
+The reference has no text pipeline (closed JS helper set, SURVEY.md §2.10);
+this is the driver-mandated extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Marker stopwords per language for the n-gram/stopword language-ID heuristic.
+# Priority order (ties resolve to the earlier entry) is part of the contract.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de", "shi", "le"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
+PUNCT_PATTERN = "[.,!?;:]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (trim first so no empty edge tokens)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Overlapping word n-grams joined by single spaces; empty if < n tokens.
+
+    NB: Spark's sequence(1, 0) auto-steps DOWN to [1, 0]; the when() guard
+    returns an empty array for short documents instead.
+    """
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def token_count(toks: Column) -> Column:
+    return F.size(toks).cast("long")
+
+
+def distinct_token_count(toks: Column) -> Column:
+    return F.size(F.array_distinct(toks)).cast("long")
+
+
+def hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """Count of tokens that appear in ``words`` (with multiplicity)."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+
+def punct_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(PUNCT_PATTERN)).cast("long")
+
+
+def quality_score(n_tok: Column, stop_ratio: Column, type_token_ratio: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length saturation + stopword
+    density + lexical diversity. Pure double arithmetic — identical in any
+    engine evaluating the same formula."""
+    length_part = F.least(F.lit(1.0), n_tok.cast("double") / F.lit(50.0))
+    return length_part * 0.4 + stop_ratio * 0.3 + type_token_ratio * 0.3
+
+
+def quality_bucket(score: Column) -> Column:
+    return (
+        F.when(score >= 0.6, "high").when(score >= 0.4, "medium").otherwise("low")
+    )
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    return {lang: hits(toks, words) for lang, words in LANG_MARKERS.items()}
+
+
+def predict_lang(scores: dict[str, Column]) -> Column:
+    """Argmax over marker-hit counts; ties resolve in LANG_MARKERS order.
+
+    CASE evaluates in declaration order, so branch i only needs ``score_i >=
+    score_j`` for the *later* languages j: if an earlier language were the
+    max, its own branch would already have fired.
+    """
+    langs = list(LANG_MARKERS)
+    expr = None
+    for i, lang in enumerate(langs[:-1]):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr.otherwise(langs[-1])
+
+
+def fingerprint(toks: Column, shingle_len: int = 5) -> Column:
+    """Document fingerprint: min-md5 over word shingles (winnowing-style
+    min-selection; rolling-hash analog kept engine-portable via md5).
+    Null for documents shorter than one shingle."""
+    grams = word_ngrams(toks, shingle_len)
+    return F.array_min(F.transform(grams, F.md5))

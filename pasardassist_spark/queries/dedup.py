@@ -1,1 +1,147 @@
-"""Placeholder — filled in this round."""
+"""Dedup queries over the documents table, each with a DuckDB oracle that
+re-derives the same md5-based pipeline in SQL — the oracle is a full
+independent reimplementation, not a shortcut, so a hash match validates the
+whole shingle->signature->bucket chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pasardassist_spark.operators import dedup as D
+from pasardassist_spark.operators.text import tokens
+from pasardassist_spark.queries.registry import query
+from pasardassist_spark.tables import load
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+# distinct 5-gram shingles per doc (docs with >= 5 tokens)
+_SHINGLES_SQL = f"""
+        SELECT doc_id, unnest(list_distinct(
+                   [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)]
+               )) AS shingle
+        FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+        WHERE len(t) >= 5
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS content_hash,
+           COUNT(*) OVER (PARTITION BY md5(lower(trim(text)))) AS n_copies,
+           MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep_id,
+           doc_id = MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS is_canonical
+    FROM documents
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: group size, canonical keeper id. The
+    shuffle key is the 16-byte digest, so shuffle volume is O(rows) even when
+    documents are megabytes."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.exact_dedup(d, "text", "doc_id").select(
+        "doc_id", "content_hash", "n_copies", "keep_id", "is_canonical"
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    mh AS (
+        SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS mh
+        FROM sh CROSS JOIN (SELECT unnest(range(0, {D.N_PERMS})) AS p)
+        GROUP BY doc_id, p
+    ),
+    bsig AS (
+        SELECT doc_id, CAST(p // {D.N_PERMS // D.N_BANDS} AS INTEGER) AS band,
+               string_agg(mh, '|' ORDER BY p) AS sig
+        FROM mh GROUP BY 1, 2
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bsig a JOIN bsig b ON a.band = b.band AND a.sig = b.sig
+                           AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 5-word shingles -> 8 seeded-md5
+    min-hash permutations -> 4 bands x 2 rows -> bucket self-join. No
+    all-pairs comparison anywhere; candidate cost is per-bucket quadratic
+    only (AQE skew-split handles hot buckets at scale)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.minhash_lsh_pairs(d, "text", "doc_id")
+
+
+_HEXVAL = "(instr('0123456789abcdef', {d}) - 1)"
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, md5(unnest(list_distinct({_TOKS}))) AS h
+        FROM documents
+    ),
+    votes AS (
+        SELECT doc_id, b,
+               SUM(CAST(floor({_HEXVAL.format(d="substr(h, CAST(b // 4 AS INTEGER) + 1, 1)")}
+                   / power(2.0, 3 - (b % 4))) AS INTEGER) % 2 * 2 - 1) AS s
+        FROM tok CROSS JOIN (SELECT unnest(range(0, {D.SIMHASH_BITS})) AS b)
+        GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0
+                    THEN CAST(1 AS BIGINT) << CAST({D.SIMHASH_BITS - 1} - b AS INTEGER)
+                    ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document (md5 bit planes, majority vote).
+    Near-dup retrieval joins on 16-bit halves (see simhash_near_pairs)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.simhash_signatures(d, "text", "doc_id")
+
+
+@query("dedup_simhash_pairs")  # pair set derived from signatures; rows-only
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole half-blocking + exact Hamming
+    verify. No oracle entry: the signature query above is the hash-checked
+    part; this adds the (possibly empty) pair materialization."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = D.simhash_signatures(d, "text", "doc_id")
+    return D.simhash_near_pairs(sig, "doc_id", max_hamming=3)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, lang, source, unnest(list_distinct(
+                   [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+               )) AS g
+        FROM (SELECT doc_id, lang, source, {_TOKS} AS t FROM documents)
+        WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM grams a JOIN grams b
+          ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc_id
+    JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard set-similarity join: inverted index on distinct
+    3-word grams within (lang, source) blocks — the classic ppjoin-style
+    shape, never a cross join."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    return D.jaccard_pairs(d, "text", "doc_id", ["lang", "source"], n=3, threshold=0.3)

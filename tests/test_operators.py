@@ -1,0 +1,91 @@
+"""Behavioral/property tests for composite operators — beyond the oracle
+hash-compare: recall bounds for the ANN path, dedup invariants, pagination
+completeness (SURVEY.md §5.3 property list)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pasardassist_spark.operators import similarity as S
+from pasardassist_spark.operators.dedup import exact_dedup, jaccard_pairs, minhash_lsh_pairs
+from pasardassist_spark.operators.pagination import paginate
+from pasardassist_spark.tables import load
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r.q_id, r.neighbor_id) for r in S.brute_force_topk(emb, qids, 10).collect()
+    }
+    approx = {(r.q_id, r.neighbor_id) for r in S.ann_topk(emb, qids, 10, 64).collect()}
+    # LSH with 2x8-bit tables on random gaussian data: recall won't be high,
+    # but candidates must be a sane, non-empty subset scored identically.
+    assert approx, "ANN returned no candidates at all"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.05, f"implausibly low ANN recall {recall}"
+
+
+def test_ann_cosine_agrees_with_exact(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qids = [0, 1]
+    exact = {
+        (r.q_id, r.neighbor_id): r.cosine
+        for r in S.brute_force_topk(emb, qids, 400).collect()
+    }
+    for r in S.ann_topk(emb, qids, 10, 64).collect():
+        assert abs(exact[(r.q_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_exact_dedup_detects_planted_duplicate(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "Hello  world"), (3, "  hello world  "), (4, "other")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in exact_dedup(df, "text", "doc_id").collect()}
+    # 1 and 3 normalize identically (trim+lower); 2 has doubled space -> distinct
+    assert out[1].n_copies == 2 and out[3].keep_id == 1 and not out[3].is_canonical
+    assert out[2].n_copies == 1 and out[4].is_canonical
+
+
+def test_minhash_finds_planted_near_duplicate(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy", 1)
+    other = "completely different words about spark shuffles and parquet files " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(df, "text", "doc_id").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_jaccard_planted_pair(spark):
+    a = "one two three four five six seven eight nine ten"
+    b = "one two three four five six seven eight nine eleven"
+    c = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, a, "en", "s"), (2, b, "en", "s"), (3, c, "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = jaccard_pairs(df, "text", "doc_id", ["lang", "source"], n=3, threshold=0.3).collect()
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.6
+    assert (1, 3) not in pairs
+
+
+def test_pagination_union_of_pages_is_whole_set(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    total = o.count()
+    order = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    page_size = 400
+    seen: list[int] = []
+    page = 1
+    while True:
+        rows = paginate(o, order, page, page_size).collect()
+        seen.extend(r.o_orderkey for r in rows)
+        if len(rows) < page_size:
+            break
+        page += 1
+    assert len(seen) == total
+    assert len(set(seen)) == total  # no overlap between pages
