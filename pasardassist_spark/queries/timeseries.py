@@ -65,6 +65,44 @@ def time_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st1_stream_replay",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn FROM events
+    ) WHERE rn = 1
+    """,
+)
+def st1_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1/ST4 end-to-end: replay the events log through the actual
+    Structured Streaming ingestion (readStream -> foreachBatch latest-state
+    MERGE, streaming/ingest.py) and return the final silver entity table.
+    The oracle is the batch argmax — the replay-equals-batch invariant
+    (§5.2) as a driver-checked query, not just a unit test."""
+    import os
+    import tempfile
+
+    from pasardassist_spark.streaming import (
+        maintain_latest_state,
+        read_event_stream,
+        read_state,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="pasard_replay_")
+    # the file stream source wants a directory; stage the log file into one
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src, "events.parquet"))
+    stream = read_event_stream(spark, src)
+    q = maintain_latest_state(stream, f"{tmp}/state", f"{tmp}/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    return read_state(spark, f"{tmp}/state")
+
+
+@query(
     "st4_latest_state",
     oracle="""
     SELECT l.user_id, l.last_event_type, l.last_value, l.last_ts,

@@ -1,0 +1,15 @@
+from pasardassist_spark.streaming.ingest import (
+    EVENTS_RAW_SCHEMA,
+    maintain_latest_state,
+    read_event_stream,
+    read_state,
+    streaming_day_rollup,
+)
+
+__all__ = [
+    "EVENTS_RAW_SCHEMA",
+    "read_event_stream",
+    "maintain_latest_state",
+    "read_state",
+    "streaming_day_rollup",
+]
