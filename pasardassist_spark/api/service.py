@@ -1,0 +1,305 @@
+"""The reference's query-API endpoint families as DataFrame builders.
+
+Every function mirrors a family of app.service.ts endpoints; citations note
+the primary site. The builders are pure: (entity DataFrames, DTO) -> lazy
+DataFrame, so Catalyst owns optimization (predicate pushdown, broadcast
+choice, limit-through-join) that the reference hand-rolled in JS
+(SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pasardassist_spark.api import dto as D
+from pasardassist_spark.api.schemas import (
+    ORDER_EVENT_NAMES,
+    ORDER_STATE_CREATED,
+    ORDER_STATE_FILLED,
+)
+from pasardassist_spark.functions.chain import classify_transfer
+from pasardassist_spark.operators.latest import latest_per_key
+from pasardassist_spark.operators.pagination import count_and_page
+
+WEI_SCALE = 10**18  # ELA_ESC_PRECISION, src/constants.ts:5
+
+def _order_recency() -> list[Column]:
+    """Total order for "latest order per token" (SURVEY.md §7 tie-break)."""
+    return [F.desc("createTime"), F.desc("blockNumber_ord"), F.desc("orderId")]
+
+
+def _chain_filter(chain: str | None) -> Column:
+    """Chain aliasing: ELA queries include the V1 legacy marketplace
+    (app.service.ts:543-545, 1693-1698)."""
+    if chain is None:
+        return F.lit(True)
+    if chain == "ela":
+        return F.col("chain").isin("ela", "v1")
+    return F.col("chain") == chain
+
+
+def _status_predicate(status: tuple[str, ...], now_s: int) -> Column:
+    """BuyNow / OnAuction / HasEnded / HasBids tag composition
+    (app.service.ts:611-625). Auction liveness compares endTime to the
+    injected clock — normalized to seconds (the reference compares ms
+    endTime to Date.now(), §1.2 hazard)."""
+    tags = {
+        D.STATUS_BUY_NOW: F.col("orderType") == 1,
+        D.STATUS_ON_AUCTION: (F.col("orderType") == 2)
+        & ((F.col("endTime") == 0) | (F.col("endTime") > now_s)),
+        D.STATUS_HAS_ENDED: (F.col("orderType") == 2)
+        & (F.col("endTime") != 0)
+        & (F.col("endTime") <= now_s),
+        D.STATUS_HAS_BIDS: (F.col("orderType") == 2) & (F.col("bids") > 0),
+    }
+    pred = F.lit(False)
+    for s in status:
+        pred = pred | tags[s]
+    return pred
+
+
+class PasarQueryService:
+    """Holds the entity DataFrames (silver tables) and builds endpoint
+    queries. At scale these frames come from bucketed tables; dims
+    (collections, rates, did) get broadcast automatically by size."""
+
+    def __init__(
+        self,
+        tokens: DataFrame,
+        orders: DataFrame,
+        token_events: DataFrame | None = None,
+        order_events: DataFrame | None = None,
+    ) -> None:
+        self.tokens = tokens
+        self.orders = orders
+        self.token_events = token_events
+        self.order_events = order_events
+
+    # -- marketplace (app.service.ts:604-757) -------------------------------
+    def marketplace(self, q: D.MarketplaceQuery) -> DataFrame:
+        now_s = q.now_seconds if q.now_seconds is not None else 0
+        o = self.orders.filter(F.col("orderState") == ORDER_STATE_CREATED)
+        o = o.filter(_chain_filter(q.chain))
+        if q.status:
+            o = o.filter(_status_predicate(q.status, now_s))
+        if q.collection:
+            o = o.filter(
+                F.concat_ws("-", "chain", "baseToken") == q.collection
+            )  # $addFields concat key, app.service.ts:627-630
+        if q.min_price is not None:
+            o = o.filter(F.col("price") >= int(q.min_price * WEI_SCALE))
+        if q.max_price is not None:
+            o = o.filter(F.col("price") <= int(q.max_price * WEI_SCALE))
+
+        t = self.tokens.select(
+            F.col("uniqueKey").alias("t_uniqueKey"),
+            F.col("name").alias("token_name"),
+            F.col("description").alias("token_description"),
+            F.col("adult").alias("token_adult"),
+            F.col("createTime").alias("token_createTime"),
+            F.col("data").alias("token_data"),
+        )
+        joined = o.join(t, o.uniqueKey == t.t_uniqueKey, "left").drop("t_uniqueKey")
+
+        # post-join token filters (J7, app.service.ts:651-670)
+        if q.keyword:
+            kw = q.keyword.lower()
+            joined = joined.filter(
+                (F.instr(F.lower("token_name"), kw) > 0)
+                | (F.instr(F.lower("token_description"), kw) > 0)
+            )
+        if q.adult is not None:
+            joined = joined.filter(F.coalesce(F.col("token_adult"), F.lit(False)) == q.adult)
+
+        order_by = {
+            "createTime": [F.desc("createTime"), F.desc("orderId")],
+            "price_asc": [F.asc("price"), F.desc("orderId")],
+            "price_desc": [F.desc("price"), F.desc("orderId")],
+            "endTime": [F.asc("endTime"), F.desc("orderId")],
+            "token_createTime": [F.desc("token_createTime"), F.desc("orderId")],
+        }[q.sort]
+        # count+page in ONE pass; the reference's paginationFirst heuristic
+        # (app.service.ts:728-748) is subsumed by Catalyst limit pushdown.
+        return count_and_page(joined, order_by, q.page.page_num, q.page.page_size)
+
+    # -- collectibles by wallet (×5 endpoints, app.service.ts:759-965) ------
+    def collectibles_by_wallet(self, q: D.WalletQuery, mode: str = "owned") -> DataFrame:
+        t = self.tokens.filter(_chain_filter(q.chain))
+        if mode == "owned":
+            base = t.filter(F.col("tokenOwner") == q.wallet)
+        elif mode == "minted":
+            base = t.filter(F.col("tokenMinter") == q.wallet)
+        elif mode == "listed":
+            latest = latest_per_key(
+                self.orders.withColumnRenamed("blockNumber", "blockNumber_ord")
+                if "blockNumber" in self.orders.columns
+                else self.orders.withColumn("blockNumber_ord", F.lit(0)),
+                ["uniqueKey"],
+                _order_recency(),
+            )
+            listed = latest.filter(
+                (F.col("orderState") == ORDER_STATE_CREATED)
+                & (F.col("sellerAddr") == q.wallet)
+            ).select(
+                F.col("uniqueKey").alias("uk"),
+                F.col("orderId").alias("listed_orderId"),
+                F.col("price").alias("listed_price"),
+            )
+            base = t.join(listed, t.uniqueKey == listed.uk).drop("uk")
+        elif mode == "sold":
+            sold = self.orders.filter(
+                (F.col("orderState") == ORDER_STATE_FILLED)
+                & (F.col("sellerAddr") == q.wallet)
+            ).select(
+                F.col("uniqueKey").alias("uk"),
+                F.col("orderId").alias("sold_orderId"),
+                F.col("filled").alias("sold_price"),
+            )
+            base = t.join(sold, t.uniqueKey == sold.uk).drop("uk")
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        if q.keyword:
+            kw = q.keyword.lower()
+            base = base.filter(
+                (F.instr(F.lower("name"), kw) > 0)
+                | (F.instr(F.lower("description"), kw) > 0)
+            )
+        return count_and_page(
+            base, [F.desc("createTime"), F.desc("tokenId")], q.page.page_num, q.page.page_size
+        )
+
+    # -- transactions timeline (app.service.ts:966-1007, 2209-2250) ---------
+    def transactions(self, q: D.TransactionQuery) -> DataFrame:
+        """U1 + event classification: order events named via the CASE map,
+        token events classified Mint/Burn/SafeTransferFrom, merged, re-sorted
+        globally, paged."""
+        ev_name = F.lit(None).cast("string")
+        for code, name in sorted(ORDER_EVENT_NAMES.items(), reverse=True):
+            ev_name = F.when(F.col("eventType") == code, name).otherwise(ev_name)
+        oe = self.order_events.select(
+            "chain",
+            "transactionHash",
+            F.col("tokenId"),
+            ev_name.alias("event"),
+            F.col("price").cast("double").alias("value"),
+            F.col("seller").alias("addr_from"),
+            F.col("buyer").alias("addr_to"),
+            "gasFee",
+            "timestamp",
+        )
+        te = self.token_events.select(
+            "chain",
+            "transactionHash",
+            F.col("tokenId"),
+            classify_transfer(F.col("from"), F.col("to")).alias("event"),
+            F.col("value").cast("double").alias("value"),
+            F.col("from").alias("addr_from"),
+            F.col("to").alias("addr_to"),
+            "gasFee",
+            "timestamp",
+        )
+        merged = oe.unionByName(te)
+        if q.wallet:
+            merged = merged.filter(
+                (F.col("addr_from") == q.wallet) | (F.col("addr_to") == q.wallet)
+            )
+        if q.event_types:
+            merged = merged.filter(F.col("event").isin(*q.event_types))
+        return count_and_page(
+            merged,
+            [F.desc("timestamp"), F.asc("transactionHash"), F.asc("event")],
+            q.page.page_num,
+            q.page.page_size,
+        )
+
+    # -- quick search (app.service.ts:1288-1310) ----------------------------
+    def quick_search(self, keyword: str, k: int = 3) -> DataFrame:
+        kw = keyword.lower()
+        return (
+            self.tokens.filter(
+                (F.instr(F.lower("name"), kw) > 0)
+                | (F.instr(F.lower("description"), kw) > 0)
+                | (F.instr(F.lower(F.col("creator.name")), kw) > 0)
+            )
+            .orderBy(F.desc("createTime"), F.desc("tokenId"))
+            .limit(k)
+        )
+
+    # -- collection statistics (tasks.common.ts:124-154 / §3.3) -------------
+    def collection_stats(self) -> DataFrame:
+        """One shuffle replaces 4 queries/collection x N collections."""
+        tok = self.tokens.groupBy("chain", "contract").agg(
+            F.count(F.lit(1)).alias("items"),
+            F.countDistinct("tokenOwner").alias("owners"),
+        )
+        orD = self.orders.groupBy("chain", F.col("baseToken").alias("contract")).agg(
+            F.sum(F.when(F.col("orderState") == ORDER_STATE_FILLED, F.col("filled")))
+            .alias("tradeVolume"),
+            F.min(
+                F.when(F.col("orderState") == ORDER_STATE_CREATED, F.col("price"))
+            ).alias("lowestPrice"),
+        )
+        return tok.join(orD, ["chain", "contract"], "left")
+
+    # -- earnings (app.service.ts:282-341) -----------------------------------
+    def earnings(self, wallet: str, today_start_s: int | None = None) -> DataFrame:
+        """Seller + royalty income via conditional sums over filled orders;
+        royalty fan-out is explode(arrays_zip(...)) (ST5)."""
+        filled = self.orders.filter(F.col("orderState") == ORDER_STATE_FILLED)
+        if today_start_s is not None:
+            filled = filled.filter(F.col("updateTime") >= today_start_s)
+        seller = filled.filter(F.col("sellerAddr") == wallet).select(
+            (F.col("filled") - F.coalesce(F.col("platformFee"), F.lit(0)).cast("decimal(38,0)"))
+            .alias("income"),
+            F.lit("sale").alias("income_type"),
+        )
+        royalties = (
+            filled.select(
+                F.explode(F.arrays_zip("royaltyOwners", "royaltyFees")).alias("r")
+            )
+            .filter(F.col("r.royaltyOwners") == wallet)
+            .select(
+                F.col("r.royaltyFees").cast("decimal(38,0)").alias("income"),
+                F.lit("royalty").alias("income_type"),
+            )
+        )
+        return (
+            seller.unionByName(royalties)
+            .groupBy("income_type")
+            .agg(F.sum("income").alias("total_income"))
+        )
+
+    # -- price history (app.service.ts:345-354, 1220-1227) -------------------
+    def price_history(self, unique_key: str) -> DataFrame:
+        return (
+            self.orders.filter(
+                (F.col("uniqueKey") == unique_key)
+                & (F.col("orderState") == ORDER_STATE_FILLED)
+            )
+            .select(
+                "updateTime",
+                F.col("filled").alias("price"),  # P2 alias, app.service.ts:350
+            )
+            .orderBy(F.asc("updateTime"))
+        )
+
+    # -- token detail w/ latest order (app.service.ts:172-185) ---------------
+    def token_detail(self, chain: str, contract: str, token_id: str) -> DataFrame:
+        t = self.tokens.filter(
+            (F.col("chain") == chain)
+            & (F.col("contract") == contract)
+            & (F.col("tokenId") == token_id)
+        )
+        latest = latest_per_key(
+            self.orders.withColumnRenamed("blockNumber", "blockNumber_ord")
+            if "blockNumber" in self.orders.columns
+            else self.orders.withColumn("blockNumber_ord", F.lit(0)),
+            ["uniqueKey"],
+            _order_recency(),
+        ).select(
+            F.col("uniqueKey").alias("o_uk"),
+            F.col("orderId").alias("latest_orderId"),
+            F.col("orderState").alias("latest_orderState"),
+            F.col("price").alias("latest_price"),
+        )
+        return t.join(latest, t.uniqueKey == latest.o_uk, "left").drop("o_uk")

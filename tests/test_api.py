@@ -1,0 +1,196 @@
+"""Endpoint-family semantics tests over FIXTURES.md §A-shaped fixture data:
+status tag composition, chain aliasing, price scaling, latest-order dedup,
+event classification, royalty fan-out."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+
+from pasardassist_spark.api import (
+    MarketplaceQuery,
+    PageArgs,
+    PasarQueryService,
+    WalletQuery,
+)
+from pasardassist_spark.api.dto import (
+    STATUS_BUY_NOW,
+    STATUS_HAS_ENDED,
+    STATUS_ON_AUCTION,
+    TransactionQuery,
+)
+from pasardassist_spark.api.schemas import (
+    ORDER_EVENTS_SCHEMA,
+    ORDERS_SCHEMA,
+    TOKEN_EVENTS_SCHEMA,
+    TOKENS_SCHEMA,
+)
+
+NOW = 1_700_000_000
+BURN = "0x0000000000000000000000000000000000000000"
+
+
+def _token(**kw):
+    base = {f.name: None for f in TOKENS_SCHEMA.fields}
+    base.update(tokenSupply=1, adult=False, createTime=1, updateTime=1, blockNumber=1)
+    base.update(kw)
+    return tuple(base[f.name] for f in TOKENS_SCHEMA.fields)
+
+
+def _order(**kw):
+    base = {f.name: None for f in ORDERS_SCHEMA.fields}
+    base.update(
+        orderType=1,
+        orderState=1,
+        amount=1,
+        bids=0,
+        endTime=0,
+        createTime=1,
+        updateTime=1,
+        price=Decimal(10**18),
+    )
+    base.update(kw)
+    return tuple(base[f.name] for f in ORDERS_SCHEMA.fields)
+
+
+@pytest.fixture(scope="module")
+def svc(spark):
+    tokens = spark.createDataFrame(
+        [
+            _token(tokenId="1", chain="ela", contract="c1", uniqueKey="ela-c1-1",
+                   name="Cool Cat", description="a cat", tokenOwner="alice",
+                   tokenMinter="alice", createTime=100),
+            _token(tokenId="2", chain="ela", contract="c1", uniqueKey="ela-c1-2",
+                   name="Dog", description="a dog", tokenOwner="bob",
+                   tokenMinter="alice", adult=True, createTime=200),
+            _token(tokenId="3", chain="v1", contract="c2", uniqueKey="3",
+                   name="Legacy Cat", description="v1 item", tokenOwner="carol",
+                   tokenMinter="carol", createTime=300),
+            _token(tokenId="4", chain="eth", contract="c3", uniqueKey="eth-c3-4",
+                   name="Ether Thing", description="eth", tokenOwner="alice",
+                   tokenMinter="dave", createTime=400),
+        ],
+        TOKENS_SCHEMA,
+    )
+    orders = spark.createDataFrame(
+        [
+            # token 1: older cancelled order + newer Created sale @2 ELA
+            _order(orderId=1, chain="ela", baseToken="c1", tokenId="1",
+                   uniqueKey="ela-c1-1", orderState=3, createTime=110,
+                   sellerAddr="alice"),
+            _order(orderId=2, chain="ela", baseToken="c1", tokenId="1",
+                   uniqueKey="ela-c1-1", orderState=1, createTime=120,
+                   price=Decimal(2 * 10**18), sellerAddr="alice"),
+            # token 2: live auction, no end, with a bid
+            _order(orderId=3, chain="ela", baseToken="c1", tokenId="2",
+                   uniqueKey="ela-c1-2", orderType=2, orderState=1,
+                   createTime=130, bids=1, endTime=0, sellerAddr="bob"),
+            # token 3 (v1): ended auction
+            _order(orderId=4, chain="v1", baseToken="c2", tokenId="3",
+                   uniqueKey="3", orderType=2, orderState=1, createTime=140,
+                   endTime=NOW - 5, sellerAddr="carol"),
+            # token 4 (eth): filled sale by alice, platform fee 5, royalties
+            _order(orderId=5, chain="eth", baseToken="c3", tokenId="4",
+                   uniqueKey="eth-c3-4", orderState=2, createTime=150,
+                   updateTime=160, filled=Decimal(100), platformFee=5,
+                   sellerAddr="alice", buyerAddr="bob",
+                   royaltyOwners=["dave"], royaltyFees=[7]),
+        ],
+        ORDERS_SCHEMA,
+    )
+    token_events = spark.createDataFrame(
+        [
+            ("ela", "c1", 10, "0xa", BURN, "alice", "1", "alice", 1, 1, 1000),
+            ("ela", "c1", 11, "0xb", "alice", "bob", "1", "alice", 1, 1, 2000),
+            ("ela", "c1", 12, "0xc", "bob", BURN, "1", "bob", 1, 1, 3000),
+        ],
+        TOKEN_EVENTS_SCHEMA,
+    )
+    order_events = spark.createDataFrame(
+        [
+            ("ela", "c1", 13, "0xd", 2, "1", "alice", None, None, Decimal(2 * 10**18), 2, 1, 1500),
+            ("eth", "c3", 14, "0xe", 5, "4", "alice", "bob", None, Decimal(100), 3, 1, 2500),
+        ],
+        ORDER_EVENTS_SCHEMA,
+    )
+    return PasarQueryService(tokens, orders, token_events, order_events)
+
+
+def test_marketplace_status_tags(svc):
+    q = lambda *status: {
+        r.orderId
+        for r in svc.marketplace(
+            MarketplaceQuery(status=status, now_seconds=NOW, page=PageArgs(1, 50))
+        ).collect()
+    }
+    assert q(STATUS_BUY_NOW) == {2}  # only the live sale (cancelled excluded)
+    assert q(STATUS_ON_AUCTION) == {3}  # endTime=0 is endless, ended excluded
+    assert q(STATUS_HAS_ENDED) == {4}
+    assert q(STATUS_BUY_NOW, STATUS_ON_AUCTION) == {2, 3}
+
+
+def test_marketplace_chain_alias_and_price(svc):
+    # ELA includes V1 legacy (app.service.ts:543-545)
+    rows = svc.marketplace(
+        MarketplaceQuery(chain="ela", now_seconds=NOW, page=PageArgs(1, 50))
+    ).collect()
+    assert {r.chain for r in rows} == {"ela", "v1"}
+    # price filter in user units x1e18
+    rows = svc.marketplace(
+        MarketplaceQuery(min_price=1.5, now_seconds=NOW, page=PageArgs(1, 50))
+    ).collect()
+    assert {r.orderId for r in rows} == {2}
+
+
+def test_marketplace_keyword_and_total(svc):
+    rows = svc.marketplace(
+        MarketplaceQuery(keyword="cat", now_seconds=NOW, page=PageArgs(1, 50))
+    ).collect()
+    assert {r.orderId for r in rows} == {2, 4}
+    assert all(r.total == 2 for r in rows)  # count rides with the page
+
+
+def test_wallet_modes(svc):
+    owned = svc.collectibles_by_wallet(WalletQuery(wallet="alice"), "owned").collect()
+    assert {r.tokenId for r in owned} == {"1", "4"}
+    minted = svc.collectibles_by_wallet(WalletQuery(wallet="alice"), "minted").collect()
+    assert {r.tokenId for r in minted} == {"1", "2"}
+    listed = svc.collectibles_by_wallet(WalletQuery(wallet="alice"), "listed").collect()
+    assert {r.tokenId for r in listed} == {"1"}  # latest order is the Created one
+    sold = svc.collectibles_by_wallet(WalletQuery(wallet="alice"), "sold").collect()
+    assert {(r.tokenId, r.sold_price) for r in sold} == {("4", Decimal(100))}
+
+
+def test_transactions_classification(svc):
+    rows = svc.transactions(TransactionQuery(page=PageArgs(1, 50))).collect()
+    by_tx = {r.transactionHash: r.event for r in rows}
+    assert by_tx["0xa"] == "Mint" and by_tx["0xc"] == "Burn"
+    assert by_tx["0xb"] == "SafeTransferFrom"
+    assert by_tx["0xd"] == "OrderForSale" and by_tx["0xe"] == "OrderFilled"
+    # timeline is globally time-sorted desc
+    ts = [r.timestamp for r in rows]
+    assert ts == sorted(ts, reverse=True)
+
+
+def test_collection_stats(svc):
+    stats = {(r.chain, r.contract): r for r in svc.collection_stats().collect()}
+    c1 = stats[("ela", "c1")]
+    assert c1.items == 2 and c1.owners == 2
+    # min over Created orders on c1: sale @2e18 and live auction @1e18
+    assert c1.lowestPrice == Decimal(10**18)
+    c3 = stats[("eth", "c3")]
+    assert c3.tradeVolume == Decimal(100)
+
+
+def test_earnings_fanout(svc):
+    rows = {r.income_type: r.total_income for r in svc.earnings("alice").collect()}
+    assert rows["sale"] == Decimal(95)  # filled 100 - platformFee 5
+    dave = {r.income_type: r.total_income for r in svc.earnings("dave").collect()}
+    assert dave["royalty"] == Decimal(7)
+
+
+def test_token_detail_latest_order(svc):
+    row = svc.token_detail("ela", "c1", "1").collect()[0]
+    assert row.latest_orderId == 2 and row.latest_orderState == 1
+    assert row.latest_price == Decimal(2 * 10**18)
