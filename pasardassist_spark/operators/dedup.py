@@ -6,15 +6,17 @@ Design for 100 TB:
 - **exact_dedup** is a single hash-shuffle on a 16-byte digest — the digest
   (not the document body) is the shuffle key, so shuffle volume is O(rows),
   not O(bytes).
-- **minhash_lsh_pairs** never compares all pairs: shingles -> per-permutation
-  min-hashes (one partial-aggregating shuffle keyed by (doc, perm)) -> band
-  signatures -> a self-equi-join on (band, signature). Candidate volume is
-  sum over buckets of |bucket|^2; band width tunes the precision/recall
-  trade, and AQE's skew handling splits pathological buckets.
-- **simhash_signatures** is pure column math (explode tokens x bits, two
-  aggregations); near-dup lookup is then a Hamming-ball probe on the 32-bit
-  signature, e.g. joining on 16-bit halves (pigeonhole) — provided by
-  ``simhash_near_pairs``.
+- **minhash_lsh_pairs** never compares all pairs: shingles -> per-row arrays
+  of all N seeded min-hashes (no ×N row amplification) -> ONE element-wise
+  min shuffle keyed by doc -> band signatures (columnar, no extra shuffle)
+  -> a self-equi-join on (band, signature). Candidate volume is sum over
+  buckets of |bucket|^2; band width tunes the precision/recall trade, and
+  AQE's skew handling splits pathological buckets.
+- **simhash_signatures** is pure column math: each token row carries its full
+  32-element vote vector, one element-wise sum shuffle per doc (no ×32
+  amplification); near-dup lookup is then a Hamming-ball probe on the 32-bit
+  signature via exact 8-bit quarter blocks (pigeonhole guarantees recall for
+  distance <= 3) — provided by ``simhash_near_pairs``.
 - **jaccard_pairs** uses inverted-index blocking (join on shared shingles
   within a blocking key) rather than a cross join, the standard set-similarity
   join shape.
@@ -69,28 +71,47 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame
 
 
 def minhash_signatures(sh: DataFrame, id_col: str, n_perms: int = N_PERMS) -> DataFrame:
-    """Per-(doc, permutation) min-hash: min over shingles of md5(p:shingle).
+    """One row per doc with an ``array<string>`` of n_perms min-hashes.
 
     The seeded-concat md5 plays the role of N independent hash permutations.
-    Partial aggregation (map-side min) keeps the shuffle at O(docs x perms).
+    All N hashes for a shingle are computed in ONE array expression on the
+    shingle row (``transform(sequence(...))``) and reduced element-wise by a
+    single groupBy(doc) with N min aggregates — so the shingle table is
+    scanned once at its natural size, never multiplied ×N by a crossJoin,
+    and the only shuffle is O(docs × N) partial-aggregated mins.
     """
-    perms = sh.sparkSession.range(n_perms).select(F.col("id").cast("int").alias("p"))
+    per_row = F.transform(
+        F.sequence(F.lit(0), F.lit(n_perms - 1)),
+        lambda p: F.md5(F.concat(p.cast("string"), F.lit(":"), F.col("shingle"))),
+    )
+    rows = sh.withColumn("mhs", per_row)
+    aggs = [F.min(F.element_at(F.col("mhs"), p + 1)).alias(f"mh_{p}") for p in range(n_perms)]
+    wide = rows.groupBy(id_col).agg(*aggs)
+    return wide.select(
+        F.col(id_col), F.array(*[F.col(f"mh_{p}") for p in range(n_perms)]).alias("mhs")
+    )
+
+
+def lsh_band_signatures(
+    mh: DataFrame, id_col: str, n_perms: int = N_PERMS, n_bands: int = N_BANDS
+) -> DataFrame:
+    """Band signature = ordered concat of that band's min-hashes. Computed
+    columnar from the wide signature array (no extra shuffle), then exploded
+    to one row per (doc, band) for the bucket self-join."""
+    rows_per_band = n_perms // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.array_join(F.slice(F.col("mhs"), k * rows_per_band + 1, rows_per_band), "|").alias("sig"),
+            )
+            for k in range(n_bands)
+        ]
+    )
     return (
-        sh.crossJoin(F.broadcast(perms))
-        .groupBy(id_col, "p")
-        .agg(F.min(F.md5(F.concat(F.col("p").cast("string"), F.lit(":"), F.col("shingle")))).alias("mh"))
+        mh.select(F.col(id_col), F.explode(bands).alias("bs"))
+        .select(F.col(id_col), F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     )
-
-
-def lsh_band_signatures(mh: DataFrame, id_col: str, n_bands: int = N_BANDS) -> DataFrame:
-    """Group permutations into bands; band signature = ordered concat of mins."""
-    rows_per_band = N_PERMS // n_bands
-    banded = mh.withColumn("band", (F.col("p") / rows_per_band).cast("int"))
-    sig = F.array_join(
-        F.transform(F.array_sort(F.collect_list(F.struct("p", "mh"))), lambda x: x["mh"]),
-        "|",
-    )
-    return banded.groupBy(id_col, "band").agg(sig.alias("sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -121,46 +142,65 @@ def _hex_digit_val(d: Column) -> Column:
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """32-bit SimHash over distinct tokens (md5-derived bit planes).
 
-    explode(tokens x bit positions) -> per-bit +/-1 vote sum -> majority bit
-    -> weighted sum back to one BIGINT signature. Two aggregations, all
-    integer math: deterministic under any partitioning.
+    Each token row computes its full 32-element ±1 vote vector in one array
+    expression; a single groupBy(doc) with 32 partial-aggregated sums tallies
+    the votes, and the majority bits fold into one BIGINT signature in the
+    same pass. One shuffle at O(docs × 32) — the token table is never
+    multiplied ×32 by a crossJoin. All integer math: deterministic under any
+    partitioning.
     """
     toks = tokens(F.col(text_col))
     base = df.select(F.col(id_col), F.explode(F.array_distinct(toks)).alias("t")).withColumn(
         "h", F.md5(F.col("t"))
     )
-    bits = base.sparkSession.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("b"))
-    digit = F.substring(F.col("h"), (F.col("b") / 4).cast("int") + 1, 1)
-    val = _hex_digit_val(digit)
-    bit = F.floor(val / F.pow(F.lit(2.0), F.lit(3) - (F.col("b") % 4))).cast("int") % 2
-    votes = (
-        base.crossJoin(F.broadcast(bits))
-        .withColumn("vote", bit * 2 - 1)
-        .groupBy(id_col, "b")
-        .agg(F.sum("vote").alias("s"))
-    )
-    weight = F.expr(f"shiftleft(CAST(1 AS BIGINT), {SIMHASH_BITS - 1} - b)")
-    return votes.groupBy(id_col).agg(
-        F.sum(F.when(F.col("s") > 0, weight).otherwise(F.lit(0).cast("long"))).alias("simhash")
-    )
+
+    def vote(b: Column) -> Column:
+        digit = F.col("h").substr((b / 4).cast("int") + 1, F.lit(1))
+        val = _hex_digit_val(digit)
+        bit = F.floor(val / F.pow(F.lit(2.0), F.lit(3) - (b % 4))).cast("int") % 2
+        return (bit * 2 - 1).cast("long")
+
+    votes_arr = F.transform(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)), vote)
+    rows = base.withColumn("v", votes_arr)
+    aggs = [F.sum(F.element_at(F.col("v"), b + 1)).alias(f"s_{b}") for b in range(SIMHASH_BITS)]
+    wide = rows.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        weight = F.lit(1 << (SIMHASH_BITS - 1 - b)).cast("long")
+        sig = sig + F.when(F.col(f"s_{b}") > 0, weight).otherwise(F.lit(0).cast("long"))
+    return wide.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_pairs(sig: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 16-bit halves (pigeonhole: any
-    pair within Hamming distance <= max_hamming < 2 shares at least one
-    exact half), then verify the full Hamming distance."""
-    lo = F.col("simhash").bitwiseAND(F.lit((1 << 16) - 1))
-    hi = F.shiftright(F.col("simhash"), 16)
-    blocks = sig.select(
-        F.col(id_col), "simhash", F.explode(F.array(F.struct(F.lit(0).alias("half"), lo.alias("key")), F.struct(F.lit(1).alias("half"), hi.alias("key")))).alias("blk")
-    ).select(F.col(id_col), "simhash", F.col("blk.half").alias("half"), F.col("blk.key").alias("key"))
-    a = blocks.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "half", "key")
-    b = blocks.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "half", "key")
+    """Near-dup pairs by SimHash: block on the four 8-bit quarters of the
+    signature. Pigeonhole: a pair within Hamming distance <= 3 differs in at
+    most 3 of the 4 quarters, so it agrees EXACTLY on at least one quarter —
+    the block join has guaranteed recall for the default radius. The full
+    Hamming distance is then verified on each candidate.
+
+    Scale note: 8-bit quarters give only 256 buckets per quarter; for
+    billion-doc corpora raise SIMHASH_BITS (64/128) and keep block width
+    ~bits/(max_hamming+1) so buckets stay selective.
+    """
+    quarters = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.shiftright(F.col("simhash"), 8 * q).bitwiseAND(F.lit(255)).alias("key"),
+            )
+            for q in range(4)
+        ]
+    )
+    blocks = sig.select(F.col(id_col), "simhash", F.explode(quarters).alias("blk")).select(
+        F.col(id_col), "simhash", F.col("blk.q").alias("q"), F.col("blk.key").alias("key")
+    )
+    a = blocks.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "q", "key")
+    b = blocks.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "q", "key")
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        a.join(b, ["half", "key"])
+        a.join(b, ["q", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

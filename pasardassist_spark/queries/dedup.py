@@ -75,9 +75,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HEXVAL = "(instr('0123456789abcdef', {d}) - 1)"
 
-@query(
-    "dedup_simhash",
-    oracle=f"""
+_SIMHASH_SIG_SQL = f"""
     WITH tok AS (
         SELECT doc_id, md5(unnest(list_distinct({_TOKS}))) AS h
         FROM documents
@@ -88,26 +86,45 @@ _HEXVAL = "(instr('0123456789abcdef', {d}) - 1)"
                    / power(2.0, 3 - (b % 4))) AS INTEGER) % 2 * 2 - 1) AS s
         FROM tok CROSS JOIN (SELECT unnest(range(0, {D.SIMHASH_BITS})) AS b)
         GROUP BY doc_id, b
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0
+                        THEN CAST(1 AS BIGINT) << CAST({D.SIMHASH_BITS - 1} - b AS INTEGER)
+                        ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN s > 0
-                    THEN CAST(1 AS BIGINT) << CAST({D.SIMHASH_BITS - 1} - b AS INTEGER)
-                    ELSE 0 END) AS BIGINT) AS simhash
-    FROM votes GROUP BY doc_id
-    """,
-)
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_SIG_SQL + "SELECT doc_id, simhash FROM sig")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signature per document (md5 bit planes, majority vote).
-    Near-dup retrieval joins on 16-bit halves (see simhash_near_pairs)."""
+    Near-dup retrieval joins on exact 8-bit quarters (see simhash_near_pairs)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return D.simhash_signatures(d, "text", "doc_id")
 
 
-@query("dedup_simhash_pairs")  # pair set derived from signatures; rows-only
+@query(
+    "dedup_simhash_pairs",
+    oracle=_SIMHASH_SIG_SQL
+    + """
+    , blocks AS (
+        SELECT doc_id, simhash, q, (simhash >> (8 * q)) & 255 AS key
+        FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS q)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM blocks a JOIN blocks b
+      ON a.q = b.q AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via pigeonhole half-blocking + exact Hamming
-    verify. No oracle entry: the signature query above is the hash-checked
-    part; this adds the (possibly empty) pair materialization."""
+    """SimHash near-dup pairs: exact 8-bit quarter blocking (pigeonhole
+    guarantees recall for Hamming distance <= 3 over 4 quarters) + full
+    Hamming verify. The oracle re-derives the entire signature -> block ->
+    verify chain in SQL."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     sig = D.simhash_signatures(d, "text", "doc_id")
     return D.simhash_near_pairs(sig, "doc_id", max_hamming=3)
