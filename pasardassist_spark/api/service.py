@@ -23,6 +23,20 @@ from pasardassist_spark.operators.pagination import count_and_page
 
 WEI_SCALE = 10**18  # ELA_ESC_PRECISION, src/constants.ts:5
 
+
+def _to_wei(price: float | int | str):
+    """User price units -> exact wei as a Decimal literal. Goes through
+    decimal.Decimal(str(...)), never float multiplication: above 2^53 wei
+    (~0.009 tokens) float math double-rounds and shifts rows across filter
+    boundaries, defeating the DECIMAL(38,0) price schema. Returned as
+    Decimal (not int) so Spark plans a DecimalType literal instead of an
+    overflow-prone int64."""
+    import decimal
+
+    wei = (decimal.Decimal(str(price)) * WEI_SCALE).to_integral_value(decimal.ROUND_FLOOR)
+    return F.lit(wei)
+
+
 def _order_recency() -> list[Column]:
     """Total order for "latest order per token" (SURVEY.md §7 tie-break)."""
     return [F.desc("createTime"), F.desc("blockNumber_ord"), F.desc("orderId")]
@@ -87,9 +101,9 @@ class PasarQueryService:
                 F.concat_ws("-", "chain", "baseToken") == q.collection
             )  # $addFields concat key, app.service.ts:627-630
         if q.min_price is not None:
-            o = o.filter(F.col("price") >= int(q.min_price * WEI_SCALE))
+            o = o.filter(F.col("price") >= _to_wei(q.min_price))
         if q.max_price is not None:
-            o = o.filter(F.col("price") <= int(q.max_price * WEI_SCALE))
+            o = o.filter(F.col("price") <= _to_wei(q.max_price))
 
         t = self.tokens.select(
             F.col("uniqueKey").alias("t_uniqueKey"),

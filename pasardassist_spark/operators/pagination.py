@@ -2,9 +2,12 @@
 
 The reference runs every paged endpoint twice: once with ``$count`` and once
 with ``$sort/$skip/$limit`` (reference src/modules/app/app.service.ts:738-754;
-SURVEY.md §2.6 O2/O4). Here both come from ONE pass: the page via
-``orderBy + offset + limit``, the total via ``count(*) OVER ()`` attached to
-each page row — no second scan.
+SURVEY.md §2.6 O2/O4). Here the total is a distributed global aggregate
+(map-side partial counts, one row out) broadcast-cross-joined onto the page —
+never a ``count(*) OVER ()`` empty window, which would drag the whole
+filtered set onto a single partition. The count branch is column-pruned to
+nothing by Catalyst (count(1) reads no data columns), so the second scan is
+metadata-cheap next to the page's sort.
 
 Scale notes: a global ``orderBy`` is a range-partitioned shuffle; with a
 ``limit`` Spark plans TakeOrderedAndProject (per-partition top-(offset+limit)
@@ -17,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def paginate(df: DataFrame, order: Sequence[Column], page_num: int, page_size: int) -> DataFrame:
@@ -34,6 +37,11 @@ def count_and_page(
     page_size: int,
     total_col: str = "total",
 ) -> DataFrame:
-    """Page rows with the filtered-set total attached to each row (one pass)."""
-    with_total = df.withColumn(total_col, F.count(F.lit(1)).over(W.partitionBy()))
+    """Page rows with the filtered-set total attached to each row.
+
+    The total comes from a partial-aggregated global count (one row),
+    broadcast onto the page rows — no single-partition window anywhere.
+    """
+    total = df.groupBy().agg(F.count(F.lit(1)).alias(total_col))
+    with_total = df.crossJoin(F.broadcast(total))
     return paginate(with_total, order, page_num, page_size)

@@ -14,16 +14,21 @@ Reference behavior being replaced:
   arrivals converge without a retry queue (S7/S9/ST4).
 
 MERGE emulation without Delta: the silver table is written as versioned
-generations (``v000001``, ...); each batch writes generation N+1 = merge of
-generation N and the batch's latest rows. On a Delta/Iceberg-equipped
-cluster the ``_merge_batch`` body becomes a single ``MERGE INTO`` — the
-surrounding streaming topology is unchanged. Generations also give the
-poor-man's time travel the reference lacks entirely.
+generations (``v000001``, ...), each hash-bucketed by the entity key
+(``bucket=NN`` partition dirs). A batch only MERGES the buckets its keys
+touch: generation N+1 = rewrite(touched buckets) + hard-link(untouched
+buckets from generation N). Per-batch I/O is therefore
+O(batch + touched-state), not O(state) — the property a 100 TB silver table
+needs. On a Delta/Iceberg-equipped cluster the ``_merge_batch`` body
+becomes a single ``MERGE INTO``; the surrounding streaming topology is
+unchanged. Generations also give the poor-man's time travel the reference
+lacks entirely.
 
-Scale: state is hash-partitioned by the entity key at write, so the merge
-join is co-partitioned; per-batch work is O(batch + touched-state) when the
-state table is partitioned/bucketed by key (partition-overwrite instead of
-full rewrite) — noted inline where local parquet differs from cluster Delta.
+Crash safety: a generation only counts once its ``_COMMITTED`` marker
+exists, written AFTER both the Spark write and the hard-links complete —
+a crash mid-write leaves an ignored partial directory, never a truncated
+"latest" state (Spark's own ``_SUCCESS`` is insufficient because the links
+land after the job commit).
 """
 
 from __future__ import annotations
@@ -55,18 +60,51 @@ def read_event_stream(
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
+N_STATE_BUCKETS = 16  # key-hash buckets; at 100 TB this becomes O(1000s)
+_COMMIT_MARKER = "_COMMITTED"
+
+
 def _state_versions(state_dir: str) -> list[str]:
+    """Committed generations only: a directory without the commit marker is
+    a crashed partial write and must never become 'latest' state."""
     if not os.path.isdir(state_dir):
         return []
-    return sorted(d for d in os.listdir(state_dir) if d.startswith("v"))
+    return sorted(
+        d
+        for d in os.listdir(state_dir)
+        if d.startswith("v") and os.path.exists(os.path.join(state_dir, d, _COMMIT_MARKER))
+    )
 
 
 def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    """Latest generation of the silver entity table, if any."""
+    """Latest committed generation of the silver entity table, if any.
+    The internal ``bucket`` partition column is dropped from the view."""
     versions = _state_versions(state_dir)
     if not versions:
         return None
-    return spark.read.parquet(os.path.join(state_dir, versions[-1]))
+    df = spark.read.parquet(os.path.join(state_dir, versions[-1]))
+    return df.drop("bucket") if "bucket" in df.columns else df
+
+
+def _bucket_of(keys: Sequence[str]) -> Column:
+    return F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(N_STATE_BUCKETS))
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Hard-link a bucket directory into the next generation (O(1) I/O per
+    file; falls back to copy across devices). Links survive deletion of the
+    source generation, so retention cleanup stays safe."""
+    import shutil
+
+    for root, _, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        tgt = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(tgt, exist_ok=True)
+        for f in files:
+            try:
+                os.link(os.path.join(root, f), os.path.join(tgt, f))
+            except OSError:
+                shutil.copy2(os.path.join(root, f), os.path.join(tgt, f))
 
 
 def maintain_latest_state(
@@ -82,30 +120,50 @@ def maintain_latest_state(
     Idempotent under replay: merging the same events twice is a no-op
     because the fold is an argmax by (event time, event id), mirroring the
     reference's idempotent upserts (ST2).
+
+    Incremental: state is hash-bucketed by key; only buckets containing a
+    batch key are re-merged and rewritten — untouched buckets are
+    hard-linked from the previous generation, so per-batch I/O is
+    O(batch + touched-state), not O(state).
     """
 
     def _merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         ordering = order or [F.desc("ts"), F.desc("event_id")]
-        batch_latest = latest_per_key(batch_df, list(keys), ordering)
-        existing = read_state(spark, state_dir)
-        merged = (
-            batch_latest
-            if existing is None
-            else latest_per_key(
-                existing.unionByName(batch_latest), list(keys), ordering
-            )
+        batch_latest = latest_per_key(batch_df, list(keys), ordering).withColumn(
+            "bucket", _bucket_of(keys)
         )
-        # On Delta: MERGE INTO state USING batch_latest ON keys WHEN MATCHED
-        # AND batch.ts > state.ts THEN UPDATE ... Here: versioned generation
-        # swap (atomic via directory rename-on-commit semantics of the
-        # parquet committer), repartitioned by key so the next merge join is
-        # co-partitioned.
+        # Driver-side METADATA collect: at most N_STATE_BUCKETS small ints
+        # (which partitions to merge), never data rows.
+        touched = sorted(
+            r["bucket"] for r in batch_latest.select("bucket").distinct().collect()
+        )
         versions = _state_versions(state_dir)
+        prev_dir = os.path.join(state_dir, versions[-1]) if versions else None
+        if prev_dir is None:
+            merged = batch_latest
+        else:
+            prev = spark.read.parquet(prev_dir)
+            prev_touched = prev.filter(F.col("bucket").isin(touched))
+            merged = latest_per_key(
+                prev_touched.unionByName(batch_latest), list(keys), ordering
+            )
+        # On Delta: MERGE INTO state USING batch_latest ON keys WHEN MATCHED
+        # AND batch.ts > state.ts THEN UPDATE. Here: write touched buckets
+        # into generation N+1 (repartitioned by key so the merge join and the
+        # next read are co-partitioned), link the rest, then commit.
         next_v = f"v{(int(versions[-1][1:]) + 1) if versions else 1:06d}"
-        merged.repartition(*keys).write.mode("overwrite").parquet(
-            os.path.join(state_dir, next_v)
+        next_dir = os.path.join(state_dir, next_v)
+        merged.repartition(*keys).write.partitionBy("bucket").mode("overwrite").parquet(
+            next_dir
         )
+        if prev_dir is not None:
+            touched_set = {f"bucket={b}" for b in touched}
+            for d in os.listdir(prev_dir):
+                if d.startswith("bucket=") and d not in touched_set:
+                    _link_tree(os.path.join(prev_dir, d), os.path.join(next_dir, d))
+        with open(os.path.join(next_dir, _COMMIT_MARKER), "w"):
+            pass  # generation becomes visible only now
         for stale in versions[:-keep_generations] if len(versions) >= keep_generations else []:
             _rmtree(os.path.join(state_dir, stale))
 
