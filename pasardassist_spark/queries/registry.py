@@ -62,6 +62,7 @@ def _load_all() -> None:
     from pasardassist_spark.queries import (  # noqa: F401
         aggregates,
         dedup,
+        enrichment,
         multimodal,
         relational,
         similarity,

@@ -31,9 +31,40 @@ TABLES = (
 )
 
 
+_SHIPPED_APPS: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``pasardassist_spark`` importable on Python workers regardless of
+    the driver process's cwd/PYTHONPATH: mapInPandas closures reference
+    module-level helpers (pickled by reference), so workers must be able to
+    import the package. Zips the package once per session and addPyFile()s
+    it — the Spark-idiomatic dependency shipping path, same as on a real
+    cluster."""
+    app = spark.sparkContext.applicationId
+    if app in _SHIPPED_APPS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg)
+    fd, zpath = tempfile.mkstemp(prefix="pasardassist_spark_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED_APPS.add(app)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ship_package(spark)
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS); Spark refuses the type
         # unless nanosAsLong is set. The driver's harness builds its own
