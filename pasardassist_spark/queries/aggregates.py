@@ -325,3 +325,40 @@ def s5_royalty_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", rows.alias("r")).select(
         "o_orderkey", F.col("r.income_type").alias("income_type"), F.col("r.income").alias("income")
     )
+
+
+@query(
+    "a9_rarity_map",
+    oracle="""
+    WITH attrs AS (
+        SELECT 'brand' AS trait, p_brand AS value FROM part
+        UNION ALL
+        SELECT 'type' AS trait, p_type AS value FROM part
+    ),
+    counts AS (SELECT trait, value, COUNT(*) AS cnt FROM attrs GROUP BY 1, 2)
+    SELECT trait,
+           COUNT(*) AS n_values,
+           '{' || string_agg('"' || value || '":' || cnt, ',' ORDER BY value) || '}'
+               AS dist
+    FROM counts GROUP BY trait
+    """,
+)
+def a9_rarity_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (map reshape): rows (trait, value, count) folded back into the
+    reference's `{key: {value: count}}` attribute-rarity shape
+    (app.service.ts:2377-2392) via map_from_entries(collect_list(...)),
+    serialized with a deterministic key order (array_sort before
+    map_from_entries) so the JSON is hash-comparable across engines. The
+    MapType attributes column itself is exploded with explode(map) — the F6
+    fixture's map is the input, not flat columns."""
+    from pasardassist_spark.queries.relational import part_attributes
+
+    p = part_attributes(load(spark, sf_dir, "part"))
+    attrs = p.select(F.explode("attributes").alias("trait", "value"))
+    counts = attrs.groupBy("trait", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.groupBy("trait").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.to_json(
+            F.map_from_entries(F.array_sort(F.collect_list(F.struct("value", "cnt"))))
+        ).alias("dist"),
+    )

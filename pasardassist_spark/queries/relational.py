@@ -432,3 +432,46 @@ def u2_single_pass_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("cold")
     )
     return o.groupBy(klass.alias("klass")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def part_attributes(df: DataFrame) -> DataFrame:
+    """F6 fixture: a real MapType attributes column (trait -> value), the
+    NFT attribute map the reference stores per token
+    (app.service.ts:1521-1526 filters `attributes.<key> $in [...]`)."""
+    return df.withColumn(
+        "attributes",
+        F.create_map(
+            F.lit("brand"), F.col("p_brand"),
+            F.lit("type"), F.col("p_type"),
+        ),
+    )
+
+
+@query(
+    "f6_attribute_filter",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand AS brand, p_type AS type
+    FROM part
+    WHERE p_brand IN ('Brand#2', 'Brand#17') AND p_type = 'ECONOMY'
+    """,
+)
+def f6_attribute_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: predicate on a MapType attributes column —
+    ``element_at(attributes, key).isin(...)`` is the Spark form of the
+    reference's dynamic `attributes.trait_type $in values` match
+    (app.service.ts:1521-1526). The map is built then filtered through
+    element_at, proving the map path; the oracle checks the selected values
+    against the flat columns."""
+    p = part_attributes(load(spark, sf_dir, "part"))
+    return (
+        p.filter(
+            F.element_at("attributes", F.lit("brand")).isin("Brand#2", "Brand#17")
+            & (F.element_at("attributes", F.lit("type")) == "ECONOMY")
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            F.element_at("attributes", F.lit("brand")).alias("brand"),
+            F.element_at("attributes", F.lit("type")).alias("type"),
+        )
+    )
