@@ -1,3 +1,8 @@
+from pasardassist_spark.streaming.dynamic import (
+    dynamic_collection_sink,
+    register_collection,
+    registered_collections,
+)
 from pasardassist_spark.streaming.ingest import (
     EVENTS_RAW_SCHEMA,
     maintain_latest_state,
@@ -12,4 +17,7 @@ __all__ = [
     "maintain_latest_state",
     "read_state",
     "streaming_day_rollup",
+    "dynamic_collection_sink",
+    "register_collection",
+    "registered_collections",
 ]

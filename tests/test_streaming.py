@@ -163,3 +163,62 @@ def test_streaming_day_rollup_equals_batch(spark, sf_dir, tmp_path, chunked_even
         .collect()
     }
     assert got == want
+
+
+def test_dynamic_registration_mid_stream(spark, sf_dir, tmp_path):
+    """S11: registering a collection between micro-batches (1) admits its
+    events from then on and (2) retroactively admits its parked history —
+    all without restarting the one multiplexed query."""
+    from pasardassist_spark.streaming import (
+        dynamic_collection_sink,
+        register_collection,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    assert len(types) >= 2
+    t_first, t_later = types[0], types[1]
+    raw = ev.withColumn("ts", F.expr("unix_micros(ts) * CAST(1000 AS BIGINT)"))
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    control = str(tmp_path / "control")
+    out = str(tmp_path / "out")
+    pending = str(tmp_path / "pending")
+
+    def drop_file(df, i):
+        staging = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.parquet(staging)
+        (pq,) = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+        os.rename(os.path.join(staging, pq), os.path.join(src, f"part{i}.parquet"))
+
+    half = raw.count() // 2
+    rows = raw.orderBy("event_id").collect()
+    df1 = spark.createDataFrame(rows[:half], raw.schema)
+    df2 = spark.createDataFrame(rows[half:], raw.schema)
+
+    register_collection(spark, control, t_first)
+    drop_file(df1, 0)
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = dynamic_collection_sink(stream, control, out, pending, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+
+    admitted1 = spark.read.parquet(out)
+    assert set(r[0] for r in admitted1.select("event_type").distinct().collect()) == {t_first}
+
+    # register a second collection MID-STREAM and feed the next chunk
+    register_collection(spark, control, t_later)
+    drop_file(df2, 1)
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(out).filter(F.col("event_type").isin(t_first, t_later))
+    want = ev.filter(F.col("event_type").isin(t_first, t_later))
+    # both chunks' events for BOTH collections present — including t_later's
+    # chunk-1 history that was parked before registration
+    assert got.select("event_id").distinct().count() == want.count()
+    later_ids_chunk1 = {
+        r.event_id for r in df1.filter(F.col("event_type") == t_later).collect()
+    }
+    got_ids = {r.event_id for r in got.select("event_id").collect()}
+    assert later_ids_chunk1 and later_ids_chunk1 <= got_ids
