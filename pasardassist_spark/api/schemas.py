@@ -139,6 +139,23 @@ ORDER_EVENTS_SCHEMA = T.StructType(
     ]
 )
 
+REWARDS_SCHEMA = T.StructType(
+    [
+        T.StructField("pool", T.StringType(), False),
+        T.StructField("address", T.StringType()),
+        T.StructField("amount", WEI),
+        T.StructField("timestamp", T.LongType()),
+    ]
+)  # rewards_distribution_records, read in app.service.ts:2351-2365
+
+DID_PROFILES_SCHEMA = T.StructType(
+    [
+        T.StructField("address", T.StringType(), False),
+        T.StructField("did", T.StringType()),
+        T.StructField("name", T.StringType()),
+    ]
+)  # per-address DID profile cache, read in app.service.ts:192-194,230-235
+
 # Order event kinds (interfaces.ts:122-129) / order state (142-146)
 ORDER_EVENT_NAMES = {
     0: "OrderForAuction",

@@ -83,11 +83,15 @@ class PasarQueryService:
         orders: DataFrame,
         token_events: DataFrame | None = None,
         order_events: DataFrame | None = None,
+        rewards: DataFrame | None = None,
+        did_profiles: DataFrame | None = None,
     ) -> None:
         self.tokens = tokens
         self.orders = orders
         self.token_events = token_events
         self.order_events = order_events
+        self.rewards = rewards
+        self.did_profiles = did_profiles
 
     # -- marketplace (app.service.ts:604-757) -------------------------------
     def marketplace(self, q: D.MarketplaceQuery) -> DataFrame:
@@ -296,6 +300,62 @@ class PasarQueryService:
             )
             .orderBy(F.asc("updateTime"))
         )
+
+    # -- token counts by contract class (app.service.ts:2320-2349) -----------
+    def token_counts(
+        self, native_contract: str, pasar_contract: str, eco_contract: str
+    ) -> DataFrame:
+        """The reference issues FOUR countDocuments scans then subtracts
+        client-side for `otherTokenCount`; here one classify-and-count pass
+        (U2/A12) over non-burned tokens produces all four columns."""
+        from pasardassist_spark.functions.chain import BURN_ADDRESS
+
+        t = self.tokens.filter(
+            F.coalesce(F.col("tokenOwner"), F.lit("")) != BURN_ADDRESS
+        )
+
+        def cnt(contract: str) -> Column:
+            return F.count(F.when(F.col("contract") == contract, F.lit(1)))
+
+        total = F.count(F.lit(1))
+        return t.agg(
+            cnt(native_contract).alias("nativeTokenCount"),
+            cnt(pasar_contract).alias("pasarTokenCount"),
+            cnt(eco_contract).alias("ecoTokenCount"),
+            (
+                total - cnt(native_contract) - cnt(pasar_contract) - cnt(eco_contract)
+            ).alias("otherTokenCount"),
+        )
+
+    # -- pool rewards (app.service.ts:2351-2365) -----------------------------
+    def pool_rewards(self) -> DataFrame:
+        """Σ amount per reward pool — the rewards_distribution_records
+        $group/$sum, decimal-exact over the WEI column."""
+        return self.rewards.groupBy("pool").agg(F.sum("amount").alias("total"))
+
+    # -- bids history (app.service.ts:2368-2376) -----------------------------
+    def bids_history(self, chain: str, order_id: int) -> DataFrame:
+        bid = [k for k, v in ORDER_EVENT_NAMES.items() if v == "OrderBid"][0]
+        return self.order_events.filter(
+            (F.col("chain") == chain)
+            & (F.col("orderId") == order_id)
+            & (F.col("eventType") == bid)
+        ).orderBy(F.desc("timestamp"), F.desc("blockNumber"))
+
+    # -- DID profile names (app.service.ts:230-235) --------------------------
+    def with_buyer_names(self, events: DataFrame) -> DataFrame:
+        """The reference resolves buyer display names with one Redis GET per
+        result row; here a broadcast left join against the did_profiles dim
+        attaches `buyerName` to the whole result set in one pass."""
+        prof = F.broadcast(
+            self.did_profiles.select(
+                F.lower(F.col("address")).alias("_addr"),
+                F.col("name").alias("buyerName"),
+            )
+        )
+        return events.join(
+            prof, F.lower(events["buyer"]) == prof["_addr"], "left"
+        ).drop("_addr")
 
     # -- token detail w/ latest order (app.service.ts:172-185) ---------------
     def token_detail(self, chain: str, contract: str, token_id: str) -> DataFrame:

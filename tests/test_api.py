@@ -194,3 +194,70 @@ def test_token_detail_latest_order(svc):
     row = svc.token_detail("ela", "c1", "1").collect()[0]
     assert row.latest_orderId == 2 and row.latest_orderState == 1
     assert row.latest_price == Decimal(2 * 10**18)
+
+
+@pytest.fixture(scope="module")
+def svc_full(spark, svc):
+    from decimal import Decimal as D
+
+    from pasardassist_spark.api.schemas import DID_PROFILES_SCHEMA, REWARDS_SCHEMA
+
+    rewards = spark.createDataFrame(
+        [
+            ("pool1", "alice", D(100), 1000),
+            ("pool1", "bob", D(50), 1100),
+            ("pool2", "carol", D(7), 1200),
+        ],
+        REWARDS_SCHEMA,
+    )
+    did = spark.createDataFrame(
+        [("BOB", "did:ela:bob", "Bobby"), ("alice", "did:ela:alice", "Alice A")],
+        DID_PROFILES_SCHEMA,
+    )
+    return PasarQueryService(
+        svc.tokens, svc.orders, svc.token_events, svc.order_events, rewards, did
+    )
+
+
+def test_token_counts_single_pass(svc_full):
+    row = svc_full.token_counts("c1", "c2", "cX").collect()[0]
+    # 4 tokens, none burn-owned: c1 x2 (native), c2 x1 (pasar), cX x0, other=c3
+    assert (
+        row.nativeTokenCount,
+        row.pasarTokenCount,
+        row.ecoTokenCount,
+        row.otherTokenCount,
+    ) == (2, 1, 0, 1)
+
+
+def test_pool_rewards_groupby(svc_full):
+    from decimal import Decimal as D
+
+    got = {r.pool: r.total for r in svc_full.pool_rewards().collect()}
+    assert got == {"pool1": D(150), "pool2": D(7)}
+
+
+def test_bids_history_filter_sort(spark, svc):
+    from decimal import Decimal as D
+
+    from pasardassist_spark.api.schemas import ORDER_EVENTS_SCHEMA
+
+    oe = spark.createDataFrame(
+        [
+            ("ela", "c1", 20, "0xf1", 7, "1", "s", "b1", None, D(1), 1, 1, 100),
+            ("ela", "c1", 21, "0xf2", 7, "1", "s", "b2", None, D(2), 1, 1, 200),
+            ("ela", "c1", 22, "0xf3", 7, "1", "s", "b3", None, D(3), 3, 1, 300),
+            ("eth", "c1", 23, "0xf4", 7, "1", "s", "b4", None, D(4), 1, 1, 400),
+        ],
+        ORDER_EVENTS_SCHEMA,
+    )
+    s = PasarQueryService(svc.tokens, svc.orders, svc.token_events, oe)
+    rows = s.bids_history("ela", 7).collect()
+    assert [r.transactionHash for r in rows] == ["0xf2", "0xf1"]  # bids only, desc
+
+
+def test_buyer_names_broadcast_join(svc_full):
+    enriched = svc_full.with_buyer_names(svc_full.order_events).collect()
+    by_tx = {r.transactionHash: r.buyerName for r in enriched}
+    assert by_tx["0xe"] == "Bobby"  # case-insensitive address match
+    assert by_tx["0xd"] is None  # no profile -> left join keeps the row
