@@ -6,17 +6,17 @@ Design for 100 TB:
 - **exact_dedup** is a single hash-shuffle on a 16-byte digest — the digest
   (not the document body) is the shuffle key, so shuffle volume is O(rows),
   not O(bytes).
-- **minhash_lsh_pairs** never compares all pairs: shingles -> per-row arrays
-  of all N seeded min-hashes (no ×N row amplification) -> ONE element-wise
-  min shuffle keyed by doc -> band signatures (columnar, no extra shuffle)
-  -> a self-equi-join on (band, signature). Candidate volume is sum over
-  buckets of |bucket|^2; band width tunes the precision/recall trade, and
-  AQE's skew handling splits pathological buckets.
-- **simhash_signatures** is pure column math: each token row carries its full
-  32-element vote vector, one element-wise sum shuffle per doc (no ×32
-  amplification); near-dup lookup is then a Hamming-ball probe on the 32-bit
-  signature via exact 8-bit quarter blocks (pigeonhole guarantees recall for
-  distance <= 3) — provided by ``simhash_near_pairs``.
+- **minhash_lsh_pairs** never compares all pairs: shingles -> N codegen'd
+  seeded min-hash aggregates in ONE groupBy(doc) (no ×N row amplification)
+  -> band signatures (columnar, no extra shuffle) -> a self-equi-join on
+  (band, signature). Candidate volume is sum over buckets of |bucket|^2;
+  band width tunes the precision/recall trade, and AQE's skew handling
+  splits pathological buckets.
+- **simhash_signatures** is pure column math: 32 constant-unrolled vote
+  aggregates in one groupBy(doc) (no ×32 amplification, all codegen'd);
+  near-dup lookup is then a Hamming-ball probe on the 32-bit signature via
+  exact 8-bit quarter blocks (pigeonhole guarantees recall for distance
+  <= 3) — provided by ``simhash_near_pairs``.
 - **jaccard_pairs** uses inverted-index blocking (join on shared shingles
   within a blocking key) rather than a cross join, the standard set-similarity
   join shape.
@@ -74,19 +74,19 @@ def minhash_signatures(sh: DataFrame, id_col: str, n_perms: int = N_PERMS) -> Da
     """One row per doc with an ``array<string>`` of n_perms min-hashes.
 
     The seeded-concat md5 plays the role of N independent hash permutations.
-    All N hashes for a shingle are computed in ONE array expression on the
-    shingle row (``transform(sequence(...))``) and reduced element-wise by a
-    single groupBy(doc) with N min aggregates — so the shingle table is
-    scanned once at its natural size, never multiplied ×N by a crossJoin,
-    and the only shuffle is O(docs × N) partial-aggregated mins.
+    All N hashes are computed as N codegen'd expressions on the shingle row
+    and reduced by a single groupBy(doc) with N min aggregates — the shingle
+    table is scanned once at its natural size, never multiplied ×N by a
+    crossJoin, and the only shuffle is O(docs × N) partial-aggregated mins.
     """
-    per_row = F.transform(
-        F.sequence(F.lit(0), F.lit(n_perms - 1)),
-        lambda p: F.md5(F.concat(p.cast("string"), F.lit(":"), F.col("shingle"))),
-    )
-    rows = sh.withColumn("mhs", per_row)
-    aggs = [F.min(F.element_at(F.col("mhs"), p + 1)).alias(f"mh_{p}") for p in range(n_perms)]
-    wide = rows.groupBy(id_col).agg(*aggs)
+    # Constant-unrolled: one min-aggregate per permutation with a
+    # constant-folded seed prefix — stays inside whole-stage codegen (a
+    # transform(...) lambda would drop each element to the interpreted path).
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(f"mh_{p}")
+        for p in range(n_perms)
+    ]
+    wide = sh.groupBy(id_col).agg(*aggs)
     return wide.select(
         F.col(id_col), F.array(*[F.col(f"mh_{p}") for p in range(n_perms)]).alias("mhs")
     )
@@ -142,28 +142,26 @@ def _hex_digit_val(d: Column) -> Column:
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """32-bit SimHash over distinct tokens (md5-derived bit planes).
 
-    Each token row computes its full 32-element ±1 vote vector in one array
-    expression; a single groupBy(doc) with 32 partial-aggregated sums tallies
-    the votes, and the majority bits fold into one BIGINT signature in the
-    same pass. One shuffle at O(docs × 32) — the token table is never
-    multiplied ×32 by a crossJoin. All integer math: deterministic under any
-    partitioning.
+    Each token row feeds 32 constant-unrolled ±1 vote expressions (codegen'd
+    — a transform() lambda would fall to the interpreted path); a single
+    groupBy(doc) with 32 partial-aggregated sums tallies the votes, and the
+    majority bits fold into one BIGINT signature in the same pass. One
+    shuffle at O(docs × 32) — the token table is never multiplied ×32 by a
+    crossJoin. All integer math: deterministic under any partitioning.
     """
     toks = tokens(F.col(text_col))
     base = df.select(F.col(id_col), F.explode(F.array_distinct(toks)).alias("t")).withColumn(
         "h", F.md5(F.col("t"))
     )
 
-    def vote(b: Column) -> Column:
-        digit = F.col("h").substr((b / 4).cast("int") + 1, F.lit(1))
+    def vote(b: int) -> Column:
+        digit = F.substring(F.col("h"), b // 4 + 1, 1)
         val = _hex_digit_val(digit)
-        bit = F.floor(val / F.pow(F.lit(2.0), F.lit(3) - (b % 4))).cast("int") % 2
+        bit = F.floor(val / F.lit(float(2 ** (3 - b % 4)))).cast("int") % 2
         return (bit * 2 - 1).cast("long")
 
-    votes_arr = F.transform(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)), vote)
-    rows = base.withColumn("v", votes_arr)
-    aggs = [F.sum(F.element_at(F.col("v"), b + 1)).alias(f"s_{b}") for b in range(SIMHASH_BITS)]
-    wide = rows.groupBy(id_col).agg(*aggs)
+    aggs = [F.sum(vote(b)).alias(f"s_{b}") for b in range(SIMHASH_BITS)]
+    wide = base.groupBy(id_col).agg(*aggs)
     sig = F.lit(0).cast("long")
     for b in range(SIMHASH_BITS):
         weight = F.lit(1 << (SIMHASH_BITS - 1 - b)).cast("long")

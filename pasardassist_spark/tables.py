@@ -61,6 +61,31 @@ def _ship_package(spark: SparkSession) -> None:
     _SHIPPED_APPS.add(app)
 
 
+# Payload tables feeding per-row CPU-heavy operators (shingling, hashing,
+# vector math, pandas stages): fanning these out pays for its shuffle many
+# times over. Measure tables (lineitem/orders/events) are NOT fanned out —
+# their queries are scan -> partial-agg shapes where map-side combine before
+# the first shuffle is the whole optimization, and an injected repartition
+# would trade it for a full-row shuffle. Dims are broadcast-joined and must
+# never be repartitioned.
+_FANOUT_TABLES = {"documents", "embeddings"}
+
+_SPLIT_CACHE: dict[str, int] = {}
+
+
+def _max_scan_tasks(path: str) -> int:
+    """Upper bound on scan parallelism for a single parquet file: Spark
+    assigns one task per row group (footer metadata read only, no job)."""
+    if path not in _SPLIT_CACHE:
+        try:
+            import pyarrow.parquet as pq
+
+            _SPLIT_CACHE[path] = pq.ParquetFile(path).num_row_groups
+        except Exception:
+            _SPLIT_CACHE[path] = 1 << 30  # unknown layout: assume parallel
+    return _SPLIT_CACHE[path]
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -79,6 +104,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name in _FANOUT_TABLES:
+        # The driver testdata is one single-row-group file per table, so the
+        # whole map side (scan -> explode -> hash -> partial agg) would run
+        # as ONE task. Fan out when — and only when — the file layout cannot
+        # feed the cores; on a real lake (many files/row groups) this is a
+        # no-op, so no extra shuffle exists at scale. Catalyst pushes
+        # filters and column pruning below the repartition, so the shuffle
+        # carries pruned, filtered rows only.
+        target = spark.sparkContext.defaultParallelism
+        if _max_scan_tasks(f"{sf_dir}/{name}.parquet") < target:
+            df = df.repartition(target)
     return df
 
 
