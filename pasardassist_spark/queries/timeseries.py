@@ -139,3 +139,49 @@ def st4_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec2("value")).cast("double").alias("total_value"),
     )
     return latest.join(aggs, "user_id")
+
+
+@query(
+    "st4_entity_fold",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+    ),
+    latest AS (
+        SELECT user_id, event_type AS status, ts AS status_ts,
+               event_id AS status_eid
+        FROM s WHERE rn = 1
+    ),
+    aggs AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clicks,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   AS total_purchase,
+               MAX(CASE WHEN event_type = 'view' THEN ts END) AS last_view_ts,
+               MIN(ts) AS first_seen
+        FROM events GROUP BY user_id
+    )
+    SELECT a.user_id, l.status, l.status_ts, l.status_eid,
+           a.n_clicks, a.total_purchase, a.last_view_ts, a.first_seen
+    FROM aggs a LEFT JOIN latest l ON a.user_id = l.user_id
+    """,
+)
+def st4_entity_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 as a state MACHINE: the reference's per-event $set/$inc mutations
+    (order lifecycle tasks.service.ts:367-373,585-591) re-expressed as ONE
+    associative fold — status argmax (with its key, so folds merge), additive
+    counters, decimal-exact conditional sum, extrema. One shuffle batch-side;
+    the identical fold runs per micro-batch in streaming
+    (maintain_entity_state) and merges into bucketed state."""
+    from pasardassist_spark.operators.fold import fold_entity_state
+
+    ev = load(spark, sf_dir, "events")
+    folded = fold_entity_state(ev)
+    return folded.withColumn("total_purchase", F.col("total_purchase").cast("double"))

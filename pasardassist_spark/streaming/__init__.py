@@ -5,7 +5,9 @@ from pasardassist_spark.streaming.dynamic import (
 )
 from pasardassist_spark.streaming.ingest import (
     EVENTS_RAW_SCHEMA,
+    maintain_entity_state,
     maintain_latest_state,
+    merge_into_bucketed_state,
     read_event_stream,
     read_state,
     streaming_day_rollup,
@@ -14,7 +16,9 @@ from pasardassist_spark.streaming.ingest import (
 __all__ = [
     "EVENTS_RAW_SCHEMA",
     "read_event_stream",
+    "maintain_entity_state",
     "maintain_latest_state",
+    "merge_into_bucketed_state",
     "read_state",
     "streaming_day_rollup",
     "dynamic_collection_sink",

@@ -107,6 +107,55 @@ def _link_tree(src: str, dst: str) -> None:
                 shutil.copy2(os.path.join(root, f), os.path.join(tgt, f))
 
 
+def merge_into_bucketed_state(
+    batch_state: DataFrame,
+    state_dir: str,
+    keys: Sequence[str],
+    combine,
+    keep_generations: int = 2,
+) -> None:
+    """The generic incremental MERGE: fold a per-batch state delta into the
+    bucketed, generational state table.
+
+    ``combine(prev_touched, delta)`` must be an ASSOCIATIVE merge of two
+    state frames (same schema) — argmax for latest-wins fields, sum for
+    counters, min/max for extrema — so replay order cannot change the fix
+    point. Only buckets named by the delta are re-merged and rewritten;
+    untouched buckets hard-link from the previous generation
+    (O(batch + touched-state) I/O per batch). On Delta the body becomes a
+    single MERGE INTO.
+    """
+    spark = batch_state.sparkSession
+    delta = batch_state.withColumn("bucket", _bucket_of(keys))
+    # Driver-side METADATA collect: at most N_STATE_BUCKETS small ints
+    # (which partitions to merge), never data rows.
+    touched = sorted(r["bucket"] for r in delta.select("bucket").distinct().collect())
+    versions = _state_versions(state_dir)
+    prev_dir = os.path.join(state_dir, versions[-1]) if versions else None
+    if prev_dir is None:
+        merged = delta
+    else:
+        prev = spark.read.parquet(prev_dir)
+        prev_touched = prev.filter(F.col("bucket").isin(touched))
+        merged = combine(prev_touched, delta).withColumn("bucket", _bucket_of(keys))
+    # Write touched buckets into generation N+1 (repartitioned by key so the
+    # merge join and the next read are co-partitioned), link the rest, commit.
+    next_v = f"v{(int(versions[-1][1:]) + 1) if versions else 1:06d}"
+    next_dir = os.path.join(state_dir, next_v)
+    merged.repartition(*keys).write.partitionBy("bucket").mode("overwrite").parquet(
+        next_dir
+    )
+    if prev_dir is not None:
+        touched_set = {f"bucket={b}" for b in touched}
+        for d in os.listdir(prev_dir):
+            if d.startswith("bucket=") and d not in touched_set:
+                _link_tree(os.path.join(prev_dir, d), os.path.join(next_dir, d))
+    with open(os.path.join(next_dir, _COMMIT_MARKER), "w"):
+        pass  # generation becomes visible only now
+    for stale in versions[:-keep_generations] if len(versions) >= keep_generations else []:
+        _rmtree(os.path.join(state_dir, stale))
+
+
 def maintain_latest_state(
     stream: DataFrame,
     state_dir: str,
@@ -128,47 +177,57 @@ def maintain_latest_state(
     """
 
     def _merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
         ordering = order or [F.desc("ts"), F.desc("event_id")]
-        batch_latest = latest_per_key(batch_df, list(keys), ordering).withColumn(
-            "bucket", _bucket_of(keys)
-        )
-        # Driver-side METADATA collect: at most N_STATE_BUCKETS small ints
-        # (which partitions to merge), never data rows.
-        touched = sorted(
-            r["bucket"] for r in batch_latest.select("bucket").distinct().collect()
-        )
-        versions = _state_versions(state_dir)
-        prev_dir = os.path.join(state_dir, versions[-1]) if versions else None
-        if prev_dir is None:
-            merged = batch_latest
-        else:
-            prev = spark.read.parquet(prev_dir)
-            prev_touched = prev.filter(F.col("bucket").isin(touched))
-            merged = latest_per_key(
-                prev_touched.unionByName(batch_latest), list(keys), ordering
+        batch_latest = latest_per_key(batch_df, list(keys), ordering)
+
+        def combine(prev: DataFrame, delta: DataFrame) -> DataFrame:
+            return latest_per_key(
+                prev.drop("bucket").unionByName(delta.drop("bucket")),
+                list(keys),
+                ordering,
             )
-        # On Delta: MERGE INTO state USING batch_latest ON keys WHEN MATCHED
-        # AND batch.ts > state.ts THEN UPDATE. Here: write touched buckets
-        # into generation N+1 (repartitioned by key so the merge join and the
-        # next read are co-partitioned), link the rest, then commit.
-        next_v = f"v{(int(versions[-1][1:]) + 1) if versions else 1:06d}"
-        next_dir = os.path.join(state_dir, next_v)
-        merged.repartition(*keys).write.partitionBy("bucket").mode("overwrite").parquet(
-            next_dir
+
+        merge_into_bucketed_state(
+            batch_latest, state_dir, keys, combine, keep_generations
         )
-        if prev_dir is not None:
-            touched_set = {f"bucket={b}" for b in touched}
-            for d in os.listdir(prev_dir):
-                if d.startswith("bucket=") and d not in touched_set:
-                    _link_tree(os.path.join(prev_dir, d), os.path.join(next_dir, d))
-        with open(os.path.join(next_dir, _COMMIT_MARKER), "w"):
-            pass  # generation becomes visible only now
-        for stale in versions[:-keep_generations] if len(versions) >= keep_generations else []:
-            _rmtree(os.path.join(state_dir, stale))
 
     return (
         stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def maintain_entity_state(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    keep_generations: int = 2,
+) -> StreamingQuery:
+    """ST4 as a true state MACHINE (not just row argmax): each micro-batch
+    is folded by ``fold_entity_state`` (status argmax + additive counters +
+    extrema — the reference's per-event $set/$inc mutations,
+    tasks.service.ts:367-373,585-591) and merged associatively into the
+    bucketed state table. fold ⊕ merge associativity makes replay and
+    out-of-order arrival converge to the batch fix point."""
+    from pasardassist_spark.operators.fold import (
+        fold_entity_state,
+        merge_entity_states,
+    )
+
+    def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = fold_entity_state(batch_df)
+
+        def combine(prev: DataFrame, d: DataFrame) -> DataFrame:
+            return merge_entity_states(prev.drop("bucket"), d.drop("bucket"))
+
+        merge_into_bucketed_state(
+            delta, state_dir, ("user_id",), combine, keep_generations
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
         .start()
