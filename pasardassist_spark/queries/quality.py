@@ -1,0 +1,132 @@
+"""Standing data-quality / reconciliation job (SURVEY.md §2.9 ST6).
+
+Reference behavior being replaced: DataCheckService reconciles DB counts
+against the chain's source-of-truth counts on a timer and mails an alert on
+divergence (data-check.service.ts:23-60 — orderCount vs getOrderCount(),
+tokenCount vs totalSupply()). The Spark rebuild generalizes that to a
+one-job suite of declarative checks, each a single aggregate whose result
+row is (check, n_violations) — run it on a schedule, alert on any
+n_violations > 0.
+
+Check classes covered:
+- count reconciliation (silver entity count == distinct keys in bronze —
+  the direct DataCheck analog, with the event log standing in for the
+  chain RPC as source of truth);
+- referential integrity (child rows without parents — the condition that
+  makes the reference enqueue retry ops, sub-tasks.service.ts:122-174);
+- key uniqueness (idempotent-upsert invariant, db.service.ts:154-160);
+- domain invariants (value ranges, derived-column consistency).
+
+All checks compose into ONE DataFrame via unionByName so the whole suite is
+a single action; each branch is an independent aggregate that Catalyst
+prunes to the columns it needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pasardassist_spark.operators.fold import fold_entity_state
+from pasardassist_spark.queries.registry import query
+from pasardassist_spark.tables import load
+
+
+def _check(name: str, df: DataFrame, violations: F.Column) -> DataFrame:
+    return df.agg(
+        F.lit(name).alias("check"), violations.cast("long").alias("n_violations")
+    )
+
+
+@query(
+    "dq_quality_checks",
+    oracle="""
+    SELECT 'orders_missing_customer' AS check,
+           CAST(COUNT(*) AS BIGINT) AS n_violations
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitem_missing_order',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderkey IS NULL
+    UNION ALL
+    SELECT 'events_duplicate_ids',
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'documents_nchars_mismatch',
+           CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'entity_count_reconciliation',
+           CAST(abs(
+               (SELECT COUNT(*) FROM (SELECT DISTINCT user_id FROM events))
+               - (SELECT COUNT(DISTINCT user_id) FROM events)
+           ) AS BIGINT)
+    """,
+)
+def dq_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6: the full check suite as one unioned DataFrame. The
+    entity_count_reconciliation branch is the literal DataCheck analog:
+    count(silver fold) must equal count(distinct bronze keys) — here the
+    fold is recomputed in-job, so the check validates the fold pipeline the
+    way the reference validated its Mongo sync against the chain."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    lineitem = load(spark, sf_dir, "lineitem")
+    events = load(spark, sf_dir, "events")
+    documents = load(spark, sf_dir, "documents")
+
+    silver_count = fold_entity_state(events).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bronze_count = events.agg(F.countDistinct("user_id").alias("n"))
+
+    checks = [
+        _check(
+            "orders_missing_customer",
+            orders.join(
+                customer, orders.o_custkey == customer.c_custkey, "left_anti"
+            ),
+            F.count(F.lit(1)),
+        ),
+        _check(
+            "lineitem_missing_order",
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"),
+            F.count(F.lit(1)),
+        ),
+        _check(
+            "events_duplicate_ids",
+            events,
+            F.count(F.lit(1)) - F.countDistinct("event_id"),
+        ),
+        _check(
+            "documents_nchars_mismatch",
+            documents,
+            F.sum(
+                F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+            ),
+        ),
+        _check(
+            "lineitem_discount_range",
+            lineitem,
+            F.sum(
+                F.when(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+                ).otherwise(0)
+            ),
+        ),
+        silver_count.crossJoin(bronze_count.withColumnRenamed("n", "m")).select(
+            F.lit("entity_count_reconciliation").alias("check"),
+            F.abs(F.col("n") - F.col("m")).cast("long").alias("n_violations"),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -64,6 +64,7 @@ def _load_all() -> None:
         dedup,
         enrichment,
         multimodal,
+        quality,
         relational,
         similarity,
         text,
