@@ -25,11 +25,13 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions 
 
 LSH_SEED = 42
 # 4 tables x 6 planes: on the driver's near-random gaussian embeddings
-# (top-10 cosine ~0.25-0.39 => per-plane collision ~0.6) expected recall is
-# ~4 * 0.6^6 ~ 0.18 with ~64-candidate probes per query at 500 vectors.
-# Production embeddings with real cluster structure (near-dup cosine >= 0.8)
-# push per-plane collision to ~0.9 and recall to ~4 * 0.9^6 ~ 1.0. Scale rule:
-# planes ~ log2(corpus/target_bucket_size), tables = recall budget.
+# (top-10 cosine ~0.25-0.39 => per-plane collision ~0.6) exact-bucket recall
+# is ~4 * 0.6^6 ~ 0.18; the default Hamming-1 multi-probe lifts the
+# per-table hit rate to p^6 + 6·p^5(1-p) and overall recall to ~0.65
+# (pytest-asserted >= 0.35). Production embeddings with real cluster
+# structure (near-dup cosine >= 0.8) saturate toward 1.0. Scale rule:
+# planes ~ log2(corpus/target_bucket_size), tables = storage budget,
+# probe radius = query-time recall budget (costs probes, not storage).
 N_TABLES = 4
 N_PLANES = 6
 
@@ -107,12 +109,33 @@ def ann_topk(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates from LSH bucket collisions, exact
-    cosine re-rank on the (small) candidate set."""
+    cosine re-rank on the (small) candidate set.
+
+    Multi-probe: each query also probes the buckets within Hamming distance
+    ``probe_radius`` of its own code in every table — the standard recall
+    lever that costs extra PROBES (1 + B per table at radius 1), not extra
+    tables/storage. On the driver's near-random gaussian vectors this lifts
+    expected recall from ~0.18 (exact-bucket) to ~0.65; clustered production
+    embeddings saturate toward 1.0. Probing is query-side only: the corpus
+    keeps one (table, bucket) row per vector, so the bucket id stays the
+    partition key at scale.
+    """
     buckets = random_projection_buckets(emb, dim, id_col, vec_col)
-    qb = buckets.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q_id"), "tbl", "bucket"
+    probe_masks = [0]
+    if probe_radius >= 1:
+        probe_masks += [1 << i for i in range(N_PLANES)]
+    qb = (
+        buckets.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("q_id"),
+            "tbl",
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in probe_masks])
+            ).alias("bucket"),
+        )
     )
     cand = (
         F.broadcast(qb)

@@ -19,11 +19,19 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
         (r.q_id, r.neighbor_id) for r in S.brute_force_topk(emb, qids, 10).collect()
     }
     approx = {(r.q_id, r.neighbor_id) for r in S.ann_topk(emb, qids, 10, 64).collect()}
-    # LSH with 2x8-bit tables on random gaussian data: recall won't be high,
-    # but candidates must be a sane, non-empty subset scored identically.
     assert approx, "ANN returned no candidates at all"
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.05, f"implausibly low ANN recall {recall}"
+    # multi-probe (radius 1) on random gaussian data: expected ~0.65;
+    # assert a conservative floor well above the exact-bucket ~0.18.
+    assert recall >= 0.35, f"low ANN recall {recall}"
+    # exact-bucket probing (radius 0) still returns sane results; its
+    # recall floor is the old, weaker one (top-k of fewer candidates is NOT
+    # a subset of multi-probe top-k, so only recall is comparable)
+    approx0 = {
+        (r.q_id, r.neighbor_id)
+        for r in S.ann_topk(emb, qids, 10, 64, probe_radius=0).collect()
+    }
+    assert len(exact & approx0) / len(exact) >= 0.05
 
 
 def test_ann_cosine_agrees_with_exact(spark, sf_dir):
