@@ -69,3 +69,19 @@ class TransactionQuery:
     wallet: str | None = None
     event_types: tuple[str, ...] = ()
     page: PageArgs = field(default_factory=PageArgs)
+
+
+COLLECTION_SORTS = ("dia", "items", "owners", "tradeVolume", "lowestPrice")
+
+
+@dataclass(frozen=True)
+class CollectionsQuery:
+    """QueryCollectionDTO -> listCollections (app.service.ts:560-601):
+    chain/category filters, keyword over name/description, sort by a stats
+    column, paged."""
+
+    chain: str | None = None
+    category: str | None = None
+    keyword: str | None = None
+    sort: str = "dia"
+    page: PageArgs = field(default_factory=PageArgs)

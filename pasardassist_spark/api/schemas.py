@@ -139,6 +139,42 @@ ORDER_EVENTS_SCHEMA = T.StructType(
     ]
 )
 
+SOCIALS_SCHEMA = T.StructType(
+    [
+        T.StructField("website", T.StringType()),
+        T.StructField("profile", T.StringType()),
+        T.StructField("feeds", T.StringType()),
+        T.StructField("twitter", T.StringType()),
+        T.StructField("telegram", T.StringType()),
+        T.StructField("discord", T.StringType()),
+        T.StructField("medium", T.StringType()),
+    ]
+)
+
+COLLECTION_DATA_SCHEMA = T.StructType(
+    [
+        T.StructField("avatar", T.StringType()),
+        T.StructField("background", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("category", T.StringType()),
+        T.StructField("social", SOCIALS_SCHEMA),
+    ]
+)
+
+COLLECTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("chain", T.StringType(), False),
+        T.StructField("token", T.StringType(), False),
+        T.StructField("owner", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("uri", T.StringType()),
+        T.StructField("version", T.IntegerType()),
+        T.StructField("creator", CREATOR_SCHEMA),
+        T.StructField("data", COLLECTION_DATA_SCHEMA),
+        T.StructField("dia", T.DoubleType()),  # DIA stake, tasks.common.ts:124-154
+    ]
+)  # CollectionInfoModel.ts:3-29
+
 REWARDS_SCHEMA = T.StructType(
     [
         T.StructField("pool", T.StringType(), False),

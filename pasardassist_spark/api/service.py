@@ -85,6 +85,7 @@ class PasarQueryService:
         order_events: DataFrame | None = None,
         rewards: DataFrame | None = None,
         did_profiles: DataFrame | None = None,
+        collections: DataFrame | None = None,
     ) -> None:
         self.tokens = tokens
         self.orders = orders
@@ -92,6 +93,7 @@ class PasarQueryService:
         self.order_events = order_events
         self.rewards = rewards
         self.did_profiles = did_profiles
+        self.collections = collections
 
     # -- marketplace (app.service.ts:604-757) -------------------------------
     def marketplace(self, q: D.MarketplaceQuery) -> DataFrame:
@@ -299,6 +301,53 @@ class PasarQueryService:
                 F.col("filled").alias("price"),  # P2 alias, app.service.ts:350
             )
             .orderBy(F.asc("updateTime"))
+        )
+
+    # -- collections listing (app.service.ts:560-601) ------------------------
+    def collections_list(self, q: D.CollectionsQuery) -> DataFrame:
+        """listCollections: filters + a stats sort + count/page. The stats
+        (items/owners/tradeVolume/lowestPrice) are computed in ONE pass by
+        collection_stats and joined — the reference precomputes them with
+        4 queries per collection on a timer (tasks.common.ts:124-154)."""
+        c = self.collections.filter(_chain_filter(q.chain))
+        if q.category:
+            c = c.filter(F.col("data.category") == q.category)
+        if q.keyword:
+            kw = q.keyword.lower()
+            c = c.filter(
+                (F.instr(F.lower("name"), kw) > 0)
+                | (F.instr(F.lower(F.col("data.description")), kw) > 0)
+            )
+        stats = self.collection_stats().withColumnRenamed("chain", "s_chain")
+        joined = c.join(
+            stats,
+            (c.chain == stats.s_chain) & (c.token == stats.contract),
+            "left",
+        ).drop("s_chain", "contract")
+        if q.sort not in D.COLLECTION_SORTS:
+            raise ValueError(f"unknown sort {q.sort!r}")
+        order = [F.desc_nulls_last(q.sort), F.asc("chain"), F.asc("token")]
+        return count_and_page(joined, order, q.page.page_num, q.page.page_size)
+
+    # -- collection info (app.service.ts:1268-1272) --------------------------
+    def collection_info(self, chain: str, token: str) -> DataFrame:
+        return self.collections.filter(
+            (F.col("chain") == chain) & (F.col("token") == token)
+        )
+
+    # -- multi-entity quick search (app.service.ts:1274-1317) ----------------
+    def quick_search_collections(self, keyword: str, k: int = 3) -> DataFrame:
+        kw = keyword.lower()
+        return (
+            self.collections.filter(
+                (F.col("owner") == keyword)
+                | (F.col("token") == keyword)
+                | (F.instr(F.lower("name"), kw) > 0)
+                | (F.instr(F.lower(F.col("data.description")), kw) > 0)
+                | (F.instr(F.lower(F.col("creator.name")), kw) > 0)
+            )
+            .orderBy(F.asc("chain"), F.asc("token"))
+            .limit(k)
         )
 
     # -- token counts by contract class (app.service.ts:2320-2349) -----------

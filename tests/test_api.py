@@ -261,3 +261,59 @@ def test_buyer_names_broadcast_join(svc_full):
     by_tx = {r.transactionHash: r.buyerName for r in enriched}
     assert by_tx["0xe"] == "Bobby"  # case-insensitive address match
     assert by_tx["0xd"] is None  # no profile -> left join keeps the row
+
+
+@pytest.fixture(scope="module")
+def svc_collections(spark, svc):
+    from pasardassist_spark.api.schemas import COLLECTIONS_SCHEMA
+
+    def _coll(chain, token, name, category, dia, owner="o", desc=""):
+        return (
+            chain, token, owner, name, "uri://x", 1,
+            ("did:x", name + " creator", None),
+            (None, None, desc, category, (None,) * 7),
+            dia,
+        )
+
+    collections = spark.createDataFrame(
+        [
+            _coll("ela", "c1", "Cats Collection", "art", 5.0, desc="feline art"),
+            _coll("v1", "c2", "Legacy Stuff", "utility", 9.0),
+            _coll("eth", "c3", "Ether Things", "art", 2.0),
+        ],
+        COLLECTIONS_SCHEMA,
+    )
+    return PasarQueryService(
+        svc.tokens, svc.orders, svc.token_events, svc.order_events,
+        collections=collections,
+    )
+
+
+def test_collections_list_filters_sort_stats(svc_collections):
+    from pasardassist_spark.api.dto import CollectionsQuery
+
+    rows = svc_collections.collections_list(
+        CollectionsQuery(chain="ela", sort="dia", page=PageArgs(1, 10))
+    ).collect()
+    # ELA aliases in the V1 legacy chain; dia desc
+    assert [r.token for r in rows] == ["c2", "c1"]
+    assert all(r.total == 2 for r in rows)
+    # stats ride along from the one-pass collection_stats join
+    c1 = [r for r in rows if r.token == "c1"][0]
+    assert c1.items == 2 and c1.owners == 2
+    rows = svc_collections.collections_list(
+        CollectionsQuery(category="art", sort="items", page=PageArgs(1, 10))
+    ).collect()
+    assert [r.token for r in rows] == ["c1", "c3"]
+    rows = svc_collections.collections_list(
+        CollectionsQuery(keyword="feline", page=PageArgs(1, 10))
+    ).collect()
+    assert [r.token for r in rows] == ["c1"]
+
+
+def test_collection_info_and_quick_search(svc_collections):
+    assert svc_collections.collection_info("eth", "c3").count() == 1
+    hits = svc_collections.quick_search_collections("legacy").collect()
+    assert [r.token for r in hits] == ["c2"]
+    hits = svc_collections.quick_search_collections("c3").collect()
+    assert [r.token for r in hits] == ["c3"]
