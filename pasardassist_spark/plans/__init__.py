@@ -1,0 +1,8 @@
+from pasardassist_spark.plans.inspect import (
+    executed_plan,
+    plan,
+    read_schemas,
+    shuffle_count,
+)
+
+__all__ = ["plan", "executed_plan", "read_schemas", "shuffle_count"]

@@ -13,21 +13,10 @@ import re
 
 import pytest
 
+from pasardassist_spark.plans import plan, read_schemas, shuffle_count
 from pasardassist_spark.queries.registry import REGISTRY, _load_all
 
 _load_all()
-
-
-def plan(df, mode: str = "formatted") -> str:
-    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    return df._jdf.queryExecution().explainString(jmode)
-
-
-def read_schemas(p: str) -> list[set[str]]:
-    return [
-        set(re.findall(r"(\w+):", m))
-        for m in re.findall(r"ReadSchema: struct<([^>]*)>", p)
-    ]
 
 
 def test_q1_scan_is_pruned_and_filter_pushed(spark, sf_dir):
@@ -89,7 +78,34 @@ def test_latest_per_key_single_shuffle(spark, sf_dir):
 
 def test_minhash_has_no_cartesian_product(spark, sf_dir):
     """LSH candidate generation must never plan an all-pairs product of
-    documents; the only cross join allowed is docs x 8 permutation ids
-    (broadcast nested loop over a literal range)."""
+    documents, and since the signature rewrite there is no crossJoin row
+    amplification of any kind left in the pipeline."""
     p = plan(REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_weighted_volume_broadcasts_both_dims(spark, sf_dir):
+    """A8: supplier and the rates dim must broadcast — lineitem is the only
+    shuffled input, and only for the final group-by."""
+    p = plan(REGISTRY["a8_weighted_volume"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_entity_fold_single_shuffle(spark, sf_dir):
+    """The ST4 fold must cost exactly one hash-shuffle of events (partial
+    aggregation map-side, merge reduce-side)."""
+    p = plan(REGISTRY["st4_entity_fold"].fn(spark, sf_dir))
+    assert shuffle_count(p) <= 1, p
+    assert "partial_" in p  # map-side combine present
+
+
+def test_enrichment_prunes_payload_from_python(spark, sf_dir):
+    """S4: only the id column crosses into the Python enrichment stage —
+    the ArrowEvalPython/mapInPandas input must not carry props/ts/value."""
+    p = plan(REGISTRY["s4_enrich_join"].fn(spark, sf_dir))
+    m = re.search(r"MapInPandas.*?Input \[(\d+)\]: \[([^\]]*)\]", p, re.S)
+    assert m, "no MapInPandas stage found"
+    cols = m.group(2)
+    assert "props" not in cols and "value" not in cols, cols
