@@ -105,7 +105,7 @@ def test_enrichment_prunes_payload_from_python(spark, sf_dir):
     """S4: only the id column crosses into the Python enrichment stage —
     the ArrowEvalPython/mapInPandas input must not carry props/ts/value."""
     p = plan(REGISTRY["s4_enrich_join"].fn(spark, sf_dir))
-    m = re.search(r"MapInPandas.*?Input \[(\d+)\]: \[([^\]]*)\]", p, re.S)
+    m = re.search(r"\(\d+\) MapInPandas\nInput \[(\d+)\]: \[([^\]]*)\]", p)
     assert m, "no MapInPandas stage found"
-    cols = m.group(2)
-    assert "props" not in cols and "value" not in cols, cols
+    n_cols, cols = int(m.group(1)), m.group(2)
+    assert n_cols == 1 and "event_id" in cols, cols
