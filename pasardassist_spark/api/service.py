@@ -303,6 +303,113 @@ class PasarQueryService:
             .orderBy(F.asc("updateTime"))
         )
 
+    # -- latest bids for a token's auction (app.service.ts:203-240) ----------
+    def latest_bids(self, token_id: str, page: D.PageArgs) -> DataFrame:
+        """The reference runs findOne(latest auction) + count + find + one
+        cache GET per row; here one lazy plan: latest auction order per
+        token (argmax), semi-joined to its Bid events, count+paged by block
+        desc, buyer names attached via the broadcast DID dim."""
+        bid = [k for k, v in ORDER_EVENT_NAMES.items() if v == "OrderBid"][0]
+        auctions = self.orders.filter(
+            (F.col("tokenId") == token_id) & (F.col("orderType") == 2)
+        )
+        latest = (
+            latest_per_key(
+                auctions.withColumn("blockNumber_ord", F.lit(0)),
+                ["tokenId"],
+                _order_recency(),
+            )
+            .select(F.col("orderId").alias("auction_orderId"))
+        )
+        bids = self.order_events.filter(F.col("eventType") == bid).join(
+            F.broadcast(latest),
+            F.col("orderId") == F.col("auction_orderId"),
+            "semi",
+        )
+        paged = count_and_page(
+            bids, [F.desc("blockNumber"), F.desc("transactionHash")], page.page_num, page.page_size
+        )
+        if self.did_profiles is not None:
+            paged = self.with_buyer_names(paged)
+        return paged.drop("transactionHash")  # $project excludes it (ts:227)
+
+    # -- bids by wallet (app.service.ts:1781-1840) ---------------------------
+    def bids_by_wallet(self, q: D.WalletQuery) -> DataFrame:
+        """getBidsCollectiblesByWalletAddr: the double $lookup + $unwind
+        (order by composite (orderId, chain), then token by uniqueKey)
+        becomes two joins; the reference's count + aggregate pair is the
+        usual one count_and_page."""
+        bid = [k for k, v in ORDER_EVENT_NAMES.items() if v == "OrderBid"][0]
+        ev = self.order_events.filter(
+            (F.col("buyer") == q.wallet) & (F.col("eventType") == bid)
+        ).filter(_chain_filter(q.chain))
+        o = self.orders.select(
+            F.col("orderId").alias("o_orderId"),
+            F.col("chain").alias("o_chain"),
+            F.col("uniqueKey").alias("o_uniqueKey"),
+            F.col("orderState").alias("order_state"),
+            F.col("price").alias("order_price"),
+        )
+        t = self.tokens.select(
+            F.col("uniqueKey").alias("t_uniqueKey"),
+            F.col("name").alias("token_name"),
+        )
+        joined = (
+            ev.join(
+                o,
+                (ev.orderId == o.o_orderId) & (ev.chain == o.o_chain),
+                "left",
+            )
+            .join(t, F.col("o_uniqueKey") == t.t_uniqueKey, "left")
+            .drop("o_orderId", "o_chain", "t_uniqueKey")
+        )
+        return count_and_page(
+            joined,
+            [F.desc("timestamp"), F.desc("blockNumber"), F.asc("transactionHash")],
+            q.page.page_num,
+            q.page.page_size,
+        )
+
+    # -- recent on-sale picks (app.service.ts:361-412) -----------------------
+    def recent_on_sale(self, top_collections: int = 3, per_collection: int = 5) -> DataFrame:
+        """getRecentOnSale: the reference LOOPS driver-side — top-dia
+        collections three at a time, one orders query each, then a tokens
+        query per batch. One declarative plan instead: broadcast the top-k
+        collections, join Created orders, window top-5 per collection by
+        recency, join token details, attach collectionName. O(1) jobs at
+        any catalog size."""
+        top = (
+            self.collections.orderBy(F.desc_nulls_last("dia"), F.asc("chain"), F.asc("token"))
+            .limit(top_collections)
+            .select(
+                F.col("chain").alias("c_chain"),
+                F.col("token").alias("c_token"),
+                F.col("name").alias("collectionName"),
+            )
+        )
+        created = self.orders.filter(F.col("orderState") == ORDER_STATE_CREATED)
+        cand = created.join(
+            F.broadcast(top),
+            (created.chain == F.col("c_chain")) & (created.baseToken == F.col("c_token")),
+        )
+        from pasardassist_spark.operators.latest import top_k_per_key
+
+        picks = top_k_per_key(
+            cand,
+            ["c_chain", "c_token"],
+            [F.desc("createTime"), F.desc("orderId")],
+            per_collection,
+        )
+        t = self.tokens.select(
+            F.col("uniqueKey").alias("t_uniqueKey"),
+            F.col("name").alias("token_name"),
+            F.col("data").alias("token_data"),
+        )
+        return (
+            picks.join(t, picks.uniqueKey == t.t_uniqueKey, "left")
+            .drop("t_uniqueKey", "c_chain", "c_token")
+        )
+
     # -- collections listing (app.service.ts:560-601) ------------------------
     def collections_list(self, q: D.CollectionsQuery) -> DataFrame:
         """listCollections: filters + a stats sort + count/page. The stats

@@ -317,3 +317,64 @@ def test_collection_info_and_quick_search(svc_collections):
     assert [r.token for r in hits] == ["c2"]
     hits = svc_collections.quick_search_collections("c3").collect()
     assert [r.token for r in hits] == ["c3"]
+
+
+def test_latest_bids_for_token_auction(spark, svc):
+    from decimal import Decimal as D
+
+    from pasardassist_spark.api.schemas import ORDER_EVENTS_SCHEMA
+
+    # token "2" has auction order 3 (and an older auction 9 we add)
+    oe = spark.createDataFrame(
+        [
+            ("ela", "c1", 30, "0xb1", 3, "2", "s", "alice", None, D(2), 1, 1, 100),
+            ("ela", "c1", 31, "0xb2", 3, "2", "s", "BOB", None, D(3), 1, 1, 200),
+            ("ela", "c1", 29, "0xb0", 9, "2", "s", "carol", None, D(1), 1, 1, 50),
+            ("ela", "c1", 32, "0xb3", 3, "2", "s", "dave", None, D(4), 3, 1, 300),
+        ],
+        ORDER_EVENTS_SCHEMA,
+    )
+    from pasardassist_spark.api.schemas import DID_PROFILES_SCHEMA
+
+    did = spark.createDataFrame([("bob", "did:b", "Bobby")], DID_PROFILES_SCHEMA)
+    s = PasarQueryService(svc.tokens, svc.orders, svc.token_events, oe, did_profiles=did)
+    rows = s.latest_bids("2", PageArgs(1, 10)).collect()
+    # only order 3's Bid events (0xb0 is another order, 0xb3 is a Filled event)
+    assert [r.blockNumber for r in rows] == [31, 30]  # block desc
+    assert all(r.total == 2 for r in rows)
+    assert rows[0].buyerName == "Bobby"  # case-insensitive DID join
+    assert "transactionHash" not in rows[0].asDict()
+
+
+def test_bids_by_wallet_double_lookup(spark, svc):
+    from decimal import Decimal as D
+
+    from pasardassist_spark.api.schemas import ORDER_EVENTS_SCHEMA
+
+    oe = spark.createDataFrame(
+        [
+            ("ela", "c1", 40, "0xc1", 2, "1", "s", "walt", None, D(2), 1, 1, 400),
+            ("v1", "c2", 41, "0xc2", 4, "3", "s", "walt", None, D(1), 1, 1, 500),
+            ("eth", "c3", 42, "0xc3", 5, "4", "s", "walt", None, D(9), 1, 1, 600),
+            ("ela", "c1", 43, "0xc4", 2, "1", "s", "other", None, D(5), 1, 1, 700),
+        ],
+        ORDER_EVENTS_SCHEMA,
+    )
+    s = PasarQueryService(svc.tokens, svc.orders, svc.token_events, oe)
+    rows = s.bids_by_wallet(WalletQuery(wallet="walt", chain="ela", page=PageArgs(1, 10))).collect()
+    # ela aliases v1; eth excluded; other-wallet bid excluded
+    assert [r.transactionHash for r in rows] == ["0xc2", "0xc1"]
+    # composite-key order join + token join attach details
+    by_tx = {r.transactionHash: r for r in rows}
+    assert by_tx["0xc1"].token_name == "Cool Cat"  # order 2 -> ela-c1-1 -> token 1
+    assert by_tx["0xc2"].order_state == 1  # order 4 on v1
+
+
+def test_recent_on_sale_single_plan(svc_collections):
+    rows = svc_collections.recent_on_sale(top_collections=3, per_collection=5).collect()
+    # Created orders live on c1 (orders 2,3) and c2 (order 4); c3's is Filled
+    got = {(r.chain, r.orderId) for r in rows}
+    assert got == {("ela", 2), ("ela", 3), ("v1", 4)}
+    names = {r.orderId: r.collectionName for r in rows}
+    assert names[2] == "Cats Collection" and names[4] == "Legacy Stuff"
+    assert {r.orderId: r.token_name for r in rows}[2] == "Cool Cat"
