@@ -219,6 +219,10 @@ class PasarQueryService:
             "timestamp",
         )
         merged = oe.unionByName(te)
+        if q.unique_key:
+            # getTransHistoryByTokenId (app.service.ts:241-274): per-token
+            # history is the same merged timeline filtered to one token.
+            merged = merged.filter(F.col("tokenId") == q.unique_key)
         if q.wallet:
             merged = merged.filter(
                 (F.col("addr_from") == q.wallet) | (F.col("addr_to") == q.wallet)
@@ -301,6 +305,112 @@ class PasarQueryService:
                 F.col("filled").alias("price"),  # P2 alias, app.service.ts:350
             )
             .orderBy(F.asc("updateTime"))
+        )
+
+    # -- wallet statistics (app.service.ts:1629-1654) ------------------------
+    def wallet_statistics(self, address: str) -> DataFrame:
+        """SIX countDocuments round-trips in the reference -> three
+        single-pass conditional-count aggregates (one per entity table)
+        joined on a literal key. A12's pattern applied to the endpoint."""
+        one = F.lit(1)
+        o = self.orders.agg(
+            one.alias("_k"),
+            F.count(
+                F.when(
+                    (F.col("sellerAddr") == address)
+                    & (F.col("orderState") == ORDER_STATE_CREATED),
+                    1,
+                )
+            ).alias("listed"),
+            F.count(
+                F.when(
+                    (F.col("sellerAddr") == address)
+                    & (F.col("orderState") == ORDER_STATE_FILLED),
+                    1,
+                )
+            ).alias("sold"),
+        )
+        t = self.tokens.agg(
+            one.alias("_k"),
+            F.count(F.when(F.col("tokenOwner") == address, 1)).alias("owned"),
+            F.count(F.when(F.col("royaltyOwner") == address, 1)).alias("minted"),
+        )
+        bid = [k for k, v in ORDER_EVENT_NAMES.items() if v == "OrderBid"][0]
+        ev = (
+            self.order_events.agg(
+                one.alias("_k"),
+                F.count(
+                    F.when(
+                        (F.col("eventType") == bid) & (F.col("buyer") == address), 1
+                    )
+                ).alias("bids"),
+            )
+            if self.order_events is not None
+            else None
+        )
+        out = o.join(t, "_k")
+        if ev is not None:
+            out = out.join(ev, "_k")
+        if self.collections is not None:
+            c = self.collections.agg(
+                one.alias("_k"),
+                F.count(F.when(F.col("owner") == address, 1)).alias("collections"),
+            )
+            out = out.join(c, "_k")
+        return out.drop("_k")
+
+    # -- first-sale / on-sale flags (app.service.ts:2268-2318) ---------------
+    def check_first_sale(self, unique_keys: list[str]) -> DataFrame:
+        """The reference $lookups EVERY order per token then walks them in
+        JS; the same answer is two grouped EXISTS flags: isOnSale = latest
+        order is Created (argmax), isFirstSale = no Filled order exists."""
+        t = self.tokens.filter(F.col("uniqueKey").isin(unique_keys)).select(
+            "chain", "contract", "tokenId", "uniqueKey"
+        )
+        per_key = (
+            self.orders.filter(F.col("uniqueKey").isin(unique_keys))
+            .groupBy("uniqueKey")
+            .agg(
+                (
+                    F.max_by(
+                        F.col("orderState"),
+                        F.struct(
+                            F.col("createTime").alias("c"), F.col("orderId").alias("o")
+                        ),
+                    )
+                    == ORDER_STATE_CREATED
+                ).alias("isOnSale"),
+                (
+                    F.count(F.when(F.col("orderState") == ORDER_STATE_FILLED, 1)) == 0
+                ).alias("isFirstSale"),
+            )
+        )
+        return (
+            t.join(F.broadcast(per_key), "uniqueKey", "left")
+            .select(
+                "chain",
+                "contract",
+                "tokenId",
+                F.coalesce("isOnSale", F.lit(False)).alias("isOnSale"),
+                F.coalesce("isFirstSale", F.lit(True)).alias("isFirstSale"),
+            )
+        )
+
+    # -- collectibles of a collection (app.service.ts:1229-1265,1502-1627) ---
+    def collectibles_of_collection(
+        self, chain: str, contract: str, page: D.PageArgs, keyword: str | None = None
+    ) -> DataFrame:
+        base = self.tokens.filter(
+            (F.col("chain") == chain) & (F.col("contract") == contract)
+        )
+        if keyword:
+            kw = keyword.lower()
+            base = base.filter(
+                (F.instr(F.lower("name"), kw) > 0)
+                | (F.instr(F.lower("description"), kw) > 0)
+            )
+        return count_and_page(
+            base, [F.desc("createTime"), F.desc("tokenId")], page.page_num, page.page_size
         )
 
     # -- latest bids for a token's auction (app.service.ts:203-240) ----------

@@ -378,3 +378,36 @@ def test_recent_on_sale_single_plan(svc_collections):
     names = {r.orderId: r.collectionName for r in rows}
     assert names[2] == "Cats Collection" and names[4] == "Legacy Stuff"
     assert {r.orderId: r.token_name for r in rows}[2] == "Cool Cat"
+
+
+def test_wallet_statistics_single_pass(svc_collections):
+    row = svc_collections.wallet_statistics("alice").collect()[0]
+    # listed: order 2 (Created, seller alice); sold: order 5 (Filled)
+    assert (row.listed, row.sold) == (1, 1)
+    assert row.owned == 2  # tokens 1 and 4
+    assert row.bids == 0 and row.collections == 0
+
+
+def test_check_first_sale_flags(svc):
+    rows = {r.tokenId: r for r in svc.check_first_sale(
+        ["ela-c1-1", "ela-c1-2", "eth-c3-4"]
+    ).collect()}
+    # token 1: latest order Created (order 2), never Filled
+    assert rows["1"].isOnSale and rows["1"].isFirstSale
+    # token 2: live auction Created, never filled
+    assert rows["2"].isOnSale and rows["2"].isFirstSale
+    # token 4: Filled order -> not first sale, latest not Created
+    assert not rows["4"].isOnSale and not rows["4"].isFirstSale
+
+
+def test_collectibles_of_collection_paged(svc):
+    rows = svc.collectibles_of_collection("ela", "c1", PageArgs(1, 10)).collect()
+    assert [r.tokenId for r in rows] == ["2", "1"]  # createTime desc
+    assert all(r.total == 2 for r in rows)
+    rows = svc.collectibles_of_collection("ela", "c1", PageArgs(1, 10), keyword="dog").collect()
+    assert [r.tokenId for r in rows] == ["2"]
+
+
+def test_transactions_by_token(svc):
+    rows = svc.transactions(TransactionQuery(unique_key="1", page=PageArgs(1, 50))).collect()
+    assert {r.transactionHash for r in rows} == {"0xa", "0xb", "0xc", "0xd"}
