@@ -68,3 +68,72 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload", "meta").mapInPandas(_batches, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, out_w int, out_h int, thumb binary"
+
+
+def resize_thumbnails(df: DataFrame, max_side: int = 128) -> DataFrame:
+    """Arrow-batched resize stage: aspect-preserving target dimensions plus a
+    thumbnail payload. Dimension math is real (what a resize must compute);
+    the pixel work is the documented stub — a production build calls
+    PIL.Image.thumbnail where ``_thumb_bytes`` truncates. Output thumbnails
+    stay a ``binary`` column, so the stage composes with further mapInPandas
+    stages exactly like a real codec pipeline."""
+
+    def _thumb_bytes(payload: bytes, w: int, h: int) -> bytes:
+        # STUB pixel path: deterministic truncation proportional to area
+        # ratio; PIL/libvips plug in here.
+        keep = max(1, int(len(payload) * min(1.0, (w * h) / (1024 * 1024))))
+        return payload[:keep]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = pdf["payload"].map(fake_decode)
+            w = dims.map(lambda d: d[0]).astype("int32")
+            h = dims.map(lambda d: d[1]).astype("int32")
+            scale = (max_side / pd.concat([w, h], axis=1).max(axis=1)).clip(upper=1.0)
+            out_w = (w * scale).astype("int32").clip(lower=1)
+            out_h = (h * scale).astype("int32").clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "thumb": [
+                        _thumb_bytes(p, ow, oh)
+                        for p, ow, oh in zip(pdf["payload"], out_w, out_h)
+                    ],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_offset long, frame binary"
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage (video analog): 1 payload row fans out to
+    ``n_frames`` evenly-spaced frame rows — the ST5 explode shape driven
+    through Python because frame extraction needs a codec. Offsets are the
+    real part (even spacing over the byte length); the frame bytes are the
+    stub (a fixed-size slice at the offset; ffmpeg plugs in here)."""
+    frame_len = 16
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = max(1, len(payload))
+                for i in range(n_frames):
+                    off = (i * n) // n_frames
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame"].append(bytes(payload[off : off + frame_len]))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(_batches, FRAME_SCHEMA)
