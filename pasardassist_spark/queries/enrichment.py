@@ -87,3 +87,30 @@ def a8_weighted_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "st7_retry_enrichment",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id % 4 AS INTEGER) AS retry_times,
+           (event_id * 21 + 21000) % 300000 + 21000 AS gas_used,
+           (event_id % 97) <> 0 AS status
+    FROM events
+    WHERE event_id % 50 <> 0
+    """,
+)
+def st7_retry_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7: the slow-retry loop end-to-end — every pending row re-attempted
+    per round, retry_times incremented on failure, dead-lettered at the cap
+    (db.service.ts:163-170). The deterministic flake schedule makes the
+    entire loop oracle-checkable: a row needs event_id % 4 failures before
+    succeeding, ids divisible by 50 never succeed (and are asserted
+    dead-lettered in pytest, not returned here)."""
+    from pasardassist_spark.sources.enrichment import run_retry_rounds
+
+    ev = load(spark, sf_dir, "events")
+    enriched, _dead = run_retry_rounds(ev)
+    return enriched.select(
+        "event_id", F.col("retry_times").cast("int").alias("retry_times"), "gas_used", "status"
+    )

@@ -185,3 +185,42 @@ def st4_entity_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     folded = fold_entity_state(ev)
     return folded.withColumn("total_purchase", F.col("total_purchase").cast("double"))
+
+
+@query(
+    "st3_stream_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def st3_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 through the REAL streaming path: the events log replayed via
+    readStream -> watermarked tumbling-day window -> complete-mode sink,
+    returned as the final table. The oracle is the batch rollup — the
+    streaming/batch equivalence (§5.2) as a driver-checked query.
+    approx_users is excluded from the comparison surface (HLL, engine-
+    specific; bounded-error asserted in pytest)."""
+    import os
+    import tempfile
+
+    from pasardassist_spark.streaming import read_event_stream, streaming_day_rollup
+
+    tmp = tempfile.mkdtemp(prefix="pasard_st3_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src, "events.parquet"))
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    agg = streaming_day_rollup(stream)
+    name = f"st3_rollup_{os.getpid()}_{abs(hash(sf_dir)) % 10000}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select("day", "n_events", "total_value")
