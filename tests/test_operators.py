@@ -97,3 +97,34 @@ def test_pagination_union_of_pages_is_whole_set(spark, sf_dir):
         page += 1
     assert len(seen) == total
     assert len(set(seen)) == total  # no overlap between pages
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from pasardassist_spark.operators.skew import salted_join
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    plain = o.join(c, ["o_custkey"])
+    salted = salted_join(o, c, ["o_custkey"], n_salts=4)
+    a = sorted(map(str, plain.select(*sorted(plain.columns)).collect()))
+    b = sorted(map(str, salted.select(*sorted(salted.columns)).collect()))
+    assert a == b
+    left_p = o.join(c, ["o_custkey"], "left")
+    left_s = salted_join(o, c, ["o_custkey"], n_salts=4, how="left")
+    assert left_p.count() == left_s.count()
+
+
+def test_salted_latest_equals_window_latest(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pasardassist_spark.operators.latest import latest_per_key
+    from pasardassist_spark.operators.skew import salted_latest_per_key
+
+    ev = load(spark, sf_dir, "events")
+    want = latest_per_key(ev, ["user_id"], [F.desc("ts"), F.desc("event_id")])
+    got = salted_latest_per_key(
+        ev, ["user_id"], F.struct(F.col("ts"), F.col("event_id")), n_salts=4
+    )
+    a = sorted(map(str, want.select(*sorted(want.columns)).collect()))
+    b = sorted(map(str, got.select(*sorted(got.columns)).collect()))
+    assert a == b
