@@ -74,23 +74,38 @@ def brute_force_topk(
     )
 
 
-def hyperplanes(dim: int, seed: int = LSH_SEED) -> list[tuple[int, int, list[float]]]:
+def hyperplanes(
+    dim: int,
+    seed: int = LSH_SEED,
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
+) -> list[tuple[int, int, list[float]]]:
     """Deterministic (table, plane, weights) list from a seeded PRNG."""
     rng = random.Random(seed)
     planes = []
-    for t in range(N_TABLES):
-        for p in range(N_PLANES):
+    for t in range(n_tables):
+        for p in range(n_planes):
             planes.append((t, p, [rng.gauss(0.0, 1.0) for _ in range(dim)]))
     return planes
 
 
 def random_projection_buckets(
-    emb: DataFrame, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
-    """(id, table, bucket) — bucket = sign bits of the hyperplane dots."""
+    """(id, table, bucket) — bucket = sign bits of the hyperplane dots.
+
+    Parameter split by use case: query-time ANN wants FEW WIDE tables plus
+    multi-probe (selective buckets, probes are cheap); pair-mining dedup
+    wants MORE NARROW tables (collision probability per table must be high
+    because a missed pair is gone — there is no query to re-probe)."""
     spark = emb.sparkSession
     planes = spark.createDataFrame(
-        hyperplanes(dim), "tbl int, plane int, w array<double>"
+        hyperplanes(dim, LSH_SEED, n_tables, n_planes), "tbl int, plane int, w array<double>"
     )
     e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     bit = F.when(dot(F.col("v"), F.col("w")) > 0, 1).otherwise(0)
@@ -157,4 +172,71 @@ def ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (id_a < id_b, rounded cosine >=
+    threshold) — the correctness baseline. All-pairs by construction: use
+    ONLY as the oracle-checkable reference; the scale path is
+    :func:`cosine_pairs_lsh` (bucket-blocked, never all-pairs)."""
+    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    a = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup at scale: candidate pairs share an LSH
+    bucket in at least one table (sum over buckets of |bucket|^2 candidates,
+    never all-pairs), then the exact rounded cosine verifies the threshold.
+    Recall vs :func:`cosine_pairs` is pytest-asserted; it rises with the
+    corpus's cluster structure exactly like the ANN path. Uses 8 tables x 4
+    planes (vs the ANN default 4x6): per-table collision for a
+    threshold-cosine pair is p^planes, and with no query-side re-probe
+    available, fewer planes per table is the recall lever — 8x4 gives
+    ~1-(1-p^4)^8 ~ 0.66 at p~0.6 where 4x6 gives ~0.17."""
+    buckets = random_projection_buckets(
+        emb, dim, id_col, vec_col, n_tables=8, n_planes=4
+    )
+    a = buckets.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    va = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )

@@ -162,3 +162,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, never a cross join."""
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
     return D.jaccard_pairs(d, "text", "doc_id", ["lang", "source"], n=3, threshold=0.3)
+
+
+EMBCOS_TAU = 0.35
+
+
+@query(
+    "dedup_embcos_exact",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
+                 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)),
+                6) >= {EMBCOS_TAU}
+    """,
+)
+def dedup_embcos_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact baseline: pairs above the rounded
+    cosine threshold. All-pairs on purpose (oracle-checkable reference);
+    production dedup at corpus scale uses the LSH-blocked variant below."""
+    from pasardassist_spark.operators.similarity import cosine_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, EMBCOS_TAU)
+
+
+@query("dedup_embcos_lsh")  # seeded-PRNG hyperplanes not SQL-portable: rows-only
+def dedup_embcos_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, scale path: LSH bucket blocking (never
+    all-pairs) + exact verify. Recall vs the exact baseline is asserted in
+    tests/test_operators.py."""
+    from pasardassist_spark.operators.similarity import cosine_pairs_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_pairs_lsh(emb, EMBCOS_TAU, dim=64)

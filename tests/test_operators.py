@@ -128,3 +128,15 @@ def test_salted_latest_equals_window_latest(spark, sf_dir):
     a = sorted(map(str, want.select(*sorted(want.columns)).collect()))
     b = sorted(map(str, got.select(*sorted(got.columns)).collect()))
     assert a == b
+
+
+def test_embcos_lsh_recall_vs_exact(spark, sf_dir):
+    from pasardassist_spark.operators.similarity import cosine_pairs, cosine_pairs_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in cosine_pairs(emb, 0.3).collect()}
+    approx = {(r.id_a, r.id_b) for r in cosine_pairs_lsh(emb, 0.3, 64).collect()}
+    assert approx <= exact  # verify step: no false positives ever
+    if exact:
+        # high-cosine pairs collide in some table with decent probability
+        assert len(approx) / len(exact) >= 0.4
