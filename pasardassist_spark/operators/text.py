@@ -53,6 +53,22 @@ def distinct_token_count(toks: Column) -> Column:
     return F.size(F.array_distinct(toks)).cast("long")
 
 
+# GPT-2-style pretokenizer, ASCII form (unicode classes behave differently
+# across regex engines; the synthetic corpus is ASCII — see TESTDATA.md):
+# contractions | space?+letters | space?+digits | space?+other-punct runs.
+# Counting these pretokens is the standard fast proxy for BPE token counts
+# (real BPE only ever SPLITS pretokens further, so this is a lower bound
+# within ~1.3x for English text).
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Subword-ish pretokens via the GPT-2 split regex (JVM regexp, no
+    Python). Real tokenizer vocabularies plug in as a broadcast merge table;
+    the pretoken split is the part that matters for distributed counting."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
 def hits(toks: Column, words: tuple[str, ...]) -> Column:
     """Count of tokens that appear in ``words`` (with multiplicity)."""
     return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")

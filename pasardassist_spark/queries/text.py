@@ -142,3 +142,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = X.tokens(F.col("text"))
     return d.select("doc_id", X.fingerprint(toks, 5).alias("fingerprint"))
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+               AS BIGINT) AS n_bpe_tokens,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: GPT-2-style pretoken regex (the standard
+    fast proxy for LLM token budgets) next to the whitespace count. All
+    JVM-side regexp — the 100 TB form of 'how many tokens is this corpus'."""
+    from pasardassist_spark.operators.text import bpe_ish_tokens, tokens
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.size(bpe_ish_tokens(F.col("text"))).cast("long").alias("n_bpe_tokens"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+    )
