@@ -1,0 +1,40 @@
+"""Bucketed-table layout tests: the co-located join must plan with NO
+shuffle on either side, and results must equal the plain join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pasardassist_spark.plans import plan, shuffle_count
+from pasardassist_spark.sources.lake import read_table, write_bucketed
+from pasardassist_spark.tables import load
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    # managed tables land in the session's default warehouse dir
+    # (spark-warehouse/ under cwd, gitignored); dropped at the end.
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    write_bucketed(o, "bkt_orders", ["o_orderkey"], 8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "bkt_lineitem", ["o_orderkey"], 8
+    )
+
+    bo, bl = read_table(spark, "bkt_orders"), read_table(spark, "bkt_lineitem")
+    joined = bo.join(bl, "o_orderkey").groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    p = plan(joined)
+    # the join itself consumes bucket partitioning in place: the only
+    # allowed Exchange is the tiny post-join aggregation shuffle
+    assert shuffle_count(p) <= 1, p
+
+    plain = o.join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+    ).groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    got = {(r.o_orderstatus, r.n) for r in joined.collect()}
+    want = {(r.o_orderstatus, r.n) for r in plain.collect()}
+    assert got == want
+
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
