@@ -224,3 +224,37 @@ def st3_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name).select("day", "n_events", "total_value")
+
+
+@query(
+    "sess_gap_sessionize",
+    oracle=f"""
+    WITH m AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS newm
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, SUM(newm) OVER (
+            PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING
+        ) AS sid FROM m
+    )
+    SELECT user_id,
+           MIN(us) AS session_start,
+           MAX(us) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def sess_gap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (30-min inactivity closes a session): the lag ->
+    marker -> running-sum -> aggregate shape, one hash shuffle by user. The
+    streaming twin (applyInPandasWithState, streaming/sessions.py) is
+    equivalence-tested against this batch form in tests/test_sessions.py."""
+    from pasardassist_spark.streaming.sessions import sessionize_batch
+
+    ev = load(spark, sf_dir, "events")
+    return sessionize_batch(ev)

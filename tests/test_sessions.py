@@ -1,0 +1,71 @@
+"""Streaming sessionization (applyInPandasWithState) must emit exactly the
+sessions the batch window form computes."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pasardassist_spark.streaming.sessions import sessionize_batch, sessionize_stream
+from pasardassist_spark.tables import load
+
+
+def test_stream_sessions_equal_batch(spark, sf_dir, tmp_path):
+    ev = load(spark, sf_dir, "events")
+    raw = ev.withColumn("ts", F.expr("unix_micros(ts) * CAST(1000 AS BIGINT)"))
+
+    # sentinel far-future event per user forces every real session closed
+    far = raw.agg(F.max("ts")).first()[0] + 10 * 86400 * 1_000_000_000
+    sentinels = (
+        ev.select("user_id").distinct()
+        .select(
+            (F.col("user_id") + 10_000_000).alias("event_id"),
+            F.lit(far).cast("long").alias("ts"),
+            "user_id",
+            F.lit("view").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def drop(df, i):
+        staging = str(tmp_path / f"s{i}")
+        df.coalesce(1).write.parquet(staging)
+        (pq,) = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+        os.rename(os.path.join(staging, pq), os.path.join(src, f"p{i}.parquet"))
+
+    rows = raw.orderBy("ts", "event_id").collect()
+    half = len(rows) // 2
+    drop(spark.createDataFrame(rows[:half], raw.schema), 0)
+    drop(spark.createDataFrame(rows[half:], raw.schema), 1)
+    drop(sentinels.select(*raw.columns), 2)
+
+    from pasardassist_spark.streaming import read_event_stream
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    out = sessionize_stream(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    sentinel_us = far // 1000
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 6))
+        for r in spark.sql("SELECT * FROM sessions").collect()
+        if r.session_start < sentinel_us
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 6))
+        for r in sessionize_batch(ev).collect()
+    }
+    assert got == want
