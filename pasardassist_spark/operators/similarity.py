@@ -240,3 +240,101 @@ def cosine_pairs_lsh(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+IVF_SEED = 7
+N_LISTS = 16
+N_PROBE = 4
+
+
+def ivf_assignments(
+    emb: DataFrame,
+    n_lists: int = N_LISTS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer: seeded k-means over the corpus; returns
+    (assignments DataFrame (id, list_id), centroids DataFrame (list_id,
+    center array<double>)).
+
+    At 100 TB: centroids train on a sample, the assignment pass is one
+    map-only job, and ``list_id`` becomes the partition/bucketing key — a
+    query touches n_probe partitions instead of the corpus (same storage
+    story as the LSH buckets, but data-adaptive, so it keeps selectivity on
+    clustered real-world embeddings where random hyperplanes waste tables).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = emb.select(
+        F.col(id_col), array_to_vector(as_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=IVF_SEED, maxIter=10).fit(vecs)
+    assignments = model.transform(vecs).select(
+        F.col(id_col), F.col("prediction").alias("list_id")
+    )
+    spark = emb.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "list_id int, center array<double>",
+    )
+    return assignments, centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    n_lists: int = N_LISTS,
+    n_probe: int = N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-ANN: per query, pick the n_probe nearest centroids (cosine), take
+    all vectors assigned to those lists as candidates, exact-rerank. The
+    centroid table is O(n_lists) and broadcast; the only big-side work is
+    the candidate fetch keyed by list_id."""
+    assignments, centroids = ivf_assignments(emb, n_lists, id_col, vec_col)
+    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    q = e.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv")
+    )
+    probe_w = W.partitionBy("q_id").orderBy(
+        F.desc("c_cos"), F.asc("list_id")
+    )
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "q_id",
+            "list_id",
+            F.round(cosine(F.col("qv"), F.col("center")), 6).alias("c_cos"),
+        )
+        .withColumn("_r", F.row_number().over(probe_w))
+        .filter(F.col("_r") <= n_probe)
+        .select("q_id", "list_id")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assignments, "list_id")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+    qv = e.select(F.col(id_col).alias("q_id"), F.col("v").alias("qv"))
+    nv = e.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"))
+    scored = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cosine", "rank")
+    )

@@ -52,3 +52,13 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the brute-force baseline is asserted in tests/test_operators.py."""
     emb = load(spark, sf_dir, "embeddings")
     return S.ann_topk(emb, QUERY_IDS, K, DIM)
+
+
+@query("sim_ivf_ann")  # k-means centroids are not SQL-portable: rows-only
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF (seeded k-means coarse quantizer, 16
+    lists, probe 4): the data-adaptive counterpart to sim_lsh_ann. At scale
+    list_id is the partition key. Recall vs brute force asserted in
+    tests/test_operators.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, QUERY_IDS, K)

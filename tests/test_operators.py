@@ -140,3 +140,24 @@ def test_embcos_lsh_recall_vs_exact(spark, sf_dir):
     if exact:
         # high-cosine pairs collide in some table with decent probability
         assert len(approx) / len(exact) >= 0.4
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r.q_id, r.neighbor_id) for r in S.brute_force_topk(emb, qids, 10).collect()
+    }
+    approx = {(r.q_id, r.neighbor_id) for r in S.ivf_topk(emb, qids, 10).collect()}
+    assert approx
+    recall = len(exact & approx) / len(exact)
+    # 4/16 lists probed; even on unclustered gaussian data the nearest
+    # centroids capture well above the 25% random-probe floor
+    assert recall >= 0.3, f"low IVF recall {recall}"
+    # rerank cosines are exact
+    ref = {
+        (r.q_id, r.neighbor_id): r.cosine
+        for r in S.brute_force_topk(emb, qids, 400).collect()
+    }
+    for r in S.ivf_topk(emb, qids, 10).collect():
+        assert abs(ref[(r.q_id, r.neighbor_id)] - r.cosine) < 1e-9
