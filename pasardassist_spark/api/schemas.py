@@ -201,4 +201,5 @@ ORDER_EVENT_NAMES = {
     4: "OrderCancelled",
     5: "OrderPriceChanged",
 }
+ORDER_EVENT_BID = 1  # OrderBid, interfaces.ts:124
 ORDER_STATE_CREATED, ORDER_STATE_FILLED, ORDER_STATE_CANCELLED = 1, 2, 3

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from pasardassist_spark.api import dto as D
 from pasardassist_spark.api.schemas import (
+    ORDER_EVENT_BID,
     ORDER_EVENT_NAMES,
     ORDER_STATE_CREATED,
     ORDER_STATE_FILLED,
@@ -200,6 +201,7 @@ class PasarQueryService:
             "chain",
             "transactionHash",
             F.col("tokenId"),
+            F.concat_ws("-", "chain", "baseToken", "tokenId").alias("uniqueKey"),
             ev_name.alias("event"),
             F.col("price").cast("double").alias("value"),
             F.col("seller").alias("addr_from"),
@@ -211,6 +213,7 @@ class PasarQueryService:
             "chain",
             "transactionHash",
             F.col("tokenId"),
+            F.concat_ws("-", "chain", "contract", "tokenId").alias("uniqueKey"),
             classify_transfer(F.col("from"), F.col("to")).alias("event"),
             F.col("value").cast("double").alias("value"),
             F.col("from").alias("addr_from"),
@@ -220,9 +223,11 @@ class PasarQueryService:
         )
         merged = oe.unionByName(te)
         if q.unique_key:
-            # getTransHistoryByTokenId (app.service.ts:241-274): per-token
-            # history is the same merged timeline filtered to one token.
-            merged = merged.filter(F.col("tokenId") == q.unique_key)
+            # getTransHistoryByTokenId (app.service.ts:241-274) filters by
+            # bare tokenId — NOT unique across chains/contracts, so two
+            # unrelated tokens' histories merge. We filter by the composite
+            # uniqueKey ("chain-contract-tokenId") instead.
+            merged = merged.filter(F.col("uniqueKey") == q.unique_key)
         if q.wallet:
             merged = merged.filter(
                 (F.col("addr_from") == q.wallet) | (F.col("addr_to") == q.wallet)
@@ -335,13 +340,12 @@ class PasarQueryService:
             F.count(F.when(F.col("tokenOwner") == address, 1)).alias("owned"),
             F.count(F.when(F.col("royaltyOwner") == address, 1)).alias("minted"),
         )
-        bid = [k for k, v in ORDER_EVENT_NAMES.items() if v == "OrderBid"][0]
         ev = (
             self.order_events.agg(
                 one.alias("_k"),
                 F.count(
                     F.when(
-                        (F.col("eventType") == bid) & (F.col("buyer") == address), 1
+                        (F.col("eventType") == ORDER_EVENT_BID) & (F.col("buyer") == address), 1
                     )
                 ).alias("bids"),
             )
@@ -417,30 +421,37 @@ class PasarQueryService:
     def latest_bids(self, token_id: str, page: D.PageArgs) -> DataFrame:
         """The reference runs findOne(latest auction) + count + find + one
         cache GET per row; here one lazy plan: latest auction order per
-        token (argmax), semi-joined to its Bid events, count+paged by block
-        desc, buyer names attached via the broadcast DID dim."""
-        bid = [k for k, v in ORDER_EVENT_NAMES.items() if v == "OrderBid"][0]
+        (chain, token) (argmax), semi-joined to its Bid events on the
+        COMPOSITE (orderId, chain) key — orderId alone is only unique per
+        chain, a correctness hole the reference's tokenId-only findOne
+        shares — then buyer names attached (broadcast DID dim) and
+        count+paged by block desc LAST, so the join cannot disturb the
+        returned page order."""
         auctions = self.orders.filter(
             (F.col("tokenId") == token_id) & (F.col("orderType") == 2)
         )
         latest = (
             latest_per_key(
                 auctions.withColumn("blockNumber_ord", F.lit(0)),
-                ["tokenId"],
+                ["chain", "tokenId"],
                 _order_recency(),
             )
-            .select(F.col("orderId").alias("auction_orderId"))
+            .select(
+                F.col("orderId").alias("auction_orderId"),
+                F.col("chain").alias("auction_chain"),
+            )
         )
-        bids = self.order_events.filter(F.col("eventType") == bid).join(
+        bids = self.order_events.filter(F.col("eventType") == ORDER_EVENT_BID).join(
             F.broadcast(latest),
-            F.col("orderId") == F.col("auction_orderId"),
+            (F.col("orderId") == F.col("auction_orderId"))
+            & (F.col("chain") == F.col("auction_chain")),
             "semi",
         )
+        if self.did_profiles is not None:
+            bids = self.with_buyer_names(bids)
         paged = count_and_page(
             bids, [F.desc("blockNumber"), F.desc("transactionHash")], page.page_num, page.page_size
         )
-        if self.did_profiles is not None:
-            paged = self.with_buyer_names(paged)
         return paged.drop("transactionHash")  # $project excludes it (ts:227)
 
     # -- bids by wallet (app.service.ts:1781-1840) ---------------------------
@@ -449,9 +460,8 @@ class PasarQueryService:
         (order by composite (orderId, chain), then token by uniqueKey)
         becomes two joins; the reference's count + aggregate pair is the
         usual one count_and_page."""
-        bid = [k for k, v in ORDER_EVENT_NAMES.items() if v == "OrderBid"][0]
         ev = self.order_events.filter(
-            (F.col("buyer") == q.wallet) & (F.col("eventType") == bid)
+            (F.col("buyer") == q.wallet) & (F.col("eventType") == ORDER_EVENT_BID)
         ).filter(_chain_filter(q.chain))
         o = self.orders.select(
             F.col("orderId").alias("o_orderId"),
@@ -601,11 +611,10 @@ class PasarQueryService:
 
     # -- bids history (app.service.ts:2368-2376) -----------------------------
     def bids_history(self, chain: str, order_id: int) -> DataFrame:
-        bid = [k for k, v in ORDER_EVENT_NAMES.items() if v == "OrderBid"][0]
         return self.order_events.filter(
             (F.col("chain") == chain)
             & (F.col("orderId") == order_id)
-            & (F.col("eventType") == bid)
+            & (F.col("eventType") == ORDER_EVENT_BID)
         ).orderBy(F.desc("timestamp"), F.desc("blockNumber"))
 
     # -- DID profile names (app.service.ts:230-235) --------------------------

@@ -199,8 +199,11 @@ def simhash_near_pairs(sig: DataFrame, id_col: str, max_hamming: int = 3) -> Dat
         a.join(b, ["q", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
-        .distinct()
+        # verify BEFORE distinct: most candidates fail the Hamming test, so
+        # the dedup shuffle only carries survivors (a pair can collide in up
+        # to 4 quarters), not the full per-bucket quadratic blow-up.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

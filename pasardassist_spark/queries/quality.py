@@ -9,9 +9,9 @@ row is (check, n_violations) — run it on a schedule, alert on any
 n_violations > 0.
 
 Check classes covered:
-- count reconciliation (silver entity count == distinct keys in bronze —
-  the direct DataCheck analog, with the event log standing in for the
-  chain RPC as source of truth);
+- count reconciliation (the same total derived through two independent
+  pipelines must agree — the direct DataCheck analog, with the bronze log
+  standing in for the chain RPC as source of truth);
 - referential integrity (child rows without parents — the condition that
   makes the reference enqueue retry ops, sub-tasks.service.ts:122-174);
 - key uniqueness (idempotent-upsert invariant, db.service.ts:154-160);
@@ -26,7 +26,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from pasardassist_spark.operators.fold import fold_entity_state
 from pasardassist_spark.queries.registry import query
 from pasardassist_spark.tables import load
 
@@ -63,29 +62,36 @@ def _check(name: str, df: DataFrame, violations: F.Column) -> DataFrame:
                 AS BIGINT)
     FROM lineitem
     UNION ALL
-    SELECT 'entity_count_reconciliation',
+    SELECT 'rollup_count_reconciliation',
            CAST(abs(
-               (SELECT COUNT(*) FROM (SELECT DISTINCT user_id FROM events))
-               - (SELECT COUNT(DISTINCT user_id) FROM events)
+               (SELECT COUNT(*) FROM events)
+               - (SELECT SUM(n) FROM (
+                      SELECT COUNT(*) AS n FROM events
+                      GROUP BY date_trunc('day', ts)))
            ) AS BIGINT)
     """,
 )
 def dq_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST6: the full check suite as one unioned DataFrame. The
-    entity_count_reconciliation branch is the literal DataCheck analog:
-    count(silver fold) must equal count(distinct bronze keys) — here the
-    fold is recomputed in-job, so the check validates the fold pipeline the
-    way the reference validated its Mongo sync against the chain."""
+    rollup_count_reconciliation branch is the DataCheck analog: the total
+    event count recomputed through a DIFFERENT pipeline (the daily-rollup
+    gold aggregation) must match the direct bronze count — a divergence
+    means the rollup drops or duplicates rows (null timestamps, bad window
+    bounds), exactly the class of silent sync drift the reference mailed
+    alerts about. (A deployed job compares the PERSISTED gold table via
+    read_state; the in-job recompute is the sf-parquet stand-in.)"""
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
     lineitem = load(spark, sf_dir, "lineitem")
     events = load(spark, sf_dir, "events")
     documents = load(spark, sf_dir, "documents")
 
-    silver_count = fold_entity_state(events).agg(
-        F.count(F.lit(1)).alias("n")
+    rollup_total = (
+        events.groupBy(F.date_trunc("day", F.col("ts")))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("n").alias("n"))
     )
-    bronze_count = events.agg(F.countDistinct("user_id").alias("n"))
+    direct_total = events.agg(F.count(F.lit(1)).alias("m"))
 
     checks = [
         _check(
@@ -121,9 +127,9 @@ def dq_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(0)
             ),
         ),
-        silver_count.crossJoin(bronze_count.withColumnRenamed("n", "m")).select(
-            F.lit("entity_count_reconciliation").alias("check"),
-            F.abs(F.col("n") - F.col("m")).cast("long").alias("n_violations"),
+        direct_total.crossJoin(rollup_total).select(
+            F.lit("rollup_count_reconciliation").alias("check"),
+            F.abs(F.col("m") - F.col("n")).cast("long").alias("n_violations"),
         ),
     ]
     out = checks[0]

@@ -24,42 +24,13 @@ pending log.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-_COMMIT_MARKER = "_COMMITTED"
-
-
-def _versions(d: str) -> list[str]:
-    if not os.path.isdir(d):
-        return []
-    return sorted(
-        v
-        for v in os.listdir(d)
-        if v.startswith("v") and os.path.exists(os.path.join(d, v, _COMMIT_MARKER))
-    )
-
-
-def _write_generation(df: DataFrame, d: str, keep: int = 2) -> None:
-    vs = _versions(d)
-    nxt = os.path.join(d, f"v{(int(vs[-1][1:]) + 1) if vs else 1:06d}")
-    df.write.mode("overwrite").parquet(nxt)
-    with open(os.path.join(nxt, _COMMIT_MARKER), "w"):
-        pass
-    if len(vs) >= keep:
-        import shutil
-
-        for stale in vs[: len(vs) - keep + 1]:
-            shutil.rmtree(os.path.join(d, stale), ignore_errors=True)
-
-
-def _read_generation(spark: SparkSession, d: str) -> DataFrame | None:
-    vs = _versions(d)
-    if not vs:
-        return None
-    return spark.read.parquet(os.path.join(d, vs[-1]))
+from pasardassist_spark.streaming.generations import (
+    read_latest as _read_generation,
+    write_generation as _write_generation,
+)
 
 
 def register_collection(spark: SparkSession, control_dir: str, collection: str) -> None:

@@ -40,6 +40,13 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from pasardassist_spark.operators.latest import latest_per_key
+from pasardassist_spark.streaming.generations import (
+    apply_retention,
+    commit,
+    committed_versions as _state_versions,
+    link_tree as _link_tree,
+    next_version_dir,
+)
 
 # Raw parquet schema: ts arrives as long nanos (TIMESTAMP(NANOS) files read
 # under spark.sql.legacy.parquet.nanosAsLong).
@@ -52,6 +59,9 @@ def read_event_stream(
     spark: SparkSession, src_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """Checkpointable event-log stream (backfill + tail in one query)."""
+    # Same TIMESTAMP(NANOS) quirk as the batch scan (tables.load): set it
+    # here too so a stream can be the session's FIRST events read.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -61,19 +71,6 @@ def read_event_stream(
 
 
 N_STATE_BUCKETS = 16  # key-hash buckets; at 100 TB this becomes O(1000s)
-_COMMIT_MARKER = "_COMMITTED"
-
-
-def _state_versions(state_dir: str) -> list[str]:
-    """Committed generations only: a directory without the commit marker is
-    a crashed partial write and must never become 'latest' state."""
-    if not os.path.isdir(state_dir):
-        return []
-    return sorted(
-        d
-        for d in os.listdir(state_dir)
-        if d.startswith("v") and os.path.exists(os.path.join(state_dir, d, _COMMIT_MARKER))
-    )
 
 
 def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
@@ -88,23 +85,6 @@ def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
 
 def _bucket_of(keys: Sequence[str]) -> Column:
     return F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(N_STATE_BUCKETS))
-
-
-def _link_tree(src: str, dst: str) -> None:
-    """Hard-link a bucket directory into the next generation (O(1) I/O per
-    file; falls back to copy across devices). Links survive deletion of the
-    source generation, so retention cleanup stays safe."""
-    import shutil
-
-    for root, _, files in os.walk(src):
-        rel = os.path.relpath(root, src)
-        tgt = os.path.join(dst, rel) if rel != "." else dst
-        os.makedirs(tgt, exist_ok=True)
-        for f in files:
-            try:
-                os.link(os.path.join(root, f), os.path.join(tgt, f))
-            except OSError:
-                shutil.copy2(os.path.join(root, f), os.path.join(tgt, f))
 
 
 def merge_into_bucketed_state(
@@ -140,8 +120,7 @@ def merge_into_bucketed_state(
         merged = combine(prev_touched, delta).withColumn("bucket", _bucket_of(keys))
     # Write touched buckets into generation N+1 (repartitioned by key so the
     # merge join and the next read are co-partitioned), link the rest, commit.
-    next_v = f"v{(int(versions[-1][1:]) + 1) if versions else 1:06d}"
-    next_dir = os.path.join(state_dir, next_v)
+    next_dir = next_version_dir(state_dir, versions)
     merged.repartition(*keys).write.partitionBy("bucket").mode("overwrite").parquet(
         next_dir
     )
@@ -150,10 +129,8 @@ def merge_into_bucketed_state(
         for d in os.listdir(prev_dir):
             if d.startswith("bucket=") and d not in touched_set:
                 _link_tree(os.path.join(prev_dir, d), os.path.join(next_dir, d))
-    with open(os.path.join(next_dir, _COMMIT_MARKER), "w"):
-        pass  # generation becomes visible only now
-    for stale in versions[:-keep_generations] if len(versions) >= keep_generations else []:
-        _rmtree(os.path.join(state_dir, stale))
+    commit(next_dir)
+    apply_retention(state_dir, versions, keep_generations)
 
 
 def maintain_latest_state(
@@ -232,12 +209,6 @@ def maintain_entity_state(
         .outputMode("update")
         .start()
     )
-
-
-def _rmtree(path: str) -> None:
-    import shutil
-
-    shutil.rmtree(path, ignore_errors=True)
 
 
 def streaming_day_rollup(stream: DataFrame, watermark: str = "2 days") -> DataFrame:

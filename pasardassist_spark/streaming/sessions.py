@@ -87,7 +87,14 @@ def _fold_session(
             closed.append((user, s, last, n, total))
             s, last, n, total = int(us), int(us), 1, float(value)
         else:
-            last, n, total = int(us), n + 1, total + float(value)
+            # A late-but-within-watermark event (us <= last) folds into the
+            # open session without moving its end backward; if it predates
+            # the session start it extends the start. Repairing an
+            # ALREADY-CLOSED session would need emitted-session retraction —
+            # out of scope for append mode; bound staleness with the
+            # watermark instead (documented limitation).
+            s, last = min(s, int(us)), max(last, int(us))
+            n, total = n + 1, total + float(value)
     state.update((s, last, n, total))
     # idle flush: once the watermark passes last + gap, the session closes.
     # The timestamp must sit beyond the current watermark or Spark rejects it

@@ -409,5 +409,9 @@ def test_collectibles_of_collection_paged(svc):
 
 
 def test_transactions_by_token(svc):
-    rows = svc.transactions(TransactionQuery(unique_key="1", page=PageArgs(1, 50))).collect()
+    rows = svc.transactions(
+        TransactionQuery(unique_key="ela-c1-1", page=PageArgs(1, 50))
+    ).collect()
     assert {r.transactionHash for r in rows} == {"0xa", "0xb", "0xc", "0xd"}
+    # bare tokenId must NOT match (composite key prevents cross-chain mixing)
+    assert svc.transactions(TransactionQuery(unique_key="1", page=PageArgs(1, 50))).count() == 0
