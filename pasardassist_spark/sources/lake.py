@@ -38,3 +38,20 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_date_partitioned(df: DataFrame, path: str, ts_col: str = "ts") -> None:
+    """Bronze layout: events partitioned by event date (the reference
+    domain's natural pruning axis — every dashboard query carries a time
+    bound). A day-bounded query then reads ONLY its partitions' files:
+    Catalyst turns the `event_date` predicate into a PartitionFilter
+    (directory pruning at planning time, no file footers touched) —
+    asserted in tests/test_lake.py."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("event_date", F.to_date(F.col(ts_col)))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )

@@ -38,3 +38,22 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
 
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_date_partition_pruning(spark, sf_dir, tmp_path):
+    import re
+
+    from pasardassist_spark.sources.lake import write_date_partitioned
+
+    ev = load(spark, sf_dir, "events")
+    path = str(tmp_path / "bronze_events")
+    write_date_partitioned(ev, path)
+
+    one_day = ev.select(F.to_date("ts").alias("d")).distinct().orderBy("d").first().d
+    q = spark.read.parquet(path).filter(F.col("event_date") == one_day)
+    p = plan(q)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "event_date" in m.group(1), p  # predicate became dir pruning
+    # pruned read returns exactly that day's rows
+    want = ev.filter(F.to_date("ts") == one_day).count()
+    assert q.count() == want and want > 0
