@@ -632,6 +632,32 @@ class PasarQueryService:
             prof, F.lower(events["buyer"]) == prof["_addr"], "left"
         ).drop("_addr")
 
+    # -- feeds channels (app.service.ts:2415-2450) ---------------------------
+    def feeds_channels(
+        self, page: D.PageArgs, keyword: str | None = None
+    ) -> DataFrame:
+        """listFeedsChannel: FeedsChannel-typed, non-burned tokens with an
+        optional keyword filter, count+paged."""
+        from pasardassist_spark.functions.chain import BURN_ADDRESS
+
+        base = self.tokens.filter(
+            (F.col("type") == "FeedsChannel")
+            & (F.coalesce(F.col("tokenOwner"), F.lit("")) != BURN_ADDRESS)
+        )
+        if keyword:
+            kw = keyword.lower()
+            base = base.filter(
+                (F.instr(F.lower("name"), kw) > 0)
+                | (F.instr(F.lower("description"), kw) > 0)
+            )
+        return count_and_page(
+            base, [F.desc("createTime"), F.desc("tokenId")], page.page_num, page.page_size
+        )
+
+    # -- DID profile lookup (app.service.ts:356-359) -------------------------
+    def did_by_address(self, address: str) -> DataFrame:
+        return self.did_profiles.filter(F.lower(F.col("address")) == address.lower())
+
     # -- token detail w/ latest order (app.service.ts:172-185) ---------------
     def token_detail(self, chain: str, contract: str, token_id: str) -> DataFrame:
         t = self.tokens.filter(

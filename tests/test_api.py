@@ -415,3 +415,10 @@ def test_transactions_by_token(svc):
     assert {r.transactionHash for r in rows} == {"0xa", "0xb", "0xc", "0xd"}
     # bare tokenId must NOT match (composite key prevents cross-chain mixing)
     assert svc.transactions(TransactionQuery(unique_key="1", page=PageArgs(1, 50))).count() == 0
+
+
+def test_feeds_channels_and_did_lookup(spark, svc_full):
+    # no FeedsChannel-typed tokens in the fixture: empty, not an error
+    assert svc_full.feeds_channels(PageArgs(1, 10)).count() == 0
+    row = svc_full.did_by_address("ALICE").collect()
+    assert len(row) == 1 and row[0].name == "Alice A"  # case-insensitive
