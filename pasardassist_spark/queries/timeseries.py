@@ -258,3 +258,36 @@ def sess_gap_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return sessionize_batch(ev)
+
+
+@query(
+    "aj_rate_asof",
+    oracle="""
+    WITH rates AS (
+        SELECT event_type, date_trunc('day', ts) AS rts, COUNT(*) AS day_n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.event_type, e.ts, r.day_n
+    FROM events e
+    ASOF LEFT JOIN rates r
+      ON e.event_type = r.event_type AND e.ts >= r.rts
+    """,
+)
+def aj_rate_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event stamped with the rate-feed row in effect at
+    its timestamp (here a per-type daily stat as the deterministic feed —
+    the reference's cached-latest-rate stamping, tasks.common.ts:94-122,
+    made reproducible). The oracle is DuckDB's NATIVE ASOF JOIN — a fully
+    independent implementation of the operator, so the union+window form is
+    differentially verified, not self-checked."""
+    from pasardassist_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    rates = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("rts"))
+        .agg(F.count(F.lit(1)).alias("day_n"))
+    )
+    return asof_join(ev, rates, ["event_type"], "ts", "rts", ["day_n"]).select(
+        "event_id", "event_type", "ts", "day_n"
+    )

@@ -161,3 +161,24 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     }
     for r in S.ivf_topk(emb, qids, 10).collect():
         assert abs(ref[(r.q_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_asof_join_semantics(spark):
+    from pasardassist_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 205), (3, "a", 50), (4, "b", 100)],
+        "id long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("a", 100, 1.0), ("a", 200, 2.0), ("b", 150, 9.0)],
+        "k string, rts long, rate double",
+    )
+    got = {
+        r.id: r.rate
+        for r in asof_join(left, right, ["k"], "ts", "rts", ["rate"]).collect()
+    }
+    assert got[1] == 1.0   # inclusive: right row AT ts is visible
+    assert got[2] == 2.0   # latest prior, not first
+    assert got[3] is None  # before any right row -> null
+    assert got[4] is None  # right row only in the future -> null
