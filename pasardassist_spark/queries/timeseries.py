@@ -291,3 +291,46 @@ def aj_rate_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(ev, rates, ["event_type"], "ts", "rts", ["day_n"]).select(
         "event_id", "event_type", "ts", "day_n"
     )
+
+
+@query(
+    "rj_session_assign",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS newm
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, SUM(newm) OVER (
+            PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING
+        ) AS sid FROM m
+    ),
+    sessions AS (
+        SELECT user_id, MIN(us) AS session_start, MAX(us) AS session_end
+        FROM s GROUP BY user_id, sid
+    )
+    SELECT e.event_id, e.user_id, sess.session_start
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events) e
+    JOIN sessions sess
+      ON e.user_id = sess.user_id
+     AND e.us BETWEEN sess.session_start AND sess.session_end
+    """,
+)
+def rj_session_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: assign every event to its containing session interval —
+    the sessionize-then-stamp-back pattern. Band-bucketed equi-join (1-hour
+    buckets), never a nested-loop BETWEEN plan; the oracle is DuckDB's
+    independent BETWEEN join (its optimizer plans an IEJoin)."""
+    from pasardassist_spark.operators.rangejoin import range_join
+    from pasardassist_spark.streaming.sessions import sessionize_batch
+
+    ev = load(spark, sf_dir, "events")
+    sessions = sessionize_batch(ev).select("user_id", "session_start", "session_end")
+    points = ev.select("event_id", "user_id", F.unix_micros(F.col("ts")).alias("us"))
+    return range_join(
+        points, sessions, ["user_id"], "us", "session_start", "session_end",
+        bucket_width=3_600_000_000,
+    ).select("event_id", "user_id", "session_start")

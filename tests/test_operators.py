@@ -182,3 +182,19 @@ def test_asof_join_semantics(spark):
     assert got[2] == 2.0   # latest prior, not first
     assert got[3] is None  # before any right row -> null
     assert got[4] is None  # right row only in the future -> null
+
+
+def test_range_join_no_nested_loop(spark, sf_dir):
+    from pasardassist_spark.operators.rangejoin import range_join
+    from pasardassist_spark.plans import plan
+    from pasardassist_spark.streaming.sessions import sessionize_batch
+
+    ev = load(spark, sf_dir, "events")
+    sessions = sessionize_batch(ev).select("user_id", "session_start", "session_end")
+    points = ev.select("event_id", "user_id", F.unix_micros(F.col("ts")).alias("us"))
+    rj = range_join(points, sessions, ["user_id"], "us",
+                    "session_start", "session_end", 3_600_000_000)
+    p = plan(rj)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # every event lands in exactly one session
+    assert rj.count() == ev.count()
