@@ -66,6 +66,7 @@ def _load_all() -> None:
         multimodal,
         quality,
         relational,
+        sampling,
         similarity,
         text,
         timeseries,

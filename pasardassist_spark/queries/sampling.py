@@ -1,0 +1,73 @@
+"""Dataset-curation sampling (training-data pipeline ops).
+
+Random ``df.sample`` is non-reproducible across runs/partitionings — a
+disqualifier for dataset curation, where the same corpus snapshot must
+yield the same training set every time. Both ops here are deterministic
+pure-column math and therefore DuckDB-oracle-checkable:
+
+- ``samp_deterministic``: hash-gate sampling — keep a row iff
+  md5(id) mod 10000 < rate·10000. Per-row independent, stable under any
+  partitioning, composable (a 10% gate of a 50% gate is a 5% gate on
+  independent digests). The universal "hold out 1% of the corpus" op.
+- ``samp_class_cap``: per-class cap — at most N documents per language,
+  preferring (deterministically) the lowest doc_id. The class-balancing
+  step every multilingual corpus build runs; window top-k per key, one
+  shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from pasardassist_spark.queries.registry import query
+from pasardassist_spark.tables import load
+
+SAMPLE_BP = 1000  # basis points of 10000 => 10% gate
+CLASS_CAP = 50
+
+
+@query(
+    "samp_deterministic",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+        < {SAMPLE_BP * 65536 // 10000}
+    """,
+)
+def samp_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample: gate on the first 16 bits of md5(doc_id).
+    Reproducible under any partitioning/run; the filter is pushed to the
+    scan (pure columns)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    gate = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    return d.filter(gate < SAMPLE_BP * 65536 // 10000)
+
+
+@query(
+    "samp_class_cap",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= {CLASS_CAP}
+    """,
+)
+def samp_class_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced cap: at most {CLASS_CAP} docs per language,
+    deterministic preference order (doc_id). WindowGroupLimit pushes the
+    top-k below the shuffle, so per-class data never concentrates."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    w = W.partitionBy("lang").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CLASS_CAP)
+        .drop("rn")
+    )
