@@ -334,3 +334,47 @@ def rj_session_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         points, sessions, ["user_id"], "us", "session_start", "session_end",
         bucket_width=3_600_000_000,
     ).select("event_id", "user_id", "session_start")
+
+
+@query(
+    "time_multi_rollup",
+    oracle="""
+    SELECT CASE WHEN GROUPING(d) = 0 AND GROUPING(m) = 0 THEN 'day'
+                WHEN GROUPING(m) = 0 THEN 'month'
+                ELSE 'total' END AS grain,
+           COALESCE(CAST(CAST(d AS TIMESTAMP) AS VARCHAR),
+                    CAST(CAST(m AS TIMESTAMP) AS VARCHAR), 'ALL') AS bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (
+        SELECT date_trunc('day', ts) AS d, date_trunc('month', ts) AS m, value
+        FROM events
+    )
+    GROUP BY GROUPING SETS ((d, m), (m), ())
+    """,
+)
+def time_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup in ONE pass: day, month,
+    and grand-total aggregates via GROUPING SETS — one shuffle computes all
+    grains (the reference recomputes each dashboard granularity as its own
+    Mongo aggregate). The grain label derives from GROUPING() flags, so the
+    output is self-describing."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.date_trunc("month", F.col("ts")).alias("m"),
+        "value",
+    )
+    grain = (
+        F.when((F.grouping("d") == 0) & (F.grouping("m") == 0), "day")
+        .when(F.grouping("m") == 0, "month")
+        .otherwise("total")
+    )
+    bucket = F.coalesce(
+        F.col("d").cast("string"), F.col("m").cast("string"), F.lit("ALL")
+    )
+    return ev.groupingSets([["d", "m"], ["m"], []], "d", "m").agg(
+        grain.alias("grain"),
+        bucket.alias("bucket"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    ).select("grain", "bucket", "n_events", "total_value")
