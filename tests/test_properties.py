@@ -1,0 +1,128 @@
+"""Hypothesis property tests over generated inputs — invariants no example
+fixture can pin down (SURVEY.md §5.3).
+
+Each property runs few examples (Spark jobs are the cost), but every
+example is adversarially generated: duplicate keys, ties, empty groups,
+boundary timestamps.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12), min_size=1, max_size=25
+    )
+)
+@settings(**SETTINGS)
+def test_exact_dedup_partitions_input(spark, texts):
+    """Group sizes sum to the row count; exactly one canonical row per
+    group; canonical id is the group min."""
+    from pasardassist_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = exact_dedup(df, "text", "doc_id").collect()
+    assert len(out) == len(texts)
+    by_hash: dict[str, list] = {}
+    for r in out:
+        by_hash.setdefault(r.content_hash, []).append(r)
+    for rows in by_hash.values():
+        assert all(r.n_copies == len(rows) for r in rows)
+        canon = [r for r in rows if r.is_canonical]
+        assert len(canon) == 1
+        assert canon[0].doc_id == min(r.doc_id for r in rows)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    page_size=st.integers(min_value=1, max_value=15),
+)
+@settings(**SETTINGS)
+def test_pagination_partitions_any_set(spark, n, page_size):
+    """Pages are disjoint, cover the set, honor the total order, and
+    count_and_page's total equals the set size on every page."""
+    from pasardassist_spark.operators.pagination import count_and_page
+
+    df = spark.createDataFrame([(i, i % 7) for i in range(n)], "id long, grp long")
+    order = [F.desc("grp"), F.asc("id")]
+    seen: list[int] = []
+    page = 1
+    while True:
+        rows = count_and_page(df, order, page, page_size).collect()
+        assert all(r.total == n for r in rows)
+        seen.extend(r.id for r in rows)
+        if len(rows) < page_size:
+            break
+        page += 1
+    assert sorted(seen) == list(range(n))
+    assert len(seen) == len(set(seen))
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=10**6),  # ts micros
+            st.sampled_from(["click", "view", "signup", "purchase", "error"]),
+            st.floats(min_value=0, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    split=st.integers(min_value=0, max_value=100),
+)
+@settings(**SETTINGS)
+def test_entity_fold_merge_associativity(spark, events, split):
+    """fold(all) == merge(fold(part1), fold(part2)) for ANY split — the
+    invariant that makes streaming replay converge."""
+    from pasardassist_spark.operators.fold import (
+        fold_entity_state,
+        merge_entity_states,
+    )
+
+    rows = [
+        (i, u, ts, et, round(v, 2)) for i, (u, ts, et, v) in enumerate(events)
+    ]
+    schema = "event_id long, user_id long, us long, event_type string, value double"
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.timestamp_micros(F.col("us"))
+    )
+    cut = split % (len(rows) + 1)
+    a = df.filter(F.col("event_id") < cut)
+    b = df.filter(F.col("event_id") >= cut)
+    full = fold_entity_state(df)
+    if a.count() == 0 or b.count() == 0:
+        merged = fold_entity_state(df)
+    else:
+        merged = merge_entity_states(fold_entity_state(a), fold_entity_state(b))
+    canon = lambda d: sorted(map(str, d.select(*sorted(d.columns)).collect()))
+    assert canon(full) == canon(merged)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000)), min_size=1, max_size=40
+    )
+)
+@settings(**SETTINGS)
+def test_salted_latest_any_distribution(spark, vals):
+    """Two-phase argmax equals window argmax on arbitrary key/ts data
+    (duplicate timestamps broken by id: total order)."""
+    from pasardassist_spark.operators.latest import latest_per_key
+    from pasardassist_spark.operators.skew import salted_latest_per_key
+
+    rows = [(i, k, ts) for i, (k, ts) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, k long, ts long")
+    want = latest_per_key(df, ["k"], [F.desc("ts"), F.desc("id")])
+    got = salted_latest_per_key(df, ["k"], F.struct(F.col("ts"), F.col("id")), 3)
+    canon = lambda d: sorted(map(str, d.select(*sorted(d.columns)).collect()))
+    assert canon(want) == canon(got)
