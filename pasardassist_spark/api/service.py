@@ -38,6 +38,16 @@ def _to_wei(price: float | int | str):
     return F.lit(wei)
 
 
+def _keyword_filter(keyword: str, *cols: Column | str) -> Column:
+    """Case-insensitive substring match over any of ``cols`` (the
+    reference's `$regex ... $options: 'i'` filters)."""
+    kw = keyword.lower()
+    pred = F.lit(False)
+    for c in cols:
+        pred = pred | (F.instr(F.lower(F.col(c) if isinstance(c, str) else c), kw) > 0)
+    return pred
+
+
 def _order_recency() -> list[Column]:
     """Total order for "latest order per token" (SURVEY.md §7 tie-break)."""
     return [F.desc("createTime"), F.desc("blockNumber_ord"), F.desc("orderId")]
@@ -124,10 +134,8 @@ class PasarQueryService:
 
         # post-join token filters (J7, app.service.ts:651-670)
         if q.keyword:
-            kw = q.keyword.lower()
             joined = joined.filter(
-                (F.instr(F.lower("token_name"), kw) > 0)
-                | (F.instr(F.lower("token_description"), kw) > 0)
+                _keyword_filter(q.keyword, "token_name", "token_description")
             )
         if q.adult is not None:
             joined = joined.filter(F.coalesce(F.col("token_adult"), F.lit(False)) == q.adult)
@@ -180,13 +188,12 @@ class PasarQueryService:
         else:
             raise ValueError(f"unknown mode {mode!r}")
         if q.keyword:
-            kw = q.keyword.lower()
-            base = base.filter(
-                (F.instr(F.lower("name"), kw) > 0)
-                | (F.instr(F.lower("description"), kw) > 0)
-            )
+            base = base.filter(_keyword_filter(q.keyword, "name", "description"))
         return count_and_page(
-            base, [F.desc("createTime"), F.desc("tokenId")], q.page.page_num, q.page.page_size
+            base,
+            [F.desc("createTime"), F.desc("tokenId"), F.asc("uniqueKey")],
+            q.page.page_num,
+            q.page.page_size,
         )
 
     # -- transactions timeline (app.service.ts:966-1007, 2209-2250) ---------
@@ -408,13 +415,12 @@ class PasarQueryService:
             (F.col("chain") == chain) & (F.col("contract") == contract)
         )
         if keyword:
-            kw = keyword.lower()
-            base = base.filter(
-                (F.instr(F.lower("name"), kw) > 0)
-                | (F.instr(F.lower("description"), kw) > 0)
-            )
+            base = base.filter(_keyword_filter(keyword, "name", "description"))
         return count_and_page(
-            base, [F.desc("createTime"), F.desc("tokenId")], page.page_num, page.page_size
+            base,
+            [F.desc("createTime"), F.desc("tokenId"), F.asc("uniqueKey")],
+            page.page_num,
+            page.page_size,
         )
 
     # -- latest bids for a token's auction (app.service.ts:203-240) ----------
@@ -540,11 +546,7 @@ class PasarQueryService:
         if q.category:
             c = c.filter(F.col("data.category") == q.category)
         if q.keyword:
-            kw = q.keyword.lower()
-            c = c.filter(
-                (F.instr(F.lower("name"), kw) > 0)
-                | (F.instr(F.lower(F.col("data.description")), kw) > 0)
-            )
+            c = c.filter(_keyword_filter(q.keyword, "name", F.col("data.description")))
         stats = self.collection_stats().withColumnRenamed("chain", "s_chain")
         joined = c.join(
             stats,
@@ -645,17 +647,18 @@ class PasarQueryService:
             & (F.coalesce(F.col("tokenOwner"), F.lit("")) != BURN_ADDRESS)
         )
         if keyword:
-            kw = keyword.lower()
-            base = base.filter(
-                (F.instr(F.lower("name"), kw) > 0)
-                | (F.instr(F.lower("description"), kw) > 0)
-            )
+            base = base.filter(_keyword_filter(keyword, "name", "description"))
         return count_and_page(
-            base, [F.desc("createTime"), F.desc("tokenId")], page.page_num, page.page_size
+            base,
+            [F.desc("createTime"), F.desc("tokenId"), F.asc("uniqueKey")],
+            page.page_num,
+            page.page_size,
         )
 
     # -- DID profile lookup (app.service.ts:356-359) -------------------------
     def did_by_address(self, address: str) -> DataFrame:
+        if self.did_profiles is None:
+            raise ValueError("did_by_address requires a did_profiles frame")
         return self.did_profiles.filter(F.lower(F.col("address")) == address.lower())
 
     # -- token detail w/ latest order (app.service.ts:172-185) ---------------

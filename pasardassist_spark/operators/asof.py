@@ -36,8 +36,17 @@ def asof_join(
 ) -> DataFrame:
     """Backward as-of join: left rows gain ``value_cols`` from the latest
     right row (per ``keys``) with ``right_ts <= left_ts``; no match => null.
-    All of ``left``'s columns are preserved."""
+    All of ``left``'s columns are preserved.
+
+    Contract: ``value_cols`` must not collide with left's columns (checked);
+    right rows with a null timestamp are dropped (DuckDB ASOF semantics —
+    ``ts >= NULL`` never matches; without the drop they would sort first
+    and be carried onto everything)."""
     lcols = left.columns
+    clash = set(value_cols) & set(lcols)
+    if clash:
+        raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
+    right = right.filter(F.col(right_ts).isNotNull())
     l_tagged = left.select(
         *lcols,
         F.col(left_ts).alias("_ats"),

@@ -30,7 +30,11 @@ def range_join(
     bucket_width: int,
 ) -> DataFrame:
     """Inner join: each point row gains every interval row (same ``keys``)
-    with ``start <= ts <= end``. Timestamps are integral (e.g. micros)."""
+    with ``start <= ts <= end``. Timestamps are integral (e.g. micros).
+    Non-key column names must not overlap between the two sides (checked)."""
+    clash = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if clash:
+        raise ValueError(f"non-key columns exist on both sides: {sorted(clash)}")
     p = points.withColumn("_b", (F.col(ts_col) / bucket_width).cast("long"))
     iv = intervals.withColumn(
         "_b",

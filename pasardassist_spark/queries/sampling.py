@@ -5,10 +5,11 @@ disqualifier for dataset curation, where the same corpus snapshot must
 yield the same training set every time. Both ops here are deterministic
 pure-column math and therefore DuckDB-oracle-checkable:
 
-- ``samp_deterministic``: hash-gate sampling — keep a row iff
-  md5(id) mod 10000 < rate·10000. Per-row independent, stable under any
-  partitioning, composable (a 10% gate of a 50% gate is a 5% gate on
-  independent digests). The universal "hold out 1% of the corpus" op.
+- ``samp_deterministic``: hash-gate sampling — keep a row iff the first
+  16 bits of md5(id) fall below rate·65536 (so SAMPLE_BP=1000 of 10000
+  gives a ~9.999% gate, exact to 1/65536). Per-row independent, stable
+  under any partitioning, reproducible across engines. The universal
+  "hold out N% of the corpus" op.
 - ``samp_class_cap``: per-class cap — at most N documents per language,
   preferring (deterministically) the lowest doc_id. The class-balancing
   step every multilingual corpus build runs; window top-k per key, one
@@ -61,7 +62,7 @@ def samp_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def samp_class_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Class-balanced cap: at most {CLASS_CAP} docs per language,
+    """Class-balanced cap: at most CLASS_CAP (50) docs per language,
     deterministic preference order (doc_id). WindowGroupLimit pushes the
     top-k below the shuffle, so per-class data never concentrates."""
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")

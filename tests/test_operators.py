@@ -198,3 +198,19 @@ def test_range_join_no_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     # every event lands in exactly one session
     assert rj.count() == ev.count()
+
+
+def test_asof_join_null_ts_and_collision_guard(spark):
+    import pytest as _pytest
+
+    from pasardassist_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "a", 100)], "id long, k string, ts long")
+    right = spark.createDataFrame(
+        [("a", None, 5.0), ("a", 90, 1.0)], "k string, rts long, rate double"
+    )
+    # a null-timestamp right row must never match (DuckDB ASOF semantics)
+    (row,) = asof_join(left, right, ["k"], "ts", "rts", ["rate"]).collect()
+    assert row.rate == 1.0
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, ["k"], "ts", "rts", ["ts"])
