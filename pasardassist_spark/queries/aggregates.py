@@ -362,3 +362,30 @@ def a9_rarity_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_from_entries(F.array_sort(F.collect_list(F.struct("value", "cnt"))))
         ).alias("dist"),
     )
+
+
+@query(
+    "a13_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           MAX(value) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def a13_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event class — a capability the
+    reference lacks entirely (Mongo pre-5.2 had no $percentile; dashboards
+    show only sums/counts). Spark's exact `percentile` matches DuckDB's
+    quantile_cont semantics (linear interpolation), so the whole
+    distribution summary is oracle-checkable. At 100 TB swap to
+    approx_percentile (t-digest) — same query shape, bounded error."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.max("value").alias("vmax"),
+    )

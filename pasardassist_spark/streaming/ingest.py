@@ -224,3 +224,30 @@ def streaming_day_rollup(stream: DataFrame, watermark: str = "2 days") -> DataFr
         )
         .select(F.col("w.start").alias("day"), "n_events", "total_value", "approx_users")
     )
+
+
+def compact_state(spark: SparkSession, state_dir: str, files_per_bucket: int = 1) -> None:
+    """Maintenance: rewrite the latest generation with coalesced files.
+
+    The incremental merge writes up to shuffle-partitions files per touched
+    bucket per batch; after many micro-batches a bucket accumulates small
+    files (the classic streaming small-files problem — at 100 TB this is
+    what slowly kills scan throughput and NameNode/listing latency). This
+    job reads the latest committed generation and writes a new generation
+    with ``files_per_bucket`` files per bucket (one coalesced sort-free
+    rewrite, same commit-marker atomicity). Run it on a cadence, exactly
+    like a Delta OPTIMIZE."""
+    versions = _state_versions(state_dir)
+    if not versions:
+        return
+    cur = spark.read.parquet(os.path.join(state_dir, versions[-1]))
+    n_buckets = cur.select("bucket").distinct().count()
+    next_dir = next_version_dir(state_dir, versions)
+    (
+        cur.repartition(max(1, n_buckets * files_per_bucket), "bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(next_dir)
+    )
+    commit(next_dir)
+    apply_retention(state_dir, versions, 2)

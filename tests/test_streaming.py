@@ -222,3 +222,61 @@ def test_dynamic_registration_mid_stream(spark, sf_dir, tmp_path):
     }
     got_ids = {r.event_id for r in got.select("event_id").collect()}
     assert later_ids_chunk1 and later_ids_chunk1 <= got_ids
+
+
+def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    from pasardassist_spark.streaming.ingest import _state_versions, compact_state
+
+    ev = load(spark, sf_dir, "events")
+    raw = ev.withColumn("ts", F.expr("unix_micros(ts) * CAST(1000 AS BIGINT)"))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = raw.orderBy("event_id").collect()
+    third = len(rows) // 3 + 1
+    for i in range(3):
+        part = rows[i * third : (i + 1) * third]
+        if part:
+            staging = str(tmp_path / f"st{i}")
+            spark.createDataFrame(part, raw.schema).coalesce(4).write.parquet(staging)
+            for j, f in enumerate(x for x in os.listdir(staging) if x.endswith(".parquet")):
+                os.rename(os.path.join(staging, f), os.path.join(src, f"p{i}_{j}.parquet"))
+
+    state = str(tmp_path / "state")
+    stream = read_event_stream(spark, src, max_files_per_trigger=4)
+    q = maintain_latest_state(stream, state, str(tmp_path / "ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    def parquet_files(gen):
+        out = []
+        for root, _, files in os.walk(gen):
+            out += [f for f in files if f.endswith(".parquet")]
+        return out
+
+    # fragment the state: write a generation WITHOUT bucket colocation, the
+    # small-files condition a long-running stream accumulates
+    from pasardassist_spark.streaming.generations import commit, next_version_dir
+
+    cur = spark.read.parquet(os.path.join(state, _state_versions(state)[-1]))
+    frag_dir = next_version_dir(state)
+    cur.repartition(8).write.partitionBy("bucket").parquet(frag_dir)
+    commit(frag_dir)
+
+    before_dir = os.path.join(state, _state_versions(state)[-1])
+    assert before_dir == frag_dir
+    before = spark.read.parquet(before_dir)
+    n_before_rows = before.count()
+    n_before_files = len(parquet_files(before_dir))
+
+    compact_state(spark, state)
+
+    after_dir = os.path.join(state, _state_versions(state)[-1])
+    assert after_dir != before_dir  # new committed generation
+    n_after_files = len(parquet_files(after_dir))
+    assert n_after_files < n_before_files, (n_before_files, n_after_files)
+    got = read_state(spark, state)
+    assert got.count() == n_before_rows
+    want = latest_per_key(ev, ["user_id"], [F.desc("ts"), F.desc("event_id")])
+    assert sorted(map(str, got.select(*sorted(got.columns)).collect())) == sorted(
+        map(str, want.select(*sorted(want.columns)).collect())
+    )
