@@ -280,3 +280,50 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     assert sorted(map(str, got.select(*sorted(got.columns)).collect())) == sorted(
         map(str, want.select(*sorted(want.columns)).collect())
     )
+
+
+def test_stream_stream_attribution_equals_batch(spark, sf_dir, tmp_path):
+    from pasardassist_spark.streaming.attribution import (
+        attribution_batch,
+        attribution_stream,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    raw = ev.withColumn("ts", F.expr("unix_micros(ts) * CAST(1000 AS BIGINT)"))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = raw.orderBy("ts", "event_id").collect()
+    half = len(rows) // 2
+    for i, part in enumerate([rows[:half], rows[half:]]):
+        staging = str(tmp_path / f"sg{i}")
+        spark.createDataFrame(part, raw.schema).coalesce(1).write.parquet(staging)
+        (pq,) = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+        os.rename(os.path.join(staging, pq), os.path.join(src, f"p{i}.parquet"))
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    out = attribution_stream(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+    want_all = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in attribution_batch(ev).collect()
+    }
+    # append-mode stream emits once both watermarks pass; pairs near the end
+    # of the log may still be buffered when the stream stops — the emitted
+    # set must be a subset of batch and cover everything watermark-closed
+    assert got <= want_all
+    assert len(got) >= len(want_all) * 0.5, (len(got), len(want_all))
+    # no wrong pairs, no duplicates
+    assert len(got) == spark.sql("SELECT * FROM attrib").count()
