@@ -378,3 +378,29 @@ def time_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     ).select("grain", "bucket", "n_events", "total_value")
+
+
+@query(
+    "u3_attribution_join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value,
+           c.event_id AS click_id,
+           c.ts AS click_ts
+    FROM events p
+    JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    """,
+)
+def u3_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase→click attribution (30-min window): the batch twin of the
+    watermarked stream-stream interval join (streaming/attribution.py,
+    equivalence-tested in tests/test_streaming.py). The key+range condition
+    is what bounds streaming join state at 100 TB/day rates."""
+    from pasardassist_spark.streaming.attribution import attribution_batch
+
+    return attribution_batch(load(spark, sf_dir, "events"))
