@@ -226,7 +226,12 @@ def streaming_day_rollup(stream: DataFrame, watermark: str = "2 days") -> DataFr
     )
 
 
-def compact_state(spark: SparkSession, state_dir: str, files_per_bucket: int = 1) -> None:
+def compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    files_per_bucket: int = 1,
+    keep_generations: int = 2,
+) -> bool:
     """Maintenance: rewrite the latest generation with coalesced files.
 
     The incremental merge writes up to shuffle-partitions files per touched
@@ -234,20 +239,46 @@ def compact_state(spark: SparkSession, state_dir: str, files_per_bucket: int = 1
     files (the classic streaming small-files problem — at 100 TB this is
     what slowly kills scan throughput and NameNode/listing latency). This
     job reads the latest committed generation and writes a new generation
-    with ``files_per_bucket`` files per bucket (one coalesced sort-free
-    rewrite, same commit-marker atomicity). Run it on a cadence, exactly
-    like a Delta OPTIMIZE."""
+    with up to ``files_per_bucket`` files per bucket (a salt spreads each
+    bucket over that many write tasks, so a hot bucket keeps write and scan
+    parallelism). Run it on a cadence, like a Delta OPTIMIZE.
+
+    Concurrency: the new generation is staged in a temp dir and RENAMED
+    into its version slot — if a concurrent micro-batch committed that
+    version first, the rename fails and compaction ABORTS cleanly (returns
+    False; retry next cadence). It never overwrites another writer's
+    commit. ``keep_generations`` must match the stream's setting: retention
+    here must not delete history the pipeline is keeping for time travel —
+    and must leave enough generations that the concurrent stream's read of
+    the pre-compaction generation cannot be reaped mid-job.
+    """
     versions = _state_versions(state_dir)
     if not versions:
-        return
-    cur = spark.read.parquet(os.path.join(state_dir, versions[-1]))
-    n_buckets = cur.select("bucket").distinct().count()
+        return True
+    cur_dir = os.path.join(state_dir, versions[-1])
+    cur = spark.read.parquet(cur_dir)
+    # bucket count from the directory listing — no table scan
+    n_buckets = sum(1 for d in os.listdir(cur_dir) if d.startswith("bucket="))
+    if n_buckets == 0:
+        return True
     next_dir = next_version_dir(state_dir, versions)
+    tmp_dir = f"{next_dir}.compact-{os.getpid()}"
+    salt = F.pmod(F.hash(*[c for c in cur.columns if c != "bucket"]), F.lit(files_per_bucket))
     (
-        cur.repartition(max(1, n_buckets * files_per_bucket), "bucket")
+        cur.repartition(
+            max(1, n_buckets * files_per_bucket), F.col("bucket"), salt
+        )
         .write.partitionBy("bucket")
         .mode("overwrite")
-        .parquet(next_dir)
+        .parquet(tmp_dir)
     )
+    try:
+        os.rename(tmp_dir, next_dir)  # CAS: fails if the slot was taken
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        return False
     commit(next_dir)
-    apply_retention(state_dir, versions, 2)
+    apply_retention(state_dir, versions, keep_generations)
+    return True

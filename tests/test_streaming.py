@@ -19,6 +19,27 @@ from pasardassist_spark.streaming import (
 from pasardassist_spark.tables import load
 
 
+
+def _stage_chunks(spark, tmp_path, rows, schema, k, tag="chunk", coalesce=1):
+    """Write `rows` as k time-ordered parquet files in one flat source dir
+    (the shape the file-stream source consumes); returns the dir."""
+    src = str(tmp_path / f"{tag}_src")
+    os.makedirs(src, exist_ok=True)
+    size = len(rows) // k + 1
+    idx = 0
+    for i in range(k):
+        part = rows[i * size : (i + 1) * size]
+        if not part:
+            continue
+        staging = str(tmp_path / f"{tag}_stage{i}")
+        spark.createDataFrame(part, schema).coalesce(coalesce).write.parquet(staging)
+        for f in os.listdir(staging):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(staging, f), os.path.join(src, f"p{idx}.parquet"))
+                idx += 1
+    return src
+
+
 @pytest.fixture()
 def chunked_events(spark, sf_dir, tmp_path):
     """Events split into 4 time-ordered parquet chunks to force multiple
@@ -229,17 +250,8 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
 
     ev = load(spark, sf_dir, "events")
     raw = ev.withColumn("ts", F.expr("unix_micros(ts) * CAST(1000 AS BIGINT)"))
-    src = str(tmp_path / "src")
-    os.makedirs(src)
     rows = raw.orderBy("event_id").collect()
-    third = len(rows) // 3 + 1
-    for i in range(3):
-        part = rows[i * third : (i + 1) * third]
-        if part:
-            staging = str(tmp_path / f"st{i}")
-            spark.createDataFrame(part, raw.schema).coalesce(4).write.parquet(staging)
-            for j, f in enumerate(x for x in os.listdir(staging) if x.endswith(".parquet")):
-                os.rename(os.path.join(staging, f), os.path.join(src, f"p{i}_{j}.parquet"))
+    src = _stage_chunks(spark, tmp_path, rows, raw.schema, 3, tag="cpt", coalesce=4)
 
     state = str(tmp_path / "state")
     stream = read_event_stream(spark, src, max_files_per_trigger=4)
@@ -290,15 +302,8 @@ def test_stream_stream_attribution_equals_batch(spark, sf_dir, tmp_path):
 
     ev = load(spark, sf_dir, "events")
     raw = ev.withColumn("ts", F.expr("unix_micros(ts) * CAST(1000 AS BIGINT)"))
-    src = str(tmp_path / "src")
-    os.makedirs(src)
     rows = raw.orderBy("ts", "event_id").collect()
-    half = len(rows) // 2
-    for i, part in enumerate([rows[:half], rows[half:]]):
-        staging = str(tmp_path / f"sg{i}")
-        spark.createDataFrame(part, raw.schema).coalesce(1).write.parquet(staging)
-        (pq,) = [f for f in os.listdir(staging) if f.endswith(".parquet")]
-        os.rename(os.path.join(staging, pq), os.path.join(src, f"p{i}.parquet"))
+    src = _stage_chunks(spark, tmp_path, rows, raw.schema, 2, tag="attr")
 
     stream = read_event_stream(spark, src, max_files_per_trigger=1)
     out = attribution_stream(stream)
