@@ -13,7 +13,14 @@ explosion): tag and UNION both sides, then one window per key ordered by
 (ts, side) with ``last(value, ignorenulls=True)`` carrying each right value
 forward onto subsequent left rows. Cost: ONE hash shuffle of |left| +
 |right| rows and a per-key sort — the same price as the join itself; never
-the quadratic left×right-candidates a naive range join plans. Right rows
+the quadratic left×right-candidates a naive range join plans.
+
+Skew note: the window partitions by the join key, so a LOW-cardinality key
+(e.g. a handful of currencies) concentrates the sort on few tasks. For that
+shape, pre-bucket by time range instead (compose with
+``operators.rangejoin.range_join`` using the right side's validity
+intervals), or pick a composite key; the classic salting trick does NOT
+apply — the carry-forward needs all of a key's rows in one partition. Right rows
 sort BEFORE left rows at equal timestamps, so an exactly-at-ts right row is
 visible (inclusive <=, matching DuckDB's ASOF JOIN, which the driver oracle
 uses as the independent implementation).

@@ -109,3 +109,21 @@ def test_enrichment_prunes_payload_from_python(spark, sf_dir):
     assert m, "no MapInPandas stage found"
     n_cols, cols = int(m.group(1)), m.group(2)
     assert n_cols == 1 and "event_id" in cols, cols
+
+
+def test_attribution_join_not_nested_loop(spark, sf_dir):
+    """The stream-stream join's batch twin must plan the equi-key as a real
+    hash/merge join with the range as a post-condition — never a nested
+    loop over the cross product."""
+    p = plan(REGISTRY["u3_attribution_join"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_range_and_asof_single_shuffle_shapes(spark, sf_dir):
+    """rj: equi-join on (key, bucket) only; aj: exactly one window shuffle
+    over the unioned sides."""
+    p = plan(REGISTRY["rj_session_assign"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    p = plan(REGISTRY["aj_rate_asof"].fn(spark, sf_dir))
+    assert "Window" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
