@@ -37,7 +37,7 @@ HEADLINE = [
     "j6_region_rollup",
     "u1_union_timeline",
     "o3_top5_per_group",
-    "st4_latest_state",
+    "st4_entity_fold",
     "a9_event_type_pivot",
     "text_token_stats",
     "text_quality",
@@ -46,6 +46,13 @@ HEADLINE = [
     "dedup_simhash",
     "sim_cosine_topk",
     "mm_decode_features",
+    # round-3 additions (VERDICT directive 9): the time-series operator
+    # family gets regression numbers of its own.
+    "aj_rate_asof",
+    "rj_session_assign",
+    "sess_gap_sessionize",
+    "time_multi_rollup",
+    "u3_attribution_join",
 ]
 
 

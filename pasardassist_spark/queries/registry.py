@@ -30,6 +30,46 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# The driver checks only the FIRST `DRIVER_WINDOW` entries of `queries()` in
+# dict order.  Round 2 learned this the hard way: the registry grew past 50
+# and the whole timeseries module plus the text tail silently fell outside
+# the correctness gate.  `all_queries()` therefore emits entries in priority
+# order: anything NOT yet driver-verified (or changed since its last green
+# driver row) first, then the archived-green remainder.  A pytest guard
+# (tests/test_oracle_parity.py) fails if an unverified entry lands outside
+# the window.
+DRIVER_WINDOW = 50
+
+# Names with a green driver row in CORRECTNESS_r01/r02 (hash-green, or the
+# four rows-only-by-design entries the driver row-checked).  An entry stays
+# here only while its query code AND oracle are unchanged; when either is
+# edited, move the name to _FORCE_RECHECK for one round.
+_DRIVER_GREEN: frozenset[str] = frozenset({
+    "q1_pricing_summary", "a3_distinct_buyers", "a3_approx_distinct",
+    "a4_lowest_price", "a5_latest_event", "a7_earnings_case",
+    "a9_event_type_pivot", "a10_attribute_counts", "a11_collection_stats",
+    "a12_wallet_dashboard", "s5_royalty_fanout", "a9_rarity_map",
+    "a13_percentiles", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_embcos_exact",
+    "dedup_embcos_lsh", "s4_enrich_join", "a8_weighted_volume",
+    "st7_retry_enrichment", "mm_decode_features", "mm_resize_thumbs",
+    "mm_frame_sample", "dq_quality_checks", "p_project_compute",
+    "f_predicates", "f_keyword_search", "f8_key_tuples",
+    "j1_orders_customer", "j2_composite_key", "j3_latest_order_per_customer",
+    "j4_customers_no_orders", "j5_sale_flags", "j6_region_rollup",
+    "o1_sort_multikey", "o2_pagination", "o3_top5_per_group",
+    "o4_count_and_page", "u1_union_timeline", "u2_single_pass_classes",
+    "f6_attribute_filter", "samp_deterministic", "samp_class_cap",
+    "sim_cosine_topk", "sim_lsh_ann", "sim_ivf_ann", "text_token_stats",
+})
+
+# Entries whose implementation or oracle changed since their last green
+# driver row — treated as unverified for ordering until re-checked.
+_FORCE_RECHECK: frozenset[str] = frozenset({
+    # round 3: pairs query moved to 64-bit SimHash (VERDICT directive 6)
+    "dedup_simhash_pairs",
+})
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
@@ -41,14 +81,26 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def needs_driver_check(name: str) -> bool:
+    return name not in _DRIVER_GREEN or name in _FORCE_RECHECK
+
+
+def _ordered() -> list[str]:
+    """Registry names, never-driver-verified (and changed) entries first."""
+    names = list(REGISTRY)
+    return sorted(names, key=lambda n: (not needs_driver_check(n), names.index(n)))
+
+
 def all_queries() -> dict[str, QueryFn]:
     _load_all()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered()}
 
 
 def all_oracles() -> dict[str, str]:
     _load_all()
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+    return {
+        name: REGISTRY[name].oracle for name in _ordered() if REGISTRY[name].oracle
+    }
 
 
 _LOADED = False

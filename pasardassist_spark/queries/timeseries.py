@@ -42,20 +42,13 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "time_day_rollup",
-    oracle="""
-    SELECT date_trunc('day', ts) AS day,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-           COUNT(DISTINCT user_id) AS n_users
-    FROM events GROUP BY 1
-    """,
-)
-def time_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST3: tumbling-day rollup — the reference has only a query-time "today"
-    window (app.service.ts:282-287); this is the daily-volume gold table the
-    Spark engine maintains instead (streaming window() form in streaming/)."""
+def day_rollup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 batch twin: tumbling-day rollup with exact per-day countDistinct
+    (streaming aggs can't do exact distinct; the streaming form carries an
+    HLL sketch instead).  Registry-wise this is merged into
+    ``st3_stream_rollup`` — same oracle shape, the registered entry runs the
+    REAL streaming path, and the batch/streaming equality is pytest-checked
+    (tests/test_streaming.py)."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -102,31 +95,13 @@ def st1_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_state(spark, f"{tmp}/state")
 
 
-@query(
-    "st4_latest_state",
-    oracle="""
-    SELECT l.user_id, l.last_event_type, l.last_value, l.last_ts,
-           a.n_events, a.total_value
-    FROM (
-        SELECT user_id, event_type AS last_event_type, value AS last_value,
-               ts AS last_ts
-        FROM (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
-            ) AS rn FROM events
-        ) WHERE rn = 1
-    ) l JOIN (
-        SELECT user_id, COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        FROM events GROUP BY user_id
-    ) a ON l.user_id = a.user_id
-    """,
-)
-def st4_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST4/A6: entity state as latest-event-per-key — the order state machine
-    Created->{Filled,Cancelled} maintained by upserts (tasks.service.ts:
-    367-373, 585-591) is equivalently the argmax event per key; this batch
-    view is the invariant the streaming MERGE must reproduce (§5.2)."""
+def latest_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4/A6 batch view: entity state as latest-event-per-key (the order
+    state machine Created->{Filled,Cancelled}, tasks.service.ts:367-373,
+    585-591, is equivalently the argmax event per key).  Registry-wise this
+    is merged into ``st4_entity_fold``, whose associative fold subsumes the
+    argmax + per-key aggregates; kept as a helper for the replay-equals-batch
+    pytest (§5.2) and as the simplest statement of the invariant."""
     ev = load(spark, sf_dir, "events")
     latest = latest_per_key(ev, ["user_id"], [F.desc("ts"), F.desc("event_id")]).select(
         "user_id",

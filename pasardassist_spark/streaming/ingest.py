@@ -213,7 +213,7 @@ def maintain_entity_state(
 
 def streaming_day_rollup(stream: DataFrame, watermark: str = "2 days") -> DataFrame:
     """ST3: tumbling-day rollup with late-data watermark — the streaming
-    twin of queries/timeseries.time_day_rollup (equality tested in §5.2)."""
+    twin of queries/timeseries.day_rollup_batch (equality tested in §5.2)."""
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 day").alias("w"))

@@ -36,3 +36,35 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_driver_window_covers_unverified_entries():
+    """Registry hygiene guard (round-2 lesson): the driver correctness gate
+    checks only the first DRIVER_WINDOW entries of queries(); every entry
+    without an archived green driver row (or changed since it) MUST order
+    inside that window, or it silently escapes verification."""
+    from pasardassist_spark.queries.registry import (
+        DRIVER_WINDOW,
+        all_queries,
+        needs_driver_check,
+    )
+
+    names = list(all_queries())
+    escaped = [
+        n for i, n in enumerate(names) if needs_driver_check(n) and i >= DRIVER_WINDOW
+    ]
+    assert not escaped, (
+        f"{len(escaped)} unverified queries fall outside the driver's "
+        f"{DRIVER_WINDOW}-entry window: {escaped}. Either trim the registry "
+        "or extend _DRIVER_GREEN only with names that have a green "
+        "CORRECTNESS row."
+    )
+
+
+def test_archive_names_exist():
+    """Every archived name must still be a registered query (catches renames
+    that would silently mark a new query as verified)."""
+    from pasardassist_spark.queries.registry import _DRIVER_GREEN, _FORCE_RECHECK
+
+    missing = (_DRIVER_GREEN | _FORCE_RECHECK) - set(REGISTRY)
+    assert not missing, f"archived names not in registry: {sorted(missing)}"

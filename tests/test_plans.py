@@ -58,7 +58,7 @@ def test_pagination_plans_global_limit_not_full_sort(spark, sf_dir):
 def test_hot_queries_stay_in_codegen(spark, sf_dir):
     """AQE finalizes the physical plan at execution time, so run the query
     and assert codegen spans (*(n) markers) in the executed plan."""
-    for name in ("q1_pricing_summary", "a12_wallet_dashboard", "time_day_rollup"):
+    for name in ("q1_pricing_summary", "a12_wallet_dashboard", "time_multi_rollup"):
         df = REGISTRY[name].fn(spark, sf_dir)
         df.collect()
         p = df._jdf.queryExecution().executedPlan().toString()
