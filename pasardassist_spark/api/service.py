@@ -53,6 +53,15 @@ def _order_recency() -> list[Column]:
     return [F.desc("createTime"), F.desc("blockNumber_ord"), F.desc("orderId")]
 
 
+def _with_block_order(df: DataFrame) -> DataFrame:
+    """blockNumber_ord for _order_recency(): the real blockNumber when the
+    frame carries one, else a constant (fixtures without block columns fall
+    back to the (createTime, orderId) tie-break)."""
+    if "blockNumber" in df.columns:
+        return df.withColumnRenamed("blockNumber", "blockNumber_ord")
+    return df.withColumn("blockNumber_ord", F.lit(0))
+
+
 def _chain_filter(chain: str | None) -> Column:
     """Chain aliasing: ELA queries include the V1 legacy marketplace
     (app.service.ts:543-545, 1693-1698)."""
@@ -160,9 +169,7 @@ class PasarQueryService:
             base = t.filter(F.col("tokenMinter") == q.wallet)
         elif mode == "listed":
             latest = latest_per_key(
-                self.orders.withColumnRenamed("blockNumber", "blockNumber_ord")
-                if "blockNumber" in self.orders.columns
-                else self.orders.withColumn("blockNumber_ord", F.lit(0)),
+                _with_block_order(self.orders),
                 ["uniqueKey"],
                 _order_recency(),
             )
@@ -261,6 +268,119 @@ class PasarQueryService:
             .limit(k)
         )
 
+    # -- search variants (app.controller.ts:208-217) -------------------------
+    def _token_search_predicate(self, keyword: str) -> Column:
+        """The searchTokens $or (app.service.ts:1369-1380): exact id/address
+        hits plus case-insensitive substring over names/descriptions."""
+        return (
+            (F.col("royaltyOwner") == keyword)
+            | (F.col("tokenId") == keyword)
+            | (F.col("tokenIdHex") == keyword)
+            | (F.col("tokenOwner") == keyword)
+            | _keyword_filter(
+                keyword, "name", "description", "creator.name", "creator.description"
+            )
+        )
+
+    def search_tokens(self, keyword: str) -> DataFrame:
+        """searchTokens (app.service.ts:1366-1384): the full-projection token
+        search — same predicate family as quick_search, no limit, ordered
+        for a stable page."""
+        return self.tokens.filter(self._token_search_predicate(keyword)).orderBy(
+            F.desc("createTime"), F.desc("tokenId"), F.asc("uniqueKey")
+        )
+
+    def search_marketplace(self, keyword: str) -> DataFrame:
+        """searchMarketplace (app.service.ts:1386-1460): two branches unioned
+        — (A) matching tokens whose LATEST order is Created (J3 keystone:
+        latest_per_key then join, never the lookup sub-pipeline's
+        global-dedup round trip), and (B) Created orders whose seller
+        matches (exact address, or resolved profile name when the DID dim is
+        loaded — the reference's denormalized sellerInfo.name), each carrying
+        both order and token columns. One lazy plan replaces the reference's
+        two aggregates + Node-side concat."""
+        latest = latest_per_key(
+            _with_block_order(self.orders), ["uniqueKey"], _order_recency()
+        )
+        o_cols = [
+            F.col("orderId"), F.col("chain").alias("order_chain"),
+            F.col("uniqueKey"), F.col("orderType"), F.col("orderState"),
+            F.col("price"), F.col("sellerAddr"), F.col("createTime").alias("order_createTime"),
+        ]
+        t = self.tokens.select(
+            F.col("uniqueKey").alias("t_uniqueKey"),
+            F.col("name").alias("token_name"),
+            F.col("tokenId").alias("token_tokenId"),
+            F.col("tokenOwner").alias("token_owner"),
+            F.col("createTime").alias("token_createTime"),
+        )
+        # branch A: token matches with their latest order, kept if on sale
+        a = (
+            self.tokens.filter(self._token_search_predicate(keyword))
+            .select("uniqueKey", "name", "tokenId", "tokenOwner", "createTime")
+            .join(
+                latest.select(*o_cols).withColumnRenamed("uniqueKey", "o_uniqueKey"),
+                F.col("uniqueKey") == F.col("o_uniqueKey"),
+                "left",
+            )
+            .filter(F.col("orderState") == ORDER_STATE_CREATED)
+            .select(
+                "orderId", "order_chain", "uniqueKey", "orderType", "orderState",
+                "price", "sellerAddr", "order_createTime",
+                F.col("name").alias("token_name"),
+                F.col("tokenId").alias("token_tokenId"),
+                F.col("tokenOwner").alias("token_owner"),
+                F.col("createTime").alias("token_createTime"),
+                F.lit("token_match").alias("matched_by"),
+            )
+        )
+        # branch B: created orders by matching seller, token attached
+        created = self.orders.filter(F.col("orderState") == ORDER_STATE_CREATED)
+        seller_pred = F.col("sellerAddr") == keyword
+        if self.did_profiles is not None:
+            prof = self.did_profiles.select(
+                F.col("address").alias("p_address"),
+                F.col("name").alias("p_name"),
+                F.col("description").alias("p_description"),
+            )
+            created = created.join(
+                F.broadcast(prof), F.col("sellerAddr") == F.col("p_address"), "left"
+            )
+            seller_pred = seller_pred | _keyword_filter(
+                keyword, "p_name", "p_description"
+            )
+        b = (
+            created.filter(seller_pred)
+            .select(*o_cols)
+            .join(t, F.col("uniqueKey") == F.col("t_uniqueKey"), "left")
+            .select(
+                "orderId", "order_chain", "uniqueKey", "orderType", "orderState",
+                "price", "sellerAddr", "order_createTime",
+                "token_name", "token_tokenId", "token_owner", "token_createTime",
+                F.lit("seller_match").alias("matched_by"),
+            )
+        )
+        return a.unionByName(b).orderBy(
+            F.desc("order_createTime"), F.desc("orderId"), F.asc("order_chain")
+        )
+
+    # -- V1 legacy market (app.service.ts:2394-2402) -------------------------
+    def v1_market_by_wallet(self, wallet: str, k: int = 5) -> DataFrame:
+        """getV1MarketNFTByWalletAddr: the wallet's live listings on the V1
+        legacy marketplace only (chain == 'v1' exactly — NOT the usual
+        ela->(ela,v1) aliasing; this endpoint is the V1-only complement),
+        newest 5. The reference's bare find+limit gets an explicit total
+        order so the page is deterministic."""
+        return (
+            self.orders.filter(
+                (F.col("sellerAddr") == wallet)
+                & (F.col("chain") == "v1")
+                & (F.col("orderState") == ORDER_STATE_CREATED)
+            )
+            .orderBy(F.desc("createTime"), F.desc("orderId"))
+            .limit(k)
+        )
+
     # -- collection statistics (tasks.common.ts:124-154 / §3.3) -------------
     def collection_stats(self) -> DataFrame:
         """One shuffle replaces 4 queries/collection x N collections."""
@@ -277,33 +397,97 @@ class PasarQueryService:
         )
         return tok.join(orD, ["chain", "contract"], "left")
 
-    # -- earnings (app.service.ts:282-341) -----------------------------------
+    # -- earnings (app.service.ts:276-341) -----------------------------------
     def earnings(self, wallet: str, today_start_s: int | None = None) -> DataFrame:
-        """Seller + royalty income via conditional sums over filled orders;
-        royalty fan-out is explode(arrays_zip(...)) (ST5)."""
-        filled = self.orders.filter(F.col("orderState") == ORDER_STATE_FILLED)
-        if today_start_s is not None:
-            filled = filled.filter(F.col("updateTime") >= today_start_s)
-        seller = filled.filter(F.col("sellerAddr") == wallet).select(
-            (F.col("filled") - F.coalesce(F.col("platformFee"), F.lit(0)).cast("decimal(38,0)"))
-            .alias("income"),
-            F.lit("sale").alias("income_type"),
-        )
-        royalties = (
-            filled.select(
-                F.explode(F.arrays_zip("royaltyOwners", "royaltyFees")).alias("r")
-            )
-            .filter(F.col("r.royaltyOwners") == wallet)
-            .select(
-                F.col("r.royaltyFees").cast("decimal(38,0)").alias("income"),
-                F.lit("royalty").alias("income_type"),
-            )
-        )
+        """Seller + royalty income totals: the aggregate form of the same
+        per-order CASE fold as `earnings_list` (the reference computes both
+        from one query, app.service.ts:322-339)."""
+        rows = self.earnings_list(wallet, page=None, today_start_s=today_start_s)
         return (
-            seller.unionByName(royalties)
+            rows.withColumn(
+                "income_type",
+                F.when(F.col("role") == "seller", "sale").otherwise("royalty"),
+            )
             .groupBy("income_type")
             .agg(F.sum("income").alias("total_income"))
         )
+
+    # -- earnings list (app.service.ts:276-341, isReturnList form) -----------
+    def earnings_list(
+        self,
+        wallet: str,
+        page: D.PageArgs | None = None,
+        today_start_s: int | None = None,
+    ) -> DataFrame:
+        """getEarnedListByAddress: the ROW-LEVEL earnings view — each filled
+        order involving the wallet (as seller or royalty owner) with its
+        computed income, token name/thumbnail attached, newest first.
+
+        Income fold mirrors the reference's client-side CASE
+        (app.service.ts:325-339), generalized to the royalty ARRAYS of the
+        Spark schema: gross = price for sales / filled for auctions; a
+        seller's income deducts the platform fee and royalties paid to
+        OTHERS (royalties routed back to the seller stay, exactly the
+        reference's royaltyOwner==sellerAddr branch); a pure royalty
+        recipient's income is their royalty share. Tokens join on uniqueKey
+        (the reference joins on bare tokenId — the same cross-chain
+        collision its other lookups have; deliberate fix, SURVEY §1.3)."""
+        filled = self.orders.filter(F.col("orderState") == ORDER_STATE_FILLED)
+        if today_start_s is not None:
+            filled = filled.filter(F.col("updateTime") >= today_start_s)
+
+        zero = F.lit(0).cast("decimal(38,0)")
+        roy_pairs = F.arrays_zip("royaltyOwners", "royaltyFees")
+        roy_to_wallet = F.coalesce(
+            F.aggregate(
+                F.filter(roy_pairs, lambda r: r["royaltyOwners"] == wallet),
+                zero,
+                lambda acc, r: acc + r["royaltyFees"].cast("decimal(38,0)"),
+            ),
+            zero,
+        )
+        roy_to_others = F.coalesce(
+            F.aggregate(
+                F.filter(roy_pairs, lambda r: r["royaltyOwners"] != wallet),
+                zero,
+                lambda acc, r: acc + r["royaltyFees"].cast("decimal(38,0)"),
+            ),
+            zero,
+        )
+        gross = F.when(F.col("orderType") == 1, F.col("price")).otherwise(
+            F.col("filled")
+        )
+        is_seller = F.col("sellerAddr") == wallet
+        income = F.when(
+            is_seller,
+            gross
+            - F.coalesce(F.col("platformFee"), F.lit(0)).cast("decimal(38,0)")
+            - roy_to_others,
+        ).otherwise(roy_to_wallet)
+        rows = (
+            filled.filter(is_seller | F.array_contains(F.col("royaltyOwners"), wallet))
+            .withColumn("income", income)
+            .withColumn(
+                "role", F.when(is_seller, F.lit("seller")).otherwise(F.lit("royalty"))
+            )
+        )
+        t = self.tokens.select(
+            F.col("uniqueKey").alias("t_uniqueKey"),
+            F.col("name").alias("token_name"),
+            F.col("data.thumbnail").alias("token_thumbnail"),
+        )
+        rows = (
+            rows.join(F.broadcast(t), rows.uniqueKey == t.t_uniqueKey, "left")
+            .select(
+                "orderId", "chain", "orderType", "orderState", "price", "filled",
+                "sellerAddr", "royaltyOwners", "royaltyFees", "platformFee",
+                "updateTime", "income", "role", "token_name", "token_thumbnail",
+            )
+        )
+        order = [F.desc("updateTime"), F.desc("orderId"), F.asc("chain")]
+        if page is None:
+            return rows.orderBy(*order)
+        return count_and_page(rows, order, page.page_num, page.page_size)
 
     # -- price history (app.service.ts:345-354, 1220-1227) -------------------
     def price_history(self, unique_key: str) -> DataFrame:
@@ -438,7 +622,9 @@ class PasarQueryService:
         )
         latest = (
             latest_per_key(
-                auctions.withColumn("blockNumber_ord", F.lit(0)),
+                # real block order when present — a token re-auctioned within
+                # one createTime tick must still resolve to the later auction
+                _with_block_order(auctions),
                 ["chain", "tokenId"],
                 _order_recency(),
             )
@@ -669,9 +855,7 @@ class PasarQueryService:
             & (F.col("tokenId") == token_id)
         )
         latest = latest_per_key(
-            self.orders.withColumnRenamed("blockNumber", "blockNumber_ord")
-            if "blockNumber" in self.orders.columns
-            else self.orders.withColumn("blockNumber_ord", F.lit(0)),
+            _with_block_order(self.orders),
             ["uniqueKey"],
             _order_recency(),
         ).select(

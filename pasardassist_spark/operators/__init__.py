@@ -1,4 +1,4 @@
-from pasardassist_spark.operators.asof import asof_join
+from pasardassist_spark.operators.asof import asof_join, asof_join_broadcast
 from pasardassist_spark.operators.fold import (
     fold_entity_state,
     fold_order_state,
@@ -16,6 +16,7 @@ __all__ = [
     "paginate",
     "count_and_page",
     "asof_join",
+    "asof_join_broadcast",
     "range_join",
     "salted_join",
     "salted_latest_per_key",

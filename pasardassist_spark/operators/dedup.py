@@ -12,11 +12,11 @@ Design for 100 TB:
   (band, signature). Candidate volume is sum over buckets of |bucket|^2;
   band width tunes the precision/recall trade, and AQE's skew handling
   splits pathological buckets.
-- **simhash_signatures** is pure column math: 32 constant-unrolled vote
-  aggregates in one groupBy(doc) (no ×32 amplification, all codegen'd);
-  near-dup lookup is then a Hamming-ball probe on the 32-bit signature via
-  exact 8-bit quarter blocks (pigeonhole guarantees recall for distance
-  <= 3) — provided by ``simhash_near_pairs``.
+- **simhash_signatures** is pure column math: ``bits`` (32/64)
+  constant-unrolled vote aggregates in one groupBy(doc) (no ×bits
+  amplification, all codegen'd); near-dup lookup is then a Hamming-ball
+  probe via exact ``bits/(max_hamming+1)``-wide bit-slice blocks
+  (pigeonhole guarantees recall) — provided by ``simhash_near_pairs``.
 - **jaccard_pairs** uses inverted-index blocking (join on shared shingles
   within a blocking key) rather than a cross join, the standard set-similarity
   join shape.
@@ -139,16 +139,25 @@ def _hex_digit_val(d: Column) -> Column:
     return F.conv(d, 16, 10).cast("int")
 
 
-def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """32-bit SimHash over distinct tokens (md5-derived bit planes).
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """``bits``-wide SimHash over distinct tokens (md5-derived bit planes).
 
-    Each token row feeds 32 constant-unrolled ±1 vote expressions (codegen'd
-    — a transform() lambda would fall to the interpreted path); a single
-    groupBy(doc) with 32 partial-aggregated sums tallies the votes, and the
-    majority bits fold into one BIGINT signature in the same pass. One
-    shuffle at O(docs × 32) — the token table is never multiplied ×32 by a
-    crossJoin. All integer math: deterministic under any partitioning.
+    Each token row feeds ``bits`` constant-unrolled ±1 vote expressions
+    (codegen'd — a transform() lambda would fall to the interpreted path); a
+    single groupBy(doc) with ``bits`` partial-aggregated sums tallies the
+    votes, and the majority bits fold into one BIGINT signature in the same
+    pass. One shuffle at O(docs × bits) — the token table is never
+    multiplied ×bits by a crossJoin. All integer math: deterministic under
+    any partitioning.
+
+    ``bits`` may be 32 (compact; saturates around ~100 M docs) or 64 (the
+    scale default for near-dup retrieval). 128 would need an array-of-2-longs
+    signature — md5 supplies the bit planes, but BIGINT holds only 64.
     """
+    if bits not in (32, 64):
+        raise ValueError(f"bits must be 32 or 64, got {bits}")
     toks = tokens(F.col(text_col))
     base = df.select(F.col(id_col), F.explode(F.array_distinct(toks)).alias("t")).withColumn(
         "h", F.md5(F.col("t"))
@@ -160,36 +169,49 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         bit = F.floor(val / F.lit(float(2 ** (3 - b % 4)))).cast("int") % 2
         return (bit * 2 - 1).cast("long")
 
-    aggs = [F.sum(vote(b)).alias(f"s_{b}") for b in range(SIMHASH_BITS)]
+    aggs = [F.sum(vote(b)).alias(f"s_{b}") for b in range(bits)]
     wide = base.groupBy(id_col).agg(*aggs)
     sig = F.lit(0).cast("long")
-    for b in range(SIMHASH_BITS):
-        weight = F.lit(1 << (SIMHASH_BITS - 1 - b)).cast("long")
+    for b in range(bits):
+        # shiftleft (not a Python literal) so bit 63 wraps to the sign bit —
+        # the distinct powers sum carry-free into the exact bit pattern.
+        weight = F.shiftleft(F.lit(1).cast("long"), bits - 1 - b)
         sig = sig + F.when(F.col(f"s_{b}") > 0, weight).otherwise(F.lit(0).cast("long"))
     return wide.select(F.col(id_col), sig.alias("simhash"))
 
 
-def simhash_near_pairs(sig: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: block on the four 8-bit quarters of the
-    signature. Pigeonhole: a pair within Hamming distance <= 3 differs in at
-    most 3 of the 4 quarters, so it agrees EXACTLY on at least one quarter —
-    the block join has guaranteed recall for the default radius. The full
-    Hamming distance is then verified on each candidate.
+def simhash_near_pairs(
+    sig: DataFrame, id_col: str, max_hamming: int = 3, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on ``max_hamming + 1`` equal-width
+    bit slices of the signature. Pigeonhole: a pair within Hamming distance
+    <= max_hamming differs in at most max_hamming slices, so it agrees
+    EXACTLY on at least one — the block join has guaranteed recall. The
+    full Hamming distance is then verified on each candidate.
 
-    Scale note: 8-bit quarters give only 256 buckets per quarter; for
-    billion-doc corpora raise SIMHASH_BITS (64/128) and keep block width
-    ~bits/(max_hamming+1) so buckets stay selective.
+    Block width is ``bits // (max_hamming + 1)`` (must divide evenly): at
+    32 bits that is 8-bit slices = 256 buckets per slice (fine to ~100 M
+    docs); at 64 bits, 16-bit slices = 65 536 buckets per slice — the
+    billion-doc setting. Raising ``bits`` and width together is the scale
+    rule; hot buckets beyond that are AQE skew-split territory.
     """
-    quarters = F.array(
+    n_blocks = max_hamming + 1
+    if bits % n_blocks:
+        raise ValueError(f"bits={bits} not divisible by max_hamming+1={n_blocks}")
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    slices = F.array(
         *[
             F.struct(
                 F.lit(q).alias("q"),
-                F.shiftright(F.col("simhash"), 8 * q).bitwiseAND(F.lit(255)).alias("key"),
+                # arithmetic shift then mask: sign-extension bits land above
+                # the mask, so negative (bit-63-set) signatures key correctly
+                F.shiftright(F.col("simhash"), width * q).bitwiseAND(F.lit(mask)).alias("key"),
             )
-            for q in range(4)
+            for q in range(n_blocks)
         ]
     )
-    blocks = sig.select(F.col(id_col), "simhash", F.explode(quarters).alias("blk")).select(
+    blocks = sig.select(F.col(id_col), "simhash", F.explode(slices).alias("blk")).select(
         F.col(id_col), "simhash", F.col("blk.q").alias("q"), F.col("blk.key").alias("key")
     )
     a = blocks.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "q", "key")

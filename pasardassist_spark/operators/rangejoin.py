@@ -35,6 +35,11 @@ def range_join(
     clash = (set(points.columns) & set(intervals.columns)) - set(keys)
     if clash:
         raise ValueError(f"non-key columns exist on both sides: {sorted(clash)}")
+    internal = {"_b"} & (set(points.columns) | set(intervals.columns))
+    if internal:
+        raise ValueError(
+            f"columns collide with range-join internal names: {sorted(internal)}"
+        )
     p = points.withColumn("_b", (F.col(ts_col) / bucket_width).cast("long"))
     iv = intervals.withColumn(
         "_b",

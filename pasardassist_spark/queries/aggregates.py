@@ -389,3 +389,22 @@ def a13_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.99)").alias("p99"),
         F.max("value").alias("vmax"),
     )
+
+
+@query("a13_percentiles_approx")  # no oracle: DuckDB's approx sketch differs;
+# bounded-error vs the exact form is asserted in tests/test_oracle_parity.py
+def a13_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of `a13_percentiles`: approx_percentile buffers a
+    bounded sketch per group instead of every value, so executor memory is
+    O(accuracy), not O(rows/group). Same output shape as the exact twin —
+    use the exact form as the oracle-checkable baseline at test scale, this
+    one in production; tests bound the divergence (quantile rank error
+    <= 1/accuracy)."""
+    ev = load(spark, sf_dir, "events")
+    acc = 10_000
+    return ev.groupBy("event_type").agg(
+        F.expr(f"approx_percentile(value, 0.5, {acc})").alias("p50"),
+        F.expr(f"approx_percentile(value, 0.9, {acc})").alias("p90"),
+        F.expr(f"approx_percentile(value, 0.99, {acc})").alias("p99"),
+        F.max("value").alias("vmax"),
+    )

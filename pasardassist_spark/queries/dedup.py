@@ -75,7 +75,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HEXVAL = "(instr('0123456789abcdef', {d}) - 1)"
 
-_SIMHASH_SIG_SQL = f"""
+
+def _simhash_sig_sql(bits: int) -> str:
+    """Signature CTE mirroring simhash_signatures(bits) — generated from the
+    same constants so the two sides cannot drift. DuckDB raises on
+    ``1 << 63``, so the 64-bit sign-bit weight is the min-long literal (the
+    same two's-complement pattern Spark's shiftleft wraps to)."""
+    if bits == 64:
+        weight = (
+            "CASE WHEN b = 0 THEN CAST(-9223372036854775808 AS BIGINT) "
+            f"ELSE CAST(1 AS BIGINT) << CAST({bits - 1} - b AS INTEGER) END"
+        )
+    else:
+        weight = f"CAST(1 AS BIGINT) << CAST({bits - 1} - b AS INTEGER)"
+    return f"""
     WITH tok AS (
         SELECT doc_id, md5(unnest(list_distinct({_TOKS}))) AS h
         FROM documents
@@ -84,17 +97,20 @@ _SIMHASH_SIG_SQL = f"""
         SELECT doc_id, b,
                SUM(CAST(floor({_HEXVAL.format(d="substr(h, CAST(b // 4 AS INTEGER) + 1, 1)")}
                    / power(2.0, 3 - (b % 4))) AS INTEGER) % 2 * 2 - 1) AS s
-        FROM tok CROSS JOIN (SELECT unnest(range(0, {D.SIMHASH_BITS})) AS b)
+        FROM tok CROSS JOIN (SELECT unnest(range(0, {bits})) AS b)
         GROUP BY doc_id, b
     ),
     sig AS (
         SELECT doc_id,
                CAST(SUM(CASE WHEN s > 0
-                        THEN CAST(1 AS BIGINT) << CAST({D.SIMHASH_BITS - 1} - b AS INTEGER)
+                        THEN {weight}
                         ELSE 0 END) AS BIGINT) AS simhash
         FROM votes GROUP BY doc_id
     )
 """
+
+
+_SIMHASH_SIG_SQL = _simhash_sig_sql(D.SIMHASH_BITS)
 
 
 @query("dedup_simhash", oracle=_SIMHASH_SIG_SQL + "SELECT doc_id, simhash FROM sig")
@@ -105,12 +121,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_signatures(d, "text", "doc_id")
 
 
+_PAIRS_BITS = 64  # the scale default: 16-bit slices = 65 536 buckets/slice
+
+
 @query(
     "dedup_simhash_pairs",
-    oracle=_SIMHASH_SIG_SQL
-    + """
+    oracle=_simhash_sig_sql(_PAIRS_BITS)
+    + f"""
     , blocks AS (
-        SELECT doc_id, simhash, q, (simhash >> (8 * q)) & 255 AS key
+        SELECT doc_id, simhash, q,
+               (simhash >> ({_PAIRS_BITS // 4} * q)) & {(1 << (_PAIRS_BITS // 4)) - 1} AS key
         FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS q)
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -121,13 +141,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: exact 8-bit quarter blocking (pigeonhole
-    guarantees recall for Hamming distance <= 3 over 4 quarters) + full
-    Hamming verify. The oracle re-derives the entire signature -> block ->
-    verify chain in SQL."""
+    """SimHash near-dup pairs at the 64-bit scale width: exact 16-bit
+    slice blocking (pigeonhole guarantees recall for Hamming distance <= 3
+    over 4 slices) + full Hamming verify. The oracle re-derives the entire
+    signature -> block -> verify chain in SQL at the same width. The 32-bit
+    signature query (`dedup_simhash`) stays as the compact variant; recall
+    at this width is additionally pytest-bounded vs brute force."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sig = D.simhash_signatures(d, "text", "doc_id")
-    return D.simhash_near_pairs(sig, "doc_id", max_hamming=3)
+    sig = D.simhash_signatures(d, "text", "doc_id", bits=_PAIRS_BITS)
+    return D.simhash_near_pairs(sig, "doc_id", max_hamming=3, bits=_PAIRS_BITS)
 
 
 @query(

@@ -253,9 +253,16 @@ def aj_rate_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     its timestamp (here a per-type daily stat as the deterministic feed —
     the reference's cached-latest-rate stamping, tasks.common.ts:94-122,
     made reproducible). The oracle is DuckDB's NATIVE ASOF JOIN — a fully
-    independent implementation of the operator, so the union+window form is
-    differentially verified, not self-checked."""
-    from pasardassist_spark.operators.asof import asof_join
+    independent implementation of the operator, so this is differentially
+    verified, not self-checked.
+
+    The join key (event_type) is ~5-valued, so this registers the
+    SCALE-SAFE strategy: the per-type daily rates are dim-sized, so they
+    compile into a dense broadcast lookup and the events fact table streams
+    through one broadcast hash join — zero shuffle, zero sort on the big
+    side (the union+window form would sort all events in ~5 tasks). Both
+    strategies are equivalence-tested in tests/test_operators.py."""
+    from pasardassist_spark.operators.asof import asof_join_broadcast
 
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "ts")
     rates = (
@@ -263,9 +270,9 @@ def aj_rate_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("rts"))
         .agg(F.count(F.lit(1)).alias("day_n"))
     )
-    return asof_join(ev, rates, ["event_type"], "ts", "rts", ["day_n"]).select(
-        "event_id", "event_type", "ts", "day_n"
-    )
+    return asof_join_broadcast(
+        ev, rates, ["event_type"], "ts", "rts", ["day_n"]
+    ).select("event_id", "event_type", "ts", "day_n")
 
 
 @query(

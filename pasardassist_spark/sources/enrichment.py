@@ -85,9 +85,10 @@ def enrich_events(events: DataFrame) -> DataFrame:
     header dim (join) + resolved metadata (S5: URI + parsed field, kept
     JVM-side — get_json_object/md5 are builtin exprs, no Python hot path).
 
-    Shuffle plan: receipts come back keyed by event_id (same key as events,
-    co-partitioned join); blocks is ~1/100th of events and joins on its own
-    key. No data column crosses into Python except the id batch.
+    Shuffle plan: receipts are joined back on event_id — one hash shuffle
+    of each side (mapInPandas output carries no partitioning Catalyst can
+    reuse); blocks is ~1/100th of events and joins on its own key. No data
+    column crosses into Python except the id batch.
     """
     receipts = fetch_receipts(events)
     blocks = derive_blocks(events)

@@ -46,6 +46,29 @@ def commit(gen_dir: str) -> None:
         pass  # the generation becomes visible only now
 
 
+def publish_staged(tmp_dir: str, state_dir: str, max_tries: int = 16) -> str:
+    """Atomically publish a fully staged (already commit-marked) generation
+    into the next free version slot via os.rename CAS — rename onto an
+    existing directory fails, so a committed generation can never be
+    overwritten. On a lost race (a concurrent compaction committed the slot
+    first) the publish retries with the next slot number; that is sound
+    only because compaction preserves logical state and there is ONE
+    streaming writer per state dir (the documented contract). A leftover
+    UNcommitted directory in a slot is a crashed pre-CAS writer's garbage
+    and is cleared."""
+    for _ in range(max_tries):
+        nxt = next_version_dir(state_dir)
+        if os.path.isdir(nxt) and not os.path.exists(os.path.join(nxt, COMMIT_MARKER)):
+            shutil.rmtree(nxt, ignore_errors=True)
+        try:
+            os.rename(tmp_dir, nxt)
+            return nxt
+        except OSError:
+            continue  # slot taken between listing and rename; re-derive
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    raise RuntimeError(f"could not publish staged generation after {max_tries} tries")
+
+
 def read_latest(spark: SparkSession, state_dir: str) -> DataFrame | None:
     vs = committed_versions(state_dir)
     if not vs:

@@ -25,10 +25,12 @@ unchanged. Generations also give the poor-man's time travel the reference
 lacks entirely.
 
 Crash safety: a generation only counts once its ``_COMMITTED`` marker
-exists, written AFTER both the Spark write and the hard-links complete —
-a crash mid-write leaves an ignored partial directory, never a truncated
-"latest" state (Spark's own ``_SUCCESS`` is insufficient because the links
-land after the job commit).
+exists, written after both the Spark write and the hard-links complete into
+a STAGING dir that is then os.rename()d into its version slot — a crash
+mid-write leaves an ignored staging directory, never a truncated "latest"
+state (Spark's own ``_SUCCESS`` is insufficient because the links land
+after the job commit), and the rename CAS means no writer — stream or
+compactor — can ever overwrite a committed generation.
 """
 
 from __future__ import annotations
@@ -46,6 +48,7 @@ from pasardassist_spark.streaming.generations import (
     committed_versions as _state_versions,
     link_tree as _link_tree,
     next_version_dir,
+    publish_staged,
 )
 
 # Raw parquet schema: ts arrives as long nanos (TIMESTAMP(NANOS) files read
@@ -104,6 +107,14 @@ def merge_into_bucketed_state(
     untouched buckets hard-link from the previous generation
     (O(batch + touched-state) I/O per batch). On Delta the body becomes a
     single MERGE INTO.
+
+    Publication is atomic: the generation is fully staged — Spark write,
+    hard-links, AND commit marker — in a temp dir, then os.rename()d into
+    its version slot (same CAS as compact_state). If a concurrent
+    compaction took the slot first, the rename fails and the merge retries
+    with the next slot; compaction preserves logical state, so the staged
+    content stays correct. A committed generation is therefore never
+    overwritten by anyone.
     """
     spark = batch_state.sparkSession
     delta = batch_state.withColumn("bucket", _bucket_of(keys))
@@ -118,19 +129,22 @@ def merge_into_bucketed_state(
         prev = spark.read.parquet(prev_dir)
         prev_touched = prev.filter(F.col("bucket").isin(touched))
         merged = combine(prev_touched, delta).withColumn("bucket", _bucket_of(keys))
-    # Write touched buckets into generation N+1 (repartitioned by key so the
-    # merge join and the next read are co-partitioned), link the rest, commit.
-    next_dir = next_version_dir(state_dir, versions)
+    # Stage generation N+1 (repartitioned by key so the merge join and the
+    # next read are co-partitioned), link untouched buckets, mark committed,
+    # then atomically publish into the next free version slot.
+    os.makedirs(state_dir, exist_ok=True)
+    tmp_dir = os.path.join(state_dir, f".merge-{os.getpid()}")
     merged.repartition(*keys).write.partitionBy("bucket").mode("overwrite").parquet(
-        next_dir
+        tmp_dir
     )
     if prev_dir is not None:
         touched_set = {f"bucket={b}" for b in touched}
         for d in os.listdir(prev_dir):
             if d.startswith("bucket=") and d not in touched_set:
-                _link_tree(os.path.join(prev_dir, d), os.path.join(next_dir, d))
-    commit(next_dir)
-    apply_retention(state_dir, versions, keep_generations)
+                _link_tree(os.path.join(prev_dir, d), os.path.join(tmp_dir, d))
+    commit(tmp_dir)  # marker rides inside the rename: publish is atomic
+    publish_staged(tmp_dir, state_dir)
+    apply_retention(state_dir, _state_versions(state_dir)[:-1], keep_generations)
 
 
 def maintain_latest_state(
@@ -272,6 +286,9 @@ def compact_state(
         .mode("overwrite")
         .parquet(tmp_dir)
     )
+    commit(tmp_dir)  # marker rides inside the rename: publish is atomic,
+    # so a concurrent reader can never observe the slot in an
+    # exists-but-uncommitted state
     try:
         os.rename(tmp_dir, next_dir)  # CAS: fails if the slot was taken
     except OSError:
@@ -279,6 +296,5 @@ def compact_state(
 
         shutil.rmtree(tmp_dir, ignore_errors=True)
         return False
-    commit(next_dir)
     apply_retention(state_dir, versions, keep_generations)
     return True

@@ -185,9 +185,89 @@ def test_collection_stats(svc):
 
 def test_earnings_fanout(svc):
     rows = {r.income_type: r.total_income for r in svc.earnings("alice").collect()}
-    assert rows["sale"] == Decimal(95)  # filled 100 - platformFee 5
+    # reference fold (app.service.ts:325-339): a SALE's gross is price (not
+    # filled), minus platform fee, minus royalties paid to others
+    assert rows["sale"] == Decimal(10**18) - 5 - 7
     dave = {r.income_type: r.total_income for r in svc.earnings("dave").collect()}
     assert dave["royalty"] == Decimal(7)
+
+
+def test_earnings_list_rows(spark, svc):
+    # alice: one filled order (order 5) as seller
+    rows = svc.earnings_list("alice", PageArgs(1, 10)).collect()
+    assert [r.orderId for r in rows] == [5]
+    r = rows[0]
+    assert r.role == "seller"
+    assert r.income == Decimal(10**18) - 5 - 7
+    assert r.token_name == "Ether Thing"
+    assert r.total == 1  # count+page in one pass
+    # dave: pure royalty recipient on the same order
+    (d,) = svc.earnings_list("dave", PageArgs(1, 10)).collect()
+    assert d.role == "royalty" and d.income == Decimal(7)
+    # bob bought, never sold or earned royalties: empty
+    assert svc.earnings_list("bob", PageArgs(1, 10)).count() == 0
+
+
+def test_earnings_list_self_royalty_branch(spark):
+    """The royaltyOwner==sellerAddr branch: platform fee deducted, own
+    royalty NOT deducted (app.service.ts:327-329); auctions use `filled` as
+    gross; multi-owner royalty arrays split per owner."""
+    orders = spark.createDataFrame(
+        [
+            # erin sells at auction, is also one of two royalty owners
+            _order(orderId=10, chain="ela", baseToken="c9", tokenId="9",
+                   uniqueKey="ela-c9-9", orderType=2, orderState=2,
+                   createTime=10, updateTime=20, filled=Decimal(1000),
+                   platformFee=20, sellerAddr="erin",
+                   royaltyOwners=["erin", "frank"], royaltyFees=[30, 40]),
+        ],
+        ORDERS_SCHEMA,
+    )
+    tokens = spark.createDataFrame([], TOKENS_SCHEMA)
+    s = PasarQueryService(tokens, orders)
+    (e,) = s.earnings_list("erin", PageArgs(1, 10)).collect()
+    assert e.income == Decimal(1000 - 20 - 40)  # own 30 kept, frank's 40 out
+    (f,) = s.earnings_list("frank", PageArgs(1, 10)).collect()
+    assert f.role == "royalty" and f.income == Decimal(40)
+
+
+def test_search_tokens_predicate_family(svc):
+    # substring over name/description + exact owner/id hits, one plan
+    assert {r.name for r in svc.search_tokens("cat").collect()} == {
+        "Cool Cat", "Legacy Cat"
+    }
+    assert {r.name for r in svc.search_tokens("alice").collect()} == {
+        "Cool Cat", "Ether Thing"  # exact tokenOwner hits
+    }
+    assert {r.name for r in svc.search_tokens("3").collect()} == {"Legacy Cat"}
+
+
+def test_search_marketplace_two_branches(svc):
+    # keyword hits tokens only: both on-sale cats via their LATEST Created
+    # order; the filled/cancelled history must not leak in
+    rows = svc.search_marketplace("cat").collect()
+    assert {(r.token_name, r.matched_by) for r in rows} == {
+        ("Cool Cat", "token_match"), ("Legacy Cat", "token_match")
+    }
+    # keyword hits a seller AND their owned token: both branches report
+    # (reference concats data1+data2 the same way)
+    rows = svc.search_marketplace("carol").collect()
+    assert {(r.token_name, r.matched_by) for r in rows} == {
+        ("Legacy Cat", "token_match"), ("Legacy Cat", "seller_match")
+    }
+    # a token whose latest order is Filled is NOT on the marketplace
+    assert not [
+        r for r in svc.search_marketplace("alice").collect()
+        if r.token_name == "Ether Thing"
+    ]
+
+
+def test_v1_market_by_wallet(svc):
+    rows = svc.v1_market_by_wallet("carol").collect()
+    assert [r.orderId for r in rows] == [4]
+    assert rows[0].chain == "v1"
+    # ela listings must NOT alias into the V1-only endpoint
+    assert svc.v1_market_by_wallet("alice").count() == 0
 
 
 def test_token_detail_latest_order(svc):

@@ -214,3 +214,90 @@ def test_asof_join_null_ts_and_collision_guard(spark):
     assert row.rate == 1.0
     with _pytest.raises(ValueError, match="collide"):
         asof_join(left, right, ["k"], "ts", "rts", ["ts"])
+    # a left frame already using an internal working name is rejected, not
+    # silently corrupted
+    bad = left.withColumn("_ats", F.lit(0))
+    with _pytest.raises(ValueError, match="internal"):
+        asof_join(bad, right, ["k"], "ts", "rts", ["rate"])
+
+
+def test_simhash64_blocking_is_complete(spark, sf_dir):
+    """At the 64-bit width the 16-bit-slice blocking must have PERFECT
+    recall vs brute force for Hamming <= 3 (pigeonhole), and signatures at
+    both widths must be deterministic across runs."""
+    from pasardassist_spark.operators import dedup as D
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = D.simhash_signatures(d, "text", "doc_id", bits=64)
+    rows = sig.collect()
+    sigs = {r.doc_id: r.simhash for r in rows}
+    assert sigs == {r.doc_id: r.simhash for r in sig.collect()}  # deterministic
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in D.simhash_near_pairs(sig, "doc_id", max_hamming=3, bits=64).collect()
+    }
+    assert got == brute, (
+        f"blocking missed {len(brute - got)} pairs / invented {len(got - brute)}"
+    )
+    # width/radius contract is enforced, not silently mis-bucketed
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        D.simhash_near_pairs(sig, "doc_id", max_hamming=2, bits=64)
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """NULL join keys must behave like an equi-join (never match) in BOTH
+    strategies — not group together as Window.partitionBy would."""
+    from pasardassist_spark.operators.asof import asof_join, asof_join_broadcast
+
+    left = spark.createDataFrame(
+        [(1, None, 100), (2, "a", 100)], "id long, k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [(None, 50, 7.0), ("a", 50, 1.0)], "k string, rts long, rate double"
+    )
+    for impl in (asof_join, asof_join_broadcast):
+        got = {r.id: r.rate for r in impl(left, right, ["k"], "ts", "rts", ["rate"]).collect()}
+        assert got[1] is None, f"{impl.__name__}: null-key left row matched"
+        assert got[2] == 1.0, f"{impl.__name__}: non-null key broken"
+
+
+def test_asof_join_broadcast_equivalence(spark, sf_dir):
+    """The dense-broadcast strategy must agree with the union+window
+    strategy row-for-row on the real rate-stamping shape, including left
+    rows far after the last right bucket and before the first."""
+    from pasardassist_spark.operators.asof import asof_join, asof_join_broadcast
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 205), (3, "a", 50), (4, "b", 100),
+         (5, "b", 10_000_000), (6, "a", 201), (7, "a", 200), (8, None, 100)],
+        "id long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("a", 100, 1.0), ("a", 200, 2.0), ("b", 150, 9.0), ("b", 151, 9.5)],
+        "k string, rts long, rate double",
+    )
+    for width in (7, 100, 1_000_000):  # sub-gap, typical, everything-in-one-bucket
+        a = sorted(map(tuple, asof_join(left, right, ["k"], "ts", "rts", ["rate"]).collect()))
+        b = sorted(map(tuple, asof_join_broadcast(
+            left, right, ["k"], "ts", "rts", ["rate"], bucket_width_us=width
+        ).collect()))
+        assert a == b, f"strategy divergence at bucket width {width}"
+    # and on the real events/rates shape at test scale
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    rates = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("rts"))
+        .agg(F.count(F.lit(1)).alias("day_n"))
+    )
+    a = asof_join(ev, rates, ["event_type"], "ts", "rts", ["day_n"])
+    b = asof_join_broadcast(ev, rates, ["event_type"], "ts", "rts", ["day_n"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -38,6 +38,39 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
+def test_a13_approx_within_rank_tolerance(spark, sf_dir):
+    """The approx_percentile twin's guarantee is in RANK space, not value
+    space (a heavy tail puts adjacent ranks far apart in value): the
+    fraction of group values at-or-below the approximate quantile must
+    bracket the target quantile. accuracy=10000 bounds the sketch's rank
+    error to 1e-4; the slack here is discreteness (approx returns a true
+    data value, so up to one tied run of values shifts the fraction)."""
+    from pyspark.sql import functions as F
+
+    from pasardassist_spark.tables import load
+
+    exact = {r.event_type: r for r in REGISTRY["a13_percentiles"].fn(spark, sf_dir).collect()}
+    approx = {r.event_type: r for r in REGISTRY["a13_percentiles_approx"].fn(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    ev = load(spark, sf_dir, "events").select("event_type", "value").cache()
+    counts = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    try:
+        for et, a in approx.items():
+            assert a.vmax == exact[et].vmax
+            n = counts[et]
+            for q, target in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+                v = getattr(a, q)
+                at_or_below, below = ev.filter(F.col("event_type") == et).agg(
+                    F.sum((F.col("value") <= v).cast("long")),
+                    F.sum((F.col("value") < v).cast("long")),
+                ).first()
+                eps = 1e-4 + 1.0 / n  # sketch error + one-rank discreteness
+                assert at_or_below / n >= target - eps, f"{et}.{q}={v} ranks too low"
+                assert below / n <= target + eps, f"{et}.{q}={v} ranks too high"
+    finally:
+        ev.unpersist()
+
+
 def test_driver_window_covers_unverified_entries():
     """Registry hygiene guard (round-2 lesson): the driver correctness gate
     checks only the first DRIVER_WINDOW entries of queries(); every entry

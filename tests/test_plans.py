@@ -120,10 +120,17 @@ def test_attribution_join_not_nested_loop(spark, sf_dir):
 
 
 def test_range_and_asof_single_shuffle_shapes(spark, sf_dir):
-    """rj: equi-join on (key, bucket) only; aj: exactly one window shuffle
-    over the unioned sides."""
+    """rj: equi-join on (key, bucket) only; aj: the registered query uses
+    the dense-broadcast strategy — the events fact side must stream through
+    a broadcast hash join with NO union+window (which would sort the whole
+    table in ~|event_type| tasks at scale; the round-2 perf-weak finding)."""
     p = plan(REGISTRY["rj_session_assign"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     p = plan(REGISTRY["aj_rate_asof"].fn(spark, sf_dir))
-    assert "Window" in p
+    assert "BroadcastHashJoin" in p
+    assert "Union" not in p, "asof fell back to the union+window strategy"
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # every remaining shuffle is on the dim-sized rates/dense side: the
+    # rates partial-agg, the tiny in-bucket/dense aggs, and the tiny carry
+    # window — never an exchange of the probe-side event rows.
+    assert shuffle_count(p) <= 4, p

@@ -332,3 +332,50 @@ def test_stream_stream_attribution_equals_batch(spark, sf_dir, tmp_path):
     assert len(got) >= len(want_all) * 0.5, (len(got), len(want_all))
     # no wrong pairs, no duplicates
     assert len(got) == spark.sql("SELECT * FROM attrib").count()
+
+
+def test_publish_staged_cas(tmp_path):
+    """The rename-CAS publish: never overwrites a committed generation
+    (retries into the next slot), clears crashed uncommitted garbage, and
+    the staged marker makes publication atomic."""
+    import os
+
+    from pasardassist_spark.streaming.generations import (
+        COMMIT_MARKER,
+        commit,
+        committed_versions,
+        publish_staged,
+    )
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+
+    def stage(name, payload):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        with open(os.path.join(d, "data.txt"), "w") as f:
+            f.write(payload)
+        commit(d)
+        return d
+
+    # first publish lands in v000001
+    publish_staged(stage("s1", "gen1"), state)
+    assert committed_versions(state) == ["v000001"]
+    # a competing committed generation takes v000002; publish must NOT
+    # overwrite it and must land in v000003
+    os.makedirs(os.path.join(state, "v000002"))
+    with open(os.path.join(state, "v000002", "data.txt"), "w") as f:
+        f.write("compacted")
+    commit(os.path.join(state, "v000002"))
+    publish_staged(stage("s2", "gen3"), state)
+    assert committed_versions(state) == ["v000001", "v000002", "v000003"]
+    with open(os.path.join(state, "v000002", "data.txt")) as f:
+        assert f.read() == "compacted"  # the committed slot survived intact
+    # crashed UNcommitted garbage in the next slot is cleared and replaced
+    os.makedirs(os.path.join(state, "v000004"))
+    with open(os.path.join(state, "v000004", "junk"), "w") as f:
+        f.write("partial")
+    publish_staged(stage("s3", "gen4"), state)
+    assert committed_versions(state)[-1] == "v000004"
+    assert not os.path.exists(os.path.join(state, "v000004", "junk"))
+    assert os.path.exists(os.path.join(state, "v000004", COMMIT_MARKER))
