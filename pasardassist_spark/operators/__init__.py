@@ -1,4 +1,5 @@
 from pasardassist_spark.operators.asof import asof_join, asof_join_broadcast
+from pasardassist_spark.operators.components import connected_components
 from pasardassist_spark.operators.fold import (
     fold_entity_state,
     fold_order_state,
@@ -17,6 +18,7 @@ __all__ = [
     "count_and_page",
     "asof_join",
     "asof_join_broadcast",
+    "connected_components",
     "range_join",
     "salted_join",
     "salted_latest_per_key",

@@ -1,0 +1,115 @@
+"""Connected components over a pair list — the last stage of every dedup
+pipeline: near-dup PAIRS (from MinHash/SimHash/Jaccard/embedding blocking)
+become duplicate CLUSTERS, and each cluster elects one canonical keeper.
+
+The reference deduplicates row-at-a-time with idempotent natural-key upserts
+(reference db.service.ts:154-160); at corpus scale the equivalent is a
+transitive closure over the near-dup graph, which has no single-pass SQL
+form — it is the one genuinely iterative algorithm in this repo.
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014) — the standard
+shuffle-based CC with O(log^2 n) round convergence INDEPENDENT of graph
+diameter. Naive min-label propagation needs O(diameter) rounds, and dedup
+graphs can chain (A~B~C~... with no direct A~C edge), so diameter is
+unbounded; the star algorithm is the scale-safe choice.
+
+Design for 100 TB:
+
+- Each round is two hash-shuffles (a groupBy(min) and a join per star
+  step) over the CURRENT edge set, which only shrinks toward one edge per
+  non-root node. No step ever materializes neighborhoods as arrays — hot
+  (high-degree) nodes stay row-shaped, so a 100M-duplicate cluster is an
+  AQE skew-split, not an executor OOM.
+- ``localCheckpoint(eager=True)`` after every round cuts the lineage —
+  without it, round k's plan nests k copies of the join DAG and the
+  optimizer re-plans an exponentially growing tree.
+- Convergence is detected by an order-insensitive signature
+  (bit_xor of xxhash64 over the distinct edge set + count — xor can't
+  overflow under ANSI mode): one tiny agg per round, no exceptAll
+  anti-join of two big sets.
+- The driver-side loop is O(log^2 n) actions — for a trillion-edge graph
+  that is ~40 rounds; each action is fully distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_INTERNAL = ("_u", "_v", "_m")
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 40
+) -> DataFrame:
+    """Resolve undirected ``(src, dst)`` pairs into components.
+
+    Returns ``(node, component)`` — one row per node that appears in any
+    edge, where ``component`` is the MINIMUM node id of its component (a
+    stable, deterministic cluster id under any partitioning). Nodes with no
+    edges don't appear; callers union singletons back (see
+    ``queries/dedup.py::dedup_clusters``).
+
+    Self-loops and null endpoints are dropped (a null id joins nothing,
+    matching equi-join semantics elsewhere in the repo).
+    """
+    clash = set(_INTERNAL) & set(edges.columns)
+    if clash:
+        raise ValueError(
+            f"edge columns collide with internal names: {sorted(clash)}"
+        )
+    # normalize: oriented u > v, distinct, no self-loops/nulls
+    e = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .filter(
+            F.col("_a").isNotNull() & F.col("_b").isNotNull() & (F.col("_a") != F.col("_b"))
+        )
+        .select(F.greatest("_a", "_b").alias("_u"), F.least("_a", "_b").alias("_v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig: tuple | None = None
+    for _ in range(max_iter):
+        # -- large-star: connect every strictly-larger neighbor of u to the
+        # minimum of u's full neighborhood (incl. u). Each undirected edge is
+        # seen from both endpoints; only the larger endpoint emits, so the
+        # edge count never grows.
+        sym = e.select("_u", "_v").union(
+            e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+        )
+        mins = (
+            sym.groupBy("_u")
+            .agg(F.min("_v").alias("_m"))
+            .withColumn("_m", F.least("_m", F.col("_u")))
+        )
+        large = (
+            sym.join(mins, "_u")
+            .filter(F.col("_v") > F.col("_u"))
+            # (v, m): v > u >= m, so the output stays oriented larger-first
+            .select(F.col("_v").alias("_u"), F.col("_m").alias("_v"))
+            .filter(F.col("_u") != F.col("_v"))
+        )
+        # -- small-star: on the (u > v)-oriented edges, rewire every smaller
+        # neighbor of u — and u itself — to u's minimum neighbor.
+        mins2 = large.groupBy("_u").agg(F.min("_v").alias("_m"))
+        small = (
+            large.join(mins2, "_u")
+            .select(F.col("_v").alias("_n"), "_m")
+            .union(mins2.select(F.col("_u").alias("_n"), "_m"))
+            .filter(F.col("_n") != F.col("_m"))
+            .select(F.col("_n").alias("_u"), F.col("_m").alias("_v"))
+            .distinct()
+        )
+        e = small.localCheckpoint(eager=True)  # cut lineage every round
+        sig = tuple(e.agg(F.bit_xor(F.xxhash64("_u", "_v")), F.count(F.lit(1))).first())
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    # fixpoint is a star per component, centered at the component minimum
+    return (
+        e.select(F.col("_u").alias("node"), F.col("_v").alias("component"))
+        .union(e.select(F.col("_v").alias("node"), F.col("_v").alias("component")))
+        .distinct()
+    )

@@ -1,0 +1,97 @@
+"""End-to-end corpus curation: the composition every training-data build
+runs — quality gate, language-ID agreement, exact dedup — as ONE declarative
+plan, demonstrating that the individual operators (queries/text.py,
+operators/dedup.py) fuse instead of materializing between stages.
+
+Plan shape (and why it scales): the quality score and language scores are
+pure column math, so Catalyst fuses them into the parquet scan projection
+and applies the row-local filters BEFORE the only shuffle — the
+content-hash window for dedup then re-partitions just the surviving rows.
+One shuffle total, at the filtered (not raw) row count; at 100 TB the
+quality/lang gates typically drop 30-60% of the corpus before any data
+moves.
+
+Dedup runs on the FILTERED pool by design (dedup the kept corpus, not the
+raw one): a low-quality copy of a kept document must not steal canonical
+status from the surviving copy.
+
+Oracle SQL is assembled from the SAME generated fragments as the individual
+text queries (stopword/marker constants, score weights), so the composite
+cannot drift from its parts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from pasardassist_spark.operators import dedup as D
+from pasardassist_spark.operators import text as X
+from pasardassist_spark.queries.registry import query
+from pasardassist_spark.queries.text import (
+    _lang_case_sql,
+    _LANG_SCORES_SQL,
+    _STOP_SQL,
+    _TOKS_SQL,
+)
+from pasardassist_spark.tables import load
+
+MIN_SCORE = 0.4  # keep medium-or-better quality (see text_quality buckets)
+
+
+@query(
+    "curate_corpus",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, text, n_tokens,
+               least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4
+                   + stop_ratio * 0.3 + ttr * 0.3 AS score,
+               {_lang_case_sql()} AS predicted_lang
+        FROM (
+            SELECT doc_id, lang, text,
+                   CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+                   CAST({_STOP_SQL} AS DOUBLE) / len({_TOKS_SQL}) AS stop_ratio,
+                   CAST(len(list_distinct({_TOKS_SQL})) AS DOUBLE)
+                       / len({_TOKS_SQL}) AS ttr,
+                   {_LANG_SCORES_SQL}
+            FROM documents
+        )
+    ),
+    kept AS (
+        SELECT doc_id, lang, n_tokens, score,
+               md5(lower(trim(text))) AS content_hash
+        FROM scored
+        WHERE score >= {MIN_SCORE} AND predicted_lang = lang
+    )
+    SELECT doc_id, lang, n_tokens, score
+    FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY content_hash) AS keep_id
+        FROM kept
+    )
+    WHERE doc_id = keep_id
+    """,
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline: quality >= MIN_SCORE, predicted language must
+    agree with the tagged language (the standard mislabeled-document drop),
+    then exact dedup keeps the minimum doc_id per content hash among the
+    SURVIVORS. Row-local gates run before the single content-hash shuffle."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = X.tokens(F.col("text"))
+    n_tok = X.token_count(toks)
+    stop_ratio = X.hits(toks, X.STOPWORDS).cast("double") / n_tok
+    ttr = X.distinct_token_count(toks).cast("double") / n_tok
+    score = X.quality_score(n_tok, stop_ratio, ttr)
+    pred = X.predict_lang(X.lang_scores(toks))
+    kept = (
+        d.withColumn("n_tokens", n_tok)
+        .withColumn("score", score)
+        .withColumn("predicted_lang", pred)
+        .filter((F.col("score") >= MIN_SCORE) & (F.col("predicted_lang") == F.col("lang")))
+        .withColumn("content_hash", D.content_hash(F.col("text")))
+    )
+    w = W.partitionBy("content_hash")
+    return (
+        kept.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "lang", "n_tokens", "score")
+    )

@@ -6,7 +6,7 @@ whole shingle->signature->bucket chain.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pasardassist_spark.operators import dedup as D
 from pasardassist_spark.operators.text import tokens
@@ -45,10 +45,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH sh AS ({_SHINGLES_SQL}),
+# Shared CTE chain: shingles -> min-hash permutations -> band signatures.
+# Both the pairs oracle and the clusters oracle build on the same text, so
+# the two cannot drift from each other or from the Spark-side constants.
+_MINHASH_CTES = f"""sh AS ({_SHINGLES_SQL}),
     mh AS (
         SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS mh
         FROM sh CROSS JOIN (SELECT unnest(range(0, {D.N_PERMS})) AS p)
@@ -58,12 +58,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, CAST(p // {D.N_PERMS // D.N_BANDS} AS INTEGER) AS band,
                string_agg(mh, '|' ORDER BY p) AS sig
         FROM mh GROUP BY 1, 2
-    )
+    )"""
+
+_MINHASH_PAIRS_SELECT = """
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bsig a JOIN bsig b ON a.band = b.band AND a.sig = b.sig
                            AND a.doc_id < b.doc_id
-    """,
-)
+    """
+
+
+@query("dedup_minhash_lsh", oracle=f"WITH {_MINHASH_CTES}{_MINHASH_PAIRS_SELECT}")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: 5-word shingles -> 8 seeded-md5
     min-hash permutations -> 4 bands x 2 rows -> bucket self-join. No
@@ -211,6 +215,57 @@ def dedup_embcos_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return cosine_pairs(emb, EMBCOS_TAU)
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS ({_MINHASH_PAIRS_SELECT}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    ),
+    cc AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    labeled AS (
+        SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM labeled
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the MinHash pair list: transitive closure via
+    alternating large-star/small-star connected components
+    (operators/components.py — O(log^2 n) shuffle rounds, diameter-proof),
+    then every document labeled with its cluster's minimum doc_id, cluster
+    size, and a canonical-keeper flag. Singletons are their own cluster.
+    The oracle recomputes the closure with a recursive CTE over the same
+    generated pair chain — a fully independent implementation (frontier
+    BFS) of the same fixpoint."""
+    from pasardassist_spark.operators.components import connected_components
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    labeled = (
+        d.select("doc_id")
+        .join(cc, F.col("doc_id") == F.col("node"), "left")
+        .select("doc_id", F.coalesce("component", F.col("doc_id")).alias("cluster_id"))
+    )
+    w = Window.partitionBy("cluster_id")
+    return labeled.withColumn("cluster_size", F.count(F.lit(1)).over(w)).withColumn(
+        "is_canonical", F.col("doc_id") == F.col("cluster_id")
+    )
 
 
 @query("dedup_embcos_lsh")  # seeded-PRNG hyperplanes not SQL-portable: rows-only

@@ -113,6 +113,7 @@ def _load_all() -> None:
         return
     from pasardassist_spark.queries import (  # noqa: F401
         aggregates,
+        curation,
         dedup,
         enrichment,
         multimodal,

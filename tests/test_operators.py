@@ -301,3 +301,65 @@ def test_asof_join_broadcast_equivalence(spark, sf_dir):
     a = asof_join(ev, rates, ["event_type"], "ts", "rts", ["day_n"])
     b = asof_join_broadcast(ev, rates, ["event_type"], "ts", "rts", ["day_n"])
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def _uf_components(edges):
+    """Union-find ground truth: {node: min-id-of-component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_vs_union_find(spark):
+    """The alternating-star CC must agree with a union-find ground truth on
+    a worst-case mix: a long chain (diameter >> log n — naive label
+    propagation territory), a star, random merges, duplicate + reversed
+    edges, and a null endpoint (dropped)."""
+    import random
+
+    from pasardassist_spark.operators.components import connected_components
+
+    rng = random.Random(7)
+    chain = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(120)]
+    star = [("s000", f"s{i:03d}") for i in range(1, 40)]
+    nodes = [f"r{i:03d}" for i in range(150)]
+    rand = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)]
+    edges = chain + star + rand
+    edges += [(b, a) for a, b in edges[:50]] + edges[:30]  # reversed + dupes
+    want = _uf_components(edges)
+    df = spark.createDataFrame(
+        edges + [(None, "x1"), ("x2", None)], "src string, dst string"
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(df, "src", "dst").collect()
+    }
+    # union-find keeps self-rooted singletons from self-loop-ish rand edges;
+    # the operator contract excludes edgeless nodes, so compare on got's keys
+    want = {n: c for n, c in want.items() if any(n in e for e in edges if e[0] != e[1])}
+    assert got == want
+    assert "x1" not in got and "x2" not in got  # null endpoints dropped
+
+
+def test_connected_components_guards(spark):
+    import pytest as _pytest
+
+    from pasardassist_spark.operators.components import connected_components
+
+    df = spark.createDataFrame([("a", "b")], "src string, _u string")
+    with _pytest.raises(ValueError, match="internal"):
+        connected_components(df, "src", "_u")
+    # empty edge set converges to an empty result
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert connected_components(empty, "src", "dst").count() == 0

@@ -134,3 +134,25 @@ def test_range_and_asof_single_shuffle_shapes(spark, sf_dir):
     # rates partial-agg, the tiny in-bucket/dense aggs, and the tiny carry
     # window — never an exchange of the probe-side event rows.
     assert shuffle_count(p) <= 4, p
+
+
+def test_curate_corpus_single_semantic_shuffle(spark, sf_dir):
+    """The curation composite must fuse: quality + lang gates evaluated at
+    the scan (before any exchange), then exactly one hash shuffle — the
+    content-hash dedup window. (The round-robin fan-out exchange is the
+    single-row-group testdata adapter, a no-op at scale.)"""
+    p = plan(REGISTRY["curate_corpus"].fn(spark, sf_dir))
+    assert p.count("hashpartitioning") == 1, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    # gates run below the shuffle: the hash exchange's input already carries
+    # the score/lang filter (no post-shuffle quality Filter)
+    pre = p.split("hashpartitioning")[0]
+    assert ">= 0.4" in pre, "quality gate did not fuse below the shuffle"
+
+
+def test_dedup_clusters_no_cartesian(spark, sf_dir):
+    """CC iterations are driver-side; the FINAL labeling plan must still be
+    shuffle-shaped: no cartesian/nested-loop anywhere, and the documents
+    side joins the (tiny, checkpointed) component map by hash."""
+    p = plan(REGISTRY["dedup_clusters"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
