@@ -154,6 +154,8 @@ def maintain_latest_state(
     keys: Sequence[str] = ("user_id",),
     order: Sequence[Column] | None = None,
     keep_generations: int = 2,
+    backend: str = "auto",
+    order_cols: Sequence[str] = ("ts", "event_id"),
 ) -> StreamingQuery:
     """foreachBatch MERGE: entity state = latest event per key (ST4).
 
@@ -165,11 +167,34 @@ def maintain_latest_state(
     batch key are re-merged and rewritten — untouched buckets are
     hard-linked from the previous generation, so per-batch I/O is
     O(batch + touched-state), not O(state).
+
+    ``backend`` selects the sink: ``"generations"`` = the portable
+    parquet generation store; ``"delta"`` = a transactional Delta
+    ``MERGE INTO`` (streaming/delta_sink.py; requires delta-spark, raises
+    otherwise); ``"auto"`` = delta when installed, else generations — the
+    same code deploys on a Delta cluster and in this container. The delta
+    path derives its MERGE condition from ``order_cols`` (the string-column
+    form of the default ``order`` argmax); a custom ``order`` needs
+    matching ``order_cols``.
     """
+    if backend not in ("auto", "generations", "delta"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend == "auto":
+        from pasardassist_spark.streaming.delta_sink import delta_available
+
+        backend = "delta" if delta_available() else "generations"
 
     def _merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        ordering = order or [F.desc("ts"), F.desc("event_id")]
+        ordering = order or [F.desc(c) for c in order_cols]
         batch_latest = latest_per_key(batch_df, list(keys), ordering)
+
+        if backend == "delta":
+            from pasardassist_spark.streaming.delta_sink import (
+                merge_latest_into_delta,
+            )
+
+            merge_latest_into_delta(batch_latest, state_dir, keys, order_cols)
+            return
 
         def combine(prev: DataFrame, delta: DataFrame) -> DataFrame:
             return latest_per_key(

@@ -379,3 +379,57 @@ def test_publish_staged_cas(tmp_path):
     assert committed_versions(state)[-1] == "v000004"
     assert not os.path.exists(os.path.join(state, "v000004", "junk"))
     assert os.path.exists(os.path.join(state, "v000004", COMMIT_MARKER))
+
+
+def test_delta_sink_gating():
+    """Without delta-spark: auto falls back to generations, explicit delta
+    raises a clear error, and the MERGE ordering condition is the exact
+    lexicographic expansion of the argmax tuple."""
+    import pytest
+
+    from pasardassist_spark.streaming.delta_sink import (
+        _lex_greater,
+        delta_available,
+    )
+
+    assert _lex_greater("s", "t", ["ts"]) == "(s.ts > t.ts)"
+    assert _lex_greater("s", "t", ["ts", "event_id"]) == (
+        "(s.ts > t.ts) OR (s.ts = t.ts AND s.event_id > t.event_id)"
+    )
+    if delta_available():
+        pytest.skip("delta installed: gating negative-path not applicable")
+    from pasardassist_spark.streaming.delta_sink import merge_latest_into_delta
+
+    with pytest.raises(RuntimeError, match="delta-spark is not installed"):
+        merge_latest_into_delta(None, "/tmp/nowhere", ["k"])
+    with pytest.raises(ValueError, match="unknown backend"):
+        from pasardassist_spark.streaming.ingest import maintain_latest_state
+
+        maintain_latest_state(None, "", "", backend="bogus")
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "pasardassist_spark.streaming.delta_sink", fromlist=["delta_available"]
+    ).delta_available(),
+    reason="delta-spark not installed (container); runs on a Delta cluster",
+)
+def test_delta_merge_replay_idempotent(spark, tmp_path):
+    """Delta path: same byte-identity/replay contract as the generational
+    store — merging a batch twice is a no-op, later ordering tuples win."""
+    from pasardassist_spark.streaming.delta_sink import merge_latest_into_delta
+
+    path = str(tmp_path / "delta_state")
+    b1 = spark.createDataFrame(
+        [("u1", 100, 1, "a"), ("u2", 100, 1, "b")],
+        "user_id string, ts long, event_id long, v string",
+    )
+    merge_latest_into_delta(b1, path, ["user_id"])
+    merge_latest_into_delta(b1, path, ["user_id"])  # replay: no-op
+    b2 = spark.createDataFrame(
+        [("u1", 100, 2, "c"), ("u3", 50, 1, "d")],
+        "user_id string, ts long, event_id long, v string",
+    )
+    merge_latest_into_delta(b2, path, ["user_id"])
+    got = {r.user_id: r.v for r in spark.read.format("delta").load(path).collect()}
+    assert got == {"u1": "c", "u2": "b", "u3": "d"}
