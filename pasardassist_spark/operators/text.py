@@ -99,19 +99,28 @@ def lang_scores(toks: Column) -> dict[str, Column]:
 def predict_lang(scores: dict[str, Column]) -> Column:
     """Argmax over marker-hit counts; ties resolve in LANG_MARKERS order.
 
-    CASE evaluates in declaration order, so branch i only needs ``score_i >=
-    score_j`` for the *later* languages j: if an earlier language were the
-    max, its own branch would already have fired.
+    Implemented as ``array_max`` over (score, -position, lang) structs —
+    struct comparison is lexicographic, so the max is the highest score,
+    earliest-declared on ties. Crucially each score expression appears
+    EXACTLY ONCE: the score columns are lambda-bearing higher-order
+    functions, which Spark's subexpression elimination skips
+    (LambdaVariable binding), so the equivalent pairwise CASE re-evaluates
+    every referenced score per comparison — ~4 full token-array traversals
+    per row for 5 languages. Single-reference argmax is the fused-scan
+    form that stays cheap at 100 TB.
     """
     langs = list(LANG_MARKERS)
-    expr = None
-    for i, lang in enumerate(langs[:-1]):
-        cond = None
-        for other in langs[i + 1 :]:
-            c = scores[lang] >= scores[other]
-            cond = c if cond is None else (cond & c)
-        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
-    return expr.otherwise(langs[-1])
+    candidates = F.array(
+        *[
+            F.struct(
+                scores[lang].alias("s"),
+                F.lit(-i).alias("np"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    return F.array_max(candidates).getField("lang")
 
 
 def fingerprint(toks: Column, shingle_len: int = 5) -> Column:
