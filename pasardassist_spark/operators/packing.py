@@ -1,0 +1,101 @@
+"""Sequence packing for training-data pipelines: assign documents to
+fixed-token-budget training sequences by concat-and-chunk — documents are
+laid out in a deterministic global order and the stream of tokens is cut
+every ``budget`` tokens (the standard GPT-style packing layout; a document
+straddling a cut is flagged so the tokenizer stage can split or re-pad it).
+
+The core primitive is a GLOBAL EXCLUSIVE PREFIX SUM over a deterministic
+order. The naive form — ``Window.orderBy(key)`` with no partitionBy — is a
+single-partition sort: one task holds the whole corpus, the classic
+100 TB wall. This module implements the distributed two-phase prefix sum
+instead:
+
+1. range-bucket rows by the (monotone) order key — bucket boundaries are
+   derived from the key's min/max, a 2-long metadata agg, NOT a sample, so
+   the layout is deterministic under any partitioning;
+2. cumsum WITHIN each bucket (hash-partitioned window, all buckets in
+   parallel);
+3. cumsum the per-bucket totals (a second window over n_buckets rows —
+   driver-scale metadata) and broadcast-join each bucket's global offset
+   back.
+
+Cost: one shuffle of the rows (bucket hash) + one tiny broadcast. The
+DuckDB oracle computes the same prefix sum with a plain global window —
+a fully independent implementation, so the two-phase machinery is
+differentially verified, not self-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+_INTERNAL = ("_pb", "_run", "_boff", "_btot")
+
+
+def exclusive_prefix_sum(
+    df: DataFrame,
+    key: str,
+    value: str,
+    out: str = "cum_before",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Add ``out`` = sum of ``value`` over all rows with a strictly smaller
+    ``key`` (exclusive running total in global ``key`` order).
+
+    Contract: ``key`` must be numeric, non-null, and UNIQUE (ties would
+    make "before" ambiguous); ``value`` must be non-negative. At scale,
+    pick ``n_buckets`` ~ cluster cores so each range bucket sorts locally.
+    """
+    clash = set(_INTERNAL) & set(df.columns)
+    if clash:
+        raise ValueError(f"columns collide with internal names: {sorted(clash)}")
+    bounds = df.agg(F.min(key), F.max(key)).first()
+    if bounds[0] is None:
+        return df.withColumn(out, F.lit(0).cast("long"))
+    lo, hi = bounds
+    span = max(1, (int(hi) - int(lo)) // n_buckets + 1)
+    b = F.floor((F.col(key) - F.lit(int(lo))) / F.lit(span)).cast("int")
+    with_b = df.withColumn("_pb", b)
+    # phase 1: inclusive cumsum within each range bucket (parallel)
+    w_in = W.partitionBy("_pb").orderBy(key)
+    local = with_b.withColumn("_run", F.sum(value).over(w_in))
+    # phase 2: bucket offsets — n_buckets rows, a metadata-sized window
+    w_off = W.orderBy("_pb").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        with_b.groupBy("_pb")
+        .agg(F.sum(value).alias("_btot"))
+        .withColumn("_boff", F.coalesce(F.sum("_btot").over(w_off), F.lit(0)))
+        .drop("_btot")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pb")
+        .withColumn(out, (F.col("_boff") + F.col("_run") - F.col(value)).cast("long"))
+        .drop(*_INTERNAL)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    key: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Concat-and-chunk packing: lay documents end-to-end in ``key`` order
+    and cut a training sequence every ``budget`` tokens.
+
+    Adds ``seq_id`` (which sequence this document starts in), ``seq_offset``
+    (token position within that sequence), and ``crosses_boundary`` (true
+    when the document straddles a cut and needs splitting downstream).
+    Deterministic under any partitioning — same corpus, same layout.
+    """
+    out = exclusive_prefix_sum(df, key, token_col)
+    cum = F.col("cum_before")
+    tok = F.col(token_col)
+    return (
+        out.withColumn("seq_id", F.floor(cum / budget).cast("long"))
+        .withColumn("seq_offset", F.pmod(cum, F.lit(budget)).cast("long"))
+        .withColumn(
+            "crosses_boundary",
+            F.floor((cum + tok - 1) / budget).cast("long") > F.col("seq_id"),
+        )
+    )

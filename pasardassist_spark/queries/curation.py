@@ -36,6 +36,7 @@ from pasardassist_spark.queries.text import (
 from pasardassist_spark.tables import load
 
 MIN_SCORE = 0.4  # keep medium-or-better quality (see text_quality buckets)
+PACK_BUDGET = 512  # tokens per packed training sequence
 
 
 @query(
@@ -95,3 +96,44 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("keep_id"))
         .select("doc_id", "lang", "n_tokens", "score")
     )
+
+
+@query(
+    "pack_training_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM t
+    )
+    SELECT doc_id, n_tokens, cum_before,
+           cum_before // {PACK_BUDGET} AS seq_id,
+           cum_before % {PACK_BUDGET} AS seq_offset,
+           (cum_before + n_tokens - 1) // {PACK_BUDGET}
+               > cum_before // {PACK_BUDGET} AS crosses_boundary
+    FROM c
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: documents laid end-to-end in doc_id
+    order, a training sequence cut every PACK_BUDGET tokens; each doc gets
+    its sequence id, in-sequence offset, and a straddles-the-cut flag.
+    The global prefix sum runs as the DISTRIBUTED two-phase form
+    (operators/packing.py — range-bucketed parallel cumsum + broadcast
+    bucket offsets, never a single-partition global window); the oracle
+    computes the same layout with DuckDB's global window — an independent
+    implementation differentially verifying the two-phase machinery."""
+    from pasardassist_spark.operators.packing import pack_sequences
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.select("doc_id", X.token_count(X.tokens(F.col("text"))).alias("n_tokens"))
+    return pack_sequences(d, "doc_id", "n_tokens", PACK_BUDGET).select(
+        "doc_id", "n_tokens", "cum_before", "seq_id", "seq_offset", "crosses_boundary"
+    )
+

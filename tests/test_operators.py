@@ -363,3 +363,36 @@ def test_connected_components_guards(spark):
     # empty edge set converges to an empty result
     empty = spark.createDataFrame([], "src string, dst string")
     assert connected_components(empty, "src", "dst").count() == 0
+
+
+def test_exclusive_prefix_sum_distributed(spark):
+    """The two-phase prefix sum must equal a driver-computed ground truth
+    for gappy, skewed keys at several bucket counts (1 bucket = the naive
+    single-window degenerate case; many buckets > distinct keys forces
+    empty buckets)."""
+    import random
+
+    from pasardassist_spark.operators.packing import exclusive_prefix_sum
+
+    rng = random.Random(11)
+    rows = [(k, rng.randrange(0, 50)) for k in rng.sample(range(0, 10_000_000), 400)]
+    rows += [(10_000_001 + i, 7) for i in range(100)]  # dense tail
+    want = {}
+    acc = 0
+    for k, v in sorted(rows):
+        want[k] = acc
+        acc += v
+    df = spark.createDataFrame(rows, "k long, v long")
+    for nb in (1, 7, 256, 100_000):
+        got = {
+            r.k: r.cum_before
+            for r in exclusive_prefix_sum(df, "k", "v", n_buckets=nb).collect()
+        }
+        assert got == want, f"n_buckets={nb}"
+    # guards: internal-name collision + empty frame
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="internal"):
+        exclusive_prefix_sum(df.withColumn("_pb", F.lit(1)), "k", "v")
+    empty = spark.createDataFrame([], "k long, v long")
+    assert exclusive_prefix_sum(empty, "k", "v").count() == 0

@@ -156,3 +156,13 @@ def test_dedup_clusters_no_cartesian(spark, sf_dir):
     side joins the (tiny, checkpointed) component map by hash."""
     p = plan(REGISTRY["dedup_clusters"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_pack_sequences_no_global_window(spark, sf_dir):
+    """The packing prefix sum must never sort the corpus in one task: the
+    row-level window partitions by the range bucket (hash exchange), and
+    the only SinglePartition exchange feeds the n_buckets-row offsets
+    window — metadata-sized by construction."""
+    p = plan(REGISTRY["pack_training_sequences"].fn(spark, sf_dir))
+    assert "hashpartitioning(_pb" in p, p
+    assert "BroadcastHashJoin" in p  # offsets join back by broadcast
