@@ -217,10 +217,10 @@ def dedup_embcos_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(emb, EMBCOS_TAU)
 
 
-@query(
-    "dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_MINHASH_CTES},
+# Transitive-closure CTE chain shared by the cluster query and the
+# cluster-aware split: pairs -> symmetric edges -> frontier-BFS reachability
+# -> min-label components -> every document labeled (singletons = self).
+_CLUSTERS_CTES = f"""WITH RECURSIVE {_MINHASH_CTES},
     pairs AS ({_MINHASH_PAIRS_SELECT}),
     edges AS (
         SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -236,7 +236,28 @@ def dedup_embcos_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled AS (
         SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
         FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+    )"""
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every document — the Spark twin of the
+    ``labeled`` CTE above."""
+    from pasardassist_spark.operators.components import connected_components
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        d.select("doc_id")
+        .join(cc, F.col("doc_id") == F.col("node"), "left")
+        .select("doc_id", F.coalesce("component", F.col("doc_id")).alias("cluster_id"))
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=_CLUSTERS_CTES
+    + """
     SELECT doc_id, cluster_id,
            COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
            doc_id = cluster_id AS is_canonical
@@ -254,17 +275,50 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     BFS) of the same fixpoint."""
     from pasardassist_spark.operators.components import connected_components
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = D.minhash_lsh_pairs(d, "text", "doc_id")
-    cc = connected_components(pairs, "doc_a", "doc_b")
-    labeled = (
-        d.select("doc_id")
-        .join(cc, F.col("doc_id") == F.col("node"), "left")
-        .select("doc_id", F.coalesce("component", F.col("doc_id")).alias("cluster_id"))
-    )
+    labeled = _cluster_labels(spark, sf_dir)
     w = Window.partitionBy("cluster_id")
     return labeled.withColumn("cluster_size", F.count(F.lit(1)).over(w)).withColumn(
         "is_canonical", F.col("doc_id") == F.col("cluster_id")
+    )
+
+
+TEST_BP = 1000  # basis points of 10000 => ~10% test split
+
+# 16-bit md5 gate on the CLUSTER id (same construction as
+# queries/sampling.py's doc-level gate)
+_CLUSTER_GATE_SQL = """
+    (instr('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1) * 4096
+    + (instr('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 2, 1)) - 1) * 256
+    + (instr('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 3, 1)) - 1) * 16
+    + (instr('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 4, 1)) - 1)
+"""
+
+
+@query(
+    "split_by_cluster",
+    oracle=_CLUSTERS_CTES
+    + f"""
+    SELECT doc_id, cluster_id,
+           CASE WHEN {_CLUSTER_GATE_SQL} < {TEST_BP * 65536 // 10000}
+                THEN 'test' ELSE 'train' END AS split
+    FROM labeled
+    """,
+)
+def split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/test split: the holdout gate hashes the
+    CLUSTER id, not the document id, so a near-duplicate of a test
+    document can never land in train (the leakage a doc-level split
+    invites — and the reason dedup must run before splitting in every
+    serious corpus build). ~10% test, deterministic under any
+    partitioning; the per-document gate is pure column math on the
+    cluster label."""
+    labeled = _cluster_labels(spark, sf_dir)
+    gate = F.conv(
+        F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return labeled.withColumn(
+        "split",
+        F.when(gate < TEST_BP * 65536 // 10000, "test").otherwise("train"),
     )
 
 

@@ -396,3 +396,26 @@ def test_exclusive_prefix_sum_distributed(spark):
         exclusive_prefix_sum(df.withColumn("_pb", F.lit(1)), "k", "v")
     empty = spark.createDataFrame([], "k long, v long")
     assert exclusive_prefix_sum(empty, "k", "v").count() == 0
+
+
+def test_split_by_cluster_no_leakage(spark, sf_dir):
+    """The split invariant that motivates the operator: every near-dup
+    PAIR lands wholly in one split — no test document has a near-dup in
+    train. Also: both splits populated, rate sane (cluster-level ~10%)."""
+    from pasardassist_spark.queries.registry import REGISTRY, _load_all
+
+    _load_all()
+    rows = REGISTRY["split_by_cluster"].fn(spark, sf_dir).collect()
+    split_of = {r.doc_id: r.split for r in rows}
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values()), "cluster straddles splits"
+    pairs = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    for p in pairs:
+        assert split_of[p.doc_a] == split_of[p.doc_b], (p.doc_a, p.doc_b)
+    n_test = sum(1 for r in rows if r.split == "test")
+    assert 0 < n_test < len(rows)
+    frac = sum(1 for c in by_cluster if split_of[min(
+        r.doc_id for r in rows if r.cluster_id == c)] == "test") / len(by_cluster)
+    assert 0.03 < frac < 0.25, f"cluster-level test fraction {frac}"
