@@ -202,4 +202,5 @@ ORDER_EVENT_NAMES = {
     5: "OrderPriceChanged",
 }
 ORDER_EVENT_BID = 1  # OrderBid, interfaces.ts:124
+ORDER_EVENT_PRICE_CHANGED = 5  # OrderPriceChanged, interfaces.ts:128
 ORDER_STATE_CREATED, ORDER_STATE_FILLED, ORDER_STATE_CANCELLED = 1, 2, 3

@@ -15,10 +15,11 @@ from pasardassist_spark.api import dto as D
 from pasardassist_spark.api.schemas import (
     ORDER_EVENT_BID,
     ORDER_EVENT_NAMES,
+    ORDER_EVENT_PRICE_CHANGED,
     ORDER_STATE_CREATED,
     ORDER_STATE_FILLED,
 )
-from pasardassist_spark.functions.chain import classify_transfer
+from pasardassist_spark.functions.chain import BURN_ADDRESS, classify_transfer
 from pasardassist_spark.operators.latest import latest_per_key
 from pasardassist_spark.operators.pagination import count_and_page
 
@@ -106,6 +107,8 @@ class PasarQueryService:
         rewards: DataFrame | None = None,
         did_profiles: DataFrame | None = None,
         collections: DataFrame | None = None,
+        token_rates: DataFrame | None = None,
+        platform_addresses: tuple[str, ...] = (),
     ) -> None:
         self.tokens = tokens
         self.orders = orders
@@ -114,6 +117,12 @@ class PasarQueryService:
         self.rewards = rewards
         self.did_profiles = did_profiles
         self.collections = collections
+        # (chain, token) -> rate dim (the reference's token_rates collection,
+        # refreshed from price feeds — S6); always broadcast-sized.
+        self.token_rates = token_rates
+        # marketplace contract addresses (getAllPasarAddress): transfers
+        # to/from these are order mechanics, not user transfers.
+        self.platform_addresses = platform_addresses
 
     # -- marketplace (app.service.ts:604-757) -------------------------------
     def marketplace(self, q: D.MarketplaceQuery) -> DataFrame:
@@ -204,10 +213,11 @@ class PasarQueryService:
         )
 
     # -- transactions timeline (app.service.ts:966-1007, 2209-2250) ---------
-    def transactions(self, q: D.TransactionQuery) -> DataFrame:
-        """U1 + event classification: order events named via the CASE map,
-        token events classified Mint/Burn/SafeTransferFrom, merged, re-sorted
-        globally, paged."""
+    def _classified_events(self) -> tuple[DataFrame, DataFrame]:
+        """(order_events, token_events) projected to the shared transaction
+        shape: chain/txhash/tokenId/uniqueKey/event/value/addr_from/addr_to/
+        gasFee/timestamp — the one classification both listTransactions and
+        listTransactionsOfUser build on."""
         ev_name = F.lit(None).cast("string")
         for code, name in sorted(ORDER_EVENT_NAMES.items(), reverse=True):
             ev_name = F.when(F.col("eventType") == code, name).otherwise(ev_name)
@@ -235,6 +245,13 @@ class PasarQueryService:
             "gasFee",
             "timestamp",
         )
+        return oe, te
+
+    def transactions(self, q: D.TransactionQuery) -> DataFrame:
+        """U1 + event classification: order events named via the CASE map,
+        token events classified Mint/Burn/SafeTransferFrom, merged, re-sorted
+        globally, paged."""
+        oe, te = self._classified_events()
         merged = oe.unionByName(te)
         if q.unique_key:
             # getTransHistoryByTokenId (app.service.ts:241-274) filters by
@@ -380,6 +397,320 @@ class PasarQueryService:
             .orderBy(F.desc("createTime"), F.desc("orderId"))
             .limit(k)
         )
+
+    # -- market sticker totals (app.service.ts:1938-1989) --------------------
+    def market_totals(self) -> DataFrame:
+        """getItems + getTransactions + getOwners + getTradingVolume as ONE
+        single-row frame (items, transactions, owners, trading_volume) —
+        the reference runs four endpoints, each a full collection pass;
+        here each source table is aggregated once and the 1-row aggregates
+        broadcast-crossed (the A12 dashboard pattern).
+
+        Trading volume (app.service.ts:1963-1989): sum over FILLED orders of
+        amount x price x quote-token rate / 1e18 — rate 1 when the quote
+        token is absent/burn, else the (chain, token) rate dim row. The
+        reference resolves rates in Node from a dict; here it is a broadcast
+        join, and a missing rate row contributes 0 (the reference would
+        throw on undefined — documented divergence)."""
+        tok = self.tokens.agg(
+            F.count(F.when(F.col("tokenOwner") != BURN_ADDRESS, 1)).alias("items"),
+            F.count_distinct(
+                F.when(F.col("tokenOwner") != BURN_ADDRESS, F.col("tokenOwner"))
+            ).alias("owners"),
+        )
+        n_te = (
+            self.token_events.agg(F.count(F.lit(1)).alias("n_te"))
+            if self.token_events is not None
+            else None
+        )
+        n_oe = (
+            self.order_events.agg(F.count(F.lit(1)).alias("n_oe"))
+            if self.order_events is not None
+            else None
+        )
+        filled = self.orders.filter(F.col("orderState") == ORDER_STATE_FILLED)
+        if self.token_rates is not None:
+            r = self.token_rates.select(
+                F.col("chain").alias("r_chain"),
+                F.lower(F.col("token")).alias("r_token"),
+                F.col("rate").alias("r_rate"),
+            )
+            filled = filled.join(
+                F.broadcast(r),
+                (F.col("chain") == F.col("r_chain"))
+                & (F.lower(F.col("quoteToken")) == F.col("r_token")),
+                "left",
+            )
+        else:
+            filled = filled.withColumn("r_rate", F.lit(None).cast("double"))
+        rate = F.when(
+            F.col("quoteToken").isNull() | (F.col("quoteToken") == BURN_ADDRESS),
+            F.lit(1.0),
+        ).otherwise(F.col("r_rate"))
+        amount = F.coalesce(F.col("amount"), F.lit(1))
+        vol = filled.agg(
+            F.coalesce(
+                F.sum(amount * F.col("price").cast("double") * rate / F.lit(1e18)),
+                F.lit(0.0),
+            ).alias("trading_volume")
+        )
+        out = tok.crossJoin(F.broadcast(vol))  # 1-row x 1-row
+        if n_te is not None:
+            out = out.crossJoin(F.broadcast(n_te))
+        else:
+            out = out.withColumn("n_te", F.lit(0).cast("long"))
+        if n_oe is not None:
+            out = out.crossJoin(F.broadcast(n_oe))
+        else:
+            out = out.withColumn("n_oe", F.lit(0).cast("long"))
+        return out.select(
+            "items",
+            (F.col("n_te") + F.col("n_oe")).alias("transactions"),
+            "owners",
+            "trading_volume",
+        )
+
+    # -- per-user statistics (app.service.ts:1999-2027) ----------------------
+    def user_statistics(self, wallet: str) -> DataFrame:
+        """getStatisticsOfUser: created / sold / purchased / transactions for
+        one wallet — the reference's five countDocuments round trips as one
+        frame of conditional counts (each source aggregated once)."""
+        created = self.tokens.agg(
+            F.count(F.when(F.col("royaltyOwner") == wallet, 1)).alias("created")
+        )
+        o = self.orders.agg(
+            F.count(
+                F.when(
+                    (F.col("sellerAddr") == wallet)
+                    & (F.col("orderState") == ORDER_STATE_FILLED),
+                    1,
+                )
+            ).alias("sold"),
+            F.count(
+                F.when(
+                    (F.col("buyerAddr") == wallet)
+                    & (F.col("orderState") == ORDER_STATE_FILLED),
+                    1,
+                )
+            ).alias("purchased"),
+        )
+        te = self.token_events.agg(
+            F.count(
+                F.when((F.col("from") == wallet) | (F.col("to") == wallet), 1)
+            ).alias("n_te")
+        )
+        oe = self.order_events.agg(
+            F.count(
+                F.when(
+                    ((F.col("buyer") == wallet) & (F.col("eventType") == ORDER_EVENT_BID))
+                    | (
+                        (F.col("seller") == wallet)
+                        & (F.col("eventType") == ORDER_EVENT_PRICE_CHANGED)
+                    ),
+                    1,
+                )
+            ).alias("n_oe")
+        )
+        return (
+            created.crossJoin(F.broadcast(o))
+            .crossJoin(F.broadcast(te))
+            .crossJoin(F.broadcast(oe))
+            .select(
+                "created",
+                "sold",
+                "purchased",
+                (F.col("n_te") + F.col("n_oe")).alias("transactions"),
+            )
+        )
+
+    # -- user transaction history (app.service.ts:2028-2258) -----------------
+    def transactions_of_user(
+        self,
+        wallet: str,
+        page: D.PageArgs,
+        event_types: tuple[str, ...] = (),
+        keyword: str = "",
+        newest_first: bool = True,
+    ) -> DataFrame:
+        """listTransactionsOfUser: the user's order events (buyer or seller)
+        unioned with their token transfers, EXCLUDING transfers whose
+        counterparty is a marketplace contract or the burn address
+        (app.service.ts:2032-2042 — those are order mechanics surfaced via
+        the order event) — then event-type filter, keyword filter on the
+        token id/hash, one global re-sort, count+page in one pass."""
+        oe, te = self._classified_events()
+        internal = list(self.platform_addresses) + [BURN_ADDRESS]
+        te = te.filter(
+            ((F.col("addr_from") == wallet) & ~F.col("addr_to").isin(internal))
+            | ((F.col("addr_to") == wallet) & ~F.col("addr_from").isin(internal))
+        )
+        oe = oe.filter((F.col("addr_from") == wallet) | (F.col("addr_to") == wallet))
+        merged = oe.unionByName(te)
+        if event_types:
+            merged = merged.filter(F.col("event").isin(*event_types))
+        if keyword:
+            merged = merged.filter(
+                (F.col("tokenId") == keyword)
+                | (F.col("transactionHash") == keyword)
+                | _keyword_filter(keyword, "uniqueKey")
+            )
+        ts = F.desc("timestamp") if newest_first else F.asc("timestamp")
+        return count_and_page(
+            merged,
+            [ts, F.asc("transactionHash"), F.asc("event")],
+            page.page_num,
+            page.page_size,
+        )
+
+    # -- incomes (app.service.ts:2259-2266) ----------------------------------
+    def incomes_of_user(self, wallet: str, role: str) -> DataFrame:
+        """getIncomesOfUser: the reference reads the task-maintained
+        user_income_records table; the Spark-first form derives the same
+        rows on demand from the earnings fold (earnings_list) filtered to
+        one role ('seller' -> sale incomes, 'royalty' -> royalty incomes).
+        At scale this is the view you materialize instead of maintaining a
+        side table row-at-a-time."""
+        if role not in ("seller", "royalty"):
+            raise ValueError(f"role must be 'seller' or 'royalty', got {role!r}")
+        return self.earnings_list(wallet).filter(F.col("role") == role)
+
+    # -- plain listings (app.service.ts:779-793, 413-500) --------------------
+    def list_nfts(self, page: D.PageArgs, newest_first: bool = True) -> DataFrame:
+        """listNFTs: every non-burned token, time-ordered, count+page in one
+        pass (the reference issues a countDocuments plus a find)."""
+        ts = F.desc("createTime") if newest_first else F.asc("createTime")
+        return count_and_page(
+            self.tokens.filter(F.col("tokenOwner") != BURN_ADDRESS),
+            [ts, F.desc("tokenId"), F.asc("uniqueKey")],
+            page.page_num,
+            page.page_size,
+        )
+
+    def list_collectibles(
+        self, page: D.PageArgs, types: tuple[str, ...] = (), after: int = 0
+    ) -> DataFrame:
+        """listCollectibles: a feed of recent marketplace activity — listed
+        (Created orders) and/or sold (Filled orders) and/or minted (tokens),
+        each branch optionally time-gated (createTime > after), unioned into
+        one ordered page with a source tag. Empty ``types`` = listed+sold
+        (the reference's default branch, app.service.ts:419-424)."""
+        want = set(types) if types else {"listed", "sold"}
+        unknown = want - {"listed", "sold", "minted"}
+        if unknown:
+            raise ValueError(f"unknown collectible types: {sorted(unknown)}")
+        states = []
+        if "listed" in want:
+            states.append(ORDER_STATE_CREATED)
+        if "sold" in want:
+            states.append(ORDER_STATE_FILLED)
+        branches = []
+        if states:
+            o = self.orders.filter(F.col("orderState").isin(states))
+            if after > 0:
+                o = o.filter(F.col("createTime") > after)
+            branches.append(
+                o.select(
+                    "chain",
+                    "uniqueKey",
+                    F.col("tokenId"),
+                    F.col("createTime"),
+                    F.when(
+                        F.col("orderState") == ORDER_STATE_CREATED, "listed"
+                    ).otherwise("sold").alias("source"),
+                )
+            )
+        if "minted" in want:
+            t = self.tokens
+            if after > 0:
+                t = t.filter(F.col("createTime") > after)
+            branches.append(
+                t.select(
+                    "chain",
+                    "uniqueKey",
+                    F.col("tokenId"),
+                    F.col("createTime"),
+                    F.lit("minted").alias("source"),
+                )
+            )
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return count_and_page(
+            out,
+            [F.desc("createTime"), F.asc("uniqueKey"), F.asc("source")],
+            page.page_num,
+            page.page_size,
+        )
+
+    # -- token + latest order lookup (app.service.ts:149-202) ----------------
+    def token_order_by_token_id(self, token_id: str) -> DataFrame:
+        """getTokenOrderByTokenId: the token row, its mint transaction hash
+        (latest from==burn token_event by block), and its latest order —
+        two argmax lookups + broadcast joins instead of the reference's
+        nested $lookup sub-pipelines. Matches on bare tokenId exactly like
+        the reference (its documented cross-chain collision included —
+        use token_detail for the collision-safe form)."""
+        t = self.tokens.filter(F.col("tokenId") == token_id)
+        mint = (
+            latest_per_key(
+                self.token_events.filter(
+                    (F.col("tokenId") == token_id) & (F.col("from") == BURN_ADDRESS)
+                ).withColumn("blockNumber_ord", F.col("blockNumber")),
+                ["tokenId"],
+                [F.desc("blockNumber_ord"), F.asc("transactionHash")],
+            ).select(
+                F.col("tokenId").alias("m_tokenId"),
+                F.col("transactionHash").alias("mint_transactionHash"),
+            )
+            if self.token_events is not None
+            else None
+        )
+        latest = latest_per_key(
+            _with_block_order(self.orders.filter(F.col("tokenId") == token_id)),
+            ["tokenId"],
+            _order_recency(),
+        ).select(
+            F.col("tokenId").alias("o_tokenId"),
+            F.col("orderId").alias("latest_orderId"),
+            F.col("orderState").alias("latest_orderState"),
+            F.col("price").alias("latest_price"),
+        )
+        out = t
+        if mint is not None:
+            out = out.join(F.broadcast(mint), t.tokenId == mint.m_tokenId, "left").drop(
+                "m_tokenId"
+            )
+        return out.join(
+            F.broadcast(latest), F.col("tokenId") == F.col("o_tokenId"), "left"
+        ).drop("o_tokenId")
+
+    # -- collection attribute histogram (app.service.ts:2377-2393) -----------
+    def attributes_of_collection(self, chain: str, collection: str) -> DataFrame:
+        """getAttributesOfCollection: (key, value) -> count over a
+        collection's token attributes. The reference maintains a
+        collection_attributes side table incrementally per mint
+        (tasks.common.ts:42-72); the Spark-first form derives it
+        declaratively — explode the attribute map, one groupBy — and is the
+        job that would materialize that table."""
+        return (
+            self.tokens.filter(
+                (F.col("chain") == chain) & (F.col("contract") == collection)
+            )
+            .select(F.explode("attributes").alias("key", "value"))
+            .groupBy("key", "value")
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+
+    # -- quoted token rates (app.service.ts:2404-2412) -----------------------
+    def quoted_tokens_rate(self, chain: str | None = None) -> DataFrame:
+        """getQuotedTokensRate: the (chain, token) -> rate dim, optionally
+        chain-filtered; ordered for a stable listing."""
+        if self.token_rates is None:
+            raise ValueError("token_rates frame not loaded")
+        r = self.token_rates
+        if chain:
+            r = r.filter(F.col("chain") == chain)
+        return r.orderBy("chain", "token")
 
     # -- collection statistics (tasks.common.ts:124-154 / §3.3) -------------
     def collection_stats(self) -> DataFrame:

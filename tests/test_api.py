@@ -502,3 +502,155 @@ def test_feeds_channels_and_did_lookup(spark, svc_full):
     assert svc_full.feeds_channels(PageArgs(1, 10)).count() == 0
     row = svc_full.did_by_address("ALICE").collect()
     assert len(row) == 1 and row[0].name == "Alice A"  # case-insensitive
+
+
+def test_market_totals(spark, svc):
+    """getItems/getOwners/getTransactions/getTradingVolume as one frame:
+    burned-away token excluded from items/owners; volume = filled orders
+    at rate 1 (no quote token) / 1e18."""
+    from pasardassist_spark.api.schemas import ORDERS_SCHEMA, TOKENS_SCHEMA
+
+    (r,) = svc.market_totals().collect()
+    assert r.items == 4 and r.owners == 3  # alice x2, bob, carol
+    assert r.transactions == 5  # 3 token events + 2 order events
+    # reference sums amount x PRICE x rate / 1e18 (not `filled`) — order 5's
+    # price is the default 1e18 wei at rate 1
+    assert abs(r.trading_volume - 1.0) < 1e-9
+    # rates dim: a filled order in a quote token scales by its rate
+    from decimal import Decimal
+
+    from pasardassist_spark.api import PasarQueryService
+
+    orders = spark.createDataFrame(
+        [
+            _order(orderId=1, chain="ela", baseToken="c", tokenId="1",
+                   uniqueKey="ela-c-1", orderState=2, price=Decimal(2 * 10**18),
+                   quoteToken="0xUSDC", amount=3),
+        ],
+        ORDERS_SCHEMA,
+    )
+    rates = spark.createDataFrame(
+        [("ela", "0xusdc", 0.5)], "chain string, token string, rate double"
+    )
+    s = PasarQueryService(
+        spark.createDataFrame([], TOKENS_SCHEMA), orders, token_rates=rates
+    )
+    (r2,) = s.market_totals().collect()
+    assert abs(r2.trading_volume - 3 * 2 * 0.5) < 1e-9
+
+
+def test_user_statistics(svc):
+    (r,) = svc.user_statistics("alice").collect()
+    # created: royaltyOwner is unset in fixtures -> 0; sold: order 5 filled
+    assert r.sold == 1 and r.purchased == 0
+    # token events from/to alice: mint to alice (0xa) + transfer out (0xb)
+    # order events: bid by buyer alice (eventType 2 is ForSale, not bid) -> 0
+    assert r.transactions == 2
+    (b,) = svc.user_statistics("bob").collect()
+    assert b.purchased == 1 and b.sold == 0
+
+
+def test_transactions_of_user_excludes_platform_legs(spark, svc):
+    from pasardassist_spark.api import PageArgs
+
+    rows = svc.transactions_of_user("alice", PageArgs(1, 10)).collect()
+    # alice's legs: mint (BURN->alice) is EXCLUDED (counterparty burn),
+    # transfer alice->bob included, order events where alice sells: 2
+    events = {(r.transactionHash, r.event) for r in rows}
+    assert ("0xb", "SafeTransferFrom") in events
+    assert all(tx != "0xa" for tx, _ in events), "burn-counterparty leg leaked"
+    assert {tx for tx, _ in events} == {"0xb", "0xd", "0xe"}
+    # event-type filter narrows
+    only = svc.transactions_of_user(
+        "alice", PageArgs(1, 10), event_types=("SafeTransferFrom",)
+    ).collect()
+    assert {r.transactionHash for r in only} == {"0xb"}
+
+
+def test_incomes_of_user_roles(svc):
+    import pytest as _pytest
+
+    (s,) = svc.incomes_of_user("alice", "seller").collect()
+    assert s.orderId == 5 and s.role == "seller"
+    (d,) = svc.incomes_of_user("dave", "royalty").collect()
+    assert d.income == Decimal(7)
+    assert svc.incomes_of_user("alice", "royalty").count() == 0
+    with _pytest.raises(ValueError, match="role"):
+        svc.incomes_of_user("alice", "both")
+
+
+def test_list_nfts_pages(svc):
+    from pasardassist_spark.api import PageArgs
+
+    rows = svc.list_nfts(PageArgs(1, 3)).collect()
+    assert [r.tokenId for r in rows] == ["4", "3", "2"]  # newest first
+    assert rows[0].total == 4
+    rows2 = svc.list_nfts(PageArgs(2, 3)).collect()
+    assert [r.tokenId for r in rows2] == ["1"]
+
+
+def test_list_collectibles_branches(svc):
+    from pasardassist_spark.api import PageArgs
+
+    # default: listed + sold orders only
+    rows = svc.list_collectibles(PageArgs(1, 20)).collect()
+    assert {(r.uniqueKey, r.source) for r in rows} == {
+        ("ela-c1-1", "listed"), ("ela-c1-2", "listed"), ("3", "listed"),
+        ("eth-c3-4", "sold"),
+    }
+    # minted branch + time gate
+    rows = svc.list_collectibles(PageArgs(1, 20), types=("minted",), after=250).collect()
+    assert {r.uniqueKey for r in rows} == {"3", "eth-c3-4"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown"):
+        svc.list_collectibles(PageArgs(1, 10), types=("bogus",))
+
+
+def test_token_order_by_token_id(svc):
+    (r,) = svc.token_order_by_token_id("1").collect()
+    assert r.mint_transactionHash == "0xa"  # the from==burn event
+    assert r.latest_orderId == 2  # newest order wins, cancelled older one
+    # token with no events/orders: row survives with nulls
+    (r3,) = svc.token_order_by_token_id("3").collect()
+    assert r3.mint_transactionHash is None and r3.latest_orderId == 4
+
+
+def test_attributes_of_collection(spark):
+    from pasardassist_spark.api import PasarQueryService
+    from pasardassist_spark.api.schemas import ORDERS_SCHEMA, TOKENS_SCHEMA
+
+    tokens = spark.createDataFrame(
+        [
+            _token(tokenId="1", chain="ela", contract="c1", uniqueKey="k1",
+                   attributes={"fur": "red", "eyes": "green"}),
+            _token(tokenId="2", chain="ela", contract="c1", uniqueKey="k2",
+                   attributes={"fur": "red", "eyes": "blue"}),
+            _token(tokenId="3", chain="ela", contract="c2", uniqueKey="k3",
+                   attributes={"fur": "red"}),  # other collection: excluded
+        ],
+        TOKENS_SCHEMA,
+    )
+    s = PasarQueryService(tokens, spark.createDataFrame([], ORDERS_SCHEMA))
+    got = {
+        (r.key, r.value): r["count"]
+        for r in s.attributes_of_collection("ela", "c1").collect()
+    }
+    assert got == {("fur", "red"): 2, ("eyes", "green"): 1, ("eyes", "blue"): 1}
+
+
+def test_quoted_tokens_rate(spark):
+    from pasardassist_spark.api import PasarQueryService
+    from pasardassist_spark.api.schemas import ORDERS_SCHEMA, TOKENS_SCHEMA
+
+    rates = spark.createDataFrame(
+        [("ela", "0xa", 1.0), ("eth", "0xb", 2.0)],
+        "chain string, token string, rate double",
+    )
+    s = PasarQueryService(
+        spark.createDataFrame([], TOKENS_SCHEMA),
+        spark.createDataFrame([], ORDERS_SCHEMA),
+        token_rates=rates,
+    )
+    assert [r.chain for r in s.quoted_tokens_rate().collect()] == ["ela", "eth"]
+    assert [r.rate for r in s.quoted_tokens_rate("eth").collect()] == [2.0]
