@@ -53,6 +53,11 @@ HEADLINE = [
     "sess_gap_sessionize",
     "time_multi_rollup",
     "u3_attribution_join",
+    # round-3 flagship LLM-pipeline additions. dedup_clusters is tracked by
+    # pytest, not here: its driver-side CC iteration (~9 s at sf0.1) would
+    # dominate the suite total without measuring a per-query plan.
+    "curate_corpus",
+    "pack_training_sequences",
 ]
 
 

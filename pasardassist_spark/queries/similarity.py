@@ -45,8 +45,9 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sim_lsh_ann")  # seeded-PRNG hyperplanes are not SQL-portable: rows-only
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via sign-random-projection LSH (2 tables x 8
-    hyperplanes, seed 42): bucket-collision candidates, exact re-rank.
+    """Approximate top-10 via sign-random-projection LSH (N_TABLES x
+    N_PLANES seeded hyperplanes — 4 x 6, operators/similarity.py:27-33):
+    bucket-collision candidates, exact re-rank.
     The scale path: at 100 TB the bucket id is the bucketing/partition key,
     so a query probes ~2 buckets instead of scanning the corpus. Recall vs
     the brute-force baseline is asserted in tests/test_operators.py."""
@@ -62,3 +63,46 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_operators.py."""
     emb = load(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, QUERY_IDS, K)
+
+
+@query(
+    "emb_normalize_quantize",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    m AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS ma
+        FROM e
+    )
+    SELECT vec_id,
+           round(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
+           CASE WHEN ma IS NULL OR ma = 0 THEN NULL
+                ELSE list_transform(v, x -> CAST(round(x * 127.0 / ma) AS INTEGER))
+           END AS q8
+    FROM m
+    """,
+)
+def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding storage prep: L2 norm (6dp — the same rounding contract as
+    the cosine queries) + symmetric int8 quantization (scale = 127/max|x|
+    per vector, round-half-away ties — identical in both engines). The
+    8x-smaller q8 column is what a 100 TB embedding store actually ships
+    to ANN serving; all math is built-in array expressions, zero Python.
+    Zero vectors quantize to NULL rather than dividing by zero."""
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    d = emb.select("vec_id", v.alias("v")).withColumn(
+        "ma", F.array_max(F.transform("v", lambda x: F.abs(x)))
+    )
+    q8 = F.transform("v", lambda x: F.round(x * 127.0 / F.col("ma")).cast("int"))
+    return d.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("l2_norm"),
+        F.when(F.col("ma").isNull() | (F.col("ma") == 0), F.lit(None)).otherwise(
+            q8
+        ).alias("q8"),
+    )
