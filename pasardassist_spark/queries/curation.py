@@ -137,3 +137,61 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "cum_before", "seq_id", "seq_offset", "crosses_boundary"
     )
 
+
+
+EVAL_MOD = 50  # doc_id % EVAL_MOD == 0 marks the held-out benchmark set
+
+# Reuse the exact shingle fragment the MinHash oracle is built from, so the
+# contamination check cannot drift from the dedup chain's shingle definition.
+from pasardassist_spark.queries.dedup import _SHINGLES_SQL
+
+
+@query(
+    "contamination_flags",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+    hits AS (
+        SELECT s.doc_id, COUNT(*) AS n_shared
+        FROM sh s JOIN ev ON s.shingle = ev.shingle
+        WHERE s.doc_id % {EVAL_MOD} <> 0
+        GROUP BY s.doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+           h.n_shared IS NOT NULL AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % {EVAL_MOD} <> 0
+    """,
+)
+def contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination check: flag every training document sharing
+    any 5-word shingle with the held-out eval set (docs with
+    doc_id % EVAL_MOD == 0 stand in for the benchmark table). The eval
+    side collapses to DISTINCT shingles before the inverted-index join —
+    at 100 TB that set is benchmark-sized (millions of shingles, not
+    corpus-sized) and broadcasts; the train side joins at its natural
+    size, count per doc, no pairwise comparison anywhere. Same shingle
+    constants as the MinHash chain (operators/dedup.shingles)."""
+    from pasardassist_spark.operators.dedup import shingles
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingles(d, "text", "doc_id")
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    ev = sh.filter(is_eval).select("shingle").distinct()
+    hits = (
+        sh.filter(~is_eval)
+        .join(ev, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        d.select("doc_id")
+        .filter(~is_eval)
+        .join(hits.withColumnRenamed("doc_id", "h_doc_id"),
+              F.col("doc_id") == F.col("h_doc_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.col("h_doc_id").isNotNull().alias("contaminated"),
+        )
+    )

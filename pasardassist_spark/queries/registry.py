@@ -68,6 +68,11 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 _FORCE_RECHECK: frozenset[str] = frozenset({
     # round 3: pairs query moved to 64-bit SimHash (VERDICT directive 6)
     "dedup_simhash_pairs",
+    # round 3: signature votes rewritten from per-digit string ops to
+    # parsed-long shift/mask (same values; driver should re-confirm)
+    "dedup_simhash",
+    # round 3: language argmax rewritten single-reference (same semantics)
+    "text_lang_id",
 })
 
 
