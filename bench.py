@@ -58,6 +58,8 @@ HEADLINE = [
     # dominate the suite total without measuring a per-query plan.
     "curate_corpus",
     "pack_training_sequences",
+    "contamination_flags",
+    "text_repetition",
 ]
 
 
@@ -94,11 +96,18 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Warm: per-query MIN over two passes. The box this runs on is shared;
+    # a single pass occasionally catches a multi-second host-contention
+    # stall on one random query (observed: same query 1.4 s and 18 s in
+    # back-to-back idle-machine runs, GC log clean). Min-of-2 reports the
+    # query's actual steady-state cost, which is the number that scales.
     warm: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            warm[name] = min(warm.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
     print(

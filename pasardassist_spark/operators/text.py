@@ -123,6 +123,51 @@ def predict_lang(scores: dict[str, Column]) -> Column:
     return F.array_max(candidates).getField("lang")
 
 
+def max_run_count(sorted_toks: Column) -> Column:
+    """Count of the most frequent element of an array, via one O(n log n)
+    sort + one linear scan (longest equal run of the sorted array). The
+    scalable row-local form of "top token frequency": no explode, no
+    shuffle, no O(distinct x n) nested filter — the whole computation stays
+    inside the parquet scan stage. Pass an already-sorted array.
+    """
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x.eqNullSafe(acc.getField("prev")), acc.getField("run") + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc.getField("best"), run).alias("best")
+        )
+
+    return F.aggregate(sorted_toks, init, step, lambda acc: acc.getField("best"))
+
+
+# Synthetic-PII redaction patterns (shared Spark/DuckDB dialect subset:
+# \d, \b, bounded repetition all behave identically in Java regex and RE2).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b555-\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> tuple[Column, dict[str, Column]]:
+    """(redacted_text, {kind: match_count}) for the PII_PATTERNS chain.
+    Pattern order matters (emails contain dots+digits, so they redact
+    before IPs can half-match inside them). Pure JVM regexp — the 100 TB
+    corpus-scrub runs at scan speed."""
+    counts = {name: F.regexp_count(text, F.lit(pat)).cast("long") for name, pat, _ in PII_PATTERNS}
+    red = text
+    for _, pat, marker in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, marker)
+    return red, counts
+
+
 def fingerprint(toks: Column, shingle_len: int = 5) -> Column:
     """Document fingerprint: min-md5 over word shingles (winnowing-style
     min-selection; rolling-hash analog kept engine-portable via md5).

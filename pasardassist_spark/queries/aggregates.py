@@ -408,3 +408,35 @@ def a13_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"approx_percentile(value, 0.99, {acc})").alias("p99"),
         F.max("value").alias("vmax"),
     )
+
+
+@query(
+    "a6_salted_latest_per_type",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM (
+        SELECT event_id, ts, user_id, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def a6_salted_latest_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 under deliberate skew: latest event per event_type — ~5 distinct
+    keys over the whole events table, the exact hot-key shape where the
+    window form funnels everything into ~5 tasks. Runs the two-phase
+    salted argmax (operators/skew.salted_latest_per_key): partial max_by
+    per (key, salt) then final max_by over n_salts partials — every task
+    bounded at rows/(keys x salts), two cheap shuffles instead of one
+    skewed one. The oracle is the window form — the equivalence IS the
+    correctness claim (max_by over a total order is associative)."""
+    from pasardassist_spark.operators.skew import salted_latest_per_key
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return salted_latest_per_key(
+        ev, ["event_type"], F.struct(F.col("ts"), F.col("event_id"))
+    )

@@ -139,6 +139,78 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# Deterministic synthetic-PII augmentation: the corpus is synthetic words
+# with no real PII, so the differential test plants it — BOTH engines build
+# the same augmented text (varied per doc: email on doc_id%2, IP on %3,
+# phone on %5), then redact with the same pattern chain. The md5 of the
+# redacted text pins exact match spans, not just counts.
+_AUG_SQL = """text
+        || CASE WHEN doc_id % 2 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example' ELSE '' END
+        || CASE WHEN doc_id % 3 = 0 THEN ' from 10.2.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"""
+
+
+def _aug_col() -> "F.Column":
+    doc = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            doc % 2 == 0,
+            F.concat(F.lit(" reach user"), doc.cast("string"), F.lit("@mail.example")),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc % 3 == 0,
+            F.concat(F.lit(" from 10.2."), (doc % 256).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc % 5 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad((doc % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _pii_oracle() -> str:
+    from pasardassist_spark.operators.text import PII_PATTERNS
+
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}s"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "t"
+    for _, pat, marker in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{marker}', 'g')"
+    return f"""
+    SELECT doc_id,
+           {counts},
+           md5({red}) AS redacted_hash
+    FROM (SELECT doc_id, {_AUG_SQL} AS t FROM documents)
+    """
+
+
+@query("pii_redact", oracle=_pii_oracle())
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact emails / IPv4 / phone patterns
+    (operators/text.PII_PATTERNS — a shared Java-regex/RE2 dialect subset,
+    applied in order so emails redact before their digit runs can
+    half-match as IPs). Pure JVM regexp over the scan — the corpus scrub
+    every release pipeline runs before training, at parquet-scan speed at
+    100 TB. Counts and the md5 of the redacted text are differentially
+    checked against DuckDB's independent regex engine (RE2)."""
+    from pasardassist_spark.operators.text import redact_pii
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.select("doc_id", _aug_col().alias("t"))
+    red, counts = redact_pii(F.col("t"))
+    return aug.select(
+        "doc_id",
+        *[c.alias(f"n_{name}s") for name, c in counts.items()],
+        F.md5(red).alias("redacted_hash"),
+    )
+
+
 EVAL_MOD = 50  # doc_id % EVAL_MOD == 0 marks the held-out benchmark set
 
 # Reuse the exact shingle fragment the MinHash oracle is built from, so the

@@ -50,6 +50,60 @@ def samp_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(gate < SAMPLE_BP * 65536 // 10000)
 
 
+# Mixture spec: per-source keep rates in basis points. The config every
+# pretraining data build carries — upweight curated sources, downsample the
+# crawl. Unlisted sources fall back to MIX_DEFAULT_BP.
+MIX_SPEC_BP: dict[str, int] = {
+    "src0": 10000, "src1": 10000, "src2": 10000, "src3": 10000, "src4": 10000,
+    "src5": 5000, "src6": 5000, "src7": 5000, "src8": 5000, "src9": 5000,
+}
+MIX_DEFAULT_BP = 2500
+
+_GATE_SQL = """(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)"""
+
+_MIX_VALUES = ", ".join(f"('{s}', {bp})" for s, bp in MIX_SPEC_BP.items())
+
+
+@query(
+    "mix_sources",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents d
+    LEFT JOIN (VALUES {_MIX_VALUES}) AS spec(src, bp) ON d.source = spec.src
+    WHERE {_GATE_SQL} < COALESCE(spec.bp, {MIX_DEFAULT_BP}) * 65536 // 10000
+    """,
+)
+def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing / source reweighting: keep each document with a
+    per-source rate from a broadcast mixture spec (curated sources kept
+    whole, the crawl tail downsampled to MIX_DEFAULT_BP). The gate is the
+    same deterministic md5 hash-gate as samp_deterministic — per-row
+    independent, so the sampled mixture is reproducible under any
+    partitioning and composes with it (a doc surviving a 25% gate also
+    survives every looser gate). The spec joins as a broadcast dim: zero
+    shuffle of the corpus at 100 TB."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    spec = F.broadcast(
+        spark.createDataFrame(
+            [(s, bp) for s, bp in MIX_SPEC_BP.items()], "src string, bp int"
+        )
+    )
+    gate = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    return (
+        d.join(spec, d.source == spec.src, "left")
+        .filter(
+            gate
+            < F.floor(F.coalesce(F.col("bp"), F.lit(MIX_DEFAULT_BP)) * 65536 / 10000)
+        )
+        .select("doc_id", "lang", "source")
+    )
+
+
 @query(
     "samp_class_cap",
     oracle=f"""

@@ -144,6 +144,62 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", X.fingerprint(toks, 5).alias("fingerprint"))
 
 
+REP_DUP_3GRAM_MAX = 0.20  # Gopher-style gate: >20% duplicate 3-grams
+REP_TOP_TOKEN_MAX = 0.10  # or any single token >10% of the document
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    SELECT doc_id, n_tokens, dup_3gram_frac, top_token_frac,
+           dup_3gram_frac > {REP_DUP_3GRAM_MAX}
+               OR top_token_frac > {REP_TOP_TOKEN_MAX} AS repetitive
+    FROM (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CASE WHEN len(t) >= 3 THEN
+                   1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+               ELSE 0.0 END AS dup_3gram_frac,
+               CAST(list_max([len(list_filter(t, x -> x = u))
+                              FOR u IN list_distinct(t)]) AS DOUBLE)
+                   / len(t) AS top_token_frac
+        FROM (
+            SELECT doc_id, t,
+                   [array_to_string(t[i:i+2], ' ')
+                    FOR i IN range(1, len(t) - 1)] AS g3
+            FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+        )
+    )
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gate (the Gopher/MassiveText rules):
+    duplicate-3-gram fraction and most-frequent-token fraction per
+    document, flagged when either crosses its threshold. The top-token
+    count uses the scalable row-local form — sort the token array once and
+    take the longest equal run (operators/text.max_run_count): no explode,
+    no shuffle, no O(distinct x n) nested scan; the oracle's quadratic
+    list-comprehension is an independent implementation of the same
+    statistic. Everything fuses into the parquet scan at 100 TB."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = X.tokens(F.col("text"))
+    g3 = X.word_ngrams(toks, 3)
+    dup3 = F.when(
+        F.size(toks) >= 3,
+        F.lit(1.0) - F.size(F.array_distinct(g3)).cast("double") / F.size(g3),
+    ).otherwise(F.lit(0.0))
+    top_frac = X.max_run_count(F.array_sort(toks)).cast("double") / F.size(toks)
+    return d.select(
+        "doc_id",
+        X.token_count(toks).alias("n_tokens"),
+        dup3.alias("dup_3gram_frac"),
+        top_frac.alias("top_token_frac"),
+        (
+            (dup3 > REP_DUP_3GRAM_MAX) | (top_frac > REP_TOP_TOKEN_MAX)
+        ).alias("repetitive"),
+    )
+
+
 @query(
     "text_bpe_token_count",
     oracle=r"""
@@ -167,4 +223,73 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(bpe_ish_tokens(F.col("text"))).cast("long").alias("n_bpe_tokens"),
         F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+    )
+
+
+_UNIGRAM_CTES = f"""tok AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+    t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM v)"""
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH {_UNIGRAM_CTES}
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(log10(cnt / tot)), 6) AS avg_logprob
+    FROM tok JOIN v USING (tok) CROSS JOIN t
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the classic model-free proxy for
+    'quality by LM score': corpus unigram distribution (one groupBy), then
+    each document's mean per-token log10 probability. The vocabulary is
+    Zipf-truncated by nature (types << tokens), so it broadcasts back to
+    the token stream — the corpus is never shuffled twice; at a scale
+    where the full vocab outgrows broadcast, the join key falls back to a
+    hash join on token with AQE skew-split handling the stopword heavy
+    hitters. Scores round to 6 decimals on both engines (log/avg are the
+    one place the differential test crosses libm implementations)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("double").alias("tot"))
+    return (
+        tok.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log10(F.col("cnt") / F.col("tot"))), 6).alias("avg_logprob"),
+        )
+    )
+
+
+VOCAB_TOP_K = 100
+
+
+@query(
+    "text_vocab_topk",
+    oracle=f"""
+    WITH {_UNIGRAM_CTES}
+    SELECT tok, cnt FROM v
+    ORDER BY cnt DESC, tok
+    LIMIT {VOCAB_TOP_K}
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-K tokens by frequency with a
+    deterministic tie-break. Partial aggregation absorbs the token skew
+    (map-side combine turns billions of 'the' rows into one partial per
+    partition) and TakeOrdered keeps the result driver-sized."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+    return (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(VOCAB_TOP_K)
     )

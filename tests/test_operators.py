@@ -419,3 +419,29 @@ def test_split_by_cluster_no_leakage(spark, sf_dir):
     frac = sum(1 for c in by_cluster if split_of[min(
         r.doc_id for r in rows if r.cluster_id == c)] == "test") / len(by_cluster)
     assert 0.03 < frac < 0.25, f"cluster-level test fraction {frac}"
+
+
+def test_max_run_count_edges(spark):
+    """Sorted-run top-token count: ties, all-same, singleton, and the
+    run-reset boundary (the bug class: a reset that forgets to compare
+    the final run against the best)."""
+    from pyspark.sql import functions as F
+
+    from pasardassist_spark.operators.text import max_run_count, tokens
+
+    cases = [
+        ("a", 1),                      # singleton
+        ("a a a a", 4),                # all same
+        ("a b a b a", 3),              # interleaved -> sorted runs 3/2
+        ("b b c c", 2),                # tie resolves to the same count
+        ("x a a a a y", 4),            # longest run ends mid-array
+        ("a b c d e f", 1),            # all distinct
+        ("z z z a", 3),                # longest run is the LAST sorted run
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    got = df.select(
+        "text", max_run_count(F.array_sort(tokens(F.col("text")))).alias("m")
+    ).collect()
+    want = dict(cases)
+    for r in got:
+        assert r.m == want[r.text], (r.text, r.m, want[r.text])

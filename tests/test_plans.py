@@ -166,3 +166,37 @@ def test_pack_sequences_no_global_window(spark, sf_dir):
     p = plan(REGISTRY["pack_training_sequences"].fn(spark, sf_dir))
     assert "hashpartitioning(_pb" in p, p
     assert "BroadcastHashJoin" in p  # offsets join back by broadcast
+
+
+def test_scan_local_text_ops_have_no_shuffle(spark, sf_dir):
+    """Repetition stats and PII redaction are row-local by design — at
+    100 TB they must run at parquet-scan speed: zero semantic shuffles,
+    zero joins. (The sorted-run max_run_count exists precisely to avoid
+    the explode+groupBy shuffle a naive top-token-frequency would cost.
+    The round-robin exchange load() injects is the single-row-group
+    testdata adapter, not part of the query plan.)"""
+    for name in ("text_repetition", "pii_redact"):
+        p = plan(REGISTRY[name].fn(spark, sf_dir))
+        assert _semantic_shuffles(p) == 0, f"{name} shuffled:\n{p}"
+        assert "Join" not in p, f"{name} joined:\n{p}"
+
+
+def _semantic_shuffles(p: str) -> int:
+    """Shuffles excluding load()'s round-robin testdata adapter."""
+    return len(re.findall(r"(hash|range)partitioning|SinglePartition", p))
+
+
+def test_mix_sources_broadcasts_spec(spark, sf_dir):
+    """The mixture spec is config-sized: it must broadcast, and the corpus
+    must stream through the gate filter with no semantic shuffle."""
+    p = plan(REGISTRY["mix_sources"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert _semantic_shuffles(p) == 0, p
+
+
+def test_contamination_eval_side_builds_once(spark, sf_dir):
+    """The contamination check's only expensive movement is shingle-keyed:
+    no cartesian anywhere, and the eval shingle set deduplicates before the
+    join (an Aggregate on the build side, benchmark-sized at scale)."""
+    p = plan(REGISTRY["contamination_flags"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
