@@ -109,6 +109,19 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             warm[name] = min(warm.get(name, dt), dt)
 
+    # Like-for-like comparison set: the 17 queries the r1 baseline measured
+    # (st4_latest_state has since merged into st4_entity_fold). The full
+    # HEADLINE total grows as coverage grows; THIS subtotal is the number
+    # comparable across rounds (r1: 37.078 s, r2: 26.368 s).
+    baseline_subset = [
+        "q1_pricing_summary", "a11_collection_stats",
+        "j3_latest_order_per_customer", "j2_composite_key",
+        "a12_wallet_dashboard", "j6_region_rollup", "u1_union_timeline",
+        "o3_top5_per_group", "st4_entity_fold", "a9_event_type_pivot",
+        "text_token_stats", "text_quality", "dedup_exact",
+        "dedup_minhash_lsh", "dedup_simhash", "sim_cosine_topk",
+        "mm_decode_features",
+    ]
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -119,6 +132,13 @@ def main() -> None:
                 "queries": timings,
                 "queries_warm": warm,
                 "value_warm": round(sum(warm.values()), 3),
+                "value_baseline_subset": round(
+                    sum(timings[n] for n in baseline_subset), 3
+                ),
+                "value_baseline_subset_warm": round(
+                    sum(warm[n] for n in baseline_subset), 3
+                ),
+                "n_queries": len(HEADLINE),
                 "sf": sf,
             }
         )

@@ -1,3 +1,4 @@
+from pasardassist_spark.streaming.dedup import streaming_dedup
 from pasardassist_spark.streaming.dynamic import (
     dynamic_collection_sink,
     register_collection,
@@ -21,6 +22,7 @@ __all__ = [
     "merge_into_bucketed_state",
     "read_state",
     "streaming_day_rollup",
+    "streaming_dedup",
     "dynamic_collection_sink",
     "register_collection",
     "registered_collections",

@@ -126,3 +126,52 @@ def test_salted_latest_any_distribution(spark, vals):
     got = salted_latest_per_key(df, ["k"], F.struct(F.col("ts"), F.col("id")), 3)
     canon = lambda d: sorted(map(str, d.select(*sorted(d.columns)).collect()))
     assert canon(want) == canon(got)
+
+
+@given(
+    toks=st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "e"]), min_size=1, max_size=40
+    )
+)
+@settings(**SETTINGS)
+def test_max_run_count_equals_mode_count(spark, toks):
+    """The sorted-run scan must equal the true mode count for ANY multiset
+    (the Counter reference is the independent implementation)."""
+    from collections import Counter
+
+    from pasardassist_spark.operators.text import max_run_count
+
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    (got,) = df.select(max_run_count(F.array_sort("toks")).alias("m")).first()
+    assert got == Counter(toks).most_common(1)[0][1]
+
+
+@given(
+    words=st.lists(
+        st.sampled_from(["alpha", "beta", "x9", "-", "."]), min_size=0, max_size=8
+    ),
+    n_email=st.integers(0, 3),
+    n_ip=st.integers(0, 3),
+    n_phone=st.integers(0, 3),
+)
+@settings(**SETTINGS)
+def test_redact_pii_counts_planted(spark, words, n_email, n_ip, n_phone):
+    """Planted PII is counted exactly and fully removed; the redacted text
+    contains no residual match of any pattern."""
+    import re as _re
+
+    from pasardassist_spark.operators.text import PII_PATTERNS, redact_pii
+
+    parts = list(words)
+    parts += [f"u{i}@host{i}.example" for i in range(n_email)]
+    parts += [f"10.0.{i}.{i + 1}" for i in range(n_ip)]
+    parts += [f"555-{1000 + i}" for i in range(n_phone)]
+    text = " ".join(parts)
+    df = spark.createDataFrame([(text,)], "t string")
+    red, counts = redact_pii(F.col("t"))
+    row = df.select(
+        red.alias("red"), *[c.alias(k) for k, c in counts.items()]
+    ).first()
+    assert (row.email, row.ip, row.phone) == (n_email, n_ip, n_phone), text
+    for _, pat, _m in PII_PATTERNS:
+        assert not _re.search(pat, row.red), (pat, row.red)

@@ -433,3 +433,42 @@ def test_delta_merge_replay_idempotent(spark, tmp_path):
     merge_latest_into_delta(b2, path, ["user_id"])
     got = {r.user_id: r.v for r in spark.read.format("delta").load(path).collect()}
     assert got == {"u1": "c", "u2": "b", "u3": "d"}
+
+
+def test_streaming_dedup_replay_equals_distinct(spark, sf_dir, tmp_path):
+    """Exactly-once-by-key admission: every chunk delivered TWICE (the
+    at-least-once worst case) must yield exactly the batch DISTINCT by
+    event_id — and state must not require unbounded growth to do it
+    (dropDuplicatesWithinWatermark, state bounded by the watermark)."""
+    from pasardassist_spark.streaming import read_event_stream, streaming_dedup
+
+    ev = load(spark, sf_dir, "events")
+    raw = ev.withColumn("ts", F.expr("unix_micros(ts) * CAST(1000 AS BIGINT)"))
+    rows = raw.orderBy("ts", "event_id").collect()
+    doubled = []
+    k = len(rows) // 3 + 1
+    for i in range(3):
+        part = rows[i * k : (i + 1) * k]
+        doubled += part + part  # replay each chunk immediately
+    src = _stage_chunks(spark, tmp_path, doubled, raw.schema, 6, tag="dedup")
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        streaming_dedup(stream, ["event_id"], delay="30 days")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_sink")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM dedup_sink")
+    assert got.count() == ev.count(), "duplicates admitted or rows lost"
+    g = sorted(map(str, got.select(*sorted(got.columns)).collect()))
+    w = sorted(
+        map(
+            str,
+            ev.select(*sorted(got.columns)).collect(),
+        )
+    )
+    assert g == w
