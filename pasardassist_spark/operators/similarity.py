@@ -21,6 +21,7 @@ from __future__ import annotations
 import math
 import random
 
+import pandas as pd  # module-level: pandas_udf resolves string type hints here
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 LSH_SEED = 42
@@ -246,6 +247,16 @@ IVF_SEED = 7
 N_LISTS = 16
 N_PROBE = 4
 
+# Product quantization: M subspaces x K centroids each. At this test scale
+# (500 x dim-64 gaussian vectors) 8x16 keeps codebooks trainable; production
+# is M=dim/4..dim/2 subspaces x K=256 (one byte per subspace). The scale
+# story PQ buys: the search index stores M small ints per vector instead of
+# `dim` floats (here 64 floats -> 8 codes, a 16-32x shrink), and query-time
+# scoring touches ONLY codes + a per-query M*K lookup table — raw vectors
+# are read again just for the final refine of a few hundred candidates.
+PQ_M = 8
+PQ_K = 16
+
 
 def ivf_assignments(
     emb: DataFrame,
@@ -325,6 +336,215 @@ def ivf_topk(
     nv = e.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"))
     scored = (
         cand.join(F.broadcast(qv), "q_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _l2_normalize(e: DataFrame, vec: str = "v") -> DataFrame:
+    """Divide each vector by its L2 norm (zero vectors dropped). After this,
+    inner product == cosine, so PQ's additive dot-product approximation
+    ranks by cosine directly."""
+    nrm = F.sqrt(dot(F.col(vec), F.col(vec)))
+    return (
+        e.filter(nrm > 0)
+        .withColumn(vec, F.transform(F.col(vec), lambda x: x / nrm))
+    )
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train per-subspace k-means codebooks on L2-normalized vectors.
+
+    Returns ``books[sub][j] = centroid`` (m x k x dim/m floats — tiny:
+    production 16x256x32 is ~0.5 MB, always broadcastable). Training runs
+    one MLlib k-means per subspace over `slice()`d columns; at 100 TB you
+    train on a sample (k-means needs ~1000*k points per subspace, not the
+    corpus) — the full pass is only the encode step.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
+    sub = dim // m
+    e = _l2_normalize(
+        emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    )
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        vecs = e.select(
+            array_to_vector(F.slice("v", s * sub + 1, sub)).alias("features")
+        )
+        model = KMeans(k=k, seed=IVF_SEED + s, maxIter=10).fit(vecs)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — nearest codebook entry per subspace.
+
+    One Arrow-batched map pass over the corpus (no shuffle, no join): numpy
+    computes the (batch, k) distance matrix per subspace via the
+    ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2 expansion, argmin ties to the
+    lowest index (deterministic). JVM expressions would need m*k unrolled
+    aggregate() trees per row — at production k=256 that is exactly the
+    workload pandas_udf exists for.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(books)
+    sub = len(books[0][0])
+    cents = [np.asarray(b, dtype=np.float64) for b in books]  # m x (k, sub)
+    cnorms = [(c * c).sum(axis=1) for c in cents]
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy())  # (batch, dim), already normalized
+        codes = np.empty((x.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            xs = x[:, s * sub : (s + 1) * sub]
+            # (batch, k): -2*x.c + ||c||^2 (||x||^2 is rank-constant)
+            d = -2.0 * xs @ cents[s].T + cnorms[s]
+            codes[:, s] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    e = _l2_normalize(
+        emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    )
+    return e.select(F.col(id_col), encode("v").alias("codes"))
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    dim: int,
+    n_lists: int = N_LISTS,
+    n_probe: int = N_PROBE,
+    m: int = PQ_M,
+    pq_k: int = PQ_K,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011): IVF prunes the corpus to n_probe lists, asymmetric
+    distance (ADC) scores candidates from their m-byte codes alone, and an
+    exact refine re-ranks the top refine*k ADC survivors per query.
+
+    Per stage at 100 TB:
+    - index = (id, list_id, codes): built once, bucketed by list_id; the
+      scan that serves queries reads codes, never the raw vectors.
+    - the per-query lookup table (m x pq_k partial dots) is tiny and rides
+      a broadcast join; ADC itself is one JVM `aggregate` over the codes
+      array with `element_at` into the table — zero Python per candidate.
+    - only refine*k rows per query ever touch raw vectors again.
+    """
+    sub = dim // m
+    books = pq_codebooks(emb, dim, m, pq_k, id_col, vec_col)
+    assignments, centroids = ivf_assignments(emb, n_lists, id_col, vec_col)
+    codes = pq_encode(emb, books, id_col, vec_col)
+    index = assignments.join(codes, id_col)
+
+    spark = emb.sparkSession
+    e = _l2_normalize(
+        emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    )
+    q = e.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv")
+    )
+
+    # Per-query ADC lookup table: lut[s*pq_k + j] = dot(q_sub_s, books[s][j]).
+    book_rows = [
+        (s, j, books[s][j]) for s in range(m) for j in range(pq_k)
+    ]
+    book_df = spark.createDataFrame(book_rows, "s int, j int, c array<double>")
+    lut = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(book_df))
+        .select(
+            "q_id",
+            (F.col("s") * pq_k + F.col("j")).alias("slot"),
+            dot(F.slice("qv", F.col("s") * sub + 1, sub), F.col("c")).alias("pd"),
+        )
+        .groupBy("q_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("slot", "pd"))),
+                lambda x: x["pd"],
+            ).alias("lut")
+        )
+    )
+
+    # IVF probe selection (same as ivf_topk): n_probe nearest centroids.
+    probe_w = W.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("list_id"))
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "q_id",
+            "list_id",
+            F.round(cosine(F.col("qv"), F.col("center")), 6).alias("c_cos"),
+        )
+        .withColumn("_r", F.row_number().over(probe_w))
+        .filter(F.col("_r") <= n_probe)
+        .select("q_id", "list_id")
+    )
+
+    # ADC over codes only: approx_dot = sum_s lut[s*pq_k + codes[s]].
+    adc = (
+        F.broadcast(probes)
+        .join(index, "list_id")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .join(F.broadcast(lut), "q_id")
+        .select(
+            "q_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(
+                    "codes",
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda c, s: F.element_at("lut", s * pq_k + c + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("approx_dot"),
+        )
+    )
+    aw = W.partitionBy("q_id").orderBy(F.desc("approx_dot"), F.asc("neighbor_id"))
+    shortlist = (
+        adc.withColumn("_r", F.row_number().over(aw))
+        .filter(F.col("_r") <= refine * k)
+        .select("q_id", "neighbor_id")
+    )
+
+    # Exact refine: only refine*k rows per query read raw vectors.
+    qv = e.select(F.col(id_col).alias("q_id"), F.col("v").alias("qv"))
+    nv = e.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"))
+    scored = (
+        shortlist.join(F.broadcast(qv), "q_id")
         .join(nv, "neighbor_id")
         .select(
             "q_id",

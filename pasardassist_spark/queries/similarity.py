@@ -65,6 +65,19 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, QUERY_IDS, K)
 
 
+@query("sim_ivfpq_ann")  # k-means codebooks are not SQL-portable: rows-only
+def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF-PQ (Jégou et al. 2011): IVF prunes to 4 of
+    16 lists, asymmetric distance scores candidates from their 8 x 4-bit PQ
+    codes against a per-query broadcast lookup table (raw vectors never
+    touched), then an exact refine re-ranks the top 40 per query. The
+    memory-budget scale path: the serving index is m small ints per vector
+    (16-32x smaller than the float rows sim_ivf_ann re-reads). Recall vs
+    brute force asserted in tests/test_operators.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ivfpq_topk(emb, QUERY_IDS, K, DIM)
+
+
 @query(
     "emb_normalize_quantize",
     oracle="""

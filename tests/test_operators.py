@@ -163,6 +163,35 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
         assert abs(ref[(r.q_id, r.neighbor_id)] - r.cosine) < 1e-9
 
 
+def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r.q_id, r.neighbor_id) for r in S.brute_force_topk(emb, qids, 10).collect()
+    }
+    rows = S.ivfpq_topk(emb, qids, 10, 64).collect()
+    approx = {(r.q_id, r.neighbor_id) for r in rows}
+    assert approx
+    recall = len(exact & approx) / len(exact)
+    # same 4/16 IVF pruning as sim_ivf_ann; PQ + refine=4k only loses
+    # candidates the 8x16 codes mis-rank below position 40
+    assert recall >= 0.25, f"low IVF-PQ recall {recall}"
+    # the refine step re-scores with exact cosine: values must match brute
+    # force wherever both report the pair
+    ref = {
+        (r.q_id, r.neighbor_id): r.cosine
+        for r in S.brute_force_topk(emb, qids, 400).collect()
+    }
+    for r in rows:
+        assert abs(ref[(r.q_id, r.neighbor_id)] - r.cosine) < 1e-9
+    # every query returns a full, unique top-k
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r.neighbor_id)
+    for q_id, ns in by_q.items():
+        assert len(ns) == len(set(ns)) == 10
+
+
 def test_asof_join_semantics(spark):
     from pasardassist_spark.operators.asof import asof_join
 
