@@ -293,3 +293,97 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("tok"))
         .limit(VOCAB_TOP_K)
     )
+
+
+# BM25 (Robertson/Spärck Jones; the Lucene practical form): relevance of a
+# document to a fixed keyword query. The reference's keyword search is a
+# bare regex filter (app.service.ts:657-664); BM25 is its ranked-retrieval
+# upgrade and the standard relevance gate in training-data curation.
+BM25_TERMS = ("spark", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n               ".join(
+        f"CAST(len(list_filter({_TOKS_SQL}, x -> x = '{t}')) AS DOUBLE)"
+        f" AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    contribs = "\n             + ".join(
+        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1)"
+        f" * tf_{i} * {BM25_K1 + 1}"
+        f" / (tf_{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS dl,
+               {tf_cols}
+        FROM documents
+    ),
+    s AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl, {df_cols} FROM t
+    )
+    SELECT doc_id, dl, score FROM (
+        SELECT doc_id, dl,
+               round({contribs}, 6) AS score
+        FROM t, s
+    ) WHERE score > 0
+    ORDER BY score DESC, doc_id
+    LIMIT {BM25_TOP_K}
+    """
+
+
+@query("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed keyword query. Per-term tf is a row-local
+    JVM `filter(toks, ...)` count — the whole corpus pass is scan-speed
+    with ZERO shuffle of documents; the only aggregation is one 1-row
+    stats frame (N, avgdl, per-term df) broadcast-crossed back, and the
+    top-k is a TakeOrdered. For ad-hoc many-term queries the explode +
+    broadcast-join(term list) form replaces the unrolled tf columns; for
+    a fixed relevance gate this unrolled form is the fastest plan there
+    is. ln() crosses libm implementations, so scores round to 6dp before
+    ranking (ties then break by doc_id) — same contract as
+    text_unigram_logprob."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = X.tokens(F.col("text"))
+
+    # A 2-arg lambda would make F.filter pass (element, index) — capture the
+    # term through a closure so the predicate stays unary.
+    def _tf(term: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("double")
+
+    t = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[_tf(term).alias(f"tf_{i}") for i, term in enumerate(BM25_TERMS)],
+    )
+    stats = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    scored = t.crossJoin(F.broadcast(stats))
+    contrib = None
+    for i in range(len(BM25_TERMS)):
+        tf, dfc = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log((F.col("n_docs") - dfc + 0.5) / (dfc + 0.5) + 1)
+        norm = tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        c = idf * tf * (BM25_K1 + 1) / norm
+        contrib = c if contrib is None else contrib + c
+    return (
+        scored.select("doc_id", "dl", F.round(contrib, 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )

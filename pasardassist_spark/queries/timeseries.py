@@ -386,3 +386,55 @@ def u3_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasardassist_spark.streaming.attribution import attribution_batch
 
     return attribution_batch(load(spark, sf_dir, "events"))
+
+
+@query(
+    "w2_value_window_analytics",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS us, value,
+           round(value - LAG(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ), 2) AS delta,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER wr AS DOUBLE)
+                 / COUNT(*) OVER wr, 6) AS avg_1h
+    FROM events
+    WINDOW wr AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def w2_value_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.5's named window extensions over the reference's
+    price-history scan (app.service.ts:345-354): per-user LAG delta plus a
+    trailing 1-hour RANGE-frame moving average. Both windows hash-partition
+    on user_id, so Catalyst reuses ONE exchange for the two frames — the
+    whole query is a single shuffle at any scale. The moving sum runs in
+    DECIMAL (exact, associative) and divides by the frame count as doubles
+    rounded to 6dp, the cross-engine float contract; the delta is plain
+    IEEE subtraction rounded to the input's 2dp."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w_lag = W.partitionBy("user_id").orderBy("us", "event_id")
+    w_rng = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return (
+        ev.select("event_id", "user_id", us.alias("us"), "value")
+        .select(
+            "event_id",
+            "user_id",
+            "us",
+            "value",
+            F.round(F.col("value") - F.lag("value").over(w_lag), 2).alias("delta"),
+            F.round(
+                F.sum(dec2("value")).over(w_rng).cast("double")
+                / F.count(F.lit(1)).over(w_rng),
+                6,
+            ).alias("avg_1h"),
+        )
+    )

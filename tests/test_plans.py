@@ -194,6 +194,28 @@ def test_mix_sources_broadcasts_spec(spark, sf_dir):
     assert _semantic_shuffles(p) == 0, p
 
 
+def test_bm25_corpus_pass_is_scan_local(spark, sf_dir):
+    """BM25's per-doc tf columns are row-local HOF counts: the only
+    semantic shuffle is the 1-row stats aggregate (SinglePartition by
+    construction, metadata-sized), which broadcasts back over the corpus;
+    the top-k is a TakeOrdered, never a global sort."""
+    p = plan(REGISTRY["text_bm25_topk"].fn(spark, sf_dir))
+    assert _semantic_shuffles(p) == 1, p  # the 1-row stats agg only
+    assert "TakeOrderedAndProject" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_w2_windows_share_one_exchange(spark, sf_dir):
+    """The LAG frame and the 1-hour RANGE frame both hash-partition on
+    user_id: Catalyst must plan ONE exchange and ONE sort feeding both
+    Window operators — two shuffles here would double the query's cost at
+    any scale."""
+    p = plan(REGISTRY["w2_value_window_analytics"].fn(spark, sf_dir))
+    assert len(re.findall(r"hashpartitioning\(user_id", p)) == 1, p
+    assert _semantic_shuffles(p) == 1, p
+    assert len(re.findall(r"\(\d+\) Sort\b", p)) == 1, p
+
+
 def test_contamination_eval_side_builds_once(spark, sf_dir):
     """The contamination check's only expensive movement is shingle-keyed:
     no cartesian anywhere, and the eval shingle set deduplicates before the
