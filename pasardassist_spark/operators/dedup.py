@@ -278,3 +278,75 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+PASSAGE_TOKENS = 10  # non-overlapping chunk width for passage-level dedup
+
+
+def passage_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = PASSAGE_TOKENS,
+) -> DataFrame:
+    """C4/CCNet-style passage-level exact dedup: split every document into
+    non-overlapping ``chunk_tokens``-token passages, keep only the globally
+    FIRST occurrence of each distinct passage (min ``(id, position)``), and
+    reassemble the surviving passages in document order.
+
+    Reference analog: none — the reference dedups whole rows by natural key
+    (db.service.ts:154-160); this is the sub-document form every large
+    crawl pipeline applies (C4 drops repeated 3-sentence spans, CCNet drops
+    duplicated paragraphs) adapted to newline-free text via fixed token
+    windows.
+
+    Scale shape: two hash shuffles, both O(corpus tokens) —
+    (1) the first-occurrence window partitions on the passage's 16-byte
+    md5 digest (never the raw string, so comparator cost stays flat as
+    passages grow), (2) the reassembly groupBy partitions on the doc id.
+    No self-join, no all-pairs anything; a doc whose passages are all
+    duplicates survives with ``clean_text = ''`` so downstream filters see
+    the drop rather than silently losing the row.
+
+    Returns one row per input doc:
+    ``(id, clean_text, n_kept, n_dropped)``.
+    """
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    exploded = (
+        # size(tokens) >= 1 always holds for non-empty trimmed text; the
+        # filter guards sequence(0, -1) on genuinely empty strings.
+        df.filter(F.size(toks) >= 1)
+        .select(F.col(id_col), F.posexplode(chunks).alias("cpos", "passage"))
+    )
+    w = W.partitionBy(F.md5(F.col("passage"))).orderBy(id_col, "cpos")
+    kept = exploded.withColumn(
+        "is_first", F.row_number().over(w) == 1
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_first"),
+                                F.struct(F.col("cpos"), F.col("passage")),
+                            )
+                        )
+                    ),
+                    lambda s: s.passage,
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.sum(F.col("is_first").cast("long")).alias("n_kept"),
+            F.sum((~F.col("is_first")).cast("long")).alias("n_dropped"),
+        )
+    )

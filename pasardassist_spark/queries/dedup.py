@@ -331,3 +331,52 @@ def dedup_embcos_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return cosine_pairs_lsh(emb, EMBCOS_TAU, dim=64)
+
+
+@query(
+    "dedup_passages",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+               WHERE len({_TOKS}) >= 1),
+    c AS (
+        SELECT doc_id,
+               unnest([{{'cpos': i - 1,
+                         'passage': array_to_string(
+                             toks[(i-1)*{D.PASSAGE_TOKENS}+1
+                                  :(i-1)*{D.PASSAGE_TOKENS}+{D.PASSAGE_TOKENS}],
+                             ' ')}}
+                       FOR i IN range(
+                           1,
+                           CAST(ceil(len(toks)/{D.PASSAGE_TOKENS}.0) AS BIGINT)
+                               + 1)],
+                      recursive := true)
+        FROM t
+    ),
+    r AS (
+        SELECT doc_id, cpos, passage,
+               row_number() OVER (
+                   PARTITION BY passage ORDER BY doc_id, cpos
+               ) = 1 AS is_first
+        FROM c
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN is_first THEN passage END,
+                               ' ' ORDER BY cpos), '') AS clean_text,
+           CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN is_first THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped
+    FROM r GROUP BY doc_id
+    """,
+)
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style passage-level exact dedup: 10-token non-overlapping
+    chunks, keep the globally first occurrence of each distinct passage
+    (min (doc_id, cpos)), reassemble survivors in document order. Two
+    O(corpus) hash shuffles — first-occurrence window keyed on the
+    passage's md5 digest, reassembly keyed on doc_id — no self-join. The
+    oracle re-derives the whole chunk->first->reassemble chain from the
+    same tokenizer SQL, so chunk boundaries cannot drift between engines.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.passage_dedup(d, "text", "doc_id")

@@ -216,6 +216,16 @@ def test_w2_windows_share_one_exchange(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Sort\b", p)) == 1, p
 
 
+def test_passage_dedup_two_shuffles_no_join(spark, sf_dir):
+    """Passage dedup rewrites the corpus with exactly two O(corpus) hash
+    shuffles — first-occurrence window keyed on the passage digest, then
+    reassembly keyed on doc_id. A join or a third shuffle here means the
+    keep-first logic regressed to a count+join-back form."""
+    p = plan(REGISTRY["dedup_passages"].fn(spark, sf_dir))
+    assert _semantic_shuffles(p) == 2, p
+    assert "Join" not in p, p
+
+
 def test_contamination_eval_side_builds_once(spark, sf_dir):
     """The contamination check's only expensive movement is shingle-keyed:
     no cartesian anywhere, and the eval shingle set deduplicates before the
