@@ -558,3 +558,62 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float,
+    n_lists: int = N_LISTS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup scoped to
+    embedding clusters. K-means the corpus (the IVF coarse quantizer
+    reused), compare vectors only WITHIN their cluster, connect pairs with
+    rounded cosine >= threshold, and keep the minimum id per connected
+    component as canonical.
+
+    Scale shape: the candidate join is keyed on ``list_id`` — cost is
+    sum(|cluster|^2), never corpus^2, and the paper's knob applies
+    directly: grow n_lists with the corpus so clusters stay bounded (their
+    setting: 110 M docs / 50 k clusters). Cross-cluster near-dups are
+    missed BY DESIGN — that approximation is the algorithm. Components run
+    per cluster (pairs never cross lists), so the fixpoint converges in the
+    same O(log^2 max_cluster) rounds.
+
+    Returns one row per vector:
+    ``(id, list_id, sem_cluster, is_canonical)`` where ``sem_cluster`` is
+    the min id of the duplicate component (own id for singletons).
+    """
+    from pasardassist_spark.operators.components import connected_components
+
+    assignments, _ = ivf_assignments(emb, n_lists, id_col, vec_col)
+    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")).join(
+        assignments, id_col
+    )
+    a = e.select(F.col(id_col).alias("id_a"), "list_id", F.col("v").alias("va"))
+    b = e.select(F.col(id_col).alias("id_b"), "list_id", F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (
+        assignments.join(
+            comp.withColumnRenamed("node", id_col), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            "list_id",
+            F.coalesce("component", F.col(id_col)).alias("sem_cluster"),
+            (F.coalesce("component", F.col(id_col)) == F.col(id_col)).alias(
+                "is_canonical"
+            ),
+        )
+    )

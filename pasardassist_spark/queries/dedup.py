@@ -380,3 +380,17 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return D.passage_dedup(d, "text", "doc_id")
+
+
+@query("dedup_semantic")  # k-means quantizer not SQL-portable: rows-only
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster-scoped semantic dedup
+    — within-cluster cosine pairs >= tau, connected components, min-id
+    canonical. Cost is sum(|cluster|^2) keyed on list_id, never corpus^2;
+    cross-cluster dups are missed by design (the paper's approximation).
+    Within-cluster completeness and invariants are pytest-asserted vs the
+    exact all-pairs baseline (tests/test_operators.py)."""
+    from pasardassist_spark.operators.similarity import semdedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semdedup(emb, EMBCOS_TAU)

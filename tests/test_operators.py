@@ -474,3 +474,47 @@ def test_max_run_count_edges(spark):
     want = dict(cases)
     for r in got:
         assert r.m == want[r.text], (r.text, r.m, want[r.text])
+
+
+def test_semdedup_matches_within_cluster_union_find(spark, sf_dir):
+    """SemDeDup ground truth: components must equal a Python union-find over
+    the exact within-cluster pair graph (same rounding, same tau), with
+    min-id canonicals; every vector appears exactly once."""
+    import numpy as np
+
+    tau = 0.35
+    emb = load(spark, sf_dir, "embeddings")
+    out = {r.vec_id: r for r in S.semdedup(emb, tau).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    assert len(out) == len(rows)
+
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    by_list: dict[int, list[int]] = {}
+    for vid, r in out.items():
+        by_list.setdefault(r.list_id, []).append(vid)
+
+    parent = {v: v for v in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_pairs = 0
+    for ids in by_list.values():
+        ids = sorted(ids)
+        norms = {i: float(np.linalg.norm(vecs[i])) for i in ids}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                c = round(float(vecs[a] @ vecs[b]) / (norms[a] * norms[b]), 6)
+                if c >= tau:
+                    n_pairs += 1
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        # smaller root stays root => final root is the min id
+                        parent[max(ra, rb)] = min(ra, rb)
+    assert n_pairs > 0, "corpus/tau produced no within-cluster pairs to test"
+    for vid, r in out.items():
+        assert r.sem_cluster == find(vid), (vid, r.sem_cluster, find(vid))
+        assert bool(r.is_canonical) == (r.sem_cluster == vid)
