@@ -86,6 +86,14 @@ def main() -> None:
         F.col("id")
     ).mapInPandas(_noop_pandas, "id long").write.format("noop").mode("overwrite").save()
 
+    # One untimed warmup QUERY before the timed suite: the first timed query
+    # otherwise absorbs the JVM's one-time whole-stage-codegen compiler
+    # warmup (observed as a ~2x cold artifact on q1 in r2/r3). Run it at
+    # sf0.001 so the warmup measures compilation, not data.
+    qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     # Cold pass (comparable to the r01 baseline: includes per-query plan +
     # codegen compile), then a warm pass measuring steady-state execution —
     # the number that scales with data volume on a long-lived cluster, where
@@ -109,6 +117,22 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             warm[name] = min(warm.get(name, dt), dt)
 
+    # Regression anchors for the round-3 operator additions: timed ONCE,
+    # outside the headline totals (so cross-round totals stay comparable and
+    # dedup_clusters' driver-side CC iteration doesn't dominate the suite).
+    extras: dict[str, float] = {}
+    for name in [
+        "dedup_passages",
+        "dedup_clusters",
+        "split_by_cluster",
+        "text_bm25_topk",
+        "pii_redact",
+        "sim_ivfpq_ann",
+    ]:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        extras[name] = round(time.perf_counter() - t0, 3)
+
     # Like-for-like comparison set: the 17 queries the r1 baseline measured
     # (st4_latest_state has since merged into st4_entity_fold). The full
     # HEADLINE total grows as coverage grows; THIS subtotal is the number
@@ -131,6 +155,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_warm": warm,
+                "queries_extra": extras,
                 "value_warm": round(sum(warm.values()), 3),
                 "value_baseline_subset": round(
                     sum(timings[n] for n in baseline_subset), 3

@@ -83,5 +83,8 @@ class CollectionsQuery:
     chain: str | None = None
     category: str | None = None
     keyword: str | None = None
+    # getCollectionsByWalletAddr (app.service.ts:1656-1684): same listing
+    # shape with match = {owner: walletAddr} (+ optional chain).
+    owner: str | None = None
     sort: str = "dia"
     page: PageArgs = field(default_factory=PageArgs)

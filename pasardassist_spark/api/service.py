@@ -1060,6 +1060,11 @@ class PasarQueryService:
         collection_stats and joined — the reference precomputes them with
         4 queries per collection on a timer (tasks.common.ts:124-154)."""
         c = self.collections.filter(_chain_filter(q.chain))
+        if q.owner:
+            # getCollectionsByWalletAddr (app.service.ts:1656-1684):
+            # match = {owner: walletAddr}; an exact equality predicate the
+            # scan layer pushes into the parquet read.
+            c = c.filter(F.col("owner") == q.owner)
         if q.category:
             c = c.filter(F.col("data.category") == q.category)
         if q.keyword:

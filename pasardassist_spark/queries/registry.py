@@ -40,39 +40,52 @@ REGISTRY: dict[str, QuerySpec] = {}
 # the window.
 DRIVER_WINDOW = 50
 
-# Names with a green driver row in CORRECTNESS_r01/r02 (hash-green, or the
-# four rows-only-by-design entries the driver row-checked).  An entry stays
-# here only while its query code AND oracle are unchanged; when either is
-# edited, move the name to _FORCE_RECHECK for one round.
+# Names with a green driver row (hash-green in CORRECTNESS_r01..r04, or the
+# rows-only-by-design entries the driver row-checked).  An entry stays here
+# only while its query code AND oracle are unchanged; when either is edited,
+# move the name to _FORCE_RECHECK for one round.
 _DRIVER_GREEN: frozenset[str] = frozenset({
+    # r2 greens (events-free, untouched since)
     "q1_pricing_summary", "a3_distinct_buyers", "a3_approx_distinct",
-    "a4_lowest_price", "a5_latest_event", "a7_earnings_case",
-    "a9_event_type_pivot", "a10_attribute_counts", "a11_collection_stats",
-    "a12_wallet_dashboard", "s5_royalty_fanout", "a9_rarity_map",
-    "a13_percentiles", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_embcos_exact",
-    "dedup_embcos_lsh", "s4_enrich_join", "a8_weighted_volume",
-    "st7_retry_enrichment", "mm_decode_features", "mm_resize_thumbs",
-    "mm_frame_sample", "dq_quality_checks", "p_project_compute",
-    "f_predicates", "f_keyword_search", "f8_key_tuples",
-    "j1_orders_customer", "j2_composite_key", "j3_latest_order_per_customer",
-    "j4_customers_no_orders", "j5_sale_flags", "j6_region_rollup",
-    "o1_sort_multikey", "o2_pagination", "o3_top5_per_group",
-    "o4_count_and_page", "u1_union_timeline", "u2_single_pass_classes",
-    "f6_attribute_filter", "samp_deterministic", "samp_class_cap",
-    "sim_cosine_topk", "sim_lsh_ann", "sim_ivf_ann", "text_token_stats",
+    "a4_lowest_price", "a7_earnings_case", "a10_attribute_counts",
+    "a11_collection_stats", "a12_wallet_dashboard", "s5_royalty_fanout",
+    "a9_rarity_map", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_embcos_exact", "dedup_embcos_lsh",
+    "a8_weighted_volume", "mm_decode_features", "mm_resize_thumbs",
+    "mm_frame_sample", "p_project_compute", "f_predicates",
+    "f_keyword_search", "f8_key_tuples", "j1_orders_customer",
+    "j3_latest_order_per_customer", "j4_customers_no_orders",
+    "j5_sale_flags", "j6_region_rollup", "o1_sort_multikey",
+    "o2_pagination", "o3_top5_per_group", "o4_count_and_page",
+    "u2_single_pass_classes", "f6_attribute_filter", "samp_deterministic",
+    "samp_class_cap", "sim_cosine_topk", "sim_lsh_ann", "sim_ivf_ann",
+    "text_token_stats",
+    # r4 greens
+    "dedup_simhash", "dedup_simhash_pairs", "text_lang_id",
+    "text_quality", "text_fingerprint", "text_repetition",
+    "text_bpe_token_count", "text_unigram_logprob", "text_vocab_topk",
+    "text_bm25_topk", "curate_corpus", "pack_training_sequences",
+    "pii_redact", "dedup_clusters", "split_by_cluster", "dedup_passages",
+    "contamination_flags", "mix_sources", "dedup_semantic", "sim_ivfpq_ann",
 })
 
 # Entries whose implementation or oracle changed since their last green
 # driver row — treated as unverified for ordering until re-checked.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    # round 3: pairs query moved to 64-bit SimHash (VERDICT directive 6)
-    "dedup_simhash_pairs",
-    # round 3: signature votes rewritten from per-digit string ops to
-    # parsed-long shift/mask (same values; driver should re-confirm)
-    "dedup_simhash",
-    # round 3: language argmax rewritten single-reference (same semantics)
-    "text_lang_id",
+    # round 5: the events-ts loader fix (tables._normalize_event_time +
+    # read_event_stream schema inference) changes the scan layer under every
+    # events-reading query — all 16 r4 red rows plus the 4 archived greens
+    # that broke outside the check window must be re-verified.
+    "scalar_funcs", "a5_latest_event", "a6_salted_latest_per_type",
+    "a9_event_type_pivot", "a13_percentiles", "a13_percentiles_approx",
+    "st4_entity_fold", "sess_gap_sessionize", "aj_rate_asof",
+    "rj_session_assign", "time_multi_rollup", "u3_attribution_join",
+    "w2_value_window_analytics", "st1_stream_replay", "st3_stream_rollup",
+    "s4_enrich_join", "st7_retry_enrichment", "dq_quality_checks",
+    "u1_union_timeline", "j2_composite_key",
+    # round 5: q8 serialized as comma-joined string on both sides (the raw
+    # array column defeated the driver comparator's pandas canonicalization)
+    "emb_normalize_quantize",
 })
 
 

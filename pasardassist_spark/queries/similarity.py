@@ -90,7 +90,8 @@ def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            round(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
            CASE WHEN ma IS NULL OR ma = 0 THEN NULL
-                ELSE list_transform(v, x -> CAST(round(x * 127.0 / ma) AS INTEGER))
+                ELSE array_to_string(
+                    list_transform(v, x -> CAST(round(x * 127.0 / ma) AS INTEGER)), ',')
            END AS q8
     FROM m
     """,
@@ -101,7 +102,12 @@ def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per vector, round-half-away ties — identical in both engines). The
     8x-smaller q8 column is what a 100 TB embedding store actually ships
     to ANN serving; all math is built-in array expressions, zero Python.
-    Zero vectors quantize to NULL rather than dividing by zero."""
+    Zero vectors quantize to NULL rather than dividing by zero.
+
+    q8 is emitted as a comma-joined string (not a raw array column): the
+    driver's comparator canonicalizes via a pandas sort, which cannot hash
+    list cells — the serialized form is oracle-comparable and losslessly
+    parseable back to int8."""
     from pyspark.sql import functions as F
 
     emb = load(spark, sf_dir, "embeddings")
@@ -109,13 +115,18 @@ def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = emb.select("vec_id", v.alias("v")).withColumn(
         "ma", F.array_max(F.transform("v", lambda x: F.abs(x)))
     )
-    q8 = F.transform("v", lambda x: F.round(x * 127.0 / F.col("ma")).cast("int"))
+    q8 = F.array_join(
+        F.transform(
+            "v", lambda x: F.round(x * 127.0 / F.col("ma")).cast("int").cast("string")
+        ),
+        ",",
+    )
     return d.select(
         "vec_id",
         F.round(
             F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)), 6
         ).alias("l2_norm"),
-        F.when(F.col("ma").isNull() | (F.col("ma") == 0), F.lit(None)).otherwise(
-            q8
-        ).alias("q8"),
+        F.when(F.col("ma").isNull() | (F.col("ma") == 0), F.lit(None).cast("string"))
+        .otherwise(q8)
+        .alias("q8"),
     )

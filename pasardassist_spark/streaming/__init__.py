@@ -5,7 +5,6 @@ from pasardassist_spark.streaming.dynamic import (
     registered_collections,
 )
 from pasardassist_spark.streaming.ingest import (
-    EVENTS_RAW_SCHEMA,
     maintain_entity_state,
     maintain_latest_state,
     merge_into_bucketed_state,
@@ -15,7 +14,6 @@ from pasardassist_spark.streaming.ingest import (
 )
 
 __all__ = [
-    "EVENTS_RAW_SCHEMA",
     "read_event_stream",
     "maintain_entity_state",
     "maintain_latest_state",

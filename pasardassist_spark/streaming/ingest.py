@@ -51,26 +51,32 @@ from pasardassist_spark.streaming.generations import (
     publish_staged,
 )
 
-# Raw parquet schema: ts arrives as long nanos (TIMESTAMP(NANOS) files read
-# under spark.sql.legacy.parquet.nanosAsLong).
-EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
-
-
 def read_event_stream(
     spark: SparkSession, src_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """Checkpointable event-log stream (backfill + tail in one query)."""
+    """Checkpointable event-log stream (backfill + tail in one query).
+
+    The stream schema is derived from the files themselves (a batch-side
+    footer read is allowed before the stream starts) rather than hard-coded:
+    different testdata generations encode ``ts`` as TIMESTAMP(NANOS)-as-long
+    or as plain timestamp[us], and a hard-coded ``ts long`` schema against
+    micros data *runs* but collapses every event time to ~1970 — a silent
+    unit error. ``_normalize_event_time`` applies the identical conditional
+    conversion the batch scan uses, so replay-equals-batch holds by
+    construction.
+    """
+    from pasardassist_spark.tables import _normalize_event_time
+
     # Same TIMESTAMP(NANOS) quirk as the batch scan (tables.load): set it
     # here too so a stream can be the session's FIRST events read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src_dir).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(src_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return _normalize_event_time(raw)
 
 
 N_STATE_BUCKETS = 16  # key-hash buckets; at 100 TB this becomes O(1000s)

@@ -86,24 +86,47 @@ def _max_scan_tasks(path: str) -> int:
     return _SPLIT_CACHE[path]
 
 
+def _normalize_event_time(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP regardless of how the
+    parquet generation encoded it.
+
+    Known encodings across driver testdata generations:
+    - TIMESTAMP(NANOS), surfaced as ``bigint`` nanos under
+      ``spark.sql.legacy.parquet.nanosAsLong`` — values are
+      microsecond-aligned so ``timestamp_micros(ts div 1000)`` is lossless;
+    - plain ``timestamp[us]`` / ``timestamp_ntz`` — already event time,
+      pass through untouched.
+
+    A schema-drifted upstream silently corrupting event time is a
+    catastrophic bug at lake scale, so the conversion is keyed off the
+    *loaded* dtype, never assumed.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dtype == "timestamp_ntz":
+        # Downstream code (windows, watermarks, oracles) expects a plain
+        # TIMESTAMP; values are wall-clock UTC either way in this dataset.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ship_package(spark)
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS); Spark refuses the type
-        # unless nanosAsLong is set. The driver's harness builds its own
-        # SparkSession (not via session.get_spark), so set it here at the
-        # scan layer — it is runtime-settable.
+        # Some generations of events.parquet carry TIMESTAMP(NANOS); Spark
+        # refuses that type unless nanosAsLong is set. Harmless for files
+        # that encode ts as timestamp[us]. The driver's harness builds its
+        # own SparkSession (not via session.get_spark), so set it here at
+        # the scan layer — it is runtime-settable.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS), surfaced as long nanos via
-        # spark.sql.legacy.parquet.nanosAsLong; values are microsecond-aligned
-        # so the div-1000 conversion is lossless.
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = _normalize_event_time(df)
     if name in _FANOUT_TABLES:
         # The driver testdata is one single-row-group file per table, so the
         # whole map side (scan -> explode -> hash -> partial agg) would run

@@ -360,6 +360,8 @@ def svc_collections(spark, svc):
             _coll("ela", "c1", "Cats Collection", "art", 5.0, desc="feline art"),
             _coll("v1", "c2", "Legacy Stuff", "utility", 9.0),
             _coll("eth", "c3", "Ether Things", "art", 2.0),
+            _coll("eth", "c4", "Wallet Owned", "misc", 1.0, owner="0xw1"),
+            _coll("fsn", "c5", "Wallet Owned Too", "misc", 3.0, owner="0xw1"),
         ],
         COLLECTIONS_SCHEMA,
     )
@@ -389,6 +391,28 @@ def test_collections_list_filters_sort_stats(svc_collections):
         CollectionsQuery(keyword="feline", page=PageArgs(1, 10))
     ).collect()
     assert [r.token for r in rows] == ["c1"]
+
+
+def test_collections_list_owner_filter(svc_collections):
+    """getCollectionsByWalletAddr (app.service.ts:1656-1684): owner match,
+    optional chain, stats sort, count+page — through the same listing."""
+    from pasardassist_spark.api.dto import CollectionsQuery
+
+    rows = svc_collections.collections_list(
+        CollectionsQuery(owner="0xw1", sort="dia", page=PageArgs(1, 10))
+    ).collect()
+    assert [r.token for r in rows] == ["c5", "c4"]  # dia desc across chains
+    assert all(r.total == 2 for r in rows)
+    rows = svc_collections.collections_list(
+        CollectionsQuery(owner="0xw1", chain="eth", sort="dia", page=PageArgs(1, 10))
+    ).collect()
+    assert [r.token for r in rows] == ["c4"]
+    assert all(r.total == 1 for r in rows)
+    # pagination through the owner-filtered set
+    rows = svc_collections.collections_list(
+        CollectionsQuery(owner="0xw1", sort="dia", page=PageArgs(2, 1))
+    ).collect()
+    assert [r.token for r in rows] == ["c4"]
 
 
 def test_collection_info_and_quick_search(svc_collections):

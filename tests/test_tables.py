@@ -1,0 +1,119 @@
+"""Schema-drift regression tests for the events scan layer.
+
+Round 4 postmortem: the driver regenerated events.parquet, switching the
+``ts`` column from TIMESTAMP(NANOS) (read as long nanos under the
+``nanosAsLong`` legacy conf) to plain timestamp[us]. The loader's
+unconditional ``timestamp_micros(ts div 1000)`` shim then either raised
+DATATYPE_MISMATCH (batch) or silently collapsed every event time to ~1970
+(streaming — the hard-coded ``ts long`` stream schema *ran* against micros
+data). These tests pin the invariant: both encodings of the same logical
+data must load to identical event-times, through both the batch loader and
+the streaming reader.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pasardassist_spark.streaming.ingest import read_event_stream
+from pasardassist_spark.tables import load
+
+_TS = [
+    datetime.datetime(2024, 1, 1, 0, 0, 0),
+    datetime.datetime(2024, 1, 15, 12, 34, 56, 789000),
+    datetime.datetime(2024, 1, 30, 23, 59, 59, 123456),
+]
+
+
+def _write_fixture(tmp_path, encoding: str) -> str:
+    """Write a tiny events.parquet with ts encoded as requested."""
+    sf_dir = tmp_path / encoding
+    sf_dir.mkdir()
+    cols = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 20, 30], pa.int64()),
+        "event_type": pa.array(["sale", "bid", "sale"], pa.string()),
+        "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+        "props": pa.array(['{"a":1}', "{}", "{}"], pa.string()),
+    }
+    if encoding == "nanos":
+        ts = pa.array(_TS, pa.timestamp("ns"))
+    else:
+        ts = pa.array(_TS, pa.timestamp("us"))
+    table = pa.table(
+        {
+            "event_id": cols["event_id"],
+            "ts": ts,
+            "user_id": cols["user_id"],
+            "event_type": cols["event_type"],
+            "value": cols["value"],
+            "props": cols["props"],
+        }
+    )
+    # version>=2.6 preserves TIMESTAMP(NANOS) in the parquet logical type
+    # instead of down-casting to micros — the encoding older driver
+    # generations shipped.
+    pq.write_table(table, sf_dir / "events.parquet", version="2.6")
+    return str(sf_dir)
+
+
+@pytest.fixture(scope="module")
+def both_encodings(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("events_encodings")
+    return _write_fixture(tmp, "nanos"), _write_fixture(tmp, "micros")
+
+
+def _footer_type(sf_dir: str) -> str:
+    return str(pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type)
+
+
+def test_fixture_encodings_actually_differ(both_encodings):
+    nanos_dir, micros_dir = both_encodings
+    assert _footer_type(nanos_dir) == "timestamp[ns]"
+    assert _footer_type(micros_dir) == "timestamp[us]"
+
+
+def test_batch_load_identical_event_times(spark, both_encodings):
+    nanos_dir, micros_dir = both_encodings
+    got = {}
+    for label, d in [("nanos", nanos_dir), ("micros", micros_dir)]:
+        df = load(spark, d, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", label
+        got[label] = sorted(
+            (r["event_id"], r["ts"]) for r in df.select("event_id", "ts").collect()
+        )
+    assert got["nanos"] == got["micros"]
+    # And the values are the real event times, not a unit-error artifact.
+    assert [t for _, t in got["micros"]] == _TS
+
+
+def test_stream_read_identical_event_times(spark, both_encodings, tmp_path):
+    nanos_dir, micros_dir = both_encodings
+    got = {}
+    for label, d in [("nanos", nanos_dir), ("micros", micros_dir)]:
+        out = tmp_path / f"out_{label}"
+        chk = tmp_path / f"chk_{label}"
+        stream = read_event_stream(spark, d, max_files_per_trigger=10)
+        assert dict(stream.dtypes)["ts"] == "timestamp", label
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(chk))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        df = spark.read.parquet(str(out))
+        got[label] = sorted(
+            (r["event_id"], r["ts"]) for r in df.select("event_id", "ts").collect()
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
+    assert got["nanos"] == got["micros"]
+    assert [t for _, t in got["micros"]] == _TS
