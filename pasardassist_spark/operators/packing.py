@@ -39,12 +39,16 @@ def exclusive_prefix_sum(
     out: str = "cum_before",
     n_buckets: int = 256,
 ) -> DataFrame:
-    """Add ``out`` = sum of ``value`` over all rows with a strictly smaller
+    """Add ``out`` = sum of ``value`` over all rows with a STRICTLY smaller
     ``key`` (exclusive running total in global ``key`` order).
 
-    Contract: ``key`` must be numeric, non-null, and UNIQUE (ties would
-    make "before" ambiguous); ``value`` must be non-negative. At scale,
-    pick ``n_buckets`` ~ cluster cores so each range bucket sorts locally.
+    Contract: ``key`` must be numeric and non-null. Duplicate keys are
+    well-defined: ties share the same ``out`` (the sum over strictly
+    smaller keys — the RANGE window frame makes "before" key-based, not
+    row-based, so the result is deterministic under any partitioning even
+    with ties). ``value`` may be any sign; packing passes token counts but
+    the prefix sum itself doesn't care. At scale, pick ``n_buckets`` ~
+    cluster cores so each range bucket sorts locally.
     """
     clash = set(_INTERNAL) & set(df.columns)
     if clash:
@@ -56,9 +60,15 @@ def exclusive_prefix_sum(
     span = max(1, (int(hi) - int(lo)) // n_buckets + 1)
     b = F.floor((F.col(key) - F.lit(int(lo))) / F.lit(span)).cast("int")
     with_b = df.withColumn("_pb", b)
-    # phase 1: inclusive cumsum within each range bucket (parallel)
-    w_in = W.partitionBy("_pb").orderBy(key)
-    local = with_b.withColumn("_run", F.sum(value).over(w_in))
+    # phase 1: EXCLUSIVE cumsum within each range bucket (parallel). The
+    # RANGE frame ending at -1 sums keys strictly below this row's key, so
+    # duplicate keys all see the same prefix.
+    w_in = (
+        W.partitionBy("_pb").orderBy(key).rangeBetween(W.unboundedPreceding, -1)
+    )
+    local = with_b.withColumn(
+        "_run", F.coalesce(F.sum(value).over(w_in), F.lit(0))
+    )
     # phase 2: bucket offsets — n_buckets rows, a metadata-sized window
     w_off = W.orderBy("_pb").rowsBetween(W.unboundedPreceding, -1)
     offsets = (
@@ -69,7 +79,7 @@ def exclusive_prefix_sum(
     )
     return (
         local.join(F.broadcast(offsets), "_pb")
-        .withColumn(out, (F.col("_boff") + F.col("_run") - F.col(value)).cast("long"))
+        .withColumn(out, (F.col("_boff") + F.col("_run")).cast("long"))
         .drop(*_INTERNAL)
     )
 

@@ -247,6 +247,78 @@ IVF_SEED = 7
 N_LISTS = 16
 N_PROBE = 4
 
+# K-means needs ~1000 points per centroid, not the corpus: index TRAINING
+# fits on a deterministic hash-gate sample of at most this many rows,
+# coalesced to a few partitions so each Lloyd iteration is a couple of
+# tasks instead of one per corpus partition (at local test scale that
+# per-iteration scheduling overhead — 9 sequential fits x 10 iterations x
+# 32 tiny tasks — dominated the whole IVF-PQ build). Assignment/encode
+# passes still run over the FULL corpus.
+KMEANS_TRAIN_SAMPLE = 100_000
+
+
+def _training_sample(vecs: DataFrame, id_col: str, target: int = KMEANS_TRAIN_SAMPLE):
+    """Deterministic (hash-gated, seed-free) training sample: ≤ ~target
+    rows, one distributed filter job."""
+    n = vecs.count()
+    if n > target:
+        denom = -(-n // target)
+        vecs = vecs.filter(F.pmod(F.hash(F.col(id_col)), F.lit(denom)) == 0)
+    return vecs
+
+
+def _collect_training_matrix(
+    e: DataFrame, id_col: str, vec_col: str, target: int = KMEANS_TRAIN_SAMPLE
+):
+    """Sample → driver numpy matrix. Bounded: target x dim doubles (100k x
+    64 ≈ 50 MB) regardless of corpus size — the FAISS model, where codebook
+    / coarse-quantizer TRAINING is single-node work over a sample and only
+    assignment/encode passes touch the full corpus distributed."""
+    import numpy as np
+
+    pdf = _training_sample(e.select(F.col(vec_col)), id_col, target).toPandas()
+    return np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+
+
+def _kmeans_numpy(X, k: int, seed: int, max_iter: int = 10):
+    """Seeded Lloyd's k-means (k-means++ init) on a driver-resident sample.
+    Distance via the ||x-c||^2 expansion: O(n*k) memory, never n*k*dim.
+    Empty clusters re-seed to the farthest point (deterministic)."""
+    import numpy as np
+
+    n = X.shape[0]
+    k = min(k, n)
+    rng = np.random.RandomState(seed)
+    xnorm = (X * X).sum(axis=1)
+    # k-means++ seeding
+    idx = [int(rng.randint(n))]
+    d2 = xnorm - 2.0 * X @ X[idx[-1]] + xnorm[idx[-1]]
+    d2 = np.maximum(d2, 0.0)
+    for _ in range(1, k):
+        tot = d2.sum()
+        if tot <= 0:
+            idx.append(int(rng.randint(n)))
+        else:
+            idx.append(int(rng.choice(n, p=d2 / tot)))
+        nd = xnorm - 2.0 * X @ X[idx[-1]] + xnorm[idx[-1]]
+        d2 = np.minimum(d2, np.maximum(nd, 0.0))
+    C = X[idx].copy()
+    for _ in range(max_iter):
+        d = -2.0 * X @ C.T + (C * C).sum(axis=1)  # + xnorm is rank-constant
+        a = d.argmin(axis=1)
+        newC = C.copy()
+        for j in range(k):
+            mask = a == j
+            if mask.any():
+                newC[j] = X[mask].mean(axis=0)
+            else:
+                newC[j] = X[int(d.min(axis=1).argmax())]
+        if np.allclose(newC, C):
+            C = newC
+            break
+        C = newC
+    return C
+
 # Product quantization: M subspaces x K centroids each. At this test scale
 # (500 x dim-64 gaussian vectors) 8x16 keeps codebooks trainable; production
 # is M=dim/4..dim/2 subspaces x K=256 (one byte per subspace). The scale
@@ -268,25 +340,32 @@ def ivf_assignments(
     (assignments DataFrame (id, list_id), centroids DataFrame (list_id,
     center array<double>)).
 
-    At 100 TB: centroids train on a sample, the assignment pass is one
-    map-only job, and ``list_id`` becomes the partition/bucketing key — a
-    query touches n_probe partitions instead of the corpus (same storage
-    story as the LSH buckets, but data-adaptive, so it keeps selectivity on
-    clustered real-world embeddings where random hyperplanes waste tables).
+    At 100 TB: centroids train driver-side on a bounded sample
+    (_collect_training_matrix — the FAISS split of train-small /
+    assign-big), the assignment pass is one Arrow-batched map-only job,
+    and ``list_id`` becomes the partition/bucketing key — a query touches
+    n_probe partitions instead of the corpus (same storage story as the
+    LSH buckets, but data-adaptive, so it keeps selectivity on clustered
+    real-world embeddings where random hyperplanes waste tables).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
-    vecs = emb.select(
-        F.col(id_col), array_to_vector(as_double(F.col(vec_col))).alias("features")
-    )
-    model = KMeans(k=n_lists, seed=IVF_SEED, maxIter=10).fit(vecs)
-    assignments = model.transform(vecs).select(
-        F.col(id_col), F.col("prediction").alias("list_id")
-    )
+    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    X = _collect_training_matrix(e, id_col, "v")
+    C = _kmeans_numpy(X, n_lists, IVF_SEED)
+    cnorm = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def nearest_list(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy())
+        d = -2.0 * x @ C.T + cnorm  # ||x||^2 is rank-constant per row
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    assignments = e.select(F.col(id_col), nearest_list("v").alias("list_id"))
     spark = emb.sparkSession
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(x) for x in c]) for i, c in enumerate(C)],
         "list_id int, center array<double>",
     )
     return assignments, centroids
@@ -373,26 +452,24 @@ def pq_codebooks(
     """Train per-subspace k-means codebooks on L2-normalized vectors.
 
     Returns ``books[sub][j] = centroid`` (m x k x dim/m floats — tiny:
-    production 16x256x32 is ~0.5 MB, always broadcastable). Training runs
-    one MLlib k-means per subspace over `slice()`d columns; at 100 TB you
-    train on a sample (k-means needs ~1000*k points per subspace, not the
-    corpus) — the full pass is only the encode step.
+    production 16x256x32 is ~0.5 MB, always broadcastable). Training is
+    driver-side numpy k-means over ONE collected sample sliced per
+    subspace (k-means needs ~1000*k points per subspace, not the corpus;
+    8 sequential MLlib fits cost ~2 s of job-scheduling overhead EACH at
+    any data size) — the distributed full pass is only the encode step.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
     sub = dim // m
     e = _l2_normalize(
         emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     )
+    # one sample collect feeds all m subspace fits — the corpus is scanned
+    # once for training no matter how many subspaces
+    X = _collect_training_matrix(e, id_col, "v")
     books: list[list[list[float]]] = []
     for s in range(m):
-        vecs = e.select(
-            array_to_vector(F.slice("v", s * sub + 1, sub)).alias("features")
-        )
-        model = KMeans(k=k, seed=IVF_SEED + s, maxIter=10).fit(vecs)
-        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+        C = _kmeans_numpy(X[:, s * sub : (s + 1) * sub], k, IVF_SEED + s)
+        books.append([[float(x) for x in c] for c in C])
     return books
 
 

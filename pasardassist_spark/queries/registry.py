@@ -86,6 +86,13 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # round 5: q8 serialized as comma-joined string on both sides (the raw
     # array column defeated the driver comparator's pandas canonicalization)
     "emb_normalize_quantize",
+    # round 5: exclusive_prefix_sum phase-1 moved to a RANGE frame (ties
+    # now total; same values on unique keys — driver should re-confirm)
+    "pack_training_sequences",
+    # round 5: k-means training moved to driver-side numpy over a bounded
+    # sample (FAISS split); cluster contents shift, rows-only counts should
+    # re-confirm
+    "sim_ivf_ann", "sim_ivfpq_ann", "dedup_semantic",
 })
 
 

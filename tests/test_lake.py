@@ -40,6 +40,52 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
 
 
+def test_silver_bucketed_query_variants(spark, sf_dir):
+    """The bench's silver-layout paths: j2 on lineitem bucketed by
+    (l_partkey, l_suppkey) plans with ZERO Exchange (group-by and self-join
+    both consume the bucketing); a11's lineitem⋈orders join is Exchange-free
+    (asserted with broadcast disabled — the 100 TB regime where neither fact
+    side broadcasts), leaving only the l_suppkey aggregation's two distinct
+    shuffles. Results must equal the plain-parquet queries."""
+    from pasardassist_spark.queries.aggregates import a11_collection_stats
+    from pasardassist_spark.queries.relational import j2_composite_key
+    from pasardassist_spark.sources.lake import (
+        a11_collection_stats_bucketed,
+        j2_composite_key_bucketed,
+        prepare_silver,
+    )
+
+    prepare_silver(spark, sf_dir)
+    try:
+        j2b = j2_composite_key_bucketed(spark, sf_dir)
+        assert shuffle_count(plan(j2b)) == 0, plan(j2b)
+        assert {tuple(r) for r in j2b.collect()} == {
+            tuple(r) for r in j2_composite_key(spark, sf_dir).collect()
+        }
+
+        bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            nb = shuffle_count(plan(a11_collection_stats_bucketed(spark, sf_dir)))
+            np = shuffle_count(plan(a11_collection_stats(spark, sf_dir)))
+            # join contributes 0 Exchanges bucketed vs 2 plain; the distinct
+            # agg's 2 are layout-independent
+            assert nb == 2 and np == 4, (nb, np)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+        a11b = a11_collection_stats_bucketed(spark, sf_dir)
+        assert {tuple(r) for r in a11b.collect()} == {
+            tuple(r) for r in a11_collection_stats(spark, sf_dir).collect()
+        }
+    finally:
+        for t in (
+            "silver_orders_by_ok",
+            "silver_lineitem_by_ok",
+            "silver_lineitem_by_ps",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_date_partition_pruning(spark, sf_dir, tmp_path):
     import re
 

@@ -175,3 +175,33 @@ def test_redact_pii_counts_planted(spark, words, n_email, n_ip, n_phone):
     assert (row.email, row.ip, row.phone) == (n_email, n_ip, n_phone), text
     for _, pat, _m in PII_PATTERNS:
         assert not _re.search(pat, row.red), (pat, row.red)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),   # key: duplicates likely
+            st.integers(min_value=-20, max_value=20),   # value: any sign
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_exclusive_prefix_sum_duplicates_and_negatives(spark, rows):
+    """Totality contract: duplicate keys all receive the same cum_before —
+    the sum over STRICTLY smaller keys — and negative values flow through
+    the two-phase sum exactly like a sequential scan would. Differential
+    oracle is a pure-Python reference."""
+    from pasardassist_spark.operators.packing import exclusive_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "rid long, k long, v long"
+    )
+    got = {
+        r.rid: r.cum_before
+        for r in exclusive_prefix_sum(df, "k", "v", n_buckets=4).collect()
+    }
+    for i, (k, _) in enumerate(rows):
+        want = sum(v2 for k2, v2 in rows if k2 < k)
+        assert got[i] == want, (i, k, got[i], want)

@@ -294,6 +294,51 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     )
 
 
+def test_compactor_lost_race_aborts_cleanly(spark, tmp_path, monkeypatch):
+    """Two maintenance writers racing for the same version slot: the loser's
+    os.rename CAS fails, it returns False, cleans its PID-suffixed temp dir,
+    and the winner's committed generation is untouched. Simulated by
+    freezing the loser's version listing while a 'concurrent' writer commits
+    the contested slot first."""
+    import pasardassist_spark.streaming.ingest as ing
+    from pasardassist_spark.streaming.generations import (
+        commit,
+        committed_versions,
+        next_version_dir,
+    )
+
+    state = str(tmp_path / "race_state")
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("v"),
+        F.pmod(F.hash("id"), F.lit(4)).alias("bucket"),
+    )
+    gen1 = os.path.join(state, "v000001")
+    df.write.partitionBy("bucket").parquet(gen1)
+    commit(gen1)
+
+    stale = committed_versions(state)
+    winner = next_version_dir(state)
+    df.filter(F.col("k") < 100).write.partitionBy("bucket").parquet(winner)
+    commit(winner)
+    winner_files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(winner)
+        for f in fs
+    )
+
+    # the loser compactor listed versions BEFORE the winner committed
+    monkeypatch.setattr(ing, "_state_versions", lambda d: stale)
+    assert ing.compact_state(spark, state) is False
+
+    monkeypatch.undo()
+    assert committed_versions(state) == ["v000001", "v000002"]
+    assert sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(winner) for f in fs
+    ) == winner_files  # winner byte-layout untouched
+    assert not [d for d in os.listdir(state) if ".compact-" in d]  # no litter
+
+
 def test_stream_stream_attribution_equals_batch(spark, sf_dir, tmp_path):
     from pasardassist_spark.streaming.attribution import (
         attribution_batch,
