@@ -350,3 +350,59 @@ def passage_dedup(
             F.sum((~F.col("is_first")).cast("long")).alias("n_dropped"),
         )
     )
+
+
+def incremental_dedup(
+    batch: DataFrame, snapshot: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Cross-corpus dedup: flag each NEW document that exactly or nearly
+    duplicates the EXISTING snapshot — the standard operation when
+    extending a training corpus with a fresh crawl (the snapshot is the
+    already-trained-on data; near-dups against it are leakage/repetition,
+    not new signal).
+
+    Scale shape: the snapshot side reduces to its DISTINCT content digests
+    and DISTINCT LSH band signatures before either join — tiny versus the
+    raw snapshot text, and both joins are digest-keyed semi-join shuffles.
+    New×old text pairs are never materialized; at 100 TB the snapshot
+    digests/signatures are a standing index you append to per batch, so
+    each increment costs O(batch) + a join against the index.
+
+    Returns one row per batch doc: (id, dup_exact, dup_near, keep).
+    """
+    bh = batch.select(
+        F.col(id_col), F.col(text_col).alias("_t")
+    ).withColumn("content_hash", content_hash(F.col("_t")))
+    snap_hashes = (
+        snapshot.select(content_hash(F.col(text_col)).alias("content_hash"))
+        .distinct()
+        .withColumn("_hit_exact", F.lit(True))
+    )
+    snap_sigs = (
+        lsh_band_signatures(
+            minhash_signatures(shingles(snapshot, text_col, id_col), id_col), id_col
+        )
+        .select("band", "sig")
+        .distinct()
+    )
+    batch_sigs = lsh_band_signatures(
+        minhash_signatures(shingles(batch, text_col, id_col), id_col), id_col
+    )
+    near_ids = (
+        batch_sigs.join(snap_sigs, ["band", "sig"], "left_semi")
+        .select(F.col(id_col))
+        .distinct()
+        .withColumn("_hit_near", F.lit(True))
+    )
+    return (
+        bh.join(snap_hashes, "content_hash", "left")
+        .join(near_ids, id_col, "left")
+        .withColumn("dup_exact", F.coalesce(F.col("_hit_exact"), F.lit(False)))
+        .withColumn("dup_near", F.coalesce(F.col("_hit_near"), F.lit(False)))
+        .select(
+            F.col(id_col),
+            "dup_exact",
+            "dup_near",
+            (~(F.col("dup_exact") | F.col("dup_near"))).alias("keep"),
+        )
+    )

@@ -394,3 +394,59 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return semdedup(emb, EMBCOS_TAU)
+
+
+def _bsig_cte(src: str) -> str:
+    """Band-signature CTE chain scoped to one side (snap/batch) — the same
+    text as _MINHASH_CTES with the source table swapped, so the incremental
+    oracle cannot drift from the self-dedup oracle."""
+    return (
+        f"sh_{src} AS ({_SHINGLES_SQL.replace('FROM documents', f'FROM {src}')}),\n"
+        f"""mh_{src} AS (
+        SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS mh
+        FROM sh_{src} CROSS JOIN (SELECT unnest(range(0, {D.N_PERMS})) AS p)
+        GROUP BY doc_id, p
+    ),
+    bsig_{src} AS (
+        SELECT doc_id, CAST(p // {D.N_PERMS // D.N_BANDS} AS INTEGER) AS band,
+               string_agg(mh, '|' ORDER BY p) AS sig
+        FROM mh_{src} GROUP BY 1, 2
+    )"""
+    )
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH snap AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    batch AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    snap_hash AS (SELECT DISTINCT md5(lower(trim(text))) AS ch FROM snap),
+    {_bsig_cte('snap')},
+    {_bsig_cte('batch')},
+    near_ids AS (
+        SELECT DISTINCT bb.doc_id
+        FROM bsig_batch bb
+        JOIN (SELECT DISTINCT band, sig FROM bsig_snap) ss
+          ON bb.band = ss.band AND bb.sig = ss.sig
+    )
+    SELECT b.doc_id,
+           (sh.ch IS NOT NULL) AS dup_exact,
+           (ni.doc_id IS NOT NULL) AS dup_near,
+           (sh.ch IS NULL AND ni.doc_id IS NULL) AS keep
+    FROM batch b
+    LEFT JOIN snap_hash sh ON md5(lower(trim(b.text))) = sh.ch
+    LEFT JOIN near_ids ni ON b.doc_id = ni.doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup: even doc_ids stand in for the
+    existing snapshot, odd ids for the fresh crawl batch; each new doc is
+    flagged exact-dup (content hash in snapshot) and/or near-dup (shares a
+    MinHash LSH band signature with any snapshot doc). The snapshot reduces
+    to distinct digests + distinct band signatures before either join —
+    the standing index an incremental 100 TB pipeline appends to per batch,
+    so each increment is O(batch) + index joins, never new×old pairs."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    snap = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    return D.incremental_dedup(batch, snap, "text", "doc_id")

@@ -518,3 +518,31 @@ def test_semdedup_matches_within_cluster_union_find(spark, sf_dir):
     for vid, r in out.items():
         assert r.sem_cluster == find(vid), (vid, r.sem_cluster, find(vid))
         assert bool(r.is_canonical) == (r.sem_cluster == vid)
+
+
+def test_incremental_dedup_flags_planted_dups(spark):
+    """Exact dup → dup_exact; shingle-identical doc → dup_near; novel doc →
+    keep. The snapshot index side never materializes new×old text pairs
+    (no CartesianProduct in the plan)."""
+    from pasardassist_spark.operators.dedup import incremental_dedup
+    from pasardassist_spark.plans import plan
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    snap = spark.createDataFrame(
+        [(0, base), (2, "completely different snapshot text with many unique words here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, base),  # exact copy of snapshot doc 0
+            (3, base + " extra"),  # shares 5-gram shingles -> near
+            (5, "entirely novel document unlike anything in the old corpus at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup(batch, snap, "text", "doc_id")
+    assert "CartesianProduct" not in plan(out)
+    got = {r.doc_id: (r.dup_exact, r.dup_near, r.keep) for r in out.collect()}
+    assert got[1] == (True, True, False)
+    assert got[3] == (False, True, False)
+    assert got[5] == (False, False, True)
