@@ -117,9 +117,10 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             warm[name] = min(warm.get(name, dt), dt)
 
-    # Regression anchors for the round-3 operator additions: timed ONCE,
-    # outside the headline totals (so cross-round totals stay comparable and
-    # dedup_clusters' driver-side CC iteration doesn't dominate the suite).
+    # Regression anchors for the round-3/round-5 operator additions: timed
+    # ONCE, outside the headline totals (so cross-round totals stay
+    # comparable and dedup_clusters' driver-side CC iteration doesn't
+    # dominate the suite).
     extras: dict[str, float] = {}
     for name in [
         "dedup_passages",
@@ -128,6 +129,13 @@ def main() -> None:
         "text_bm25_topk",
         "pii_redact",
         "sim_ivfpq_ann",
+        "funnel_conversion",
+        "cohort_retention",
+        "hh_heavy_hitters",
+        "hh_space_saving",
+        "hop_window_rollup",
+        "cdc_snapshot_diff",
+        "gs_customer_rollup",
     ]:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -1,0 +1,420 @@
+"""Event/product analytics operator family: funnel, cohort retention,
+heavy hitters (exact + mergeable sketch), histogram, hopping windows,
+snapshot CDC diff, grouping sets.
+
+These extend the reference's dashboard aggregations (SURVEY.md §2.4 — the
+collection/wallet stat jobs in app.service.ts:1463-1559) with the standard
+product-analytics shapes a lake engine is expected to serve from the same
+events table. Every query is one-or-two-shuffle by construction and keyed
+so the shuffle key is the natural partition key at 100 TB (user_id for the
+per-user folds, the grouping key for the rollups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from pasardassist_spark.queries.registry import query
+from pasardassist_spark.tables import load
+
+
+# ---------------------------------------------------------------------------
+# Funnel: view -> click -> purchase, ordered per user.
+# ---------------------------------------------------------------------------
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH p1 AS (
+        SELECT user_id, event_type, ts,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ), p2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM p1
+    ), p3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3
+        FROM p2
+    ), u AS (
+        SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+        FROM p3 GROUP BY user_id
+    )
+    SELECT 'view' AS stage, 1 AS stage_ord,
+           count(*) FILTER (WHERE t1 IS NOT NULL) AS users FROM u
+    UNION ALL
+    SELECT 'click', 2, count(*) FILTER (WHERE t2 IS NOT NULL) FROM u
+    UNION ALL
+    SELECT 'purchase', 3, count(*) FILTER (WHERE t3 IS NOT NULL) FROM u
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): a user converts a stage
+    only with an event strictly after their entry to the previous stage.
+
+    Spark plan: three unbounded windows over the SAME partitioning
+    (user_id) — Catalyst plans ONE Exchange and chains the Window nodes,
+    so the whole staged fold costs a single shuffle keyed by user; the
+    final 3-row stage table is a metadata-size global aggregate. No
+    sequence-explosion self-join (the naive funnel join is events^3)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    et, ts = F.col("event_type"), F.col("ts")
+    d = (
+        ev.withColumn("t1", F.min(F.when(et == "view", ts)).over(w))
+        .withColumn(
+            "t2", F.min(F.when((et == "click") & (ts > F.col("t1")), ts)).over(w)
+        )
+        .withColumn(
+            "t3", F.min(F.when((et == "purchase") & (ts > F.col("t2")), ts)).over(w)
+        )
+    )
+    u = d.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    row = u.agg(
+        F.count("t1").alias("c1"),
+        F.count("t2").alias("c2"),
+        F.count("t3").alias("c3"),
+    )
+    return row.selectExpr(
+        "stack(3, 'view', 1, c1, 'click', 2, c2, 'purchase', 3, c3)"
+        " AS (stage, stage_ord, users)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: weekly signup cohorts x weeks-since-cohort activity.
+# ---------------------------------------------------------------------------
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               date_trunc('week', ts) AS week,
+               min(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort_week
+        FROM events
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS week_offset,
+           count(DISTINCT user_id) AS users
+    FROM act GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by the ISO week of
+    their first event, counted in each subsequent week they were active.
+
+    Spark plan: one window over user_id computes the cohort week (min of
+    the per-event week — identical to the week of the min ts since
+    date_trunc is monotone), DISTINCT collapses to user-weeks, then one
+    small rollup on (cohort_week, offset). Two shuffles total; the first
+    is keyed by user_id, which is how a 100 TB events table is already
+    bucketed for every other per-user job here."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    act = (
+        ev.select("user_id", F.date_trunc("week", "ts").alias("week"))
+        .withColumn("cohort_week", F.min("week").over(w))
+        .distinct()
+    )
+    return act.groupBy(
+        "cohort_week",
+        (F.floor(F.datediff("week", "cohort_week") / 7))
+        .cast("int")
+        .alias("week_offset"),
+    ).agg(F.count_distinct("user_id").alias("users"))
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters — exact (share threshold) and Misra-Gries sketch.
+# ---------------------------------------------------------------------------
+@query(
+    "hh_heavy_hitters",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ), tot AS (
+        SELECT sum(cnt) AS total, count(*) AS n_keys FROM counts
+    )
+    SELECT user_id, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share
+    FROM counts, tot
+    WHERE 5 * cnt * n_keys > 6 * total
+    """,
+)
+def hh_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: keys whose event count exceeds 1.2x their fair
+    share (cnt > 1.2 * total / n_keys, kept in integer arithmetic as
+    5*cnt*n_keys > 6*total so the cut is float-free and engine-exact).
+
+    Spark plan: ONE shuffle (the per-key count, map-side partial); the
+    total/n_keys scalar frame is a broadcast crossJoin, so the threshold
+    filter is map-local. Self-normalizing across scale factors."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .where(5 * F.col("cnt") * F.col("n_keys") > 6 * F.col("total"))
+        .select(
+            "user_id",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+SKETCH_CAPACITY = 64
+
+
+def space_saving_topk(
+    df: DataFrame, key_col: str, capacity: int = SKETCH_CAPACITY
+) -> DataFrame:
+    """Misra-Gries/Space-Saving heavy-hitter sketch, distributed.
+
+    Phase 1 (mapInPandas): each input partition folds its rows through a
+    capacity-bounded Misra-Gries summary — a dict of at most ``capacity``
+    keys; on overflow every counter is decremented (the classic MG step),
+    so a partition with n_p rows emits counts that under-estimate true
+    partition counts by at most n_p/capacity. Phase 2: the per-partition
+    summaries (at most capacity rows each — KB-scale regardless of data
+    size) are summed per key. Merged MG summaries keep the MG guarantee:
+    any key with true global count > n/capacity is present, and
+    est <= true <= est + n/capacity.
+
+    At 100 TB this is the only viable exact-top-k replacement: state is
+    O(partitions * capacity) rows into the final tiny shuffle, versus the
+    exact path's full per-key count shuffle."""
+    import pandas as pd
+
+    schema = f"{key_col} long, est long"
+
+    def fold(batches):
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for k in pdf[key_col].to_numpy():
+                k = int(k)
+                if k in counters:
+                    counters[k] += 1
+                elif len(counters) < capacity:
+                    counters[k] = 1
+                else:
+                    dead = []
+                    for kk in counters:
+                        counters[kk] -= 1
+                        if counters[kk] == 0:
+                            dead.append(kk)
+                    for kk in dead:
+                        del counters[kk]
+        yield pd.DataFrame(
+            {key_col: list(counters.keys()), "est": list(counters.values())}
+        )
+
+    summaries = df.select(key_col).mapInPandas(fold, schema=schema)
+    return summaries.groupBy(key_col).agg(F.sum("est").alias("est"))
+
+
+@query("hh_space_saving")  # sketch output: rows-only driver check by design
+def hh_space_saving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries sketch candidates for the heavy-hitter query above —
+    the bounded-state scale path. The containment guarantee (every exact
+    heavy hitter is in the sketch output) is asserted in
+    tests/test_operators.py; estimates are sketch-specific so the driver
+    records a rows-only check."""
+    ev = load(spark, sf_dir, "events")
+    return space_saving_topk(ev, "user_id").orderBy(
+        F.desc("est"), "user_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram.
+# ---------------------------------------------------------------------------
+@query(
+    "hist_value_buckets",
+    oracle="""
+    SELECT CAST(floor(value / 25.0) AS INT) AS bucket,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def hist_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram (bucket width 25): the one-shuffle
+    map-side-combinable distribution profile (the reference computes
+    price-range facets the same way, app.service.ts marketplace facets).
+    Bucket ids are computed with the identical floor expression on both
+    engines; sums are decimal-exact so partial-agg order is irrelevant."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 25.0).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) window rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "hop_window_rollup",
+    oracle="""
+    SELECT ws, event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events,
+         unnest(generate_series(date_trunc('day', ts) - INTERVAL 6 DAY,
+                                date_trunc('day', ts),
+                                INTERVAL 1 DAY)) AS t(ws)
+    GROUP BY 1, 2
+    """,
+)
+def hop_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day window hopping by 1 day, per event type — the trailing-week
+    dashboard series (reference: the 'last 7 days volume' stat refreshed
+    daily). Spark's built-in window() assigns each event to its 7
+    overlapping epoch-aligned windows JVM-side (a generator, not a join);
+    the oracle mirrors the same day-aligned starts with generate_series.
+    One shuffle on (window, event_type); decimal-exact sums. The same
+    expression runs unchanged under readStream with a watermark — tested
+    in tests/test_streaming.py."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "7 days", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n_events", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff.
+# ---------------------------------------------------------------------------
+_SNAP_A_SQL = (
+    "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price"
+    " FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'"
+)
+_SNAP_B_SQL = (
+    "SELECT o_orderkey,"
+    " CAST(CASE WHEN o_orderstatus = 'O'"
+    "      THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2"
+    "      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DECIMAL(18,2)) AS price"
+    " FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'"
+    " AND o_orderdate < TIMESTAMP '1999-01-01'"
+)
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH a AS ({_SNAP_A_SQL}), b AS ({_SNAP_B_SQL})
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           CAST(a.price AS DOUBLE) AS old_price,
+           CAST(b.price AS DOUBLE) AS new_price
+    FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL OR a.price <> b.price
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: full-outer join on
+    the primary key, rows classified added/removed/changed (unchanged rows
+    are dropped — the delta is the product). The snapshots here are two
+    deterministic views of `orders` (a date-windowed 'old' vs a shifted
+    window with open orders repriced), so both engines derive identical
+    inputs from the shared parquet.
+
+    Scale: the join is key-partitioned on the PK — with both snapshots
+    bucketed by PK (sources/lake.py layout) it is Exchange-free; the
+    unchanged-row filter drops the bulk of the data before any
+    materialization. This is the generational silver store's diff
+    (streaming/generations.py) expressed as a batch operator."""
+    o = load(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    a = o.where(F.col("o_orderdate") < "1998-01-01").select(
+        "o_orderkey", price.alias("price")
+    )
+    b = (
+        o.where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1999-01-01")
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderstatus") == "O", (price * 2))
+            .otherwise(price)
+            .cast("decimal(18,2)")
+            .alias("price"),
+        )
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    ak, bk = F.col("a.o_orderkey"), F.col("b.o_orderkey")
+    return j.where(
+        ak.isNull() | bk.isNull() | (F.col("a.price") != F.col("b.price"))
+    ).select(
+        F.coalesce(ak, bk).alias("o_orderkey"),
+        F.when(ak.isNull(), "added")
+        .when(bk.isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+        F.col("a.price").cast("double").alias("old_price"),
+        F.col("b.price").cast("double").alias("new_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "gs_customer_rollup",
+    oracle="""
+    SELECT r_name AS region, n_name AS nation,
+           CASE WHEN r_name IS NULL THEN 2
+                WHEN n_name IS NULL THEN 1 ELSE 0 END AS lvl,
+           count(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    """,
+)
+def gs_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup in one pass: (region, nation), (region),
+    and grand total via GROUPING SETS — three dashboard tables from one
+    shuffle instead of three jobs (the reference runs separate Mongo
+    aggregations per granularity, app.service.ts:1463-1559). The level
+    column is derived from the null pattern (dimension values are
+    never null in this schema), which keeps the SQL portable instead of
+    engine-specific GROUPING_ID encodings. Dimension joins are broadcasts
+    (nation=25, region=5 rows)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    joined.createOrReplaceTempView("gs_cust_joined")
+    return spark.sql(
+        """
+        SELECT r_name AS region, n_name AS nation,
+               CASE WHEN r_name IS NULL THEN 2
+                    WHEN n_name IS NULL THEN 1 ELSE 0 END AS lvl,
+               count(*) AS n_cust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+        FROM gs_cust_joined
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        """
+    )

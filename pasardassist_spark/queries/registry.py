@@ -138,6 +138,7 @@ def _load_all() -> None:
         return
     from pasardassist_spark.queries import (  # noqa: F401
         aggregates,
+        analytics,
         curation,
         dedup,
         enrichment,

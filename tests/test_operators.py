@@ -546,3 +546,32 @@ def test_incremental_dedup_flags_planted_dups(spark):
     assert got[1] == (True, True, False)
     assert got[3] == (False, True, False)
     assert got[5] == (False, False, True)
+
+
+def test_space_saving_contains_exact_heavy_hitters(spark, sf_dir):
+    """MG guarantee: every key with true count > n/capacity survives the
+    per-partition fold + merge — so the exact heavy-hitter set (1.2x fair
+    share, far above n/capacity here) is contained in the sketch output."""
+    from pasardassist_spark.queries.analytics import (
+        hh_heavy_hitters,
+        hh_space_saving,
+    )
+
+    exact = {r.user_id for r in hh_heavy_hitters(spark, sf_dir).collect()}
+    sketch = {r.user_id for r in hh_space_saving(spark, sf_dir).collect()}
+    assert exact <= sketch, f"sketch dropped heavy hitters: {exact - sketch}"
+
+
+def test_space_saving_skewed_guarantee(spark):
+    """Synthetic skew with MANY more distinct keys than sketch capacity:
+    a key holding ~20% of n must be present, and its merged estimate must
+    respect est <= true <= est + n/capacity (per-partition error adds up,
+    so the bound uses the summed partition sizes — here one partition)."""
+    from pasardassist_spark.queries.analytics import space_saving_topk
+
+    rows = [(7,)] * 2000 + [(k,) for k in range(1000, 9000)]  # n=10000
+    df = spark.createDataFrame(rows, "user_id long").repartition(1)
+    got = {r.user_id: r.est for r in space_saving_topk(df, "user_id", 64).collect()}
+    n = len(rows)
+    assert 7 in got, "heavy key evicted from MG summary"
+    assert got[7] <= 2000 <= got[7] + n // 64

@@ -232,3 +232,20 @@ def test_contamination_eval_side_builds_once(spark, sf_dir):
     join (an Aggregate on the build side, benchmark-sized at scale)."""
     p = plan(REGISTRY["contamination_flags"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_funnel_single_exchange(spark, sf_dir):
+    """The staged funnel must chain its three per-user windows over ONE
+    hash-exchange of events — no re-shuffle between stages, no self-join."""
+    p = plan(REGISTRY["funnel_conversion"].fn(spark, sf_dir))
+    hash_exchanges = re.findall(r"\(\d+\) Exchange hashpartitioning\(user_id", p)
+    assert len(hash_exchanges) <= 1, f"funnel shuffled events {len(hash_exchanges)}x"
+    assert "CartesianProduct" not in p
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    """GROUPING SETS must plan one Expand + one aggregate exchange — three
+    granularities from a single pass, with both dims broadcast."""
+    p = plan(REGISTRY["gs_customer_rollup"].fn(spark, sf_dir))
+    assert "Expand" in p
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 2

@@ -517,3 +517,40 @@ def test_streaming_dedup_replay_equals_distinct(spark, sf_dir, tmp_path):
         )
     )
     assert g == w
+
+
+def test_streaming_hop_rollup_equals_batch(spark, sf_dir, tmp_path, chunked_events):
+    """The hopping-window rollup (queries/analytics.hop_window_rollup) runs
+    unchanged as a watermarked stream and converges to the batch answer —
+    same groupBy(window(..., '7 days', '1 day')) expression on both paths."""
+    from pasardassist_spark.queries.analytics import hop_window_rollup
+
+    stream = read_event_stream(spark, chunked_events, max_files_per_trigger=2)
+    agg = (
+        stream.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "7 days", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n_events", "total_value")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hop_rollup")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (str(r.ws), r.event_type, r.n_events, round(r.total_value, 6))
+        for r in spark.sql("SELECT * FROM hop_rollup").collect()
+    }
+    want = {
+        (str(r.ws), r.event_type, r.n_events, round(r.total_value, 6))
+        for r in hop_window_rollup(spark, sf_dir).collect()
+    }
+    assert got == want
