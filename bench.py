@@ -136,6 +136,8 @@ def main() -> None:
         "hop_window_rollup",
         "cdc_snapshot_diff",
         "gs_customer_rollup",
+        "text_bigram_logprob",
+        "curate_dsir_weights",
     ]:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -267,3 +267,107 @@ def contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h_doc_id").isNotNull().alias("contaminated"),
         )
     )
+
+
+DSIR_BUCKETS = 1024
+_DSIR_HB = 0.5 * DSIR_BUCKETS  # add-0.5 smoothing mass across all buckets
+
+
+@query(
+    "curate_dsir_weights",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    btok AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(unnest(toks)), 1, 8))::BIGINT % {DSIR_BUCKETS} AS b
+        FROM t
+    ),
+    q AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cq FROM btok GROUP BY b),
+    p AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cp FROM btok WHERE lang = 'en' GROUP BY b),
+    tots AS (
+        SELECT CAST((SELECT SUM(cq) FROM q) AS DOUBLE) AS tq,
+               CAST((SELECT SUM(cp) FROM p) AS DOUBLE) AS tp
+    ),
+    wgt AS (
+        SELECT q.b,
+               ln((coalesce(cp, 0) + 0.5) / (tp + {_DSIR_HB}))
+             - ln((cq + 0.5) / (tq + {_DSIR_HB})) AS lw
+        FROM q LEFT JOIN p ON q.b = p.b CROSS JOIN tots
+    ),
+    dw AS (
+        SELECT doc_id, ROUND(SUM(lw), 6) AS weight
+        FROM btok JOIN wgt USING (b) GROUP BY doc_id
+    )
+    SELECT doc_id, weight,
+           ROUND(weight - ln(-ln(
+               (('0x' || substr(md5('g:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                + 0.5) / 4294967296.0)), 6) AS sample_key
+    FROM dw
+    """,
+)
+def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed-unigram bag
+    features (md5 -> DSIR_BUCKETS=1024 buckets), target distribution p from
+    the in-domain subset (lang='en' standing in for the target corpus),
+    raw distribution q from everything; each document's log importance
+    weight is the sum of per-token bucket log-ratios ln(p_b/q_b) with
+    add-0.5 smoothing. The Gumbel-top-k trick makes weighted sampling
+    WITHOUT replacement deterministic and distributed: sample_key =
+    weight + Gumbel(md5-seeded uniform per doc); taking the global top-k
+    keys IS the importance resample (TakeOrdered at scale — asserted in
+    tests/test_operators.py).
+
+    Spark plan: the bucket vocabulary is FIXED size (DSIR_BUCKETS rows)
+    regardless of corpus size — both distributions and the per-bucket
+    weight table stay broadcast at 100 TB; the corpus shuffles exactly
+    twice (bucket count, per-doc sum), both map-side combinable."""
+    d = load(spark, sf_dir, "documents")
+    from pasardassist_spark.operators.text import tokens
+
+    btok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % DSIR_BUCKETS).alias("b"),
+    )
+    q = btok.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
+    p = btok.where(F.col("lang") == "en").groupBy("b").agg(F.count(F.lit(1)).alias("cp"))
+    tots = q.agg(F.sum("cq").cast("double").alias("tq")).crossJoin(
+        p.agg(F.sum("cp").cast("double").alias("tp"))
+    )
+    wgt = (
+        q.join(p, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce("cp", F.lit(0)) + 0.5) / (F.col("tp") + _DSIR_HB))
+                - F.log((F.col("cq") + 0.5) / (F.col("tq") + _DSIR_HB))
+            ).alias("lw"),
+        )
+    )
+    dw = (
+        btok.join(F.broadcast(wgt), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("lw"), 6).alias("weight"))
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("g:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    return dw.select(
+        "doc_id",
+        "weight",
+        F.round(F.col("weight") - F.log(-F.log(u)), 6).alias("sample_key"),
+    )

@@ -387,3 +387,73 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(BM25_TOP_K)
     )
+
+
+_BIGRAM_CTES = f"""t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM tok GROUP BY tok),
+    vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uc),
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        FROM t
+    ),
+    bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cb FROM big GROUP BY bg),
+    lp AS (
+        SELECT bg, ln((cb + 1.0) / (cu + v)) / ln(10) AS lp
+        FROM bc JOIN uc ON split_part(bg, ' ', 1) = uc.tok
+        CROSS JOIN vv
+    )"""
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH {_BIGRAM_CTES}
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(lp), 6) AS avg_logprob
+    FROM big JOIN lp USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-1 smoothing — the perplexity
+    filter one order up from text_unigram_logprob: mean per-bigram
+    log10 P(w2 | w1), P = (c(w1 w2) + 1) / (c(w1) + V).
+
+    Spark plan: bigram counts and unigram (context) counts are two
+    parallel one-shuffle aggregates off the same scan; the per-bigram
+    log-probability table (Zipf-truncated, types << tokens) joins back to
+    the bigram stream as a broadcast, so the corpus shuffles once per
+    count, never for the scoring join. Where the bigram table outgrows
+    broadcast, the join falls back to hash-on-bg with AQE skew handling —
+    same shape as the unigram path. Docs with < 2 tokens contribute no
+    bigrams and drop out on both engines identically."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens(F.col("text")).alias("toks")
+    )
+    big = d.select("doc_id", F.explode(X.word_ngrams(F.col("toks"), 2)).alias("bg"))
+    tok = d.select(F.explode("toks").alias("tok"))
+    uc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    vv = uc.agg(F.count(F.lit(1)).alias("v"))
+    bc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    lp = (
+        bc.withColumn("tok", F.split(F.col("bg"), " ", 2)[0])
+        .join(F.broadcast(uc), "tok")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "bg",
+            (F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("v"))) / F.log(F.lit(10.0))).alias("lp"),
+        )
+    )
+    return (
+        big.join(F.broadcast(lp), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )

@@ -575,3 +575,31 @@ def test_space_saving_skewed_guarantee(spark):
     n = len(rows)
     assert 7 in got, "heavy key evicted from MG summary"
     assert got[7] <= 2000 <= got[7] + n // 64
+
+
+def test_dsir_gumbel_topk_resample(spark, sf_dir):
+    """Gumbel-top-k over DSIR weights is a deterministic importance
+    resample: repeat runs agree exactly, and the selected quarter is
+    biased toward the target domain (higher mean weight; the lang='en'
+    target over-represented vs its corpus share)."""
+    from pasardassist_spark.queries.curation import curate_dsir_weights
+    from pasardassist_spark.tables import load
+
+    dw = curate_dsir_weights(spark, sf_dir)
+    n = dw.count()
+    k = max(1, n // 4)
+    pick = lambda: [
+        r.doc_id for r in dw.orderBy(F.desc("sample_key"), "doc_id").limit(k).collect()
+    ]
+    sel = pick()
+    assert sel == pick(), "resample is not deterministic"
+    rows = {r.doc_id: r.weight for r in dw.collect()}
+    mean_all = sum(rows.values()) / len(rows)
+    mean_sel = sum(rows[d] for d in sel) / len(sel)
+    assert mean_sel > mean_all, "selection not importance-biased"
+    langs = {
+        r.doc_id: r.lang for r in load(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    }
+    share_all = sum(1 for v in langs.values() if v == "en") / len(langs)
+    share_sel = sum(1 for d in sel if langs[d] == "en") / len(sel)
+    assert share_sel > share_all, f"target share {share_sel} <= corpus share {share_all}"
