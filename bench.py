@@ -138,6 +138,7 @@ def main() -> None:
         "gs_customer_rollup",
         "text_bigram_logprob",
         "curate_dsir_weights",
+        "hll_user_rollup",
     ]:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

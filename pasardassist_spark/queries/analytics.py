@@ -418,3 +418,33 @@ def gs_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental distinct maintenance via mergeable HLL sketches.
+# ---------------------------------------------------------------------------
+@query("hll_user_rollup")  # sketch estimates are engine-specific: rows-only
+def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-user maintenance: per-DAY HyperLogLog sketches
+    (Datasketches HLL, lgConfigK=12) merged into per-week user estimates
+    with hll_union_agg — the pre-aggregated-distinct lake pattern. At
+    100 TB the daily sketch table is the standing gold artifact (O(days)
+    rows x ~2.5 KB); each new day appends ONE sketch row and every
+    re-aggregation window (week, month, all-time) is a metadata-scale
+    merge — history is never rescanned, which an exact count_distinct
+    can never avoid. Estimate error vs exact is bounded in
+    tests/test_operators.py; the driver records a rows-only check since
+    no SQL oracle can reproduce the sketch registers."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        daily.groupBy(F.date_trunc("week", "day").alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("week")
+    )

@@ -603,3 +603,30 @@ def test_dsir_gumbel_topk_resample(spark, sf_dir):
     share_all = sum(1 for v in langs.values() if v == "en") / len(langs)
     share_sel = sum(1 for d in sel if langs[d] == "en") / len(sel)
     assert share_sel > share_all, f"target share {share_sel} <= corpus share {share_all}"
+
+
+def test_hll_weekly_merge_error_bound(spark, sf_dir):
+    """Merged daily sketches must estimate weekly distinct users within
+    HLL error at lgConfigK=12 (rel. std err ~1.6%; assert 5%), and the
+    merge must equal sketching the week directly (mergeability)."""
+    from pasardassist_spark.queries.analytics import hll_user_rollup
+    from pasardassist_spark.tables import load
+
+    got = {str(r.week): r.est_users for r in hll_user_rollup(spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events")
+    exact = {
+        str(r.week): r.u
+        for r in ev.groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(F.count_distinct("user_id").alias("u"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for wk, est in got.items():
+        assert abs(est - exact[wk]) / exact[wk] <= 0.05, (wk, est, exact[wk])
+    direct = {
+        str(r.week): r.est
+        for r in ev.groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est"))
+        .collect()
+    }
+    assert got == direct, "daily-sketch merge != direct weekly sketch"
