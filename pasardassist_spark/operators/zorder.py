@@ -1,0 +1,112 @@
+"""Z-order (Morton curve) clustering for multi-column data skipping.
+
+A parquet scan prunes row groups by min/max stats. Sorting the file by one
+column gives perfect pruning on that column and none on any other; the
+Morton curve interleaves the bits of several columns so that rows close in
+EVERY dimension land close in the file — a range predicate on any subset
+of the z-ordered columns then overlaps few row groups (the Delta/Iceberg
+``OPTIMIZE ZORDER BY`` layout, re-expressed as plain Spark expressions).
+
+All bit math is built-in shift/mask expressions (codegen'd, no UDF); the
+sort is Spark's regular range-partitioned global sort. At 100 TB this is
+a per-partition rewrite job: z-sort WITHIN each date partition, so the
+sort never globalizes across the retention axis.
+
+Pruning efficacy (z-order beats single-column sort on 2-dim predicates)
+is asserted against real parquet row-group stats in tests/test_lake.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def zorder_value(cols: list[Column], bits: int = 16) -> Column:
+    """Morton-interleave the low ``bits`` of each (non-negative integer)
+    column into one LONG sort key. Column i's bit b lands at position
+    b * n_cols + i — round-robin interleave, most-significant bits
+    dominate equally for every column. n_cols * bits must be <= 63.
+
+    Values are clamped into [0, 2^bits) (capped, not wrapped: out-of-range
+    values keep their ordering at the top instead of aliasing to 0)."""
+    n = len(cols)
+    if n < 1:
+        raise ValueError("need at least one column")
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed long")
+    cap = F.lit((1 << bits) - 1)
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        v = F.least(F.greatest(c.cast("long"), F.lit(0)), cap)
+        for b in range(bits):
+            z = z + (
+                F.shiftleft(
+                    F.shiftright(v, b).bitwiseAND(F.lit(1)), b * n + i
+                ).cast("long")
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[Column],
+    bits: int = 16,
+    n_files: int = 20,
+) -> None:
+    """Write ``df`` z-clustered: range-partition on the Morton key into
+    ``n_files`` z-contiguous files, sorted within each (explicit
+    repartitionByRange — AQE would otherwise coalesce a small sort into
+    one file and erase the stats granularity). File/row-group count
+    trades stats granularity against footer overhead; on a real lake
+    n_files follows the partition's data volume."""
+    (
+        df.withColumn("_z", zorder_value(cols, bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(path)
+    )
+
+
+def rowgroups_overlapping(
+    path: str, preds: dict[str, tuple[float, float]]
+) -> tuple[int, int]:
+    """(matching, total) parquet row groups whose [min, max] stats overlap
+    EVERY predicate range — the skip decision a stats-based reader makes.
+    Test/inspection helper (pyarrow footer read, driver-side)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    match = total = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            stats = {}
+            for c in range(rg.num_columns):
+                col = rg.column(c)
+                name = col.path_in_schema
+                if col.statistics is not None:
+                    stats[name] = (col.statistics.min, col.statistics.max)
+            total += 1
+            ok = True
+            for name, (lo, hi) in preds.items():
+                if name not in stats:
+                    continue
+                mn, mx = stats[name]
+                if mx < lo or mn > hi:
+                    ok = False
+                    break
+            if ok:
+                match += 1
+    return match, total

@@ -1,0 +1,58 @@
+"""Runtime bloom-filter semi-join reduction (Catalyst's
+InjectRuntimeFilter rule, Spark 3.3+).
+
+When a fact⋈fact shuffle join has a selective predicate on one side,
+Spark can build a bloom filter over that side's join keys and push a
+``might_contain`` probe into the OTHER side's scan — rows that cannot
+match are dropped before the shuffle, which is exactly the semi-join
+reduction a 100 TB join needs (the shuffle is the cost; the bloom probe
+is map-local).
+
+Spark's defaults gate the rule on estimated sizes
+(``applicationSideScanSizeThreshold`` = 10 GB — correct for a real lake,
+permanently off at our test scale), so the effect is invisible in
+local-mode plans unless tuned. ``runtime_filter_session`` scopes the
+thresholds the way a cluster job config would; the plan-shape guarantee
+(filter injected, probe on the big side) is asserted in
+tests/test_plans.py rather than left to configuration luck.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import SparkSession
+
+_TUNED = {
+    # always consider the probe side regardless of its estimated scan size
+    # (local-mode estimates are KB-scale; a real lake clears the 10 GB bar)
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # allow building the filter from creation sides up to 100 MB post-filter
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+}
+
+
+@contextmanager
+def runtime_filter_session(spark: SparkSession, force_shuffle_join: bool = True):
+    """Scope runtime-bloom-filter tuning (and optionally disable broadcast
+    so the join actually shuffles — the regime where the filter matters).
+    Restores previous conf values on exit."""
+    keys = dict(_TUNED)
+    if force_shuffle_join:
+        keys["spark.sql.autoBroadcastJoinThreshold"] = "-1"
+        keys["spark.sql.adaptive.autoBroadcastJoinThreshold"] = "-1"
+    saved: dict[str, str | None] = {}
+    for k, v in keys.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

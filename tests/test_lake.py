@@ -103,3 +103,58 @@ def test_date_partition_pruning(spark, sf_dir, tmp_path):
     # pruned read returns exactly that day's rows
     want = ev.filter(F.to_date("ts") == one_day).count()
     assert q.count() == want and want > 0
+
+
+def test_zorder_prunes_multicolumn_better_than_single_sort(spark, tmp_path):
+    """Write a synthetic fact frame (a) sorted by user_id alone and (b)
+    Morton z-ordered on (user_id, d); a 2-dim box predicate must overlap a
+    strictly smaller fraction of row groups under the z-layout — the
+    stats-based skipping win the layout exists for. Synthetic size is
+    fixed so the row-group count is scale-factor-independent."""
+    from pyspark.sql import functions as F
+
+    from pasardassist_spark.operators.zorder import (
+        rowgroups_overlapping,
+        write_zordered,
+        zorder_value,
+    )
+
+    ev = spark.range(60000).select(
+        (F.col("id") % 600).alias("user_id"),
+        (F.crc32(F.col("id").cast("string")) % 30 + 1).cast("long").alias("d"),
+        (F.col("id") % 1000).cast("double").alias("value"),
+    )
+    single = str(tmp_path / "single")
+    zpath = str(tmp_path / "zord")
+    (
+        ev.repartitionByRange(20, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(single)
+    )
+    write_zordered(ev, zpath, [F.col("user_id"), F.col("d")], bits=12)
+
+    assert rowgroups_overlapping(single, {})[1] > 2, "too few row groups"
+    assert rowgroups_overlapping(zpath, {})[1] > 2, "too few row groups"
+
+    # Secondary-dimension predicate: the user-sorted layout cannot prune on
+    # d at all (every file spans all days); the z-layout must.
+    dband = {"d": (5, 8)}
+    m_single, t_single = rowgroups_overlapping(single, dband)
+    m_z, t_z = rowgroups_overlapping(zpath, dband)
+    assert m_single == t_single, "user-sort unexpectedly pruned on d"
+    assert m_z / t_z < 0.75, f"z-order pruned nothing on d: {m_z}/{t_z}"
+
+    # Wide 2-dim box: half the users x a fifth of the days — the z-layout
+    # must beat the single-sort layout (which can only prune the user half).
+    box = {"user_id": (0, 299), "d": (5, 10)}
+    m_single, t_single = rowgroups_overlapping(single, box)
+    m_z, t_z = rowgroups_overlapping(zpath, box)
+    assert m_z / t_z < m_single / t_single, (
+        f"z-order did not improve 2-dim pruning: {m_z}/{t_z} vs {m_single}/{t_single}"
+    )
+
+    # determinism / correctness: the z expression is pure column math
+    a = ev.withColumn("z", zorder_value([F.col("user_id"), F.col("d")], 12))
+    assert a.where(F.col("z") < 0).count() == 0

@@ -249,3 +249,32 @@ def test_grouping_sets_single_expand(spark, sf_dir):
     p = plan(REGISTRY["gs_customer_rollup"].fn(spark, sf_dir))
     assert "Expand" in p
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 2
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark, sf_dir):
+    """With a selective dim-side predicate on a shuffle join, Catalyst must
+    inject a bloom-filter runtime filter: a might_contain probe on the fact
+    side BEFORE its shuffle — the 100 TB semi-join reduction. Thresholds
+    are scoped via runtime_filter_session (local-mode size estimates never
+    clear the 10 GB default gate)."""
+    from pasardassist_spark.plans.runtime_filters import runtime_filter_session
+    from pasardassist_spark.tables import load
+    from pyspark.sql import functions as F
+
+    with runtime_filter_session(spark):
+        li = load(spark, sf_dir, "lineitem")
+        o = load(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = plan(j).lower()
+        assert "might_contain" in p or "bloomfilter" in p, (
+            "no runtime bloom filter injected"
+        )
+        # the probe must sit on the lineitem (probe) side, i.e. reference
+        # the fact join key
+        assert "might_contain" not in p or "l_orderkey" in p

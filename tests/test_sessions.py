@@ -69,3 +69,33 @@ def test_stream_sessions_equal_batch(spark, sf_dir, tmp_path):
         for r in sessionize_batch(ev).collect()
     }
     assert got == want
+
+
+def test_sessionize_agrees_with_builtin_session_window(spark, sf_dir):
+    """Cross-validation: the hand-rolled lag/running-sum sessionization
+    must produce the same (user, n_events, total) session multiset as
+    Spark's built-in session_window aggregation. (Boundary semantics
+    differ only for a gap of EXACTLY 30 min — measure-zero with
+    microsecond timestamps, absent from this data.)"""
+    from pasardassist_spark.streaming.sessions import sessionize_batch
+    from pasardassist_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    ours = sorted(
+        (r.user_id, r.n_events, round(r.total_value, 6))
+        for r in sessionize_batch(ev).collect()
+    )
+    builtin = sorted(
+        (r.user_id, r.n_events, round(r.total_value, 6))
+        for r in ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    )
+    assert ours == builtin
