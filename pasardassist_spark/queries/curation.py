@@ -371,3 +371,78 @@ def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight",
         F.round(F.col("weight") - F.log(-F.log(u)), 6).alias("sample_key"),
     )
+
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           s AS chunk_start,
+           CAST(len(toks[s + 1 : s + {CHUNK_SIZE}]) AS BIGINT) AS n_tokens,
+           array_to_string(toks[s + 1 : s + {CHUNK_SIZE}], ' ') AS chunk_text
+    FROM t, unnest(generate_series(0, CAST(len(toks) AS BIGINT) - 1,
+                                   {CHUNK_STRIDE})) AS g(s)
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each document split into overlapping
+    CHUNK_SIZE-token windows at CHUNK_STRIDE (the HF-style sliding window
+    for training/RAG over long documents; the stride < size overlap keeps
+    boundary-spanning context in some window). Pure built-in array math —
+    sequence() generates the window starts, slice() takes each window, no
+    Python anywhere; the 1->N fan-out is an explode, so at 100 TB it is
+    map-local row amplification feeding the downstream shuffle-free
+    writes, never a join."""
+    from pasardassist_spark.operators.text import tokens
+
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("toks") - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
+    ch = t.select("doc_id", "toks", F.explode(starts).alias("s"))
+    window = F.slice("toks", F.col("s") + 1, CHUNK_SIZE)
+    return ch.select(
+        "doc_id",
+        F.col("s").alias("chunk_start"),
+        F.size(window).cast("long").alias("n_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )
+
+
+@query(
+    "src_jsonl_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source connector, closed-loop: export the documents table as
+    newline-delimited JSON and read it back under the ORIGINAL schema with
+    FAILFAST (sources/textio.py). The oracle is the parquet table itself —
+    the check is lossless value round-tripping through the text format,
+    i.e. the correctness property a corpus-interchange boundary needs.
+    All-string/long schema keeps the comparison exact (no float repr
+    round-trip in this table)."""
+    import os
+    import tempfile
+
+    from pasardassist_spark.sources.textio import read_jsonl, write_jsonl
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"pasard_jsonl_{os.getpid()}_{abs(hash(sf_dir)) % 10000}"
+    )
+    write_jsonl(d, tmp)
+    return read_jsonl(spark, tmp, d.schema)

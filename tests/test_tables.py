@@ -117,3 +117,33 @@ def test_stream_read_identical_event_times(spark, both_encodings, tmp_path):
         shutil.rmtree(chk, ignore_errors=True)
     assert got["nanos"] == got["micros"]
     assert [t for _, t in got["micros"]] == _TS
+
+
+def test_jsonl_permissive_quarantines_corrupt_lines(spark, tmp_path):
+    """PERMISSIVE mode must parse the good lines and route malformed ones
+    to _corrupt_record (the DLQ ingest path); FAILFAST must raise on the
+    same input."""
+    import pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pasardassist_spark.sources.textio import read_jsonl
+
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "also ok"}\n'
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    rows = read_jsonl(spark, str(p), schema, mode="PERMISSIVE").collect()
+    good = {(r.doc_id, r.text) for r in rows if r._corrupt_record is None}
+    bad = [r._corrupt_record for r in rows if r._corrupt_record is not None]
+    assert good == {(1, "ok"), (2, "also ok")}
+    assert bad == ["this is not json"]
+
+    with pytest.raises(Exception) as ei:
+        read_jsonl(spark, str(p), schema, mode="FAILFAST").collect()
+    assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)
