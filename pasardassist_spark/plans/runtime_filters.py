@@ -56,3 +56,40 @@ def runtime_filter_session(spark: SparkSession, force_shuffle_join: bool = True)
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+_SKEW_TUNED = {
+    # Local-mode partition sizes are KB-scale, so the default skew gates
+    # (256 MB threshold, 5x median factor) never fire; scope them down the
+    # way a cluster job config keyed to its shuffle sizes would.
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+}
+
+
+@contextmanager
+def skew_join_session(spark: SparkSession):
+    """Scope AQE skew-join tuning: a hot join key's oversized shuffle
+    partition is split into multiple tasks at runtime (OptimizeSkewedJoin
+    — the planner-side complement to the manual salting in
+    operators/skew.py, which remains the tool for skewed AGGREGATIONS
+    where AQE cannot split a group). Restores prior confs on exit."""
+    saved: dict[str, str | None] = {}
+    for k, v in _SKEW_TUNED.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

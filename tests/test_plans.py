@@ -278,3 +278,24 @@ def test_runtime_bloom_filter_semi_join_reduction(spark, sf_dir):
         # the probe must sit on the lineitem (probe) side, i.e. reference
         # the fact join key
         assert "might_contain" not in p or "l_orderkey" in p
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """A hot-key fact⋈fact join under skew_join_session must show AQE
+    skew handling in the FINAL adaptive plan: the oversized partition is
+    read as multiple skewed splits (AQEShuffleRead ... skew=true) instead
+    of one straggler task — the runtime complement to manual salting."""
+    from pyspark.sql import functions as F
+
+    from pasardassist_spark.plans.runtime_filters import skew_join_session
+
+    with skew_join_session(spark):
+        # 90% of the fact rows share one hot key; the other side is unique
+        # keys (the realistic hot-entity join) so the output stays small.
+        hot = F.when(F.col("id") % 10 > 0, 7).otherwise(F.col("id"))
+        big = spark.range(400000).select(hot.alias("k"), F.lit("x" * 64).alias("pad"))
+        keys = spark.range(100000).select(F.col("id").alias("k"), F.lit("d").alias("w"))
+        j = big.join(keys, "k").groupBy().count()
+        j.collect()
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in p, "AQE did not split the skewed partition"
