@@ -139,6 +139,9 @@ def main() -> None:
         "text_bigram_logprob",
         "curate_dsir_weights",
         "hll_user_rollup",
+        "chunk_documents",
+        "samp_reservoir_per_group",
+        "text_tfidf_keywords",
     ]:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -126,3 +126,42 @@ def samp_class_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= CLASS_CAP)
         .drop("rn")
     )
+
+
+RESERVOIR_K = 5
+
+
+@query(
+    "samp_reservoir_per_group",
+    oracle=f"""
+    SELECT event_id, event_type FROM (
+        SELECT event_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS rn
+        FROM events
+    ) WHERE rn <= {RESERVOIR_K}
+    """,
+)
+def samp_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample per group (distributed reservoir): rank
+    rows within each group by a cryptographic hash of their id and keep
+    the first K — equivalent in distribution to reservoir sampling but
+    deterministic, mergeable, and rerun-stable (the property an audited
+    corpus build needs; true reservoir state is order-dependent).
+
+    Scale: Spark 4 pushes the rank<=K predicate into the shuffle as
+    WindowGroupLimit — each map task keeps only its local top-K per
+    group before the exchange, so the shuffle carries O(groups x K),
+    not the table (plan-asserted in tests/test_plans.py)."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col("event_id").cast("string"))
+    w = Window.partitionBy("event_type").orderBy(h, "event_id")
+    return (
+        ev.select("event_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= RESERVOIR_K)
+        .select("event_id", "event_type")
+    )

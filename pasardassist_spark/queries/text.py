@@ -457,3 +457,71 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lp"), 6).alias("avg_logprob"),
         )
     )
+
+
+TFIDF_TOP_TERMS = 3
+
+
+@query(
+    "text_tfidf_keywords",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, tok
+    ),
+    df AS (
+        SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY tok
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, tok, tf,
+               ROUND(tf * ln((n_docs + 1) / (df + 1)), 6) AS score
+        FROM tf JOIN df USING (tok) CROSS JOIN nd
+    )
+    SELECT doc_id, tok, tf, score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, tok
+        ) AS rn FROM scored
+    ) WHERE rn <= {TFIDF_TOP_TERMS}
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K (TFIDF_TOP_TERMS=3) TF-IDF keywords per document — the standard
+    model-free keyword extractor (smoothed idf = ln((N+1)/(df+1))).
+
+    The per-term rank is taken on the ROUNDED score (6 dp, then term as
+    tiebreak): ranking on raw doubles would let a 1-ulp libm divergence
+    reorder near-equal terms between engines — rounding makes the sort key
+    portable, the same contract every float-ordering query here uses.
+
+    Spark plan: tf is one shuffle on (doc, term); df is one on term and
+    broadcasts back (Zipf-truncated); the final per-doc top-k pushes
+    rank<=k into the shuffle (WindowGroupLimit)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "tok", "tf", "score")
+    )

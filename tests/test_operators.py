@@ -630,3 +630,57 @@ def test_hll_weekly_merge_error_bound(spark, sf_dir):
         .collect()
     }
     assert got == direct, "daily-sketch merge != direct weekly sketch"
+
+
+def test_funnel_requires_stage_order(spark):
+    """A user whose purchase precedes their first view (or who skips a
+    stage) must not count in downstream stages — the ordered-sequence
+    semantics that distinguish a funnel from three independent counts."""
+    import datetime as dt
+
+    from pasardassist_spark.queries import analytics as A
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, typ, minutes):
+        return (uid, typ, t0 + dt.timedelta(minutes=minutes))
+
+    rows = [
+        # u1: clean view -> click -> purchase
+        ev(1, "view", 0), ev(1, "click", 1), ev(1, "purchase", 2),
+        # u2: purchase BEFORE view: counts for view only
+        ev(2, "purchase", 0), ev(2, "view", 1),
+        # u3: view then purchase but never clicks: stops at view
+        ev(3, "view", 0), ev(3, "purchase", 5),
+        # u4: click with no view at all: counts nowhere
+        ev(4, "click", 0),
+        # u5: view and click simultaneous (ts equal): strict > excludes
+        ev(5, "view", 0), ev(5, "click", 0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    # reuse the query body against the synthetic frame
+    w = Window.partitionBy("user_id")
+    et, ts = F.col("event_type"), F.col("ts")
+    d = (
+        df.withColumn("t1", F.min(F.when(et == "view", ts)).over(w))
+        .withColumn("t2", F.min(F.when((et == "click") & (ts > F.col("t1")), ts)).over(w))
+        .withColumn("t3", F.min(F.when((et == "purchase") & (ts > F.col("t2")), ts)).over(w))
+    )
+    u = d.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    got = {
+        r.user_id: (r.t1 is not None, r.t2 is not None, r.t3 is not None)
+        for r in u.collect()
+    }
+    assert got == {
+        1: (True, True, True),
+        2: (True, False, False),
+        3: (True, False, False),
+        4: (False, False, False),
+        5: (True, False, False),
+    }

@@ -299,3 +299,11 @@ def test_aqe_splits_skewed_join_partition(spark):
         j.collect()
         p = j._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in p, "AQE did not split the skewed partition"
+
+
+def test_reservoir_sample_uses_window_group_limit(spark, sf_dir):
+    """The per-group rank<=K filter must push into the shuffle as a
+    partial top-K (WindowGroupLimit) so the exchange carries O(groups*K)
+    rows — the property that makes the hash-reservoir viable at 100 TB."""
+    p = plan(REGISTRY["samp_reservoir_per_group"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in p
