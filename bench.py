@@ -142,6 +142,7 @@ def main() -> None:
         "chunk_documents",
         "samp_reservoir_per_group",
         "text_tfidf_keywords",
+        "bpe_train_merge_table",
     ]:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

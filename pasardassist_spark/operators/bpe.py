@@ -1,0 +1,123 @@
+"""Distributed BPE merge training (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units") — tokenizer induction as a
+Spark job.
+
+Classic BPE trains on the WORD-TYPE table (distinct words with corpus
+counts), not the token stream: one corpus-sized shuffle builds that table,
+then every merge iteration runs over types only (types << tokens — Zipf).
+Each iteration is:
+
+1. adjacent-pair counts weighted by word count (flatMap via transform +
+   posexplode, one shuffle over the type table);
+2. argmax pair with a deterministic tiebreak (count desc, then pair
+   lexicographic) — a driver-side head(1) of a 1-row-interesting frame
+   (metadata-scale collect);
+3. greedy left-to-right merge applied to every word's symbol array as a
+   pure JVM ``aggregate`` fold — no Python in the loop.
+
+At 100 TB the type table is 10-100 M rows — still a distributed frame,
+which is why the merge application stays an array expression instead of a
+driver-side dict. Plan depth is bounded with a localCheckpoint every few
+iterations (the type table is small per node; the lineage would otherwise
+grow by two ops per merge).
+
+Differential check: tests/test_operators.py trains on a tiny corpus
+against an independent sequential reference implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+CHECKPOINT_EVERY = 5
+
+
+def _char_symbols(word: str | F.Column) -> F.Column:
+    # split between characters: not at start (no leading empty) and only
+    # where a character follows (Spark's split keeps trailing empties that
+    # a bare (?!^) would produce at end-of-string)
+    return F.split(word, r"(?!^)(?=.)")
+
+
+def _pair_counts(types_df: DataFrame) -> DataFrame:
+    """Adjacent symbol pairs weighted by word count; one shuffle over the
+    word-TYPE table."""
+    pairs = F.when(
+        F.size("syms") >= 2,
+        F.transform(
+            F.slice("syms", 1, F.size("syms") - 1),
+            lambda x, i: F.struct(
+                x.alias("left"), F.element_at("syms", i + 2).alias("right")
+            ),
+        ),
+    ).otherwise(F.array())
+    return (
+        types_df.select(F.explode(pairs).alias("p"), "cnt")
+        .groupBy("p.left", "p.right")
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def _apply_merge(types_df: DataFrame, left: str, right: str) -> DataFrame:
+    """Greedy left-to-right non-overlapping merge of (left, right) in every
+    word's symbol array — a pure JVM aggregate fold. (A merged symbol
+    can never re-match as ``left`` within the same pass unless
+    left+right == left, impossible for non-empty right.)"""
+    a, b = F.lit(left), F.lit(right)
+    merged = F.aggregate(
+        "syms",
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == a) & (x == b),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(a, b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return types_df.select(merged.alias("syms"), "cnt")
+
+
+def train_bpe_merges(
+    corpus: DataFrame, text_col: str, n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns [(left, right, count)] in
+    merge order. Deterministic: ties break on (count desc, left, right)."""
+    from pasardassist_spark.operators.text import tokens
+
+    types_df = (
+        corpus.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(_char_symbols(F.col("w")).alias("syms"), "cnt")
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, int]] = []
+    for i in range(n_merges):
+        top = (
+            _pair_counts(types_df)
+            .orderBy(F.desc("n"), "left", "right")
+            .head(1)
+        )
+        if not top or top[0]["n"] < 2:
+            break
+        left, right, n = top[0]["left"], top[0]["right"], int(top[0]["n"])
+        merges.append((left, right, n))
+        types_df = _apply_merge(types_df, left, right)
+        if (i + 1) % CHECKPOINT_EVERY == 0:
+            types_df = types_df.localCheckpoint()
+    return merges
+
+
+def bpe_merge_table(
+    spark: SparkSession, corpus: DataFrame, text_col: str, n_merges: int
+) -> DataFrame:
+    """The learned merge table as a DataFrame (rank, left, right, merged,
+    pair_count) — the artifact a tokenizer ships."""
+    merges = train_bpe_merges(corpus, text_col, n_merges)
+    rows = [
+        (r, left, right, left + right, n)
+        for r, (left, right, n) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, pair_count long"
+    )

@@ -525,3 +525,21 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOP_TERMS)
         .select("doc_id", "tok", "tf", "score")
     )
+
+
+BPE_N_MERGES = 20
+
+
+@query("bpe_train_merge_table")  # iterative training loop: not SQL-expressible
+def bpe_train_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction: the first BPE_N_MERGES BPE merges learned from
+    the documents corpus (operators/bpe.py — word-type table, per-merge
+    pair-count shuffle over types only, JVM-fold merge application).
+    The merge sequence is deterministic (count desc, pair lexicographic
+    tiebreak) and differentially tested against a sequential reference in
+    tests/test_operators.py; the driver records a rows-only check since a
+    20-iteration greedy argmax has no SQL form."""
+    from pasardassist_spark.operators.bpe import bpe_merge_table
+
+    d = load(spark, sf_dir, "documents").select("text")
+    return bpe_merge_table(spark, d, "text", BPE_N_MERGES)

@@ -684,3 +684,53 @@ def test_funnel_requires_stage_order(spark):
         4: (False, False, False),
         5: (True, False, False),
     }
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Sequential BPE reference (independent implementation for the
+    differential test): dict-of-tuples, same tiebreak (count desc, pair
+    lexicographic)."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), n = best
+        if n < 2:
+            break
+        merges.append((a, b, n))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_training_matches_sequential_reference(spark):
+    """Distributed BPE merge training must learn the exact merge sequence
+    the sequential reference learns (same greedy argmax + tiebreak) on a
+    corpus with known structure."""
+    from pasardassist_spark.operators.bpe import train_bpe_merges
+
+    words = {
+        "low": 5, "lower": 2, "newest": 6, "widest": 3, "low low": 0,
+        "hug": 10, "pug": 5, "pun": 12, "bun": 4, "hugs": 5,
+    }
+    rows = []
+    for w, c in words.items():
+        rows.extend([(w,)] * c)
+    corpus = spark.createDataFrame(rows, "text string")
+    got = train_bpe_merges(corpus, "text", 8)
+    want = _bpe_reference({w: c for w, c in words.items() if c > 0}, 8)
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
