@@ -448,3 +448,43 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped statistical moments.
+# ---------------------------------------------------------------------------
+@query(
+    "stat_moments",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 6) AS mean_v,
+           round(stddev_samp(value), 6) AS sd_v,
+           round(corr(value, CAST(json_extract(props, '$.k') AS DOUBLE)), 6)
+               AS corr_vk,
+           round(covar_samp(value, CAST(json_extract(props, '$.k') AS DOUBLE)), 6)
+               AS cov_vk
+    FROM events GROUP BY event_type
+    """,
+)
+def stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped second-order statistics in one shuffle: mean, sample
+    stddev, and the correlation/covariance of the event value against
+    the props.k attribute (the profiling pass every feature pipeline
+    runs). All five aggregates partial-merge map-side (Welford-style
+    merge states), so the plan is a single hash aggregate regardless of
+    group cardinality; 6-dp rounding absorbs the cross-engine
+    merge-order float noise (verified exact at sf0.01)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        ev.select("event_type", "value", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("mean_v"),
+            F.round(F.stddev_samp("value"), 6).alias("sd_v"),
+            F.round(F.corr("value", "k"), 6).alias("corr_vk"),
+            F.round(F.covar_samp("value", "k"), 6).alias("cov_vk"),
+        )
+    )
