@@ -488,3 +488,71 @@ def stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.covar_samp("value", "k"), 6).alias("cov_vk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution.
+# ---------------------------------------------------------------------------
+@query(
+    "attr_multi_touch",
+    oracle="""
+    WITH t AS (
+        SELECT user_id u, event_type touch, ts tts FROM events
+        WHERE event_type IN ('view', 'click')
+    ),
+    p AS (
+        SELECT user_id u, event_id pid, ts pts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT touch, pid FROM t JOIN p
+        ON t.u = p.u AND tts < pts AND tts >= pts - INTERVAL 7 DAY
+    ),
+    per AS (SELECT pid, touch, count(*) AS c FROM j GROUP BY pid, touch),
+    n AS (SELECT pid, sum(c) AS n FROM per GROUP BY pid)
+    SELECT touch, round(sum(c / n), 6) AS credit,
+           CAST(count(*) AS BIGINT) AS n_conversions_touched
+    FROM per JOIN n USING (pid) GROUP BY touch
+    """,
+)
+def attr_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's unit of credit is
+    split equally across ALL the user's view/click touches in the prior
+    7 days (the batch complement to the streaming last-touch attribution
+    in u3). Credit conservation (Σcredit == attributable purchases) is
+    pytested.
+
+    Spark plan: the touch⋈purchase range join is keyed by user — the
+    per-user pairing is bounded by the 7-day window, so the join output
+    is O(touches-in-window), never user-quadratic over history; the
+    per-purchase normalizer is a purchase-keyed aggregate joined back at
+    purchase granularity. Three shuffles, all on natural keys (user,
+    purchase id, touch type)."""
+    ev = load(spark, sf_dir, "events")
+    t = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("touch"),
+        F.col("ts").alias("tts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+    )
+    j = t.join(
+        p,
+        (t.u == p.u)
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS")),
+    ).select("touch", "pid")
+    per = j.groupBy("pid", "touch").agg(F.count(F.lit(1)).alias("c"))
+    n = per.groupBy("pid").agg(F.sum("c").alias("n"))
+    return (
+        per.join(n, "pid")
+        .select("touch", (F.col("c") / F.col("n")).alias("credit"))
+        .groupBy("touch")
+        .agg(
+            F.round(F.sum("credit"), 6).alias("credit"),
+            F.count(F.lit(1)).alias("n_conversions_touched"),
+        )
+    )

@@ -734,3 +734,34 @@ def test_bpe_training_matches_sequential_reference(spark):
     got = train_bpe_merges(corpus, "text", 8)
     want = _bpe_reference({w: c for w, c in words.items() if c > 0}, 8)
     assert got == want, f"\ngot:  {got}\nwant: {want}"
+
+
+def test_multi_touch_credit_conservation(spark, sf_dir):
+    """Linear attribution must conserve credit: the per-touch credits sum
+    to exactly the number of purchases that had >=1 touch in window."""
+    from pyspark.sql import functions as F
+
+    from pasardassist_spark.queries.analytics import attr_multi_touch
+    from pasardassist_spark.tables import load
+
+    res = attr_multi_touch(spark, sf_dir).collect()
+    total_credit = sum(r.credit for r in res)
+    ev = load(spark, sf_dir, "events")
+    t = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("u"), F.col("ts").alias("tts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    touched = (
+        t.join(
+            p,
+            (t.u == p.u)
+            & (F.col("tts") < F.col("pts"))
+            & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert abs(total_credit - touched) < 1e-3, (total_credit, touched)
