@@ -307,3 +307,19 @@ def test_reservoir_sample_uses_window_group_limit(spark, sf_dir):
     rows — the property that makes the hash-reservoir viable at 100 TB."""
     p = plan(REGISTRY["samp_reservoir_per_group"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in p
+
+
+def test_row_local_queries_have_no_hash_shuffle(spark, sf_dir):
+    """Chunking, PII scrub, and the histogram's pre-agg side are row-local:
+    chunking and scrubbing must plan ZERO hash exchanges (the only allowed
+    Exchange is the documented RoundRobin fan-out that compensates the
+    single-row-group local test files — a no-op on a real lake), and the
+    histogram exactly one (its aggregate)."""
+    for name, max_hash in [
+        ("chunk_documents", 0),
+        ("pii_redact", 0),
+        ("hist_value_buckets", 1),
+    ]:
+        p = plan(REGISTRY[name].fn(spark, sf_dir))
+        n = len(re.findall(r"Exchange hashpartitioning", p))
+        assert n <= max_hash, f"{name}: {n} hash exchanges (max {max_hash})"

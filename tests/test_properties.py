@@ -205,3 +205,31 @@ def test_exclusive_prefix_sum_duplicates_and_negatives(spark, rows):
     for i, (k, _) in enumerate(rows):
         want = sum(v2 for k2, v2 in rows if k2 < k)
         assert got[i] == want, (i, k, got[i], want)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4095), st.integers(0, 4095)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_zorder_interleave_is_bijective(spark, pairs):
+    """Morton interleave must be invertible for in-range inputs: decoding
+    the odd/even bit planes of z recovers (a, b) exactly — i.e. the sort
+    key loses no information and z-equal implies row-equal."""
+    from pyspark.sql import functions as F
+
+    from pasardassist_spark.operators.zorder import zorder_value
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    rows = df.withColumn(
+        "z", zorder_value([F.col("a"), F.col("b")], bits=12)
+    ).collect()
+    for r in rows:
+        a = b = 0
+        for bit in range(12):
+            a |= ((r.z >> (bit * 2)) & 1) << bit
+            b |= ((r.z >> (bit * 2 + 1)) & 1) << bit
+        assert (a, b) == (r.a, r.b), (r.z, a, b, r.a, r.b)
