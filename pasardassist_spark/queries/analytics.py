@@ -556,3 +556,100 @@ def attr_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_conversions_touched"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Running distinct users (exact cumulative distinct via first-seen).
+# ---------------------------------------------------------------------------
+@query(
+    "run_distinct_users",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS first_day FROM events
+        GROUP BY user_id
+    ),
+    new_per_day AS (
+        SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users FROM f
+        GROUP BY first_day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (
+               ORDER BY day ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_users
+    FROM new_per_day
+    """,
+)
+def run_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact running distinct-user count per day — the growth curve every
+    dashboard wants and the aggregation DISTINCT cannot express
+    cumulatively. The first-seen trick makes it one pass: distinct users
+    up to day d == users whose FIRST event day <= d, so the job is a
+    per-user min (user-keyed shuffle), a day rollup of first-seen counts
+    (O(days) rows), and a running sum over that metadata-scale frame.
+    No day-over-day re-scan, no growing distinct state — the same shape
+    maintains incrementally: a new batch can only add first-seen rows."""
+    ev = load(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    per_day = f.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth (quantile) binning.
+# ---------------------------------------------------------------------------
+@query(
+    "hist_equi_depth",
+    oracle="""
+    WITH cuts AS (
+        SELECT round(quantile_cont(value, 0.25), 4) AS c1,
+               round(quantile_cont(value, 0.50), 4) AS c2,
+               round(quantile_cont(value, 0.75), 4) AS c3
+        FROM events
+    )
+    SELECT CASE WHEN value <= c1 THEN 0 WHEN value <= c2 THEN 1
+                WHEN value <= c3 THEN 2 ELSE 3 END AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(value) AS min_v, max(value) AS max_v
+    FROM events CROSS JOIN cuts
+    GROUP BY 1
+    """,
+)
+def hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile) binning — the ML-prep feature bucketizer:
+    exact distributed quartiles (Spark's percentile aggregate; one
+    shuffle), cutpoints ROUNDED to 4 dp so the bin edges are portable
+    across engines (the data is 2-dp, so rounding can never move a value
+    across an edge), then a broadcast of the 1-row cut frame buckets the
+    table map-side. Two passes total, the second shuffle-free below its
+    final tiny rollup — the shape of every quantile-sketch bucketizer at
+    100 TB (swap the exact percentile for approx_percentile when a
+    1e-4-rank error is acceptable; a13 benches both)."""
+    ev = load(spark, sf_dir, "events")
+    cuts = ev.agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("c1"),
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("c2"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("c3"),
+    )
+    v = F.col("value")
+    bucket = (
+        F.when(v <= F.col("c1"), 0)
+        .when(v <= F.col("c2"), 1)
+        .when(v <= F.col("c3"), 2)
+        .otherwise(3)
+    )
+    return (
+        ev.crossJoin(F.broadcast(cuts))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+        )
+    )
