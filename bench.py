@@ -143,6 +143,10 @@ def main() -> None:
         "samp_reservoir_per_group",
         "text_tfidf_keywords",
         "bpe_train_merge_table",
+        "stat_moments",
+        "attr_multi_touch",
+        "run_distinct_users",
+        "hist_equi_depth",
     ]:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
