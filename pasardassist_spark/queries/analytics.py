@@ -406,15 +406,18 @@ def gs_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = c.join(
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-    joined.createOrReplaceTempView("gs_cust_joined")
+    import os
+
+    view = f"gs_cust_joined_{os.getpid()}_{abs(hash(sf_dir)) % 10000}"
+    joined.createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT r_name AS region, n_name AS nation,
                CASE WHEN r_name IS NULL THEN 2
                     WHEN n_name IS NULL THEN 1 ELSE 0 END AS lvl,
                count(*) AS n_cust,
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
-        FROM gs_cust_joined
+        FROM {view}
         GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
         """
     )
