@@ -158,3 +158,37 @@ def test_zorder_prunes_multicolumn_better_than_single_sort(spark, tmp_path):
     # determinism / correctness: the z expression is pure column math
     a = ev.withColumn("z", zorder_value([F.col("user_id"), F.col("d")], 12))
     assert a.where(F.col("z") < 0).count() == 0
+
+
+def test_cdc_diff_on_bucketed_snapshots_is_exchange_free(spark, sf_dir):
+    """The CDC full-outer PK diff consumes a bucketed-by-PK layout with
+    ZERO Exchange (cdc_snapshot_diff's documented scale path): both
+    snapshot filters preserve the orders table's orderkey bucketing, so
+    the join reads buckets in place."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pasardassist_spark.sources.lake import prepare_silver, read_table
+
+    prepare_silver(spark, sf_dir)
+    o = read_table(spark, "silver_orders_by_ok")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    a = o.where(F.col("o_orderdate") < "1998-01-01").select(
+        "o_orderkey", price.alias("price")
+    )
+    b = o.where(F.col("o_orderdate") >= "1996-01-01").select(
+        "o_orderkey", price.alias("price")
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert not re.search(r"Exchange hashpartitioning", p), (
+        "bucketed CDC diff still shuffles"
+    )

@@ -765,3 +765,19 @@ def test_multi_touch_credit_conservation(spark, sf_dir):
         .count()
     )
     assert abs(total_credit - touched) < 1e-3, (total_credit, touched)
+
+
+def test_space_saving_multi_partition_error_bound(spark):
+    """Merged per-partition MG summaries must respect the summed error
+    bound: est <= true <= est + sum_p(n_p / capacity). Uses 4 partitions
+    with a planted heavy key and many singletons."""
+    from pasardassist_spark.queries.analytics import space_saving_topk
+
+    rows = [(7,)] * 4000 + [(k,) for k in range(10_000, 26_000)]  # n = 20k
+    df = spark.createDataFrame(rows, "user_id long").repartition(4)
+    cap = 64
+    got = {r.user_id: r.est for r in space_saving_topk(df, "user_id", cap).collect()}
+    assert 7 in got, "heavy key lost across partition merges"
+    # per-partition error adds: each partition holds ~n/4 rows
+    bound = sum((len(rows) // 4 + 1) // cap + 1 for _ in range(4))
+    assert got[7] <= 4000 <= got[7] + bound, (got[7], bound)
