@@ -656,3 +656,89 @@ def hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(v).alias("max_v"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank distributions (percent_rank / cume_dist) per group.
+# ---------------------------------------------------------------------------
+@query(
+    "w_rank_distributions",
+    oracle="""
+    SELECT event_id, event_type,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           ntile(4) OVER w AS quartile
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def w_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-distribution window functions per group: percent_rank,
+    cume_dist, and quartile ntile over the value ordering — exact
+    rational ranks, so cross-engine equality is structural (the ORDER BY
+    carries event_id as a total-order tiebreak; ntile depends on row
+    order, not value ties). One hash shuffle on event_type; the sort is
+    per-partition. Filter narrows to two types so the driver row stays
+    bounded."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT between two activity periods.
+# ---------------------------------------------------------------------------
+@query(
+    "u4_retention_set_ops",
+    oracle="""
+    WITH jan AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+    ),
+    feb AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-02-01'
+    )
+    SELECT 'retained' AS cohort, user_id FROM (
+        SELECT user_id FROM jan INTERSECT SELECT user_id FROM feb)
+    UNION ALL
+    SELECT 'churned', user_id FROM (
+        SELECT user_id FROM jan EXCEPT SELECT user_id FROM feb)
+    UNION ALL
+    SELECT 'new', user_id FROM (
+        SELECT user_id FROM feb EXCEPT SELECT user_id FROM jan)
+    """,
+)
+def u4_retention_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True relational set operations (U-family beyond union): the
+    retained / churned / new user partition of two activity periods via
+    INTERSECT and EXCEPT. Catalyst plans both as aggregates + semi/anti
+    joins on the already-distinct user sets — period extraction is one
+    user-keyed shuffle each, the set ops run at user-set (not event)
+    cardinality."""
+    ev = load(spark, sf_dir, "events")
+    jan = (
+        ev.where((F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-15"))
+        .select("user_id")
+        .distinct()
+    )
+    feb = (
+        ev.where((F.col("ts") >= "2024-01-15") & (F.col("ts") < "2024-02-01"))
+        .select("user_id")
+        .distinct()
+    )
+    lab = lambda name, df: df.select(F.lit(name).alias("cohort"), "user_id")
+    return (
+        lab("retained", jan.intersect(feb))
+        .unionAll(lab("churned", jan.exceptAll(feb).distinct()))
+        .unionAll(lab("new", feb.exceptAll(jan).distinct()))
+    )
