@@ -781,3 +781,68 @@ def test_space_saving_multi_partition_error_bound(spark):
     # per-partition error adds: each partition holds ~n/4 rows
     bound = sum((len(rows) // 4 + 1) // cap + 1 for _ in range(4))
     assert got[7] <= 4000 <= got[7] + bound, (got[7], bound)
+
+
+def test_cohort_offsets_and_cdc_classification_edges(spark):
+    """Synthetic edges: a single-week user contributes only offset 0 of
+    their cohort; CDC classifies added/removed/changed correctly and
+    drops unchanged rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    # --- cohort: u1 active wk1+wk3, u2 active wk2 only
+    t0 = dt.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        (1, t0), (1, t0 + dt.timedelta(days=15)),
+        (2, t0 + dt.timedelta(days=8)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    w = Window.partitionBy("user_id")
+    act = (
+        ev.select("user_id", F.date_trunc("week", "ts").alias("week"))
+        .withColumn("cohort_week", F.min("week").over(w))
+        .distinct()
+    )
+    got = {
+        (str(r.cohort_week.date()), r.week_offset): r.users
+        for r in act.groupBy(
+            "cohort_week",
+            (F.floor(F.datediff("week", "cohort_week") / 7)).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("users"))
+        .collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,  # u1 cohort wk1
+        ("2024-01-01", 2): 1,  # u1 returns in wk3
+        ("2024-01-08", 0): 1,  # u2 cohort wk2, never returns
+    }
+
+    # --- CDC: one added, one removed, one changed, one unchanged (dropped)
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "o_orderkey long, price double"
+    )
+    b = spark.createDataFrame(
+        [(2, 25.0), (3, 30.0), (4, 40.0)], "o_orderkey long, price double"
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    ak, bk = F.col("a.o_orderkey"), F.col("b.o_orderkey")
+    diff = {
+        r.k: r.ct
+        for r in j.where(
+            ak.isNull() | bk.isNull() | (F.col("a.price") != F.col("b.price"))
+        )
+        .select(
+            F.coalesce(ak, bk).alias("k"),
+            F.when(ak.isNull(), "added")
+            .when(bk.isNull(), "removed")
+            .otherwise("changed")
+            .alias("ct"),
+        )
+        .collect()
+    }
+    assert diff == {1: "removed", 2: "changed", 4: "added"}
