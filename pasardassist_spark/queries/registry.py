@@ -67,32 +67,32 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "text_bm25_topk", "curate_corpus", "pack_training_sequences",
     "pii_redact", "dedup_clusters", "split_by_cluster", "dedup_passages",
     "contamination_flags", "mix_sources", "dedup_semantic", "sim_ivfpq_ann",
+    # r5 greens (CORRECTNESS_r05: 43 hash-green + 7 rows-only re-checked)
+    "a13_percentiles", "a5_latest_event", "a6_salted_latest_per_type",
+    "a9_event_type_pivot", "aj_rate_asof", "attr_multi_touch",
+    "cdc_snapshot_diff", "chunk_documents", "cohort_retention",
+    "curate_dsir_weights", "dedup_incremental", "dq_quality_checks",
+    "emb_normalize_quantize", "funnel_conversion", "gs_customer_rollup",
+    "hh_heavy_hitters", "hist_equi_depth", "hist_value_buckets",
+    "hop_window_rollup", "j2_composite_key", "rj_session_assign",
+    "run_distinct_users", "s4_enrich_join", "samp_reservoir_per_group",
+    "scalar_funcs", "sess_gap_sessionize", "src_jsonl_roundtrip",
+    "st1_stream_replay", "st3_stream_rollup", "st4_entity_fold",
+    "st7_retry_enrichment", "stat_moments", "text_bigram_logprob",
+    "text_tfidf_keywords", "time_multi_rollup", "u1_union_timeline",
+    "u3_attribution_join", "u4_retention_set_ops",
+    "w2_value_window_analytics", "w_rank_distributions",
+    "a13_percentiles_approx", "bpe_train_merge_table", "hh_space_saving",
+    "hll_user_rollup",
 })
 
 # Entries whose implementation or oracle changed since their last green
 # driver row — treated as unverified for ordering until re-checked.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    # round 5: the events-ts loader fix (tables._normalize_event_time +
-    # read_event_stream schema inference) changes the scan layer under every
-    # events-reading query — all 16 r4 red rows plus the 4 archived greens
-    # that broke outside the check window must be re-verified.
-    "scalar_funcs", "a5_latest_event", "a6_salted_latest_per_type",
-    "a9_event_type_pivot", "a13_percentiles", "a13_percentiles_approx",
-    "st4_entity_fold", "sess_gap_sessionize", "aj_rate_asof",
-    "rj_session_assign", "time_multi_rollup", "u3_attribution_join",
-    "w2_value_window_analytics", "st1_stream_replay", "st3_stream_rollup",
-    "s4_enrich_join", "st7_retry_enrichment", "dq_quality_checks",
-    "u1_union_timeline", "j2_composite_key",
-    # round 5: q8 serialized as comma-joined string on both sides (the raw
-    # array column defeated the driver comparator's pandas canonicalization)
-    "emb_normalize_quantize",
-    # round 5: exclusive_prefix_sum phase-1 moved to a RANGE frame (ties
-    # now total; same values on unique keys — driver should re-confirm)
-    "pack_training_sequences",
-    # round 5: k-means training moved to driver-side numpy over a bounded
-    # sample (FAISS split); cluster contents shift, rows-only counts should
-    # re-confirm
-    "sim_ivf_ann", "sim_ivfpq_ann", "dedup_semantic",
+    # round 6: nothing forced yet — r5's 50-entry window came back fully
+    # green (CORRECTNESS_r05: 43 hash + 7 rows-only, 0 ERR/FAIL) and those
+    # names were rotated into _DRIVER_GREEN above.  Add any name here whose
+    # query code or oracle is edited this round.
 })
 
 
