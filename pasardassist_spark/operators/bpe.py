@@ -91,6 +91,10 @@ def train_bpe_merges(
         .select(_char_symbols(F.col("w")).alias("syms"), "cnt")
         .localCheckpoint()
     )
+    # Each localCheckpoint caches its RDD on the executors for the life of
+    # the session; without unpersisting the predecessor, a long merge run
+    # pins O(n_merges / CHECKPOINT_EVERY) dead copies of the type table.
+    prev_ckpt = types_df
     merges: list[tuple[str, str, int]] = []
     for i in range(n_merges):
         top = (
@@ -104,7 +108,10 @@ def train_bpe_merges(
         merges.append((left, right, n))
         types_df = _apply_merge(types_df, left, right)
         if (i + 1) % CHECKPOINT_EVERY == 0:
-            types_df = types_df.localCheckpoint()
+            types_df = types_df.localCheckpoint()  # eager: materializes now
+            prev_ckpt.unpersist()
+            prev_ckpt = types_df
+    prev_ckpt.unpersist()
     return merges
 
 

@@ -96,7 +96,10 @@ def rowgroups_overlapping(
             for c in range(rg.num_columns):
                 col = rg.column(c)
                 name = col.path_in_schema
-                if col.statistics is not None:
+                # statistics can exist with has_min_max=False (e.g. binary
+                # columns past the stats size cap) — min/max would be None
+                # and the range test below would TypeError on comparison.
+                if col.statistics is not None and col.statistics.has_min_max:
                     stats[name] = (col.statistics.min, col.statistics.max)
             total += 1
             ok = True

@@ -33,20 +33,16 @@ _TUNED = {
 
 
 @contextmanager
-def runtime_filter_session(spark: SparkSession, force_shuffle_join: bool = True):
-    """Scope runtime-bloom-filter tuning (and optionally disable broadcast
-    so the join actually shuffles — the regime where the filter matters).
-    Restores previous conf values on exit."""
-    keys = dict(_TUNED)
-    if force_shuffle_join:
-        keys["spark.sql.autoBroadcastJoinThreshold"] = "-1"
-        keys["spark.sql.adaptive.autoBroadcastJoinThreshold"] = "-1"
+def _scoped_confs(spark: SparkSession, keys: dict[str, str]):
+    """Set SQL confs for the scope, restoring the EXPLICIT prior state on
+    exit: a conf the session had never set is unset again (``conf.get(k)``
+    without a default would return the built-in default and exit would then
+    pin it — session-global drift). Not reentrant per (session, key):
+    nested scopes touching the same key restore whatever the outer scope
+    set, which is correct, but concurrent threads on one session race."""
     saved: dict[str, str | None] = {}
     for k, v in keys.items():
-        try:
-            saved[k] = spark.conf.get(k)
-        except Exception:
-            saved[k] = None
+        saved[k] = spark.conf.get(k, None)  # None == was never set
         spark.conf.set(k, v)
     try:
         yield spark
@@ -56,6 +52,19 @@ def runtime_filter_session(spark: SparkSession, force_shuffle_join: bool = True)
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@contextmanager
+def runtime_filter_session(spark: SparkSession, force_shuffle_join: bool = True):
+    """Scope runtime-bloom-filter tuning (and optionally disable broadcast
+    so the join actually shuffles — the regime where the filter matters).
+    Restores previous conf values on exit (see _scoped_confs)."""
+    keys = dict(_TUNED)
+    if force_shuffle_join:
+        keys["spark.sql.autoBroadcastJoinThreshold"] = "-1"
+        keys["spark.sql.adaptive.autoBroadcastJoinThreshold"] = "-1"
+    with _scoped_confs(spark, keys):
+        yield spark
 
 
 _SKEW_TUNED = {
@@ -77,19 +86,7 @@ def skew_join_session(spark: SparkSession):
     partition is split into multiple tasks at runtime (OptimizeSkewedJoin
     — the planner-side complement to the manual salting in
     operators/skew.py, which remains the tool for skewed AGGREGATIONS
-    where AQE cannot split a group). Restores prior confs on exit."""
-    saved: dict[str, str | None] = {}
-    for k, v in _SKEW_TUNED.items():
-        try:
-            saved[k] = spark.conf.get(k)
-        except Exception:
-            saved[k] = None
-        spark.conf.set(k, v)
-    try:
+    where AQE cannot split a group). Restores prior confs on exit
+    (see _scoped_confs)."""
+    with _scoped_confs(spark, _SKEW_TUNED):
         yield spark
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)

@@ -406,11 +406,14 @@ def gs_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = c.join(
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-    import os
+    import uuid
 
-    view = f"gs_cust_joined_{os.getpid()}_{abs(hash(sf_dir)) % 10000}"
+    # uuid-suffixed name: Python str hashing is process-salted, and two
+    # threads sharing one session could collide on a pid+hash name between
+    # createOrReplaceTempView and spark.sql.
+    view = f"gs_cust_joined_{uuid.uuid4().hex}"
     joined.createOrReplaceTempView(view)
-    return spark.sql(
+    out = spark.sql(
         f"""
         SELECT r_name AS region, n_name AS nation,
                CASE WHEN r_name IS NULL THEN 2
@@ -421,6 +424,10 @@ def gs_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
         """
     )
+    # spark.sql analyzes eagerly, so the resolved plan no longer needs the
+    # view — drop it to keep the catalog clean across repeated calls.
+    spark.catalog.dropTempView(view)
+    return out
 
 
 # ---------------------------------------------------------------------------

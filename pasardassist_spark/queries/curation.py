@@ -432,8 +432,14 @@ def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the check is lossless value round-tripping through the text format,
     i.e. the correctness property a corpus-interchange boundary needs.
     All-string/long schema keeps the comparison exact (no float repr
-    round-trip in this table)."""
-    import os
+    round-trip in this table).
+
+    Side effect: building the plan writes the JSONL export (a source
+    connector cannot be exercised without bytes on disk). Each call gets a
+    fresh ``mkdtemp`` dir — no cross-run collisions — and the dir is
+    removed at interpreter exit, after any lazy read has materialized."""
+    import atexit
+    import shutil
     import tempfile
 
     from pasardassist_spark.sources.textio import read_jsonl, write_jsonl
@@ -441,8 +447,7 @@ def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    tmp = os.path.join(
-        tempfile.gettempdir(), f"pasard_jsonl_{os.getpid()}_{abs(hash(sf_dir)) % 10000}"
-    )
+    tmp = tempfile.mkdtemp(prefix="pasard_jsonl_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     write_jsonl(d, tmp)
     return read_jsonl(spark, tmp, d.schema)

@@ -89,10 +89,11 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # Entries whose implementation or oracle changed since their last green
 # driver row — treated as unverified for ordering until re-checked.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    # round 6: nothing forced yet — r5's 50-entry window came back fully
-    # green (CORRECTNESS_r05: 43 hash + 7 rows-only, 0 ERR/FAIL) and those
-    # names were rotated into _DRIVER_GREEN above.  Add any name here whose
-    # query code or oracle is edited this round.
+    # round 6 ADVICE fixes touched these implementations (results should be
+    # value-identical; the driver confirms):
+    "src_jsonl_roundtrip",   # per-call mkdtemp + atexit cleanup
+    "gs_customer_rollup",    # uuid view name + eager drop
+    "bpe_train_merge_table", # checkpoint predecessor unpersist
 })
 
 

@@ -110,6 +110,15 @@ def _normalize_event_time(df: DataFrame) -> DataFrame:
         # Downstream code (windows, watermarks, oracles) expects a plain
         # TIMESTAMP; values are wall-clock UTC either way in this dataset.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif dtype != "timestamp":
+        # A new upstream encoding must be added here DELIBERATELY — the r4
+        # incident was exactly a drifted encoding flowing through silently
+        # and corrupting every event-time result downstream.
+        raise TypeError(
+            f"events.ts has unrecognized dtype {dtype!r}; expected one of "
+            "bigint (TIMESTAMP(NANOS) under nanosAsLong), timestamp, "
+            "timestamp_ntz. Refusing to guess an event-time conversion."
+        )
     return df
 
 

@@ -44,6 +44,13 @@ def _write_fixture(tmp_path, encoding: str) -> str:
     }
     if encoding == "nanos":
         ts = pa.array(_TS, pa.timestamp("ns"))
+    elif encoding == "int32":
+        # A drifted upstream writing epoch-seconds as int32 — an encoding
+        # the loader must REFUSE, not guess at.
+        ts = pa.array(
+            [int(t.replace(tzinfo=datetime.timezone.utc).timestamp()) for t in _TS],
+            pa.int32(),
+        )
     else:
         ts = pa.array(_TS, pa.timestamp("us"))
     table = pa.table(
@@ -117,6 +124,14 @@ def test_stream_read_identical_event_times(spark, both_encodings, tmp_path):
         shutil.rmtree(chk, ignore_errors=True)
     assert got["nanos"] == got["micros"]
     assert [t for _, t in got["micros"]] == _TS
+
+
+def test_unknown_ts_encoding_raises(spark, tmp_path):
+    """An unrecognized ts dtype (int32 epoch-seconds here) must fail loudly
+    at the scan layer, naming the dtype — never flow through silently."""
+    d = _write_fixture(tmp_path, "int32")
+    with pytest.raises(TypeError, match="int"):
+        load(spark, d, "events")
 
 
 def test_jsonl_permissive_quarantines_corrupt_lines(spark, tmp_path):
