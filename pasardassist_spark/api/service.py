@@ -124,6 +124,22 @@ class PasarQueryService:
         # to/from these are order mechanics, not user transfers.
         self.platform_addresses = platform_addresses
 
+    @classmethod
+    def from_lake(cls, spark, tokens: DataFrame, orders: DataFrame, **kw):
+        """Construct the service preferring the prepared bucketed silver
+        entity tables (sources/lake.prepare_entity_silver) over the given
+        frames; falls back to the frames when no silver layout exists.
+
+        This is the default production read path: tokens bucketed by
+        (chain, contract) and orders by (chain, baseToken) make
+        collection_stats — and everything built on it, collections_list
+        included — plan with zero shuffle Exchange (test_api_silver.py)."""
+        if spark.catalog.tableExists("silver_tokens"):
+            tokens = spark.table("silver_tokens")
+        if spark.catalog.tableExists("silver_orders"):
+            orders = spark.table("silver_orders")
+        return cls(tokens, orders, **kw)
+
     # -- marketplace (app.service.ts:604-757) -------------------------------
     def marketplace(self, q: D.MarketplaceQuery) -> DataFrame:
         now_s = q.now_seconds if q.now_seconds is not None else 0

@@ -43,3 +43,14 @@ def shuffle_count(p: str) -> int:
     broadcast exchanges are counted separately by Spark as BroadcastExchange
     and excluded here)."""
     return len(re.findall(r"\(\d+\) Exchange\b", p))
+
+
+def data_shuffle_count(p: str) -> int:
+    """Exchanges that move DATA rows: hash/range repartitions. Excludes
+    ``Exchange SinglePartition`` nodes, which in an aggregate pipeline
+    carry one partial-agg row per upstream task (a global count's merge
+    step — O(partitions) longs, metadata traffic, not a data shuffle).
+    Plan tests that claim "shuffle-free" for a query ending in a global
+    total use this; anything hash- or range-partitioned still counts."""
+    single = len(re.findall(r"\(\d+\) Exchange\nInput[^\n]*\nArguments: SinglePartition", p))
+    return shuffle_count(p) - single

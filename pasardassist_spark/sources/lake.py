@@ -53,24 +53,74 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
 
 SILVER_BUCKETS = 8  # local test knob; O(10k) at 100 TB, AQE coalesces reads
 
+# Canonical silver layout per base table: the bucket key every consumer of
+# tables.load() gets for free once prepare_silver has run. One layout per
+# table (the dominant join key); specialized layouts (lineitem by
+# (partkey, suppkey) for the j2 self-join) stay dedicated read paths.
+_CANONICAL_SILVER = {
+    "orders": "silver_orders_by_ok",
+    "lineitem": "silver_lineitem_by_ok",
+}
 
-def prepare_silver(spark: SparkSession, sf_dir: str, n_buckets: int = SILVER_BUCKETS) -> None:
-    """One-time silver write: orders+lineitem bucketed by orderkey (the a11
-    join key) and lineitem bucketed by (partkey, suppkey) (the j2 self-join
-    and group key). Idempotent per session."""
+# catalog table -> sf_dir it was built from. The guard that makes the
+# load()-level preference safe: silver is only substituted for a plain
+# parquet read of the SAME sf_dir (tests hop between sf0.001/sf0.01/sf0.1
+# within one session).
+_SILVER_SF: dict[str, str] = {}
+
+
+def silver_table_for(spark: SparkSession, name: str, sf_dir: str) -> str | None:
+    """The catalog name of the prepared canonical silver layout for base
+    table ``name`` at ``sf_dir``, or None if absent/stale/other-sf."""
+    t = _CANONICAL_SILVER.get(name)
+    if t is None or _SILVER_SF.get(t) != sf_dir:
+        return None
+    return t if spark.catalog.tableExists(t) else None
+
+
+def _reset_silver(spark: SparkSession, tables: tuple[str, ...]) -> None:
+    """Drop catalog entries AND their warehouse dirs: a fresh session's
+    in-memory catalog doesn't know tables a previous process wrote, but
+    their warehouse dirs persist and block saveAsTable."""
     import shutil
     from urllib.parse import urlparse
 
-    from pasardassist_spark.tables import load
-
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-    for t in ("silver_orders_by_ok", "silver_lineitem_by_ok", "silver_lineitem_by_ps"):
-        # A fresh session's in-memory catalog doesn't know tables a previous
-        # process wrote, but their warehouse dirs persist and block
-        # saveAsTable — drop both sides.
+    for t in tables:
+        _SILVER_SF.pop(t, None)
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         if warehouse:
             shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+
+def clear_silver_default(spark: SparkSession) -> None:
+    """Forget the load()-level silver preference (plan-shape tests that
+    compare plain vs bucketed layouts call this to restore the plain
+    baseline; the tables stay in the catalog for explicit read_table use)."""
+    for t in _CANONICAL_SILVER.values():
+        _SILVER_SF.pop(t, None)
+
+
+def prepare_silver(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = SILVER_BUCKETS,
+    make_default: bool = True,
+) -> None:
+    """One-time silver write: orders+lineitem bucketed by orderkey (the a11
+    join key) and lineitem bucketed by (partkey, suppkey) (the j2 self-join
+    and group key). Idempotent per session.
+
+    With ``make_default`` (the production posture), tables.load() serves
+    the canonical layouts in place of plain parquet for this sf_dir — every
+    orderkey join in the query mix becomes Exchange-free without callers
+    opting in. Pass False to keep the layouts as explicit read paths only
+    (bench/plan tests that need the plain baseline for comparison)."""
+    _reset_silver(
+        spark, ("silver_orders_by_ok", "silver_lineitem_by_ok", "silver_lineitem_by_ps")
+    )
+
+    from pasardassist_spark.tables import load
 
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
@@ -79,6 +129,9 @@ def prepare_silver(spark: SparkSession, sf_dir: str, n_buckets: int = SILVER_BUC
     write_bucketed(
         li, "silver_lineitem_by_ps", ["l_partkey", "l_suppkey"], n_buckets
     )
+    if make_default:
+        for t in _CANONICAL_SILVER.values():
+            _SILVER_SF[t] = sf_dir
 
 
 def a11_collection_stats_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,6 +182,36 @@ def j2_composite_key_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ps_qty") > 100)
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "ps_qty")
     )
+
+
+# --- entity silver: the API layer's default read path -----------------------
+#
+# The API's hottest derived frame is collection_stats (tokens grouped by
+# (chain, contract) joined to orders grouped by (chain, baseToken) — the
+# reference recomputes it on a 10-min cron, tasks.common.ts:124-154), and
+# collections_list re-runs it per request. Bucketing BOTH entity tables by
+# those exact keys makes the whole stats pipeline Exchange-free: the
+# group-bys consume the bucket partitioning (HashAggregate is alias-aware,
+# so baseToken->contract renames preserve it) and the stats join co-locates.
+# Plan-tested in tests/test_api_silver.py.
+
+ENTITY_SILVER = {
+    "silver_tokens": ["chain", "contract"],
+    "silver_orders": ["chain", "baseToken"],
+}
+
+
+def prepare_entity_silver(
+    spark: SparkSession,
+    tokens: DataFrame,
+    orders: DataFrame,
+    n_buckets: int = SILVER_BUCKETS,
+) -> None:
+    """Write the API entity frames as the bucketed silver layout. One-time
+    (per ingest generation) on a real lake; idempotent per session here."""
+    _reset_silver(spark, tuple(ENTITY_SILVER))
+    write_bucketed(tokens, "silver_tokens", ENTITY_SILVER["silver_tokens"], n_buckets)
+    write_bucketed(orders, "silver_orders", ENTITY_SILVER["silver_orders"], n_buckets)
 
 
 def write_date_partitioned(df: DataFrame, path: str, ts_col: str = "ts") -> None:

@@ -126,6 +126,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ship_package(spark)
+    # Prefer the prepared bucketed silver layout (sources/lake.py) over the
+    # plain parquet dir: same rows, but the scan carries hash-partitioning
+    # metadata that makes the dominant joins Exchange-free. Only substituted
+    # when prepare_silver(make_default=True) ran for THIS sf_dir.
+    from pasardassist_spark.sources import lake
+
+    silver = lake.silver_table_for(spark, name, sf_dir)
+    if silver is not None:
+        return spark.table(silver)
     if name == "events":
         # Some generations of events.parquet carry TIMESTAMP(NANOS); Spark
         # refuses that type unless nanosAsLong is set. Harmless for files

@@ -55,7 +55,7 @@ def test_silver_bucketed_query_variants(spark, sf_dir):
         prepare_silver,
     )
 
-    prepare_silver(spark, sf_dir)
+    prepare_silver(spark, sf_dir, make_default=False)  # plain-vs-bucketed comparison needs the plain baseline
     try:
         j2b = j2_composite_key_bucketed(spark, sf_dir)
         assert shuffle_count(plan(j2b)) == 0, plan(j2b)
@@ -171,7 +171,7 @@ def test_cdc_diff_on_bucketed_snapshots_is_exchange_free(spark, sf_dir):
 
     from pasardassist_spark.sources.lake import prepare_silver, read_table
 
-    prepare_silver(spark, sf_dir)
+    prepare_silver(spark, sf_dir, make_default=False)  # keep later plan tests on the plain baseline
     o = read_table(spark, "silver_orders_by_ok")
     price = F.col("o_totalprice").cast("decimal(18,2)")
     a = o.where(F.col("o_orderdate") < "1998-01-01").select(
