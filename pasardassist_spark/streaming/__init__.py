@@ -12,6 +12,10 @@ from pasardassist_spark.streaming.ingest import (
     read_state,
     streaming_day_rollup,
 )
+from pasardassist_spark.streaming.stats import (
+    collection_stats_from_state,
+    maintain_collection_stats,
+)
 
 __all__ = [
     "read_event_stream",
@@ -21,6 +25,8 @@ __all__ = [
     "read_state",
     "streaming_day_rollup",
     "streaming_dedup",
+    "maintain_collection_stats",
+    "collection_stats_from_state",
     "dynamic_collection_sink",
     "register_collection",
     "registered_collections",

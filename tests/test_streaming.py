@@ -554,3 +554,64 @@ def test_streaming_hop_rollup_equals_batch(spark, sf_dir, tmp_path, chunked_even
         for r in hop_window_rollup(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_incremental_collection_stats_equals_batch(spark, sf_dir, tmp_path):
+    """VERDICT r5 directive #3: the streaming-maintained collection stats
+    (foreachBatch partial-fold MERGE into the generational store) must
+    equal the batch A11 query after replaying the lineitem log in FOUR
+    micro-batches — so at least three merges fold new partials into
+    existing state, exercising the incremental path, not just the first
+    write."""
+    import os
+
+    from pasardassist_spark.queries.aggregates import a11_collection_stats
+    from pasardassist_spark.streaming.stats import (
+        collection_stats_from_state,
+        maintain_collection_stats,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    rows = li.collect()
+    src = str(tmp_path / "li_chunks")
+    os.makedirs(src)
+    chunk = len(rows) // 4 + 1
+    for i in range(4):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, li.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(tmp_path / f"stage{i}"))
+    idx = 0
+    for i in range(4):
+        stage = tmp_path / f"stage{i}"
+        if stage.exists():
+            for f in os.listdir(stage):
+                if f.endswith(".parquet"):
+                    os.rename(str(stage / f), os.path.join(src, f"part{idx}.parquet"))
+                    idx += 1
+    assert idx == 4
+
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_collection_stats(
+        stream, load(spark, sf_dir, "orders"),
+        str(tmp_path / "state"), str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    # >1 generation committed => the merge path really ran incrementally
+    from pasardassist_spark.streaming.generations import committed_versions
+
+    assert len(committed_versions(str(tmp_path / "state"))) >= 2
+
+    got = collection_stats_from_state(
+        spark, str(tmp_path / "state"), load(spark, sf_dir, "supplier")
+    )
+    want = a11_collection_stats(spark, sf_dir)
+    g = sorted(map(str, got.select(*sorted(got.columns)).collect()))
+    w = sorted(map(str, want.select(*sorted(want.columns)).collect()))
+    assert g == w
