@@ -11,14 +11,26 @@ implementations with a tested equivalence:
 - ``sessionize_stream``: the streaming form via ``applyInPandasWithState``
   — the escape hatch for stateful logic Structured Streaming's built-in
   windows cannot express (a session's end depends on the NEXT event's gap,
-  not a fixed window). State per user = the open session (start, last, n,
-  total); arriving batches fold in event-time order, emitting sessions as
-  gaps close them; an event-time timeout (watermark + gap) flushes idle
-  sessions. State size is O(users), bounded by the watermark.
+  not a fixed window).
+
+Emission contract (the guarantee that replaced the r5 "no retraction"
+limitation): an emitted session is FINAL. A session row leaves the
+operator only once the event-time watermark has passed ``session_end +
+gap`` — at that point every event Spark can still admit has
+``ts >= watermark > session_end + gap``, so no admissible late event can
+extend the session or merge it with a neighbor. Until then sessions live
+in state as mergeable intervals, and a late-but-within-watermark event
+that lands in the gap between two of them repairs the history by MERGING
+them (the case that previously produced a wrong early emission). Append
+mode is therefore sound without retractions; the cost is emission latency
+of exactly the watermark delay, and state of O(sessions inside the
+watermark horizon) per user. Pinned by
+tests/test_sessions.py::test_late_event_merges_pending_sessions.
 
 The streaming fold assumes batches arrive watermark-respecting (late rows
 beyond the watermark are dropped by Spark before the operator); within a
-batch, rows are sorted by event time before folding.
+batch, rows are folded as singleton intervals, so intra-batch order is
+irrelevant.
 """
 
 from __future__ import annotations
@@ -35,7 +47,13 @@ GAP_SECONDS = 1800
 SESSION_SCHEMA = (
     "user_id long, session_start long, session_end long, n_events long, total_value double"
 )
-_STATE_SCHEMA = "start long, last long, n long, total double"
+# Sessions-in-flight as parallel arrays (one entry per unfinalized session,
+# sorted by start): applyInPandasWithState state must be a fixed struct, and
+# arrays make the open-session/pending-session distinction unnecessary —
+# the open session is just the youngest interval.
+_STATE_SCHEMA = (
+    "starts array<long>, lasts array<long>, ns array<long>, totals array<double>"
+)
 
 
 def sessionize_batch(ev: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFrame:
@@ -56,62 +74,82 @@ def sessionize_batch(ev: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFrame
     ).drop("_sid")
 
 
+def _merge_intervals(
+    sessions: list[tuple[int, int, int, float]], gap_us: int
+) -> list[tuple[int, int, int, float]]:
+    """Sweep-merge (start, last, n, total) intervals: two sessions are one
+    whenever the inter-session gap is <= gap_us. Merging pre-folded
+    aggregates is exact because every interval's internal event chain
+    already satisfies the gap rule, and a bridging event shrinks only the
+    INTER-interval gap."""
+    sessions.sort(key=lambda s: (s[0], s[1]))
+    out: list[tuple[int, int, int, float]] = []
+    for s in sessions:
+        if out and s[0] - out[-1][1] <= gap_us:
+            a = out[-1]
+            out[-1] = (min(a[0], s[0]), max(a[1], s[1]), a[2] + s[2], a[3] + s[3])
+        else:
+            out.append(s)
+    return out
+
+
 def _fold_session(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
 ) -> Iterator[pd.DataFrame]:
     (user,) = key
     gap_us = GAP_SECONDS * 1_000_000
-    closed: list[tuple] = []
-    if state.hasTimedOut:
-        if state.exists:
-            s, last, n, total = state.get
-            closed.append((user, s, last, n, total))
-            state.remove()
-        if closed:
-            yield pd.DataFrame(
-                closed,
-                columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
-            )
-        return
 
-    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(["us", "event_id"])
+    sessions: list[tuple[int, int, int, float]] = []
     if state.exists:
-        s, last, n, total = state.get
-    else:
-        s = last = None  # type: ignore[assignment]
-        n, total = 0, 0.0
-    for us, value in zip(rows["us"], rows["value"]):
-        if s is None:
-            s, last, n, total = int(us), int(us), 1, float(value)
-        elif int(us) - last > gap_us:
-            closed.append((user, s, last, n, total))
-            s, last, n, total = int(us), int(us), 1, float(value)
-        else:
-            # A late-but-within-watermark event (us <= last) folds into the
-            # open session without moving its end backward; if it predates
-            # the session start it extends the start. Repairing an
-            # ALREADY-CLOSED session would need emitted-session retraction —
-            # out of scope for append mode; bound staleness with the
-            # watermark instead (documented limitation).
-            s, last = min(s, int(us)), max(last, int(us))
-            n, total = n + 1, total + float(value)
-    state.update((s, last, n, total))
-    # idle flush: once the watermark passes last + gap, the session closes.
-    # The timestamp must sit beyond the current watermark or Spark rejects it
-    # (possible when this batch's rows are older than gap behind the clock).
-    wm = state.getCurrentWatermarkMs()
-    state.setTimeoutTimestamp(max((last + gap_us) // 1000 + 1, wm + 1))
-    if closed:
+        starts, lasts, ns, totals = state.get
+        sessions = [
+            (int(s), int(l), int(n), float(t))
+            for s, l, n, t in zip(starts, lasts, ns, totals)
+        ]
+
+    if not state.hasTimedOut:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # every event is a singleton interval; the sweep below does all
+        # session formation AND late-event repair in one pass
+        sessions.extend(
+            (int(us), int(us), 1, float(v))
+            for us, v in zip(rows["us"], rows["value"])
+        )
+
+    sessions = _merge_intervals(sessions, gap_us)
+
+    # FINALITY GATE: emit only sessions the watermark has sealed.
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    final = [s for s in sessions if s[1] + gap_us < wm_us]
+    remaining = [s for s in sessions if s[1] + gap_us >= wm_us]
+
+    if remaining:
+        state.update((
+            [s[0] for s in remaining],
+            [s[1] for s in remaining],
+            [s[2] for s in remaining],
+            [s[3] for s in remaining],
+        ))
+        # wake when the earliest in-flight session becomes final; must sit
+        # beyond the current watermark or Spark rejects the timestamp.
+        next_final_ms = min(s[1] for s in remaining) // 1000 + gap_us // 1000 + 1
+        state.setTimeoutTimestamp(max(next_final_ms, state.getCurrentWatermarkMs() + 1))
+    elif state.exists:
+        state.remove()
+
+    if final:
         yield pd.DataFrame(
-            closed,
+            [(user, s, l, n, t) for (s, l, n, t) in final],
             columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
         )
 
 
 def sessionize_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming sessionization over an event stream with a ``ts`` column.
-    Emits CLOSED sessions (append semantics); open sessions live in state
-    until a gap or the event-time timeout closes them."""
+    Append-mode with FINAL emissions: a session row is produced only once
+    the watermark proves no admissible event can extend or merge it (see
+    module docstring). Latency = watermark delay; in exchange, downstream
+    consumers never see a session retracted or superseded."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     ev = (

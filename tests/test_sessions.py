@@ -99,3 +99,61 @@ def test_sessionize_agrees_with_builtin_session_window(spark, sf_dir):
         .collect()
     )
     assert ours == builtin
+
+
+def test_late_event_merges_pending_sessions(spark, tmp_path):
+    """The finality guarantee (VERDICT r5 directive #4): a late-but-within-
+    watermark event that lands in the gap between two in-state sessions
+    must MERGE them before anything is emitted — the old eager-emission
+    design would already have shipped the first session and been unable to
+    retract it. Also pins the other half of the contract: nothing is
+    emitted until the watermark seals a session."""
+    from pasardassist_spark.streaming import read_event_stream
+
+    NS = 1_000_000_000
+    US = 1_000_000
+
+    def drop(rows, i):
+        df = spark.createDataFrame(
+            [(eid, t * NS, 1, "view", v, "{}") for eid, t, v in rows],
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        )
+        staging = str(tmp_path / f"s{i}")
+        df.coalesce(1).write.parquet(staging)
+        (pq,) = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+        os.rename(os.path.join(staging, pq), os.path.join(str(tmp_path / "src"), f"p{i}.parquet"))
+
+    os.makedirs(str(tmp_path / "src"))
+    # base offset keeps t well above the epoch-0 initial watermark (a
+    # t=0 event sits ON the boundary and is dropped as late)
+    B = 100_000
+    # batch 0: t=B and t=B+3000s -> gap 3000s > 1800s: TWO sessions in
+    # state; watermark after batch 0 = B+3000s-3600s < B, so the bridge
+    # event below is still admissible
+    drop([(1, B, 1.0), (2, B + 3000, 2.0)], 0)
+    # batch 1: late bridge at t=B+1500s (<=1800s from both sides) -> ONE session
+    drop([(3, B + 1500, 4.0)], 1)
+    # batch 2: sentinel far ahead advances the watermark past B+3000s+gap
+    drop([(4, 10 * 86400, 0.0)], 2)
+
+    stream = read_event_stream(spark, str(tmp_path / "src"), max_files_per_trigger=1)
+    out = sessionize_stream(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("merge_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = [
+        (r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in spark.sql(
+            "SELECT * FROM merge_sessions WHERE session_start < 200000000000"
+        ).collect()
+    ]
+    # one FINAL session spanning the bridge, all three events, exact sum
+    assert got == [(B * US, (B + 3000) * US, 3, 7.0)]
