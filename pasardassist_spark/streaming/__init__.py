@@ -1,6 +1,8 @@
 from pasardassist_spark.streaming.dedup import streaming_dedup
 from pasardassist_spark.streaming.dynamic import (
+    admitted_events,
     dynamic_collection_sink,
+    process_collection_batch,
     register_collection,
     registered_collections,
 )
@@ -27,7 +29,9 @@ __all__ = [
     "streaming_dedup",
     "maintain_collection_stats",
     "collection_stats_from_state",
+    "admitted_events",
     "dynamic_collection_sink",
+    "process_collection_batch",
     "register_collection",
     "registered_collections",
 ]

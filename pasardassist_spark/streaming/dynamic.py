@@ -19,15 +19,23 @@ rewinding the stream.
 The control table and pending log use the same committed-generation
 discipline as the state store (ingest.py): a generation is visible only
 after its commit marker lands, so a crash mid-write never truncates the
-pending log.
+pending log. The admitted-events log is EXACTLY-ONCE: each epoch's rows
+are staged (files + commit marker) and atomically renamed into an
+epoch-keyed slot, so a foreachBatch retry of the same epoch is a no-op
+and readers (admitted_events) see only committed slots.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from pasardassist_spark.streaming.generations import (
+    COMMIT_MARKER,
+    commit as _commit,
     read_latest as _read_generation,
     write_generation as _write_generation,
 )
@@ -46,6 +54,80 @@ def registered_collections(spark: SparkSession, control_dir: str) -> DataFrame |
     return _read_generation(spark, control_dir)
 
 
+def _publish_epoch(staged_dir: str, out_dir: str, epoch_id: int) -> bool:
+    """Atomically publish one epoch's admitted rows into its epoch-keyed
+    slot. Exactly-once under foreachBatch retry: the slot name is derived
+    from ``epoch_id`` (which Spark replays VERBATIM when a failed batch is
+    retried), so a second attempt finds the committed slot and becomes a
+    no-op instead of a second append. A leftover slot WITHOUT its commit
+    marker is a crashed pre-publish attempt's garbage and is replaced.
+    Returns False when the epoch was already committed."""
+    dst = os.path.join(out_dir, f"e{epoch_id:09d}")
+    if os.path.exists(os.path.join(dst, COMMIT_MARKER)):
+        shutil.rmtree(staged_dir, ignore_errors=True)
+        return False
+    if os.path.isdir(dst):
+        shutil.rmtree(dst, ignore_errors=True)
+    try:
+        os.rename(staged_dir, dst)  # marker rides inside: publish is atomic
+    except OSError:
+        # a concurrent retry of the SAME epoch won the rename; its content
+        # is identical by construction (same offsets, same control state)
+        shutil.rmtree(staged_dir, ignore_errors=True)
+        return False
+    return True
+
+
+def process_collection_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    control_dir: str,
+    out_dir: str,
+    pending_dir: str,
+    collection_col: str = "event_type",
+) -> None:
+    """One micro-batch of the multiplexed ingest (the foreachBatch body,
+    module-level so retry semantics are directly testable): admit
+    (batch ∪ pending) events whose collection is registered via an
+    epoch-keyed staged publish; park the rest."""
+    spark = batch_df.sparkSession
+    ctrl = _read_generation(spark, control_dir)
+    pending = _read_generation(spark, pending_dir)
+    candidates = batch_df if pending is None else batch_df.unionByName(pending)
+    if ctrl is None:
+        parked = candidates
+    else:
+        key = ctrl.withColumnRenamed("collection", collection_col)
+        admitted = candidates.join(F.broadcast(key), collection_col, "semi")
+        parked = candidates.join(F.broadcast(key), collection_col, "anti")
+        # Exactly-once admitted log: stage this epoch's rows fully
+        # (parquet files + commit marker), then CAS-publish into the
+        # epoch-keyed slot — same discipline as the state store
+        # (generations.publish_staged), keyed by epoch for idempotence.
+        os.makedirs(out_dir, exist_ok=True)
+        staged = os.path.join(out_dir, f".stage-{epoch_id}-{os.getpid()}")
+        admitted.write.mode("overwrite").parquet(staged)
+        _commit(staged)
+        _publish_epoch(staged, out_dir, epoch_id)
+    _write_generation(parked, pending_dir)
+
+
+def admitted_events(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """The admitted-events log: union of committed epoch slots. Uncommitted
+    (crashed) slots are invisible, so readers see each admitted event
+    exactly once."""
+    if not os.path.isdir(out_dir):
+        return None
+    dirs = sorted(
+        os.path.join(out_dir, d)
+        for d in os.listdir(out_dir)
+        if d.startswith("e") and os.path.exists(os.path.join(out_dir, d, COMMIT_MARKER))
+    )
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
 def dynamic_collection_sink(
     stream: DataFrame,
     control_dir: str,
@@ -57,26 +139,13 @@ def dynamic_collection_sink(
     """Multiplexed ingest: per batch, admit (batch ∪ pending) events whose
     collection is registered; park the rest. The control table is broadcast
     (O(collections) rows) — the filter is a broadcast semi-join, never a
-    shuffle of the event stream."""
+    shuffle of the event stream. The admitted log is exactly-once (epoch-
+    keyed staged publish, see process_collection_batch)."""
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        ctrl = _read_generation(spark, control_dir)
-        pending = _read_generation(spark, pending_dir)
-        candidates = (
-            batch_df if pending is None else batch_df.unionByName(pending)
+        process_collection_batch(
+            batch_df, epoch_id, control_dir, out_dir, pending_dir, collection_col
         )
-        if ctrl is None:
-            parked = candidates
-        else:
-            key = ctrl.withColumnRenamed("collection", collection_col)
-            admitted = candidates.join(F.broadcast(key), collection_col, "semi")
-            parked = candidates.join(F.broadcast(key), collection_col, "anti")
-            # Append sink: on Delta this is a transactional append; plain
-            # parquet append is at-least-once under task retry (noted, fine
-            # for the bronze log whose consumers dedup by event_id).
-            admitted.write.mode("append").parquet(out_dir)
-        _write_generation(parked, pending_dir)
 
     return (
         stream.writeStream.foreachBatch(_batch)

@@ -191,6 +191,7 @@ def test_dynamic_registration_mid_stream(spark, sf_dir, tmp_path):
     events from then on and (2) retroactively admits its parked history —
     all without restarting the one multiplexed query."""
     from pasardassist_spark.streaming import (
+        admitted_events,
         dynamic_collection_sink,
         register_collection,
     )
@@ -224,7 +225,7 @@ def test_dynamic_registration_mid_stream(spark, sf_dir, tmp_path):
     q = dynamic_collection_sink(stream, control, out, pending, str(tmp_path / "ckpt"))
     q.processAllAvailable()
 
-    admitted1 = spark.read.parquet(out)
+    admitted1 = admitted_events(spark, out)
     assert set(r[0] for r in admitted1.select("event_type").distinct().collect()) == {t_first}
 
     # register a second collection MID-STREAM and feed the next chunk
@@ -233,7 +234,7 @@ def test_dynamic_registration_mid_stream(spark, sf_dir, tmp_path):
     q.processAllAvailable()
     q.stop()
 
-    got = spark.read.parquet(out).filter(F.col("event_type").isin(t_first, t_later))
+    got = admitted_events(spark, out).filter(F.col("event_type").isin(t_first, t_later))
     want = ev.filter(F.col("event_type").isin(t_first, t_later))
     # both chunks' events for BOTH collections present — including t_later's
     # chunk-1 history that was parked before registration
@@ -615,3 +616,53 @@ def test_incremental_collection_stats_equals_batch(spark, sf_dir, tmp_path):
     g = sorted(map(str, got.select(*sorted(got.columns)).collect()))
     w = sorted(map(str, want.select(*sorted(want.columns)).collect()))
     assert g == w
+
+
+def test_admitted_sink_exactly_once_under_retry(spark, tmp_path):
+    """VERDICT r5 directive #5: a foreachBatch retry (same epoch_id, same
+    batch — Spark's retry contract) must NOT double-append to the admitted
+    log; a crashed pre-commit attempt (slot dir without marker) must be
+    invisible to readers and replaced by the retry."""
+    import os
+
+    from pasardassist_spark.streaming import (
+        admitted_events,
+        process_collection_batch,
+        register_collection,
+    )
+    from pasardassist_spark.streaming.generations import COMMIT_MARKER
+
+    control = str(tmp_path / "control")
+    out = str(tmp_path / "out")
+    pending = str(tmp_path / "pending")
+    register_collection(spark, control, "sale")
+
+    batch = spark.createDataFrame(
+        [(1, "sale", 1.0), (2, "bid", 2.0), (3, "sale", 3.0)],
+        "event_id long, event_type string, value double",
+    )
+
+    # simulate a crashed FIRST attempt: slot exists, no commit marker
+    os.makedirs(os.path.join(out, "e000000007"))
+    with open(os.path.join(out, "e000000007", "junk.parquet"), "w") as f:
+        f.write("garbage")
+    assert admitted_events(spark, out) is None  # uncommitted => invisible
+
+    # retry of epoch 7, then a SECOND retry of the same epoch
+    process_collection_batch(batch, 7, control, out, pending)
+    process_collection_batch(batch, 7, control, out, pending)
+
+    got = admitted_events(spark, out)
+    assert sorted(r.event_id for r in got.collect()) == [1, 3]  # once each
+    # exactly one committed slot for the epoch; the junk is gone
+    slot = os.path.join(out, "e000000007")
+    assert os.path.exists(os.path.join(slot, COMMIT_MARKER))
+    assert not os.path.exists(os.path.join(slot, "junk.parquet"))
+
+    # a LATER epoch appends its own slot without touching epoch 7
+    batch2 = spark.createDataFrame(
+        [(9, "sale", 9.0)], "event_id long, event_type string, value double"
+    )
+    process_collection_batch(batch2, 8, control, out, pending)
+    got2 = admitted_events(spark, out)
+    assert sorted(r.event_id for r in got2.collect()) == [1, 3, 9]
