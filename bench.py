@@ -175,6 +175,64 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         extras[name] = best
 
+    # ANN quality + attribution (VERDICT r5 directive #7): rows-only driver
+    # checks can't catch a silent recall regression, and the one-shot query
+    # timings blur index build into search. Measure recall@10 against the
+    # exact brute-force top-k, and time build (train+assign+encode,
+    # persisted) separately from search (probe+score+rerank on the prebuilt
+    # index — the steady-state serving cost; build amortizes once per
+    # corpus generation).
+    from pasardassist_spark.operators import similarity as S
+    from pasardassist_spark.queries.similarity import DIM, K, QUERY_IDS
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in qs["sim_cosine_topk"](spark, sf_dir).collect()
+    }
+    ann: dict[str, dict[str, float]] = {}
+
+    t0 = time.perf_counter()
+    asg, cent = S.ivf_assignments(emb)
+    asg = asg.persist()
+    asg.count()
+    build_s = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    got = {
+        (r.q_id, r.neighbor_id)
+        for r in S.ivf_topk(
+            emb, QUERY_IDS, K, assignments=asg, centroids=cent
+        ).collect()
+    }
+    ann["sim_ivf_ann"] = {
+        "recall10": round(len(exact & got) / len(exact), 3),
+        "build_s": build_s,
+        "search_s": round(time.perf_counter() - t0, 3),
+    }
+
+    t0 = time.perf_counter()
+    books = S.pq_codebooks(emb, DIM)
+    codes = S.pq_encode(emb, books).persist()
+    codes.count()
+    build_s = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    got = {
+        (r.q_id, r.neighbor_id)
+        for r in S.ivfpq_topk(
+            emb, QUERY_IDS, K, DIM,
+            books=books, assignments=asg, centroids=cent, codes=codes,
+        ).collect()
+    }
+    ann["sim_ivfpq_ann"] = {
+        "recall10": round(len(exact & got) / len(exact), 3),
+        # the PQ index reuses the IVF coarse quantizer; its build_s is the
+        # codebook+encode increment on top of sim_ivf_ann's build_s
+        "build_s": build_s,
+        "search_s": round(time.perf_counter() - t0, 3),
+    }
+    asg.unpersist()
+    codes.unpersist()
+
     # Like-for-like comparison set: the 17 queries the r1 baseline measured
     # (st4_latest_state has since merged into st4_entity_fold). The full
     # HEADLINE total grows as coverage grows; THIS subtotal is the number
@@ -198,6 +256,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_warm": warm,
                 "queries_extra": extras,
+                "ann": ann,
                 "value_warm": round(sum(warm.values()), 3),
                 "value_baseline_subset": round(
                     sum(timings[n] for n in baseline_subset), 3

@@ -379,12 +379,19 @@ def ivf_topk(
     n_probe: int = N_PROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-ANN: per query, pick the n_probe nearest centroids (cosine), take
     all vectors assigned to those lists as candidates, exact-rerank. The
     centroid table is O(n_lists) and broadcast; the only big-side work is
-    the candidate fetch keyed by list_id."""
-    assignments, centroids = ivf_assignments(emb, n_lists, id_col, vec_col)
+    the candidate fetch keyed by list_id.
+
+    ``assignments``/``centroids`` inject a prebuilt (persisted) index — the
+    production serving split, and how the bench attributes build vs search
+    time; omitted, the index is built inline (one-shot convenience)."""
+    if assignments is None or centroids is None:
+        assignments, centroids = ivf_assignments(emb, n_lists, id_col, vec_col)
     e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     q = e.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"), F.col("v").alias("qv")
@@ -525,11 +532,19 @@ def ivfpq_topk(
     refine: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
+    assignments: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN (Jégou et al., "Product Quantization for Nearest Neighbor
     Search", TPAMI 2011): IVF prunes the corpus to n_probe lists, asymmetric
     distance (ADC) scores candidates from their m-byte codes alone, and an
     exact refine re-ranks the top refine*k ADC survivors per query.
+
+    ``books``/``assignments``/``centroids``/``codes`` inject a prebuilt
+    index (the serving split; lets the bench time build vs search);
+    omitted, the index builds inline.
 
     Per stage at 100 TB:
     - index = (id, list_id, codes): built once, bucketed by list_id; the
@@ -540,9 +555,12 @@ def ivfpq_topk(
     - only refine*k rows per query ever touch raw vectors again.
     """
     sub = dim // m
-    books = pq_codebooks(emb, dim, m, pq_k, id_col, vec_col)
-    assignments, centroids = ivf_assignments(emb, n_lists, id_col, vec_col)
-    codes = pq_encode(emb, books, id_col, vec_col)
+    if books is None:
+        books = pq_codebooks(emb, dim, m, pq_k, id_col, vec_col)
+    if assignments is None or centroids is None:
+        assignments, centroids = ivf_assignments(emb, n_lists, id_col, vec_col)
+    if codes is None:
+        codes = pq_encode(emb, books, id_col, vec_col)
     index = assignments.join(codes, id_col)
 
     spark = emb.sparkSession

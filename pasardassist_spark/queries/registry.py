@@ -94,6 +94,9 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     "src_jsonl_roundtrip",   # per-call mkdtemp + atexit cleanup
     "gs_customer_rollup",    # uuid view name + eager drop
     "bpe_train_merge_table", # checkpoint predecessor unpersist
+    # round 6 bench directive #7: ivf/ivfpq gained prebuilt-index kwargs
+    # (default path identical; rows-only counts should re-confirm)
+    "sim_ivf_ann", "sim_ivfpq_ann",
 })
 
 
