@@ -8,11 +8,12 @@ time travel replace the hand-rolled generation/CAS protocol. This module
 is that swap-point, import-gated so the repo runs identically with or
 without delta-spark (this container lacks it; the tests skip-mark).
 
-Environment limitation (verified 2026-08-13): the container has no package
-index access — ``pip download delta-spark --no-deps`` fails with "Could not
-find a version that satisfies the requirement delta-spark (from versions:
-none)", so the Delta round-trip test cannot be un-skipped here; the gating
-negative-path test (tests/test_streaming.py:384) covers the fallback.
+Environment limitation (re-verified 2026-08-14, round 6): the container
+still has no package index access — ``pip install delta-spark`` fails with
+"Could not find a version that satisfies the requirement delta-spark (from
+versions: none)", so the Delta round-trip test cannot be un-skipped here;
+the gating negative-path test (tests/test_streaming.py:384) covers the
+fallback.
 
 Scale note: Delta MERGE shuffles the target by the join key and rewrites
 only files containing matched keys (dynamic file pruning) — the same
