@@ -133,7 +133,14 @@ def test_zorder_prunes_multicolumn_better_than_single_sort(spark, tmp_path):
         .option("parquet.block.size", 64 * 1024)
         .parquet(single)
     )
-    write_zordered(ev, zpath, [F.col("user_id"), F.col("d")], bits=12)
+    # 60 z-files (~1000 rows each): a z-contiguous chunk of that size spans
+    # a quadtree block whose d-extent is < half the d domain, so the d-band
+    # pruning assertion below holds from FILE-level stats alone — whether or
+    # not the parquet writer splits a file into multiple 64 KB row groups
+    # (that split is heuristic: the size check runs every N records against
+    # an encoded-size estimate, so small dictionary-encoded files can land
+    # in one row group and would make a 20-file layout unprunable on d).
+    write_zordered(ev, zpath, [F.col("user_id"), F.col("d")], bits=12, n_files=60)
 
     assert rowgroups_overlapping(single, {})[1] > 2, "too few row groups"
     assert rowgroups_overlapping(zpath, {})[1] > 2, "too few row groups"
