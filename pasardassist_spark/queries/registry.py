@@ -153,6 +153,7 @@ def _load_all() -> None:
         similarity,
         text,
         timeseries,
+        trends,
     )
 
     _LOADED = True

@@ -1,0 +1,301 @@
+"""Time-series trend analytics over the events stream: calendar gap-fill
+with LOCF, bounded-window EWMA smoothing, and rolling z-score anomaly
+flags.
+
+The reference's dashboards recompute each time grain as its own Mongo
+aggregate and leave missing days absent (reference
+src/modules/app/app.service.ts:282-317 — the "today's earnings" /
+per-day volume family); a charting client then has to densify
+client-side. These operators produce the dense, smoothed, and
+anomaly-annotated series server-side in one or two shuffles.
+
+Scale notes (100 TB): every query here first collapses raw events to the
+(event_type, day) grain — one shuffle over the raw data, after which the
+working set is |event_types| x |days| rows (calendar-bounded, thousands,
+not billions). The calendar spine is built from a 1-row min/max aggregate
+broadcast against the distinct-type dimension, never from the fact table.
+Window partitions are per event_type over days, so partition size is
+bounded by retention, independent of event volume.
+
+Cross-engine float determinism: all window/group sums run in DecimalType
+(exact, order-independent — functions/money.py rationale); doubles appear
+only at the output edge through expression trees written identically in
+the Spark plan and the DuckDB oracle, then rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pasardassist_spark.functions.money import dec2
+from pasardassist_spark.queries.registry import query
+from pasardassist_spark.tables import load
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day) grain: exact-decimal day_value + row count."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec2("value")).alias("_value_dec"),
+    )
+
+
+_DAILY_SQL = """
+        SELECT event_type,
+               date_trunc('day', ts) AS day,
+               COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(18,2))) AS _value_dec
+        FROM events
+        GROUP BY 1, 2
+"""
+
+
+@query(
+    "ts_gap_fill",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    b AS (
+        SELECT min(date_trunc('day', ts)) AS lo,
+               max(date_trunc('day', ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type,
+               unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS day
+        FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN b
+    )
+    SELECT spine.event_type,
+           spine.day,
+           COALESCE(d.n_events, 0) AS n_events,
+           CAST(d._value_dec AS DOUBLE) AS day_value,
+           CAST(last_value(d._value_dec IGNORE NULLS) OVER (
+               PARTITION BY spine.event_type ORDER BY spine.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS locf_value
+    FROM spine LEFT JOIN d
+      ON d.event_type = spine.event_type AND d.day = spine.day
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify the per-type daily series onto a full calendar spine:
+    days with no events appear with n_events = 0, day_value NULL, and
+    locf_value carrying the last observed day's total forward
+    (last-observation-carried-forward via last(ignorenulls) over an
+    unbounded preceding frame).
+
+    The spine is sequence(min_day, max_day) exploded from a single-row
+    bounds aggregate cross-joined (broadcast) with the distinct types —
+    O(types x days), never a scan of the fact table."""
+    daily = _daily(spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    types = daily.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.col("_value_dec").cast("double").alias("day_value"),
+            F.last("_value_dec", ignorenulls=True)
+            .over(w)
+            .cast("double")
+            .alias("locf_value"),
+        )
+    )
+
+
+# EWMA weights 0.5^i are exact powers of two: (decimal -> double) * 2^-i
+# is exact in IEEE double, so the only rounding is the final 8-term sum —
+# written in the same order in both engines, then rounded to 6 dp.
+_EWMA_K = 8
+_EWMA_ALPHA = 0.5
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    num, den = [], []
+    for i in range(_EWMA_K):
+        w = _EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** i
+        lagv = (
+            "CAST(v AS DOUBLE)"
+            if i == 0
+            else f"CAST(LAG(v, {i}) OVER wt AS DOUBLE)"
+        )
+        num.append(f"COALESCE({lagv} * {w!r}, 0.0)")
+        den.append(
+            f"CASE WHEN {lagv} IS NULL THEN 0.0 ELSE {w!r} END"
+        )
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_sql_terms()
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type, day, _value_dec AS v
+        FROM ({_DAILY_SQL})
+    )
+    SELECT event_type, day,
+           CAST(v AS DOUBLE) AS day_value,
+           round(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma
+    FROM d
+    WINDOW wt AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the per-type daily value,
+    truncated to the last K=8 observations (weight alpha*(1-alpha)^i,
+    renormalized over the lags actually present, so the series is defined
+    from day one). A K-term LAG expression keeps the whole computation
+    inside one window over the tiny daily grain — the classic
+    unbounded-recursive EWMA is inexpressible as a Spark window, and at
+    8 terms the truncation error is (1-alpha)^8 < 0.4%."""
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for i in range(_EWMA_K):
+        wt = _EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** i
+        lagv = (
+            F.col("v") if i == 0 else F.lag("v", i).over(w)
+        ).cast("double")
+        num = num + F.coalesce(lagv * F.lit(wt), F.lit(0.0))
+        den = den + F.when(lagv.isNull(), 0.0).otherwise(wt)
+    return (
+        _daily(spark, sf_dir)
+        .select("event_type", "day", F.col("_value_dec").alias("v"))
+        .select(
+            "event_type",
+            "day",
+            F.col("v").cast("double").alias("day_value"),
+            F.round(num / den, 6).alias("ewma"),
+        )
+    )
+
+
+# Rolling z-score: mean/var over the 7 PRECEDING days (current row
+# excluded — the point under test must not contaminate its own baseline).
+# Sums are exact decimals; mean/var/std derive from them through one
+# shared formula string per engine.
+_Z_WIN = 7
+
+
+@query(
+    "ts_zscore_anomaly",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type, day, CAST(_value_dec AS DECIMAL(18,2)) AS v
+        FROM ({_DAILY_SQL})
+    ),
+    s AS (
+        SELECT event_type, day, v,
+               COUNT(v) OVER wp AS n,
+               SUM(v) OVER wp AS s1,
+               SUM(CAST(v * v AS DECIMAL(38,4))) OVER wp AS s2
+        FROM d
+        WINDOW wp AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN {_Z_WIN} PRECEDING AND 1 PRECEDING)
+    ),
+    sv AS (
+        SELECT event_type, day, v, n,
+               CAST(s1 AS DOUBLE) AS s1d,
+               CASE WHEN n >= 3 THEN
+                   (CAST(s2 AS DOUBLE) -
+                    CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)
+               END AS var
+        FROM s
+    ),
+    sz AS (
+        SELECT event_type, day, v, n,
+               CASE WHEN var > 0.0 THEN
+                   (CAST(v AS DOUBLE) - s1d / n) / sqrt(var)
+               END AS z
+        FROM sv
+    )
+    SELECT event_type, day,
+           CAST(v AS DOUBLE) AS day_value,
+           n AS baseline_days,
+           round(z, 6) AS zscore,
+           COALESCE(abs(z) > 2.0, FALSE) AS is_anomaly
+    FROM sz
+    """,
+)
+def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the per-type daily value: the
+    baseline is the trailing 7-day window EXCLUDING the current day, the
+    flag fires at |z| > 2 with at least 3 baseline days. Mean and sample
+    variance derive from exact decimal window sums (sum v, sum v^2), so
+    the result is bit-stable under any partial-aggregation order — the
+    property that lets the same query hash-match DuckDB and rerun
+    identically on a 1000-executor shuffle."""
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_Z_WIN, -1)
+    )
+    d = _daily(spark, sf_dir).select(
+        "event_type",
+        "day",
+        F.col("_value_dec").cast("decimal(18,2)").alias("v"),
+    )
+    # decimal(18,2)^2 -> decimal(37,4): stays under Spark's 38-precision
+    # scale-reduction path, so the square (and its window sum) is exact.
+    vv = F.col("v") * F.col("v")
+    s = d.select(
+        "event_type",
+        "day",
+        "v",
+        F.count("v").over(wp).alias("n"),
+        F.sum("v").over(wp).alias("s1"),
+        F.sum(vv.cast("decimal(38,4)")).over(wp).alias("s2"),
+    )
+    # ANSI mode: divisions live inside when() guards so n = 0 / n = 1 rows
+    # never evaluate them — same layered CASE structure as the oracle.
+    n = F.col("n")
+    vd = F.col("v").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    sv = s.select(
+        "event_type",
+        "day",
+        "v",
+        "n",
+        s1d.alias("s1d"),
+        F.when(n >= 3, (s2d - s1d * s1d / n) / (n - 1)).alias("var"),
+    )
+    z = F.when(
+        F.col("var") > 0.0,
+        (F.col("v").cast("double") - F.col("s1d") / F.col("n"))
+        / F.sqrt("var"),
+    )
+    sz = sv.select("event_type", "day", "v", "n", z.alias("z"))
+    return sz.select(
+        "event_type",
+        "day",
+        F.col("v").cast("double").alias("day_value"),
+        F.col("n").alias("baseline_days"),
+        F.round("z", 6).alias("zscore"),
+        F.coalesce(F.abs("z") > 2.0, F.lit(False)).alias("is_anomaly"),
+    )
