@@ -146,6 +146,7 @@ def _load_all() -> None:
         curation,
         dedup,
         enrichment,
+        experiments,
         multimodal,
         quality,
         relational,
