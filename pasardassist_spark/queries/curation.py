@@ -451,3 +451,88 @@ def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     write_jsonl(d, tmp)
     return read_jsonl(spark, tmp, d.schema)
+
+
+# --- hashed linear quality classifier ------------------------------------
+
+# fasttext-style linear scorer over a hashed bag of words. The weight
+# vector is a fixed integer-arithmetic function of the bucket id, so BOTH
+# engines can compute it inline (no weight table to ship) and the per-doc
+# sum stays in exact integers — bit-stable at any partitioning. A trained
+# model drops in by replacing _bucket_weight with a broadcast array lookup;
+# the plumbing (hash -> bucket -> weight -> normalized score -> gate) is
+# the deliverable.
+QC_BUCKETS = 64
+
+
+def _bucket_weight_col(tok):
+    """Integer weight in [-9, 9] from the token's 16-bit md5 prefix."""
+    h = F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("long")
+    return (h % QC_BUCKETS) * 37 % 19 - 9
+
+
+_QC_HEX16 = (
+    "((instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(t), 4, 1)) - 1))"
+)
+
+
+@query(
+    "curate_quality_classifier",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               len(toks) AS n_tok,
+               CAST(list_sum(list_transform(toks,
+                   t -> ({_QC_HEX16} % {QC_BUCKETS}) * 37 % 19 - 9))
+                   AS BIGINT) AS w_sum
+        FROM t
+    )
+    SELECT doc_id, n_tok, w_sum,
+           CASE WHEN n_tok > 0 THEN
+               round(CAST(w_sum AS DOUBLE) / (10.0 * n_tok), 6)
+           END AS score,
+           COALESCE(w_sum > 0, FALSE) AS keep
+    FROM s
+    """,
+)
+def curate_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over a hashed bag of words (the fasttext
+    classifier shape used by CCNet/GPT-3 data filtering): each token hashes
+    to one of {QC_BUCKETS} buckets, the bucket's weight accumulates, and
+    the document keeps iff the (length-normalized) score is positive.
+
+    The whole scorer is ONE F.aggregate fold over the token array — pure
+    JVM column math inside the scan projection, zero shuffles, no UDF. At
+    100 TB this is the cheapest possible gate: it runs at scan speed and
+    feeds its verdict into the same fused filter as the other quality
+    gates (curate_corpus)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = X.tokens(F.col("text"))
+    w_sum = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + _bucket_weight_col(t).cast("long"),
+    )
+    s = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        w_sum.alias("w_sum"),
+    )
+    return s.select(
+        "doc_id",
+        "n_tok",
+        "w_sum",
+        F.when(
+            F.col("n_tok") > 0,
+            F.round(
+                F.col("w_sum").cast("double") / (10.0 * F.col("n_tok")), 6
+            ),
+        ).alias("score"),
+        F.coalesce(F.col("w_sum") > 0, F.lit(False)).alias("keep"),
+    )

@@ -450,3 +450,91 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = d.filter(F.col("doc_id") % 2 == 0)
     batch = d.filter(F.col("doc_id") % 2 == 1)
     return D.incremental_dedup(batch, snap, "text", "doc_id")
+
+
+# --- duplicated n-gram span statistics (Lee et al. 2022 shape) -----------
+
+SPAN_N = 8  # tokens per span; 50-token spans in the paper, scaled to fixture
+
+
+@query(
+    "dedup_span_ngrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sp AS (
+        SELECT doc_id, md5(s) AS dig
+        FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks) >= {SPAN_N} THEN
+                       [array_to_string(toks[i:i+{SPAN_N - 1}], ' ')
+                        FOR i IN range(1, len(toks) - {SPAN_N - 2})]
+                   ELSE [] END) AS s
+            FROM t
+        )
+    ),
+    c AS (
+        SELECT doc_id, COUNT(*) OVER (PARTITION BY dig) AS c
+        FROM sp
+    ),
+    pd AS (
+        SELECT doc_id,
+               COUNT(*) AS n_spans,
+               CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_spans
+        FROM c GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(pd.n_spans, 0) AS n_spans,
+           COALESCE(pd.n_dup_spans, 0) AS n_dup_spans,
+           CASE WHEN pd.n_spans > 0 THEN
+               round(CAST(pd.n_dup_spans AS DOUBLE) / pd.n_spans, 6)
+           END AS dup_ratio
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN pd ON d.doc_id = pd.doc_id
+    """,
+)
+def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span statistics (the detection half of 'Deduplicating
+    Training Data Makes Language Models Better', Lee et al. 2022, with
+    rolling 8-token spans standing in for the paper's 50): every
+    overlapping word n-gram is digested, a window over the digest counts
+    global occurrences, and each document reports how many of its spans
+    are duplicated anywhere in the corpus. Two O(total-tokens) hash
+    shuffles — digest then doc_id — never a self-join or suffix array;
+    at 100 TB the span table is the corpus re-keyed, which is the honest
+    lower bound for exact substring-level dup detection in a shuffle
+    architecture. Reference analog: none (the reference dedups nothing);
+    this is part of the LLM-pipeline extension surface."""
+    from pasardassist_spark.operators.text import word_ngrams
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = d.select(
+        "doc_id",
+        F.explode(word_ngrams(tokens(F.col("text")), SPAN_N)).alias("s"),
+    ).select("doc_id", F.md5("s").alias("dig"))
+    w = Window.partitionBy("dig")
+    per_doc = (
+        spans.select("doc_id", F.count(F.lit(1)).over(w).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.when(
+                F.col("n_spans") > 0,
+                F.round(
+                    F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6
+                ),
+            ).alias("dup_ratio"),
+        )
+    )

@@ -175,7 +175,11 @@ def test_scan_local_text_ops_have_no_shuffle(spark, sf_dir):
     the explode+groupBy shuffle a naive top-token-frequency would cost.
     The round-robin exchange load() injects is the single-row-group
     testdata adapter, not part of the query plan.)"""
-    for name in ("text_repetition", "pii_redact"):
+    for name in (
+        "text_repetition",
+        "pii_redact",
+        "curate_quality_classifier",
+    ):
         p = plan(REGISTRY[name].fn(spark, sf_dir))
         assert _semantic_shuffles(p) == 0, f"{name} shuffled:\n{p}"
         assert "Join" not in p, f"{name} joined:\n{p}"
