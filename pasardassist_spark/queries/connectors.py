@@ -1,0 +1,77 @@
+"""Source-connector roundtrip queries: CSV and ORC.
+
+Sibling of ``src_jsonl_roundtrip`` (queries/curation.py): each connector
+is exercised closed-loop — export a table through the format, read it
+back under the ORIGINAL explicit schema, and hash-compare against the
+parquet table itself. The property under test is lossless value
+round-tripping at the interchange boundary, the precondition for using
+the format in a 100 TB pipeline at all.
+
+Contract shared with sources/textio.py: reads ALWAYS pass an explicit
+schema (inference is a second full pass over the data and a silent
+dtype-drift hazard), and the corrupt-record policy is explicit.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pasardassist_spark.queries.registry import query
+from pasardassist_spark.tables import load
+
+
+@query(
+    "src_csv_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV connector, closed-loop on the documents table — the hostile
+    case for CSV: free text with embedded delimiters, quotes, and
+    newlines. The writer pins the full quoting dialect (quote-doubling)
+    and the reader reverses it with multiLine, so the comparison proves
+    dialect symmetry, not just happy-path parsing. Side effect and
+    cleanup semantics match src_jsonl_roundtrip (fresh mkdtemp per call,
+    removed at interpreter exit)."""
+    from pasardassist_spark.sources.textio import read_csv, write_csv
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="pasard_csv_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    write_csv(d, tmp)
+    return read_csv(spark, tmp, d.schema)
+
+
+@query(
+    "src_orc_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+           l_extendedprice, l_returnflag, l_shipdate
+    FROM lineitem
+    """,
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC connector, closed-loop on lineitem (mixed long/int/double/
+    string/timestamp columns): write ORC, read back under the original
+    explicit schema. ORC is the second columnar lake format a Spark
+    engine is expected to speak natively (predicate pushdown and column
+    pruning work the same as parquet); the roundtrip pins type fidelity
+    — timestamps and doubles must survive bit-exactly."""
+    d = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_shipdate",
+    )
+    tmp = tempfile.mkdtemp(prefix="pasard_orc_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    d.write.mode("overwrite").orc(tmp)
+    return spark.read.schema(d.schema).orc(tmp)

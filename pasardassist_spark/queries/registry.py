@@ -143,6 +143,7 @@ def _load_all() -> None:
     from pasardassist_spark.queries import (  # noqa: F401
         aggregates,
         analytics,
+        connectors,
         curation,
         dedup,
         enrichment,

@@ -39,3 +39,43 @@ def read_jsonl(
             list(schema.fields) + [StructField("_corrupt_record", StringType(), True)]
         )
     return spark.read.schema(schema).option("mode", mode).json(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """Write as headered CSV. Free-text columns force the full quoting
+    dialect: fields containing delimiter/quote/newline are quoted, quotes
+    doubled — the dialect ``read_csv`` reverses exactly."""
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """Schema-enforced CSV read (same contract as read_jsonl: never infer
+    — inference is an extra full pass and a silent-drift hazard). multiLine
+    handles quoted embedded newlines in text columns; PERMISSIVE adds the
+    ``_corrupt_record`` DLQ column, FAILFAST aborts on any malformed row."""
+    if mode == "PERMISSIVE" and "_corrupt_record" not in schema.fieldNames():
+        schema = StructType(
+            list(schema.fields)
+            + [StructField("_corrupt_record", StringType(), True)]
+        )
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )

@@ -162,3 +162,35 @@ def test_jsonl_permissive_quarantines_corrupt_lines(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         read_jsonl(spark, str(p), schema, mode="FAILFAST").collect()
     assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)
+
+
+def test_csv_permissive_quarantines_corrupt_rows(spark, tmp_path):
+    """CSV twin of the JSONL DLQ test: rows whose values cannot take the
+    declared types land in _corrupt_record under PERMISSIVE; FAILFAST
+    raises on the same file. Also pins the quoting dialect: an embedded
+    newline inside a quoted field is ONE row, not two."""
+    import pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pasardassist_spark.sources.textio import read_csv
+
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "part-0.csv").write_text(
+        "doc_id,text\n"
+        '1,"line one\nline two"\n'
+        "not_a_number,boom\n"
+        '2,"quoted ""inner"" text"\n'
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    rows = read_csv(spark, str(p), schema, mode="PERMISSIVE").collect()
+    good = {(r.doc_id, r.text) for r in rows if r._corrupt_record is None}
+    bad = [r._corrupt_record for r in rows if r._corrupt_record is not None]
+    assert good == {(1, "line one\nline two"), (2, 'quoted "inner" text')}
+    assert len(bad) == 1 and "not_a_number" in bad[0]
+
+    with pytest.raises(Exception) as ei:
+        read_csv(spark, str(p), schema, mode="FAILFAST").collect()
+    assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)
