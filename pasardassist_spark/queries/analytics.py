@@ -749,3 +749,130 @@ def u4_retention_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(lab("churned", jan.exceptAll(feb).distinct()))
         .unionAll(lab("new", feb.exceptAll(jan).distinct()))
     )
+
+
+@query(
+    "cube_market_rollup",
+    oracle="""
+    SELECT COALESCE(c.c_mktsegment, 'ALL') AS segment,
+           COALESCE(o.o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY CUBE (c.c_mktsegment, o.o_orderpriority)
+    """,
+)
+def cube_market_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (market segment, order priority): all four grains —
+    cell, each one-dimension margin, and the grand total — from ONE
+    shuffle (gs_customer_rollup's GROUPING SETS generalized to the
+    complete lattice). Spark expands the cube map-side into grouping-id
+    tagged partial aggregates, so the exchange carries one row per
+    (cell x grain), never a second pass over the facts. Dimension values
+    are never null in this schema, so the 'ALL' label derives from the
+    null pattern and stays portable SQL."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return (
+        j.cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "w3_pareto_share",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT segment, o_custkey, rev,
+               ROW_NUMBER() OVER w AS rk,
+               SUM(rev) OVER (
+                   PARTITION BY segment ORDER BY rev DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS cum_before,
+               SUM(rev) OVER (PARTITION BY segment) AS total,
+               COUNT(*) OVER (PARTITION BY segment) AS n
+        FROM per_cust
+        WINDOW w AS (PARTITION BY segment ORDER BY rev DESC, o_custkey)
+    )
+    SELECT segment,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN COALESCE(cum_before, 0) * 5 < total * 4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
+           round(CAST(SUM(CASE WHEN rk * 5 <= n + 4 THEN rev END)
+                      AS DOUBLE) /
+                 CAST(MAX(total) AS DOUBLE), 6) AS top20_share,
+           CAST(MAX(total) AS DOUBLE) AS total_revenue
+    FROM ranked GROUP BY segment
+    """,
+)
+def w3_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration per market segment: rank customers by exact
+    revenue, count how many it takes to cover 80% of the segment
+    (n_top80), and what share the top 20% of customers hold
+    (top20_share). The 80%/20% thresholds compare SCALED DECIMALS
+    (cum*5 < total*4, rank*5 <= n+4) — integer-exact on both engines, no
+    float boundary flakes. The windows run over the per-customer
+    aggregate (units, not events); that per-segment sort is the honest
+    cost of an exact order statistic — at extreme unit counts the same
+    readout drops to approx_percentile cutpoints, trading exactness the
+    driver compare needs here."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w_ord = Window.partitionBy("segment").orderBy(
+        F.col("rev").desc(), "o_custkey"
+    )
+    ranked = per_cust.select(
+        "segment",
+        "rev",
+        F.row_number().over(w_ord).alias("rk"),
+        F.sum("rev")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("cum_before"),
+        F.sum("rev").over(Window.partitionBy("segment")).alias("total"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("segment"))
+        .alias("n"),
+    )
+    return ranked.groupBy("segment").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.sum(
+            F.when(
+                F.coalesce(F.col("cum_before"), F.lit(0)) * 5
+                < F.col("total") * 4,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_top80"),
+        F.round(
+            F.sum(F.when(F.col("rk") * 5 <= F.col("n") + 4, F.col("rev")))
+            .cast("double")
+            / F.max("total").cast("double"),
+            6,
+        ).alias("top20_share"),
+        F.max("total").cast("double").alias("total_revenue"),
+    )
