@@ -153,6 +153,7 @@ def _load_all() -> None:
         relational,
         sampling,
         similarity,
+        sketches,
         text,
         timeseries,
         trends,
