@@ -130,3 +130,27 @@ def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(q8)
         .alias("q8"),
     )
+
+
+PCA_K = 8
+
+
+@query("emb_pca_project")  # eigenvector internals engine-specific: rows-only
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus to PCA_K components
+    (operators/pca.py): per-partition moment fold -> d^2-sized summary
+    merge -> driver eigh -> broadcast components -> Arrow-batched
+    projection. Data never shuffles; the only exchange carries moment
+    rows. Eigenvector sign/ordering is pinned (descending eigenvalue,
+    largest-coordinate-positive), but the numerics are BLAS-specific, so
+    the driver records a rows-only check; variance ordering,
+    orthonormality, and reconstruction optimality are pytest-asserted
+    in tests/test_pca.py."""
+    from pyspark.sql import functions as F
+
+    from pasardassist_spark.operators.pca import pca_project
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", S.as_double(F.col("embedding")).alias("v")
+    )
+    return pca_project(emb, "v", "vec_id", PCA_K)
