@@ -876,3 +876,167 @@ def w3_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top20_share"),
         F.max("total").cast("double").alias("total_revenue"),
     )
+
+
+_LR_ANCHOR = "2024-01-01"  # events epoch anchor; x = whole days since
+
+
+@query(
+    "stat_linreg",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type,
+               date_diff('day', DATE '{_LR_ANCHOR}', CAST(ts AS DATE)) AS x,
+               CAST(value AS DECIMAL(18,2)) AS y
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               SUM(y) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               SUM(CAST(x * y AS DECIMAL(28,2))) AS sxy,
+               SUM(CAST(y * y AS DECIMAL(38,4))) AS syy
+        FROM d GROUP BY 1
+    ),
+    f AS (
+        SELECT event_type, n,
+               n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dxx,
+               n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS dxy,
+               n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dyy,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        FROM g
+    )
+    SELECT event_type, n,
+           round(CASE WHEN dxx > 0.0 THEN dxy / dxx END, 6) AS slope,
+           round(CASE WHEN dxx > 0.0 THEN
+               (syd - (dxy / dxx) * sxd) / n END, 6) AS intercept,
+           round(CASE WHEN dxx > 0.0 AND dyy > 0.0 THEN
+               (dxy * dxy) / (dxx * dyy) END, 6) AS r2
+    FROM f
+    """,
+)
+def stat_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS trend fit (value vs days-since-anchor) per event type
+    — slope, intercept, r^2 from the five classic sufficient statistics.
+    x is an INTEGER day offset and y an exact decimal, so every sum is
+    bit-stable under any partial-aggregation order; the normal-equation
+    arithmetic runs in doubles only at the 5-row output edge with the
+    same expression tree on both engines. One shuffle over the facts —
+    the same sufficient-statistics pattern as stat_moments, extended to
+    the regression readout a trend dashboard actually wants."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit(_LR_ANCHOR).cast("date")
+        ).alias("x"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(
+            (F.col("x") * F.col("y")).cast("decimal(28,2)")
+        ).alias("sxy"),
+        F.sum(
+            (F.col("y") * F.col("y")).cast("decimal(38,4)")
+        ).alias("syy"),
+    )
+    n = F.col("n")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    f = g.select(
+        "event_type",
+        "n",
+        (n * F.col("sxx").cast("double") - sxd * sxd).alias("dxx"),
+        (n * F.col("sxy").cast("double") - sxd * syd).alias("dxy"),
+        (n * F.col("syy").cast("double") - syd * syd).alias("dyy"),
+        sxd.alias("sxd"),
+        syd.alias("syd"),
+    )
+    dxx, dxy, dyy = F.col("dxx"), F.col("dxy"), F.col("dyy")
+    slope = F.when(dxx > 0.0, dxy / dxx)
+    return f.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            F.when(
+                dxx > 0.0,
+                (F.col("syd") - (dxy / dxx) * F.col("sxd")) / F.col("n"),
+            ),
+            6,
+        ).alias("intercept"),
+        F.round(
+            F.when((dxx > 0.0) & (dyy > 0.0), (dxy * dxy) / (dxx * dyy)), 6
+        ).alias("r2"),
+    )
+
+
+@query(
+    "mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           round(MAX(d.med), 6) AS med,
+           round(MAX(m.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN m.mad > 0.0 AND
+                              d.adev > 3.0 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           COUNT(*) AS n
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profile per event type: median / MAD (median
+    absolute deviation) with the 1.4826 normal-consistency factor and a
+    3-sigma-equivalent cut. Unlike the rolling z-score (ts_zscore_anomaly)
+    this is distribution-global and breakdown-resistant — a 49% corrupt
+    tail cannot move the threshold. Two percentile shuffles (median, then
+    MAD over deviations) with the 5-row medians broadcast back onto the
+    facts; at 100 TB both medians drop to approx_percentile with the
+    same plan shape."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    j = dev.join(F.broadcast(mad), "event_type")
+    return j.groupBy("event_type").agg(
+        F.round(F.max("med"), 6).alias("med"),
+        F.round(F.max("mad"), 6).alias("mad"),
+        F.sum(
+            F.when(
+                (F.col("mad") > 0.0)
+                & (F.col("adev") > 3.0 * 1.4826 * F.col("mad")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+        F.count(F.lit(1)).alias("n"),
+    )

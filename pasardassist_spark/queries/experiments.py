@@ -425,3 +425,52 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("m_total").cast("double").alias("segment_value"),
     )
+
+
+_PATH_TOP = 10
+
+
+@query(
+    "path_ngrams",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type AS a,
+               LEAD(event_type, 1) OVER w AS b,
+               LEAD(event_type, 2) OVER w AS c
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT a || '>' || b || '>' || c AS path, COUNT(*) AS n
+        FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT path, n FROM paths
+    ORDER BY n DESC, path
+    LIMIT {_PATH_TOP}
+    """,
+)
+def path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PATH_TOP} 3-step behavioral paths (the sankey/flow readout):
+    two LEADs over the same per-user window build each length-3 sequence
+    in ONE user-keyed exchange — the window is reused, not re-shuffled —
+    and the path counts reduce to at most |types|^3 rows before the
+    TakeOrdered top-k. Deterministic total order (count desc, path asc)
+    keeps the LIMIT stable across engines."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    )
+    return (
+        seq.filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+        .select(
+            F.concat_ws(">", "a", "b", "c").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(_PATH_TOP)
+    )

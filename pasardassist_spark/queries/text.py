@@ -543,3 +543,44 @@ def bpe_train_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("text")
     return bpe_merge_table(spark, d, "text", BPE_N_MERGES)
+
+
+_POSTINGS_CAP = 20
+
+
+@query(
+    "idx_inverted_postings",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS token
+        FROM documents
+    )
+    SELECT token,
+           COUNT(*) AS doc_freq,
+           array_to_string(
+               list_sort(list(doc_id))[1:{_POSTINGS_CAP}], ',') AS postings
+    FROM tok GROUP BY token
+    """,
+)
+def idx_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token -> document frequency + the first
+    {_POSTINGS_CAP} doc ids of the sorted posting list (capped so a
+    stopword's row stays bounded; a real index shards long posting lists
+    across rows at this cap). One explode + one token-keyed shuffle —
+    the batch-build half of the BM25 pipeline (text_bm25_topk consumes
+    exactly these statistics). Postings serialize as a comma-joined
+    string because the deterministic sort makes the list hash-comparable
+    across engines."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("token")
+    ).distinct()
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.concat_ws(
+            ",",
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")), 1, _POSTINGS_CAP
+            ),
+        ).alias("postings"),
+    )
