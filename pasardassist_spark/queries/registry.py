@@ -152,6 +152,7 @@ def _load_all() -> None:
         quality,
         relational,
         sampling,
+        scd,
         similarity,
         sketches,
         text,

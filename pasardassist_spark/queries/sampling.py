@@ -165,3 +165,58 @@ def samp_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= RESERVOIR_K)
         .select("event_id", "event_type")
     )
+
+
+# --- weighted reservoir (Efraimidis-Spirakis, derandomized) --------------
+
+WRS_K = 50
+
+
+@query(
+    "samp_weighted_reservoir",
+    oracle=f"""
+    WITH u AS (
+        SELECT event_id, event_type, value,
+               (({_GATE_SQL.replace("doc_id", "event_id")}) + 1.0) / 65536.0
+                   AS unif
+        FROM events
+    ),
+    keyed AS (
+        SELECT event_id, event_type, value,
+               ln(unif) / (CAST(value AS DECIMAL(18,2)) + 1.0) AS k
+        FROM u
+    )
+    SELECT event_id, event_type, value, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY k DESC, event_id
+        ) AS rk
+        FROM keyed
+    ) WHERE rk <= {WRS_K}
+    """,
+)
+def samp_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, K per event type
+    (Efraimidis-Spirakis A-ES: rank by ln(u)/w, keep the K largest),
+    DERANDOMIZED by deriving u from the row's 16-bit md5 gate — the same
+    trick that makes samp_reservoir_per_group reproducible, extended to
+    value-proportional inclusion (weight = value + 1 so zero-value rows
+    stay sampleable). Deterministic on any engine/partitioning, and the
+    rank-on-key pattern pushes into the shuffle as WindowGroupLimit, so
+    the exchange carries O(groups x K), not the corpus. This is the
+    'importance-sample N examples per source, weighted by quality score'
+    primitive of curriculum data selection."""
+    ev = load(spark, sf_dir, "events")
+    unif = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        + 1.0
+    ) / 65536.0
+    k = F.log(unif) / (F.col("value").cast("decimal(18,2)") + 1.0)
+    win = W.partitionBy("event_type").orderBy(F.col("k").desc(), "event_id")
+    return (
+        ev.select("event_id", "event_type", "value", k.alias("k"))
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= WRS_K)
+        .select("event_id", "event_type", "value", "rk")
+    )

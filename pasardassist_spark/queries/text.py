@@ -584,3 +584,65 @@ def idx_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("postings"),
     )
+
+
+# --- Python UDTF surface (SURVEY §2.10) ----------------------------------
+
+_SENT_PATTERN = r"[.!?]+\s*"
+
+
+@query(
+    "udtf_sentence_split",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(
+                       string_split_regex(text, '{_SENT_PATTERN.replace(chr(92), chr(92) * 2)}'),
+                       s -> trim(s)),
+                   s -> s <> '') AS sents
+        FROM documents
+    )
+    SELECT doc_id,
+           unnest([{{'sent_idx': i - 1, 'sentence': sents[i]}}
+                   FOR i IN range(1, len(sents) + 1)],
+                  recursive := true)
+    FROM t
+    """,
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF demo — the one row-to-N-rows surface the engine
+    exposes beyond built-in generators (SURVEY §2.10): a LATERAL
+    table-function splits each document into indexed sentences. The UDTF
+    itself is deliberately trivial (regex split + strip) so the oracle
+    can mirror it exactly; the deliverable is the plumbing — class-based
+    eval/yield contract, declared return schema, SQL registration, and
+    LATERAL correlation against a real table. Anything expressible as
+    array math should stay in built-ins (chunk_documents does this exact
+    job shuffle-free); a UDTF earns its cost only when the per-row
+    expansion needs real Python (parsers, tokenizers with state)."""
+    import re
+    import uuid
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_idx int, sentence string")
+    class SentenceSplit:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
+            i = 0
+            for part in re.split(_SENT_PATTERN, text or ""):
+                part = part.strip(" ")
+                if part:
+                    yield doc_id, i, part
+                    i += 1
+
+    fn = f"sentence_split_{uuid.uuid4().hex}"
+    view = f"docs_{uuid.uuid4().hex}"
+    spark.udtf.register(fn, SentenceSplit)
+    load(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView(view)
+    out = spark.sql(
+        f"SELECT s.* FROM {view}, LATERAL {fn}(doc_id, text) s"
+    )
+    return out
