@@ -21,15 +21,48 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def zorder_value(cols: list[Column], bits: int = 16) -> Column:
+def zorder_value(
+    cols: list[Column],
+    bits: int = 16,
+    ranges: list[tuple[float, float]] | None = None,
+) -> Column:
     """Morton-interleave the low ``bits`` of each (non-negative integer)
     column into one LONG sort key. Column i's bit b lands at position
     b * n_cols + i — round-robin interleave, most-significant bits
     dominate equally for every column. n_cols * bits must be <= 63.
 
     Values are clamped into [0, 2^bits) (capped, not wrapped: out-of-range
-    values keep their ordering at the top instead of aliasing to 0)."""
+    values keep their ordering at the top instead of aliasing to 0).
+
+    ``ranges`` (one ``(lo, hi)`` per column) affinely rescales each column
+    onto the FULL ``bits`` width before interleaving. Without it, a
+    narrow-domain column (say 5 significant bits) contributes constant
+    zeros in its high bits and the wide column's high bits dominate the
+    curve — the file then clusters by the wide column only and stats-based
+    skipping on the narrow column collapses. Rescaling is what makes the
+    curve's equal-weight property hold for real data; it is the
+    min/max-normalization step of Delta/Iceberg ``OPTIMIZE ZORDER BY``
+    (their implementations rank- or range-normalize for the same reason).
+    Distinctness within a column is preserved whenever its domain has at
+    most 2^bits values."""
     n = len(cols)
+    if ranges is not None:
+        if len(ranges) != n:
+            raise ValueError("ranges must align 1:1 with cols")
+        top = float((1 << bits) - 1)
+        scaled = []
+        for c, (lo, hi) in zip(cols, ranges):
+            span = float(hi) - float(lo)
+            if span <= 0:  # constant column: every row maps to 0
+                scaled.append(F.lit(0).cast("long"))
+            else:
+                scaled.append(
+                    F.floor(
+                        (c.cast("double") - F.lit(float(lo)))
+                        * F.lit(top / span)
+                    )
+                )
+        cols = scaled
     if n < 1:
         raise ValueError("need at least one column")
     if n * bits > 63:
@@ -59,9 +92,24 @@ def write_zordered(
     repartitionByRange — AQE would otherwise coalesce a small sort into
     one file and erase the stats granularity). File/row-group count
     trades stats granularity against footer overhead; on a real lake
-    n_files follows the partition's data volume."""
+    n_files follows the partition's data volume.
+
+    Each column is min/max-normalized onto the full bit width first (one
+    metadata-cheap agg job — parquet footers already carry the min/max on
+    a real lake), so mismatched column domains cannot let one column
+    dominate the curve (see ``zorder_value``)."""
+    stats = df.agg(
+        *[
+            f(c.cast("double")).alias(f"{tag}{i}")
+            for i, c in enumerate(cols)
+            for tag, f in (("lo", F.min), ("hi", F.max))
+        ]
+    ).first()
+    ranges = [
+        (stats[f"lo{i}"], stats[f"hi{i}"]) for i in range(len(cols))
+    ]
     (
-        df.withColumn("_z", zorder_value(cols, bits))
+        df.withColumn("_z", zorder_value(cols, bits, ranges=ranges))
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
