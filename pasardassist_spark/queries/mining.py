@@ -1,0 +1,507 @@
+"""Data-mining analytics: Pareto skylines, market-basket affinity,
+fixed-iteration PageRank, kNN-join classification, distribution
+entropy, and dataset column profiling.
+
+These extend the reference's one-dimension-at-a-time ranking endpoints
+(reference src/modules/app/app.service.ts:640-668 price sorts,
+app.service.ts:1437-1482 attribute popularity) with the multi-criteria /
+graph / affinity forms a large-scale analytics engine is expected to
+serve, each expressed as declarative DataFrame plans with a DuckDB
+oracle.
+
+Cross-engine determinism notes per query inline; the shared rules: exact
+integer/decimal arithmetic until the output edge, identical expression
+trees on both sides, 6-dp rounding of any float that crossed a
+nondeterministically-ordered reduction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from pasardassist_spark.operators.skyline import skyline
+from pasardassist_spark.queries.registry import query
+from pasardassist_spark.tables import load
+
+# ---------------------------------------------------------------- skyline
+
+@query(
+    "o6_skyline_frontier",
+    oracle="""
+    SELECT p.p_brand, p.p_partkey, p.p_name, p.p_size, p.p_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_brand = p.p_brand
+          AND q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def o6_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier of parts: cheapest-for-the-size shortlist
+    (minimize p_retailprice, maximize p_size) with exact NOT-EXISTS
+    dominance semantics — no quadratic self-join (operators/skyline.py:
+    distinct-x collapse + running-max window, two keyed shuffles). The
+    oracle is the textbook O(n^2) NOT EXISTS form, feasible only at
+    oracle scale."""
+    return skyline(
+        load(spark, sf_dir, "part"),
+        x="p_retailprice",
+        y="p_size",
+        keys=["p_brand"],
+    ).select("p_brand", "p_partkey", "p_name", "p_size", "p_retailprice")
+
+
+# ---------------------------------------------------------- market basket
+
+MB_MIN_PAIR = 3  # minimum co-occurrence count (a-priori support gate)
+
+@query(
+    "mb_pair_lift",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+    ic AS (SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY 1),
+    pc AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS pair_count
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p1, p2, pair_count,
+           round(CAST(pair_count AS DOUBLE) / nb.n, 6) AS support,
+           round(CAST(pair_count AS DOUBLE) * nb.n
+                 / (CAST(i1.c AS DOUBLE) * i2.c), 6) AS lift
+    FROM pc
+    JOIN ic i1 ON i1.l_partkey = p1
+    JOIN ic i2 ON i2.l_partkey = p2
+    CROSS JOIN nb
+    WHERE pair_count >= {MB_MIN_PAIR}
+    """,
+)
+def mb_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair affinity: parts co-ordered in the same order,
+    with support and lift, at min co-occurrence {MB_MIN_PAIR}.
+
+    Scale shape: one (basket, item) DISTINCT shuffle; the a-priori gate
+    (a pair reaching min support needs BOTH items at min support) prunes
+    items before the pair expansion, so the orderkey-keyed self-join fans
+    out only frequent items x per-basket size (baskets are small by
+    nature); pair counts are one more keyed shuffle. All counts are
+    integers — support/lift are single exact divisions at the edge,
+    rounded to 6 dp."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    icnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    freq = icnt.filter(F.col("c") >= MB_MIN_PAIR).select("l_partkey", "c")
+    items_f = items.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
+    n_baskets = items.select("l_orderkey").distinct().count()
+    a = items_f.select(
+        "l_orderkey", F.col("l_partkey").alias("p1")
+    )
+    b = items_f.select(
+        "l_orderkey", F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= MB_MIN_PAIR)
+    )
+    return (
+        pairs.join(
+            F.broadcast(freq.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))), "p1"
+        )
+        .join(
+            F.broadcast(freq.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))), "p2"
+        )
+        .select(
+            "p1",
+            "p2",
+            "pair_count",
+            F.round(
+                F.col("pair_count").cast("double") / F.lit(n_baskets), 6
+            ).alias("support"),
+            F.round(
+                F.col("pair_count").cast("double")
+                * F.lit(n_baskets)
+                / (F.col("c1").cast("double") * F.col("c2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# -------------------------------------------------------------- pagerank
+
+PR_DAMP = 0.85
+PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank SQL, generated from the same
+    (damping, iterations) constants as the Spark plan so the definitions
+    cannot drift."""
+    iters = []
+    prev = "r0"
+    for t in range(1, PR_ITERS + 1):
+        iters.append(
+            f"""r{t} AS (
+        SELECT e.dst AS node,
+               (1.0 - {PR_DAMP}) / (SELECT n FROM n)
+               + {PR_DAMP} * SUM(r.rank * e.w / d.outw) AS rank
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    )"""
+        )
+        prev = f"r{t}"
+    return f"""
+    WITH base AS (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst,
+               COUNT(*) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT src, dst, CAST(w AS DOUBLE) AS w FROM base
+        UNION ALL
+        SELECT dst, src, CAST(w AS DOUBLE) AS w FROM base
+    ),
+    deg AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM n) AS rank FROM deg),
+    {", ".join(iters)}
+    SELECT node, round(rank, 6) AS rank FROM r{PR_ITERS}
+    """
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration ({PR_ITERS} rounds, damping {PR_DAMP}) PageRank over
+    the bipartite customer<->supplier trade graph (edge weight = lineitem
+    count, both directions — so every node has out-edges and no dangling
+    mass correction is needed).
+
+    Iterative-graph shape at scale: edges collapse to (src, dst, weight)
+    once (one shuffle), transition probabilities w/outw attach via one
+    keyed join, and each iteration is exactly one join (ranks x edges on
+    src) + one keyed aggregation on dst — the join-based Pregel step. The
+    edge table's src-hash partitioning is reused every round; ranks are
+    O(nodes) and co-shuffle onto it. 3 iterations keeps the lineage
+    shallow (no checkpoint needed); the oracle unrolls the same rounds
+    from shared constants. Group-sums of doubles are
+    partial-order-dependent at ~1e-15; final 6-dp rounding absorbs it."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    edges = base.unionByName(
+        base.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    deg = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    # transition matrix, partitioned once on src and reused every round
+    trans = (
+        edges.join(deg, "src")
+        .select("src", "dst", (F.col("w") / F.col("outw")).alias("p"))
+        .repartition("src")
+        .persist()
+    )
+    n = deg.count()  # node count: metadata-scale scalar
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
+    for _ in range(PR_ITERS):
+        ranks = (
+            trans.join(ranks, trans.src == ranks.node)
+            .groupBy(F.col("dst").alias("node_"))
+            .agg(
+                (
+                    F.lit((1.0 - PR_DAMP) / n)
+                    + F.lit(PR_DAMP) * F.sum(F.col("rank") * F.col("p"))
+                ).alias("rank")
+            )
+            .withColumnRenamed("node_", "node")
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+# ------------------------------------------------------- knn classification
+
+KNN_K = 5
+KNN_QMOD = 20  # vec_id % QMOD == 0 -> held-out query set
+
+
+@query(
+    "knn_label_classify",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv FROM e
+          WHERE vec_id % {KNN_QMOD} = 0),
+    c AS (SELECT * FROM e WHERE vec_id % {KNN_QMOD} <> 0),
+    scored AS (
+        SELECT q_id, true_label, c.vec_id AS neighbor_id, c.label,
+               round(list_dot_product(qv, v)
+                     / sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)),
+                     6) AS cosine
+        FROM q JOIN c ON true
+    ),
+    top AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC
+            ) AS rank
+            FROM scored
+        ) WHERE rank <= {KNN_K}
+    ),
+    votes AS (
+        SELECT q_id, true_label, label, COUNT(*) AS n_votes,
+               MAX(cosine) AS best_cosine
+        FROM top GROUP BY 1, 2, 3
+    )
+    SELECT q_id, true_label, label AS pred_label, n_votes, best_cosine
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY n_votes DESC, label ASC
+        ) AS vr
+        FROM votes
+    ) WHERE vr = 1
+    """,
+)
+def knn_label_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-join classification: every held-out embedding (vec_id %
+    {KNN_QMOD} == 0) gets the majority label of its {KNN_K} nearest
+    corpus neighbors by cosine (ties: smaller label wins; neighbor ties:
+    smaller vec_id — total orders on both ranks keep the result
+    engine-reproducible, with cosine rounded to 6 dp BEFORE ranking).
+
+    Scale shape: the query side is the small side by construction and
+    broadcasts; the corpus streams through one stage (scan -> score ->
+    per-query top-k via WindowGroupLimit pushdown), so the corpus is
+    never shuffled. Swap the brute-force scorer for the IVF candidate
+    path (operators/similarity.py) when the corpus no longer scans in
+    budget; the voting layer is unchanged."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    q = e.filter(F.col("vec_id") % KNN_QMOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+    )
+    c = e.filter(F.col("vec_id") % KNN_QMOD != 0)
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "q_id",
+            "true_label",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / F.sqrt(
+                    dot(F.col("qv"), F.col("qv")) * dot(F.col("v"), F.col("v"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    wtop = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    top = scored.withColumn("rank", F.row_number().over(wtop)).filter(
+        F.col("rank") <= KNN_K
+    )
+    votes = top.groupBy("q_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes"),
+        F.max("cosine").alias("best_cosine"),
+    )
+    wv = W.partitionBy("q_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "q_id",
+            "true_label",
+            F.col("label").alias("pred_label"),
+            "n_votes",
+            "best_cosine",
+        )
+    )
+
+
+# ---------------------------------------------------------------- entropy
+
+@query(
+    "stat_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_docs,
+               CAST(SUM(c * c) AS BIGINT) AS c2,
+               COUNT(*) AS n_classes,
+               list_sum(list_transform(list(c ORDER BY lang),
+                                       x -> x * log2(x))) AS s
+        FROM c GROUP BY source
+    )
+    SELECT source, n_docs, n_classes,
+           round(log2(CAST(n_docs AS DOUBLE)) - s / n_docs, 6) AS entropy,
+           round(1.0 - CAST(c2 AS DOUBLE)
+                       / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)),
+                 6) AS gini
+    FROM g
+    """,
+)
+def stat_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) and Gini impurity of each source's language
+    mix — the class-balance diagnostics a corpus-mixing pipeline reads
+    before setting sampling weights (complements curate_dsir_weights /
+    mix_sources).
+
+    Determinism: counts are exact integers; H = log2(N) - (sum c*log2 c)/N
+    where the only float reduction folds over a SORTED class list
+    (sort_array + aggregate in Spark, list(ORDER BY) + list_sum in the
+    oracle — same left-to-right order), so the doubles are bit-identical
+    before the 6-dp edge rounding. Gini needs only sum(c^2), which stays
+    integer. Two keyed shuffles, second over |sources| x |langs| rows."""
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    g = c.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.sum(F.col("c") * F.col("c")).alias("c2"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(lang, c))), "
+            "cast(0.0 as double), (acc, x) -> acc + x.c * log2(x.c))"
+        ).alias("s"),
+    )
+    nd = F.col("n_docs").cast("double")
+    return g.select(
+        "source",
+        "n_docs",
+        "n_classes",
+        F.round(F.log2(nd) - F.col("s") / F.col("n_docs"), 6).alias("entropy"),
+        F.round(
+            F.lit(1.0) - F.col("c2").cast("double") / (nd * nd), 6
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------- column profile
+
+# (column, kind) — kind drives which min/max representation is emitted:
+# numeric/timestamp -> double (timestamps as epoch seconds; no cross-engine
+# number->string formatting dependency), string -> the actual varchar values.
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(MIN({col}) AS DOUBLE)", f"CAST(MAX({col}) AS DOUBLE)"
+            ms_n, ms_x = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        elif kind == "ts":
+            mn = f"CAST(epoch(MIN({col})) AS DOUBLE)"
+            mx = f"CAST(epoch(MAX({col})) AS DOUBLE)"
+            ms_n, ms_x = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        else:
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms_n, ms_x = f"MIN({col})", f"MAX({col})"
+        parts.append(
+            f"""SELECT '{col}' AS column_name,
+               COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({col}) AS n_null,
+               COUNT(DISTINCT {col}) AS n_distinct,
+               {mn} AS min_num, {mx} AS max_num,
+               {ms_n} AS min_str, {ms_x} AS max_str
+        FROM orders"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("dq_column_profile", oracle=_profile_oracle())
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dataset profile of the orders table: per column row/null/
+    exact-distinct counts and typed min/max (numerics and timestamps as
+    doubles — epoch seconds for dates — strings as themselves; never
+    number->string formatting, which differs across engines).
+
+    The Spark plan computes every column's metrics in ONE aggregate (the
+    multi-count-distinct Expand strategy: the scan is read once and
+    expanded x|columns| before the shuffle) and unpivots with stack(). At
+    100 TB swap the exact distincts for approx_count_distinct and the
+    Expand collapses into a single-pass HLL fold; exact is kept here
+    because the driver oracle hash-compares values."""
+    o = load(spark, sf_dir, "orders")
+    aggs = []
+    for col, kind in _PROFILE_COLS:
+        c = F.col(col)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{col}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{col}__null"),
+            F.countDistinct(c).alias(f"{col}__nd"),
+        ]
+        if kind == "num":
+            aggs += [
+                F.min(c).cast("double").alias(f"{col}__mn"),
+                F.max(c).cast("double").alias(f"{col}__mx"),
+            ]
+        elif kind == "ts":
+            aggs += [
+                F.unix_timestamp(F.min(c)).cast("double").alias(f"{col}__mn"),
+                F.unix_timestamp(F.max(c)).cast("double").alias(f"{col}__mx"),
+            ]
+        else:
+            aggs += [
+                F.min(c).alias(f"{col}__smn"),
+                F.max(c).alias(f"{col}__smx"),
+            ]
+    one = o.agg(*aggs)
+    branches = []
+    for col, kind in _PROFILE_COLS:
+        if kind == "str":
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            smn, smx = f"`{col}__smn`", f"`{col}__smx`"
+        else:
+            mn, mx = f"`{col}__mn`", f"`{col}__mx`"
+            smn, smx = "CAST(NULL AS STRING)", "CAST(NULL AS STRING)"
+        branches.append(
+            f"'{col}', `{col}__rows`, `{col}__null`, `{col}__nd`, "
+            f"{mn}, {mx}, {smn}, {smx}"
+        )
+    stack = (
+        f"stack({len(_PROFILE_COLS)}, {', '.join(branches)}) AS "
+        "(column_name, n_rows, n_null, n_distinct, min_num, max_num, "
+        "min_str, max_str)"
+    )
+    return one.selectExpr(stack)

@@ -1,0 +1,114 @@
+"""Semantic invariants for the data-mining query family (queries/mining.py
++ operators/skyline.py); oracle value-parity is covered by
+tests/test_oracle_parity.py and the driver gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pasardassist_spark.operators.skyline import skyline
+from pasardassist_spark.queries import mining
+from pasardassist_spark.tables import load
+
+
+def test_global_skyline_matches_bruteforce(spark):
+    rows = [
+        # (x=cost, y=quality) — includes duplicates, co-skyline ties, and
+        # a dominated tie-on-one-dim case.
+        (1.0, 5), (1.0, 5), (1.0, 3), (2.0, 7), (2.0, 7), (3.0, 7),
+        (0.5, 1), (4.0, 9), (4.0, 2), (5.0, 9),
+    ]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(rows)], "id long, x double, y int"
+    )
+    got = {r.id for r in skyline(df, "x", "y").collect()}
+    want = set()
+    for i, (px, py) in enumerate(rows):
+        dominated = any(
+            qx <= px and qy >= py and (qx < px or qy > py)
+            for j, (qx, qy) in enumerate(rows)
+            if j != i
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want
+
+
+def test_skyline_excludes_null_criteria(spark):
+    df = spark.createDataFrame(
+        [(0, 1.0, 5), (1, None, 9), (2, 2.0, None)],
+        "id long, x double, y int",
+    )
+    assert {r.id for r in skyline(df, "x", "y").collect()} == {0}
+
+
+def test_skyline_local_prefilter_is_partition_invariant(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    a = {
+        r.p_partkey
+        for r in skyline(part, "p_retailprice", "p_size").collect()
+    }
+    b = {
+        r.p_partkey
+        for r in skyline(
+            part.repartition(37), "p_retailprice", "p_size"
+        ).collect()
+    }
+    assert a == b and a
+
+
+def test_pagerank_conserves_mass_and_is_positive(spark, sf_dir):
+    out = mining.graph_pagerank(spark, sf_dir).collect()
+    total = sum(r.rank for r in out)
+    # bidirectional edges -> no dangling mass: ranks sum to 1
+    assert abs(total - 1.0) < 1e-3, total
+    assert all(r.rank > 0 for r in out)
+    assert len(out) == len({r.node for r in out})
+
+
+def test_mb_apriori_gate_loses_no_pairs(spark, sf_dir):
+    """The frequent-item pre-filter must equal the unpruned pair count."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    unpruned = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= mining.MB_MIN_PAIR)
+        .count()
+    )
+    assert mining.mb_pair_lift(spark, sf_dir).count() == unpruned
+
+
+def test_entropy_bounds(spark, sf_dir):
+    for r in mining.stat_entropy(spark, sf_dir).collect():
+        assert 0.0 <= r.gini < 1.0
+        assert r.entropy >= -1e-9
+        # H <= log2(number of observed classes)
+        import math
+
+        assert r.entropy <= math.log2(r.n_classes) + 1e-9
+
+
+def test_knn_majority_vote_shape(spark, sf_dir):
+    out = mining.knn_label_classify(spark, sf_dir).collect()
+    assert out, "no held-out queries"
+    assert len(out) == len({r.q_id for r in out}), "one prediction per query"
+    assert all(1 <= r.n_votes <= mining.KNN_K for r in out)
+
+
+def test_column_profile_covers_every_column(spark, sf_dir):
+    out = {r.column_name: r for r in mining.dq_column_profile(spark, sf_dir).collect()}
+    assert set(out) == {c for c, _ in mining._PROFILE_COLS}
+    o = load(spark, sf_dir, "orders")
+    n = o.count()
+    for r in out.values():
+        assert r.n_rows == n
+        assert 0 <= r.n_distinct <= n
+    assert out["o_orderstatus"].min_str is not None
+    assert out["o_totalprice"].min_num is not None
