@@ -299,3 +299,328 @@ def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("z", 6).alias("zscore"),
         F.coalesce(F.abs("z") > 2.0, F.lit(False)).alias("is_anomaly"),
     )
+
+
+# CUSUM change-point detection. The textbook recursion
+# S_t = max(0, S_{t-1} + z_t - k) is not window-expressible, but it has a
+# closed form: S_t = C_t - min(0, min_{j<=t} C_j) with C the running sum
+# of (z - k) — two stacked cumulative windows. To make the cumulative
+# float sums association-free across engines, z is rounded to 6 dp and
+# SCALED TO DECIMAL before the window sums; the CUSUM statistic is
+# emitted as exact integer micro-units.
+_CUSUM_K = "0.500000"  # drift allowance, in z units (decimal literal)
+_CUSUM_H_U = 4_000_000  # alarm threshold 4.0 sigma, in micro-units
+
+
+@query(
+    "ts_cusum",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type, day, CAST(_value_dec AS DECIMAL(18,2)) AS v
+        FROM ({_DAILY_SQL})
+    ),
+    st AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS DOUBLE) AS s1d,
+               CAST(SUM(CAST(v * v AS DECIMAL(38,4))) AS DOUBLE) AS s2d
+        FROM d GROUP BY event_type
+    ),
+    z AS (
+        SELECT d.event_type, d.day,
+               CAST(round(
+                   (CAST(v AS DOUBLE) - s1d / n)
+                   / sqrt((s2d - s1d * s1d / n) / (n - 1)),
+               6) AS DECIMAL(18,6)) AS z6
+        FROM d JOIN st ON st.event_type = d.event_type
+        WHERE n >= 2 AND (s2d - s1d * s1d / n) / (n - 1) > 0.0
+    ),
+    c AS (
+        SELECT event_type, day, z6,
+               SUM(z6 - CAST({_CUSUM_K} AS DECIMAL(18,6))) OVER wc AS cp,
+               SUM(-z6 - CAST({_CUSUM_K} AS DECIMAL(18,6))) OVER wc AS cn
+        FROM z
+        WINDOW wc AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    m AS (
+        SELECT event_type, day, z6,
+               CASE WHEN MIN(cp) OVER wc < 0 THEN cp - MIN(cp) OVER wc
+                    ELSE cp END AS sp,
+               CASE WHEN MIN(cn) OVER wc < 0 THEN cn - MIN(cn) OVER wc
+                    ELSE cn END AS sn
+        FROM c
+        WINDOW wc AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           CAST(z6 AS DOUBLE) AS zscore,
+           CAST(sp * 1000000 AS BIGINT) AS cusum_pos_u,
+           CAST(sn * 1000000 AS BIGINT) AS cusum_neg_u,
+           CAST(sp * 1000000 AS BIGINT) > {_CUSUM_H_U} AS alarm_pos,
+           CAST(sn * 1000000 AS BIGINT) > {_CUSUM_H_U} AS alarm_neg
+    FROM m
+    """,
+)
+def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point detection on the per-type daily value
+    (Page 1954): standardize against the type's own mean/std (exact
+    decimal sums), accumulate max(0, S + z - k) upward and downward via
+    the running-sum-minus-running-min closed form, and alarm when the
+    statistic crosses h = 4 sigma.
+
+    Determinism at any partitioning: z is rounded then scaled to
+    DECIMAL(18,6) BEFORE the two stacked cumulative windows, so every
+    window sum/min is exact integer arithmetic (no float association),
+    and the statistic is emitted in integer micro-units. Cost: one
+    shuffle to the daily grain, then keyed windows over O(days) rows per
+    type."""
+    d = _daily(spark, sf_dir).select(
+        "event_type",
+        "day",
+        F.col("_value_dec").cast("decimal(18,2)").alias("v"),
+    )
+    vv = (F.col("v") * F.col("v")).cast("decimal(38,4)")
+    st = d.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("s1d"),
+        F.sum(vv).cast("double").alias("s2d"),
+    )
+    n, s1d, s2d = F.col("n"), F.col("s1d"), F.col("s2d")
+    var = (s2d - s1d * s1d / n) / (n - 1)
+    z = (
+        d.join(F.broadcast(st), d.event_type == st.et)
+        .filter((n >= 2) & (var > 0.0))
+        .select(
+            "event_type",
+            "day",
+            F.round(
+                (F.col("v").cast("double") - s1d / n) / F.sqrt(var), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("z6"),
+        )
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    k = F.lit(_CUSUM_K).cast("decimal(18,6)")
+    c = z.select(
+        "event_type",
+        "day",
+        "z6",
+        F.sum(F.col("z6") - k).over(wc).alias("cp"),
+        F.sum(-F.col("z6") - k).over(wc).alias("cn"),
+    )
+    mp = F.min("cp").over(wc)
+    mn = F.min("cn").over(wc)
+    m = c.select(
+        "event_type",
+        "day",
+        "z6",
+        F.when(mp < 0, F.col("cp") - mp).otherwise(F.col("cp")).alias("sp"),
+        F.when(mn < 0, F.col("cn") - mn).otherwise(F.col("cn")).alias("sn"),
+    )
+    spu = (F.col("sp") * 1000000).cast("bigint")
+    snu = (F.col("sn") * 1000000).cast("bigint")
+    return m.select(
+        "event_type",
+        "day",
+        F.col("z6").cast("double").alias("zscore"),
+        spu.alias("cusum_pos_u"),
+        snu.alias("cusum_neg_u"),
+        (spu > _CUSUM_H_U).alias("alarm_pos"),
+        (snu > _CUSUM_H_U).alias("alarm_neg"),
+    )
+
+
+@query(
+    "ts_interpolate",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    b AS (
+        SELECT min(date_trunc('day', ts)) AS lo,
+               max(date_trunc('day', ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type,
+               unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS day
+        FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN b
+    ),
+    j AS (
+        SELECT spine.event_type, spine.day, d._value_dec AS v
+        FROM spine LEFT JOIN d
+          ON d.event_type = spine.event_type AND d.day = spine.day
+    ),
+    n AS (
+        SELECT event_type, day, v,
+               last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER wp AS pd,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER wf AS nd,
+               first_value(v IGNORE NULLS) OVER wf AS nv
+        FROM j
+        WINDOW wp AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wf AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, day,
+           CAST(v AS DOUBLE) AS day_value,
+           round(CASE
+               WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+               WHEN pd IS NOT NULL AND nd IS NOT NULL THEN
+                   CAST(pv AS DOUBLE)
+                   + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                     * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                        / CAST(date_diff('day', pd, nd) AS DOUBLE))
+           END, 6) AS interp_value,
+           v IS NULL AND pd IS NOT NULL AND nd IS NOT NULL
+               AS is_interpolated
+    FROM n
+    """,
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing days on the dense calendar spine:
+    a gap day's value is the straight line between the nearest observed
+    days on each side (leading/trailing gaps stay NULL — complement to
+    ts_gap_fill's LOCF). Interpolation arithmetic is (exact decimal
+    endpoints -> double) with an exact integer day-ratio, so both
+    engines compute bit-identical doubles before the 6-dp edge round.
+    Same scale shape as ts_gap_fill: one shuffle to the daily grain,
+    spine broadcast, keyed windows over O(days)."""
+    daily = _daily(spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        ),
+    )
+    j = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.col("_value_dec").alias("v")
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    known_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    n = j.select(
+        "event_type",
+        "day",
+        "v",
+        F.last(known_day, ignorenulls=True).over(wp).alias("pd"),
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.first(known_day, ignorenulls=True).over(wf).alias("nd"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+    )
+    pv, nv = F.col("pv").cast("double"), F.col("nv").cast("double")
+    ratio = F.datediff("day", "pd").cast("double") / F.datediff(
+        "nd", "pd"
+    ).cast("double")
+    interp = F.when(F.col("v").isNotNull(), F.col("v").cast("double")).when(
+        F.col("pd").isNotNull() & F.col("nd").isNotNull(),
+        pv + (nv - pv) * ratio,
+    )
+    return n.select(
+        "event_type",
+        "day",
+        F.col("v").cast("double").alias("day_value"),
+        F.round(interp, 6).alias("interp_value"),
+        (
+            F.col("v").isNull()
+            & F.col("pd").isNotNull()
+            & F.col("nd").isNotNull()
+        ).alias("is_interpolated"),
+    )
+
+
+@query(
+    "ts_twap",
+    oracle="""
+    WITH w AS (
+        SELECT event_type,
+               date_trunc('day', ts) AS day,
+               CAST(value AS DECIMAL(18,2)) AS v,
+               epoch_us(COALESCE(
+                   lead(ts) OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts, event_id),
+                   date_trunc('day', ts) + INTERVAL 1 DAY))
+               - epoch_us(ts) AS dur
+        FROM events
+    )
+    SELECT event_type, day,
+           COUNT(*) AS n_events,
+           round(CAST(SUM(v * CAST(dur AS DECIMAL(18,0))) AS DOUBLE)
+                 / CAST(SUM(dur) AS DOUBLE), 6) AS twap
+    FROM w
+    GROUP BY 1, 2
+    HAVING SUM(dur) > 0
+    """,
+)
+def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (event_type, day): each event's
+    value holds until the next event of that type (or the day boundary),
+    and the average weights by that holding duration in microseconds —
+    the TWAP the reference's price-feed tables
+    (src/modules/tasks/tasks.common.ts:156-221 tokens_price) would feed
+    a fair-price endpoint from, where a plain AVG over irregular ticks
+    over-weights bursts.
+
+    Weights are exact integer micros from a keyed LEAD window (total
+    order: ts, event_id); value x duration runs in decimal, so both sums
+    are exact and the single division at the edge is deterministic."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w = ev.select(
+        "event_type",
+        day.alias("day"),
+        dec2("value").alias("v"),
+        (
+            F.unix_micros(
+                F.coalesce(
+                    F.lead("ts").over(
+                        Window.partitionBy(
+                            "event_type", day
+                        ).orderBy("ts", "event_id")
+                    ),
+                    day + F.expr("INTERVAL 1 DAY"),
+                )
+            )
+            - F.unix_micros(F.col("ts"))
+        ).alias("dur"),
+    )
+    return (
+        w.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.col("v") * F.col("dur").cast("decimal(18,0)")
+            ).alias("_vw"),
+            F.sum("dur").alias("_w"),
+        )
+        .filter(F.col("_w") > 0)
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.round(
+                F.col("_vw").cast("double") / F.col("_w").cast("double"), 6
+            ).alias("twap"),
+        )
+    )
