@@ -406,3 +406,95 @@ def incremental_dedup(
             (~(F.col("dup_exact") | F.col("dup_near"))).alias("keep"),
         )
     )
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering (AllPairs /
+    PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08): two
+    token sets with Jaccard >= t must share at least one token among
+    each set's |x| - ceil(t*|x|) + 1 RAREST tokens, so only those prefix
+    tokens enter the inverted index and the candidate join touches a
+    tiny, rare-token slice of the posting lists. The complement to
+    MinHash-LSH (`minhash_lsh_pairs`): exact — no recall loss — at the
+    price of scaling with true-pair density rather than corpus size.
+
+    The global token order every prefix must agree on is (document
+    frequency asc, token asc) — realized as sortable (df, token) STRUCT
+    values, never a row_number over the vocabulary, so no single-task
+    global window exists anywhere in the plan. Tokens are lowercase
+    alphanumeric runs, de-duplicated per document.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard exact
+    and rounded to 6 dp.
+    """
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        )
+    )
+    t = df.select(F.col(id_col).alias("_id"), toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    tok = t.select("_id", F.explode("toks").alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df_"))
+    # per-doc tokens sorted by global rarity; prefix keeps the rarest
+    # |x| - ceil(t*|x|) + 1
+    ordered = (
+        tok.join(vocab, "token")
+        .groupBy("_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df_"), F.col("token")))
+            ).alias("ord")
+        )
+        .select(
+            "_id",
+            F.transform("ord", lambda x: x["token"]).alias("stoks"),
+            F.size("ord").alias("sz"),
+        )
+    )
+    plen = F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
+    pre = ordered.select(
+        "_id",
+        "stoks",
+        "sz",
+        F.slice("stoks", 1, plen.cast("int")).alias("prefix"),
+    )
+    inv = pre.select("_id", F.explode("prefix").alias("token"))
+    cand = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = pre.select(
+        F.col("_id").alias("doc_a"),
+        F.col("stoks").alias("ta"),
+        F.col("sz").alias("na"),
+    )
+    sb = pre.select(
+        F.col("_id").alias("doc_b"),
+        F.col("stoks").alias("tb"),
+        F.col("sz").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.col("na") + F.col("nb") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter((union > 0) & (jac >= threshold))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

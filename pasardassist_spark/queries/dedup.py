@@ -538,3 +538,45 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+SETJOIN_TAU = 0.9
+
+
+@query(
+    "dedup_setjoin_prefix",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS toks
+        FROM documents
+    ),
+    tt AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.toks, b.toks)) AS i,
+               len(a.toks) AS sa, len(b.toks) AS sb
+        FROM tt a JOIN tt b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (sa + sb - i), 6) AS jaccard
+    FROM p
+    WHERE sa + sb - i > 0
+      AND CAST(i AS DOUBLE) / (sa + sb - i) >= {SETJOIN_TAU}
+    """,
+)
+def dedup_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-set Jaccard >= {SETJOIN_TAU} near-dup pairs via prefix
+    filtering (operators/dedup.py:prefix_filtered_jaccard_pairs) — zero
+    recall loss, unlike the MinHash/SimHash probabilistic variants, and
+    never an all-pairs join: only each document's rarest
+    |x| - ceil(t|x|) + 1 tokens enter the inverted index, so candidate
+    blocks are rare-token posting lists. The oracle is the O(n^2)
+    brute-force NOT-pruned form, feasible only at oracle scale — a hash
+    match certifies the pruning lost nothing."""
+    docs = load(spark, sf_dir, "documents")
+    return D.prefix_filtered_jaccard_pairs(
+        docs, "text", "doc_id", SETJOIN_TAU
+    )

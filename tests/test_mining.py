@@ -112,3 +112,54 @@ def test_column_profile_covers_every_column(spark, sf_dir):
         assert 0 <= r.n_distinct <= n
     assert out["o_orderstatus"].min_str is not None
     assert out["o_totalprice"].min_num is not None
+
+
+def test_prefix_setjoin_has_perfect_recall_vs_bruteforce(spark, sf_dir):
+    """The prefix filter must lose no pair: compare against an in-Spark
+    brute-force all-pairs join at test scale."""
+    from pasardassist_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    tau = 0.9
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filtered_jaccard_pairs(
+            docs, "text", "doc_id", tau
+        ).collect()
+    }
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        )
+    )
+    t = docs.select(F.col("doc_id").alias("id"), toks.alias("tk")).filter(
+        F.size("tk") > 0
+    )
+    a = t.select(F.col("id").alias("da"), F.col("tk").alias("ta"))
+    b = t.select(F.col("id").alias("db"), F.col("tk").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.col("na") + F.col("nb") - inter
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("da") < F.col("db"))
+        .withColumn("na", F.size("ta"))
+        .withColumn("nb", F.size("tb"))
+        .filter((union > 0) & (inter.cast("double") / union >= tau))
+        .select("da", "db")
+        .collect()
+    )
+    want = {(r.da, r.db) for r in brute}
+    assert set(got) == want
+    assert all(v >= tau for v in got.values())
+
+
+def test_prefix_setjoin_plan_never_goes_all_pairs(spark, sf_dir):
+    from pasardassist_spark.plans.inspect import plan
+    from pasardassist_spark.queries import dedup as qd
+
+    p = plan(qd.dedup_setjoin_prefix(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
