@@ -147,6 +147,32 @@ def main() -> None:
         "attr_multi_touch",
         "run_distinct_users",
         "hist_equi_depth",
+        # round-6 additions: one regression row per new operator family
+        # (streaming st8 and the file-writing source roundtrips are
+        # pytest-tracked instead — their cost is dominated by sink I/O,
+        # not a query plan).
+        "cube_market_rollup",
+        "w3_pareto_share",
+        "stat_linreg",
+        "mad_outliers",
+        "path_transitions",
+        "path_ngrams",
+        "rfm_segments",
+        "scd2_build",
+        "scd2_pit_lookup",
+        "emb_pca_project",
+        "cm_sketch_freq",
+        "qsketch_percentiles",
+        "ts_cusum",
+        "ts_twap",
+        "ts_interpolate",
+        "o6_skyline_frontier",
+        "mb_pair_lift",
+        "graph_pagerank",
+        "knn_label_classify",
+        "dedup_setjoin_prefix",
+        "stat_entropy",
+        "dq_column_profile",
     ]:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -541,6 +541,7 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SETJOIN_TAU = 0.9
+SETJOIN_N = 3  # shingle width: set elements are 3-word n-grams
 
 
 @query(
@@ -548,17 +549,22 @@ SETJOIN_TAU = 0.9
     oracle=f"""
     WITH t AS (
         SELECT doc_id,
-               list_distinct(list_filter(
-                   string_split_regex(lower(text), '[^a-z0-9]+'),
-                   x -> x <> '')) AS toks
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS tk
         FROM documents
     ),
-    tt AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+    s AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(tk[i:i+{SETJOIN_N - 1}], ' ')
+                              FOR i IN range(1, len(tk) - {SETJOIN_N - 2})])
+                   AS toks
+        FROM t WHERE len(tk) >= {SETJOIN_N}
+    ),
     p AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                len(list_intersect(a.toks, b.toks)) AS i,
                len(a.toks) AS sa, len(b.toks) AS sb
-        FROM tt a JOIN tt b ON a.doc_id < b.doc_id
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
            round(CAST(i AS DOUBLE) / (sa + sb - i), 6) AS jaccard
@@ -568,15 +574,17 @@ SETJOIN_TAU = 0.9
     """,
 )
 def dedup_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT token-set Jaccard >= {SETJOIN_TAU} near-dup pairs via prefix
-    filtering (operators/dedup.py:prefix_filtered_jaccard_pairs) — zero
-    recall loss, unlike the MinHash/SimHash probabilistic variants, and
-    never an all-pairs join: only each document's rarest
-    |x| - ceil(t|x|) + 1 tokens enter the inverted index, so candidate
-    blocks are rare-token posting lists. The oracle is the O(n^2)
-    brute-force NOT-pruned form, feasible only at oracle scale — a hash
-    match certifies the pruning lost nothing."""
+    """EXACT shingle-set Jaccard >= {SETJOIN_TAU} near-dup pairs via
+    prefix filtering (operators/dedup.py:prefix_filtered_jaccard_pairs)
+    — zero recall loss, unlike the MinHash/SimHash probabilistic
+    variants, and never an all-pairs join: only each document's rarest
+    |x| - ceil(t|x|) + 1 shingles enter the inverted index, so candidate
+    blocks are rare-shingle posting lists (3-word shingling keeps
+    posting lists cold even on a tiny word vocabulary — see the operator
+    docstring). The oracle is the O(n^2) brute-force NOT-pruned form,
+    feasible only at oracle scale — a hash match certifies the pruning
+    lost nothing."""
     docs = load(spark, sf_dir, "documents")
     return D.prefix_filtered_jaccard_pairs(
-        docs, "text", "doc_id", SETJOIN_TAU
+        docs, "text", "doc_id", SETJOIN_TAU, ngram=SETJOIN_N
     )

@@ -121,18 +121,23 @@ def test_prefix_setjoin_has_perfect_recall_vs_bruteforce(spark, sf_dir):
         prefix_filtered_jaccard_pairs,
     )
 
+    from pasardassist_spark.operators.text import word_ngrams
+
     docs = load(spark, sf_dir, "documents")
     tau = 0.9
     got = {
         (r.doc_a, r.doc_b): r.jaccard
         for r in prefix_filtered_jaccard_pairs(
-            docs, "text", "doc_id", tau
+            docs, "text", "doc_id", tau, ngram=3
         ).collect()
     }
     toks = F.array_distinct(
-        F.filter(
-            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
-            lambda x: x != F.lit(""),
+        word_ngrams(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda x: x != F.lit(""),
+            ),
+            3,
         )
     )
     t = docs.select(F.col("doc_id").alias("id"), toks.alias("tk")).filter(
