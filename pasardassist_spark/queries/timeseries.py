@@ -491,3 +491,100 @@ def w2_value_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_1h"),
         )
     )
+
+
+@query(
+    "sess_concurrency",
+    oracle="""
+    WITH lagd AS (
+        SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS nw
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, sid, min(us) AS s, max(us) AS e
+        FROM (
+            SELECT user_id, us,
+                   SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS sid
+            FROM lagd
+        ) GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT s AS t, 1 AS dl FROM sess
+        UNION ALL
+        SELECT e + 1, -1 FROM sess
+    ),
+    n AS (
+        SELECT t,
+               CAST(SUM(dl) AS BIGINT) AS net,
+               CAST(SUM(CASE WHEN dl > 0 THEN dl ELSE 0 END) AS BIGINT)
+                   AS starts
+        FROM d GROUP BY t
+    ),
+    c AS (
+        SELECT t, net, starts,
+               SUM(net) OVER (ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS conc
+        FROM n
+    )
+    SELECT date_trunc('day', make_timestamp(t)) AS day,
+           CAST(MAX(GREATEST(conc, conc - net)) AS BIGINT)
+               AS max_concurrency,
+           CAST(SUM(starts) AS BIGINT) AS n_session_starts
+    FROM c
+    GROUP BY 1
+    """,
+)
+def sess_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via a sweep line over the session
+    intervals from the 30-min gap sessionization: +1 at each session
+    start, -1 one microsecond after its end (inclusive [start, end]
+    activity), net deltas per distinct instant, then a GLOBAL running
+    sum — the interval-stabbing aggregate behind "peak concurrent users"
+    dashboards, which no plain groupBy can produce because concurrency
+    at time t depends on every earlier interval.
+
+    The global cumulative sum is the two-phase distributed prefix sum
+    (operators/packing.py:exclusive_prefix_sum — deterministic range
+    buckets, in-bucket window, n_buckets-row offset broadcast), so no
+    single-task global sort exists even though the statistic is globally
+    ordered. Each day's peak also considers the carry-in level from
+    intervals spanning midnight (greatest(conc, level-before) per delta
+    point). All arithmetic is integer-exact."""
+    from pasardassist_spark.operators.packing import exclusive_prefix_sum
+    from pasardassist_spark.streaming.sessions import sessionize_batch
+
+    sess = sessionize_batch(load(spark, sf_dir, "events"))
+    deltas = sess.select(
+        F.col("session_start").alias("t"), F.lit(1).alias("dl")
+    ).unionByName(
+        sess.select(
+            (F.col("session_end") + 1).alias("t"), F.lit(-1).alias("dl")
+        )
+    )
+    n = deltas.groupBy("t").agg(
+        F.sum("dl").cast("bigint").alias("net"),
+        F.sum(F.when(F.col("dl") > 0, F.col("dl")).otherwise(0))
+        .cast("bigint")
+        .alias("starts"),
+    )
+    c = exclusive_prefix_sum(n, "t", "net", out="before")
+    conc = F.col("before") + F.col("net")
+    return (
+        c.select(
+            F.date_trunc("day", F.timestamp_micros(F.col("t"))).alias("day"),
+            F.greatest(conc, F.col("before")).alias("level"),
+            "starts",
+        )
+        .groupBy("day")
+        .agg(
+            F.max("level").cast("bigint").alias("max_concurrency"),
+            F.sum("starts").cast("bigint").alias("n_session_starts"),
+        )
+    )

@@ -78,3 +78,40 @@ def test_twap_bounded_by_value_range_and_days_covered(spark, sf_dir):
         # dec2 rounds values to 2 dp before weighting
         assert round(lo, 2) - 1e-9 <= r.twap <= round(hi, 2) + 1e-9
         assert r.n_events == n
+
+
+def test_sess_concurrency_matches_python_sweep(spark, sf_dir):
+    """The distributed sweep line must equal an in-driver brute force
+    over the same session intervals."""
+    from pasardassist_spark.queries.timeseries import sess_concurrency
+    from pasardassist_spark.streaming.sessions import sessionize_batch
+    from pasardassist_spark.tables import load
+
+    got = {
+        r.day: (r.max_concurrency, r.n_session_starts)
+        for r in sess_concurrency(spark, sf_dir).collect()
+    }
+    sess = [
+        (r.session_start, r.session_end)
+        for r in sessionize_batch(load(spark, sf_dir, "events")).collect()
+    ]
+    deltas: dict[int, list[int]] = {}
+    for s, e in sess:
+        deltas.setdefault(s, [0, 0])[0] += 1
+        deltas.setdefault(e + 1, [0, 0])[1] += 1
+    import datetime
+
+    want: dict = {}
+    conc = 0
+    for t in sorted(deltas):
+        starts, ends = deltas[t]
+        before = conc
+        conc += starts - ends
+        day = datetime.datetime.utcfromtimestamp(t // 1_000_000).replace(
+            hour=0, minute=0, second=0, microsecond=0
+        )
+        mx, st = want.get(day, (0, 0))
+        want[day] = (max(mx, before, conc), st + starts)
+    assert conc == 0, "sweep must return to zero"
+    got_naive = {d.replace(tzinfo=None): v for d, v in got.items()}
+    assert got_naive == want
