@@ -245,7 +245,11 @@ def cosine_pairs_lsh(
 
 IVF_SEED = 7
 N_LISTS = 16
-N_PROBE = 4
+# 6/16 lists probed: measured recall@10 0.62 (vs 0.54 at 4) on the
+# near-uniform synthetic embeddings at sf0.1 for ~the same search cost;
+# on a real corpus with cluster structure n_lists grows with corpus size
+# and n_probe/n_lists shrinks — the knob is per-deployment.
+N_PROBE = 6
 
 # K-means needs ~1000 points per centroid, not the corpus: index TRAINING
 # fits on a deterministic hash-gate sample of at most this many rows,
@@ -529,7 +533,10 @@ def ivfpq_topk(
     n_probe: int = N_PROBE,
     m: int = PQ_M,
     pq_k: int = PQ_K,
-    refine: int = 4,
+    # 16*k ADC survivors re-ranked exactly: recall@10 0.58 vs 0.32 at 4*k
+    # (sf0.1) — the refine list is per-query rows, so widening it is
+    # nearly free next to the code scan.
+    refine: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     books: list[list[list[float]]] | None = None,
