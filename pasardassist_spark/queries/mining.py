@@ -509,3 +509,41 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_str, max_str)"
     )
     return one.selectExpr(stack)
+
+
+# ------------------------------------------------------------- band join
+
+BAND_EPS = 500.0
+
+
+@query(
+    "rj_price_band_pairs",
+    oracle=f"""
+    SELECT date_trunc('day', a.o_orderdate) AS day,
+           a.o_orderkey AS id_a, b.o_orderkey AS id_b,
+           a.o_totalprice AS value_a, b.o_totalprice AS value_b
+    FROM orders a JOIN orders b
+      ON date_trunc('day', a.o_orderdate) = date_trunc('day', b.o_orderdate)
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(a.o_totalprice - b.o_totalprice) <= {BAND_EPS}
+    """,
+)
+def rj_price_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-day order pairs within a +-{BAND_EPS} price band — the
+    wash-trade / mirror-order screen a marketplace backend runs over its
+    order log (the reference's domain stores exactly such orders;
+    reference src/modules/common/models/OrderInfoModel.ts:3-42), and a
+    theta-join no equi-join expresses directly. Bucket decomposition
+    (operators/rangejoin.py:band_self_join) turns it into one
+    (day, price-bucket) equi-join probing each row's bucket +-1 — never
+    a per-day cross join. The oracle is the direct theta-join form."""
+    o = load(spark, sf_dir, "orders")
+    from pasardassist_spark.operators.rangejoin import band_self_join
+
+    return band_self_join(
+        o.withColumn("day", F.date_trunc("day", F.col("o_orderdate"))),
+        keys=["day"],
+        id_col="o_orderkey",
+        value_col="o_totalprice",
+        eps=BAND_EPS,
+    ).select("day", "id_a", "id_b", "value_a", "value_b")

@@ -168,3 +168,48 @@ def test_prefix_setjoin_plan_never_goes_all_pairs(spark, sf_dir):
     p = plan(qd.dedup_setjoin_prefix(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_band_self_join_covers_bucket_edges(spark):
+    """Pairs straddling a bucket boundary (|diff| <= eps but different
+    buckets) must be found, pairs just outside the band must not, and no
+    pair may be emitted twice."""
+    from pasardassist_spark.operators.rangejoin import band_self_join
+
+    rows = [
+        (1, "g", 9.9), (2, "g", 10.1),   # straddles the eps=1 bucket edge
+        (3, "g", 11.2),                   # 1.1 from id 2 -> out of band
+        (4, "g", 9.9),                    # duplicate value, same bucket
+        (5, "h", 10.0),                   # other key group: never pairs
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    out = band_self_join(df, ["k"], "id", "v", eps=1.0).collect()
+    got = sorted((r.id_a, r.id_b) for r in out)
+    assert got == [(1, 2), (1, 4), (2, 4)]
+    assert len(got) == len(set(got)), "pair emitted twice"
+
+
+def test_band_join_query_matches_direct_theta(spark, sf_dir):
+    out = {
+        (r.id_a, r.id_b)
+        for r in mining.rj_price_band_pairs(spark, sf_dir).collect()
+    }
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.date_trunc("day", "o_orderdate").alias("d"),
+        F.col("o_totalprice").alias("p"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    direct = (
+        a.join(
+            b,
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.k") < F.col("b.k"))
+            & (
+                F.abs(F.col("a.p") - F.col("b.p")) <= mining.BAND_EPS
+            ),
+        )
+        .select(F.col("a.k").alias("x"), F.col("b.k").alias("y"))
+        .collect()
+    )
+    assert out == {(r.x, r.y) for r in direct}
