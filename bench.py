@@ -173,6 +173,11 @@ def main() -> None:
         "dedup_setjoin_prefix",
         "stat_entropy",
         "dq_column_profile",
+        "sess_concurrency",
+        "rj_price_band_pairs",
+        "funnel_latency",
+        "cohort_ltv",
+        "dedup_debounce",
     ]:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -1040,3 +1040,231 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_outliers"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: conversion-latency distribution, cohort LTV curve,
+# per-key event debounce.
+# ---------------------------------------------------------------------------
+
+_LAT_WINDOW_US = 7 * 86400 * 1_000_000  # view must precede purchase by <= 7d
+
+
+@query(
+    "funnel_latency",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type, event_id, ts, epoch_us(ts) AS us,
+               max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_view_us
+        FROM events
+    ),
+    conv AS (
+        SELECT date_trunc('month', ts) AS month,
+               us - last_view_us AS lat_us
+        FROM seq
+        WHERE event_type = 'purchase'
+          AND last_view_us IS NOT NULL
+          AND us - last_view_us <= {_LAT_WINDOW_US}
+    )
+    SELECT month,
+           COUNT(*) AS n_conversions,
+           quantile_cont(lat_us, 0.5) AS p50_us,
+           quantile_cont(lat_us, 0.9) AS p90_us,
+           MAX(lat_us) AS max_us
+    FROM conv GROUP BY month
+    """,
+)
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: each purchase's latency from the
+    user's most recent prior view (7-day lookback), summarized per month
+    as exact interpolated percentiles — the "how long does the funnel
+    take" complement to funnel_conversion's "how many make it".
+
+    One user-keyed window pairs every purchase with its view (running
+    MAX over the ordered per-user sequence — no per-pair join), then one
+    month-keyed aggregation. Latencies are exact integer microseconds;
+    `percentile` matches quantile_cont interpolation (the proven a13
+    pattern)."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = ev.select(
+        "event_type",
+        "ts",
+        us.alias("us"),
+        F.max(F.when(F.col("event_type") == "view", us)).over(w).alias(
+            "last_view_us"
+        ),
+    )
+    conv = seq.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("last_view_us").isNotNull()
+        & (F.col("us") - F.col("last_view_us") <= _LAT_WINDOW_US)
+    ).select(
+        F.date_trunc("month", F.col("ts")).alias("month"),
+        (F.col("us") - F.col("last_view_us")).alias("lat_us"),
+    )
+    return conv.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.expr("percentile(lat_us, 0.5)").alias("p50_us"),
+        F.expr("percentile(lat_us, 0.9)").alias("p90_us"),
+        F.max("lat_us").alias("max_us"),
+    )
+
+
+@query(
+    "cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id,
+               min(ts) AS ft
+        FROM events GROUP BY user_id
+    ),
+    cohorts AS (
+        SELECT user_id,
+               date_trunc('month', ft) AS cohort,
+               year(ft) * 12 + month(ft) AS cm
+        FROM first_seen
+    ),
+    sizes AS (SELECT cohort, COUNT(*) AS n_users FROM cohorts GROUP BY cohort),
+    rev AS (
+        SELECT c.cohort,
+               (year(e.ts) * 12 + month(e.ts)) - c.cm AS age_months,
+               SUM(CAST(e.value AS DECIMAL(18,2))) AS m_rev
+        FROM events e JOIN cohorts c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort, age_months,
+               SUM(m_rev) OVER (PARTITION BY cohort ORDER BY age_months
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_rev
+        FROM rev
+    )
+    SELECT cum.cohort, age_months, n_users,
+           CAST(cum_rev AS DOUBLE) AS cum_revenue,
+           round(CAST(cum_rev AS DOUBLE) / n_users, 6) AS ltv
+    FROM cum JOIN sizes ON sizes.cohort = cum.cohort
+    """,
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by first-seen month,
+    purchase revenue accumulated by integer month age, divided by cohort
+    size — cohort_retention's revenue twin (the LTV readout growth teams
+    plot). Ages are exact (year*12 + month) integer arithmetic in both
+    engines (never fractional months_between); revenue folds in exact
+    decimals with the cumulative window over the tiny (cohort, age)
+    grain; rows exist for ages with revenue (the curve's support).
+    Shuffles: first-seen per user, revenue join keyed on user, then the
+    cohort-grain rollup."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("ft"))
+    cohorts = first_seen.select(
+        "user_id",
+        F.date_trunc("month", F.col("ft")).alias("cohort"),
+        (F.year("ft") * 12 + F.month("ft")).alias("cm"),
+    )
+    sizes = cohorts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
+    from pasardassist_spark.functions.money import dec2
+
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .groupBy(
+            "cohort",
+            ((F.year("ts") * 12 + F.month("ts")) - F.col("cm")).alias(
+                "age_months"
+            ),
+        )
+        .agg(F.sum(dec2("value")).alias("m_rev"))
+    )
+    wc = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.select(
+        "cohort",
+        "age_months",
+        F.sum("m_rev").over(wc).alias("cum_rev"),
+    )
+    return cum.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        "age_months",
+        "n_users",
+        F.col("cum_rev").cast("double").alias("cum_revenue"),
+        F.round(
+            F.col("cum_rev").cast("double") / F.col("n_users"), 6
+        ).alias("ltv"),
+    )
+
+
+_DEBOUNCE_GAP_S = 300
+
+
+@query(
+    "dedup_debounce",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, event_type, event_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > {_DEBOUNCE_GAP_S} * 1000000
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS opens
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ),
+    bursts AS (
+        SELECT *,
+               SUM(opens) OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS burst
+        FROM marked
+    )
+    SELECT user_id, event_type,
+           min(event_id) AS event_id,
+           min(ts) AS ts,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_suppressed
+    FROM bursts
+    GROUP BY user_id, event_type, burst
+    """,
+)
+def dedup_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event debounce / stream thinning: within each (user, event_type),
+    only the event opening a burst survives — a burst extends while
+    successive events arrive within {_DEBOUNCE_GAP_S}s of the PREVIOUS
+    event (trailing-gap semantics, the alert-dedup rule incident tooling
+    applies). Each kept event reports how many it suppressed, so
+    downstream counts remain reconstructible. One keyed shuffle; the
+    lag -> marker -> running-sum chain reuses a single window order.
+    (The other debounce flavor — at most one event per fixed interval
+    since the last KEPT one — is a sequential recursion with no window
+    form; the sessionization operators document that boundary.)"""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    opens = F.when(
+        (us - F.lag(us).over(w) > _DEBOUNCE_GAP_S * 1_000_000)
+        | F.lag("ts").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    bursts = ev.select(
+        "user_id", "event_type", "event_id", "ts", opens.alias("opens")
+    ).withColumn(
+        "burst",
+        F.sum("opens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return bursts.groupBy("user_id", "event_type", "burst").agg(
+        F.min("event_id").alias("event_id"),
+        F.min("ts").alias("ts"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_suppressed"),
+    ).drop("burst")

@@ -213,3 +213,82 @@ def test_band_join_query_matches_direct_theta(spark, sf_dir):
         .collect()
     )
     assert out == {(r.x, r.y) for r in direct}
+
+
+def test_debounce_burst_semantics(spark):
+    """Trailing-gap debounce: a chain of close events is ONE burst even
+    when it exceeds the gap end-to-end; a gap > threshold opens a new
+    burst per (user, type)."""
+    from datetime import datetime as dt
+
+    from pasardassist_spark.queries.analytics import (
+        _DEBOUNCE_GAP_S,
+        dedup_debounce,
+    )
+
+    assert _DEBOUNCE_GAP_S == 300
+    base = dt(2024, 1, 1, 12, 0, 0)
+
+    def t(s):
+        return base.replace(minute=s // 60, second=s % 60)
+
+    rows = [
+        # burst 1: 0s, 250s, 500s (each within 300s of previous; chain
+        # spans 500s > gap — still one burst under trailing-gap rules)
+        (1, t(0), 10, "view", 0.0, "{}"),
+        (2, t(250), 10, "view", 0.0, "{}"),
+        (3, t(500), 10, "view", 0.0, "{}"),
+        # burst 2 opens 301s after the last event
+        (4, t(802), 10, "view", 0.0, "{}"),
+        # other type: independent clock
+        (5, t(10), 10, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import pasardassist_spark.tables as T
+
+    orig = T.load
+    try:
+        T.load = lambda spark, sf_dir, name: df  # noqa: ARG005
+        import pasardassist_spark.queries.analytics as A
+
+        orig_a = A.load
+        A.load = T.load
+        out = {
+            r.event_id: r.n_suppressed
+            for r in dedup_debounce(spark, "ignored").collect()
+        }
+        A.load = orig_a
+    finally:
+        T.load = orig
+    assert out == {1: 2, 4: 0, 5: 0}
+
+
+def test_cohort_ltv_is_monotone_per_cohort(spark, sf_dir):
+    from pasardassist_spark.queries.analytics import cohort_ltv
+
+    rows = cohort_ltv(spark, sf_dir).collect()
+    assert rows
+    by_c: dict = {}
+    for r in rows:
+        by_c.setdefault(r.cohort, []).append((r.age_months, r.ltv, r.n_users))
+    for series in by_c.values():
+        series.sort()
+        assert all(a >= 0 for a, _, _ in series)
+        vals = [v for _, v, _ in series]
+        assert vals == sorted(vals), "cumulative LTV must be non-decreasing"
+        assert len({n for _, _, n in series}) == 1, "cohort size constant"
+
+
+def test_funnel_latency_within_lookback(spark, sf_dir):
+    from pasardassist_spark.queries.analytics import (
+        _LAT_WINDOW_US,
+        funnel_latency,
+    )
+
+    for r in funnel_latency(spark, sf_dir).collect():
+        assert 0 <= r.p50_us <= r.p90_us <= r.max_us <= _LAT_WINDOW_US
+        assert r.n_conversions >= 1
