@@ -69,6 +69,11 @@ def skyline(
     per ``keys`` group. NULLs in either criterion are excluded (NULL never
     dominates and is never ranked — same as the SQL NOT EXISTS form over
     non-null rows)."""
+    clash = {"_salt", "_rm", "_gy", "_prev_best"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"columns collide with internal names: {sorted(clash)}"
+        )
     df = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull())
     if keys:
         return _frontier_flags(df, keys, x, y)

@@ -43,8 +43,11 @@ def zorder_value(
     curve's equal-weight property hold for real data; it is the
     min/max-normalization step of Delta/Iceberg ``OPTIMIZE ZORDER BY``
     (their implementations rank- or range-normalize for the same reason).
-    Distinctness within a column is preserved whenever its domain has at
-    most 2^bits values."""
+    Rescaling may merge distinct values into one bucket when the domain
+    is wider than 2^bits or non-uniformly spaced — that only coarsens
+    layout granularity (the z-key is a sort key, not an identifier);
+    distinct values are guaranteed distinct buckets only for integer
+    domains spanning at most 2^bits consecutive values."""
     n = len(cols)
     if ranges is not None:
         if len(ranges) != n:
@@ -105,8 +108,15 @@ def write_zordered(
             for tag, f in (("lo", F.min), ("hi", F.max))
         ]
     ).first()
+    # Empty input or an all-NULL column yields None stats: map such
+    # columns to a degenerate (0, 0) range (every row -> bucket 0) so
+    # the write still succeeds — a per-partition rewrite job must not
+    # die on its first empty partition.
     ranges = [
-        (stats[f"lo{i}"], stats[f"hi{i}"]) for i in range(len(cols))
+        (stats[f"lo{i}"], stats[f"hi{i}"])
+        if stats[f"lo{i}"] is not None
+        else (0.0, 0.0)
+        for i in range(len(cols))
     ]
     (
         df.withColumn("_z", zorder_value(cols, bits, ranges=ranges))

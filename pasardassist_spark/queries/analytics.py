@@ -1230,18 +1230,20 @@ _DEBOUNCE_GAP_S = 300
                                 AND CURRENT ROW) AS burst
         FROM marked
     )
-    SELECT user_id, event_type,
-           min(event_id) AS event_id,
-           min(ts) AS ts,
-           CAST(COUNT(*) - 1 AS BIGINT) AS n_suppressed
-    FROM bursts
-    GROUP BY user_id, event_type, burst
+    SELECT user_id, event_type, event_id, ts, n_suppressed FROM (
+        SELECT user_id, event_type, event_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type, burst
+                                  ORDER BY ts, event_id) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY user_id, event_type, burst)
+                    - 1 AS BIGINT) AS n_suppressed
+        FROM bursts
+    ) WHERE rn = 1
     """,
 )
 def dedup_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event debounce / stream thinning: within each (user, event_type),
     only the event opening a burst survives — a burst extends while
-    successive events arrive within {_DEBOUNCE_GAP_S}s of the PREVIOUS
+    successive events arrive within 300 s (_DEBOUNCE_GAP_S) of the PREVIOUS
     event (trailing-gap semantics, the alert-dedup rule incident tooling
     applies). Each kept event reports how many it suppressed, so
     downstream counts remain reconstructible. One keyed shuffle; the
@@ -1263,8 +1265,12 @@ def dedup_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "burst",
         F.sum("opens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    # The burst opener is the row that is FIRST in the window order
+    # (ts, event_id) — min_by on that tuple, never min(event_id), which
+    # would weld another event's id onto the opener's timestamp whenever
+    # ids are not monotone with event time.
     return bursts.groupBy("user_id", "event_type", "burst").agg(
-        F.min("event_id").alias("event_id"),
+        F.min_by("event_id", F.struct("ts", "event_id")).alias("event_id"),
         F.min("ts").alias("ts"),
         (F.count(F.lit(1)) - 1).cast("bigint").alias("n_suppressed"),
     ).drop("burst")

@@ -574,7 +574,7 @@ SETJOIN_N = 3  # shingle width: set elements are 3-word n-grams
     """,
 )
 def dedup_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT shingle-set Jaccard >= {SETJOIN_TAU} near-dup pairs via
+    """EXACT shingle-set Jaccard >= 0.9 (SETJOIN_TAU) near-dup pairs via
     prefix filtering (operators/dedup.py:prefix_filtered_jaccard_pairs)
     — zero recall loss, unlike the MinHash/SimHash probabilistic
     variants, and never an all-pairs join: only each document's rarest

@@ -83,7 +83,7 @@ MB_MIN_PAIR = 3  # minimum co-occurrence count (a-priori support gate)
 )
 def mb_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair affinity: parts co-ordered in the same order,
-    with support and lift, at min co-occurrence {MB_MIN_PAIR}.
+    with support and lift, at min co-occurrence 3 (MB_MIN_PAIR).
 
     Scale shape: one (basket, item) DISTINCT shuffle; the a-priori gate
     (a pair reaching min support needs BOTH items at min support) prunes
@@ -97,7 +97,10 @@ def mb_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     icnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     freq = icnt.filter(F.col("c") >= MB_MIN_PAIR).select("l_partkey", "c")
     items_f = items.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
-    n_baskets = items.select("l_orderkey").distinct().count()
+    # basket count rides the plan as a broadcast 1-row frame (the oracle's
+    # CROSS JOIN nb) — an eager .count() here would re-run the DISTINCT
+    # shuffle at every plan construction.
+    nb = items.agg(F.countDistinct("l_orderkey").alias("nb"))
     a = items_f.select(
         "l_orderkey", F.col("l_partkey").alias("p1")
     )
@@ -118,16 +121,17 @@ def mb_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             F.broadcast(freq.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))), "p2"
         )
+        .crossJoin(F.broadcast(nb))
         .select(
             "p1",
             "p2",
             "pair_count",
             F.round(
-                F.col("pair_count").cast("double") / F.lit(n_baskets), 6
+                F.col("pair_count").cast("double") / F.col("nb"), 6
             ).alias("support"),
             F.round(
                 F.col("pair_count").cast("double")
-                * F.lit(n_baskets)
+                * F.col("nb")
                 / (F.col("c1").cast("double") * F.col("c2")),
                 6,
             ).alias("lift"),
@@ -183,7 +187,7 @@ def _pagerank_oracle() -> str:
 
 @query("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-iteration ({PR_ITERS} rounds, damping {PR_DAMP}) PageRank over
+    """Fixed-iteration (3 rounds, damping 0.85 — PR_ITERS/PR_DAMP) PageRank over
     the bipartite customer<->supplier trade graph (edge weight = lineitem
     count, both directions — so every node has out-edges and no dangling
     mass correction is needed).
@@ -286,7 +290,7 @@ KNN_QMOD = 20  # vec_id % QMOD == 0 -> held-out query set
 )
 def knn_label_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN-join classification: every held-out embedding (vec_id %
-    {KNN_QMOD} == 0) gets the majority label of its {KNN_K} nearest
+    KNN_QMOD=20 == 0) gets the majority label of its KNN_K=5 nearest
     corpus neighbors by cosine (ties: smaller label wins; neighbor ties:
     smaller vec_id — total orders on both ranks keep the result
     engine-reproducible, with cosine rounded to 6 dp BEFORE ranking).
@@ -529,7 +533,7 @@ BAND_EPS = 500.0
     """,
 )
 def rj_price_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same-day order pairs within a +-{BAND_EPS} price band — the
+    """Same-day order pairs within a +-500.0 (BAND_EPS) price band — the
     wash-trade / mirror-order screen a marketplace backend runs over its
     order log (the reference's domain stores exactly such orders;
     reference src/modules/common/models/OrderInfoModel.ts:3-42), and a

@@ -532,13 +532,31 @@ def w2_value_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS conc
         FROM n
+    ),
+    perday AS (
+        SELECT date_trunc('day', make_timestamp(t)) AS day,
+               CAST(MAX(GREATEST(conc, conc - net)) AS BIGINT) AS mx,
+               CAST(SUM(starts) AS BIGINT) AS n_starts,
+               CAST(arg_max(conc, t) AS BIGINT) AS end_level
+        FROM c GROUP BY 1
+    ),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM perday),
+    spine AS (
+        SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS day
+        FROM b
+    ),
+    filled AS (
+        SELECT spine.day, perday.mx, perday.n_starts,
+               last_value(perday.end_level IGNORE NULLS) OVER (
+                   ORDER BY spine.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS carry
+        FROM spine LEFT JOIN perday ON perday.day = spine.day
     )
-    SELECT date_trunc('day', make_timestamp(t)) AS day,
-           CAST(MAX(GREATEST(conc, conc - net)) AS BIGINT)
-               AS max_concurrency,
-           CAST(SUM(starts) AS BIGINT) AS n_session_starts
-    FROM c
-    GROUP BY 1
+    SELECT day,
+           COALESCE(mx, carry) AS max_concurrency,
+           COALESCE(n_starts, 0) AS n_session_starts
+    FROM filled
     """,
 )
 def sess_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -554,9 +572,12 @@ def sess_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/packing.py:exclusive_prefix_sum — deterministic range
     buckets, in-bucket window, n_buckets-row offset broadcast), so no
     single-task global sort exists even though the statistic is globally
-    ordered. Each day's peak also considers the carry-in level from
-    intervals spanning midnight (greatest(conc, level-before) per delta
-    point). All arithmetic is integer-exact."""
+    ordered. The daily result is densified onto the full calendar spine:
+    a day WITH delta points reports max(level) over greatest(conc,
+    level-before) — which covers carry-in from midnight-spanning
+    intervals — and a day with NO delta points inherits the carried
+    end-of-day level of the last active day (the concurrency is flat
+    across it by construction). All arithmetic is integer-exact."""
     from pasardassist_spark.operators.packing import exclusive_prefix_sum
     from pasardassist_spark.streaming.sessions import sessionize_batch
 
@@ -576,15 +597,41 @@ def sess_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = exclusive_prefix_sum(n, "t", "net", out="before")
     conc = F.col("before") + F.col("net")
-    return (
+    perday = (
         c.select(
             F.date_trunc("day", F.timestamp_micros(F.col("t"))).alias("day"),
             F.greatest(conc, F.col("before")).alias("level"),
+            conc.alias("conc"),
+            "t",
             "starts",
         )
         .groupBy("day")
         .agg(
-            F.max("level").cast("bigint").alias("max_concurrency"),
-            F.sum("starts").cast("bigint").alias("n_session_starts"),
+            F.max("level").cast("bigint").alias("mx"),
+            F.sum("starts").cast("bigint").alias("n_starts"),
+            F.max_by("conc", "t").cast("bigint").alias("end_level"),
         )
+    )
+    bounds = perday.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    wprev = (
+        _W.orderBy("day")
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    filled = spine.join(perday, "day", "left").select(
+        "day",
+        "mx",
+        "n_starts",
+        F.last("end_level", ignorenulls=True).over(wprev).alias("carry"),
+    )
+    return filled.select(
+        "day",
+        F.coalesce("mx", "carry").alias("max_concurrency"),
+        F.coalesce("n_starts", F.lit(0)).alias("n_session_starts"),
     )

@@ -248,22 +248,19 @@ def test_debounce_burst_semantics(spark):
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",
     )
+    import pasardassist_spark.queries.analytics as A
     import pasardassist_spark.tables as T
 
-    orig = T.load
+    orig_t, orig_a = T.load, A.load
     try:
         T.load = lambda spark, sf_dir, name: df  # noqa: ARG005
-        import pasardassist_spark.queries.analytics as A
-
-        orig_a = A.load
         A.load = T.load
         out = {
             r.event_id: r.n_suppressed
             for r in dedup_debounce(spark, "ignored").collect()
         }
-        A.load = orig_a
     finally:
-        T.load = orig
+        T.load, A.load = orig_t, orig_a
     assert out == {1: 2, 4: 0, 5: 0}
 
 

@@ -102,6 +102,7 @@ def test_sess_concurrency_matches_python_sweep(spark, sf_dir):
     import datetime
 
     want: dict = {}
+    end_level: dict = {}
     conc = 0
     for t in sorted(deltas):
         starts, ends = deltas[t]
@@ -112,6 +113,18 @@ def test_sess_concurrency_matches_python_sweep(spark, sf_dir):
         )
         mx, st = want.get(day, (0, 0))
         want[day] = (max(mx, before, conc), st + starts)
+        end_level[day] = conc
     assert conc == 0, "sweep must return to zero"
+    # densify: a day with no delta points carries the last active day's
+    # end-of-day level (the concurrency is flat across it)
+    days = sorted(want)
+    d = days[0]
+    carry = end_level[d]
+    while d < days[-1]:
+        d = d + datetime.timedelta(days=1)
+        if d in want:
+            carry = end_level[d]
+        else:
+            want[d] = (carry, 0)
     got_naive = {d.replace(tzinfo=None): v for d, v in got.items()}
     assert got_naive == want
