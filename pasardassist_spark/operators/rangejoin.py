@@ -102,3 +102,62 @@ def band_self_join(
         )
         .drop("_b")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_bounds: tuple[str, str],
+    right_bounds: tuple[str, str],
+    bucket_width: int,
+) -> DataFrame:
+    """Interval x interval overlap join (half-open [start, end) x
+    [start, end), same ``keys``): every pair whose intervals intersect,
+    without a per-key cross join.
+
+    Bucket decomposition: each interval explodes onto the fixed-width
+    buckets it covers, candidates equi-join on (keys, bucket), and —
+    the standard dedup trick — a pair is EMITTED only in the single
+    bucket containing max(left_start, right_start), so each overlapping
+    pair appears exactly once with no post-join DISTINCT.
+
+    Scale: shuffle key is (keys, bucket); per-bucket fan-out is the
+    number of intervals alive in that bucket, so ``bucket_width`` trades
+    explode factor (long intervals cover many buckets) against bucket
+    density — size it near the typical interval length. Skewed hot
+    buckets are ordinary equi-join skew (AQE/salting).
+
+    Bounds columns must be numeric (e.g. epoch micros). Non-key column
+    names must not overlap between the sides.
+    """
+    ls, le = left_bounds
+    rs, re = right_bounds
+    overlap_cols = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap_cols:
+        raise ValueError(
+            f"non-key columns collide across sides: {sorted(overlap_cols)}"
+        )
+    w = int(bucket_width)
+
+    def buckets(s: str, e: str):
+        # [start, end) covers floor(s/w) .. floor((e-1)/w); empty/invalid
+        # intervals (e <= s) cover nothing and drop out of the join.
+        lo = F.floor(F.col(s) / w).cast("long")
+        hi = F.floor((F.col(e) - 1) / w).cast("long")
+        return F.when(
+            F.col(e) > F.col(s), F.sequence(lo, hi)
+        ).otherwise(F.array().cast("array<long>"))
+
+    lx = left.withColumn("_b", F.explode(buckets(ls, le)))
+    rx = right.withColumn("_b", F.explode(buckets(rs, re)))
+    emit_bucket = F.floor(F.greatest(F.col(ls), F.col(rs)) / w).cast("long")
+    return (
+        lx.join(rx, [*keys, "_b"])
+        .filter(
+            (F.col(ls) < F.col(re))
+            & (F.col(rs) < F.col(le))
+            & (F.col("_b") == emit_bucket)
+        )
+        .drop("_b")
+    )

@@ -846,3 +846,41 @@ def test_cohort_offsets_and_cdc_classification_edges(spark):
         .collect()
     }
     assert diff == {1: "removed", 2: "changed", 4: "added"}
+
+
+def test_interval_overlap_join_matches_bruteforce(spark, sf_dir):
+    """Bucket-decomposed interval overlap join == brute-force theta join,
+    on real session intervals split into two sides; every pair exactly
+    once regardless of bucket width."""
+    from pyspark.sql import functions as F
+
+    from pasardassist_spark.operators.rangejoin import interval_overlap_join
+    from pasardassist_spark.streaming.sessions import sessionize_batch
+    from pasardassist_spark.tables import load
+
+    sess = sessionize_batch(load(spark, sf_dir, "events")).select(
+        "user_id",
+        F.col("session_start").alias("s"),
+        (F.col("session_end") + 1).alias("e"),  # half-open
+        F.monotonically_increasing_id().alias("sid"),
+    ).localCheckpoint()  # pin ids: monotonically_increasing_id is plan-dependent
+    day = F.floor(F.col("s") / 86_400_000_000).alias("day")
+    a = sess.select(day, F.col("sid").alias("a_id"), F.col("s").alias("a_s"), F.col("e").alias("a_e")).filter(F.col("a_id") % 2 == 0)
+    b = sess.select(day, F.col("sid").alias("b_id"), F.col("s").alias("b_s"), F.col("e").alias("b_e")).filter(F.col("b_id") % 2 == 1)
+    for width in [60_000_000, 1_800_000_000, 86_400_000_000]:
+        got = [
+            (r.a_id, r.b_id)
+            for r in interval_overlap_join(
+                a, b, ["day"], ("a_s", "a_e"), ("b_s", "b_e"), width
+            ).collect()
+        ]
+        brute = (
+            a.join(b, "day")
+            .filter((F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e")))
+            .select("a_id", "b_id")
+            .collect()
+        )
+        want = sorted((r.a_id, r.b_id) for r in brute)
+        assert sorted(got) == want, f"width={width}"
+        assert len(got) == len(set(got)), f"dup pairs at width={width}"
+    assert want, "no overlapping intervals in fixture"
