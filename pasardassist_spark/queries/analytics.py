@@ -1207,7 +1207,10 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DEBOUNCE_GAP_S = 300
+# shared with the streaming twin so batch and stream cannot drift
+from pasardassist_spark.streaming.debounce import (  # noqa: E402
+    DEBOUNCE_GAP_S as _DEBOUNCE_GAP_S,
+)
 
 
 @query(

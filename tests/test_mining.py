@@ -289,3 +289,27 @@ def test_funnel_latency_within_lookback(spark, sf_dir):
     for r in funnel_latency(spark, sf_dir).collect():
         assert 0 <= r.p50_us <= r.p90_us <= r.max_us <= _LAT_WINDOW_US
         assert r.n_conversions >= 1
+
+
+def test_band_self_join_handles_negative_values(spark):
+    """floor()-bucketing must stay correct below zero (floor, not
+    truncation: -0.4 lands in bucket -1)."""
+    from pasardassist_spark.operators.rangejoin import band_self_join
+
+    rows = [(1, "g", -0.4), (2, "g", 0.4), (3, "g", -1.6), (4, "g", 2.0)]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in band_self_join(df, ["k"], "id", "v", eps=1.0).collect()
+    )
+    # |v1-v2|<=1: (1,2)=0.8 ok, (1,3)=1.2 no, (2,4)=1.6 no, (3,4)=3.6 no
+    assert got == [(1, 2)]
+
+
+def test_skyline_degenerate_single_x_group(spark):
+    """All rows share one x: only the max-y rows (ties included) survive."""
+    df = spark.createDataFrame(
+        [(0, 1.0, 5), (1, 1.0, 9), (2, 1.0, 9), (3, 1.0, 2)],
+        "id long, x double, y int",
+    )
+    assert {r.id for r in skyline(df, "x", "y").collect()} == {1, 2}
