@@ -178,6 +178,11 @@ def main() -> None:
         "funnel_latency",
         "cohort_ltv",
         "dedup_debounce",
+        "j8_interval_overlap",
+        "dedup_fuzzy_levenshtein",
+        "stat_ks_test",
+        "stat_chi2_independence",
+        "search_hybrid_rrf",
     ]:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -84,6 +84,55 @@ def exclusive_prefix_sum(
     )
 
 
+def inclusive_prefix_sum(
+    df: DataFrame,
+    key: str,
+    value: str,
+    out: str = "cum_through",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Add ``out`` = sum of ``value`` over all rows with ``key`` <= this
+    row's key (INCLUSIVE running total in global ``key`` order), via the
+    same two-phase distributed plan as :func:`exclusive_prefix_sum`.
+
+    Unlike the exclusive form — whose RANGE-frame-ending-at ``-1`` trick
+    defines "before" as ``key <= current - 1`` and therefore requires
+    integer-spaced keys — the inclusive frame ends at the CURRENT key, so
+    ``key`` may be any numeric type including fractional doubles (the
+    ECDF/cumulative-count case). Duplicate keys all receive the same
+    ``out`` (the full sum through their shared key), deterministic under
+    any partitioning.
+    """
+    clash = set(_INTERNAL) & set(df.columns)
+    if clash:
+        raise ValueError(f"columns collide with internal names: {sorted(clash)}")
+    bounds = df.agg(F.min(key), F.max(key)).first()
+    if bounds[0] is None:
+        return df.withColumn(out, F.lit(0).cast("long"))
+    lo, hi = bounds
+    span = max(1, (int(hi) - int(lo)) // n_buckets + 1)
+    b = F.floor((F.col(key) - F.lit(int(lo))) / F.lit(span)).cast("int")
+    with_b = df.withColumn("_pb", b)
+    w_in = (
+        W.partitionBy("_pb").orderBy(key).rangeBetween(W.unboundedPreceding, 0)
+    )
+    local = with_b.withColumn(
+        "_run", F.coalesce(F.sum(value).over(w_in), F.lit(0))
+    )
+    w_off = W.orderBy("_pb").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        with_b.groupBy("_pb")
+        .agg(F.sum(value).alias("_btot"))
+        .withColumn("_boff", F.coalesce(F.sum("_btot").over(w_off), F.lit(0)))
+        .drop("_btot")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pb")
+        .withColumn(out, (F.col("_boff") + F.col("_run")).cast("long"))
+        .drop(*_INTERNAL)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     key: str,

@@ -63,6 +63,7 @@ def band_self_join(
     id_col: str,
     value_col: str,
     eps: float,
+    carry: Sequence[str] = (),
 ) -> DataFrame:
     """Band (theta) self-join: all row pairs sharing ``keys`` whose
     ``value_col`` differ by at most ``eps`` — the |a.v - b.v| <= eps
@@ -79,19 +80,24 @@ def band_self_join(
     identical values in one bucket is ordinary key skew (AQE skew-join /
     salting territory, like any hot equi-join key).
 
-    Returns both rows' id and value columns with ``id_a < id_b``.
+    Returns both rows' id and value columns with ``id_a < id_b``; each
+    ``carry`` column rides along as ``<col>_a`` / ``<col>_b`` so callers
+    can apply a secondary (non-band) predicate to the candidate pairs
+    without re-joining payloads by id afterwards.
     """
     b = F.floor(F.col(value_col) / F.lit(eps)).cast("long")
     left = df.select(
         *keys,
         F.col(id_col).alias("id_a"),
         F.col(value_col).alias("value_a"),
+        *[F.col(c).alias(f"{c}_a") for c in carry],
         b.alias("_b"),
     )
     right = df.select(
         *keys,
         F.col(id_col).alias("id_b"),
         F.col(value_col).alias("value_b"),
+        *[F.col(c).alias(f"{c}_b") for c in carry],
         F.explode(F.array(b - 1, b, b + 1)).alias("_b"),
     )
     return (

@@ -1,0 +1,592 @@
+"""Pair-matching & two-sample statistics: interval×interval overlap join,
+edit-distance fuzzy dedup, exact two-sample KS test, chi-square
+independence, and reciprocal-rank-fusion hybrid retrieval.
+
+These close the remaining "compare two things at scale" shapes: the
+reference joins only on equality (reference src/modules/app/
+app.service.ts:446-454 and the $lookup family); a 100 TB
+marketplace/training-data engine also needs similarity predicates
+(edit distance, interval intersection, distribution drift, ranked-list
+fusion), each expressed here without a quadratic plan.
+
+Determinism contracts (shared with the DuckDB oracles):
+- candidate generation is lossless blocking (bucket decomposition with a
+  provable lower bound), so the oracle can state the NAIVE predicate —
+  the blocked plan is checked against the unblocked definition;
+- statistics reduce to integer counts wherever possible (KS distance is
+  an integer cross-multiplication argmax); float reductions fold over a
+  SORTED list (stat_entropy contract) or a fixed-length expression tree,
+  then round to 6 dp at the edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pasardassist_spark.operators import text as X
+from pasardassist_spark.queries.registry import query
+from pasardassist_spark.tables import load
+
+# ------------------------------------------------------ interval overlap
+
+# click attention windows vs purchase sessions, same user (epoch micros)
+OVERLAP_LEFT_WIDTH_US = 7_200_000_000  # 2 h
+OVERLAP_RIGHT_WIDTH_US = 7_200_000_000  # 2 h
+
+
+@query(
+    "j8_interval_overlap",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id,
+               epoch_us(ts) AS click_start,
+               epoch_us(ts) + {OVERLAP_LEFT_WIDTH_US} AS click_end
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id,
+               epoch_us(ts) AS purchase_start,
+               epoch_us(ts) + {OVERLAP_RIGHT_WIDTH_US} AS purchase_end
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, click_id, purchase_id,
+           CAST(least(click_end, purchase_end)
+                - greatest(click_start, purchase_start) AS BIGINT)
+               AS overlap_us
+    FROM c JOIN p ON c.user_id = p.user_id
+    WHERE click_start < purchase_end AND purchase_start < click_end
+    """,
+)
+def j8_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join: every (click 2-h attention window,
+    purchase 2-h session) pair of the same user whose half-open intervals
+    intersect, with the overlap duration — the interval-intersection
+    shape behind ad-attribution overlap and sensor-uptime joins, which a
+    bare `a.s < b.e AND b.s < a.e` join plans as a nested loop.
+    operators/rangejoin.py:interval_overlap_join buckets both sides onto
+    fixed 2-h tiles and emits each pair exactly once (in the bucket
+    holding max(start, start)) — one (user, bucket) equi-shuffle, no
+    per-user cross join, no post-join DISTINCT. The oracle states the
+    naive overlap predicate: bucketing is lossless, so the blocked plan
+    is differentially checked against the unblocked definition."""
+    from pasardassist_spark.operators.rangejoin import interval_overlap_join
+
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        us.alias("click_start"),
+        (us + OVERLAP_LEFT_WIDTH_US).alias("click_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        us.alias("purchase_start"),
+        (us + OVERLAP_RIGHT_WIDTH_US).alias("purchase_end"),
+    )
+    pairs = interval_overlap_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        left_bounds=("click_start", "click_end"),
+        right_bounds=("purchase_start", "purchase_end"),
+        bucket_width=OVERLAP_LEFT_WIDTH_US,
+    )
+    return pairs.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            F.least("click_end", "purchase_end")
+            - F.greatest("click_start", "purchase_start")
+        )
+        .cast("long")
+        .alias("overlap_us"),
+    )
+
+
+# ----------------------------------------------------- fuzzy name dedup
+
+FUZZY_MAX_DIST = 4
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle=f"""
+    SELECT a.p_brand AS brand,
+           a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy dedup: same-brand part pairs whose names are
+    within levenshtein distance {FUZZY_MAX_DIST} — the fuzzy-matching
+    dedup family member (exact/MinHash/SimHash handle token overlap;
+    edit distance catches typo-grade variants record linkage cares
+    about). Candidate generation is the bucket-decomposed length band
+    (operators/rangejoin.py:band_self_join): levenshtein(a,b) >=
+    |len(a)-len(b)| is a hard lower bound, so blocking on (brand,
+    length-bucket ± 1) is LOSSLESS — the oracle states the naive
+    brand-block predicate and the blocked plan must reproduce it
+    exactly. The shuffle key is (brand, length bucket): comparisons
+    never cross a brand and the per-bucket fan-out is band density, so
+    at corpus scale the quadratic lives only inside blocks (the
+    standard sorted-neighborhood/record-linkage regime), never across
+    the table."""
+    from pasardassist_spark.operators.rangejoin import band_self_join
+
+    p = load(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_name", F.length("p_name").alias("name_len")
+    )
+    cand = band_self_join(
+        p,
+        keys=["p_brand"],
+        id_col="p_partkey",
+        value_col="name_len",
+        eps=float(FUZZY_MAX_DIST),
+        carry=["p_name"],
+    )
+    dist = F.levenshtein(F.col("p_name_a"), F.col("p_name_b"))
+    return (
+        cand.filter(dist <= FUZZY_MAX_DIST)
+        .select(
+            F.col("p_brand").alias("brand"),
+            "id_a",
+            "id_b",
+            dist.cast("long").alias("dist"),
+        )
+    )
+
+
+# ------------------------------------------------- two-sample KS test
+
+KS_SAMPLE_A = "click"
+KS_SAMPLE_B = "view"
+# Smirnov critical coefficient at alpha = 0.05 for the two-sided test
+KS_ALPHA_COEFF = 1.358
+
+
+@query(
+    "stat_ks_test",
+    oracle=f"""
+    WITH g AS (
+        SELECT value,
+               CAST(COUNT(*) FILTER (event_type = '{KS_SAMPLE_A}') AS BIGINT)
+                   AS cnt_a,
+               CAST(COUNT(*) FILTER (event_type = '{KS_SAMPLE_B}') AS BIGINT)
+                   AS cnt_b
+        FROM events
+        WHERE event_type IN ('{KS_SAMPLE_A}', '{KS_SAMPLE_B}')
+        GROUP BY value
+    ),
+    c AS (
+        SELECT SUM(cnt_a) OVER (ORDER BY value
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS ca,
+               SUM(cnt_b) OVER (ORDER BY value
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cb
+        FROM g
+    ),
+    n AS (
+        SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+               CAST(SUM(cnt_b) AS BIGINT) AS n_b
+        FROM g
+    ),
+    d AS (
+        SELECT n_a, n_b,
+               CAST(MAX(abs(ca * n_b - cb * n_a)) AS BIGINT) AS d_num
+        FROM c, n GROUP BY n_a, n_b
+    )
+    SELECT n_a, n_b,
+           round(CAST(d_num AS DOUBLE) / (n_a * n_b), 6) AS d_stat,
+           round({KS_ALPHA_COEFF} * sqrt(CAST(n_a + n_b AS DOUBLE)
+                                         / (n_a * n_b)), 6) AS d_crit,
+           round(CAST(d_num AS DOUBLE) / (n_a * n_b), 6)
+               > round({KS_ALPHA_COEFF} * sqrt(CAST(n_a + n_b AS DOUBLE)
+                                               / (n_a * n_b)), 6) AS reject
+    FROM d
+    """,
+)
+def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test: does the `value`
+    distribution of '{KS_SAMPLE_A}' events differ from '{KS_SAMPLE_B}'?
+    — the distribution-drift gate a data pipeline runs between snapshots
+    before trusting a retrain. D = sup |F_a(x) - F_b(x)| computed
+    EXACTLY in integers: per-distinct-value counts, cumulative counts,
+    then max |ca*n_b - cb*n_a| (cross-multiplied, so no float ECDF ever
+    exists; the single division happens once at the edge). The
+    cumulative counts run through the two-phase distributed INCLUSIVE
+    prefix sum (operators/packing.py:inclusive_prefix_sum — the
+    exclusive form's RANGE(-1) frame assumes integer-spaced keys; the
+    values here are fractional doubles) over the distinct-value grain —
+    no single-task global sort even though the ECDF is globally
+    ordered. Reject flag at alpha=0.05 compares the 6-dp-rounded D to
+    the 6-dp-rounded Smirnov critical value, the same expression tree on
+    both engines (sqrt is IEEE-exact)."""
+    from pasardassist_spark.operators.packing import inclusive_prefix_sum
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(KS_SAMPLE_A, KS_SAMPLE_B)
+    )
+    g = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == KS_SAMPLE_A).cast("long"))
+        .cast("long")
+        .alias("cnt_a"),
+        F.sum((F.col("event_type") == KS_SAMPLE_B).cast("long"))
+        .cast("long")
+        .alias("cnt_b"),
+    )
+    g = inclusive_prefix_sum(g, "value", "cnt_a", out="ca")
+    g = inclusive_prefix_sum(g, "value", "cnt_b", out="cb")
+    n = g.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum("cnt_b").cast("long").alias("n_b"),
+    )
+    ca = F.col("ca")
+    cb = F.col("cb")
+    d = (
+        g.crossJoin(F.broadcast(n))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(ca * F.col("n_b") - cb * F.col("n_a")).alias("diff"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("diff").cast("long").alias("d_num"))
+    )
+    d_stat = F.round(
+        F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b")), 6
+    )
+    d_crit = F.round(
+        KS_ALPHA_COEFF
+        * F.sqrt(
+            (F.col("n_a") + F.col("n_b")).cast("double")
+            / (F.col("n_a") * F.col("n_b"))
+        ),
+        6,
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        d_stat.alias("d_stat"),
+        d_crit.alias("d_crit"),
+        (d_stat > d_crit).alias("reject"),
+    )
+
+
+# --------------------------------------------- chi-square independence
+
+# chi2 critical value at alpha = 0.05 for dof = (5-1)*(5-1) = 16
+CHI2_CRIT_16 = 26.296
+
+
+@query(
+    "stat_chi2_independence",
+    oracle=f"""
+    WITH cells AS (
+        SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT seg, pri, n,
+               SUM(n) OVER (PARTITION BY seg) AS row_tot,
+               SUM(n) OVER (PARTITION BY pri) AS col_tot,
+               SUM(n) OVER () AS tot
+        FROM cells
+    ),
+    terms AS (
+        SELECT seg, pri, tot,
+               (CAST(n AS DOUBLE)
+                - CAST(row_tot AS DOUBLE) * col_tot / tot)
+               * (CAST(n AS DOUBLE)
+                  - CAST(row_tot AS DOUBLE) * col_tot / tot)
+               / (CAST(row_tot AS DOUBLE) * col_tot / tot) AS term
+        FROM m
+    ),
+    agg AS (
+        SELECT CAST(MAX(tot) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST((COUNT(DISTINCT seg) - 1)
+                    * (COUNT(DISTINCT pri) - 1) AS BIGINT) AS dof,
+               list_sum(list(term ORDER BY seg, pri)) AS chi2
+        FROM terms
+    )
+    SELECT n_total, n_cells, dof,
+           round(chi2, 6) AS chi2,
+           round(chi2, 6) > {CHI2_CRIT_16} AS significant
+    FROM agg
+    """,
+)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between customer market
+    segment and order priority — the categorical-association readout
+    behind "does cohort X behave differently" dashboards. One shuffle to
+    the (segment, priority) cell grain (25 cells); margins are window
+    sums over that tiny frame; chi2 = sum (obs-exp)^2/exp folds over the
+    SORTED cell list (aggregate(sort_array(collect_list(...)))) so the
+    float reduction order is identical across engines (stat_entropy
+    contract), rounded to 6 dp. The significance flag compares the
+    rounded statistic to the fixed dof=16, alpha=0.05 critical value on
+    both sides."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    m = cells.select(
+        "seg",
+        "pri",
+        "n",
+        F.sum("n").over(Window.partitionBy("seg")).alias("row_tot"),
+        F.sum("n").over(Window.partitionBy("pri")).alias("col_tot"),
+        F.sum("n").over(Window.partitionBy()).alias("tot"),
+    )
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("tot")
+    terms = m.select(
+        "seg",
+        "pri",
+        "tot",
+        ((F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e)
+        .alias("term"),
+    )
+    agg = terms.agg(
+        F.max("tot").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (
+            (F.countDistinct("seg") - 1) * (F.countDistinct("pri") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(seg, pri, term))), "
+            "cast(0.0 as double), (acc, x) -> acc + x.term)"
+        ).alias("chi2"),
+    )
+    chi2 = F.round(F.col("chi2"), 6)
+    return agg.select(
+        "n_total",
+        "n_cells",
+        "dof",
+        chi2.alias("chi2"),
+        (chi2 > CHI2_CRIT_16).alias("significant"),
+    )
+
+
+# ------------------------------------------- hybrid retrieval via RRF
+
+RRF_K = 60
+RRF_LIST_K = 20  # depth of each source ranking
+RRF_TOP_K = 10
+RRF_QUERY_VEC_ID = 0  # the corpus row used as the dense query
+EMB_DIM = 64
+
+
+def _rrf_oracle() -> str:
+    from pasardassist_spark.queries.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        _TOKS_SQL,
+    )
+
+    tf_cols = ",\n               ".join(
+        f"CAST(len(list_filter({_TOKS_SQL}, x -> x = '{t}')) AS DOUBLE)"
+        f" AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    contribs = "\n             + ".join(
+        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1)"
+        f" * tf_{i} * {BM25_K1 + 1}"
+        f" / (tf_{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))"
+        for i in range(len(BM25_TERMS))
+    )
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+        "i -> e[i] * q[i]))"
+    )
+    nrm = (
+        "sqrt(list_sum(list_transform("
+        f"generate_series(1, {EMB_DIM}), i -> e[i] * e[i])))"
+        " * sqrt(list_sum(list_transform("
+        f"generate_series(1, {EMB_DIM}), i -> q[i] * q[i])))"
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS dl,
+               {tf_cols}
+        FROM documents
+    ),
+    s AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl, {df_cols} FROM t
+    ),
+    bm AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS bm25_rank
+        FROM (
+            SELECT doc_id, round({contribs}, 6) AS score
+            FROM t, s
+        ) WHERE score > 0
+        ORDER BY score DESC, doc_id
+        LIMIT {RRF_LIST_K}
+    ),
+    qv AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
+        WHERE vec_id = {RRF_QUERY_VEC_ID}
+    ),
+    cs AS (
+        SELECT vec_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id)
+                    AS BIGINT) AS cos_rank
+        FROM (
+            SELECT vec_id,
+                   round({dot} / ({nrm}), 6) AS cos
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings
+                  WHERE vec_id <> {RRF_QUERY_VEC_ID}), qv
+        )
+        ORDER BY cos DESC, vec_id
+        LIMIT {RRF_LIST_K}
+    ),
+    fused AS (
+        SELECT COALESCE(bm.doc_id, cs.vec_id) AS doc_id,
+               bm.bm25_rank, cs.cos_rank,
+               COALESCE(1.0 / ({RRF_K} + bm.bm25_rank), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + cs.cos_rank), 0.0) AS rrf
+        FROM bm FULL OUTER JOIN cs ON bm.doc_id = cs.vec_id
+    )
+    SELECT doc_id, bm25_rank, cos_rank, round(rrf, 6) AS rrf_score
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT {RRF_TOP_K}
+    """
+
+
+@query("search_hybrid_rrf", oracle=_rrf_oracle())
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 keyword ranking (text_bm25_topk's
+    scorer) with a dense cosine ranking against a fixed query embedding
+    via reciprocal rank fusion — rrf(d) = sum 1/(60 + rank_i(d)) over
+    the two top-20 lists, the standard score-free fusion every hybrid
+    search stack ships (sparse and dense scores are incomparable; ranks
+    are not). Each ranker is the established scalable shape (BM25:
+    zero-shuffle row-local tf + 1-row stats broadcast; cosine: 1-row
+    query broadcast onto the corpus scan, TakeOrdered top-k); the fusion
+    itself joins two K-row lists — driver-scale. Ranks are integers, so
+    rrf is a sum of two exactly-representable rationals — bit-identical
+    across engines; the rank keys are 6-dp-rounded scores with id
+    tiebreaks (text_tfidf_keywords contract)."""
+    from pasardassist_spark.queries.text import BM25_B, BM25_K1, BM25_TERMS
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = X.tokens(F.col("text"))
+
+    def _tf(term: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("double")
+
+    t = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[_tf(term).alias(f"tf_{i}") for i, term in enumerate(BM25_TERMS)],
+    )
+    stats = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    contrib = None
+    for i in range(len(BM25_TERMS)):
+        tf, dfc = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log((F.col("n_docs") - dfc + 0.5) / (dfc + 0.5) + 1)
+        norm = tf + BM25_K1 * (
+            1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        c = idf * tf * (BM25_K1 + 1) / norm
+        contrib = c if contrib is None else contrib + c
+    bm = (
+        t.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(contrib, 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RRF_LIST_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .cast("long")
+            .alias("bm25_rank"),
+        )
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    as_double = F.col("embedding").cast("array<double>")
+    qv = emb.filter(F.col("vec_id") == RRF_QUERY_VEC_ID).select(
+        as_double.alias("q")
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    e = F.col("e")
+    q = F.col("q")
+    cos = F.round(
+        _dot(e, q) / (F.sqrt(_dot(e, e)) * F.sqrt(_dot(q, q))), 6
+    )
+    cs = (
+        emb.filter(F.col("vec_id") != RRF_QUERY_VEC_ID)
+        .select("vec_id", as_double.alias("e"))
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(RRF_LIST_K)
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+            .cast("long")
+            .alias("cos_rank"),
+        )
+    )
+    fused = bm.join(cs, bm.doc_id == cs.vec_id, "full_outer").select(
+        F.coalesce(bm.doc_id, cs.vec_id).alias("doc_id"),
+        "bm25_rank",
+        "cos_rank",
+        (
+            F.coalesce(1.0 / (RRF_K + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("cos_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(RRF_TOP_K)
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "cos_rank",
+            F.round("rrf", 6).alias("rrf_score"),
+        )
+    )

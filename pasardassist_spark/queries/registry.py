@@ -148,6 +148,7 @@ def _load_all() -> None:
         dedup,
         enrichment,
         experiments,
+        matching,
         mining,
         multimodal,
         quality,

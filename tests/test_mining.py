@@ -313,3 +313,22 @@ def test_skyline_degenerate_single_x_group(spark):
         "id long, x double, y int",
     )
     assert {r.id for r in skyline(df, "x", "y").collect()} == {1, 2}
+
+
+def test_band_self_join_carry_columns(spark):
+    """carry= payload columns ride the candidate pairs correctly: each
+    _a/_b value matches the row its id came from, and the pair set is
+    unchanged by carrying."""
+    from pasardassist_spark.operators.rangejoin import band_self_join
+
+    rows = [(1, "k", 1.0, "p1"), (2, "k", 1.6, "p2"), (3, "k", 3.1, "p3"),
+            (4, "k", 3.4, "p4"), (5, "z", 1.1, "p5")]
+    df = spark.createDataFrame(rows, "id long, k string, v double, name string")
+    out = band_self_join(df, ["k"], "id", "v", eps=1.0, carry=["name"]).collect()
+    names = {i: n for i, _, _, n in rows}
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert pairs == {(1, 2), (3, 4)}
+    for r in out:
+        assert r.name_a == names[r.id_a] and r.name_b == names[r.id_b]
+    bare = band_self_join(df, ["k"], "id", "v", eps=1.0).collect()
+    assert {(r.id_a, r.id_b) for r in bare} == pairs

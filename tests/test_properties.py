@@ -233,3 +233,35 @@ def test_zorder_interleave_is_bijective(spark, pairs):
             a |= ((r.z >> (bit * 2)) & 1) << bit
             b |= ((r.z >> (bit * 2 + 1)) & 1) << bit
         assert (a, b) == (r.a, r.b), (r.z, a, b, r.a, r.b)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            # eighths: exact binary fractions, so duplicates and strict
+            # ordering survive the float round-trip — the FRACTIONAL-key
+            # case the exclusive form's RANGE(-1) frame cannot express
+            st.integers(min_value=-400, max_value=400),
+            st.integers(min_value=-20, max_value=20),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_inclusive_prefix_sum_fractional_keys(spark, rows):
+    """Inclusive totality contract on DOUBLE keys: every row's cum_through
+    equals the sequential sum over keys <= its own (duplicates share the
+    full through-key total), including keys spaced closer than 1.0 —
+    the gap that makes the exclusive RANGE(-1) form integer-only."""
+    from pasardassist_spark.operators.packing import inclusive_prefix_sum
+
+    data = [(i, k8 / 8.0, v) for i, (k8, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid long, k double, v long")
+    got = {
+        r.rid: r.cum_through
+        for r in inclusive_prefix_sum(df, "k", "v", n_buckets=4).collect()
+    }
+    for i, (k8, _) in enumerate(rows):
+        want = sum(v2 for k2, v2 in rows if k2 <= k8)
+        assert got[i] == want, (i, k8 / 8.0, got[i], want)
