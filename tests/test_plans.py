@@ -327,3 +327,26 @@ def test_row_local_queries_have_no_hash_shuffle(spark, sf_dir):
         p = plan(REGISTRY[name].fn(spark, sf_dir))
         n = len(re.findall(r"Exchange hashpartitioning", p))
         assert n <= max_hash, f"{name}: {n} hash exchanges (max {max_hash})"
+
+
+def test_pair_matching_joins_stay_equi(spark, sf_dir):
+    """The bucket-decomposed pair joins (interval x interval overlap,
+    length-band fuzzy dedup) must plan as hash-partitioned EQUI joins on
+    (keys, bucket) — a regression to BroadcastNestedLoopJoin/
+    CartesianProduct is the quadratic plan the decomposition exists to
+    avoid, and it would still pass every value test at sf0.01."""
+    for name in ("j8_interval_overlap", "dedup_fuzzy_levenshtein"):
+        p = plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_hybrid_rrf_corpus_sides_broadcast_only(spark, sf_dir):
+    """RRF fusion: the only row-amplifying joins allowed are the TWO
+    intended 1-row broadcast crosses (BM25 stats frame onto documents,
+    query vector onto embeddings — same shape test_bm25 pins); the
+    full-outer fusion of the two K-row rank lists may sort-merge (K=20
+    rows, irrelevant), but nothing may plan an unbroadcast cartesian."""
+    p = plan(REGISTRY["search_hybrid_rrf"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 2
