@@ -1,0 +1,73 @@
+"""Distribution-drift measurement: the exact two-sample KS core shared by
+the batch query (queries/matching.py:stat_ks_test) and the streaming drift
+monitor (streaming/drift.py).
+
+D = sup |F_a(x) - F_b(x)| computed entirely in integers: per-distinct-value
+counts in, cumulative counts via the two-phase distributed INCLUSIVE prefix
+sum, then max |ca*n_b - cb*n_a| (cross-multiplied, so no float ECDF ever
+exists). The single division and the Smirnov critical value happen once at
+the 1-row edge, rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Smirnov critical coefficient at alpha = 0.05 for the two-sided test
+KS_ALPHA_COEFF = 1.358
+
+
+def ks_distance(
+    counts: DataFrame,
+    value_col: str = "value",
+    cnt_a: str = "cnt_a",
+    cnt_b: str = "cnt_b",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov readout from a per-distinct-value
+    counts frame (one row per value, both samples' counts, zeros where a
+    sample lacks the value; ``value_col`` must be numeric and distinct).
+
+    Returns ONE row: n_a, n_b, d_stat (6 dp), d_crit (alpha=0.05, 6 dp),
+    and the reject flag comparing the two ROUNDED numbers — the
+    engine-exact contract stat_ks_test's DuckDB oracle mirrors. Cost: two
+    distributed prefix sums over the distinct-value grain plus a 1-row
+    broadcast; no single-task global sort.
+    """
+    from pasardassist_spark.operators.packing import inclusive_prefix_sum
+
+    g = inclusive_prefix_sum(counts, value_col, cnt_a, out="_ca")
+    g = inclusive_prefix_sum(g, value_col, cnt_b, out="_cb")
+    n = g.agg(
+        F.sum(cnt_a).cast("long").alias("n_a"),
+        F.sum(cnt_b).cast("long").alias("n_b"),
+    )
+    d = (
+        g.crossJoin(F.broadcast(n))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("_ca") * F.col("n_b") - F.col("_cb") * F.col("n_a")
+            ).alias("diff"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("diff").cast("long").alias("d_num"))
+    )
+    d_stat = F.round(
+        F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b")), 6
+    )
+    d_crit = F.round(
+        KS_ALPHA_COEFF
+        * F.sqrt(
+            (F.col("n_a") + F.col("n_b")).cast("double")
+            / (F.col("n_a") * F.col("n_b"))
+        ),
+        6,
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        d_stat.alias("d_stat"),
+        d_crit.alias("d_crit"),
+        (d_stat > d_crit).alias("reject"),
+    )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pasardassist_spark.operators import text as X
+from pasardassist_spark.operators.drift import KS_ALPHA_COEFF as _KS_ALPHA_COEFF
 from pasardassist_spark.queries.registry import query
 from pasardassist_spark.tables import load
 
@@ -151,15 +152,16 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         eps=float(FUZZY_MAX_DIST),
         carry=["p_name"],
     )
-    dist = F.levenshtein(F.col("p_name_a"), F.col("p_name_b"))
+    # thresholded levenshtein: banded DP that abandons a pair the moment
+    # the distance provably exceeds the bound (returns -1) — O(k·n) per
+    # pair instead of O(n²), the dominant cost of the candidate pass
+    dist = F.levenshtein(
+        F.col("p_name_a"), F.col("p_name_b"), threshold=FUZZY_MAX_DIST
+    )
     return (
-        cand.filter(dist <= FUZZY_MAX_DIST)
-        .select(
-            F.col("p_brand").alias("brand"),
-            "id_a",
-            "id_b",
-            dist.cast("long").alias("dist"),
-        )
+        cand.select(F.col("p_brand").alias("brand"), "id_a", "id_b", dist.alias("d"))
+        .filter(F.col("d") >= 0)
+        .select("brand", "id_a", "id_b", F.col("d").cast("long").alias("dist"))
     )
 
 
@@ -168,7 +170,7 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 KS_SAMPLE_A = "click"
 KS_SAMPLE_B = "view"
 # Smirnov critical coefficient at alpha = 0.05 for the two-sided test
-KS_ALPHA_COEFF = 1.358
+KS_ALPHA_COEFF = _KS_ALPHA_COEFF  # single source: operators/drift.py
 
 
 @query(
@@ -229,7 +231,7 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered. Reject flag at alpha=0.05 compares the 6-dp-rounded D to
     the 6-dp-rounded Smirnov critical value, the same expression tree on
     both engines (sqrt is IEEE-exact)."""
-    from pasardassist_spark.operators.packing import inclusive_prefix_sum
+    from pasardassist_spark.operators.drift import ks_distance
 
     ev = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin(KS_SAMPLE_A, KS_SAMPLE_B)
@@ -242,42 +244,7 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cnt_b"),
     )
-    g = inclusive_prefix_sum(g, "value", "cnt_a", out="ca")
-    g = inclusive_prefix_sum(g, "value", "cnt_b", out="cb")
-    n = g.agg(
-        F.sum("cnt_a").cast("long").alias("n_a"),
-        F.sum("cnt_b").cast("long").alias("n_b"),
-    )
-    ca = F.col("ca")
-    cb = F.col("cb")
-    d = (
-        g.crossJoin(F.broadcast(n))
-        .select(
-            "n_a",
-            "n_b",
-            F.abs(ca * F.col("n_b") - cb * F.col("n_a")).alias("diff"),
-        )
-        .groupBy("n_a", "n_b")
-        .agg(F.max("diff").cast("long").alias("d_num"))
-    )
-    d_stat = F.round(
-        F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b")), 6
-    )
-    d_crit = F.round(
-        KS_ALPHA_COEFF
-        * F.sqrt(
-            (F.col("n_a") + F.col("n_b")).cast("double")
-            / (F.col("n_a") * F.col("n_b"))
-        ),
-        6,
-    )
-    return d.select(
-        "n_a",
-        "n_b",
-        d_stat.alias("d_stat"),
-        d_crit.alias("d_crit"),
-        (d_stat > d_crit).alias("reject"),
-    )
+    return ks_distance(g)
 
 
 # --------------------------------------------- chi-square independence
