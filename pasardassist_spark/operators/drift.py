@@ -16,6 +16,14 @@ from pyspark.sql import DataFrame, functions as F
 # Smirnov critical coefficient at alpha = 0.05 for the two-sided test
 KS_ALPHA_COEFF = 1.358
 
+# PSI epsilon: zero-count bins contribute via this floor probability
+# (the standard smoothing — PSI is undefined at p=0)
+PSI_EPS = 1e-6
+
+# conventional PSI action thresholds: < 0.1 stable, 0.1-0.25 monitor,
+# >= 0.25 drifted
+PSI_DRIFT_THRESHOLD = 0.25
+
 
 def ks_distance(
     counts: DataFrame,
@@ -70,4 +78,61 @@ def ks_distance(
         d_stat.alias("d_stat"),
         d_crit.alias("d_crit"),
         (d_stat > d_crit).alias("reject"),
+    )
+
+
+def psi_distance(
+    counts: DataFrame,
+    bin_col: str = "value",
+    cnt_a: str = "cnt_a",
+    cnt_b: str = "cnt_b",
+) -> DataFrame:
+    """Population stability index between two binned distributions:
+    PSI = sum over bins (p_a - p_b) * ln(p_a / p_b), the scorecard-drift
+    metric used alongside KS (KS answers "statistically different?";
+    PSI's conventional thresholds answer "different ENOUGH to act?").
+
+    Input is the same per-bin counts frame as :func:`ks_distance` (for
+    continuous values, quantize to a grid first — PSI is inherently a
+    binned statistic, typically ~10 quantile bins of the reference).
+    Zero-count bins are floored at PSI_EPS probability (the standard
+    smoothing). The float reduction folds over the SORTED bin list
+    (stat_entropy contract), so the result is deterministic under any
+    partitioning; ln crosses libm, so the score rounds to 6 dp.
+
+    Returns ONE row: n_a, n_b, n_bins, psi (6 dp), drifted
+    (psi >= PSI_DRIFT_THRESHOLD). Cost: one 1-row totals broadcast onto
+    the bin grain and one ordered fold over |bins| rows.
+    """
+    n = counts.agg(
+        F.sum(cnt_a).cast("long").alias("n_a"),
+        F.sum(cnt_b).cast("long").alias("n_b"),
+    )
+    j = counts.crossJoin(F.broadcast(n))
+    pa = F.greatest(
+        F.col(cnt_a).cast("double") / F.col("n_a"), F.lit(PSI_EPS)
+    )
+    pb = F.greatest(
+        F.col(cnt_b).cast("double") / F.col("n_b"), F.lit(PSI_EPS)
+    )
+    terms = j.select(
+        "n_a",
+        "n_b",
+        F.col(bin_col).alias("_bin"),
+        ((pa - pb) * F.log(pa / pb)).alias("_term"),
+    )
+    agg = terms.groupBy("n_a", "n_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(_bin, _term))), "
+            "cast(0.0 as double), (acc, x) -> acc + x._term)"
+        ).alias("_psi"),
+    )
+    psi = F.round(F.col("_psi"), 6)
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_bins",
+        psi.alias("psi"),
+        (psi >= PSI_DRIFT_THRESHOLD).alias("drifted"),
     )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from pasardassist_spark.operators.drift import ks_distance
+from pasardassist_spark.operators.drift import ks_distance, psi_distance
 from pasardassist_spark.streaming.ingest import (
     merge_into_bucketed_state,
     read_state,
@@ -75,13 +75,19 @@ def maintain_value_distribution(
 
 
 def drift_from_state(
-    spark: SparkSession, state_dir: str, reference_counts: DataFrame
+    spark: SparkSession,
+    state_dir: str,
+    reference_counts: DataFrame,
+    metric: str = "ks",
 ) -> DataFrame:
-    """The KS readout between the maintained live distribution (sample A)
-    and a frozen reference counts frame (sample B: columns value, cnt).
+    """The drift readout between the maintained live distribution (sample
+    A) and a frozen reference counts frame (sample B: columns value, cnt).
     Values seen by only one side contribute a zero count on the other —
-    the full-outer join every two-sample ECDF comparison needs. Output is
-    schema-identical to stat_ks_test's single row."""
+    the full-outer join every two-sample comparison needs.
+    ``metric="ks"`` (default) is schema-identical to stat_ks_test's single
+    row; ``metric="psi"`` returns the population-stability-index row
+    (operators/drift.py:psi_distance — for continuous values, maintain a
+    quantized ``value_expr`` upstream, PSI is inherently binned)."""
     st = read_state(spark, state_dir)
     if st is None:
         raise ValueError(f"no committed distribution state under {state_dir}")
@@ -95,4 +101,8 @@ def drift_from_state(
             F.coalesce("cnt_b", F.lit(0)).cast("long").alias("cnt_b"),
         )
     )
-    return ks_distance(counts)
+    if metric == "ks":
+        return ks_distance(counts)
+    if metric == "psi":
+        return psi_distance(counts)
+    raise ValueError(f"unknown drift metric {metric!r} (use 'ks' or 'psi')")

@@ -71,3 +71,70 @@ def test_streaming_drift_equals_batch_ks(spark, sf_dir, tmp_path):
     want = stat_ks_test(spark, sf_dir).collect()
     assert len(got) == len(want) == 1
     assert got[0].asDict() == want[0].asDict()
+
+
+def test_psi_distance_matches_sequential_reference(spark):
+    """PSI differential vs a pure-Python implementation of the same
+    definition (eps floor, sorted-bin fold), plus the degenerate cases:
+    identical distributions score ~0; a bin present on only one side
+    drives the score up through the eps floor rather than NaN/inf."""
+    import math
+
+    from pasardassist_spark.operators.drift import (
+        PSI_EPS,
+        psi_distance,
+    )
+
+    rows = [(0, 50, 40), (1, 30, 35), (2, 20, 0), (3, 0, 25)]
+    df = spark.createDataFrame(rows, "value long, cnt_a long, cnt_b long")
+    got = psi_distance(df).collect()[0]
+    n_a = sum(a for _, a, _ in rows)
+    n_b = sum(b for _, _, b in rows)
+    want = 0.0
+    for _, a, b in sorted(rows):
+        pa = max(a / n_a, PSI_EPS)
+        pb = max(b / n_b, PSI_EPS)
+        want += (pa - pb) * math.log(pa / pb)
+    assert got.n_a == n_a and got.n_b == n_b and got.n_bins == 4
+    assert got.psi == round(want, 6)
+    assert got.drifted == (got.psi >= 0.25)
+
+    same = spark.createDataFrame(
+        [(0, 10, 20), (1, 30, 60)], "value long, cnt_a long, cnt_b long"
+    )
+    assert psi_distance(same).collect()[0].psi == 0.0
+
+
+def test_drift_from_state_psi_metric(spark, sf_dir, tmp_path):
+    """The psi metric rides the same maintained state and full-outer
+    alignment as ks; an unknown metric fails loudly."""
+    import pytest as _pytest
+
+    from pasardassist_spark.streaming.drift import (
+        drift_from_state,
+        maintain_value_distribution,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(float(i % 5),) for i in range(100)], "value double"
+    ).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_value_distribution(
+        stream, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    ref = spark.createDataFrame(
+        [(float(v), 20) for v in range(5)], "value double, cnt long"
+    )
+    row = drift_from_state(
+        spark, str(tmp_path / "state"), ref, metric="psi"
+    ).collect()[0]
+    assert row.psi == 0.0 and not row.drifted  # identical shares
+    with _pytest.raises(ValueError, match="unknown drift metric"):
+        drift_from_state(spark, str(tmp_path / "state"), ref, metric="nope")
