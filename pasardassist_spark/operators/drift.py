@@ -43,8 +43,11 @@ def ks_distance(
     """
     from pasardassist_spark.operators.packing import inclusive_prefix_sum
 
-    g = inclusive_prefix_sum(counts, value_col, cnt_a, out="_ca")
-    g = inclusive_prefix_sum(g, value_col, cnt_b, out="_cb")
+    # both cumulative counts in ONE two-phase pass: the window sums share
+    # the single (bucket, value) sort and the offsets broadcast
+    g = inclusive_prefix_sum(
+        counts, value_col, [cnt_a, cnt_b], out=["_ca", "_cb"]
+    )
     n = g.agg(
         F.sum(cnt_a).cast("long").alias("n_a"),
         F.sum(cnt_b).cast("long").alias("n_b"),

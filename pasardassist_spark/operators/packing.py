@@ -87,8 +87,8 @@ def exclusive_prefix_sum(
 def inclusive_prefix_sum(
     df: DataFrame,
     key: str,
-    value: str,
-    out: str = "cum_through",
+    value: str | Sequence[str],
+    out: str | Sequence[str] = "cum_through",
     n_buckets: int = 256,
 ) -> DataFrame:
     """Add ``out`` = sum of ``value`` over all rows with ``key`` <= this
@@ -102,13 +102,24 @@ def inclusive_prefix_sum(
     ECDF/cumulative-count case). Duplicate keys all receive the same
     ``out`` (the full sum through their shared key), deterministic under
     any partitioning.
+
+    ``value``/``out`` accept parallel lists to cumulate SEVERAL columns in
+    ONE pass — the window sums share the single (bucket, key) sort and the
+    offsets frame, so a two-sample ECDF costs one shuffle, not one per
+    sample.
     """
+    values = [value] if isinstance(value, str) else list(value)
+    outs = [out] if isinstance(out, str) else list(out)
+    if len(values) != len(outs):
+        raise ValueError(f"{len(values)} value cols but {len(outs)} out names")
     clash = set(_INTERNAL) & set(df.columns)
     if clash:
         raise ValueError(f"columns collide with internal names: {sorted(clash)}")
     bounds = df.agg(F.min(key), F.max(key)).first()
     if bounds[0] is None:
-        return df.withColumn(out, F.lit(0).cast("long"))
+        for o in outs:
+            df = df.withColumn(o, F.lit(0).cast("long"))
+        return df
     lo, hi = bounds
     span = max(1, (int(hi) - int(lo)) // n_buckets + 1)
     b = F.floor((F.col(key) - F.lit(int(lo))) / F.lit(span)).cast("int")
@@ -116,21 +127,26 @@ def inclusive_prefix_sum(
     w_in = (
         W.partitionBy("_pb").orderBy(key).rangeBetween(W.unboundedPreceding, 0)
     )
-    local = with_b.withColumn(
-        "_run", F.coalesce(F.sum(value).over(w_in), F.lit(0))
-    )
+    local = with_b
+    for v, o in zip(values, outs):
+        local = local.withColumn(
+            f"_run{o}", F.coalesce(F.sum(v).over(w_in), F.lit(0))
+        )
     w_off = W.orderBy("_pb").rowsBetween(W.unboundedPreceding, -1)
-    offsets = (
-        with_b.groupBy("_pb")
-        .agg(F.sum(value).alias("_btot"))
-        .withColumn("_boff", F.coalesce(F.sum("_btot").over(w_off), F.lit(0)))
-        .drop("_btot")
+    offsets = with_b.groupBy("_pb").agg(
+        *[F.sum(v).alias(f"_btot{o}") for v, o in zip(values, outs)]
     )
-    return (
-        local.join(F.broadcast(offsets), "_pb")
-        .withColumn(out, (F.col("_boff") + F.col("_run")).cast("long"))
-        .drop(*_INTERNAL)
-    )
+    for o in outs:
+        offsets = offsets.withColumn(
+            f"_boff{o}",
+            F.coalesce(F.sum(f"_btot{o}").over(w_off), F.lit(0)),
+        ).drop(f"_btot{o}")
+    joined = local.join(F.broadcast(offsets), "_pb")
+    for o in outs:
+        joined = joined.withColumn(
+            o, (F.col(f"_boff{o}") + F.col(f"_run{o}")).cast("long")
+        ).drop(f"_run{o}", f"_boff{o}")
+    return joined.drop("_pb")
 
 
 def pack_sequences(

@@ -82,13 +82,29 @@ def read_event_stream(
 N_STATE_BUCKETS = 16  # key-hash buckets; at 100 TB this becomes O(1000s)
 
 
-def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    """Latest committed generation of the silver entity table, if any.
+def read_state(
+    spark: SparkSession, state_dir: str, version: int | str | None = None
+) -> DataFrame | None:
+    """Committed generation of the silver entity table, if any — the
+    latest by default, or a specific retained one via ``version`` (an int
+    like 3 or a slot name like "v000003") — Delta-style time travel on
+    the generational store, bounded by ``keep_generations`` retention.
+    Asking for a version outside the retained window raises (listing the
+    retained slots) rather than silently serving a different snapshot.
     The internal ``bucket`` partition column is dropped from the view."""
     versions = _state_versions(state_dir)
     if not versions:
         return None
-    df = spark.read.parquet(os.path.join(state_dir, versions[-1]))
+    if version is None:
+        pick = versions[-1]
+    else:
+        pick = version if isinstance(version, str) else f"v{version:06d}"
+        if pick not in versions:
+            raise ValueError(
+                f"version {pick!r} is not a committed retained generation "
+                f"of {state_dir}; retained: {versions}"
+            )
+    df = spark.read.parquet(os.path.join(state_dir, pick))
     return df.drop("bucket") if "bucket" in df.columns else df
 
 

@@ -256,12 +256,16 @@ def test_inclusive_prefix_sum_fractional_keys(spark, rows):
     the gap that makes the exclusive RANGE(-1) form integer-only."""
     from pasardassist_spark.operators.packing import inclusive_prefix_sum
 
-    data = [(i, k8 / 8.0, v) for i, (k8, v) in enumerate(rows)]
-    df = spark.createDataFrame(data, "rid long, k double, v long")
+    data = [(i, k8 / 8.0, v, 1) for i, (k8, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid long, k double, v long, one long")
+    # multi-column form: both running totals from ONE two-phase pass
     got = {
-        r.rid: r.cum_through
-        for r in inclusive_prefix_sum(df, "k", "v", n_buckets=4).collect()
+        r.rid: (r.cum_v, r.cum_n)
+        for r in inclusive_prefix_sum(
+            df, "k", ["v", "one"], out=["cum_v", "cum_n"], n_buckets=4
+        ).collect()
     }
     for i, (k8, _) in enumerate(rows):
-        want = sum(v2 for k2, v2 in rows if k2 <= k8)
-        assert got[i] == want, (i, k8 / 8.0, got[i], want)
+        want_v = sum(v2 for k2, v2 in rows if k2 <= k8)
+        want_n = sum(1 for k2, _ in rows if k2 <= k8)
+        assert got[i] == (want_v, want_n), (i, k8 / 8.0, got[i], want_v, want_n)

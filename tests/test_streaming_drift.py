@@ -138,3 +138,62 @@ def test_drift_from_state_psi_metric(spark, sf_dir, tmp_path):
     assert row.psi == 0.0 and not row.drifted  # identical shares
     with _pytest.raises(ValueError, match="unknown drift metric"):
         drift_from_state(spark, str(tmp_path / "state"), ref, metric="nope")
+
+
+def test_state_time_travel_reads_pinned_generation(spark, tmp_path):
+    """Delta-style time travel on the generational store: each retained
+    committed generation stays readable by version, the default read is
+    the newest, and a version outside the retained window fails loudly
+    instead of serving a different snapshot."""
+    import pytest as _pytest
+
+    from pasardassist_spark.streaming.drift import maintain_value_distribution
+    from pasardassist_spark.streaming.generations import committed_versions
+    from pasardassist_spark.streaming.ingest import read_state
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(3):
+        spark.createDataFrame(
+            [(float(i),)] * (i + 1), "value double"
+        ).coalesce(1).write.parquet(str(tmp_path / f"st{i}"))
+        for f in os.listdir(tmp_path / f"st{i}"):
+            if f.endswith(".parquet"):
+                os.rename(
+                    str(tmp_path / f"st{i}" / f),
+                    os.path.join(src, f"p{i}.parquet"),
+                )
+    stream = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_value_distribution(
+        stream, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        keep_generations=10,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    state_dir = str(tmp_path / "state")
+    vs = committed_versions(state_dir)
+    assert len(vs) == 3
+    # totals grow monotonically across generations: 1, then 1+2, then 1+2+3
+    totals = [
+        read_state(spark, state_dir, version=v)
+        .groupBy()
+        .sum("cnt")
+        .collect()[0][0]
+        for v in vs
+    ]
+    assert totals == [1, 3, 6]
+    # int form and default (latest) agree with the pinned reads
+    assert (
+        read_state(spark, state_dir, version=int(vs[0][1:]))
+        .groupBy().sum("cnt").collect()[0][0]
+        == 1
+    )
+    latest = read_state(spark, state_dir).groupBy().sum("cnt").collect()[0][0]
+    assert latest == 6
+    with _pytest.raises(ValueError, match="not a committed retained"):
+        read_state(spark, state_dir, version=999)
