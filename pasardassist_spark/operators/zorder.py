@@ -89,6 +89,7 @@ def write_zordered(
     cols: list[Column],
     bits: int = 16,
     n_files: int = 20,
+    manifest_cols: list[str] | None = None,
 ) -> None:
     """Write ``df`` z-clustered: range-partition on the Morton key into
     ``n_files`` z-contiguous files, sorted within each (explicit
@@ -100,7 +101,13 @@ def write_zordered(
     Each column is min/max-normalized onto the full bit width first (one
     metadata-cheap agg job — parquet footers already carry the min/max on
     a real lake), so mismatched column domains cannot let one column
-    dominate the curve (see ``zorder_value``)."""
+    dominate the curve (see ``zorder_value``).
+
+    ``manifest_cols`` additionally publishes the zone-map manifest
+    (sources/manifest.py) over the z-clustered files, so scans prune the
+    FILE list at plan time on top of the row-group skipping the footers
+    provide — the z-order + manifest pairing is exactly OPTIMIZE ZORDER
+    BY + data-skipping stats in the table formats."""
     stats = df.agg(
         *[
             f(c.cast("double")).alias(f"{tag}{i}")
@@ -127,6 +134,10 @@ def write_zordered(
         .option("parquet.block.size", 64 * 1024)
         .parquet(path)
     )
+    if manifest_cols:
+        from pasardassist_spark.sources.manifest import _publish_manifest
+
+        _publish_manifest(path, manifest_cols)
 
 
 def rowgroups_overlapping(

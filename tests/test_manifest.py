@@ -94,3 +94,33 @@ def test_manifest_string_zones(spark, tmp_path):
     assert 0 < len(files) < total
     got = read_pruned(spark, path, {"name": ("aaa", "bbb")})
     assert {r.name for r in got.collect()} == {"aaa", "bbb"}
+
+
+def test_zorder_write_publishes_manifest_and_prunes_both_dims(spark, sf_dir, tmp_path):
+    """write_zordered(manifest_cols=...) pairs z-clustering with the
+    zone-map: a 2-dim box predicate must skip FILES via the manifest on
+    BOTH dimensions (single-column sorting could only zone one)."""
+    from pasardassist_spark.operators.zorder import write_zordered
+
+    path = str(tmp_path / "z")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_zordered(
+        o, path,
+        [F.col("o_custkey"), F.col("o_totalprice")],
+        n_files=16,
+        manifest_cols=["o_custkey", "o_totalprice"],
+    )
+    lo_c, hi_c = 100, 200
+    lo_p, hi_p = 50_000.0, 80_000.0
+    preds = {"o_custkey": (lo_c, hi_c), "o_totalprice": (lo_p, hi_p)}
+    files, total = pruned_files(path, preds)
+    assert total == 16
+    assert len(files) < total  # the 2-dim box prunes files, not just row groups
+    got = read_pruned(spark, path, preds)
+    want = spark.read.parquet(path).filter(
+        F.col("o_custkey").between(lo_c, hi_c)
+        & F.col("o_totalprice").between(lo_p, hi_p)
+    )
+    assert _sorted_rows(got) == _sorted_rows(want)
