@@ -51,11 +51,21 @@ def maintain_value_distribution(
     checkpoint_dir: str,
     value_col: str = "value",
     keep_generations: int = 2,
+    reference_counts: DataFrame | None = None,
+    monitor_dir: str | None = None,
+    metric: str = "ks",
 ) -> StreamingQuery:
     """Start the distribution-maintenance job: each micro-batch folds to
     (value, cnt) partials and merges into the generational state. The fold
     is an associative sum, so replayed / out-of-order batches converge to
-    the batch fix point."""
+    the batch fix point.
+
+    With ``reference_counts`` + ``monitor_dir`` set, each epoch ALSO
+    appends its drift readout (the single ``metric`` row, stamped with the
+    epoch) to an exactly-once history log — epoch-keyed CAS slots, the
+    admitted-events discipline — so the drift trajectory over time is a
+    queryable table (``drift_history``), not just a point-in-time probe.
+    A retried epoch re-publishes into its own slot: a no-op."""
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
         delta = (
@@ -65,6 +75,23 @@ def maintain_value_distribution(
         merge_into_bucketed_state(
             delta, state_dir, ("value",), _combine, keep_generations
         )
+        if reference_counts is not None and monitor_dir is not None:
+            import os
+
+            from pasardassist_spark.streaming.dynamic import _publish_epoch
+            from pasardassist_spark.streaming.generations import commit
+
+            spark = batch_df.sparkSession
+            row = drift_from_state(
+                spark, state_dir, reference_counts, metric=metric
+            ).withColumn("epoch", F.lit(epoch_id).cast("long"))
+            os.makedirs(monitor_dir, exist_ok=True)
+            staged = os.path.join(
+                monitor_dir, f".stage-{epoch_id}-{os.getpid()}"
+            )
+            row.coalesce(1).write.mode("overwrite").parquet(staged)
+            commit(staged)
+            _publish_epoch(staged, monitor_dir, epoch_id)
 
     return (
         stream.writeStream.foreachBatch(_batch)
@@ -72,6 +99,14 @@ def maintain_value_distribution(
         .outputMode("update")
         .start()
     )
+
+
+def drift_history(spark: SparkSession, monitor_dir: str) -> DataFrame | None:
+    """The per-epoch drift trajectory: union of committed epoch slots
+    (uncommitted/crashed slots invisible), one metric row per epoch."""
+    from pasardassist_spark.streaming.dynamic import admitted_events
+
+    return admitted_events(spark, monitor_dir)
 
 
 def drift_from_state(

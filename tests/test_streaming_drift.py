@@ -197,3 +197,62 @@ def test_state_time_travel_reads_pinned_generation(spark, tmp_path):
     assert latest == 6
     with _pytest.raises(ValueError, match="not a committed retained"):
         read_state(spark, state_dir, version=999)
+
+
+def test_drift_history_one_row_per_epoch(spark, sf_dir, tmp_path):
+    """With a reference + monitor_dir, each epoch appends exactly one
+    drift row (epoch-stamped, exactly-once slots) and the trajectory's
+    final row equals the point-in-time readout."""
+    from pasardassist_spark.queries.matching import KS_SAMPLE_A, KS_SAMPLE_B
+    from pasardassist_spark.streaming.drift import (
+        drift_from_state,
+        drift_history,
+        maintain_value_distribution,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == KS_SAMPLE_A).select("value")
+    rows = clicks.collect()
+    src = str(tmp_path / "chunks")
+    os.makedirs(src)
+    chunk = len(rows) // 3 + 1
+    idx = 0
+    for i in range(3):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            stage = tmp_path / f"s{i}"
+            spark.createDataFrame(part, clicks.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(stage))
+            for f in os.listdir(stage):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        str(stage / f), os.path.join(src, f"p{idx}.parquet")
+                    )
+                    idx += 1
+    reference = (
+        ev.filter(F.col("event_type") == KS_SAMPLE_B)
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    stream = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_value_distribution(
+        stream, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        reference_counts=reference, monitor_dir=str(tmp_path / "mon"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    hist = drift_history(spark, str(tmp_path / "mon"))
+    h = sorted(hist.collect(), key=lambda r: r.epoch)
+    assert [r.epoch for r in h] == [0, 1, 2]
+    # n_a grows monotonically as the live sample accumulates
+    assert h[0].n_a < h[1].n_a < h[2].n_a
+    final = drift_from_state(
+        spark, str(tmp_path / "state"), reference
+    ).collect()[0]
+    assert {k: v for k, v in h[-1].asDict().items() if k != "epoch"} == final.asDict()
