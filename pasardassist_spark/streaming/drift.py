@@ -72,8 +72,11 @@ def maintain_value_distribution(
             batch_df.groupBy(F.col(value_col).alias("value"))
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         )
+        # count partials are NOT replay-idempotent: the epoch guard makes
+        # a foreachBatch retry of a committed merge a no-op
         merge_into_bucketed_state(
-            delta, state_dir, ("value",), _combine, keep_generations
+            delta, state_dir, ("value",), _combine, keep_generations,
+            epoch_id=epoch_id,
         )
         if reference_counts is not None and monitor_dir is not None:
             import os

@@ -112,12 +112,24 @@ def _bucket_of(keys: Sequence[str]) -> Column:
     return F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(N_STATE_BUCKETS))
 
 
+EPOCH_MARKER = "_EPOCH"  # underscore prefix: invisible to parquet readers
+
+
+def _applied_epoch(gen_dir: str) -> int | None:
+    p = os.path.join(gen_dir, EPOCH_MARKER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return int(fh.read().strip())
+
+
 def merge_into_bucketed_state(
     batch_state: DataFrame,
     state_dir: str,
     keys: Sequence[str],
     combine,
     keep_generations: int = 2,
+    epoch_id: int | None = None,
 ) -> None:
     """The generic incremental MERGE: fold a per-batch state delta into the
     bucketed, generational state table.
@@ -137,8 +149,21 @@ def merge_into_bucketed_state(
     with the next slot; compaction preserves logical state, so the staged
     content stays correct. A committed generation is therefore never
     overwritten by anyone.
+
+    ``epoch_id`` (opt-in) makes NON-idempotent combines (sums, counters)
+    exactly-once under foreachBatch retries: each generation records the
+    epoch that produced it, and a replay whose epoch is <= the recorded
+    one is a no-op. Argmax-style combines don't need it (replay is a
+    natural no-op); sum-style combines DO — a crash between the state
+    commit and the stream's checkpoint commit otherwise double-merges the
+    batch on restart. Compaction carries the marker forward.
     """
     spark = batch_state.sparkSession
+    versions_pre = _state_versions(state_dir)
+    if epoch_id is not None and versions_pre:
+        applied = _applied_epoch(os.path.join(state_dir, versions_pre[-1]))
+        if applied is not None and applied >= epoch_id:
+            return  # replay of an already-merged epoch
     delta = batch_state.withColumn("bucket", _bucket_of(keys))
     # Driver-side METADATA collect: at most N_STATE_BUCKETS small ints
     # (which partitions to merge), never data rows.
@@ -164,6 +189,9 @@ def merge_into_bucketed_state(
         for d in os.listdir(prev_dir):
             if d.startswith("bucket=") and d not in touched_set:
                 _link_tree(os.path.join(prev_dir, d), os.path.join(tmp_dir, d))
+    if epoch_id is not None:
+        with open(os.path.join(tmp_dir, EPOCH_MARKER), "w") as fh:
+            fh.write(str(epoch_id))
     commit(tmp_dir)  # marker rides inside the rename: publish is atomic
     publish_staged(tmp_dir, state_dir)
     apply_retention(state_dir, _state_versions(state_dir)[:-1], keep_generations)
@@ -333,6 +361,13 @@ def compact_state(
         .mode("overwrite")
         .parquet(tmp_dir)
     )
+    # carry the epoch marker forward: compaction preserves logical state,
+    # including which epoch last merged (else a post-compaction replay of
+    # that epoch would double-merge)
+    applied = _applied_epoch(cur_dir)
+    if applied is not None:
+        with open(os.path.join(tmp_dir, EPOCH_MARKER), "w") as fh:
+            fh.write(str(applied))
     commit(tmp_dir)  # marker rides inside the rename: publish is atomic,
     # so a concurrent reader can never observe the slot in an
     # exists-but-uncommitted state

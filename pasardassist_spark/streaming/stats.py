@@ -92,8 +92,11 @@ def maintain_collection_stats(
         # volume partial must carry the widened sum type on both sides of
         # the later merge union
         delta = delta.withColumn("volume", F.col("volume").cast("decimal(28,4)"))
+        # sum partials are NOT replay-idempotent: the epoch guard makes a
+        # foreachBatch retry of a committed merge a no-op
         merge_into_bucketed_state(
-            delta, state_dir, _KEYS, _combine, keep_generations
+            delta, state_dir, _KEYS, _combine, keep_generations,
+            epoch_id=epoch_id,
         )
 
     return (

@@ -256,3 +256,48 @@ def test_drift_history_one_row_per_epoch(spark, sf_dir, tmp_path):
         spark, str(tmp_path / "state"), reference
     ).collect()[0]
     assert {k: v for k, v in h[-1].asDict().items() if k != "epoch"} == final.asDict()
+
+
+def test_epoch_guard_makes_sum_merges_exactly_once(spark, tmp_path):
+    """merge_into_bucketed_state(epoch_id=): replaying a committed epoch's
+    sum-merge is a no-op; the next epoch applies; compaction carries the
+    epoch marker so a post-compaction replay still cannot double-merge."""
+    from pyspark.sql import DataFrame
+
+    from pasardassist_spark.streaming.ingest import (
+        compact_state,
+        merge_into_bucketed_state,
+        read_state,
+    )
+
+    state = str(tmp_path / "state")
+
+    def combine(prev: DataFrame, delta: DataFrame):
+        return (
+            prev.drop("bucket")
+            .unionByName(delta.drop("bucket"))
+            .groupBy("k")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+
+    def total():
+        return read_state(spark, state).groupBy().sum("n").collect()[0][0]
+
+    b0 = spark.createDataFrame([(1, 5), (2, 3)], "k long, n long")
+    merge_into_bucketed_state(b0, state, ("k",), combine, epoch_id=0)
+    assert total() == 8
+    merge_into_bucketed_state(b0, state, ("k",), combine, epoch_id=0)  # retry
+    assert total() == 8  # not 16
+    b1 = spark.createDataFrame([(2, 2)], "k long, n long")
+    merge_into_bucketed_state(b1, state, ("k",), combine, epoch_id=1)
+    assert total() == 10
+    assert compact_state(spark, state, keep_generations=5)
+    # post-compaction replay of epoch 1: still a no-op
+    merge_into_bucketed_state(b1, state, ("k",), combine, epoch_id=1)
+    assert total() == 10
+    # and epoch 2 still applies after compaction
+    merge_into_bucketed_state(
+        spark.createDataFrame([(9, 1)], "k long, n long"),
+        state, ("k",), combine, epoch_id=2,
+    )
+    assert total() == 11
