@@ -719,3 +719,63 @@ def semdedup(
             ),
         )
     )
+
+
+def mine_hard_negatives(
+    emb: DataFrame,
+    k: int = 5,
+    n_lists: int = N_LISTS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/SimCSE data
+    prep): for each anchor, the k most-cosine-similar vectors carrying a
+    DIFFERENT label, drawn from the anchor's IVF list — the negatives
+    near the decision boundary that make a contrastive batch informative
+    (random negatives are trivially easy; same-label neighbors are
+    positives, excluded in the join condition, so a mislabeled near-dup
+    can never be emitted as a negative).
+
+    Scale shape shared with semdedup: candidates are same-list pairs, so
+    the cost is sum(|list|^2) over lists — never corpus^2 — and list_id
+    is the shuffle key. Per-anchor top-k is a WindowGroupLimit over the
+    candidate stream. Returns (anchor id, neg id, anchor label, neg
+    label, cosine, rank) with rank 1..<=k per anchor; anchors whose list
+    has no opposite-label vector yield no rows (mine with more lists
+    probed upstream if that matters).
+    """
+    if assignments is None:
+        assignments, _ = ivf_assignments(emb, n_lists, id_col, vec_col)
+    e = emb.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v"), F.col(label_col)
+    ).join(assignments, id_col)
+    a = e.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col("v").alias("va"),
+        F.col(label_col).alias("anchor_label"),
+        "list_id",
+    )
+    b = e.select(
+        F.col(id_col).alias("neg_id"),
+        F.col("v").alias("vb"),
+        F.col(label_col).alias("neg_label"),
+        "list_id",
+    )
+    cand = (
+        a.join(b, "list_id")
+        .filter(F.col("anchor_label") != F.col("neg_label"))
+        .select(
+            "anchor_id",
+            "neg_id",
+            "anchor_label",
+            "neg_label",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

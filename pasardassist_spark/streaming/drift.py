@@ -54,11 +54,19 @@ def maintain_value_distribution(
     reference_counts: DataFrame | None = None,
     monitor_dir: str | None = None,
     metric: str = "ks",
+    quantize: float | None = None,
 ) -> StreamingQuery:
     """Start the distribution-maintenance job: each micro-batch folds to
     (value, cnt) partials and merges into the generational state. The fold
     is an associative sum, so replayed / out-of-order batches converge to
     the batch fix point.
+
+    ``quantize`` buckets values to floor(v/width)*width before counting —
+    REQUIRED in practice for continuous measurements: it bounds state at
+    O(domain/width) instead of O(distinct doubles), and PSI is only
+    meaningful over shared bins (on raw continuous values every bin is
+    one-sided and the eps floor dominates the score). Build the reference
+    counts on the SAME grid.
 
     With ``reference_counts`` + ``monitor_dir`` set, each epoch ALSO
     appends its drift readout (the single ``metric`` row, stamped with the
@@ -68,8 +76,11 @@ def maintain_value_distribution(
     A retried epoch re-publishes into its own slot: a no-op."""
 
     def _batch(batch_df: DataFrame, epoch_id: int) -> None:
+        v = F.col(value_col)
+        if quantize is not None:
+            v = F.floor(v / quantize) * quantize
         delta = (
-            batch_df.groupBy(F.col(value_col).alias("value"))
+            batch_df.groupBy(v.alias("value"))
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         )
         # count partials are NOT replay-idempotent: the epoch guard makes

@@ -301,3 +301,45 @@ def test_epoch_guard_makes_sum_merges_exactly_once(spark, tmp_path):
         state, ("k",), combine, epoch_id=2,
     )
     assert total() == 11
+
+
+def test_quantized_monitor_bounds_state_and_scores_sanely(spark, sf_dir, tmp_path):
+    """quantize= buckets the live distribution to a fixed grid: state
+    cardinality is O(domain/width), and PSI vs a same-grid reference of
+    the SAME sample distribution is ~0 (the raw-double pathology where
+    the eps floor dominates cannot occur on shared bins)."""
+    from pasardassist_spark.queries.matching import KS_SAMPLE_A
+    from pasardassist_spark.streaming.drift import (
+        drift_from_state,
+        maintain_value_distribution,
+    )
+    from pasardassist_spark.streaming.ingest import read_state
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == KS_SAMPLE_A).select("value")
+    src = str(tmp_path / "src")
+    clicks.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_value_distribution(
+        stream, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        quantize=50.0,
+    )
+    q.processAllAvailable()
+    q.stop()
+    st = read_state(spark, str(tmp_path / "state"))
+    n_bins = st.count()
+    assert n_bins < clicks.distinct().count()  # grid, not raw doubles
+    assert all(r.value % 50.0 == 0 for r in st.collect())
+    # same-grid reference built from the same sample => psi exactly 0
+    ref = (
+        clicks.groupBy((F.floor(F.col("value") / 50.0) * 50.0).alias("value"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    row = drift_from_state(
+        spark, str(tmp_path / "state"), ref, metric="psi"
+    ).collect()[0]
+    assert row.psi == 0.0 and not row.drifted
