@@ -1,0 +1,108 @@
+"""Record linkage / entity resolution — the MDM composite: blocked fuzzy
+matching → transitive clustering → survivorship.
+
+The reference maintains entity tables by exact natural keys
+(reference src/modules/database/db.service.ts:154-160); real ingested
+entity data (user profiles, collection names) arrives with typos and
+format drift, and the standard cure is the three-stage pipeline this
+module composes from existing operators:
+
+1. **candidate pairs** — lossless length-band blocking + thresholded
+   levenshtein (operators/rangejoin.py:band_self_join with carry, the
+   dedup_fuzzy_levenshtein shape): same-block pairs within edit distance
+   ``max_dist``, never a cross join;
+2. **transitive closure** — pairwise matches are not clusters ("acme
+   corp" ~ "acme corp." ~ "acme  corp." chains where the ends do NOT
+   match each other); large-star/small-star connected components
+   (operators/components.py) resolve chains in O(log² n) rounds;
+3. **survivorship** — one canonical row per cluster by a deterministic
+   total order (argmax over a caller-supplied sort-key struct, the
+   latest_per_key discipline), everything else marked with its cluster.
+
+Each stage is the already-scale-proven operator; this module only wires
+them, so the 100 TB story (shuffle keys: (block, length-bucket) →
+edge-partitioned star rounds → cluster id) is inherited, not new.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pasardassist_spark.operators.components import connected_components
+from pasardassist_spark.operators.rangejoin import band_self_join
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    block_keys: Sequence[str],
+    id_col: str,
+    text_col: str,
+    max_dist: int,
+) -> DataFrame:
+    """Stage 1: candidate pairs (id_a, id_b, dist) within ``max_dist``
+    edits, same block. Blocking is lossless (levenshtein >= |len diff|):
+    every qualifying pair inside a block is found."""
+    cand = band_self_join(
+        df.withColumn("_len", F.length(text_col)),
+        keys=list(block_keys),
+        id_col=id_col,
+        value_col="_len",
+        eps=float(max_dist),
+        carry=[text_col],
+    )
+    dist = F.levenshtein(
+        F.col(f"{text_col}_a"), F.col(f"{text_col}_b"), threshold=max_dist
+    )
+    return (
+        cand.select("id_a", "id_b", dist.alias("dist"))
+        .filter(F.col("dist") >= 0)
+    )
+
+
+def link_records(
+    df: DataFrame,
+    block_keys: Sequence[str],
+    id_col: str,
+    text_col: str,
+    max_dist: int,
+    survivor_order: Sequence[Column] | None = None,
+) -> DataFrame:
+    """The full linkage pipeline. Returns ``df`` plus:
+
+    - ``cluster_id`` — the minimum member id of the record's transitive
+      match cluster (its own id for singletons): deterministic under any
+      partitioning;
+    - ``is_canonical`` — true on exactly one row per cluster, the argmax
+      of ``survivor_order`` (default: lowest id wins; pass e.g.
+      ``[F.col("updated_at")]`` for latest-wins survivorship — ties
+      always fall to the lowest NUMERIC id, which is also why ``id_col``
+      must be numeric).
+
+    Matching is WITHIN blocks (stage-1 contract); records in different
+    blocks are never linked — pick ``block_keys`` accordingly.
+    """
+    pairs = fuzzy_pairs(df, block_keys, id_col, text_col, max_dist)
+    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "node", id_col
+    )
+    out = df.join(comp, id_col, "left").withColumn(
+        "cluster_id", F.coalesce("component", F.col(id_col))
+    ).drop("component")
+    order = list(survivor_order) if survivor_order else []
+    # max_by over a (survivor_order..., -id)-shaped struct: one shuffle on
+    # cluster_id, no window sort of the full table
+    tiebreak = -F.col(id_col)
+    key_struct = F.struct(*order, tiebreak.alias("_neg_id"))
+    winners = out.groupBy("cluster_id").agg(
+        F.max_by(F.col(id_col), key_struct).alias("_win")
+    )
+    # winners is O(clusters) — same magnitude as the table; a plain
+    # cluster_id equi-join (co-partitioned with the groupBy above) is the
+    # scale-correct shape, NOT a broadcast
+    return (
+        out.join(winners, "cluster_id")
+        .withColumn("is_canonical", F.col(id_col) == F.col("_win"))
+        .drop("_win")
+    )
