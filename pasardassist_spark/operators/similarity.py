@@ -748,20 +748,39 @@ def mine_hard_negatives(
     """
     if assignments is None:
         assignments, _ = ivf_assignments(emb, n_lists, id_col, vec_col)
-    e = emb.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("v"), F.col(label_col)
-    ).join(assignments, id_col)
+    # L2 norm precomputed ONCE per row — inside the pair loop a naive
+    # cosine() would recompute both norms per candidate pair, tripling
+    # the dominant HOF cost
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    e = (
+        emb.select(
+            F.col(id_col), as_double(F.col(vec_col)).alias("v"), F.col(label_col)
+        )
+        .join(assignments, id_col)
+        .withColumn("nrm", norm)
+    )
     a = e.select(
         F.col(id_col).alias("anchor_id"),
         F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
         F.col(label_col).alias("anchor_label"),
         "list_id",
     )
     b = e.select(
         F.col(id_col).alias("neg_id"),
         F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
         F.col(label_col).alias("neg_label"),
         "list_id",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     cand = (
         a.join(b, "list_id")
@@ -771,7 +790,7 @@ def mine_hard_negatives(
             "neg_id",
             "anchor_label",
             "neg_label",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
         )
     )
     w = W.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
