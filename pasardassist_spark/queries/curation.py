@@ -494,9 +494,6 @@ _QC_HEX16 = (
         FROM t
     )
     SELECT doc_id, n_tok, w_sum,
-           CASE WHEN n_tok > 0 THEN
-               round(CAST(w_sum AS DOUBLE) / (10.0 * n_tok), 6)
-           END AS score,
            COALESCE(w_sum > 0, FALSE) AS keep
     FROM s
     """,
@@ -511,7 +508,14 @@ def curate_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM column math inside the scan projection, zero shuffles, no UDF. At
     100 TB this is the cheapest possible gate: it runs at scan speed and
     feeds its verdict into the same fused filter as the other quality
-    gates (curate_corpus)."""
+    gates (curate_corpus).
+
+    The score is carried as the exact rational (w_sum, n_tok) — an
+    sf0.1 sweep caught a doc whose normalized score hit an exact 6-dp
+    rounding TIE (-41/640 = -0.0640625: Spark rounds half-up, DuckDB
+    half-to-even), so a rounded-double score column is a cross-engine
+    hazard by construction whenever the denominator is 2^k·5^m; the
+    integer pair carries strictly more information with zero float."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = X.tokens(F.col("text"))
     w_sum = F.aggregate(
@@ -528,11 +532,5 @@ def curate_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tok",
         "w_sum",
-        F.when(
-            F.col("n_tok") > 0,
-            F.round(
-                F.col("w_sum").cast("double") / (10.0 * F.col("n_tok")), 6
-            ),
-        ).alias("score"),
         F.coalesce(F.col("w_sum") > 0, F.lit(False)).alias("keep"),
     )
