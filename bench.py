@@ -248,6 +248,19 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     extras["mine_hard_negatives"] = round(time.perf_counter() - t0, 3)
 
+    # tokenizer APPLICATION (train is benched as bpe_train_merge_table;
+    # this times only the corpus-wide encode on the trained merges)
+    from pasardassist_spark.operators.bpe import bpe_encode, train_bpe_merges
+    from pasardassist_spark.queries.text import BPE_N_MERGES
+
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, "text", BPE_N_MERGES)
+    t0 = time.perf_counter()
+    bpe_encode(docs, "text", merges, "doc_id").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    extras["bpe_encode_corpus"] = round(time.perf_counter() - t0, 3)
+
     # ANN quality + attribution (VERDICT r5 directive #7): rows-only driver
     # checks can't catch a silent recall regression, and the one-shot query
     # timings blur index build into search. Measure recall@10 against the

@@ -27,6 +27,8 @@ against an independent sequential reference implementation.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves string type hints here
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 CHECKPOINT_EVERY = 5
@@ -127,4 +129,94 @@ def bpe_merge_table(
     ]
     return spark.createDataFrame(
         rows, "rank int, left string, right string, merged string, pair_count long"
+    )
+
+
+# --------------------------------------------------------------- encoding
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode ONE word with a trained merge ranking: repeatedly merge the
+    lowest-rank adjacent pair PRESENT, left-to-right non-overlapping per
+    pass, until no ranked pair remains — the standard subword-nmt / GPT-2
+    encode semantics (min-rank-present loop). Note this is deliberately
+    NOT a replay of every merge in global rank order: a later merge can
+    create a pair of an earlier rank, and the standard encoder (unlike a
+    strict replay) goes back and merges it — tests pin these semantics
+    against an independent sequential reference."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best, best_pair = None, None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best is None or r < best):
+                best, best_pair = r, pair
+        if best_pair is None:
+            break
+        left, right = best_pair
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def bpe_encode(
+    corpus: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    id_col: str,
+) -> DataFrame:
+    """Tokenize the corpus with a TRAINED merge list — the actual
+    tokenizer-application step of a training-data pipeline (the
+    reference ships no tokenizer; at 100 TB this is the single most
+    common corpus-wide transform after dedup).
+
+    Scale shape mirrors training's word-TYPE trick: the corpus explodes
+    to (doc, position, word) once, the DISTINCT word types (Zipf: types
+    << tokens) are encoded ONE TIME each by an Arrow-batched pandas UDF
+    (greedy merge is inherently per-word sequential — Python is
+    justified here, over types only, never the token stream), and the
+    type→subwords map joins back on the word equi-key (AQE broadcasts it
+    when small; at 10-100 M types it stays a co-partitioned shuffle
+    join). Per-doc order is restored by position before the flatten, so
+    the output token sequence is exact.
+
+    Returns (id_col, bpe_tokens array<string>, n_bpe_tokens long).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from pasardassist_spark.operators.text import tokens
+
+    ranks = {(left, right): r for r, (left, right, *_) in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def _encode(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: encode_word(w, ranks))
+
+    doc_words = corpus.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
+    )
+    types = doc_words.select("w").distinct().select(
+        "w", _encode(F.col("w")).alias("subs")
+    )
+    return (
+        doc_words.join(types, "w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "subs"))
+                ).subs
+            ).alias("bpe_tokens")
+        )
+        .select(
+            id_col,
+            "bpe_tokens",
+            F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
     )

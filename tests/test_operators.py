@@ -884,3 +884,65 @@ def test_interval_overlap_join_matches_bruteforce(spark, sf_dir):
         assert sorted(got) == want, f"width={width}"
         assert len(got) == len(set(got)), f"dup pairs at width={width}"
     assert want, "no overlapping intervals in fixture"
+
+
+def _bpe_encode_reference(word, merges):
+    """Independent sequential encode reference: subword-nmt semantics —
+    repeatedly merge the min-rank pair PRESENT (set-of-pairs + min), one
+    greedy left-to-right pass per chosen pair."""
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    syms = list(word)
+    while len(syms) >= 2:
+        present = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
+        ranked = sorted((ranks[p], p) for p in present if p in ranks)
+        if not ranked:
+            break
+        _, (a, b) = ranked[0]
+        out = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_sequential_reference(spark):
+    """bpe_encode must reproduce the standard min-rank-present encoding on
+    every word of a held-out corpus (including words with unseen chars),
+    with per-doc order preserved — and be invariant to partitioning."""
+    from pasardassist_spark.operators.bpe import bpe_encode, encode_word, train_bpe_merges
+
+    words = {
+        "low": 5, "lower": 2, "newest": 6, "widest": 3,
+        "hug": 10, "pug": 5, "pun": 12, "bun": 4, "hugs": 5,
+    }
+    rows = []
+    for w, c in words.items():
+        rows.extend([(w,)] * c)
+    corpus = spark.createDataFrame(rows, "text string")
+    merges = train_bpe_merges(corpus, "text", 8)
+    assert merges, "fixture corpus must learn at least one merge"
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+
+    held_out = ["lowest", "hugger", "newer", "pugs", "bug", "zap!", "низко"]
+    for w in list(words) + held_out:
+        assert encode_word(w, ranks) == _bpe_encode_reference(w, merges), w
+
+    docs = spark.createDataFrame(
+        [(1, "low lower newest"), (2, "hugs pug  zap!"), (3, "bun")],
+        "doc_id long, text string",
+    )
+    for df in (docs, docs.repartition(7)):
+        got = {
+            r.doc_id: (list(r.bpe_tokens), r.n_bpe_tokens)
+            for r in bpe_encode(df, "text", merges, "doc_id").collect()
+        }
+        want = {}
+        for doc_id, text in [(1, "low lower newest"), (2, "hugs pug  zap!"), (3, "bun")]:
+            toks = []
+            for w in text.split():
+                toks.extend(_bpe_encode_reference(w, merges))
+            want[doc_id] = (toks, len(toks))
+        assert got == want
