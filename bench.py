@@ -261,6 +261,16 @@ def main() -> None:
     ).save()
     extras["bpe_encode_corpus"] = round(time.perf_counter() - t0, 3)
 
+    # seeded global shuffle-shard (training export): one exchange +
+    # per-shard sort
+    from pasardassist_spark.operators.sharding import shuffle_shards
+
+    t0 = time.perf_counter()
+    shuffle_shards(docs, "doc_id", 32, seed=1).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    extras["shuffle_shards"] = round(time.perf_counter() - t0, 3)
+
     # ANN quality + attribution (VERDICT r5 directive #7): rows-only driver
     # checks can't catch a silent recall regression, and the one-shot query
     # timings blur index build into search. Measure recall@10 against the

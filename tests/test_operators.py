@@ -946,3 +946,58 @@ def test_bpe_encode_matches_sequential_reference(spark):
                 toks.extend(_bpe_encode_reference(w, merges))
             want[doc_id] = (toks, len(toks))
         assert got == want
+
+
+def test_shuffle_shards_permutation_properties(spark, sf_dir, tmp_path):
+    """Seeded shuffle-sharding must be a deterministic permutation:
+    identical coordinates under repartitioning, dense 0..k-1 positions per
+    shard, balanced shard sizes, a different permutation per seed — and
+    the written layout must lay rows down in shard_pos order."""
+    from pasardassist_spark.operators.sharding import (
+        shuffle_shards,
+        write_shuffled_shards,
+    )
+    from pasardassist_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n = docs.count()
+    coords = {
+        r.doc_id: (r.shard, r.shard_pos)
+        for r in shuffle_shards(docs, "doc_id", 8, seed=42).collect()
+    }
+    again = {
+        r.doc_id: (r.shard, r.shard_pos)
+        for r in shuffle_shards(
+            docs.repartition(13), "doc_id", 8, seed=42
+        ).collect()
+    }
+    assert coords == again, "coordinates depend on input partitioning"
+
+    by_shard = {}
+    for s, p in coords.values():
+        by_shard.setdefault(s, []).append(p)
+    assert set(by_shard) == set(range(8))
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), f"positions not dense in shard {s}"
+    sizes = [len(ps) for ps in by_shard.values()]
+    assert max(sizes) < 2 * n / 8, f"shard sizes badly skewed: {sizes}"
+
+    other = {
+        r.doc_id: (r.shard, r.shard_pos)
+        for r in shuffle_shards(docs, "doc_id", 8, seed=43).collect()
+    }
+    assert other != coords, "seed does not change the permutation"
+
+    path = str(tmp_path / "shards")
+    write_shuffled_shards(docs, path, "doc_id", 4, seed=7)
+    import pyarrow.parquet as pq
+
+    disk = spark.read.parquet(path)
+    assert disk.count() == n
+    # file order == permutation order inside one shard dir
+    import glob
+
+    files = glob.glob(f"{path}/shard=2/*.parquet")
+    assert files
+    tbl = pq.read_table(files[0]).to_pandas()
+    assert list(tbl["shard_pos"]) == sorted(tbl["shard_pos"])
