@@ -352,27 +352,47 @@ def ivf_assignments(
     LSH buckets, but data-adaptive, so it keeps selectivity on clustered
     real-world embeddings where random hyperplanes waste tables).
     """
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
     e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     X = _collect_training_matrix(e, id_col, "v")
     C = _kmeans_numpy(X, n_lists, IVF_SEED)
-    cnorm = (C * C).sum(axis=1)
-
-    @pandas_udf("int")
-    def nearest_list(v: pd.Series) -> pd.Series:
-        x = np.stack(v.to_numpy())
-        d = -2.0 * x @ C.T + cnorm  # ||x||^2 is rank-constant per row
-        return pd.Series(d.argmin(axis=1).astype(np.int32))
-
-    assignments = e.select(F.col(id_col), nearest_list("v").alias("list_id"))
     spark = emb.sparkSession
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(C)],
         "list_id int, center array<double>",
     )
-    return assignments, centroids
+    return assign_lists(emb, centroids, id_col, vec_col), centroids
+
+
+def assign_lists(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared-L2 argmin) for a
+    GIVEN coarse quantizer — the map-only full-corpus half of the FAISS
+    split, factored out so incremental index maintenance (streaming
+    arrivals assigned against frozen centroids) and the one-shot build
+    share one definition. ``centroids`` is O(n_lists) rows — a driver
+    collect here is metadata, not data."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rows = sorted(
+        (r["list_id"], r["center"]) for r in centroids.collect()
+    )
+    C = np.array([c for _, c in rows], dtype=np.float64)
+    ids = np.array([i for i, _ in rows], dtype=np.int32)
+    cnorm = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def nearest_list(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        d = -2.0 * x @ C.T + cnorm  # ||x||^2 is rank-constant per row
+        return pd.Series(ids[d.argmin(axis=1)])
+
+    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    return e.select(F.col(id_col), nearest_list("v").alias("list_id"))
 
 
 def ivf_topk(
