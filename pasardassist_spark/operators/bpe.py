@@ -164,10 +164,28 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+def _merge_ranks(
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]] | DataFrame,
+) -> dict[tuple[str, str], int]:
+    """Normalize a merge artifact to {pair: rank}. A DataFrame (the shipped
+    ``bpe_merge_table`` form) is ordered by its explicit ``rank`` column —
+    NEVER by collect order, which Spark does not guarantee. A list is
+    taken as already in merge order (the ``train_bpe_merges`` return:
+    (left, right[, pair_count]) — the optional third element is the pair
+    COUNT, not a rank)."""
+    if isinstance(merges, DataFrame):
+        rows = merges.select("rank", "left", "right").collect()
+        return {
+            (r["left"], r["right"]): int(r["rank"])
+            for r in sorted(rows, key=lambda r: r["rank"])
+        }
+    return {(left, right): r for r, (left, right, *_) in enumerate(merges)}
+
+
 def bpe_encode(
     corpus: DataFrame,
     text_col: str,
-    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]] | DataFrame,
     id_col: str,
 ) -> DataFrame:
     """Tokenize the corpus with a TRAINED merge list — the actual
@@ -185,13 +203,19 @@ def bpe_encode(
     join). Per-doc order is restored by position before the flatten, so
     the output token sequence is exact.
 
+    ``merges`` is either the ``train_bpe_merges`` return (a list in merge
+    order) or the persisted ``bpe_merge_table`` DataFrame (ordered by its
+    ``rank`` column — safe to pass straight from a parquet round-trip).
+
     Returns (id_col, bpe_tokens array<string>, n_bpe_tokens long).
+    Documents whose text tokenizes to zero words are absent from the
+    output (posexplode drops them).
     """
     from pyspark.sql.functions import pandas_udf
 
     from pasardassist_spark.operators.text import tokens
 
-    ranks = {(left, right): r for r, (left, right, *_) in enumerate(merges)}
+    ranks = _merge_ranks(merges)
 
     @pandas_udf("array<string>")
     def _encode(words: pd.Series) -> pd.Series:

@@ -46,6 +46,8 @@ def match_pattern(
     k = len(steps)
     if k == 0:
         raise ValueError("pattern needs at least one step")
+    if within is not None and time_col is None:
+        raise ValueError("within= requires time_col= (it bounds end - start)")
     w = W.partitionBy(*keys).orderBy(*order_cols)
     proj = [
         *keys,

@@ -48,7 +48,9 @@ def ks_distance(
     g = inclusive_prefix_sum(
         counts, value_col, [cnt_a, cnt_b], out=["_ca", "_cb"]
     )
-    n = g.agg(
+    # totals from the RAW counts frame: aggregating g would replay the
+    # whole two-phase prefix-sum plan just to sum two columns
+    n = counts.agg(
         F.sum(cnt_a).cast("long").alias("n_a"),
         F.sum(cnt_b).cast("long").alias("n_b"),
     )

@@ -44,6 +44,11 @@ def fuzzy_pairs(
     """Stage 1: candidate pairs (id_a, id_b, dist) within ``max_dist``
     edits, same block. Blocking is lossless (levenshtein >= |len diff|):
     every qualifying pair inside a block is found."""
+    if max_dist < 1:
+        raise ValueError(
+            f"max_dist must be >= 1 (got {max_dist}); distance 0 is exact "
+            "equality — use exact dedup, not fuzzy matching"
+        )
     cand = band_self_join(
         df.withColumn("_len", F.length(text_col)),
         keys=list(block_keys),

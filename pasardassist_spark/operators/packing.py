@@ -112,7 +112,10 @@ def inclusive_prefix_sum(
     outs = [out] if isinstance(out, str) else list(out)
     if len(values) != len(outs):
         raise ValueError(f"{len(values)} value cols but {len(outs)} out names")
-    clash = set(_INTERNAL) & set(df.columns)
+    # guard the names THIS form actually generates (per-out suffixed), not
+    # the exclusive form's literals
+    internal = {"_pb", *(f"_run{o}" for o in outs), *(f"_btot{o}" for o in outs), *(f"_boff{o}" for o in outs)}
+    clash = internal & set(df.columns)
     if clash:
         raise ValueError(f"columns collide with internal names: {sorted(clash)}")
     bounds = df.agg(F.min(key), F.max(key)).first()

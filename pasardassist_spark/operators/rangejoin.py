@@ -85,6 +85,11 @@ def band_self_join(
     can apply a secondary (non-band) predicate to the candidate pairs
     without re-joining payloads by id afterwards.
     """
+    if not eps > 0:
+        raise ValueError(
+            f"eps must be > 0 (got {eps}): bucket width 0 divides by zero; "
+            "for exact equality use a plain equi-join on value_col"
+        )
     b = F.floor(F.col(value_col) / F.lit(eps)).cast("long")
     left = df.select(
         *keys,
@@ -145,6 +150,8 @@ def interval_overlap_join(
             f"non-key columns collide across sides: {sorted(overlap_cols)}"
         )
     w = int(bucket_width)
+    if w < 1:
+        raise ValueError(f"bucket_width must be >= 1 (got {bucket_width})")
 
     def buckets(s: str, e: str):
         # [start, end) covers floor(s/w) .. floor((e-1)/w); empty/invalid

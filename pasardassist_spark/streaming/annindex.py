@@ -76,8 +76,11 @@ def maintain_ivf_index(
             "list_id",
             F.lit(epoch_id).cast("long").alias("epoch"),
         )
+        # epoch_id: the merge is idempotent anyway (max_by fold), but the
+        # guard short-circuits an exact replay to a no-op read
         merge_into_bucketed_state(
-            delta, state_dir, ("vec_id",), _latest_epoch_wins, keep_generations
+            delta, state_dir, ("vec_id",), _latest_epoch_wins,
+            keep_generations, epoch_id=epoch_id,
         )
 
     return (

@@ -116,7 +116,11 @@ def match_pattern_stream(
         raise ValueError("pattern needs at least one step")
     mask = None
     for i, s in enumerate(steps):
-        bit = s.cast("boolean").cast("long") * (1 << i)
+        # coalesce per bit: a NULL predicate (e.g. eq on a NULL column) is
+        # a NON-match, exactly as the batch operator's where() treats it —
+        # an un-coalesced NULL would poison the whole mask and crash the
+        # fold's int() conversion
+        bit = F.coalesce(s.cast("boolean"), F.lit(False)).cast("long") * (1 << i)
         mask = bit if mask is None else mask + bit
     ev = stream.withWatermark(time_col, watermark).select(
         "user_id",

@@ -131,7 +131,10 @@ def _fold_debounce(
                     user,
                     etype,
                     eid,
-                    pd.Timestamp(open_us, unit="us"),
+                    # tz-aware: a NAIVE stamp would be reinterpreted in
+                    # the session timezone, shifting the instant anywhere
+                    # the session is not pinned to UTC
+                    pd.Timestamp(open_us, unit="us", tz="UTC"),
                     n - 1,
                 )
                 for (open_us, eid, _last, n) in final

@@ -127,3 +127,53 @@ def test_late_event_breaks_pending_match(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert spark.sql("SELECT * FROM cep_late").count() == 0
+
+
+def test_null_predicate_is_nonmatch_not_crash(spark, tmp_path):
+    """A step predicate evaluating to NULL (eq against a NULL column) must
+    behave as a NON-match — the batch twin's where() semantics — not
+    poison the bitmask and crash the fold's int() conversion."""
+    B = 1_000_000_000_000_000
+    MS = 1_000_000
+
+    def ns(us):
+        return us * 1000
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [
+        (1, ns(B), 7, "view", 0.0, "{}"),
+        (2, ns(B + 10 * MS), 7, None, 0.0, "{}"),  # NULL event_type
+        (3, ns(B + 20 * MS), 7, "view", 0.0, "{}"),
+        (4, ns(B + 30 * MS), 7, "click", 0.0, "{}"),
+        # flush sentinel far in the future seals everything
+        (9, ns(B + 10 * 86400 * MS), 7, "flush", 0.0, "{}"),
+    ]
+    staging = str(tmp_path / "s0")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+    (pq,) = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+    os.rename(os.path.join(staging, pq), os.path.join(src, "p0.parquet"))
+
+    from pasardassist_spark.streaming import read_event_stream
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    out = match_pattern_stream(stream, _steps(), within_us=WITHIN_US)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cep_null_pred")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = [tuple(r.match_ids) for r in spark.sql(
+        "SELECT * FROM cep_null_pred"
+    ).collect()]
+    # (1, NULL-row) is not a match; (3, 4) is the only (view, click) pair
+    assert got == [(3, 4)], got
