@@ -137,21 +137,37 @@ class _StreamReader(DataSourceStreamReader):
         self.path = options["path"]
         self.step = int(options.get("step", DEFAULT_STEP))
         self.start_block = int(options.get("fromblock", 0))
+        # maxBlocksPerTrigger: the reference's step/stepInterval pacing
+        # (tasks.service.ts:25-26) as a source-level admission bound —
+        # a long catch-up becomes several bounded micro-batches instead
+        # of one giant batch (no sleep() calls; per-batch sink commits
+        # and state stay small)
+        cap = options.get("maxblockspertrigger")
+        self.max_blocks = int(cap) if cap is not None else None
+        self._last = self.start_block
 
     def initialOffset(self) -> dict:
         return {"block": self.start_block}
 
     def latestOffset(self) -> dict:
-        return {"block": max(head_block(self.path), self.start_block)}
+        head = max(head_block(self.path), self.start_block)
+        if self.max_blocks is not None:
+            head = min(head, self._last + self.max_blocks)
+        self._last = head
+        return {"block": head}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # resync the cap tracker with the ENGINE's offset: after a restart
+        # the checkpointed start is ahead of our fresh start_block, and
+        # capping relative to the stale _last would stall admission
+        self._last = max(self._last, end["block"])
         return _plan_pages(self.path, start["block"], end["block"], self.step)
 
     def read(self, partition: _Page) -> Iterator[tuple]:
         return _read_page(partition.path, partition.start, partition.end)
 
     def commit(self, end: dict) -> None:
-        pass  # the store is immutable; nothing to acknowledge
+        self._last = max(self._last, end["block"])  # store is immutable
 
 
 class BlockLogDataSource(DataSource):

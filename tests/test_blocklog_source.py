@@ -110,3 +110,31 @@ def test_stream_catchup_tail_and_restart(spark, tmp_path):
     )
     assert [r["count"] for r in per_block] == [2], "duplicate or lost rows"
     assert out.filter(F.col("event_type") == "bid").count() == 40
+
+
+def test_stream_rate_cap_bounds_batches(spark, tmp_path):
+    """maxBlocksPerTrigger must cap how far each micro-batch advances: a
+    50-block catch-up at cap 10 takes >= 5 batches, none admitting more
+    than 10 blocks, with nothing lost."""
+    store = str(tmp_path / "chain")
+    write_block_page(store, 0, 50, _events(0, 50))
+    spark.dataSource.register(BlockLogDataSource)
+    q = (
+        spark.readStream.format("blocklog")
+        .option("path", store)
+        .option("step", 20)
+        .option("maxBlocksPerTrigger", 10)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    q.stop()
+    out = spark.read.parquet(str(tmp_path / "sink"))
+    assert out.count() == 100
+    assert out.select("block_number").distinct().count() == 50
+    assert len(progress) >= 5, f"expected >=5 capped batches, got {len(progress)}"
+    assert max(p["numInputRows"] for p in progress) <= 20  # 10 blocks x 2 events
