@@ -112,20 +112,113 @@ def process_collection_batch(
     _write_generation(parked, pending_dir)
 
 
+COMPACT_MANIFEST = "_COMPACTED.json"
+
+
+def _committed_slots(out_dir: str) -> list[str]:
+    return sorted(
+        d
+        for d in os.listdir(out_dir)
+        if d[0] in "ec"
+        and os.path.exists(os.path.join(out_dir, d, COMMIT_MARKER))
+    )
+
+
+def _replaced_slots(out_dir: str, slots: list[str]) -> set[str]:
+    """Union of every committed consolidation's ``replaces`` list.
+    Manifests carry the TRANSITIVE closure (a re-compaction lists its
+    inputs' inputs too), so a long-crashed deletion can never resurface
+    an ancient slot even after its direct replacer is itself compacted
+    away and deleted."""
+    import json
+
+    gone: set[str] = set()
+    for d in slots:
+        if d.startswith("c"):
+            mf = os.path.join(out_dir, d, COMPACT_MANIFEST)
+            with open(mf) as fh:
+                gone.update(json.load(fh)["replaces"])
+    return gone
+
+
 def admitted_events(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    """The admitted-events log: union of committed epoch slots. Uncommitted
-    (crashed) slots are invisible, so readers see each admitted event
-    exactly once."""
+    """The admitted-events log: union of committed epoch slots (``e…``)
+    and consolidated slots (``c…``), minus slots a committed consolidation
+    replaced. Uncommitted (crashed) slots are invisible, so readers see
+    each admitted event exactly once — before, during, and after
+    compaction."""
     if not os.path.isdir(out_dir):
         return None
-    dirs = sorted(
-        os.path.join(out_dir, d)
-        for d in os.listdir(out_dir)
-        if d.startswith("e") and os.path.exists(os.path.join(out_dir, d, COMMIT_MARKER))
-    )
+    slots = _committed_slots(out_dir)
+    gone = _replaced_slots(out_dir, slots)
+    dirs = [os.path.join(out_dir, d) for d in slots if d not in gone]
     if not dirs:
         return None
     return spark.read.parquet(*dirs)
+
+
+def compact_epoch_log(
+    spark: SparkSession, out_dir: str, keep_last: int = 2
+) -> bool:
+    """Fold old epoch slots into ONE consolidated slot — the small-files
+    story of the per-epoch CAS log at 100 TB (one slot per micro-batch,
+    thousands per day) closed the same way the bucketed state closes it
+    (compact_state), while preserving the reader contract above.
+
+    Protocol: read the union of every committed slot older than the
+    newest ``keep_last`` epoch slots (the hot tail stays; Spark can only
+    replay the latest unacknowledged epoch, so compacted epochs are
+    beyond replay reach and ``_publish_epoch``'s slot-exists check never
+    needs the deleted dirs), stage consolidated parquet + a manifest
+    naming every replaced slot (transitively) + the commit marker, then
+    os.rename() into the ``c<first>-<last>`` slot — the same CAS as
+    every other publisher here. Replaced slots are deleted only AFTER
+    the rename; a crash between leaves duplicates on disk that readers
+    already ignore (the manifest wins) and the next compaction garbage-
+    collects. Returns False when there is nothing to compact or a
+    concurrent compactor won the rename."""
+    import json
+
+    if not os.path.isdir(out_dir):
+        return False
+    slots = _committed_slots(out_dir)
+    gone = _replaced_slots(out_dir, slots)
+    # opportunistic GC of replaced-but-present slots from a prior crash
+    for d in gone:
+        if os.path.isdir(os.path.join(out_dir, d)):
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+    live = [d for d in slots if d not in gone]
+    tail = [d for d in live if d.startswith("e")][-keep_last:]
+    candidates = [d for d in live if d not in tail]
+    if len(candidates) < 2:
+        return False
+
+    def _bounds(name: str) -> tuple[int, int]:
+        if name.startswith("e"):
+            return int(name[1:]), int(name[1:])
+        lo, hi = name[1:].split("-")
+        return int(lo), int(hi)
+
+    lo = min(_bounds(d)[0] for d in candidates)
+    hi = max(_bounds(d)[1] for d in candidates)
+    replaces = sorted(set(candidates) | gone)
+
+    staged = os.path.join(out_dir, f".compact-{os.getpid()}")
+    spark.read.parquet(
+        *[os.path.join(out_dir, d) for d in candidates]
+    ).write.mode("overwrite").parquet(staged)
+    with open(os.path.join(staged, COMPACT_MANIFEST), "w") as fh:
+        json.dump({"replaces": replaces}, fh)
+    _commit(staged)
+    dst = os.path.join(out_dir, f"c{lo:09d}-{hi:09d}")
+    try:
+        os.rename(staged, dst)
+    except OSError:
+        shutil.rmtree(staged, ignore_errors=True)
+        return False
+    for d in candidates:
+        shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+    return True
 
 
 def dynamic_collection_sink(

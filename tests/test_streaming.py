@@ -666,3 +666,70 @@ def test_admitted_sink_exactly_once_under_retry(spark, tmp_path):
     process_collection_batch(batch2, 8, control, out, pending)
     got2 = admitted_events(spark, out)
     assert sorted(r.event_id for r in got2.collect()) == [1, 3, 9]
+
+
+def test_epoch_log_compaction_preserves_reader(spark, tmp_path):
+    """Folding old epoch slots into one consolidated slot must not change
+    what admitted_events returns — before, after, across a simulated
+    crashed deletion, and after a re-compaction."""
+    import json
+    import os
+    import shutil
+
+    from pasardassist_spark.streaming.dynamic import (
+        COMPACT_MANIFEST,
+        admitted_events,
+        compact_epoch_log,
+    )
+    from pasardassist_spark.streaming.generations import COMMIT_MARKER
+
+    out = str(tmp_path / "log")
+    os.makedirs(out)
+
+    def slot(epoch, vals):
+        d = os.path.join(out, f"e{epoch:09d}")
+        spark.createDataFrame([(epoch, v) for v in vals], "epoch long, v long").coalesce(
+            1
+        ).write.parquet(d)
+        open(os.path.join(d, COMMIT_MARKER), "w").close()
+
+    for ep in range(6):
+        slot(ep, range(ep * 10, ep * 10 + 3))
+    before = sorted(map(tuple, admitted_events(spark, out).collect()))
+
+    assert compact_epoch_log(spark, out, keep_last=2)
+    after = sorted(map(tuple, admitted_events(spark, out).collect()))
+    assert after == before
+    names = sorted(os.listdir(out))
+    assert [n for n in names if n.startswith("c")] == ["c000000000-000000003"]
+    assert [n for n in names if n.startswith("e")] == ["e000000004", "e000000005"]
+
+    # crashed deletion: a replaced slot resurfaces on disk — readers must
+    # still ignore it (the committed manifest wins)
+    slot_dir = os.path.join(out, "e000000001")
+    slot(1, range(10, 13))
+    assert sorted(map(tuple, admitted_events(spark, out).collect())) == before
+    mf = json.load(
+        open(os.path.join(out, "c000000000-000000003", COMPACT_MANIFEST))
+    )
+    assert "e000000001" in mf["replaces"]
+
+    # re-compaction: new epochs land; folding the c-slot + old e-slots
+    # keeps the reader identical and GCs the crashed-deletion leftover
+    for ep in (6, 7, 8):
+        slot(ep, range(ep * 10, ep * 10 + 3))
+    grown = sorted(map(tuple, admitted_events(spark, out).collect()))
+    assert compact_epoch_log(spark, out, keep_last=2)
+    assert sorted(map(tuple, admitted_events(spark, out).collect())) == grown
+    assert not os.path.isdir(slot_dir), "crashed-deletion leftover not GCed"
+    names = sorted(os.listdir(out))
+    assert [n for n in names if n.startswith("c")] == ["c000000000-000000006"]
+    # transitive closure: the new manifest still names the oldest slots
+    mf2 = json.load(
+        open(os.path.join(out, "c000000000-000000006", COMPACT_MANIFEST))
+    )
+    assert {"e000000000", "e000000001", "c000000000-000000003"} <= set(
+        mf2["replaces"]
+    )
+    # nothing left to compact until more epochs land
+    assert not compact_epoch_log(spark, out, keep_last=2)
