@@ -350,3 +350,37 @@ def test_hybrid_rrf_corpus_sides_broadcast_only(spark, sf_dir):
     p = plan(REGISTRY["search_hybrid_rrf"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 2
+
+
+def test_shuffle_shards_single_hash_exchange(spark, sf_dir):
+    """The seeded training shuffle must plan exactly ONE semantic
+    exchange (hash on shard) + per-shard sort — never a global sort or a
+    rand()-keyed range partition."""
+    from pasardassist_spark.operators.sharding import shuffle_shards
+    from pasardassist_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    p = plan(shuffle_shards(docs, "doc_id", 8, seed=1))
+    assert len(re.findall(r"hashpartitioning\(shard", p)) == 1, p
+    assert "rangepartitioning" not in p, f"global sort leaked in:\n{p}"
+    assert "rand(" not in p, f"nondeterministic key in:\n{p}"
+
+
+def test_bpe_encode_types_join_not_token_broadcast_of_corpus(spark, sf_dir):
+    """bpe_encode's join-back must key on the word TYPE (an equi-join the
+    optimizer may broadcast when small), and the pandas encode stage must
+    see ONLY the distinct type column — never doc ids or text payloads."""
+    from pasardassist_spark.operators.bpe import bpe_encode
+    from pasardassist_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    p = plan(bpe_encode(docs, "text", [("t", "h", 2)], "doc_id"))
+    assert "ArrowEvalPython" in p, p
+    # the python stage evaluates _encode over the type column only — its
+    # Input schema must be w columns, no doc ids / text payloads
+    m = re.search(
+        r"ArrowEvalPython\nInput \[\d+\]: \[(w#\d+(?:, w#\d+)*)\]", p
+    )
+    assert m, f"pandas stage not keyed on the type column alone:\n{p}"
+    assert re.search(r"_encode\(w#\d+\)", p), p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
