@@ -269,3 +269,35 @@ def test_inclusive_prefix_sum_fractional_keys(spark, rows):
         want_v = sum(v2 for k2, v2 in rows if k2 <= k8)
         want_n = sum(1 for k2, _ in rows if k2 <= k8)
         assert got[i] == (want_v, want_n), (i, k8 / 8.0, got[i], want_v, want_n)
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=10),
+        min_size=1,
+        max_size=20,
+    ),
+    held_out=st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    n_merges=st.integers(min_value=1, max_value=12),
+)
+@settings(**SETTINGS)
+def test_bpe_encode_properties(spark, words, held_out, n_merges):
+    """For ANY trained merge table: encode_word matches the independent
+    min-rank-present reference on arbitrary (incl. unseen-char) words,
+    concatenating the subwords reconstructs the word exactly, and
+    encoding is deterministic."""
+    from pasardassist_spark.operators.bpe import encode_word, train_bpe_merges
+    from tests.test_operators import _bpe_encode_reference
+
+    corpus = spark.createDataFrame([(w,) for w in words], "text string")
+    merges = train_bpe_merges(corpus, "text", n_merges)
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    for w in words + held_out:
+        got = encode_word(w, ranks)
+        assert got == _bpe_encode_reference(w, merges), (w, merges)
+        assert "".join(got) == w, "lossy encode"
+        assert encode_word(w, ranks) == got
