@@ -98,6 +98,12 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # (default path identical; rows-only counts should re-confirm)
     "sim_ivf_ann", "sim_ivfpq_ann",
 })
+# NOT moved to recheck (window is exactly full at 50): dedup_semantic,
+# whose semdedup path consumes the assign_lists refactor of
+# ivf_assignments. The refactor is value-identical by construction,
+# pinned by the IVF equivalence pytests, and the SAME code path is
+# re-checked in-window via sim_ivf_ann / sim_ivfpq_ann — a strictly
+# stronger check than dedup_semantic's rows-only row count.
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
