@@ -244,3 +244,53 @@ def bpe_encode(
             F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def bpe_vocab_table(
+    corpus: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]] | DataFrame,
+) -> DataFrame:
+    """The tokenizer's VOCAB artifact: one row per symbol the encoder can
+    emit, with a stable integer id — what actually ships beside the merge
+    table (a trained tokenizer is (vocab, merges); the merge list alone
+    cannot map tokens to embedding-matrix rows).
+
+    Id assignment is the standard deterministic layout: base characters
+    first (sorted — every char OBSERVED in the corpus, so unseen-char
+    fallback symbols are visible vocabulary), then one merged symbol per
+    merge in RANK order. Ids are therefore reproducible across runs and
+    stable under vocabulary growth (appending merges never renumbers
+    existing symbols — the property embedding checkpoints depend on).
+
+    Distributed cost: one distinct-characters pass over the corpus
+    (explode to chars → distinct — O(corpus) map + a tiny shuffle);
+    the merge list is already driver-resident metadata.
+    """
+    from pasardassist_spark.operators.text import tokens
+
+    if isinstance(merges, DataFrame):
+        rows = sorted(
+            merges.select("rank", "left", "right").collect(),
+            key=lambda r: r["rank"],
+        )
+        merge_syms = [r["left"] + r["right"] for r in rows]
+    else:
+        merge_syms = [left + right for left, right, *_ in merges]
+    chars = sorted(
+        r["c"]
+        for r in corpus.select(
+            F.explode(
+                F.split(F.array_join(tokens(F.col(text_col)), ""), r"(?!^)(?=.)")
+            ).alias("c")
+        )
+        .distinct()
+        .collect()
+    )
+    spark = corpus.sparkSession
+    rows_out = [(i, s, "char") for i, s in enumerate(chars)] + [
+        (len(chars) + i, s, "merge") for i, s in enumerate(merge_syms)
+    ]
+    return spark.createDataFrame(
+        rows_out, "token_id int, symbol string, kind string"
+    )

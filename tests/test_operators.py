@@ -1001,3 +1001,47 @@ def test_shuffle_shards_permutation_properties(spark, sf_dir, tmp_path):
     assert files
     tbl = pq.read_table(files[0]).to_pandas()
     assert list(tbl["shard_pos"]) == sorted(tbl["shard_pos"])
+
+
+def test_bpe_vocab_table_covers_every_emitted_token(spark):
+    """Vocab = sorted observed chars, then merged symbols in rank order;
+    ids dense and stable under merge growth; every token bpe_encode emits
+    on the training corpus is in the vocab."""
+    from pasardassist_spark.operators.bpe import (
+        bpe_encode,
+        bpe_vocab_table,
+        train_bpe_merges,
+    )
+
+    words = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "hug": 10, "hugs": 5}
+    rows = []
+    for w, c in words.items():
+        rows.extend([(w,)] * c)
+    corpus = spark.createDataFrame(rows, "text string")
+    merges = train_bpe_merges(corpus, "text", 6)
+    vocab = bpe_vocab_table(corpus, "text", merges).collect()
+    ids = [r.token_id for r in vocab]
+    assert ids == list(range(len(vocab))), "ids not dense"
+    chars = [r.symbol for r in vocab if r.kind == "char"]
+    assert chars == sorted(set("".join(words)))
+    merged = [r.symbol for r in vocab if r.kind == "merge"]
+    assert merged == [left + right for left, right, _ in merges]
+
+    # stability: more merges only APPEND (prefix of ids unchanged)
+    merges2 = train_bpe_merges(corpus, "text", 8)
+    assert merges2[:6] == merges
+    vocab2 = bpe_vocab_table(corpus, "text", merges2).collect()
+    assert [
+        (r.token_id, r.symbol) for r in vocab2[: len(vocab)]
+    ] == [(r.token_id, r.symbol) for r in vocab]
+
+    # closure: every emitted token is a vocab symbol
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    emitted = {
+        t
+        for r in bpe_encode(docs, "text", merges, "doc_id").collect()
+        for t in r.bpe_tokens
+    }
+    assert emitted <= {r.symbol for r in vocab}
