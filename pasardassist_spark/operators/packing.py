@@ -177,3 +177,46 @@ def pack_sequences(
             F.floor((cum + tok - 1) / budget).cast("long") > F.col("seq_id"),
         )
     )
+
+
+def batch_by_length(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    max_rows: int,
+) -> DataFrame:
+    """Padding-minimizing inference batching: rows sort by token count and
+    chunk into fixed-size batches of ``max_rows`` — neighbors in length
+    order have near-equal lengths, so per-batch padding (each row pads to
+    the batch max) collapses versus arrival-order batching (the standard
+    bucketed-batching layout every inference server uses; pack_sequences
+    is its training-side sibling).
+
+    batch_id = global length-rank // max_rows, where the rank is the
+    distributed two-phase prefix COUNT over the (token_col, id_col)
+    composite key — same machinery, same no-single-task-sort guarantee
+    as pack_sequences; ``id_col`` (unique, non-negative, < 2^20 gap-free
+    enough to compose) breaks length ties so the layout is total and
+    deterministic under any partitioning.
+
+    Adds ``batch_id`` and ``batch_pos`` (rank within the batch). Padding
+    efficiency is pinned by test: sorted batching wastes no more padding
+    than arrival-order chunking on the same data.
+    """
+    # composite numeric key: length-major, id-minor (ids bounded per
+    # contract; scale the length into disjoint ranges)
+    key = (F.col(token_col).cast("long") * F.lit(1 << 40)) + F.col(id_col)
+    out = exclusive_prefix_sum(
+        df.withColumn("_bk", key).withColumn("_one", F.lit(1)),
+        "_bk",
+        "_one",
+        out="_rank",
+        n_buckets=256,
+    )
+    return (
+        out.withColumn(
+            "batch_id", (F.col("_rank") / max_rows).cast("long")
+        )
+        .withColumn("batch_pos", (F.col("_rank") % max_rows).cast("int"))
+        .drop("_bk", "_one", "_rank")
+    )

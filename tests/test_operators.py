@@ -1045,3 +1045,50 @@ def test_bpe_vocab_table_covers_every_emitted_token(spark):
         for t in r.bpe_tokens
     }
     assert emitted <= {r.symbol for r in vocab}
+
+
+def test_batch_by_length_minimizes_padding(spark, sf_dir):
+    """Length-sorted batches: dense batch ids, correct sizes, batches
+    contiguous in length order, deterministic under repartitioning, and
+    total padded cost <= arrival-order chunking on the same data."""
+    from pasardassist_spark.operators.packing import batch_by_length
+    from pasardassist_spark.operators.text import tokens
+    from pasardassist_spark.tables import load
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n_tok"))
+    )
+    max_rows = 16
+    out = batch_by_length(docs, "doc_id", "n_tok", max_rows).collect()
+    n = len(out)
+    by_batch: dict[int, list] = {}
+    for r in out:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    assert sorted(by_batch) == list(range(len(by_batch)))
+    for bid, rows in by_batch.items():
+        assert sorted(r.batch_pos for r in rows) == list(range(len(rows)))
+        assert len(rows) == (max_rows if bid < len(by_batch) - 1 else len(rows))
+    # contiguity: every batch's min length >= previous batch's max length
+    maxes = [max(r.n_tok for r in by_batch[b]) for b in sorted(by_batch)]
+    mins = [min(r.n_tok for r in by_batch[b]) for b in sorted(by_batch)]
+    assert all(mins[i] >= maxes[i - 1] for i in range(1, len(maxes)))
+
+    again = batch_by_length(docs.repartition(9), "doc_id", "n_tok", max_rows)
+    assert {(r.doc_id, r.batch_id, r.batch_pos) for r in again.collect()} == {
+        (r.doc_id, r.batch_id, r.batch_pos) for r in out
+    }
+
+    def padded_cost(batches):
+        return sum(len(rows) * max(r.n_tok for r in rows) for rows in batches)
+
+    sorted_cost = padded_cost(by_batch.values())
+    arrival = sorted(out, key=lambda r: r.doc_id)
+    arrival_batches = [
+        arrival[i : i + max_rows] for i in range(0, n, max_rows)
+    ]
+    assert sorted_cost <= padded_cost(arrival_batches)
+    total_tokens = sum(r.n_tok for r in out)
+    assert sorted_cost / padded_cost(arrival_batches) < 0.9 or (
+        sorted_cost >= total_tokens
+    )
