@@ -284,8 +284,9 @@ def bpe_vocab_table(
                 F.split(F.array_join(tokens(F.col(text_col)), ""), r"(?!^)(?=.)")
             ).alias("c")
         )
-        .distinct()
-        .collect()
+        .filter(F.length("c") > 0)  # empty/whitespace-only docs split to
+        .distinct()                 # [''] — not a symbol, and admitting it
+        .collect()                  # would renumber every id after it
     )
     spark = corpus.sparkSession
     rows_out = [(i, s, "char") for i, s in enumerate(chars)] + [

@@ -203,8 +203,19 @@ def batch_by_length(
     efficiency is pinned by test: sorted batching wastes no more padding
     than arrival-order chunking on the same data.
     """
+    clash = {"_bk", "_one"} & set(df.columns)
+    if clash:
+        raise ValueError(f"columns collide with internal names: {sorted(clash)}")
     # composite numeric key: length-major, id-minor (ids bounded per
-    # contract; scale the length into disjoint ranges)
+    # contract; scale the length into disjoint ranges). The long key caps
+    # token counts at 2^23 — beyond it the product wraps negative and the
+    # layout silently inverts, so fail loudly instead.
+    mx = df.agg(F.max(token_col)).first()[0]
+    if mx is not None and int(mx) >= (1 << 23):
+        raise ValueError(
+            f"token counts up to {mx} overflow the composite sort key "
+            "(limit 2^23); pre-split or bucket such rows first"
+        )
     key = (F.col(token_col).cast("long") * F.lit(1 << 40)) + F.col(id_col)
     out = exclusive_prefix_sum(
         df.withColumn("_bk", key).withColumn("_one", F.lit(1)),

@@ -144,6 +144,16 @@ class _StreamReader(DataSourceStreamReader):
         # and state stay small)
         cap = options.get("maxblockspertrigger")
         self.max_blocks = int(cap) if cap is not None else None
+        # Cap anchor. A fresh reader after a RESTART does not know the
+        # checkpointed position (initialOffset is not called when a
+        # checkpoint exists), so the anchor starts at fromBlock and the
+        # first post-restart latestOffset may return a value BELOW the
+        # checkpoint. That is safe: the engine never plans a batch whose
+        # end precedes its start (pinned by
+        # tests/test_blocklog_source.py::test_stream_restart_with_cap_no_duplicates),
+        # and each subsequent poll advances the anchor by the cap until it
+        # passes the checkpoint, when admission resumes. partitions()
+        # resyncs the anchor from engine offsets to shortcut that climb.
         self._last = self.start_block
 
     def initialOffset(self) -> dict:
@@ -153,14 +163,13 @@ class _StreamReader(DataSourceStreamReader):
         head = max(head_block(self.path), self.start_block)
         if self.max_blocks is not None:
             head = min(head, self._last + self.max_blocks)
-        self._last = head
+        self._last = max(self._last, head)
         return {"block": head}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        # resync the cap tracker with the ENGINE's offset: after a restart
-        # the checkpointed start is ahead of our fresh start_block, and
-        # capping relative to the stale _last would stall admission
-        self._last = max(self._last, end["block"])
+        # resync the cap anchor with the ENGINE's offsets (covers restart,
+        # incl. replay of an in-flight batch where initialOffset is skipped)
+        self._last = max(self._last, start["block"], end["block"])
         return _plan_pages(self.path, start["block"], end["block"], self.step)
 
     def read(self, partition: _Page) -> Iterator[tuple]:

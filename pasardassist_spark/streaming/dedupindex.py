@@ -57,6 +57,37 @@ def _distinct_union(prev: DataFrame, delta: DataFrame) -> DataFrame:
     return prev.drop("bucket").unionByName(delta.drop("bucket")).distinct()
 
 
+def _merge_admitted_evidence(
+    admitted: DataFrame,
+    id_col: str,
+    hashes_dir: str,
+    sigs_dir: str,
+    text_col: str,
+    keep_generations: int,
+) -> None:
+    """Idempotent index merges from an admitted-docs frame (replay path:
+    signatures recompute from the committed slot's text — same values the
+    first attempt merged)."""
+    adm_sigs = lsh_band_signatures(
+        minhash_signatures(shingles(admitted, text_col, id_col), id_col),
+        id_col,
+    )
+    merge_into_bucketed_state(
+        admitted.select(F.col("_h").alias("content_hash")).distinct(),
+        hashes_dir,
+        ("content_hash",),
+        _distinct_union,
+        keep_generations,
+    )
+    merge_into_bucketed_state(
+        adm_sigs.select("band", "sig").distinct(),
+        sigs_dir,
+        ("band", "sig"),
+        _distinct_union,
+        keep_generations,
+    )
+
+
 def apply_dedup_batch(
     batch_df: DataFrame,
     epoch_id: int,
@@ -67,9 +98,25 @@ def apply_dedup_batch(
     keep_generations: int = 2,
 ) -> None:
     """One epoch's gate + index merge (see module docstring)."""
+    from pasardassist_spark.streaming.generations import COMMIT_MARKER
+
     spark = batch_df.sparkSession
     hashes_dir = os.path.join(state_dir, "hashes")
     sigs_dir = os.path.join(state_dir, "sigs")
+
+    slot = os.path.join(admitted_dir, f"e{epoch_id:09d}")
+    if os.path.exists(os.path.join(slot, COMMIT_MARKER)):
+        # Replay of a committed epoch: skip the whole gate (its decision
+        # would be recomputed against an index possibly already containing
+        # this batch's own evidence — contaminated AND wasted work). The
+        # slot IS the decision; only the idempotent index merges re-run.
+        admitted = spark.read.parquet(slot).withColumn(
+            "_h", content_hash(F.col(text_col))
+        ).localCheckpoint()
+        _merge_admitted_evidence(
+            admitted, id_col, hashes_dir, sigs_dir, text_col, keep_generations
+        )
+        return
 
     # Pin the batch evidence ONCE (eager): the gate decision, the admitted
     # write, and both index merges all consume these frames — without the

@@ -146,7 +146,16 @@ def admitted_events(spark: SparkSession, out_dir: str) -> DataFrame | None:
     and consolidated slots (``c…``), minus slots a committed consolidation
     replaced. Uncommitted (crashed) slots are invisible, so readers see
     each admitted event exactly once — before, during, and after
-    compaction."""
+    compaction.
+
+    Isolation is file-listing-level, like any directory-backed table
+    without a transaction log: the returned frame is LAZY over the slot
+    paths listed now, and a compaction that deletes a listed slot before
+    the action runs fails that action with a missing-path error (never
+    silent loss — deletion happens only after the consolidated slot
+    committed, so a retry sees the consistent post-compaction listing).
+    Materialize promptly or retry on failure; do not cache the frame
+    across compaction cycles."""
     if not os.path.isdir(out_dir):
         return None
     slots = _committed_slots(out_dir)
@@ -175,12 +184,44 @@ def compact_epoch_log(
     every other publisher here. Replaced slots are deleted only AFTER
     the rename; a crash between leaves duplicates on disk that readers
     already ignore (the manifest wins) and the next compaction garbage-
-    collects. Returns False when there is nothing to compact or a
-    concurrent compactor won the rename."""
+    collects. Returns False when there is nothing to compact or another
+    compactor holds the lock.
+
+    Mutual exclusion: the dst-name CAS alone cannot defend two compactors
+    that listed DIFFERENT candidate sets (both would commit overlapping
+    consolidations and double-count rows), so the whole operation runs
+    under an atomic mkdir lock. A crashed compactor's lock goes stale and
+    is broken after ``_LOCK_TTL_S``; its orphaned ``.compact-*`` staging
+    is ignored by readers (no commit marker at a listed name) and cheap.
+    """
     import json
+    import time
 
     if not os.path.isdir(out_dir):
         return False
+    lock = os.path.join(out_dir, ".compact-lock")
+    try:
+        os.mkdir(lock)
+    except OSError:
+        try:
+            if time.time() - os.path.getmtime(lock) < _LOCK_TTL_S:
+                return False  # live concurrent compactor
+            os.rmdir(lock)
+            os.mkdir(lock)
+        except OSError:
+            return False  # lost the race to break/retake the stale lock
+    try:
+        return _compact_epoch_log_locked(spark, out_dir, keep_last, json)
+    finally:
+        shutil.rmtree(lock, ignore_errors=True)
+
+
+_LOCK_TTL_S = 3600  # a compaction pass is minutes; an hour-old lock is a crash
+
+
+def _compact_epoch_log_locked(
+    spark: SparkSession, out_dir: str, keep_last: int, json
+) -> bool:
     slots = _committed_slots(out_dir)
     gone = _replaced_slots(out_dir, slots)
     # opportunistic GC of replaced-but-present slots from a prior crash
@@ -188,7 +229,8 @@ def compact_epoch_log(
         if os.path.isdir(os.path.join(out_dir, d)):
             shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
     live = [d for d in slots if d not in gone]
-    tail = [d for d in live if d.startswith("e")][-keep_last:]
+    e_slots = [d for d in live if d.startswith("e")]
+    tail = e_slots[-keep_last:] if keep_last > 0 else []
     candidates = [d for d in live if d not in tail]
     if len(candidates) < 2:
         return False

@@ -138,3 +138,43 @@ def test_stream_rate_cap_bounds_batches(spark, tmp_path):
     assert out.select("block_number").distinct().count() == 50
     assert len(progress) >= 5, f"expected >=5 capped batches, got {len(progress)}"
     assert max(p["numInputRows"] for p in progress) <= 20  # 10 blocks x 2 events
+
+
+def test_stream_restart_with_cap_no_duplicates(spark, tmp_path):
+    """Restarting a capped stream must not regress the offset into
+    re-reads: the fresh reader's cap anchor starts at fromBlock (below
+    the checkpoint) and must climb back without duplicating or losing a
+    single block — the exact scenario the anchor-resync exists for."""
+    store = str(tmp_path / "chain")
+    write_block_page(store, 0, 100, _events(0, 100))
+    spark.dataSource.register(BlockLogDataSource)
+
+    def start():
+        return (
+            spark.readStream.format("blocklog")
+            .option("path", store)
+            .option("step", 20)
+            .option("maxBlocksPerTrigger", 10)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "sink"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(str(tmp_path / "sink")).count() == 200
+
+    write_block_page(store, 100, 130, _events(100, 130, etype="bid"))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    out = spark.read.parquet(str(tmp_path / "sink"))
+    assert out.count() == 260, "blocks lost or re-read after capped restart"
+    per_block = (
+        out.groupBy("block_number").count().select("count").distinct().collect()
+    )
+    assert [r["count"] for r in per_block] == [2]
+    assert out.select("block_number").distinct().count() == 130
