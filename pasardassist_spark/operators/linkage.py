@@ -85,13 +85,33 @@ def link_records(
       always fall to the lowest NUMERIC id, which is also why ``id_col``
       must be numeric).
 
-    Matching is WITHIN blocks (stage-1 contract); records in different
-    blocks are never linked — pick ``block_keys`` accordingly.
+    Matching is WITHIN blocks (blocked-pairs contract); records in
+    different blocks are never linked — pick ``block_keys`` accordingly.
+
+    The quadratic stage runs over distinct (block, text) TYPES, not
+    records: records sharing a type are linked at distance 0 by
+    construction, so the record graph collapses losslessly to
+    member→representative edges plus fuzzy edges between type
+    representatives — the standard exact-collapse-before-fuzzy
+    optimization (semantics identical: any qualifying record pair's
+    types form a qualifying type pair or ARE one type). On duplicated
+    corpora the candidate-pair count drops by the square of the
+    duplication factor (TPC-H sf0.1 parts: 20 000 rows → 1 600 types,
+    ~156x fewer comparisons).
     """
-    pairs = fuzzy_pairs(df, block_keys, id_col, text_col, max_dist)
-    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
-        "node", id_col
+    keys = list(block_keys)
+    types = df.groupBy(*keys, text_col).agg(F.min(id_col).alias("_rep"))
+    rep_pairs = fuzzy_pairs(types, keys, "_rep", text_col, max_dist).select(
+        "id_a", "id_b"
     )
+    member_edges = (
+        df.join(types, [*keys, text_col])
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(F.col(id_col).alias("id_a"), F.col("_rep").alias("id_b"))
+    )
+    comp = connected_components(
+        rep_pairs.unionByName(member_edges), "id_a", "id_b"
+    ).withColumnRenamed("node", id_col)
     out = df.join(comp, id_col, "left").withColumn(
         "cluster_id", F.coalesce("component", F.col(id_col))
     ).drop("component")

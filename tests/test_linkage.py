@@ -63,3 +63,46 @@ def test_survivorship_orders(spark):
     # every row labeled, exactly one canonical per cluster
     clusters = {r.cluster_id for r in out2}
     assert set(canon2) == clusters
+
+
+def test_type_collapsed_closure_equals_record_level(spark, sf_dir):
+    """The exact-collapse-before-fuzzy optimization must be lossless: the
+    type-collapsed graph's clusters and survivors equal the record-level
+    pair graph's, at two operating distances."""
+    from pyspark.sql import functions as F
+
+    from pasardassist_spark.operators.components import connected_components
+    from pasardassist_spark.operators.linkage import fuzzy_pairs, link_records
+    from pasardassist_spark.tables import load
+
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_brand").alias("block"),
+        F.col("p_name").alias("name"),
+    )
+    for dist in (2, 4):
+        new = {
+            r.id: (r.cluster_id, r.is_canonical)
+            for r in link_records(part, ["block"], "id", "name", dist).collect()
+        }
+        pairs = fuzzy_pairs(part, ["block"], "id", "name", dist)
+        comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+            "node", "id"
+        )
+        out = (
+            part.join(comp, "id", "left")
+            .withColumn("cluster_id", F.coalesce("component", F.col("id")))
+            .drop("component")
+        )
+        winners = out.groupBy("cluster_id").agg(
+            F.max_by(
+                F.col("id"), F.struct((-F.col("id")).alias("_neg_id"))
+            ).alias("_win")
+        )
+        old = {
+            r.id: (r.cluster_id, r.is_canonical)
+            for r in out.join(winners, "cluster_id")
+            .withColumn("is_canonical", F.col("id") == F.col("_win"))
+            .collect()
+        }
+        assert new == old, f"divergence at dist={dist}"
