@@ -203,18 +203,34 @@ def batch_by_length(
     efficiency is pinned by test: sorted batching wastes no more padding
     than arrival-order chunking on the same data.
     """
-    clash = {"_bk", "_one"} & set(df.columns)
+    clash = {"_bk", "_one", "_rank"} & set(df.columns)
     if clash:
         raise ValueError(f"columns collide with internal names: {sorted(clash)}")
     # composite numeric key: length-major, id-minor (ids bounded per
     # contract; scale the length into disjoint ranges). The long key caps
-    # token counts at 2^23 — beyond it the product wraps negative and the
-    # layout silently inverts, so fail loudly instead.
-    mx = df.agg(F.max(token_col)).first()[0]
-    if mx is not None and int(mx) >= (1 << 23):
+    # token counts at 2^23 and ids at 2^40 — beyond either the product
+    # wraps/collides and the layout silently inverts, so fail loudly on
+    # BOTH halves of the composite (a null/negative/oversized id corrupts
+    # the key just as silently as an oversized count).
+    lim = df.agg(
+        F.max(token_col).alias("mx"),
+        F.min(id_col).alias("mn_id"),
+        F.max(id_col).alias("mx_id"),
+        F.sum(F.col(id_col).isNull().cast("long")).alias("null_ids"),
+    ).first()
+    if lim.mx is not None and int(lim.mx) >= (1 << 23):
         raise ValueError(
-            f"token counts up to {mx} overflow the composite sort key "
+            f"token counts up to {lim.mx} overflow the composite sort key "
             "(limit 2^23); pre-split or bucket such rows first"
+        )
+    if lim.null_ids:
+        raise ValueError(f"{id_col} has {lim.null_ids} null values; ids must be non-null")
+    if lim.mn_id is not None and int(lim.mn_id) < 0:
+        raise ValueError(f"{id_col} has negative values (min {lim.mn_id}); ids must be >= 0")
+    if lim.mx_id is not None and int(lim.mx_id) >= (1 << 40):
+        raise ValueError(
+            f"{id_col} values up to {lim.mx_id} overflow the composite sort "
+            "key (limit 2^40); renumber ids first"
         )
     key = (F.col(token_col).cast("long") * F.lit(1 << 40)) + F.col(id_col)
     out = exclusive_prefix_sum(

@@ -84,26 +84,33 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "w2_value_window_analytics", "w_rank_distributions",
     "a13_percentiles_approx", "bpe_train_merge_table", "hh_space_saving",
     "hll_user_rollup",
+    # r6 greens (CORRECTNESS_r06: 45 hash-green + 4 rows-only-by-design
+    # re-row-checked; the one red, emb_pca_project, stays unarchived)
+    "cube_market_rollup", "w3_pareto_share", "stat_linreg", "mad_outliers",
+    "funnel_latency", "cohort_ltv", "dedup_debounce", "src_csv_roundtrip",
+    "src_orc_roundtrip", "idx_inverted_postings", "udtf_sentence_split",
+    "dedup_span_ngrams", "dedup_setjoin_prefix", "curate_quality_classifier",
+    "ab_proportion_ztest", "ab_cuped_adjust", "path_transitions",
+    "rfm_segments", "path_ngrams", "j8_interval_overlap",
+    "dedup_fuzzy_levenshtein", "stat_ks_test", "stat_chi2_independence",
+    "search_hybrid_rrf", "o6_skyline_frontier", "mb_pair_lift",
+    "graph_pagerank", "knn_label_classify", "stat_entropy",
+    "dq_column_profile", "rj_price_band_pairs", "samp_weighted_reservoir",
+    "scd2_build", "scd2_pit_lookup", "cm_sketch_freq", "qsketch_percentiles",
+    "st8_incremental_stats", "sess_concurrency", "ts_gap_fill", "ts_ewma",
+    "ts_zscore_anomaly", "ts_cusum", "ts_interpolate", "ts_twap",
 })
 
 # Entries whose implementation or oracle changed since their last green
 # driver row — treated as unverified for ordering until re-checked.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    # round 6 ADVICE fixes touched these implementations (results should be
-    # value-identical; the driver confirms):
-    "src_jsonl_roundtrip",   # per-call mkdtemp + atexit cleanup
-    "gs_customer_rollup",    # uuid view name + eager drop
-    "bpe_train_merge_table", # checkpoint predecessor unpersist
-    # round 6 bench directive #7: ivf/ivfpq gained prebuilt-index kwargs
-    # (default path identical; rows-only counts should re-confirm)
+    # round 7: the IVF/IVF-PQ operating point changed (recall-raising
+    # nprobe/refine retune per VERDICT r6 #4) — re-row-check both.
     "sim_ivf_ann", "sim_ivfpq_ann",
+    # round 7: mm_decode_features gained a real PPM/PGM decode branch in
+    # operators/multimodal.py (stand-in path unchanged; driver confirms).
+    "mm_decode_features",
 })
-# NOT moved to recheck (window is exactly full at 50): dedup_semantic,
-# whose semdedup path consumes the assign_lists refactor of
-# ivf_assignments. The refactor is value-identical by construction,
-# pinned by the IVF equivalence pytests, and the SAME code path is
-# re-checked in-window via sim_ivf_ann / sim_ivfpq_ann — a strictly
-# stronger check than dedup_semantic's rows-only row count.
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

@@ -145,7 +145,13 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     largest-coordinate-positive), but the numerics are BLAS-specific, so
     the driver records a rows-only check; variance ordering,
     orthonormality, and reconstruction optimality are pytest-asserted
-    in tests/test_pca.py."""
+    in tests/test_pca.py.
+
+    `proj` ships as a comma-joined 6dp string — the same serialization
+    contract as emb_normalize_quantize's q8: the driver's comparator
+    canonicalizes via a pandas sort, which cannot hash list cells, so a
+    raw array<double> column crashes even the rows-only check
+    (CORRECTNESS_r06's one red row)."""
     from pyspark.sql import functions as F
 
     from pasardassist_spark.operators.pca import pca_project
@@ -153,4 +159,10 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", S.as_double(F.col("embedding")).alias("v")
     )
-    return pca_project(emb, "v", "vec_id", PCA_K)
+    out = pca_project(emb, "v", "vec_id", PCA_K)
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform("proj", lambda x: F.round(x, 6).cast("string")), ","
+        ).alias("proj"),
+    )

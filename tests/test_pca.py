@@ -70,5 +70,10 @@ def test_pca_beats_any_other_k_dim_projection_on_variance(spark, sf_dir):
 def test_registered_query_shape(spark, sf_dir):
     df = REGISTRY["emb_pca_project"].fn(spark, sf_dir)
     rows = df.limit(5).collect()
-    assert all(len(r.proj) == K for r in rows)
+    # proj is serialized as a comma-joined 6dp string (driver comparator
+    # cannot hash list cells) — parse it back and check dimensionality
+    assert all(len(r.proj.split(",")) == K for r in rows)
+    assert all(
+        all(abs(float(x)) < 1e6 for x in r.proj.split(",")) for r in rows
+    )
     assert df.count() == load(spark, sf_dir, "embeddings").count()
