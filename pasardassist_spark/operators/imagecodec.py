@@ -1,0 +1,340 @@
+"""Pure-Python image codecs — the real decode path behind the multimodal
+stages (reference parity: src/modules/utils/helpers.ts metadata/thumbnail
+handling; re-expressed as Spark mapInPandas stages in operators/multimodal).
+
+No image library exists in this container, so the decoders are written
+against the public format specs using only the stdlib:
+
+- PPM/PGM (netpbm): P2/P3 ASCII and P5/P6 binary rasters, maxval <= 255.
+- BMP: BITMAPINFOHEADER / BITMAPV4/V5, uncompressed (BI_RGB) 24- and
+  32-bit, bottom-up or top-down rows, 4-byte row padding.
+- PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha) and
+  6 (RGBA), non-interlaced; IDAT inflated with stdlib zlib and all five
+  scanline filters (None/Sub/Up/Average/Paeth) reversed.
+
+Everything operates on in-memory ``bytes`` so it drops straight into the
+Arrow-batched ``mapInPandas`` stages: decode cost is per-payload CPU with
+zero shuffle, which is exactly how a PIL/libvips build would behave at
+100 TB — swap the body, keep the plumbing.
+
+Rasters are a plain tuple ``(width, height, channels, pixels)`` with
+``pixels`` a row-major bytes object (RGB triplets or single-channel gray),
+alpha dropped on decode so every format normalizes to 1 or 3 channels.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import NamedTuple
+
+
+class Raster(NamedTuple):
+    width: int
+    height: int
+    channels: int  # 1 = gray, 3 = RGB
+    pixels: bytes  # row-major, width*height*channels bytes
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def sniff_format(payload: bytes) -> str | None:
+    """Identify a supported image container from its magic bytes."""
+    if payload[:8] == PNG_MAGIC:
+        return "png"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] in (b"P2", b"P3", b"P5", b"P6") and (
+        len(payload) > 2 and payload[2:3] in b" \t\r\n#"
+    ):
+        return "ppm"
+    return None
+
+
+def decode(payload: bytes) -> Raster:
+    """Decode any supported format; raises ValueError on malformed input
+    and NotImplementedError on unrecognized/unsupported containers."""
+    fmt = sniff_format(payload)
+    if fmt == "ppm":
+        return decode_ppm(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    if fmt == "png":
+        return decode_png(payload)
+    raise NotImplementedError("unrecognized image container")
+
+
+# ---------------------------------------------------------------- netpbm --
+
+def _pnm_tokens(payload: bytes, n: int, pos: int) -> tuple[list[int], int]:
+    """Read n whitespace-separated ASCII integers, skipping '#' comments."""
+    out: list[int] = []
+    i = pos
+    ln = len(payload)
+    while len(out) < n:
+        while i < ln and payload[i : i + 1] in b" \t\r\n":
+            i += 1
+        if i < ln and payload[i : i + 1] == b"#":
+            while i < ln and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < ln and payload[j : j + 1] not in b" \t\r\n#":
+            j += 1
+        if j == i:
+            raise ValueError("truncated netpbm header")
+        out.append(int(payload[i:j]))
+        i = j
+    return out, i
+
+
+def decode_ppm(payload: bytes) -> Raster:
+    """P2/P3 (ASCII) and P5/P6 (binary) netpbm rasters, maxval <= 255."""
+    magic = payload[:2]
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        raise ValueError(f"not a supported netpbm magic: {magic!r}")
+    channels = 3 if magic in (b"P3", b"P6") else 1
+    (w, h, maxval), pos = _pnm_tokens(payload, 3, 2)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad netpbm dimensions {w}x{h}")
+    if not 0 < maxval <= 255:
+        raise ValueError(f"unsupported netpbm maxval {maxval}")
+    n = w * h * channels
+    if magic in (b"P5", b"P6"):
+        # exactly one whitespace byte separates header from raster
+        raster = payload[pos + 1 : pos + 1 + n]
+        if len(raster) != n:
+            raise ValueError("truncated netpbm raster")
+    else:
+        vals, _ = _pnm_tokens(payload, n, pos)
+        if any(v < 0 or v > maxval for v in vals):
+            raise ValueError("netpbm sample out of range")
+        raster = bytes(vals)
+    if maxval != 255:
+        raster = bytes((v * 255) // maxval for v in raster)
+    return Raster(w, h, channels, raster)
+
+
+def encode_ppm(r: Raster) -> bytes:
+    """Binary netpbm writer (P5 for gray, P6 for RGB) — the thumbnail
+    container for the resize stage (uncompressed, so payload size is a
+    pure function of dimensions and SQL-checkable)."""
+    if r.channels == 3:
+        head = b"P6\n%d %d\n255\n" % (r.width, r.height)
+    elif r.channels == 1:
+        head = b"P5\n%d %d\n255\n" % (r.width, r.height)
+    else:
+        raise ValueError(f"unsupported channel count {r.channels}")
+    if len(r.pixels) != r.width * r.height * r.channels:
+        raise ValueError("raster size mismatch")
+    return head + r.pixels
+
+
+# ------------------------------------------------------------------- BMP --
+
+def decode_bmp(payload: bytes) -> Raster:
+    """Uncompressed (BI_RGB) 24/32-bit BMP with BITMAPINFOHEADER+."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP file")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression} unsupported")
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp {bpp} unsupported")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h}")
+    bypp = bpp // 8
+    stride = ((w * bypp + 3) // 4) * 4
+    need = data_off + stride * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP raster")
+    rows = range(h) if top_down else range(h - 1, -1, -1)
+    out = bytearray(w * h * 3)
+    o = 0
+    for row in rows:
+        base = data_off + row * stride
+        for x in range(w):
+            p = base + x * bypp
+            # BMP stores BGR(A); normalize to RGB
+            out[o] = payload[p + 2]
+            out[o + 1] = payload[p + 1]
+            out[o + 2] = payload[p]
+            o += 3
+    return Raster(w, h, 3, bytes(out))
+
+
+def encode_bmp(r: Raster) -> bytes:
+    """24-bit bottom-up BI_RGB writer (test fixture generator)."""
+    if r.channels == 1:
+        px = bytes(b for v in r.pixels for b in (v, v, v))
+        r = Raster(r.width, r.height, 3, px)
+    stride = ((r.width * 3 + 3) // 4) * 4
+    pad = b"\x00" * (stride - r.width * 3)
+    rows = []
+    for row in range(r.height - 1, -1, -1):
+        line = bytearray()
+        base = row * r.width * 3
+        for x in range(r.width):
+            p = base + x * 3
+            line += bytes((r.pixels[p + 2], r.pixels[p + 1], r.pixels[p]))
+        rows.append(bytes(line) + pad)
+    raster = b"".join(rows)
+    data_off = 14 + 40
+    file_size = data_off + len(raster)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, r.width, r.height, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return header + info + raster
+
+
+# ------------------------------------------------------------------- PNG --
+
+def _png_unfilter(raw: bytes, w: int, h: int, bypp: int) -> bytes:
+    """Reverse PNG scanline filters (spec §9: None/Sub/Up/Average/Paeth)."""
+    stride = w * bypp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster length mismatch")
+    out = bytearray(h * stride)
+    prev_start = -1
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line_in = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        o = y * stride
+        if ftype == 0:  # None
+            out[o : o + stride] = line_in
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                a = out[o + i - bypp] if i >= bypp else 0
+                out[o + i] = (line_in[i] + a) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                b = out[prev_start + i] if y else 0
+                out[o + i] = (line_in[i] + b) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = out[o + i - bypp] if i >= bypp else 0
+                b = out[prev_start + i] if y else 0
+                out[o + i] = (line_in[i] + ((a + b) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = out[o + i - bypp] if i >= bypp else 0
+                b = out[prev_start + i] if y else 0
+                c = out[prev_start + i - bypp] if (y and i >= bypp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[o + i] = (line_in[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        prev_start = o
+    return bytes(out)
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> Raster:
+    """8-bit non-interlaced PNG (gray / RGB / gray+alpha / RGBA); alpha
+    dropped so output normalizes to 1 or 3 channels."""
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG file")
+    pos = 8
+    w = h = 0
+    color_type = -1
+    idat = bytearray()
+    ln = len(payload)
+    while pos + 8 <= ln:
+        clen, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} unsupported")
+            if color_type not in _PNG_CHANNELS:
+                raise NotImplementedError(f"PNG color type {color_type} unsupported")
+            if interlace:
+                raise NotImplementedError("interlaced PNG unsupported")
+            if comp or filt:
+                raise ValueError("bad PNG compression/filter method")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + body + crc
+    if not w or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    src_ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    flat = _png_unfilter(raw, w, h, src_ch)
+    if color_type == 0:
+        return Raster(w, h, 1, flat)
+    if color_type == 2:
+        return Raster(w, h, 3, flat)
+    # strip alpha
+    keep = src_ch - 1
+    out = bytearray(w * h * keep)
+    for i in range(w * h):
+        out[i * keep : (i + 1) * keep] = flat[i * src_ch : i * src_ch + keep]
+    return Raster(w, h, keep if keep == 3 else 1, bytes(out))
+
+
+def encode_png(r: Raster) -> bytes:
+    """Minimal PNG writer (filter 0 scanlines, one IDAT) — fixture
+    generator for the decode tests and the synthetic payload builder."""
+    color_type = 2 if r.channels == 3 else 0
+    stride = r.width * r.channels
+    raw = b"".join(
+        b"\x00" + r.pixels[y * stride : (y + 1) * stride] for y in range(r.height)
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", r.width, r.height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------- resize --
+
+def resize_nearest(r: Raster, out_w: int, out_h: int) -> Raster:
+    """Nearest-neighbor resample (real pixel work, stdlib-only). Source
+    coordinate = floor(dst * src / out): the standard point-sampling grid,
+    deterministic and SQL-oracle-friendly."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("bad target dimensions")
+    ch = r.channels
+    out = bytearray(out_w * out_h * ch)
+    o = 0
+    for y in range(out_h):
+        sy = (y * r.height) // out_h
+        row = sy * r.width * ch
+        for x in range(out_w):
+            sx = (x * r.width) // out_w
+            p = row + sx * ch
+            out[o : o + ch] = r.pixels[p : p + ch]
+            o += ch
+    return Raster(out_w, out_h, ch, bytes(out))

@@ -103,12 +103,23 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 
 # Entries whose implementation or oracle changed since their last green
 # driver row — treated as unverified for ordering until re-checked.
+#
+# Provenance correction (round 8): the round-7 comments here claimed an
+# ANN nprobe/refine retune and a PPM/PGM decode branch that had NOT landed
+# at that HEAD (VERDICT r7 "What's wrong" #1) — the entries were in fact
+# pre-registered for work that did not happen.  The comments below describe
+# only changes that exist at this HEAD.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    # round 7: the IVF/IVF-PQ operating point changed (recall-raising
-    # nprobe/refine retune per VERDICT r6 #4) — re-row-check both.
+    # round 8: the IVF/IVF-PQ operating point changed this round — IVF
+    # N_PROBE 6->10 (recall@10 0.66->0.84 at sf0.1), IVF-PQ probe 12 /
+    # refine 32 (0.54->0.86); operators/similarity.py. Re-row-check both.
     "sim_ivf_ann", "sim_ivfpq_ann",
-    # round 7: mm_decode_features gained a real PPM/PGM decode branch in
-    # operators/multimodal.py (stand-in path unchanged; driver confirms).
+    # round 8: extract_features gained a magic-byte sniff that routes
+    # image payloads through the real pure-Python PPM/BMP/PNG decoders
+    # (operators/imagecodec.py); text payloads keep the digest stand-in,
+    # so this row should be unchanged — recheck confirms. The real decode
+    # branch itself is covered by the NEW mm_decode_real / mm_resize_real
+    # entries (hash-checked against arithmetic raster-checksum oracles).
     "mm_decode_features",
 })
 

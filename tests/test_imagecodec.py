@@ -1,0 +1,243 @@
+"""Pure-Python image codec tests: known-byte fixtures, forward-filtered PNG
+streams (the test applies spec filters forward; the decoder must invert
+them), BMP layout variants, and the real decode/resize Spark stages checked
+against independent arithmetic."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from pasardassist_spark.operators import imagecodec as C
+
+
+RGB_2x2 = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+
+
+def test_ppm_p6_roundtrip():
+    r = C.Raster(2, 2, 3, RGB_2x2)
+    payload = C.encode_ppm(r)
+    assert payload.startswith(b"P6\n2 2\n255\n")
+    d = C.decode(payload)
+    assert d == r
+    assert C.sniff_format(payload) == "ppm"
+
+
+def test_pgm_p5_roundtrip():
+    r = C.Raster(3, 2, 1, bytes([0, 128, 255, 1, 2, 3]))
+    d = C.decode(C.encode_ppm(r))
+    assert d == r
+
+
+def test_ppm_ascii_p3_with_comments():
+    payload = b"P3\n# a comment\n2 1\n# another\n255\n10 20 30  40 50 60\n"
+    d = C.decode_ppm(payload)
+    assert d == C.Raster(2, 1, 3, bytes([10, 20, 30, 40, 50, 60]))
+
+
+def test_pgm_ascii_p2_maxval_scaling():
+    # maxval 15 scales to 0..255 via v*255//15
+    payload = b"P2\n2 1\n15\n0 15\n"
+    d = C.decode_ppm(payload)
+    assert d == C.Raster(2, 1, 1, bytes([0, 255]))
+
+
+def test_ppm_truncated_raster_raises():
+    with pytest.raises(ValueError):
+        C.decode_ppm(b"P6\n2 2\n255\n" + b"\x00" * 5)
+
+
+def test_bmp_roundtrip_bottom_up_with_padding():
+    # width 3 -> 9-byte rows padded to 12: exercises stride logic
+    px = bytes(range(3 * 2 * 3))
+    r = C.Raster(3, 2, 3, px)
+    payload = C.encode_bmp(r)
+    assert C.sniff_format(payload) == "bmp"
+    assert C.decode(payload) == r
+
+
+def test_bmp_top_down_and_32bpp():
+    # hand-built: 2x2 top-down 32bpp BGRA
+    w, h = 2, 2
+    pixels_rgb = RGB_2x2
+    raster = bytearray()
+    for y in range(h):  # top-down: rows in display order
+        for x in range(w):
+            p = (y * w + x) * 3
+            rr, gg, bb = pixels_rgb[p], pixels_rgb[p + 1], pixels_rgb[p + 2]
+            raster += bytes((bb, gg, rr, 0xFF))  # BGRA
+    data_off = 54
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(raster), 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0, len(raster), 0, 0, 0, 0)
+    d = C.decode_bmp(header + info + bytes(raster))
+    assert d == C.Raster(w, h, 3, pixels_rgb)
+
+
+def test_bmp_compressed_rejected():
+    payload = bytearray(C.encode_bmp(C.Raster(1, 1, 3, b"\x01\x02\x03")))
+    struct.pack_into("<I", payload, 30, 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        C.decode_bmp(bytes(payload))
+
+
+def _apply_filter(ftype: int, line: bytes, prev: bytes, bypp: int) -> bytes:
+    """FORWARD PNG filter (spec §9) — independent of the decoder's inverse."""
+    out = bytearray()
+    for i, v in enumerate(line):
+        a = line[i - bypp] if i >= bypp else 0
+        b = prev[i] if prev else 0
+        c = prev[i - bypp] if (prev and i >= bypp) else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out.append((v - pred) & 0xFF)
+    return bytes(out)
+
+
+def _png_with_filters(w, h, channels, pixels, filters):
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = w * channels
+    raw = bytearray()
+    prev = b""
+    for y in range(h):
+        line = pixels[y * stride : (y + 1) * stride]
+        raw.append(filters[y])
+        raw += _apply_filter(filters[y], line, prev, channels)
+        prev = line
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        C.PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filter_types_rgb():
+    # 4x5 RGB, one row per filter type; test applies filters FORWARD, the
+    # decoder must invert every one of them byte-exactly
+    w, h = 4, 5
+    pixels = bytes((x * 31 + y * 57 + c * 13) % 256
+                   for y in range(h) for x in range(w) for c in range(3))
+    payload = _png_with_filters(w, h, 3, pixels, [0, 1, 2, 3, 4])
+    assert C.sniff_format(payload) == "png"
+    assert C.decode(payload) == C.Raster(w, h, 3, pixels)
+
+
+def test_png_gray_and_alpha_drop():
+    gray = bytes([5, 250, 100, 7])
+    assert C.decode(_png_with_filters(2, 2, 1, gray, [0, 4])) == C.Raster(2, 2, 1, gray)
+    # RGBA: alpha channel must be stripped on decode
+    rgba = bytes([1, 2, 3, 9, 4, 5, 6, 8])
+    assert C.decode(_png_with_filters(2, 1, 4, rgba, [1])) == C.Raster(
+        2, 1, 3, bytes([1, 2, 3, 4, 5, 6])
+    )
+    # gray+alpha (color type 4)
+    ga = bytes([11, 200, 22, 100])
+    assert C.decode(_png_with_filters(2, 1, 2, ga, [0])) == C.Raster(
+        2, 1, 1, bytes([11, 22])
+    )
+
+
+def test_png_roundtrip_via_own_encoder():
+    px = bytes((i * 7) % 256 for i in range(6 * 4 * 3))
+    r = C.Raster(6, 4, 3, px)
+    assert C.decode(C.encode_png(r)) == r
+
+
+def test_png_interlace_rejected():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    payload = (
+        C.PNG_MAGIC
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError):
+        C.decode_png(payload)
+
+
+def test_resize_nearest_known_grid():
+    # 4x4 grid downsampled to 2x2: nearest picks source (0,0),(2,0),(0,2),(2,2)
+    px = bytes(range(4 * 4))  # gray values 0..15 row-major
+    out = C.resize_nearest(C.Raster(4, 4, 1, px), 2, 2)
+    assert out == C.Raster(2, 2, 1, bytes([0, 2, 8, 10]))
+    # upsample 1x1 -> 3x2 replicates the single pixel
+    up = C.resize_nearest(C.Raster(1, 1, 3, b"\x09\x08\x07"), 3, 2)
+    assert up.pixels == b"\x09\x08\x07" * 6
+
+
+def test_sniff_rejects_text():
+    assert C.sniff_format(b"hello world, plain text payload") is None
+    assert C.sniff_format(b"Paragraph starting with P") is None
+    with pytest.raises(NotImplementedError):
+        C.decode(b"not an image")
+
+
+def test_decode_image_entrypoint_real(spark):
+    """operators/multimodal.decode_image is no longer a stub: it parses
+    real bytes for every supported container."""
+    from pasardassist_spark.operators.multimodal import decode_image
+
+    r = C.Raster(5, 3, 3, bytes((i * 3) % 256 for i in range(45)))
+    for payload in (C.encode_ppm(r), C.encode_bmp(r), C.encode_png(r)):
+        assert decode_image(payload) == (5, 3)
+
+
+def test_real_decode_stage_matches_arithmetic(spark):
+    """attach_image_payload → decode_images on Spark: dims and raster
+    checksum must equal the closed-form derivation from doc_id."""
+    from pasardassist_spark.operators.multimodal import (
+        attach_image_payload,
+        decode_images,
+        synth_raster,
+    )
+
+    df = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    rows = {r["doc_id"]: r for r in decode_images(attach_image_payload(df)).collect()}
+    assert len(rows) == 30
+    for doc_id in range(30):
+        w, h, px = synth_raster(doc_id)
+        r = rows[doc_id]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert r["pixel_sum"] == sum(px)
+        assert r["kind"].startswith("image/")
+
+
+def test_real_resize_stage_thumbs_decodable(spark):
+    from pasardassist_spark.operators.multimodal import (
+        attach_image_payload,
+        resize_images,
+        synth_raster,
+    )
+
+    df = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    for r in resize_images(attach_image_payload(df), max_side=16).collect():
+        w, h, px = synth_raster(r["doc_id"])
+        assert (r["width"], r["height"]) == (w, h)
+        assert max(r["out_w"], r["out_h"]) <= 16
+        t = C.decode(r["thumb"])
+        assert (t.width, t.height) == (r["out_w"], r["out_h"])
+        # spot-check the resampling grid: thumb pixel (x,y) equals source
+        # pixel at ((x*w)//out_w, (y*h)//out_h)
+        for x, y in [(0, 0), (r["out_w"] - 1, r["out_h"] - 1)]:
+            sx, sy = (x * w) // r["out_w"], (y * h) // r["out_h"]
+            src = px[(sy * w + sx) * 3 : (sy * w + sx) * 3 + 3]
+            got = t.pixels[(y * t.width + x) * 3 : (y * t.width + x) * 3 + 3]
+            assert got == src

@@ -151,9 +151,9 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     approx = {(r.q_id, r.neighbor_id) for r in S.ivf_topk(emb, qids, 10).collect()}
     assert approx
     recall = len(exact & approx) / len(exact)
-    # 4/16 lists probed; even on unclustered gaussian data the nearest
-    # centroids capture well above the 25% random-probe floor
-    assert recall >= 0.3, f"low IVF recall {recall}"
+    # round-8 operating point (10/16 lists probed) measures 0.86-0.88
+    # across sf0.001-0.1; the floor guards a silent recall regression
+    assert recall >= 0.7, f"low IVF recall {recall}"
     # rerank cosines are exact
     ref = {
         (r.q_id, r.neighbor_id): r.cosine
@@ -173,9 +173,9 @@ def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
     approx = {(r.q_id, r.neighbor_id) for r in rows}
     assert approx
     recall = len(exact & approx) / len(exact)
-    # same 4/16 IVF pruning as sim_ivf_ann; PQ + refine=4k only loses
-    # candidates the 8x16 codes mis-rank below position 40
-    assert recall >= 0.25, f"low IVF-PQ recall {recall}"
+    # round-8 operating point (12/16 lists probed, refine=32k) measures
+    # 0.86-0.9 across sf0.001-0.1; the floor guards a silent regression
+    assert recall >= 0.7, f"low IVF-PQ recall {recall}"
     # the refine step re-scores with exact cosine: values must match brute
     # force wherever both report the pair
     ref = {
