@@ -343,28 +343,69 @@ def main() -> None:
         "mm_decode_features",
     ]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "queries_extra": extras,
-                "ann": ann,
-                "value_warm": round(sum(warm.values()), 3),
-                "value_baseline_subset": round(
-                    sum(timings[n] for n in baseline_subset), 3
-                ),
-                "value_baseline_subset_warm": round(
-                    sum(warm[n] for n in baseline_subset), 3
-                ),
-                "n_queries": len(HEADLINE),
-                "sf": sf,
-            }
-        )
-    )
+
+    # Per-query regression tracking vs the previous recorded run (VERDICT
+    # r6 #6): the shared host occasionally doubles random untouched
+    # queries, and without per-query deltas every round-over-round swing
+    # is an unattributable judgment call. BENCH_LAST.json is this
+    # harness's own full record of the previous run (the driver's
+    # BENCH_r{N}.json keeps only a truncated tail); flagged = warm/extra
+    # time grew >25% AND >0.2 s absolute (sub-second queries jitter past
+    # 25% on scheduler noise alone).
+    last_path = os.path.join(REPO, "BENCH_LAST.json")
+    prev: dict = {}
+    if os.path.exists(last_path):
+        try:
+            with open(last_path) as f:
+                prev = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+    if prev.get("sf") != sf:
+        prev = {}  # cross-sf comparison is meaningless; don't fake deltas
+    prev_times = {**prev.get("queries_warm", {}), **prev.get("queries_extra", {})}
+    cur_times = {**warm, **extras}
+    regressions = {
+        name: {
+            "prev_s": p,
+            "cur_s": cur,
+            "delta_pct": round((cur - p) / p * 100, 1),
+        }
+        for name, cur in cur_times.items()
+        if (p := prev_times.get(name)) and cur - p > 0.2 and (cur - p) / p > 0.25
+    }
+
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "queries_extra": extras,
+        "ann": ann,
+        "value_warm": round(sum(warm.values()), 3),
+        "value_baseline_subset": round(
+            sum(timings[n] for n in baseline_subset), 3
+        ),
+        "value_baseline_subset_warm": round(
+            sum(warm[n] for n in baseline_subset), 3
+        ),
+        "n_queries": len(HEADLINE),
+        "sf": sf,
+        "regressions": regressions,
+        "regressions_vs": prev.get("round"),
+    }
+    print(json.dumps(result))
+
+    # Full record for next run's comparison (best-effort: a read-only
+    # checkout must not break the bench output). Only the canonical sf0.1
+    # driver configuration is recorded — ad-hoc runs at other scale
+    # factors must not clobber the round-over-round anchor.
+    if sf == 0.1:
+        try:
+            with open(last_path, "w") as f:
+                json.dump({**result, "round": "HEAD"}, f, indent=1)
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":

@@ -195,9 +195,9 @@ def batch_by_length(
     batch_id = global length-rank // max_rows, where the rank is the
     distributed two-phase prefix COUNT over the (token_col, id_col)
     composite key — same machinery, same no-single-task-sort guarantee
-    as pack_sequences; ``id_col`` (unique, non-negative, < 2^20 gap-free
-    enough to compose) breaks length ties so the layout is total and
-    deterministic under any partitioning.
+    as pack_sequences; ``id_col`` (unique, non-null, >= 0, < 2^40) breaks
+    length ties so the layout is total and deterministic under any
+    partitioning; ``token_col`` must be non-null and in [0, 2^23).
 
     Adds ``batch_id`` and ``batch_pos`` (rank within the batch). Padding
     efficiency is pinned by test: sorted batching wastes no more padding
@@ -214,6 +214,8 @@ def batch_by_length(
     # the key just as silently as an oversized count).
     lim = df.agg(
         F.max(token_col).alias("mx"),
+        F.min(token_col).alias("mn"),
+        F.sum(F.col(token_col).isNull().cast("long")).alias("null_toks"),
         F.min(id_col).alias("mn_id"),
         F.max(id_col).alias("mx_id"),
         F.sum(F.col(id_col).isNull().cast("long")).alias("null_ids"),
@@ -222,6 +224,16 @@ def batch_by_length(
         raise ValueError(
             f"token counts up to {lim.mx} overflow the composite sort key "
             "(limit 2^23); pre-split or bucket such rows first"
+        )
+    if lim.null_toks:
+        raise ValueError(
+            f"{token_col} has {lim.null_toks} null values; a null count "
+            "nulls the composite key and silently corrupts the layout"
+        )
+    if lim.mn is not None and int(lim.mn) < 0:
+        raise ValueError(
+            f"{token_col} has negative values (min {lim.mn}); counts must "
+            "be >= 0 or the composite key inverts the length order"
         )
     if lim.null_ids:
         raise ValueError(f"{id_col} has {lim.null_ids} null values; ids must be non-null")

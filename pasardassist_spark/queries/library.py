@@ -1,0 +1,302 @@
+"""Driver slots for library operators (VERDICT r6 #3 / r7 #2): operators
+that shipped with pytest-only coverage get hash-checked driver rows here —
+each query routes the testdata through the REAL operator (operators/cep,
+cdc, packing, linkage; streaming/drift) and states an independent naive-SQL
+oracle, so the driver certifies the operator itself, not a re-derivation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pasardassist_spark.queries.registry import query
+from pasardassist_spark.tables import load
+
+
+# ------------------------------------------------------------- CEP ------
+
+@query(
+    "cep_match_pattern",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               LEAD(event_type, 1) OVER w AS t1,
+               LEAD(event_type, 2) OVER w AS t2,
+               LEAD(event_id, 1) OVER w AS id1,
+               LEAD(event_id, 2) OVER w AS id2,
+               LEAD(ts, 2) OVER w AS end_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           event_id AS id0, id1, id2,
+           ts AS start_ts, end_ts
+    FROM seq
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+    """,
+)
+def cep_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern CEP (operators/cep.py:match_pattern): every strictly
+    contiguous view→click→purchase run in each user's event-time-ordered
+    stream — the SQL:2016 MATCH_RECOGNIZE shape the reference's fixed
+    timeline endpoints (app.service.ts:966-1007) cannot express. The
+    operator's plan is k-1 LEADs over ONE user-keyed window exchange (no
+    self-joins, no events^k blowup); the oracle states the same match as
+    a naive LEAD conjunction, so the hash certifies the operator's
+    contiguity/ordering semantics exactly."""
+    from pasardassist_spark.operators.cep import match_pattern
+
+    ev = load(spark, sf_dir, "events")
+    t = F.col("event_type")
+    out = match_pattern(
+        ev,
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+        steps=[t == "view", t == "click", t == "purchase"],
+        id_col="event_id",
+        time_col="ts",
+    )
+    return out.select(
+        "user_id",
+        F.element_at("match_ids", 1).alias("id0"),
+        F.element_at("match_ids", 2).alias("id1"),
+        F.element_at("match_ids", 3).alias("id2"),
+        F.col("start_ts"),
+        F.col("end_ts"),
+    )
+
+
+# ------------------------------------------------------------- CDC ------
+
+_CDC_SPLIT = "1995-06-01"
+
+
+@query(
+    "cdc_operator_diff",
+    oracle=f"""
+    WITH old AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders WHERE o_orderdate < TIMESTAMP '{_CDC_SPLIT} 00:00:00'
+        GROUP BY o_custkey
+    ),
+    new AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+           CASE WHEN a.o_custkey IS NULL THEN 'added'
+                WHEN b.o_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           a.n_orders AS old_n_orders,
+           b.n_orders AS new_n_orders,
+           CAST(a.spend AS DOUBLE) AS old_spend,
+           CAST(b.spend AS DOUBLE) AS new_spend
+    FROM old a FULL OUTER JOIN new b ON a.o_custkey = b.o_custkey
+    WHERE a.o_custkey IS NULL OR b.o_custkey IS NULL
+       OR a.n_orders IS DISTINCT FROM b.n_orders
+       OR a.spend IS DISTINCT FROM b.spend
+    """,
+)
+def cdc_operator_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic snapshot-diff OPERATOR (operators/cdc.py:snapshot_diff —
+    the reusable core behind the inline cdc_snapshot_diff query and the
+    generational store's state_diff audit): per-customer order rollups as
+    of {_CDC_SPLIT} vs today, diffed by one full-outer equi-join with
+    null-safe column compare; unchanged customers drop out. Money folds
+    through the decimal-exact pattern so both engines agree bit-for-bit.
+    'removed' cannot occur in this derivation (history only grows) — the
+    classifier still states it, and the oracle mirrors the same CASE."""
+    from pasardassist_spark.operators.cdc import snapshot_diff
+
+    o = load(spark, sf_dir, "orders")
+    spend = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    n = F.count(F.lit(1)).cast("long").alias("n_orders")
+    old = (
+        o.where(F.col("o_orderdate") < _CDC_SPLIT)
+        .groupBy("o_custkey")
+        .agg(n, spend)
+    )
+    new = o.groupBy("o_custkey").agg(n, spend)
+    d = snapshot_diff(old, new, keys=["o_custkey"])
+    # decimal-exact fold internally; the published column casts to double
+    # (both engines cast the identical decimal, so the bits agree)
+    return d.withColumn("old_spend", F.col("old_spend").cast("double")).withColumn(
+        "new_spend", F.col("new_spend").cast("double")
+    )
+
+
+# ------------------------------------------------- inference batching ---
+
+_BATCH_ROWS = 32
+
+
+@query(
+    "batch_by_length",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS rk
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rk // {_BATCH_ROWS} AS BIGINT) AS batch_id,
+           CAST(rk % {_BATCH_ROWS} AS INTEGER) AS batch_pos
+    FROM ranked
+    """,
+)
+def batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-minimizing inference batching (operators/packing.py:
+    batch_by_length): documents chunk into {_BATCH_ROWS}-row batches in
+    global length order, so same-batch rows have near-equal lengths and
+    per-batch padding collapses. The operator computes the global length
+    rank as a distributed two-phase prefix count over a (length, id)
+    composite key — no single-task sort anywhere; the oracle states the
+    same layout as the naive ROW_NUMBER arithmetic, so the hash certifies
+    rank, chunking, and tie-break determinism at once."""
+    from pasardassist_spark.operators.packing import batch_by_length as bbl
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return bbl(d, "doc_id", "n_chars", _BATCH_ROWS).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+        "batch_id", "batch_pos",
+    )
+
+
+# ------------------------------------------------------------ drift -----
+
+_PSI_BIN = 50.0
+
+
+@query(
+    "drift_psi_readout",
+    oracle=f"""
+    WITH a AS (
+        SELECT floor(value / {_PSI_BIN}) * {_PSI_BIN} AS value,
+               CAST(COUNT(*) AS BIGINT) AS cnt_a
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    b AS (
+        SELECT floor(value / {_PSI_BIN}) * {_PSI_BIN} AS value,
+               CAST(COUNT(*) AS BIGINT) AS cnt_b
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    bins AS (
+        SELECT COALESCE(a.value, b.value) AS value,
+               COALESCE(cnt_a, 0) AS cnt_a,
+               COALESCE(cnt_b, 0) AS cnt_b
+        FROM a FULL OUTER JOIN b ON a.value = b.value
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+               CAST(SUM(cnt_b) AS BIGINT) AS n_b
+        FROM bins
+    )
+    SELECT tot.n_a, tot.n_b,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           round(SUM(
+               (GREATEST(CAST(cnt_a AS DOUBLE) / tot.n_a, 1e-6)
+                - GREATEST(CAST(cnt_b AS DOUBLE) / tot.n_b, 1e-6))
+               * ln(GREATEST(CAST(cnt_a AS DOUBLE) / tot.n_a, 1e-6)
+                    / GREATEST(CAST(cnt_b AS DOUBLE) / tot.n_b, 1e-6))
+           ), 6) AS psi,
+           round(SUM(
+               (GREATEST(CAST(cnt_a AS DOUBLE) / tot.n_a, 1e-6)
+                - GREATEST(CAST(cnt_b AS DOUBLE) / tot.n_b, 1e-6))
+               * ln(GREATEST(CAST(cnt_a AS DOUBLE) / tot.n_a, 1e-6)
+                    / GREATEST(CAST(cnt_b AS DOUBLE) / tot.n_b, 1e-6))
+           ), 6) >= 0.25 AS drifted
+    FROM bins, tot
+    GROUP BY tot.n_a, tot.n_b
+    """,
+)
+def drift_psi_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift readout through the FULL state
+    path (streaming/drift.py:drift_from_state): the live sample's binned
+    value counts ('click' events, {_PSI_BIN}-wide bins) are merged into a
+    real generational state store (the same merge the streaming monitor
+    runs per micro-batch), read back, full-outer-joined against the
+    frozen reference ('view' events), and scored by operators/drift.py:
+    psi_distance. The oracle recomputes PSI closed-form in SQL; the 6-dp
+    round absorbs libm ln() ULP skew (the fold itself is sorted-order
+    deterministic)."""
+    import tempfile
+
+    from pasardassist_spark.streaming.drift import (
+        _combine,
+        drift_from_state,
+    )
+    from pasardassist_spark.streaming.ingest import merge_into_bucketed_state
+
+    ev = load(spark, sf_dir, "events")
+    binned = F.floor(F.col("value") / _PSI_BIN) * _PSI_BIN
+    live = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(binned.alias("value"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ref = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy(binned.alias("value"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    state_dir = tempfile.mkdtemp(prefix="drift_psi_state_")
+    merge_into_bucketed_state(live, state_dir, ("value",), _combine)
+    return drift_from_state(spark, state_dir, ref, metric="psi")
+
+
+# ------------------------------------------------------- record linkage -
+
+_LINK_MAX_DIST = 4
+
+
+@query(
+    "link_records_clusters",
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+        SELECT a.p_partkey AS src, b.p_partkey AS dst
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= {_LINK_MAX_DIST}
+    ),
+    reach(node, label) AS (
+        SELECT p_partkey, p_partkey FROM part
+        UNION
+        SELECT e.dst, r.label
+        FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+        SELECT node AS p_partkey, MIN(label) AS cluster_id
+        FROM reach GROUP BY node
+    )
+    SELECT p.p_partkey,
+           c.cluster_id,
+           p.p_partkey = c.cluster_id AS is_canonical
+    FROM part p JOIN comp c ON p.p_partkey = c.p_partkey
+    """,
+)
+def link_records_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full record-linkage pipeline (operators/linkage.py:link_records):
+    brand-blocked fuzzy candidate pairs (lossless length-band blocking +
+    thresholded levenshtein) → large-star/small-star transitive closure →
+    lowest-id survivorship. The oracle recomputes the same clusters from
+    first principles: naive brand-blocked levenshtein edges closed under
+    a recursive min-label propagation CTE — so the hash certifies the
+    blocked candidate generation (zero recall loss), the exact-collapse
+    type optimization, AND the distributed connected-components rounds
+    against an independent fixpoint construction."""
+    from pasardassist_spark.operators.linkage import link_records
+
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    out = link_records(
+        p,
+        block_keys=["p_brand"],
+        id_col="p_partkey",
+        text_col="p_name",
+        max_dist=_LINK_MAX_DIST,
+    )
+    return out.select("p_partkey", "cluster_id", "is_canonical")

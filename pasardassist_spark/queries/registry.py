@@ -172,6 +172,7 @@ def _load_all() -> None:
         dedup,
         enrichment,
         experiments,
+        library,
         matching,
         mining,
         multimodal,

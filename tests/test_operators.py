@@ -1092,3 +1092,26 @@ def test_batch_by_length_minimizes_padding(spark, sf_dir):
     assert sorted_cost / padded_cost(arrival_batches) < 0.9 or (
         sorted_cost >= total_tokens
     )
+
+
+def test_batch_by_length_rejects_bad_keys(spark):
+    """Both halves of the composite sort key fail loudly: null/negative/
+    oversized ids AND null/negative token counts would silently corrupt
+    the layout otherwise."""
+    import pytest
+
+    from pasardassist_spark.operators.packing import batch_by_length
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, n_tok long")
+
+    for rows, frag in [
+        ([(1, 5), (None, 7)], "null"),
+        ([(1, 5), (-2, 7)], "negative"),
+        ([(1, 5), (1 << 40, 7)], "overflow"),
+        ([(1, None), (2, 7)], "null"),
+        ([(1, -3), (2, 7)], "negative"),
+        ([(1, 1 << 23), (2, 7)], "overflow"),
+    ]:
+        with pytest.raises(ValueError, match=r"null|negative|>= 0|overflow"):
+            batch_by_length(mk(rows), "doc_id", "n_tok", 4)
