@@ -289,6 +289,20 @@ def bpe_vocab_table(
         .collect()                  # would renumber every id after it
     )
     spark = corpus.sparkSession
+    # Closure guard (ADVICE r7): the char block is derived from THIS
+    # corpus, so merges trained on a different corpus can reference
+    # characters with no vocab id — the encoder's char-level fallback for
+    # those symbols would emit ids the table cannot map. Ids must stay
+    # append-stable (inserting the missing chars would renumber the merge
+    # block), so fail loudly instead of silently widening.
+    missing = sorted({c for s in merge_syms for c in s} - set(chars))
+    if missing:
+        raise ValueError(
+            f"merge table references {len(missing)} character(s) absent "
+            f"from this corpus ({missing[:8]!r}...); build the vocab over "
+            "the tokenizer's TRAINING corpus (or a superset) so the char "
+            "block closes over every merge symbol"
+        )
     rows_out = [(i, s, "char") for i, s in enumerate(chars)] + [
         (len(chars) + i, s, "merge") for i, s in enumerate(merge_syms)
     ]

@@ -154,6 +154,13 @@ class _StreamReader(DataSourceStreamReader):
         # and each subsequent poll advances the anchor by the cap until it
         # passes the checkpoint, when admission resumes. partitions()
         # resyncs the anchor from engine offsets to shortcut that climb.
+        # Documented residual (ADVICE r7, accepted): when NO batch is in
+        # flight at restart (so partitions() has nothing to resync from),
+        # the climb costs up to ceil((checkpoint - fromBlock) / cap) empty
+        # polls before new blocks are admitted — bounded staleness, never
+        # duplicates or loss. Deployments restarting far from fromBlock
+        # should re-point fromBlock near the checkpoint (the option only
+        # anchors the cap; the checkpoint still owns the read position).
         self._last = self.start_block
 
     def initialOffset(self) -> dict:

@@ -203,13 +203,36 @@ def compact_epoch_log(
     try:
         os.mkdir(lock)
     except OSError:
+        # Stale-lock break. The naive rmdir+mkdir is a TOCTOU: two
+        # breakers can each observe staleness, and the slower rmdir then
+        # deletes the faster breaker's FRESH lock — two owners. Breaking
+        # by atomic rename closes that: only one contender's rename of
+        # the stale dir succeeds; the loser's raises and it backs off.
+        # Residual race: an owner re-creating the lock between our mtime
+        # read and the rename would be stolen from — so re-check age
+        # AFTER the rename (the stat is now on a dir only we can name)
+        # and hand a live lock straight back.
         try:
             if time.time() - os.path.getmtime(lock) < _LOCK_TTL_S:
                 return False  # live concurrent compactor
-            os.rmdir(lock)
+            stale = f"{lock}.stale-{os.getpid()}-{time.time_ns()}"
+            os.rename(lock, stale)
+        except OSError:
+            return False  # lost the break race (or lock vanished)
+        if time.time() - os.path.getmtime(stale) < _LOCK_TTL_S:
+            # stole a live lock: restore it and bow out. If the name was
+            # re-taken meanwhile the restore fails — drop our copy; the
+            # new owner holds a valid lock either way.
+            try:
+                os.rename(stale, lock)
+            except OSError:
+                shutil.rmtree(stale, ignore_errors=True)
+            return False
+        shutil.rmtree(stale, ignore_errors=True)
+        try:
             os.mkdir(lock)
         except OSError:
-            return False  # lost the race to break/retake the stale lock
+            return False  # another contender re-took the name first
     try:
         return _compact_epoch_log_locked(spark, out_dir, keep_last, json)
     finally:
