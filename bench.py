@@ -183,6 +183,18 @@ def main() -> None:
         "stat_ks_test",
         "stat_chi2_independence",
         "search_hybrid_rrf",
+        # round-8 additions: the promoted library-operator slots and the
+        # real-codec multimodal stages get regression rows of their own.
+        "cep_match_pattern",
+        "cdc_operator_diff",
+        "batch_by_length",
+        "drift_psi_readout",
+        "link_records_clusters",
+        "mm_decode_real",
+        "mm_resize_real",
+        "mm_dhash_dedup",
+        "mm_dhash_near_pairs",
+        "mm_audio_features",
     ]:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -227,7 +239,9 @@ def main() -> None:
         [F.col("event_type") == "view", F.col("event_type") == "click"],
         id_col="event_id", time_col="us", within=3_600_000_000,
     ).write.format("noop").mode("overwrite").save()
-    extras["cep_match_pattern"] = round(time.perf_counter() - t0, 3)
+    # distinct name from the registry's cep_match_pattern slot (3-step, no
+    # budget): this row keeps the r6/r7 2-step + 1 h-budget series intact
+    extras["cep_view_click_1h"] = round(time.perf_counter() - t0, 3)
 
     part = load(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("id"), F.col("p_brand").alias("block"),

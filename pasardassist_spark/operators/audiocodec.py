@@ -1,0 +1,113 @@
+"""Pure-Python WAV (RIFF/PCM) codec — the audio half of the multimodal
+decode story (reference parity: the reference stores media as opaque URLs,
+src/modules/utils/helpers.ts; here the payload bytes are first-class).
+
+Stdlib-only, like operators/imagecodec.py: the container has no audio
+libraries, but PCM WAV needs none — the RIFF container is a length-tagged
+chunk list and the samples are little-endian integers. Supported: PCM
+(format tag 1) 16-bit mono/stereo, arbitrary sample rate; anything else
+(float WAV, ADPCM, MP3/OGG/FLAC) raises NotImplementedError at the same
+seam an ffmpeg/soundfile build would plug into.
+
+Feature extraction works in INTEGER arithmetic end-to-end (sum of squares,
+zero crossings) so a SQL oracle can re-derive every number exactly — the
+same closed-form-checkable discipline as the image raster checksums.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import NamedTuple
+
+
+class PcmAudio(NamedTuple):
+    sample_rate: int
+    channels: int
+    samples: list[int]  # interleaved 16-bit signed, -32768..32767
+
+
+WAV_MAGIC = b"RIFF"
+
+
+def sniff_wav(payload: bytes) -> bool:
+    return payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+
+
+def decode_wav(payload: bytes) -> PcmAudio:
+    """Parse a RIFF/WAVE container: walk chunks (word-aligned), read fmt
+    (PCM 16-bit only), then the data chunk's interleaved samples."""
+    if not sniff_wav(payload):
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    ln = len(payload)
+    while pos + 8 <= ln:
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + csize]
+        if len(body) != csize:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, channels, rate, _byte_rate, _align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if tag != 1:
+        raise NotImplementedError(f"WAV format tag {tag} unsupported (PCM only)")
+    if bits != 16:
+        raise NotImplementedError(f"WAV bit depth {bits} unsupported (16 only)")
+    if channels < 1:
+        raise ValueError("bad WAV channel count")
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    return PcmAudio(rate, channels, samples)
+
+
+def encode_wav(audio: PcmAudio) -> bytes:
+    """Minimal PCM16 writer (fixture generator and the synth-payload
+    builder — canonical 44-byte header, one data chunk)."""
+    data = struct.pack(f"<{len(audio.samples)}h", *audio.samples)
+    byte_rate = audio.sample_rate * audio.channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, audio.channels, audio.sample_rate, byte_rate,
+        audio.channels * 2, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+class AudioFeatures(NamedTuple):
+    sample_rate: int
+    channels: int
+    n_samples: int       # per channel
+    duration_ms: int     # floor(n_samples * 1000 / rate)
+    sq_sum: int          # sum of sample^2 over ALL samples (energy; exact)
+    zero_crossings: int  # adjacent-pair strict sign flips (s[i-1]*s[i] < 0)
+
+
+def extract_audio_features(audio: PcmAudio) -> AudioFeatures:
+    """Integer-exact features: energy as the raw sum of squares (RMS =
+    sqrt(sq_sum/n) is one float away when a reader wants it; keeping the
+    integer makes the oracle comparison exact) and strict zero crossings
+    over the interleaved stream."""
+    s = audio.samples
+    sq = sum(v * v for v in s)
+    zc = sum(1 for a, b in zip(s, s[1:]) if a * b < 0)
+    n = len(s) // audio.channels
+    return AudioFeatures(
+        audio.sample_rate,
+        audio.channels,
+        n,
+        (n * 1000) // audio.sample_rate,
+        sq,
+        zc,
+    )

@@ -72,12 +72,27 @@ def synth_raster(doc_id: int) -> tuple[int, int, bytes]:
 IMAGE_KINDS = ("image/x-portable-pixmap", "image/bmp", "image/png")
 
 
-def attach_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def attach_image_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed_mod: int | None = None,
+    mark_corner: tuple[int, int] | None = None,
+) -> DataFrame:
     """Build REAL image payloads (not digest stand-ins): each row gets a
     deterministic synthetic raster encoded into an actual container —
     format rotates doc_id % 3 over PPM / BMP / PNG — so downstream stages
     exercise the pure-Python decoders on genuine file bytes. Arrow-batched
-    mapInPandas; at 100 TB this stage is the 'fetch/transcode' map pass."""
+    mapInPandas; at 100 TB this stage is the 'fetch/transcode' map pass.
+
+    ``seed_mod`` derives the raster from doc_id % seed_mod instead of
+    doc_id: rows sharing a seed get the IDENTICAL image in (usually)
+    different containers — the planted-duplicate corpus the perceptual
+    dedup query verifies against.
+
+    ``mark_corner=(m, r)`` paints source pixel (0, 0) white on rows with
+    doc_id % m == r — a one-pixel perturbation that flips only the few
+    dHash bits whose 9x8 cells sample that pixel, planting NEAR-duplicate
+    pairs (small nonzero Hamming distance) next to the exact ones."""
     from pasardassist_spark.operators import imagecodec
 
     schema = f"{id_col} long, kind string, payload binary"
@@ -86,7 +101,10 @@ def attach_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in it:
             kinds, payloads = [], []
             for doc_id in pdf[id_col]:
-                w, h, px = synth_raster(int(doc_id))
+                seed = int(doc_id) % seed_mod if seed_mod else int(doc_id)
+                w, h, px = synth_raster(seed)
+                if mark_corner and int(doc_id) % mark_corner[0] == mark_corner[1]:
+                    px = b"\xff\xff\xff" + px[3:]
                 r = imagecodec.Raster(w, h, 3, px)
                 fmt = int(doc_id) % 3
                 if fmt == 0:
@@ -181,6 +199,171 @@ def resize_images(df: DataFrame, max_side: int = 16) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(_batches, REAL_RESIZE_SCHEMA)
+
+
+def dhash_raster(width: int, height: int, channels: int, pixels: bytes) -> tuple[int, int]:
+    """dHash (difference hash) of a decoded raster: nearest-neighbor
+    downsample to 9x8, integer gray = (r+g+b)//3, bit(y,x) = gray[y][x] <
+    gray[y][x+1] — 64 bits returned as two unsigned 32-bit halves (hi =
+    bits 32..63) so SQL oracles and signed-long columns never wrap.
+
+    The standard perceptual near-dup signature: stable under re-encoding
+    (PPM vs PNG vs BMP of the same raster hash identically — pinned by
+    the mm_dhash_dedup oracle) and under mild resampling, because only
+    the 9x8 luminance GRADIENT survives into the hash."""
+    from pasardassist_spark.operators import imagecodec
+
+    r = imagecodec.Raster(width, height, channels, pixels)
+    small = imagecodec.resize_nearest(r, 9, 8)
+    ch = small.channels
+    bits = 0
+    for y in range(8):
+        row = y * 9 * ch
+        prev = None
+        for x in range(9):
+            p = row + x * ch
+            if ch == 3:
+                g = (small.pixels[p] + small.pixels[p + 1] + small.pixels[p + 2]) // 3
+            else:
+                g = small.pixels[p]
+            if prev is not None and prev < g:
+                bits |= 1 << (y * 8 + (x - 1))
+            prev = g
+    return bits >> 32, bits & 0xFFFFFFFF
+
+
+DHASH_SCHEMA = "doc_id long, dhash_hi long, dhash_lo long"
+
+
+def dhash_images(df: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual-hash stage: decode each payload with the
+    real codecs and emit its dHash halves. At 100 TB the (dhash_hi,
+    dhash_lo) pair is the shuffle key for exact perceptual dedup (one
+    groupBy — the image-side sibling of content-hash text dedup); near-dup
+    extends by banding the 64 bits, same LSH discipline as SimHash."""
+    from pasardassist_spark.operators import imagecodec
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"doc_id": [], "dhash_hi": [], "dhash_lo": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                r = imagecodec.decode(payload)
+                hi, lo = dhash_raster(r.width, r.height, r.channels, r.pixels)
+                out["doc_id"].append(doc_id)
+                out["dhash_hi"].append(hi)
+                out["dhash_lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(_batches, DHASH_SCHEMA)
+
+
+def dhash_near_pairs(hashes: DataFrame, max_dist: int = 3) -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance — the
+    image-side sibling of SimHash near-dup text dedup, same pigeonhole
+    discipline: the 64 hash bits split into 4 16-bit bands; two hashes
+    within Hamming distance 3 MUST agree exactly on at least one band, so
+    the banded equi-join has guaranteed recall for ``max_dist`` <= 3 and
+    the exact popcount filter runs only on band-collision candidates.
+
+    Input: (doc_id, dhash_hi, dhash_lo). Output: (id_a, id_b, dist),
+    id_a < id_b. At 100 TB the shuffle key is (band_idx, band_value) —
+    cost is sum over bands of collision-group sizes squared, never
+    corpus^2 (identical scale shape to operators/dedup.py:simhash)."""
+    if max_dist > 3:
+        raise ValueError(
+            f"4-band pigeonhole guarantees recall only for max_dist <= 3 "
+            f"(got {max_dist}); widen the band count for larger radii"
+        )
+    h = hashes.select("doc_id", "dhash_hi", "dhash_lo")
+    bands = h.select(
+        "doc_id",
+        "dhash_hi",
+        "dhash_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("dhash_lo").bitwiseAND(0xFFFF)).alias("val")),
+                F.struct(F.lit(1).alias("band"), F.shiftright("dhash_lo", 16).alias("val")),
+                F.struct(F.lit(2).alias("band"), (F.col("dhash_hi").bitwiseAND(0xFFFF)).alias("val")),
+                F.struct(F.lit(3).alias("band"), F.shiftright("dhash_hi", 16).alias("val")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "dhash_hi", "dhash_lo", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("dhash_hi").alias("hi_a"),
+        F.col("dhash_lo").alias("lo_a"),
+        "band",
+        "val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("dhash_hi").alias("hi_b"),
+        F.col("dhash_lo").alias("lo_b"),
+        "band",
+        "val",
+    )
+    dist = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("dist"))
+        .distinct()
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
+def synth_wav_samples(doc_id: int) -> tuple[int, list[int]]:
+    """Deterministic synthetic PCM stream for a document id: n = doc_id %
+    300 + 100 mono samples at 8 kHz, s[i] = ((i*37 + doc_id*11) % 2048) -
+    1024 — pure integer arithmetic a SQL oracle re-derives exactly."""
+    did = int(doc_id)
+    n = did % 300 + 100
+    return n, [((i * 37 + did * 11) % 2048) - 1024 for i in range(n)]
+
+
+AUDIO_RATE = 8000
+
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples int, duration_ms int, "
+    "sq_sum long, zero_crossings int"
+)
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio pipeline end-to-end: synthesize a genuine RIFF/PCM16 WAV
+    payload per row, parse it back with the pure-Python codec
+    (operators/audiocodec.py — chunk walk, fmt validation, sample
+    unpacking), and emit integer-exact features (energy sum-of-squares,
+    strict zero crossings). Same mapInPandas shape as the image stages;
+    at scale the synth step is whatever fetch produces the bytes."""
+    from pasardassist_spark.operators import audiocodec
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "duration_ms": [], "sq_sum": [], "zero_crossings": [],
+            }
+            for doc_id in pdf[id_col]:
+                _n, samples = synth_wav_samples(int(doc_id))
+                payload = audiocodec.encode_wav(
+                    audiocodec.PcmAudio(AUDIO_RATE, 1, samples)
+                )
+                f = audiocodec.extract_audio_features(
+                    audiocodec.decode_wav(payload)
+                )
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(f.sample_rate)
+                out["n_samples"].append(f.n_samples)
+                out["duration_ms"].append(f.duration_ms)
+                out["sq_sum"].append(f.sq_sum)
+                out["zero_crossings"].append(f.zero_crossings)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(_batches, AUDIO_SCHEMA)
 
 
 def fake_decode(payload: bytes) -> tuple[int, int]:

@@ -169,6 +169,201 @@ def mm_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# coprime with the 3-way format rotation, so a duplicate group's members
+# land in DIFFERENT containers (doc_id and doc_id+151 share a raster but
+# differ in format) — the cross-format property the query certifies
+_DHASH_SEED_MOD = 151
+
+# shared SQL fragments for the dHash oracle: gray level of the 9x8
+# downsample at column expression `xc` (0..8), row y (0..7), for the
+# synthetic raster seeded by `seed` — all integer arithmetic
+_DH = dict(
+    seed=f"(d.doc_id % {_DHASH_SEED_MOD})",
+    w=f"((d.doc_id % {_DHASH_SEED_MOD}) % 61 + 4)",
+    h=f"(((d.doc_id % {_DHASH_SEED_MOD}) * 7) % 53 + 4)",
+)
+
+
+def _dh_gray(xc: str) -> str:
+    b = f"((({xc}) * {_DH['w']}) // 9 * 7 + ((y.y * {_DH['h']}) // 8) * 13 + {_DH['seed']})"
+    return f"(({b} % 256) + (({b} + 29) % 256) + (({b} + 58) % 256)) // 3"
+
+
+@query(
+    "mm_dhash_dedup",
+    oracle=f"""
+    WITH bits AS (
+        SELECT d.doc_id,
+               y.y * 8 + x.x AS pos,
+               CASE WHEN {_dh_gray('x.x')} < {_dh_gray('x.x + 1')}
+                    THEN 1 ELSE 0 END AS bit
+        FROM documents d
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS x) x
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y
+    ),
+    hashes AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN pos >= 32
+                    THEN bit * (CAST(1 AS BIGINT) << (pos - 32))
+                    ELSE 0 END) AS BIGINT) AS dhash_hi,
+               CAST(SUM(CASE WHEN pos < 32
+                    THEN bit * (CAST(1 AS BIGINT) << pos)
+                    ELSE 0 END) AS BIGINT) AS dhash_lo
+        FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id, dhash_hi, dhash_lo,
+           CAST(COUNT(*) OVER (PARTITION BY dhash_hi, dhash_lo) AS BIGINT)
+               AS dup_group_size,
+           CAST(MIN(doc_id) OVER (PARTITION BY dhash_hi, dhash_lo) AS BIGINT)
+               AS canonical_id
+    FROM hashes
+    """,
+)
+def mm_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup on REAL decoded bytes: every document gets a
+    genuine image payload seeded by doc_id % 151 (planted
+    duplicate groups whose members usually land in DIFFERENT containers —
+    the same raster as PPM, BMP, and PNG), the pure-Python codecs decode
+    them, and the dHash stage (9x8 nearest downsample → luminance
+    gradient bits) groups exact perceptual matches. Cross-format dup
+    groups certify that the hash sees pixels, not bytes — content-hash
+    dedup would call these distinct files. The oracle re-derives every
+    hash bit from doc_id arithmetic. At 100 TB: one groupBy on the hash
+    pair, the image sibling of exact text dedup; Hamming-banded LSH
+    extends it to near-dups (operators/dedup.py discipline)."""
+    from pyspark.sql import Window as W, functions as F
+
+    from pasardassist_spark.operators.multimodal import (
+        attach_image_payload,
+        dhash_images,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    hashes = dhash_images(
+        attach_image_payload(d, seed_mod=_DHASH_SEED_MOD)
+    )
+    w = W.partitionBy("dhash_hi", "dhash_lo")
+    return hashes.select(
+        "doc_id",
+        "dhash_hi",
+        "dhash_lo",
+        F.count(F.lit(1)).over(w).cast("long").alias("dup_group_size"),
+        F.min("doc_id").over(w).cast("long").alias("canonical_id"),
+    )
+
+
+def _dh_gray_marked(xc: str) -> str:
+    """Gray level of 9x8 cell (xc, y.y) under the corner-mark corpus:
+    variant docs (doc_id % 7 == 3) have source pixel (0,0) painted white."""
+    sx = f"((({xc}) * {_DH['w']}) // 9)"
+    sy = f"((y.y * {_DH['h']}) // 8)"
+    b = f"({sx} * 7 + {sy} * 13 + {_DH['seed']})"
+    plain = f"(({b} % 256) + (({b} + 29) % 256) + (({b} + 58) % 256)) // 3"
+    return (
+        f"CASE WHEN d.doc_id % 7 = 3 AND {sx} = 0 AND {sy} = 0 "
+        f"THEN 255 ELSE {plain} END"
+    )
+
+
+@query(
+    "mm_dhash_near_pairs",
+    oracle=f"""
+    WITH bits AS (
+        SELECT d.doc_id,
+               y.y * 8 + x.x AS pos,
+               CASE WHEN {_dh_gray_marked('x.x')} < {_dh_gray_marked('x.x + 1')}
+                    THEN 1 ELSE 0 END AS bit
+        FROM documents d
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS x) x
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y
+    ),
+    hashes AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN pos >= 32
+                    THEN bit * (CAST(1 AS BIGINT) << (pos - 32))
+                    ELSE 0 END) AS BIGINT) AS hi,
+               CAST(SUM(CASE WHEN pos < 32
+                    THEN bit * (CAST(1 AS BIGINT) << pos)
+                    ELSE 0 END) AS BIGINT) AS lo
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+               AS INTEGER) AS dist
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+    """,
+)
+def mm_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate image pairs on real decoded bytes: the planted-dup
+    corpus plus a one-white-pixel corner mark on every 7th document, so
+    same-seed pairs split into exact (distance 0) and near (small nonzero
+    Hamming distance — only the dHash cells sampling the marked pixel
+    flip). Candidates come from the 4x16-bit band join (pigeonhole:
+    distance <= 3 forces at least one exact band match, so recall is
+    GUARANTEED, never probabilistic); the oracle is the unpruned O(n^2)
+    popcount join, so the hash match certifies zero recall loss from the
+    banding — the same certificate dedup_setjoin_prefix carries for text.
+    """
+    from pyspark.sql import functions as F
+
+    from pasardassist_spark.operators.multimodal import (
+        attach_image_payload,
+        dhash_images,
+        dhash_near_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    hashes = dhash_images(
+        attach_image_payload(d, seed_mod=_DHASH_SEED_MOD, mark_corner=(7, 3))
+    )
+    return dhash_near_pairs(hashes, max_dist=3).select(
+        "id_a", "id_b", F.col("dist").cast("int").alias("dist")
+    )
+
+
+@query(
+    "mm_audio_features",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, doc_id % 300 + 100 AS n FROM documents
+    ),
+    samp AS (
+        SELECT b.doc_id, b.n, i.i,
+               ((i.i * 37 + b.doc_id * 11) % 2048) - 1024 AS s
+        FROM base b JOIN (SELECT unnest(range(0, 400)) AS i) i ON i.i < b.n
+    ),
+    flips AS (
+        SELECT doc_id, n, s,
+               LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM samp
+    )
+    SELECT doc_id,
+           8000 AS sample_rate,
+           CAST(n AS INTEGER) AS n_samples,
+           CAST(n // 8 AS INTEGER) AS duration_ms,
+           CAST(SUM(s * s) AS BIGINT) AS sq_sum,
+           CAST(SUM(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS INTEGER)
+               AS zero_crossings
+    FROM flips
+    GROUP BY doc_id, n
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: a genuine RIFF/PCM16 WAV payload per
+    document (deterministic integer samples), parsed back by the
+    pure-Python codec (operators/audiocodec.py — RIFF chunk walk, fmt
+    validation, sample unpacking) into integer-exact features: energy as
+    the raw sum of squares and strict zero crossings. The oracle
+    re-derives both from the closed-form sample formula (8 kHz mono,
+    duration = n/8 ms), so a hash match certifies the full
+    encode→container→decode→feature path sample-for-sample."""
+    from pasardassist_spark.operators.multimodal import audio_features
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return audio_features(d)
+
+
 @query(
     "mm_resize_thumbs",
     oracle=f"""

@@ -1,0 +1,142 @@
+"""WAV codec + dHash tests: known-byte fixtures, hand-built containers
+with extra chunks, rejection paths, and the cross-format perceptual-dedup
+property the mm_dhash_dedup query relies on."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from pasardassist_spark.operators import audiocodec as A
+from pasardassist_spark.operators import imagecodec as IC
+from pasardassist_spark.operators.multimodal import dhash_raster, synth_raster
+
+
+def test_wav_roundtrip_mono():
+    audio = A.PcmAudio(8000, 1, [0, 100, -100, 32767, -32768, 1])
+    out = A.decode_wav(A.encode_wav(audio))
+    assert out == audio
+
+
+def test_wav_roundtrip_stereo():
+    audio = A.PcmAudio(44100, 2, [1, -1, 2, -2, 3, -3, 4, -4])
+    out = A.decode_wav(A.encode_wav(audio))
+    assert out == audio
+
+
+def test_wav_extra_chunks_and_alignment():
+    """Decoder must walk past unknown chunks (LIST) and honor the odd-size
+    word-alignment pad."""
+    base = A.encode_wav(A.PcmAudio(8000, 1, [5, -5, 7]))
+    # splice a 3-byte (odd) LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    spliced = (
+        base[:fmt_end]
+        + b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # odd size + pad
+        + base[fmt_end:]
+    )
+    # fix the RIFF size field
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert A.decode_wav(spliced) == A.PcmAudio(8000, 1, [5, -5, 7])
+
+
+def test_wav_rejects_non_pcm_and_non_16bit():
+    good = bytearray(A.encode_wav(A.PcmAudio(8000, 1, [1, 2])))
+    bad_tag = bytearray(good)
+    struct.pack_into("<H", bad_tag, 20, 3)  # IEEE float
+    with pytest.raises(NotImplementedError):
+        A.decode_wav(bytes(bad_tag))
+    bad_bits = bytearray(good)
+    struct.pack_into("<H", bad_bits, 34, 8)
+    with pytest.raises(NotImplementedError):
+        A.decode_wav(bytes(bad_bits))
+    with pytest.raises(ValueError):
+        A.decode_wav(b"OggS not a wav")
+
+
+def test_audio_features_known_values():
+    # samples: [3, -2, 0, 4] -> sq_sum 9+4+0+16=29; crossings: 3*-2<0 (1),
+    # -2*0 not <0, 0*4 not <0 -> 1
+    f = A.extract_audio_features(A.PcmAudio(1000, 1, [3, -2, 0, 4]))
+    assert f.sq_sum == 29
+    assert f.zero_crossings == 1
+    assert f.n_samples == 4
+    assert f.duration_ms == 4
+
+
+def test_dhash_stable_across_containers():
+    """The same raster encoded as PPM, BMP, and PNG hashes identically —
+    the pixels-not-bytes property; a content hash would differ."""
+    w, h, px = synth_raster(17)
+    r = IC.Raster(w, h, 3, px)
+    ref = dhash_raster(w, h, 3, px)
+    for payload in (IC.encode_ppm(r), IC.encode_bmp(r), IC.encode_png(r)):
+        d = IC.decode(payload)
+        assert dhash_raster(d.width, d.height, d.channels, d.pixels) == ref
+
+
+def test_dhash_known_grid():
+    """Hand-checkable 9x8 raster (no resampling): gray strictly increases
+    left-to-right on every row, so every bit is 1 -> both halves all-ones."""
+    px = bytes(x * 10 for y in range(8) for x in range(9))  # gray channel
+    hi, lo = dhash_raster(9, 8, 1, px)
+    assert hi == 0xFFFFFFFF and lo == 0xFFFFFFFF
+    # strictly decreasing -> all zero
+    px2 = bytes(80 - x * 10 for y in range(8) for x in range(9))
+    assert dhash_raster(9, 8, 1, px2) == (0, 0)
+
+
+def test_dhash_near_pairs_banding_is_lossless(spark):
+    """The 4-band candidate join finds EVERY pair within Hamming distance
+    3 (pigeonhole) — compare against the naive all-pairs popcount on a
+    corpus with planted exact and near duplicates."""
+    from pyspark.sql import functions as F
+
+    from pasardassist_spark.operators.multimodal import (
+        attach_image_payload,
+        dhash_images,
+        dhash_near_pairs,
+    )
+
+    df = spark.range(0, 120).withColumnRenamed("id", "doc_id")
+    hashes = dhash_images(
+        attach_image_payload(df, seed_mod=37, mark_corner=(5, 2))
+    ).cache()
+    got = {
+        (r.id_a, r.id_b, r.dist) for r in dhash_near_pairs(hashes, 3).collect()
+    }
+    rows = hashes.collect()
+    want = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            d = bin((a.dhash_hi ^ b.dhash_hi)).count("1") + bin(
+                (a.dhash_lo ^ b.dhash_lo)
+            ).count("1")
+            if d <= 3:
+                p = (min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id), d)
+                want.add(p)
+    assert got == want
+    assert any(d > 0 for _, _, d in want), "corpus must contain near (not just exact) dups"
+    hashes.unpersist()
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dhash_near_pairs(hashes, max_dist=4)
+
+
+def test_audio_stage_matches_reference(spark):
+    from pasardassist_spark.operators.multimodal import (
+        audio_features,
+        synth_wav_samples,
+    )
+
+    df = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    rows = {r.doc_id: r for r in audio_features(df).collect()}
+    for doc_id in range(20):
+        n, samples = synth_wav_samples(doc_id)
+        r = rows[doc_id]
+        assert r.n_samples == n
+        assert r.sq_sum == sum(s * s for s in samples)
+        assert r.zero_crossings == sum(
+            1 for a, b in zip(samples, samples[1:]) if a * b < 0
+        )
