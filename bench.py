@@ -195,6 +195,7 @@ def main() -> None:
         "mm_dhash_dedup",
         "mm_dhash_near_pairs",
         "mm_audio_features",
+        "pack_split_segments",
     ]:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -259,3 +259,56 @@ def batch_by_length(
         .withColumn("batch_pos", (F.col("_rank") % max_rows).cast("int"))
         .drop("_bk", "_one", "_rank")
     )
+
+
+def pack_and_split(
+    df: DataFrame,
+    key: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """The executable form of pack_sequences: emit one row per (document,
+    sequence) SEGMENT, so boundary-crossing documents are actually split
+    instead of just flagged. A document laid out at global token offset C
+    with T tokens spans sequences floor(C/budget)..floor((C+T-1)/budget);
+    each segment row carries
+
+    - ``seq_id``          — which training sequence the segment lands in,
+    - ``seq_offset``      — token position of the segment inside that
+                            sequence (0 for continuation segments),
+    - ``tok_start``       — offset of the segment inside the DOCUMENT,
+    - ``tok_len``         — segment length (per-doc tok_lens sum to T).
+
+    Same determinism contract as pack_sequences (the one two-phase prefix
+    sum in ``key`` order); the fan-out is a JVM ``sequence``+``explode``
+    over each doc's sequence span — row amplification equals the segment
+    count (1 + crossings), there is no shuffle after the prefix sum.
+    Zero-token documents produce no segments (nothing to place)."""
+    out = exclusive_prefix_sum(df, key, token_col)
+    cum = F.col("cum_before")
+    tok = F.col(token_col).cast("long")
+    b = F.lit(budget).cast("long")
+    s0 = F.floor(cum / budget).cast("long")
+    s1 = F.floor((cum + tok - 1) / budget).cast("long")
+    seg = (
+        out.filter(tok > 0)
+        .withColumn("seq_id", F.explode(F.sequence(s0, s1)))
+    )
+    seq_start = F.col("seq_id") * b
+    return (
+        seg.withColumn(
+            "seq_offset",
+            F.when(seq_start > cum, F.lit(0)).otherwise(cum - seq_start).cast("long"),
+        )
+        .withColumn(
+            "tok_start",
+            F.greatest(seq_start - cum, F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "tok_len",
+            (
+                F.least(seq_start + b, cum + tok) - F.greatest(seq_start, cum)
+            ).cast("long"),
+        )
+        .drop("cum_before")
+    )

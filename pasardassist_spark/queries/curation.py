@@ -138,6 +138,59 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pack_split_segments",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum
+        FROM t
+    ),
+    seg AS (
+        SELECT doc_id, n_tokens, cum,
+               cum // {PACK_BUDGET} AS s0,
+               (cum + n_tokens - 1) // {PACK_BUDGET} AS s1
+        FROM c WHERE n_tokens > 0
+    ),
+    fan AS (
+        SELECT doc_id, n_tokens, cum,
+               unnest(range(s0, s1 + 1)) AS seq_id
+        FROM seg
+    )
+    SELECT doc_id,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(CASE WHEN seq_id * {PACK_BUDGET} > cum THEN 0
+                ELSE cum - seq_id * {PACK_BUDGET} END AS BIGINT) AS seq_offset,
+           CAST(GREATEST(seq_id * {PACK_BUDGET} - cum, 0) AS BIGINT) AS tok_start,
+           CAST(LEAST((seq_id + 1) * {PACK_BUDGET}, cum + n_tokens)
+                - GREATEST(seq_id * {PACK_BUDGET}, cum) AS BIGINT) AS tok_len
+    FROM fan
+    """,
+)
+def pack_split_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTABLE packing layout: one row per (document, sequence)
+    segment, so boundary-crossing documents are actually split — each
+    segment knows its sequence, its offset inside the sequence, and which
+    token span of the document it carries (per-doc spans partition the
+    document exactly; pytest pins sum(tok_len) == n_tokens and
+    sequence-fill completeness). The fan-out is a JVM sequence+explode
+    over each doc's span — no shuffle beyond pack_sequences' one prefix
+    sum; the oracle re-derives every segment from the global window."""
+    from pasardassist_spark.operators.packing import pack_and_split
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.select("doc_id", X.token_count(X.tokens(F.col("text"))).alias("n_tokens"))
+    return pack_and_split(d, "doc_id", "n_tokens", PACK_BUDGET).select(
+        "doc_id", "seq_id", "seq_offset", "tok_start", "tok_len"
+    )
+
+
 
 # Deterministic synthetic-PII augmentation: the corpus is synthetic words
 # with no real PII, so the differential test plants it — BOTH engines build

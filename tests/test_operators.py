@@ -1094,6 +1094,48 @@ def test_batch_by_length_minimizes_padding(spark, sf_dir):
     )
 
 
+def test_pack_and_split_partitions_documents_exactly(spark, sf_dir):
+    """Segment rows partition every document: per-doc tok_lens are
+    contiguous, start at 0, and sum to the doc's token count; and every
+    sequence except the last is filled to exactly the budget."""
+    from pasardassist_spark.operators.packing import pack_and_split
+    from pasardassist_spark.operators.text import tokens
+    from pasardassist_spark.tables import load
+
+    budget = 128
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n_tok"))
+    )
+    n_by_doc = {r.doc_id: r.n_tok for r in docs.collect()}
+    rows = pack_and_split(docs, "doc_id", "n_tok", budget).collect()
+
+    by_doc: dict[int, list] = {}
+    by_seq: dict[int, int] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        by_seq[r.seq_id] = by_seq.get(r.seq_id, 0) + r.tok_len
+        assert 0 < r.tok_len <= budget
+        assert 0 <= r.seq_offset < budget
+    for doc_id, segs in by_doc.items():
+        segs.sort(key=lambda r: r.tok_start)
+        assert segs[0].tok_start == 0
+        for a, b in zip(segs, segs[1:]):
+            assert a.tok_start + a.tok_len == b.tok_start  # contiguous
+            assert b.seq_offset == 0  # continuation starts a fresh sequence
+        assert sum(s.tok_len for s in segs) == n_by_doc[doc_id]
+        # consecutive seq ids: a doc occupies an unbroken run of sequences
+        assert [s.seq_id for s in segs] == list(
+            range(segs[0].seq_id, segs[0].seq_id + len(segs))
+        )
+    assert set(by_doc) == {d for d, n in n_by_doc.items() if n > 0}
+    last_seq = max(by_seq)
+    for seq_id, filled in by_seq.items():
+        assert filled == (budget if seq_id < last_seq else filled)
+        if seq_id < last_seq:
+            assert filled == budget
+
+
 def test_batch_by_length_rejects_bad_keys(spark):
     """Both halves of the composite sort key fail loudly: null/negative/
     oversized ids AND null/negative token counts would silently corrupt

@@ -13,7 +13,12 @@ import re
 
 import pytest
 
-from pasardassist_spark.plans import plan, read_schemas, shuffle_count
+from pasardassist_spark.plans import (
+    data_shuffle_count,
+    plan,
+    read_schemas,
+    shuffle_count,
+)
 from pasardassist_spark.queries.registry import REGISTRY, _load_all
 
 _load_all()
@@ -384,3 +389,63 @@ def test_bpe_encode_types_join_not_token_broadcast_of_corpus(spark, sf_dir):
     assert m, f"pandas stage not keyed on the type column alone:\n{p}"
     assert re.search(r"_encode\(w#\d+\)", p), p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_multimodal_stages_prune_and_stay_map_only(spark, sf_dir):
+    """The real-codec stages are pure map passes: genuine payload build →
+    decode → features is zero-shuffle (one mapInPandas chain), and the
+    documents scan reads ONLY doc_id — the payload never rides a shuffle
+    and untouched columns (text, lang, source) never leave parquet."""
+    for name in ("mm_decode_real", "mm_audio_features"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        p = plan(df)
+        # the only allowed exchange is the deliberate local-test fan-out
+        # of the single-file documents scan (RoundRobin; a no-op on a real
+        # many-file lake — tables.py) — never a hash/range DATA shuffle
+        assert "hashpartitioning" not in p, f"{name}: hash shuffle in map stage"
+        assert "rangepartitioning" not in p, f"{name}: range shuffle in map stage"
+        schemas = read_schemas(p)
+        for schema in schemas:
+            assert schema <= {"doc_id"}, f"{name}: unpruned scan {schema}"
+
+
+def test_dhash_near_pairs_banded_join_shape(spark, sf_dir):
+    """Candidates come from the (band, val) equi-join: no cartesian
+    product, no broadcast of the full corpus, and the dedup groupBy is
+    the only other exchange."""
+    df = REGISTRY["mm_dhash_near_pairs"].fn(spark, sf_dir)
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_cep_single_user_keyed_exchange(spark, sf_dir):
+    """The k-1 LEAD conjunction runs over ONE per-user window exchange —
+    the operator's whole scale contract (no self-joins, no events^k)."""
+    df = REGISTRY["cep_match_pattern"].fn(spark, sf_dir)
+    p = plan(df)
+    assert data_shuffle_count(p) == 1, f"expected 1 data shuffle:\n{p}"
+    assert "Join" not in p
+
+
+def test_cdc_operator_diff_single_join_no_bloat(spark, sf_dir):
+    """One full-outer equi-join on the key; no nested-loop fallback."""
+    p = plan(REGISTRY["cdc_operator_diff"].fn(spark, sf_dir))
+    joins = re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", p)
+    assert len(joins) <= 1, f"expected one key join, got {joins}"
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_batch_by_length_no_single_task_sort(spark, sf_dir):
+    """The global length rank is the two-phase distributed prefix count —
+    no global Sort over an un-partitioned window (the Exchange
+    SinglePartition + Window shape that serializes at scale)."""
+    df = REGISTRY["batch_by_length"].fn(spark, sf_dir)
+    p = plan(df)
+    import re as _re
+
+    windows_after_single = _re.findall(
+        r"Exchange SinglePartition[^\n]*\n[^\n]*Window", p
+    )
+    assert not windows_after_single, f"single-partition window in:\n{p}"
