@@ -323,6 +323,53 @@ def mm_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_video_frames",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               doc_id % 6 + 2 AS n,
+               doc_id % 13 + 4 AS w,
+               (doc_id * 3) % 11 + 4 AS h
+        FROM documents
+    ),
+    picks AS (
+        SELECT b.doc_id, b.n, b.w, b.h,
+               CAST(i.i AS INTEGER) AS sample_i,
+               CAST((i.i * b.n) // 4 AS INTEGER) AS frame_idx
+        FROM base b CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+    )
+    SELECT p.doc_id, p.sample_i, p.frame_idx,
+           CAST(p.n AS INTEGER) AS n_frames,
+           CAST(p.w AS INTEGER) AS width,
+           CAST(p.h AS INTEGER) AS height,
+           CAST(SUM(
+                 (x.x * 7 + y.y * 13 + p.doc_id + p.frame_idx * 17) % 256
+               + (x.x * 7 + y.y * 13 + p.doc_id + p.frame_idx * 17 + 29) % 256
+               + (x.x * 7 + y.y * 13 + p.doc_id + p.frame_idx * 17 + 58) % 256
+           ) AS BIGINT) AS pixel_sum
+    FROM picks p
+    JOIN (SELECT unnest(range(0, 17)) AS x) x ON x.x < p.w
+    JOIN (SELECT unnest(range(0, 15)) AS y) y ON y.y < p.h
+    GROUP BY p.doc_id, p.sample_i, p.frame_idx, p.n, p.w, p.h
+    """,
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video keyframe sampling: each document gets a genuine AVI
+    container (RIFF hdrl/movi tree, 2-7 uncompressed DIB frames) built
+    and then PARSED back by the pure-Python codec in
+    operators/videocodec.py — header walk, stream-format validation,
+    bottom-up BGR stride-padded frame bits. Four evenly-spaced keyframes
+    per video are sampled from the DECODED frame list (not byte offsets —
+    the former stub is retired) and checksummed; the oracle re-derives
+    every frame's raster sum from doc_id arithmetic, so the hash match
+    certifies the container round-trip frame-for-frame."""
+    from pasardassist_spark.operators.multimodal import video_sample_frames
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return video_sample_frames(d, k=4)
+
+
+@query(
     "mm_audio_features",
     oracle="""
     WITH base AS (

@@ -140,3 +140,69 @@ def test_audio_stage_matches_reference(spark):
         assert r.zero_crossings == sum(
             1 for a, b in zip(samples, samples[1:]) if a * b < 0
         )
+
+
+def test_avi_roundtrip_multiframe():
+    from pasardassist_spark.operators import videocodec as V
+
+    frames = [
+        IC.Raster(3, 2, 3, bytes((i * 11 + f * 7) % 256 for i in range(18)))
+        for f in range(5)
+    ]
+    payload = V.encode_avi(frames, fps=25)
+    assert V.sniff_avi(payload)
+    video = V.decode_avi(payload)
+    assert (video.width, video.height, video.fps) == (3, 2, 25)
+    assert video.frames == frames
+
+
+def test_avi_stride_padding():
+    """Width 3 -> 9-byte rows padded to 12: the DIB stride logic."""
+    from pasardassist_spark.operators import videocodec as V
+
+    r = IC.Raster(3, 3, 3, bytes(range(27)))
+    assert V.decode_avi(V.encode_avi([r])).frames == [r]
+
+
+def test_avi_rejects_compressed_and_garbage():
+    import struct
+
+    from pasardassist_spark.operators import videocodec as V
+
+    payload = bytearray(V.encode_avi([IC.Raster(2, 2, 3, bytes(12))]))
+    # strf biCompression lives 16 bytes into the BITMAPINFOHEADER
+    off = payload.index(b"strf") + 8 + 16
+    struct.pack_into("<I", payload, off, 0x47504A4D)  # 'MJPG'
+    with pytest.raises(NotImplementedError):
+        V.decode_avi(bytes(payload))
+    with pytest.raises(ValueError):
+        V.decode_avi(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError):
+        V.decode_avi(b"not even riff")
+
+
+def test_sample_frame_indices_even_grid():
+    from pasardassist_spark.operators.videocodec import sample_frame_indices
+
+    assert sample_frame_indices(8, 4) == [0, 2, 4, 6]
+    assert sample_frame_indices(2, 4) == [0, 0, 1, 1]
+    assert sample_frame_indices(1, 4) == [0, 0, 0, 0]
+    with pytest.raises(ValueError):
+        sample_frame_indices(0, 4)
+
+
+def test_video_frames_compose_with_image_stages():
+    """Sampled frames are ordinary Rasters: dHash and resize run on them
+    unchanged — the composition the Raster normalization buys."""
+    from pasardassist_spark.operators import videocodec as V
+    from pasardassist_spark.operators.multimodal import synth_video_frames
+
+    n, w, h, rasters = synth_video_frames(42)
+    video = V.decode_avi(
+        V.encode_avi([IC.Raster(w, h, 3, px) for px in rasters])
+    )
+    fr = video.frames[0]
+    hi, lo = dhash_raster(fr.width, fr.height, fr.channels, fr.pixels)
+    assert 0 <= hi <= 0xFFFFFFFF and 0 <= lo <= 0xFFFFFFFF
+    small = IC.resize_nearest(fr, 4, 4)
+    assert (small.width, small.height) == (4, 4)
