@@ -418,8 +418,17 @@ def main() -> None:
     # factors must not clobber the round-over-round anchor.
     if sf == 0.1:
         try:
+            import subprocess
+
+            sha = subprocess.run(
+                ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip() or "unknown"
+        except (OSError, subprocess.SubprocessError):
+            sha = "unknown"
+        try:
             with open(last_path, "w") as f:
-                json.dump({**result, "round": "HEAD"}, f, indent=1)
+                json.dump({**result, "round": sha}, f, indent=1)
         except OSError:
             pass
 

@@ -133,6 +133,47 @@ def encode_ppm(r: Raster) -> bytes:
 
 # ------------------------------------------------------------------- BMP --
 
+def dib_to_rgb(data: bytes, off: int, w: int, h: int, bypp: int, top_down: bool) -> bytes:
+    """Decode an uncompressed DIB pixel array (BGR(A), 4-byte row stride,
+    bottom-up unless ``top_down``) to row-major RGB — shared by the BMP
+    decoder and the AVI frame decoder (operators/videocodec.py), which
+    carry the identical layout."""
+    stride = ((w * bypp + 3) // 4) * 4
+    if len(data) < off + stride * h:
+        raise ValueError("truncated DIB pixel array")
+    rows = range(h) if top_down else range(h - 1, -1, -1)
+    out = bytearray(w * h * 3)
+    o = 0
+    for row in rows:
+        base = off + row * stride
+        for x in range(w):
+            p = base + x * bypp
+            out[o] = data[p + 2]
+            out[o + 1] = data[p + 1]
+            out[o + 2] = data[p]
+            o += 3
+    return bytes(out)
+
+
+def rgb_to_dib(r: Raster) -> bytes:
+    """Encode an RGB raster as a bottom-up 24-bit DIB pixel array (the
+    BMP/AVI shared layout; gray promotes to RGB)."""
+    if r.channels == 1:
+        px = bytes(b for v in r.pixels for b in (v, v, v))
+        r = Raster(r.width, r.height, 3, px)
+    stride = ((r.width * 3 + 3) // 4) * 4
+    pad = b"\x00" * (stride - r.width * 3)
+    rows = []
+    for row in range(r.height - 1, -1, -1):
+        line = bytearray()
+        base = row * r.width * 3
+        for x in range(r.width):
+            p = base + x * 3
+            line += bytes((r.pixels[p + 2], r.pixels[p + 1], r.pixels[p]))
+        rows.append(bytes(line) + pad)
+    return b"".join(rows)
+
+
 def decode_bmp(payload: bytes) -> Raster:
     """Uncompressed (BI_RGB) 24/32-bit BMP with BITMAPINFOHEADER+."""
     if payload[:2] != b"BM" or len(payload) < 54:
@@ -153,23 +194,7 @@ def decode_bmp(payload: bytes) -> Raster:
     if w <= 0 or h == 0:
         raise ValueError(f"bad BMP dimensions {w}x{h}")
     bypp = bpp // 8
-    stride = ((w * bypp + 3) // 4) * 4
-    need = data_off + stride * h
-    if len(payload) < need:
-        raise ValueError("truncated BMP raster")
-    rows = range(h) if top_down else range(h - 1, -1, -1)
-    out = bytearray(w * h * 3)
-    o = 0
-    for row in rows:
-        base = data_off + row * stride
-        for x in range(w):
-            p = base + x * bypp
-            # BMP stores BGR(A); normalize to RGB
-            out[o] = payload[p + 2]
-            out[o + 1] = payload[p + 1]
-            out[o + 2] = payload[p]
-            o += 3
-    return Raster(w, h, 3, bytes(out))
+    return Raster(w, h, 3, dib_to_rgb(payload, data_off, w, h, bypp, top_down))
 
 
 def encode_bmp(r: Raster) -> bytes:
@@ -177,17 +202,7 @@ def encode_bmp(r: Raster) -> bytes:
     if r.channels == 1:
         px = bytes(b for v in r.pixels for b in (v, v, v))
         r = Raster(r.width, r.height, 3, px)
-    stride = ((r.width * 3 + 3) // 4) * 4
-    pad = b"\x00" * (stride - r.width * 3)
-    rows = []
-    for row in range(r.height - 1, -1, -1):
-        line = bytearray()
-        base = row * r.width * 3
-        for x in range(r.width):
-            p = base + x * 3
-            line += bytes((r.pixels[p + 2], r.pixels[p + 1], r.pixels[p]))
-        rows.append(bytes(line) + pad)
-    raster = b"".join(rows)
+    raster = rgb_to_dib(r)
     data_off = 14 + 40
     file_size = data_off + len(raster)
     header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_off)

@@ -457,8 +457,16 @@ def extract_features(df: DataFrame) -> DataFrame:
     from pasardassist_spark.operators import imagecodec
 
     def _dims(payload: bytes) -> tuple[int, int]:
+        # the magic sniff is only a ROUTE, not a guarantee: text payloads
+        # can legitimately start with b"BM" or b"P5 " (a sentence about
+        # BMWs), and parsing those as headers raises. Any decode failure
+        # means "not actually an image" — fall back to the digest path,
+        # preserving the non-image contract for every payload.
         if imagecodec.sniff_format(payload):
-            return decode_image(payload)
+            try:
+                return decode_image(payload)
+            except (ValueError, NotImplementedError):
+                pass
         return fake_decode(payload)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

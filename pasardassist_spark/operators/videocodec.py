@@ -22,7 +22,7 @@ from __future__ import annotations
 import struct
 from typing import NamedTuple
 
-from pasardassist_spark.operators.imagecodec import Raster
+from pasardassist_spark.operators.imagecodec import Raster, dib_to_rgb, rgb_to_dib
 
 
 class Video(NamedTuple):
@@ -37,36 +37,14 @@ def sniff_avi(payload: bytes) -> bool:
 
 
 def _dib_to_raster(body: bytes, w: int, h: int) -> Raster:
-    """Uncompressed 24-bit DIB frame bits: bottom-up BGR rows, 4-byte
-    row stride — the same raster layout as the BMP pixel array."""
-    stride = ((w * 3 + 3) // 4) * 4
-    if len(body) < stride * h:
-        raise ValueError("truncated DIB frame")
-    out = bytearray(w * h * 3)
-    o = 0
-    for row in range(h - 1, -1, -1):
-        base = row * stride
-        for x in range(w):
-            p = base + x * 3
-            out[o] = body[p + 2]
-            out[o + 1] = body[p + 1]
-            out[o + 2] = body[p]
-            o += 3
-    return Raster(w, h, 3, bytes(out))
+    """Uncompressed 24-bit DIB frame bits — the SAME pixel-array layout as
+    BMP, so the shared imagecodec helpers do the work (one implementation
+    to fix when stride/bpp handling ever changes)."""
+    return Raster(w, h, 3, dib_to_rgb(body, 0, w, h, 3, top_down=False))
 
 
 def _raster_to_dib(r: Raster) -> bytes:
-    stride = ((r.width * 3 + 3) // 4) * 4
-    pad = b"\x00" * (stride - r.width * 3)
-    rows = []
-    for row in range(r.height - 1, -1, -1):
-        line = bytearray()
-        base = row * r.width * 3
-        for x in range(r.width):
-            p = base + x * 3
-            line += bytes((r.pixels[p + 2], r.pixels[p + 1], r.pixels[p]))
-        rows.append(bytes(line) + pad)
-    return b"".join(rows)
+    return rgb_to_dib(r)
 
 
 def decode_avi(payload: bytes) -> Video:

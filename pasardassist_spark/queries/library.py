@@ -92,8 +92,8 @@ _CDC_SPLIT = "1995-06-01"
                 WHEN b.o_custkey IS NULL THEN 'removed'
                 ELSE 'changed' END AS change_type,
            a.n_orders AS old_n_orders,
-           b.n_orders AS new_n_orders,
            CAST(a.spend AS DOUBLE) AS old_spend,
+           b.n_orders AS new_n_orders,
            CAST(b.spend AS DOUBLE) AS new_spend
     FROM old a FULL OUTER JOIN new b ON a.o_custkey = b.o_custkey
     WHERE a.o_custkey IS NULL OR b.o_custkey IS NULL
@@ -245,8 +245,19 @@ def drift_psi_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     state_dir = tempfile.mkdtemp(prefix="drift_psi_state_")
-    merge_into_bucketed_state(live, state_dir, ("value",), _combine)
-    return drift_from_state(spark, state_dir, ref, metric="psi")
+    try:
+        merge_into_bucketed_state(live, state_dir, ("value",), _combine)
+        out = drift_from_state(spark, state_dir, ref, metric="psi")
+        # materialize the 1-row readout BEFORE deleting the state it reads
+        # from (every invocation builds a fresh temp state; without this
+        # the dirs would accumulate on the shared host run after run)
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        import shutil
+
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 # ------------------------------------------------------- record linkage -

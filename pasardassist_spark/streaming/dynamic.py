@@ -190,56 +190,39 @@ def compact_epoch_log(
     Mutual exclusion: the dst-name CAS alone cannot defend two compactors
     that listed DIFFERENT candidate sets (both would commit overlapping
     consolidations and double-count rows), so the whole operation runs
-    under an atomic mkdir lock. A crashed compactor's lock goes stale and
-    is broken after ``_LOCK_TTL_S``; its orphaned ``.compact-*`` staging
-    is ignored by readers (no commit marker at a listed name) and cheap.
+    under a kernel-arbitrated ``flock`` on ``.compact-lock``. Unlike the
+    earlier mkdir+TTL protocol — whose stale-break was a TOCTOU class
+    (every variant of check-then-break leaves a window where a breaker
+    can steal a freshly re-created live lock, reviewed twice in r7/r8) —
+    an OS advisory lock has no staleness heuristic at all: a crashed
+    holder's lock releases the instant its process dies, a live holder
+    can never be stolen from, and contenders fail the non-blocking
+    acquire atomically. A crashed compactor's orphaned ``.compact-*``
+    staging is ignored by readers (no commit marker at a listed name).
     """
+    import fcntl
     import json
-    import time
 
     if not os.path.isdir(out_dir):
         return False
     lock = os.path.join(out_dir, ".compact-lock")
+    if os.path.isdir(lock):
+        # one-time migration from the pre-flock directory lock: a dir at
+        # the lock name means a crashed old-protocol compactor (live ones
+        # no longer exist once this code deploys); remove it so open()
+        # can create the lock FILE.
+        shutil.rmtree(lock, ignore_errors=True)
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
     try:
-        os.mkdir(lock)
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
     except OSError:
-        # Stale-lock break. The naive rmdir+mkdir is a TOCTOU: two
-        # breakers can each observe staleness, and the slower rmdir then
-        # deletes the faster breaker's FRESH lock — two owners. Breaking
-        # by atomic rename closes that: only one contender's rename of
-        # the stale dir succeeds; the loser's raises and it backs off.
-        # Residual race: an owner re-creating the lock between our mtime
-        # read and the rename would be stolen from — so re-check age
-        # AFTER the rename (the stat is now on a dir only we can name)
-        # and hand a live lock straight back.
-        try:
-            if time.time() - os.path.getmtime(lock) < _LOCK_TTL_S:
-                return False  # live concurrent compactor
-            stale = f"{lock}.stale-{os.getpid()}-{time.time_ns()}"
-            os.rename(lock, stale)
-        except OSError:
-            return False  # lost the break race (or lock vanished)
-        if time.time() - os.path.getmtime(stale) < _LOCK_TTL_S:
-            # stole a live lock: restore it and bow out. If the name was
-            # re-taken meanwhile the restore fails — drop our copy; the
-            # new owner holds a valid lock either way.
-            try:
-                os.rename(stale, lock)
-            except OSError:
-                shutil.rmtree(stale, ignore_errors=True)
-            return False
-        shutil.rmtree(stale, ignore_errors=True)
-        try:
-            os.mkdir(lock)
-        except OSError:
-            return False  # another contender re-took the name first
+        os.close(fd)
+        return False  # live concurrent compactor
     try:
         return _compact_epoch_log_locked(spark, out_dir, keep_last, json)
     finally:
-        shutil.rmtree(lock, ignore_errors=True)
-
-
-_LOCK_TTL_S = 3600  # a compaction pass is minutes; an hour-old lock is a crash
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def _compact_epoch_log_locked(

@@ -200,6 +200,35 @@ def test_decode_image_entrypoint_real(spark):
         assert decode_image(payload) == (5, 3)
 
 
+def test_extract_features_falls_back_on_image_lookalike_text(spark):
+    """Text payloads can legitimately start with an image magic ('BMW
+    engines', 'P5 form'): the sniff routes them to the real decoder,
+    whose header parse fails — the stage must fall back to the digest
+    path, not crash (review finding, round 8)."""
+    from pyspark.sql import functions as F
+
+    from pasardassist_spark.operators.multimodal import (
+        attach_payload,
+        extract_features,
+        fake_decode,
+    )
+
+    texts = [
+        "BMW engines are great and this is just text",
+        "P5 form submitted yesterday",
+        "P6\nnot really a pixmap 999",
+        "plain text with no magic at all",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in extract_features(attach_payload(df)).collect()}
+    assert len(rows) == len(texts)
+    for i, t in enumerate(texts):
+        w, h = fake_decode(t.encode())
+        assert (rows[i].width, rows[i].height) == (w, h)
+
+
 def test_real_decode_stage_matches_arithmetic(spark):
     """attach_image_payload → decode_images on Spark: dims and raster
     checksum must equal the closed-form derivation from doc_id."""

@@ -1131,7 +1131,6 @@ def test_pack_and_split_partitions_documents_exactly(spark, sf_dir):
     assert set(by_doc) == {d for d, n in n_by_doc.items() if n > 0}
     last_seq = max(by_seq)
     for seq_id, filled in by_seq.items():
-        assert filled == (budget if seq_id < last_seq else filled)
         if seq_id < last_seq:
             assert filled == budget
 
