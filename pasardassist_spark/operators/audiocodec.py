@@ -35,7 +35,16 @@ def sniff_wav(payload: bytes) -> bool:
 
 def decode_wav(payload: bytes) -> PcmAudio:
     """Parse a RIFF/WAVE container: walk chunks (word-aligned), read fmt
-    (PCM 16-bit only), then the data chunk's interleaved samples."""
+    (PCM 16-bit only), then the data chunk's interleaved samples. Error
+    surface: ValueError (malformed — struct.error from short headers is
+    normalized into it) or NotImplementedError (unsupported format)."""
+    try:
+        return _decode_wav(payload)
+    except struct.error as exc:
+        raise ValueError(f"malformed WAV payload: {exc}") from exc
+
+
+def _decode_wav(payload: bytes) -> PcmAudio:
     if not sniff_wav(payload):
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12

@@ -53,15 +53,21 @@ def sniff_format(payload: bytes) -> str | None:
 
 
 def decode(payload: bytes) -> Raster:
-    """Decode any supported format; raises ValueError on malformed input
-    and NotImplementedError on unrecognized/unsupported containers."""
+    """Decode any supported format. Error surface is EXACTLY ValueError
+    (malformed input — including short/garbled headers and corrupt
+    compressed streams, which the parsers underneath surface as
+    struct.error/zlib.error) or NotImplementedError (unsupported
+    container/feature); callers' fallback logic relies on that closure."""
     fmt = sniff_format(payload)
-    if fmt == "ppm":
-        return decode_ppm(payload)
-    if fmt == "bmp":
-        return decode_bmp(payload)
-    if fmt == "png":
-        return decode_png(payload)
+    try:
+        if fmt == "ppm":
+            return decode_ppm(payload)
+        if fmt == "bmp":
+            return decode_bmp(payload)
+        if fmt == "png":
+            return decode_png(payload)
+    except (struct.error, zlib.error) as exc:
+        raise ValueError(f"malformed {fmt} payload: {exc}") from exc
     raise NotImplementedError("unrecognized image container")
 
 
@@ -198,10 +204,8 @@ def decode_bmp(payload: bytes) -> Raster:
 
 
 def encode_bmp(r: Raster) -> bytes:
-    """24-bit bottom-up BI_RGB writer (test fixture generator)."""
-    if r.channels == 1:
-        px = bytes(b for v in r.pixels for b in (v, v, v))
-        r = Raster(r.width, r.height, 3, px)
+    """24-bit bottom-up BI_RGB writer (test fixture generator). Gray
+    rasters promote to RGB inside rgb_to_dib."""
     raster = rgb_to_dib(r)
     data_off = 14 + 40
     file_size = data_off + len(raster)

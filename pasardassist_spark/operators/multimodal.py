@@ -367,7 +367,14 @@ def video_sample_frames(df: DataFrame, k: int = 4, id_col: str = "doc_id") -> Da
                     [imagecodec.Raster(w, h, 3, px) for px in rasters], fps=10
                 )
                 video = videocodec.decode_avi(payload)
-                assert video.width == w and len(video.frames) == n
+                if video.width != w or len(video.frames) != n:
+                    # explicit (not assert — must survive python -O): a
+                    # codec regression must fail the task with context,
+                    # never silently emit wrong checksums
+                    raise ValueError(
+                        f"AVI round-trip mismatch for doc {doc_id}: "
+                        f"{video.width}x{len(video.frames)} != {w}x{n}"
+                    )
                 for i, idx in enumerate(
                     videocodec.sample_frame_indices(len(video.frames), k)
                 ):

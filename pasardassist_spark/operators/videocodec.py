@@ -48,24 +48,40 @@ def _raster_to_dib(r: Raster) -> bytes:
 
 
 def decode_avi(payload: bytes) -> Video:
-    """Walk the RIFF tree: avih for dimensions/count, strh/strf to verify
-    an uncompressed video stream, movi for the frame chunks."""
+    """Walk the RIFF tree: avih for dimensions/count, strh/strf to locate
+    and verify the VIDEO stream (streams are indexed in strl order, and an
+    strf is only parsed as a BITMAPINFOHEADER when its strh says 'vids' —
+    an audio-first AVI must not be misparsed), movi for that stream's
+    frame chunks. Error surface: ValueError (malformed; struct.error
+    normalized) or NotImplementedError (compressed/unsupported)."""
+    try:
+        return _decode_avi(payload)
+    except struct.error as exc:
+        raise ValueError(f"malformed AVI payload: {exc}") from exc
+
+
+def _decode_avi(payload: bytes) -> Video:
     if not sniff_avi(payload):
         raise ValueError("not a RIFF/AVI payload")
     w = h = 0
     fps = 0
-    compression = None
+    stream_idx = -1           # strl counter, in file order
+    last_type = b""           # fccType of the most recent strh
+    video_stream = None       # index of the verified uncompressed video stream
     frames: list[Raster] = []
 
     def walk(data: bytes, pos: int, end: int) -> None:
-        nonlocal w, h, fps, compression
+        nonlocal w, h, fps, stream_idx, last_type, video_stream
         while pos + 8 <= end:
             cid, csize = struct.unpack_from("<4sI", data, pos)
             body_start = pos + 8
             if body_start + csize > end:
                 raise ValueError("truncated AVI chunk")
             if cid == b"LIST":
-                # list type is the first 4 bytes of the body
+                ltype = data[body_start : body_start + 4]
+                if ltype == b"strl":
+                    stream_idx += 1
+                    last_type = b""
                 walk(data, body_start + 4, body_start + csize)
             elif cid == b"avih":
                 # MainAVIHeader: dwMicroSecPerFrame, ..., dwWidth (off 32),
@@ -74,8 +90,9 @@ def decode_avi(payload: bytes) -> Video:
                 fps = round(1_000_000 / usec) if usec else 0
                 w = struct.unpack_from("<I", data, body_start + 32)[0]
                 h = struct.unpack_from("<I", data, body_start + 36)[0]
-            elif cid == b"strf" and compression is None:
-                # BITMAPINFOHEADER for the (first) video stream
+            elif cid == b"strh":
+                last_type = bytes(struct.unpack_from("<4s", data, body_start)[0])
+            elif cid == b"strf" and last_type == b"vids" and video_stream is None:
                 compression = struct.unpack_from("<I", data, body_start + 16)[0]
                 bpp = struct.unpack_from("<H", data, body_start + 14)[0]
                 if compression != 0:
@@ -85,15 +102,23 @@ def decode_avi(payload: bytes) -> Video:
                     )
                 if bpp != 24:
                     raise NotImplementedError(f"AVI bpp {bpp} unsupported")
+                video_stream = stream_idx
             elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
-                if not w or not h:
-                    raise ValueError("AVI frame chunk before avih header")
-                frames.append(_dib_to_raster(data[body_start : body_start + csize], w, h))
+                if video_stream is None or int(cid[:2]) != video_stream:
+                    pass  # another stream's data (audio '01wb' etc.)
+                else:
+                    if not w or not h:
+                        raise ValueError("AVI frame chunk before avih header")
+                    frames.append(
+                        _dib_to_raster(data[body_start : body_start + csize], w, h)
+                    )
             pos = body_start + csize + (csize & 1)  # word-aligned
 
     walk(payload, 12, len(payload))
     if not w or not h:
         raise ValueError("AVI missing avih header")
+    if video_stream is None:
+        raise ValueError("AVI has no uncompressed video stream")
     return Video(w, h, fps, frames)
 
 

@@ -199,6 +199,15 @@ def compact_epoch_log(
     can never be stolen from, and contenders fail the non-blocking
     acquire atomically. A crashed compactor's orphaned ``.compact-*``
     staging is ignored by readers (no commit marker at a listed name).
+
+    Scope caveat: flock arbitrates within one kernel (and over NFSv4,
+    which maps it to byte-range locks); on mounts where BSD flock is
+    per-host-emulated (NFSv3) CROSS-HOST compactors are not excluded.
+    The deployment contract is therefore the same as the generational
+    store's: state dirs live on a local/POSIX mount, and a multi-host
+    deployment schedules compaction as a singleton job — which is also
+    the only sane shape at 100 TB (compaction is maintenance, not a
+    per-writer side effect).
     """
     import fcntl
     import json
@@ -212,7 +221,13 @@ def compact_epoch_log(
         # no longer exist once this code deploys); remove it so open()
         # can create the lock FILE.
         shutil.rmtree(lock, ignore_errors=True)
-    fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
+    except OSError:
+        # e.g. the migration rmtree failed (foreign-uid dir, flaky mount):
+        # degrade exactly like a contended lock rather than crash the
+        # caller — every acquisition failure mode returns False.
+        return False
     try:
         fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
     except OSError:

@@ -206,3 +206,64 @@ def test_video_frames_compose_with_image_stages():
     assert 0 <= hi <= 0xFFFFFFFF and 0 <= lo <= 0xFFFFFFFF
     small = IC.resize_nearest(fr, 4, 4)
     assert (small.width, small.height) == (4, 4)
+
+
+def test_avi_audio_first_stream_order():
+    """An AVI listing an audio strl BEFORE the video strl: the strf of the
+    audio stream (a WAVEFORMATEX) must not be parsed as a video header,
+    and frames are read from the VIDEO stream's index ('01db'), skipping
+    the audio data chunks ('00wb')."""
+    import struct
+
+    from pasardassist_spark.operators import videocodec as V
+
+    r = IC.Raster(2, 2, 3, bytes(range(12)))
+    base = V.encode_avi([r], fps=10)
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    # audio stream: strh fccType 'auds' + 16-byte WAVEFORMATEX strf
+    a_strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"auds", b"\x00\x00\x00\x00",
+                         0, 0, 0, 0, 1, 8000, 0, 4, 8, 0, 2, 0, 0, 0, 0)
+    a_strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    audio_strl = lst(b"strl", chunk(b"strh", a_strh) + chunk(b"strf", a_strf))
+
+    # rebuild: avih + audio strl + video strl, movi with audio + video chunks
+    avih_body = base[base.index(b"avih") + 8 : base.index(b"avih") + 8 + 56]
+    v_strl_start = base.index(b"strl") - 8  # inside hdrl LIST
+    # extract the original video strl LIST (LIST size + 'strl' + content)
+    lsize = struct.unpack_from("<I", base, v_strl_start + 4 - 8 + 8)[0]
+    # simpler: rebuild video strl from scratch (mirror encode_avi)
+    frame_bytes = ((2 * 3 + 3) // 4) * 4 * 2
+    v_strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0,
+                         1, 10, 0, 1, frame_bytes, 0, 0, 0, 0, 2, 2)
+    v_strf = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, frame_bytes, 0, 0, 0, 0)
+    video_strl = lst(b"strl", chunk(b"strh", v_strh) + chunk(b"strf", v_strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih_body) + audio_strl + video_strl)
+    dib = V._raster_to_dib(r)
+    movi = lst(b"movi", chunk(b"00wb", b"\x01\x02\x03\x04") + chunk(b"01db", dib))
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    video = V.decode_avi(payload)
+    assert video.frames == [r]
+
+
+def test_corrupt_png_falls_back_in_extract_features(spark):
+    """A payload with a valid PNG magic but garbage inside must take the
+    digest fallback, not kill the task (zlib/struct errors normalize to
+    ValueError in imagecodec.decode)."""
+    from pasardassist_spark.operators.multimodal import extract_features, fake_decode
+
+    bad_png = IC.PNG_MAGIC + b"\x00\x00\x00\x0dIHDRgarbagegarb" + b"\xde\xad" * 8
+    df = spark.createDataFrame(
+        [(1, bytearray(bad_png), {"kind": "image/png", "size": len(bad_png)})],
+        "doc_id long, payload binary, meta map<string,string>",
+    )
+    rows = extract_features(df).collect()
+    assert len(rows) == 1
+    assert (rows[0].width, rows[0].height) == fake_decode(bytes(bad_png))

@@ -58,21 +58,12 @@ def _sequential_reference(n, chunks, max_dist=3):
         for i, d in enumerate(chunk):
             if any(_dist(hashes[d], hashes[a]) <= max_dist for a in admitted):
                 continue
+            # conservative same-chunk policy (matches the gate): a doc
+            # loses to ANY lower-id chunk-mate within distance, even one
+            # that itself lost — chunk[:i], not the admitted subset
             if any(_dist(hashes[d], hashes[e]) <= max_dist for e in chunk[:i]):
                 continue
             admitted.append(d)
-    # NOTE: conservative same-chunk policy — a doc also loses to a
-    # lower-id chunk-mate that itself lost; mirror that:
-    admitted2: list[int] = []
-    for chunk in chunks:
-        chunk = sorted(chunk)
-        for i, d in enumerate(chunk):
-            if any(_dist(hashes[d], hashes[a]) <= max_dist for a in admitted2):
-                continue
-            if any(_dist(hashes[d], hashes[e]) <= max_dist for e in chunk[:i]):
-                continue
-            admitted2.append(d)
-    assert admitted == admitted2
     return set(admitted)
 
 
