@@ -195,6 +195,7 @@ def main() -> None:
         "mm_dhash_dedup",
         "mm_dhash_near_pairs",
         "mm_audio_features",
+        "mm_audio_fp_dedup",
         "mm_video_frames",
         "pack_split_segments",
     ]:

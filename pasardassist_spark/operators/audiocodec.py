@@ -94,6 +94,36 @@ def encode_wav(audio: PcmAudio) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+N_FP_FRAMES = 32
+
+
+def energy_fingerprint(samples: list[int], n_frames: int = N_FP_FRAMES) -> int:
+    """Volume-invariant audio fingerprint: the signal splits into
+    ``n_frames`` equal-ish frames (sample i -> frame (i*n_frames)//n, the
+    same floor grid as video keyframe sampling), each frame folds to its
+    integer energy (sum of squares), and bit f-1 records whether frame f
+    has MORE energy than frame f-1 — a 31-bit energy-delta signature.
+
+    This is the integer-exact skeleton of spectral fingerprinting
+    (Chromaprint/Shazam record per-band energy DELTAS for the same
+    reason): uniform gain scales every energy by gain^2, preserving every
+    comparison, so re-encoded/re-leveled copies of a track fingerprint
+    identically — while time-local content changes flip bits. All
+    arithmetic is integer, so a SQL oracle re-derives the exact value.
+    """
+    n = len(samples)
+    if n < n_frames:
+        raise ValueError(f"need >= {n_frames} samples, got {n}")
+    energies = [0] * n_frames
+    for i, s in enumerate(samples):
+        energies[(i * n_frames) // n] += s * s
+    fp = 0
+    for f in range(1, n_frames):
+        if energies[f] > energies[f - 1]:
+            fp |= 1 << (f - 1)
+    return fp
+
+
 class AudioFeatures(NamedTuple):
     sample_rate: int
     channels: int

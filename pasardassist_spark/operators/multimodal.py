@@ -400,6 +400,50 @@ def synth_wav_samples(doc_id: int) -> tuple[int, list[int]]:
     return n, [((i * 37 + did * 11) % 2048) - 1024 for i in range(n)]
 
 
+def synth_wav_variant(doc_id: int, seed_mod: int = 101) -> tuple[int, int, list[int]]:
+    """Volume-variant synthetic PCM: base samples from seed = doc_id %
+    seed_mod, multiplied by gain = (doc_id // seed_mod) % 3 + 1 — docs
+    sharing a seed are the SAME recording at different levels (|sample|
+    <= 3*1024, well inside int16), the planted-duplicate corpus for
+    fingerprint dedup."""
+    did = int(doc_id)
+    seed = did % seed_mod
+    gain = (did // seed_mod) % 3 + 1
+    n = seed % 300 + 100
+    return seed, gain, [
+        (((i * 37 + seed * 11) % 2048) - 1024) * gain for i in range(n)
+    ]
+
+
+FP_SCHEMA = "doc_id long, fingerprint long"
+
+
+def audio_fingerprints(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Audio-dedup stage: genuine WAV payloads (volume-variant corpus)
+    round-trip the codec, then fold to the 31-bit energy-delta
+    fingerprint. At 100 TB the fingerprint is the shuffle key for exact
+    recording-level dedup (one groupBy, the audio sibling of dHash),
+    robust to uniform re-leveling by construction."""
+    from pasardassist_spark.operators import audiocodec
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"doc_id": [], "fingerprint": []}
+            for doc_id in pdf[id_col]:
+                _seed, _gain, samples = synth_wav_variant(int(doc_id))
+                payload = audiocodec.encode_wav(
+                    audiocodec.PcmAudio(AUDIO_RATE, 1, samples)
+                )
+                decoded = audiocodec.decode_wav(payload)
+                out["doc_id"].append(doc_id)
+                out["fingerprint"].append(
+                    audiocodec.energy_fingerprint(decoded.samples)
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(_batches, FP_SCHEMA)
+
+
 AUDIO_RATE = 8000
 
 AUDIO_SCHEMA = (

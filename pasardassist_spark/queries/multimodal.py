@@ -412,6 +412,73 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_audio_fp_dedup",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               doc_id % 101 AS seed,
+               (doc_id // 101) % 3 + 1 AS gain,
+               (doc_id % 101) % 300 + 100 AS n
+        FROM documents
+    ),
+    samp AS (
+        SELECT b.doc_id, b.n,
+               (i.i * 32) // b.n AS f,
+               (((i.i * 37 + b.seed * 11) % 2048) - 1024) * b.gain AS s
+        FROM base b JOIN (SELECT unnest(range(0, 400)) AS i) i ON i.i < b.n
+    ),
+    frames AS (
+        SELECT doc_id, f, SUM(s * s) AS e FROM samp GROUP BY doc_id, f
+    ),
+    deltas AS (
+        SELECT doc_id, f,
+               CASE WHEN e > LAG(e) OVER (PARTITION BY doc_id ORDER BY f)
+                    THEN 1 ELSE 0 END AS bit
+        FROM frames
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN f >= 1
+                    THEN bit * (CAST(1 AS BIGINT) << (f - 1))
+                    ELSE 0 END) AS BIGINT) AS fingerprint
+        FROM deltas GROUP BY doc_id
+    )
+    SELECT doc_id, fingerprint,
+           CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT)
+               AS dup_group_size,
+           CAST(MIN(doc_id) OVER (PARTITION BY fingerprint) AS BIGINT)
+               AS canonical_id
+    FROM fp
+    """,
+)
+def mm_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio recording-level dedup on real decoded bytes: a volume-variant
+    corpus (documents sharing doc_id % 101 are the SAME recording at gain
+    1-3x) round-trips genuine WAV containers, folds to the 31-bit
+    energy-delta fingerprint (operators/audiocodec.py:energy_fingerprint
+    — the integer-exact skeleton of Chromaprint-style spectral-delta
+    matching), and groups by fingerprint. Re-leveled copies collapse
+    because uniform gain scales every frame energy by gain^2, preserving
+    every delta comparison — byte/content-hash dedup would keep all
+    three levels. The oracle recomputes every fingerprint bit from the
+    closed-form sample formula WITH the gain applied, so the hash match
+    certifies the invariance on actual values, not by construction."""
+    from pyspark.sql import Window as W, functions as F
+
+    from pasardassist_spark.operators.multimodal import audio_fingerprints
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    fp = audio_fingerprints(d)
+    w = W.partitionBy("fingerprint")
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        F.count(F.lit(1)).over(w).cast("long").alias("dup_group_size"),
+        F.min("doc_id").over(w).cast("long").alias("canonical_id"),
+    )
+
+
+@query(
     "mm_resize_thumbs",
     oracle=f"""
     WITH dims AS (

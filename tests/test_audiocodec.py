@@ -267,3 +267,35 @@ def test_corrupt_png_falls_back_in_extract_features(spark):
     rows = extract_features(df).collect()
     assert len(rows) == 1
     assert (rows[0].width, rows[0].height) == fake_decode(bytes(bad_png))
+
+
+def test_energy_fingerprint_gain_invariance_and_sensitivity():
+    """Uniform gain preserves every energy-delta bit; time-local content
+    edits flip bits; too-short signals are rejected."""
+    from pasardassist_spark.operators.audiocodec import energy_fingerprint
+
+    base = [((i * 13) % 700) - 350 for i in range(200)]
+    fp = energy_fingerprint(base)
+    for gain in (2, 3, -1):
+        assert energy_fingerprint([s * gain for s in base]) == fp
+    # zero one frame's worth of samples: the local energy ordering changes
+    edited = base[:100] + [0] * 7 + base[107:]
+    assert energy_fingerprint(edited) != fp
+    with pytest.raises(ValueError):
+        energy_fingerprint([1] * 10)
+
+
+def test_audio_fp_stage_collapses_volume_variants(spark):
+    from pasardassist_spark.operators.multimodal import (
+        audio_fingerprints,
+        synth_wav_variant,
+    )
+
+    df = spark.range(0, 303).withColumnRenamed("id", "doc_id")  # 3 gains/seed
+    rows = audio_fingerprints(df).collect()
+    by_seed: dict[int, set] = {}
+    for r in rows:
+        seed, _gain, _ = synth_wav_variant(r.doc_id)
+        by_seed.setdefault(seed, set()).add(r.fingerprint)
+    assert len(by_seed) == 101
+    assert all(len(v) == 1 for v in by_seed.values()), "gain broke grouping"
