@@ -305,6 +305,19 @@ def main() -> None:
     }
     ann: dict[str, dict[str, float]] = {}
 
+    # sign-random-projection LSH (one-shot: bucket build is inline — its
+    # tables are seeded hyperplanes, not a trained artifact, so there is
+    # no build/search split to attribute)
+    t0 = time.perf_counter()
+    got = {
+        (r.q_id, r.neighbor_id)
+        for r in S.ann_topk(emb, QUERY_IDS, K, DIM).collect()
+    }
+    ann["sim_lsh_ann"] = {
+        "recall10": round(len(exact & got) / len(exact), 3),
+        "search_s": round(time.perf_counter() - t0, 3),
+    }
+
     t0 = time.perf_counter()
     asg, cent = S.ivf_assignments(emb)
     asg = asg.persist()
