@@ -38,6 +38,22 @@ class Raster(NamedTuple):
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# Decompression-bomb guard: a crafted header ("P6 999999999 999999999")
+# must not allocate terabytes in an executor. 2^26 pixels = a 8192x8192
+# RGB frame (~200 MB decoded) — far above any payload this engine stores
+# inline; larger assets belong in object storage with pointer columns.
+MAX_PIXELS = 1 << 26
+
+
+def _check_dims(w: int, h: int) -> None:
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad image dimensions {w}x{h}")
+    if w * h > MAX_PIXELS:
+        raise ValueError(
+            f"image dimensions {w}x{h} exceed the {MAX_PIXELS}-pixel "
+            "inline-decode cap (decompression-bomb guard)"
+        )
+
 
 def sniff_format(payload: bytes) -> str | None:
     """Identify a supported image container from its magic bytes."""
@@ -102,8 +118,7 @@ def decode_ppm(payload: bytes) -> Raster:
         raise ValueError(f"not a supported netpbm magic: {magic!r}")
     channels = 3 if magic in (b"P3", b"P6") else 1
     (w, h, maxval), pos = _pnm_tokens(payload, 3, 2)
-    if w <= 0 or h <= 0:
-        raise ValueError(f"bad netpbm dimensions {w}x{h}")
+    _check_dims(w, h)
     if not 0 < maxval <= 255:
         raise ValueError(f"unsupported netpbm maxval {maxval}")
     n = w * h * channels
@@ -197,8 +212,7 @@ def decode_bmp(payload: bytes) -> Raster:
         raise NotImplementedError(f"BMP bpp {bpp} unsupported")
     top_down = h < 0
     h = abs(h)
-    if w <= 0 or h == 0:
-        raise ValueError(f"bad BMP dimensions {w}x{h}")
+    _check_dims(w, h)
     bypp = bpp // 8
     return Raster(w, h, 3, dib_to_rgb(payload, data_off, w, h, bypp, top_down))
 
@@ -281,6 +295,7 @@ def decode_png(payload: bytes) -> Raster:
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+            _check_dims(w, h)
             if depth != 8:
                 raise NotImplementedError(f"PNG bit depth {depth} unsupported")
             if color_type not in _PNG_CHANNELS:
@@ -297,7 +312,15 @@ def decode_png(payload: bytes) -> Raster:
     if not w or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     src_ch = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    # bounded inflate: the raster size is known from IHDR, so cap the
+    # decompressor there — a zlib bomb (tiny IDAT inflating to GB) stops
+    # at expected+1 bytes and is rejected, instead of exhausting memory
+    expected = h * (w * src_ch + 1)
+    raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
+        raise ValueError(
+            f"PNG IDAT inflates to {len(raw)}+ bytes, expected {expected}"
+        )
     flat = _png_unfilter(raw, w, h, src_ch)
     if color_type == 0:
         return Raster(w, h, 1, flat)

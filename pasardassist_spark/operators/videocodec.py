@@ -70,8 +70,13 @@ def _decode_avi(payload: bytes) -> Video:
     video_stream = None       # index of the verified uncompressed video stream
     frames: list[Raster] = []
 
-    def walk(data: bytes, pos: int, end: int) -> None:
+    def walk(data: bytes, pos: int, end: int, depth: int = 0) -> None:
         nonlocal w, h, fps, stream_idx, last_type, video_stream
+        if depth > 16:
+            # real AVI trees are <= 3 deep (hdrl > strl, movi > rec);
+            # a crafted deep-nest must raise ValueError, not blow the
+            # Python recursion limit out of the error contract
+            raise ValueError("AVI LIST nesting too deep")
         while pos + 8 <= end:
             cid, csize = struct.unpack_from("<4sI", data, pos)
             body_start = pos + 8
@@ -82,7 +87,7 @@ def _decode_avi(payload: bytes) -> Video:
                 if ltype == b"strl":
                     stream_idx += 1
                     last_type = b""
-                walk(data, body_start + 4, body_start + csize)
+                walk(data, body_start + 4, body_start + csize, depth + 1)
             elif cid == b"avih":
                 # MainAVIHeader: dwMicroSecPerFrame, ..., dwWidth (off 32),
                 # dwHeight (off 36)
@@ -90,6 +95,10 @@ def _decode_avi(payload: bytes) -> Video:
                 fps = round(1_000_000 / usec) if usec else 0
                 w = struct.unpack_from("<I", data, body_start + 32)[0]
                 h = struct.unpack_from("<I", data, body_start + 36)[0]
+                # bomb guard BEFORE any frame allocates w*h*3
+                from pasardassist_spark.operators.imagecodec import _check_dims
+
+                _check_dims(w, h)
             elif cid == b"strh":
                 last_type = bytes(struct.unpack_from("<4s", data, body_start)[0])
             elif cid == b"strf" and last_type == b"vids" and video_stream is None:

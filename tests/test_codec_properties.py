@@ -155,3 +155,98 @@ def test_resize_nearest_property(r, ow, oh):
             src = r.pixels[(sy * r.width + sx) * ch : (sy * r.width + sx) * ch + ch]
             got = out.pixels[(y * ow + x) * ch : (y * ow + x) * ch + ch]
             assert got == src
+
+
+# ---------------------------------------------------------------- fuzzing --
+
+_MAGICS = [
+    b"", b"P6\n", b"P5 ", b"P3\n", b"P2 ", b"BM", C.PNG_MAGIC,
+    b"RIFF\x00\x00\x00\x00WAVE", b"RIFF\x00\x00\x00\x00AVI ",
+]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.sampled_from(_MAGICS), st.binary(max_size=256))
+def test_decoders_never_escape_their_error_contract(prefix, junk):
+    """Arbitrary bytes — including valid magics followed by garbage — must
+    produce EXACTLY a Raster/PcmAudio/Video, ValueError, or
+    NotImplementedError. IndexError/struct.error/zlib.error/OverflowError
+    escaping a decoder would kill a whole Spark task batch."""
+    from pasardassist_spark.operators import videocodec as V
+
+    payload = prefix + junk
+    for fn in (C.decode, A.decode_wav, V.decode_avi):
+        try:
+            fn(payload)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(max_size=64))
+def test_sniff_never_raises(junk):
+    C.sniff_format(junk)
+    A.sniff_wav(junk)
+    from pasardassist_spark.operators.videocodec import sniff_avi
+
+    sniff_avi(junk)
+
+
+def test_dimension_bomb_headers_rejected_cheaply():
+    """Crafted huge-dimension headers must raise ValueError BEFORE any
+    raster allocation (decompression-bomb guard)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bomb|dimensions"):
+        C.decode(b"P6\n999999999 999999999\n255\n")
+    # PNG IHDR claiming a 1-gigapixel image
+    import struct as _struct
+    import zlib as _zlib
+
+    ihdr = _struct.pack(">IIBBBBB", 40000, 40000, 8, 2, 0, 0, 0)
+    payload = (
+        C.PNG_MAGIC
+        + _struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with _pytest.raises(ValueError, match="bomb|dimensions"):
+        C.decode(payload)
+
+
+def test_png_zlib_bomb_bounded():
+    """A tiny IDAT inflating past the IHDR-declared raster size must be
+    rejected without materializing the expansion."""
+    import struct as _struct
+    import zlib as _zlib
+
+    def chunk(ctype, body):
+        return (
+            _struct.pack(">I", len(body)) + ctype + body
+            + _struct.pack(">I", _zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # declares 2x2 gray (expected 2*(2+1)=6 bytes) but inflates to 10 MB
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = _zlib.compress(b"\x00" * (10 << 20))
+    payload = C.PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inflates"):
+        C.decode(payload)
+
+
+def test_avi_deep_list_nesting_rejected():
+    """A crafted AVI with a LIST nest thousands deep must raise ValueError
+    (error contract), not RecursionError."""
+    import struct as _struct
+
+    from pasardassist_spark.operators import videocodec as V
+
+    inner = b""
+    for _ in range(500):
+        inner = b"LIST" + _struct.pack("<I", len(inner) + 4) + b"hdrl" + inner
+    payload = b"RIFF" + _struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nesting|avih"):
+        V.decode_avi(payload)
