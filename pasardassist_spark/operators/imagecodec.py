@@ -314,13 +314,24 @@ def decode_png(payload: bytes) -> Raster:
     src_ch = _PNG_CHANNELS[color_type]
     # bounded inflate: the raster size is known from IHDR, so cap the
     # decompressor there — a zlib bomb (tiny IDAT inflating to GB) stops
-    # at expected+1 bytes and is rejected, instead of exhausting memory
+    # at expected+1 bytes and is rejected, instead of exhausting memory.
+    # The eof check preserves what plain zlib.decompress() verified:
+    # stream completeness + adler32 — a truncated IDAT that happens to
+    # yield exactly `expected` bytes before the cut must still fail.
     expected = h * (w * src_ch + 1)
-    raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
     if len(raw) != expected:
         raise ValueError(
             f"PNG IDAT inflates to {len(raw)}+ bytes, expected {expected}"
         )
+    if d.unconsumed_tail:
+        # the cap left input unread; a valid stream has only the adler32
+        # trailer here — any further OUTPUT means the stream overruns
+        if d.decompress(d.unconsumed_tail, 1):
+            raise ValueError(f"PNG IDAT inflates beyond {expected} bytes")
+    if not d.eof:
+        raise ValueError("PNG IDAT stream incomplete (truncated/unverified)")
     flat = _png_unfilter(raw, w, h, src_ch)
     if color_type == 0:
         return Raster(w, h, 1, flat)

@@ -22,7 +22,12 @@ from __future__ import annotations
 import struct
 from typing import NamedTuple
 
-from pasardassist_spark.operators.imagecodec import Raster, dib_to_rgb, rgb_to_dib
+from pasardassist_spark.operators.imagecodec import (
+    Raster,
+    _check_dims,
+    dib_to_rgb,
+    rgb_to_dib,
+)
 
 
 class Video(NamedTuple):
@@ -96,8 +101,6 @@ def _decode_avi(payload: bytes) -> Video:
                 w = struct.unpack_from("<I", data, body_start + 32)[0]
                 h = struct.unpack_from("<I", data, body_start + 36)[0]
                 # bomb guard BEFORE any frame allocates w*h*3
-                from pasardassist_spark.operators.imagecodec import _check_dims
-
                 _check_dims(w, h)
             elif cid == b"strh":
                 last_type = bytes(struct.unpack_from("<4s", data, body_start)[0])

@@ -250,3 +250,27 @@ def test_avi_deep_list_nesting_rejected():
 
     with _pytest.raises(ValueError, match="nesting|avih"):
         V.decode_avi(payload)
+
+
+def test_png_truncated_adler_rejected():
+    """An IDAT whose zlib trailer is cut off must raise ValueError even
+    when the pixel bytes fully inflated (stream-completeness + adler32
+    verification survives the bounded-inflate rewrite)."""
+    import pytest as _pytest
+
+    px = bytes((i * 7) % 256 for i in range(4 * 3 * 3))
+    good = C.encode_png(C.Raster(4, 3, 3, px))
+    # locate the IDAT chunk and drop the last 4 bytes of its zlib body
+    idx = good.index(b"IDAT") - 4
+    (size,) = struct.unpack_from(">I", good, idx)
+    body = good[idx + 8 : idx + 8 + size]
+    cut = body[:-4]
+    rebuilt = (
+        good[:idx]
+        + struct.pack(">I", len(cut)) + b"IDAT" + cut
+        + struct.pack(">I", zlib.crc32(b"IDAT" + cut) & 0xFFFFFFFF)
+        + good[idx + 12 + size:]
+    )
+    assert C.decode(good) == C.Raster(4, 3, 3, px)  # control
+    with _pytest.raises(ValueError):
+        C.decode(rebuilt)
