@@ -197,6 +197,7 @@ def main() -> None:
         "mm_audio_features",
         "mm_audio_fp_dedup",
         "mm_video_frames",
+        "mm_video_dedup",
         "pack_split_segments",
     ]:
         t0 = time.perf_counter()

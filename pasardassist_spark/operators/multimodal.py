@@ -391,6 +391,57 @@ def video_sample_frames(df: DataFrame, k: int = 4, id_col: str = "doc_id") -> Da
     return df.select(id_col).mapInPandas(_batches, VIDEO_FRAME_SCHEMA)
 
 
+VIDEO_FP_SCHEMA = (
+    "doc_id long, n_frames int, "
+    "first_hi long, first_lo long, last_hi long, last_lo long"
+)
+
+
+def video_fingerprints(
+    df: DataFrame, seed_mod: int = 89, id_col: str = "doc_id"
+) -> DataFrame:
+    """Video-level dedup stage: each row gets a genuine AVI built from
+    seed = doc_id % seed_mod (docs sharing a seed are the SAME clip), the
+    container round-trips the codec, and the clip folds to a signature of
+    (frame count, dHash of the first DECODED frame, dHash of the last) —
+    the bookend-keyframe signature video dedup pipelines use before
+    falling back to full frame-sequence comparison. Re-containered copies
+    collapse (the hashes see pixels); clips differing anywhere the
+    bookends or length see don't."""
+    from pasardassist_spark.operators import imagecodec, videocodec
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "n_frames": [],
+                "first_hi": [], "first_lo": [], "last_hi": [], "last_lo": [],
+            }
+            for doc_id in pdf[id_col]:
+                seed = int(doc_id) % seed_mod
+                n, w, h, rasters = synth_video_frames(seed)
+                payload = videocodec.encode_avi(
+                    [imagecodec.Raster(w, h, 3, px) for px in rasters], fps=10
+                )
+                video = videocodec.decode_avi(payload)
+                first = video.frames[0]
+                last = video.frames[-1]
+                fh, fl = dhash_raster(
+                    first.width, first.height, first.channels, first.pixels
+                )
+                lh, ll = dhash_raster(
+                    last.width, last.height, last.channels, last.pixels
+                )
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(len(video.frames))
+                out["first_hi"].append(fh)
+                out["first_lo"].append(fl)
+                out["last_hi"].append(lh)
+                out["last_lo"].append(ll)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(_batches, VIDEO_FP_SCHEMA)
+
+
 def synth_wav_samples(doc_id: int) -> tuple[int, list[int]]:
     """Deterministic synthetic PCM stream for a document id: n = doc_id %
     300 + 100 mono samples at 8 kHz, s[i] = ((i*37 + doc_id*11) % 2048) -

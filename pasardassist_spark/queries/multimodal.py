@@ -369,6 +369,97 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_sample_frames(d, k=4)
 
 
+def _vid_gray(xc: str) -> str:
+    """Gray of 9x8 cell (xc, y.y) of frame `fr` for the seeded video
+    corpus (seed = doc_id % 89): dims w = seed%13+4, h = (seed*3)%11+4,
+    pixel base = sx*7 + sy*13 + seed + fr*17."""
+    w = "(d.seed % 13 + 4)"
+    h = "((d.seed * 3) % 11 + 4)"
+    sx = f"((({xc}) * {w}) // 9)"
+    sy = f"((y.y * {h}) // 8)"
+    b = f"({sx} * 7 + {sy} * 13 + d.seed + fsel.fr * 17)"
+    return f"(({b} % 256) + (({b} + 29) % 256) + (({b} + 58) % 256)) // 3"
+
+
+@query(
+    "mm_video_dedup",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               doc_id % 89 AS seed,
+               (doc_id % 89) % 6 + 2 AS n
+        FROM documents
+    ),
+    bits AS (
+        SELECT d.doc_id, d.n, fsel.which,
+               y.y * 8 + x.x AS pos,
+               CASE WHEN {_vid_gray('x.x')} < {_vid_gray('x.x + 1')}
+                    THEN 1 ELSE 0 END AS bit
+        FROM base d
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS x) x
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y
+        CROSS JOIN LATERAL (
+            SELECT 'first' AS which, 0 AS fr
+            UNION ALL SELECT 'last', d.n - 1
+        ) fsel
+    ),
+    hashes AS (
+        SELECT doc_id, n, which,
+               CAST(SUM(CASE WHEN pos >= 32
+                    THEN bit * (CAST(1 AS BIGINT) << (pos - 32))
+                    ELSE 0 END) AS BIGINT) AS hi,
+               CAST(SUM(CASE WHEN pos < 32
+                    THEN bit * (CAST(1 AS BIGINT) << pos)
+                    ELSE 0 END) AS BIGINT) AS lo
+        FROM bits GROUP BY doc_id, n, which
+    ),
+    sig AS (
+        SELECT f.doc_id,
+               CAST(f.n AS INTEGER) AS n_frames,
+               f.hi AS first_hi, f.lo AS first_lo,
+               l.hi AS last_hi, l.lo AS last_lo
+        FROM (SELECT * FROM hashes WHERE which = 'first') f
+        JOIN (SELECT * FROM hashes WHERE which = 'last') l
+          ON f.doc_id = l.doc_id
+    )
+    SELECT doc_id, n_frames, first_hi, first_lo, last_hi, last_lo,
+           CAST(COUNT(*) OVER (PARTITION BY n_frames, first_hi, first_lo,
+                last_hi, last_lo) AS BIGINT) AS dup_group_size,
+           CAST(MIN(doc_id) OVER (PARTITION BY n_frames, first_hi, first_lo,
+                last_hi, last_lo) AS BIGINT) AS canonical_id
+    FROM sig
+    """,
+)
+def mm_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-level video dedup on real decoded bytes: a seeded corpus
+    (doc_id % 89 selects the clip) round-trips genuine AVI containers,
+    and each clip folds to its bookend signature — frame count plus the
+    dHashes of the first and last DECODED frames (the cheap pre-filter
+    real video dedup runs before full frame-sequence comparison). The
+    oracle re-derives every signature bit from the closed-form frame
+    arithmetic, so the hash match certifies container round-trip AND
+    frame-order preservation (a codec bug reordering or dropping frames
+    flips the 'last' hash). Completes the per-modality dedup triple next
+    to mm_dhash_dedup (images) and mm_audio_fp_dedup (audio)."""
+    from pyspark.sql import Window as W, functions as F
+
+    from pasardassist_spark.operators.multimodal import video_fingerprints
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    sig = video_fingerprints(d, seed_mod=89)
+    w = W.partitionBy("n_frames", "first_hi", "first_lo", "last_hi", "last_lo")
+    return sig.select(
+        "doc_id",
+        "n_frames",
+        "first_hi",
+        "first_lo",
+        "last_hi",
+        "last_lo",
+        F.count(F.lit(1)).over(w).cast("long").alias("dup_group_size"),
+        F.min("doc_id").over(w).cast("long").alias("canonical_id"),
+    )
+
+
 @query(
     "mm_audio_features",
     oracle="""

@@ -299,3 +299,29 @@ def test_audio_fp_stage_collapses_volume_variants(spark):
         by_seed.setdefault(seed, set()).add(r.fingerprint)
     assert len(by_seed) == 101
     assert all(len(v) == 1 for v in by_seed.values()), "gain broke grouping"
+
+
+def test_video_fingerprint_collapses_seed_groups_and_orders_frames(spark):
+    from pasardassist_spark.operators import videocodec as V
+    from pasardassist_spark.operators.multimodal import (
+        synth_video_frames,
+        video_fingerprints,
+    )
+
+    df = spark.range(0, 180).withColumnRenamed("id", "doc_id")
+    rows = video_fingerprints(df, seed_mod=89).collect()
+    by_seed: dict[int, set] = {}
+    for r in rows:
+        sig = (r.n_frames, r.first_hi, r.first_lo, r.last_hi, r.last_lo)
+        by_seed.setdefault(r.doc_id % 89, set()).add(sig)
+    assert all(len(v) == 1 for v in by_seed.values()), "same clip, different sig"
+    assert len({next(iter(v)) for v in by_seed.values()}) > 50, "signatures degenerate"
+
+    # frame-order sensitivity: reversing a clip's frames flips the
+    # bookends (first != last for clips whose ends differ)
+    n, w, h, rasters = synth_video_frames(7)
+    fwd = V.decode_avi(V.encode_avi([IC.Raster(w, h, 3, px) for px in rasters]))
+    rev = V.decode_avi(V.encode_avi([IC.Raster(w, h, 3, px) for px in reversed(rasters)]))
+    f0 = dhash_raster(w, h, 3, fwd.frames[0].pixels)
+    r0 = dhash_raster(w, h, 3, rev.frames[0].pixels)
+    assert f0 != r0
