@@ -425,7 +425,39 @@ def main() -> None:
         "regressions": regressions,
         "regressions_vs": prev.get("round"),
     }
-    print(json.dumps(result))
+
+    # The driver records only the LAST 2000 characters of stdout and parses
+    # the final line as JSON; the full `result` dict overflowed that buffer
+    # every round since r4 (BENCH_r04..r08 all show "parsed": null).  Print
+    # a compact summary line that fits the buffer — the complete per-query
+    # record lives in BENCH_LAST.json (written below) for the judge.
+    summary = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "value_warm": result["value_warm"],
+        "value_baseline_subset": result["value_baseline_subset"],
+        "value_baseline_subset_warm": result["value_baseline_subset_warm"],
+        "n_queries": len(HEADLINE),
+        "n_extras": len(extras),
+        "extras_total": round(sum(extras.values()), 3),
+        "ann": ann,
+        "regressions_n": len(regressions),
+        "regressions_top": {
+            n: regressions[n]["delta_pct"]
+            for n in sorted(
+                regressions, key=lambda n: -regressions[n]["delta_pct"]
+            )[:3]
+        },
+        "sf": sf,
+        "full_record": "BENCH_LAST.json",
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never overflow the tail again
+        summary.pop("queries", None)
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
 
     # Full record for next run's comparison (best-effort: a read-only
     # checkout must not break the bench output). Only the canonical sf0.1

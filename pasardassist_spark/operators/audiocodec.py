@@ -1,6 +1,7 @@
 """Pure-Python WAV (RIFF/PCM) codec — the audio half of the multimodal
 decode story (reference parity: the reference stores media as opaque URLs,
-src/modules/utils/helpers.ts; here the payload bytes are first-class).
+src/modules/utils/utils.service.ts; here the payload bytes are
+first-class).
 
 Stdlib-only, like operators/imagecodec.py: the container has no audio
 libraries, but PCM WAV needs none — the RIFF container is a length-tagged
@@ -27,6 +28,10 @@ class PcmAudio(NamedTuple):
 
 
 WAV_MAGIC = b"RIFF"
+
+
+# Bomb guard (see _decode_wav): max samples decoded from an inline column.
+MAX_SAMPLES = 1 << 25
 
 
 def sniff_wav(payload: bytes) -> bool:
@@ -73,6 +78,16 @@ def _decode_wav(payload: bytes) -> PcmAudio:
     if channels < 1:
         raise ValueError("bad WAV channel count")
     n = len(data) // 2
+    # Decompression-bomb guard, mirroring imagecodec's MAX_PIXELS: the
+    # Python int list amplifies the payload ~14-28x in memory, so an
+    # unchecked inline data chunk could balloon an executor. 2^25 samples
+    # = ~6 min of 48 kHz stereo = 64 MiB payload -> bounded ~1.8 GiB peak.
+    if n > MAX_SAMPLES:
+        raise ValueError(
+            f"WAV data chunk has {n} samples, exceeding the {MAX_SAMPLES} "
+            "decode guard (route longer recordings through a chunked "
+            "decode, not an inline column)"
+        )
     samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
     return PcmAudio(rate, channels, samples)
 

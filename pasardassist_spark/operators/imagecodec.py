@@ -1,6 +1,7 @@
 """Pure-Python image codecs — the real decode path behind the multimodal
-stages (reference parity: src/modules/utils/helpers.ts metadata/thumbnail
-handling; re-expressed as Spark mapInPandas stages in operators/multimodal).
+stages (reference parity: src/modules/utils/utils.service.ts
+metadata/thumbnail handling; re-expressed as Spark mapInPandas stages in
+operators/multimodal).
 
 No image library exists in this container, so the decoders are written
 against the public format specs using only the stdlib:
@@ -206,6 +207,12 @@ def decode_bmp(payload: bytes) -> Raster:
     w, h = struct.unpack_from("<ii", payload, 18)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1:
+        raise ValueError(f"bad BMP plane count {planes}")
+    # A malformed data_off (0, or pointing inside the headers) would pass
+    # dib_to_rgb's length check and silently decode header bytes as pixels.
+    if not 14 + hdr_size <= data_off <= len(payload):
+        raise ValueError(f"bad BMP pixel-data offset {data_off}")
     if compression != 0:
         raise NotImplementedError(f"BMP compression {compression} unsupported")
     if bpp not in (24, 32):

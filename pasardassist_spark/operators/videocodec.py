@@ -95,7 +95,12 @@ def _decode_avi(payload: bytes) -> Video:
                 walk(data, body_start + 4, body_start + csize, depth + 1)
             elif cid == b"avih":
                 # MainAVIHeader: dwMicroSecPerFrame, ..., dwWidth (off 32),
-                # dwHeight (off 36)
+                # dwHeight (off 36). The fields are unpacked at fixed
+                # offsets from the shared buffer, so the chunk's OWN size
+                # must cover them — otherwise a short avih would silently
+                # consume bytes of the next chunk as width/height.
+                if csize < 40:
+                    raise ValueError("truncated avih chunk")
                 usec = struct.unpack_from("<I", data, body_start)[0]
                 fps = round(1_000_000 / usec) if usec else 0
                 w = struct.unpack_from("<I", data, body_start + 32)[0]
@@ -103,8 +108,14 @@ def _decode_avi(payload: bytes) -> Video:
                 # bomb guard BEFORE any frame allocates w*h*3
                 _check_dims(w, h)
             elif cid == b"strh":
+                if csize < 4:
+                    raise ValueError("truncated strh chunk")
                 last_type = bytes(struct.unpack_from("<4s", data, body_start)[0])
             elif cid == b"strf" and last_type == b"vids" and video_stream is None:
+                # BITMAPINFOHEADER: biBitCount at off 14, biCompression at
+                # off 16 — same fixed-offset unpack hazard as avih above.
+                if csize < 20:
+                    raise ValueError("truncated strf chunk")
                 compression = struct.unpack_from("<I", data, body_start + 16)[0]
                 bpp = struct.unpack_from("<H", data, body_start + 14)[0]
                 if compression != 0:

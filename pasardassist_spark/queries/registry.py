@@ -99,29 +99,29 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "scd2_build", "scd2_pit_lookup", "cm_sketch_freq", "qsketch_percentiles",
     "st8_incremental_stats", "sess_concurrency", "ts_gap_fill", "ts_ewma",
     "ts_zscore_anomaly", "ts_cusum", "ts_interpolate", "ts_twap",
+    # r8 greens (CORRECTNESS_r08: 43 hash-green, 0 red; the round-8
+    # library/multimodal promotions all recorded hash-green on their first
+    # driver row, and the re-checked ANN/mm_decode_features rows came back
+    # clean after the real retune/sniff changes)
+    "pack_split_segments", "cep_match_pattern", "cdc_operator_diff",
+    "batch_by_length", "drift_psi_readout", "link_records_clusters",
+    "mm_decode_real", "mm_resize_real", "mm_dhash_dedup",
+    "mm_dhash_near_pairs", "mm_video_frames", "mm_video_dedup",
+    "mm_audio_features", "mm_audio_fp_dedup",
+    # rows-only-by-design (no SQL oracle can exist), driver row-checked
+    # clean in r07 AND r08; pytest-bounded (orthonormality / variance
+    # optimality) — archived on the same policy as the sketch entries
+    "emb_pca_project",
 })
 
 # Entries whose implementation or oracle changed since their last green
 # driver row — treated as unverified for ordering until re-checked.
 #
-# Provenance correction (round 8): the round-7 comments here claimed an
-# ANN nprobe/refine retune and a PPM/PGM decode branch that had NOT landed
-# at that HEAD (VERDICT r7 "What's wrong" #1) — the entries were in fact
-# pre-registered for work that did not happen.  The comments below describe
-# only changes that exist at this HEAD.
-_FORCE_RECHECK: frozenset[str] = frozenset({
-    # round 8: the IVF/IVF-PQ operating point changed this round — IVF
-    # N_PROBE 6->10 (recall@10 0.66->0.84 at sf0.1), IVF-PQ probe 12 /
-    # refine 32 (0.54->0.86); operators/similarity.py. Re-row-check both.
-    "sim_ivf_ann", "sim_ivfpq_ann",
-    # round 8: extract_features gained a magic-byte sniff that routes
-    # image payloads through the real pure-Python PPM/BMP/PNG decoders
-    # (operators/imagecodec.py); text payloads keep the digest stand-in,
-    # so this row should be unchanged — recheck confirms. The real decode
-    # branch itself is covered by the NEW mm_decode_real / mm_resize_real
-    # entries (hash-checked against arithmetic raster-checksum oracles).
-    "mm_decode_features",
-})
+# Round 9: the round-8 re-checks (sim_ivf_ann, sim_ivfpq_ann,
+# mm_decode_features — the real ANN retune and decode-sniff changes) all
+# recorded clean in CORRECTNESS_r08, so the set starts empty.  Add a name
+# here ONLY when its query fn or oracle actually changed this round.
+_FORCE_RECHECK: frozenset[str] = frozenset()
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
