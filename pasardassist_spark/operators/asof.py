@@ -220,3 +220,82 @@ def asof_join_broadcast(
     return probe.select(
         *lcols, *[chosen[f"_v_{c}"].alias(c) for c in value_cols]
     )
+
+
+def asof_join_nearest_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tolerance_us: int,
+    delta_col: str | None = None,
+    bucket_width_us: int = 86_400_000_000,
+) -> DataFrame:
+    """NEAREST-within-tolerance as-of join (pandas ``merge_asof``
+    direction='nearest'): each left row gains ``value_cols`` from the right
+    row (per ``keys``) whose timestamp is CLOSEST to the left timestamp and
+    within ``tolerance_us`` microseconds, on either side; ties (equidistant
+    backward/forward match) resolve to the EARLIER right row. No match
+    within tolerance => nulls.
+
+    Physical plan: two passes of :func:`asof_join_broadcast` — the backward
+    pass as-is, the forward pass on NEGATED microsecond timestamps (the
+    backward as-of of a time-reversed axis IS the forward as-of) — then a
+    row-local nearest/tolerance resolve. The fact side streams through two
+    broadcast hash joins with zero shuffle and zero sort; all shuffles
+    touch only the dim-sized right side, twice. Same sizing contract as
+    asof_join_broadcast.
+
+    ``delta_col``: optionally emit |left_ts - matched right_ts| in
+    microseconds (BIGINT, null when unmatched) under this name.
+    """
+    lcols = list(left.columns)
+    internal = {"_mts", "_neg_ts", "_neg_rts"}
+    clash = (
+        internal
+        | {f"_bk_{c}" for c in [*value_cols, "_mts"]}
+        | {f"_fw_{c}" for c in [*value_cols, "_mts"]}
+    ) & set(lcols)
+    if clash:
+        raise ValueError(f"left columns collide with internal names: {sorted(clash)}")
+
+    r = right.withColumn("_mts", _ts_micros(right, right_ts))
+    back = asof_join_broadcast(
+        left, r, keys, left_ts, right_ts, [*value_cols, "_mts"],
+        bucket_width_us=bucket_width_us,
+    )
+    for c in [*value_cols, "_mts"]:
+        back = back.withColumnRenamed(c, f"_bk_{c}")
+
+    lneg = back.withColumn("_neg_ts", -_ts_micros(back, left_ts))
+    rneg = r.withColumn("_neg_rts", -F.col("_mts"))
+    fwd = asof_join_broadcast(
+        lneg, rneg, keys, "_neg_ts", "_neg_rts", [*value_cols, "_mts"],
+        bucket_width_us=bucket_width_us,
+    )
+    for c in [*value_cols, "_mts"]:
+        fwd = fwd.withColumnRenamed(c, f"_fw_{c}")
+
+    lts = _ts_micros(fwd, left_ts)
+    d_back = lts - F.col("_bk__mts")
+    d_fwd = F.col("_fw__mts") - lts
+    b_ok = F.col("_bk__mts").isNotNull() & (d_back <= tolerance_us)
+    f_ok = F.col("_fw__mts").isNotNull() & (d_fwd <= tolerance_us)
+    # tie (d_back == d_fwd) -> backward, i.e. the earlier right row
+    use_back = b_ok & (~f_ok | (d_back <= d_fwd))
+    use_fwd = f_ok & ~use_back
+    out = [
+        F.when(use_back, F.col(f"_bk_{c}"))
+        .when(use_fwd, F.col(f"_fw_{c}"))
+        .alias(c)
+        for c in value_cols
+    ]
+    if delta_col is not None:
+        out.append(
+            F.when(use_back, d_back).when(use_fwd, d_fwd)
+            .cast("long")
+            .alias(delta_col)
+        )
+    return fwd.select(*lcols, *out)

@@ -513,3 +513,142 @@ def prefix_filtered_jaccard_pairs(
         .filter((union > 0) & (jac >= threshold))
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+BOILERPLATE_MAX_DF = 3  # a passage in >= this many docs is boilerplate
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = PASSAGE_TOKENS,
+    max_df: int = BOILERPLATE_MAX_DF,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal: drop every passage whose
+    DOCUMENT FREQUENCY (count of distinct docs containing it) reaches
+    ``max_df``, from EVERY document — including the first occurrence.
+
+    The complement to :func:`passage_dedup`, which keeps one copy of each
+    duplicated passage: headers, cookie banners, and license blurbs appear
+    in thousands of documents and are noise in all of them, so the
+    high-DF filter removes the passage everywhere, while a passage merely
+    duplicated within one document (df=1) survives untouched. (CCNet
+    applies this as paragraph-hash frequency filtering; RefinedWeb as
+    line-wise filtering; re-expressed here over the same fixed
+    ``chunk_tokens``-token windows as passage_dedup since this corpus is
+    newline-free.)
+
+    Scale shape — three hash shuffles, all O(corpus tokens), no self-join:
+    (1) the DF aggregation groups on the passage's 16-byte md5 digest
+    (count distinct doc per digest), (2) the digest-keyed join carries the
+    DF back onto the exploded passages (both sides arrive partitioned on
+    the digest, so AQE plans it shuffle-reuse), (3) the reassembly groupBy
+    partitions on the doc id. The DF table is |distinct passages| rows —
+    at 100 TB it is the passage vocabulary, far smaller than the corpus,
+    and ultra-hot digests cost ONE counter row here (contrast an
+    all-occurrence window, whose partition would hold every copy).
+
+    Returns one row per input doc (docs with >= 1 token):
+    ``(id, clean_text, n_kept, n_dropped)`` — same contract as
+    passage_dedup, so downstream filters compose identically.
+    """
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    exploded = (
+        df.filter(F.size(toks) >= 1)
+        .select(F.col(id_col), F.posexplode(chunks).alias("cpos", "passage"))
+        .withColumn("dig", F.md5(F.col("passage")))
+    )
+    df_counts = exploded.groupBy("dig").agg(
+        F.countDistinct(id_col).alias("_df")
+    )
+    kept = exploded.join(df_counts, "dig").withColumn(
+        "is_kept", F.col("_df") < max_df
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_kept"),
+                                F.struct(F.col("cpos"), F.col("passage")),
+                            )
+                        )
+                    ),
+                    lambda s: s.passage,
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
+            F.sum((~F.col("is_kept")).cast("long")).alias("n_dropped"),
+        )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    ngram: int = 5,
+) -> DataFrame:
+    """N-gram CONTAINMENT near-subset detection: directed pairs where
+    ``|shingles(src) ∩ shingles(dst)| / |shingles(src)| >= threshold`` —
+    the asymmetric counterpart to Jaccard (Broder's resemblance vs
+    containment, SEQUENCES'97). Jaccard misses a short document wholly
+    quoted inside a much longer one (union is dominated by the long doc);
+    containment is exactly the "is src mostly inside dst" question a
+    training-corpus build asks when pruning excerpt/quote duplicates.
+
+    Exact, with one LOSSLESS prune: a shingle whose corpus document
+    frequency is 1 appears in no other document, so it can contribute to
+    no intersection — only df >= 2 shingles enter the candidate self-join.
+    (The denominator |shingles(src)| still counts ALL of src's shingles,
+    computed before the prune.) Unlike Jaccard prefix filtering there is
+    no src-side-only prefix bound for containment at high threshold —
+    candidate volume is sum over shared digests of df^2, i.e. it scales
+    with TRUE near-dup density, the honest lower bound for an exact
+    answer; ultra-hot shingles (boilerplate) should be stripped upstream
+    (:func:`boilerplate_strip`) before running an exact containment pass.
+
+    Shuffles: digest-keyed DF agg + two digest-keyed join shuffles +
+    one (src,dst) pair agg — all O(shingle occurrences + candidate
+    pairs); raw text never enters a join (16-byte md5 digests only).
+
+    Returns ``(src_id, dst_id, n_src, n_shared, containment)`` with
+    src != dst, containment exact and rounded to 6 dp.
+    """
+    sh = shingles(df, text_col, id_col, ngram).select(
+        F.col(id_col).alias("_id"), F.md5("shingle").alias("dig")
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_src"))
+    shared = sh.join(
+        sh.groupBy("dig").agg(F.count(F.lit(1)).alias("_df")).filter("_df >= 2"),
+        "dig",
+    ).drop("_df")
+    pairs = (
+        shared.select(F.col("_id").alias("src_id"), "dig")
+        .join(shared.select(F.col("_id").alias("dst_id"), "dig"), "dig")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .groupBy("src_id", "dst_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    cont = F.col("n_shared").cast("double") / F.col("n_src")
+    return (
+        pairs.join(sizes.withColumnRenamed("_id", "src_id"), "src_id")
+        .filter(cont >= threshold)
+        .select(
+            "src_id", "dst_id", "n_src", "n_shared",
+            F.round(cont, 6).alias("containment"),
+        )
+    )

@@ -141,3 +141,66 @@ def psi_distance(
         psi.alias("psi"),
         (psi >= PSI_DRIFT_THRESHOLD).alias("drifted"),
     )
+
+
+# two-sided normal critical value at alpha = 0.05
+MW_Z_CRIT = 1.959964
+
+
+def mannwhitney_u(
+    counts: DataFrame,
+    value_col: str = "value",
+    cnt_a: str = "cnt_a",
+    cnt_b: str = "cnt_b",
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test from a per-distinct-value
+    counts frame — the nonparametric "did the median shift" companion to
+    :func:`ks_distance`'s shape test, and the right tool when the metric
+    is ordinal or heavy-tailed (KS reacts to any CDF gap; U to stochastic
+    dominance).
+
+    Rank arithmetic stays in INTEGERS to the edge: with t(v) the tied
+    count at value v and ct(v) the inclusive cumulative total, the
+    average rank is (2*ct - t + 1)/2, so DOUBLED rank sums are exact
+    integers: R1_x2 = sum cnt_a * (2*ct - t + 1), U1_x2 = R1_x2 -
+    n_a*(n_a+1). The normal approximation uses the tie-corrected
+    variance n_a*n_b/12 * ((N+1) - sum(t^3 - t)/(N*(N-1))); all floats
+    appear only in the final 1-row projection with the same expression
+    tree the SQL oracle uses, rounded to 6 dp. (sum(t^3) overflows int64
+    if one value repeats > ~2.1M times within the pair of samples —
+    bucketize such degenerate metrics first.)
+
+    Cost: ONE two-phase distributed prefix sum over the distinct-value
+    grain + one global 1-row aggregation; no single-task sort.
+
+    Returns one row: n_a, n_b, u_stat (U of sample A), z (6 dp),
+    significant (|z| > 1.959964 comparing rounded z).
+    """
+    from pasardassist_spark.operators.packing import inclusive_prefix_sum
+
+    with_t = counts.withColumn("_t", F.col(cnt_a) + F.col(cnt_b))
+    g = inclusive_prefix_sum(with_t, value_col, ["_t"], out=["_ct"])
+    agg = g.agg(
+        F.sum(cnt_a).cast("long").alias("n_a"),
+        F.sum(cnt_b).cast("long").alias("n_b"),
+        F.sum(
+            F.col(cnt_a) * (2 * F.col("_ct") - F.col("_t") + 1)
+        ).cast("long").alias("_r1x2"),
+        F.sum(
+            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+        ).cast("long").alias("_tie3"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    n_tot = n_a + n_b
+    u = (F.col("_r1x2") - n_a * (n_a + 1)).cast("double") / 2
+    mean = (n_a * n_b).cast("double") / 2
+    var = ((n_a * n_b).cast("double") / 12) * (
+        (n_tot + 1) - F.col("_tie3").cast("double") / (n_tot * (n_tot - 1))
+    )
+    z = F.round((u - mean) / F.sqrt(var), 6)
+    return agg.select(
+        "n_a", "n_b",
+        u.alias("u_stat"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(MW_Z_CRIT)).alias("significant"),
+    )

@@ -588,3 +588,90 @@ def dedup_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_filtered_jaccard_pairs(
         docs, "text", "doc_id", SETJOIN_TAU, ngram=SETJOIN_N
     )
+
+
+@query(
+    "text_boilerplate_strip",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+               WHERE len({_TOKS}) >= 1),
+    c AS (
+        SELECT doc_id,
+               unnest([{{'cpos': i - 1,
+                         'passage': array_to_string(
+                             toks[(i-1)*{D.PASSAGE_TOKENS}+1
+                                  :(i-1)*{D.PASSAGE_TOKENS}+{D.PASSAGE_TOKENS}],
+                             ' ')}}
+                       FOR i IN range(
+                           1,
+                           CAST(ceil(len(toks)/{D.PASSAGE_TOKENS}.0) AS BIGINT)
+                               + 1)],
+                      recursive := true)
+        FROM t
+    ),
+    dfc AS (
+        SELECT passage, COUNT(DISTINCT doc_id) AS pdf
+        FROM c GROUP BY passage
+    ),
+    r AS (
+        SELECT c.doc_id, c.cpos, c.passage,
+               dfc.pdf < {D.BOILERPLATE_MAX_DF} AS is_kept
+        FROM c JOIN dfc USING (passage)
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN is_kept THEN passage END,
+                               ' ' ORDER BY cpos), '') AS clean_text,
+           CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN is_kept THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped
+    FROM r GROUP BY doc_id
+    """,
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal: passages whose document frequency
+    reaches BOILERPLATE_MAX_DF (3) docs are dropped from EVERY document
+    (first occurrence included) — the high-DF complement to
+    dedup_passages' keep-first semantics. The oracle re-derives the whole
+    chunk -> DF -> strip -> reassemble chain from the same tokenizer SQL,
+    so chunk boundaries and the DF gate cannot drift between engines."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.boilerplate_strip(d, "text", "doc_id")
+
+
+CONTAINMENT_TAU = 0.75
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH s AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_src
+              FROM s GROUP BY doc_id),
+    p AS (
+        SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM s a JOIN s b USING (shingle)
+        WHERE a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT src_id, dst_id, n_src, n_shared,
+           round(CAST(n_shared AS DOUBLE) / n_src, 6) AS containment
+    FROM p JOIN sizes ON sizes.doc_id = p.src_id
+    WHERE CAST(n_shared AS DOUBLE) / n_src >= {CONTAINMENT_TAU}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram containment near-subset pairs (Broder containment, tau=0.75):
+    directed (src, dst) where >= 75% of src's distinct 5-gram shingles
+    also occur in dst — catches a short document quoted inside a longer
+    one, which Jaccard's union denominator hides. The oracle is the
+    UNPRUNED brute-force shingle self-join, so the hash match certifies
+    that the implementation's df>=2 candidate prune loses nothing."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.containment_pairs(
+        d, "text", "doc_id", CONTAINMENT_TAU, ngram=5
+    ).select(
+        F.col("src_id").cast("long"), F.col("dst_id").cast("long"),
+        "n_src", "n_shared", "containment",
+    )

@@ -557,3 +557,81 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf", 6).alias("rrf_score"),
         )
     )
+
+
+# ------------------------------------------ Mann-Whitney U (rank-sum)
+
+MW_SAMPLE_A = "purchase"
+MW_SAMPLE_B = "view"
+_MW_Z_CRIT = 1.959964  # mirrored from operators/drift.py:MW_Z_CRIT
+
+
+@query(
+    "stat_mannwhitney_u",
+    oracle=f"""
+    WITH g AS (
+        SELECT value,
+               CAST(COUNT(*) FILTER (event_type = '{MW_SAMPLE_A}') AS BIGINT)
+                   AS cnt_a,
+               CAST(COUNT(*) FILTER (event_type = '{MW_SAMPLE_B}') AS BIGINT)
+                   AS cnt_b
+        FROM events
+        WHERE event_type IN ('{MW_SAMPLE_A}', '{MW_SAMPLE_B}')
+        GROUP BY value
+    ),
+    c AS (
+        SELECT cnt_a, cnt_b, cnt_a + cnt_b AS t,
+               SUM(cnt_a + cnt_b) OVER (ORDER BY value
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS ct
+        FROM g
+    ),
+    a AS (
+        SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+               CAST(SUM(cnt_b) AS BIGINT) AS n_b,
+               CAST(SUM(cnt_a * (2 * ct - t + 1)) AS BIGINT) AS r1x2,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+        FROM c
+    )
+    SELECT n_a, n_b,
+           CAST(r1x2 - n_a * (n_a + 1) AS DOUBLE) / 2 AS u_stat,
+           round((CAST(r1x2 - n_a * (n_a + 1) AS DOUBLE) / 2
+                  - CAST(n_a * n_b AS DOUBLE) / 2)
+                 / sqrt((CAST(n_a * n_b AS DOUBLE) / 12)
+                        * ((n_a + n_b + 1)
+                           - CAST(tie3 AS DOUBLE)
+                             / ((n_a + n_b) * (n_a + n_b - 1)))),
+                 6) AS z,
+           abs(round((CAST(r1x2 - n_a * (n_a + 1) AS DOUBLE) / 2
+                      - CAST(n_a * n_b AS DOUBLE) / 2)
+                     / sqrt((CAST(n_a * n_b AS DOUBLE) / 12)
+                            * ((n_a + n_b + 1)
+                               - CAST(tie3 AS DOUBLE)
+                                 / ((n_a + n_b) * (n_a + n_b - 1)))),
+                     6)) > {_MW_Z_CRIT} AS significant
+    FROM a
+    """,
+)
+def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: does the `value` distribution of
+    '{MW_SAMPLE_A}' events stochastically dominate '{MW_SAMPLE_B}'? The
+    median-shift companion to stat_ks_test's shape test — the standard
+    nonparametric A/B readout when the metric is heavy-tailed. Doubled
+    rank sums keep everything integer until the 1-row edge (see
+    operators/drift.py:mannwhitney_u); the oracle replays the identical
+    integer chain, so a hash match certifies rank arithmetic, tie
+    correction, and the z-edge bit-for-bit."""
+    from pasardassist_spark.operators.drift import mannwhitney_u
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(MW_SAMPLE_A, MW_SAMPLE_B)
+    )
+    g = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == MW_SAMPLE_A).cast("long"))
+        .cast("long")
+        .alias("cnt_a"),
+        F.sum((F.col("event_type") == MW_SAMPLE_B).cast("long"))
+        .cast("long")
+        .alias("cnt_b"),
+    )
+    return mannwhitney_u(g)

@@ -475,3 +475,54 @@ def f6_attribute_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("attributes", F.lit("type")).alias("type"),
         )
     )
+
+
+@query(
+    "u5_unpivot_metrics",
+    oracle="""
+    WITH w AS (
+        SELECT n_name,
+               CAST(COUNT(*) AS DOUBLE) AS n_customers,
+               CAST(SUM(c_acctbal) AS DOUBLE) AS sum_acctbal,
+               CAST(MAX(c_acctbal) AS DOUBLE) AS max_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name, 'n_customers' AS metric, n_customers AS value FROM w
+    UNION ALL
+    SELECT n_name, 'sum_acctbal', sum_acctbal FROM w
+    UNION ALL
+    SELECT n_name, 'max_acctbal', max_acctbal FROM w
+    """,
+)
+def u5_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (melt): per-nation customer metrics pivot from
+    one row x 3 metric columns to 3 rows x (metric, value) — the shape
+    metric stores and plotting layers want. Spark's native unpivot
+    compiles to an Expand node: each input row emits 3 output rows in the
+    SAME task, zero added shuffle on top of the one agg exchange (the
+    nation dim joins broadcast). The oracle is the UNION ALL expansion —
+    an independent formulation, so column->row mapping is differentially
+    verified. Money discipline: sum(decimal(15,2)) stays exact through
+    the aggregation and casts to double only at the edge, identically on
+    both engines."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    wide = (
+        cust.join(
+            F.broadcast(nation),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_customers"),
+            F.sum("c_acctbal").cast("double").alias("sum_acctbal"),
+            F.max("c_acctbal").cast("double").alias("max_acctbal"),
+        )
+    )
+    return wide.unpivot(
+        ["n_name"],
+        ["n_customers", "sum_acctbal", "max_acctbal"],
+        "metric",
+        "value",
+    )

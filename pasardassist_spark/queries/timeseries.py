@@ -635,3 +635,62 @@ def sess_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("mx", "carry").alias("max_concurrency"),
         F.coalesce("n_starts", F.lit(0)).alias("n_session_starts"),
     )
+
+
+# nearest-asof tolerance: 20 h in microseconds — wide enough that most
+# events match their floor-or-ceil daily rate row, narrow enough that
+# late-evening events on the corpus's last day genuinely miss (exercising
+# the unmatched-null contract)
+AJ_NEAREST_TOL_US = 72_000_000_000
+
+
+@query(
+    "aj_nearest_rate",
+    oracle=f"""
+    WITH rates AS (
+        SELECT event_type, date_trunc('day', ts) AS rts,
+               CAST(COUNT(*) AS BIGINT) AS day_n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.event_type, e.ts, r.day_n, r.delta_us
+    FROM events e
+    LEFT JOIN LATERAL (
+        SELECT day_n,
+               CAST(abs(epoch_us(e.ts) - epoch_us(rts)) AS BIGINT)
+                   AS delta_us
+        FROM rates
+        WHERE rates.event_type = e.event_type
+          AND abs(epoch_us(e.ts) - epoch_us(rts)) <= {AJ_NEAREST_TOL_US}
+        ORDER BY abs(epoch_us(e.ts) - epoch_us(rts)), rts
+        LIMIT 1
+    ) r ON TRUE
+    """,
+)
+def aj_nearest_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-within-tolerance as-of join (pandas merge_asof
+    direction='nearest'): each event stamped with the daily rate row
+    closest to its timestamp on EITHER side, within 20 h; equidistant
+    ties resolve to the earlier row, no row within tolerance => null.
+    The backward-only form (aj_rate_asof) answers "the rate in effect";
+    this answers "the rate measurement that best describes this moment"
+    — the variant sensor/price pipelines want when feeds lag.
+
+    Physical plan (operators/asof.py:asof_join_nearest_broadcast): two
+    dense-broadcast as-of passes — backward as-is, forward on a negated
+    time axis — then a row-local resolve; the events fact table streams
+    through two broadcast hash joins with ZERO shuffle/sort of the big
+    side. The oracle is an independent DuckDB LATERAL nearest-row
+    lookup, so tolerance edges and tie-breaks are differentially
+    verified."""
+    from pasardassist_spark.operators.asof import asof_join_nearest_broadcast
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    rates = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("rts"))
+        .agg(F.count(F.lit(1)).alias("day_n"))
+    )
+    return asof_join_nearest_broadcast(
+        ev, rates, ["event_type"], "ts", "rts", ["day_n"],
+        AJ_NEAREST_TOL_US, delta_col="delta_us",
+    ).select("event_id", "event_type", "ts", "day_n", "delta_us")

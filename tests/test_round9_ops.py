@@ -1,0 +1,231 @@
+"""Round-9 operator tests: boilerplate stripping, containment pairs,
+Mann-Whitney U, nearest-asof join."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+
+# ------------------------------------------------- boilerplate_strip
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def test_boilerplate_removed_everywhere_including_first(spark):
+    from pasardassist_spark.operators.dedup import boilerplate_strip
+
+    bp = "b " * 9 + "b"  # one full 10-token passage
+    uniq = ["u%d x y z q w e r t y" % i for i in range(4)]
+    # boilerplate passage leads 3 docs (df=3 >= max_df); doc 3 is clean
+    d = _docs(
+        spark,
+        [(0, f"{bp} {uniq[0]}"), (1, f"{bp} {uniq[1]}"),
+         (2, f"{bp} {uniq[2]}"), (3, uniq[3])],
+    )
+    out = {
+        r.doc_id: r
+        for r in boilerplate_strip(d, "text", "doc_id", max_df=3).collect()
+    }
+    for i in range(3):
+        assert out[i].clean_text == uniq[i]
+        assert out[i].n_dropped == 1 and out[i].n_kept == 1
+    assert out[3].clean_text == uniq[3] and out[3].n_dropped == 0
+
+
+def test_boilerplate_low_df_duplicates_survive(spark):
+    """df=2 < max_df=3: a passage shared by two docs is NOT boilerplate
+    (that's passage_dedup's job); both copies survive."""
+    from pasardassist_spark.operators.dedup import boilerplate_strip
+
+    p = " ".join(f"w{i}" for i in range(10))
+    d = _docs(spark, [(0, p), (1, p)])
+    out = boilerplate_strip(d, "text", "doc_id", max_df=3).collect()
+    assert all(r.clean_text == p and r.n_dropped == 0 for r in out)
+
+
+def test_boilerplate_fully_stripped_doc_survives_empty(spark):
+    from pasardassist_spark.operators.dedup import boilerplate_strip
+
+    p = " ".join(f"w{i}" for i in range(10))
+    d = _docs(spark, [(0, p), (1, p), (2, p)])
+    out = {r.doc_id: r for r in
+           boilerplate_strip(d, "text", "doc_id", max_df=3).collect()}
+    assert len(out) == 3
+    assert all(r.clean_text == "" and r.n_kept == 0 for r in out.values())
+
+
+# ------------------------------------------------- containment_pairs
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from pasardassist_spark.operators.dedup import containment_pairs
+
+    short = " ".join(f"s{i}" for i in range(8))  # 4 distinct 5-shingles
+    long_ = short + " " + " ".join(f"l{i}" for i in range(40))
+    d = _docs(spark, [(0, short), (1, long_)])
+    out = {(r.src_id, r.dst_id): r
+           for r in containment_pairs(d, "text", "doc_id", 0.9).collect()}
+    # short is fully contained in long (its shingles all reappear)
+    assert (0, 1) in out and out[(0, 1)].containment == 1.0
+    # long is NOT contained in short (only 4 of its 44 shingles shared)
+    assert (1, 0) not in out
+    # and Jaccard on the same pair is tiny: 4/(4+44-4) < 0.1
+    assert out[(0, 1)].n_shared / (4 + 44 - 4) < 0.1
+
+
+def test_containment_df1_prune_is_lossless(spark):
+    """Implementation (df>=2 prune) == brute force on a mixed fixture."""
+    from pasardassist_spark.operators.dedup import containment_pairs, shingles
+
+    texts = [
+        " ".join(f"a{i}" for i in range(12)),
+        " ".join(f"a{i}" for i in range(9)) + " z1 z2 z3",
+        " ".join(f"b{i}" for i in range(15)),
+        " ".join(f"a{i}" for i in range(6)) + " "
+        + " ".join(f"b{i}" for i in range(6)),
+    ]
+    d = _docs(spark, list(enumerate(texts)))
+    got = {
+        (r.src_id, r.dst_id, r.n_shared, r.containment)
+        for r in containment_pairs(d, "text", "doc_id", 0.3).collect()
+    }
+    # brute force in Python
+    sh = {}
+    for r in shingles(d, "text", "doc_id").collect():
+        sh.setdefault(r.doc_id, set()).add(r.shingle)
+    want = set()
+    for a in sh:
+        for b in sh:
+            if a == b:
+                continue
+            inter = len(sh[a] & sh[b])
+            c = inter / len(sh[a])
+            if c >= 0.3:
+                want.add((a, b, inter, round(c, 6)))
+    assert got == want
+
+
+# ------------------------------------------------- mannwhitney_u
+
+
+def test_mannwhitney_known_case(spark):
+    """Hand-computed example with ties: A=[1,2,2,5], B=[2,3,4].
+    Ranks: 1->1; three 2s -> avg 3; 3->5; 4->6; 5->7.
+    R_A = 1+3+3+7 = 14, U_A = 14 - 4*5/2 = 4; mean = 6.
+    ties: one group of 3 -> T = 24; N=7.
+    var = 12/12 * (8 - 24/42) = 7.428571...; z = (4-6)/sqrt(var)."""
+    from pasardassist_spark.operators.drift import mannwhitney_u
+
+    a = [1.0, 2.0, 2.0, 5.0]
+    b = [2.0, 3.0, 4.0]
+    rows = [Row(value=v, g="a") for v in a] + [Row(value=v, g="b") for v in b]
+    counts = (
+        spark.createDataFrame(rows)
+        .groupBy("value")
+        .agg(
+            F.sum((F.col("g") == "a").cast("long")).alias("cnt_a"),
+            F.sum((F.col("g") == "b").cast("long")).alias("cnt_b"),
+        )
+    )
+    r = mannwhitney_u(counts).collect()[0]
+    assert (r.n_a, r.n_b) == (4, 3)
+    assert r.u_stat == 4.0
+    import math
+
+    var = (4 * 3 / 12) * ((7 + 1) - 24 / (7 * 6))
+    assert abs(r.z - round((4 - 6) / math.sqrt(var), 6)) < 1e-12
+    assert not r.significant
+
+
+def test_mannwhitney_extreme_separation_significant(spark):
+    from pasardassist_spark.operators.drift import mannwhitney_u
+
+    rows = [Row(value=float(v), g="a") for v in range(20)] + [
+        Row(value=float(v + 100), g="b") for v in range(20)
+    ]
+    counts = (
+        spark.createDataFrame(rows)
+        .groupBy("value")
+        .agg(
+            F.sum((F.col("g") == "a").cast("long")).alias("cnt_a"),
+            F.sum((F.col("g") == "b").cast("long")).alias("cnt_b"),
+        )
+    )
+    r = mannwhitney_u(counts).collect()[0]
+    assert r.u_stat == 0.0  # complete separation
+    assert r.significant and r.z < -5
+
+
+# ------------------------------------------------- nearest-asof
+
+
+def test_asof_nearest_directions_ties_tolerance(spark):
+    from pasardassist_spark.operators.asof import asof_join_nearest_broadcast
+
+    right = spark.createDataFrame(
+        [Row(k="x", rts=100_000_000, v="r100"),
+         Row(k="x", rts=200_000_000, v="r200")]
+    )
+    left = spark.createDataFrame(
+        [
+            Row(k="x", id=1, ts=110_000_000),   # nearer backward
+            Row(k="x", id=2, ts=190_000_000),   # nearer forward
+            Row(k="x", id=3, ts=150_000_000),   # exact tie -> earlier (r100)
+            Row(k="x", id=4, ts=290_000_000),   # within tol of r200 only
+            Row(k="x", id=5, ts=400_000_000),   # beyond tol -> null
+            Row(k="y", id=6, ts=150_000_000),   # no key match -> null
+        ]
+    )
+    out = {
+        r.id: r
+        for r in asof_join_nearest_broadcast(
+            left, right, ["k"], "ts", "rts", ["v"],
+            tolerance_us=100_000_000, delta_col="d",
+            bucket_width_us=50_000_000,
+        ).collect()
+    }
+    assert out[1].v == "r100" and out[1].d == 10_000_000
+    assert out[2].v == "r200" and out[2].d == 10_000_000
+    assert out[3].v == "r100" and out[3].d == 50_000_000
+    assert out[4].v == "r200" and out[4].d == 90_000_000
+    assert out[5].v is None and out[5].d is None
+    assert out[6].v is None
+
+
+def test_asof_nearest_matches_naive(spark, sf_dir):
+    """Differential: broadcast nearest == a naive per-row nearest scan on
+    real events at sf0.001."""
+    from pasardassist_spark.operators.asof import asof_join_nearest_broadcast
+    from pasardassist_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    rates = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("rts"))
+        .agg(F.count(F.lit(1)).alias("day_n"))
+    )
+    tol = 72_000_000_000
+    got = {
+        r.event_id: (r.day_n, r.d)
+        for r in asof_join_nearest_broadcast(
+            ev, rates, ["event_type"], "ts", "rts", ["day_n"],
+            tol, delta_col="d",
+        ).collect()
+    }
+    rate_rows = {}
+    for r in rates.collect():
+        rate_rows.setdefault(r.event_type, []).append(r)
+    import datetime as dt
+
+    def us(t):
+        return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    for e in ev.collect():
+        best = None
+        for r in sorted(rate_rows.get(e.event_type, []), key=lambda r: r.rts):
+            d = abs(us(e.ts) - us(r.rts))
+            if d <= tol and (best is None or d < best[1]):
+                best = (r.day_n, d)
+        assert got[e.event_id] == (best if best else (None, None)), e.event_id
