@@ -1,0 +1,301 @@
+"""Pure-Python GIF codec — fourth image container next to PPM/BMP/PNG in
+operators/imagecodec.py (reference parity: src/modules/utils/utils.service.ts
+media/thumbnail handling; GIF is the one legacy web format a crawl corpus
+still carries in volume).
+
+Stdlib-only against the public GIF89a specification: header + logical
+screen descriptor, global/local color tables, one image descriptor, and the
+variable-code-width LZW stream (9→12 bits, CLEAR/EOI, KwKwK case, 4096-slot
+dictionary reset). Decoded frames land in the same ``Raster`` type as every
+other codec, so dHash/resize/feature stages compose unchanged. Supported:
+non-interlaced single-frame GIF87a/89a with an 8-bit color table; interlace
+and animation raise NotImplementedError at the same seam a full build would
+plug a real decoder into. Extension blocks (graphic control, comment,
+application) are skipped per spec.
+
+The LZW width-change pairing follows giflib: the ENCODER widens when the
+next free slot exceeds ``1 << width`` (slot 513 is the first 10-bit
+assignment), the DECODER when its next free slot reaches ``1 << width`` —
+the decoder trails the encoder's dictionary by exactly one entry at each
+read, so the rules meet at the same code index. Round-trips crossing the
+512/1024/2048 boundaries and a forced 4096 reset are property-tested in
+tests/test_gifcodec.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pasardassist_spark.operators.imagecodec import Raster, _check_dims
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+_CLEAR_BASE = 256  # for 8-bit min code size
+_MAX_CODE = 4096
+
+
+def sniff_gif(payload: bytes) -> bool:
+    return payload[:6] in GIF_MAGICS
+
+
+# ------------------------------------------------------------------ LZW --
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
+    """Decode a GIF LZW stream (already de-sub-blocked) to index bytes.
+
+    ``n_expected`` bounds the output (w*h, already bomb-checked by the
+    caller): a crafted stream cannot expand past the declared raster."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    out = bytearray()
+
+    # bit reader, LSB-first per spec
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def read_code() -> int | None:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, prev, width
+        table = [bytes((i,)) for i in range(clear)] + [b"", b""]
+        prev = None
+        width = min_code_size + 1
+
+    reset()
+    while True:
+        code = read_code()
+        if code is None:
+            raise ValueError("truncated GIF LZW stream (no EOI)")
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table) or code >= clear:
+                raise ValueError(f"bad first GIF LZW code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"GIF LZW code {code} beyond dictionary")
+        out += entry
+        if len(out) > n_expected:
+            raise ValueError("GIF LZW stream overruns declared raster size")
+        if prev is not None and len(table) < _MAX_CODE:
+            table.append(prev + entry[:1])
+            # decoder trails the encoder by one entry: widen when the next
+            # free slot reaches the width limit (see module docstring)
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
+    """Real GIF LZW compressor (dictionary growth, variable width,
+    4096-slot reset) — the fixture generator AND the round-trip partner
+    that proves the decoder against dictionary dynamics, not just the
+    all-literals degenerate stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def flush() -> None:
+        nonlocal acc, nbits
+        if nbits:
+            out.append(acc & 0xFF)
+            acc = 0
+            nbits = 0
+
+    table: dict[bytes, int] = {bytes((i,)): i for i in range(clear)}
+    nxt = eoi + 1
+    emit(clear)
+    cur = b""
+    for b in indices:
+        cand = cur + bytes((b,))
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur])
+        if nxt < _MAX_CODE:
+            table[cand] = nxt
+            nxt += 1
+            if nxt > (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {bytes((i,)): i for i in range(clear)}
+            nxt = eoi + 1
+            width = min_code_size + 1
+        cur = bytes((b,))
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    flush()
+    return bytes(out)
+
+
+# ------------------------------------------------------------ container --
+
+
+def decode_gif(payload: bytes) -> Raster:
+    """Decode a single-frame non-interlaced GIF to an RGB Raster."""
+    try:
+        return _decode_gif(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed GIF payload: {exc}") from exc
+
+
+def _decode_gif(payload: bytes) -> Raster:
+    if not sniff_gif(payload):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    _sw, _sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    global_table = b""
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_table = payload[pos : pos + 3 * n]
+        if len(global_table) != 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF missing image descriptor")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF missing image descriptor")
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1  # label
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension block")
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                pos += sz
+            continue
+        if block == 0x2C:  # image descriptor
+            _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF unsupported")
+            table = global_table
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                table = payload[pos : pos + 3 * n]
+                if len(table) != 3 * n:
+                    raise ValueError("truncated GIF local color table")
+                pos += 3 * n
+            if not table:
+                raise ValueError("GIF image has no color table")
+            _check_dims(w, h)
+            if pos >= len(payload):
+                raise ValueError("truncated GIF image data")
+            min_code = payload[pos]
+            pos += 1
+            if not 2 <= min_code <= 8:
+                raise ValueError(f"bad GIF LZW min code size {min_code}")
+            chunks = []
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF image data sub-blocks")
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                chunk = payload[pos : pos + sz]
+                if len(chunk) != sz:
+                    raise ValueError("truncated GIF image data sub-block")
+                chunks.append(chunk)
+                pos += sz
+            # animation guard: skip trailing extensions, accept the trailer
+            # (or EOF — some writers omit it); a second image descriptor is
+            # an animation
+            p2 = pos
+            while p2 < len(payload):
+                b2 = payload[p2]
+                p2 += 1
+                if b2 == 0x3B:
+                    break
+                if b2 == 0x21:
+                    p2 += 1
+                    while p2 < len(payload) and payload[p2] != 0:
+                        p2 += payload[p2] + 1
+                    p2 += 1
+                    continue
+                if b2 == 0x2C:
+                    raise NotImplementedError("animated GIF unsupported")
+                raise ValueError(f"unknown GIF block {b2:#x}")
+            idx = _lzw_decode(b"".join(chunks), min_code, w * h)
+            if len(idx) != w * h:
+                raise ValueError(
+                    f"GIF index stream has {len(idx)} pixels, raster needs {w * h}"
+                )
+            n_colors = len(table) // 3
+            px = bytearray(w * h * 3)
+            for i, c in enumerate(idx):
+                if c >= n_colors:
+                    raise ValueError(f"GIF index {c} beyond color table")
+                px[3 * i : 3 * i + 3] = table[3 * c : 3 * c + 3]
+            return Raster(w, h, 3, bytes(px))
+        raise ValueError(f"unknown GIF block {block:#x}")
+
+
+def encode_gif(indices: bytes, width: int, height: int, palette: bytes) -> bytes:
+    """Single-frame GIF89a writer: 256-entry global color table (palette
+    padded), real LZW stream in <=255-byte sub-blocks."""
+    if len(indices) != width * height:
+        raise ValueError("index buffer does not match dimensions")
+    if len(palette) % 3 or not 0 < len(palette) <= 768:
+        raise ValueError("palette must be 1..256 RGB triplets")
+    pal = palette + b"\x00" * (768 - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    out += pal
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(8)  # LZW min code size
+    data = _lzw_encode(indices, 8)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

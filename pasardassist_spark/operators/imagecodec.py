@@ -62,6 +62,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "png"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:2] in (b"P2", b"P3", b"P5", b"P6") and (
         len(payload) > 2 and payload[2:3] in b" \t\r\n#"
     ):
@@ -83,6 +85,11 @@ def decode(payload: bytes) -> Raster:
             return decode_bmp(payload)
         if fmt == "png":
             return decode_png(payload)
+        if fmt == "gif":
+            # local import: gifcodec imports Raster/_check_dims from here
+            from pasardassist_spark.operators.gifcodec import decode_gif
+
+            return decode_gif(payload)
     except (struct.error, zlib.error) as exc:
         raise ValueError(f"malformed {fmt} payload: {exc}") from exc
     raise NotImplementedError("unrecognized image container")

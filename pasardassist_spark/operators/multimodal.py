@@ -654,3 +654,43 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(_batches, FRAME_SCHEMA)
+
+
+def attach_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL GIF payloads: the same deterministic raster family as
+    attach_image_payload, expressed as an indexed-color image — palette
+    entry i = (i, (i+29)%256, (i+58)%256) and index(x,y) =
+    (x*7 + y*13 + doc_id) % 256, so the DECODED RGB raster equals
+    synth_raster(doc_id) exactly and the SQL oracle's closed-form pixel
+    sum carries over unchanged. Exercises the full LZW encode path
+    (dictionary growth past the 9-bit boundary on every raster wider
+    than a few hundred pixels)."""
+    from pasardassist_spark.operators import gifcodec
+
+    schema = f"{id_col} long, kind string, payload binary"
+    palette = bytes(
+        b for i in range(256) for b in (i, (i + 29) % 256, (i + 58) % 256)
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                seed = int(doc_id)
+                w = seed % 61 + 4
+                h = (seed * 7) % 53 + 4
+                idx = bytes(
+                    (x * 7 + y * 13 + seed) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(gifcodec.encode_gif(idx, w, h, palette))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "kind": ["image/gif"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_batches, schema)

@@ -650,3 +650,49 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "frame_idx", "frame_offset", F.md5("frame").alias("frame_md5")
     )
+
+
+@query(
+    "mm_gif_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               doc_id % 61 + 4 AS w,
+               (doc_id * 7) % 53 + 4 AS h
+        FROM documents
+    )
+    SELECT d.doc_id,
+           'image/gif' AS kind,
+           CAST(d.w AS INTEGER) AS width,
+           CAST(d.h AS INTEGER) AS height,
+           3 AS channels,
+           CAST(SUM(
+                 (x.x * 7 + y.y * 13 + d.doc_id) % 256
+               + ((x.x * 7 + y.y * 13 + d.doc_id) % 256 + 29) % 256
+               + ((x.x * 7 + y.y * 13 + d.doc_id) % 256 + 58) % 256
+           ) AS BIGINT) AS pixel_sum
+    FROM dims d
+    JOIN (SELECT unnest(range(0, 65)) AS x) x ON x.x < d.w
+    JOIN (SELECT unnest(range(0, 57)) AS y) y ON y.y < d.h
+    GROUP BY d.doc_id, d.w, d.h
+    """,
+)
+def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end: every document gets a genuine GIF89a
+    payload (indexed-color synthetic raster whose palette expansion equals
+    synth_raster exactly), which operators/gifcodec.py then parses back —
+    header/color-table walk plus a full variable-width LZW decode
+    (dictionary growth, KwKwK, width changes at 512/1024/2048). The oracle
+    re-derives dimensions AND the raster checksum from doc_id arithmetic
+    alone (palette entry c expands to (c, (c+29)%256, (c+58)%256), so the
+    sum is over the INDEX formula mod-reduced first — congruent to
+    mm_decode_real's direct form, written palette-wise here to mirror the
+    decode path), certifying byte-exact LZW decompression on 500 real
+    files."""
+    from pasardassist_spark.operators.multimodal import (
+        attach_gif_payload,
+        decode_images,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return decode_images(attach_gif_payload(d))

@@ -121,7 +121,18 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # mm_decode_features — the real ANN retune and decode-sniff changes) all
 # recorded clean in CORRECTNESS_r08, so the set starts empty.  Add a name
 # here ONLY when its query fn or oracle actually changed this round.
-_FORCE_RECHECK: frozenset[str] = frozenset()
+_FORCE_RECHECK: frozenset[str] = frozenset({
+    # round 9: the shared codec surfaces changed — imagecodec gained the
+    # GIF sniff/dispatch branch and BMP data_off/plane validation,
+    # audiocodec a MAX_SAMPLES bomb guard, videocodec avih/strf csize
+    # bounds checks. Every query that routes payloads through those
+    # decoders re-checks this round (expected: unchanged results — the
+    # guards only reject malformed inputs the fixtures never produce).
+    "mm_decode_features", "mm_decode_real", "mm_resize_real",
+    "mm_resize_thumbs", "mm_frame_sample", "mm_dhash_dedup",
+    "mm_dhash_near_pairs", "mm_video_frames", "mm_video_dedup",
+    "mm_audio_features", "mm_audio_fp_dedup",
+})
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
