@@ -199,6 +199,14 @@ def main() -> None:
         "mm_video_frames",
         "mm_video_dedup",
         "pack_split_segments",
+        # round-9 additions: the new oracle-checked operator slots
+        "text_boilerplate_strip",
+        "dedup_containment",
+        "stat_mannwhitney_u",
+        "aj_nearest_rate",
+        "u5_unpivot_metrics",
+        "mm_gif_decode",
+        "curate_gopher_rules",
     ]:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -587,3 +587,103 @@ def curate_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_sum",
         F.coalesce(F.col("w_sum") > 0, F.lit(False)).alias("keep"),
     )
+
+
+# --------------------------------------------------- Gopher quality rules
+
+# Rae et al. 2021 (Gopher), Table A1 — the published heuristic gate most
+# large English corpus builds start from. Thresholds are the paper's.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOP_HITS = 2
+
+
+def _gopher_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+    toks = _TOKS_SQL
+    return f"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len({toks}) AS BIGINT) AS n_words,
+               CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                    AS DOUBLE) / len({toks}) AS mean_word_len,
+               (CAST(length(text) - length(replace(text, '#', ''))
+                     AS DOUBLE)
+                + (length(text) - length(replace(text, '...', ''))) / 3)
+                   / len({toks}) AS symbol_ratio,
+               CAST(len(list_filter({toks},
+                        t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+                   / len({toks}) AS alpha_ratio,
+               CAST(len(list_filter({toks}, t -> t IN ({stops})))
+                    AS BIGINT) AS stop_hits
+        FROM documents
+    )
+    SELECT doc_id, n_words,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(symbol_ratio, 6) AS symbol_ratio,
+           round(alpha_ratio, 6) AS alpha_ratio,
+           stop_hits,
+           (n_words >= {GOPHER_MIN_WORDS}
+            AND n_words <= {GOPHER_MAX_WORDS}
+            AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+            AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+            AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+            AND alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+            AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep
+    FROM m
+    """
+
+
+@query("curate_gopher_rules", oracle=_gopher_oracle())
+def curate_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule gate (Rae et al. 2021, Table A1): word count in
+    [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    ('#'/'...') <= 0.1, >= 80% words containing an alphabetic character,
+    and >= 2 hits on the paper's stopword octet — the published heuristic
+    filter complementing curate_quality_classifier's learned score. All
+    rules are row-local JVM column math fused into the parquet scan
+    (zero shuffle, zero UDF); thresholds compare the same unrounded
+    expression trees on both engines, 6-dp rounding only on the emitted
+    ratios. (The paper's line-level rules — bullet/ellipsis line
+    fractions — are vacuous on this newline-free corpus and omitted;
+    symbol ratio keeps the '...' count.)"""
+    d = load(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    nospace = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
+    mean_wl = nospace.cast("double") / F.size(toks)
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ell = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / 3
+    symbol_ratio = (n_hash.cast("double") + n_ell) / F.size(toks)
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+        / F.size(toks)
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*GOPHER_STOPS))
+    ).cast("long")
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_ratio >= GOPHER_MIN_ALPHA_RATIO)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+    )

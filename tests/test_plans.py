@@ -449,3 +449,43 @@ def test_batch_by_length_no_single_task_sort(spark, sf_dir):
         r"Exchange SinglePartition[^\n]*\n[^\n]*Window", p
     )
     assert not windows_after_single, f"single-partition window in:\n{p}"
+
+
+# ---------------------------------------------------- round-9 operators
+
+
+def test_u5_unpivot_is_expand_not_shuffle(spark, sf_dir):
+    """Unpivot must compile to an Expand node; the only data shuffle is
+    the nation-grain aggregation (the dim join broadcasts)."""
+    p = plan(REGISTRY["u5_unpivot_metrics"].fn(spark, sf_dir))
+    assert "Expand" in p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert data_shuffle_count(p) <= 1
+
+
+def test_containment_and_boilerplate_never_cartesian(spark, sf_dir):
+    for name in ("dedup_containment", "text_boilerplate_strip"):
+        p = plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_gopher_rules_zero_shuffle(spark, sf_dir):
+    """Row-local column math: no hash/range exchange beyond the documents
+    fan-out repartition (RoundRobin) the loader injects."""
+    p = plan(REGISTRY["curate_gopher_rules"].fn(spark, sf_dir))
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
+    assert "SortMergeJoin" not in p and "mapInPandas" not in p.lower()
+
+
+def test_aj_nearest_fact_side_never_shuffles(spark, sf_dir):
+    """Both as-of passes must hit the events fact table with broadcast
+    hash joins; every hash exchange in the plan belongs to the dim-sized
+    rates build (events appears only under scan->project->join pipelines,
+    never under an Exchange hashpartitioning on event rows). Proxy
+    assertions: zero sort-merge joins, and no exchange keyed on the
+    left-side row id."""
+    p = plan(REGISTRY["aj_nearest_rate"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "hashpartitioning(event_id" not in p

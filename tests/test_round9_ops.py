@@ -229,3 +229,43 @@ def test_asof_nearest_matches_naive(spark, sf_dir):
             if d <= tol and (best is None or d < best[1]):
                 best = (r.day_n, d)
         assert got[e.event_id] == (best if best else (None, None)), e.event_id
+
+
+# ------------------------------------------------- gopher rules
+
+
+def test_gopher_each_rule_fails_independently(spark):
+    from pasardassist_spark.queries.curation import (
+        GOPHER_STOPS,
+        curate_gopher_rules,
+    )
+    from pasardassist_spark.queries.registry import REGISTRY
+
+    fn = REGISTRY["curate_gopher_rules"].fn
+    base_words = ["the", "of"] + [f"word{i}" for i in range(55)]
+    cases = {
+        0: " ".join(base_words),                       # passes all rules
+        1: " ".join(base_words[:10]),                  # too few words
+        2: " ".join(["the", "of"] + ["ab"] * 60),      # mean word len < 3
+        3: " ".join(["the", "of"] + ["#" * 5] * 60),   # symbols + non-alpha
+        4: " ".join(["the", "of"] + ["12345"] * 60),   # alpha ratio < 0.8
+        5: " ".join([f"word{i}" for i in range(60)]),  # no stopword hits
+    }
+    import pandas as pd
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(cases), "text": list(cases.values())})
+    )
+    import pasardassist_spark.queries.curation as C
+
+    orig = C.load
+    try:
+        C.load = lambda spark, sf_dir, name: sdf  # noqa: ARG005
+        out = {r.doc_id: r for r in fn(spark, "ignored").collect()}
+    finally:
+        C.load = orig
+    assert out[0].keep
+    for i in range(1, 6):
+        assert not out[i].keep, (i, out[i])
+    assert out[5].stop_hits == 0 and out[0].stop_hits == 2
+    assert set(GOPHER_STOPS) >= {"the", "of"}
