@@ -207,6 +207,8 @@ def main() -> None:
         "u5_unpivot_metrics",
         "mm_gif_decode",
         "curate_gopher_rules",
+        "stat_spearman_corr",
+        "graph_triangle_count",
     ]:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -113,3 +113,50 @@ def connected_components(
         .union(e.select(F.col("_v").alias("node"), F.col("_v").alias("component")))
         .distinct()
     )
+
+
+def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Exact global triangle count with degree orientation (Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last Reducer",
+    WWW 2011): each undirected edge is directed from its lower-(degree,
+    id) endpoint to the higher, wedges are generated only at each
+    triangle's LOWEST-ranked vertex, and a semi-join against the canonical
+    edge set closes them. Wedge volume is sum over nodes of out-degree^2,
+    and orientation bounds every out-degree by O(sqrt(m)) — the paper's
+    fix for the hub-node blowup a naive adjacency join suffers on skewed
+    graphs (the "last reducer" that would otherwise hold a celebrity
+    node's entire neighborhood squared).
+
+    Input: undirected edges as canonical ``a < b`` pairs, pre-deduped.
+    Shuffles: degree agg + two joins keyed on node ids + the wedge-close
+    join keyed on (v1, v2); all O(m + wedges). Returns one row:
+    n_nodes, n_edges, n_triangles.
+    """
+    ea, eb = F.col(a), F.col(b)
+    deg = (
+        edges.select(ea.alias("v")).unionAll(edges.select(eb.alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    )
+    # rank = sortable (degree, id) struct; orient edge low -> high
+    da = deg.select(F.col("v").alias(a), F.struct(F.col("d"), F.col("v")).alias("_ra"))
+    db = deg.select(F.col("v").alias(b), F.struct(F.col("d"), F.col("v")).alias("_rb"))
+    oriented = (
+        edges.join(da, a).join(db, b)
+        .select(
+            F.when(F.col("_ra") < F.col("_rb"), ea).otherwise(eb).alias("src"),
+            F.when(F.col("_ra") < F.col("_rb"), eb).otherwise(ea).alias("dst"),
+        )
+    )
+    w1 = oriented.select(F.col("src"), F.col("dst").alias("_v1"))
+    w2 = oriented.select(F.col("src"), F.col("dst").alias("_v2"))
+    wedges = w1.join(w2, "src").filter(F.col("_v1") < F.col("_v2"))
+    # left_semi: one closed wedge = one triangle (wedge rows are unique per
+    # (center, v1, v2); two wedges sharing (v1, v2) are different triangles
+    # and both survive a semi-join)
+    closed = wedges.join(
+        edges.select(ea.alias("_v1"), eb.alias("_v2")), ["_v1", "_v2"], "left_semi"
+    )
+    tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return n_nodes.crossJoin(n_edges).crossJoin(tri)

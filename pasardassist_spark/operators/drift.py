@@ -204,3 +204,61 @@ def mannwhitney_u(
         z.alias("z"),
         (F.abs(z) > F.lit(MW_Z_CRIT)).alias("significant"),
     )
+
+
+def spearman_rho(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Spearman rank correlation (tie-aware, exact): Pearson's r computed
+    on average ranks. Every rank is kept DOUBLED so ties stay integral
+    (the :func:`mannwhitney_u` trick), and the identity
+    sum(r2) = n*(n+1) collapses the means, leaving three x4-scaled moment
+    sums — sum(rx2*ry2), sum(rx2^2), sum(ry2^2) — each an exact BIGINT:
+
+        rho = (Sxy_x4) / sqrt(Sxx_x4 * Syy_x4),
+        S.._x4 = sum(r2*r2) - n*(n+1)^2.
+
+    The single division/sqrt happens at the 1-row edge, rounded to 6 dp —
+    the same expression tree the SQL oracle uses, so the result is
+    hash-comparable. Integer bound: sum(rx2^2) <= 4n^3, so the int64 path
+    is exact up to n ~ 1.3M input rows — the per-GROUP grain this is
+    meant for (per-customer, per-item aggregates); rankings over raw
+    100 TB event grains should pre-aggregate first (and would need a
+    decimal widening this deliberately avoids).
+
+    Distributed shape: one prefix sum per axis at the DISTINCT-value
+    grain (never a global row window), two value-keyed joins to carry the
+    rank maps back onto rows, one 1-row aggregation. Rank maps are
+    |distinct values| rows — typically broadcastable.
+
+    Returns one row: n, rho (6 dp).
+    """
+    from pasardassist_spark.operators.packing import inclusive_prefix_sum
+
+    def rank_map(col: str) -> DataFrame:
+        g = df.groupBy(col).agg(F.count(F.lit(1)).alias("_t"))
+        c = inclusive_prefix_sum(g, col, ["_t"], out=["_ct"])
+        # doubled average rank of every row holding this value
+        return c.select(
+            F.col(col),
+            (2 * F.col("_ct") - F.col("_t") + 1).alias(f"_r2_{col}"),
+        )
+
+    ranked = (
+        df.select(x, y)
+        .join(rank_map(x), x)
+        .join(rank_map(y), y)
+    )
+    rx, ry = F.col(f"_r2_{x}"), F.col(f"_r2_{y}")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(rx * ry).cast("long").alias("_sxy"),
+        F.sum(rx * rx).cast("long").alias("_sxx"),
+        F.sum(ry * ry).cast("long").alias("_syy"),
+    )
+    n = F.col("n")
+    mean_term = (n * (n + 1) * (n + 1)).cast("double")
+    sxy = F.col("_sxy").cast("double") - mean_term
+    sxx = F.col("_sxx").cast("double") - mean_term
+    syy = F.col("_syy").cast("double") - mean_term
+    return agg.select(
+        "n", F.round(sxy / F.sqrt(sxx * syy), 6).alias("rho")
+    )

@@ -635,3 +635,69 @@ def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cnt_b"),
     )
     return mannwhitney_u(g)
+
+
+# ---------------------------------------------- Spearman rank correlation
+
+_SP_MEAN = "CAST(n * (n + 1) * (n + 1) AS DOUBLE)"
+
+
+@query(
+    "stat_spearman_corr",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               SUM(o_totalprice) AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    gx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM cust GROUP BY x),
+    cx AS (
+        SELECT x,
+               2 * SUM(t) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - t + 1 AS r2x
+        FROM gx
+    ),
+    gy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS t FROM cust GROUP BY y),
+    cy AS (
+        SELECT y,
+               2 * SUM(t) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - t + 1 AS r2y
+        FROM gy
+    ),
+    r AS (SELECT r2x, r2y FROM cust JOIN cx USING (x) JOIN cy USING (y)),
+    a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r2x * r2y) AS BIGINT) AS sxy,
+               CAST(SUM(r2x * r2x) AS BIGINT) AS sxx,
+               CAST(SUM(r2y * r2y) AS BIGINT) AS syy
+        FROM r
+    )
+    SELECT n,
+           round((CAST(sxy AS DOUBLE) - {_SP_MEAN})
+                 / sqrt((CAST(sxx AS DOUBLE) - {_SP_MEAN})
+                        * (CAST(syy AS DOUBLE) - {_SP_MEAN})), 6) AS rho
+    FROM a
+    """,
+)
+def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between per-customer order count and
+    per-customer total spend — the monotone-association readout (robust
+    to the spend distribution's heavy tail, where Pearson is not).
+    Tie-aware exact ranks via the doubled-rank/prefix-sum machinery
+    (operators/drift.py:spearman_rho); all moments are exact BIGINTs to
+    the 1-row edge (bound documented there: exact to ~1.3M group-grain
+    rows). The oracle replays the identical integer chain, so rank
+    assignment, tie averaging, and the closed-form mean collapse
+    sum(r2)=n(n+1) are certified bit-for-bit."""
+    from pasardassist_spark.operators.drift import spearman_rho
+
+    cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum("o_totalprice").alias("y"),
+        )
+    )
+    return spearman_rho(cust, "x", "y")

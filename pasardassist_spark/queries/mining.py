@@ -551,3 +551,51 @@ def rj_price_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="o_totalprice",
         eps=BAND_EPS,
     ).select("day", "id_a", "id_b", "value_a", "value_b")
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+        FROM lineitem l1
+        JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                        AND l1.l_suppkey < l2.l_suppkey
+    ),
+    nodes AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM (SELECT a AS v FROM e UNION SELECT b FROM e)
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT n_nodes, n_edges, n_triangles FROM nodes, m, t
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the supplier co-occurrence graph (two
+    suppliers adjacent iff they co-supply an order) — the standard graph
+    clustering-coefficient numerator, via degree-oriented wedge closing
+    (operators/components.py:triangle_count; Suri & Vassilvitskii WWW'11).
+    The oracle counts each triangle a<b<c once through the canonical
+    3-way edge join — a completely different enumeration order than the
+    orientation method, so the hash match certifies that orientation
+    counts every triangle exactly once. Edge derivation is one
+    orderkey-keyed self-join bounded by per-order line count, then a
+    distinct; never a supplier-level cartesian."""
+    from pasardassist_spark.operators.components import triangle_count
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l1 = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("a"))
+    l2 = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("b"))
+    edges = (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return triangle_count(edges)

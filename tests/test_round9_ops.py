@@ -269,3 +269,84 @@ def test_gopher_each_rule_fails_independently(spark):
         assert not out[i].keep, (i, out[i])
     assert out[5].stop_hits == 0 and out[0].stop_hits == 2
     assert set(GOPHER_STOPS) >= {"the", "of"}
+
+
+# ------------------------------------------------- spearman
+
+
+def test_spearman_perfect_and_inverse_and_hand_ties(spark):
+    from pasardassist_spark.operators.drift import spearman_rho
+
+    mono = spark.createDataFrame(
+        [Row(x=i, y=float(i * i)) for i in range(1, 30)]
+    )
+    assert spearman_rho(mono, "x", "y").collect()[0].rho == 1.0
+    inv = spark.createDataFrame(
+        [Row(x=i, y=float(-3 * i + 100)) for i in range(1, 30)]
+    )
+    assert spearman_rho(inv, "x", "y").collect()[0].rho == -1.0
+    # hand case with ties: x=[1,2,2,3], y=[10,20,20,5]
+    # rx2 = [2,5,5,8]; ry2 = [4,13,13,... wait wrong — compute:
+    # ranks x: 1->1, 2,2->2.5, 3->4  => x2: [2,5,5,8]
+    # ranks y: 5->1, 10->2, 20,20->3.5 => y2 per row: [4,7,7,2]
+    # n=4, sum(rx2*ry2)=8+35+35+16=94; sum(rx2^2)=4+25+25+64=118
+    # sum(ry2^2)=16+49+49+4=118; mean term = 4*25=100
+    # rho = (94-100)/sqrt(18*18) = -6/18 = -0.333333
+    ties = spark.createDataFrame(
+        [Row(x=1, y=10.0), Row(x=2, y=20.0), Row(x=2, y=20.0), Row(x=3, y=5.0)]
+    )
+    r = spearman_rho(ties, "x", "y").collect()[0]
+    assert (r.n, r.rho) == (4, -0.333333)
+
+
+# ------------------------------------------------- triangle count
+
+
+def test_triangle_count_hand_graph(spark):
+    """Two triangles sharing edge (1,2) plus a pendant path: exactly 2."""
+    from pasardassist_spark.operators.components import triangle_count
+
+    edges = spark.createDataFrame(
+        [Row(a=1, b=2), Row(a=1, b=3), Row(a=2, b=3),   # triangle 1-2-3
+         Row(a=1, b=4), Row(a=2, b=4),                  # triangle 1-2-4
+         Row(a=4, b=5), Row(a=5, b=6)]                  # path, no triangle
+    )
+    r = triangle_count(edges).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (6, 7, 2)
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    import itertools
+    import random
+
+    from pasardassist_spark.operators.components import triangle_count
+
+    rng = random.Random(99)
+    nodes = list(range(40))
+    edges = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(150)}
+    )
+    eset = set(edges)
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    df = spark.createDataFrame([Row(a=a, b=b) for a, b in edges])
+    r = triangle_count(df).collect()[0]
+    assert r.n_triangles == want and r.n_edges == len(edges)
+
+
+def test_triangle_count_skewed_hub(spark):
+    """Star graph (hub + 30 leaves): zero triangles; add one leaf-leaf
+    edge -> exactly one. Exercises the orientation path where the hub's
+    degree dwarfs everything."""
+    from pasardassist_spark.operators.components import triangle_count
+
+    star = [Row(a=0, b=i) for i in range(1, 31)]
+    assert triangle_count(
+        spark.createDataFrame(star)
+    ).collect()[0].n_triangles == 0
+    assert triangle_count(
+        spark.createDataFrame(star + [Row(a=7, b=8)])
+    ).collect()[0].n_triangles == 1
