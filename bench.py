@@ -209,6 +209,9 @@ def main() -> None:
         "curate_gopher_rules",
         "stat_spearman_corr",
         "graph_triangle_count",
+        "text_lang_id_script",
+        "dq_benford_test",
+        "ts_seasonal_decompose",
     ]:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

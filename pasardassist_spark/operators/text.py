@@ -174,3 +174,52 @@ def fingerprint(toks: Column, shingle_len: int = 5) -> Column:
     Null for documents shorter than one shingle."""
     grams = word_ngrams(toks, shingle_len)
     return F.array_min(F.transform(grams, F.md5))
+
+
+# Unicode script ranges for script-based language routing (BMP core blocks;
+# supplementary planes are out of scope for this corpus). Ordered PRIORITY
+# rules: the first script whose character share meets its threshold wins —
+# kana is checked before Han because Japanese text is Han-heavy with a
+# minority of kana (a pure argmax would route ja -> zh), and 5% kana is
+# decisive while 30% is the general "dominant script" bar.
+SCRIPT_RULES: tuple[tuple[str, int, int, float], ...] = (
+    ("ja", 0x3040, 0x30FF, 0.05),  # hiragana + katakana
+    ("zh", 0x4E00, 0x9FFF, 0.30),  # CJK unified ideographs
+    ("ko", 0xAC00, 0xD7AF, 0.30),  # hangul syllables
+    ("ru", 0x0400, 0x04FF, 0.30),  # cyrillic
+    ("ar", 0x0600, 0x06FF, 0.30),  # arabic
+    ("el", 0x0370, 0x03FF, 0.30),  # greek + coptic
+    ("hi", 0x0900, 0x097F, 0.30),  # devanagari
+)
+
+
+def script_class_pattern(lo: int, hi: int) -> str:
+    """Java-regex character class for a BMP codepoint range (Spark side).
+    DuckDB's RE2 uses the same class with \\x{...} escapes — both are
+    generated from the SAME (lo, hi) constants so they cannot drift."""
+    return f"[\\u{lo:04X}-\\u{hi:04X}]"
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    """Per-script character counts (regexp_count stays JVM-side and fuses
+    into the scan projection)."""
+    return {
+        lang: F.regexp_count(text, F.lit(script_class_pattern(lo, hi)))
+        for lang, lo, hi, _thr in SCRIPT_RULES
+    }
+
+
+def predict_lang_script(text: Column, toks: Column) -> Column:
+    """Two-stage language ID: ordered script-share rules first (SCRIPT_RULES),
+    marker-stopword argmax (:func:`predict_lang`) for Latin-script text.
+    ``total`` counts non-whitespace characters; an all-whitespace document
+    falls through to the marker stage (score 0 everywhere -> 'en')."""
+    total = F.length(F.regexp_replace(text, r"\s", ""))
+    counts = script_counts(text)
+    result = predict_lang(lang_scores(toks))
+    # build the priority chain back-to-front so the first rule is outermost
+    for lang, _lo, _hi, thr in reversed(SCRIPT_RULES):
+        result = F.when(
+            (total > 0) & (counts[lang] >= thr * total), F.lit(lang)
+        ).otherwise(result)
+    return result

@@ -136,3 +136,104 @@ def dq_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# ----------------------------------------------------- Benford first-digit
+
+import math as _math
+
+# expected Benford probabilities log10(1 + 1/d), inlined as LITERALS into
+# BOTH engines' expressions so no log() builtin divergence can exist
+BENFORD_P = {d: round(_math.log10(1 + 1 / d), 12) for d in range(1, 10)}
+# chi-square critical value, dof=8, alpha=0.05
+BENFORD_CHI2_CRIT = 15.507
+
+
+def _benford_oracle() -> str:
+    exp_case = " ".join(
+        f"WHEN {d} THEN {BENFORD_P[d]}" for d in range(1, 10)
+    )
+    return f"""
+    WITH digits AS (
+        SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]')
+                    AS BIGINT) AS digit
+        FROM orders
+        WHERE o_totalprice > 0
+    ),
+    g AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits
+        GROUP BY digit
+    ),
+    m AS (
+        SELECT digit, n_obs,
+               SUM(n_obs) OVER () AS n_total,
+               CASE digit {exp_case} END AS p_exp
+        FROM g
+    ),
+    t AS (
+        SELECT digit, n_obs, n_total, p_exp,
+               (CAST(n_obs AS DOUBLE) / n_total - p_exp)
+               * (CAST(n_obs AS DOUBLE) / n_total - p_exp)
+               / p_exp * n_total AS term
+        FROM m
+    )
+    SELECT digit, n_obs,
+           round(CAST(n_obs AS DOUBLE) / n_total, 6) AS p_obs,
+           p_exp,
+           round(SUM(term) OVER (), 6) AS chi2,
+           round(SUM(term) OVER (), 6) > {BENFORD_CHI2_CRIT} AS deviates
+    FROM t
+    """
+
+
+@query("dq_benford_test", oracle=_benford_oracle())
+def dq_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals — the standard
+    fabricated-data / broken-upstream detector for financial measures
+    (synthetic generators and truncated feeds rarely reproduce the
+    log-uniform leading-digit law). First significant digit is extracted
+    from the DECIMAL's string form (never via log10/floor, whose IEEE
+    edge at exact powers of ten misclassifies 1000.00); expected
+    probabilities are PRECOMPUTED literals shared with the oracle so no
+    log() builtin divergence exists; counts stay integer to the 9-row
+    edge. chi2 folds 9 terms in a full-frame window — double order
+    wiggle ~1e-15, absorbed by the 6-dp rounding (the stat_chi2 /
+    pagerank convention)."""
+    from pyspark.sql import Window as W
+
+    d = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.regexp_extract(
+                F.col("o_totalprice").cast("string"), "[1-9]", 0
+            ).cast("long").alias("digit")
+        )
+    )
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    w = W.partitionBy()
+    exp_col = F.lit(None).cast("double")
+    for dg in range(9, 0, -1):
+        exp_col = F.when(F.col("digit") == dg, F.lit(BENFORD_P[dg])).otherwise(
+            exp_col
+        )
+    m = g.select(
+        "digit", "n_obs",
+        F.sum("n_obs").over(w).alias("n_total"),
+        exp_col.alias("p_exp"),
+    )
+    p_obs = F.col("n_obs").cast("double") / F.col("n_total")
+    term = (p_obs - F.col("p_exp")) * (p_obs - F.col("p_exp")) / F.col(
+        "p_exp"
+    ) * F.col("n_total")
+    t = m.select("digit", "n_obs", "n_total", "p_exp", term.alias("term"))
+    chi2 = F.round(F.sum("term").over(w), 6)
+    return t.select(
+        "digit", "n_obs",
+        F.round(F.col("n_obs").cast("double") / F.col("n_total"), 6).alias(
+            "p_obs"
+        ),
+        "p_exp",
+        chi2.alias("chi2"),
+        (chi2 > BENFORD_CHI2_CRIT).alias("deviates"),
+    )

@@ -646,3 +646,55 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT s.* FROM {view}, LATERAL {fn}(doc_id, text) s"
     )
     return out
+
+
+def _script_counts_sql() -> str:
+    # RE2 (DuckDB) character classes generated from the SAME range
+    # constants as the Spark side (operators/text.py:SCRIPT_RULES)
+    return ",\n               ".join(
+        f"len(regexp_extract_all(text,"
+        f" '[\\x{{{lo:04X}}}-\\x{{{hi:04X}}}]')) AS c_{lang}"
+        for lang, lo, hi, _thr in X.SCRIPT_RULES
+    )
+
+
+def _script_case_sql(inner: str) -> str:
+    branches = " ".join(
+        f"WHEN total > 0 AND c_{lang} >= {thr} * total THEN '{lang}'"
+        for lang, _lo, _hi, thr in X.SCRIPT_RULES
+    )
+    return f"CASE {branches} ELSE ({inner}) END"
+
+
+@query(
+    "text_lang_id_script",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {_script_case_sql(_lang_case_sql())} AS predicted_lang
+    FROM (
+        SELECT doc_id, lang,
+               length(regexp_replace(text, '\\s', '', 'g')) AS total,
+               {_script_counts_sql()},
+               {_LANG_SCORES_SQL}
+        FROM documents
+    )
+    """,
+)
+def text_lang_id_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-aware language ID: ordered Unicode-script share rules
+    (kana->ja before Han->zh, then hangul/cyrillic/arabic/greek/
+    devanagari — operators/text.py:SCRIPT_RULES) route non-Latin text by
+    CHARACTER CLASS, and Latin text falls back to the marker-stopword
+    argmax of text_lang_id. Closes the documented 4-language limitation:
+    stopword lists cannot see scripts they have no words for, while
+    script shares are decisive in one scan-fused regexp pass per class.
+    This corpus is Latin-only, so the driver hash certifies the fallback
+    path + rule plumbing; the script routes themselves are pytested on
+    planted CJK/Cyrillic/Arabic/Greek/Devanagari documents
+    (tests/test_round9_ops.py)."""
+    d = load(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    return d.select(
+        "doc_id", "lang",
+        X.predict_lang_script(F.col("text"), toks).alias("predicted_lang"),
+    )

@@ -694,3 +694,90 @@ def aj_nearest_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, rates, ["event_type"], "ts", "rts", ["day_n"],
         AJ_NEAREST_TOL_US, delta_col="delta_us",
     ).select("event_id", "event_type", "ts", "day_n", "delta_us")
+
+
+SEASONAL_PERIOD = 7  # weekly seasonality on the daily grain
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    w AS (
+        SELECT day, n,
+               SUM(n) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                            AND 3 FOLLOWING) AS sum7,
+               COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                              AND 3 FOLLOWING) AS cnt7,
+               date_diff('day', DATE '1970-01-01', day) % {SEASONAL_PERIOD}
+                   AS dow
+        FROM daily
+    ),
+    c AS (SELECT * FROM w WHERE cnt7 = {SEASONAL_PERIOD}),
+    s AS (
+        SELECT dow,
+               CAST(SUM({SEASONAL_PERIOD} * n - sum7) AS BIGINT) AS d7_sum,
+               CAST(COUNT(*) AS BIGINT) AS d7_cnt
+        FROM c GROUP BY dow
+    )
+    SELECT c.day, c.n,
+           round(CAST(c.sum7 AS DOUBLE) / {SEASONAL_PERIOD}, 6) AS trend,
+           round(CAST(s.d7_sum AS DOUBLE)
+                 / ({SEASONAL_PERIOD} * s.d7_cnt), 6) AS seasonal,
+           round(c.n - CAST(c.sum7 AS DOUBLE) / {SEASONAL_PERIOD}
+                 - CAST(s.d7_sum AS DOUBLE)
+                   / ({SEASONAL_PERIOD} * s.d7_cnt), 6) AS residual
+    FROM c JOIN s USING (dow)
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (moving-average method)
+    of the daily event count, period 7: trend = centered 7-day mean
+    (full windows only), seasonal = per-weekday mean of the detrended
+    series, residual = remainder. INTEGER-EXACT until the edges: the
+    detrended value is kept as 7n - sum7 (x7 to avoid a float mean), so
+    the per-weekday aggregation sums BIGINTs and divides once — no
+    order-dependent float folding anywhere; weekday is epoch-day mod 7
+    (never engine-specific dayofweek numbering).
+
+    Scale note: the windows run on the DAILY grain, whose cardinality is
+    bounded by the calendar (3.7k rows/decade) regardless of corpus
+    size — the single-partition global sort is O(days), while the only
+    data-sized operation is the scan-fused day aggregation."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    win = W.orderBy("day").rowsBetween(-3, 3)
+    w = daily.select(
+        "day", "n",
+        F.sum("n").over(win).alias("sum7"),
+        F.count(F.lit(1)).over(win).alias("cnt7"),
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            % SEASONAL_PERIOD
+        ).alias("dow"),
+    ).filter(F.col("cnt7") == SEASONAL_PERIOD)
+    s = w.groupBy("dow").agg(
+        F.sum(SEASONAL_PERIOD * F.col("n") - F.col("sum7"))
+        .cast("long")
+        .alias("d7_sum"),
+        F.count(F.lit(1)).cast("long").alias("d7_cnt"),
+    )
+    trend = F.col("sum7").cast("double") / SEASONAL_PERIOD
+    seasonal = F.col("d7_sum").cast("double") / (
+        SEASONAL_PERIOD * F.col("d7_cnt")
+    )
+    return w.join(s, "dow").select(
+        "day", "n",
+        F.round(trend, 6).alias("trend"),
+        F.round(seasonal, 6).alias("seasonal"),
+        F.round(F.col("n") - trend - seasonal, 6).alias("residual"),
+    )

@@ -350,3 +350,40 @@ def test_triangle_count_skewed_hub(spark):
     assert triangle_count(
         spark.createDataFrame(star + [Row(a=7, b=8)])
     ).collect()[0].n_triangles == 1
+
+
+# ------------------------------------------------- script lang-id
+
+
+def test_lang_id_script_routes_planted_scripts(spark):
+    from pasardassist_spark.operators.text import (
+        predict_lang_script,
+        tokens,
+    )
+
+    docs = {
+        0: ("zh", "这是一个中文文档 机器学习 模型训练 数据"),
+        1: ("ja", "これは日本語の文書です 機械学習"),       # kana + han -> ja
+        2: ("ko", "이것은 한국어 문서입니다 기계 학습"),
+        3: ("ru", "это русский документ машинное обучение"),
+        4: ("ar", "هذه وثيقة عربية تعلم الآلة"),
+        5: ("el", "αυτό είναι ελληνικό έγγραφο μάθηση"),
+        6: ("hi", "यह एक हिंदी दस्तावेज़ है मशीन लर्निंग"),
+        7: ("en", "the quick brown fox and the lazy dog of doom is here"),
+        8: ("de", "der hund und die katze das ist gut und der rest"),
+        # latin text with a couple of stray CJK chars: share < thresholds,
+        # must fall back to the marker path, not misroute
+        9: ("en", "the cat 中 and the dog 文 of the house is here"),
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=v[1]) for k, v in docs.items()]
+    )
+    out = {
+        r.doc_id: r.p
+        for r in df.select(
+            "doc_id",
+            predict_lang_script(F.col("text"), tokens(F.col("text"))).alias("p"),
+        ).collect()
+    }
+    for k, (want, _t) in docs.items():
+        assert out[k] == want, (k, out[k], want)
