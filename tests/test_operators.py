@@ -21,9 +21,10 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     approx = {(r.q_id, r.neighbor_id) for r in S.ann_topk(emb, qids, 10, 64).collect()}
     assert approx, "ANN returned no candidates at all"
     recall = len(exact & approx) / len(exact)
-    # multi-probe (radius 1) on random gaussian data: expected ~0.65;
-    # assert a conservative floor well above the exact-bucket ~0.18.
-    assert recall >= 0.35, f"low ANN recall {recall}"
+    # multi-probe radius 2 (the round-9 default): measured 0.98 at sf0.1,
+    # ~0.9 at sf0.001; the floor guards a silent recall regression while
+    # staying well above radius 1's 0.74.
+    assert recall >= 0.8, f"low ANN recall {recall}"
     # exact-bucket probing (radius 0) still returns sane results; its
     # recall floor is the old, weaker one (top-k of fewer candidates is NOT
     # a subset of multi-probe top-k, so only recall is comparable)
