@@ -146,6 +146,10 @@ def psi_distance(
 # two-sided normal critical value at alpha = 0.05
 MW_Z_CRIT = 1.959964
 
+# Largest n for which the x4-scaled Spearman moment sums (<= 4n^3) stay
+# exactly representable in int64: 4 * (1.3e6)^3 ~ 8.8e18 < 2^63.
+SPEARMAN_MAX_N = 1_300_000
+
 
 def mannwhitney_u(
     counts: DataFrame,
@@ -166,9 +170,17 @@ def mannwhitney_u(
     n_a*(n_a+1). The normal approximation uses the tie-corrected
     variance n_a*n_b/12 * ((N+1) - sum(t^3 - t)/(N*(N-1))); all floats
     appear only in the final 1-row projection with the same expression
-    tree the SQL oracle uses, rounded to 6 dp. (sum(t^3) overflows int64
-    if one value repeats > ~2.1M times within the pair of samples —
-    bucketize such degenerate metrics first.)
+    tree the SQL oracle uses, rounded to 6 dp.
+
+    Loud-failure bound: sum(t^3) <= max(t)^2 * N, so the int64 tie term
+    is exact while max(t)^2 * N < 2^63. Beyond that the edge projection
+    raises a documented error (bucketize such degenerate metrics first);
+    under ANSI mode (the Spark 4 default) an actual overflow would also
+    raise generically, and under a non-ANSI deployment the arithmetic
+    would WRAP silently — the guard makes both fail the same loud way. Degenerate-variance guard: when one sample is empty or every
+    observation is tied at a single value, the tie-corrected variance is
+    exactly 0 and z would be 0/0 = NaN; the operator defines z = 0.0 and
+    significant = false there (the test has no evidence of a shift).
 
     Cost: ONE two-phase distributed prefix sum over the distinct-value
     grain + one global 1-row aggregation; no single-task sort.
@@ -189,6 +201,8 @@ def mannwhitney_u(
         F.sum(
             F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
         ).cast("long").alias("_tie3"),
+        F.max("_t").cast("long").alias("_tmax"),
+        F.count(F.lit(1)).cast("long").alias("_ng"),
     )
     n_a, n_b = F.col("n_a"), F.col("n_b")
     n_tot = n_a + n_b
@@ -197,7 +211,19 @@ def mannwhitney_u(
     var = ((n_a * n_b).cast("double") / 12) * (
         (n_tot + 1) - F.col("_tie3").cast("double") / (n_tot * (n_tot - 1))
     )
-    z = F.round((u - mean) / F.sqrt(var), 6)
+    # int64-exactness check in DOUBLE (the check itself must not wrap);
+    # 9.0e18 < 2^63 leaves headroom for double rounding of the bound.
+    tmax_d = F.col("_tmax").cast("double")
+    overflow = tmax_d * tmax_d * n_tot.cast("double") >= F.lit(9.0e18)
+    nondegenerate = (n_a > 0) & (n_b > 0) & (F.col("_ng") > 1)
+    z = (
+        F.when(overflow, F.raise_error(F.lit(
+            "mannwhitney_u: tie term exceeds the exact-int64 bound "
+            "(max tie count^2 * N >= 2^63); bucketize the metric first"
+        )))
+        .when(nondegenerate, F.round((u - mean) / F.sqrt(var), 6))
+        .otherwise(F.lit(0.0))
+    )
     return agg.select(
         "n_a", "n_b",
         u.alias("u_stat"),
@@ -222,7 +248,11 @@ def spearman_rho(df: DataFrame, x: str, y: str) -> DataFrame:
     is exact up to n ~ 1.3M input rows — the per-GROUP grain this is
     meant for (per-customer, per-item aggregates); rankings over raw
     100 TB event grains should pre-aggregate first (and would need a
-    decimal widening this deliberately avoids).
+    decimal widening this deliberately avoids). Past that bound Spark's
+    non-ANSI long arithmetic would wrap silently, so the edge projection
+    RAISES when n > 1.3M instead of emitting a corrupted rho. When either
+    axis is constant (Sxx or Syy = 0) rho is undefined; the operator
+    returns NULL rather than NaN.
 
     Distributed shape: one prefix sum per axis at the DISTINCT-value
     grain (never a global row window), two value-keyed joins to carry the
@@ -259,6 +289,13 @@ def spearman_rho(df: DataFrame, x: str, y: str) -> DataFrame:
     sxy = F.col("_sxy").cast("double") - mean_term
     sxx = F.col("_sxx").cast("double") - mean_term
     syy = F.col("_syy").cast("double") - mean_term
-    return agg.select(
-        "n", F.round(sxy / F.sqrt(sxx * syy), 6).alias("rho")
+    rho = (
+        F.when(n > SPEARMAN_MAX_N, F.raise_error(F.lit(
+            "spearman_rho: n exceeds the exact-int64 moment bound "
+            "(sum rx2^2 <= 4n^3 < 2^63 requires n <= 1.3M); "
+            "pre-aggregate to a coarser grain first"
+        )))
+        .when((sxx > 0) & (syy > 0), F.round(sxy / F.sqrt(sxx * syy), 6))
+        .otherwise(F.lit(None).cast("double"))
     )
+    return agg.select("n", rho.alias("rho"))

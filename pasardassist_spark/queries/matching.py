@@ -590,25 +590,30 @@ _MW_Z_CRIT = 1.959964  # mirrored from operators/drift.py:MW_Z_CRIT
         SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
                CAST(SUM(cnt_b) AS BIGINT) AS n_b,
                CAST(SUM(cnt_a * (2 * ct - t + 1)) AS BIGINT) AS r1x2,
-               CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tie3,
+               CAST(COUNT(*) AS BIGINT) AS ng
         FROM c
     )
     SELECT n_a, n_b,
            CAST(r1x2 - n_a * (n_a + 1) AS DOUBLE) / 2 AS u_stat,
-           round((CAST(r1x2 - n_a * (n_a + 1) AS DOUBLE) / 2
-                  - CAST(n_a * n_b AS DOUBLE) / 2)
-                 / sqrt((CAST(n_a * n_b AS DOUBLE) / 12)
-                        * ((n_a + n_b + 1)
-                           - CAST(tie3 AS DOUBLE)
-                             / ((n_a + n_b) * (n_a + n_b - 1)))),
-                 6) AS z,
-           abs(round((CAST(r1x2 - n_a * (n_a + 1) AS DOUBLE) / 2
+           CASE WHEN n_a > 0 AND n_b > 0 AND ng > 1 THEN
+               round((CAST(r1x2 - n_a * (n_a + 1) AS DOUBLE) / 2
                       - CAST(n_a * n_b AS DOUBLE) / 2)
                      / sqrt((CAST(n_a * n_b AS DOUBLE) / 12)
                             * ((n_a + n_b + 1)
                                - CAST(tie3 AS DOUBLE)
                                  / ((n_a + n_b) * (n_a + n_b - 1)))),
-                     6)) > {_MW_Z_CRIT} AS significant
+                     6)
+           ELSE 0.0 END AS z,
+           abs(CASE WHEN n_a > 0 AND n_b > 0 AND ng > 1 THEN
+                   round((CAST(r1x2 - n_a * (n_a + 1) AS DOUBLE) / 2
+                          - CAST(n_a * n_b AS DOUBLE) / 2)
+                         / sqrt((CAST(n_a * n_b AS DOUBLE) / 12)
+                                * ((n_a + n_b + 1)
+                                   - CAST(tie3 AS DOUBLE)
+                                     / ((n_a + n_b) * (n_a + n_b - 1)))),
+                         6)
+               ELSE 0.0 END) > {_MW_Z_CRIT} AS significant
     FROM a
     """,
 )
@@ -674,9 +679,12 @@ _SP_MEAN = "CAST(n * (n + 1) * (n + 1) AS DOUBLE)"
         FROM r
     )
     SELECT n,
-           round((CAST(sxy AS DOUBLE) - {_SP_MEAN})
-                 / sqrt((CAST(sxx AS DOUBLE) - {_SP_MEAN})
-                        * (CAST(syy AS DOUBLE) - {_SP_MEAN})), 6) AS rho
+           CASE WHEN (CAST(sxx AS DOUBLE) - {_SP_MEAN}) > 0
+                 AND (CAST(syy AS DOUBLE) - {_SP_MEAN}) > 0 THEN
+               round((CAST(sxy AS DOUBLE) - {_SP_MEAN})
+                     / sqrt((CAST(sxx AS DOUBLE) - {_SP_MEAN})
+                            * (CAST(syy AS DOUBLE) - {_SP_MEAN})), 6)
+           ELSE NULL END AS rho
     FROM a
     """,
 )

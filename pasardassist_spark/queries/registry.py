@@ -112,31 +112,29 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     # clean in r07 AND r08; pytest-bounded (orthonormality / variance
     # optimality) — archived on the same policy as the sketch entries
     "emb_pca_project",
+    # r9 greens (CORRECTNESS_r09: 45 hash-green, 5 rows-only-by-design,
+    # 0 red.  The 12 round-9 debuts all hash-green on their first driver
+    # row; the codec-surface re-checks (mm_* family) and the LSH
+    # multi-probe recheck all came back clean)
+    "text_lang_id_script", "text_boilerplate_strip", "dedup_containment",
+    "curate_gopher_rules", "stat_mannwhitney_u", "stat_spearman_corr",
+    "graph_triangle_count", "dq_benford_test", "u5_unpivot_metrics",
+    "aj_nearest_rate", "ts_seasonal_decompose", "mm_gif_decode",
 })
 
 # Entries whose implementation or oracle changed since their last green
 # driver row — treated as unverified for ordering until re-checked.
 #
-# Round 9: the round-8 re-checks (sim_ivf_ann, sim_ivfpq_ann,
-# mm_decode_features — the real ANN retune and decode-sniff changes) all
-# recorded clean in CORRECTNESS_r08, so the set starts empty.  Add a name
-# here ONLY when its query fn or oracle actually changed this round.
+# Round 10: the round-9 re-checks (the mm_* codec-guard family and the
+# sim_lsh_ann multi-probe retune) all recorded clean in CORRECTNESS_r09,
+# so the set starts empty.  Add a name here ONLY when its query fn or
+# oracle actually changed this round.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    # round 9: the shared codec surfaces changed — imagecodec gained the
-    # GIF sniff/dispatch branch and BMP data_off/plane validation,
-    # audiocodec a MAX_SAMPLES bomb guard, videocodec avih/strf csize
-    # bounds checks. Every query that routes payloads through those
-    # decoders re-checks this round (expected: unchanged results — the
-    # guards only reject malformed inputs the fixtures never produce).
-    "mm_decode_features", "mm_decode_real", "mm_resize_real",
-    "mm_resize_thumbs", "mm_frame_sample", "mm_dhash_dedup",
-    "mm_dhash_near_pairs", "mm_video_frames", "mm_video_dedup",
-    "mm_audio_features", "mm_audio_fp_dedup",
-    # round 9: LSH ANN operating point changed — multi-probe radius 2 is
-    # now the default (ann_topk radius-2 masks were previously silently
-    # ignored; recall@10 0.74 -> 0.98 at sf0.1, search_s flat). Rows-only
-    # recheck; the recall floor moved to 0.8 in tests/test_operators.py.
-    "sim_lsh_ann",
+    # round 10: ADVICE guards — mannwhitney_u gained an int64-overflow
+    # raise + zero-variance z=0 branch, spearman_rho an n-bound raise +
+    # constant-axis NULL branch; both oracles mirror the new CASEs
+    # (expected: unchanged values at sf0.01, where no guard fires).
+    "stat_mannwhitney_u", "stat_spearman_corr",
 })
 
 

@@ -387,3 +387,85 @@ def test_lang_id_script_routes_planted_scripts(spark):
     }
     for k, (want, _t) in docs.items():
         assert out[k] == want, (k, out[k], want)
+
+
+# --------------------------------------- round-10 degenerate-input guards
+
+
+def _mw_counts(spark, rows):
+    return spark.createDataFrame(
+        [Row(value=v, cnt_a=a, cnt_b=b) for v, a, b in rows]
+    )
+
+
+def test_mannwhitney_all_tied_zero_variance_defined(spark):
+    """Every observation tied at one value: tie-corrected variance is
+    exactly 0; z must be a defined 0.0 (not NaN) and significant false."""
+    from pasardassist_spark.operators.drift import mannwhitney_u
+
+    r = mannwhitney_u(_mw_counts(spark, [(1.0, 5, 5)])).collect()[0]
+    assert (r.n_a, r.n_b) == (5, 5)
+    assert r.z == 0.0 and r.z == r.z  # defined, not NaN
+    assert r.significant is False
+
+
+def test_mannwhitney_empty_sample_zero_variance_defined(spark):
+    from pasardassist_spark.operators.drift import mannwhitney_u
+
+    r = mannwhitney_u(
+        _mw_counts(spark, [(1.0, 3, 0), (2.0, 2, 0)])
+    ).collect()[0]
+    assert (r.n_a, r.n_b) == (5, 0)
+    assert r.z == 0.0 and r.significant is False
+
+
+def test_mannwhitney_int64_overflow_raises_loudly(spark):
+    """Past the exact-int64 tie bound the operator must FAIL, not wrap.
+    Under ANSI (the Spark 4 default) an actual t^3 overflow already
+    raises in the agg; this case sits just INSIDE actual-overflow
+    territory but past the conservative bound (max_t^2 * N >= 9e18),
+    so it exercises the guard itself — the one that also protects a
+    non-ANSI deployment where the arithmetic would wrap silently."""
+    import pytest
+
+    from pasardassist_spark.operators.drift import mannwhitney_u
+
+    # max_t = 2e6 -> t^3 = 8e18 < 2^63 (no per-row ANSI overflow);
+    # N = 2.25e6 -> max_t^2 * N = 9e18 trips the guard at the edge.
+    big = _mw_counts(spark, [(1.0, 2_000_000, 0), (2.0, 0, 250_000)])
+    with pytest.raises(Exception, match="exact-int64"):
+        mannwhitney_u(big).collect()
+
+
+def test_mannwhitney_actual_overflow_raises_under_ansi(spark):
+    """A genuinely overflowing tie term (t = 3e9 -> t^3 ~ 2.7e28) must
+    also fail loudly — either the guard or ANSI overflow, never a wrap."""
+    import pytest
+
+    from pasardassist_spark.operators.drift import mannwhitney_u
+
+    big = _mw_counts(spark, [(1.0, 3_000_000_000, 3_000_000_000)])
+    with pytest.raises(Exception, match="exact-int64|ARITHMETIC_OVERFLOW"):
+        mannwhitney_u(big).collect()
+
+
+def test_spearman_constant_axis_null_not_nan(spark):
+    from pasardassist_spark.operators.drift import spearman_rho
+
+    const = spark.createDataFrame(
+        [Row(x=1, y=float(i)) for i in range(10)]
+    )
+    r = spearman_rho(const, "x", "y").collect()[0]
+    assert r.n == 10 and r.rho is None
+
+
+def test_spearman_over_n_bound_raises_loudly(spark):
+    import pytest
+
+    from pasardassist_spark.operators.drift import SPEARMAN_MAX_N, spearman_rho
+
+    big = spark.range(SPEARMAN_MAX_N + 1).select(
+        F.col("id").alias("x"), (F.col("id") * 2).alias("y")
+    )
+    with pytest.raises(Exception, match="exact-int64"):
+        spearman_rho(big, "x", "y").collect()

@@ -48,9 +48,10 @@ QUERIES = [
 
 def build_replica(spark) -> str:
     base = tempfile.mkdtemp(prefix="r9_scale_sf1_")
-    replicate_documents(load(spark, SF_DIR, "documents"), N_REPLICAS).select(
-        "doc_id", "text",
-        F.lit("en").alias("lang"), F.lit("src0").alias("source"),
+    replicate_documents(
+        load(spark, SF_DIR, "documents"), N_REPLICAS, carry=["lang", "source"]
+    ).select(
+        "doc_id", "text", "lang", "source",
         F.length("text").alias("n_chars"),
     ).write.mode("overwrite").parquet(os.path.join(base, "documents.parquet"))
     replicate_ids(

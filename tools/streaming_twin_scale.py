@@ -63,10 +63,16 @@ def _latest_generation_bytes(state_dir: str) -> int:
     return _dir_bytes(os.path.join(state_dir, versions[-1]))
 
 
-def replicate_documents(docs: DataFrame, n: int) -> DataFrame:
+def replicate_documents(
+    docs: DataFrame, n: int, carry: list[str] | None = None
+) -> DataFrame:
     """10x documents with disjoint doc_ids AND replica-prefixed tokens:
     shingle/minhash structure replicates inside each replica without
-    cross-replica collisions (the BASELINE.md documents method)."""
+    cross-replica collisions (the BASELINE.md documents method).
+
+    ``carry`` names extra columns (e.g. lang/source) copied through from
+    the original row so queries that group or filter on them see the
+    real sf-scale dimension mix, not a collapsed literal."""
     r = docs.crossJoin(F.broadcast(
         docs.sparkSession.range(n).select(F.col("id").alias("_rep"))
     ))
@@ -80,6 +86,7 @@ def replicate_documents(docs: DataFrame, n: int) -> DataFrame:
     return r.select(
         (F.col("doc_id") + F.col("_rep") * F.lit(10_000_000)).alias("doc_id"),
         tagged.alias("text"),
+        *[F.col(c) for c in (carry or [])],
     )
 
 
