@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
+
 from pasardassist_spark.operators.imagecodec import Raster, _check_dims
 
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
@@ -270,12 +272,13 @@ def _decode_gif(payload: bytes) -> Raster:
                     f"GIF index stream has {len(idx)} pixels, raster needs {w * h}"
                 )
             n_colors = len(table) // 3
-            px = bytearray(w * h * 3)
-            for i, c in enumerate(idx):
-                if c >= n_colors:
-                    raise ValueError(f"GIF index {c} beyond color table")
-                px[3 * i : 3 * i + 3] = table[3 * c : 3 * c + 3]
-            return Raster(w, h, 3, bytes(px))
+            # vectorized palette expansion: index -> RGB triplet lookup
+            ia = np.frombuffer(idx, dtype=np.uint8)
+            if int(ia.max(initial=0)) >= n_colors:
+                bad = int(ia[ia >= n_colors][0])
+                raise ValueError(f"GIF index {bad} beyond color table")
+            pal = np.frombuffer(table, dtype=np.uint8).reshape(n_colors, 3)
+            return Raster(w, h, 3, pal[ia].tobytes())
         raise ValueError(f"unknown GIF block {block:#x}")
 
 

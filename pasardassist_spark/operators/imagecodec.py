@@ -4,7 +4,11 @@ metadata/thumbnail handling; re-expressed as Spark mapInPandas stages in
 operators/multimodal).
 
 No image library exists in this container, so the decoders are written
-against the public format specs using only the stdlib:
+against the public format specs using only the stdlib for FORMAT PARSING;
+per-pixel arithmetic (resampling, DIB<->RGB layout, PNG unfiltering,
+alpha strip) is vectorized with numpy — it's plain byte-array math, and
+the pure-Python loops it replaced were the measured hot spot of the whole
+bench (VERDICT r9: mm_resize_real 16 s of Python-bound per-pixel work):
 
 - PPM/PGM (netpbm): P2/P3 ASCII and P5/P6 binary rasters, maxval <= 255.
 - BMP: BITMAPINFOHEADER / BITMAPV4/V5, uncompressed (BI_RGB) 24- and
@@ -28,6 +32,8 @@ from __future__ import annotations
 import struct
 import zlib
 from typing import NamedTuple
+
+import numpy as np
 
 
 class Raster(NamedTuple):
@@ -141,7 +147,10 @@ def decode_ppm(payload: bytes) -> Raster:
             raise ValueError("netpbm sample out of range")
         raster = bytes(vals)
     if maxval != 255:
-        raster = bytes((v * 255) // maxval for v in raster)
+        scaled = (
+            np.frombuffer(raster, dtype=np.uint8).astype(np.uint32) * 255
+        ) // maxval
+        raster = scaled.astype(np.uint8).tobytes()
     return Raster(w, h, channels, raster)
 
 
@@ -170,37 +179,26 @@ def dib_to_rgb(data: bytes, off: int, w: int, h: int, bypp: int, top_down: bool)
     stride = ((w * bypp + 3) // 4) * 4
     if len(data) < off + stride * h:
         raise ValueError("truncated DIB pixel array")
-    rows = range(h) if top_down else range(h - 1, -1, -1)
-    out = bytearray(w * h * 3)
-    o = 0
-    for row in rows:
-        base = off + row * stride
-        for x in range(w):
-            p = base + x * bypp
-            out[o] = data[p + 2]
-            out[o + 1] = data[p + 1]
-            out[o + 2] = data[p]
-            o += 3
-    return bytes(out)
+    arr = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+    px = arr.reshape(h, stride)[:, : w * bypp].reshape(h, w, bypp)
+    rgb = px[:, :, [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
+    if not top_down:
+        rgb = rgb[::-1]
+    return rgb.tobytes()
 
 
 def rgb_to_dib(r: Raster) -> bytes:
     """Encode an RGB raster as a bottom-up 24-bit DIB pixel array (the
     BMP/AVI shared layout; gray promotes to RGB)."""
+    px = np.frombuffer(r.pixels, dtype=np.uint8)
     if r.channels == 1:
-        px = bytes(b for v in r.pixels for b in (v, v, v))
-        r = Raster(r.width, r.height, 3, px)
+        px = np.repeat(px, 3)
+    rgb = px.reshape(r.height, r.width, 3)
+    bgr = rgb[::-1, :, [2, 1, 0]]  # bottom-up rows, RGB -> BGR
     stride = ((r.width * 3 + 3) // 4) * 4
-    pad = b"\x00" * (stride - r.width * 3)
-    rows = []
-    for row in range(r.height - 1, -1, -1):
-        line = bytearray()
-        base = row * r.width * 3
-        for x in range(r.width):
-            p = base + x * 3
-            line += bytes((r.pixels[p + 2], r.pixels[p + 1], r.pixels[p]))
-        rows.append(bytes(line) + pad)
-    return b"".join(rows)
+    out = np.zeros((r.height, stride), dtype=np.uint8)
+    out[:, : r.width * 3] = bgr.reshape(r.height, r.width * 3)
+    return out.tobytes()
 
 
 def decode_bmp(payload: bytes) -> Raster:
@@ -247,44 +245,62 @@ def encode_bmp(r: Raster) -> bytes:
 # ------------------------------------------------------------------- PNG --
 
 def _png_unfilter(raw: bytes, w: int, h: int, bypp: int) -> bytes:
-    """Reverse PNG scanline filters (spec §9: None/Sub/Up/Average/Paeth)."""
+    """Reverse PNG scanline filters (spec §9: None/Sub/Up/Average/Paeth).
+
+    Vectorization: rows are inherently sequential (Up/Average/Paeth read
+    the previous OUTPUT row), but within a row None is a copy, Up is one
+    uint8 add (wrapping = mod 256), and Sub — out[i] = line[i] + out[i-bypp]
+    — is a per-byte-lane modular prefix sum, i.e. ``np.cumsum`` with a
+    uint8 accumulator. Average/Paeth carry a left-neighbor dependency on
+    the output itself (nonlinear via >>1 / the Paeth predictor), so those
+    rows stay per-byte Python — they never appear in this repo's own
+    filter-0 writer and are exercised only by the conformance tests."""
     stride = w * bypp
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG raster length mismatch")
-    out = bytearray(h * stride)
-    prev_start = -1
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    lines = arr[:, 1:]
+    bad = ftypes > 4
+    if bad.any():
+        raise ValueError(f"unknown PNG filter type {int(ftypes[bad][0])}")
+    if not ftypes.any():  # every row filter 0 — the common fast path
+        return lines.tobytes()
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        line_in = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-        o = y * stride
+        ftype = int(ftypes[y])
+        line = lines[y]
         if ftype == 0:  # None
-            out[o : o + stride] = line_in
-        elif ftype == 1:  # Sub
-            for i in range(stride):
-                a = out[o + i - bypp] if i >= bypp else 0
-                out[o + i] = (line_in[i] + a) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                b = out[prev_start + i] if y else 0
-                out[o + i] = (line_in[i] + b) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = out[o + i - bypp] if i >= bypp else 0
-                b = out[prev_start + i] if y else 0
-                out[o + i] = (line_in[i] + ((a + b) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = out[o + i - bypp] if i >= bypp else 0
-                b = out[prev_start + i] if y else 0
-                c = out[prev_start + i - bypp] if (y and i >= bypp) else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                out[o + i] = (line_in[i] + pred) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        prev_start = o
-    return bytes(out)
+            row = line.copy()
+        elif ftype == 1:  # Sub: modular prefix sum per byte lane
+            row = np.cumsum(
+                line.reshape(-1, bypp), axis=0, dtype=np.uint8
+            ).reshape(-1)
+        elif ftype == 2:  # Up (uint8 add wraps = & 0xFF)
+            row = line + prev
+        else:  # Average / Paeth: sequential left dependency
+            row = np.zeros(stride, dtype=np.uint8)
+            li = line.tolist()
+            pv = prev.tolist()
+            ro = row.tolist()
+            if ftype == 3:
+                for i in range(stride):
+                    a = ro[i - bypp] if i >= bypp else 0
+                    ro[i] = (li[i] + ((a + pv[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    a = ro[i - bypp] if i >= bypp else 0
+                    b = pv[i]
+                    c = pv[i - bypp] if i >= bypp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    ro[i] = (li[i] + pred) & 0xFF
+            row = np.asarray(ro, dtype=np.uint8)
+        out[y] = row
+        prev = row
+    return out.tobytes()
 
 
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
@@ -351,12 +367,10 @@ def decode_png(payload: bytes) -> Raster:
         return Raster(w, h, 1, flat)
     if color_type == 2:
         return Raster(w, h, 3, flat)
-    # strip alpha
+    # strip alpha (vectorized column slice)
     keep = src_ch - 1
-    out = bytearray(w * h * keep)
-    for i in range(w * h):
-        out[i * keep : (i + 1) * keep] = flat[i * src_ch : i * src_ch + keep]
-    return Raster(w, h, keep if keep == 3 else 1, bytes(out))
+    out = np.frombuffer(flat, dtype=np.uint8).reshape(w * h, src_ch)[:, :keep]
+    return Raster(w, h, keep if keep == 3 else 1, out.tobytes())
 
 
 def encode_png(r: Raster) -> bytes:
@@ -364,9 +378,11 @@ def encode_png(r: Raster) -> bytes:
     generator for the decode tests and the synthetic payload builder."""
     color_type = 2 if r.channels == 3 else 0
     stride = r.width * r.channels
-    raw = b"".join(
-        b"\x00" + r.pixels[y * stride : (y + 1) * stride] for y in range(r.height)
+    rows = np.zeros((r.height, stride + 1), dtype=np.uint8)
+    rows[:, 1:] = np.frombuffer(r.pixels, dtype=np.uint8).reshape(
+        r.height, stride
     )
+    raw = rows.tobytes()
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -394,14 +410,7 @@ def resize_nearest(r: Raster, out_w: int, out_h: int) -> Raster:
     if out_w <= 0 or out_h <= 0:
         raise ValueError("bad target dimensions")
     ch = r.channels
-    out = bytearray(out_w * out_h * ch)
-    o = 0
-    for y in range(out_h):
-        sy = (y * r.height) // out_h
-        row = sy * r.width * ch
-        for x in range(out_w):
-            sx = (x * r.width) // out_w
-            p = row + sx * ch
-            out[o : o + ch] = r.pixels[p : p + ch]
-            o += ch
-    return Raster(out_w, out_h, ch, bytes(out))
+    src = np.frombuffer(r.pixels, dtype=np.uint8).reshape(r.height, r.width, ch)
+    sy = (np.arange(out_h, dtype=np.int64) * r.height) // out_h
+    sx = (np.arange(out_w, dtype=np.int64) * r.width) // out_w
+    return Raster(out_w, out_h, ch, src[sy][:, sx].tobytes())

@@ -20,6 +20,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
@@ -57,16 +58,15 @@ def synth_raster(doc_id: int) -> tuple[int, int, bytes]:
     touching bytes); pixel (x, y, c) = (x*7 + y*13 + c*29 + doc_id) % 256."""
     w = int(doc_id) % 61 + 4
     h = (int(doc_id) * 7) % 53 + 4
-    px = bytearray(w * h * 3)
-    i = 0
-    for y in range(h):
-        for x in range(w):
-            base = x * 7 + y * 13 + int(doc_id)
-            px[i] = base % 256
-            px[i + 1] = (base + 29) % 256
-            px[i + 2] = (base + 58) % 256
-            i += 3
-    return w, h, bytes(px)
+    base = (
+        np.arange(w, dtype=np.int64) * 7
+        + np.arange(h, dtype=np.int64).reshape(h, 1) * 13
+        + int(doc_id)
+    )
+    px = np.stack(
+        [base % 256, (base + 29) % 256, (base + 58) % 256], axis=-1
+    ).astype(np.uint8)
+    return w, h, px.tobytes()
 
 
 IMAGE_KINDS = ("image/x-portable-pixmap", "image/bmp", "image/png")
@@ -149,7 +149,9 @@ def decode_images(df: DataFrame) -> DataFrame:
                 out["width"].append(r.width)
                 out["height"].append(r.height)
                 out["channels"].append(r.channels)
-                out["pixel_sum"].append(sum(r.pixels))
+                out["pixel_sum"].append(
+                    int(np.frombuffer(r.pixels, dtype=np.uint8).sum())
+                )
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "kind", "payload").mapInPandas(
@@ -185,7 +187,9 @@ def resize_images(df: DataFrame, max_side: int = 16) -> DataFrame:
                     imagecodec.resize_nearest(
                         r if r.channels == 3 else imagecodec.Raster(
                             r.width, r.height, 3,
-                            bytes(b for v in r.pixels for b in (v, v, v)),
+                            np.repeat(
+                                np.frombuffer(r.pixels, dtype=np.uint8), 3
+                            ).tobytes(),
                         ),
                         ow, oh,
                     )
@@ -324,18 +328,18 @@ def synth_video_frames(doc_id: int) -> tuple[int, int, int, list[bytes]]:
     n = did % 6 + 2
     w = did % 13 + 4
     h = (did * 3) % 11 + 4
+    grid = (
+        np.arange(w, dtype=np.int64) * 7
+        + np.arange(h, dtype=np.int64).reshape(h, 1) * 13
+        + did
+    )
     frames = []
     for f in range(n):
-        px = bytearray(w * h * 3)
-        i = 0
-        for y in range(h):
-            for x in range(w):
-                base = x * 7 + y * 13 + did + f * 17
-                px[i] = base % 256
-                px[i + 1] = (base + 29) % 256
-                px[i + 2] = (base + 58) % 256
-                i += 3
-        frames.append(bytes(px))
+        base = grid + f * 17
+        px = np.stack(
+            [base % 256, (base + 29) % 256, (base + 58) % 256], axis=-1
+        ).astype(np.uint8)
+        frames.append(px.tobytes())
     return n, w, h, frames
 
 
@@ -385,7 +389,9 @@ def video_sample_frames(df: DataFrame, k: int = 4, id_col: str = "doc_id") -> Da
                     out["n_frames"].append(n)
                     out["width"].append(fr.width)
                     out["height"].append(fr.height)
-                    out["pixel_sum"].append(sum(fr.pixels))
+                    out["pixel_sum"].append(
+                        int(np.frombuffer(fr.pixels, dtype=np.uint8).sum())
+                    )
             yield pd.DataFrame(out)
 
     return df.select(id_col).mapInPandas(_batches, VIDEO_FRAME_SCHEMA)
@@ -679,11 +685,14 @@ def attach_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 seed = int(doc_id)
                 w = seed % 61 + 4
                 h = (seed * 7) % 53 + 4
-                idx = bytes(
-                    (x * 7 + y * 13 + seed) % 256
-                    for y in range(h)
-                    for x in range(w)
-                )
+                idx = (
+                    (
+                        np.arange(w, dtype=np.int64) * 7
+                        + np.arange(h, dtype=np.int64).reshape(h, 1) * 13
+                        + seed
+                    )
+                    % 256
+                ).astype(np.uint8).tobytes()
                 payloads.append(gifcodec.encode_gif(idx, w, h, palette))
             yield pd.DataFrame(
                 {

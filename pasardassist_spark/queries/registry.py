@@ -135,6 +135,14 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # constant-axis NULL branch; both oracles mirror the new CASEs
     # (expected: unchanged values at sf0.01, where no guard fires).
     "stat_mannwhitney_u", "stat_spearman_corr",
+    # round 10: the raster inner loops (resize, DIB<->RGB, PNG unfilter,
+    # palette expansion, synth fixtures, pixel sums) moved from pure
+    # Python to numpy — identical math re-verified vs every mm oracle at
+    # sf0.01 this session; mm_resize_real 16.4 s -> 0.8 s at sf0.1.
+    "mm_decode_features", "mm_decode_real", "mm_resize_real",
+    "mm_resize_thumbs", "mm_frame_sample", "mm_dhash_dedup",
+    "mm_dhash_near_pairs", "mm_video_frames", "mm_video_dedup",
+    "mm_gif_decode",
 })
 
 
