@@ -117,12 +117,15 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             warm[name] = min(warm.get(name, dt), dt)
 
-    # Regression anchors for the round-3/round-5 operator additions: timed
-    # ONCE, outside the headline totals (so cross-round totals stay
-    # comparable and dedup_clusters' driver-side CC iteration doesn't
-    # dominate the suite).
+    # Regression anchors for the operator additions: timed outside the
+    # headline totals (so cross-round totals stay comparable and
+    # dedup_clusters' driver-side CC iteration doesn't dominate the
+    # suite). Like the headline warm numbers, extras are the per-query
+    # MIN over two full passes: a single pass re-admitted the host-
+    # contention ambiguity the regressions field exists to kill (r9
+    # flagged stat_entropy +110% with zero code change).
     extras: dict[str, float] = {}
-    for name in [
+    EXTRA_NAMES = [
         "dedup_passages",
         "dedup_clusters",
         "split_by_cluster",
@@ -212,10 +215,13 @@ def main() -> None:
         "text_lang_id_script",
         "dq_benford_test",
         "ts_seasonal_decompose",
-    ]:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        extras[name] = round(time.perf_counter() - t0, 3)
+    ]
+    for _ in range(2):
+        for name in EXTRA_NAMES:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            extras[name] = min(extras.get(name, dt), dt)
 
     # Silver-layout paths for the two slowest warm queries (both fact⋈fact):
     # the one-time bucketed write is the standing lake layout (untimed —
@@ -240,6 +246,16 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         extras[name] = best
 
+    def _min2(run) -> float:
+        """Per-row min-of-2, same stability policy as the extras list."""
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run()
+            dt = round(time.perf_counter() - t0, 3)
+            best = dt if best is None else min(best, dt)
+        return best
+
     # Library-operator regression rows (no registry slot — the driver
     # window is full; timed here so the families still have numbers):
     # CEP contiguous match, record linkage, hard-negative mining.
@@ -250,15 +266,13 @@ def main() -> None:
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    t0 = time.perf_counter()
-    match_pattern(
+    # distinct name from the registry's cep_match_pattern slot (3-step, no
+    # budget): this row keeps the r6/r7 2-step + 1 h-budget series intact
+    extras["cep_view_click_1h"] = _min2(lambda: match_pattern(
         ev, ["user_id"], ["us", "event_id"],
         [F.col("event_type") == "view", F.col("event_type") == "click"],
         id_col="event_id", time_col="us", within=3_600_000_000,
-    ).write.format("noop").mode("overwrite").save()
-    # distinct name from the registry's cep_match_pattern slot (3-step, no
-    # budget): this row keeps the r6/r7 2-step + 1 h-budget series intact
-    extras["cep_view_click_1h"] = round(time.perf_counter() - t0, 3)
+    ).write.format("noop").mode("overwrite").save())
 
     part = load(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("id"), F.col("p_brand").alias("block"),
@@ -267,17 +281,13 @@ def main() -> None:
     # typo-grade distance (2): the MDM operating point; TPC-H names are so
     # mutually close that dist 4 links ~half the table into dense cliques,
     # which measures the data's pathology, not the operator
-    t0 = time.perf_counter()
-    link_records(part, ["block"], "id", "name", 2).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    extras["link_records"] = round(time.perf_counter() - t0, 3)
+    extras["link_records"] = _min2(lambda: link_records(
+        part, ["block"], "id", "name", 2
+    ).write.format("noop").mode("overwrite").save())
 
-    t0 = time.perf_counter()
-    mine_hard_negatives(
+    extras["mine_hard_negatives"] = _min2(lambda: mine_hard_negatives(
         load(spark, sf_dir, "embeddings"), k=5
-    ).write.format("noop").mode("overwrite").save()
-    extras["mine_hard_negatives"] = round(time.perf_counter() - t0, 3)
+    ).write.format("noop").mode("overwrite").save())
 
     # tokenizer APPLICATION (train is benched as bpe_train_merge_table;
     # this times only the corpus-wide encode on the trained merges)
@@ -286,21 +296,17 @@ def main() -> None:
 
     docs = load(spark, sf_dir, "documents")
     merges = train_bpe_merges(docs, "text", BPE_N_MERGES)
-    t0 = time.perf_counter()
-    bpe_encode(docs, "text", merges, "doc_id").write.format("noop").mode(
-        "overwrite"
-    ).save()
-    extras["bpe_encode_corpus"] = round(time.perf_counter() - t0, 3)
+    extras["bpe_encode_corpus"] = _min2(lambda: bpe_encode(
+        docs, "text", merges, "doc_id"
+    ).write.format("noop").mode("overwrite").save())
 
     # seeded global shuffle-shard (training export): one exchange +
     # per-shard sort
     from pasardassist_spark.operators.sharding import shuffle_shards
 
-    t0 = time.perf_counter()
-    shuffle_shards(docs, "doc_id", 32, seed=1).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    extras["shuffle_shards"] = round(time.perf_counter() - t0, 3)
+    extras["shuffle_shards"] = _min2(lambda: shuffle_shards(
+        docs, "doc_id", 32, seed=1
+    ).write.format("noop").mode("overwrite").save())
 
     # ANN quality + attribution (VERDICT r5 directive #7): rows-only driver
     # checks can't catch a silent recall regression, and the one-shot query

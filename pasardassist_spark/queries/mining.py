@@ -553,14 +553,30 @@ def rj_price_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("day", "id_a", "id_b", "value_a", "value_b")
 
 
+# Minimum co-supplied-order count for a supplier pair to become an edge.
+# Without it the co-occurrence graph is near-complete at small SF (K100 at
+# sf0.01 -> wedge volume Theta(n^3): the bench row measured the corpus
+# construction, not the operator — VERDICT r9).  At production scale the
+# threshold is what any real co-occurrence analysis applies anyway: a
+# single shared order is noise, repeated co-supply is signal, and mean
+# pair weight FALLS with scale (observations grow ~N, candidate pairs
+# ~N^2), so a fixed threshold only gets sparser at 100 TB.
+TRIANGLE_MIN_COOC = 5
+
+
 @query(
     "graph_triangle_count",
-    oracle="""
-    WITH e AS (
-        SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l1.l_orderkey AS ok, l1.l_suppkey AS a,
+               l2.l_suppkey AS b
         FROM lineitem l1
         JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
                         AND l1.l_suppkey < l2.l_suppkey
+    ),
+    e AS (
+        SELECT a, b FROM op GROUP BY a, b
+        HAVING COUNT(*) >= {TRIANGLE_MIN_COOC}
     ),
     nodes AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes
@@ -586,7 +602,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation method, so the hash match certifies that orientation
     counts every triangle exactly once. Edge derivation is one
     orderkey-keyed self-join bounded by per-order line count, then a
-    distinct; never a supplier-level cartesian."""
+    grouped weight filter (>= TRIANGLE_MIN_COOC co-supplied orders);
+    never a supplier-level cartesian. The weight gate keeps the graph
+    out of the dense regime where exact counting is Theta(n^3) wedges —
+    dense co-occurrence graphs need a threshold (or DOULION-style edge
+    sampling) before exact counting at any scale."""
     from pasardassist_spark.operators.components import triangle_count
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -595,7 +615,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         l1.join(l2, "l_orderkey")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        .select("l_orderkey", "a", "b")
         .distinct()
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= TRIANGLE_MIN_COOC)
+        .select("a", "b")
     )
     return triangle_count(edges)
