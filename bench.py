@@ -215,6 +215,8 @@ def main() -> None:
         "text_lang_id_script",
         "dq_benford_test",
         "ts_seasonal_decompose",
+        # round-10 additions
+        "dedup_exact_substring",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

@@ -652,3 +652,129 @@ def containment_pairs(
             F.round(cont, 6).alias("containment"),
         )
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 50,
+) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", §4.1): remove every token that lies
+    inside a ``min_tokens``-token substring occurring MORE THAN ONCE in
+    the corpus — at ARBITRARY offsets, across or within documents. This
+    is the published suffix-array method's semantics re-expressed for a
+    shuffle engine: a duplicated substring of length >= ``min_tokens``
+    exists iff a chain of duplicated ``min_tokens``-grams covers it, so
+    marking every position whose ``min_tokens``-gram has corpus count
+    >= 2, then taking the coverage union, removes exactly the tokens the
+    suffix-array scan removes (all copies — the released
+    google-research/deduplicate-text-datasets policy).
+
+    Distributed shape (vs. the paper's single-machine suffix array, which
+    needs the whole corpus in one address space):
+
+    1. gram stream — one row per token position, carrying only a 16-byte
+       md5 digest of the gram (never the text): O(corpus tokens) rows.
+    2. duplicate digests — ONE groupBy on the digest with a count >= 2
+       filter; output is |distinct duplicated grams|, tiny vs corpus.
+    3. digest-keyed join back marks duplicated start positions; both
+       sides arrive hash-partitioned on the digest.
+    4. per-doc interval union — a doc-partitioned window merges
+       overlapping [pos, pos+k-1] spans (positions per doc, never a
+       global sort).
+    5. reassembly — merged spans collect to one small array per doc
+       (gap count <= dup regions per doc), and the surviving text is
+       rebuilt with a single JVM-side fold over the gaps; no UDF.
+
+    Returns one row per input doc:
+    ``(id, clean_text, n_tokens, n_removed)`` — ``n_tokens`` the original
+    token count; docs with no duplicated span pass through unchanged.
+    """
+    toks = tokens(F.col(text_col))
+    k = min_tokens
+    base = df.select(
+        F.col(id_col), F.col(text_col), toks.alias("_toks"),
+        F.size(toks).alias("n_tokens"),
+    )
+    grams = (
+        base.filter(F.col("n_tokens") >= k)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - k + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(
+                            F.array_join(F.slice(F.col("_toks"), i, k), " ")
+                        ).alias("dig"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(F.col(id_col), F.col("g.pos"), F.col("g.dig"))
+    )
+    dup_digs = grams.groupBy("dig").agg(
+        F.count(F.lit(1)).alias("_n")
+    ).filter(F.col("_n") >= 2)
+    starts = grams.join(dup_digs, "dig").select(F.col(id_col), "pos")
+
+    # coverage union: spans [pos, pos+k-1]; a new interval begins when the
+    # start exceeds the running max end of all earlier spans in the doc
+    w = W.partitionBy(id_col).orderBy("pos")
+    run_end = F.max(F.col("pos") + k - 1).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    grouped = starts.withColumn(
+        "_new", (run_end.isNull() | (F.col("pos") > run_end + 1)).cast("int")
+    ).withColumn("_grp", F.sum("_new").over(w))
+    intervals = grouped.groupBy(id_col, "_grp").agg(
+        F.min("pos").alias("s"), (F.max("pos") + k - 1).alias("e")
+    )
+    per_doc = intervals.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("_ivs")
+    )
+
+    out = base.join(per_doc, id_col, "left")
+    # fold over sorted disjoint intervals: emit the gap before each, then
+    # the tail after the last
+    rebuilt = F.aggregate(
+        F.col("_ivs"),
+        F.struct(
+            F.lit(1).cast("long").alias("nxt"),
+            F.array().cast("array<string>").alias("parts"),
+        ),
+        lambda acc, iv: F.struct(
+            (iv.e + 1).cast("long").alias("nxt"),
+            F.concat(
+                acc.parts, F.slice(F.col("_toks"), acc.nxt, iv.s - acc.nxt)
+            ).alias("parts"),
+        ),
+        lambda acc: F.array_join(
+            F.concat(
+                acc.parts,
+                F.slice(
+                    F.col("_toks"), acc.nxt,
+                    F.greatest(
+                        F.col("n_tokens") - acc.nxt + 1, F.lit(0).cast("long")
+                    ),
+                ),
+            ),
+            " ",
+        ),
+    )
+    n_removed = F.aggregate(
+        F.col("_ivs"),
+        F.lit(0).cast("long"),
+        lambda acc, iv: acc + (iv.e - iv.s + 1),
+    )
+    return out.select(
+        F.col(id_col),
+        F.when(F.col("_ivs").isNull(), F.col(text_col))
+        .otherwise(rebuilt)
+        .alias("clean_text"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(n_removed, F.lit(0).cast("long")).alias("n_removed"),
+    )

@@ -675,3 +675,67 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src_id").cast("long"), F.col("dst_id").cast("long"),
         "n_src", "n_shared", "containment",
     )
+
+
+# ExactSubstr window: Lee et al. use 50 tokens at web scale; this corpus
+# averages ~54 tokens/doc, so the fixture window is 20 — long enough that
+# only genuinely shared passages (not n-gram noise) cross it, short enough
+# that the planted near-dup corpus actually contains matches.
+SUBSTR_MIN_TOKENS = 20
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(
+                   toks[pos:pos+{SUBSTR_MIN_TOKENS}-1], ' ')) AS h
+        FROM t, unnest(range(1, len(toks)-{SUBSTR_MIN_TOKENS}+2)) u(pos)
+    ),
+    d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+    cov AS (SELECT doc_id, pos FROM g JOIN d USING (h)),
+    hit AS (SELECT DISTINCT doc_id FROM cov),
+    p AS (
+        SELECT t.doc_id, u.p AS p, t.toks[u.p] AS tok
+        FROM t JOIN hit USING (doc_id), unnest(range(1, len(toks)+1)) u(p)
+    ),
+    keep AS (
+        SELECT p.doc_id, p.p, p.tok
+        FROM p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cov c
+            WHERE c.doc_id = p.doc_id
+              AND p.p BETWEEN c.pos AND c.pos + {SUBSTR_MIN_TOKENS} - 1
+        )
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS ct,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM keep GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CASE WHEN hit.doc_id IS NOT NULL THEN coalesce(a.ct, '')
+                ELSE t.text END AS clean_text,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CASE WHEN hit.doc_id IS NOT NULL
+                THEN CAST(len(t.toks) AS BIGINT) - coalesce(a.n_kept, 0)
+                ELSE 0 END AS n_removed
+    FROM t
+    LEFT JOIN hit USING (doc_id)
+    LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022 §4.1): every token inside a
+    >= 20-token substring that occurs more than once in the corpus — at
+    arbitrary offsets, across or within documents — is removed from ALL
+    copies (the released deduplicate-text-datasets policy). Distributed
+    as a duplicated-k-gram coverage union instead of the paper's
+    single-machine suffix array (operators/dedup.py:
+    exact_substring_dedup); the oracle re-derives gram marking, coverage,
+    and reassembly from the same tokenizer SQL, and a planted-corpus
+    pytest certifies equality with offset-level brute force."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.exact_substring_dedup(d, "text", "doc_id", SUBSTR_MIN_TOKENS)

@@ -469,3 +469,84 @@ def test_spearman_over_n_bound_raises_loudly(spark):
     )
     with pytest.raises(Exception, match="exact-int64"):
         spearman_rho(big, "x", "y").collect()
+
+
+# ------------------------------------------- exact-substring dedup (r10)
+
+
+def _brute_exact_substr(docs, k):
+    """Offset-level brute force: mark every position whose k-gram (as a
+    token tuple, no hashing) occurs >= 2 times anywhere in the corpus."""
+    from collections import Counter
+
+    toks = {d: t.split() for d, t in docs}
+    grams = Counter()
+    for t in toks.values():
+        for i in range(len(t) - k + 1):
+            grams[tuple(t[i : i + k])] += 1
+    out = {}
+    for d, t in toks.items():
+        covered = [False] * len(t)
+        for i in range(len(t) - k + 1):
+            if grams[tuple(t[i : i + k])] >= 2:
+                for j in range(i, i + k):
+                    covered[j] = True
+        kept = [tok for tok, c in zip(t, covered) if not c]
+        out[d] = (" ".join(kept), len(t), sum(covered))
+    return out
+
+
+def test_exact_substring_matches_bruteforce_planted(spark):
+    """Planted corpus: a 25-token block shared by every third doc at
+    random offsets, plus one doc containing it twice (within-doc dup).
+    The distributed gram-chain coverage must equal offset-level brute
+    force exactly — including untouched docs passing through verbatim."""
+    import random
+
+    from pasardassist_spark.operators.dedup import exact_substring_dedup
+
+    rng = random.Random(7)
+    shared = ["s%d" % i for i in range(25)]
+    docs = []
+    for d in range(30):
+        words = ["d%d_%d" % (d, i) for i in range(rng.randint(5, 40))]
+        if d % 3 == 0:
+            off = rng.randint(0, len(words))
+            words = words[:off] + shared + words[off:]
+        docs.append((d, " ".join(words)))
+    docs.append(
+        (99, " ".join(["x%d" % i for i in range(5)] + shared + ["y"] + shared))
+    )
+
+    k = 10
+    want = _brute_exact_substr(docs, k)
+    df = spark.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in docs]
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in exact_substring_dedup(df, "text", "doc_id", k).collect()
+    }
+    assert got == want
+
+
+def test_exact_substring_removes_all_copies_and_spares_short(spark):
+    from pasardassist_spark.operators.dedup import exact_substring_dedup
+
+    block = " ".join("b%d" % i for i in range(10))
+    docs = [
+        Row(doc_id=0, text=f"u0 {block} v0"),
+        Row(doc_id=1, text=f"u1 u1b {block}"),
+        Row(doc_id=2, text="only nine tokens here not enough for a gram x"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in exact_substring_dedup(
+            spark.createDataFrame(docs), "text", "doc_id", 10
+        ).collect()
+    }
+    # ALL copies removed (Lee et al. policy), not all-but-one
+    assert out[0].clean_text == "u0 v0" and out[0].n_removed == 10
+    assert out[1].clean_text == "u1 u1b" and out[1].n_removed == 10
+    # doc shorter than the window is untouched (and returns original text)
+    assert out[2].n_removed == 0 and out[2].clean_text == docs[2].text
