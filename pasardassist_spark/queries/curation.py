@@ -687,3 +687,140 @@ def curate_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_hits.alias("stop_hits"),
         keep.alias("keep"),
     )
+
+
+# --------------------------------------------------------------- C4 rules
+
+# C4 cleaning (Raffel et al. 2020, "Exploring the Limits of Transfer
+# Learning...", §2.2). The corpus here is newline-free word soup, so —
+# like pii_redact — the query first RESTRUCTURES each doc into a 3/4-line
+# page with the SAME deterministic doc_id-keyed augmentation on both
+# engines: line 1 gets a terminal '.' on even ids, line 2 gets
+# ' javascript.' on ids %3 (line-level drop rule) else '!', line 3 gets
+# ' lorem ipsum.' on ids %5 (page-level drop rule) else '?', and ids %7
+# append a 'var cfg = {' line (page-level '{' rule). Every C4 rule then
+# has both firing and non-firing rows at any sf.
+C4_MIN_LINE_WORDS = 5  # paper: "lines that contained at least 5 words"
+C4_MIN_SENTENCES = 3  # paper: "pages that contained at least 3 sentences"
+_C4_TERMINAL_RE = '[.!?"]$'  # period / exclamation / question / end-quote
+
+
+def _c4_oracle() -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    aug AS (
+        SELECT doc_id,
+               concat_ws(chr(10),
+                   array_to_string(toks[1:(len(toks) // 3)], ' ')
+                     || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END,
+                   array_to_string(
+                       toks[(len(toks) // 3 + 1):(2 * len(toks) // 3)], ' ')
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' javascript.' ELSE '!' END,
+                   array_to_string(
+                       toks[(2 * len(toks) // 3 + 1):len(toks)], ' ')
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN ' lorem ipsum.' ELSE '?' END,
+                   CASE WHEN doc_id % 7 = 0 THEN 'var cfg = {{' END
+               ) AS page
+        FROM t),
+    k AS (
+        SELECT doc_id, page, string_split(page, chr(10)) AS ls,
+               list_filter(string_split(page, chr(10)),
+                   l -> regexp_matches(l, '{_C4_TERMINAL_RE}')
+                        AND len(string_split_regex(trim(l), '\\s+'))
+                            >= {C4_MIN_LINE_WORDS}
+                        AND NOT contains(lower(l), 'javascript')) AS kept
+        FROM aug),
+    kc AS (
+        -- array_to_string([]) is NULL in DuckDB but '' in Spark: coalesce
+        SELECT *, coalesce(array_to_string(kept, chr(10)), '') AS clean
+        FROM k),
+    m AS (
+        SELECT doc_id,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept_lines,
+               CAST(length(clean)
+                    - length(regexp_replace(clean, '[.!?]', '', 'g'))
+                    AS BIGINT) AS n_sentences,
+               contains(lower(page), 'lorem ipsum') AS has_lorem,
+               contains(page, '{{') AS has_brace,
+               md5(clean) AS clean_hash
+        FROM kc)
+    SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
+           (NOT has_lorem AND NOT has_brace
+            AND n_sentences >= {C4_MIN_SENTENCES}) AS keep,
+           clean_hash
+    FROM m
+    """
+
+
+@query("curate_c4_rules", oracle=_c4_oracle())
+def curate_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) over deterministically
+    re-lined pages (see module comment): keep only lines ending in
+    terminal punctuation ('.', '!', '?', '\"'), with >= 5 words, and not
+    mentioning 'javascript'; drop whole pages containing 'lorem ipsum' or
+    '{' or retaining < 3 sentences (terminal-mark count over the kept
+    text). The paper's bad-word list and 3-sentence-span dedup are
+    covered elsewhere (curate_quality_classifier, dedup_passages).
+
+    Scale shape: augmentation, line split, the line filter, and every
+    page metric are row-local JVM column math fused into the parquet scan
+    — zero shuffle, zero UDF; at 100 TB this is the classic
+    scan-speed-bounded first pass of a C4-style build. Ref semantics:
+    the quality-gate stage of app.service.ts-style collection curation,
+    widened to the published web-corpus recipe."""
+    d_ = F.col("doc_id")
+    toks = X.tokens(F.col("text"))
+    n = F.size(toks)
+    a = F.floor(n / 3).cast("int")
+    b = F.floor(n * 2 / 3).cast("int")
+    l1 = F.concat(
+        F.array_join(F.slice(toks, F.lit(1), a), " "),
+        F.when(d_ % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+    )
+    l2 = F.concat(
+        F.array_join(F.slice(toks, a + 1, b - a), " "),
+        F.when(d_ % 3 == 0, F.lit(" javascript.")).otherwise(F.lit("!")),
+    )
+    l3 = F.concat(
+        F.array_join(F.slice(toks, b + 1, n - b), " "),
+        F.when(d_ % 5 == 0, F.lit(" lorem ipsum.")).otherwise(F.lit("?")),
+    )
+    l4 = F.when(d_ % 7 == 0, F.lit("var cfg = {"))
+    page = F.concat_ws("\n", l1, l2, l3, l4)
+
+    line_words = lambda l: F.size(F.split(F.trim(l), r"\s+"))  # noqa: E731
+    keep_line = lambda l: (  # noqa: E731
+        l.rlike(_C4_TERMINAL_RE)
+        & (line_words(l) >= C4_MIN_LINE_WORDS)
+        & ~F.contains(F.lower(l), F.lit("javascript"))
+    )
+    staged = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", page.alias("page"))
+        .withColumn("ls", F.split("page", "\n"))
+        .withColumn("kept", F.filter("ls", keep_line))
+        .withColumn("clean", F.array_join("kept", "\n"))
+    )
+    n_sentences = (
+        F.length("clean")
+        - F.length(F.regexp_replace("clean", r"[.!?]", ""))
+    ).cast("long")
+    has_lorem = F.contains(F.lower("page"), F.lit("lorem ipsum"))
+    has_brace = F.contains("page", F.lit("{"))
+    return staged.select(
+        "doc_id",
+        F.size("ls").cast("long").alias("n_lines"),
+        F.size("kept").cast("long").alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (
+            ~has_lorem
+            & ~has_brace
+            & (n_sentences >= C4_MIN_SENTENCES)
+        ).alias("keep"),
+        F.md5("clean").alias("clean_hash"),
+    )
