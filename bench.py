@@ -217,6 +217,8 @@ def main() -> None:
         "ts_seasonal_decompose",
         # round-10 additions
         "dedup_exact_substring",
+        "curate_c4_rules",
+        "src_warc_roundtrip",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

@@ -824,3 +824,56 @@ def curate_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keep"),
         F.md5("clean").alias("clean_hash"),
     )
+
+
+@query(
+    "src_warc_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def src_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC 1.0 source/sink, closed-loop (sources/warc.py): export the
+    documents table as 8 .warc shards — doc metadata carried in the
+    WARC-Target-URI (doc://<source>/<doc_id>?lang=..&n=..), text as the
+    record payload — then read the shards back with the binaryFile +
+    mapInPandas parser and reconstruct the original rows from URI +
+    payload. Oracle is the parquet table itself: the check is lossless
+    round-tripping through the web-archive interchange format (Common
+    Crawl's wire format), the same property src_jsonl_roundtrip pins for
+    JSONL. Write is task-parallel (shard per partition), read is
+    task-parallel (shard per task) — no driver funnel either way; the
+    only collect is the 8-row shard manifest."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pasardassist_spark.sources.warc import read_warc, write_warc
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    uri = F.concat(
+        F.lit("doc://"), F.col("source"), F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="), F.col("lang"),
+        F.lit("&n="), F.col("n_chars").cast("string"),
+    )
+    staged = d.select(
+        F.col("doc_id").cast("string").alias("record_id"),
+        F.col("text").alias("payload"),
+        uri.alias("uri"),
+    ).repartition(8, "record_id")
+
+    tmp = tempfile.mkdtemp(prefix="pasard_warc_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    manifest = write_warc(staged, tmp, uri_col="uri").collect()
+    assert sum(m.n_records for m in manifest) > 0
+
+    rec = read_warc(spark, tmp)
+    u = F.col("target_uri")
+    return rec.select(
+        F.col("record_id").cast("long").alias("doc_id"),
+        F.col("payload").alias("text"),
+        F.regexp_extract(u, r"\?lang=([^&]*)&", 1).alias("lang"),
+        F.regexp_extract(u, r"^doc://([^/]*)/", 1).alias("source"),
+        F.regexp_extract(u, r"&n=(\d+)$", 1).cast("long").alias("n_chars"),
+    )

@@ -3,6 +3,7 @@ Mann-Whitney U, nearest-asof join."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row, functions as F
 
 
@@ -550,3 +551,61 @@ def test_exact_substring_removes_all_copies_and_spares_short(spark):
     assert out[1].clean_text == "u1 u1b" and out[1].n_removed == 10
     # doc shorter than the window is untouched (and returns original text)
     assert out[2].n_removed == 0 and out[2].clean_text == docs[2].text
+
+
+# ------------------------------------------------------- WARC source (r10)
+
+
+def test_warc_record_framing_is_content_length_driven():
+    """A payload containing 'WARC/1.0\\r\\n\\r\\n' bytes must NOT
+    desynchronize the parser — framing comes from Content-Length alone."""
+    from pasardassist_spark.sources.warc import decode_records, encode_record
+
+    evil = "prefix WARC/1.0\r\n\r\nContent-Length: 0\r\n\r\n suffix"
+    blob = (
+        encode_record("a", evil.encode("utf-8"), target_uri="u://1")
+        + encode_record("b", b"plain")
+    )
+    recs = list(decode_records(blob))
+    assert [r["record_id"] for r in recs] == ["a", "b"]
+    assert recs[0]["payload"] == evil
+    assert recs[0]["target_uri"] == "u://1"
+    assert recs[1]["target_uri"] is None
+    assert recs[1]["content_length"] == 5
+
+
+def test_warc_malformed_inputs_fail_loudly():
+    from pasardassist_spark.sources.warc import decode_records, encode_record
+
+    with pytest.raises(ValueError, match="bad version"):
+        list(decode_records(b"HTTP/1.1 200\r\n\r\n"))
+    ok = encode_record("a", b"xyz")
+    with pytest.raises(ValueError, match="truncated"):
+        list(decode_records(ok[:-6]))  # cut into the payload
+    no_len = b"WARC/1.0\r\nWARC-Type: resource\r\n\r\n\r\n\r\n"
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(decode_records(no_len))
+
+
+def test_warc_write_read_distributed_roundtrip(spark, tmp_path):
+    """Multi-shard roundtrip: rows survive byte-identically, shard files
+    match the manifest, empty partitions leave no shards behind."""
+    import os
+
+    from pasardassist_spark.sources.warc import read_warc, write_warc
+
+    rows = [
+        Row(record_id=str(i), payload=f"doc {i} body\u00e9 {'x' * i}")
+        for i in range(37)
+    ]
+    df = spark.createDataFrame(rows).repartition(6, "record_id")
+    path = str(tmp_path / "warc_out")
+    manifest = write_warc(df, path).collect()
+    assert sum(m.n_records for m in manifest) == 37
+    files = sorted(os.listdir(path))
+    assert files == sorted(os.path.basename(m.file) for m in manifest)
+    got = {
+        r.record_id: r.payload
+        for r in read_warc(spark, path).collect()
+    }
+    assert got == {r.record_id: r.payload for r in rows}
