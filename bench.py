@@ -219,6 +219,7 @@ def main() -> None:
         "dedup_exact_substring",
         "curate_c4_rules",
         "src_warc_roundtrip",
+        "graph_triangle_doulion",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

@@ -160,3 +160,51 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return n_nodes.crossJoin(n_edges).crossJoin(tri)
+
+
+def triangle_count_doulion(
+    edges: DataFrame, p_bp: int, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """DOULION sampled triangle count (Tsourakakis, Kang, Miller &
+    Faloutsos, KDD 2009): sparsify by keeping each edge independently
+    with probability p, run the exact counter on the survivors, scale by
+    1/p^3 (each triangle survives with probability p^3). This is the
+    published scale path for DENSE graphs, where exact counting's wedge
+    volume is Theta(n^3): expected wedge work drops by p^2 and triangle
+    work by p^3, while the estimator stays unbiased with variance that
+    vanishes for triangle-rich graphs (their Thm 2).
+
+    The coin is a DETERMINISTIC hash gate — first 16 bits of
+    md5(a|b) < p_bp/10000 — not rand(): reproducible under any
+    partitioning/run and cross-engine checkable (the samp_deterministic
+    contract). ``p_bp`` is basis points and must divide 10000 so the
+    1/p^3 scale-up (10000/p_bp)^3 is an exact integer — the estimate
+    stays in BIGINT arithmetic, bit-stable for the differential oracle.
+
+    Returns one row: n_edges (original), n_edges_sampled,
+    n_triangles_sampled, est_triangles.
+    """
+    if 10000 % p_bp != 0:
+        raise ValueError(f"p_bp must divide 10000, got {p_bp}")
+    scale = (10000 // p_bp) ** 3
+    gate = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(a).cast("string"), F.lit("|"), F.col(b).cast("string")
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    sampled = edges.filter(gate < p_bp * 65536 // 10000)
+    tc = triangle_count(sampled, a, b).select(
+        F.col("n_edges").alias("n_edges_sampled"),
+        F.col("n_triangles").alias("n_triangles_sampled"),
+        (F.col("n_triangles") * scale).cast("long").alias("est_triangles"),
+    )
+    m = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return m.crossJoin(tc)

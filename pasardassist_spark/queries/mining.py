@@ -623,3 +623,72 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
     )
     return triangle_count(edges)
+
+
+# DOULION edge-retention probability in basis points (20% => 1/p^3 = 125
+# exactly, keeping the estimate in integer arithmetic). Must divide 10000.
+DOULION_P_BP = 2000
+
+
+def _md5_16bit_sql(expr: str) -> str:
+    """DuckDB SQL for the first 16 bits of md5(expr) as an integer — the
+    same samp_deterministic nibble-parse idiom (DuckDB has no hex cast)."""
+    return " + ".join(
+        f"(instr('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+
+
+@query(
+    "graph_triangle_doulion",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+        FROM lineitem l1
+        JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                        AND l1.l_suppkey < l2.l_suppkey
+    ),
+    s AS (
+        SELECT a, b FROM op
+        WHERE {_md5_16bit_sql("CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)")}
+              < {DOULION_P_BP * 65536 // 10000}
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM op),
+    ms AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges_sampled FROM s),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles_sampled
+        FROM s e1
+        JOIN s e2 ON e2.a = e1.b
+        JOIN s e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT n_edges, n_edges_sampled, n_triangles_sampled,
+           CAST(n_triangles_sampled * {(10000 // DOULION_P_BP) ** 3} AS BIGINT)
+               AS est_triangles
+    FROM m, ms, t
+    """,
+)
+def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION sampled triangle estimate (Tsourakakis et al. KDD 2009,
+    operators/components.py:triangle_count_doulion) over the UNWEIGHTED
+    supplier co-occurrence graph — the dense regime graph_triangle_count
+    deliberately thresholds away (TRIANGLE_MIN_COOC). This is the scale
+    answer for when the threshold is not semantically available: keep
+    each edge via a deterministic 20% md5 gate, count exactly on the
+    survivors (p^2 less wedge work), scale by 125 = 1/p^3. The oracle
+    re-derives gate + canonical 3-way join in DuckDB, so the hash match
+    certifies both the sampling gate and the oriented counter on the
+    sampled graph; estimate-quality bounds vs the exact count are
+    pytest-pinned on planted clique+random fixtures."""
+    from pasardassist_spark.operators.components import triangle_count_doulion
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l1 = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("a"))
+    l2 = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("b"))
+    edges = (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return triangle_count_doulion(edges, DOULION_P_BP)

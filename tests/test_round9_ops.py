@@ -609,3 +609,37 @@ def test_warc_write_read_distributed_roundtrip(spark, tmp_path):
         for r in read_warc(spark, path).collect()
     }
     assert got == {r.record_id: r.payload for r in rows}
+
+
+# ------------------------------------------------ DOULION triangles (r10)
+
+
+def test_doulion_estimate_quality_on_planted_graph(spark):
+    """K40 clique (9880 triangles) plus a triangle-free star: the p=0.5
+    deterministic-gate estimate must land within 25% of exact, and the
+    p^3 scale-up must be exact integer arithmetic. The md5 gate is fixed,
+    so this is a deterministic regression pin, not a flaky sample."""
+    from pasardassist_spark.operators.components import (
+        triangle_count,
+        triangle_count_doulion,
+    )
+
+    clique = [(i, j) for i in range(40) for j in range(i + 1, 40)]
+    star = [(100, 100 + i) for i in range(1, 30)]
+    edges = spark.createDataFrame(clique + star, ["a", "b"])
+    exact = triangle_count(edges).collect()[0].n_triangles
+    assert exact == 9880
+    est = triangle_count_doulion(edges, 5000).collect()[0]
+    assert est.n_edges == len(clique) + len(star)
+    assert est.est_triangles == est.n_triangles_sampled * 8
+    assert abs(est.est_triangles - exact) / exact < 0.25
+
+
+def test_doulion_rejects_non_divisor_rate(spark):
+    import pytest as _pytest
+
+    from pasardassist_spark.operators.components import triangle_count_doulion
+
+    edges = spark.createDataFrame([(1, 2)], ["a", "b"])
+    with _pytest.raises(ValueError, match="divide 10000"):
+        triangle_count_doulion(edges, 3333)
