@@ -220,6 +220,9 @@ def main() -> None:
         "curate_c4_rules",
         "src_warc_roundtrip",
         "graph_triangle_doulion",
+        "curate_url_dedup",
+        "curate_ccnet_buckets",
+        "text_source_overlap",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

@@ -877,3 +877,252 @@ def src_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(u, r"^doc://([^/]*)/", 1).alias("source"),
         F.regexp_extract(u, r"&n=(\d+)$", 1).cast("long").alias("n_chars"),
     )
+
+
+# ------------------------------------------------------ URL normalization
+
+# RefinedWeb-style URL canonicalization + dedup (Penedo et al. 2023 §3.1:
+# URL dedup is the FIRST stage of their pipeline, before any content
+# fetch). The documents table carries no URL, so — the pii_redact pattern
+# — each doc synthesizes one deterministically from (doc_id, source) with
+# every normalizer-relevant wart injected on id-keyed residues: mixed-case
+# host, www. prefix, explicit default port, utm_* tracking params,
+# unsorted param order. Both engines build the same URL, so the oracle
+# differentially checks the normalizer, the blocklist gate, and the
+# canonical-per-URL dedup.
+URL_BLOCKLIST = ("src3.example.com", "src13.example.com")
+
+
+def _url_oracle() -> str:
+    blocked = ", ".join(f"'{d}'" for d in URL_BLOCKLIST)
+    return f"""
+    WITH raw AS (
+        SELECT doc_id,
+               'http://'
+               || CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END
+               || source || '.Example.COM'
+               || CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END
+               || '/p/' || CAST(doc_id // 7 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+                       WHEN doc_id % 5 = 0
+                       THEN '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_campaign=x'
+                       ELSE '' END AS url
+        FROM documents),
+    lc AS (
+        SELECT doc_id,
+               replace(replace(lower(url), '://www.', '://'), ':80/', '/')
+                   AS u
+        FROM raw),
+    parts AS (
+        SELECT doc_id, string_split(u, '?')[1] AS base,
+               list_sort(list_filter(
+                   string_split(coalesce(string_split(u, '?')[2], ''), '&'),
+                   p -> p <> '' AND NOT starts_with(p, 'utm_'))) AS params
+        FROM lc),
+    norm AS (
+        SELECT doc_id,
+               base || CASE WHEN len(params) > 0
+                            THEN '?' || array_to_string(params, '&')
+                            ELSE '' END AS url_norm
+        FROM parts),
+    d AS (
+        SELECT doc_id, url_norm,
+               regexp_extract(url_norm, '://([^/:]+)', 1) AS domain
+        FROM norm)
+    SELECT doc_id, url_norm, domain,
+           domain IN ({blocked}) AS blocked,
+           doc_id = MIN(doc_id) OVER (PARTITION BY url_norm) AS is_canonical
+    FROM d
+    """
+
+
+@query("curate_url_dedup", oracle=_url_oracle())
+def curate_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup + domain blocklist gate —
+    the first stage of a RefinedWeb-style pipeline (see module comment
+    for the deterministic URL synthesis). Normalizer: lowercase, strip
+    'www.' and explicit default port, drop utm_* tracking params, sort
+    the survivors (param order is not identity). Dedup keeps the minimum
+    doc_id per normalized URL — ONE hash shuffle on url_norm; the
+    normalizer and blocklist are row-local column math at scan speed. At
+    100 TB the blocklist side is a broadcast (here an IN-literal; a
+    million-domain list drops in as a broadcast semi-join on `domain`
+    with the same plan shape)."""
+    d_ = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://"),
+        F.when(d_ % 4 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".Example.COM"),
+        F.when(d_ % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"), F.floor(d_ / 7).cast("string"),
+        F.when(
+            d_ % 2 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), (d_ % 5).cast("string")),
+        )
+        .when(
+            d_ % 5 == 0,
+            F.concat(F.lit("?id="), (d_ % 5).cast("string"),
+                     F.lit("&utm_campaign=x")),
+        )
+        .otherwise(F.lit("")),
+    )
+    u = F.replace(
+        F.replace(F.lower(url), F.lit("://www."), F.lit("://")),
+        F.lit(":80/"), F.lit("/"),
+    )
+    base = F.get(F.split(u, r"\?"), 0)
+    params = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(F.get(F.split(u, r"\?"), 1), F.lit("")), "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        )
+    )
+    url_norm = F.concat(
+        base,
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.array_join(params, "&")),
+        ).otherwise(F.lit("")),
+    )
+    staged = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", url_norm.alias("url_norm"))
+        .withColumn(
+            "domain", F.regexp_extract("url_norm", r"://([^/:]+)", 1)
+        )
+    )
+    w = W.partitionBy("url_norm")
+    return staged.select(
+        "doc_id",
+        "url_norm",
+        "domain",
+        F.col("domain").isin(*URL_BLOCKLIST).alias("blocked"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )
+
+
+# ------------------------------------------------- CCNet quality buckets
+
+# CCNet (Wenzek et al. 2020 §4.3) buckets each language's corpus into
+# head/middle/tail by LM perplexity terciles. Production computes the
+# tercile CUTOFFS on a sample and gates every row locally against the
+# broadcast cutoffs — never a full-corpus per-language sort; the sample
+# here is a 50% deterministic md5 gate (small fixture; production uses
+# 1-10%, same plan). Head = best score (highest mean logprob = lowest
+# perplexity). Scoring reuses text_unigram_logprob's model exactly.
+CCNET_SAMPLE_BP = 5000
+
+
+def _ccnet_oracle() -> str:
+    from pasardassist_spark.queries.mining import _md5_16bit_sql
+
+    gate = _md5_16bit_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+    t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM v),
+    lp AS (
+        SELECT doc_id, ROUND(AVG(log10(cnt / tot)), 6) AS avg_logprob
+        FROM tok JOIN v USING (tok) CROSS JOIN t
+        GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT d.doc_id, d.lang, lp.avg_logprob
+        FROM documents d JOIN lp ON d.doc_id = lp.doc_id
+    ),
+    samp AS (
+        SELECT * FROM scored
+        WHERE {gate} < {CCNET_SAMPLE_BP * 65536 // 10000}
+    ),
+    ranked AS (
+        SELECT lang, doc_id, avg_logprob,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY avg_logprob DESC, doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM samp
+    ),
+    cuts AS (
+        SELECT lang,
+               MAX(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT)
+                        THEN avg_logprob END) AS c1,
+               MAX(CASE WHEN rn = CAST(ceil(2 * n / 3.0) AS BIGINT)
+                        THEN avg_logprob END) AS c2
+        FROM ranked GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.avg_logprob,
+           CASE WHEN c.c1 IS NULL THEN 'head'
+                WHEN s.avg_logprob >= c.c1 THEN 'head'
+                WHEN s.avg_logprob >= c.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s LEFT JOIN cuts c ON s.lang = c.lang
+    """
+
+
+@query("curate_ccnet_buckets", oracle=_ccnet_oracle())
+def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality bucketing (see block comment):
+    unigram-LM score per doc (one vocab groupBy + broadcast-back, the
+    text_unigram_logprob plan), tercile cutoffs from a deterministic
+    sample via a per-language rank window ON THE SAMPLE ONLY, cutoffs
+    broadcast, bucket assignment row-local. The corpus-sized frames see
+    one groupBy and zero sorts — the reason CCNet's own implementation
+    samples: a full per-language sort of 100 TB is the plan this shape
+    exists to avoid. Cutoff selection is rank-positional (value at
+    ceil(n/3)), not interpolated, so both engines pick the identical
+    cutoff value and the hash comparison stays exact."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("double").alias("tot"))
+    lp = (
+        tok.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log10(F.col("cnt") / F.col("tot"))), 6).alias(
+                "avg_logprob"
+            )
+        )
+    )
+    scored = d.select("doc_id", "lang").join(lp, "doc_id")
+    gate = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    samp = scored.filter(gate < CCNET_SAMPLE_BP * 65536 // 10000)
+    wl = W.partitionBy("lang")
+    ranked = samp.select(
+        "lang",
+        "avg_logprob",
+        F.row_number()
+        .over(wl.orderBy(F.desc("avg_logprob"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wl).alias("n"),
+    )
+    cuts = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") / 3.0).cast("long"),
+                F.col("avg_logprob"),
+            )
+        ).alias("c1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 2 / 3.0).cast("long"),
+                F.col("avg_logprob"),
+            )
+        ).alias("c2"),
+    )
+    return scored.join(F.broadcast(cuts), "lang", "left").select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        F.when(F.col("c1").isNull(), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("c1"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

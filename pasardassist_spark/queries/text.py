@@ -698,3 +698,105 @@ def text_lang_id_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         X.predict_lang_script(F.col("text"), toks).alias("predicted_lang"),
     )
+
+
+# ------------------------------------------------- cross-source overlap
+
+# WIMBD-style corpus overlap analysis (Elazar et al. 2024 §4.4: "overlap
+# between corpora"): for every pair of sources, how many distinct word
+# n-grams they share, and the Jaccard of their n-gram vocabularies — the
+# standard diligence readout before mixing corpora into a training run
+# (high overlap => double-counted data; near-zero => genuinely new).
+OVERLAP_NGRAM = 8
+
+
+@query(
+    "text_source_overlap",
+    oracle=f"""
+    WITH t AS (SELECT source, {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(
+                   toks[pos:pos+{OVERLAP_NGRAM}-1], ' ')) AS dig
+        FROM t, unnest(range(1, len(toks)-{OVERLAP_NGRAM}+2)) u(pos)
+    ),
+    per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g
+            GROUP BY source),
+    sh AS (
+        SELECT g1.source AS source_a, g2.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM g g1 JOIN g g2
+          ON g1.dig = g2.dig AND g1.source < g2.source
+        GROUP BY g1.source, g2.source
+    )
+    SELECT source_a, source_b, n_shared,
+           pa.n AS n_a, pb.n AS n_b,
+           ROUND(CAST(n_shared AS DOUBLE)
+                 / (pa.n + pb.n - n_shared), 6) AS jaccard
+    FROM sh
+    JOIN per pa ON pa.source = source_a
+    JOIN per pb ON pb.source = source_b
+    """,
+)
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix over distinct {OVERLAP_NGRAM}-gram
+    vocabularies (only pairs sharing >= 1 gram appear; Jaccard via
+    inclusion-exclusion from the per-source distinct counts).
+
+    Scale shape — NO gram-keyed self-join (the oracle's 3-line form
+    would shuffle the gram stream twice and explode on hot grams): one
+    distinct over (gram-digest, source), then a groupBy(digest) that
+    collects the source SET — bounded by the source count (20 here,
+    thousands at most in production), never by corpus size — and a JVM
+    combination fan-out of at most C(|sources|, 2) pairs per gram into
+    the final count. Corpus-sized data crosses the network once, as
+    16-byte digests."""
+    d = load(spark, sf_dir, "documents").select("source", "text")
+    grams = (
+        d.select(
+            "source",
+            F.explode(
+                X.word_ngrams(X.tokens(F.col("text")), OVERLAP_NGRAM)
+            ).alias("g"),
+        )
+        .select("source", F.md5("g").alias("dig"))
+        .distinct()
+    )
+    per = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    srcsets = grams.groupBy("dig").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    pairs = srcsets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "srcs",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("srcs"), i + 2, F.size(F.col("srcs"))
+                        ),
+                        lambda y: F.struct(
+                            x.alias("source_a"), y.alias("source_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    sh = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared")
+    )
+    pa = per.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    pb = per.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        sh.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a", "source_b", "n_shared", "n_a", "n_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
