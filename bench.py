@@ -223,6 +223,7 @@ def main() -> None:
         "curate_url_dedup",
         "curate_ccnet_buckets",
         "text_source_overlap",
+        "mix_unimax_weights",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

@@ -220,3 +220,81 @@ def samp_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= WRS_K)
         .select("event_id", "event_type", "value", "rk")
     )
+
+
+# ------------------------------------------------------- UniMax weights
+
+# UniMax (Chung et al., ICLR 2023) allocation knobs: budget = 1.5x the
+# corpus token count, at most 2 epochs of any source — a regime where
+# (at typical source-size dispersion) some sources hit the epoch cap and
+# the rest share the remainder uniformly, exercising both branches.
+UNIMAX_EPOCH_CAP = 2
+UNIMAX_BUDGET_NUM, UNIMAX_BUDGET_DEN = 3, 2  # budget = 3/2 * total
+
+
+def _unimax_oracle() -> str:
+    from pasardassist_spark.queries.text import _TOKS_SQL
+
+    c = UNIMAX_EPOCH_CAP
+    t_expr = "(b - p) / CAST(n - rn AS DOUBLE)"
+    alloc = "CASE WHEN t IS NULL THEN CAST(c AS DOUBLE) ELSE LEAST(CAST(c AS DOUBLE), t) END"
+    return f"""
+    WITH sz AS (
+        SELECT source AS k, CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS s
+        FROM documents GROUP BY source
+    ),
+    par AS (
+        SELECT ({UNIMAX_BUDGET_NUM} * SUM(s)) // {UNIMAX_BUDGET_DEN} AS b
+        FROM sz
+    ),
+    caps AS (
+        SELECT k, s, {c} * s AS c FROM sz
+        UNION ALL SELECT NULL, 0, 0
+    ),
+    r AS (
+        SELECT k, s, c,
+               ROW_NUMBER() OVER (ORDER BY c, k) - 1 AS rn,
+               SUM(c) OVER (ORDER BY c, k) AS p,
+               LEAD(c) OVER (ORDER BY c, k) AS c_next,
+               COUNT(*) OVER () - 1 AS n
+        FROM caps
+    ),
+    lvl AS (
+        SELECT MIN({t_expr}) AS t
+        FROM r, par
+        WHERE rn < n
+          AND c <= {t_expr}
+          AND (c_next IS NULL OR {t_expr} <= c_next)
+    )
+    SELECT k AS source, s AS n_tokens, c AS cap,
+           ROUND({alloc}, 2) AS alloc,
+           ROUND({alloc} / s, 6) AS epochs,
+           ROUND({alloc} / CAST(b AS DOUBLE), 6) AS share
+    FROM caps, lvl, par
+    WHERE k IS NOT NULL
+    """
+
+
+@query("mix_unimax_weights", oracle=_unimax_oracle())
+def mix_unimax_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixing weights (operators/mixing.py:unimax_allocation):
+    per-source token counts from ONE corpus-sized groupBy, then the
+    paper's greedy budget allocation computed in its closed waterfilling
+    form over the metadata-scale source table. Output: each source's
+    token allocation, epochs (<= UNIMAX_EPOCH_CAP by construction), and
+    budget share. The 1-row total-tokens collect fixing the budget is
+    metadata-scale (the same exemption as centroid/merge tables). Oracle
+    re-derives the segment search independently in SQL, so the hash
+    match certifies the closed form equals the spec on real dispersion,
+    and the planted-regime pytests pin cap/uncapped/over-budget
+    branches."""
+    from pasardassist_spark.operators.mixing import unimax_allocation
+    from pasardassist_spark.operators.text import token_count, tokens
+
+    d = load(spark, sf_dir, "documents").select("source", "text")
+    sz = d.groupBy("source").agg(
+        F.sum(token_count(tokens(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    total = sz.agg(F.sum("n_tokens").cast("long").alias("t")).collect()[0].t
+    budget = UNIMAX_BUDGET_NUM * total // UNIMAX_BUDGET_DEN
+    return unimax_allocation(sz, budget, UNIMAX_EPOCH_CAP)

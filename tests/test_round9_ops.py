@@ -643,3 +643,35 @@ def test_doulion_rejects_non_divisor_rate(spark):
     edges = spark.createDataFrame([(1, 2)], ["a", "b"])
     with _pytest.raises(ValueError, match="divide 10000"):
         triangle_count_doulion(edges, 3333)
+
+
+# -------------------------------------------------- UniMax weights (r10)
+
+
+def test_unimax_allocation_all_regimes(spark):
+    """Waterfilling vs hand-solved allocations in the three regimes:
+    budget below the uniform level (nobody capped), mixed (small source
+    capped, rest share), and budget over total capacity (all capped,
+    budget under-used)."""
+    from pasardassist_spark.operators.mixing import unimax_allocation
+
+    sizes = spark.createDataFrame(
+        [("a", 10), ("b", 40), ("c", 50)], ["source", "n_tokens"]
+    )
+    # caps (C=2): a=20 b=80 c=100
+    # regime 1: B=30 -> t=10, nobody capped; alloc 10 each
+    r1 = {r.source: r for r in unimax_allocation(sizes, 30, 2).collect()}
+    assert all(r1[k].alloc == 10.0 for k in "abc")
+    assert r1["a"].epochs == 1.0 and r1["c"].epochs == 0.2
+    # regime 2: B=100 -> a capped at 20, t=(100-20)/2=40 for b,c
+    r2 = {r.source: r for r in unimax_allocation(sizes, 100, 2).collect()}
+    assert r2["a"].alloc == 20.0 and r2["b"].alloc == 40.0 and r2["c"].alloc == 40.0
+    assert r2["a"].epochs == 2.0
+    # regime 3: B=500 > total capacity 200 -> everyone fully capped
+    r3 = {r.source: r for r in unimax_allocation(sizes, 500, 2).collect()}
+    assert [r3[k].alloc for k in "abc"] == [20.0, 80.0, 100.0]
+    assert all(r3[k].epochs == 2.0 for k in "abc")
+    # boundary: B exactly at a cap edge (B=60 -> t=20=cap(a): a exactly
+    # capped, b,c at 20); tie between "a capped" and "a at level" segments
+    r4 = {r.source: r for r in unimax_allocation(sizes, 60, 2).collect()}
+    assert all(r4[k].alloc == 20.0 for k in "abc")
