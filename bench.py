@@ -224,6 +224,7 @@ def main() -> None:
         "curate_ccnet_buckets",
         "text_source_overlap",
         "mix_unimax_weights",
+        "src_tfrecord_roundtrip",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

@@ -1126,3 +1126,37 @@ def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+@query(
+    "src_tfrecord_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def src_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord source/sink, closed-loop (sources/tfrecord.py): export
+    the documents table as 8 CRC32C-framed tf.train.Example shards
+    (strings as BytesList, longs as Int64List — exact types only, no
+    float32 lossiness), read them back under the original schema, and
+    match the parquet table byte-for-byte. Third of the interchange
+    trio (JSONL, WARC, TFRecord): the export side of a training-data
+    build feeding a TF/JAX input pipeline. Write and read are both
+    task-parallel over shards; the only collect is the shard
+    manifest."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pasardassist_spark.sources.tfrecord import (
+        read_tfrecord,
+        write_tfrecord,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    staged = d.repartition(8, "doc_id")
+    tmp = tempfile.mkdtemp(prefix="pasard_tfr_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    manifest = write_tfrecord(staged, tmp).collect()
+    assert sum(m.n_records for m in manifest) > 0
+    return read_tfrecord(spark, tmp, d.schema)

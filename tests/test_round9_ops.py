@@ -675,3 +675,86 @@ def test_unimax_allocation_all_regimes(spark):
     # capped, b,c at 20); tie between "a capped" and "a at level" segments
     r4 = {r.source: r for r in unimax_allocation(sizes, 60, 2).collect()}
     assert all(r4[k].alloc == 20.0 for k in "abc")
+
+
+# ---------------------------------------------------- TFRecord sink (r10)
+
+
+def test_crc32c_known_answer_vectors():
+    """RFC 3720 / public test vectors for CRC32C (Castagnoli)."""
+    from pasardassist_spark.sources.tfrecord import crc32c
+
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0x00000000
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"\xff" * 32) == 0x62A8AB43
+
+
+def test_tfrecord_example_encode_decode_all_types():
+    from pasardassist_spark.sources.tfrecord import (
+        decode_example,
+        decode_records,
+        encode_example,
+        encode_record,
+    )
+
+    feats = {
+        "text": "héllo world",
+        "doc_id": 42,
+        "neg": -7,
+        "emb": [1.5, -2.25, 0.0],
+        "raw": b"\x00\x01\xff",
+    }
+    ex = encode_example(feats)
+    got = decode_example(ex)
+    assert got["text"] == "héllo world".encode("utf-8")
+    assert got["doc_id"] == 42
+    assert got["neg"] == -7  # negative int64 -> 10-byte varint path
+    assert got["emb"] == [1.5, -2.25, 0.0]
+    assert got["raw"] == b"\x00\x01\xff"
+    # framing: two records back-to-back, CRC-verified
+    blob = encode_record(ex) + encode_record(b"x")
+    assert list(decode_records(blob))[0] == ex
+
+
+def test_tfrecord_corruption_fails_loudly():
+    from pasardassist_spark.sources.tfrecord import decode_records, encode_record
+
+    rec = bytearray(encode_record(b"payload-bytes"))
+    rec[15] ^= 0x01  # flip one payload bit
+    with pytest.raises(ValueError, match="payload CRC"):
+        list(decode_records(bytes(rec)))
+    rec2 = bytearray(encode_record(b"payload-bytes"))
+    rec2[3] ^= 0x01  # corrupt the length header
+    with pytest.raises(ValueError, match="header CRC|truncated"):
+        list(decode_records(bytes(rec2)))
+
+
+def test_tfrecord_spark_roundtrip(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from pasardassist_spark.sources.tfrecord import read_tfrecord, write_tfrecord
+
+    rows = [Row(doc_id=i, text=f"doc {i} é", n=i * 3) for i in range(23)]
+    df = spark.createDataFrame(rows).repartition(4, "doc_id")
+    path = str(tmp_path / "tfr")
+    manifest = write_tfrecord(df, path).collect()
+    assert sum(m.n_records for m in manifest) == 23
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("n", LongType()),
+        ]
+    )
+    got = sorted(
+        read_tfrecord(spark, path, schema).collect(), key=lambda r: r.doc_id
+    )
+    assert [(r.doc_id, r.text, r.n) for r in got] == [
+        (r.doc_id, r.text, r.n) for r in rows
+    ]
