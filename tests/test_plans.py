@@ -489,3 +489,54 @@ def test_aj_nearest_fact_side_never_shuffles(spark, sf_dir):
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
     assert "hashpartitioning(event_id" not in p
+
+
+def test_c4_rules_zero_shuffle(spark, sf_dir):
+    """Augmentation, line split/filter, and page metrics are row-local
+    column math fused into the scan (the gopher contract)."""
+    p = plan(REGISTRY["curate_c4_rules"].fn(spark, sf_dir))
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
+    assert "SortMergeJoin" not in p and "mapInPandas" not in p.lower()
+
+
+def test_url_dedup_single_data_shuffle(spark, sf_dir):
+    """One hash exchange total — the url_norm dedup window; normalizer
+    and blocklist must not add joins or shuffles."""
+    p = plan(REGISTRY["curate_url_dedup"].fn(spark, sf_dir))
+    # one hash exchange on url_norm; the only other exchange is the
+    # loader's RoundRobin fan-out of the single documents file
+    assert len(re.findall(r"hashpartitioning\(url_norm", p)) >= 1
+    assert len({m for m in re.findall(r"hashpartitioning\((\w+)", p)}) == 1
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_exact_substring_no_cartesian_no_rowid_window(spark, sf_dir):
+    """Gram marking joins hash-partitioned on the digest; interval union
+    windows per doc_id — never a global (empty-partition-key) window."""
+    p = plan(REGISTRY["dedup_exact_substring"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # per-doc windows only: every Window node partitions by doc_id
+    for args in re.findall(r"Window\n[^\n]*\nArguments: [^\n]*", p):
+        assert "doc_id" in args
+
+
+def test_source_overlap_no_gram_self_join(spark, sf_dir):
+    """The pair fan-out must come from the bounded source-set collect,
+    not a dig=dig self-join: exactly one join pipeline family
+    (broadcast of the 20-row per-source counts), no sort-merge join of
+    the gram stream against itself."""
+    p = plan(REGISTRY["text_source_overlap"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 2  # n_a, n_b
+
+
+def test_ccnet_buckets_no_corpus_sort(spark, sf_dir):
+    """The per-language rank window may only run on the SAMPLE side;
+    the corpus-sized scored frame reaches the output through a broadcast
+    join against the 5-row cutoff table — no range partitioning (sort)
+    of the corpus anywhere."""
+    p = plan(REGISTRY["curate_ccnet_buckets"].fn(spark, sf_dir))
+    assert "rangepartitioning" not in p
+    assert "BroadcastHashJoin" in p
