@@ -225,6 +225,7 @@ def main() -> None:
         "text_source_overlap",
         "mix_unimax_weights",
         "src_tfrecord_roundtrip",
+        "text_zipf_alpha",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

@@ -7,7 +7,7 @@ Oracle SQL is *generated from the same constants* as the Spark expressions
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from pasardassist_spark.operators import text as X
 from pasardassist_spark.queries.registry import query
@@ -799,4 +799,88 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+# --------------------------------------------------------------- Zipf fit
+
+ZIPF_TOP_K = 500  # fit over the head; the tail is count-1 noise
+
+
+@query(
+    "text_zipf_alpha",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+    top AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rn
+        FROM v ORDER BY cnt DESC, tok LIMIT {ZIPF_TOP_K}
+    ),
+    xy AS (
+        SELECT log10(CAST(rn AS DOUBLE)) AS x, log10(CAST(cnt AS DOUBLE)) AS y
+        FROM top
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+        FROM xy
+    )
+    SELECT n AS n_ranks,
+           ROUND(-(n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS alpha,
+           ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+               AS intercept,
+           ROUND(POW(n*sxy - sx*sy, 2)
+                 / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+    FROM s
+    """,
+)
+def text_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent of the corpus unigram distribution: OLS slope of
+    log10(freq) on log10(rank) over the top ZIPF_TOP_K types (alpha ~ 1
+    for natural language; a corpus whose alpha drifts between snapshots
+    has a vocabulary-mix shift — the WIMBD-style distribution diagnostic
+    next to text_vocab_topk). Scale shape: one corpus-sized groupBy to
+    the type grain, then TakeOrdered of a FIXED K (never a full vocab
+    sort) and closed-form OLS on the K-row frame; the rank window runs
+    on 500 rows. All moments fold in one agg."""
+    d = load(spark, sf_dir, "documents").select("text")
+    tok = d.select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+    top = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(ZIPF_TOP_K)
+    )
+    ranked = top.select(
+        F.row_number()
+        .over(W.orderBy(F.desc("cnt"), F.asc("tok")))
+        .alias("rn"),
+        "cnt",
+    )
+    xy = ranked.select(
+        F.log10(F.col("rn").cast("double")).alias("x"),
+        F.log10(F.col("cnt").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("n_ranks"),
+        F.round(-slope, 6).alias("alpha"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, 2)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
     )
