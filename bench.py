@@ -226,6 +226,7 @@ def main() -> None:
         "mix_unimax_weights",
         "src_tfrecord_roundtrip",
         "text_zipf_alpha",
+        "pack_bfd_assignments",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

@@ -1160,3 +1160,23 @@ def src_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = write_tfrecord(staged, tmp).collect()
     assert sum(m.n_records for m in manifest) > 0
     return read_tfrecord(spark, tmp, d.schema)
+
+
+@query("pack_bfd_assignments")  # driver-side histogram greedy: rows-only
+def pack_bfd_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split sequence packing (Krell et al. 2021, SPFHP; see
+    operators/binpack.py): every document assigned whole to a
+    PACK_BUDGET-token pack, <= 16 docs per pack. The depth cap is the efficiency/attention-mask-cost knob: this corpus has 10-token docs, so caps below ~budget/min_len floor the padding (measured here: depth 8 -> 0.79 fill, 16 -> 0.91, uncapped -> 0.99). The NP-hard greedy runs
+    on the <= 512-bin length histogram driver-side; corpus-sized work is
+    one groupBy + the two-phase prefix-sum rank + broadcast block math.
+    Not SQL-expressible (the greedy is sequential over bins), so this is
+    a rows-only driver row; validity (pack sums <= budget, depth cap,
+    exactly-once assignment, efficiency >= 0.9, exact equality with a
+    pure-Python end-to-end reference) is pytest-pinned."""
+    from pasardassist_spark.operators.binpack import pack_bfd
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.select(
+        "doc_id", X.token_count(X.tokens(F.col("text"))).alias("n_tokens")
+    )
+    return pack_bfd(d, "doc_id", "n_tokens", PACK_BUDGET, max_depth=16)

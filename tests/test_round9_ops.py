@@ -758,3 +758,97 @@ def test_tfrecord_spark_roundtrip(spark, tmp_path):
     assert [(r.doc_id, r.text, r.n) for r in got] == [
         (r.doc_id, r.text, r.n) for r in rows
     ]
+
+
+# --------------------------------------------------- SPFHP packing (r10)
+
+
+def _ref_pack(rows, budget, max_depth):
+    """Pure-Python end-to-end reference: same histogram greedy + same
+    rank-block layout, computed with plain dicts and sorts."""
+    from pasardassist_spark.operators.binpack import (
+        _layout_blocks,
+        spfhp_strategies,
+    )
+
+    ok = [(i, l) for i, l in rows if l <= budget]
+    hist = {}
+    for _, l in ok:
+        hist[l] = hist.get(l, 0) + 1
+    blocks, n_packs = _layout_blocks(
+        spfhp_strategies(sorted(hist.items()), budget, max_depth)
+    )
+    rank = {}
+    out = {}
+    for i, l in sorted(ok, key=lambda t: (t[1], t[0])):
+        r = rank.get(l, 0)
+        rank[l] = r + 1
+        for bl, s, e, off, mu in blocks:
+            if bl == l and s <= r < e:
+                out[i] = (l, off + (r - s) // mu, False)
+                break
+    for k, (i, l) in enumerate(sorted((i, l) for i, l in rows if l > budget)):
+        out[i] = (l, n_packs + k, True)
+    return out
+
+
+def test_spfhp_strategies_validity_and_quality():
+    from pasardassist_spark.operators.binpack import spfhp_strategies
+
+    hist = [(100, 7), (200, 5), (300, 3), (512, 2), (50, 11), (1, 9)]
+    strategies = spfhp_strategies(hist, 512, 16)
+    # every strategy within budget; counts conserve the histogram
+    got = {}
+    for lengths, count in strategies:
+        assert sum(lengths) <= 512
+        for l in lengths:
+            got[l] = got.get(l, 0) + count
+    assert got == dict(hist)
+    # efficiency: SPFHP on this mix must beat one-doc-per-pack by far
+    n_packs = sum(c for _, c in strategies)
+    total = sum(l * c for l, c in hist)  # LP lower bound: 9 packs
+    assert n_packs <= 11  # one-doc-per-pack would be 37
+    assert total / (n_packs * 512) > 0.7
+    with pytest.raises(ValueError, match="exceeds budget"):
+        spfhp_strategies([(513, 1)], 512)
+
+
+def test_pack_bfd_distributed_matches_reference(spark):
+    import random
+
+    from pasardassist_spark.operators.binpack import pack_bfd
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(1, 700)) for i in range(300)]  # some overflow
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"]).repartition(7)
+    got = {
+        r.doc_id: (r.n_tokens, r.pack_id, r.overflow)
+        for r in pack_bfd(df, "doc_id", "n_tokens", 512, 8).collect()
+    }
+    want = _ref_pack(rows, 512, 8)
+    assert got == want
+    # validity: pack sums and depth
+    packs = {}
+    for _, (l, p, ov) in got.items():
+        packs.setdefault((p, ov), []).append(l)
+    for (p, ov), ls in packs.items():
+        if not ov:
+            assert sum(ls) <= 512 and len(ls) <= 8
+        else:
+            assert len(ls) == 1 and ls[0] > 512
+
+
+def test_pack_bfd_query_validity(spark, sf_dir):
+    from pasardassist_spark.queries.registry import REGISTRY, _load_all
+
+    _load_all()
+    out = REGISTRY["pack_bfd_assignments"].fn(spark, sf_dir)
+    rows = out.collect()
+    n_docs = len(rows)
+    assert len({r.doc_id for r in rows}) == n_docs  # exactly once
+    packs = {}
+    for r in rows:
+        packs.setdefault(r.pack_id, []).append(r.n_tokens)
+    assert all(sum(v) <= 512 and len(v) <= 16 for v in packs.values())
+    total = sum(r.n_tokens for r in rows)
+    assert total / (len(packs) * 512) > 0.85  # depth-16 fill, margin
