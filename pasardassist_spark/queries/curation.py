@@ -832,7 +832,8 @@ def curate_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def src_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC 1.0 source/sink, closed-loop (sources/warc.py): export the
-    documents table as 8 .warc shards — doc metadata carried in the
+    documents table as 8 .warc.gz shards (one gzip member per record,
+    the Common Crawl layout) — doc metadata carried in the
     WARC-Target-URI (doc://<source>/<doc_id>?lang=..&n=..), text as the
     record payload — then read the shards back with the binaryFile +
     mapInPandas parser and reconstruct the original rows from URI +
@@ -865,7 +866,7 @@ def src_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="pasard_warc_")
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    manifest = write_warc(staged, tmp, uri_col="uri").collect()
+    manifest = write_warc(staged, tmp, uri_col="uri", compress=True).collect()
     assert sum(m.n_records for m in manifest) > 0
 
     rec = read_warc(spark, tmp)

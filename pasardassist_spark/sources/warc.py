@@ -24,7 +24,9 @@ re-expressed for the archive format the open web actually ships.
 
 from __future__ import annotations
 
+import gzip
 import os
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -128,18 +130,45 @@ def decode_records(blob: bytes) -> Iterator[dict]:
             pos += 2
 
 
+def split_gzip_members(blob: bytes) -> Iterator[bytes]:
+    """Split a concatenation of independent gzip members and decompress
+    each — the actual Common Crawl .warc.gz layout (one member PER
+    RECORD, so a reader can seek to any record offset without
+    decompressing the whole shard). Boundaries come from streaming
+    decompression: zlib's ``unused_data`` after each member's trailer is
+    the start of the next member."""
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)  # gzip wrapper
+        out = d.decompress(blob[pos:])
+        if not d.eof:
+            raise ValueError(f"warc.gz: truncated gzip member at {pos}")
+        yield out
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError(f"warc.gz: empty gzip member at {pos}")
+        pos += consumed
+
+
 def write_warc(
     df: DataFrame,
     path: str,
     id_col: str = "record_id",
     payload_col: str = "payload",
     uri_col: str | None = None,
+    compress: bool = False,
 ) -> DataFrame:
     """Distributed WARC export: each task serializes its partition into
     ``<path>/part-<pid>.warc`` and emits one manifest row. Returns the
     manifest DataFrame (file, n_records, n_bytes) — NOT the data; like
     any sink, the write is the effect. Caller controls shard count and
-    ordering via the input's partitioning (e.g. repartition(n, key))."""
+    ordering via the input's partitioning (e.g. repartition(n, key)).
+
+    ``compress=True`` writes ``.warc.gz`` in the Common Crawl layout:
+    one gzip MEMBER per record (mtime pinned to 0 so shards are
+    byte-deterministic), concatenated — record-seekable, and what every
+    CC-consuming pipeline actually reads."""
     os.makedirs(path, exist_ok=True)
     cols = [F.col(id_col).cast("string").alias("rid"),
             F.col(payload_col).cast("string").alias("pl")]
@@ -153,7 +182,8 @@ def write_warc(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        fname = os.path.join(path, f"part-{pid:05d}.warc")
+        ext = "warc.gz" if compress else "warc"
+        fname = os.path.join(path, f"part-{pid:05d}.{ext}")
         n_rec = 0
         n_bytes = 0
         with open(fname, "wb") as fh:
@@ -164,6 +194,8 @@ def write_warc(
                         row.pl.encode("utf-8"),
                         target_uri=row.uri if has_uri else None,
                     )
+                    if compress:
+                        rec = gzip.compress(rec, mtime=0)
                     fh.write(rec)
                     n_rec += 1
                     n_bytes += len(rec)
@@ -180,16 +212,22 @@ def write_warc(
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Distributed WARC read: binaryFile scan (one row per shard) into an
     Arrow-batched record parser. The ``shard`` column carries provenance
-    — real pipelines partition-prune and debug by shard path."""
+    — real pipelines partition-prune and debug by shard path. Shards are
+    sniffed per-file: the gzip magic (1f 8b) routes through the
+    member-splitter, anything else parses as plain WARC — a directory
+    may mix both."""
     blobs = spark.read.format("binaryFile").load(
-        os.path.join(path, "*.warc")
+        os.path.join(path, "*.warc*")
     ).select("path", "content")
 
     def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in it:
             out: list[dict] = []
             for row in batch.itertuples(index=False):
-                for rec in decode_records(bytes(row.content)):
+                blob = bytes(row.content)
+                if blob[:2] == b"\x1f\x8b":
+                    blob = b"".join(split_gzip_members(blob))
+                for rec in decode_records(blob):
                     rec["shard"] = row.path
                     out.append(rec)
             if out:

@@ -852,3 +852,39 @@ def test_pack_bfd_query_validity(spark, sf_dir):
     assert all(sum(v) <= 512 and len(v) <= 16 for v in packs.values())
     total = sum(r.n_tokens for r in rows)
     assert total / (len(packs) * 512) > 0.85  # depth-16 fill, margin
+
+
+def test_warc_gz_member_split_and_roundtrip(spark, tmp_path):
+    """Common Crawl layout: one gzip member per record. The splitter must
+    recover member boundaries via streaming decompression, reject
+    truncated members, and the Spark reader must sniff .warc.gz and
+    plain .warc shards in the same directory."""
+    import gzip as _gz
+
+    from pasardassist_spark.sources.warc import (
+        encode_record,
+        read_warc,
+        split_gzip_members,
+        write_warc,
+    )
+
+    r1 = encode_record("a", b"first payload")
+    r2 = encode_record("b", b"second")
+    blob = _gz.compress(r1, mtime=0) + _gz.compress(r2, mtime=0)
+    assert list(split_gzip_members(blob)) == [r1, r2]
+    with pytest.raises(ValueError, match="truncated gzip"):
+        list(split_gzip_members(blob[:-8]))
+
+    rows = [Row(record_id=str(i), payload=f"doc {i}") for i in range(19)]
+    df = spark.createDataFrame(rows).repartition(3, "record_id")
+    path = str(tmp_path / "warc_gz")
+    manifest = write_warc(df, path, compress=True).collect()
+    assert all(m.file.endswith(".warc.gz") for m in manifest)
+    # drop one extra PLAIN shard into the same directory: mixed read
+    extra = encode_record("99", b"plain shard")
+    with open(f"{path}/part-99999.warc", "wb") as fh:
+        fh.write(extra)
+    got = {r.record_id: r.payload for r in read_warc(spark, path).collect()}
+    assert got["99"] == "plain shard"
+    assert len(got) == 20
+    assert got["7"] == "doc 7"
