@@ -117,10 +117,16 @@ def pack_bfd(
         F.col(len_col).cast("long").alias("n_tokens"),
     )
     ok = d.filter(F.col("n_tokens") <= budget)
-    hist = [
-        (r.n_tokens, r.c)
-        for r in ok.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("c")).collect()
-    ]
+    # histogram + the id bound for the composite rank key, one pass
+    hrows = ok.groupBy("n_tokens").agg(
+        F.count(F.lit(1)).alias("c"), F.max("_id").alias("mx")
+    ).collect()
+    if any(r.mx >= _KEY_SHIFT for r in hrows):
+        raise ValueError(
+            f"pack_bfd: id exceeds the composite-key bound 2^40; "
+            f"re-key ids densely first"
+        )
+    hist = [(r.n_tokens, r.c) for r in hrows]
     strategies = spfhp_strategies(hist, budget, max_depth)
     blocks, n_packs = _layout_blocks(strategies)
     spark = df.sparkSession

@@ -137,11 +137,12 @@ def split_gzip_members(blob: bytes) -> Iterator[bytes]:
     decompressing the whole shard). Boundaries come from streaming
     decompression: zlib's ``unused_data`` after each member's trailer is
     the start of the next member."""
+    mv = memoryview(blob)  # O(1) slicing: no quadratic re-copy across members
     pos = 0
     n = len(blob)
     while pos < n:
         d = zlib.decompressobj(wbits=31)  # gzip wrapper
-        out = d.decompress(blob[pos:])
+        out = d.decompress(mv[pos:])
         if not d.eof:
             raise ValueError(f"warc.gz: truncated gzip member at {pos}")
         yield out
