@@ -1181,3 +1181,162 @@ def pack_bfd_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", X.token_count(X.tokens(F.col("text"))).alias("n_tokens")
     )
     return pack_bfd(d, "doc_id", "n_tokens", PACK_BUDGET, max_depth=16)
+
+
+# --------------------------------------------------------- FineWeb filters
+
+# FineWeb's three custom line-level filters (Penedo et al. 2024, "The
+# FineWeb Datasets", §3.6) — the gates they added on top of Gopher/C4
+# after ablations: drop pages whose fraction of lines ending in
+# punctuation is <= 0.12, whose fraction of characters sitting in
+# within-page duplicated lines is >= 0.10, or whose fraction of lines
+# shorter than 30 characters is >= 0.67.  The corpus is newline-free
+# word soup, so (same pattern as curate_c4_rules) each doc is first
+# RESTRUCTURED into a deterministic 6-line page on both engines:
+# line i (0-based) of the 6 near-equal token chunks gets a terminal '.'
+# iff i+1 <= doc_id % 7 (punctuation ratio sweeps 0..6/6 across docs),
+# and ids % 4 == 0 replace line 4 with a copy of line 1 (the
+# duplicated-line rule fires); the short-line rule varies naturally
+# with document length.
+FINEWEB_MIN_PUNCT_LINE_RATIO = 0.12
+FINEWEB_MAX_DUP_CHAR_RATIO = 0.10
+FINEWEB_MAX_SHORT_LINE_RATIO = 0.67
+FINEWEB_SHORT_LINE_CHARS = 30
+_FW_LINES = 6
+
+
+def _fineweb_oracle() -> str:
+    line_sql = ", ".join(
+        f"array_to_string(toks[({i} * n // 6 + 1):(({i} + 1) * n // 6)], ' ')"
+        f" || CASE WHEN doc_id % 7 >= {i + 1} THEN '.' ELSE '' END AS l{i}"
+        for i in range(_FW_LINES)
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks, len({_TOKS_SQL}) AS n
+        FROM documents),
+    l AS (SELECT doc_id, {line_sql} FROM t),
+    p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN [l0, l1, l2, l3, l1, l5]
+                    ELSE [l0, l1, l2, l3, l4, l5] END AS ls
+        FROM l),
+    m AS (
+        SELECT doc_id,
+               CAST(len(list_filter(ls,
+                   x -> regexp_matches(x, '[.!?]$'))) AS BIGINT) AS n_punct,
+               CAST(len(list_filter(ls,
+                   x -> length(x) < {FINEWEB_SHORT_LINE_CHARS}))
+                   AS BIGINT) AS n_short,
+               CAST(list_sum(list_transform(ls,
+                   x -> CASE WHEN len(list_filter(ls, y -> y = x)) > 1
+                             THEN length(x) ELSE 0 END)) AS BIGINT)
+                   AS dup_chars,
+               CAST(list_sum(list_transform(ls, x -> length(x)))
+                   AS BIGINT) AS total_chars
+        FROM p),
+    r AS (
+        SELECT doc_id, n_punct, n_short, dup_chars, total_chars,
+               CAST(n_punct AS DOUBLE) / {_FW_LINES} AS punct_ratio,
+               CASE WHEN total_chars > 0
+                    THEN CAST(dup_chars AS DOUBLE) / total_chars
+                    ELSE 0.0 END AS dup_char_ratio,
+               CAST(n_short AS DOUBLE) / {_FW_LINES} AS short_ratio
+        FROM m)
+    SELECT doc_id, n_punct, n_short, dup_chars, total_chars,
+           ROUND(punct_ratio, 6) AS punct_ratio,
+           ROUND(dup_char_ratio, 6) AS dup_char_ratio,
+           ROUND(short_ratio, 6) AS short_ratio,
+           (punct_ratio > {FINEWEB_MIN_PUNCT_LINE_RATIO}
+            AND dup_char_ratio < {FINEWEB_MAX_DUP_CHAR_RATIO}
+            AND short_ratio < {FINEWEB_MAX_SHORT_LINE_RATIO}) AS keep
+    FROM r
+    """
+
+
+@query("curate_fineweb_filters", oracle=_fineweb_oracle())
+def curate_fineweb_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb custom quality filters (Penedo et al. 2024 §3.6) over the
+    deterministically re-lined 6-line pages (see module comment): keep a
+    page only if > 12% of its lines end in terminal punctuation, < 10%
+    of its characters sit in within-page duplicated lines, and < 67% of
+    its lines are shorter than 30 characters.  Completes the published
+    web-pipeline gate trio alongside curate_gopher_rules and
+    curate_c4_rules.
+
+    Scale shape: the relining, the per-line predicates, and the
+    duplicated-line scan are all array-local higher-order column math
+    (the dup scan is O(lines^2) per page with lines == 6, constant) —
+    zero shuffle, zero UDF, fused into the parquet scan; at 100 TB this
+    runs at scan speed like the other page-level gates.  Ref semantics:
+    the quality-gate stage of app.service.ts-style collection curation,
+    widened to the published FineWeb recipe."""
+    d_ = F.col("doc_id")
+    toks = X.tokens(F.col("text"))
+    n = F.size(toks)
+    lines = []
+    for i in range(_FW_LINES):
+        start = F.floor(n * i / _FW_LINES).cast("int")
+        stop = F.floor(n * (i + 1) / _FW_LINES).cast("int")
+        chunk = F.slice(toks, start + 1, stop - start)
+        lines.append(
+            F.concat(
+                F.array_join(chunk, " "),
+                F.when(d_ % 7 >= i + 1, F.lit(".")).otherwise(F.lit("")),
+            )
+        )
+    ls = F.when(
+        d_ % 4 == 0,
+        F.array(lines[0], lines[1], lines[2], lines[3], lines[1], lines[5]),
+    ).otherwise(F.array(*lines))
+
+    staged = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", ls.alias("ls"))
+    )
+    ls_ = F.col("ls")
+    n_punct = F.size(F.filter(ls_, lambda x: x.rlike("[.!?]$"))).cast("long")
+    n_short = F.size(
+        F.filter(ls_, lambda x: F.length(x) < FINEWEB_SHORT_LINE_CHARS)
+    ).cast("long")
+    dup_chars = F.aggregate(
+        ls_,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.when(
+            F.size(F.filter(ls_, lambda y: y == x)) > 1, F.length(x)
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+    total_chars = F.aggregate(
+        ls_,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x).cast("long"),
+    )
+    m = staged.select(
+        "doc_id",
+        n_punct.alias("n_punct"),
+        n_short.alias("n_short"),
+        dup_chars.alias("dup_chars"),
+        total_chars.alias("total_chars"),
+    )
+    punct_ratio = F.col("n_punct").cast("double") / _FW_LINES
+    dup_ratio = F.when(
+        F.col("total_chars") > 0,
+        F.col("dup_chars").cast("double") / F.col("total_chars"),
+    ).otherwise(F.lit(0.0))
+    short_ratio = F.col("n_short").cast("double") / _FW_LINES
+    return m.select(
+        "doc_id",
+        "n_punct",
+        "n_short",
+        "dup_chars",
+        "total_chars",
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(dup_ratio, 6).alias("dup_char_ratio"),
+        F.round(short_ratio, 6).alias("short_ratio"),
+        (
+            (punct_ratio > FINEWEB_MIN_PUNCT_LINE_RATIO)
+            & (dup_ratio < FINEWEB_MAX_DUP_CHAR_RATIO)
+            & (short_ratio < FINEWEB_MAX_SHORT_LINE_RATIO)
+        ).alias("keep"),
+    )

@@ -739,3 +739,70 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest certifies equality with offset-level brute force."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return D.exact_substring_dedup(d, "text", "doc_id", SUBSTR_MIN_TOKENS)
+
+
+# ------------------------------------------------------------ soft dedup
+
+# SoftDeDup (Xia et al. 2024, "SoftDedup: an Efficient Data Reweighting
+# Method for Speeding Up Language Model Pre-training"): instead of
+# REMOVING near-duplicates, down-weight each document by its "data
+# commonness" — here the mean corpus document-frequency of its distinct
+# 5-gram shingles (the same shingle universe every other dedup query
+# uses), so a doc whose grams each appear in one document keeps weight
+# 1.0 and a doc sharing all its grams with k others drops toward 1/k.
+# weight = n_grams / sum(df) is exact integer division (no float
+# accumulation order to diverge between engines).
+
+
+@query(
+    "dedup_soft_weights",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+           FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(df) AS BIGINT) AS sum_df,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(df), 9) AS soft_weight
+    FROM sh s JOIN df USING (shingle)
+    GROUP BY s.doc_id
+    """,
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup reweighting (Xia et al. 2024): per-document sampling
+    weight inversely proportional to commonness, measured as the mean
+    corpus document-frequency of the doc's distinct 5-gram shingles
+    (weight = n_grams / sum_df, exactly 1.0 for an all-unique doc).  The
+    training-mixture complement to hard removal: duplicated content is
+    down-sampled, not discarded, preserving the corpus distribution's
+    tail.
+
+    Scale shape: shingle explode -> one groupBy on the 16-byte gram
+    digest domain for DF -> gram-keyed join back -> one per-doc sum; both
+    shuffles are keyed on hashes (no skew: a gram's DF row is one row
+    regardless of its frequency), shuffle volume O(total shingles) —
+    identical to the MinHash pipeline's profile, no doc×doc pairing
+    anywhere.  Ref semantics: the rarity/commonness scoring pattern of
+    app.service.ts attribute rarity, applied to corpus curation."""
+    sh = D.shingles(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        "text",
+        "doc_id",
+    )
+    df = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("df"))
+    return (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("df").cast("long").alias("sum_df"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "sum_df",
+            F.round(
+                F.col("n_grams").cast("double") / F.col("sum_df"), 9
+            ).alias("soft_weight"),
+        )
+    )
