@@ -884,3 +884,97 @@ def text_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# ------------------------------------------------------- HTML extraction
+
+# The WARC-to-clean-text stage of a web corpus build. The corpus is plain
+# word soup, so the query first WRAPS each doc into a deterministic HTML
+# page — title + style/script junk + nav boilerplate (with an extra link
+# on even ids), an h1, and three <p> paragraphs from the doc's token
+# thirds, one containing an inline link and one an &amp; entity — then
+# extracts the main text with the stdlib parser (operators/htmltext.py).
+# The oracle recomputes the EXPECTED extraction directly from the token
+# ground truth, so a hash match certifies boilerplate skipping, inline
+# flattening, entity decoding, whitespace collapse, and link counting.
+
+
+def _html_extract_oracle() -> str:
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks, len({_TOKS_SQL}) AS n
+        FROM documents),
+    c AS (
+        SELECT doc_id,
+               coalesce(array_to_string(toks[1:(n // 3)], ' '), '') AS c1,
+               coalesce(array_to_string(
+                   toks[(n // 3 + 1):(2 * n // 3)], ' '), '') AS c2,
+               coalesce(array_to_string(
+                   toks[(2 * n // 3 + 1):n], ' '), '') AS c3
+        FROM t),
+    b AS (
+        SELECT doc_id,
+               list_filter([
+                   'Doc ' || CAST(doc_id AS VARCHAR),
+                   trim(c1),
+                   trim(c2 || ' Q&A'),
+                   trim('See here ' || c3)
+               ], x -> length(x) > 0) AS blocks
+        FROM c)
+    SELECT doc_id,
+           'doc ' || CAST(doc_id AS VARCHAR) AS title,
+           coalesce(array_to_string(blocks, chr(10)), '') AS clean_text,
+           CAST(len(blocks) AS BIGINT) AS n_blocks,
+           CAST(3 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_links
+    FROM b
+    """
+
+
+@query("text_html_extract", oracle=_html_extract_oracle())
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-text extraction (the trafilatura/jusText stage of a
+    Common Crawl pipeline, stdlib-parser implementation — see
+    operators/htmltext.py): tag-blocklist boilerplate removal
+    (script/style/nav), per-block text assembly with inline flattening,
+    entity decoding, whitespace collapse, empty-block drop, title
+    capture, and link counting, over deterministically synthesized pages
+    (see module comment). Pairs with the WARC source: read_warc ->
+    text_html_extract -> curate_c4_rules is the canonical web-corpus
+    front half.
+
+    Scale shape: page synthesis is JVM column concat fused into the
+    scan; extraction is map-only mapInPandas over Arrow batches (one
+    O(bytes) parser pass per page, no shuffle anywhere) — at 100 TB the
+    stage is embarrassingly parallel and scan-bound. Python is used only
+    where no JVM builtin exists (real HTML parsing), the documented
+    UDF-boundary policy."""
+    from pasardassist_spark.operators.htmltext import extract_main_text
+
+    d_ = F.col("doc_id")
+    s = d_.cast("string")
+    toks = X.tokens(F.col("text"))
+    n = F.size(toks)
+    a = F.floor(n / 3).cast("int")
+    b = F.floor(n * 2 / 3).cast("int")
+    c1 = F.array_join(F.slice(toks, F.lit(1), a), " ")
+    c2 = F.array_join(F.slice(toks, a + 1, b - a), " ")
+    c3 = F.array_join(F.slice(toks, b + 1, n - b), " ")
+    html = F.concat(
+        F.lit("<html><head><title>doc "), s,
+        F.lit("</title><style>p{color:#333}</style><script>var id="), s,
+        F.lit(';</script></head><body><nav><a href="/">home</a> '
+              '<a href="/about">about</a>'),
+        F.when(d_ % 2 == 0, F.lit(' <a href="/contact">contact</a>'))
+            .otherwise(F.lit("")),
+        F.lit("</nav><h1>Doc "), s,
+        F.lit("</h1><p>"), c1,
+        F.lit("</p><p>"), c2,
+        F.lit(" Q&amp;A</p><p>See <a href=\"/d/"), s,
+        F.lit("\">here</a> "), c3,
+        F.lit("</p></body></html>"),
+    )
+    pages = load(spark, sf_dir, "documents").select(
+        "doc_id", html.alias("html")
+    )
+    return extract_main_text(pages, "html", "doc_id")
