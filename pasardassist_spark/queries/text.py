@@ -978,3 +978,55 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", html.alias("html")
     )
     return extract_main_text(pages, "html", "doc_id")
+
+
+# ------------------------------------------------- unigram LM tokenizer
+
+UNIGRAM_VOCAB = 48
+UNIGRAM_SEEDS = 400
+
+
+@query("unigram_train_vocab")  # iterative EM loop: not SQL-expressible
+def unigram_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018, the SentencePiece
+    'unigram' model; operators/unigram.py): substring-seeded vocabulary
+    shrunk to UNIGRAM_VOCAB pieces by EM over each word's segmentation
+    lattice with expected-count pruning — the probabilistic sibling of
+    bpe_train_merge_table. Corpus-sized work is the one word-type
+    groupBy; every EM pass is map-only over the type table (31 types at
+    any sf here — Zipf amortization at its purest) plus a vocab-sized
+    shuffle, and all collects are vocab-bounded. Rows-only driver check
+    (an EM fixed-point has no SQL form); EM's monotone log-likelihood,
+    coverage, normalization, and Viterbi optimality are pytest-pinned
+    (tests/test_unigram.py)."""
+    from pasardassist_spark.operators import unigram as U
+
+    d = load(spark, sf_dir, "documents").select("text")
+    probs, _ = U.train_unigram(
+        U.word_types(d, "text"),
+        vocab_size=UNIGRAM_VOCAB,
+        n_seeds=UNIGRAM_SEEDS,
+    )
+    return U.vocab_table(spark, probs)
+
+
+@query("unigram_encode_corpus")  # depends on the trained vocab: rows-only
+def unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi encoding of the corpus under the trained unigram vocab
+    (train_unigram + unigram_encode, operators/unigram.py): per-doc
+    word/piece/unknown counts — the tokenizer-throughput stage of a
+    training-data build, with a per-executor word->segmentation cache so
+    repeated types cost one lattice pass each. Map-only over Arrow
+    batches after the vocab-bounded training collects; scales as a pure
+    scan at 100 TB."""
+    from pasardassist_spark.operators import unigram as U
+
+    d = load(spark, sf_dir, "documents")
+    probs, _ = U.train_unigram(
+        U.word_types(d.select("text"), "text"),
+        vocab_size=UNIGRAM_VOCAB,
+        n_seeds=UNIGRAM_SEEDS,
+    )
+    return U.unigram_encode(
+        d.select("doc_id", "text"), "text", "doc_id", probs
+    )
