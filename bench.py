@@ -232,6 +232,8 @@ def main() -> None:
         "text_html_extract",
         "unigram_train_vocab",
         "unigram_encode_corpus",
+        "mix_temperature_weights",
+        "text_oov_rate",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

@@ -298,3 +298,67 @@ def mix_unimax_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = sz.agg(F.sum("n_tokens").cast("long").alias("t")).collect()[0].t
     budget = UNIMAX_BUDGET_NUM * total // UNIMAX_BUDGET_DEN
     return unimax_allocation(sz, budget, UNIMAX_EPOCH_CAP)
+
+
+# --------------------------------------------------- temperature mixing
+
+# Temperature-scaled mixture weights (Arivazhagan et al. 2019 §4.2; the
+# mT5 recipe, Xue et al. 2021 §3.2): sample source k with probability
+# proportional to n_k^alpha, alpha < 1 flattening the size distribution
+# so low-resource sources are up-sampled. The standing published
+# alternative to UniMax's epoch-capped allocation over the same
+# per-source token counts.
+TEMP_MIX_ALPHA = 0.3
+
+
+def _temp_mix_oracle() -> str:
+    from pasardassist_spark.queries.text import _TOKS_SQL
+
+    return f"""
+    WITH sz AS (
+        SELECT lang, CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    )
+    SELECT lang, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 9)
+               AS raw_share,
+           ROUND(pow(n_tokens, {TEMP_MIX_ALPHA})
+                 / SUM(pow(n_tokens, {TEMP_MIX_ALPHA})) OVER (), 9)
+               AS temp_weight,
+           ROUND((pow(n_tokens, {TEMP_MIX_ALPHA})
+                  / SUM(pow(n_tokens, {TEMP_MIX_ALPHA})) OVER ())
+                 / (CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()), 9)
+               AS boost
+    FROM sz
+    """
+
+
+@query("mix_temperature_weights", oracle=_temp_mix_oracle())
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language-mixture weights (p_k proportional to
+    n_k^alpha, alpha = 0.3 — the mT5 default): per-language token counts
+    from ONE corpus-sized groupBy, then the normalization runs as an
+    unbounded window over the metadata-scale language table (a handful
+    of rows at any corpus size — no driver collect, no second shuffle of
+    data-sized frames). `boost` reports each language's up/down-sampling
+    factor vs its raw share. Complements mix_unimax_weights: the two
+    published answers to the same mixing question, over identical
+    inputs."""
+    from pasardassist_spark.operators.text import token_count, tokens
+
+    d = load(spark, sf_dir, "documents").select("lang", "text")
+    sz = d.groupBy("lang").agg(
+        F.sum(token_count(tokens(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    w = W.partitionBy()
+    n = F.col("n_tokens")
+    p = F.pow(n, F.lit(TEMP_MIX_ALPHA))
+    raw_share = n.cast("double") / F.sum(n).over(w)
+    temp_weight = p / F.sum(p).over(w)
+    return sz.select(
+        "lang",
+        "n_tokens",
+        F.round(raw_share, 9).alias("raw_share"),
+        F.round(temp_weight, 9).alias("temp_weight"),
+        F.round(temp_weight / raw_share, 9).alias("boost"),
+    )

@@ -1030,3 +1030,72 @@ def unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return U.unigram_encode(
         d.select("doc_id", "text"), "text", "doc_id", probs
     )
+
+
+# ------------------------------------------------------- OOV diagnostic
+
+# Tokenizer-vocabulary coverage: fix the vocab at the corpus's OOV_VOCAB_K
+# most frequent word types (count desc, word asc — a total order) and
+# report each document's out-of-vocabulary token rate. The standing
+# pre-training diagnostic for "does this tokenizer's word list cover this
+# corpus slice", and the word-level twin of text_bpe_token_count.
+OOV_VOCAB_K = 20
+
+
+def _oov_oracle() -> str:
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+    ),
+    vocab AS (
+        SELECT word FROM tok GROUP BY word
+        ORDER BY COUNT(*) DESC, word LIMIT {OOV_VOCAB_K}
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.word IS NULL) AS BIGINT) AS n_oov,
+           ROUND(CAST(COUNT(*) FILTER (WHERE v.word IS NULL) AS DOUBLE)
+                 / COUNT(*), 9) AS oov_rate
+    FROM tok t LEFT JOIN vocab v USING (word)
+    GROUP BY t.doc_id
+    """
+
+
+@query("text_oov_rate", oracle=_oov_oracle())
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's top-K
+    word vocabulary (see module comment). Scale shape: one word-keyed
+    groupBy builds the frequency table; the top-K cut is a TakeOrdered
+    (limit over an ordered frame — never a full sort); the K-row vocab
+    broadcasts into the token join, so the per-doc pass is map-side with
+    one final doc-keyed aggregation. At 100 TB: corpus scanned twice
+    (type build + scoring) with only hash-keyed shuffles — the classic
+    two-pass dictionary diagnostic."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("word"))
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(OOV_VOCAB_K)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    n_oov = F.sum(
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    ).cast("long")
+    return (
+        tok.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            n_oov.alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 9
+            ).alias("oov_rate"),
+        )
+    )
