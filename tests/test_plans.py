@@ -540,3 +540,46 @@ def test_ccnet_buckets_no_corpus_sort(spark, sf_dir):
     p = plan(REGISTRY["curate_ccnet_buckets"].fn(spark, sf_dir))
     assert "rangepartitioning" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_fineweb_filters_zero_shuffle(spark, sf_dir):
+    """Relining, line predicates, and the O(lines^2) dup-char scan are
+    array-local column math fused into the scan (the gopher/c4
+    contract)."""
+    p = plan(REGISTRY["curate_fineweb_filters"].fn(spark, sf_dir))
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
+    assert "SortMergeJoin" not in p and "mapInPandas" not in p.lower()
+
+
+def test_soft_weights_hash_keyed_only(spark, sf_dir):
+    """DF build and doc rollup shuffle on the gram digest / doc_id only —
+    no doc x doc pairing, no sort, no cartesian anywhere."""
+    p = plan(REGISTRY["dedup_soft_weights"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "rangepartitioning" not in p
+
+
+def test_html_extract_map_only(spark, sf_dir):
+    """Page synthesis fuses into the scan and extraction is a map-only
+    Arrow stage: no shuffle of any kind in the whole plan."""
+    p = plan(REGISTRY["text_html_extract"].fn(spark, sf_dir))
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
+    assert "Join" not in p
+
+
+def test_oov_rate_vocab_broadcasts(spark, sf_dir):
+    """The top-K vocab reaches the token join as a broadcast build side;
+    the corpus-sized probe side must never sort-merge."""
+    p = plan(REGISTRY["text_oov_rate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_temperature_weights_single_corpus_shuffle(spark, sf_dir):
+    """One corpus-sized groupBy(lang); the normalizing window runs on the
+    metadata-scale language table (empty-frame window is fine THERE —
+    the frame is a handful of rows by construction)."""
+    p = plan(REGISTRY["mix_temperature_weights"].fn(spark, sf_dir))
+    assert len(re.findall(r"hashpartitioning\(lang", p)) >= 1
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
