@@ -234,6 +234,7 @@ def main() -> None:
         "unigram_encode_corpus",
         "mix_temperature_weights",
         "text_oov_rate",
+        "samp_kcenter_coreset",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

@@ -362,3 +362,26 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(temp_weight, 9).alias("temp_weight"),
         F.round(temp_weight / raw_share, 9).alias("boost"),
     )
+
+
+# ----------------------------------------------------- k-center coreset
+
+KCENTER_K = 16
+
+
+@query("samp_kcenter_coreset")  # sequential-in-k greedy: rows-only
+def samp_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-driven selection: the first KCENTER_K documents of a
+    Gonzalez k-center greedy over the embedding space
+    (operators/coreset.py) with the coverage radius at each pick — the
+    KEEP-a-spread-subset complement to SemDeDup's REMOVE-the-dense-
+    regions. Each round is map-only JVM column math against the newest
+    center plus a 1-row TakeOrdered; the running min-distance column is
+    folded incrementally so total work is O(k n d). Rows-only driver
+    check (a sequential greedy has no SQL form); the 2-approximation
+    bound, per-cluster coverage, radius monotonicity, and equality with
+    a sequential reference are pytest-pinned (tests/test_coreset.py)."""
+    from pasardassist_spark.operators.coreset import kcenter_table
+
+    d = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kcenter_table(spark, d, "embedding", "vec_id", KCENTER_K)
