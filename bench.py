@@ -235,6 +235,7 @@ def main() -> None:
         "mix_temperature_weights",
         "text_oov_rate",
         "samp_kcenter_coreset",
+        "sketch_bloom_filter",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

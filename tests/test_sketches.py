@@ -90,3 +90,18 @@ def test_qsketch_sample_is_mergeable_and_rank_accurate(spark, sf_dir):
                 )
     finally:
         ev_cached.unpersist()
+
+
+def test_bloom_no_false_negatives_and_sane_fpr(spark, sf_dir):
+    """Bloom's structural guarantee: every present word hits; the
+    synthetic absent probes bound the false-positive rate (4096 bits /
+    3 hashes at this vocab load runs far below 50%)."""
+    from pasardassist_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["sketch_bloom_filter"].fn(spark, sf_dir).collect()
+    present = [r for r in rows if r.present]
+    absent = [r for r in rows if not r.present]
+    assert present and absent
+    assert all(r.bloom_hit for r in present)
+    fpr = sum(r.bloom_hit for r in absent) / len(absent)
+    assert fpr < 0.5
