@@ -236,6 +236,7 @@ def main() -> None:
         "text_oov_rate",
         "samp_kcenter_coreset",
         "sketch_bloom_filter",
+        "pipeline_web_extract_clean",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

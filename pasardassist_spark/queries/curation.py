@@ -1340,3 +1340,151 @@ def curate_fineweb_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (short_ratio < FINEWEB_MAX_SHORT_LINE_RATIO)
         ).alias("keep"),
     )
+
+
+# ------------------------------------------- web-pipeline composite
+
+# The front half of a Common Crawl build as ONE declarative plan:
+# synthesize a deterministic HTML page per doc (same boilerplate scheme
+# as text_html_extract, plus the C4 trigger suffixes on the paragraph
+# texts: p1 gets a terminal '.' on even ids, p2 ' javascript.' on ids
+# %3 else '!', p3 ' lorem ipsum.' on ids %5 else '?'), run the stdlib
+# main-text extractor, then apply the C4 line/page gates to the
+# EXTRACTED blocks. The oracle recomputes expected blocks from token
+# ground truth and chains the same gate SQL, so the hash match
+# certifies extraction and cleaning composed end-to-end — the
+# read_warc -> text_html_extract -> curate_c4_rules story with real
+# operator reuse in the middle.
+
+
+def _web_pipeline_oracle() -> str:
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks, len({_TOKS_SQL}) AS n
+        FROM documents),
+    c AS (
+        SELECT doc_id,
+               coalesce(array_to_string(toks[1:(n // 3)], ' '), '') AS c1,
+               coalesce(array_to_string(
+                   toks[(n // 3 + 1):(2 * n // 3)], ' '), '') AS c2,
+               coalesce(array_to_string(
+                   toks[(2 * n // 3 + 1):n], ' '), '') AS c3
+        FROM t),
+    b AS (
+        SELECT doc_id,
+               list_filter([
+                   'Doc ' || CAST(doc_id AS VARCHAR),
+                   trim(c1 || CASE WHEN doc_id % 2 = 0
+                                   THEN '.' ELSE '' END),
+                   trim(c2 || CASE WHEN doc_id % 3 = 0
+                                   THEN ' javascript.' ELSE '!' END),
+                   trim('See here ' || c3
+                        || CASE WHEN doc_id % 5 = 0
+                                THEN ' lorem ipsum.' ELSE '?' END)
+               ], x -> length(x) > 0) AS blocks
+        FROM c),
+    k AS (
+        SELECT doc_id, blocks,
+               list_filter(blocks,
+                   l -> regexp_matches(l, '{_C4_TERMINAL_RE}')
+                        AND len(string_split_regex(trim(l), '\\s+'))
+                            >= {C4_MIN_LINE_WORDS}
+                        AND NOT contains(lower(l), 'javascript')) AS kept
+        FROM b),
+    m AS (
+        SELECT doc_id,
+               CAST(len(blocks) AS BIGINT) AS n_blocks,
+               CAST(len(kept) AS BIGINT) AS n_kept_lines,
+               coalesce(array_to_string(kept, chr(10)), '') AS clean,
+               contains(lower(array_to_string(blocks, chr(10))),
+                        'lorem ipsum') AS has_lorem
+        FROM k)
+    SELECT doc_id, n_blocks, n_kept_lines,
+           CAST(length(clean)
+                - length(regexp_replace(clean, '[.!?]', '', 'g'))
+                AS BIGINT) AS n_sentences,
+           has_lorem,
+           (NOT has_lorem
+            AND length(clean)
+                - length(regexp_replace(clean, '[.!?]', '', 'g'))
+                >= {C4_MIN_SENTENCES}) AS keep,
+           md5(clean) AS clean_hash
+    FROM m
+    """
+
+
+@query("pipeline_web_extract_clean", oracle=_web_pipeline_oracle())
+def pipeline_web_extract_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus front half composed end-to-end: HTML page -> stdlib
+    main-text extraction (operators/htmltext.py — boilerplate skip,
+    inline flattening, entity decode) -> C4 line/page gates on the
+    extracted blocks, in one plan. See module comment for the
+    deterministic page scheme.
+
+    Scale shape: synthesis fuses into the scan, extraction is map-only
+    mapInPandas, and every gate is array-local column math on the
+    extractor's output — zero shuffle end-to-end, so the composite runs
+    at scan speed exactly like its parts; the point is that the stages
+    COMPOSE without materialization between them. Ref semantics: the
+    full ingest-enrich-filter chain of the reference's event pipeline
+    (tasks.service.ts -> sub-tasks enrichment -> quality gating),
+    re-expressed for web documents."""
+    from pasardassist_spark.operators.htmltext import extract_main_text
+
+    d_ = F.col("doc_id")
+    s = d_.cast("string")
+    toks = X.tokens(F.col("text"))
+    n = F.size(toks)
+    a = F.floor(n / 3).cast("int")
+    b = F.floor(n * 2 / 3).cast("int")
+    c1 = F.array_join(F.slice(toks, F.lit(1), a), " ")
+    c2 = F.array_join(F.slice(toks, a + 1, b - a), " ")
+    c3 = F.array_join(F.slice(toks, b + 1, n - b), " ")
+    sfx1 = F.when(d_ % 2 == 0, F.lit(".")).otherwise(F.lit(""))
+    sfx2 = F.when(d_ % 3 == 0, F.lit(" javascript.")).otherwise(F.lit("!"))
+    sfx3 = F.when(d_ % 5 == 0, F.lit(" lorem ipsum.")).otherwise(F.lit("?"))
+    html = F.concat(
+        F.lit("<html><head><title>doc "), s,
+        F.lit("</title><style>p{color:#333}</style><script>var id="), s,
+        F.lit(';</script></head><body><nav><a href="/">home</a> '
+              '<a href="/about">about</a></nav><h1>Doc '), s,
+        F.lit("</h1><p>"), c1, sfx1,
+        F.lit("</p><p>"), c2, sfx2,
+        F.lit('</p><p>See <a href="/d/'), s,
+        F.lit('">here</a> '), c3, sfx3,
+        F.lit("</p></body></html>"),
+    )
+    pages = load(spark, sf_dir, "documents").select(
+        "doc_id", html.alias("html")
+    )
+    ext = extract_main_text(pages, "html", "doc_id")
+
+    ls = F.when(
+        F.length("clean_text") > 0, F.split("clean_text", "\n")
+    ).otherwise(F.array().cast("array<string>"))
+    line_words = lambda l: F.size(F.split(F.trim(l), r"\s+"))  # noqa: E731
+    keep_line = lambda l: (  # noqa: E731
+        l.rlike(_C4_TERMINAL_RE)
+        & (line_words(l) >= C4_MIN_LINE_WORDS)
+        & ~F.contains(F.lower(l), F.lit("javascript"))
+    )
+    staged = ext.select(
+        "doc_id",
+        "clean_text",
+        ls.alias("ls"),
+    ).withColumn("kept", F.filter("ls", keep_line)).withColumn(
+        "clean", F.array_join("kept", "\n")
+    )
+    n_sentences = (
+        F.length("clean") - F.length(F.regexp_replace("clean", r"[.!?]", ""))
+    ).cast("long")
+    has_lorem = F.contains(F.lower("clean_text"), F.lit("lorem ipsum"))
+    return staged.select(
+        "doc_id",
+        F.size("ls").cast("long").alias("n_blocks"),
+        F.size("kept").cast("long").alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        (~has_lorem & (n_sentences >= C4_MIN_SENTENCES)).alias("keep"),
+        F.md5("clean").alias("clean_hash"),
+    )

@@ -583,3 +583,11 @@ def test_temperature_weights_single_corpus_shuffle(spark, sf_dir):
     p = plan(REGISTRY["mix_temperature_weights"].fn(spark, sf_dir))
     assert len(re.findall(r"hashpartitioning\(lang", p)) >= 1
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_web_pipeline_zero_shuffle_end_to_end(spark, sf_dir):
+    """Synthesis, extraction (one Arrow stage), and the C4 gates compose
+    without a single exchange — the composite runs at scan speed."""
+    p = plan(REGISTRY["pipeline_web_extract_clean"].fn(spark, sf_dir))
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
+    assert "Join" not in p
