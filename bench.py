@@ -237,6 +237,7 @@ def main() -> None:
         "samp_kcenter_coreset",
         "sketch_bloom_filter",
         "pipeline_web_extract_clean",
+        "emb_zca_whiten",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

@@ -105,3 +105,37 @@ def project(emb: DataFrame, vec_col: str, id_col: str, mu, W) -> DataFrame:
 def pca_project(emb: DataFrame, vec_col: str, id_col: str, k: int) -> DataFrame:
     mu, W, _ = fit_components(moment_summaries(emb, vec_col), k)
     return project(emb, vec_col, id_col, mu, W)
+
+
+def fit_whitener(summaries: DataFrame, eps: float = 1e-6):
+    """ZCA whitening transform (Bell & Sejnowski 1997's zero-phase
+    convention): Wz = V diag(1/sqrt(eigval + eps)) V^T from the same
+    merged moments as PCA. Wz is symmetric and basis-aligned, so the
+    whitened space stays interpretable per-dimension — the standard
+    embedding-preprocessing alternative to plain PCA. Sign conventions
+    are irrelevant here (V diag V^T is sign-invariant), making the
+    transform deterministic across BLAS builds up to float tolerance."""
+    import numpy as np
+
+    rows = summaries.collect()  # one small row per partition
+    n = sum(r.n for r in rows)
+    if n < 2:
+        raise ValueError("whitening needs at least 2 rows")
+    s = np.sum([np.asarray(r.s) for r in rows], axis=0)
+    d = s.shape[0]
+    xtx = np.sum([np.asarray(r.xtx).reshape(d, d) for r in rows], axis=0)
+    mu = s / n
+    cov = (xtx - n * np.outer(mu, mu)) / (n - 1)
+    cov = (cov + cov.T) / 2.0
+    vals, vecs = np.linalg.eigh(cov)
+    Wz = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, 0.0) + eps)) @ vecs.T
+    return mu, Wz
+
+
+def zca_whiten(
+    emb: DataFrame, vec_col: str, id_col: str, eps: float = 1e-6
+) -> DataFrame:
+    """Distributed ZCA whitening: moment fold -> driver eigh -> Arrow
+    matmul scan; the data itself never shuffles (pca_project's shape)."""
+    mu, Wz = fit_whitener(moment_summaries(emb, vec_col), eps)
+    return project(emb, vec_col, id_col, mu, Wz)

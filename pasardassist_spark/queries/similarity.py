@@ -168,3 +168,30 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("proj", lambda x: F.round(x, 6).cast("string")), ","
         ).alias("proj"),
     )
+
+
+@query("emb_zca_whiten")  # BLAS-specific eigh numerics: rows-only
+def emb_zca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening of the embedding corpus (operators/pca.py:
+    zca_whiten): same shuffle-free moment-fold -> driver eigh ->
+    Arrow-matmul skeleton as emb_pca_project, but applying the
+    symmetric V diag(1/sqrt(eigval+eps)) V^T transform — the standard
+    embedding-preprocessing step that equalizes variance while staying
+    basis-aligned (whitened covariance == I is THE property, asserted
+    in tests/test_pca.py together with a direct-numpy differential).
+    Rows-only driver check (eigh numerics are BLAS-specific); the same
+    comma-joined 6dp serialization contract as emb_pca_project."""
+    from pyspark.sql import functions as F
+
+    from pasardassist_spark.operators.pca import zca_whiten
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", S.as_double(F.col("embedding")).alias("v")
+    )
+    out = zca_whiten(emb, "v", "vec_id")
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform("proj", lambda x: F.round(x, 6).cast("string")), ","
+        ).alias("proj"),
+    )

@@ -77,3 +77,48 @@ def test_registered_query_shape(spark, sf_dir):
         all(abs(float(x)) < 1e6 for x in r.proj.split(",")) for r in rows
     )
     assert df.count() == load(spark, sf_dir, "embeddings").count()
+
+
+def test_zca_whitened_covariance_is_identity(spark):
+    """The defining property: the whitened sample covariance is I (up to
+    the eps regularizer), and the whitened mean is 0."""
+    import numpy as np
+
+    from pasardassist_spark.operators.pca import zca_whiten
+
+    rng = np.random.RandomState(7)
+    A = rng.randn(4, 4)
+    X = rng.randn(400, 4) @ A + np.array([1.0, -2.0, 0.5, 3.0])
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        schema="vec_id LONG, embedding ARRAY<DOUBLE>",
+    ).repartition(8)
+    out = zca_whiten(df, "embedding", "vec_id", eps=1e-9)
+    Y = np.stack([np.asarray(r.proj) for r in out.collect()])
+    assert np.allclose(Y.mean(axis=0), 0.0, atol=1e-8)
+    cov = np.cov(Y, rowvar=False)
+    assert np.allclose(cov, np.eye(4), atol=1e-5)
+
+
+def test_zca_matches_direct_numpy(spark):
+    import numpy as np
+
+    from pasardassist_spark.operators.pca import zca_whiten
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(60, 3) * np.array([3.0, 1.0, 0.2]) + 5.0
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        schema="vec_id LONG, embedding ARRAY<DOUBLE>",
+    ).repartition(5)
+    got = {
+        r.vec_id: np.asarray(r.proj)
+        for r in zca_whiten(df, "embedding", "vec_id", eps=1e-6).collect()
+    }
+    mu = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False)
+    vals, vecs = np.linalg.eigh((cov + cov.T) / 2)
+    Wz = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, 0) + 1e-6)) @ vecs.T
+    ref = (X - mu) @ Wz  # Wz symmetric: right-multiply == transform
+    for i in range(60):
+        assert np.allclose(got[i], ref[i], atol=1e-8)
