@@ -238,6 +238,7 @@ def main() -> None:
         "sketch_bloom_filter",
         "pipeline_web_extract_clean",
         "emb_zca_whiten",
+        "text_novelty_rate",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

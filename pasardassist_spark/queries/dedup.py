@@ -806,3 +806,62 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("soft_weight"),
         )
     )
+
+
+# --------------------------------------------------------- novelty rate
+
+# First-seen n-gram novelty (the WIMBD-family ingestion-order
+# diagnostic, Elazar et al. 2024): treating doc_id as arrival order,
+# a doc's novelty is the fraction of its distinct 5-gram shingles whose
+# FIRST corpus occurrence is this doc. The curve over arrival order is
+# the standing "is the crawl saturating?" readout; near-duplicate docs
+# show up as novelty ~ 0 rows.
+
+
+@query(
+    "text_novelty_rate",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    fs AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE f.first_doc = s.doc_id) AS BIGINT)
+               AS n_novel,
+           ROUND(CAST(COUNT(*) FILTER (WHERE f.first_doc = s.doc_id)
+                      AS DOUBLE) / COUNT(*), 9) AS novelty_rate
+    FROM sh s JOIN fs f USING (shingle)
+    GROUP BY s.doc_id
+    """,
+)
+def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document first-seen shingle novelty (see module comment):
+    min-doc_id per gram via one groupBy on the gram digest, gram-keyed
+    join back, per-doc fold — the dedup_soft_weights shuffle profile
+    (hash-keyed only, O(total shingles), no doc x doc pairing). The
+    min(doc_id) attribution is exact under any partitioning, so the
+    query is order-stable at any scale."""
+    sh = D.shingles(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        "text",
+        "doc_id",
+    )
+    fs = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        sh.join(fs, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams"), 9
+            ).alias("novelty_rate"),
+        )
+    )
