@@ -75,3 +75,35 @@ def test_stray_end_tags_do_not_underflow():
         "</nav></script><p>fine</p></nav><p>also fine</p>"
     )
     assert blocks == ["fine", "also fine"]
+
+
+# ----------------------------------------------------- property testing
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_TAGS = ["p", "div", "nav", "script", "b", "a", "li", "title", "style", "h1"]
+_frag = st.one_of(
+    st.text(alphabet="ab &<>=\"'/x\n\t", max_size=12),
+    st.sampled_from(
+        [f"<{t}>" for t in _TAGS]
+        + [f"</{t}>" for t in _TAGS]
+        + ["&amp;", "&lt;", "&#65;", "<!-- c -->", "<p class='x y>"]
+    ),
+)
+
+
+@given(parts=st.lists(_frag, max_size=40))
+@settings(deadline=None, max_examples=200)
+def test_extractor_total_on_arbitrary_html(parts):
+    """The parser is total: any byte soup (unclosed tags, stray entities,
+    nested/unbalanced skip regions, attribute garbage) yields a
+    well-formed result with the structural invariants intact."""
+    from pasardassist_spark.operators.htmltext import extract_page
+
+    title, blocks, n_links = extract_page("".join(parts))
+    assert isinstance(title, str)
+    assert n_links >= 0
+    for b in blocks:
+        assert b == b.strip() and b != ""
+        assert "\n" not in b and "\t" not in b
+        assert "  " not in b  # whitespace fully collapsed
