@@ -1,0 +1,104 @@
+"""sf0.1 → sf1-equivalent scaling rows for the round-10 operators
+(BASELINE.md replica method — see tools/round9_scale.py: 10x documents
+with disjoint doc_ids and replica-prefixed tokens; 10x embeddings with
+disjoint vec_ids).
+
+Notes on what the replica does to each operator's workload:
+- the token prefixing grows the word-TYPE table 10x, so the unigram
+  trainer and the Bloom build are measured against a genuinely larger
+  vocabulary, not just more rows;
+- embeddings replicate verbatim under new ids — k-center and ZCA cost
+  depends on row count and dimension only, so duplicate vectors time
+  the honest workload.
+
+Run: PYTHONPATH=/root/repo python tools/round10_scale.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F
+
+from pasardassist_spark import get_spark
+from pasardassist_spark.queries import all_queries
+from pasardassist_spark.tables import load
+from tools.streaming_twin_scale import replicate_documents, replicate_ids
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_REPLICAS = 10
+
+QUERIES = [
+    "dedup_exact_substring",
+    "curate_c4_rules",
+    "curate_url_dedup",
+    "curate_fineweb_filters",
+    "dedup_soft_weights",
+    "text_novelty_rate",
+    "text_html_extract",
+    "pipeline_web_extract_clean",
+    "sketch_bloom_filter",
+    "unigram_train_vocab",
+    "samp_kcenter_coreset",
+    "emb_zca_whiten",
+]
+
+
+def build_replica(spark) -> str:
+    base = tempfile.mkdtemp(prefix="r10_scale_sf1_")
+    replicate_documents(
+        load(spark, SF_DIR, "documents"), N_REPLICAS, carry=["lang", "source"]
+    ).select(
+        "doc_id", "text", "lang", "source",
+        F.length("text").alias("n_chars"),
+    ).write.mode("overwrite").parquet(os.path.join(base, "documents.parquet"))
+    replicate_ids(
+        load(spark, SF_DIR, "embeddings"), ["vec_id"], N_REPLICAS
+    ).write.mode("overwrite").parquet(os.path.join(base, "embeddings.parquet"))
+    return base
+
+
+def time_query(qs, name, sf_dir) -> tuple[float, int]:
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        qs[name](SPARK, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        best = dt if best is None else min(best, dt)
+    rows = qs[name](SPARK, sf_dir).count()
+    return best, rows
+
+
+if __name__ == "__main__":
+    SPARK = get_spark("round10-scale")
+    qs = all_queries()
+    load(SPARK, SF_DIR, "documents").count()  # warmup / page cache
+    sf1 = build_replica(SPARK)
+    print(f"replica at {sf1}", file=sys.stderr)
+    rows = []
+    for name in QUERIES:
+        t01, n01 = time_query(qs, name, SF_DIR)
+        t1, n1 = time_query(qs, name, sf1)
+        row = {
+            "query": name, "sf0.1_s": t01, "sf1_s": t1,
+            "ratio": round(t1 / t01, 1), "rows0.1": n01, "rows1": n1,
+        }
+        rows.append(row)
+        print(json.dumps(row))
+    print("\n| Operator | sf0.1 (s) | sf1 (s) | wall ratio | output rows |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['query']} | {r['sf0.1_s']} | {r['sf1_s']} |"
+            f" {r['ratio']}x | {r['rows0.1']}→{r['rows1']} |"
+        )
+    shutil.rmtree(sf1, ignore_errors=True)
