@@ -239,6 +239,7 @@ def main() -> None:
         "pipeline_web_extract_clean",
         "emb_zca_whiten",
         "text_novelty_rate",
+        "graph_label_propagation",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

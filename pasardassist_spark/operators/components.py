@@ -208,3 +208,74 @@ def triangle_count_doulion(
     )
     m = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return m.crossJoin(tc)
+
+
+def label_propagation(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 5
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007) over undirected ``(src, dst)`` edges: each
+    node repeatedly adopts the most frequent label in its closed
+    neighborhood (self included — the standard damping against the
+    synchronous variant's bipartite oscillation), ties broken by the
+    SMALLEST label, so the whole run is deterministic under any
+    partitioning. Node ids must be numeric (the argmax tie-break is a
+    single max over (count, -label) structs — no per-node sort).
+
+    Returns ``(node, community)`` after ``max_iter`` rounds (LPA has no
+    convergence guarantee in general; a fixed round budget is the
+    published practice for the synchronous variant). Complexity per
+    round: one adjacency⋈labels join (adjacency pre-partitioned on the
+    join key once and reused every round — the PageRank transition-reuse
+    pattern) plus one (node, label)-keyed count and one node-keyed
+    argmax; all shuffles are hash-keyed, bounded by O(edges). Lineage is
+    cut with a localCheckpoint every other round.
+
+    Complements connected_components (pure reachability) and
+    triangle_count (local density): LPA splits a connected graph into
+    dense regions — the community-structure readout.
+    """
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .filter(
+            F.col("_a").isNotNull()
+            & F.col("_b").isNotNull()
+            & (F.col("_a") != F.col("_b"))
+        )
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("_a").alias("_v"))
+        .union(e.select("_b"))
+        .distinct()
+    )
+    # closed neighborhood: both directions + self-loop, partitioned once
+    # on the label-join key and reused every round
+    adj = (
+        e.select(F.col("_a").alias("_n"), F.col("_b").alias("_nbr"))
+        .union(e.select(F.col("_b"), F.col("_a")))
+        .union(nodes.select(F.col("_v"), F.col("_v")))
+        .repartition(n_part, "_nbr")
+        # localCheckpoint, not persist: a registered query cannot
+        # unpersist after its consumer materializes (mining.py pattern)
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("_v", F.col("_v").alias("_lbl"))
+    for it in range(max_iter):
+        votes = (
+            adj.join(labels, adj["_nbr"] == labels["_v"])
+            .groupBy("_n", "_lbl")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        labels = (
+            votes.groupBy("_n")
+            .agg(F.max(F.struct(F.col("_c"), (-F.col("_lbl")).alias("_neg"))).alias("_m"))
+            .select(F.col("_n").alias("_v"), (-F.col("_m._neg")).alias("_lbl"))
+        )
+        if it % 2 == 1:
+            labels = labels.localCheckpoint(eager=False)
+    return labels.select(
+        F.col("_v").alias("node"), F.col("_lbl").alias("community")
+    )

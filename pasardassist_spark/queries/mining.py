@@ -692,3 +692,68 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count_doulion(edges, DOULION_P_BP)
+
+
+# Shared-shingle graph bounds for the LPA fixture: grams with corpus DF
+# outside [2, LPA_MAX_GRAM_DF] are excluded before pairing (singletons
+# produce no pairs; boilerplate grams would square into d^2 pairs — the
+# same stop-gram cap every similarity-join query applies), and an edge
+# needs >= LPA_MIN_SHARED surviving shared grams.
+LPA_MAX_GRAM_DF = 20
+LPA_MIN_SHARED = 3
+
+
+@query("graph_label_propagation")  # iterative sync rounds: rows-only
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the document shared-shingle graph (docs
+    adjacent iff they share >= LPA_MIN_SHARED distinct 5-gram shingles
+    of bounded corpus DF — the near-duplicate-family structure) via
+    synchronous label propagation (operators/components.py:
+    label_propagation — closed-neighborhood majority vote, smallest-
+    label tie-break, 5 rounds). Output: one row per community with its
+    size and smallest member — the community readout complementing
+    reachability (dedup_clusters) and local density (triangle counting);
+    unlike the supplier co-occurrence graph (complete at small sf), this
+    graph has genuine communities at every scale. Edge build is the
+    standard DF-capped gram self-join (pair volume bounded by
+    sum(min(df, cap)^2), never corpus^2); per LPA round, one
+    adjacency⋈labels join against the once-partitioned adjacency plus
+    two hash-keyed aggregations, all O(edges). Rows-only driver check
+    (fixed-point iteration has no SQL form); planted-community behavior,
+    bridge resistance, determinism, and clique convergence are
+    pytest-pinned (tests/test_mining.py)."""
+    from pasardassist_spark.operators.components import label_propagation
+    from pasardassist_spark.operators.dedup import shingles
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingles(d, "text", "doc_id")
+    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    shf = (
+        sh.join(
+            df_.filter(F.col("_df").between(2, LPA_MAX_GRAM_DF)), "shingle"
+        )
+        .select("doc_id", "shingle")
+    )
+    a = shf.select(F.col("shingle"), F.col("doc_id").alias("a"))
+    b = shf.select(F.col("shingle"), F.col("doc_id").alias("b"))
+    edges = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= LPA_MIN_SHARED)
+        .select("a", "b")
+    )
+    lab = label_propagation(edges, "a", "b", max_iter=5)
+    return (
+        lab.groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("node").cast("long").alias("min_member"),
+        )
+        .select(
+            F.col("community").cast("long").alias("community"),
+            "n_members",
+            "min_member",
+        )
+    )

@@ -332,3 +332,47 @@ def test_band_self_join_carry_columns(spark):
         assert r.name_a == names[r.id_a] and r.name_b == names[r.id_b]
     bare = band_self_join(df, ["k"], "id", "v", eps=1.0).collect()
     assert {(r.id_a, r.id_b) for r in bare} == pairs
+
+
+# ------------------------------------------------------ label propagation
+
+
+def _lpa(spark, pairs, iters=5):
+    from pasardassist_spark.operators.components import label_propagation
+
+    e = spark.createDataFrame(pairs, ["a", "b"])
+    return {
+        r.node: r.community
+        for r in label_propagation(e, "a", "b", max_iter=iters).collect()
+    }
+
+
+def _clique(ids):
+    return [(a, b) for a in ids for b in ids if a < b]
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two 6-cliques joined by one bridge edge resolve to exactly two
+    communities (the bridge must NOT merge them — the property that
+    separates LPA from connected components)."""
+    pairs = _clique(range(6)) + _clique(range(10, 16)) + [(5, 10)]
+    got = _lpa(spark, pairs)
+    assert len({got[v] for v in range(6)}) == 1
+    assert len({got[v] for v in range(10, 16)}) == 1
+    assert got[0] != got[10]
+
+
+def test_lpa_single_clique_converges_to_min_id(spark):
+    got = _lpa(spark, _clique([3, 7, 11, 19]))
+    assert set(got.values()) == {3}
+
+
+def test_lpa_disconnected_components_stay_distinct(spark):
+    pairs = _clique(range(4)) + _clique(range(100, 104))
+    got = _lpa(spark, pairs)
+    assert {got[v] for v in range(4)} != {got[v] for v in range(100, 104)}
+
+
+def test_lpa_deterministic(spark):
+    pairs = _clique(range(5)) + _clique(range(20, 26)) + [(4, 20), (1, 25)]
+    assert _lpa(spark, pairs) == _lpa(spark, pairs)
