@@ -55,7 +55,10 @@ def kcenter_greedy(
     state = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
     ).cache()
-    seed = state.orderBy("_id").limit(1).collect()[0]
+    seed_rows = state.orderBy("_id").limit(1).collect()
+    if not seed_rows:
+        raise ValueError("kcenter_greedy needs at least 1 row")
+    seed = seed_rows[0]
     chosen: list[tuple[int, int, float]] = [(1, seed._id, 0.0)]
     center = list(seed._vec)
     state = state.withColumn("_mind", F.lit(float("inf")))
@@ -68,6 +71,9 @@ def kcenter_greedy(
         far = (
             state.orderBy(F.desc("_mind"), F.asc("_id")).limit(1).collect()[0]
         )
+        if far._mind == 0.0:
+            break  # every point coincides with a chosen center (k > the
+            # number of distinct vectors) — further picks would duplicate
         chosen.append((r, far._id, math.sqrt(far._mind)))
         center = list(far._vec)
     return chosen

@@ -100,6 +100,8 @@ def seed_vocab(
     freq = {r.piece: float(r.freq) for r in top}
     for r in chars:
         freq.setdefault(r.piece, float(r.freq))
+    if not freq:
+        raise ValueError("unigram seeding needs a non-empty corpus")
     total = sum(freq.values())
     return {p: f / total for p, f in freq.items()}
 

@@ -99,3 +99,25 @@ def test_two_approximation_vs_bruteforce_optimum(spark):
         _coverage_radius(pts, c) for c in combinations(sorted(pts), k)
     )
     assert greedy_r <= 2 * opt_r + 1e-9
+
+
+def test_k_exceeding_distinct_points_stops_without_duplicates(spark):
+    pts = {0: [0.0, 0.0], 1: [1.0, 0.0], 2: [0.0, 1.0], 3: [0.0, 1.0]}
+    got = kcenter_greedy(_to_df(spark, pts), "embedding", "vec_id", 10)
+    ids = [i for _, i, _ in got]
+    assert len(ids) == len(set(ids))
+    assert len(ids) == 3  # 3 distinct vectors -> 3 centers, then stop
+
+
+def test_empty_input_raises(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kcenter_greedy(
+            spark.createDataFrame(
+                [], schema="vec_id LONG, embedding ARRAY<DOUBLE>"
+            ),
+            "embedding",
+            "vec_id",
+            3,
+        )

@@ -151,3 +151,9 @@ def test_vocab_table_deterministic_order(spark, types_df):
     assert t1 == t2
     ranks = [r.rank for r in t1]
     assert ranks == sorted(ranks)
+
+
+def test_seed_empty_corpus_raises(spark):
+    empty = spark.createDataFrame([], schema="word STRING, cnt LONG")
+    with pytest.raises(ValueError):
+        U.seed_vocab(empty, n_seeds=10)
