@@ -709,3 +709,173 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return spearman_rho(cust, "x", "y")
+
+
+# ------------------------------------------------- Welch's unequal-variance t
+
+_WELCH_T_CRIT = 1.959964  # two-sided 5%, normal approx (df >> 30 here)
+
+
+@query(
+    "stat_welch_ttest",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               avg(value) AS m,
+               var_samp(value) AS v
+        FROM events
+        WHERE event_type IN ('{MW_SAMPLE_A}', '{MW_SAMPLE_B}')
+        GROUP BY event_type
+    ),
+    w AS (
+        SELECT
+            MAX(CASE WHEN event_type = '{MW_SAMPLE_A}' THEN n END) AS n_a,
+            MAX(CASE WHEN event_type = '{MW_SAMPLE_A}' THEN m END) AS m_a,
+            MAX(CASE WHEN event_type = '{MW_SAMPLE_A}' THEN v END) AS v_a,
+            MAX(CASE WHEN event_type = '{MW_SAMPLE_B}' THEN n END) AS n_b,
+            MAX(CASE WHEN event_type = '{MW_SAMPLE_B}' THEN m END) AS m_b,
+            MAX(CASE WHEN event_type = '{MW_SAMPLE_B}' THEN v END) AS v_b
+        FROM g
+    )
+    SELECT n_a, n_b,
+           round(m_a - m_b, 6) AS mean_diff,
+           round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS t,
+           round(pow(v_a / n_a + v_b / n_b, 2)
+                 / (pow(v_a / n_a, 2) / (n_a - 1)
+                    + pow(v_b / n_b, 2) / (n_b - 1)), 6) AS df,
+           abs(round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6))
+               > {_WELCH_T_CRIT} AS significant
+    FROM w
+    """,
+)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on the same two event samples as
+    stat_mannwhitney_u — the parametric mean-shift companion to that
+    rank test (run both; agreement is the robust A/B readout). The
+    Welch-Satterthwaite df is reported so a consumer can swap the
+    normal critical value for an exact t quantile off-cluster.
+
+    Spark plan: ONE partial-merging hash aggregate over the filtered
+    fact (count/avg/var_samp all carry Welford merge states), then all
+    closed-form arithmetic on a 2-row frame — nothing after the single
+    shuffle touches data-sized rows, so the plan is scan-bound at any
+    scale. 6-dp rounding absorbs cross-engine merge-order float noise
+    (the stat_moments precedent; exact at sf0.01)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(MW_SAMPLE_A, MW_SAMPLE_B)
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    is_a = F.col("event_type") == MW_SAMPLE_A
+    w = g.agg(
+        F.max(F.when(is_a, F.col("n"))).alias("n_a"),
+        F.max(F.when(is_a, F.col("m"))).alias("m_a"),
+        F.max(F.when(is_a, F.col("v"))).alias("v_a"),
+        F.max(F.when(~is_a, F.col("n"))).alias("n_b"),
+        F.max(F.when(~is_a, F.col("m"))).alias("m_b"),
+        F.max(F.when(~is_a, F.col("v"))).alias("v_b"),
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    t = F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 6)
+    df = F.round(
+        F.pow(se2, 2)
+        / (
+            F.pow(F.col("v_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+            + F.pow(F.col("v_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+        ),
+        6,
+    )
+    return w.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("m_a") - F.col("m_b"), 6).alias("mean_diff"),
+        t.alias("t"),
+        df.alias("df"),
+        (F.abs(t) > _WELCH_T_CRIT).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------- one-way ANOVA F
+
+
+@query(
+    "stat_anova_oneway",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               avg(value) AS m,
+               var_samp(value) AS v
+        FROM events GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS big_n,
+               SUM(n * m) / SUM(n) AS grand_m
+        FROM g
+    ),
+    s AS (
+        SELECT k, big_n,
+               SUM(n * (m - grand_m) * (m - grand_m)) AS ssb,
+               SUM((n - 1) * v) AS ssw
+        FROM g CROSS JOIN tot
+        GROUP BY k, big_n
+    )
+    SELECT k, big_n,
+           round(ssb, 6) AS ss_between,
+           round(ssw, 6) AS ss_within,
+           round((ssb / (k - 1)) / (ssw / (big_n - k)), 6) AS f_stat
+    FROM s
+    """,
+)
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F over all event types: does mean event value
+    differ across the k types? Generalizes stat_welch_ttest's 2-sample
+    question to the full categorical fan; the standard gate before
+    per-pair drill-downs (which pairs differ is then Welch's job).
+
+    Spark plan: one partial-merging hash aggregate at event_type grain,
+    then the grand mean and the between/within sums on the k-row frame
+    — the k-row grand-total pass reuses the 1-row-broadcast crossJoin
+    combiner pattern (queries/mining.py triangle combiners), so nothing
+    after the single fact shuffle is data-sized. SSB/SSW identities
+    (SSB+SSW == total SS) are pytest-pinned; 6-dp rounding absorbs
+    merge-order float noise as in stat_moments."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("big_n"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("grand_m"),
+    )
+    s = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("k", "big_n")
+        .agg(
+            F.sum(
+                F.col("n")
+                * (F.col("m") - F.col("grand_m"))
+                * (F.col("m") - F.col("grand_m"))
+            ).alias("ssb"),
+            F.sum((F.col("n") - 1) * F.col("v")).alias("ssw"),
+        )
+    )
+    return s.select(
+        "k",
+        "big_n",
+        F.round("ssb", 6).alias("ss_between"),
+        F.round("ssw", 6).alias("ss_within"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("big_n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )

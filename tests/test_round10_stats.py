@@ -1,0 +1,60 @@
+"""Round-10 statistics additions: Welch's t, one-way ANOVA, and their
+internal identities — the invariants the driver's value-hash can't see."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pasardassist_spark.queries.registry import REGISTRY, _load_all
+from pasardassist_spark.tables import load
+
+_load_all()
+
+
+def test_anova_partition_identity(spark, sf_dir):
+    """SSB + SSW must equal the total sum of squares Σ(x - x̄)² — the
+    ANOVA decomposition identity, computed here directly from the raw
+    events so a bug in the grouped-moment assembly cannot self-confirm."""
+    row = REGISTRY["stat_anova_oneway"].fn(spark, sf_dir).collect()[0]
+    ev = load(spark, sf_dir, "events")
+    grand = ev.agg(F.avg("value").alias("m")).collect()[0].m
+    sst = (
+        ev.select(((F.col("value") - grand) ** 2).alias("d"))
+        .agg(F.sum("d").alias("sst"))
+        .collect()[0]
+        .sst
+    )
+    assert math.isclose(row.ss_between + row.ss_within, sst, rel_tol=1e-6)
+    assert row.f_stat > 0
+    assert row.k >= 2 and row.big_n > row.k
+
+
+def test_welch_matches_direct_computation(spark, sf_dir):
+    """The 2-row-frame Welch assembly must equal a direct two-collect
+    computation of the same closed form (catches max/when pivot bugs)."""
+    row = REGISTRY["stat_welch_ttest"].fn(spark, sf_dir).collect()[0]
+    ev = load(spark, sf_dir, "events")
+
+    def moments(et):
+        r = (
+            ev.filter(F.col("event_type") == et)
+            .agg(
+                F.count("*").alias("n"),
+                F.avg("value").alias("m"),
+                F.var_samp("value").alias("v"),
+            )
+            .collect()[0]
+        )
+        return r.n, r.m, r.v
+
+    na, ma, va = moments("purchase")
+    nb, mb, vb = moments("view")
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    df = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert row.n_a == na and row.n_b == nb
+    assert math.isclose(row.t, t, abs_tol=1e-5)
+    assert math.isclose(row.df, df, rel_tol=1e-5)
+    assert row.significant == (abs(round(t, 6)) > 1.959964)
