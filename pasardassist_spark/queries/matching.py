@@ -879,3 +879,109 @@ def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_stat"),
     )
+
+
+# ------------------------------------------- Theil-Sen robust regression
+
+# Deterministic 16-bit md5 gate on the point set before the O(K^2) pair
+# stage: Theil-Sen's breakdown point (29%) and its convergence rate hold
+# on a uniform subsample, so production tunes this gate so K stays ~1e4
+# (1e8 pairs across the cluster) no matter the corpus size. 6554/65536
+# ~ 10% keeps K ~ |custkeys|/10 at bench scales.
+_TS_GATE = 6554
+
+
+@query(
+    "stat_theilsen_line",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               SUM(o_totalprice) AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    g AS (
+        SELECT x, y FROM cust
+        WHERE (instr('0123456789abcdef', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1)) - 1) * 4096
+            + (instr('0123456789abcdef', substr(md5(CAST(o_custkey AS VARCHAR)), 2, 1)) - 1) * 256
+            + (instr('0123456789abcdef', substr(md5(CAST(o_custkey AS VARCHAR)), 3, 1)) - 1) * 16
+            + (instr('0123456789abcdef', substr(md5(CAST(o_custkey AS VARCHAR)), 4, 1)) - 1)
+            < {_TS_GATE}
+    ),
+    sl AS (
+        SELECT CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+        FROM g a JOIN g b ON a.x < b.x OR (a.x = b.x AND a.y < b.y)
+        WHERE a.x <> b.x
+    ),
+    m AS (SELECT median(slope) AS slope FROM sl),
+    ic AS (
+        SELECT median(CAST(y AS DOUBLE) - slope * x) AS intercept, slope
+        FROM g CROSS JOIN m GROUP BY slope
+    )
+    SELECT CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS k_points,
+           CAST((SELECT COUNT(*) FROM sl) AS BIGINT) AS n_pairs,
+           round(slope, 6) AS slope,
+           round(intercept, 6) AS intercept
+    FROM ic
+    """,
+)
+def stat_theilsen_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust line fit of per-customer spend against order
+    count — the median-of-pairwise-slopes estimator (29% breakdown
+    point), the outlier-proof companion to stat_linreg's OLS on the same
+    heavy-tailed spend axis.
+
+    Spark plan: the point set is first cut by a deterministic md5 gate
+    (production knob: keep K ~ 1e4 so the pair stage is ~1e8 slope rows
+    spread over the cluster — Theil-Sen's guarantees survive uniform
+    subsampling, and the gate composes under any partitioning). The
+    pair stage is an explicit BroadcastNestedLoopJoin of the K-row frame
+    against itself (strict (x, y)-lexicographic ordering dedups pairs;
+    equal-x pairs contribute no slope), never a corpus-sized shuffle.
+    Both medians are exact (Spark F.median == DuckDB median, averaging
+    middles on even counts); the intercept median reuses the 1-row
+    broadcast-slope crossJoin combiner. 6-dp rounding absorbs the
+    interpolation ulp."""
+    cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum("o_totalprice").alias("y"),
+        )
+    )
+    gate = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    g = cust.filter(gate < _TS_GATE).select("x", "y")
+    a = g.alias("a")
+    b = g.alias("b")
+    ax, ay = F.col("a.x"), F.col("a.y")
+    bx, by = F.col("b.x"), F.col("b.y")
+    pairs = a.join(
+        F.broadcast(b),
+        ((ax < bx) | ((ax == bx) & (ay < by))) & (ax != bx),
+    )
+    sl = pairs.select(
+        ((by - ay).cast("double") / (bx - ax).cast("double")).alias("slope")
+    )
+    m = sl.agg(
+        F.median("slope").alias("slope"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    ic = (
+        g.crossJoin(F.broadcast(m))
+        .groupBy("slope", "n_pairs")
+        .agg(
+            F.median(F.col("y").cast("double") - F.col("slope") * F.col("x")).alias(
+                "intercept"
+            ),
+            F.count(F.lit(1)).cast("long").alias("k_points"),
+        )
+    )
+    return ic.select(
+        "k_points",
+        "n_pairs",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )

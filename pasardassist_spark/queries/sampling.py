@@ -385,3 +385,107 @@ def samp_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return kcenter_table(spark, d, "embedding", "vec_id", KCENTER_K)
+
+
+# ------------------------------------------- exact stratified train/val/test
+
+SPLIT_TRAIN_PCT = 80  # integer percents: thresholds are exact BIGINT math
+SPLIT_VAL_PCT = 10
+
+
+def _hkey40_sql(col: str = "doc_id") -> str:
+    """DuckDB expression: first 40 bits of md5(CAST(col AS VARCHAR)) as a
+    BIGINT, via the nibble-decode chain (the samp_deterministic pattern,
+    widened from 4 to 10 hex digits)."""
+    terms = [
+        f"(instr('0123456789abcdef', substr(md5(CAST({col} AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (9 - i)}"
+        for i in range(10)
+    ]
+    return "(" + "\n        + ".join(terms) + ")"
+
+
+@query(
+    "split_stratified_exact",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, {_hkey40_sql()} AS hkey FROM documents
+    ),
+    r AS (
+        SELECT doc_id, lang,
+               RANK() OVER (PARTITION BY lang ORDER BY hkey) AS rk,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM d
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rk <= ({SPLIT_TRAIN_PCT} * n) // 100 THEN 'train'
+                WHEN rk <= ({SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} * n) // 100
+                    THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    """,
+)
+def split_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-proportion stratified train/val/test split: within every
+    language stratum, exactly floor(80% · n) docs are train and the next
+    floor(10% · n) are val — the guarantee hash-GATE sampling
+    (samp_deterministic) cannot give, needed whenever eval sets must hit
+    their budgeted size per language. Ordering inside a stratum is by a
+    40-bit md5 of doc_id, so membership is a pure function of (corpus,
+    doc_id) — stable under repartitioning, re-runs, and engines.
+
+    Spark plan — NO per-stratum global window: with few large strata a
+    `Window.partitionBy(lang)` rank would route the whole corpus through
+    |langs| tasks (the skew worst case). Instead the stratum index is
+    packed into the high bits of a composite key above the 40-bit hash
+    and the rank comes from the two-phase distributed prefix sum
+    (operators/packing.py — 256 range buckets, each sorting locally),
+    with per-stratum offsets/totals joined back from the metadata-scale
+    stratum table. Rank ties (40-bit hash collisions) share a rank in
+    BOTH engines (prefix-sum "strictly smaller" == RANK semantics), so
+    the oracle certifies the assignment bit-for-bit; thresholds are
+    integer BIGINT math (p·n // 100), no float boundary hazard."""
+    from pasardassist_spark.operators.packing import exclusive_prefix_sum
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    hkey = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    d = d.withColumn("hkey", hkey)
+
+    strata = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "stratum_idx",
+            F.row_number().over(W.orderBy("lang")) - 1,
+        )
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    W.orderBy("stratum_idx").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    keyed = (
+        d.join(F.broadcast(strata), "lang")
+        .withColumn("ckey", F.col("stratum_idx") * F.lit(1 << 41) + F.col("hkey"))
+        .withColumn("one", F.lit(1).cast("long"))
+    )
+    ranked = exclusive_prefix_sum(keyed, "ckey", "one", out="cnt_before")
+    rk = F.col("cnt_before") - F.col("offset") + 1
+    train_cut = F.expr(f"({SPLIT_TRAIN_PCT} * n) div 100")
+    val_cut = F.expr(f"({SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} * n) div 100")
+    return ranked.select(
+        "doc_id",
+        "lang",
+        F.when(rk <= train_cut, F.lit("train"))
+        .when(rk <= val_cut, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -58,3 +58,59 @@ def test_welch_matches_direct_computation(spark, sf_dir):
     assert math.isclose(row.t, t, abs_tol=1e-5)
     assert math.isclose(row.df, df, rel_tol=1e-5)
     assert row.significant == (abs(round(t, 6)) > 1.959964)
+
+
+def test_stratified_split_exact_proportions(spark, sf_dir):
+    """Per-stratum split sizes must hit floor(p·n/100) EXACTLY (the whole
+    point vs hash-gate sampling), every doc appears once, and the
+    assignment is deterministic across runs."""
+    out = REGISTRY["split_stratified_exact"].fn(spark, sf_dir)
+    rows = out.collect()
+    again = REGISTRY["split_stratified_exact"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    docs = load(spark, sf_dir, "documents")
+    assert len(rows) == docs.count()
+    assert len({r.doc_id for r in rows}) == len(rows)
+
+    per = {}
+    for r in rows:
+        per.setdefault(r.lang, {"train": 0, "val": 0, "test": 0})
+        per[r.lang][r.split] += 1
+    for lang, c in per.items():
+        n = sum(c.values())
+        assert c["train"] == (80 * n) // 100, (lang, c, n)
+        assert c["train"] + c["val"] == (90 * n) // 100, (lang, c, n)
+
+
+def test_theilsen_matches_sequential_reference(spark, sf_dir):
+    """The distributed pair/median assembly must equal a pure-Python
+    median-of-slopes on the identical gated point set."""
+    import hashlib
+    import statistics
+
+    row = REGISTRY["stat_theilsen_line"].fn(spark, sf_dir).collect()[0]
+    cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("x"), F.sum("o_totalprice").alias("y"))
+        .collect()
+    )
+    pts = [
+        (r.x, float(r.y))
+        for r in cust
+        if int(hashlib.md5(str(r.o_custkey).encode()).hexdigest()[:4], 16) < 6554
+    ]
+    slopes = [
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1 :]
+        if x1 != x2
+    ]
+    # pair count is order-insensitive (every unordered pair with x1!=x2)
+    assert row.k_points == len(pts)
+    assert row.n_pairs == len(slopes)
+    slope = statistics.median(slopes)
+    intercept = statistics.median(y - slope * x for x, y in pts)
+    assert math.isclose(row.slope, slope, rel_tol=1e-9)
+    assert math.isclose(row.intercept, intercept, rel_tol=1e-9)
