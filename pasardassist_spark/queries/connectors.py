@@ -75,3 +75,32 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     d.write.mode("overwrite").orc(tmp)
     return spark.read.schema(d.schema).orc(tmp)
+
+
+@query(
+    "src_avro_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container source/sink, closed-loop (sources/avro.py):
+    export the documents table as 8 deflate-codec .avro shards (hand-
+    rolled container writer — magic, schema/codec metadata map, zigzag
+    block framing, per-block sync markers), read them back under the
+    ORIGINAL explicit schema with the binaryFile + mapInPandas decoder,
+    and hash-compare against the parquet table. Certifies the full
+    binary-encoding path (zigzag varints, union null branches, UTF-8
+    lengths, raw-deflate blocks) on real free text. Write is
+    task-parallel (shard per partition), read is task-parallel (shard
+    per task); the only collect is the 8-row shard manifest. Completes
+    the interchange quartet: JSONL, WARC, TFRecord, Avro."""
+    from pasardassist_spark.sources.avro import read_avro, write_avro
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    staged = d.repartition(8, "doc_id")
+    tmp = tempfile.mkdtemp(prefix="pasard_avro_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    manifest = write_avro(staged, tmp, codec="deflate").collect()
+    assert sum(m.n_records for m in manifest) > 0
+    return read_avro(spark, tmp, d.schema)
