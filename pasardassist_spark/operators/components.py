@@ -279,3 +279,71 @@ def label_propagation(
     return labels.select(
         F.col("_v").alias("node"), F.col("_lbl").alias("community")
     )
+
+
+def kcore(
+    edges: DataFrame, k: int, src: str = "a", dst: str = "b", max_iter: int = 20
+) -> DataFrame:
+    """k-core extraction (Seidman 1983) by synchronous peeling: repeatedly
+    delete every vertex whose degree in the SURVIVING subgraph is < k,
+    until a fixpoint — what remains is the unique maximal subgraph with
+    minimum degree >= k, the standard "dense backbone" cut used to strip
+    weakly-attached documents/accounts before community or influence
+    analysis (complements label_propagation: LPA partitions, k-core
+    filters by local robustness).
+
+    Returns ``(node, core_degree)`` for surviving vertices. Deterministic:
+    the fixpoint is unique regardless of peeling order (Seidman), so
+    synchronous rounds under any partitioning converge to the same set.
+
+    Scale shape: each round is one degree aggregation plus two hash
+    semi-joins, all O(edges) and key-partitioned — no global structure.
+    Convergence needs at most |V| rounds in theory but in practice a few
+    (each round removes every vertex currently below k, a large fraction
+    of the periphery at once); the driver-side loop early-exits on the
+    first round that removes nothing, at the cost of one count() action
+    per round (a scalar aggregate, not a collect). Lineage is cut with a
+    localCheckpoint every round since each round's edge set feeds the
+    next."""
+    if k < 1:
+        raise ValueError(f"kcore: k must be >= 1, got {k}")
+    e = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .filter(
+            F.col("_a").isNotNull()
+            & F.col("_b").isNotNull()
+            & (F.col("_a") != F.col("_b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("_a").alias("_v"))
+            .union(e.select("_b"))
+            .groupBy("_v")
+            .agg(F.count(F.lit(1)).alias("_d"))
+        )
+        keep = deg.filter(F.col("_d") >= k).select("_v")
+        e2 = (
+            e.join(keep.withColumnRenamed("_v", "_a"), "_a", "left_semi")
+            .join(keep.withColumnRenamed("_v", "_b"), "_b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n2 = e2.count()
+        e = e2
+        if n2 == n_edges:
+            break
+        n_edges = n2
+    deg = (
+        e.select(F.col("_a").alias("_v"))
+        .union(e.select("_b"))
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    return deg.select(
+        F.col("_v").alias("node"), F.col("_d").alias("core_degree")
+    )

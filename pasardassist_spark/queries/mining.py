@@ -703,6 +703,32 @@ LPA_MAX_GRAM_DF = 20
 LPA_MIN_SHARED = 3
 
 
+def _shingle_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document shared-shingle graph: docs adjacent iff they share >=
+    LPA_MIN_SHARED distinct 5-gram shingles of corpus DF in
+    [2, LPA_MAX_GRAM_DF]. The DF cap bounds the gram self-join at
+    sum(min(df, cap)^2) pairs, never corpus^2. Shared fixture of the
+    LPA and k-core queries (identical semantics by construction)."""
+    from pasardassist_spark.operators.dedup import shingles
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingles(d, "text", "doc_id")
+    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    shf = sh.join(
+        df_.filter(F.col("_df").between(2, LPA_MAX_GRAM_DF)), "shingle"
+    ).select("doc_id", "shingle")
+    a = shf.select(F.col("shingle"), F.col("doc_id").alias("a"))
+    b = shf.select(F.col("shingle"), F.col("doc_id").alias("b"))
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= LPA_MIN_SHARED)
+        .select("a", "b")
+    )
+
+
 @query("graph_label_propagation")  # iterative sync rounds: rows-only
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection over the document shared-shingle graph (docs
@@ -723,27 +749,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bridge resistance, determinism, and clique convergence are
     pytest-pinned (tests/test_mining.py)."""
     from pasardassist_spark.operators.components import label_propagation
-    from pasardassist_spark.operators.dedup import shingles
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = shingles(d, "text", "doc_id")
-    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    shf = (
-        sh.join(
-            df_.filter(F.col("_df").between(2, LPA_MAX_GRAM_DF)), "shingle"
-        )
-        .select("doc_id", "shingle")
-    )
-    a = shf.select(F.col("shingle"), F.col("doc_id").alias("a"))
-    b = shf.select(F.col("shingle"), F.col("doc_id").alias("b"))
-    edges = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= LPA_MIN_SHARED)
-        .select("a", "b")
-    )
+    edges = _shingle_graph_edges(spark, sf_dir)
     lab = label_propagation(edges, "a", "b", max_iter=5)
     return (
         lab.groupBy("community")
@@ -757,3 +764,87 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_member",
         )
     )
+
+
+KCORE_K = 6
+KCORE_MIN_W = 2  # trade edges need >= 2 lineitems (relationship, not one-off)
+KCORE_ROUNDS = 20  # fixed peeling budget, mirrored in the unrolled oracle
+
+
+def _kcore_oracle() -> str:
+    """Unrolled fixed-round peeling SQL generated from the same
+    (k, min_w, rounds) constants as the Spark plan (the graph_pagerank
+    oracle pattern). Running the full KCORE_ROUNDS is equivalent to the
+    operator's early-exit: once the fixpoint is reached every further
+    round is a no-op, so both sides agree even if convergence lands
+    anywhere inside the budget."""
+    rounds = []
+    for t in range(KCORE_ROUNDS):
+        rounds.append(
+            f"""k{t} AS MATERIALIZED (
+        SELECT v FROM (
+            SELECT a AS v FROM e{t} UNION ALL SELECT b FROM e{t}
+        ) GROUP BY v HAVING COUNT(*) >= {KCORE_K}
+    ),
+    e{t + 1} AS MATERIALIZED (
+        SELECT a, b FROM e{t}
+        WHERE a IN (SELECT v FROM k{t}) AND b IN (SELECT v FROM k{t})
+    )"""
+        )
+    return f"""
+    WITH e0 AS MATERIALIZED (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+               's' || CAST(l_suppkey AS VARCHAR) AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {KCORE_MIN_W}
+    ),
+    {", ".join(rounds)}
+    SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM (
+        SELECT a AS v FROM e{KCORE_ROUNDS}
+        UNION ALL SELECT b FROM e{KCORE_ROUNDS}
+    ) GROUP BY v
+    """
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-core of the bipartite customer<->supplier trade graph (same
+    fixture family as graph_pagerank, gated to repeat relationships of
+    >= KCORE_MIN_W lineitems): the unique maximal subgraph where every
+    surviving party keeps >= 6 repeat counterparties after all weakly-
+    attached ones are recursively peeled — the dense-backbone cut
+    (Seidman 1983) that global degree filters can't produce, because a
+    node's survival depends on its NEIGHBORS surviving. Output: one row
+    per surviving node with its in-core degree (the shared-shingle doc
+    graph was measured too sparse at test scales to exercise peeling;
+    this graph peels ~40% of nodes at sf0.01).
+
+    Spark shape (operators/components.py:kcore): synchronous peeling —
+    per round one degree aggregate and two hash semi-joins, all
+    O(edges); the fixpoint is order-independent so the result is
+    deterministic under any partitioning. The oracle unrolls the SAME
+    fixed peeling budget as nested CTEs (the pagerank-oracle pattern),
+    so the hash match certifies every round's survivor set; exact
+    equality with a sequential pure-Python peeler, minimum-degree
+    soundness, and determinism are additionally pytest-pinned."""
+    from pasardassist_spark.operators.components import kcore
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= KCORE_MIN_W)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+        )
+    )
+    core = kcore(edges, KCORE_K, max_iter=KCORE_ROUNDS)
+    return core.select(
+        F.col("node").alias("node"),
+        F.col("core_degree").cast("long").alias("core_degree"),
+    ).orderBy("node")
