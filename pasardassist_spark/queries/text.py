@@ -1099,3 +1099,54 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# ------------------------------------------------- WordPiece tokenizer
+
+WORDPIECE_MERGES = 30
+
+
+@query("wordpiece_train_vocab")  # iterative merge loop: not SQL-expressible
+def wordpiece_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer training (Schuster & Nakajima 2012 / the BERT
+    tokenizer; operators/wordpiece.py): the BPE merge loop re-ranked by
+    the likelihood score count(ab)/(count(a)count(b)) with ##-prefixed
+    continuation symbols — the third member of the subword family next
+    to bpe_train_merge_table (frequency-ranked) and unigram_train_vocab
+    (EM-pruned). Output: the shipped vocab table ([UNK], observed
+    chars, merge products, in the deterministic BERT layout) with
+    stable integer ids. Corpus-sized work is the one word-type groupBy;
+    each merge round is two hash aggregations over the type table plus
+    a 1-row argmax. Rows-only driver check (iterative training has no
+    SQL form); score-vs-count divergence, sequential-reference
+    equality, and ## join semantics are pytest-pinned
+    (tests/test_wordpiece.py)."""
+    from pasardassist_spark.operators.wordpiece import wordpiece_vocab
+
+    d = load(spark, sf_dir, "documents").select("text")
+    vocab, _ = wordpiece_vocab(d, "text", WORDPIECE_MERGES)
+    return spark.createDataFrame(
+        [(i, tok) for i, tok in enumerate(vocab)], "token_id int, token string"
+    )
+
+
+@query("wordpiece_encode_corpus")  # depends on the trained vocab: rows-only
+def wordpiece_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match-first WordPiece encoding of the corpus under
+    the trained vocab (the published BERT WordPieceTokenizer semantics,
+    incl. the whole-word [UNK] fallback): per-doc piece/unknown counts.
+    Plan shape is the bpe_encode word-TYPE amortization — distinct
+    types encode once through an Arrow-batched pandas UDF against the
+    broadcast vocab set, the type→pieces map joins back on the word
+    equi-key, per-doc order restored by position. Scales as one
+    type-grain shuffle + one equi-join at 100 TB; greedy matching is
+    pytest-pinned against hand cases and the training corpus
+    (tests/test_wordpiece.py)."""
+    from pasardassist_spark.operators.wordpiece import (
+        wordpiece_encode,
+        wordpiece_vocab,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    vocab, _ = wordpiece_vocab(d.select("text"), "text", WORDPIECE_MERGES)
+    return wordpiece_encode(d.select("doc_id", "text"), "text", "doc_id", vocab)
