@@ -985,3 +985,141 @@ def stat_theilsen_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 6).alias("slope"),
         F.round("intercept", 6).alias("intercept"),
     )
+
+
+# ------------------------------------------- Poisson bootstrap CI
+
+# Distributed bootstrap via per-(row, replica) Poisson(1) weights (the
+# published single-pass bootstrap for map-reduce engines — Chamandy et
+# al. 2012, "Estimating Uncertainty for Massive Data Streams", Google):
+# resampling WITH replacement is approximated by giving every row an
+# independent Poisson(1) multiplicity in each replica, which needs no
+# global coordination and composes under any partitioning. Weights are
+# DETERMINISTIC here: u = first 32 md5 bits of "event_id:replica",
+# inverted through the Poisson(1) CDF — reproducible across engines and
+# runs, so the whole procedure is hash-checkable.
+BOOT_B = 40
+# Poisson(1) CDF breakpoints scaled to 2^32 (floor(cdf * 2^32)), k=0..5;
+# u >= last -> 6. Exact integer constants so both engines compare the
+# same u32 against the same thresholds.
+_POIS_CDF_U32 = [1580030169, 3160060338, 3950075422, 4213413784,
+                 4279248374, 4292415292]
+
+
+def _boot_weight_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF_U32)
+    )
+    return f"(CASE {cases} ELSE 6 END)"
+
+
+@query(
+    "stat_bootstrap_ci",
+    oracle=f"""
+    WITH h AS (
+        SELECT value, b.b AS b,
+               md5(CAST(event_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR))
+                   AS h
+        FROM events
+        CROSS JOIN (SELECT unnest(range({BOOT_B})) AS b) b
+    ),
+    r AS (
+        SELECT value, b,
+               (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+             + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+             + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+             + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+             + (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+             + (instr('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+             + (instr('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(h, 8, 1)) - 1) AS u32
+        FROM h
+    ),
+    m AS (
+        SELECT b,
+               SUM({_boot_weight_sql('u32')} * value)
+               / SUM({_boot_weight_sql('u32')}) AS mb
+        FROM r GROUP BY b
+        HAVING SUM({_boot_weight_sql('u32')}) > 0
+    ),
+    pt AS (SELECT avg(value) AS point_mean, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events)
+    SELECT n,
+           round(point_mean, 6) AS point_mean,
+           CAST(COUNT(*) AS BIGINT) AS n_replicas,
+           round(quantile_cont(mb, 0.025), 6) AS ci_lo,
+           round(quantile_cont(mb, 0.975), 6) AS ci_hi
+    FROM m CROSS JOIN pt
+    GROUP BY n, point_mean
+    """,
+)
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean event value via
+    the single-pass Poisson bootstrap (Chamandy et al. 2012): every row
+    contributes a deterministic Poisson(1) multiplicity to each of
+    BOOT_B replicas (md5-derived u32 through the exact integer CDF
+    breakpoints), replica means reduce in one hash aggregation, and the
+    interval is the 2.5/97.5 percentile of the B means. The method of
+    record for uncertainty at map-reduce scale — true resampling would
+    need B full shuffles of the corpus; this needs ONE aggregation pass
+    whose shuffle volume is B rows per partition (map-side partial
+    combine after the replica explode), independent of corpus size.
+
+    Determinism: weights are pure column math from md5(event_id:b) in
+    both engines; the only floats crossing a reduction are the weighted
+    sums, absorbed by 6-dp rounding (stat_moments precedent). Exact
+    percentile with linear interpolation on the B-row replica frame
+    (Spark percentile == DuckDB quantile_cont definitionally)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("event_id").cast("string"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    r = ev.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    ).select("value", "b", u32.alias("u32"))
+    w = F.lit(6)
+    for k in range(len(_POIS_CDF_U32) - 1, -1, -1):
+        w = F.when(F.col("u32") < _POIS_CDF_U32[k], F.lit(k)).otherwise(w)
+    m = (
+        r.select("b", "value", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("mb"),
+            F.sum("w").alias("wtot"),
+        )
+        .filter(F.col("wtot") > 0)
+    )
+    pt = ev.agg(
+        F.avg("value").alias("point_mean"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return (
+        m.crossJoin(F.broadcast(pt))
+        .groupBy("n", "point_mean")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_replicas"),
+            F.round(F.percentile("mb", F.lit(0.025)), 6).alias("ci_lo"),
+            F.round(F.percentile("mb", F.lit(0.975)), 6).alias("ci_hi"),
+        )
+        .select(
+            "n",
+            F.round("point_mean", 6).alias("point_mean"),
+            "n_replicas",
+            "ci_lo",
+            "ci_hi",
+        )
+    )

@@ -1150,3 +1150,92 @@ def wordpiece_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     vocab, _ = wordpiece_vocab(d.select("text"), "text", WORDPIECE_MERGES)
     return wordpiece_encode(d.select("doc_id", "text"), "text", "doc_id", vocab)
+
+
+# ------------------------------------------------- readability scoring
+
+# Flesch constants (Flesch 1948; Kincaid et al. 1975) and the
+# deterministic sentence re-lining: the synthetic corpus carries no
+# sentence punctuation, so sentences are defined as fixed 8-word lines
+# (the C4/pii deterministic-augmentation pattern — both engines derive
+# the SAME structure from the same token ground truth).
+READ_WORDS_PER_SENT = 8
+
+
+@query(
+    "text_readability",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents
+        WHERE length(trim(text)) > 0
+    ),
+    syl AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+'))))
+                    AS BIGINT) AS n_syllables
+        FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_syllables,
+           CAST(CEIL(CAST(n_words AS DOUBLE) / {READ_WORDS_PER_SENT})
+                AS BIGINT) AS n_sentences,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE)
+                            / CEIL(CAST(n_words AS DOUBLE)
+                                   / {READ_WORDS_PER_SENT}))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words),
+                 6) AS flesch_ease,
+           round(0.39 * (CAST(n_words AS DOUBLE)
+                         / CEIL(CAST(n_words AS DOUBLE)
+                                / {READ_WORDS_PER_SENT}))
+                 + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                 - 15.59, 6) AS fk_grade
+    FROM syl
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document — the
+    classic curation readability screens (both published closed forms
+    over words/sentences/syllables). Syllables are the standard
+    vowel-group heuristic (maximal [aeiouy]+ runs, min 1/word) computed
+    with the IDENTICAL regex in both engines; sentences are the
+    deterministic 8-word re-lining since the synthetic corpus carries
+    no punctuation (documented fixture choice — on real corpora the
+    sentence count comes from the C4 line splitter upstream).
+
+    Spark plan: posexplode to words, one regexp_count per word
+    (JVM-side, no UDF), one doc-keyed hash aggregation, closed-form
+    arithmetic at the edge with 6-dp rounding. One shuffle at doc
+    grain; scales as a scan."""
+    from pasardassist_spark.operators.text import tokens
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    words = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    syl = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(
+            F.greatest(F.lit(1), F.regexp_count("w", F.lit("[aeiouy]+")))
+        )
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    wps = F.lit(READ_WORDS_PER_SENT)
+    n_sent = F.ceil(F.col("n_words").cast("double") / wps)
+    w_per_s = F.col("n_words").cast("double") / n_sent
+    syl_per_w = F.col("n_syllables").cast("double") / F.col("n_words")
+    return syl.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        n_sent.cast("long").alias("n_sentences"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * w_per_s - F.lit(84.6) * syl_per_w, 6
+        ).alias("flesch_ease"),
+        F.round(
+            F.lit(0.39) * w_per_s + F.lit(11.8) * syl_per_w - F.lit(15.59), 6
+        ).alias("fk_grade"),
+    )

@@ -114,3 +114,74 @@ def test_theilsen_matches_sequential_reference(spark, sf_dir):
     intercept = statistics.median(y - slope * x for x, y in pts)
     assert math.isclose(row.slope, slope, rel_tol=1e-9)
     assert math.isclose(row.intercept, intercept, rel_tol=1e-9)
+
+
+def test_readability_syllable_heuristic_and_bounds(spark, sf_dir):
+    """Syllable counts must equal the vowel-group heuristic computed in
+    Python over the same tokenization, and sentence re-lining must give
+    ceil(words/8)."""
+    import re
+
+    rows = REGISTRY["text_readability"].fn(spark, sf_dir).collect()
+    docs = {r.doc_id: r.text for r in load(spark, sf_dir, "documents").collect()}
+    assert len(rows) == sum(1 for t in docs.values() if t.strip())
+    for r in rows[:50]:
+        words = docs[r.doc_id].strip().split()
+        syl = sum(max(1, len(re.findall(r"[aeiouy]+", w))) for w in words)
+        assert r.n_words == len(words)
+        assert r.n_syllables == syl
+        assert r.n_sentences == -(-len(words) // 8)
+        est = 206.835 - 1.015 * (len(words) / r.n_sentences) - 84.6 * (syl / len(words))
+        assert math.isclose(r.flesch_ease, est, abs_tol=1e-5)
+
+
+def test_bootstrap_ci_statistical_sanity(spark, sf_dir):
+    """The Poisson bootstrap interval must bracket the point mean, be
+    ordered, and have width in a plausible range for n ~ 60k: roughly
+    t * sd/sqrt(n) * 2 within a factor of 3 (the Poisson approximation
+    and B=40 discretization both widen/narrow modestly)."""
+    row = REGISTRY["stat_bootstrap_ci"].fn(spark, sf_dir).collect()[0]
+    assert row.n_replicas == 40
+    assert row.ci_lo < row.point_mean < row.ci_hi
+    ev = load(spark, sf_dir, "events")
+    st = ev.agg(
+        F.stddev_samp("value").alias("sd"), F.count("*").alias("n")
+    ).collect()[0]
+    se = st.sd / math.sqrt(st.n)
+    width = row.ci_hi - row.ci_lo
+    assert 2 * 1.96 * se / 3 < width < 2 * 1.96 * se * 3
+
+
+def test_bootstrap_weights_are_poisson1_like(spark, sf_dir):
+    """The md5-derived weights must average ~1 with variance ~1 (the
+    Poisson(1) moments), else the CDF breakpoints are wrong."""
+    from pasardassist_spark.queries.matching import _POIS_CDF_U32, BOOT_B
+
+    ev = load(spark, sf_dir, "events").select("event_id").limit(2000)
+    r = ev.select(
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("event_id").cast("string"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(6)
+    for k in range(len(_POIS_CDF_U32) - 1, -1, -1):
+        w = F.when(u32 < _POIS_CDF_U32[k], F.lit(k)).otherwise(w)
+    st = r.select(w.alias("w")).agg(
+        F.avg("w").alias("m"), F.var_samp("w").alias("v")
+    ).collect()[0]
+    assert abs(st.m - 1.0) < 0.05
+    assert abs(st.v - 1.0) < 0.1
