@@ -240,6 +240,17 @@ def main() -> None:
         "emb_zca_whiten",
         "text_novelty_rate",
         "graph_label_propagation",
+        # round-10 continuation, third batch
+        "stat_welch_ttest",
+        "stat_anova_oneway",
+        "split_stratified_exact",
+        "stat_theilsen_line",
+        "src_avro_roundtrip",
+        "graph_kcore",
+        "wordpiece_train_vocab",
+        "wordpiece_encode_corpus",
+        "text_readability",
+        "stat_bootstrap_ci",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

@@ -334,6 +334,9 @@ def kcore(
             .localCheckpoint(eager=True)
         )
         n2 = e2.count()
+        # each checkpoint pins an executor-cached edge copy for the
+        # session; release the superseded round (the bpe.py discipline)
+        e.unpersist()
         e = e2
         if n2 == n_edges:
             break

@@ -941,7 +941,13 @@ def stat_theilsen_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both medians are exact (Spark F.median == DuckDB median, averaging
     middles on even counts); the intercept median reuses the 1-row
     broadcast-slope crossJoin combiner. 6-dp rounding absorbs the
-    interpolation ulp."""
+    interpolation ulp.
+
+    Single-reducer bound: an exact median buffers all K^2/2 slopes in
+    one final reducer (~400 MB at the K=1e4 ceiling — survivable but
+    the bottleneck); past that, swap F.median for
+    percentile_approx(0.5, 1e-4-accuracy) whose sketch partial-merges
+    map-side, trading exactness for a rank-1e-4 bound."""
     cust = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")

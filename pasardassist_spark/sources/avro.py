@@ -32,7 +32,6 @@ Completes the interchange quartet: JSONL, WARC, TFRecord, Avro.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import struct
@@ -237,8 +236,7 @@ def decode_row(fields, buf: bytes, pos: int) -> tuple[dict, int]:
         if branch == 0:
             row[name] = None
         elif branch == 1:
-            row[name] = _decode_value(dt, buf, pos)
-            row[name], pos = row[name]
+            row[name], pos = _decode_value(dt, buf, pos)
         else:
             raise ValueError(f"avro: union branch {branch} (corrupt)")
     return row, pos
@@ -382,17 +380,19 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> DataFrame:
 
         pid = TaskContext.get().partitionId()
         fname = os.path.join(path, f"part-{pid:05d}.avro")
-        buf = io.BytesIO()
 
         def rows():
             for batch in it:
                 yield from batch.itertuples(index=False)
 
-        n_rec, n_bytes = write_container(buf, fields, rows(), codec=codec)
-        if n_rec == 0:
-            return
+        # stream blocks straight to the shard file — task memory stays
+        # O(BLOCK_ROWS), not O(partition) (an empty partition leaves no
+        # file behind)
         with open(fname, "wb") as fh:
-            fh.write(buf.getvalue())
+            n_rec, n_bytes = write_container(fh, fields, rows(), codec=codec)
+        if n_rec == 0:
+            os.remove(fname)
+            return
         yield pd.DataFrame(
             {"file": [fname], "n_records": [n_rec], "n_bytes": [n_bytes]}
         )

@@ -8,8 +8,9 @@ time travel replace the hand-rolled generation/CAS protocol. This module
 is that swap-point, import-gated so the repo runs identically with or
 without delta-spark (this container lacks it; the tests skip-mark).
 
-Environment limitation (re-verified 2026-08-14, round 10; previously
-rounds 8-9): ``importlib.util.find_spec("delta")`` is still None and the
+Environment limitation (re-verified 2026-08-15, round-10 continuation;
+previously rounds 8-9 and the 2026-08-14 round-10 session):
+``importlib.util.find_spec("delta")`` is still None and the
 container still has no package index access — ``pip install delta-spark`` fails at
 name resolution before reaching any index — so the Delta round-trip test
 cannot be un-skipped here. The MERGE *semantics* are conformance-tested

@@ -152,3 +152,70 @@ def test_reader_schema_type_mismatch_fails_loudly(spark, sf_dir, tmp_path):
     )
     with pytest.raises(Exception, match="writer fields"):
         read_avro(spark, path, wrong).collect()
+
+
+# ------------------------------------------------ property-based roundtrip
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_scalar_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+        st.one_of(st.none(), st.text(max_size=40)),
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=False, allow_infinity=True, width=64),
+        ),
+        st.one_of(st.none(), st.binary(max_size=40)),
+        st.one_of(st.none(), st.booleans()),
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.floats(
+                    allow_nan=False, allow_infinity=False, width=32
+                ),
+                max_size=8,
+            ),
+        ),
+    ),
+    max_size=30,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(rows=_scalar_rows, codec=st.sampled_from(["null", "deflate"]))
+def test_container_roundtrip_property(rows, codec):
+    """Arbitrary values across the scalar surface survive the container
+    byte-for-byte (floats exactly: IEEE doubles round-trip through the
+    8-byte encoding; float32 arrays through the 4-byte encoding)."""
+    import io
+    from collections import namedtuple
+
+    import numpy as np
+
+    fields = [
+        ("i", LongType()),
+        ("s", StringType()),
+        ("d", DoubleType()),
+        ("b", BinaryType()),
+        ("flag", BooleanType()),
+        ("arr", ArrayType(FloatType())),
+    ]
+    R = namedtuple("R", [n for n, _ in fields])
+    data = [R(*r) for r in rows]
+    buf = io.BytesIO()
+    n, _ = write_container(buf, fields, iter(data), codec=codec)
+    assert n == len(data)
+    out = list(read_container(buf.getvalue(), fields))
+    assert len(out) == len(data)
+    for orig, got in zip(data, out):
+        assert got["i"] == orig.i
+        assert got["s"] == orig.s
+        assert got["d"] == orig.d  # exact: 8-byte IEEE
+        assert got["b"] == orig.b
+        assert got["flag"] is orig.flag or got["flag"] == orig.flag
+        if orig.arr is None:
+            assert got["arr"] is None
+        else:
+            want = [float(np.float32(v)) for v in orig.arr]
+            assert got["arr"] == want  # exact at float32 precision

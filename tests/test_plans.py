@@ -591,3 +591,63 @@ def test_web_pipeline_zero_shuffle_end_to_end(spark, sf_dir):
     p = plan(REGISTRY["pipeline_web_extract_clean"].fn(spark, sf_dir))
     assert "hashpartitioning" not in p and "rangepartitioning" not in p
     assert "Join" not in p
+
+
+# ------------------------- round-10 continuation, third batch
+
+
+def test_welch_and_anova_single_fact_shuffle(spark, sf_dir):
+    """One partial-merging hash aggregate keyed on event_type; the
+    closed-form assembly adds no joins, windows, or sorts over data."""
+    for name in ("stat_welch_ttest", "stat_anova_oneway"):
+        p = plan(REGISTRY[name].fn(spark, sf_dir))
+        hp = set(re.findall(r"hashpartitioning\((\w+)", p))
+        assert hp <= {"event_type", "k"}, (name, hp)
+        assert "rangepartitioning" not in p
+        assert "SortMergeJoin" not in p
+
+
+def test_stratified_split_no_per_stratum_corpus_window(spark, sf_dir):
+    """The rank must come from the bucketed prefix sum, not a
+    Window.partitionBy(lang) over raw rows: the only corpus-keyed
+    exchanges are lang (partial-combined strata COUNTS, tiny after
+    map-side combine) and the prefix-sum bucket key; no global sort; the
+    strata table reaches the corpus via broadcast."""
+    p = plan(REGISTRY["split_stratified_exact"].fn(spark, sf_dir))
+    hp = set(re.findall(r"hashpartitioning\((\w+)", p))
+    assert hp <= {"lang", "_pb"}, hp
+    assert "rangepartitioning" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_theilsen_pair_stage_is_gated_broadcast_nested_loop(spark, sf_dir):
+    """The O(K^2) pair join is an explicit BroadcastNestedLoopJoin of
+    the md5-gated K-row frame — never an ungated CartesianProduct, and
+    no sort-merge anywhere."""
+    p = plan(REGISTRY["stat_theilsen_line"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_bootstrap_single_aggregation_pass(spark, sf_dir):
+    """All B replicas reduce in ONE hash aggregation keyed on the
+    replica id (map-side combine after the explode — shuffle volume is
+    B rows per partition); the point-estimate frame joins back as a
+    1-row broadcast; no sort, no data-sized join."""
+    p = plan(REGISTRY["stat_bootstrap_ci"].fn(spark, sf_dir))
+    hp = set(re.findall(r"hashpartitioning\((\w+)", p))
+    assert hp <= {"b", "n"}, hp
+    assert "rangepartitioning" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_readability_single_doc_shuffle_no_udf(spark, sf_dir):
+    """Word explode, regexp syllable counts, and the closed forms are
+    JVM column math: one doc-grain shuffle, zero joins, zero Python."""
+    p = plan(REGISTRY["text_readability"].fn(spark, sf_dir))
+    hp = set(re.findall(r"hashpartitioning\((\w+)", p))
+    assert hp == {"doc_id"}, hp
+    assert "Join" not in p
+    assert "mapInPandas" not in p.lower() and "BatchEvalPython" not in p
