@@ -175,11 +175,17 @@ def triangle_count_doulion(
     vanishes for triangle-rich graphs (their Thm 2).
 
     The coin is a DETERMINISTIC hash gate — first 16 bits of
-    md5(a|b) < p_bp/10000 — not rand(): reproducible under any
-    partitioning/run and cross-engine checkable (the samp_deterministic
-    contract). ``p_bp`` is basis points and must divide 10000 so the
-    1/p^3 scale-up (10000/p_bp)^3 is an exact integer — the estimate
-    stays in BIGINT arithmetic, bit-stable for the differential oracle.
+    md5(a|b) < round(p_bp * 65536 / 10000) — not rand(): reproducible
+    under any partitioning/run and cross-engine checkable (the
+    samp_deterministic contract). ``p_bp`` is basis points and must
+    divide 10000 so the 1/p^3 scale-up (10000/p_bp)^3 is an exact
+    integer — the estimate stays in BIGINT arithmetic, bit-stable for
+    the differential oracle. Because the gate lives in 16-bit space,
+    the EFFECTIVE retention probability is the nearest dyadic fraction
+    round(p_bp*65536/10000)/65536 (within 2^-17 of nominal p) while
+    the scale-up uses nominal p — a bounded systematic error of at
+    most ~3*2^-17/p relative (~0.002% at p=0.2), the deterministic-gate
+    price; the estimator is unbiased w.r.t. the effective p.
 
     Returns one row: n_edges (original), n_edges_sampled,
     n_triangles_sampled, est_triangles.
@@ -200,7 +206,7 @@ def triangle_count_doulion(
         16,
         10,
     ).cast("long")
-    sampled = edges.filter(gate < p_bp * 65536 // 10000)
+    sampled = edges.filter(gate < (p_bp * 65536 + 5000) // 10000)
     tc = triangle_count(sampled, a, b).select(
         F.col("n_edges").alias("n_edges_sampled"),
         F.col("n_triangles").alias("n_triangles_sampled"),

@@ -52,31 +52,36 @@ def kcenter_greedy(
     is the corpus coverage radius (max over rows of min distance to the
     already-chosen centers) at the moment this center was picked —
     non-increasing by construction; 0.0 for the seed row."""
-    state = df.select(
+    base = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
     ).cache()
-    seed_rows = state.orderBy("_id").limit(1).collect()
-    if not seed_rows:
-        raise ValueError("kcenter_greedy needs at least 1 row")
-    seed = seed_rows[0]
-    chosen: list[tuple[int, int, float]] = [(1, seed._id, 0.0)]
-    center = list(seed._vec)
-    state = state.withColumn("_mind", F.lit(float("inf")))
-    for r in range(2, k + 1):
-        state = state.withColumn(
-            "_mind", F.least("_mind", _sq_dist_to("_vec", center))
-        )
-        if r % CHECKPOINT_EVERY == 0:
-            state = state.localCheckpoint(eager=False)
-        far = (
-            state.orderBy(F.desc("_mind"), F.asc("_id")).limit(1).collect()[0]
-        )
-        if far._mind == 0.0:
-            break  # every point coincides with a chosen center (k > the
-            # number of distinct vectors) — further picks would duplicate
-        chosen.append((r, far._id, math.sqrt(far._mind)))
-        center = list(far._vec)
-    return chosen
+    try:
+        seed_rows = base.orderBy("_id").limit(1).collect()
+        if not seed_rows:
+            raise ValueError("kcenter_greedy needs at least 1 row")
+        seed = seed_rows[0]
+        chosen: list[tuple[int, int, float]] = [(1, seed._id, 0.0)]
+        center = list(seed._vec)
+        state = base.withColumn("_mind", F.lit(float("inf")))
+        for r in range(2, k + 1):
+            state = state.withColumn(
+                "_mind", F.least("_mind", _sq_dist_to("_vec", center))
+            )
+            if r % CHECKPOINT_EVERY == 0:
+                state = state.localCheckpoint(eager=False)
+            far = (
+                state.orderBy(F.desc("_mind"), F.asc("_id")).limit(1).collect()[0]
+            )
+            if far._mind == 0.0:
+                break  # every point coincides with a chosen center (k > the
+                # number of distinct vectors) — further picks would duplicate
+            chosen.append((r, far._id, math.sqrt(far._mind)))
+            center = list(far._vec)
+        return chosen
+    finally:
+        # executor memory is released on return (the kcore/wordpiece
+        # unpersist discipline); localCheckpoint RDDs die with lineage GC
+        base.unpersist()
 
 
 def kcenter_table(

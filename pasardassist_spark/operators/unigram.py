@@ -249,7 +249,16 @@ def train_unigram(
         if len(probs) <= vocab_size:
             break
         keep = max(vocab_size, int(len(probs) * shrink))
-        probs = prune_vocab(probs, counts, keep)
+        pruned = prune_vocab(probs, counts, keep)
+        # Termination guard: prune_vocab always keeps every single
+        # character, so when vocab_size < |chars| the size can plateau
+        # above the target forever — stop once a prune round makes no
+        # progress (the floor is the char set; two distributed EM
+        # passes per stalled round would otherwise loop indefinitely).
+        if len(pruned) >= len(probs):
+            probs = pruned
+            break
+        probs = pruned
     return probs, history
 
 

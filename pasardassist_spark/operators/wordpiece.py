@@ -32,7 +32,10 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-CHECKPOINT_EVERY = 5
+# lineage-vs-materialization tradeoff, measured at sf0.1/30 merges (warm):
+# every round 7.0 s, every 2nd 6.0 s, every 3rd 7.4 s, every 5th 7.4 s —
+# two merge transforms of lineage recompute cost about one checkpoint job
+CHECKPOINT_EVERY = 2
 UNK = "[UNK]"
 CONT = "##"
 
@@ -59,11 +62,25 @@ def train_wordpiece(
     right); pairs below absolute count 2 stop training (a score over
     singletons is noise).
 
-    Per round: one adjacent-pair aggregation and one symbol-count
-    aggregation over the word-TYPE table (both hash shuffles bounded by
-    type volume), then a 1-row argmax — the bpe.py loop with the score
-    numerator/denominator joined in."""
-    from pasardassist_spark.operators.bpe import _pair_counts
+    Per round: ONE aggregation job over the word-TYPE table (the r10
+    verdict directive — the old loop ran a pair aggregation AND a
+    symbol aggregation plus two joins per round).  The single pass
+    emits every adjacent pair PLUS a last-symbol marker row (right =
+    NULL) per word; the collected frame is pair-count metadata —
+    bounded by distinct adjacent symbol pairs, i.e. at most
+    |active vocab|² and Zipf-truncated far below that in practice (the
+    in-memory HuggingFace trainer holds the identical map) — and the
+    per-symbol counts are DERIVED from it driver-side via the exact
+    identity
+
+        count(s) = sum of pair counts where s is the LEFT symbol
+                 + sum of word counts whose LAST symbol is s
+
+    (every occurrence of s in a word is either the left element of one
+    adjacent pair or the word's final symbol; single-symbol words fall
+    entirely into the `lasts` term).  Scoring and the argmax are then
+    pure Python over that metadata map — float64 division, identical
+    to the double arithmetic the old Spark-side plan used."""
     from pasardassist_spark.operators.text import tokens
 
     types_df = (
@@ -73,32 +90,53 @@ def train_wordpiece(
         .select(_wp_symbols(F.col("w")).alias("syms"), "cnt")
         .localCheckpoint()
     )
+    # adjacent pairs + one (last_symbol, NULL) marker row per word, so a
+    # single explode/groupBy computes numerator AND denominator inputs
+    pairs_and_last = F.concat(
+        F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.slice("syms", 1, F.size("syms") - 1),
+                lambda x, i: F.struct(
+                    x.alias("left"), F.element_at("syms", i + 2).alias("right")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<left:string,right:string>>")),
+        F.array(
+            F.struct(
+                F.element_at("syms", -1).alias("left"),
+                F.lit(None).cast("string").alias("right"),
+            )
+        ),
+    )
     prev_ckpt = types_df
     merges: list[tuple[str, str, float]] = []
     for i in range(n_merges):
-        sym_counts = (
-            types_df.select(F.explode("syms").alias("s"), "cnt")
-            .groupBy("s")
-            .agg(F.sum("cnt").alias("sc"))
+        rows = (
+            types_df.select(F.explode(pairs_and_last).alias("u"), "cnt")
+            .groupBy("u.left", "u.right")
+            .agg(F.sum("cnt").alias("n"))
+            .collect()
         )
-        scored = (
-            _pair_counts(types_df)
-            .join(sym_counts.select(F.col("s").alias("left"), F.col("sc").alias("lc")), "left")
-            .join(sym_counts.select(F.col("s").alias("right"), F.col("sc").alias("rc")), "right")
-            .withColumn(
-                "score",
-                F.col("n").cast("double")
-                / (F.col("lc").cast("double") * F.col("rc").cast("double")),
-            )
-        )
-        top = (
-            scored.filter(F.col("n") >= 2)
-            .orderBy(F.desc("score"), "left", "right")
-            .head(1)
-        )
-        if not top:
+        pair_n: dict[tuple[str, str], int] = {}
+        sym_n: dict[str, int] = {}
+        for r in rows:
+            if r.right is None:
+                sym_n[r.left] = sym_n.get(r.left, 0) + r.n
+            else:
+                pair_n[(r.left, r.right)] = r.n
+                sym_n[r.left] = sym_n.get(r.left, 0) + r.n
+        best = None  # (score, left, right); ties break (score desc, left, right)
+        for (left, right), n in pair_n.items():
+            if n < 2:  # a score over singletons is noise
+                continue
+            score = float(n) / (float(sym_n[left]) * float(sym_n[right]))
+            key = (-score, left, right)
+            if best is None or key < best:
+                best = key
+        if best is None:
             break
-        left, right, score = top[0]["left"], top[0]["right"], float(top[0]["score"])
+        score, left, right = -best[0], best[1], best[2]
         merges.append((left, right, score))
         # merged symbol keeps LEFT's continuation status; RIGHT's ##
         # marker dissolves into the join (ab / ##ab, never a####b)

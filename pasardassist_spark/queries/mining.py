@@ -652,7 +652,7 @@ def _md5_16bit_sql(expr: str) -> str:
     s AS (
         SELECT a, b FROM op
         WHERE {_md5_16bit_sql("CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)")}
-              < {DOULION_P_BP * 65536 // 10000}
+              < {(DOULION_P_BP * 65536 + 5000) // 10000}
     ),
     m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM op),
     ms AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges_sampled FROM s),

@@ -120,6 +120,25 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "curate_gopher_rules", "stat_mannwhitney_u", "stat_spearman_corr",
     "graph_triangle_count", "dq_benford_test", "u5_unpivot_metrics",
     "aj_nearest_rate", "ts_seasonal_decompose", "mm_gif_decode",
+    # r10 greens (CORRECTNESS_r10: 41 hash-green; the mm_* numpy
+    # re-checks, the triangle densification recheck, and the two stat
+    # ADVICE-guard rechecks all came back clean)
+    "src_avro_roundtrip", "text_source_overlap", "text_zipf_alpha",
+    "text_html_extract", "text_oov_rate", "text_readability",
+    "dedup_exact_substring", "dedup_soft_weights", "text_novelty_rate",
+    "curate_c4_rules", "src_warc_roundtrip", "curate_url_dedup",
+    "graph_triangle_doulion", "graph_kcore", "curate_ccnet_buckets",
+    "src_tfrecord_roundtrip", "curate_fineweb_filters",
+    "pipeline_web_extract_clean", "stat_welch_ttest", "stat_anova_oneway",
+    "stat_theilsen_line", "stat_bootstrap_ci", "mix_unimax_weights",
+    "mix_temperature_weights", "split_stratified_exact",
+    "sketch_bloom_filter",
+    # r10 rows-only-by-design (iterative training / seeded assignment /
+    # whitening — no SQL form), driver row-checked clean in r10;
+    # semantics pytest-pinned in their operator test files
+    "unigram_train_vocab", "unigram_encode_corpus",
+    "wordpiece_train_vocab", "graph_label_propagation",
+    "pack_bfd_assignments", "samp_kcenter_coreset", "emb_zca_whiten",
 })
 
 # Entries whose implementation or oracle changed since their last green
@@ -130,23 +149,18 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # so the set starts empty.  Add a name here ONLY when its query fn or
 # oracle actually changed this round.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    # round 10: ADVICE guards — mannwhitney_u gained an int64-overflow
-    # raise + zero-variance z=0 branch, spearman_rho an n-bound raise +
-    # constant-axis NULL branch; both oracles mirror the new CASEs
-    # (expected: unchanged values at sf0.01, where no guard fires).
-    "stat_mannwhitney_u", "stat_spearman_corr",
-    # round 10: the raster inner loops (resize, DIB<->RGB, PNG unfilter,
-    # palette expansion, synth fixtures, pixel sums) moved from pure
-    # Python to numpy — identical math re-verified vs every mm oracle at
-    # sf0.01 this session; mm_resize_real 16.4 s -> 0.8 s at sf0.1.
-    "mm_decode_features", "mm_decode_real", "mm_resize_real",
-    "mm_resize_thumbs", "mm_frame_sample", "mm_dhash_dedup",
-    "mm_dhash_near_pairs", "mm_video_frames", "mm_video_dedup",
-    "mm_gif_decode",
-    # round 10: bench-fixture densification fix — the co-occurrence edge
-    # set now applies TRIANGLE_MIN_COOC >= 5 (both sides + oracle);
-    # 29.4 s -> 3.3 s at sf0.1, hash re-verified at sf0.01 this session.
-    "graph_triangle_count",
+    # round 11: the WordPiece training loop now derives symbol counts
+    # from the pair frame (one aggregation per round, not two) — merge
+    # sequence pytest-pinned identical, but the trainer code changed.
+    "wordpiece_train_vocab",
+    # round 11: ADVICE fixes touching operator internals — unigram
+    # trainer gained termination guards (operators/unigram.py), the
+    # k-center coreset an unpersist discipline (operators/coreset.py),
+    # the DOULION gate exact-rounded thresholds (components.py; oracle
+    # mirrors), tfrecord reads integral widths symmetric to writes.
+    "unigram_train_vocab", "unigram_encode_corpus",
+    "samp_kcenter_coreset", "graph_triangle_doulion",
+    "src_tfrecord_roundtrip", "sketch_bloom_filter",
 })
 
 

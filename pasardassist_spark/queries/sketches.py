@@ -163,10 +163,15 @@ def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasardassist_spark.operators.text import tokens
 
     d = load(spark, sf_dir, "documents").select("text")
+    # localCheckpoint, not cache: the frame feeds both the slot fold below
+    # AND the returned probe plan, and a .cache() would pin executor
+    # memory for the whole session (the query fn can't unpersist without
+    # invalidating its own return) — checkpoint blocks are GC'd with the
+    # returned plan instead
     w = (
         d.select(F.explode(tokens(F.col("text"))).alias("word"))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
     positions = w.select(
         F.explode(

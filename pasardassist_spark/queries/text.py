@@ -1160,12 +1160,20 @@ def wordpiece_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-pinned against hand cases and the training corpus
     (tests/test_wordpiece.py). The vocab comes from the per-process
     artifact memo (_wp_vocab_for) — training cost is measured by
-    wordpiece_train_vocab, not double-counted here."""
+    wordpiece_train_vocab, not double-counted here.
+
+    The registered result projects the SCALAR per-doc counts only: the
+    driver's rows-only canonicalization sorts the frame in pandas and
+    cannot hash Array cells (the r10 red row), and the docstring
+    contract has always been counts. The full ``wp_tokens
+    array<string>`` column stays available on the library return
+    (operators/wordpiece.py:wordpiece_encode) for pipeline callers."""
     from pasardassist_spark.operators.wordpiece import wordpiece_encode
 
     d = load(spark, sf_dir, "documents")
     vocab = _wp_vocab_for(spark, sf_dir)
-    return wordpiece_encode(d.select("doc_id", "text"), "text", "doc_id", vocab)
+    enc = wordpiece_encode(d.select("doc_id", "text"), "text", "doc_id", vocab)
+    return enc.select("doc_id", "n_wp_tokens", "n_unk")
 
 
 # ------------------------------------------------- readability scoring

@@ -327,7 +327,14 @@ def read_tfrecord(
             return v.decode("utf-8") if isinstance(v, bytes) else v
         if isinstance(dt, BinaryType):
             return v
-        if isinstance(dt, LongType):
+        # every integral width the writer accepts round-trips (the write
+        # side stores all of int/smallint/tinyint as Int64List — the
+        # read surface must be symmetric, not LongType-only)
+        if isinstance(dt, LongType) or dt.simpleString() in (
+            "int",
+            "smallint",
+            "tinyint",
+        ):
             return int(v)
         if isinstance(dt, (FloatType, DoubleType)):
             return float(v[0] if isinstance(v, list) else v)

@@ -12,12 +12,25 @@ CASES = sorted(name for name, spec in REGISTRY.items() if spec.oracle)
 NO_ORACLE = sorted(name for name, spec in REGISTRY.items() if not spec.oracle)
 
 
+def _assert_driver_hashable_schema(df, name):
+    """Registry hygiene: the driver's canonicalization sorts the result in
+    pandas and hashes cell values — Array/Map cells are unhashable there
+    (the r10 ``wordpiece_encode_corpus`` red row).  No registered query
+    may expose a container-typed output column; keep array forms on the
+    library returns and project scalars in the registered query."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    bad = [f.name for f in df.schema.fields if isinstance(f.dataType, (ArrayType, MapType))]
+    assert not bad, f"{name}: container-typed output columns {bad} break driver canonicalization"
+
+
 @pytest.mark.parametrize("name", CASES)
 def test_query_matches_oracle(spark, sf_dir, name):
     from tests.oracle_compare import assert_matches_oracle
 
     spec = REGISTRY[name]
     df = spec.fn(spark, sf_dir)
+    _assert_driver_hashable_schema(df, name)
     assert_matches_oracle(df, spec.oracle, sf_dir, name=name)
 
 
@@ -26,6 +39,7 @@ def test_query_runs(spark, sf_dir, name):
     """Rows-only check for non-SQL-expressible ops (driver's weaker gate)."""
     spec = REGISTRY[name]
     df = spec.fn(spark, sf_dir)
+    _assert_driver_hashable_schema(df, name)
     assert df.count() >= 0
     assert len(df.schema) > 0
 

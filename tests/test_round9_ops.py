@@ -760,6 +760,29 @@ def test_tfrecord_spark_roundtrip(spark, tmp_path):
     ]
 
 
+def test_tfrecord_roundtrip_narrow_integral_widths(spark, tmp_path):
+    """ADVICE r10 asymmetry: the writer accepted int/smallint/tinyint
+    (all stored as Int64List) but the reader only handled LongType, so
+    a narrow-int schema wrote fine and crashed on read. The type
+    surface must be symmetric."""
+    from pasardassist_spark.sources.tfrecord import read_tfrecord, write_tfrecord
+
+    df = spark.sql(
+        "SELECT id AS doc_id, CAST(id * 2 AS INT) AS i32, "
+        "CAST(id AS SMALLINT) AS i16, CAST(id AS TINYINT) AS i8 "
+        "FROM range(9)"
+    ).repartition(2)
+    path = str(tmp_path / "tfr_narrow")
+    write_tfrecord(df, path).collect()
+    got = sorted(
+        read_tfrecord(spark, path, df.schema).collect(), key=lambda r: r.doc_id
+    )
+    assert [(r.doc_id, r.i32, r.i16, r.i8) for r in got] == [
+        (i, i * 2, i, i) for i in range(9)
+    ]
+    assert read_tfrecord(spark, path, df.schema).schema == df.schema
+
+
 # --------------------------------------------------- SPFHP packing (r10)
 
 

@@ -157,3 +157,17 @@ def test_seed_empty_corpus_raises(spark):
     empty = spark.createDataFrame([], schema="word STRING, cnt LONG")
     with pytest.raises(ValueError):
         U.seed_vocab(empty, n_seeds=10)
+
+
+def test_train_terminates_when_vocab_smaller_than_charset(types_df):
+    """The ADVICE r10 hang: prune_vocab always keeps every single char,
+    so vocab_size below the char count can never be reached — training
+    must stop at the char-set floor instead of looping EM forever."""
+    chars = {c for r in types_df.collect() for c in r.word}
+    assert len(chars) > 5  # the fixture exercises the guard
+    probs, history = U.train_unigram(types_df, vocab_size=5, n_seeds=60)
+    assert chars <= set(probs)  # floor = the char set (plus nothing else
+    # survivable below it); the call RETURNING at all is the regression test
+    assert len(probs) >= len(chars)
+    assert abs(sum(probs.values()) - 1.0) < 1e-9
+    assert len(history) >= 2
