@@ -1199,6 +1199,37 @@ class PasarQueryService:
             raise ValueError("did_by_address requires a did_profiles frame")
         return self.did_profiles.filter(F.lower(F.col("address")) == address.lower())
 
+    # -- health probe (app.controller.ts:23-26, app.service.ts:35-37) --------
+    def check(self) -> dict:
+        """The `/check` liveness route: the constant OK envelope. Closes the
+        route surface to 51/51 — trivial by design, parity-tested so the
+        'deliberate omission' footnote can die."""
+        return {"status": 200, "message": "Success"}
+
+    # -- retry-flag reset (app.service.ts:1991-1997) --------------------------
+    @staticmethod
+    def re_get_token_detail(
+        retry_state: DataFrame, max_retries: int = 5
+    ) -> tuple[DataFrame, int]:
+        """`reGetTokenDetail`: the reference's updateMany over the tokens
+        collection — rows still flagged ``notGetDetail`` whose
+        ``retry_times`` exceeded the cap (> 4, i.e. dead-lettered by the
+        ST7 loop, sources/enrichment.py:run_retry_rounds) get
+        ``retry_times`` reset to 0 so the next polling round re-attempts
+        them. Returns (updated retry-state frame, matched count) — the
+        count mirrors Mongo's ``matchedCount`` payload.
+
+        Pure column math on the state table: no shuffle, no Python row
+        path; at 100 TB this is the same single map stage over the
+        pending-updates table partitioning."""
+        matched = F.col("not_get_detail") & (F.col("retry_times") > max_retries - 1)
+        n_matched = retry_state.filter(matched).count()
+        updated = retry_state.withColumn(
+            "retry_times",
+            F.when(matched, F.lit(0)).otherwise(F.col("retry_times")),
+        )
+        return updated, n_matched
+
     # -- token detail w/ latest order (app.service.ts:172-185) ---------------
     def token_detail(self, chain: str, contract: str, token_id: str) -> DataFrame:
         t = self.tokens.filter(

@@ -170,6 +170,10 @@ def batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------ drift -----
 
 _PSI_BIN = 50.0
+# operator conventions (operators/drift.py): the probability floor and the
+# conventional act-on-it threshold, restated for the oracle f-strings
+_PSI_EPS = 1e-6
+_PSI_THRESHOLD = 0.25
 
 
 @query(
@@ -311,3 +315,242 @@ def link_records_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dist=_LINK_MAX_DIST,
     )
     return out.select("p_partkey", "cluster_id", "is_canonical")
+
+
+# ------------------------------------------- state-store time travel ----
+
+_TRAVEL_SPLIT = "1996-06-01"
+
+
+@query(
+    "cdc_state_travel_diff",
+    oracle=f"""
+    WITH old AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders WHERE o_orderdate < TIMESTAMP '{_TRAVEL_SPLIT} 00:00:00'
+        GROUP BY o_custkey
+    ),
+    new AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+           CASE WHEN a.o_custkey IS NULL THEN 'added'
+                WHEN b.o_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           a.n_orders AS old_n_orders,
+           CAST(a.spend AS DOUBLE) AS old_spend,
+           b.n_orders AS new_n_orders,
+           CAST(b.spend AS DOUBLE) AS new_spend
+    FROM old a FULL OUTER JOIN new b ON a.o_custkey = b.o_custkey
+    WHERE a.o_custkey IS NULL OR b.o_custkey IS NULL
+       OR a.n_orders IS DISTINCT FROM b.n_orders
+       OR a.spend IS DISTINCT FROM b.spend
+    """,
+)
+def cdc_state_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """state_diff over the generational store's TIME TRAVEL
+    (operators/cdc.py:state_diff = read_state(v_old) + read_state(v_new)
+    + snapshot_diff): generation 1 is the pre-{_TRAVEL_SPLIT} per-customer
+    rollup merged into a REAL bucketed state store, generation 2 folds the
+    remaining orders in through merge_into_bucketed_state's associative
+    sum-combine (hard-linked untouched buckets, atomic version publish,
+    retention window = 2). The audit row set — who changed between the two
+    retained generations — is re-derived closed-form by the oracle, so the
+    hash certifies the versioned reads, the bucketed incremental MERGE,
+    and the diff join together. Complements cdc_operator_diff, which
+    certifies snapshot_diff alone on in-memory frames. At 100 TB the
+    store is the streaming upsert sink's layout (SURVEY §2.1 S7/S8); the
+    diff itself is one full-outer equi-join, Exchange-free when both
+    generations share the bucketed layout."""
+    import shutil
+    import tempfile
+
+    from pasardassist_spark.operators.cdc import state_diff
+    from pasardassist_spark.streaming.ingest import merge_into_bucketed_state
+
+    o = load(spark, sf_dir, "orders")
+    spend = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    n = F.count(F.lit(1)).cast("long").alias("n_orders")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(n, spend)
+
+    def sum_combine(prev: DataFrame, delta: DataFrame) -> DataFrame:
+        cols = ["o_custkey", "n_orders", "spend"]
+        return (
+            prev.select(*cols)
+            .unionByName(delta.select(*cols))
+            .groupBy("o_custkey")
+            .agg(
+                F.sum("n_orders").cast("long").alias("n_orders"),
+                F.sum("spend").alias("spend"),
+            )
+        )
+
+    state_dir = tempfile.mkdtemp(prefix="cdc_travel_state_")
+    try:
+        merge_into_bucketed_state(
+            rollup(o.where(F.col("o_orderdate") < _TRAVEL_SPLIT)),
+            state_dir, ("o_custkey",), sum_combine,
+        )
+        merge_into_bucketed_state(
+            rollup(o.where(F.col("o_orderdate") >= _TRAVEL_SPLIT)),
+            state_dir, ("o_custkey",), sum_combine,
+        )
+        d = state_diff(
+            spark, state_dir, ("o_custkey",), v_old=1, v_new=2,
+            compare_cols=("n_orders", "spend"),
+        ).select(
+            "o_custkey", "change_type",
+            "old_n_orders", F.col("old_spend").cast("double").alias("old_spend"),
+            "new_n_orders", F.col("new_spend").cast("double").alias("new_spend"),
+        )
+        # materialize before deleting the store the plan reads from
+        rows = d.collect()
+        schema = d.schema
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+# ------------------------------------------------- drift trajectory -----
+
+
+@query(
+    "drift_history",
+    oracle=f"""
+    WITH c AS (
+        SELECT date_trunc('week', ts) AS week,
+               floor(value / {_PSI_BIN}) * {_PSI_BIN} AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    ref AS (
+        SELECT bin, cnt AS cnt_ref FROM c
+        WHERE week = (SELECT MIN(week) FROM c)
+    ),
+    grid AS (
+        SELECT w.week, r.bin
+        FROM (SELECT DISTINCT week FROM c) w, (SELECT bin FROM ref) r
+        UNION
+        SELECT week, bin FROM c
+    ),
+    j AS (
+        SELECT g.week, g.bin,
+               COALESCE(c.cnt, 0) AS cnt,
+               COALESCE(r.cnt_ref, 0) AS cnt_ref
+        FROM grid g
+        LEFT JOIN c ON c.week = g.week AND c.bin = g.bin
+        LEFT JOIN ref r ON r.bin = g.bin
+    ),
+    t AS (
+        SELECT week, cnt, cnt_ref,
+               SUM(cnt) OVER (PARTITION BY week) AS n_live,
+               SUM(cnt_ref) OVER (PARTITION BY week) AS n_ref
+        FROM j
+    )
+    SELECT week,
+           CAST(MAX(n_live) AS BIGINT) AS n_live,
+           round(SUM(
+               (GREATEST(CAST(cnt AS DOUBLE) / n_live, {_PSI_EPS})
+                - GREATEST(CAST(cnt_ref AS DOUBLE) / n_ref, {_PSI_EPS}))
+               * ln(GREATEST(CAST(cnt AS DOUBLE) / n_live, {_PSI_EPS})
+                    / GREATEST(CAST(cnt_ref AS DOUBLE) / n_ref, {_PSI_EPS}))
+           ), 6) AS psi,
+           round(SUM(
+               (GREATEST(CAST(cnt AS DOUBLE) / n_live, {_PSI_EPS})
+                - GREATEST(CAST(cnt_ref AS DOUBLE) / n_ref, {_PSI_EPS}))
+               * ln(GREATEST(CAST(cnt AS DOUBLE) / n_live, {_PSI_EPS})
+                    / GREATEST(CAST(cnt_ref AS DOUBLE) / n_ref, {_PSI_EPS}))
+           ), 6) >= {_PSI_THRESHOLD} AS drifted
+    FROM t GROUP BY week
+    """,
+)
+def drift_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift TRAJECTORY (VERDICT r10 #7): the scorecard readout as a
+    per-week time series — every event-time week's value distribution
+    scored against the frozen first week, the monitoring view a model
+    owner actually watches (drift_psi_readout is one point of this
+    curve; the operator convention — {_PSI_BIN}-wide bins, {_PSI_EPS}
+    probability floor, 0.25 action threshold, sorted-fold determinism —
+    is operators/drift.py:psi_distance's, applied per group).
+
+    One plan, no per-week loop: bin counts once, broadcast the reference
+    week's bins, build the (week x ref-bin) + live grid so zero-count
+    bins surface on BOTH sides, window-sum the per-week totals, and fold
+    each week's PSI terms over the SORTED bin list (the stat_entropy
+    contract) so the float reduction is deterministic under any
+    partitioning; ln crosses libm, so the score rounds to 6 dp. Scale
+    shape: one shuffle on (week, bin), one broadcast of |ref bins| rows,
+    one window over week — weeks x bins is metadata-sized at any corpus
+    scale."""
+    ev = load(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    bin_ = (F.floor(F.col("value") / _PSI_BIN) * _PSI_BIN)
+    c = (
+        ev.groupBy(wk.alias("week"), bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    min_week = c.agg(F.min("week").alias("ref_week"))
+    ref = (
+        c.crossJoin(F.broadcast(min_week))
+        .where(F.col("week") == F.col("ref_week"))
+        .select("bin", F.col("cnt").alias("cnt_ref"))
+    )
+    grid = (
+        c.select("week").distinct().crossJoin(F.broadcast(ref.select("bin")))
+        .unionByName(c.select("week", "bin"))
+        .distinct()
+    )
+    j = (
+        grid.join(c, ["week", "bin"], "left")
+        .join(F.broadcast(ref), ["bin"], "left")
+        .select(
+            "week",
+            "bin",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce("cnt_ref", F.lit(0)).alias("cnt_ref"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_week = Window.partitionBy("week")
+    pa = F.greatest(
+        F.col("cnt").cast("double") / F.col("n_live"), F.lit(_PSI_EPS)
+    )
+    pb = F.greatest(
+        F.col("cnt_ref").cast("double") / F.col("n_ref"), F.lit(_PSI_EPS)
+    )
+    t = j.select(
+        "week",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_week).alias("n_live"),
+        F.sum("cnt_ref").over(w_week).alias("n_ref"),
+        "cnt_ref",
+    ).select(
+        "week",
+        "bin",
+        "cnt",
+        "n_live",
+        ((pa - pb) * F.log(pa / pb)).alias("_term"),
+    )
+    agg = t.groupBy("week").agg(
+        F.max("n_live").cast("long").alias("n_live"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(bin, _term))), "
+            "cast(0.0 as double), (acc, x) -> acc + x._term)"
+        ).alias("_psi"),
+    )
+    psi = F.round(F.col("_psi"), 6)
+    return agg.select(
+        "week",
+        "n_live",
+        psi.alias("psi"),
+        (psi >= _PSI_THRESHOLD).alias("drifted"),
+    )

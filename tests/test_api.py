@@ -678,3 +678,41 @@ def test_quoted_tokens_rate(spark):
     )
     assert [r.chain for r in s.quoted_tokens_rate().collect()] == ["ela", "eth"]
     assert [r.rate for r in s.quoted_tokens_rate("eth").collect()] == [2.0]
+
+
+def test_check_health_route(spark):
+    from pasardassist_spark.api import PasarQueryService
+    from pasardassist_spark.api.schemas import ORDERS_SCHEMA, TOKENS_SCHEMA
+
+    s = PasarQueryService(
+        spark.createDataFrame([], TOKENS_SCHEMA),
+        spark.createDataFrame([], ORDERS_SCHEMA),
+    )
+    assert s.check() == {"status": 200, "message": "Success"}
+
+
+def test_re_get_token_detail_resets_dead_letters(spark):
+    """app.service.ts:1991-1997: updateMany({notGetDetail, retryTimes > 4},
+    {$set: {retryTimes: 0}}) — only capped-out rows still flagged
+    notGetDetail reset; in-flight retries and resolved rows are untouched."""
+    from pasardassist_spark.api import PasarQueryService
+
+    state = spark.createDataFrame(
+        [
+            ("k1", 5, True),   # dead-lettered -> reset
+            ("k2", 7, True),   # dead-lettered -> reset
+            ("k3", 5, False),  # capped but already resolved -> untouched
+            ("k4", 2, True),   # still retrying -> untouched
+            ("k5", 0, False),  # fresh -> untouched
+        ],
+        "unique_key string, retry_times int, not_get_detail boolean",
+    )
+    updated, n = PasarQueryService.re_get_token_detail(state)
+    assert n == 2
+    got = {r.unique_key: r.retry_times for r in updated.collect()}
+    assert got == {"k1": 0, "k2": 0, "k3": 5, "k4": 2, "k5": 0}
+    # idempotence: a second reset pass matches the same (now-zeroed) rows
+    # no longer
+    updated2, n2 = PasarQueryService.re_get_token_detail(updated)
+    assert n2 == 0
+    assert {r.unique_key: r.retry_times for r in updated2.collect()} == got
