@@ -70,6 +70,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "bmp"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:2] in (b"P2", b"P3", b"P5", b"P6") and (
         len(payload) > 2 and payload[2:3] in b" \t\r\n#"
     ):
@@ -96,6 +98,11 @@ def decode(payload: bytes) -> Raster:
             from pasardassist_spark.operators.gifcodec import decode_gif
 
             return decode_gif(payload)
+        if fmt == "jpeg":
+            # local import: jpegcodec imports Raster/_check_dims from here
+            from pasardassist_spark.operators.jpegcodec import decode_jpeg
+
+            return decode_jpeg(payload)
     except (struct.error, zlib.error) as exc:
         raise ValueError(f"malformed {fmt} payload: {exc}") from exc
     raise NotImplementedError("unrecognized image container")

@@ -703,3 +703,54 @@ def attach_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col).mapInPandas(_batches, schema)
+
+
+def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL baseline-JPEG payloads whose lossy roundtrip is EXACT:
+    rasters constant within each 8x8 block (so the FDCT is DC-only with
+    AC exactly zero), block value 2*((bx*19 + by*31 + doc_id) % 128)
+    (level-shifted value even), flat quantization 16 (so the quantized
+    DC (v-128)/2 is an exact integer and reconstruction returns v
+    bit-exactly — see operators/jpegcodec.py's exactness note). Encoded
+    4:2:0 with restart interval 2, so the driver row exercises Huffman
+    decode, DC prediction resets at RSTn, MCU interleave, chroma
+    upsampling, and YCbCr->RGB — all certifiable by the closed-form SQL
+    pixel sum."""
+    from pasardassist_spark.operators import jpegcodec
+    from pasardassist_spark.operators.imagecodec import Raster
+
+    schema = f"{id_col} long, kind string, payload binary"
+    q16 = np.full((8, 8), 16, dtype=np.int32)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                seed = int(doc_id)
+                w = seed % 57 + 4
+                h = (seed * 11) % 47 + 4
+                bx = np.arange((w + 7) // 8, dtype=np.int64) * 19
+                by = np.arange((h + 7) // 8, dtype=np.int64) * 31
+                blocks = (2 * ((by[:, None] + bx[None, :] + seed) % 128)).astype(
+                    np.uint8
+                )
+                v = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)[:h, :w]
+                rgb = np.repeat(v[:, :, None], 3, axis=2)
+                payloads.append(
+                    jpegcodec.encode_jpeg(
+                        Raster(w, h, 3, rgb.tobytes()),
+                        subsampling="4:2:0",
+                        restart_interval=2,
+                        quant_luma=q16,
+                        quant_chroma=q16,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "kind": ["image/jpeg"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_batches, schema)
