@@ -251,6 +251,11 @@ def main() -> None:
         "wordpiece_encode_corpus",
         "text_readability",
         "stat_bootstrap_ci",
+        # round-11 debuts
+        "mm_jpeg_decode",
+        "mm_mjpeg_frames",
+        "drift_history",
+        "cdc_state_travel_diff",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

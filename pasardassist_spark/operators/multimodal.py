@@ -754,3 +754,73 @@ def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col).mapInPandas(_batches, schema)
+
+
+def mjpeg_sample_frames(df: DataFrame, k: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """REAL MJPEG keyframe sampling: each row gets a genuine MJPEG AVI —
+    every frame chunk a standalone baseline JPEG from this repo's own
+    encoder (operators/jpegcodec.py) inside the RIFF container
+    (operators/videocodec.py) — decoded back frame-for-frame, k
+    evenly-spaced keyframes checksummed. Frames are the block-constant
+    exact-roundtrip family (jpegcodec's exactness note: DC-only blocks,
+    even level-shifted values, flat Q=16), value
+    2*((bx*19 + by*31 + doc_id + fr*17) % 128), dims w = doc_id%21+4,
+    h = (doc_id*5)%19+4, n = doc_id%6+2 frames, 4:2:0 with restart
+    interval 2 — so the SQL oracle re-derives every sampled frame's
+    raster sum closed-form. mapInPandas; per-row CPU, zero shuffle."""
+    from pasardassist_spark.operators import jpegcodec, videocodec
+    from pasardassist_spark.operators.imagecodec import Raster
+
+    q16 = np.full((8, 8), 16, dtype=np.int32)
+
+    def _frame(seed: int, w: int, h: int, fr: int) -> Raster:
+        bx = np.arange((w + 7) // 8, dtype=np.int64) * 19
+        by = np.arange((h + 7) // 8, dtype=np.int64) * 31
+        blocks = (2 * ((by[:, None] + bx[None, :] + seed + fr * 17) % 128)).astype(
+            np.uint8
+        )
+        v = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)[:h, :w]
+        return Raster(w, h, 3, np.repeat(v[:, :, None], 3, axis=2).tobytes())
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "sample_i": [], "frame_idx": [], "n_frames": [],
+                "width": [], "height": [], "pixel_sum": [],
+            }
+            for doc_id in pdf[id_col]:
+                seed = int(doc_id)
+                n = seed % 6 + 2
+                w = seed % 21 + 4
+                h = (seed * 5) % 19 + 4
+                payload = videocodec.encode_avi(
+                    [_frame(seed, w, h, fr) for fr in range(n)],
+                    fps=10,
+                    codec="mjpg",
+                    jpeg_opts=dict(
+                        subsampling="4:2:0", restart_interval=2,
+                        quant_luma=q16, quant_chroma=q16,
+                    ),
+                )
+                video = videocodec.decode_avi(payload)
+                if video.width != w or len(video.frames) != n:
+                    raise ValueError(
+                        f"MJPEG round-trip mismatch for doc {doc_id}: "
+                        f"{video.width}x{len(video.frames)} != {w}x{n}"
+                    )
+                for i, idx in enumerate(
+                    videocodec.sample_frame_indices(n, k)
+                ):
+                    fr = video.frames[idx]
+                    out["doc_id"].append(doc_id)
+                    out["sample_i"].append(i)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(n)
+                    out["width"].append(fr.width)
+                    out["height"].append(fr.height)
+                    out["pixel_sum"].append(
+                        int(np.frombuffer(fr.pixels, dtype=np.uint8).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(_batches, VIDEO_FRAME_SCHEMA)

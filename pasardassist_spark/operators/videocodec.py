@@ -7,9 +7,10 @@ Stdlib-only against the public AVI/RIFF spec: an AVI file is a RIFF tree —
 one ``LIST strl`` per stream (``strh`` stream header + ``strf`` format,
 which for video is a BITMAPINFOHEADER); ``LIST movi`` holds the frame
 chunks (``00db`` = uncompressed DIB bits for stream 0). Supported:
-uncompressed 24-bit RGB (biCompression=0 'DIB ') video streams — the
-transport a frame-sampling pipeline sees AFTER upstream transcode; real
-codecs (MJPEG/H.264) raise NotImplementedError at the ffmpeg seam.
+uncompressed 24-bit RGB (biCompression=0 'DIB ') video streams, and —
+since operators/jpegcodec.py exists — MJPEG (biCompression 'MJPG'),
+where every frame chunk is a standalone baseline JPEG; inter-frame
+codecs (H.264/VP9) raise NotImplementedError at the ffmpeg seam.
 
 Frames decode to the same ``Raster`` type as the image codecs (bottom-up
 BGR rows with 4-byte stride padding normalized to row-major RGB), so every
@@ -35,6 +36,9 @@ class Video(NamedTuple):
     height: int
     fps: int
     frames: list[Raster]
+
+
+MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
 
 
 def sniff_avi(payload: bytes) -> bool:
@@ -72,11 +76,12 @@ def _decode_avi(payload: bytes) -> Video:
     fps = 0
     stream_idx = -1           # strl counter, in file order
     last_type = b""           # fccType of the most recent strh
-    video_stream = None       # index of the verified uncompressed video stream
+    video_stream = None       # index of the verified video stream
+    video_codec = None        # "dib" | "mjpg" for that stream
     frames: list[Raster] = []
 
     def walk(data: bytes, pos: int, end: int, depth: int = 0) -> None:
-        nonlocal w, h, fps, stream_idx, last_type, video_stream
+        nonlocal w, h, fps, stream_idx, last_type, video_stream, video_codec
         if depth > 16:
             # real AVI trees are <= 3 deep (hdrl > strl, movi > rec);
             # a crafted deep-nest must raise ValueError, not blow the
@@ -118,13 +123,18 @@ def _decode_avi(payload: bytes) -> Video:
                     raise ValueError("truncated strf chunk")
                 compression = struct.unpack_from("<I", data, body_start + 16)[0]
                 bpp = struct.unpack_from("<H", data, body_start + 14)[0]
-                if compression != 0:
+                if compression == MJPG_FOURCC:
+                    video_codec = "mjpg"  # each frame chunk is a full JPEG
+                elif compression == 0:
+                    if bpp != 24:
+                        raise NotImplementedError(f"AVI bpp {bpp} unsupported")
+                    video_codec = "dib"
+                else:
                     raise NotImplementedError(
                         f"AVI compression {compression:#x} unsupported "
-                        "(uncompressed DIB only; MJPEG/H.264 need ffmpeg)"
+                        "(uncompressed DIB and MJPG only; H.264/VP9 need "
+                        "ffmpeg)"
                     )
-                if bpp != 24:
-                    raise NotImplementedError(f"AVI bpp {bpp} unsupported")
                 video_stream = stream_idx
             elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
                 if video_stream is None or int(cid[:2]) != video_stream:
@@ -132,28 +142,54 @@ def _decode_avi(payload: bytes) -> Video:
                 else:
                     if not w or not h:
                         raise ValueError("AVI frame chunk before avih header")
-                    frames.append(
-                        _dib_to_raster(data[body_start : body_start + csize], w, h)
-                    )
+                    body = data[body_start : body_start + csize]
+                    if video_codec == "mjpg":
+                        # standalone baseline JPEG per frame; its SOF
+                        # carries the authoritative dimensions
+                        from pasardassist_spark.operators.jpegcodec import (
+                            decode_jpeg,
+                        )
+
+                        frames.append(decode_jpeg(body))
+                    else:
+                        frames.append(_dib_to_raster(body, w, h))
             pos = body_start + csize + (csize & 1)  # word-aligned
 
     walk(payload, 12, len(payload))
     if not w or not h:
         raise ValueError("AVI missing avih header")
     if video_stream is None:
-        raise ValueError("AVI has no uncompressed video stream")
+        raise ValueError("AVI has no supported video stream")
     return Video(w, h, fps, frames)
 
 
-def encode_avi(frames: list[Raster], fps: int = 10) -> bytes:
-    """Minimal uncompressed-DIB AVI writer (fixture generator and the
-    synthetic payload builder): one video stream, canonical hdrl + movi."""
+def encode_avi(
+    frames: list[Raster],
+    fps: int = 10,
+    codec: str = "dib",
+    jpeg_opts: dict | None = None,
+) -> bytes:
+    """Minimal AVI writer (fixture generator and the synthetic payload
+    builder): one video stream, canonical hdrl + movi. ``codec``:
+    "dib" (uncompressed 24-bit, ``00db`` chunks) or "mjpg" (each frame
+    encoded as a standalone baseline JPEG via operators/jpegcodec.py,
+    ``00dc`` chunks, fccHandler/biCompression 'MJPG'); ``jpeg_opts``
+    passes through to encode_jpeg (subsampling/quant/restart)."""
     if not frames:
         raise ValueError("AVI needs at least one frame")
     w, h = frames[0].width, frames[0].height
     if any(f.width != w or f.height != h for f in frames):
         raise ValueError("all frames must share dimensions")
-    dibs = [_raster_to_dib(f) for f in frames]
+    if codec == "dib":
+        bodies = [_raster_to_dib(f) for f in frames]
+        handler, comp, data_cid = b"DIB ", 0, b"00db"
+    elif codec == "mjpg":
+        from pasardassist_spark.operators.jpegcodec import encode_jpeg
+
+        bodies = [encode_jpeg(f, **(jpeg_opts or {})) for f in frames]
+        handler, comp, data_cid = b"MJPG", MJPG_FOURCC, b"00dc"
+    else:
+        raise ValueError(f"unknown AVI codec {codec!r}")
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
@@ -161,7 +197,9 @@ def encode_avi(frames: list[Raster], fps: int = 10) -> bytes:
     def lst(ltype: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", ltype + body)
 
-    frame_bytes = ((w * 3 + 3) // 4) * 4 * h
+    frame_bytes = max(
+        ((w * 3 + 3) // 4) * 4 * h, max(len(b) for b in bodies)
+    )
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
         1_000_000 // fps,          # dwMicroSecPerFrame
@@ -174,14 +212,14 @@ def encode_avi(frames: list[Raster], fps: int = 10) -> bytes:
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", b"DIB ", 0, 0, 0, 0,
+        b"vids", handler, 0, 0, 0, 0,
         1, fps,                    # scale, rate -> fps
         0, len(frames), frame_bytes, 0, 0,
         0, 0, w, h,
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, comp, frame_bytes, 0, 0, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00db", d) for d in dibs))
+    movi = lst(b"movi", b"".join(chunk(data_cid, d) for d in bodies))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 

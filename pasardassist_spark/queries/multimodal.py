@@ -742,3 +742,50 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     return decode_images(attach_jpeg_payload(d))
+
+
+@query(
+    "mm_mjpeg_frames",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               doc_id % 6 + 2 AS n,
+               doc_id % 21 + 4 AS w,
+               (doc_id * 5) % 19 + 4 AS h
+        FROM documents
+    ),
+    picks AS (
+        SELECT b.doc_id, b.n, b.w, b.h,
+               CAST(i.i AS INTEGER) AS sample_i,
+               CAST((i.i * b.n) // 4 AS INTEGER) AS frame_idx
+        FROM base b CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+    )
+    SELECT p.doc_id, p.sample_i, p.frame_idx,
+           CAST(p.n AS INTEGER) AS n_frames,
+           CAST(p.w AS INTEGER) AS width,
+           CAST(p.h AS INTEGER) AS height,
+           CAST(SUM(
+               3 * (2 * (((x.x // 8) * 19 + (y.y // 8) * 31
+                          + p.doc_id + p.frame_idx * 17) % 128))
+           ) AS BIGINT) AS pixel_sum
+    FROM picks p
+    JOIN (SELECT unnest(range(0, 25)) AS x) x ON x.x < p.w
+    JOIN (SELECT unnest(range(0, 23)) AS y) y ON y.y < p.h
+    GROUP BY p.doc_id, p.sample_i, p.frame_idx, p.n, p.w, p.h
+    """,
+)
+def mm_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MJPEG keyframe sampling end-to-end (the second entry of the
+    r10 'compressed real-world media' gap, composed from this round's
+    JPEG codec): genuine MJPEG AVI containers — every frame a standalone
+    baseline JPEG with restart markers inside the RIFF tree — parsed
+    back by operators/videocodec.py routing each 00dc chunk through
+    operators/jpegcodec.py, four evenly-spaced keyframes checksummed.
+    The block-constant fixture family makes the lossy per-frame decode
+    bit-exact, so the oracle re-derives every sampled frame's raster sum
+    from doc_id arithmetic alone — certifying the container walk, the
+    MJPG fourcc routing, and the full JPEG pipeline per frame."""
+    from pasardassist_spark.operators.multimodal import mjpeg_sample_frames
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return mjpeg_sample_frames(d, k=4)

@@ -176,3 +176,67 @@ def test_zigzag_is_the_published_order():
         61, 54, 47, 55, 62, 63,
     ]
     assert sorted(zz.tolist()) == list(range(64))
+
+
+# ------------------------------------------------ MJPEG (AVI composition)
+
+
+def test_mjpeg_avi_roundtrip_exact():
+    from pasardassist_spark.operators import videocodec as V
+
+    frames = [
+        Raster(20, 13, 3, np.repeat(
+            block_constant(20, 13, s)[:, :, None], 3, axis=2
+        ).tobytes())
+        for s in (1, 18, 35)
+    ]
+    p = V.encode_avi(
+        frames, codec="mjpg",
+        jpeg_opts=dict(
+            subsampling="4:2:0", restart_interval=2,
+            quant_luma=Q16, quant_chroma=Q16,
+        ),
+    )
+    vid = V.decode_avi(p)
+    assert (vid.width, vid.height, len(vid.frames)) == (20, 13, 3)
+    for got, want in zip(vid.frames, frames):
+        assert got.pixels == want.pixels
+
+
+def test_mjpeg_lossy_frames_decode_consistently():
+    """Random frames through default tables: the AVI route must produce
+    byte-identical rasters to decoding each embedded JPEG directly."""
+    from pasardassist_spark.operators import videocodec as V
+
+    rng = np.random.RandomState(3)
+    frames = [
+        Raster(24, 16, 3, rng.randint(0, 256, (16, 24, 3)).astype(np.uint8).tobytes())
+        for _ in range(2)
+    ]
+    p = V.encode_avi(frames, codec="mjpg")
+    vid = V.decode_avi(p)
+    direct = [J.decode_jpeg(J.encode_jpeg(f)) for f in frames]
+    assert [f.pixels for f in vid.frames] == [f.pixels for f in direct]
+
+
+def test_h264_fourcc_raises_at_the_ffmpeg_seam():
+    from pasardassist_spark.operators import videocodec as V
+
+    frames = [Raster(8, 8, 3, bytes(8 * 8 * 3))]
+    p = bytearray(V.encode_avi(frames, codec="mjpg"))
+    i = p.find(b"strf")
+    j = p.find(b"MJPG", i)  # biCompression inside strf (strh precedes i)
+    p[j : j + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="0x34363248"):
+        V.decode_avi(bytes(p))
+
+
+def test_dib_avi_still_roundtrips():
+    from pasardassist_spark.operators import videocodec as V
+
+    frames = [
+        Raster(10, 6, 3, np.arange(10 * 6 * 3, dtype=np.uint8).tobytes()),
+        Raster(10, 6, 3, (np.arange(10 * 6 * 3, dtype=np.uint8) * 3).tobytes()),
+    ]
+    vid = V.decode_avi(V.encode_avi(frames, codec="dib"))
+    assert [f.pixels for f in vid.frames] == [f.pixels for f in frames]
