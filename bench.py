@@ -253,6 +253,7 @@ def main() -> None:
         "stat_bootstrap_ci",
         # round-11 debuts
         "mm_jpeg_decode",
+        "mm_jpeg_progressive",
         "mm_mjpeg_frames",
         "drift_history",
         "cdc_state_travel_diff",

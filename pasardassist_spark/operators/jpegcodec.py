@@ -4,16 +4,21 @@ crawl and the last stdlib-feasible gap in the media surface (VERDICT r10
 "what's missing" #2; GIF-LZW was the r9 precedent).
 
 Scope — the BASELINE process exactly:
-- decode: SOF0 frames, 8-bit samples, Huffman coding, 1 or 3 components,
+- decode: SOF0 baseline AND SOF2 progressive frames (spectral
+  selection + successive approximation, DC/AC first and refinement
+  scans, EOB runs), 8-bit samples, Huffman coding, 1 or 3 components,
   sampling factors 1-2 per axis (4:4:4, 4:2:2, 4:2:0, ...), restart
   markers (DRI/RSTn), byte stuffing, JFIF/APPn/COM skipping;
-- encode: the fixture-synthesis half — 4:4:4 or 4:2:0, Annex K default
-  tables, optional restart interval — so tests and the driver fixture
-  exercise the decoder on REAL files this module itself produced.
-- loud seams: progressive (SOF2), arithmetic coding (SOF9-SOF11),
-  extended/lossless/hierarchical frames and 12-bit raise
-  NotImplementedError by marker name; malformed streams raise ValueError
-  (the operators/imagecodec.py error-closure contract).
+- encode: the fixture-synthesis half — sequential (encode_jpeg) and
+  progressive (encode_jpeg_progressive, the libjpeg-shaped scan script:
+  DC Al=1 -> DC refine, two AC spectral bands at Al=1 per component ->
+  AC refine), 4:4:4 or 4:2:0, optional restart interval — so tests and
+  the driver fixtures exercise the decoder on REAL files this module
+  itself produced.
+- loud seams: arithmetic coding (SOF9-SOF11), extended/lossless/
+  hierarchical frames and 12-bit raise NotImplementedError by marker
+  name; malformed streams raise ValueError (the operators/imagecodec.py
+  error-closure contract).
 
 Exactness note (what the SQL oracle certifies): JPEG is lossy, but the
 pipeline is deterministic — and for rasters CONSTANT within each 8x8
@@ -122,10 +127,20 @@ AC_CHROMA_VALS = [
     0xF9, 0xFA,
 ]
 
+# Progressive AC scans need EOBn symbols ((r<<4)|0, r=1..14) that the
+# Annex K sequential AC tables cannot host (their Kraft slack fits ONE
+# extra 16-bit code). Progressive files therefore carry this generic
+# flat table in their DHT — every 8-bit symbol, 128 codes at length 8
+# and 128 at length 9 (Kraft 0.75, canonical, no all-ones codeword).
+# Compression is the optimizer's job (libjpeg computes per-scan optimal
+# tables); correctness only needs a VALID table, and DHT travels with
+# the file.
+AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0]
+AC_PROG_VALS = list(range(256))
+
 # frame markers this baseline decoder refuses BY NAME (loud seam)
 _UNSUPPORTED_SOF = {
     0xC1: "SOF1 extended sequential",
-    0xC2: "SOF2 progressive",
     0xC3: "SOF3 lossless",
     0xC5: "SOF5 differential sequential",
     0xC6: "SOF6 differential progressive",
@@ -349,19 +364,11 @@ def _encode_block(
     return int(zz[0])
 
 
-def encode_jpeg(
-    raster: Raster,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-    quant_luma: np.ndarray = QUANT_LUMA,
-    quant_chroma: np.ndarray = QUANT_CHROMA,
-) -> bytes:
-    """Encode a 1- or 3-channel raster as a baseline JFIF file.
-
-    ``subsampling``: "4:4:4" (all components full-res) or "4:2:0" (chroma
-    2x2-averaged, the web default). Grayscale rasters emit a single
-    component regardless. ``restart_interval`` > 0 writes DRI and RSTn
-    every that-many MCUs."""
+def _prepare_components(raster, subsampling, quant_luma, quant_chroma):
+    """Shared encoder front half: color convert, subsample, pad, FDCT,
+    quantize. Returns (w, h, samp, qtabs, mcux, mcuy, qzz) where qzz[i]
+    is (bh, bw, 64) int32 coefficients in ZIGZAG order on component i's
+    MCU-padded block grid."""
     w, h, ch = raster.width, raster.height, raster.channels
     _check_dims(w, h)
     if subsampling not in ("4:4:4", "4:2:0"):
@@ -387,42 +394,74 @@ def encode_jpeg(
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     qtabs = [quant_luma] + [quant_chroma] * (n_comp - 1)
-
-    # per-component quantized blocks, padded so every MCU is complete
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    qblocks = []
+    qzz = []
     for i, plane in enumerate(planes):
         hi, vi = samp[i]
         # pad by edge replication up to this component's full MCU grid
         # (target is always >= the plane, so one _pad_edge lands exactly)
-        qblocks.append(
-            _fdct_quant(_pad_edge(plane, 8 * mcuy * vi, 8 * mcux * hi), qtabs[i])
+        blocks = _fdct_quant(
+            _pad_edge(plane, 8 * mcuy * vi, 8 * mcux * hi), qtabs[i]
         )
+        qzz.append(blocks.reshape(*blocks.shape[:2], 64)[..., ZIGZAG])
+    return w, h, samp, qtabs, mcux, mcuy, qzz
 
-    dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
-    dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
-    ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
-    dc_by_comp = [dc_l] + [dc_c] * (n_comp - 1)
-    ac_by_comp = [ac_l] + [ac_c] * (n_comp - 1)
 
-    out = bytearray(b"\xff\xd8")  # SOI
+def _write_headers(
+    out, sof_marker, w, h, samp, qtabs, restart_interval, huffs=None
+) -> None:
+    n_comp = len(samp)
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tq, q in enumerate(qtabs[:2] if n_comp == 3 else qtabs[:1]):
         zzq = q.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + zzq
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * n_comp, 8, h, w, n_comp)
+    out += bytes((0xFF, sof_marker)) + struct.pack(">HBHHB", 8 + 3 * n_comp, 8, h, w, n_comp)
     for i in range(n_comp):
         out += bytes((i + 1, (samp[i][0] << 4) | samp[i][1], 0 if i == 0 else 1))
-    huffs = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
-    if n_comp == 3:
-        huffs += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS), (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    if huffs is None:
+        huffs = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+        if n_comp == 3:
+            huffs += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS), (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
     for tc_th, bits, vals in huffs:
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
         out += bytes(bits) + bytes(vals)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+
+def _std_code_maps(n_comp):
+    dc_l = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    return (
+        [dc_l] + [dc_c] * (n_comp - 1),
+        [ac_l] + [ac_c] * (n_comp - 1),
+    )
+
+
+def encode_jpeg(
+    raster: Raster,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+    quant_luma: np.ndarray = QUANT_LUMA,
+    quant_chroma: np.ndarray = QUANT_CHROMA,
+) -> bytes:
+    """Encode a 1- or 3-channel raster as a baseline JFIF file.
+
+    ``subsampling``: "4:4:4" (all components full-res) or "4:2:0" (chroma
+    2x2-averaged, the web default). Grayscale rasters emit a single
+    component regardless. ``restart_interval`` > 0 writes DRI and RSTn
+    every that-many MCUs."""
+    w, h, samp, qtabs, mcux, mcuy, qzz = _prepare_components(
+        raster, subsampling, quant_luma, quant_chroma
+    )
+    n_comp = len(samp)
+    dc_by_comp, ac_by_comp = _std_code_maps(n_comp)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    _write_headers(out, 0xC0, w, h, samp, qtabs, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * n_comp, n_comp)
     for i in range(n_comp):
         out += bytes((i + 1, 0x00 if i == 0 else 0x11))
@@ -440,8 +479,7 @@ def encode_jpeg(
             hi, vi = samp[i]
             for by in range(vi):
                 for bx in range(hi):
-                    blk = qblocks[i][my * vi + by, mx * hi + bx]
-                    zz = blk.reshape(-1)[ZIGZAG]
+                    zz = qzz[i][my * vi + by, mx * hi + bx]
                     preds[i] = _encode_block(
                         zz, preds[i], dc_by_comp[i], ac_by_comp[i], bw
                     )
@@ -451,33 +489,307 @@ def encode_jpeg(
     return bytes(out)
 
 
+# ---------------------------------------------------------- progressive enc
+
+class _AcFirstState:
+    """EOB-run accumulator for AC first-pass scans (T.81 G.1.2.2): runs of
+    entirely-zero bands across blocks collapse into one EOBn symbol."""
+
+    def __init__(self, ac_codes, bw: _BitWriter) -> None:
+        self.ac = ac_codes
+        self.bw = bw
+        self.eobrun = 0
+
+    def flush(self) -> None:
+        if self.eobrun:
+            nbits = self.eobrun.bit_length() - 1
+            code, ln = self.ac[nbits << 4]
+            self.bw.write(code, ln)
+            if nbits:
+                self.bw.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+
+    def block(self, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+        band = [
+            (k, int(zz[k]) >> al if zz[k] >= 0 else -((-int(zz[k])) >> al))
+            for k in range(ss, se + 1)
+        ]
+        nz = [(k, v) for k, v in band if v != 0]
+        if not nz:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush()
+            return
+        self.flush()
+        run = 0
+        last_k = nz[-1][0]
+        for k, v in band:
+            if k > last_k:
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = self.ac[0xF0]
+                self.bw.write(code, ln)
+                run -= 16
+            s = abs(v).bit_length()
+            code, ln = self.ac[(run << 4) | s]
+            self.bw.write(code, ln)
+            self.bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_k < se:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush()
+
+
+class _AcRefineState:
+    """AC successive-approximation refinement emitter (T.81 G.1.2.3, the
+    libjpeg encode_mcu_AC_refine structure): newly-significant coefficients
+    carry (run, 1) symbols + sign; already-significant ones append their
+    bit-Al correction to a buffer flushed after each emitted symbol; blocks
+    ending in EOB fold into an EOB run whose buffered corrections ride
+    along with the EOBn symbol."""
+
+    def __init__(self, ac_codes, bw: _BitWriter) -> None:
+        self.ac = ac_codes
+        self.bw = bw
+        self.eobrun = 0
+        self.pending: list[int] = []  # correction bits buffered in EOB run
+
+    def _emit_buffered(self, bits: list[int]) -> None:
+        for b in bits:
+            self.bw.write(b, 1)
+
+    def flush(self) -> None:
+        if self.eobrun:
+            nbits = self.eobrun.bit_length() - 1
+            code, ln = self.ac[nbits << 4]
+            self.bw.write(code, ln)
+            if nbits:
+                self.bw.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        self._emit_buffered(self.pending)
+        self.pending = []
+
+    def block(self, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        # last position that becomes significant in THIS pass
+        eob = 0
+        for idx, t in enumerate(absv):
+            if t == 1:
+                eob = idx + 1
+        run = 0
+        br: list[int] = []  # corrections since last emitted symbol
+        for idx, t in enumerate(absv):
+            if t == 0:
+                run += 1
+                continue
+            if idx < eob:
+                while run > 15:
+                    self.flush()
+                    code, ln = self.ac[0xF0]
+                    self.bw.write(code, ln)
+                    run -= 16
+                    self._emit_buffered(br)
+                    br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            # t == 1: newly significant
+            self.flush()
+            code, ln = self.ac[(run << 4) | 1]
+            self.bw.write(code, ln)
+            self.bw.write(1 if zz[ss + idx] > 0 else 0, 1)
+            self._emit_buffered(br)
+            br = []
+            run = 0
+        if run > 0 or br:
+            self.eobrun += 1
+            self.pending.extend(br)
+            if self.eobrun == 0x7FFF or len(self.pending) > 900:
+                self.flush()
+
+
+def encode_jpeg_progressive(
+    raster: Raster,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+    quant_luma: np.ndarray = QUANT_LUMA,
+    quant_chroma: np.ndarray = QUANT_CHROMA,
+    ac_split: int = 6,
+) -> bytes:
+    """Encode as a PROGRESSIVE JFIF file (SOF2) with the standard scan
+    script shape: interleaved DC first pass at Al=1, DC refinement to
+    Al=0, then per component two spectral AC bands (1..ac_split-1,
+    ac_split..63) at Al=1, then per component one AC refinement pass to
+    Al=0 — exercising spectral selection AND successive approximation in
+    both DC and AC, the same progression libjpeg's default scan script
+    uses. ``restart_interval`` applies per scan (MCUs for the DC scans,
+    data units for the non-interleaved AC scans)."""
+    w, h, samp, qtabs, mcux, mcuy, qzz = _prepare_components(
+        raster, subsampling, quant_luma, quant_chroma
+    )
+    n_comp = len(samp)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    dc_by_comp = [_build_codes(DC_LUMA_BITS, DC_LUMA_VALS)] + [
+        _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ] * (n_comp - 1)
+    ac_prog = _build_codes(AC_PROG_BITS, AC_PROG_VALS)
+    ac_by_comp = [ac_prog] * n_comp  # one generic AC table, id (1, 0)
+
+    out = bytearray(b"\xff\xd8")
+    huffs = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_PROG_BITS, AC_PROG_VALS)]
+    if n_comp == 3:
+        huffs.insert(1, (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS))
+    _write_headers(out, 0xC2, w, h, samp, qtabs, restart_interval, huffs=huffs)
+
+    def sos(comp_ids, ss, se, ah, al, tds):
+        body = bytearray(bytes((len(list(comp_ids)),)))
+        for cid, td_ta in zip(comp_ids, tds):
+            body += bytes((cid, td_ta))
+        body += bytes((ss, se, (ah << 4) | al))
+        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(body)) + bytes(body))
+
+    def rst(bw, counter):
+        bw.marker(0xD0 + (counter % 8))
+
+    # -- scan 1: DC first, interleaved, Al=1
+    sos(list(range(1, n_comp + 1)), 0, 0, 0, 1,
+        [0x00 if i == 0 else 0x10 for i in range(n_comp)])
+    bw = _BitWriter()
+    preds = [0] * n_comp
+    rst_n = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            rst(bw, rst_n)
+            rst_n += 1
+            preds = [0] * n_comp
+        my, mx = divmod(m, mcux)
+        for i in range(n_comp):
+            hi, vi = samp[i]
+            for by in range(vi):
+                for bx in range(hi):
+                    dc = int(qzz[i][my * vi + by, mx * hi + bx, 0]) >> 1
+                    diff = dc - preds[i]
+                    preds[i] = dc
+                    s = abs(diff).bit_length()
+                    code, ln = dc_by_comp[i][s]
+                    bw.write(code, ln)
+                    if s:
+                        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bw.pad_align()
+    out += bw.out
+
+    # -- scan 2: DC refinement to Al=0 (one raw bit per data unit)
+    sos(list(range(1, n_comp + 1)), 0, 0, 1, 0, [0x00] * n_comp)
+    bw = _BitWriter()
+    rst_n = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            rst(bw, rst_n)
+            rst_n += 1
+        my, mx = divmod(m, mcux)
+        for i in range(n_comp):
+            hi, vi = samp[i]
+            for by in range(vi):
+                for bx in range(hi):
+                    bw.write(int(qzz[i][my * vi + by, mx * hi + bx, 0]) & 1, 1)
+    bw.pad_align()
+    out += bw.out
+
+    def comp_grid(i):
+        hi, vi = samp[i]
+        cw = -(-w * hi // hmax)
+        chh = -(-h * vi // vmax)
+        return -(-cw // 8), -(-chh // 8)
+
+    # -- AC first passes: two spectral bands per component, Al=1
+    for i in range(n_comp):
+        bwi, bhi = comp_grid(i)
+        for ss, se in ((1, ac_split - 1), (ac_split, 63)):
+            sos([i + 1], ss, se, 0, 1, [0x00])  # generic AC table id 0
+            bw = _BitWriter()
+            st = _AcFirstState(ac_by_comp[i], bw)
+            rst_n = 0
+            for u in range(bhi * bwi):
+                if restart_interval and u and u % restart_interval == 0:
+                    st.flush()
+                    rst(bw, rst_n)
+                    rst_n += 1
+                st.block(qzz[i][u // bwi, u % bwi], ss, se, 1)
+            st.flush()
+            bw.pad_align()
+            out += bw.out
+
+    # -- AC refinement passes to Al=0, full band per component
+    for i in range(n_comp):
+        bwi, bhi = comp_grid(i)
+        sos([i + 1], 1, 63, 1, 0, [0x00])  # generic AC table id 0
+        bw = _BitWriter()
+        st = _AcRefineState(ac_by_comp[i], bw)
+        rst_n = 0
+        for u in range(bhi * bwi):
+            if restart_interval and u and u % restart_interval == 0:
+                st.flush()
+                rst(bw, rst_n)
+                rst_n += 1
+            st.block(qzz[i][u // bwi, u % bwi], 1, 63, 0)
+        st.flush()
+        bw.pad_align()
+        out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ----------------------------------------------------------------- decode --
 
 def decode_jpeg(payload: bytes) -> Raster:
-    """Decode a baseline sequential JPEG to a Raster (gray or RGB).
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG to a Raster
+    (gray or RGB).
 
-    Raises ValueError on malformed streams and NotImplementedError (with
-    the marker name) on progressive/arithmetic/lossless/12-bit frames and
-    sampling factors outside 1-2 — the honest seam where libjpeg-turbo
-    plugs in for the exotic tail."""
+    Both Huffman processes of T.81's DCT family are implemented: the
+    sequential single scan, and progressive multi-scan with spectral
+    selection AND successive approximation (DC first/refine, AC
+    first-with-EOB-runs, AC bit refinement), coefficients accumulated
+    across scans and reconstructed at EOI. Raises ValueError on
+    malformed streams and NotImplementedError (with the marker name) on
+    arithmetic/lossless/hierarchical/12-bit frames and sampling factors
+    outside 1-2 — the honest seam where libjpeg-turbo plugs in for the
+    exotic tail."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     restart_interval = 0
-    frame = None  # (h, w, comps) with comps = [(cid, hi, vi, tq)]
+    frame = None  # (h, w, comps, progressive); comps = [(cid, hi, vi, tq)]
+    coefs: list[np.ndarray] | None = None  # per comp (bh, bw, 64) zigzag space
+    got_scan = False
+    eobrun_box = [0]
     n = len(payload)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # stray RSTn / TEM
+            pos += 2
+            continue
         if marker in _UNSUPPORTED_SOF:
             raise NotImplementedError(
-                f"jpeg: {_UNSUPPORTED_SOF[marker]} unsupported (baseline only)"
+                f"jpeg: {_UNSUPPORTED_SOF[marker]} unsupported "
+                "(baseline + progressive Huffman only)"
             )
-        if marker == 0xD9:  # EOI before any scan
-            raise ValueError("jpeg: no scan data")
+        if pos + 4 > n:
+            raise ValueError("jpeg: truncated segment header")
         (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         seg = payload[pos + 4 : pos + 2 + seg_len]
         if len(seg) != seg_len - 2:
@@ -501,7 +813,9 @@ def decode_jpeg(payload: bytes) -> Raster:
                 vals = list(seg[sp + 17 : sp + 17 + nv])
                 huff[(tc, th)] = _HuffDecoder(bits, vals)
                 sp += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if frame is not None:
+                raise ValueError("jpeg: multiple SOF markers")
             prec, fh, fw, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"jpeg: {prec}-bit samples")
@@ -515,90 +829,260 @@ def decode_jpeg(payload: bytes) -> Raster:
                         f"jpeg: sampling factors {hi}x{vi} unsupported"
                     )
                 comps.append((cid, hi, vi, tq))
-            frame = (fh, fw, comps)
+            frame = (fh, fw, comps, marker == 0xC2)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-fw // (8 * hmax))
+            mcuy = -(-fh // (8 * vmax))
+            coefs = [
+                np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32)
+                for (cid, hi, vi, tq) in comps
+            ]
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode one scan into the coef state
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
-            return _decode_scan(
-                payload, pos + 2 + seg_len, seg, frame, qtables, huff,
-                restart_interval,
+            pos = _decode_scan(
+                payload, pos + 2 + seg_len, seg, frame, coefs, huff,
+                restart_interval, eobrun_box,
             )
+            got_scan = True
+            continue
         # else: APPn/COM/etc — skip
         pos += 2 + seg_len
-    raise ValueError("jpeg: ran out of segments before SOS")
+    if frame is None or not got_scan:
+        raise ValueError("jpeg: ran out of segments before SOS")
+    return _reconstruct(frame, coefs, qtables)
+
+
+def _comp_grid(frame, i) -> tuple[int, int]:
+    """True (non-MCU-padded) block grid of component i — the data-unit
+    geometry of a NON-interleaved scan (T.81 A.2.2)."""
+    fh, fw, comps, _ = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    cid, hi, vi, tq = comps[i]
+    cw = -(-fw * hi // hmax)
+    ch = -(-fh * vi // vmax)
+    return -(-ch // 8), -(-cw // 8)  # (bh, bw)
 
 
 def _decode_scan(
-    payload, pos, sos, frame, qtables, huff, restart_interval
-) -> Raster:
-    fh, fw, comps = frame
+    payload, pos, sos, frame, coefs, huff, restart_interval, eobrun_box
+) -> int:
+    """Decode one entropy-coded scan into the coefficient arrays; returns
+    the payload offset of the next marker. Handles all four progressive
+    scan kinds plus the sequential full-band scan."""
+    fh, fw, comps, progressive = frame
     ns = sos[0]
-    if ns != len(comps):
-        raise NotImplementedError("jpeg: multi-scan files unsupported")
-    tables = {}
+    scomps = []  # (comp index, dc table id, ac table id)
+    cid_to_idx = {c[0]: i for i, c in enumerate(comps)}
     for i in range(ns):
         cs, td_ta = sos[1 + 2 * i : 3 + 2 * i]
-        tables[cs] = (td_ta >> 4, td_ta & 0x0F)
+        if cs not in cid_to_idx:
+            raise ValueError(f"jpeg: scan references unknown component {cs}")
+        scomps.append((cid_to_idx[cs], td_ta >> 4, td_ta & 0x0F))
+    ss, se, ah_al = sos[1 + 2 * ns : 4 + 2 * ns]
+    ah, al = ah_al >> 4, ah_al & 0x0F
+    if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+        raise ValueError("jpeg: baseline scan must cover the full band")
+    if progressive and ss == 0 and se != 0:
+        raise ValueError("jpeg: progressive scan mixes DC and AC")
+    if se > 63 or ss > se:
+        raise ValueError("jpeg: bad spectral band")
+
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-fw // (8 * hmax))
     mcuy = -(-fh // (8 * vmax))
-    planes = []
-    for cid, hi, vi, tq in comps:
-        planes.append(np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64))
 
     br = _BitReader(payload, pos)
     preds = [0] * len(comps)
-    coef = np.zeros(64, dtype=np.int64)
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            got = br.align_to_marker()
-            want = 0xD0 + ((m // restart_interval - 1) % 8)
-            if got != want:
-                raise ValueError(
-                    f"jpeg: expected RST{want & 7}, got marker 0x{got:02x}"
-                )
-            preds = [0] * len(comps)
-        my, mx = divmod(m, mcux)
-        for i, (cid, hi, vi, tq) in enumerate(comps):
-            dc = huff.get((0, tables[cid][0]))
-            ac = huff.get((1, tables[cid][1]))
-            if dc is None or ac is None or tq not in qtables:
-                raise ValueError("jpeg: scan references undefined tables")
-            q = qtables[tq]
-            for by in range(vi):
-                for bx in range(hi):
-                    coef[:] = 0
-                    s = dc.decode(br)
-                    if s:
-                        preds[i] += _extend(br.receive(s), s)
-                    coef[0] = preds[i]
-                    k = 1
-                    while k < 64:
-                        rs = ac.decode(br)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("jpeg: AC run past block end")
-                        coef[ZIGZAG[k]] = _extend(br.receive(s), s)
-                        k += 1
-                    block = _D.T @ (coef.reshape(8, 8) * q) @ _D + 128.0
-                    y0 = (my * vi + by) * 8
-                    x0 = (mx * hi + bx) * 8
-                    planes[i][y0 : y0 + 8, x0 : x0 + 8] = block
+    eobrun_box[0] = 0
 
-    # upsample to frame grid, crop, convert
+    def check_tables(ci, td, ta):
+        dc = huff.get((0, td))
+        ac = huff.get((1, ta))
+        if (ss == 0 and ah == 0 and dc is None) or (se > 0 and ac is None):
+            raise ValueError("jpeg: scan references undefined tables")
+        return dc, ac
+
+    # enumerate (comp, by, bx) data units in scan order
+    if ns > 1:  # interleaved: MCU order over the padded grid
+        def units():
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for ci, td, ta in scomps:
+                    hi, vi = comps[ci][1], comps[ci][2]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            yield m, ci, td, ta, my * vi + by, mx * hi + bx
+        n_ru = mcux * mcuy  # restart counts MCUs
+    else:
+        ci0, td0, ta0 = scomps[0]
+        bh, bw_ = _comp_grid(frame, ci0)
+
+        def units():
+            for u in range(bh * bw_):
+                yield u, ci0, td0, ta0, u // bw_, u % bw_
+        n_ru = bh * bw_  # restart counts data units
+
+    last_ru = -1
+    rst_count = 0
+    for ru, ci, td, ta, by, bx in units():
+        if restart_interval and ru != last_ru:
+            if ru and ru % restart_interval == 0:
+                got = br.align_to_marker()
+                want = 0xD0 + (rst_count % 8)
+                if got != want:
+                    raise ValueError(
+                        f"jpeg: expected RST{want & 7}, got marker 0x{got:02x}"
+                    )
+                rst_count += 1
+                preds = [0] * len(comps)
+                eobrun_box[0] = 0
+            last_ru = ru
+        dc, ac = check_tables(ci, td, ta)
+        coef = coefs[ci][by, bx]
+        if not progressive:
+            _decode_unit_seq(br, dc, ac, coef, preds, ci)
+        elif ss == 0 and ah == 0:      # DC first pass
+            s = dc.decode(br)
+            if s:
+                preds[ci] += _extend(br.receive(s), s)
+            coef[0] = preds[ci] << al
+        elif ss == 0:                   # DC refinement
+            if br.read_bit():
+                coef[0] |= 1 << al
+        elif ah == 0:                   # AC first pass (with EOB runs)
+            _decode_ac_first(br, ac, coef, ss, se, al, eobrun_box)
+        else:                           # AC refinement
+            _decode_ac_refine(br, ac, coef, ss, se, al, eobrun_box)
+
+    # advance to the next marker (skip pad bits / stuffed pad bytes)
+    p = br.pos
+    npay = len(payload)
+    while p + 1 < npay and not (payload[p] == 0xFF and payload[p + 1] != 0x00):
+        p += 1
+    return p
+
+
+def _decode_unit_seq(br, dc, ac, coef, preds, ci) -> None:
+    s = dc.decode(br)
+    if s:
+        preds[ci] += _extend(br.receive(s), s)
+    coef[0] = preds[ci]
+    k = 1
+    while k < 64:
+        rs = ac.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("jpeg: AC run past block end")
+        coef[k] = _extend(br.receive(s), s)
+        k += 1
+
+
+def _decode_ac_first(br, ac, coef, ss, se, al, eobrun_box) -> None:
+    if eobrun_box[0] > 0:
+        eobrun_box[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = ac.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun_box[0] = (1 << r) - 1
+                if r:
+                    eobrun_box[0] += br.receive(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC run past spectral band")
+        coef[k] = _extend(br.receive(s), s) << al
+        k += 1
+
+
+def _decode_ac_refine(br, ac, coef, ss, se, al, eobrun_box) -> None:
+    """T.81 G.1.2.3 successive-approximation AC refinement (the libjpeg
+    decode_mcu_AC_refine walk): (run,1) symbols place newly-significant
+    +-1<<al values after skipping `run` zero-HISTORY positions, reading
+    one correction bit for every nonzero coefficient passed along the
+    way; EOB runs refine every remaining nonzero coefficient in band."""
+    p1 = 1 << al
+    m1 = -p1
+
+    def refine_one(k):
+        c = int(coef[k])
+        if c != 0 and br.read_bit():
+            if (c & p1) == 0:
+                coef[k] = c + (p1 if c > 0 else m1)
+
+    k = ss
+    if eobrun_box[0] == 0:
+        while k <= se:
+            rs = ac.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun_box[0] = 1 << r
+                    if r:
+                        eobrun_box[0] += br.receive(r)
+                    break  # EOB-run handling below
+                # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: AC refinement magnitude != 1")
+                newval = p1 if br.read_bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    refine_one(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun_box[0] > 0:
+        while k <= se:
+            if coef[k] != 0:
+                refine_one(k)
+            k += 1
+        eobrun_box[0] -= 1
+
+
+def _reconstruct(frame, coefs, qtables) -> Raster:
+    """Dequantize + IDCT every component's accumulated coefficients, then
+    upsample / crop / color-convert — shared by both processes."""
+    fh, fw, comps, _ = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     full = []
-    for (cid, hi, vi, tq), plane in zip(comps, planes):
+    for (cid, hi, vi, tq), czz in zip(comps, coefs):
+        if tq not in qtables:
+            raise ValueError("jpeg: frame references undefined quant table")
+        q = qtables[tq]
+        bh, bw_ = czz.shape[:2]
+        rm = np.zeros((bh, bw_, 64), dtype=np.int64)
+        rm[..., ZIGZAG] = czz  # zigzag position k -> row-major index
+        blocks = _D.T @ (rm.reshape(bh, bw_, 8, 8) * q) @ _D + 128.0
+        plane = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
         if hi < hmax or vi < vmax:
-            plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )
         full.append(plane[:fh, :fw])
     if len(full) == 1:
         px = np.rint(full[0]).clip(0, 255).astype(np.uint8)

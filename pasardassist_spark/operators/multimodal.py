@@ -824,3 +824,52 @@ def mjpeg_sample_frames(df: DataFrame, k: int = 4, id_col: str = "doc_id") -> Da
             yield pd.DataFrame(out)
 
     return df.select(id_col).mapInPandas(_batches, VIDEO_FRAME_SCHEMA)
+
+
+def attach_jpeg_progressive_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """attach_jpeg_payload's PROGRESSIVE (SOF2) sibling: the same
+    exact-roundtrip block-constant family (block value
+    2*((bx*23 + by*37 + doc_id) % 128), dims w = doc_id%49+4,
+    h = (doc_id*13)%41+4) through encode_jpeg_progressive's libjpeg-
+    shaped scan script — DC Al=1 + DC refinement + two AC spectral bands
+    + AC bit refinement per component, 4:2:0, restart interval 2 — so
+    the driver row exercises every progressive scan kind on real
+    multi-scan files."""
+    from pasardassist_spark.operators import jpegcodec
+    from pasardassist_spark.operators.imagecodec import Raster
+
+    schema = f"{id_col} long, kind string, payload binary"
+    q16 = np.full((8, 8), 16, dtype=np.int32)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                seed = int(doc_id)
+                w = seed % 49 + 4
+                h = (seed * 13) % 41 + 4
+                bx = np.arange((w + 7) // 8, dtype=np.int64) * 23
+                by = np.arange((h + 7) // 8, dtype=np.int64) * 37
+                blocks = (2 * ((by[:, None] + bx[None, :] + seed) % 128)).astype(
+                    np.uint8
+                )
+                v = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)[:h, :w]
+                rgb = np.repeat(v[:, :, None], 3, axis=2)
+                payloads.append(
+                    jpegcodec.encode_jpeg_progressive(
+                        Raster(w, h, 3, rgb.tobytes()),
+                        subsampling="4:2:0",
+                        restart_interval=2,
+                        quant_luma=q16,
+                        quant_chroma=q16,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "kind": ["image/jpeg"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_batches, schema)

@@ -135,16 +135,77 @@ def test_sniff_and_dispatch():
     assert (r.width, r.height, r.channels) == (8, 8, 1)
 
 
-def test_progressive_and_arithmetic_raise_by_name():
+def test_lossless_and_arithmetic_raise_by_name():
     v = block_constant(8, 8, 1)
     p = bytearray(J.encode_jpeg(Raster(8, 8, 1, v.tobytes())))
     i = p.find(b"\xff\xc0")
     assert i > 0
-    for marker, word in ((0xC2, "progressive"), (0xC9, "arithmetic")):
+    for marker, word in ((0xC3, "lossless"), (0xC9, "arithmetic")):
         p2 = bytearray(p)
         p2[i + 1] = marker
         with pytest.raises(NotImplementedError, match=word):
             J.decode_jpeg(bytes(p2))
+
+
+# --------------------------------------------------- progressive (SOF2)
+
+
+@pytest.mark.parametrize(
+    "w,h,seed,sub,ri",
+    [(20, 13, 3, "4:2:0", 0), (33, 17, 7, "4:4:4", 2), (8, 8, 0, "4:2:0", 1)],
+)
+def test_progressive_dc_only_roundtrip_exact(w, h, seed, sub, ri):
+    v = block_constant(w, h, seed)
+    rgb = np.repeat(v[:, :, None], 3, axis=2)
+    p = J.encode_jpeg_progressive(
+        Raster(w, h, 3, rgb.tobytes()), subsampling=sub, restart_interval=ri,
+        quant_luma=Q16, quant_chroma=Q16,
+    )
+    assert p[p.find(b"\xff\xc2") + 1] == 0xC2  # genuinely SOF2
+    got = np.frombuffer(J.decode_jpeg(p).pixels, dtype=np.uint8).reshape(h, w, 3)
+    assert np.array_equal(got, rgb)
+
+
+@pytest.mark.parametrize(
+    "seed,w,h,sub,ri",
+    [
+        (1, 24, 16, "4:4:4", 0),
+        (2, 17, 9, "4:4:4", 0),
+        (3, 40, 33, "4:2:0", 0),
+        (4, 32, 24, "4:2:0", 3),
+        (5, 23, 31, "4:4:4", 2),
+    ],
+)
+def test_progressive_equals_sequential_on_random(seed, w, h, sub, ri):
+    """The strongest differential: SOF2's multi-scan accumulation (DC
+    successive approximation, AC spectral bands with EOB runs, AC bit
+    refinement, per-scan restarts) must land the IDENTICAL quantized
+    coefficients the single sequential scan carries — so the decoded
+    pixels must be byte-equal. Any entropy bug in any scan kind breaks
+    this."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    rast = Raster(w, h, 3, img.tobytes())
+    seq = J.decode_jpeg(J.encode_jpeg(rast, subsampling=sub))
+    prog = J.decode_jpeg(
+        J.encode_jpeg_progressive(rast, subsampling=sub, restart_interval=ri)
+    )
+    assert seq.pixels == prog.pixels
+
+
+def test_progressive_grayscale_exact():
+    v = block_constant(24, 16, 5)
+    p = J.encode_jpeg_progressive(Raster(24, 16, 1, v.tobytes()), quant_luma=Q16)
+    r = J.decode_jpeg(p)
+    assert r.channels == 1 and r.pixels == v.tobytes()
+
+
+def test_progressive_truncated_mid_scan_raises():
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    p = J.encode_jpeg_progressive(Raster(16, 16, 3, img.tobytes()))
+    with pytest.raises(ValueError):
+        J.decode_jpeg(p[: int(len(p) * 0.6)])
 
 
 def test_truncated_and_garbage_raise_valueerror():
