@@ -255,6 +255,8 @@ def main() -> None:
         "mm_jpeg_decode",
         "mm_jpeg_progressive",
         "mm_mjpeg_frames",
+        "mm_audio_float",
+        "mm_webp_decode",
         "drift_history",
         "cdc_state_travel_diff",
     ]

@@ -6,9 +6,13 @@ first-class).
 Stdlib-only, like operators/imagecodec.py: the container has no audio
 libraries, but PCM WAV needs none — the RIFF container is a length-tagged
 chunk list and the samples are little-endian integers. Supported: PCM
-(format tag 1) 16-bit mono/stereo, arbitrary sample rate; anything else
-(float WAV, ADPCM, MP3/OGG/FLAC) raises NotImplementedError at the same
-seam an ffmpeg/soundfile build would plug into.
+(format tag 1) 16-bit mono/stereo, and IEEE-float (format tag 3) 32- or
+64-bit, both at arbitrary sample rates — float samples normalize into
+the PCM16 domain by the ffmpeg/sox convention (clip to [-1, 1], scale
+by 32767, round-half-even), so every downstream feature stays
+integer-exact. Anything else (ADPCM, extensible, MP3/OGG/FLAC) raises
+NotImplementedError at the same seam an ffmpeg/soundfile build would
+plug into.
 
 Feature extraction works in INTEGER arithmetic end-to-end (sum of squares,
 zero crossings) so a SQL oracle can re-derive every number exactly — the
@@ -71,13 +75,20 @@ def _decode_wav(payload: bytes) -> PcmAudio:
     tag, channels, rate, _byte_rate, _align, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
-    if tag != 1:
-        raise NotImplementedError(f"WAV format tag {tag} unsupported (PCM only)")
-    if bits != 16:
+    if tag not in (1, 3):
+        raise NotImplementedError(
+            f"WAV format tag {tag} unsupported (PCM and IEEE float only)"
+        )
+    if tag == 1 and bits != 16:
         raise NotImplementedError(f"WAV bit depth {bits} unsupported (16 only)")
+    if tag == 3 and bits not in (32, 64):
+        raise NotImplementedError(
+            f"float WAV bit depth {bits} unsupported (32/64 only)"
+        )
     if channels < 1:
         raise ValueError("bad WAV channel count")
-    n = len(data) // 2
+    width = bits // 8
+    n = len(data) // width
     # Decompression-bomb guard, mirroring imagecodec's MAX_PIXELS: the
     # Python int list amplifies the payload ~14-28x in memory, so an
     # unchecked inline data chunk could balloon an executor. 2^25 samples
@@ -88,8 +99,23 @@ def _decode_wav(payload: bytes) -> PcmAudio:
             "decode guard (route longer recordings through a chunked "
             "decode, not an inline column)"
         )
-    samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    if tag == 1:
+        samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    else:
+        # IEEE float in [-1, 1] -> PCM16 domain: clip, scale by 32767,
+        # round half even (the ffmpeg/sox normalization) — deterministic,
+        # so the integer feature oracles stay exact for float payloads
+        floats = struct.unpack(f"<{n}{'f' if bits == 32 else 'd'}", data[: n * width])
+        samples = [
+            int(_round_half_even(max(-1.0, min(1.0, v)) * 32767.0))
+            for v in floats
+        ]
     return PcmAudio(rate, channels, samples)
+
+
+def _round_half_even(x: float) -> float:
+    # builtin round() IS banker's rounding for floats; named for intent
+    return round(x)
 
 
 def encode_wav(audio: PcmAudio) -> bytes:
@@ -100,6 +126,33 @@ def encode_wav(audio: PcmAudio) -> bytes:
     fmt = struct.pack(
         "<HHIIHH", 1, audio.channels, audio.sample_rate, byte_rate,
         audio.channels * 2, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_float(audio: PcmAudio, bits: int = 32) -> bytes:
+    """IEEE-float writer (format tag 3, 32- or 64-bit): PCM16-domain
+    samples map to s/32767.0 — for |s| <= 32767 the float32 relative
+    error (~6e-8) keeps the decode-side round-half-even landing back on
+    s exactly, so float fixtures round-trip bit-exactly into the integer
+    feature oracles."""
+    if bits not in (32, 64):
+        raise ValueError(f"float WAV bits must be 32 or 64, got {bits}")
+    code = "f" if bits == 32 else "d"
+    data = struct.pack(
+        f"<{len(audio.samples)}{code}",
+        *[s / 32767.0 for s in audio.samples],
+    )
+    width = bits // 8
+    byte_rate = audio.sample_rate * audio.channels * width
+    fmt = struct.pack(
+        "<HHIIHH", 3, audio.channels, audio.sample_rate, byte_rate,
+        audio.channels * width, bits,
     )
     body = (
         b"WAVE"

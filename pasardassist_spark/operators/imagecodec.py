@@ -72,6 +72,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "gif"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     if payload[:2] in (b"P2", b"P3", b"P5", b"P6") and (
         len(payload) > 2 and payload[2:3] in b" \t\r\n#"
     ):
@@ -103,6 +105,11 @@ def decode(payload: bytes) -> Raster:
             from pasardassist_spark.operators.jpegcodec import decode_jpeg
 
             return decode_jpeg(payload)
+        if fmt == "webp":
+            # local import: webpcodec imports Raster/_check_dims from here
+            from pasardassist_spark.operators.webpcodec import decode_webp
+
+            return decode_webp(payload)
     except (struct.error, zlib.error) as exc:
         raise ValueError(f"malformed {fmt} payload: {exc}") from exc
     raise NotImplementedError("unrecognized image container")

@@ -873,3 +873,102 @@ def attach_jpeg_progressive_payload(df: DataFrame, id_col: str = "doc_id") -> Da
             )
 
     return df.select(id_col).mapInPandas(_batches, schema)
+
+
+def audio_features_float(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """audio_features' IEEE-FLOAT sibling (format tag 3): the identical
+    deterministic sample family is written as float32 (even doc_ids) or
+    float64 (odd doc_ids) WAV — s/32767.0 per sample — and decoded back
+    through the float->PCM16 normalization (clip, x32767, round half
+    even). For |s| <= 32767 the float32 relative error keeps the
+    round-trip landing on the EXACT original integers, so the features
+    (and the SQL oracle) are identical to the PCM16 path — the hash
+    match certifies the float decode normalization bit-for-bit."""
+    from pasardassist_spark.operators import audiocodec
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "duration_ms": [], "sq_sum": [], "zero_crossings": [],
+            }
+            for doc_id in pdf[id_col]:
+                _n, samples = synth_wav_samples(int(doc_id))
+                payload = audiocodec.encode_wav_float(
+                    audiocodec.PcmAudio(AUDIO_RATE, 1, samples),
+                    bits=32 if int(doc_id) % 2 == 0 else 64,
+                )
+                f = audiocodec.extract_audio_features(
+                    audiocodec.decode_wav(payload)
+                )
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(f.sample_rate)
+                out["n_samples"].append(f.n_samples)
+                out["duration_ms"].append(f.duration_ms)
+                out["sq_sum"].append(f.sq_sum)
+                out["zero_crossings"].append(f.zero_crossings)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(_batches, AUDIO_SCHEMA)
+
+
+def attach_webp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL lossless-WebP (VP8L) payloads over the synth_raster
+    pixel family (base = (x*7 + y*13 + doc_id) % 256, channels (base,
+    base+29, base+58) mod 256; dims w = doc_id%45+4, h = (doc_id*3)%37+4)
+    — losslessness means the decoded raster equals the formula exactly,
+    whatever the coding route. doc_id % 6 rotates that route so the
+    driver row exercises EVERY decoder path: plain literals /
+    subtract-green + color cache / single-mode predictor (doc_id % 14) /
+    uniform color transform / LZ77 runs + cache / color-indexing
+    (palette, bundled when small)."""
+    from pasardassist_spark.operators import webpcodec
+    from pasardassist_spark.operators.imagecodec import Raster
+
+    schema = f"{id_col} long, kind string, payload binary"
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                seed = int(doc_id)
+                w = seed % 45 + 4
+                h = (seed * 3) % 37 + 4
+                x = np.arange(w)
+                y = np.arange(h).reshape(h, 1)
+                base = (x * 7 + y * 13 + seed) % 256
+                rgb = np.stack(
+                    [base, (base + 29) % 256, (base + 58) % 256], axis=-1
+                ).astype(np.uint8)
+                rast = Raster(w, h, 3, rgb.tobytes())
+                variant = seed % 6
+                if variant == 0:
+                    p = webpcodec.encode_webp_lossless(rast)
+                elif variant == 1:
+                    p = webpcodec.encode_webp_lossless(
+                        rast, subtract_green=True, cache_bits=5
+                    )
+                elif variant == 2:
+                    p = webpcodec.encode_webp_lossless(
+                        rast, predictor_mode=seed % 14
+                    )
+                elif variant == 3:
+                    p = webpcodec.encode_webp_lossless(
+                        rast, color_transform=(32, 16, 8)
+                    )
+                elif variant == 4:
+                    p = webpcodec.encode_webp_lossless(
+                        rast, use_runs=True, cache_bits=4
+                    )
+                else:  # the base formula has <= 256 distinct colors
+                    p = webpcodec.encode_webp_lossless(rast, palette=True)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "kind": ["image/webp"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_batches, schema)

@@ -835,3 +835,94 @@ def mm_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     return decode_images(attach_jpeg_progressive_payload(d))
+
+
+@query(
+    "mm_audio_float",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, doc_id % 300 + 100 AS n FROM documents
+    ),
+    samp AS (
+        SELECT b.doc_id, b.n, i.i,
+               ((i.i * 37 + b.doc_id * 11) % 2048) - 1024 AS s
+        FROM base b JOIN (SELECT unnest(range(0, 400)) AS i) i ON i.i < b.n
+    ),
+    flips AS (
+        SELECT doc_id, n, s,
+               LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM samp
+    )
+    SELECT doc_id,
+           8000 AS sample_rate,
+           CAST(n AS INTEGER) AS n_samples,
+           CAST(n // 8 AS INTEGER) AS duration_ms,
+           CAST(SUM(s * s) AS BIGINT) AS sq_sum,
+           CAST(SUM(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS INTEGER)
+               AS zero_crossings
+    FROM flips
+    GROUP BY doc_id, n
+    """,
+)
+def mm_audio_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IEEE-FLOAT WAV decode (format tag 3 — the r10 missing-list's
+    last stdlib-feasible audio member): the mm_audio_features sample
+    family written as float32/float64 payloads (alternating by doc_id)
+    and normalized back into the PCM16 domain by the ffmpeg/sox
+    convention (clip to [-1,1], x32767, round half even). The float32
+    relative error is small enough that the round-trip lands on the
+    exact original integers, so the SAME closed-form integer oracle as
+    the PCM path certifies the float sample unpacking and normalization
+    bit-for-bit on 500 real files of each width."""
+    from pasardassist_spark.operators.multimodal import audio_features_float
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return audio_features_float(d)
+
+
+@query(
+    "mm_webp_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               doc_id % 45 + 4 AS w,
+               (doc_id * 3) % 37 + 4 AS h
+        FROM documents
+    )
+    SELECT d.doc_id,
+           'image/webp' AS kind,
+           CAST(d.w AS INTEGER) AS width,
+           CAST(d.h AS INTEGER) AS height,
+           3 AS channels,
+           CAST(SUM(
+                 (x.x * 7 + y.y * 13 + d.doc_id) % 256
+               + ((x.x * 7 + y.y * 13 + d.doc_id) % 256 + 29) % 256
+               + ((x.x * 7 + y.y * 13 + d.doc_id) % 256 + 58) % 256
+           ) AS BIGINT) AS pixel_sum
+    FROM dims d
+    JOIN (SELECT unnest(range(0, 49)) AS x) x ON x.x < d.w
+    JOIN (SELECT unnest(range(0, 41)) AS y) y ON y.y < d.h
+    GROUP BY d.doc_id, d.w, d.h
+    """,
+)
+def mm_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP (VP8L) decode end-to-end
+    (operators/webpcodec.py — the web's lossless/transparency format,
+    closing the WebP name from the r10 media gap list): every document
+    gets a genuine RIFF/VP8L file from this repo's own encoder, with
+    doc_id rotating the coding route through every decoder path —
+    canonical prefix codes (simple AND code-length-coded), LZ77
+    backward references, the 0x1e35a7bd color cache, and all four
+    transforms (all 14 predictor modes across docs, color transform,
+    subtract-green, color-indexing with sub-byte bundling). VP8L is
+    LOSSLESS, so the decoded raster equals the synth_raster closed form
+    exactly regardless of route, and one SQL pixel-sum oracle certifies
+    all six variants on 500 real files. Lossy VP8/VP8X raise by name at
+    the libwebp seam."""
+    from pasardassist_spark.operators.multimodal import (
+        attach_webp_payload,
+        decode_images,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return decode_images(attach_webp_payload(d))

@@ -172,8 +172,14 @@ def test_avi_rejects_compressed_and_garbage():
     payload = bytearray(V.encode_avi([IC.Raster(2, 2, 3, bytes(12))]))
     # strf biCompression lives 16 bytes into the BITMAPINFOHEADER
     off = payload.index(b"strf") + 8 + 16
-    struct.pack_into("<I", payload, off, 0x47504A4D)  # 'MJPG'
+    # inter-frame codecs stay at the ffmpeg seam (MJPG is supported now —
+    # its frames route through jpegcodec, so DIB bytes under an MJPG tag
+    # fail as malformed JPEG, tested below)
+    struct.pack_into("<I", payload, off, struct.unpack("<I", b"H264")[0])
     with pytest.raises(NotImplementedError):
+        V.decode_avi(bytes(payload))
+    struct.pack_into("<I", payload, off, 0x47504A4D)  # 'MJPG'
+    with pytest.raises(ValueError):  # frame chunk bytes are not a JPEG
         V.decode_avi(bytes(payload))
     with pytest.raises(ValueError):
         V.decode_avi(b"RIFFxxxxWAVE")
@@ -325,3 +331,52 @@ def test_video_fingerprint_collapses_seed_groups_and_orders_frames(spark):
     f0 = dhash_raster(w, h, 3, fwd.frames[0].pixels)
     r0 = dhash_raster(w, h, 3, rev.frames[0].pixels)
     assert f0 != r0
+
+
+def test_float_wav_roundtrip_exact_both_widths():
+    """IEEE-float WAV (format tag 3): s/32767.0 written as float32 or
+    float64 must normalize back to the EXACT PCM16 integers (the ADVICE
+    convention: clip, x32767, round half even)."""
+    from pasardassist_spark.operators import audiocodec as A
+
+    samples = [0, 1, -1, 32767, -32767, 12345, -20000, 7]
+    for bits in (32, 64):
+        p = A.encode_wav_float(A.PcmAudio(8000, 1, samples), bits=bits)
+        got = A.decode_wav(p)
+        assert got.samples == samples, bits
+        assert (got.sample_rate, got.channels) == (8000, 1)
+
+
+def test_float_wav_clips_out_of_range():
+    import struct
+
+    from pasardassist_spark.operators import audiocodec as A
+
+    data = struct.pack("<4f", 2.0, -3.5, 0.5, -0.25)
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    p = b"RIFF" + struct.pack("<I", len(body)) + body
+    got = A.decode_wav(p).samples
+    assert got[0] == 32767 and got[1] == -32767  # clipped
+    assert got[2] == round(0.5 * 32767) and got[3] == round(-0.25 * 32767)
+
+
+def test_wav_unsupported_tags_still_raise_by_name():
+    import struct
+
+    from pasardassist_spark.operators import audiocodec as A
+
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)  # ADPCM
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0))
+    p = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="format tag 2"):
+        A.decode_wav(p)
+    # float tag with an unsupported width
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0))
+    p = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="float WAV bit depth"):
+        A.decode_wav(p)
