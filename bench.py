@@ -257,6 +257,7 @@ def main() -> None:
         "mm_mjpeg_frames",
         "mm_audio_float",
         "mm_webp_decode",
+        "mm_png_variants",
         "drift_history",
         "cdc_state_travel_diff",
     ]

@@ -258,7 +258,7 @@ def encode_bmp(r: Raster) -> bytes:
 
 # ------------------------------------------------------------------- PNG --
 
-def _png_unfilter(raw: bytes, w: int, h: int, bypp: int) -> bytes:
+def _png_unfilter(raw: bytes, stride: int, h: int, bypp: int) -> bytes:
     """Reverse PNG scanline filters (spec §9: None/Sub/Up/Average/Paeth).
 
     Vectorization: rows are inherently sequential (Up/Average/Paeth read
@@ -269,7 +269,6 @@ def _png_unfilter(raw: bytes, w: int, h: int, bypp: int) -> bytes:
     the output itself (nonlinear via >>1 / the Paeth predictor), so those
     rows stay per-byte Python — they never appear in this repo's own
     filter-0 writer and are exercised only by the conformance tests."""
-    stride = w * bypp
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG raster length mismatch")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
@@ -317,17 +316,60 @@ def _png_unfilter(raw: bytes, w: int, h: int, bypp: int) -> bytes:
     return out.tobytes()
 
 
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_pass_dims(w: int, h: int, interlace: bool):
+    """(x0, y0, dx, dy, pw, ph) per pass; a single full pass when not
+    interlaced. Empty passes are dropped (they carry no filter bytes)."""
+    if not interlace:
+        return [(0, 0, 1, 1, w, h)]
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+def _png_extract_samples(flat: bytes, pw: int, ph: int, ch: int, depth: int) -> np.ndarray:
+    """Unfiltered pass bytes -> (ph, pw, ch) uint8 samples. Depth 16 keeps
+    the most significant byte (the standard 8-bit normalization); sub-byte
+    depths unpack MSB-first along x (palette indices / gray levels)."""
+    if depth == 8:
+        return np.frombuffer(flat, dtype=np.uint8).reshape(ph, pw, ch)
+    if depth == 16:
+        a = np.frombuffer(flat, dtype=np.uint8).reshape(ph, pw, ch, 2)
+        return a[..., 0].copy()  # big-endian MSB
+    # depth 1/2/4, single channel only (gray or palette index)
+    stride = (pw * depth + 7) // 8
+    rows = np.frombuffer(flat, dtype=np.uint8).reshape(ph, stride)
+    bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (bits.reshape(ph, pw, depth) * weights).sum(axis=2).astype(np.uint8)
+    return vals.reshape(ph, pw, 1)
 
 
 def decode_png(payload: bytes) -> Raster:
-    """8-bit non-interlaced PNG (gray / RGB / gray+alpha / RGBA); alpha
-    dropped so output normalizes to 1 or 3 channels."""
+    """PNG decode covering the real-world matrix: color types 0/2/3/4/6,
+    bit depths 1/2/4 (gray + palette), 8, and 16 (MSB-normalized to
+    8-bit), PLTE palette expansion, and Adam7 interlacing — alpha dropped
+    so output normalizes to 1 or 3 channels."""
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG file")
     pos = 8
     w = h = 0
+    depth = 8
     color_type = -1
+    interlace = 0
+    plte = None
     idat = bytearray()
     ln = len(payload)
     while pos + 8 <= ln:
@@ -340,14 +382,24 @@ def decode_png(payload: bytes) -> Raster:
                 ">IIBBBBB", body
             )
             _check_dims(w, h)
-            if depth != 8:
-                raise NotImplementedError(f"PNG bit depth {depth} unsupported")
             if color_type not in _PNG_CHANNELS:
                 raise NotImplementedError(f"PNG color type {color_type} unsupported")
-            if interlace:
-                raise NotImplementedError("interlaced PNG unsupported")
+            ok_depths = {
+                0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                4: (8, 16), 6: (8, 16),
+            }[color_type]
+            if depth not in ok_depths:
+                raise NotImplementedError(
+                    f"PNG bit depth {depth} invalid for color type {color_type}"
+                )
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
             if comp or filt:
                 raise ValueError("bad PNG compression/filter method")
+        elif ctype == b"PLTE":
+            if clen % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -355,14 +407,22 @@ def decode_png(payload: bytes) -> Raster:
         pos += 12 + clen  # len + type + body + crc
     if not w or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     src_ch = _PNG_CHANNELS[color_type]
+    passes = _png_pass_dims(w, h, bool(interlace))
+
+    def pass_stride(pw: int) -> int:
+        return (pw * src_ch * depth + 7) // 8
+
+    bypp = max(1, (src_ch * depth) // 8)
     # bounded inflate: the raster size is known from IHDR, so cap the
     # decompressor there — a zlib bomb (tiny IDAT inflating to GB) stops
     # at expected+1 bytes and is rejected, instead of exhausting memory.
     # The eof check preserves what plain zlib.decompress() verified:
     # stream completeness + adler32 — a truncated IDAT that happens to
     # yield exactly `expected` bytes before the cut must still fail.
-    expected = h * (w * src_ch + 1)
+    expected = sum(ph * (pass_stride(pw) + 1) for _, _, _, _, pw, ph in passes)
     d = zlib.decompressobj()
     raw = d.decompress(bytes(idat), expected + 1)
     if len(raw) != expected:
@@ -376,27 +436,46 @@ def decode_png(payload: bytes) -> Raster:
             raise ValueError(f"PNG IDAT inflates beyond {expected} bytes")
     if not d.eof:
         raise ValueError("PNG IDAT stream incomplete (truncated/unverified)")
-    flat = _png_unfilter(raw, w, h, src_ch)
+
+    img = np.zeros((h, w, src_ch), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        stride = pass_stride(pw)
+        size = ph * (stride + 1)
+        flat = _png_unfilter(raw[off : off + size], stride, ph, bypp)
+        off += size
+        img[y0::dy, x0::dx] = _png_extract_samples(flat, pw, ph, src_ch, depth)
+
+    if color_type == 3:
+        idx = img[..., 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return Raster(w, h, 3, plte[idx].tobytes())
     if color_type == 0:
-        return Raster(w, h, 1, flat)
+        if depth in (1, 2, 4):  # scale gray levels to full 8-bit range
+            img = (img.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+        return Raster(w, h, 1, img.tobytes())
     if color_type == 2:
-        return Raster(w, h, 3, flat)
+        return Raster(w, h, 3, img.tobytes())
     # strip alpha (vectorized column slice)
     keep = src_ch - 1
-    out = np.frombuffer(flat, dtype=np.uint8).reshape(w * h, src_ch)[:, :keep]
-    return Raster(w, h, keep if keep == 3 else 1, out.tobytes())
+    return Raster(w, h, keep if keep == 3 else 1, img[..., :keep].tobytes())
 
 
-def encode_png(r: Raster) -> bytes:
-    """Minimal PNG writer (filter 0 scanlines, one IDAT) — fixture
-    generator for the decode tests and the synthetic payload builder."""
+def encode_png(r: Raster, interlace: bool = False) -> bytes:
+    """Minimal PNG writer (filter 0 scanlines, one IDAT; optional Adam7
+    interlacing) — fixture generator for the decode tests and the
+    synthetic payload builder."""
     color_type = 2 if r.channels == 3 else 0
-    stride = r.width * r.channels
-    rows = np.zeros((r.height, stride + 1), dtype=np.uint8)
-    rows[:, 1:] = np.frombuffer(r.pixels, dtype=np.uint8).reshape(
-        r.height, stride
+    arr = np.frombuffer(r.pixels, dtype=np.uint8).reshape(
+        r.height, r.width, r.channels
     )
-    raw = rows.tobytes()
+    raw = bytearray()
+    for x0, y0, dx, dy, pw, ph in _png_pass_dims(r.width, r.height, interlace):
+        sub = arr[y0::dy, x0::dx].reshape(ph, pw * r.channels)
+        rows = np.zeros((ph, pw * r.channels + 1), dtype=np.uint8)
+        rows[:, 1:] = sub
+        raw += rows.tobytes()
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -406,11 +485,56 @@ def encode_png(r: Raster) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", r.width, r.height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", r.width, r.height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         PNG_MAGIC
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    indices: bytes, w: int, h: int, palette: bytes, depth: int = 8
+) -> bytes:
+    """Palette (color type 3) PNG writer: ``indices`` is one byte per
+    pixel (values < len(palette)//3), packed down to ``depth`` bits
+    MSB-first per scanline; ``palette`` is RGB triplets. Fixture
+    generator for the palette/sub-byte decode paths."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette PNG depth {depth} invalid")
+    idx = np.frombuffer(indices, dtype=np.uint8).reshape(h, w)
+    if int(idx.max(initial=0)) >= len(palette) // 3:
+        raise ValueError("palette index out of range")
+    if depth == 8:
+        packed = idx
+    else:
+        bits = (
+            (idx[..., None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).reshape(h, w * depth).astype(np.uint8)
+        pad = (-bits.shape[1]) % 8
+        if pad:
+            bits = np.pad(bits, ((0, 0), (0, pad)))
+        packed = np.packbits(bits, axis=1)
+    rows = np.zeros((h, packed.shape[1] + 1), dtype=np.uint8)
+    rows[:, 1:] = packed
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", zlib.compress(rows.tobytes(), 6))
         + chunk(b"IEND", b"")
     )
 

@@ -972,3 +972,59 @@ def attach_webp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col).mapInPandas(_batches, schema)
+
+
+def attach_png_variant_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL PNGs across the decoder's full real-world matrix: doc_id % 4
+    rotates plain (type 2) / Adam7-interlaced / palette depth 8 /
+    palette depth 4 (sub-byte index packing). Pixel family: base =
+    (x*7 + y*13 + doc_id) % M with M = 16 for the depth-4 variant (a
+    palette can hold at most 16 colors there) and 256 otherwise;
+    channels (base, base+29, base+58) mod 256 — so the raster is
+    closed-form whatever the container route. Dims w = doc_id%41+4,
+    h = (doc_id*7)%31+4."""
+    from pasardassist_spark.operators import imagecodec
+
+    schema = f"{id_col} long, kind string, payload binary"
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                seed = int(doc_id)
+                w = seed % 41 + 4
+                h = (seed * 7) % 31 + 4
+                variant = seed % 4
+                mod = 16 if variant == 3 else 256
+                x = np.arange(w)
+                y = np.arange(h).reshape(h, 1)
+                base = (x * 7 + y * 13 + seed) % mod
+                rgb = np.stack(
+                    [base, (base + 29) % 256, (base + 58) % 256], axis=-1
+                ).astype(np.uint8)
+                r = imagecodec.Raster(w, h, 3, rgb.tobytes())
+                if variant == 0:
+                    payloads.append(imagecodec.encode_png(r))
+                elif variant == 1:
+                    payloads.append(imagecodec.encode_png(r, interlace=True))
+                else:
+                    pal = bytes(
+                        b
+                        for c in range(mod)
+                        for b in (c, (c + 29) % 256, (c + 58) % 256)
+                    )
+                    payloads.append(
+                        imagecodec.encode_png_palette(
+                            base.astype(np.uint8).tobytes(), w, h, pal,
+                            depth=8 if variant == 2 else 4,
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "kind": ["image/png"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_batches, schema)

@@ -926,3 +926,49 @@ def mm_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     return decode_images(attach_webp_payload(d))
+
+
+@query(
+    "mm_png_variants",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               doc_id % 41 + 4 AS w,
+               (doc_id * 7) % 31 + 4 AS h,
+               CASE WHEN doc_id % 4 = 3 THEN 16 ELSE 256 END AS m
+        FROM documents
+    )
+    SELECT d.doc_id,
+           'image/png' AS kind,
+           CAST(d.w AS INTEGER) AS width,
+           CAST(d.h AS INTEGER) AS height,
+           3 AS channels,
+           CAST(SUM(
+                 (x.x * 7 + y.y * 13 + d.doc_id) % d.m
+               + ((x.x * 7 + y.y * 13 + d.doc_id) % d.m + 29) % 256
+               + ((x.x * 7 + y.y * 13 + d.doc_id) % d.m + 58) % 256
+           ) AS BIGINT) AS pixel_sum
+    FROM dims d
+    JOIN (SELECT unnest(range(0, 45)) AS x) x ON x.x < d.w
+    JOIN (SELECT unnest(range(0, 35)) AS y) y ON y.y < d.h
+    GROUP BY d.doc_id, d.w, d.h, d.m
+    """,
+)
+def mm_png_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG decode across the real-world feature matrix the r11 decoder
+    upgrade added (operators/imagecodec.py): Adam7 INTERLACED files
+    (seven filtered sub-passes de-interlaced into one raster) and
+    PALETTE files (PLTE expansion, including depth-4 sub-byte index
+    unpacking), next to the plain truecolor baseline — one variant per
+    doc_id % 4, every payload a genuine file from this repo's writers.
+    PNG is lossless, so a single closed-form pixel-sum oracle (with the
+    16-color CASE for the depth-4 variant) certifies all four container
+    routes; 16-bit MSB normalization and depth-1/2 gray scaling are
+    pytest-pinned on hand-built files (tests/test_imagecodec.py)."""
+    from pasardassist_spark.operators.multimodal import (
+        attach_png_variant_payload,
+        decode_images,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return decode_images(attach_png_variant_payload(d))

@@ -162,15 +162,103 @@ def test_png_roundtrip_via_own_encoder():
     assert C.decode(C.encode_png(r)) == r
 
 
-def test_png_interlace_rejected():
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
-    payload = (
-        C.PNG_MAGIC
-        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
-        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
-    )
-    with pytest.raises(NotImplementedError):
-        C.decode_png(payload)
+def test_png_adam7_interlace_roundtrip():
+    """Adam7 is now decoded for real: the interlaced encoding of a raster
+    must decode identically to the non-interlaced one, across sizes that
+    exercise empty and partial passes."""
+    import numpy as np
+
+    for w, h in [(1, 1), (3, 2), (8, 8), (13, 9), (17, 5)]:
+        px = bytes((x * 7 + y * 13 + 3) % 256 for y in range(h) for x in range(w * 3))
+        r = C.Raster(w, h, 3, px)
+        plain = C.decode_png(C.encode_png(r))
+        inter = C.decode_png(C.encode_png(r, interlace=True))
+        assert plain.pixels == px == inter.pixels, (w, h)
+    # grayscale too
+    g = C.Raster(9, 6, 1, bytes(range(54)))
+    assert C.decode_png(C.encode_png(g, interlace=True)).pixels == g.pixels
+
+
+def test_png_palette_all_depths():
+    import numpy as np
+
+    pal = bytes(b for c in range(16) for b in ((c * 11) % 256, (c * 29) % 256, (c * 53) % 256))
+    for depth, ncol in ((1, 2), (2, 4), (4, 16), (8, 16)):
+        w, h = 11, 5
+        idx = bytes((x + y) % ncol for y in range(h) for x in range(w))
+        p = C.encode_png_palette(idx, w, h, pal[: ncol * 3], depth=depth)
+        r = C.decode_png(p)
+        assert r.channels == 3
+        want = bytes(
+            b
+            for i in idx
+            for b in pal[i * 3 : i * 3 + 3]
+        )
+        assert r.pixels == want, depth
+
+
+def test_png_16bit_msb_normalization():
+    """16-bit samples normalize to their most significant byte."""
+    w, h = 3, 2
+    hi = bytes([10, 20, 30, 40, 50, 60])
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)  # filter none
+        for x in range(w):
+            raw += bytes([hi[y * w + x], 0xAB])  # MSB, LSB
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    p = C.PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(bytes(raw))
+    ) + chunk(b"IEND", b"")
+    r = C.decode_png(p)
+    assert (r.width, r.height, r.channels) == (w, h, 1)
+    assert r.pixels == hi
+
+
+def test_png_subbyte_gray_scales_to_full_range():
+    """Depth-1 grayscale: bit 1 -> 255, bit 0 -> 0 (spec sample scaling)."""
+    w, h = 10, 2
+    bits = [1, 0, 1, 1, 0, 0, 1, 0, 1, 1] * 2
+    packed = bytearray()
+    for y in range(h):
+        packed.append(0)
+        row = bits[y * w : (y + 1) * w] + [0] * 6  # pad to byte
+        for i in range(0, 16, 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | row[i + j]
+            packed.append(b)
+    ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0)
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(
+            ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+        )
+
+    p = C.PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(bytes(packed))
+    ) + chunk(b"IEND", b"")
+    r = C.decode_png(p)
+    assert list(r.pixels) == [255 if b else 0 for b in bits]
+
+
+def test_png_palette_guards():
+    pal = bytes(range(12))  # 4 colors
+    with pytest.raises(ValueError, match="index out of range"):
+        C.encode_png_palette(bytes([0, 5]), 2, 1, pal, depth=8)
+    p = bytearray(C.encode_png_palette(bytes([0, 3]), 2, 1, pal, depth=8))
+    # strip PLTE: decoder must demand it
+    i = p.find(b"PLTE") - 4
+    (ln,) = struct.unpack_from(">I", p, i)
+    del p[i : i + 12 + ln]
+    with pytest.raises(ValueError, match="missing PLTE"):
+        C.decode_png(bytes(p))
 
 
 def test_resize_nearest_known_grid():
