@@ -302,3 +302,178 @@ def encode_gif(indices: bytes, width: int, height: int, palette: bytes) -> bytes
         out += chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# -------------------------------------------------------------- animation --
+
+def decode_gif_frames(payload: bytes) -> tuple[int, int, list[Raster]]:
+    """Decode an ANIMATED (or single-frame) GIF into the sequence of
+    composited canvas snapshots — "the image as displayed" after each
+    frame, which is what a frame-sampling pipeline consumes.
+
+    Full GIF89a animation semantics: per-frame Graphic Control Extension
+    (transparency index — transparent pixels leave the canvas untouched —
+    and disposal method: 0/1 keep, 2 restore-to-background, 3
+    restore-to-previous), sub-rectangle frames composited at their
+    (x, y) offsets, local color tables overriding the global one. The
+    canvas starts as the background color (the spec's initial state;
+    black when the header names no usable background).
+
+    Returns (canvas_w, canvas_h, [Raster per frame]). Raises ValueError
+    on malformed streams, NotImplementedError on interlaced frames."""
+    try:
+        return _decode_gif_frames(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed GIF payload: {exc}") from exc
+
+
+def _decode_gif_frames(payload: bytes) -> tuple[int, int, list[Raster]]:
+    if not sniff_gif(payload):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, flags, bg_idx, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    _check_dims(max(sw, 1), max(sh, 1))
+    pos = 13
+    global_table = b""
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_table = payload[pos : pos + 3 * n]
+        if len(global_table) != 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    if global_table and bg_idx < len(global_table) // 3:
+        bg = tuple(global_table[bg_idx * 3 : bg_idx * 3 + 3])
+    else:
+        bg = (0, 0, 0)
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bg
+    frames: list[Raster] = []
+    # pending GCE state for the NEXT image descriptor
+    transparent: int | None = None
+    disposal = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            subs = []
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension block")
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                subs.append(payload[pos : pos + sz])
+                pos += sz
+            if label == 0xF9 and subs:  # Graphic Control Extension
+                gflags = subs[0][0]
+                disposal = (gflags >> 2) & 0x07
+                transparent = subs[0][3] if gflags & 1 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block {block:#x}")
+        fx, fy, fw, fh, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF unsupported")
+        if fx + fw > sw or fy + fh > sh:
+            raise ValueError("GIF frame rectangle exceeds the canvas")
+        table = global_table
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            table = payload[pos : pos + 3 * n]
+            if len(table) != 3 * n:
+                raise ValueError("truncated GIF local color table")
+            pos += 3 * n
+        if not table:
+            raise ValueError("GIF image has no color table")
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 8:
+            raise ValueError(f"bad GIF LZW min code size {min_code}")
+        chunks = []
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF image data sub-blocks")
+            sz = payload[pos]
+            pos += 1
+            if sz == 0:
+                break
+            chunk = payload[pos : pos + sz]
+            if len(chunk) != sz:
+                raise ValueError("truncated GIF image data sub-block")
+            chunks.append(chunk)
+            pos += sz
+        idx = _lzw_decode(b"".join(chunks), min_code, fw * fh)
+        if len(idx) != fw * fh:
+            raise ValueError(
+                f"GIF index stream has {len(idx)} pixels, frame needs {fw * fh}"
+            )
+        n_colors = len(table) // 3
+        ia = np.frombuffer(idx, dtype=np.uint8).reshape(fh, fw)
+        opaque = (
+            ia != transparent if transparent is not None
+            else np.ones_like(ia, dtype=bool)
+        )
+        if int(ia[opaque].max(initial=0)) >= n_colors:
+            raise ValueError("GIF index beyond color table")
+        pal = np.frombuffer(table, dtype=np.uint8).reshape(n_colors, 3)
+        saved = canvas[fy : fy + fh, fx : fx + fw].copy()  # for disposal 3
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        region[opaque] = pal[ia[opaque]]
+        frames.append(Raster(sw, sh, 3, canvas.tobytes()))
+        if disposal == 2:  # restore region to background
+            canvas[fy : fy + fh, fx : fx + fw] = bg
+        elif disposal == 3:  # restore to previous canvas content
+            canvas[fy : fy + fh, fx : fx + fw] = saved
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF has no frames")
+    return sw, sh, frames
+
+
+def encode_gif_animated(
+    frames: list[tuple[int, int, int, int, bytes]],
+    canvas_w: int,
+    canvas_h: int,
+    palette: bytes,
+    disposals: list[int] | None = None,
+    transparent_idx: int | None = None,
+) -> bytes:
+    """Animated GIF89a writer (fixture generator): ``frames`` is a list of
+    (x, y, w, h, indices) sub-rectangles composited in order; one global
+    color table; per-frame Graphic Control Extensions carry the given
+    disposal methods (default 1 = keep) and an optional shared
+    transparency index."""
+    if len(palette) % 3 or not 0 < len(palette) <= 768:
+        raise ValueError("palette must be 1..256 RGB triplets")
+    pal = palette + b"\x00" * (768 - len(palette))
+    disposals = disposals or [1] * len(frames)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", canvas_w, canvas_h, 0xF7, 0, 0)
+    out += pal
+    for (fx, fy, fw, fh, indices), disp in zip(frames, disposals):
+        if len(indices) != fw * fh:
+            raise ValueError("frame index buffer does not match dimensions")
+        gflags = (disp & 7) << 2
+        tidx = 0
+        if transparent_idx is not None:
+            gflags |= 1
+            tidx = transparent_idx
+        out += b"\x21\xf9\x04" + bytes((gflags, 0, 0, tidx)) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", fx, fy, fw, fh, 0)
+        out.append(8)
+        data = _lzw_encode(indices, 8)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

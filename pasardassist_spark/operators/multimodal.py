@@ -1028,3 +1028,63 @@ def attach_png_variant_payload(df: DataFrame, id_col: str = "doc_id") -> DataFra
             )
 
     return df.select(id_col).mapInPandas(_batches, schema)
+
+
+def gif_sample_frames(df: DataFrame, k: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """REAL animated-GIF keyframe sampling: each row gets a genuine
+    multi-frame GIF89a (operators/gifcodec.py) whose frames are
+    CONCENTRIC SUB-RECTANGLES — frame fr insets the canvas by fr pixels
+    and paints base = (x*7 + y*13 + doc_id + 17*fr) % 256 through the
+    (c, c+29, c+58) palette — so the composited canvas after frame fr is
+    closed-form: every pixel shows the layer min(fr, ring) where ring is
+    its border distance. k evenly-spaced composited snapshots are
+    checksummed; the oracle re-derives each from doc_id arithmetic,
+    certifying LZW per frame, sub-rectangle compositing, and
+    keep-disposal sequencing. Dims w = doc_id%23+10, h = (doc_id*3)%19+10,
+    n = doc_id%4+2 frames."""
+    from pasardassist_spark.operators import gifcodec, videocodec
+
+    pal = bytes(b for c in range(256) for b in (c, (c + 29) % 256, (c + 58) % 256))
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "sample_i": [], "frame_idx": [], "n_frames": [],
+                "width": [], "height": [], "pixel_sum": [],
+            }
+            for doc_id in pdf[id_col]:
+                seed = int(doc_id)
+                w = seed % 23 + 10
+                h = (seed * 3) % 19 + 10
+                n = seed % 4 + 2
+                frames = []
+                for fr in range(n):
+                    fw, fh = w - 2 * fr, h - 2 * fr
+                    xs = np.arange(fr, fr + fw, dtype=np.int64)
+                    ys = np.arange(fr, fr + fh, dtype=np.int64).reshape(fh, 1)
+                    idx = ((xs * 7 + ys * 13 + seed + 17 * fr) % 256).astype(
+                        np.uint8
+                    )
+                    frames.append((fr, fr, fw, fh, idx.tobytes()))
+                payload = gifcodec.encode_gif_animated(frames, w, h, pal)
+                cw, ch, decoded = gifcodec.decode_gif_frames(payload)
+                if (cw, ch, len(decoded)) != (w, h, n):
+                    raise ValueError(
+                        f"animated GIF round-trip mismatch for doc {doc_id}"
+                    )
+                for i, fidx in enumerate(
+                    videocodec.sample_frame_indices(n, k)
+                ):
+                    f = decoded[fidx]
+                    out["doc_id"].append(doc_id)
+                    out["sample_i"].append(i)
+                    out["frame_idx"].append(fidx)
+                    out["n_frames"].append(n)
+                    out["width"].append(f.width)
+                    out["height"].append(f.height)
+                    out["pixel_sum"].append(
+                        int(np.frombuffer(f.pixels, dtype=np.uint8).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(_batches, VIDEO_FRAME_SCHEMA)

@@ -972,3 +972,57 @@ def mm_png_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     return decode_images(attach_png_variant_payload(d))
+
+
+@query(
+    "mm_gif_frames",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               doc_id % 4 + 2 AS n,
+               doc_id % 23 + 10 AS w,
+               (doc_id * 3) % 19 + 10 AS h
+        FROM documents
+    ),
+    picks AS (
+        SELECT b.doc_id, b.n, b.w, b.h,
+               CAST(i.i AS INTEGER) AS sample_i,
+               CAST((i.i * b.n) // 3 AS INTEGER) AS frame_idx
+        FROM base b CROSS JOIN (SELECT unnest(range(0, 3)) AS i) i
+    ),
+    px AS (
+        SELECT p.doc_id, p.sample_i, p.frame_idx, p.n, p.w, p.h,
+               (x.x * 7 + y.y * 13 + p.doc_id
+                + 17 * LEAST(p.frame_idx,
+                             LEAST(x.x, y.y, p.w - 1 - x.x, p.h - 1 - y.y))
+               ) % 256 AS c
+        FROM picks p
+        JOIN (SELECT unnest(range(0, 33)) AS x) x ON x.x < p.w
+        JOIN (SELECT unnest(range(0, 29)) AS y) y ON y.y < p.h
+    )
+    SELECT doc_id, sample_i, frame_idx,
+           CAST(n AS INTEGER) AS n_frames,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(SUM(c + (c + 29) % 256 + (c + 58) % 256) AS BIGINT) AS pixel_sum
+    FROM px
+    GROUP BY doc_id, sample_i, frame_idx, n, w, h
+    """,
+)
+def mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ANIMATED-GIF frame sampling end-to-end
+    (operators/gifcodec.py:decode_gif_frames — multi-frame GIF89a with
+    Graphic Control Extensions, sub-rectangle compositing, and the three
+    disposal methods; the r9 static decoder handled one frame): every
+    document gets a genuine animation of concentric inset frames, whose
+    composited canvas after frame fr is closed-form (each pixel shows
+    layer min(fr, border-distance)), so the oracle re-derives every
+    sampled snapshot's checksum from doc_id arithmetic — certifying the
+    per-frame LZW decode, the (x, y) offset compositing, and the
+    keep-disposal sequencing on 500 real animations.
+    Restore-to-background/previous disposal and transparency are
+    pytest-pinned on hand fixtures (tests/test_gifcodec.py)."""
+    from pasardassist_spark.operators.multimodal import gif_sample_frames
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return gif_sample_frames(d, k=3)

@@ -137,3 +137,116 @@ def test_gif_index_beyond_palette_raises():
     out += b"\x00\x3b"
     with pytest.raises(ValueError, match="beyond color table"):
         decode_gif(bytes(out))
+
+
+# ------------------------------------------------------------ animation --
+
+
+def _anim_roundtrip(frames, w, h, pal, disposals=None, transparent=None):
+    from pasardassist_spark.operators.gifcodec import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    payload = encode_gif_animated(
+        frames, w, h, pal, disposals=disposals, transparent_idx=transparent
+    )
+    assert sniff_gif(payload)
+    return decode_gif_frames(payload)
+
+
+def test_animated_keep_disposal_composites_subrectangles():
+    """Frame 2 paints a 2x2 sub-rectangle at (1,1); with keep disposal the
+    composited canvas shows frame 1 everywhere else."""
+    pal = _pal_identity()
+    base = bytes([10] * 16)  # 4x4 of index 10
+    patch = bytes([20] * 4)  # 2x2 of index 20
+    w, h, frames = _anim_roundtrip(
+        [(0, 0, 4, 4, base), (1, 1, 2, 2, patch)], 4, 4, pal
+    )
+    assert (w, h, len(frames)) == (4, 4, 2)
+    c10 = pal[30:33]
+    c20 = pal[60:63]
+    f1 = frames[0].pixels
+    assert f1 == c10 * 16
+    f2 = frames[1].pixels
+    for y in range(4):
+        for x in range(4):
+            want = c20 if (1 <= x <= 2 and 1 <= y <= 2) else c10
+            assert f2[3 * (y * 4 + x) : 3 * (y * 4 + x) + 3] == want
+
+
+def test_animated_restore_to_background_disposal():
+    """Disposal 2 on frame 1 restores its rectangle to the background color
+    before frame 2 is drawn."""
+    from pasardassist_spark.operators.gifcodec import decode_gif_frames
+    import struct as _s
+
+    pal = _pal_identity()
+    # background index 0 -> palette color (0, 29, 58)
+    frames = [(0, 0, 4, 4, bytes([10] * 16)), (0, 0, 1, 1, bytes([20]))]
+    from pasardassist_spark.operators.gifcodec import encode_gif_animated
+
+    payload = encode_gif_animated(frames, 4, 4, pal, disposals=[2, 1])
+    w, h, decoded = decode_gif_frames(payload)
+    bg = bytes(pal[0:3])
+    c20 = pal[60:63]
+    f2 = decoded[1].pixels
+    assert f2[0:3] == c20                 # frame-2 pixel wins at (0,0)
+    assert f2[3:6] == bg                  # rest of the frame-1 rect is bg
+    assert f2[-3:] == bg
+
+
+def test_animated_restore_to_previous_disposal():
+    """Disposal 3 on frame 2 restores frame 1's canvas before frame 3."""
+    pal = _pal_identity()
+    frames = [
+        (0, 0, 4, 4, bytes([10] * 16)),
+        (0, 0, 4, 4, bytes([20] * 16)),
+        (0, 0, 1, 1, bytes([30])),
+    ]
+    w, h, decoded = _anim_roundtrip(frames, 4, 4, pal, disposals=[1, 3, 1])
+    c10, c30 = pal[30:33], pal[90:93]
+    f3 = decoded[2].pixels
+    assert f3[0:3] == c30
+    assert f3[3:6] == c10  # frame 2's paint was undone
+
+
+def test_animated_transparency_leaves_canvas():
+    """Transparent pixels in frame 2 keep frame 1's colors."""
+    pal = _pal_identity()
+    frames = [
+        (0, 0, 2, 2, bytes([10, 10, 10, 10])),
+        (0, 0, 2, 2, bytes([99, 20, 99, 20])),  # 99 = transparent
+    ]
+    w, h, decoded = _anim_roundtrip(frames, 2, 2, pal, transparent=99)
+    c10, c20 = pal[30:33], pal[60:63]
+    f2 = decoded[1].pixels
+    assert f2[0:3] == c10 and f2[6:9] == c10   # transparent -> previous
+    assert f2[3:6] == c20 and f2[9:12] == c20
+
+
+def test_animated_single_frame_matches_static_decoder():
+    pal = _pal_identity()
+    idx = _indices(9, 7, seed=5)
+    w, h, frames = _anim_roundtrip([(0, 0, 9, 7, idx)], 9, 7, pal)
+    assert len(frames) == 1
+    assert frames[0].pixels == decode_gif(encode_gif(idx, 9, 7, pal)).pixels
+
+
+def test_animated_error_contracts():
+    from pasardassist_spark.operators.gifcodec import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    pal = _pal_identity()
+    payload = encode_gif_animated([(0, 0, 4, 4, bytes([1] * 16))], 4, 4, pal)
+    for cut in (5, 12, 400, len(payload) - 3):
+        with pytest.raises(ValueError):
+            decode_gif_frames(payload[:cut])
+    # frame rectangle exceeding the canvas
+    with pytest.raises(ValueError, match="exceeds"):
+        decode_gif_frames(
+            encode_gif_animated([(2, 2, 4, 4, bytes([1] * 16))], 4, 4, pal)
+        )
