@@ -210,6 +210,7 @@ def _load_all() -> None:
         connectors,
         curation,
         dedup,
+        documents,
         enrichment,
         experiments,
         library,

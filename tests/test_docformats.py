@@ -1,0 +1,213 @@
+"""PDF / DOCX extraction: roundtrips, parser hand-cases on raw
+containers, and error contracts."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from pasardassist_spark.operators.docxtext import (
+    encode_docx,
+    extract_docx_paragraphs,
+    sniff_docx,
+)
+from pasardassist_spark.operators.pdftext import (
+    _Lexer,
+    encode_pdf,
+    extract_pdf_pages,
+    sniff_pdf,
+)
+
+# ------------------------------------------------------------------ PDF --
+
+
+def test_pdf_roundtrip_multi_page():
+    pages = ["page one " * 30, "", "par(en)s and \\backslash\\", "unicodé ✓"]
+    payload = encode_pdf(pages)
+    assert sniff_pdf(payload)
+    assert extract_pdf_pages(payload) == pages
+
+
+def test_pdf_roundtrip_all_byte_classes():
+    text = "".join(chr(c) for c in range(1, 128)) + "éü漢"
+    assert extract_pdf_pages(encode_pdf([text])) == [text]
+
+
+def test_pdf_lexer_hand_cases():
+    lex = _Lexer(b"<< /A 5 /B [1 2.5 (s) <4142>] /C 7 0 R /N#20x true >>")
+    d = lex.parse_object()
+    assert d["A"] == 5
+    assert d["B"][:2] == [1, 2.5]
+    assert d["B"][2] == b"s" and d["B"][3] == b"AB"
+    assert d["C"].num == 7
+    assert "N x" in d and d["N x"] is True
+
+
+def test_pdf_literal_string_escapes():
+    lex = _Lexer(rb"(a\(b\)c \\ \n \101 nested (deep) end)")
+    s = lex.parse_object()
+    assert s == b"a(b)c \\ \n A nested (deep) end"
+
+
+def test_pdf_hex_string_odd_digits_pad():
+    assert _Lexer(b"<48656C6C6F2>").parse_object() == b"Hello "
+
+
+def test_pdf_comments_skipped():
+    lex = _Lexer(b"% a comment\n42")
+    assert lex.parse_object() == 42
+
+
+def test_pdf_encrypted_rejected():
+    payload = bytearray(encode_pdf(["x"]))
+    # graft /Encrypt into the trailer dict
+    payload = payload.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    with pytest.raises(NotImplementedError, match="ncrypt"):
+        extract_pdf_pages(bytes(payload))
+
+
+def test_pdf_xref_stream_rejected():
+    """startxref pointing at an object (not an xref keyword) is the
+    PDF 1.5 cross-reference-stream layout."""
+    payload = encode_pdf(["x"])
+    # point startxref at the first object (offset of "1 0 obj")
+    first_obj = payload.index(b"1 0 obj")
+    head, _, _ = payload.rpartition(b"startxref")
+    broken = head + b"startxref\n%d\n%%%%EOF\n" % first_obj
+    with pytest.raises(NotImplementedError, match="cross-reference stream"):
+        extract_pdf_pages(broken)
+
+
+def test_pdf_unknown_filter_rejected():
+    payload = encode_pdf(["x"]).replace(b"/FlateDecode", b"/LZWDecode\x20\x20")
+    with pytest.raises(NotImplementedError, match="LZWDecode"):
+        extract_pdf_pages(payload)
+
+
+def test_pdf_truncation_and_garbage_raise():
+    payload = encode_pdf(["some text here"])
+    with pytest.raises(ValueError):
+        extract_pdf_pages(b"%PDF-1.4\nno xref here")
+    with pytest.raises(ValueError):
+        extract_pdf_pages(payload[: len(payload) // 2])
+    with pytest.raises(ValueError):
+        extract_pdf_pages(b"GIF89a not a pdf")
+
+
+def test_pdf_corrupt_flate_raises():
+    payload = bytearray(encode_pdf(["hello hello hello"]))
+    i = payload.index(b"stream\n") + 7
+    payload[i : i + 4] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="Flate|truncated"):
+        extract_pdf_pages(bytes(payload))
+
+
+def test_pdf_page_without_contents_is_empty_string():
+    """Hand-built one-object-graph PDF: a page with no /Contents."""
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R >>",
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 4\n0000000000 65535 f \n"
+    for num in (1, 2, 3):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += b"trailer\n<< /Size 4 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref
+    assert extract_pdf_pages(bytes(out)) == [""]
+
+
+# ----------------------------------------------------------------- DOCX --
+
+
+def test_docx_roundtrip_runs_tabs_breaks():
+    paras = ["plain " * 20, "", "a\tb\tc", "line\nbreak", "  edges  ", "<&> escapes"]
+    payload = encode_docx(paras)
+    assert sniff_docx(payload)
+    assert extract_docx_paragraphs(payload) == paras
+
+
+def test_docx_table_cells_in_flow_order():
+    """Hand-built document.xml with a table between two paragraphs."""
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    doc = (
+        f'<w:document xmlns:w="{w}"><w:body>'
+        "<w:p><w:r><w:t>before</w:t></w:r></w:p>"
+        "<w:tbl><w:tr>"
+        "<w:tc><w:p><w:r><w:t>cell1</w:t></w:r></w:p></w:tc>"
+        "<w:tc><w:p><w:r><w:t>cell2</w:t></w:r></w:p></w:tc>"
+        "</w:tr></w:tbl>"
+        "<w:p><w:r><w:t>after</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    )
+    base = encode_docx(["x"])
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(base)) as src, zipfile.ZipFile(buf, "w") as dst:
+        for name in src.namelist():
+            dst.writestr(name, doc if name == "word/document.xml" else src.read(name))
+    assert extract_docx_paragraphs(buf.getvalue()) == [
+        "before", "cell1", "cell2", "after"
+    ]
+
+
+def test_docx_main_part_found_via_rels_at_nonstandard_path():
+    """The rels walk, not the hard-coded path, locates the main part."""
+    base = encode_docx(["via rels"])
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(base)) as src, zipfile.ZipFile(buf, "w") as dst:
+        for name in src.namelist():
+            data = src.read(name)
+            if name == "word/document.xml":
+                dst.writestr("word/doc2.xml", data)
+            elif name == "_rels/.rels":
+                dst.writestr(
+                    name,
+                    data.decode().replace("word/document.xml", "word/doc2.xml"),
+                )
+            else:
+                dst.writestr(name, data)
+    assert extract_docx_paragraphs(buf.getvalue()) == ["via rels"]
+
+
+def test_docx_error_contracts():
+    with pytest.raises(NotImplementedError, match="OLE2"):
+        extract_docx_paragraphs(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1tail")
+    with pytest.raises(ValueError, match="zip"):
+        extract_docx_paragraphs(b"PK\x03\x04 not really a zip")
+    with pytest.raises(ValueError, match="not a ZIP"):
+        extract_docx_paragraphs(b"plain text")
+    # valid zip without any document part
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("unrelated.txt", "x")
+    with pytest.raises(ValueError, match="no main document part"):
+        extract_docx_paragraphs(buf.getvalue())
+
+
+def test_docx_encrypted_package_rejected():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("EncryptionInfo", b"\x00")
+        zf.writestr("EncryptedPackage", b"\x00")
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        extract_docx_paragraphs(buf.getvalue())
+
+
+def test_docx_malformed_xml_raises():
+    base = encode_docx(["x"])
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(base)) as src, zipfile.ZipFile(buf, "w") as dst:
+        for name in src.namelist():
+            data = src.read(name)
+            if name == "word/document.xml":
+                data = data[:-20]  # chop the closing tags
+            dst.writestr(name, data)
+    with pytest.raises(ValueError, match="malformed"):
+        extract_docx_paragraphs(buf.getvalue())
