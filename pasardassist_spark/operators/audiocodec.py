@@ -6,13 +6,14 @@ first-class).
 Stdlib-only, like operators/imagecodec.py: the container has no audio
 libraries, but PCM WAV needs none — the RIFF container is a length-tagged
 chunk list and the samples are little-endian integers. Supported: PCM
-(format tag 1) 16-bit mono/stereo, and IEEE-float (format tag 3) 32- or
-64-bit, both at arbitrary sample rates — float samples normalize into
-the PCM16 domain by the ffmpeg/sox convention (clip to [-1, 1], scale
-by 32767, round-half-even), so every downstream feature stays
-integer-exact. Anything else (ADPCM, extensible, MP3/OGG/FLAC) raises
-NotImplementedError at the same seam an ffmpeg/soundfile build would
-plug into.
+(format tag 1) 16-bit mono/stereo; IEEE-float (tag 3) 32-/64-bit —
+float samples normalize into the PCM16 domain by the ffmpeg/sox
+convention (clip to [-1, 1], scale by 32767, round-half-even) so every
+downstream feature stays integer-exact; G.711 mu-law/A-law (tags 7/6,
+the ITU companding expansion in exact integer bit math); and IMA/DVI
+ADPCM (tag 17, the 89-step differential fold, mono + stereo blocks).
+Psychoacoustic codecs (MP3/OGG/FLAC/AAC) raise NotImplementedError at
+the same seam an ffmpeg/soundfile build would plug into.
 
 Feature extraction works in INTEGER arithmetic end-to-end (sum of squares,
 zero crossings) so a SQL oracle can re-derive every number exactly — the
@@ -75,9 +76,10 @@ def _decode_wav(payload: bytes) -> PcmAudio:
     tag, channels, rate, _byte_rate, _align, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
-    if tag not in (1, 3):
+    if tag not in (1, 3, 6, 7, 17):
         raise NotImplementedError(
-            f"WAV format tag {tag} unsupported (PCM and IEEE float only)"
+            f"WAV format tag {tag} unsupported (PCM, IEEE float, G.711 "
+            "A-law/mu-law, IMA ADPCM only)"
         )
     if tag == 1 and bits != 16:
         raise NotImplementedError(f"WAV bit depth {bits} unsupported (16 only)")
@@ -85,8 +87,20 @@ def _decode_wav(payload: bytes) -> PcmAudio:
         raise NotImplementedError(
             f"float WAV bit depth {bits} unsupported (32/64 only)"
         )
+    if tag in (6, 7) and bits != 8:
+        raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
     if channels < 1:
         raise ValueError("bad WAV channel count")
+    if tag == 17:
+        return _decode_ima_adpcm(fmt, data, channels, rate)
+    if tag in (6, 7):
+        if len(data) > MAX_SAMPLES:
+            raise ValueError(
+                f"G.711 data chunk has {len(data)} samples, exceeding the "
+                f"{MAX_SAMPLES} decode guard"
+            )
+        table = _ALAW_TABLE if tag == 6 else _ULAW_TABLE
+        return PcmAudio(rate, channels, [table[b] for b in data])
     width = bits // 8
     n = len(data) // width
     # Decompression-bomb guard, mirroring imagecodec's MAX_PIXELS: the
@@ -218,3 +232,263 @@ def extract_audio_features(audio: PcmAudio) -> AudioFeatures:
         sq,
         zc,
     )
+
+
+# ------------------------------------------------------------- G.711 ------
+# ITU-T G.711 companding (the telephony codec: 8-bit log-domain codes,
+# format tags 6 = A-law, 7 = mu-law). The expansion formulas below are the
+# classic public-domain CCITT reference arithmetic (as reproduced in
+# sox/ffmpeg g711 implementations); both are pure integer bit math, so the
+# SQL oracle re-derives every decoded sample exactly.
+
+
+def _ulaw_to_linear(code: int) -> int:
+    u = ~code & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _alaw_to_linear(code: int) -> int:
+    a = code ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+_ULAW_TABLE = [_ulaw_to_linear(c) for c in range(256)]
+_ALAW_TABLE = [_alaw_to_linear(c) for c in range(256)]
+
+
+def linear_to_ulaw(s: int) -> int:
+    """16-bit sample -> mu-law code (the compression direction; fixture
+    generator + the fixpoint property decode(encode(decode(c))) ==
+    decode(c) pins encoder/decoder consistency over all 256 codes)."""
+    sign = 0x80 if s < 0 else 0x00
+    mag = min(-s if s < 0 else s, 32635) + 0x84
+    exp = min(max(mag.bit_length() - 8, 0), 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def linear_to_alaw(s: int) -> int:
+    """16-bit sample -> A-law code (same fixpoint discipline)."""
+    sign = 0x80 if s >= 0 else 0x00
+    mag = min(s if s >= 0 else -s, 32767)
+    if mag < 256:
+        seg, m = 0, mag >> 4
+    else:
+        seg = min(mag.bit_length() - 8, 7)
+        m = (mag >> (seg + 3)) & 0x0F
+    return (sign | (seg << 4) | m) ^ 0x55
+
+
+def encode_wav_g711(codes: bytes, sample_rate: int, law: str) -> bytes:
+    """Container writer for raw G.711 code streams (format tag 6/7,
+    8-bit mono) — the fixture path: the query synthesizes closed-form
+    CODE bytes and certifies the expansion against the SQL bit math."""
+    if law not in ("alaw", "ulaw"):
+        raise ValueError(f"law must be 'alaw' or 'ulaw', got {law!r}")
+    tag = 6 if law == "alaw" else 7
+    fmt = struct.pack("<HHIIHH", tag, 1, sample_rate, sample_rate, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(codes)) + codes
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------- IMA ADPCM -----
+# IMA/DVI ADPCM (format tag 17): 4-bit differential codes over an 89-step
+# quantizer table, one predictor+index header per channel per block. The
+# decode fold is the IMA reference algorithm; it is STATEFUL, so the SQL
+# oracle expresses it as a recursive-CTE fold (queries/documents.py-style
+# closed-form nibbles), and multi-block/stereo paths are pytest-pinned.
+
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(nibble: int, pred: int, idx: int) -> tuple[int, int]:
+    step = _IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nibble & 7]))
+    return pred, idx
+
+
+def _decode_ima_adpcm(fmt: bytes, data: bytes, channels: int, rate: int) -> PcmAudio:
+    if channels not in (1, 2):
+        raise NotImplementedError(
+            f"IMA ADPCM with {channels} channels unsupported (mono/stereo)"
+        )
+    _tag, _ch, _rate, _br, block_align, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if bits != 4:
+        raise ValueError(f"IMA ADPCM must be 4-bit, got {bits}")
+    if len(fmt) >= 20:
+        (spb,) = struct.unpack_from("<H", fmt, 18)
+    else:
+        spb = (block_align - 4 * channels) * 2 // channels + 1
+    if block_align < 4 * channels:
+        raise ValueError("IMA ADPCM block_align smaller than headers")
+    est = (len(data) // max(block_align, 1) + 1) * spb * channels
+    if est > MAX_SAMPLES:
+        raise ValueError(
+            f"IMA ADPCM stream would decode ~{est} samples, exceeding the "
+            f"{MAX_SAMPLES} decode guard"
+        )
+    out: list[int] = []
+    pos = 0
+    while pos + 4 * channels <= len(data):
+        block = data[pos : pos + block_align]
+        pos += block_align
+        preds, idxs, chans = [], [], []
+        for c in range(channels):
+            pred, idx, _rsv = struct.unpack_from("<hBB", block, 4 * c)
+            if idx > 88:
+                raise ValueError(f"IMA ADPCM step index {idx} out of range")
+            preds.append(pred)
+            idxs.append(idx)
+            chans.append([pred])
+        body = block[4 * channels :]
+        if channels == 1:
+            for b in body:
+                for nib in (b & 0x0F, b >> 4):
+                    preds[0], idxs[0] = _ima_step(nib, preds[0], idxs[0])
+                    chans[0].append(preds[0])
+        else:
+            # stereo: 4-byte (8-nibble) groups alternate channels
+            for g in range(0, len(body) - 7, 8):
+                for c in range(2):
+                    for b in body[g + 4 * c : g + 4 * c + 4]:
+                        for nib in (b & 0x0F, b >> 4):
+                            preds[c], idxs[c] = _ima_step(nib, preds[c], idxs[c])
+                            chans[c].append(preds[c])
+        n = min(spb, min(len(ch) for ch in chans))
+        for i in range(n):
+            for c in range(channels):
+                out.append(chans[c][i])
+    return PcmAudio(rate, channels, out)
+
+
+def encode_wav_ima_adpcm(
+    nibbles: bytes,
+    sample_rate: int,
+    pred0: int,
+    idx0: int,
+    spb: int | None = None,
+) -> bytes:
+    """Single-block mono IMA ADPCM container writer (fixture generator):
+    ``nibbles`` is the raw 4-bit code sequence (one value 0..15 per byte,
+    even count), packed low-nibble-first behind a (pred0, idx0) header.
+    The decoder emits pred0 then one sample per nibble."""
+    if len(nibbles) % 2:
+        raise ValueError("nibble count must be even (two per byte)")
+    if not -32768 <= pred0 <= 32767 or not 0 <= idx0 <= 88:
+        raise ValueError("bad IMA ADPCM block header state")
+    body = bytes(
+        (nibbles[i] & 0x0F) | ((nibbles[i + 1] & 0x0F) << 4)
+        for i in range(0, len(nibbles), 2)
+    )
+    block_align = 4 + len(body)
+    n_samples = len(nibbles) + 1 if spb is None else spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 17, 1, sample_rate, sample_rate * block_align // max(n_samples, 1),
+        block_align, 4, 2, n_samples,
+    )
+    data = struct.pack("<hBB", pred0, idx0, 0) + body
+    body_riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body_riff)) + body_riff
+
+
+def encode_wav_ima_adpcm_pcm(
+    samples: list[int], sample_rate: int, block_samples: int = 505
+) -> bytes:
+    """Mono IMA ADPCM ENCODER (PCM16 -> 4-bit codes, multi-block): the
+    compression direction, used by the roundtrip property tests — the
+    decoder must reproduce the encoder's internal predictor stream
+    EXACTLY (both run the same _ima_step fold)."""
+    if block_samples % 2 == 0:
+        raise ValueError("block_samples must be odd (header + even nibbles)")
+    blocks = []
+    idx = 0
+    i = 0
+    while i < len(samples):
+        chunk = samples[i : i + block_samples]
+        i += block_samples
+        pred = chunk[0]
+        nibs = []
+        for s in chunk[1:]:
+            step = _IMA_STEP_TABLE[idx]
+            diff = s - pred
+            nib = 8 if diff < 0 else 0
+            if diff < 0:
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, idx = _ima_step(nib, pred, idx)
+            nibs.append(nib)
+        if len(nibs) % 2:
+            nibs.append(0)  # pad nibble; samples_per_block masks it out
+        body = bytes(
+            (nibs[j] & 0x0F) | ((nibs[j + 1] & 0x0F) << 4)
+            for j in range(0, len(nibs), 2)
+        )
+        blocks.append((struct.pack("<hBB", chunk[0], idx, 0), body, len(chunk)))
+        # NB: the per-block header index is the index AT BLOCK START; track
+        # it before the block's first step for the next block header
+    # re-run to fix header indices (encode pass above advanced idx inline)
+    idx = 0
+    out_blocks = []
+    i = 0
+    for hdr, body, n in blocks:
+        pred = struct.unpack_from("<h", hdr, 0)[0]
+        out_blocks.append(struct.pack("<hBB", pred, idx, 0) + body)
+        for b in body:
+            for nib in (b & 0x0F, b >> 4):
+                pred, idx = _ima_step(nib, pred, idx)
+        i += n
+    block_align = 4 + (block_samples - 1 + 1) // 2
+    fmt = struct.pack(
+        "<HHIIHHHH", 17, 1, sample_rate,
+        sample_rate * block_align // block_samples, block_align, 4, 2,
+        block_samples,
+    )
+    data = b"".join(out_blocks)
+    body_riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body_riff)) + body_riff

@@ -1026,3 +1026,131 @@ def mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     return gif_sample_frames(d, k=3)
+
+
+@query(
+    "mm_audio_g711",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               doc_id % 181 + 60 AS n,
+               CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law
+        FROM documents
+    ),
+    codes AS (
+        SELECT b.doc_id, b.law, b.n, (i.i * 7 + b.doc_id) % 256 AS c
+        FROM base b JOIN (SELECT unnest(range(0, 241)) AS i) i ON i.i < b.n
+    ),
+    dec AS (
+        SELECT doc_id, law, n,
+               CASE WHEN law = 'ulaw' THEN
+                   CASE WHEN (255 - c) >= 128
+                        THEN 132 - ((((255 - c) % 16) * 8 + 132)
+                                    * (1 << ((255 - c) // 16 % 8)))
+                        ELSE (((255 - c) % 16) * 8 + 132)
+                             * (1 << ((255 - c) // 16 % 8)) - 132
+                   END
+               ELSE
+                   CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END *
+                   CASE (xor(c, 85) // 16) % 8
+                       WHEN 0 THEN (xor(c, 85) % 16) * 16 + 8
+                       WHEN 1 THEN (xor(c, 85) % 16) * 16 + 264
+                       ELSE ((xor(c, 85) % 16) * 16 + 264)
+                            * (1 << ((xor(c, 85) // 16) % 8 - 1))
+                   END
+               END AS s
+        FROM codes
+    )
+    SELECT doc_id, law, CAST(n AS INTEGER) AS n_samples,
+           CAST(SUM(s) AS BIGINT) AS sum_pcm,
+           CAST(MIN(s) AS INTEGER) AS min_pcm,
+           CAST(MAX(s) AS INTEGER) AS max_pcm
+    FROM dec GROUP BY doc_id, law, n
+    """,
+)
+def mm_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 telephony-audio decode end-to-end
+    (operators/audiocodec.py): every document gets a genuine 8-bit WAV —
+    mu-law (format tag 7) on even doc_ids, A-law (tag 6) on odd — whose
+    code bytes are closed-form, expanded to PCM16 by the ITU companding
+    bit math. The oracle re-derives every decoded sample from the same
+    integer formulas in SQL (the mu-law ~/shift/bias expansion and the
+    A-law xor-0x55 segment cases), so a hash match certifies the
+    expansion tables value-for-value across all codes the stream hits.
+    Encoder/decoder consistency (fixpoint over all 256 codes) is
+    pytest-pinned in tests/test_audiocodec.py."""
+    from pasardassist_spark.operators.multimodal import audio_g711_features
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return audio_g711_features(d)
+
+
+def _adpcm_oracle() -> str:
+    from pasardassist_spark.operators.audiocodec import _IMA_STEP_TABLE
+
+    steps = ",".join(f"({i},{s})" for i, s in enumerate(_IMA_STEP_TABLE))
+    # The stateful IMA fold as a recursive CTE: one iteration advances
+    # every document by one nibble (89-entry step table joined by index;
+    # predictor clamp and index walk mirror _ima_step exactly).
+    return f"""
+    WITH RECURSIVE steps(sidx, step) AS (VALUES {steps}),
+    base AS (
+        SELECT doc_id,
+               2 * (doc_id % 100 + 20) AS n_nib,
+               (doc_id * 31) % 65536 - 32768 AS pred0,
+               doc_id % 89 AS idx0
+        FROM documents
+    ),
+    fold AS (
+        SELECT doc_id, n_nib, 0 AS i, pred0 AS pred, idx0 AS idx,
+               CAST(pred0 AS BIGINT) AS acc
+        FROM base
+        UNION ALL
+        SELECT doc_id, n_nib, i + 1,
+               GREATEST(-32768, LEAST(32767, pred + sdiff)) AS pred,
+               GREATEST(0, LEAST(88, idx + dix)) AS idx,
+               acc + GREATEST(-32768, LEAST(32767, pred + sdiff)) AS acc
+        FROM (
+            SELECT doc_id, n_nib, i, pred, idx, acc,
+                   CASE WHEN nib >= 8 THEN -diff ELSE diff END AS sdiff,
+                   CASE nib % 8 WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6
+                                WHEN 7 THEN 8 ELSE -1 END AS dix
+            FROM (
+                SELECT f2.*,
+                       s.step // 8
+                       + CASE WHEN nib % 2 = 1 THEN s.step // 4 ELSE 0 END
+                       + CASE WHEN (nib // 2) % 2 = 1 THEN s.step // 2
+                              ELSE 0 END
+                       + CASE WHEN (nib // 4) % 2 = 1 THEN s.step
+                              ELSE 0 END AS diff
+                FROM (
+                    SELECT *, (i * 5 + doc_id) % 16 AS nib
+                    FROM fold WHERE i < n_nib
+                ) f2
+                JOIN steps s ON s.sidx = f2.idx
+            )
+        )
+    )
+    SELECT doc_id, CAST(n_nib + 1 AS INTEGER) AS n_samples,
+           acc AS sum_pcm, CAST(pred AS INTEGER) AS last_pcm
+    FROM fold WHERE i = n_nib
+    """
+
+
+@query("mm_audio_adpcm", oracle=_adpcm_oracle())
+def mm_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IMA/DVI ADPCM decode end-to-end (operators/audiocodec.py,
+    format tag 17 — the 4-bit differential codec real telephony/game WAV
+    archives carry): every document gets a genuine single-block mono
+    container with closed-form header state and nibble stream, decoded
+    by the stateful 89-step IMA fold. The oracle replays the IDENTICAL
+    fold as a recursive CTE in DuckDB (one iteration advances all 500
+    docs by one nibble), so a hash match certifies predictor clamping,
+    step-index walking, and low-nibble-first unpacking sample-for-sample
+    — a stateful codec with a full-strength SQL oracle, not a rows-only
+    row. Multi-block, stereo, and encoder-roundtrip paths are
+    pytest-pinned in tests/test_audiocodec.py."""
+    from pasardassist_spark.operators.multimodal import audio_adpcm_features
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return audio_adpcm_features(d)

@@ -380,3 +380,166 @@ def test_wav_unsupported_tags_still_raise_by_name():
     p = b"RIFF" + struct.pack("<I", len(body)) + body
     with pytest.raises(NotImplementedError, match="float WAV bit depth"):
         A.decode_wav(p)
+
+
+# ------------------------------------------------------- G.711 / ADPCM --
+
+
+def test_g711_canonical_values_and_ranges():
+    from pasardassist_spark.operators.audiocodec import _ALAW_TABLE, _ULAW_TABLE
+
+    # ITU G.711 invariants: mu-law 0xFF is +0 and 0x7F is -0; the
+    # canonical full-scale magnitudes are 32124 (mu) and 32256 (A)
+    assert _ULAW_TABLE[0xFF] == 0 and _ULAW_TABLE[0x7F] == 0
+    assert max(_ULAW_TABLE) == 32124 and min(_ULAW_TABLE) == -32124
+    assert max(_ALAW_TABLE) == 32256 and min(_ALAW_TABLE) == -32256
+    # A-law has no zero: the two smallest magnitudes are +-8
+    assert 0 not in _ALAW_TABLE and 8 in _ALAW_TABLE and -8 in _ALAW_TABLE
+    # each table hits 256 distinct codes -> <=256 distinct values with
+    # exactly the two zero codes collapsing for mu-law
+    assert len(set(_ULAW_TABLE)) == 255 and len(set(_ALAW_TABLE)) == 256
+
+
+def test_g711_encode_decode_fixpoint_all_codes():
+    """decode(encode(decode(c))) == decode(c) for every code: the
+    compressor maps each decoded midpoint back into its own bin."""
+    from pasardassist_spark.operators.audiocodec import (
+        _ALAW_TABLE, _ULAW_TABLE, linear_to_alaw, linear_to_ulaw,
+    )
+
+    for c in range(256):
+        assert _ULAW_TABLE[linear_to_ulaw(_ULAW_TABLE[c])] == _ULAW_TABLE[c]
+        assert _ALAW_TABLE[linear_to_alaw(_ALAW_TABLE[c])] == _ALAW_TABLE[c]
+
+
+def test_g711_quantization_error_bounded():
+    from pasardassist_spark.operators.audiocodec import (
+        _ALAW_TABLE, _ULAW_TABLE, linear_to_alaw, linear_to_ulaw,
+    )
+
+    for s in range(-32768, 32768, 97):
+        for table, enc, full in (
+            (_ULAW_TABLE, linear_to_ulaw, 32124),
+            (_ALAW_TABLE, linear_to_alaw, 32256),
+        ):
+            got = table[enc(s)]
+            # log companding: error <= half the local step (~mag/16 + bias)
+            tol = max(abs(s), 256) / 16 + 40 + max(0, abs(s) - full)
+            assert abs(got - s) <= tol, (s, got)
+
+
+def test_g711_container_roundtrip_both_laws():
+    from pasardassist_spark.operators.audiocodec import (
+        _ALAW_TABLE, _ULAW_TABLE, decode_wav, encode_wav_g711,
+    )
+
+    codes = bytes((i * 13 + 5) % 256 for i in range(300))
+    for law, table in (("ulaw", _ULAW_TABLE), ("alaw", _ALAW_TABLE)):
+        au = decode_wav(encode_wav_g711(codes, 8000, law))
+        assert au.sample_rate == 8000 and au.channels == 1
+        assert au.samples == [table[b] for b in codes]
+    with pytest.raises(ValueError, match="law"):
+        encode_wav_g711(codes, 8000, "mp3")
+
+
+def test_ima_adpcm_single_block_matches_reference_fold():
+    from pasardassist_spark.operators.audiocodec import (
+        _ima_step, decode_wav, encode_wav_ima_adpcm,
+    )
+
+    nibs = bytes((i * 11 + 2) % 16 for i in range(200))
+    pred, idx = 4321, 33
+    au = decode_wav(encode_wav_ima_adpcm(nibs, 16000, pred, idx))
+    want = [pred]
+    p, ix = pred, idx
+    for n in nibs:
+        p, ix = _ima_step(n, p, ix)
+        want.append(p)
+    assert au.samples == want
+
+
+def test_ima_adpcm_clamps_predictor_and_index():
+    from pasardassist_spark.operators.audiocodec import _ima_step
+
+    # maximum positive nibble (7) from near-max predictor clamps at 32767
+    p, ix = _ima_step(7, 32700, 88)
+    assert p == 32767 and ix == 88
+    # maximum negative nibble (15) from near-min clamps at -32768
+    p, ix = _ima_step(15, -32700, 88)
+    assert p == -32768 and ix == 88
+    # small nibbles walk the index down to the 0 floor
+    p, ix = _ima_step(0, 0, 0)
+    assert ix == 0
+
+
+def test_ima_adpcm_encoder_roundtrip_tracks_signal():
+    """The encoder/decoder pair share the _ima_step fold, so after the
+    initial step-size adaptation the reconstruction tracks the signal
+    within the local quantizer step."""
+    import math
+
+    from pasardassist_spark.operators.audiocodec import (
+        decode_wav, encode_wav_ima_adpcm_pcm,
+    )
+
+    sig = [int(11000 * math.sin(i / 9) + 2500 * math.sin(i / 2.7))
+           for i in range(2021)]
+    au = decode_wav(encode_wav_ima_adpcm_pcm(sig, 16000, block_samples=505))
+    assert au.samples[0] == sig[0]  # block headers carry exact samples
+    errs = [abs(a - b) for a, b in zip(au.samples, sig)]
+    assert max(errs[100:]) < 1500
+    assert sum(errs) / len(errs) < 300
+    # multi-block: every block boundary restarts from an exact sample
+    for k in (505, 1010, 1515):
+        assert au.samples[k] == sig[k]
+
+
+def test_ima_adpcm_stereo_interleave():
+    """Stereo blocks: 4-byte nibble groups alternate channels; decoded
+    samples interleave L/R."""
+    import struct
+
+    from pasardassist_spark.operators.audiocodec import _ima_step, decode_wav
+
+    # hand-build one stereo block: headers L=(100, 10), R=(-200, 20),
+    # then one 8-byte group = 8 nibbles per channel
+    nl = [1, 9, 3, 12, 5, 14, 7, 0]
+    nr = [2, 10, 4, 11, 6, 13, 8, 15]
+    body_l = bytes((nl[i] | (nl[i + 1] << 4)) for i in range(0, 8, 2))
+    body_r = bytes((nr[i] | (nr[i + 1] << 4)) for i in range(0, 8, 2))
+    block = (struct.pack("<hBB", 100, 10, 0) + struct.pack("<hBB", -200, 20, 0)
+             + body_l + body_r)
+    spb = 9
+    fmt = struct.pack("<HHIIHHHH", 17, 2, 8000, 8000, len(block), 4, 2, spb)
+    payload = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(block))
+               + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(block)) + block)
+    au = decode_wav(payload)
+    assert au.channels == 2
+    wl, p, ix = [100], 100, 10
+    for n in nl:
+        p, ix = _ima_step(n, p, ix)
+        wl.append(p)
+    wr, p, ix = [-200], -200, 20
+    for n in nr:
+        p, ix = _ima_step(n, p, ix)
+        wr.append(p)
+    want = [v for pair in zip(wl, wr) for v in pair]
+    assert au.samples == want
+
+
+def test_ima_adpcm_error_contracts():
+    from pasardassist_spark.operators.audiocodec import (
+        decode_wav, encode_wav_ima_adpcm,
+    )
+
+    with pytest.raises(ValueError, match="even"):
+        encode_wav_ima_adpcm(bytes([1, 2, 3]), 8000, 0, 0)
+    with pytest.raises(ValueError, match="header state"):
+        encode_wav_ima_adpcm(bytes([1, 2]), 8000, 0, 89)
+    # corrupt in-container index byte
+    payload = bytearray(encode_wav_ima_adpcm(bytes([1, 2, 3, 4]), 8000, 7, 7))
+    i = payload.index(b"data") + 8 + 2
+    payload[i] = 90
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav(bytes(payload))

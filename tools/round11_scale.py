@@ -48,6 +48,15 @@ QUERIES = [
     "drift_history",
     "cdc_state_travel_diff",
     "mm_jpeg_decode",
+    # late-round debuts (second scale pass)
+    "mm_jpeg_progressive",
+    "mm_mjpeg_frames",
+    "mm_webp_decode",
+    "mm_audio_float",
+    "mm_png_variants",
+    "mm_gif_frames",
+    "doc_pdf_extract",
+    "doc_docx_extract",
 ]
 
 
