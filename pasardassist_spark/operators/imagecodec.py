@@ -78,6 +78,8 @@ def sniff_format(payload: bytes) -> str | None:
         len(payload) > 2 and payload[2:3] in b" \t\r\n#"
     ):
         return "ppm"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -110,6 +112,11 @@ def decode(payload: bytes) -> Raster:
             from pasardassist_spark.operators.webpcodec import decode_webp
 
             return decode_webp(payload)
+        if fmt == "tiff":
+            # local import: tiffcodec imports Raster/_check_dims from here
+            from pasardassist_spark.operators.tiffcodec import decode_tiff
+
+            return decode_tiff(payload)
     except (struct.error, zlib.error) as exc:
         raise ValueError(f"malformed {fmt} payload: {exc}") from exc
     raise NotImplementedError("unrecognized image container")

@@ -1170,3 +1170,73 @@ def audio_adpcm_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select(id_col).mapInPandas(_batches, schema)
+
+
+def tiff_page_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL multi-page TIFF decode: each row gets a genuine TIFF document
+    rotating the full supported matrix by doc_id — byte order II/MM
+    (doc_id % 2), compression none/LZW/PackBits (doc_id % 3), predictor
+    1/2 ((doc_id // 3) % 2), multi-strip (rows_per_strip 5), gray/RGB
+    (doc_id % 5 < 3 -> RGB), doc_id % 3 + 1 pages — with closed-form
+    pixels (x*7 + y*13 + c*29 + doc_id + 31*page) % 256, so the oracle
+    re-derives every page checksum while the decoder exercises the
+    TIFF-LZW early-change bit discipline, PackBits runs, horizontal
+    differencing, and the IFD chain on genuine files."""
+    from pasardassist_spark.operators import tiffcodec
+    from pasardassist_spark.operators.imagecodec import Raster
+
+    schema = (
+        f"{id_col} long, page_no int, n_pages int, width int, height int, "
+        "channels int, layout string, pixel_sum bigint"
+    )
+
+    def _synth(w: int, h: int, ch: int, seed: int) -> Raster:
+        xs = np.arange(w, dtype=np.int64) * 7
+        ys = np.arange(h, dtype=np.int64).reshape(h, 1) * 13
+        cs = np.arange(ch, dtype=np.int64).reshape(1, 1, ch) * 29
+        px = ((xs.reshape(1, w, 1) + ys.reshape(h, 1, 1) + cs + seed) % 256
+              ).astype(np.uint8)
+        return Raster(w, h, ch, px.tobytes())
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "page_no": [], "n_pages": [], "width": [],
+                "height": [], "channels": [], "layout": [], "pixel_sum": [],
+            }
+            for doc_id in pdf[id_col]:
+                seed = int(doc_id)
+                w = seed % 19 + 8
+                h = (seed * 3) % 17 + 8
+                ch = 3 if seed % 5 < 3 else 1
+                n_pages = seed % 3 + 1
+                bo = "II" if seed % 2 == 0 else "MM"
+                comp = (1, 5, 32773)[seed % 3]
+                pred = 1 if (seed // 3) % 2 == 0 else 2
+                pages = [
+                    _synth(w, h, ch, seed + 31 * pg) for pg in range(n_pages)
+                ]
+                payload = tiffcodec.encode_tiff(
+                    pages, byte_order=bo, compression=comp,
+                    predictor=pred, rows_per_strip=5,
+                )
+                decoded = tiffcodec.decode_tiff_pages(payload)
+                if decoded != pages:
+                    # raise, not assert (must survive python -O)
+                    raise ValueError(
+                        f"TIFF round-trip mismatch for doc {doc_id}"
+                    )
+                for pg, r in enumerate(decoded):
+                    out["doc_id"].append(doc_id)
+                    out["page_no"].append(pg)
+                    out["n_pages"].append(n_pages)
+                    out["width"].append(r.width)
+                    out["height"].append(r.height)
+                    out["channels"].append(r.channels)
+                    out["layout"].append(f"{bo}-{comp}-{pred}")
+                    out["pixel_sum"].append(
+                        int(np.frombuffer(r.pixels, dtype=np.uint8).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(_batches, schema)

@@ -1154,3 +1154,60 @@ def mm_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     return audio_adpcm_features(d)
+
+
+@query(
+    "mm_tiff_decode",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               doc_id % 19 + 8 AS w,
+               (doc_id * 3) % 17 + 8 AS h,
+               CASE WHEN doc_id % 5 < 3 THEN 3 ELSE 1 END AS ch,
+               doc_id % 3 + 1 AS n_pages,
+               CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END
+                   || '-' ||
+                   CASE doc_id % 3 WHEN 0 THEN '1' WHEN 1 THEN '5'
+                                   ELSE '32773' END
+                   || '-' ||
+                   CASE WHEN (doc_id // 3) % 2 = 0 THEN '1' ELSE '2' END
+                   AS layout
+        FROM documents
+    ),
+    px AS (
+        SELECT b.doc_id, b.n_pages, b.w, b.h, b.ch, b.layout,
+               CAST(pg.pg AS INTEGER) AS page_no,
+               (x.x * 7 + y.y * 13 + c.c * 29 + b.doc_id + 31 * pg.pg)
+                   % 256 AS v
+        FROM base b
+        JOIN (SELECT unnest(range(0, 3)) AS pg) pg ON pg.pg < b.n_pages
+        JOIN (SELECT unnest(range(0, 27)) AS x) x ON x.x < b.w
+        JOIN (SELECT unnest(range(0, 25)) AS y) y ON y.y < b.h
+        JOIN (SELECT unnest(range(0, 3)) AS c) c ON c.c < b.ch
+    )
+    SELECT doc_id, page_no,
+           CAST(n_pages AS INTEGER) AS n_pages,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(ch AS INTEGER) AS channels,
+           layout,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum
+    FROM px
+    GROUP BY doc_id, page_no, n_pages, w, h, ch, layout
+    """,
+)
+def mm_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode end-to-end (operators/tiffcodec.py — the
+    scan/scientific format): every document gets a genuine multi-page
+    TIFF rotating the full supported matrix by doc_id (II/MM byte order,
+    none/TIFF-LZW/PackBits compression, horizontal-differencing
+    predictor, 5-row strips, gray/RGB, 1-3 pages). TIFF-LZW is
+    deliberately the OTHER bit discipline from GIF (MSB-first with the
+    early-change width bump), so both LZW families are certified
+    independently. The oracle re-derives every page's checksum from the
+    closed-form pixel formula; tiles/16-bit/palette/planar-2 variants
+    raise by name and are pytest-pinned (tests/test_tiffcodec.py)."""
+    from pasardassist_spark.operators.multimodal import tiff_page_features
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return tiff_page_features(d)
