@@ -1263,3 +1263,142 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.39) * w_per_s + F.lit(11.8) * syl_per_w - F.lit(15.59), 6
         ).alias("fk_grade"),
     )
+
+
+# ------------------------------------------- Kneser-Ney trigram scoring --
+
+KN_DISCOUNT = 0.75
+
+_KN_CTES = f"""t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    tri AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                      )) AS tg
+        FROM t WHERE len(toks) >= 3
+    ),
+    tt AS (
+        SELECT split_part(tg, ' ', 1) AS w1, split_part(tg, ' ', 2) AS w2,
+               split_part(tg, ' ', 3) AS w3, tg,
+               CAST(COUNT(*) AS BIGINT) AS c3
+        FROM tri GROUP BY ALL
+    ),
+    ctx AS (SELECT w1, w2, SUM(c3) AS c_ctx, CAST(COUNT(*) AS BIGINT) AS n1_fw
+            FROM tt GROUP BY w1, w2),
+    mid AS (SELECT w2, w3, CAST(COUNT(DISTINCT w1) AS BIGINT) AS n1_mid
+            FROM tt GROUP BY w2, w3),
+    midden AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1_dd,
+                      CAST(COUNT(DISTINCT w3) AS BIGINT) AS n1_fw_mid
+               FROM tt GROUP BY w2),
+    big AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        FROM t
+    ),
+    bt AS (SELECT DISTINCT split_part(bg, ' ', 1) AS b1,
+                           split_part(bg, ' ', 2) AS b2 FROM big),
+    cont AS (SELECT b2 AS w3, CAST(COUNT(*) AS BIGINT) AS n1_dot FROM bt GROUP BY b2),
+    nbt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bt FROM bt),
+    lp AS (
+        SELECT tt.tg,
+               ln((GREATEST(tt.c3 - {KN_DISCOUNT}, 0)
+                   + {KN_DISCOUNT} * ctx.n1_fw *
+                     ((GREATEST(mid.n1_mid - {KN_DISCOUNT}, 0)
+                       + {KN_DISCOUNT} * midden.n1_fw_mid
+                         * cont.n1_dot / nbt.n_bt)
+                      / midden.n1_dd))
+                  / ctx.c_ctx) / ln(10) AS lp
+        FROM tt
+        JOIN ctx ON tt.w1 = ctx.w1 AND tt.w2 = ctx.w2
+        JOIN mid ON tt.w2 = mid.w2 AND tt.w3 = mid.w3
+        JOIN midden ON tt.w2 = midden.w2
+        JOIN cont ON tt.w3 = cont.w3
+        CROSS JOIN nbt
+    )"""
+
+
+@query(
+    "curate_kneser_ney_ppl",
+    oracle=f"""
+    WITH {_KN_CTES}
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           ROUND(AVG(lp), 6) AS avg_logprob
+    FROM tri JOIN lp USING (tg)
+    GROUP BY doc_id
+    """,
+)
+def curate_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram language-model scoring — the real
+    CCNet-style quality gate (Wenzek 2020 filters CommonCrawl by KenLM
+    perplexity; KenLM's default estimator IS interpolated modified KN,
+    Heafield 2011): per-doc mean log10 P_KN(w3 | w1 w2) with absolute
+    discount D = 0.75 and the continuation-count backoff chain
+    P3 -> P2(w3|w2) over N1+(.w2w3)/N1+(.w2.) -> Pc(w3) =
+    N1+(.w3)/N1+(..). The trigram denominator is the
+    continuation-consistent sum over extensions (identical on both
+    engines; doc-final bigrams never open a trigram context).
+
+    Spark plan: ONE corpus scan explodes trigrams; every model table
+    (trigram/bigram types, context totals, continuation counts) is
+    Zipf-bounded metadata that aggregates in one shuffle each and joins
+    back as broadcasts — the corpus-scale stream shuffles only for its
+    own counts, never for scoring. At 100 TB the type tables outgrow
+    broadcast and the scoring join falls back to hash-on-key with AQE
+    skew splitting, same shape as text_bigram_logprob."""
+    D = KN_DISCOUNT
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens(F.col("text")).alias("toks")
+    )
+    tri = d.filter(F.size("toks") >= 3).select(
+        "doc_id", F.explode(X.word_ngrams(F.col("toks"), 3)).alias("tg")
+    )
+    parts = F.split(F.col("tg"), " ", 3)
+    tt = (
+        tri.groupBy("tg").agg(F.count(F.lit(1)).alias("c3"))
+        .select(
+            "tg", "c3",
+            parts[0].alias("w1"), parts[1].alias("w2"), parts[2].alias("w3"),
+        )
+    )
+    ctx = tt.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c_ctx"), F.count(F.lit(1)).alias("n1_fw")
+    )
+    mid = tt.groupBy("w2", "w3").agg(
+        F.countDistinct("w1").alias("n1_mid")
+    )
+    midden = tt.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("n1_dd"),
+        F.countDistinct("w3").alias("n1_fw_mid"),
+    )
+    big = d.select(F.explode(X.word_ngrams(F.col("toks"), 2)).alias("bg"))
+    bparts = F.split(F.col("bg"), " ", 2)
+    bt = big.select(bparts[0].alias("b1"), bparts[1].alias("b2")).distinct()
+    cont = bt.groupBy(F.col("b2").alias("w3")).agg(
+        F.count(F.lit(1)).alias("n1_dot")
+    )
+    nbt = bt.agg(F.count(F.lit(1)).alias("n_bt"))
+    p2 = (
+        F.greatest(F.col("n1_mid") - D, F.lit(0.0))
+        + D * F.col("n1_fw_mid") * F.col("n1_dot") / F.col("n_bt")
+    ) / F.col("n1_dd")
+    p3 = (
+        F.greatest(F.col("c3") - D, F.lit(0.0)) + D * F.col("n1_fw") * p2
+    ) / F.col("c_ctx")
+    lp = (
+        tt.join(F.broadcast(ctx), ["w1", "w2"])
+        .join(F.broadcast(mid), ["w2", "w3"])
+        .join(F.broadcast(midden), "w2")
+        .join(F.broadcast(cont), "w3")
+        .crossJoin(F.broadcast(nbt))
+        .select("tg", (F.log(p3) / F.log(F.lit(10.0))).alias("lp"))
+    )
+    return (
+        tri.join(F.broadcast(lp), "tg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )

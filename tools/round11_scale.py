@@ -57,6 +57,9 @@ QUERIES = [
     "mm_gif_frames",
     "doc_pdf_extract",
     "doc_docx_extract",
+    "mm_audio_g711",
+    "mm_audio_adpcm",
+    "mm_tiff_decode",
 ]
 
 
