@@ -260,6 +260,13 @@ def main() -> None:
         "mm_png_variants",
         "drift_history",
         "cdc_state_travel_diff",
+        "mm_gif_frames",
+        "mm_tiff_decode",
+        "mm_audio_g711",
+        "mm_audio_adpcm",
+        "doc_pdf_extract",
+        "doc_docx_extract",
+        "curate_kneser_ney_ppl",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

@@ -146,3 +146,114 @@ def doc_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda it: _extract_rows(it, 4, encode_docx, extract_docx_paragraphs),
         _OUT_SCHEMA,
     )
+
+
+def _doc_pipeline_oracle() -> str:
+    from pasardassist_spark.queries.curation import (
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_STOPS,
+    )
+    from pasardassist_spark.queries.text import _TOKS_SQL
+
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+    return f"""
+    WITH m AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'docx' END AS fmt,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 3 + 1
+                         ELSE doc_id % 4 + 1 END AS INTEGER) AS n_parts,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_words,
+               CAST(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                    AS DOUBLE) / len({_TOKS_SQL}) AS mean_word_len,
+               CAST(len(list_filter({_TOKS_SQL}, t -> t IN ({stops})))
+                    AS BIGINT) AS stop_hits
+        FROM documents
+    )
+    SELECT doc_id, fmt, n_parts, n_chars, n_words,
+           round(mean_word_len, 6) AS mean_word_len, stop_hits,
+           (mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+            AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+            AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep
+    FROM m
+    """
+
+
+@query("pipeline_doc_extract_clean", oracle=_doc_pipeline_oracle())
+def pipeline_doc_extract_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Office-document front half composed end-to-end: genuine PDF (even
+    doc_ids) / DOCX (odd) containers -> the conforming extractors
+    (operators/pdftext.py / docxtext.py) -> Gopher-style quality gates on
+    the EXTRACTED text, one plan. The gates run on what the parser
+    recovered, so a lost escape or dropped run flips mean_word_len or a
+    stop-hit and hash-mismatches — the oracle re-derives everything from
+    documents.text because a correct extractor reconstructs it exactly.
+
+    Scale shape: synthesis+extraction is one map-only mapInPandas, the
+    gates are column math fused onto its output — zero shuffle, scan
+    speed, composing without materialization (the
+    pipeline_web_extract_clean discipline for the office-format half of
+    a crawl)."""
+    from pyspark.sql import functions as F
+
+    from pasardassist_spark.operators import text as X
+    from pasardassist_spark.operators.docxtext import (
+        encode_docx,
+        extract_docx_paragraphs,
+    )
+    from pasardassist_spark.operators.pdftext import encode_pdf, extract_pdf_pages
+    from pasardassist_spark.queries.curation import (
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_STOPS,
+    )
+
+    schema = "doc_id long, fmt string, n_parts int, text string"
+
+    def _stage(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "fmt": [], "n_parts": [], "text": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = int(doc_id)
+                if seed % 2 == 0:
+                    fmt, n = "pdf", seed % 3 + 1
+                    parts = [text[a:b] for a, b in _split_bounds(len(text), n)]
+                    got = extract_pdf_pages(encode_pdf(parts))
+                else:
+                    fmt, n = "docx", seed % 4 + 1
+                    parts = [text[a:b] for a, b in _split_bounds(len(text), n)]
+                    got = extract_docx_paragraphs(encode_docx(parts))
+                out["doc_id"].append(doc_id)
+                out["fmt"].append(fmt)
+                out["n_parts"].append(n)
+                out["text"].append("".join(got))
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ext = d.mapInPandas(_stage, schema)
+    toks = X.tokens(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    mwl = (
+        F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
+        .cast("double") / n_words
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*GOPHER_STOPS))
+    ).cast("long")
+    return ext.select(
+        "doc_id", "fmt", "n_parts",
+        F.length("text").cast("long").alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        (
+            (mwl >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (mwl <= GOPHER_MAX_MEAN_WORD_LEN)
+            & (stop_hits >= GOPHER_MIN_STOP_HITS)
+        ).alias("keep"),
+    )
