@@ -257,3 +257,27 @@ def pipeline_doc_extract_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (stop_hits >= GOPHER_MIN_STOP_HITS)
         ).alias("keep"),
     )
+
+
+@query("doc_epub_extract", oracle=_oracle(5))
+def doc_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EPUB text extraction end-to-end (operators/epubtext.py): each
+    document's text becomes doc_id%5+1 XHTML chapters of a conforming
+    OCF container, located the conforming way — mimetype validation,
+    META-INF/container.xml -> OPF rootfile, manifest hrefs resolved
+    relative to the OPF directory, SPINE order (not zip order) deciding
+    the reading sequence. Chapter text survives span splitting, real
+    <br/> elements for newlines, and style-subtree exclusion. Oracle:
+    the same substring + md5 re-derivation as the PDF/DOCX rows.
+    DRM-protected containers raise by name; spine/manifest error paths
+    pytest-pinned in tests/test_docformats.py."""
+    from pasardassist_spark.operators.epubtext import (
+        encode_epub,
+        extract_epub_chapters,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        lambda it: _extract_rows(it, 5, encode_epub, extract_epub_chapters),
+        _OUT_SCHEMA,
+    )

@@ -211,3 +211,117 @@ def test_docx_malformed_xml_raises():
             dst.writestr(name, data)
     with pytest.raises(ValueError, match="malformed"):
         extract_docx_paragraphs(buf.getvalue())
+
+
+# ----------------------------------------------------------------- EPUB --
+
+
+def test_epub_roundtrip_chapters():
+    from pasardassist_spark.operators.epubtext import (
+        encode_epub,
+        extract_epub_chapters,
+        sniff_epub,
+    )
+
+    chs = ["chapter one " * 15, "", "line\nbreak", "<&> escapes", "unicodé ✓"]
+    payload = encode_epub(chs)
+    assert sniff_epub(payload)
+    assert extract_epub_chapters(payload) == chs
+
+
+def _repack_epub(payload: bytes, mutate):
+    """Round-trip the zip through a mutation callback(name, data) ->
+    (name, data) | None (drop) | list (replace with many)."""
+    src = zipfile.ZipFile(io.BytesIO(payload))
+    buf = io.BytesIO()
+    with src, zipfile.ZipFile(buf, "w") as dst:
+        for name in src.namelist():
+            r = mutate(name, src.read(name))
+            if r is None:
+                continue
+            entries = r if isinstance(r, list) else [r]
+            for n, d in entries:
+                dst.writestr(n, d)
+    return buf.getvalue()
+
+
+def test_epub_spine_order_wins_over_zip_order():
+    """Reverse the spine: extraction must follow it, not entry order."""
+    from pasardassist_spark.operators.epubtext import (
+        encode_epub,
+        extract_epub_chapters,
+    )
+
+    payload = encode_epub(["first", "second", "third"])
+
+    def mutate(name, data):
+        if name == "OEBPS/content.opf":
+            data = data.replace(
+                b'<itemref idref="c0"/><itemref idref="c1"/><itemref idref="c2"/>',
+                b'<itemref idref="c2"/><itemref idref="c1"/><itemref idref="c0"/>',
+            )
+        return (name, data)
+
+    assert extract_epub_chapters(_repack_epub(payload, mutate)) == [
+        "third", "second", "first"
+    ]
+
+
+def test_epub_nonlinear_spine_items_skipped():
+    from pasardassist_spark.operators.epubtext import (
+        encode_epub,
+        extract_epub_chapters,
+    )
+
+    payload = encode_epub(["keep", "skipme", "also keep"])
+
+    def mutate(name, data):
+        if name == "OEBPS/content.opf":
+            data = data.replace(
+                b'<itemref idref="c1"/>', b'<itemref idref="c1" linear="no"/>'
+            )
+        return (name, data)
+
+    assert extract_epub_chapters(_repack_epub(payload, mutate)) == [
+        "keep", "also keep"
+    ]
+
+
+def test_epub_error_contracts():
+    from pasardassist_spark.operators.epubtext import (
+        encode_epub,
+        extract_epub_chapters,
+    )
+
+    payload = encode_epub(["x"])
+    with pytest.raises(NotImplementedError, match="DRM"):
+        extract_epub_chapters(
+            _repack_epub(
+                payload,
+                lambda n, d: [(n, d), ("META-INF/encryption.xml", b"<e/>")]
+                if n == "mimetype" else (n, d),
+            )
+        )
+    with pytest.raises(ValueError, match="mimetype"):
+        extract_epub_chapters(
+            _repack_epub(
+                payload,
+                lambda n, d: (n, b"text/plain") if n == "mimetype" else (n, d),
+            )
+        )
+    with pytest.raises(ValueError, match="container.xml"):
+        extract_epub_chapters(
+            _repack_epub(
+                payload,
+                lambda n, d: None if n == "META-INF/container.xml" else (n, d),
+            )
+        )
+    with pytest.raises(ValueError, match="missing from zip"):
+        extract_epub_chapters(
+            _repack_epub(
+                payload,
+                lambda n, d: None if n.endswith(".xhtml") else (n, d),
+            )
+        )
+    with pytest.raises(ValueError, match="not a ZIP"):
+        extract_epub_chapters(b"plain text")
