@@ -266,6 +266,9 @@ def main() -> None:
         "mm_audio_adpcm",
         "doc_pdf_extract",
         "doc_docx_extract",
+        "doc_epub_extract",
+        "doc_markdown_extract",
+        "pipeline_doc_extract_clean",
         "curate_kneser_ney_ppl",
     ]
     for _ in range(2):

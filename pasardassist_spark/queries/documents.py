@@ -281,3 +281,90 @@ def doc_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda it: _extract_rows(it, 5, encode_epub, extract_epub_chapters),
         _OUT_SCHEMA,
     )
+
+
+_MD_ORACLE = """
+    WITH base AS (
+        SELECT doc_id, text, length(text) AS L, doc_id % 7 + 1 AS n
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id, p.p AS orig_no,
+               substring(text, CAST((L * p.p) // n AS INTEGER) + 1,
+                         CAST((L * (p.p + 1)) // n - (L * p.p) // n
+                              AS INTEGER)) AS ptxt
+        FROM base
+        JOIN (SELECT unnest(range(0, 7)) AS p) p ON p.p < n
+    ),
+    norm AS (
+        SELECT doc_id, orig_no,
+               array_to_string(
+                   list_filter(string_split(ptxt, ' '), w -> w != ''),
+                   ' ') AS ptxt
+        FROM parts
+    ),
+    kept AS (
+        SELECT doc_id, ptxt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY orig_no) - 1
+                   AS part_no,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_parts
+        FROM norm WHERE ptxt != ''
+    )
+    SELECT doc_id, CAST(part_no AS INTEGER) AS part_no,
+           CAST(n_parts AS INTEGER) AS n_parts,
+           CAST(length(ptxt) AS BIGINT) AS n_chars,
+           md5(ptxt) AS part_md5
+    FROM kept
+    """
+
+
+@query("doc_markdown_extract", oracle=_MD_ORACLE)
+def doc_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Markdown extraction end-to-end (operators/mdtext.py — the
+    developer-corpus format): each document's text splits into doc_id%7+1
+    parts, every part wrapped as a DIFFERENT markdown block kind
+    (heading, emphasis runs, link+image paragraph, blockquote, list item,
+    verbatim code fence, code-span paragraph, with thematic breaks
+    interleaved), and the CommonMark-subset parser — real block pass +
+    inline pass with code-span shielding, matching-length backtick runs,
+    nested link text, and backslash escapes — recovers each block's plain
+    text. Whitespace contract: words rejoin single-spaced; empty parts
+    have no markdown representation and are filtered with renumbering on
+    both engines. Grammar hand-cases pytest-pinned in
+    tests/test_docformats.py."""
+    from pasardassist_spark.operators.mdtext import (
+        encode_markdown,
+        extract_markdown_blocks,
+    )
+
+    def _stage(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "part_no": [], "n_parts": [],
+                "n_chars": [], "part_md5": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = int(doc_id) % 7 + 1
+                raw = [text[a:b] for a, b in _split_bounds(len(text), n)]
+                norm = [
+                    " ".join(w for w in part.split(" ") if w) for part in raw
+                ]
+                kept = [p for p in norm if p]
+                got = extract_markdown_blocks(encode_markdown(kept))
+                if got != kept:
+                    # raise, not assert (must survive python -O)
+                    raise ValueError(
+                        f"markdown round-trip mismatch for doc {doc_id}"
+                    )
+                for p, ptxt in enumerate(got):
+                    out["doc_id"].append(doc_id)
+                    out["part_no"].append(p)
+                    out["n_parts"].append(len(got))
+                    out["n_chars"].append(len(ptxt))
+                    out["part_md5"].append(
+                        hashlib.md5(ptxt.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_stage, _OUT_SCHEMA)

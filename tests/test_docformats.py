@@ -325,3 +325,51 @@ def test_epub_error_contracts():
         )
     with pytest.raises(ValueError, match="not a ZIP"):
         extract_epub_chapters(b"plain text")
+
+
+# ------------------------------------------------------------- Markdown --
+
+
+def test_markdown_block_grammar():
+    from pasardassist_spark.operators.mdtext import extract_markdown_blocks as x
+
+    assert x("# Title here\n\npara *em* **strong**\n\n> q1\n> q2") == [
+        "Title here", "para em strong", "q1 q2"
+    ]
+    assert x("- one\n- two\n1. three\n2) four") == ["one", "two", "three", "four"]
+    assert x("```\nraw **not em** [x](y)\n# not a heading\n```") == [
+        "raw **not em** [x](y)\n# not a heading"
+    ]
+    assert x("---\ntext\n***") == ["text"]
+    assert x("## closed heading ##") == ["closed heading"]
+    assert x("~~~\nfence tilde\n~~~") == ["fence tilde"]
+
+
+def test_markdown_inline_grammar():
+    from pasardassist_spark.operators.mdtext import extract_markdown_blocks as x
+
+    assert x("pre ![alt text](i.png) post") == ["pre alt text post"]
+    assert x("a [link *em*](http://u) b") == ["a link em b"]
+    assert x("esc \\* star \\[brak \\`tick") == ["esc * star [brak `tick"]
+    assert x("``code with ` tick``") == ["code with ` tick"]
+    assert x("`*shielded*` and *not*") == ["*shielded* and not"]
+    assert x("not a link [text only") == ["not a link [text only"]
+    assert x("_under_ and __double__") == ["under and double"]
+
+
+def test_markdown_writer_rotation_roundtrip():
+    from pasardassist_spark.operators.mdtext import (
+        encode_markdown,
+        extract_markdown_blocks,
+    )
+
+    parts = [f"part {i} with special chars like value. and x_y and a*b"
+             for i in range(14)]
+    assert extract_markdown_blocks(encode_markdown(parts)) == parts
+
+
+def test_markdown_unterminated_fence_raises():
+    from pasardassist_spark.operators.mdtext import extract_markdown_blocks
+
+    with pytest.raises(ValueError, match="fenced"):
+        extract_markdown_blocks("```\nnever closed")
