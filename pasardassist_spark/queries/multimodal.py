@@ -1211,3 +1211,101 @@ def mm_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     return tiff_page_features(d)
+
+
+@query(
+    "mm_subtitle_cues",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS fmt,
+               doc_id % 6 + 2 AS n,
+               doc_id % 997 AS t0,
+               list_filter(string_split(text, ' '), w -> w != '') AS words
+        FROM documents
+    ),
+    cues AS (
+        SELECT doc_id, fmt,
+               CAST(i.i AS INTEGER) AS cue_no,
+               CAST(1000 * i.i + t0 AS BIGINT) AS start_ms,
+               CAST(1000 * i.i + t0 + 900 + (i.i * 137 + doc_id) % 1100
+                    AS BIGINT) AS end_ms,
+               array_to_string(
+                   words[(len(words) * i.i) // n + 1
+                         : (len(words) * (i.i + 1)) // n],
+                   ' ') AS ctext
+        FROM base JOIN (SELECT unnest(range(0, 8)) AS i) i ON i.i < n
+    )
+    SELECT doc_id, fmt, cue_no, start_ms, end_ms,
+           CAST(length(ctext) AS BIGINT) AS n_chars,
+           md5(ctext) AS text_md5
+    FROM cues
+    """,
+)
+def mm_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL subtitle parsing end-to-end (operators/subtext.py — the
+    transcript format video-LLM corpora carry): each document's words
+    split into doc_id%6+2 cues with closed-form timings, written as a
+    genuine SRT (even doc_ids: numbered blocks, comma-millisecond
+    timestamps) or WebVTT file (odd: signature, NOTE block, cue
+    identifiers, cue settings after the arrow, voice/class/bold spans
+    and karaoke timestamps wrapped around every cue's words), then
+    parsed back — the oracle re-derives every cue's timing from the
+    arithmetic and its text md5 from word-slice arithmetic, so timestamp
+    math, block segmentation, and VTT tag stripping are all
+    hash-certified. Malformed-timing/reversed-cue error paths
+    pytest-pinned in tests/test_docformats.py."""
+    from pasardassist_spark.operators.subtext import (
+        encode_srt,
+        encode_vtt,
+        parse_srt,
+        parse_vtt,
+    )
+
+    schema = (
+        "doc_id long, fmt string, cue_no int, start_ms long, end_ms long, "
+        "n_chars long, text_md5 string"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "fmt": [], "cue_no": [], "start_ms": [],
+                "end_ms": [], "n_chars": [], "text_md5": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = int(doc_id)
+                fmt = "srt" if seed % 2 == 0 else "vtt"
+                n = seed % 6 + 2
+                t0 = seed % 997
+                words = [w for w in text.split(" ") if w]
+                w_ = len(words)
+                cues = []
+                for i in range(n):
+                    a, b = (w_ * i) // n, (w_ * (i + 1)) // n
+                    start = 1000 * i + t0
+                    end = start + 900 + (i * 137 + seed) % 1100
+                    cues.append((start, end, " ".join(words[a:b])))
+                payload = (encode_srt if fmt == "srt" else encode_vtt)(cues)
+                got = (parse_srt if fmt == "srt" else parse_vtt)(payload)
+                if [(c.start_ms, c.end_ms, c.text) for c in got] != cues:
+                    # raise, not assert (must survive python -O)
+                    raise ValueError(
+                        f"subtitle round-trip mismatch for doc {doc_id}"
+                    )
+                for c in got:
+                    out["doc_id"].append(doc_id)
+                    out["fmt"].append(fmt)
+                    out["cue_no"].append(c.cue_no)
+                    out["start_ms"].append(c.start_ms)
+                    out["end_ms"].append(c.end_ms)
+                    out["n_chars"].append(len(c.text))
+                    out["text_md5"].append(
+                        hashlib.md5(c.text.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_batches, schema)

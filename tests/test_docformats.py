@@ -373,3 +373,50 @@ def test_markdown_unterminated_fence_raises():
 
     with pytest.raises(ValueError, match="fenced"):
         extract_markdown_blocks("```\nnever closed")
+
+
+# ---------------------------------------------------------- SRT / WebVTT --
+
+
+def test_srt_roundtrip_and_multiline():
+    from pasardassist_spark.operators.subtext import encode_srt, parse_srt
+
+    cues = [(0, 1200, "first line\nsecond line"), (1500, 2000, "x")]
+    got = parse_srt(encode_srt(cues))
+    assert [(c.start_ms, c.end_ms, c.text) for c in got] == cues
+    assert [c.cue_no for c in got] == [0, 1]
+    # index line is optional in the wild
+    got = parse_srt("00:00:00,100 --> 00:00:00,900\nno index line\n")
+    assert got[0].text == "no index line" and got[0].start_ms == 100
+
+
+def test_vtt_roundtrip_tags_settings_notes():
+    from pasardassist_spark.operators.subtext import encode_vtt, parse_vtt
+
+    cues = [(1000, 2500, "hello brave new world"), (3000, 4800, "more words")]
+    got = parse_vtt(encode_vtt(cues))
+    assert [(c.start_ms, c.end_ms, c.text) for c in got] == cues
+    # hours-optional timestamps + settings + inline tags, hand-written
+    got = parse_vtt(
+        "WEBVTT\n\nNOTE a comment\nspanning lines\n\n"
+        "01:02.500 --> 01:03.000 align:start position:10%\n"
+        "hi <i>there</i> <00:01:02.600>karaoke\n"
+    )
+    assert got == [(0, 62500, 63000, "hi there karaoke")]
+
+
+def test_subtitle_error_contracts():
+    from pasardassist_spark.operators.subtext import parse_srt, parse_vtt
+
+    with pytest.raises(ValueError, match="WEBVTT signature"):
+        parse_vtt("1\n00:00:00.000 --> 00:00:01.000\nx")
+    with pytest.raises(ValueError, match="timestamp"):
+        parse_srt("1\n00:00:00.000 --> 00:00:01,000\nx")  # dot in SRT
+    with pytest.raises(ValueError, match="ends before"):
+        parse_srt("1\n00:00:02,000 --> 00:00:01,000\nx")
+    with pytest.raises(ValueError, match="timestamp"):
+        parse_srt("1\n00:61:00,000 --> 00:62:01,000\nx")  # minutes > 59
+    with pytest.raises(ValueError, match="no cues"):
+        parse_vtt("WEBVTT\n\nNOTE only comments here\n")
+    with pytest.raises(ValueError, match="timing"):
+        parse_srt("just some text\nwithout any timing\n")
