@@ -270,6 +270,8 @@ def main() -> None:
         "doc_markdown_extract",
         "pipeline_doc_extract_clean",
         "curate_kneser_ney_ppl",
+        "mm_subtitle_cues",
+        "format_chat_sft",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

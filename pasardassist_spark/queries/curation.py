@@ -1488,3 +1488,99 @@ def pipeline_web_extract_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (~has_lorem & (n_sentences >= C4_MIN_SENTENCES)).alias("keep"),
         F.md5("clean").alias("clean_hash"),
     )
+
+
+# ------------------------------------------------- chat-template render --
+
+CHAT_SYSTEM_PROMPT = "You are a helpful assistant."
+
+
+@query(
+    "format_chat_sft",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               doc_id % 4 + 2 AS n,
+               doc_id % 3 = 0 AS with_system,
+               list_filter(string_split(text, ' '), w -> w != '') AS words
+        FROM documents
+    ),
+    turns AS (
+        SELECT doc_id, n, with_system, i.i AS turn_no,
+               CASE WHEN i.i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+               array_to_string(
+                   words[(len(words) * i.i) // n + 1
+                         : (len(words) * (i.i + 1)) // n],
+                   ' ') AS content
+        FROM base JOIN (SELECT unnest(range(0, 6)) AS i) i ON i.i < n
+    ),
+    rendered AS (
+        SELECT doc_id, n, with_system,
+               (CASE WHEN with_system
+                     THEN '<|im_start|>system' || chr(10)
+                          || '{CHAT_SYSTEM_PROMPT}' || '<|im_end|>' || chr(10)
+                     ELSE '' END)
+               || string_agg(
+                      '<|im_start|>' || role || chr(10) || content
+                      || '<|im_end|>' || chr(10),
+                      '' ORDER BY turn_no) AS txt,
+               SUM(CASE WHEN role = 'assistant'
+                        THEN length(content) ELSE 0 END) AS a_chars
+        FROM turns GROUP BY doc_id, n, with_system
+    )
+    SELECT doc_id, CAST(n AS INTEGER) AS n_turns,
+           CAST(length(txt) AS BIGINT) AS rendered_chars,
+           CAST(a_chars AS BIGINT) AS assistant_chars,
+           md5(txt) AS rendered_md5
+    FROM rendered
+    """,
+)
+def format_chat_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering for SFT corpora — the formatting stage
+    between curation and sequence packing: each document becomes a
+    doc_id%4+2-turn user/assistant conversation (word-slice turns, a
+    system prompt on every third doc), rendered in the ChatML-style
+    template '<|im_start|>role\\n{{content}}<|im_end|>\\n', with the
+    ASSISTANT character mass (the loss-maskable span total) computed
+    alongside. ENTIRELY JVM column math — transform/aggregate over a
+    turn sequence, zero Python, zero shuffle — so at 100 TB it runs at
+    scan speed inside whole-stage codegen. The oracle re-assembles the
+    identical string in SQL and md5-compares, so template token
+    placement, turn order, and mask arithmetic are hash-certified."""
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    n = (F.col("doc_id") % 4 + 2).cast("int")
+    w_ = F.size(words)
+
+    def content(i):
+        a = (w_ * i / n).cast("int")
+        b = (w_ * (i + 1) / n).cast("int")
+        return F.array_join(F.slice(words, a + 1, b - a), " ")
+
+    def role(i):
+        return F.when(i % 2 == 0, F.lit("user")).otherwise(F.lit("assistant"))
+
+    seq = F.sequence(F.lit(0), n - 1)
+    chunks = F.transform(
+        seq,
+        lambda i: F.concat(
+            F.lit("<|im_start|>"), role(i), F.lit("\n"),
+            content(i), F.lit("<|im_end|>\n"),
+        ),
+    )
+    sys_part = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit(f"<|im_start|>system\n{CHAT_SYSTEM_PROMPT}<|im_end|>\n"),
+    ).otherwise(F.lit(""))
+    rendered = F.concat(sys_part, F.array_join(chunks, ""))
+    a_chars = F.aggregate(
+        F.filter(seq, lambda i: i % 2 == 1),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.length(content(i)),
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        n.alias("n_turns"),
+        F.length(rendered).cast("long").alias("rendered_chars"),
+        a_chars.alias("assistant_chars"),
+        F.md5(rendered.cast("binary")).alias("rendered_md5"),
+    )
