@@ -368,3 +368,62 @@ def doc_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(_stage, _OUT_SCHEMA)
+
+
+@query("doc_latex_extract", oracle=_MD_ORACLE)
+def doc_latex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LaTeX extraction end-to-end (operators/textext.py — the
+    arXiv-ingestion pass): each document's text splits into doc_id%7+1
+    parts, every part wrapped as a DIFFERENT construct (section heading
+    with label, emphasis runs with citations, math-interleaved paragraph
+    where $...$/display math drop out, itemize list, VERBATIM block,
+    tabular row with &-separators, comment-laced paragraph), inside a
+    full documentclass/begin-document skeleton. The tokenizer-driven
+    parser (control sequences with TeX whitespace rules, keep- vs
+    drop-argument command tables, math-mode tracking across
+    $/$$/\\(\\)/\\[\\] and math environments, verbatim preservation,
+    escape handling) recovers the plain text; same normalize-and-
+    renumber contract — and therefore the same oracle — as
+    doc_markdown_extract. Grammar hand-cases pytest-pinned in
+    tests/test_docformats.py."""
+    from pasardassist_spark.operators.textext import encode_latex, latex_to_text
+
+    def _stage(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "part_no": [], "n_parts": [],
+                "n_chars": [], "part_md5": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = int(doc_id) % 7 + 1
+                raw = [text[a:b] for a, b in _split_bounds(len(text), n)]
+                norm = [
+                    " ".join(w for w in part.split(" ") if w) for part in raw
+                ]
+                kept = [p for p in norm if p]
+                tex = encode_latex(kept)
+                # the writer emits one construct per part separated by
+                # blank lines, which survive extraction as \n\n seams;
+                # normalize each segment's whitespace to recover parts
+                got = [
+                    " ".join(seg.split())
+                    for seg in latex_to_text(tex).split("\n\n")
+                ]
+                got = [g for g in got if g]
+                if got != kept:
+                    # raise, not assert (must survive python -O)
+                    raise ValueError(
+                        f"latex round-trip mismatch for doc {doc_id}"
+                    )
+                for p, ptxt in enumerate(got):
+                    out["doc_id"].append(doc_id)
+                    out["part_no"].append(p)
+                    out["n_parts"].append(len(got))
+                    out["n_chars"].append(len(ptxt))
+                    out["part_md5"].append(
+                        hashlib.md5(ptxt.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_stage, _OUT_SCHEMA)

@@ -420,3 +420,50 @@ def test_subtitle_error_contracts():
         parse_vtt("WEBVTT\n\nNOTE only comments here\n")
     with pytest.raises(ValueError, match="timing"):
         parse_srt("just some text\nwithout any timing\n")
+
+
+# ---------------------------------------------------------------- LaTeX --
+
+
+def test_latex_grammar_hand_cases():
+    from pasardassist_spark.operators.textext import latex_to_text as x
+
+    assert x(r"pre $x^2 + y$ post") == "pre  post"
+    assert x(r"a \emph{b c} d \cite{x} e") == "a b c d  e"
+    assert x(r"\section[short]{Long Title} body") == "Long Title body"
+    assert x(r"100\% and \$5 and a\_b") == "100% and $5 and a_b"
+    assert x(r"line one\\line two") == "line one line two"
+    assert x(r"\begin{equation}E=mc^2\end{equation}after") == "after"
+    assert x(r"\begin{align*}x &= y\end{align*}z") == "z"
+    assert x(r"\begin{verbatim}$raw$ \emph{x}\end{verbatim}") == r"$raw$ \emph{x}"
+    assert x(r"\begin{tabular}{ll}a&b\\\end{tabular}") == "a b "
+    assert x(r"\unknowncmd{kept text} tail") == "kept text tail"
+    assert x("before % comment\nafter") == "before \nafter"
+    assert x(r"x~y") == "x y"
+    assert x(r"\[ \int_0^1 f \] done") == " done"
+    assert x(r"\(a+b\) inline done") == " inline done"
+    assert x(r"\footnote{kept note} here") == "kept note here"
+    assert x(r"nested \emph{a \textbf{b} c} end") == "nested a b c end"
+
+
+def test_latex_error_contracts():
+    from pasardassist_spark.operators.textext import latex_to_text
+
+    with pytest.raises(ValueError, match="verbatim"):
+        latex_to_text(r"\begin{verbatim}never closed")
+    with pytest.raises(ValueError, match="unbalanced"):
+        latex_to_text("{unbalanced")
+    with pytest.raises(ValueError, match="unbalanced"):
+        latex_to_text("}extra")
+    with pytest.raises(ValueError, match="unbalanced"):
+        latex_to_text(r"\emph{never closed")
+
+
+def test_latex_writer_rotation_roundtrip():
+    from pasardassist_spark.operators.textext import encode_latex, latex_to_text
+
+    parts = [f"part {i} with chars like value. x_y a%b c&d"
+             for i in range(14)]
+    got = [" ".join(seg.split())
+           for seg in latex_to_text(encode_latex(parts)).split("\n\n")]
+    assert [g for g in got if g] == parts
