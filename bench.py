@@ -272,6 +272,7 @@ def main() -> None:
         "curate_kneser_ney_ppl",
         "mm_subtitle_cues",
         "format_chat_sft",
+        "doc_latex_extract",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:
