@@ -273,6 +273,8 @@ def main() -> None:
         "mm_subtitle_cues",
         "format_chat_sft",
         "doc_latex_extract",
+        "text_pmi_collocations",
+        "stat_mutual_information",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

@@ -1402,3 +1402,174 @@ def curate_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lp"), 6).alias("avg_logprob"),
         )
     )
+
+
+# --------------------------------------------------- PMI collocations --
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 40
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH {_BIGRAM_CTES},
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_big FROM big),
+    mm AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_tok FROM uc),
+    pmi AS (
+        SELECT bg, cb,
+               ROUND(ln((CAST(cb AS DOUBLE) / n_big)
+                        / ((CAST(u1.cu AS DOUBLE) / n_tok)
+                           * (CAST(u2.cu AS DOUBLE) / n_tok))) / ln(10),
+                     6) AS pmi
+        FROM bc
+        JOIN uc u1 ON split_part(bg, ' ', 1) = u1.tok
+        JOIN uc u2 ON split_part(bg, ' ', 2) = u2.tok
+        CROSS JOIN nn CROSS JOIN mm
+        WHERE cb >= {PMI_MIN_COUNT}
+    )
+    SELECT bg, cb, pmi FROM pmi
+    ORDER BY pmi DESC, bg ASC LIMIT {PMI_TOP_K}
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation discovery by pointwise mutual information (Church &
+    Hanks 1990): PMI(w1, w2) = log10 [ P(w1 w2) / (P(w1) P(w2)) ] over
+    adjacent-token bigrams, count floor {PMI_MIN_COUNT} (PMI's known
+    rare-pair pathology), top-{PMI_TOP_K} under an explicit total order
+    (pmi desc, bg asc). The corpus-level sibling of mb_pair_lift's
+    basket lift and the association score behind phrase-vocabulary
+    induction (word2vec's phrase pass uses the same ratio).
+
+    Spark plan: bigram + unigram counts are two one-shuffle aggregates
+    off one scan; the scoring join runs on the Zipf-truncated count
+    tables (types << tokens) with the two scalar totals crossed in as
+    literals-by-broadcast — the corpus itself never shuffles for
+    scoring, and top-k is a driver-side takeOrdered on the type table."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens(F.col("text")).alias("toks")
+    )
+    big = d.select(F.explode(X.word_ngrams(F.col("toks"), 2)).alias("bg"))
+    tok = d.select(F.explode("toks").alias("tok"))
+    uc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    bc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    nn = big.agg(F.count(F.lit(1)).alias("n_big"))
+    mm = tok.agg(F.count(F.lit(1)).alias("n_tok"))
+    parts = F.split(F.col("bg"), " ", 2)
+    u1 = uc.select(F.col("tok").alias("w1"), F.col("cu").alias("cu1"))
+    u2 = uc.select(F.col("tok").alias("w2"), F.col("cu").alias("cu2"))
+    pmi = (
+        F.log(
+            (F.col("cb").cast("double") / F.col("n_big"))
+            / (
+                (F.col("cu1").cast("double") / F.col("n_tok"))
+                * (F.col("cu2").cast("double") / F.col("n_tok"))
+            )
+        )
+        / F.log(F.lit(10.0))
+    )
+    return (
+        bc.filter(F.col("cb") >= PMI_MIN_COUNT)
+        .select("bg", "cb", parts[0].alias("w1"), parts[1].alias("w2"))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(mm))
+        .select("bg", "cb", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("bg"))
+        .limit(PMI_TOP_K)
+    )
+
+
+# ------------------------------------------- mutual-information readout --
+
+
+@query(
+    "stat_mutual_information",
+    oracle="""
+    WITH b AS (
+        SELECT source,
+               NTILE(4) OVER (ORDER BY length(text), doc_id) AS bucket
+        FROM documents
+    ),
+    joint AS (
+        SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        FROM b GROUP BY source, bucket
+    ),
+    ms AS (SELECT source, SUM(c) AS cs FROM joint GROUP BY source),
+    mb AS (SELECT bucket, SUM(c) AS cb FROM joint GROUP BY bucket),
+    nn AS (SELECT SUM(c) AS n FROM joint)
+    SELECT CAST(nn.n AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM((CAST(c AS DOUBLE) / n)
+                     * ln((CAST(c AS DOUBLE) * n)
+                          / (CAST(cs AS DOUBLE) * cb)) / ln(2)),
+                 6) AS mi_bits
+    FROM joint
+    JOIN ms USING (source) JOIN mb USING (bucket) CROSS JOIN nn
+    GROUP BY nn.n
+    """,
+)
+def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between a document's source and its
+    length quartile — the dataset-audit readout that quantifies how much
+    a metadata field leaks into a content statistic (0 bits = sources
+    draw lengths identically; the DSIR/quality-classifier sanity check
+    before using a field for selection). Quartiles are NTILE(4) under
+    the fully deterministic order (length, doc_id); MI = sum p(s,b)
+    log2 [ p(s,b) / (p(s) p(b)) ] in exact count arithmetic.
+
+    Scale shape: the global rank behind NTILE is NOT a single-task
+    window sort — it is the repo's distributed two-phase prefix count
+    (operators/packing.py:exclusive_prefix_sum) over the composite key
+    len*2^32 + doc_id, with the exact NTILE remainder math (first N%4
+    tiles one row larger) applied to the rank; the oracle uses DuckDB's
+    plain NTILE window, so the hash match certifies the emulation."""
+    from pasardassist_spark.operators.packing import exclusive_prefix_sum
+
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        (F.length("text").cast("long") * F.lit(1 << 32)
+         + F.col("doc_id")).alias("rk"),
+    )
+    ranked = exclusive_prefix_sum(
+        d.withColumn("one", F.lit(1).cast("long")), "rk", "one", out="rank0"
+    )
+    counts = ranked.agg(F.count(F.lit(1)).alias("n_total"))
+    n_total = F.col("n_total")
+    tile_q = F.floor(n_total / 4).cast("long")
+    rem = n_total % 4
+    cutoff = rem * (tile_q + 1)
+    r = F.col("rank0") + 1
+    bucket = F.when(
+        r <= cutoff, F.floor((r - 1) / (tile_q + 1)).cast("long") + 1
+    ).otherwise(rem + F.floor((r - 1 - cutoff) / tile_q).cast("long") + 1)
+    b = ranked.crossJoin(F.broadcast(counts)).select(
+        "source", bucket.cast("int").alias("bucket")
+    )
+    joint = b.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    ms = joint.groupBy("source").agg(F.sum("c").alias("cs"))
+    mb = joint.groupBy("bucket").agg(F.sum("c").alias("cb"))
+    nn = joint.agg(F.sum("c").alias("n"))
+    term = (F.col("c").cast("double") / F.col("n")) * (
+        F.log(
+            (F.col("c").cast("double") * F.col("n"))
+            / (F.col("cs").cast("double") * F.col("cb"))
+        )
+        / F.log(F.lit(2.0))
+    )
+    return (
+        joint.join(F.broadcast(ms), "source")
+        .join(F.broadcast(mb), "bucket")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum(term), 6).alias("mi_bits"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            "mi_bits",
+        )
+    )
