@@ -1584,3 +1584,62 @@ def format_chat_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
         a_chars.alias("assistant_chars"),
         F.md5(rendered.cast("binary")).alias("rendered_md5"),
     )
+
+
+@query(
+    "src_webdataset_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def src_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset source/sink, closed-loop (sources/webdataset.py — the
+    PyTorch-ecosystem tar-shard layout for training corpora): export the
+    documents table as 8 tar shards of adjacent {key}.txt / {key}.json /
+    {key}.bin members (text payload, a deterministic JSON sidecar
+    carrying lang/source, and the text's md5 digest as a binary member),
+    then read the shards back with binaryFile + stdlib tarfile parsing
+    and reconstruct the original rows — metadata recovered via
+    get_json_object, binary fidelity surfaced as the hex of the .bin
+    member, which the oracle independently recomputes as md5(text).
+    Write is one shard per partition via the TaskContext id, read is one
+    task per shard; only the 8-row manifest reaches the driver. The
+    adjacency invariant (a sample's members contiguous) is enforced on
+    read and pytest-pinned along with corrupt-shard contracts."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pasardassist_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    staged = d.select(
+        F.format_string("%09d", F.col("doc_id")).alias("key"),
+        F.col("text").alias("txt"),
+        F.concat(
+            F.lit('{"lang": "'), F.col("lang"),
+            F.lit('", "source": "'), F.col("source"), F.lit('"}'),
+        ).alias("json"),
+        F.unhex(F.md5(F.col("text").cast("binary"))).alias("bin"),
+    ).repartition(8, "key")
+
+    tmp = tempfile.mkdtemp(prefix="pasard_wds_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    manifest = write_webdataset(staged, tmp).collect()
+    if sum(m.n_records for m in manifest) == 0:
+        raise ValueError("webdataset export wrote no records")
+
+    back = read_webdataset(spark, tmp)
+    return back.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.col("txt").alias("text"),
+        F.get_json_object("json", "$.lang").alias("lang"),
+        F.get_json_object("json", "$.source").alias("source"),
+        F.lower(F.hex("bin")).alias("payload_md5"),
+    )
