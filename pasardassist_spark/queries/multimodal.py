@@ -1309,3 +1309,93 @@ def mm_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(_batches, schema)
+
+
+@query(
+    "mm_midi_features",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               doc_id % 3 + 1 AS n_tracks,
+               doc_id % 40 + 10 AS m
+        FROM documents
+    ),
+    notes AS (
+        SELECT b.doc_id, t.t AS track_no, b.m,
+               (j.j * 7 + b.doc_id + t.t * 13) % 128 AS pitch,
+               (j.j * 11 + b.doc_id) % 127 + 1 AS vel,
+               (j.j * 13 + b.doc_id + t.t) % 480
+                   + (j.j * 17 + b.doc_id) % 240 + 1 AS advance
+        FROM base b
+        JOIN (SELECT unnest(range(0, 3)) AS t) t ON t.t < b.n_tracks
+        JOIN (SELECT unnest(range(0, 50)) AS j) j ON j.j < b.m
+    )
+    SELECT doc_id, CAST(track_no AS INTEGER) AS track_no,
+           CAST(m AS INTEGER) AS n_notes,
+           CAST(SUM(pitch) AS BIGINT) AS pitch_sum,
+           CAST(SUM(vel) AS BIGINT) AS vel_sum,
+           CAST(SUM(advance) AS BIGINT) AS end_tick
+    FROM notes GROUP BY doc_id, track_no, m
+    """,
+)
+def mm_midi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Standard-MIDI-File parsing end-to-end
+    (operators/midicodec.py — symbolic music, the .mid archives
+    music-generation corpora train on): every document gets a genuine
+    format-1 file (doc_id%3+1 tracks, doc_id%40+10 note-on/off pairs per
+    track, closed-form pitches/velocities/deltas, a tempo meta leading
+    track 0) written WITH running status and VLQ deltas that cross the
+    one/two-byte boundary, then parsed back — per-track note counts,
+    pitch and velocity sums, and the absolute end tick all re-derived by
+    the oracle from the same arithmetic, so VLQ accumulation, running-
+    status inheritance, and the velocity-0-is-note-off convention are
+    hash-certified. Truncation/garbage contracts pytest-pinned in
+    tests/test_docformats.py."""
+    from pasardassist_spark.operators.midicodec import encode_midi, parse_midi
+
+    schema = (
+        "doc_id long, track_no int, n_notes int, pitch_sum long, "
+        "vel_sum long, end_tick long"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "track_no": [], "n_notes": [],
+                "pitch_sum": [], "vel_sum": [], "end_tick": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                seed = int(doc_id)
+                n_tracks = seed % 3 + 1
+                m = seed % 40 + 10
+                tracks = []
+                for t in range(n_tracks):
+                    ev = []
+                    for j in range(m):
+                        pitch = (j * 7 + seed + t * 13) % 128
+                        vel = (j * 11 + seed) % 127 + 1
+                        d_on = (j * 13 + seed + t) % 480
+                        dur = (j * 17 + seed) % 240 + 1
+                        ev.append((d_on, "note_on", t % 16, pitch, vel))
+                        ev.append((dur, "note_off", t % 16, pitch, 64))
+                    tracks.append(ev)
+                payload = encode_midi(tracks, division=480)
+                div, parsed = parse_midi(payload)
+                if div != 480 or len(parsed) != n_tracks:
+                    # raise, not assert (must survive python -O)
+                    raise ValueError(
+                        f"MIDI round-trip mismatch for doc {doc_id}"
+                    )
+                for t, events in enumerate(parsed):
+                    ons = [e for e in events if e[1] == "note_on"]
+                    end_tick = max(e[0] for e in events if e[1] != "tempo")
+                    out["doc_id"].append(doc_id)
+                    out["track_no"].append(t)
+                    out["n_notes"].append(len(ons))
+                    out["pitch_sum"].append(sum(e[3] for e in ons))
+                    out["vel_sum"].append(sum(e[4] for e in ons))
+                    out["end_tick"].append(end_tick)
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_batches, schema)

@@ -467,3 +467,56 @@ def test_latex_writer_rotation_roundtrip():
     got = [" ".join(seg.split())
            for seg in latex_to_text(encode_latex(parts)).split("\n\n")]
     assert [g for g in got if g] == parts
+
+
+# ----------------------------------------------------------------- MIDI --
+
+
+def test_midi_roundtrip_running_status_and_vlq():
+    from pasardassist_spark.operators.midicodec import encode_midi, parse_midi
+
+    t0 = [(0, "note_on", 0, 60, 100), (240, "note_off", 0, 60, 64),
+          (200, "note_on", 0, 64, 90), (16500, "note_off", 0, 64, 64)]
+    t1 = [(100, "program", 1, 42, 0), (30, "note_on", 1, 70, 80),
+          (1000, "note_on", 1, 70, 0)]  # velocity 0 => note_off
+    div, tracks = parse_midi(encode_midi([t0, t1], division=480,
+                                         tempo_us=600000))
+    assert div == 480 and len(tracks) == 2
+    assert tracks[0][0] == (0, "tempo", -1, 600000, 0)
+    assert [e[0] for e in tracks[0][1:]] == [0, 240, 440, 16940]
+    assert tracks[1][2] == (1130, "note_off", 1, 70, 0)
+
+
+def test_midi_vlq_boundaries():
+    from pasardassist_spark.operators.midicodec import _read_vlq, _write_vlq
+
+    for v in (0, 1, 127, 128, 129, 16383, 16384, 2097151, 2097152):
+        buf = _write_vlq(v)
+        got, pos = _read_vlq(buf, 0)
+        assert got == v and pos == len(buf)
+    assert _write_vlq(127) == b"\x7f"
+    assert _write_vlq(128) == b"\x81\x00"  # the spec's canonical example
+
+
+def test_midi_error_contracts():
+    from pasardassist_spark.operators.midicodec import encode_midi, parse_midi
+
+    payload = encode_midi([[(0, "note_on", 0, 60, 100),
+                            (10, "note_off", 0, 60, 0)]])
+    with pytest.raises(ValueError, match="not a Standard MIDI"):
+        parse_midi(b"RIFFnope")
+    with pytest.raises(ValueError):
+        parse_midi(payload[:20])
+    with pytest.raises(ValueError, match="end-of-track"):
+        # chop the end-of-track meta but fix the chunk length
+        import struct
+
+        body_start = payload.index(b"MTrk") + 8
+        (tlen,) = struct.unpack(">I", payload[body_start - 4 : body_start])
+        short = payload[: body_start - 4] + struct.pack(">I", tlen - 4) \
+            + payload[body_start : body_start + tlen - 4]
+        parse_midi(short)
+    with pytest.raises(NotImplementedError, match="SMPTE"):
+        import struct as s
+
+        parse_midi(b"MThd" + s.pack(">IHHH", 6, 1, 0, 0x8000 | 0x7348))
