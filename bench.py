@@ -275,6 +275,8 @@ def main() -> None:
         "doc_latex_extract",
         "text_pmi_collocations",
         "stat_mutual_information",
+        "src_webdataset_roundtrip",
+        "mm_midi_features",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

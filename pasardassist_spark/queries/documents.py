@@ -427,3 +427,56 @@ def doc_latex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(_stage, _OUT_SCHEMA)
+
+
+@query("doc_rtf_extract", oracle=_MD_ORACLE)
+def doc_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RTF extraction end-to-end (operators/rtftext.py — the
+    legacy-Office format): each document's text splits into doc_id%7+1
+    paragraphs, every one written through a rotating grammar (plain,
+    bold/italic format-run groups, all-hex \\'hh paragraphs, \\uN
+    unicode escapes under \\uc2 with fallback skipping, ignorable-
+    destination-laced paragraphs) behind a real header with font/color/
+    info tables the parser must drop wholesale. The group-aware parser
+    (state stack scoping \\uc and destinations, control-word parameter
+    rules, cp1252 hex decode, signed 16-bit unicode escapes) recovers
+    each paragraph; same normalize-and-renumber contract — and oracle —
+    as doc_markdown_extract. Grammar hand-cases pytest-pinned in
+    tests/test_docformats.py."""
+    from pasardassist_spark.operators.rtftext import encode_rtf, rtf_to_text
+
+    def _stage(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "part_no": [], "n_parts": [],
+                "n_chars": [], "part_md5": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = int(doc_id) % 7 + 1
+                raw = [text[a:b] for a, b in _split_bounds(len(text), n)]
+                norm = [
+                    " ".join(w for w in part.split(" ") if w) for part in raw
+                ]
+                kept = [p for p in norm if p]
+                got = [
+                    " ".join(seg.split())
+                    for seg in rtf_to_text(encode_rtf(kept)).split("\n")
+                ]
+                got = [g for g in got if g]
+                if got != kept:
+                    # raise, not assert (must survive python -O)
+                    raise ValueError(
+                        f"rtf round-trip mismatch for doc {doc_id}"
+                    )
+                for p, ptxt in enumerate(got):
+                    out["doc_id"].append(doc_id)
+                    out["part_no"].append(p)
+                    out["n_parts"].append(len(got))
+                    out["n_chars"].append(len(ptxt))
+                    out["part_md5"].append(
+                        hashlib.md5(ptxt.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_stage, _OUT_SCHEMA)

@@ -520,3 +520,46 @@ def test_midi_error_contracts():
         import struct as s
 
         parse_midi(b"MThd" + s.pack(">IHHH", 6, 1, 0, 0x8000 | 0x7348))
+
+
+# ------------------------------------------------------------------ RTF --
+
+
+def test_rtf_grammar_hand_cases():
+    from pasardassist_spark.operators.rtftext import rtf_to_text as x
+
+    assert x(r"{\rtf1 hello {\b bold} world\par}") == "hello bold world\n"
+    assert x(r"{\rtf1 a\'e9b}") == "aéb"                       # cp1252 hex
+    assert x("{\\rtf1 {\\uc1 \\" + "u8594?next}}") == chr(0x2192) + "next"  # uc1 skip
+    assert x("{\\rtf1 {\\uc2 \\" + "u233xyz}}") == "éz"  # 2 fallbacks
+    assert x("{\\rtf1 neg \\" + "u-1234? end}") == "neg " + chr(65536 - 1234) + " end"
+    assert x(r"{\rtf1 {\fonttbl{\f0 Arial;}}text}") == "text"  # table skip
+    assert x(r"{\rtf1 {\*\junk hidden {\nested x}}shown}") == "shown"
+    assert x(r"{\rtf1 brace \{x\} and \\ back}") == "brace {x} and \\ back"
+    assert x(r"{\rtf1 a\~b\tab c}") == "a b\tc"
+    assert x("{\\rtf1 line\r\none}") == "lineone"  # raw newlines not text
+    assert x(r"{\rtf1 a\cell b\row c\line d}") == "a b\nc\nd"
+    # uc setting is GROUP-SCOPED: restored after the inner group closes
+    assert x("{\\rtf1 {\\uc2 }\\" + "u65?B}") == "AB"
+
+
+def test_rtf_writer_rotation_roundtrip():
+    from pasardassist_spark.operators.rtftext import encode_rtf, rtf_to_text
+
+    parts = [f"part {i} with chars like value. x_y café ✓" for i in range(10)]
+    got = [" ".join(seg.split())
+           for seg in rtf_to_text(encode_rtf(parts)).split("\n")]
+    assert [g for g in got if g] == parts
+
+
+def test_rtf_error_contracts():
+    from pasardassist_spark.operators.rtftext import rtf_to_text
+
+    with pytest.raises(ValueError, match="not an RTF"):
+        rtf_to_text("plain text")
+    with pytest.raises(ValueError, match="unbalanced"):
+        rtf_to_text(r"{\rtf1 never closed")
+    with pytest.raises(ValueError, match="unbalanced"):
+        rtf_to_text(r"{\rtf1 }}")
+    with pytest.raises(ValueError, match="hex"):
+        rtf_to_text(r"{\rtf1 bad \'f")
