@@ -480,3 +480,100 @@ def doc_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(_stage, _OUT_SCHEMA)
+
+
+@query(
+    "doc_feed_extract",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+               doc_id % 5 + 1 AS n,
+               list_filter(string_split(text, ' '), w -> w != '') AS words
+        FROM documents
+    ),
+    entries AS (
+        SELECT doc_id, kind,
+               CAST(i.i AS INTEGER) AS entry_no,
+               CAST(1600000000 + doc_id * 37 + i.i * 7919 AS BIGINT)
+                   AS ts_epoch,
+               array_to_string(
+                   words[(len(words) * i.i) // n + 1
+                         : (len(words) * (i.i + 1)) // n],
+                   ' ') AS title
+        FROM base JOIN (SELECT unnest(range(0, 5)) AS i) i ON i.i < n
+    )
+    SELECT doc_id, kind, entry_no, ts_epoch,
+           CAST(length(title) AS BIGINT) AS n_chars,
+           md5(title) AS title_md5
+    FROM entries
+    """,
+)
+def doc_feed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL syndication-feed parsing end-to-end (operators/feedtext.py —
+    feed XML is how crawlers discover fresh content): each document's
+    words become doc_id%5+1 entries of a genuine RSS 2.0 (even doc_ids)
+    or Atom 1.0 feed (odd, namespace-aware), with entry timestamps
+    written in the dialect's own date grammar — RFC-822 with named
+    months and ±hhmm offsets for RSS, RFC-3339 with Z/±hh:mm for Atom —
+    at a per-entry zone offset that the parser must normalize away: the
+    oracle knows only the UTC epoch formula, so a zone-handling bug
+    shifts every timestamp and hash-mismatches. Date parsers are
+    additionally cross-checked against email.utils/fromisoformat in
+    tests/test_docformats.py."""
+    from pasardassist_spark.operators.feedtext import (
+        encode_atom,
+        encode_rss,
+        parse_feed,
+    )
+
+    schema = (
+        "doc_id long, kind string, entry_no int, ts_epoch long, "
+        "n_chars long, title_md5 string"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "kind": [], "entry_no": [], "ts_epoch": [],
+                "n_chars": [], "title_md5": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = int(doc_id)
+                kind = "rss" if seed % 2 == 0 else "atom"
+                n = seed % 5 + 1
+                words = [w for w in text.split(" ") if w]
+                w_ = len(words)
+                entries = []
+                for i in range(n):
+                    a, b = (w_ * i) // n, (w_ * (i + 1)) // n
+                    epoch = 1600000000 + seed * 37 + i * 7919
+                    off = ((seed + i) % 25 - 12) * 30
+                    title = " ".join(words[a:b])
+                    entries.append(
+                        (title, f"http://feed/{seed}/{i}", epoch, off, title)
+                    )
+                xml = (encode_rss if kind == "rss" else encode_atom)(
+                    f"feed-{seed}", entries
+                )
+                got_kind, _, got = parse_feed(xml)
+                if got_kind != kind or [
+                    (e.title, e.ts_epoch) for e in got
+                ] != [(t, ep) for t, _l, ep, _o, _s in entries]:
+                    # raise, not assert (must survive python -O)
+                    raise ValueError(
+                        f"feed round-trip mismatch for doc {doc_id}"
+                    )
+                for e in got:
+                    out["doc_id"].append(doc_id)
+                    out["kind"].append(kind)
+                    out["entry_no"].append(e.entry_no)
+                    out["ts_epoch"].append(e.ts_epoch)
+                    out["n_chars"].append(len(e.title))
+                    out["title_md5"].append(
+                        hashlib.md5(e.title.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_batches, schema)

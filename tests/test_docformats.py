@@ -563,3 +563,80 @@ def test_rtf_error_contracts():
         rtf_to_text(r"{\rtf1 }}")
     with pytest.raises(ValueError, match="hex"):
         rtf_to_text(r"{\rtf1 bad \'f")
+
+
+# ------------------------------------------------------------ RSS / Atom --
+
+
+def test_feed_rfc822_dates_match_email_utils():
+    import email.utils
+
+    from pasardassist_spark.operators.feedtext import parse_rfc822_date
+
+    for s in [
+        "Mon, 07 Aug 2023 14:30:05 +0130",
+        "7 Aug 2023 14:30:05 GMT",
+        "Tue, 15 Feb 2000 23:59:59 -0800",
+        "01 Jan 1970 00:00:00 +0000",
+        "29 Feb 2024 12:00:00 +0000",  # leap day
+    ]:
+        assert parse_rfc822_date(s) == int(
+            email.utils.parsedate_to_datetime(s).timestamp()
+        )
+    with pytest.raises(ValueError, match="month"):
+        parse_rfc822_date("01 Foo 2024 12:00:00 +0000")
+    with pytest.raises(ValueError, match="zone"):
+        parse_rfc822_date("01 Jan 2024 12:00:00 XYZ")
+
+
+def test_feed_rfc3339_dates_match_fromisoformat():
+    import datetime
+
+    from pasardassist_spark.operators.feedtext import parse_rfc3339_date
+
+    for s in [
+        "2023-08-07T14:30:05Z",
+        "2023-08-07T14:30:05.123+01:30",
+        "1999-12-31T23:59:59-08:00",
+        "2024-02-29T00:00:00Z",
+    ]:
+        assert parse_rfc3339_date(s) == int(
+            datetime.datetime.fromisoformat(
+                s.replace("Z", "+00:00")
+            ).timestamp()
+        )
+    with pytest.raises(ValueError, match="RFC-3339"):
+        parse_rfc3339_date("2024-13-01T00:00:00")  # no zone
+
+
+def test_feed_roundtrip_both_dialects():
+    from pasardassist_spark.operators.feedtext import (
+        encode_atom,
+        encode_rss,
+        parse_feed,
+    )
+
+    entries = [("t1", "http://a/1", 1690000000, 90, "sum one"),
+               ("t2 <&>", "http://a/2", 1690123456, -480, "sum <two>")]
+    for enc, kind in ((encode_rss, "rss"), (encode_atom, "atom")):
+        k, title, got = parse_feed(enc("Feed <X>", entries))
+        assert k == kind
+        assert [(e.title, e.link, e.ts_epoch, e.summary) for e in got] == [
+            (t, ln, ep, sm) for t, ln, ep, _off, sm in entries
+        ]
+
+
+def test_feed_error_contracts():
+    from pasardassist_spark.operators.feedtext import parse_feed
+
+    with pytest.raises(ValueError, match="malformed"):
+        parse_feed("not xml <")
+    with pytest.raises(ValueError, match="unknown feed root"):
+        parse_feed("<html/>")
+    with pytest.raises(ValueError, match="channel"):
+        parse_feed("<rss version='2.0'/>")
+    with pytest.raises(ValueError, match="pubDate"):
+        parse_feed(
+            "<rss version='2.0'><channel><title>t</title>"
+            "<item><title>x</title></item></channel></rss>"
+        )
