@@ -277,6 +277,8 @@ def main() -> None:
         "stat_mutual_information",
         "src_webdataset_roundtrip",
         "mm_midi_features",
+        "doc_rtf_extract",
+        "doc_feed_extract",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

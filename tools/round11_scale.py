@@ -60,7 +60,23 @@ QUERIES = [
     "mm_audio_g711",
     "mm_audio_adpcm",
     "mm_tiff_decode",
+    # round-11c debuts (third scale pass)
+    "mm_subtitle_cues",
+    "mm_midi_features",
+    "doc_epub_extract",
+    "doc_markdown_extract",
+    "doc_latex_extract",
+    "doc_rtf_extract",
+    "doc_feed_extract",
+    "pipeline_doc_extract_clean",
+    "format_chat_sft",
+    "curate_kneser_ney_ppl",
+    "text_pmi_collocations",
+    "stat_mutual_information",
+    "src_webdataset_roundtrip",
 ]
+# re-runs can skip the already-recorded prefix (BASELINE.md table rows)
+QUERIES = QUERIES[int(os.environ.get("SPARK_GRAFT_SCALE_SKIP", "0")):]
 
 
 def build_replica(spark) -> str:
