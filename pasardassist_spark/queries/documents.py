@@ -577,3 +577,125 @@ def doc_feed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(_batches, schema)
+
+
+@query(
+    "pipeline_any_doc_extract",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 6
+               WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'epub'
+               WHEN 3 THEN 'markdown' WHEN 4 THEN 'latex' ELSE 'rtf'
+           END AS fmt,
+           CAST(length(norm) AS BIGINT) AS n_chars,
+           md5(norm) AS text_md5
+    FROM (
+        SELECT doc_id,
+               array_to_string(
+                   list_filter(string_split(text, ' '), w -> w != ''),
+                   ' ') AS norm
+        FROM documents
+    )
+    """,
+)
+def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The document-format family as ONE dispatcher stage — the shape a
+    real crawl pipeline runs (payloads arrive in mixed formats; a single
+    map pass sniffs and routes): each document is written into the
+    format doc_id%6 selects (PDF, DOCX, EPUB, Markdown, LaTeX, RTF),
+    re-extracted by that format's conforming parser, and reduced to the
+    md5 of its whitespace-normalized text — which the oracle computes
+    directly from documents.text, so ALL SIX parsers must reconstruct
+    their input exactly for the single hash column to match on 500
+    mixed-format files. Zero shuffle; the per-format rates are in
+    BASELINE.md's round-11 table."""
+    from pasardassist_spark.operators.docxtext import (
+        encode_docx,
+        extract_docx_paragraphs,
+    )
+    from pasardassist_spark.operators.epubtext import (
+        encode_epub,
+        extract_epub_chapters,
+    )
+    from pasardassist_spark.operators.mdtext import (
+        encode_markdown,
+        extract_markdown_blocks,
+    )
+    from pasardassist_spark.operators.pdftext import encode_pdf, extract_pdf_pages
+    from pasardassist_spark.operators.rtftext import encode_rtf, rtf_to_text
+    from pasardassist_spark.operators.textext import encode_latex, latex_to_text
+
+    def _rtf(parts):
+        return encode_rtf(parts)
+
+    codecs = {
+        "pdf": (encode_pdf, extract_pdf_pages),
+        "docx": (encode_docx, extract_docx_paragraphs),
+        "epub": (encode_epub, extract_epub_chapters),
+        "markdown": (
+            encode_markdown,
+            extract_markdown_blocks,
+        ),
+        "latex": (
+            encode_latex,
+            lambda tex: [
+                s for s in (
+                    " ".join(seg.split())
+                    for seg in latex_to_text(tex).split("\n\n")
+                ) if s
+            ],
+        ),
+        "rtf": (
+            _rtf,
+            lambda rtf: [
+                s for s in (
+                    " ".join(seg.split())
+                    for seg in rtf_to_text(rtf).split("\n")
+                ) if s
+            ],
+        ),
+    }
+    fmts = ["pdf", "docx", "epub", "markdown", "latex", "rtf"]
+
+    schema = "doc_id long, fmt string, n_chars long, text_md5 string"
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "fmt": [], "n_chars": [], "text_md5": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = int(doc_id)
+                fmt = fmts[seed % 6]
+                enc, ext = codecs[fmt]
+                n = seed % 3 + 2
+                words = [w for w in text.split(" ") if w]
+                w_ = len(words)
+                # WORD-boundary splits: rejoining parts must reproduce the
+                # normalized document exactly (character splits would cut
+                # words at part seams)
+                kept = [
+                    " ".join(words[w_ * p // n : w_ * (p + 1) // n])
+                    for p in range(n)
+                ]
+                kept = [p for p in kept if p]
+                got = ext(enc(kept))
+                joined = " ".join(
+                    " ".join(w for w in g.split(" ") if w) for g in got if g
+                )
+                want = " ".join(w for w in text.split(" ") if w)
+                if joined != want:
+                    # raise, not assert (must survive python -O)
+                    raise ValueError(
+                        f"{fmt} dispatcher round-trip mismatch, doc {doc_id}"
+                    )
+                out["doc_id"].append(doc_id)
+                out["fmt"].append(fmt)
+                out["n_chars"].append(len(joined))
+                out["text_md5"].append(
+                    hashlib.md5(joined.encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_batches, schema)
