@@ -279,6 +279,7 @@ def main() -> None:
         "mm_midi_features",
         "doc_rtf_extract",
         "doc_feed_extract",
+        "pipeline_any_doc_extract",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:

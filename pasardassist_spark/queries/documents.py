@@ -1,5 +1,7 @@
-"""Document-format extraction queries: PDF and DOCX text recovery as a
-distributed transcode stage.
+"""Document-format extraction queries — PDF, DOCX, EPUB, Markdown,
+LaTeX, RTF, and RSS/Atom text recovery as a distributed transcode
+stage, plus the mixed-format dispatcher that certifies the whole family
+through one plan.
 
 A real 100 TB training-data crawl is dominated by PDF and Office
 documents; extraction is a pure map pass (no shuffle) that runs at input
