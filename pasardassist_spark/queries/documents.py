@@ -701,3 +701,27 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(_batches, schema)
+
+
+@query("doc_odt_extract", oracle=_oracle(4))
+def doc_odt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ODT extraction end-to-end (operators/odttext.py — the
+    OpenDocument member completing the office trio with DOCX and RTF):
+    each document's text becomes doc_id%4+1 paragraphs of a conforming
+    ODF package (stored mimetype first, manifest, content.xml), written
+    through ODF's OWN whitespace model — multi-space runs as
+    <text:s text:c='N'/>, tabs and newlines as their elements, runs
+    split into spans — which the extractor expands back exactly. Same
+    substring+md5 oracle as doc_docx_extract; encrypted-manifest and
+    flow-order (headings, table cells, lists) contracts pytest-pinned
+    in tests/test_docformats.py."""
+    from pasardassist_spark.operators.odttext import (
+        encode_odt,
+        extract_odt_paragraphs,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        lambda it: _extract_rows(it, 4, encode_odt, extract_odt_paragraphs),
+        _OUT_SCHEMA,
+    )

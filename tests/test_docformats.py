@@ -640,3 +640,85 @@ def test_feed_error_contracts():
             "<rss version='2.0'><channel><title>t</title>"
             "<item><title>x</title></item></channel></rss>"
         )
+
+
+# ------------------------------------------------------------------ ODT --
+
+
+def test_odt_roundtrip_whitespace_model():
+    from pasardassist_spark.operators.odttext import (
+        encode_odt,
+        extract_odt_paragraphs,
+        sniff_odt,
+    )
+
+    paras = ["plain " * 10, "", "tabs\there", "line\nbreak",
+             "multi   spaces    kept", "<&> escapes", "unicodé ✓"]
+    payload = encode_odt(paras)
+    assert sniff_odt(payload)
+    assert extract_odt_paragraphs(payload) == paras
+
+
+def test_odt_flow_order_headings_tables_lists():
+    import io
+    import zipfile as z
+
+    from pasardassist_spark.operators.odttext import extract_odt_paragraphs
+
+    O = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+    T = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    TB = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+    content = (
+        f'<office:document-content xmlns:office="{O}" xmlns:text="{T}"'
+        f' xmlns:table="{TB}"><office:body><office:text>'
+        "<text:h>Head</text:h>"
+        "<table:table><table:table-row>"
+        "<table:table-cell><text:p>c1</text:p></table:table-cell>"
+        "<table:table-cell><text:p>c2</text:p></table:table-cell>"
+        "</table:table-row></table:table>"
+        "<text:list><text:list-item><text:p>item</text:p>"
+        "</text:list-item></text:list>"
+        "<text:p>tail</text:p></office:text></office:body>"
+        "</office:document-content>"
+    )
+    buf = io.BytesIO()
+    with z.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        zf.writestr("content.xml", content)
+    assert extract_odt_paragraphs(buf.getvalue()) == [
+        "Head", "c1", "c2", "item", "tail"
+    ]
+
+
+def test_odt_error_contracts():
+    import io
+    import zipfile as z
+
+    from pasardassist_spark.operators.odttext import extract_odt_paragraphs
+
+    with pytest.raises(ValueError, match="not a ZIP"):
+        extract_odt_paragraphs(b"plain")
+    with pytest.raises(ValueError, match="corrupt"):
+        extract_odt_paragraphs(b"PK\x03\x04junkjunk")
+    # wrong mimetype
+    buf = io.BytesIO()
+    with z.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/zip")
+        zf.writestr("content.xml", "<x/>")
+    with pytest.raises(ValueError, match="mimetype"):
+        extract_odt_paragraphs(buf.getvalue())
+    # encrypted manifest
+    M = "urn:oasis:names:tc:opendocument:xmlns:manifest:1.0"
+    buf = io.BytesIO()
+    with z.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        zf.writestr(
+            "META-INF/manifest.xml",
+            f'<manifest:manifest xmlns:manifest="{M}">'
+            '<manifest:file-entry manifest:full-path="content.xml">'
+            "<manifest:encryption-data/></manifest:file-entry>"
+            "</manifest:manifest>",
+        )
+        zf.writestr("content.xml", "<x/>")
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        extract_odt_paragraphs(buf.getvalue())
