@@ -280,6 +280,7 @@ def main() -> None:
         "doc_rtf_extract",
         "doc_feed_extract",
         "pipeline_any_doc_extract",
+        "doc_odt_extract",
     ]
     for _ in range(2):
         for name in EXTRA_NAMES:
