@@ -63,6 +63,168 @@ HEADLINE = [
 ]
 
 
+# Regression anchors (see the comment above the extras pass in main()):
+# every name here must be a registered query — tests/test_oracle_parity.py
+# guards membership so a typo cannot fail the driver's bench run.
+EXTRA_NAMES = [
+    "dedup_passages",
+    "dedup_clusters",
+    "split_by_cluster",
+    "text_bm25_topk",
+    "pii_redact",
+    "sim_ivfpq_ann",
+    "funnel_conversion",
+    "cohort_retention",
+    "hh_heavy_hitters",
+    "hh_space_saving",
+    "hop_window_rollup",
+    "cdc_snapshot_diff",
+    "gs_customer_rollup",
+    "text_bigram_logprob",
+    "curate_dsir_weights",
+    "hll_user_rollup",
+    "chunk_documents",
+    "samp_reservoir_per_group",
+    "text_tfidf_keywords",
+    "bpe_train_merge_table",
+    "stat_moments",
+    "attr_multi_touch",
+    "run_distinct_users",
+    "hist_equi_depth",
+    # round-6 additions: one regression row per new operator family
+    # (streaming st8 and the file-writing source roundtrips are
+    # pytest-tracked instead — their cost is dominated by sink I/O,
+    # not a query plan).
+    "cube_market_rollup",
+    "w3_pareto_share",
+    "stat_linreg",
+    "mad_outliers",
+    "path_transitions",
+    "path_ngrams",
+    "rfm_segments",
+    "scd2_build",
+    "scd2_pit_lookup",
+    "emb_pca_project",
+    "cm_sketch_freq",
+    "qsketch_percentiles",
+    "ts_cusum",
+    "ts_twap",
+    "ts_interpolate",
+    "o6_skyline_frontier",
+    "mb_pair_lift",
+    "graph_pagerank",
+    "knn_label_classify",
+    "dedup_setjoin_prefix",
+    "stat_entropy",
+    "dq_column_profile",
+    "sess_concurrency",
+    "rj_price_band_pairs",
+    "funnel_latency",
+    "cohort_ltv",
+    "dedup_debounce",
+    "j8_interval_overlap",
+    "dedup_fuzzy_levenshtein",
+    "stat_ks_test",
+    "stat_chi2_independence",
+    "search_hybrid_rrf",
+    # round-8 additions: the promoted library-operator slots and the
+    # real-codec multimodal stages get regression rows of their own.
+    "cep_match_pattern",
+    "cdc_operator_diff",
+    "batch_by_length",
+    "drift_psi_readout",
+    "link_records_clusters",
+    "mm_decode_real",
+    "mm_resize_real",
+    "mm_dhash_dedup",
+    "mm_dhash_near_pairs",
+    "mm_audio_features",
+    "mm_audio_fp_dedup",
+    "mm_video_frames",
+    "mm_video_dedup",
+    "pack_split_segments",
+    # round-9 additions: the new oracle-checked operator slots
+    "text_boilerplate_strip",
+    "dedup_containment",
+    "stat_mannwhitney_u",
+    "aj_nearest_rate",
+    "u5_unpivot_metrics",
+    "mm_gif_decode",
+    "curate_gopher_rules",
+    "stat_spearman_corr",
+    "graph_triangle_count",
+    "text_lang_id_script",
+    "dq_benford_test",
+    "ts_seasonal_decompose",
+    # round-10 additions
+    "dedup_exact_substring",
+    "curate_c4_rules",
+    "src_warc_roundtrip",
+    "graph_triangle_doulion",
+    "curate_url_dedup",
+    "curate_ccnet_buckets",
+    "text_source_overlap",
+    "mix_unimax_weights",
+    "src_tfrecord_roundtrip",
+    "text_zipf_alpha",
+    "pack_bfd_assignments",
+    "curate_fineweb_filters",
+    "dedup_soft_weights",
+    "text_html_extract",
+    "unigram_train_vocab",
+    "unigram_encode_corpus",
+    "mix_temperature_weights",
+    "text_oov_rate",
+    "samp_kcenter_coreset",
+    "sketch_bloom_filter",
+    "pipeline_web_extract_clean",
+    "emb_zca_whiten",
+    "text_novelty_rate",
+    "graph_label_propagation",
+    # round-10 continuation, third batch
+    "stat_welch_ttest",
+    "stat_anova_oneway",
+    "split_stratified_exact",
+    "stat_theilsen_line",
+    "src_avro_roundtrip",
+    "graph_kcore",
+    "wordpiece_train_vocab",
+    "wordpiece_encode_corpus",
+    "text_readability",
+    "stat_bootstrap_ci",
+    # round-11 debuts
+    "mm_jpeg_decode",
+    "mm_jpeg_progressive",
+    "mm_mjpeg_frames",
+    "mm_audio_float",
+    "mm_webp_decode",
+    "mm_png_variants",
+    "drift_history",
+    "cdc_state_travel_diff",
+    "mm_gif_frames",
+    "mm_tiff_decode",
+    "mm_audio_g711",
+    "mm_audio_adpcm",
+    "doc_pdf_extract",
+    "doc_docx_extract",
+    "doc_epub_extract",
+    "doc_markdown_extract",
+    "pipeline_doc_extract_clean",
+    "curate_kneser_ney_ppl",
+    "mm_subtitle_cues",
+    "format_chat_sft",
+    "doc_latex_extract",
+    "text_pmi_collocations",
+    "stat_mutual_information",
+    "src_webdataset_roundtrip",
+    "mm_midi_features",
+    "doc_rtf_extract",
+    "doc_feed_extract",
+    "pipeline_any_doc_extract",
+    "doc_odt_extract",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -125,163 +287,7 @@ def main() -> None:
     # contention ambiguity the regressions field exists to kill (r9
     # flagged stat_entropy +110% with zero code change).
     extras: dict[str, float] = {}
-    EXTRA_NAMES = [
-        "dedup_passages",
-        "dedup_clusters",
-        "split_by_cluster",
-        "text_bm25_topk",
-        "pii_redact",
-        "sim_ivfpq_ann",
-        "funnel_conversion",
-        "cohort_retention",
-        "hh_heavy_hitters",
-        "hh_space_saving",
-        "hop_window_rollup",
-        "cdc_snapshot_diff",
-        "gs_customer_rollup",
-        "text_bigram_logprob",
-        "curate_dsir_weights",
-        "hll_user_rollup",
-        "chunk_documents",
-        "samp_reservoir_per_group",
-        "text_tfidf_keywords",
-        "bpe_train_merge_table",
-        "stat_moments",
-        "attr_multi_touch",
-        "run_distinct_users",
-        "hist_equi_depth",
-        # round-6 additions: one regression row per new operator family
-        # (streaming st8 and the file-writing source roundtrips are
-        # pytest-tracked instead — their cost is dominated by sink I/O,
-        # not a query plan).
-        "cube_market_rollup",
-        "w3_pareto_share",
-        "stat_linreg",
-        "mad_outliers",
-        "path_transitions",
-        "path_ngrams",
-        "rfm_segments",
-        "scd2_build",
-        "scd2_pit_lookup",
-        "emb_pca_project",
-        "cm_sketch_freq",
-        "qsketch_percentiles",
-        "ts_cusum",
-        "ts_twap",
-        "ts_interpolate",
-        "o6_skyline_frontier",
-        "mb_pair_lift",
-        "graph_pagerank",
-        "knn_label_classify",
-        "dedup_setjoin_prefix",
-        "stat_entropy",
-        "dq_column_profile",
-        "sess_concurrency",
-        "rj_price_band_pairs",
-        "funnel_latency",
-        "cohort_ltv",
-        "dedup_debounce",
-        "j8_interval_overlap",
-        "dedup_fuzzy_levenshtein",
-        "stat_ks_test",
-        "stat_chi2_independence",
-        "search_hybrid_rrf",
-        # round-8 additions: the promoted library-operator slots and the
-        # real-codec multimodal stages get regression rows of their own.
-        "cep_match_pattern",
-        "cdc_operator_diff",
-        "batch_by_length",
-        "drift_psi_readout",
-        "link_records_clusters",
-        "mm_decode_real",
-        "mm_resize_real",
-        "mm_dhash_dedup",
-        "mm_dhash_near_pairs",
-        "mm_audio_features",
-        "mm_audio_fp_dedup",
-        "mm_video_frames",
-        "mm_video_dedup",
-        "pack_split_segments",
-        # round-9 additions: the new oracle-checked operator slots
-        "text_boilerplate_strip",
-        "dedup_containment",
-        "stat_mannwhitney_u",
-        "aj_nearest_rate",
-        "u5_unpivot_metrics",
-        "mm_gif_decode",
-        "curate_gopher_rules",
-        "stat_spearman_corr",
-        "graph_triangle_count",
-        "text_lang_id_script",
-        "dq_benford_test",
-        "ts_seasonal_decompose",
-        # round-10 additions
-        "dedup_exact_substring",
-        "curate_c4_rules",
-        "src_warc_roundtrip",
-        "graph_triangle_doulion",
-        "curate_url_dedup",
-        "curate_ccnet_buckets",
-        "text_source_overlap",
-        "mix_unimax_weights",
-        "src_tfrecord_roundtrip",
-        "text_zipf_alpha",
-        "pack_bfd_assignments",
-        "curate_fineweb_filters",
-        "dedup_soft_weights",
-        "text_html_extract",
-        "unigram_train_vocab",
-        "unigram_encode_corpus",
-        "mix_temperature_weights",
-        "text_oov_rate",
-        "samp_kcenter_coreset",
-        "sketch_bloom_filter",
-        "pipeline_web_extract_clean",
-        "emb_zca_whiten",
-        "text_novelty_rate",
-        "graph_label_propagation",
-        # round-10 continuation, third batch
-        "stat_welch_ttest",
-        "stat_anova_oneway",
-        "split_stratified_exact",
-        "stat_theilsen_line",
-        "src_avro_roundtrip",
-        "graph_kcore",
-        "wordpiece_train_vocab",
-        "wordpiece_encode_corpus",
-        "text_readability",
-        "stat_bootstrap_ci",
-        # round-11 debuts
-        "mm_jpeg_decode",
-        "mm_jpeg_progressive",
-        "mm_mjpeg_frames",
-        "mm_audio_float",
-        "mm_webp_decode",
-        "mm_png_variants",
-        "drift_history",
-        "cdc_state_travel_diff",
-        "mm_gif_frames",
-        "mm_tiff_decode",
-        "mm_audio_g711",
-        "mm_audio_adpcm",
-        "doc_pdf_extract",
-        "doc_docx_extract",
-        "doc_epub_extract",
-        "doc_markdown_extract",
-        "pipeline_doc_extract_clean",
-        "curate_kneser_ney_ppl",
-        "mm_subtitle_cues",
-        "format_chat_sft",
-        "doc_latex_extract",
-        "text_pmi_collocations",
-        "stat_mutual_information",
-        "src_webdataset_roundtrip",
-        "mm_midi_features",
-        "doc_rtf_extract",
-        "doc_feed_extract",
-        "pipeline_any_doc_extract",
-        "doc_odt_extract",
-    ]
+
     for _ in range(2):
         for name in EXTRA_NAMES:
             t0 = time.perf_counter()

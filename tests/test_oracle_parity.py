@@ -115,3 +115,20 @@ def test_archive_names_exist():
 
     missing = (_DRIVER_GREEN | _FORCE_RECHECK) - set(REGISTRY)
     assert not missing, f"archived names not in registry: {sorted(missing)}"
+
+
+def test_bench_names_are_registered_queries():
+    """Every name bench.py times must be a registered query — a typo here
+    would fail the driver's end-of-round bench run, which records the
+    round's performance artifact."""
+    import bench
+
+    missing = [
+        n for n in bench.HEADLINE + bench.EXTRA_NAMES if n not in REGISTRY
+    ]
+    assert not missing, f"bench names not in registry: {missing}"
+    dupes = [
+        n for n in set(bench.EXTRA_NAMES)
+        if bench.EXTRA_NAMES.count(n) > 1
+    ]
+    assert not dupes, f"duplicate bench extras: {dupes}"
