@@ -651,3 +651,66 @@ def test_readability_single_doc_shuffle_no_udf(spark, sf_dir):
     assert hp == {"doc_id"}, hp
     assert "Join" not in p
     assert "mapInPandas" not in p.lower() and "BatchEvalPython" not in p
+
+
+# ------------------------- round-11 document-format + analytics batch
+
+
+@pytest.mark.parametrize("name", [
+    "doc_pdf_extract", "doc_docx_extract", "doc_epub_extract",
+    "doc_markdown_extract", "doc_latex_extract", "doc_rtf_extract",
+    "doc_odt_extract", "doc_feed_extract", "pipeline_any_doc_extract",
+    "mm_subtitle_cues", "mm_midi_features", "mm_tiff_decode",
+    "mm_audio_g711", "mm_audio_adpcm", "mm_gif_frames",
+])
+def test_doc_and_codec_queries_are_pure_map_passes(spark, sf_dir, name):
+    """The entire document/codec family is scan -> (loader fan-out) ->
+    one Arrow stage: no hash/range exchange, no join — at 100 TB each
+    runs at input bandwidth."""
+    p = plan(REGISTRY[name].fn(spark, sf_dir))
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
+    assert "Join" not in p
+    # exactly one Python stage NODE (formatted plans mention each node in
+    # the tree summary AND the detail section)
+    n_py = len(re.findall(r"\(\d+\) (?:MapInPandas|ArrowEvalPython)", p))
+    assert n_py <= 1, p
+
+
+def test_pipeline_doc_gates_fuse_onto_extraction(spark, sf_dir):
+    """Extraction and the Gopher gates compose without an exchange."""
+    p = plan(REGISTRY["pipeline_doc_extract_clean"].fn(spark, sf_dir))
+    assert "hashpartitioning" not in p and "Join" not in p
+
+
+def test_format_chat_sft_is_jvm_only(spark, sf_dir):
+    """The ChatML render never leaves the JVM: no Python evaluator in
+    the plan, no exchange beyond the loader fan-out."""
+    p = plan(REGISTRY["format_chat_sft"].fn(spark, sf_dir))
+    assert "Python" not in p and "MapInPandas" not in p
+    assert "hashpartitioning" not in p and "Join" not in p
+
+
+def test_kneser_ney_scoring_joins_broadcast(spark, sf_dir):
+    """The KN model tables join back as broadcasts; the corpus-scale
+    trigram stream shuffles only for its own count aggregations."""
+    p = plan(REGISTRY["curate_kneser_ney_ppl"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pmi_scoring_joins_broadcast(spark, sf_dir):
+    p = plan(REGISTRY["text_pmi_collocations"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_mutual_information_rank_is_distributed(spark, sf_dir):
+    """The NTILE emulation must ride the two-phase prefix count — the
+    only single-partition window allowed is the n_buckets-row offsets
+    frame, never a corpus-scale sort."""
+    df = REGISTRY["stat_mutual_information"].fn(spark, sf_dir)
+    p = plan(df)
+    # the corpus-scale window partitions by bucket; a global corpus sort
+    # would appear as a Window with an empty partition spec directly over
+    # the scan-sized exchange (rangepartitioning)
+    assert "rangepartitioning" not in p
