@@ -222,6 +222,7 @@ EXTRA_NAMES = [
     "doc_feed_extract",
     "pipeline_any_doc_extract",
     "doc_odt_extract",
+    "text_keyphrase_rake",
 ]
 
 

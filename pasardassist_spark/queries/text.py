@@ -1573,3 +1573,126 @@ def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mi_bits",
         )
     )
+
+
+# ----------------------------------------------------- RAKE keyphrases --
+
+RAKE_MIN_PHRASE_COUNT = 3
+RAKE_TOP_K = 30
+
+
+def _rake_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in X.STOPWORDS)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, t.tok, t.pos,
+               t.tok IN ({stops}) AS is_stop
+        FROM (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS tok,
+                   generate_subscripts({_TOKS_SQL}, 1) AS pos
+            FROM documents
+        ) t
+    ),
+    runs AS (
+        SELECT doc_id, tok, is_stop,
+               SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS grp,
+               pos
+        FROM tok
+    ),
+    phrases AS (
+        SELECT doc_id, grp,
+               string_agg(tok, ' ' ORDER BY pos) AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS plen
+        FROM runs WHERE NOT is_stop
+        GROUP BY doc_id, grp
+    ),
+    member AS (
+        SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS w
+        FROM phrases
+    ),
+    wscore AS (
+        SELECT w,
+               CAST(SUM(plen) AS DOUBLE) / COUNT(*) AS score
+        FROM member GROUP BY w
+    ),
+    pscore AS (
+        SELECT m.phrase,
+               ROUND(SUM(ws.score), 6) AS score
+        FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+              FROM (SELECT DISTINCT phrase FROM phrases)) m
+        JOIN wscore ws ON m.w = ws.w
+        GROUP BY m.phrase
+    ),
+    freq AS (
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM phrases GROUP BY phrase
+    )
+    SELECT p.phrase, f.n_occ, p.score
+    FROM pscore p JOIN freq f USING (phrase)
+    WHERE f.n_occ >= {RAKE_MIN_PHRASE_COUNT}
+    ORDER BY p.score DESC, p.phrase ASC LIMIT {RAKE_TOP_K}
+    """
+
+
+@query("text_keyphrase_rake", oracle=_rake_oracle())
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    degree/frequency (degree = total length of candidates containing
+    it — RAKE's degree counts co-occurrences INCLUDING self, i.e. the
+    phrase-length sum); a phrase scores the sum of its member words;
+    corpus-level top-{RAKE_TOP_K} with an occurrence floor and a total
+    order. The run segmentation is a prefix count of stopwords over
+    each document's token stream — a window PARTITIONED BY doc_id
+    (thousands of rows per partition, never global), then everything
+    downstream operates on the Zipf-bounded phrase/word type tables
+    with broadcast scoring joins."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(X.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    d = d.withColumn("is_stop", F.col("tok").isin(*X.STOPWORDS))
+    grp = F.sum(F.col("is_stop").cast("int")).over(
+        W.partitionBy("doc_id").orderBy("pos")
+    )
+    runs = d.withColumn("grp", grp).filter(~F.col("is_stop"))
+    phrases = (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+    )
+    member = phrases.select(
+        "plen", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    wscore = member.groupBy("w").agg(
+        (F.sum("plen").cast("double") / F.count(F.lit(1))).alias("score")
+    )
+    distinct_p = phrases.select("phrase").distinct()
+    pscore = (
+        distinct_p.select(
+            "phrase", F.explode(F.split("phrase", " ")).alias("w")
+        )
+        .join(F.broadcast(wscore), "w")
+        .groupBy("phrase")
+        .agg(F.round(F.sum("score"), 6).alias("score"))
+    )
+    freq = phrases.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        pscore.join(freq, "phrase")
+        .filter(F.col("n_occ") >= RAKE_MIN_PHRASE_COUNT)
+        .orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(RAKE_TOP_K)
+        .select("phrase", "n_occ", "score")
+    )
