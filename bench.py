@@ -223,6 +223,7 @@ EXTRA_NAMES = [
     "pipeline_any_doc_extract",
     "doc_odt_extract",
     "text_keyphrase_rake",
+    "doc_ics_extract",
 ]
 
 

@@ -725,3 +725,96 @@ def doc_odt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda it: _extract_rows(it, 4, encode_odt, extract_odt_paragraphs),
         _OUT_SCHEMA,
     )
+
+
+@query(
+    "doc_ics_extract",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               doc_id % 4 + 1 AS n,
+               array_to_string(
+                   list_filter(string_split(text, ' '), w -> w != ''),
+                   ' ') AS norm,
+               list_filter(string_split(text, ' '), w -> w != '') AS words
+        FROM documents
+    ),
+    ev AS (
+        SELECT doc_id,
+               CAST(i.i AS INTEGER) AS event_no,
+               'ev-' || doc_id || '-' || i.i || '@corpus' AS uid,
+               CAST(1700000000 + doc_id * 53 + i.i * 3600 AS BIGINT)
+                   AS dtstart_epoch,
+               array_to_string(
+                   words[(len(words) * i.i) // n + 1
+                         : (len(words) * (i.i + 1)) // n],
+                   ' ') AS summary,
+               norm
+        FROM base JOIN (SELECT unnest(range(0, 4)) AS i) i ON i.i < n
+    )
+    SELECT doc_id, event_no, uid, dtstart_epoch,
+           md5(summary) AS summary_md5,
+           CAST(length(norm) AS BIGINT) AS desc_n_chars
+    FROM ev
+    """,
+)
+def doc_ics_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL iCalendar parsing end-to-end (operators/icstext.py — RFC
+    5545, the calendar-export format): each document becomes a genuine
+    VCALENDAR of doc_id%4+1 VEVENTs — word-slice summaries with
+    escaped , ; \\ characters, the FULL document text as a description
+    long enough to FOLD at 75 octets (mid-word, so unfolding must
+    precede all parsing), closed-form UTC DTSTARTs, and a quoted
+    parameter carrying ':' and ';' to exercise the quote-aware content-
+    line splitter. The oracle re-derives UIDs, epochs, summary md5s,
+    and description lengths from pure arithmetic; non-UTC date forms
+    raise by name and the fold/nesting error contracts are pytest-
+    pinned in tests/test_docformats.py."""
+    from pasardassist_spark.operators.icstext import encode_ics, parse_ics
+
+    schema = (
+        "doc_id long, event_no int, uid string, dtstart_epoch long, "
+        "summary_md5 string, desc_n_chars long"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "event_no": [], "uid": [],
+                "dtstart_epoch": [], "summary_md5": [], "desc_n_chars": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = int(doc_id)
+                n = seed % 4 + 1
+                words = [w for w in text.split(" ") if w]
+                norm = " ".join(words)
+                w_ = len(words)
+                evs = []
+                for i in range(n):
+                    a, b = (w_ * i) // n, (w_ * (i + 1)) // n
+                    evs.append((
+                        f"ev-{seed}-{i}@corpus",
+                        1700000000 + seed * 53 + i * 3600,
+                        " ".join(words[a:b]),
+                        norm,
+                    ))
+                got = parse_ics(encode_ics(evs))
+                if [(e.uid, e.dtstart_epoch, e.summary, e.description)
+                        for e in got] != evs:
+                    # raise, not assert (must survive python -O)
+                    raise ValueError(
+                        f"iCalendar round-trip mismatch for doc {doc_id}"
+                    )
+                for e in got:
+                    out["doc_id"].append(doc_id)
+                    out["event_no"].append(e.event_no)
+                    out["uid"].append(e.uid)
+                    out["dtstart_epoch"].append(e.dtstart_epoch)
+                    out["summary_md5"].append(
+                        hashlib.md5(e.summary.encode("utf-8")).hexdigest()
+                    )
+                    out["desc_n_chars"].append(len(e.description))
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_batches, schema)

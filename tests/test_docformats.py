@@ -722,3 +722,57 @@ def test_odt_error_contracts():
         zf.writestr("content.xml", "<x/>")
     with pytest.raises(NotImplementedError, match="encrypted"):
         extract_odt_paragraphs(buf.getvalue())
+
+
+# ------------------------------------------------------------------ ICS --
+
+
+def test_ics_roundtrip_folding_and_escapes():
+    import datetime
+
+    from pasardassist_spark.operators.icstext import encode_ics, parse_ics
+
+    evs = [("uid-1@x", 1700000000, "short summary",
+            "a long description " * 10),
+           ("uid-2@x", 1700086400, "with, commas; and\nnewline", "plain")]
+    ics = encode_ics(evs)
+    # folding actually happened and is mid-content
+    assert any(ln.startswith(" ") for ln in ics.split("\r\n"))
+    got = parse_ics(ics)
+    assert [(e.uid, e.dtstart_epoch, e.summary, e.description)
+            for e in got] == evs
+    # epoch arithmetic agrees with datetime
+    dt = datetime.datetime(2023, 11, 14, 22, 13, 20,
+                           tzinfo=datetime.timezone.utc)
+    assert int(dt.timestamp()) == 1700000000
+
+
+def test_ics_quoted_parameter_values_shield_delimiters():
+    from pasardassist_spark.operators.icstext import parse_ics
+
+    ics = ("BEGIN:VCALENDAR\r\n"
+           'X-P;NOTE="a:b;c":ignored\r\n'
+           "BEGIN:VEVENT\r\nUID:u1\r\nDTSTART:20240101T120000Z\r\n"
+           "SUMMARY:s\r\nEND:VEVENT\r\nEND:VCALENDAR\r\n")
+    got = parse_ics(ics)
+    assert got[0].uid == "u1" and got[0].dtstart_epoch == 1704110400
+
+
+def test_ics_error_contracts():
+    from pasardassist_spark.operators.icstext import parse_ics
+
+    with pytest.raises(ValueError, match="continuation"):
+        parse_ics(" folded first line\r\n")
+    with pytest.raises(ValueError, match="without matching BEGIN"):
+        parse_ics("END:VEVENT\r\n")
+    with pytest.raises(ValueError, match="closes BEGIN"):
+        parse_ics("BEGIN:VCALENDAR\r\nEND:VEVENT\r\n")
+    with pytest.raises(ValueError, match="unterminated"):
+        parse_ics("BEGIN:VCALENDAR\r\nX:1\r\n")
+    with pytest.raises(ValueError, match="missing UID"):
+        parse_ics("BEGIN:VCALENDAR\r\nBEGIN:VEVENT\r\nSUMMARY:s\r\n"
+                  "END:VEVENT\r\nEND:VCALENDAR\r\n")
+    with pytest.raises(NotImplementedError, match="non-UTC"):
+        parse_ics("BEGIN:VCALENDAR\r\nBEGIN:VEVENT\r\nUID:u\r\n"
+                  "DTSTART:20230101T000000\r\nEND:VEVENT\r\n"
+                  "END:VCALENDAR\r\n")
