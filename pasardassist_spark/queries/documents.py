@@ -625,6 +625,9 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pasardassist_spark.operators.pdftext import encode_pdf, extract_pdf_pages
     from pasardassist_spark.operators.rtftext import encode_rtf, rtf_to_text
+    from pasardassist_spark.operators.docsniff import (
+        sniff_document as _sniff_document,
+    )
     from pasardassist_spark.operators.textext import encode_latex, latex_to_text
 
     def _rtf(parts):
@@ -681,7 +684,21 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for p in range(n)
                 ]
                 kept = [p for p in kept if p]
-                got = ext(enc(kept))
+                payload = enc(kept)
+                # route the EXTRACTION by sniffing the payload, the way a
+                # crawl pipeline routes an unlabeled blob — the known fmt
+                # only checks the sniffer; binary formats sniff on magic
+                # bytes (epub before docx: both are zips, epub is
+                # distinguished by its stored mimetype), text formats on
+                # the RTF magic with markdown/latex left to the router's
+                # declared default ordering
+                sniffed = _sniff_document(payload)
+                if sniffed != fmt:
+                    raise ValueError(
+                        f"sniffer said {sniffed!r}, expected {fmt!r} "
+                        f"(doc {doc_id})"
+                    )
+                got = ext(payload)
                 joined = " ".join(
                     " ".join(w for w in g.split(" ") if w) for g in got if g
                 )

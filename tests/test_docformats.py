@@ -776,3 +776,31 @@ def test_ics_error_contracts():
         parse_ics("BEGIN:VCALENDAR\r\nBEGIN:VEVENT\r\nUID:u\r\n"
                   "DTSTART:20230101T000000\r\nEND:VEVENT\r\n"
                   "END:VCALENDAR\r\n")
+
+
+# -------------------------------------------------------------- sniffer --
+
+
+def test_document_sniffer_routes_all_formats():
+    from pasardassist_spark.operators.docsniff import sniff_document
+    from pasardassist_spark.operators.docxtext import encode_docx
+    from pasardassist_spark.operators.epubtext import encode_epub
+    from pasardassist_spark.operators.icstext import encode_ics
+    from pasardassist_spark.operators.mdtext import encode_markdown
+    from pasardassist_spark.operators.odttext import encode_odt
+    from pasardassist_spark.operators.pdftext import encode_pdf
+    from pasardassist_spark.operators.rtftext import encode_rtf
+    from pasardassist_spark.operators.textext import encode_latex
+
+    assert sniff_document(encode_pdf(["x"])) == "pdf"
+    assert sniff_document(encode_docx(["x"])) == "docx"
+    assert sniff_document(encode_epub(["x"])) == "epub"
+    assert sniff_document(encode_odt(["x"])) == "odt"
+    assert sniff_document(encode_rtf(["x"])) == "rtf"
+    assert sniff_document(encode_latex(["plain words"])) == "latex"
+    assert sniff_document(encode_markdown(["plain words"])) == "markdown"
+    assert sniff_document(encode_ics([("u", 0, "s", "d")])) == "ics"
+    # utf-8 text payloads arriving as bytes route through decode
+    assert sniff_document(encode_rtf(["x"]).encode()) == "rtf"
+    with pytest.raises(ValueError, match="unrecognized"):
+        sniff_document(b"\x00\xff\xfe binary junk \x80")
