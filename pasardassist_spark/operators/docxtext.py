@@ -113,8 +113,12 @@ def _walk_block(node: ET.Element, out: list[str]) -> None:
         if tag == f"{{{_W}}}p":
             out.append(_para_text(child))
         elif tag == f"{{{_W}}}tbl":
-            for tc in child.iter(f"{{{_W}}}tc"):
-                _walk_block(tc, out)
+            # Direct rows/cells only: iter('w:tc') would also yield cells of
+            # tables nested inside a cell, which _walk_block then recurses
+            # into again — duplicating every nested-table paragraph.
+            for tr in child.findall(f"{{{_W}}}tr"):
+                for tc in tr.findall(f"{{{_W}}}tc"):
+                    _walk_block(tc, out)
 
 
 def _para_text(p: ET.Element) -> str:

@@ -40,8 +40,8 @@ _NAMED_ZONES = {"GMT": 0, "UT": 0, "UTC": 0, "Z": 0,
                 "MST": -700, "MDT": -600, "PST": -800, "PDT": -700}
 
 _RFC822 = re.compile(
-    r"^(?:[A-Za-z]{3},\s+)?(\d{1,2})\s+([A-Za-z]{3})\s+(\d{4})\s+"
-    r"(\d{2}):(\d{2}):(\d{2})\s+([+-]\d{4}|[A-Za-z]{1,3})$"
+    r"^(?:[A-Za-z]{3},\s+)?(\d{1,2})\s+([A-Za-z]{3})\s+(\d{2,4})\s+"
+    r"(\d{2}):(\d{2})(?::(\d{2}))?\s+([+-]\d{4}|[A-Za-z]{1,3})$"
 )
 _RFC3339 = re.compile(
     r"^(\d{4})-(\d{2})-(\d{2})[Tt ](\d{2}):(\d{2}):(\d{2})(?:\.\d+)?"
@@ -79,6 +79,13 @@ def parse_rfc822_date(s: str) -> int:
     d, mon, y, h, mi, sec, zone = m.groups()
     if mon not in _MONTHS:
         raise ValueError(f"bad RFC-822 month {mon!r}")
+    # RFC 822 allowed 2-digit years; RFC 2822 §4.3 windows them:
+    # 00-49 → 2000s, 50-99 → 1900s, and 3-digit years add 1900.
+    if len(y) == 2:
+        y = str((2000 if int(y) < 50 else 1900) + int(y))
+    elif len(y) == 3:
+        y = str(1900 + int(y))
+    sec = sec or "0"  # RSS in the wild commonly omits :ss
     if zone[0] in "+-":
         off = int(zone[1:3]) * 60 + int(zone[3:5])
         off = -off if zone[0] == "-" else off

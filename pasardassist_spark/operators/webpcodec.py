@@ -553,6 +553,16 @@ def _ct_delta_vec(t: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def _apply_inverse_transforms(px: np.ndarray, transforms, w: int, h: int) -> np.ndarray:
+    # Pixel bundling (color indexing with wbits > 0) narrows the coded plane;
+    # transforms read AFTER it in the bitstream were applied to that narrowed
+    # plane, so their inverses (which run FIRST here) must use the coded
+    # width.  Inverting the color-indexing transform unbundles back to w.
+    cur_w = w
+    for ttype, data, _sb in transforms:
+        if ttype == 3:
+            wbits = _index_width_bits(data.shape[0])
+            if wbits:
+                cur_w = (w + (1 << wbits) - 1) >> wbits
     for ttype, data, size_bits in reversed(transforms):
         if ttype == 2:  # add green back
             g = (px >> 8) & 0xFF
@@ -560,10 +570,15 @@ def _apply_inverse_transforms(px: np.ndarray, transforms, w: int, h: int) -> np.
             b = ((px & 0xFF) + g) & 0xFF
             px = (px & np.uint32(0xFF00FF00)) | (r.astype(np.uint32) << 16) | b.astype(np.uint32)
         elif ttype == 0:  # predictor
+            if px.shape[1] != cur_w:
+                raise ValueError(
+                    f"vp8l: predictor plane width {px.shape[1]} != coded "
+                    f"width {cur_w}"
+                )
             out = px.copy()
             bs = 1 << size_bits
             for y in range(h):
-                for x in range(w):
+                for x in range(cur_w):
                     if x == 0 and y == 0:
                         pred = 0xFF000000
                     elif y == 0:
@@ -578,13 +593,13 @@ def _apply_inverse_transforms(px: np.ndarray, transforms, w: int, h: int) -> np.
                         # TR off the right edge: pixels live in one linear
                         # buffer, so index (y-1)*w + x+1 wraps to (y, 0) —
                         # the CURRENT row's first pixel (already decoded)
-                        TR = int(out[y - 1, x + 1]) if x + 1 < w else int(out[y, 0])
+                        TR = int(out[y - 1, x + 1]) if x + 1 < cur_w else int(out[y, 0])
                         pred = _predict(mode, L, T, TL, TR)
                     out[y, x] = _add_pixels(int(px[y, x]), pred)
             px = out
         elif ttype == 1:  # color transform — element-wise, so vectorized
             bs = 1 << size_bits
-            cte = data[np.arange(h) // bs][:, np.arange(w) // bs]
+            cte = data[np.arange(h) // bs][:, np.arange(cur_w) // bs]
             g2r = (cte & 0xFF).astype(np.int32)
             g2b = ((cte >> 8) & 0xFF).astype(np.int32)
             r2b = ((cte >> 16) & 0xFF).astype(np.int32)
@@ -615,6 +630,7 @@ def _apply_inverse_transforms(px: np.ndarray, transforms, w: int, h: int) -> np.
             if int(idx.max(initial=0)) >= pal.shape[0]:
                 raise ValueError("vp8l: palette index out of range")
             px = pal[idx]
+            cur_w = w  # unbundled: later (earlier-read) inverses see full width
     return px
 
 

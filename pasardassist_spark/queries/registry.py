@@ -139,6 +139,26 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "unigram_train_vocab", "unigram_encode_corpus",
     "wordpiece_train_vocab", "graph_label_propagation",
     "pack_bfd_assignments", "samp_kcenter_coreset", "emb_zca_whiten",
+    # r11 greens (CORRECTNESS_r11: 44 hash-green + 6 rows-only clean,
+    # 0 red at HEAD 6ffd997 — the full document shelf, the codec wave,
+    # the two library promotions, and the r10 _FORCE_RECHECK set all
+    # recorded clean; pipeline_any_doc_extract's row was taken against
+    # the sniff-routed dispatcher at that HEAD)
+    "curate_kneser_ney_ppl", "text_pmi_collocations",
+    "stat_mutual_information", "text_keyphrase_rake", "format_chat_sft",
+    "src_webdataset_roundtrip", "doc_pdf_extract", "doc_docx_extract",
+    "pipeline_doc_extract_clean", "doc_epub_extract",
+    "doc_markdown_extract", "doc_latex_extract", "doc_rtf_extract",
+    "doc_feed_extract", "pipeline_any_doc_extract", "doc_odt_extract",
+    "doc_ics_extract", "cdc_state_travel_diff", "drift_history",
+    "mm_jpeg_decode", "mm_mjpeg_frames", "mm_jpeg_progressive",
+    "mm_audio_float", "mm_webp_decode", "mm_png_variants",
+    "mm_gif_frames", "mm_audio_g711", "mm_audio_adpcm", "mm_tiff_decode",
+    "mm_subtitle_cues", "mm_midi_features",
+    # r11 rows-only-by-design re-checks, clean (wordpiece_encode_corpus's
+    # r10 red fixed at the root — scalar projection + the Array/Map
+    # output-column registry guard in tests/test_oracle_parity.py)
+    "wordpiece_encode_corpus",
 })
 
 # Entries whose implementation or oracle changed since their last green
@@ -149,18 +169,16 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # so the set starts empty.  Add a name here ONLY when its query fn or
 # oracle actually changed this round.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    # round 11: the WordPiece training loop now derives symbol counts
-    # from the pair frame (one aggregation per round, not two) — merge
-    # sequence pytest-pinned identical, but the trainer code changed.
-    "wordpiece_train_vocab",
-    # round 11: ADVICE fixes touching operator internals — unigram
-    # trainer gained termination guards (operators/unigram.py), the
-    # k-center coreset an unpersist discipline (operators/coreset.py),
-    # the DOULION gate exact-rounded thresholds (components.py; oracle
-    # mirrors), tfrecord reads integral widths symmetric to writes.
-    "unigram_train_vocab", "unigram_encode_corpus",
-    "samp_kcenter_coreset", "graph_triangle_doulion",
-    "src_tfrecord_roundtrip", "sketch_bloom_filter",
+    # round 12: ADVICE fixes touching operator internals — DOCX nested
+    # tables walked once (operators/docxtext.py), WebDataset samples
+    # keyed at the FIRST dot (sources/webdataset.py), feed pubDate
+    # grammar accepts 2-digit years / missing seconds
+    # (operators/feedtext.py), WebP palette+predictor width tracking
+    # (operators/webpcodec.py).  Oracles re-derive from the same code
+    # paths, so each needs one fresh driver row.
+    "doc_docx_extract", "src_webdataset_roundtrip", "doc_feed_extract",
+    "mm_webp_decode", "pipeline_any_doc_extract",
+    "pipeline_doc_extract_clean",
 })
 
 

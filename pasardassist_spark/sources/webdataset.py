@@ -75,6 +75,13 @@ def write_webdataset(
                 for row in pdf.itertuples(index=False):
                     d = row._asdict()
                     key = str(d[key_col])
+                    if "." in key:
+                        # The reader keys samples at the FIRST dot (dotted
+                        # extensions like '.seg.json'), so a dotted key
+                        # cannot round-trip — WebDataset forbids them.
+                        raise ValueError(
+                            f"WebDataset sample key may not contain '.': {key!r}"
+                        )
                     if txt_col and d.get(txt_col) is not None:
                         add(f"{key}.txt", str(d[txt_col]).encode("utf-8"))
                     if json_col and d.get(json_col) is not None:
@@ -138,7 +145,11 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                         if not member.isfile():
                             continue
                         base = posixpath.basename(member.name)
-                        key, dot, ext = base.rpartition(".")
+                        # WebDataset keys a sample by everything before the
+                        # FIRST dot — dotted extensions like '.seg.json' must
+                        # stay within one sample, so split('.', 1), not
+                        # rpartition.
+                        key, dot, ext = base.partition(".")
                         if not dot:
                             raise ValueError(
                                 f"WebDataset member without extension: {base}"

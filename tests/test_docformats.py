@@ -157,6 +157,29 @@ def test_docx_table_cells_in_flow_order():
     ]
 
 
+def test_docx_nested_table_text_emitted_once():
+    """A table nested inside a cell must not duplicate its paragraphs
+    (iter('w:tc') used to yield the inner cells once via the outer table
+    and again via the recursion into the inner w:tbl)."""
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    doc = (
+        f'<w:document xmlns:w="{w}"><w:body>'
+        "<w:tbl><w:tr><w:tc>"
+        "<w:p><w:r><w:t>outer-cell</w:t></w:r></w:p>"
+        "<w:tbl><w:tr><w:tc>"
+        "<w:p><w:r><w:t>inner-cell</w:t></w:r></w:p>"
+        "</w:tc></w:tr></w:tbl>"
+        "</w:tc></w:tr></w:tbl>"
+        "</w:body></w:document>"
+    )
+    base = encode_docx(["x"])
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(base)) as src, zipfile.ZipFile(buf, "w") as dst:
+        for name in src.namelist():
+            dst.writestr(name, doc if name == "word/document.xml" else src.read(name))
+    assert extract_docx_paragraphs(buf.getvalue()) == ["outer-cell", "inner-cell"]
+
+
 def test_docx_main_part_found_via_rels_at_nonstandard_path():
     """The rels walk, not the hard-coded path, locates the main part."""
     base = encode_docx(["via rels"])
@@ -587,6 +610,31 @@ def test_feed_rfc822_dates_match_email_utils():
         parse_rfc822_date("01 Foo 2024 12:00:00 +0000")
     with pytest.raises(ValueError, match="zone"):
         parse_rfc822_date("01 Jan 2024 12:00:00 XYZ")
+
+
+def test_feed_rfc822_two_digit_years_and_missing_seconds():
+    """Real RSS feeds still emit RFC-822 2-digit years and 'HH:MM' times;
+    RFC 2822 §4.3 windows 00-49 → 2000s, 50-99 → 1900s, 3-digit += 1900."""
+    import email.utils
+
+    from pasardassist_spark.operators.feedtext import parse_rfc822_date
+
+    for short, full in [
+        ("Mon, 07 Aug 23 14:30:05 +0000", "Mon, 07 Aug 2023 14:30:05 +0000"),
+        ("07 Aug 99 14:30:05 GMT", "07 Aug 1999 14:30:05 GMT"),
+        ("07 Aug 49 00:00:00 +0000", "07 Aug 2049 00:00:00 +0000"),
+        ("07 Aug 50 00:00:00 +0000", "07 Aug 1950 00:00:00 +0000"),
+        ("07 Aug 123 00:00:00 +0000", "07 Aug 2023 00:00:00 +0000"),
+    ]:
+        assert parse_rfc822_date(short) == parse_rfc822_date(full)
+    # missing :ss defaults to 0 and agrees with the stdlib parser
+    s = "Tue, 15 Feb 2022 23:59 -0800"
+    assert parse_rfc822_date(s) == int(
+        email.utils.parsedate_to_datetime(s).timestamp()
+    )
+    assert parse_rfc822_date("07 Aug 23 14:30 UT") == parse_rfc822_date(
+        "07 Aug 2023 14:30:00 +0000"
+    )
 
 
 def test_feed_rfc3339_dates_match_fromisoformat():

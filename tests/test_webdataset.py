@@ -63,6 +63,38 @@ def test_webdataset_missing_members_are_null(spark, tmp_path):
     assert rows["b"].txt is None and bytes(rows["b"].bin) == b"\x01\x02"
 
 
+def test_webdataset_dotted_extensions_stay_in_one_sample(spark, tmp_path):
+    """WebDataset keys a sample at the FIRST dot — '.seg.json' style
+    extensions must not fragment a sample (or trip the adjacency check)."""
+    from pasardassist_spark.sources.webdataset import read_webdataset
+
+    shard = _tar([
+        ("a.txt", b"text a"), ("a.seg.json", b'{"seg": 1}'), ("a.bin", b"\x01"),
+        ("b.txt", b"text b"), ("b.seg.json", b'{"seg": 2}'),
+    ])
+    (tmp_path / "shard-00000.tar").write_bytes(shard)
+    rows = {r.key: r for r in read_webdataset(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"].txt == "text a" and bytes(rows["a"].bin) == b"\x01"
+    # '.seg.json' is a distinct member kind, not the '.json' slot
+    assert rows["a"].json is None and rows["b"].json is None
+
+
+def test_webdataset_writer_rejects_dotted_keys(spark, tmp_path):
+    """Dotted keys cannot round-trip under first-dot keying; the sink
+    refuses them up front."""
+    import pandas as pd
+
+    from pasardassist_spark.sources.webdataset import write_webdataset
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"key": ["bad.key"], "txt": ["x"],
+                      "json": ["{}"], "bin": [b"\x00"]})
+    )
+    with pytest.raises(Exception, match="may not contain"):
+        write_webdataset(df, str(tmp_path)).collect()
+
+
 def test_webdataset_adjacency_violation_raises(spark, tmp_path):
     from pasardassist_spark.sources.webdataset import read_webdataset
 

@@ -66,6 +66,49 @@ def test_palette_roundtrip_including_bundling(ncol, w, h):
     assert W.decode_webp(p).pixels == rast.pixels
 
 
+def test_palette_plus_predictor_inverse_uses_coded_width():
+    """Spec-legal ordering: a predictor transform applied AFTER color
+    indexing (encode side) operates on the palette-narrowed coded plane,
+    so its inverse must run at the coded width — this used to IndexError.
+
+    Builds the coded plane by hand: target bundled indices → predictor
+    residuals via the forward relation, then asserts the full inverse
+    chain reproduces the palette expansion."""
+    w, h = 8, 2
+    pal = np.array(
+        [0xFF000000 | (c << 16) | ((c * 7) << 8) | (c * 31) for c in (1, 2, 3)],
+        dtype=np.uint32,
+    )
+    # 3 colors → wbits=2, 4 indices per green byte, coded width = 2
+    idx = np.array([[0, 1, 2, 0, 1, 2, 0, 1], [2, 1, 0, 2, 1, 0, 2, 1]])
+    packed = np.zeros((h, 2), dtype=np.uint32)
+    for k in range(4):
+        packed |= (idx[:, k::4].astype(np.uint32) & 0x3) << np.uint32(8 + k * 2)
+    # predictor tile grid (1,1), mode 2 = T, stored in the green byte
+    mode_data = np.array([[2 << 8]], dtype=np.uint32)
+    resid = np.zeros_like(packed)
+    for y in range(h):
+        for x in range(2):
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(packed[y, x - 1])
+            elif x == 0:
+                pred = int(packed[y - 1, x])
+            else:
+                L, T, TL = (int(packed[y, x - 1]), int(packed[y - 1, x]),
+                            int(packed[y - 1, x - 1]))
+                TR = int(packed[y - 1, x + 1]) if x + 1 < 2 else int(packed[y, 0])
+                pred = W._predict(2, L, T, TL, TR)
+            resid[y, x] = W._sub_pixels(int(packed[y, x]), pred)
+    # read order [color-indexing, predictor] → inverse runs predictor first
+    out = W._apply_inverse_transforms(
+        resid, [(3, pal, 0), (0, mode_data, 2)], w, h
+    )
+    assert out.shape == (h, w)
+    assert (out == pal[idx]).all()
+
+
 def test_lz77_runs_and_cache_compress_flat_color():
     flat = Raster(50, 20, 3, bytes([9, 200, 77]) * 1000)
     p = W.encode_webp_lossless(flat, use_runs=True, cache_bits=3)
