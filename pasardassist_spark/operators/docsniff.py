@@ -2,9 +2,10 @@
 format family (the dispatch a real crawl pipeline performs before
 extraction; image counterpart: operators/imagecodec.py:sniff_format).
 
-Binary formats sniff on magic bytes, with the zip-based pair
-disambiguated by container content (EPUB's spec-mandated stored
-``mimetype`` entry distinguishes it from OOXML/ODF packages); text
+Binary formats sniff on magic bytes, with the zip-based family
+disambiguated by container content (EPUB/ODT via the spec-mandated
+``mimetype`` entry; the OOXML triplet docx/xlsx/pptx via their part
+roots ``word/``/``xl/``/``ppt/`` in the central directory); text
 payloads sniff on the RTF magic, then a LaTeX/Markdown heuristic
 (LaTeX documents carry backslash control words; Markdown is the
 default for plain marked-up text — the same fallback ordering
@@ -12,7 +13,9 @@ readability tools use)."""
 
 from __future__ import annotations
 
+import io
 import re
+import zipfile
 
 __all__ = ["sniff_document"]
 
@@ -22,7 +25,7 @@ _LATEX_HINT = re.compile(
 
 
 def sniff_document(payload) -> str:
-    """Return one of pdf/docx/epub/odt/rtf/latex/markdown/ics."""
+    """Return one of pdf/docx/xlsx/pptx/epub/odt/rtf/latex/markdown/ics."""
     if isinstance(payload, (bytes, bytearray)):
         data = bytes(payload)
         if data[:5] == b"%PDF-":
@@ -33,6 +36,26 @@ def sniff_document(payload) -> str:
                 return "epub"
             if b"application/vnd.oasis.opendocument.text" in head:
                 return "odt"
+            # The OOXML triplet all start with [Content_Types].xml, so the
+            # head bytes can't tell them apart — the central directory can
+            # (word/ vs xl/ vs ppt/ part roots), and reading it costs one
+            # seek, not a decompression.
+            try:
+                with zipfile.ZipFile(io.BytesIO(data)) as zf:
+                    names = zf.namelist()
+                    if "mimetype" in names:  # EPUB/ODF with a non-first
+                        mt = zf.read("mimetype")[:80]  # or deflated mimetype
+                        if b"application/epub+zip" in mt:
+                            return "epub"
+                        if b"opendocument.text" in mt:
+                            return "odt"
+                    roots = {n.split("/", 1)[0] for n in names}
+            except zipfile.BadZipFile:
+                raise ValueError("corrupt zip-based document payload") from None
+            if "xl" in roots:
+                return "xlsx"
+            if "ppt" in roots:
+                return "pptx"
             return "docx"
         try:
             payload = data.decode("utf-8")

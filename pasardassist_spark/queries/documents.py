@@ -585,9 +585,10 @@ def doc_feed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_any_doc_extract",
     oracle="""
     SELECT doc_id,
-           CASE doc_id % 6
+           CASE doc_id % 8
                WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'epub'
-               WHEN 3 THEN 'markdown' WHEN 4 THEN 'latex' ELSE 'rtf'
+               WHEN 3 THEN 'markdown' WHEN 4 THEN 'latex' WHEN 5 THEN 'rtf'
+               WHEN 6 THEN 'xlsx' ELSE 'pptx'
            END AS fmt,
            CAST(length(norm) AS BIGINT) AS n_chars,
            md5(norm) AS text_md5
@@ -604,13 +605,13 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The document-format family as ONE dispatcher stage — the shape a
     real crawl pipeline runs (payloads arrive in mixed formats; a single
     map pass sniffs and routes): each document is written into the
-    format doc_id%6 selects (PDF, DOCX, EPUB, Markdown, LaTeX, RTF),
-    re-extracted by that format's conforming parser, and reduced to the
-    md5 of its whitespace-normalized text — which the oracle computes
-    directly from documents.text, so ALL SIX parsers must reconstruct
-    their input exactly for the single hash column to match on 500
-    mixed-format files. Zero shuffle; the per-format rates are in
-    BASELINE.md's round-11 table."""
+    format doc_id%8 selects (PDF, DOCX, EPUB, Markdown, LaTeX, RTF,
+    XLSX, PPTX), re-extracted by that format's conforming parser, and
+    reduced to the md5 of its whitespace-normalized text — which the
+    oracle computes directly from documents.text, so ALL EIGHT parsers
+    must reconstruct their input exactly for the single hash column to
+    match on 500 mixed-format files. Zero shuffle; the per-format rates
+    are in BASELINE.md's round-11/12 tables."""
     from pasardassist_spark.operators.docxtext import (
         encode_docx,
         extract_docx_paragraphs,
@@ -629,6 +630,14 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         sniff_document as _sniff_document,
     )
     from pasardassist_spark.operators.textext import encode_latex, latex_to_text
+    from pasardassist_spark.operators.xlsxtext import (
+        encode_xlsx,
+        extract_xlsx_cells,
+    )
+    from pasardassist_spark.operators.pptxtext import (
+        encode_pptx,
+        extract_pptx_slides,
+    )
 
     def _rtf(parts):
         return encode_rtf(parts)
@@ -659,8 +668,10 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ) if s
             ],
         ),
+        "xlsx": (encode_xlsx, extract_xlsx_cells),
+        "pptx": (encode_pptx, extract_pptx_slides),
     }
-    fmts = ["pdf", "docx", "epub", "markdown", "latex", "rtf"]
+    fmts = ["pdf", "docx", "epub", "markdown", "latex", "rtf", "xlsx", "pptx"]
 
     schema = "doc_id long, fmt string, n_chars long, text_md5 string"
 
@@ -671,7 +682,7 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 seed = int(doc_id)
-                fmt = fmts[seed % 6]
+                fmt = fmts[seed % 8]
                 enc, ext = codecs[fmt]
                 n = seed % 3 + 2
                 words = [w for w in text.split(" ") if w]
@@ -718,6 +729,54 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(_batches, schema)
+
+
+@query("doc_xlsx_extract", oracle=_oracle(5))
+def doc_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL XLSX text extraction end-to-end (operators/xlsxtext.py): each
+    document's text becomes doc_id%5+1 cell strings of a conforming
+    SpreadsheetML package — cells spread across 1-2 sheets and 2 columns
+    per row, ALTERNATING sharedStrings references (deduplicated; long
+    strings written as multi-run rich text) and inline strings, sheets
+    resolved through the workbook's own rels part (two-level OPC
+    indirection), cells ordered by their A1-style references.  Oracle:
+    same substring+md5 re-derivation as doc_pdf_extract.  Legacy OLE2
+    .xls and encrypted packages raise by name; numeric/boolean/formula
+    cell typing and rPh-skip contracts pytest-pinned in
+    tests/test_docformats.py."""
+    from pasardassist_spark.operators.xlsxtext import (
+        encode_xlsx,
+        extract_xlsx_cells,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        lambda it: _extract_rows(it, 5, encode_xlsx, extract_xlsx_cells),
+        _OUT_SCHEMA,
+    )
+
+
+@query("doc_pptx_extract", oracle=_oracle(3))
+def doc_pptx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PPTX text extraction end-to-end (operators/pptxtext.py): each
+    document's text becomes doc_id%3+1 slides of a conforming
+    PresentationML package, slide order carried by p:sldIdLst while the
+    slide FILE numbering is deliberately reversed (a zip-order or
+    name-order walk mis-orders the deck), paragraph text as split a:r
+    runs with newlines alternating between a:br and a:p boundaries.
+    Oracle: same substring+md5 re-derivation as doc_pdf_extract.  Legacy
+    OLE2 .ppt and encrypted packages raise by name; contracts
+    pytest-pinned in tests/test_docformats.py."""
+    from pasardassist_spark.operators.pptxtext import (
+        encode_pptx,
+        extract_pptx_slides,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        lambda it: _extract_rows(it, 3, encode_pptx, extract_pptx_slides),
+        _OUT_SCHEMA,
+    )
 
 
 @query("doc_odt_extract", oracle=_oracle(4))

@@ -852,3 +852,199 @@ def test_document_sniffer_routes_all_formats():
     assert sniff_document(encode_rtf(["x"]).encode()) == "rtf"
     with pytest.raises(ValueError, match="unrecognized"):
         sniff_document(b"\x00\xff\xfe binary junk \x80")
+
+
+def test_document_sniffer_routes_ooxml_triplet():
+    from pasardassist_spark.operators.docsniff import sniff_document
+    from pasardassist_spark.operators.docxtext import encode_docx
+    from pasardassist_spark.operators.pptxtext import encode_pptx
+    from pasardassist_spark.operators.xlsxtext import encode_xlsx
+
+    assert sniff_document(encode_xlsx(["a", "b"])) == "xlsx"
+    assert sniff_document(encode_pptx(["slide"])) == "pptx"
+    assert sniff_document(encode_docx(["para"])) == "docx"
+    with pytest.raises(ValueError, match="corrupt zip"):
+        sniff_document(b"PK\x03\x04 truncated local header")
+
+
+# ----------------------------------------------------------------- XLSX --
+
+
+def test_xlsx_roundtrip_sheets_and_encodings():
+    from pasardassist_spark.operators.xlsxtext import (
+        encode_xlsx,
+        extract_xlsx_cells,
+    )
+
+    cases = [
+        [],
+        [""],
+        ["one"],
+        ["a", "b"],  # single sheet
+        ["one two", "tab\there", "", "  edges  ", "<&> esc", "dup", "dup"],
+        ["long rich text " * 9, "x", "y"],  # multi-run shared string
+    ]
+    for cells in cases:
+        assert extract_xlsx_cells(encode_xlsx(cells)) == cells
+
+
+def test_xlsx_cell_type_dispatch_and_row_order():
+    """Hand-built worksheet: numeric, boolean, cached-formula and shared
+    cells; rows/cells deliberately written out of order — the r
+    references must drive ordering."""
+    from pasardassist_spark.operators.xlsxtext import (
+        encode_xlsx,
+        extract_xlsx_cells,
+    )
+
+    base = encode_xlsx(["s0", "s1"])
+    s = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{s}"><sheetData>'
+        '<row r="2"><c r="B2" t="b"><v>1</v></c>'
+        '<c r="A2" t="str"><v>cached</v></c></row>'
+        '<row r="1"><c r="B1" t="s"><v>0</v></c>'
+        '<c r="A1"><v>42.5</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(base)) as src, zipfile.ZipFile(buf, "w") as dst:
+        for name in src.namelist():
+            if name == "xl/worksheets/sheet1.xml":
+                dst.writestr(name, sheet)
+            elif name == "xl/worksheets/sheet2.xml":
+                continue
+            elif name == "xl/workbook.xml":
+                xml = src.read(name).decode()
+                xml = xml[: xml.index("<sheets>")] + (
+                    '<sheets><sheet name="Only" sheetId="1" r:id="rIdS1"/>'
+                    "</sheets></workbook>"
+                )
+                dst.writestr(name, xml)
+            else:
+                dst.writestr(name, src.read(name))
+    assert extract_xlsx_cells(buf.getvalue()) == ["42.5", "s0", "cached", "TRUE"]
+
+
+def test_xlsx_shared_string_phonetic_runs_skipped():
+    """rPh furigana runs carry <t> elements that are NOT cell text."""
+    from pasardassist_spark.operators.xlsxtext import (
+        encode_xlsx,
+        extract_xlsx_cells,
+    )
+
+    base = encode_xlsx(["PLACEHOLDER", "inline"])
+    s = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<sst xmlns="{s}" count="1" uniqueCount="1">'
+        "<si><r><t>kan</t></r><r><t>ji</t></r>"
+        "<rPh sb=\"0\" eb=\"2\"><t>かんじ</t></rPh></si></sst>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(base)) as src, zipfile.ZipFile(buf, "w") as dst:
+        for name in src.namelist():
+            dst.writestr(name, sst if name == "xl/sharedStrings.xml" else src.read(name))
+    assert extract_xlsx_cells(buf.getvalue()) == ["kanji", "inline"]
+
+
+def test_xlsx_error_contracts():
+    from pasardassist_spark.operators.xlsxtext import (
+        encode_xlsx,
+        extract_xlsx_cells,
+    )
+
+    with pytest.raises(NotImplementedError, match="OLE2"):
+        extract_xlsx_cells(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1tail")
+    with pytest.raises(ValueError, match="zip"):
+        extract_xlsx_cells(b"PK\x03\x04 not really a zip")
+    with pytest.raises(ValueError, match="not a ZIP"):
+        extract_xlsx_cells(b"plain text")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("EncryptionInfo", b"\x00")
+        zf.writestr("EncryptedPackage", b"\x00")
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        extract_xlsx_cells(buf.getvalue())
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("unrelated.txt", "x")
+    with pytest.raises(ValueError, match="no main workbook part"):
+        extract_xlsx_cells(buf.getvalue())
+    # shared-string index out of range
+    base = encode_xlsx(["a", "b"])
+    s = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    bad = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{s}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>99</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    out = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(base)) as src, zipfile.ZipFile(out, "w") as dst:
+        for name in src.namelist():
+            dst.writestr(
+                name, bad if name == "xl/worksheets/sheet1.xml" else src.read(name)
+            )
+    with pytest.raises(ValueError, match="out of range"):
+        extract_xlsx_cells(out.getvalue())
+
+
+# ----------------------------------------------------------------- PPTX --
+
+
+def test_pptx_roundtrip_breaks_and_paragraphs():
+    from pasardassist_spark.operators.pptxtext import (
+        encode_pptx,
+        extract_pptx_slides,
+    )
+
+    cases = [
+        [],
+        [""],
+        ["one slide"],
+        ["a\nb\nc\nd", "no breaks", "", "x\n\ny", "\n", "tail\n"],
+        ["<&> esc", "long text " * 15 + "\nsecond"],
+    ]
+    for slides in cases:
+        assert extract_pptx_slides(encode_pptx(slides)) == slides
+
+
+def test_pptx_slide_order_follows_sldidlst_not_filenames():
+    """encode_pptx reverses file numbering: deck slide 0 lives in the
+    HIGHEST-numbered file.  A name-ordered walk would reverse the deck."""
+    import zipfile as _zf
+    from pasardassist_spark.operators.pptxtext import (
+        encode_pptx,
+        extract_pptx_slides,
+    )
+
+    slides = ["first", "second", "third"]
+    payload = encode_pptx(slides)
+    with _zf.ZipFile(io.BytesIO(payload)) as zf:
+        # file slide3.xml holds deck slide 0 and vice versa
+        assert b"first" in zf.read("ppt/slides/slide3.xml")
+        assert b"third" in zf.read("ppt/slides/slide1.xml")
+        assert b"first" not in zf.read("ppt/slides/slide1.xml")
+    assert extract_pptx_slides(payload) == slides
+
+
+def test_pptx_error_contracts():
+    from pasardassist_spark.operators.pptxtext import extract_pptx_slides
+
+    with pytest.raises(NotImplementedError, match="OLE2"):
+        extract_pptx_slides(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1tail")
+    with pytest.raises(ValueError, match="not a ZIP"):
+        extract_pptx_slides(b"plain text")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("EncryptionInfo", b"\x00")
+        zf.writestr("EncryptedPackage", b"\x00")
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        extract_pptx_slides(buf.getvalue())
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("unrelated.txt", "x")
+    with pytest.raises(ValueError, match="no main presentation part"):
+        extract_pptx_slides(buf.getvalue())
