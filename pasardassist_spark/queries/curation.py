@@ -1643,3 +1643,87 @@ def src_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("json", "$.source").alias("source"),
         F.lower(F.hex("bin")).alias("payload_md5"),
     )
+
+@query(
+    "src_mbox_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           'doc ' || doc_id AS subject,
+           CAST(1700000000 + doc_id AS BIGINT) AS date_epoch,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           md5(text) AS body_md5
+    FROM documents
+    """,
+)
+def src_mbox_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mbox source/sink, closed-loop (sources/mbox.py + the RFC 5322 /
+    MIME composer in operators/emailtext.py): every document becomes a
+    genuine message (structure doc_id%4 — 8bit, quoted-printable,
+    base64 multipart/alternative, nested multipart/mixed; subject
+    'doc {id}', date 1700000000+id), written as 8 mboxrd files (one per
+    partition, >From-quoting applied to real text), read back with
+    binaryFile + split_mbox, and fully re-parsed — the FULL original
+    text must survive two codec layers (MIME CTE + mbox framing) for
+    md5(text) to match the oracle's direct computation on 500 docs.
+    Write one file per partition via TaskContext, read one task per
+    file; only the 8-row manifest reaches the driver."""
+    import atexit
+    import hashlib as _hashlib
+    import shutil
+    import tempfile
+
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from pasardassist_spark.operators.emailtext import encode_email, parse_email
+    from pasardassist_spark.sources.mbox import read_mbox, write_mbox
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _compose(it: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"msg": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = int(doc_id)
+                out["msg"].append(
+                    encode_email(
+                        f"doc {seed}", 1700000000 + seed, text, seed
+                    )
+                )
+            yield _pd.DataFrame(out)
+
+    staged = d.repartition(8, "doc_id").mapInPandas(_compose, "msg binary")
+
+    tmp = tempfile.mkdtemp(prefix="pasard_mbox_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    manifest = write_mbox(staged, tmp).collect()
+    if sum(m.n_messages for m in manifest) == 0:
+        raise ValueError("mbox export wrote no messages")
+
+    back = read_mbox(spark, tmp)
+
+    def _extract(it: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "subject": [], "date_epoch": [],
+                "n_chars": [], "body_md5": [],
+            }
+            for raw in pdf["raw"]:
+                doc = parse_email(bytes(raw))
+                if not doc.subject.startswith("doc "):
+                    raise ValueError(f"foreign subject {doc.subject!r}")
+                out["doc_id"].append(int(doc.subject[4:]))
+                out["subject"].append(doc.subject)
+                out["date_epoch"].append(doc.date_epoch)
+                out["n_chars"].append(len(doc.text))
+                out["body_md5"].append(
+                    _hashlib.md5(doc.text.encode("utf-8")).hexdigest()
+                )
+            yield _pd.DataFrame(out)
+
+    return back.mapInPandas(
+        _extract,
+        "doc_id long, subject string, date_epoch long, n_chars long, "
+        "body_md5 string",
+    )

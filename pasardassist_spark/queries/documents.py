@@ -731,6 +731,111 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_batches, schema)
 
 
+@query(
+    "doc_email_extract",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               doc_id % 3 + 1 AS n,
+               list_filter(string_split(text, ' '), w -> w != '') AS words
+        FROM documents
+    ),
+    msg AS (
+        SELECT doc_id,
+               CAST(i.i AS INTEGER) AS msg_no,
+               CAST(n AS INTEGER) AS n_msgs,
+               'msg ' || doc_id || ' ' || i.i AS subject,
+               CAST(1700000000 + doc_id * 97 + i.i * 61 AS BIGINT)
+                   AS date_epoch,
+               array_to_string(
+                   words[(len(words) * i.i) // n + 1
+                         : (len(words) * (i.i + 1)) // n],
+                   ' ') AS body
+        FROM base JOIN (SELECT unnest(range(0, 3)) AS i) i ON i.i < n
+    )
+    SELECT doc_id, msg_no, n_msgs, subject, date_epoch,
+           CAST(length(body) AS BIGINT) AS n_chars,
+           md5(body) AS body_md5
+    FROM msg
+    """,
+)
+def doc_email_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RFC 5322 / MIME email extraction end-to-end
+    (operators/emailtext.py): each document becomes an mboxrd mailbox of
+    doc_id%3+1 genuine messages — word-slice bodies composed through the
+    structure (doc_id+msg_no)%4 selects (plain-8bit, plain-QP,
+    multipart/alternative with a base64 HTML sibling, multipart/mixed
+    with a nested alternative and a binary attachment), subjects RFC
+    2047 B-encoded on odd structures, dates rendered RFC 2822 — then
+    split back at the mbox layer (>From quoting exercised on real text)
+    and parsed: headers unfolded, encoded-words decoded, the multipart
+    tree recursed, the text/plain leaf selected and its CTE decoded.
+    The oracle re-derives each body's word-slice md5 and the closed-form
+    date/subject directly from documents.text, so any defect in QP,
+    base64, boundary scanning, part selection, or date math mismatches
+    on 500 mailboxes.  Scan → mapInPandas, one stage, zero shuffle."""
+    from pasardassist_spark.operators.emailtext import (
+        encode_email,
+        encode_mbox,
+        parse_email,
+        split_mbox,
+    )
+
+    schema = (
+        "doc_id long, msg_no int, n_msgs int, subject string, "
+        "date_epoch long, n_chars long, body_md5 string"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "msg_no": [], "n_msgs": [], "subject": [],
+                "date_epoch": [], "n_chars": [], "body_md5": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = int(doc_id)
+                n = seed % 3 + 1
+                words = [w for w in text.split(" ") if w]
+                w_ = len(words)
+                msgs = []
+                for i in range(n):
+                    body = " ".join(words[w_ * i // n : w_ * (i + 1) // n])
+                    msgs.append(
+                        encode_email(
+                            f"msg {seed} {i}",
+                            1700000000 + seed * 97 + i * 61,
+                            body,
+                            seed + i,
+                        )
+                    )
+                got = split_mbox(encode_mbox(msgs))
+                if len(got) != n:
+                    # raise, not assert (must survive python -O)
+                    raise ValueError(
+                        f"doc {doc_id}: wrote {n} messages, split {len(got)}"
+                    )
+                for i, raw in enumerate(got):
+                    doc = parse_email(raw)
+                    if doc.subject != f"msg {seed} {i}":
+                        raise ValueError(
+                            f"doc {doc_id} msg {i}: subject mismatch "
+                            f"{doc.subject!r}"
+                        )
+                    out["doc_id"].append(doc_id)
+                    out["msg_no"].append(i)
+                    out["n_msgs"].append(n)
+                    out["subject"].append(doc.subject)
+                    out["date_epoch"].append(doc.date_epoch)
+                    out["n_chars"].append(len(doc.text))
+                    out["body_md5"].append(
+                        hashlib.md5(doc.text.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_batches, schema)
+
+
 @query("doc_xlsx_extract", oracle=_oracle(5))
 def doc_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL XLSX text extraction end-to-end (operators/xlsxtext.py): each
