@@ -28,8 +28,6 @@ from pasardassist_spark.operators import dedup as D
 from pasardassist_spark.operators import text as X
 from pasardassist_spark.queries.registry import query
 from pasardassist_spark.queries.text import (
-    _lang_case_sql,
-    _LANG_SCORES_SQL,
     _STOP_SQL,
     _TOKS_SQL,
 )
@@ -39,23 +37,25 @@ MIN_SCORE = 0.4  # keep medium-or-better quality (see text_quality buckets)
 PACK_BUDGET = 512  # tokens per packed training sequence
 
 
-@query(
-    "curate_corpus",
-    oracle=f"""
-    WITH scored AS (
-        SELECT doc_id, lang, text, n_tokens,
-               least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.4
-                   + stop_ratio * 0.3 + ttr * 0.3 AS score,
-               {_lang_case_sql()} AS predicted_lang
+def _curate_corpus_oracle() -> str:
+    from pasardassist_spark.queries.text import langid_v2_cte_sql
+
+    return f"""
+    WITH {langid_v2_cte_sql()},
+    scored AS (
+        SELECT s.doc_id, s.lang, s.text, s.n_tokens,
+               least(1.0, CAST(s.n_tokens AS DOUBLE) / 50.0) * 0.4
+                   + s.stop_ratio * 0.3 + s.ttr * 0.3 AS score,
+               v.predicted_lang
         FROM (
             SELECT doc_id, lang, text,
                    CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
                    CAST({_STOP_SQL} AS DOUBLE) / len({_TOKS_SQL}) AS stop_ratio,
                    CAST(len(list_distinct({_TOKS_SQL})) AS DOUBLE)
-                       / len({_TOKS_SQL}) AS ttr,
-                   {_LANG_SCORES_SQL}
+                       / len({_TOKS_SQL}) AS ttr
             FROM documents
-        )
+        ) s
+        JOIN v2pred v ON v.doc_id = s.doc_id
     ),
     kept AS (
         SELECT doc_id, lang, n_tokens, score,
@@ -69,20 +69,29 @@ PACK_BUDGET = 512  # tokens per packed training sequence
         FROM kept
     )
     WHERE doc_id = keep_id
-    """,
-)
+    """
+
+
+@query("curate_corpus", oracle=_curate_corpus_oracle())
 def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation pipeline: quality >= MIN_SCORE, predicted language must
     agree with the tagged language (the standard mislabeled-document drop),
     then exact dedup keeps the minimum doc_id per content hash among the
-    SURVIVORS. Row-local gates run before the single content-hash shuffle."""
+    SURVIVORS. Row-local gates run before the single content-hash shuffle.
+
+    Round 12: the language gate upgraded from the 4-language marker
+    heuristic to the 20-language hashed char-trigram model
+    (operators/langid.py) — still scan-fused JVM column math, the model a
+    folded literal inside the plan."""
+    from pasardassist_spark.operators import langid as LI
+
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     toks = X.tokens(F.col("text"))
     n_tok = X.token_count(toks)
     stop_ratio = X.hits(toks, X.STOPWORDS).cast("double") / n_tok
     ttr = X.distinct_token_count(toks).cast("double") / n_tok
     score = X.quality_score(n_tok, stop_ratio, ttr)
-    pred = X.predict_lang(X.lang_scores(toks))
+    pred = LI.predict_lang_v2(F.col("text"))["lang"]
     kept = (
         d.withColumn("n_tokens", n_tok)
         .withColumn("score", score)

@@ -179,6 +179,9 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     "doc_docx_extract", "src_webdataset_roundtrip", "doc_feed_extract",
     "mm_webp_decode", "pipeline_any_doc_extract",
     "pipeline_doc_extract_clean",
+    # round 12: the language gate upgraded to the 20-language hashed
+    # trigram model (operators/langid.py) — query fn AND oracle changed.
+    "curate_corpus",
 })
 
 

@@ -700,6 +700,97 @@ def text_lang_id_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- language ID v2 (hashed)
+
+
+def langid_v2_cte_sql() -> str:
+    """The v2 model as a reusable DuckDB CTE fragment ending in
+    ``v2pred(doc_id, predicted_lang, score_milli)``.  Every constant —
+    the dense 1024x20 weight matrix, the bucket hash, the script rules —
+    is generated from the SAME derived model as the Spark side
+    (operators/langid.py), so the two scorers cannot drift."""
+    from pasardassist_spark.operators import langid as LI
+
+    langs_values = ", ".join(
+        f"({i + 1}, '{lang}')" for i, lang in enumerate(LI.LANGS)
+    )
+    return f"""
+    v2m(mat) AS (SELECT {LI.langid_matrix_sql()}),
+    v2langs(i, lang) AS (VALUES {langs_values}),
+    v2docs AS (
+        SELECT doc_id, substr(lower(text), 1, {LI.CAP}) AS t, text
+        FROM documents),
+    v2tris AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(length(t) - 1, 1)),
+                      i -> substr(t, i, 3))) AS tri
+        FROM v2docs),
+    v2tb AS (SELECT doc_id, {LI.langid_bucket_sql()} AS bidx FROM v2tris),
+    v2scored AS (
+        SELECT v2tb.doc_id, l.i, l.lang,
+               CAST(SUM(v2m.mat[v2tb.bidx][l.i]) AS BIGINT) AS s
+        FROM v2tb CROSS JOIN v2m CROSS JOIN v2langs l
+        GROUP BY v2tb.doc_id, l.i, l.lang),
+    v2best AS (
+        SELECT doc_id, lang, s
+        FROM (SELECT doc_id, lang, s,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY s DESC, i ASC) AS rn
+              FROM v2scored)
+        WHERE rn = 1),
+    v2pred AS (
+        SELECT doc_id,
+               {_script_case_sql("tri_lang")} AS predicted_lang,
+               score_milli
+        FROM (
+            SELECT d.doc_id,
+                   COALESCE(b.lang, '{LI.LANGS[0]}') AS tri_lang,
+                   CAST(COALESCE(b.s, 0) AS BIGINT) AS score_milli,
+                   length(regexp_replace(d.t, '\\s', '', 'g')) AS total,
+                   {_script_counts_sql().replace("(text,", "(d.t,")}
+            FROM v2docs d
+            LEFT JOIN v2best b USING (doc_id)))
+    """
+
+
+@query(
+    "text_lang_id_v2",
+    oracle=f"""
+    WITH {langid_v2_cte_sql()}
+    SELECT doc_id, predicted_lang AS lang, score_milli FROM v2pred
+    """,
+)
+def text_lang_id_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID v2 (operators/langid.py): a hashed char-trigram
+    multinomial over 20 languages — the fasttext/CCNet classifier shape
+    — with ordered script-share routing in front (kana->ja before
+    Han->zh, then hangul/cyrillic/arabic/greek/devanagari).  The dense
+    1024x20 milli-nat weight matrix derives deterministically at import
+    from embedded seed corpora (train-small/score-big); scoring is one
+    JVM F.aggregate fold over the doc's first 514 chars with a single
+    element_at per trigram — the model ships inside the plan as a folded
+    literal, so 100 TB pays scan-speed column math, no broadcast, no
+    join, no Python.  This ASCII corpus certifies the Latin trigram path
+    + plumbing; 20-language accuracy (and the script routes) are
+    pytest-pinned on held-out sentences in tests/test_langid.py."""
+    from pasardassist_spark.operators import langid as LI
+
+    d = load(spark, sf_dir, "documents")
+    # two-step select: the argmax struct is a multi-referenced expensive
+    # alias, so CollapseProject keeps it materialized — the trigram fold
+    # runs ONCE per row even though two fields read it
+    staged = d.select(
+        "doc_id",
+        "text",
+        LI.argmax_lang(LI.trigram_scores(F.col("text"))).alias("b"),
+    )
+    return staged.select(
+        "doc_id",
+        LI.script_override(F.col("text"), F.col("b.lang")).alias("lang"),
+        F.col("b.score_milli").alias("score_milli"),
+    )
+
+
 # ------------------------------------------------- cross-source overlap
 
 # WIMBD-style corpus overlap analysis (Elazar et al. 2024 §4.4: "overlap
