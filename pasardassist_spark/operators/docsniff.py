@@ -69,3 +69,46 @@ def sniff_document(payload) -> str:
     if _LATEX_HINT.search(text):
         return "latex"
     return "markdown"
+
+
+def extract_document(payload) -> tuple[str, str]:
+    """Sniff + route + extract + whitespace-normalize in one call — the
+    per-payload unit the streaming document gate (streaming/docgate.py)
+    and ad-hoc consumers share.  Returns (fmt, normalized_text) where
+    the text is the single-space join of every extracted part's words.
+    Unrecognized or calendar payloads raise ValueError by name (the
+    gate's dead-letter contract)."""
+    fmt = sniff_document(payload)
+    if fmt == "pdf":
+        from pasardassist_spark.operators.pdftext import extract_pdf_pages
+        parts = extract_pdf_pages(bytes(payload))
+    elif fmt == "docx":
+        from pasardassist_spark.operators.docxtext import extract_docx_paragraphs
+        parts = extract_docx_paragraphs(bytes(payload))
+    elif fmt == "xlsx":
+        from pasardassist_spark.operators.xlsxtext import extract_xlsx_cells
+        parts = extract_xlsx_cells(bytes(payload))
+    elif fmt == "pptx":
+        from pasardassist_spark.operators.pptxtext import extract_pptx_slides
+        parts = extract_pptx_slides(bytes(payload))
+    elif fmt == "epub":
+        from pasardassist_spark.operators.epubtext import extract_epub_chapters
+        parts = extract_epub_chapters(bytes(payload))
+    elif fmt == "odt":
+        from pasardassist_spark.operators.odttext import extract_odt_paragraphs
+        parts = extract_odt_paragraphs(bytes(payload))
+    elif fmt == "rtf":
+        from pasardassist_spark.operators.rtftext import rtf_to_text
+        text = payload if isinstance(payload, str) else bytes(payload).decode("utf-8")
+        parts = rtf_to_text(text).split("\n")
+    elif fmt == "latex":
+        from pasardassist_spark.operators.textext import latex_to_text
+        text = payload if isinstance(payload, str) else bytes(payload).decode("utf-8")
+        parts = latex_to_text(text).split("\n\n")
+    elif fmt == "markdown":
+        from pasardassist_spark.operators.mdtext import extract_markdown_blocks
+        text = payload if isinstance(payload, str) else bytes(payload).decode("utf-8")
+        parts = extract_markdown_blocks(text)
+    else:  # ics — events, not prose; the gate dead-letters it by name
+        raise ValueError(f"no prose extraction for document format {fmt!r}")
+    return fmt, " ".join(w for p in parts for w in p.split() if w)
