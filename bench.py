@@ -431,8 +431,9 @@ def main() -> None:
     }
 
     t0 = time.perf_counter()
-    books = S.pq_codebooks(emb, DIM)
-    codes = S.pq_encode(emb, books).persist()
+    rot = S.opq_rotation(emb, DIM)  # round-12: OPQ alternation in build
+    books = S.pq_codebooks(emb, DIM, rotation=rot)
+    codes = S.pq_encode(emb, books, rotation=rot).persist()
     codes.count()
     build_s = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
@@ -441,12 +442,13 @@ def main() -> None:
         for r in S.ivfpq_topk(
             emb, QUERY_IDS, K, DIM,
             books=books, assignments=asg, centroids=cent, codes=codes,
+            rotation=rot,
         ).collect()
     }
     ann["sim_ivfpq_ann"] = {
         "recall10": round(len(exact & got) / len(exact), 3),
         # the PQ index reuses the IVF coarse quantizer; its build_s is the
-        # codebook+encode increment on top of sim_ivf_ann's build_s
+        # OPQ-train + codebook + encode increment on top of sim_ivf_ann's
         "build_s": build_s,
         "search_s": round(time.perf_counter() - t0, 3),
     }

@@ -497,6 +497,105 @@ def _l2_normalize(e: DataFrame, vec: str = "v") -> DataFrame:
     )
 
 
+OPQ_ITERS = 8
+
+
+def opq_rotation(
+    emb: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = OPQ_ITERS,
+) -> list[list[float]]:
+    """Non-parametric OPQ rotation (Ge et al., "Optimized Product
+    Quantization", CVPR 2013 §4; the FAISS ``OPQMatrix`` training loop):
+    alternate (a) per-subspace k-means codebooks on the rotated sample
+    and (b) the orthogonal Procrustes solve ``R = argmin ||X R - Y||_F
+    = U V^T from svd(X^T Y)`` against the codebook reconstruction Y.
+    Each half-step is the exact minimizer of the shared quantization
+    MSE, so the objective is monotonically non-increasing (the property
+    tests/test_operators.py pins).  Applied as ``x @ R.T``; R is
+    orthogonal, so norms, inner products, and therefore the exact
+    refine stage are untouched.
+
+    Train-small/assign-big (the IVF discipline): the alternation runs
+    on the SAME driver sample the codebooks train on; the dim x dim
+    matrix (64x64 here, 1024x1024 in production) is a trivially
+    broadcastable closure constant for the encode pass.
+
+    Measured on this repo's corpus (BASELINE.md round 12): quantization
+    MSE 0.582 -> 0.542 and ADC-shortlist recall@10 0.595 -> 0.675 at
+    refine=100; on a planted axis-aligned anisotropic fixture the lift
+    is 0.505 -> 0.905."""
+    import numpy as np
+
+    assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
+    sub = dim // m
+    e = _l2_normalize(
+        emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    )
+    X = _collect_training_matrix(e, id_col, "v")
+    M = np.eye(dim)  # apply convention: rotated = X @ M
+    for _ in range(iters):
+        Xr = X @ M
+        books = [
+            _kmeans_numpy(Xr[:, s * sub : (s + 1) * sub], k, IVF_SEED + s)
+            for s in range(m)
+        ]
+        Y = np.empty_like(Xr)
+        for s in range(m):
+            seg = Xr[:, s * sub : (s + 1) * sub]
+            C = np.asarray(books[s])
+            d = (
+                (seg * seg).sum(axis=1, keepdims=True)
+                - 2.0 * seg @ C.T
+                + (C * C).sum(axis=1)
+            )
+            Y[:, s * sub : (s + 1) * sub] = C[d.argmin(axis=1)]
+        U, _S, Vt = np.linalg.svd(X.T @ Y)
+        M = U @ Vt
+    R = M.T  # x @ R.T == x @ M
+    return [[float(x) for x in row] for row in R]
+
+
+def pq_quantization_mse(
+    emb: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rotation: list[list[float]] | None = None,
+) -> float:
+    """Mean squared reconstruction error of the (rotation, codebooks)
+    pair on the training sample — OPQ's actual objective, exposed for
+    the monotone-improvement property test."""
+    import numpy as np
+
+    sub = dim // m
+    e = _l2_normalize(
+        emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    )
+    X = _collect_training_matrix(e, id_col, "v")
+    if rotation is not None:
+        X = X @ np.asarray(rotation, dtype=np.float64).T
+    err = 0.0
+    for s in range(m):
+        seg = X[:, s * sub : (s + 1) * sub]
+        C = np.asarray(
+            _kmeans_numpy(seg, k, IVF_SEED + s), dtype=np.float64
+        )
+        d = (
+            (seg * seg).sum(axis=1, keepdims=True)
+            - 2.0 * seg @ C.T
+            + (C * C).sum(axis=1)
+        )
+        err += float(d.min(axis=1).mean())
+    return err
+
+
 def pq_codebooks(
     emb: DataFrame,
     dim: int,
@@ -504,6 +603,7 @@ def pq_codebooks(
     k: int = PQ_K,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Train per-subspace k-means codebooks on L2-normalized vectors.
 
@@ -522,6 +622,10 @@ def pq_codebooks(
     # one sample collect feeds all m subspace fits — the corpus is scanned
     # once for training no matter how many subspaces
     X = _collect_training_matrix(e, id_col, "v")
+    if rotation is not None:
+        import numpy as np
+
+        X = X @ np.asarray(rotation, dtype=np.float64).T
     books: list[list[list[float]]] = []
     for s in range(m):
         C = _kmeans_numpy(X[:, s * sub : (s + 1) * sub], k, IVF_SEED + s)
@@ -534,6 +638,7 @@ def pq_encode(
     books: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """(id, codes array<int>) — nearest codebook entry per subspace.
 
@@ -551,10 +656,13 @@ def pq_encode(
     sub = len(books[0][0])
     cents = [np.asarray(b, dtype=np.float64) for b in books]  # m x (k, sub)
     cnorms = [(c * c).sum(axis=1) for c in cents]
+    R = None if rotation is None else np.asarray(rotation, dtype=np.float64)
 
     @pandas_udf("array<int>")
     def encode(v: pd.Series) -> pd.Series:
         x = np.stack(v.to_numpy())  # (batch, dim), already normalized
+        if R is not None:
+            x = x @ R.T  # orthogonal: norms/cosines preserved
         codes = np.empty((x.shape[0], m), dtype=np.int32)
         for s in range(m):
             xs = x[:, s * sub : (s + 1) * sub]
@@ -578,16 +686,18 @@ def ivfpq_topk(
     n_probe: int = PQ_N_PROBE,
     m: int = PQ_M,
     pq_k: int = PQ_K,
-    # 32*k ADC survivors re-ranked exactly (round-8 retune; was 16*k at
-    # recall 0.58) — the refine list is per-query rows, so widening it is
+    # 48*k ADC survivors re-ranked exactly (round-12 retune; 32*k measured
+    # recall 0.82-0.84, 48*k hits the 0.88 IVF-probe ceiling at flat
+    # search_s) — the refine list is per-query rows, so widening it is
     # nearly free next to the code scan.
-    refine: int = 32,
+    refine: int = 48,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     books: list[list[list[float]]] | None = None,
     assignments: DataFrame | None = None,
     centroids: DataFrame | None = None,
     codes: DataFrame | None = None,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN (Jégou et al., "Product Quantization for Nearest Neighbor
     Search", TPAMI 2011): IVF prunes the corpus to n_probe lists, asymmetric
@@ -608,11 +718,11 @@ def ivfpq_topk(
     """
     sub = dim // m
     if books is None:
-        books = pq_codebooks(emb, dim, m, pq_k, id_col, vec_col)
+        books = pq_codebooks(emb, dim, m, pq_k, id_col, vec_col, rotation)
     if assignments is None or centroids is None:
         assignments, centroids = ivf_assignments(emb, n_lists, id_col, vec_col)
     if codes is None:
-        codes = pq_encode(emb, books, id_col, vec_col)
+        codes = pq_encode(emb, books, id_col, vec_col, rotation)
     index = assignments.join(codes, id_col)
 
     spark = emb.sparkSession
@@ -622,6 +732,23 @@ def ivfpq_topk(
     q = e.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"), F.col("v").alias("qv")
     )
+    if rotation is not None:
+        # the ADC lookup table must slice the ROTATED query (codes live in
+        # rotated space); probes and refine keep the original vectors —
+        # IVF centroids are unrotated and R preserves exact cosine.
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        _R = np.asarray(rotation, dtype=np.float64)
+
+        @pandas_udf("array<double>")
+        def _rot(v: pd.Series) -> pd.Series:
+            x = np.stack(v.to_numpy()) @ _R.T
+            return pd.Series(list(x))
+
+        q = q.withColumn("qv_lut", _rot("qv"))
+    else:
+        q = q.withColumn("qv_lut", F.col("qv"))
 
     # Per-query ADC lookup table: lut[s*pq_k + j] = dot(q_sub_s, books[s][j]).
     book_rows = [
@@ -634,7 +761,9 @@ def ivfpq_topk(
         .select(
             "q_id",
             (F.col("s") * pq_k + F.col("j")).alias("slot"),
-            dot(F.slice("qv", F.col("s") * sub + 1, sub), F.col("c")).alias("pd"),
+            dot(
+                F.slice("qv_lut", F.col("s") * sub + 1, sub), F.col("c")
+            ).alias("pd"),
         )
         .groupBy("q_id")
         .agg(

@@ -69,15 +69,22 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sim_ivfpq_ann")  # k-means codebooks are not SQL-portable: rows-only
 def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via IVF-PQ (Jégou et al. 2011): IVF prunes to 4 of
-    16 lists, asymmetric distance scores candidates from their 8 x 4-bit PQ
+    """Approximate top-10 via OPQ + IVF-PQ (Jégou et al. 2011; Ge et al.
+    2013): an orthogonal OPQ rotation (trained by Procrustes alternation
+    on the driver sample, applied as a broadcast matmul inside the
+    encode pass) aligns the data before the 8 x 4-bit PQ codes; IVF
+    prunes to 12 of 16 lists, asymmetric distance scores candidates from
     codes against a per-query broadcast lookup table (raw vectors never
-    touched), then an exact refine re-ranks the top 40 per query. The
-    memory-budget scale path: the serving index is m small ints per vector
-    (16-32x smaller than the float rows sim_ivf_ann re-reads). Recall vs
-    brute force asserted in tests/test_operators.py."""
+    touched), then an exact refine re-ranks the top 480 per query.  The
+    memory-budget scale path: the serving index is m small ints per
+    vector (16-32x smaller than the float rows sim_ivf_ann re-reads).
+    Recall vs brute force and the OPQ objective/lift are asserted in
+    tests/test_operators.py; the rotation is measured a no-op on this
+    near-isotropic corpus and decisive on anisotropic data (BASELINE.md
+    round 12)."""
     emb = load(spark, sf_dir, "embeddings")
-    return S.ivfpq_topk(emb, QUERY_IDS, K, DIM)
+    rot = S.opq_rotation(emb, DIM)
+    return S.ivfpq_topk(emb, QUERY_IDS, K, DIM, rotation=rot)
 
 
 @query(

@@ -174,9 +174,10 @@ def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
     approx = {(r.q_id, r.neighbor_id) for r in rows}
     assert approx
     recall = len(exact & approx) / len(exact)
-    # round-8 operating point (12/16 lists probed, refine=32k) measures
-    # 0.86-0.9 across sf0.001-0.1; the floor guards a silent regression
-    assert recall >= 0.7, f"low IVF-PQ recall {recall}"
+    # round-12 operating point (12/16 lists probed, refine=48k) measures
+    # 0.88-0.9 across sf0.001-0.1 — the IVF probe ceiling; the floor
+    # guards a silent regression (raised from 0.7 with the retune)
+    assert recall >= 0.78, f"low IVF-PQ recall {recall}"
     # the refine step re-scores with exact cosine: values must match brute
     # force wherever both report the pair
     ref = {
@@ -191,6 +192,56 @@ def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
         by_q.setdefault(r.q_id, []).append(r.neighbor_id)
     for q_id, ns in by_q.items():
         assert len(ns) == len(set(ns)) == 10
+
+
+def test_opq_rotation_objective_and_lift(spark):
+    """OPQ's contract: (a) R is orthogonal, (b) the quantization MSE —
+    OPQ's actual objective — improves over no rotation on anisotropic
+    data, (c) end-to-end IVF-PQ recall on a planted axis-aligned
+    anisotropic corpus is LIFTED decisively by the rotation (offline
+    sweep: 0.505 -> 0.905 at refine=100; asserted with slack)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    n, dim = 2000, 64
+    X = rng.standard_normal((n, dim)) * np.sqrt(0.82 ** np.arange(dim))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(n), "embedding": [list(map(float, r)) for r in X]}
+        ),
+        "vec_id long, embedding array<double>",
+    )
+
+    R = S.opq_rotation(emb, dim)
+    Rm = np.asarray(R)
+    assert np.allclose(Rm @ Rm.T, np.eye(dim), atol=1e-8)
+
+    mse_plain = S.pq_quantization_mse(emb, dim)
+    mse_opq = S.pq_quantization_mse(emb, dim, rotation=R)
+    assert mse_opq < mse_plain * 0.8, (mse_plain, mse_opq)
+
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, qids, 10).collect()
+    }
+    # narrow refine so the shortlist quality (what OPQ improves) binds
+    got_plain = {
+        (r.q_id, r.neighbor_id)
+        for r in S.ivfpq_topk(emb, qids, 10, dim, refine=10).collect()
+    }
+    got_opq = {
+        (r.q_id, r.neighbor_id)
+        for r in S.ivfpq_topk(
+            emb, qids, 10, dim, refine=10, rotation=R
+        ).collect()
+    }
+    r_plain = len(exact & got_plain) / len(exact)
+    r_opq = len(exact & got_opq) / len(exact)
+    assert r_opq >= r_plain + 0.1, (r_plain, r_opq)
+    assert r_opq >= 0.7, r_opq
 
 
 def test_asof_join_semantics(spark):
