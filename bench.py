@@ -224,6 +224,12 @@ EXTRA_NAMES = [
     "doc_odt_extract",
     "text_keyphrase_rake",
     "doc_ics_extract",
+    # round-12 debuts
+    "doc_xlsx_extract",
+    "doc_pptx_extract",
+    "doc_email_extract",
+    "src_mbox_roundtrip",
+    "text_lang_id_v2",
 ]
 
 
