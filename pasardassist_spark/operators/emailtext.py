@@ -68,12 +68,19 @@ _ADJACENT_EW = re.compile(
     r"(=\?[^?]+\?[BbQq]\?[^?]*\?=)[ \t]+(?==\?[^?]+\?[BbQq]\?[^?]*\?=)"
 )
 _TAG = re.compile(r"<[^>]*>")
+_MSGID = re.compile(r"<([^<>]+)>")
 
 
 class EmailDoc(NamedTuple):
     subject: str
     date_epoch: int
     text: str
+    # RFC 5322 threading identity (None when the message carries none):
+    # msg_id is the bare <...> Message-ID; in_reply_to the FIRST id of
+    # In-Reply-To, falling back to the LAST id of References — the
+    # JWZ-threading parent rule every mail client implements.
+    msg_id: str | None = None
+    in_reply_to: str | None = None
 
 
 # ------------------------------------------------------------ RFC 2822 ---
@@ -329,7 +336,14 @@ def parse_email(payload: bytes) -> EmailDoc:
         if html is None:
             raise ValueError("message has no text part")
         text = " ".join(_TAG.sub(" ", html).split())
-    return EmailDoc(subject, date_epoch, text)
+    ids = _MSGID.findall(headers.get("message-id", ""))
+    reply = _MSGID.findall(headers.get("in-reply-to", ""))
+    refs = _MSGID.findall(headers.get("references", ""))
+    # JWZ parent rule: first In-Reply-To id, else the LAST References id
+    parent = reply[0] if reply else (refs[-1] if refs else None)
+    return EmailDoc(
+        subject, date_epoch, text, ids[0] if ids else None, parent
+    )
 
 
 # -------------------------------------------------------------- writer ---
@@ -341,12 +355,20 @@ def _html_wrap(text: str) -> str:
 
 
 def encode_email(
-    subject: str, date_epoch: int, body_text: str, structure: int
+    subject: str,
+    date_epoch: int,
+    body_text: str,
+    structure: int,
+    msg_id: str | None = None,
+    in_reply_to: str | None = None,
+    references: list[str] | None = None,
 ) -> bytes:
     """Compose a conforming message.  structure%4 selects: 0 plain-8bit,
     1 plain-QP, 2 multipart/alternative (base64 HTML first, base64 plain
     second), 3 multipart/mixed(nested alternative in QP + attachment).
-    Odd structures force RFC 2047 B-encoding of the ASCII subject."""
+    Odd structures force RFC 2047 B-encoding of the ASCII subject.
+    ``msg_id``/``in_reply_to``/``references`` (bare ids, no angle
+    brackets) write the RFC 5322 threading headers."""
     st = structure % 4
     subj = encode_header_value(subject, force=bool(st % 2))
     common = [
@@ -354,7 +376,15 @@ def encode_email(
         "To: corpus <corpus@example.org>",
         f"Subject: {subj}",
         f"Date: {format_rfc2822(date_epoch)}",
-        f"Message-ID: <{structure}.{date_epoch}@example.org>",
+        f"Message-ID: <{msg_id or f'{structure}.{date_epoch}@example.org'}>",
+    ]
+    if in_reply_to:
+        common.append(f"In-Reply-To: <{in_reply_to}>")
+    if references:
+        common.append(
+            "References: " + " ".join(f"<{r}>" for r in references)
+        )
+    common += [
         "MIME-Version: 1.0",
     ]
     data = body_text.encode("utf-8")

@@ -836,6 +836,139 @@ def doc_email_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_batches, schema)
 
 
+@query(
+    "doc_email_threads",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               doc_id % 4 + 2 AS n,
+               list_filter(string_split(text, ' '), w -> w != '') AS words
+        FROM documents
+    ),
+    msg AS (
+        SELECT doc_id,
+               CAST(i.i AS INTEGER) AS i,
+               array_to_string(
+                   words[(len(words) * i.i) // n + 1
+                         : (len(words) * (i.i + 1)) // n],
+                   ' ') AS body
+        FROM base JOIN (SELECT unnest(range(0, 6)) AS i) i ON i.i < n
+    )
+    SELECT doc_id,
+           't' || doc_id || '.' || i || '@corpus' AS msg_id,
+           CASE WHEN i = 0 THEN NULL
+                ELSE 't' || doc_id || '.' || ((i - 1) // 2) || '@corpus'
+           END AS parent_id,
+           CAST(floor(log2(i + 1)) AS INTEGER) AS depth,
+           CAST(length(body) AS BIGINT) AS n_chars,
+           md5(body) AS body_md5
+    FROM msg
+    """,
+)
+def doc_email_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mail-thread reconstruction (operators/emailtext.py — the step
+    that turns an mbox archive into conversation trees for chat-style
+    training data): each document becomes a BINARY-TREE thread of
+    doc_id%4+2 messages (message i replies to (i-1)//2), written into
+    one mboxrd mailbox in a SCRAMBLED order (position j holds message
+    (7j+3) mod n, so file order never equals thread order), with the
+    threading identity split across both RFC 5322 mechanisms — odd
+    messages carry In-Reply-To, even messages ONLY a References chain
+    whose last id is the parent (the JWZ fallback rule).  The extractor
+    re-parses every message, resolves each parent, and computes depth by
+    WALKING the chain; the oracle re-derives depth as floor(log2(i+1))
+    and the bodies as word slices, so a mis-parsed Message-ID, a wrong
+    fallback rule, or a broken walk mismatches on 500 mailboxes.  Scan →
+    mapInPandas, one stage, zero shuffle (threads are mailbox-local —
+    the partition-local shape real archives have)."""
+    from pasardassist_spark.operators.emailtext import (
+        encode_email,
+        encode_mbox,
+        parse_email,
+        split_mbox,
+    )
+
+    schema = (
+        "doc_id long, msg_id string, parent_id string, depth int, "
+        "n_chars long, body_md5 string"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "msg_id": [], "parent_id": [], "depth": [],
+                "n_chars": [], "body_md5": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = int(doc_id)
+                n = seed % 4 + 2
+                words = [w for w in text.split(" ") if w]
+                w_ = len(words)
+                msgs = []
+                for i in range(n):
+                    body = " ".join(words[w_ * i // n : w_ * (i + 1) // n])
+                    mid = f"t{seed}.{i}@corpus"
+                    if i == 0:
+                        irt, refs = None, None
+                    elif i % 2 == 1:
+                        irt, refs = f"t{seed}.{(i - 1) // 2}@corpus", None
+                    else:
+                        # ancestor chain root..parent, parent LAST
+                        chain, p = [], (i - 1) // 2
+                        while True:
+                            chain.append(p)
+                            if p == 0:
+                                break
+                            p = (p - 1) // 2
+                        irt = None
+                        refs = [f"t{seed}.{a}@corpus" for a in reversed(chain)]
+                    msgs.append(
+                        encode_email(
+                            f"thread {seed} msg {i}",
+                            1700000000 + seed * 131 + i * 67,
+                            body,
+                            seed + i,
+                            msg_id=mid,
+                            in_reply_to=irt,
+                            references=refs,
+                        )
+                    )
+                scrambled = [msgs[(7 * j + 3) % n] for j in range(n)]
+                got = split_mbox(encode_mbox(scrambled))
+                if len(got) != n:
+                    raise ValueError(
+                        f"doc {doc_id}: wrote {n} messages, split {len(got)}"
+                    )
+                parsed = {}
+                for raw in got:
+                    doc = parse_email(raw)
+                    if doc.msg_id is None:
+                        raise ValueError(f"doc {doc_id}: message without id")
+                    parsed[doc.msg_id] = doc
+                for mid, doc in parsed.items():
+                    depth, p, hops = 0, doc.in_reply_to, 0
+                    while p is not None:
+                        if p not in parsed or hops > 64:
+                            raise ValueError(
+                                f"doc {doc_id}: broken thread chain at {p!r}"
+                            )
+                        depth += 1
+                        hops += 1
+                        p = parsed[p].in_reply_to
+                    out["doc_id"].append(doc_id)
+                    out["msg_id"].append(mid)
+                    out["parent_id"].append(doc.in_reply_to)
+                    out["depth"].append(depth)
+                    out["n_chars"].append(len(doc.text))
+                    out["body_md5"].append(
+                        hashlib.md5(doc.text.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_batches, schema)
+
+
 @query("doc_xlsx_extract", oracle=_oracle(5))
 def doc_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL XLSX text extraction end-to-end (operators/xlsxtext.py): each

@@ -201,3 +201,29 @@ def test_mbox_spark_source_roundtrip(spark, tmp_path):
         for r in back
     )
     assert got == sorted((f"s{i}", f"body {i}\nFrom x") for i in range(20))
+
+
+def test_threading_headers_roundtrip_and_jwz_rule():
+    raw = encode_email(
+        "s", 1700000000, "b", 0,
+        msg_id="a1@x", in_reply_to="a0@x", references=["r0@x", "r1@x"],
+    )
+    doc = parse_email(raw)
+    assert doc.msg_id == "a1@x"
+    # In-Reply-To wins over References when both present
+    assert doc.in_reply_to == "a0@x"
+    # References-only: the LAST id is the parent (JWZ rule)
+    raw2 = encode_email(
+        "s", 1700000000, "b", 1, msg_id="a2@x", references=["r0@x", "r1@x"]
+    )
+    assert parse_email(raw2).in_reply_to == "r1@x"
+    # no threading headers at all
+    d3 = parse_email(encode_email("s", 1700000000, "b", 2))
+    assert d3.msg_id is not None and d3.in_reply_to is None
+    # folded References header still parses (unfolding happens first)
+    raw4 = (
+        b"Subject: s\nDate: Mon, 07 Aug 2023 14:30:05 +0000\n"
+        b"Message-ID: <m@x>\nReferences: <r0@x>\n <r1@x>\n\nbody"
+    )
+    d4 = parse_email(raw4)
+    assert d4.msg_id == "m@x" and d4.in_reply_to == "r1@x"
