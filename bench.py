@@ -226,8 +226,10 @@ EXTRA_NAMES = [
     "doc_ics_extract",
     # round-12 debuts
     "doc_xlsx_extract",
+    "doc_xlsx_records",
     "doc_pptx_extract",
     "doc_email_extract",
+    "doc_email_threads",
     "src_mbox_roundtrip",
     "text_lang_id_v2",
 ]

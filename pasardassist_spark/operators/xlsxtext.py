@@ -369,3 +369,236 @@ def encode_xlsx(cells: list[str]) -> bytes:
         for i, xml in enumerate(sheet_xmls):
             zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", xml)
     return buf.getvalue()
+
+
+# ------------------------------------------------------- typed records ---
+
+# Builtin numFmtIds that render as dates (ECMA-376 §18.8.30) — the set a
+# conforming reader must know WITHOUT a numFmts element, because Excel
+# never writes builtin formats out.
+_DATE_NUMFMT_IDS = frozenset(range(14, 23)) | frozenset(range(45, 48))
+
+# The 1900 date system epoch: serial 1 = 1900-01-01, with Excel's
+# deliberate Lotus-compat leap bug (a phantom 1900-02-29 at serial 60),
+# so for serials > 59 the effective epoch is 1899-12-30.
+_EPOCH_1900 = (1899, 12, 30)
+
+
+def serial_to_iso(serial: int) -> str:
+    """Excel 1900-system date serial -> ISO date string (serials <= 59
+    use the pre-bug epoch 1899-12-31; the phantom serial 60 is rejected
+    by name)."""
+    import datetime
+
+    if serial == 60:
+        raise ValueError(
+            "serial 60 is the phantom 1900-02-29 (Lotus leap bug)"
+        )
+    if serial < 60:
+        base = datetime.date(1899, 12, 31)
+    else:
+        base = datetime.date(*_EPOCH_1900)
+    return (base + datetime.timedelta(days=serial)).isoformat()
+
+
+def _style_is_date(zf: zipfile.ZipFile, names: set[str]) -> list[bool]:
+    """cellXfs index -> is-a-date-format, via styles.xml: each xf's
+    numFmtId is either a builtin (the date set above) or resolved
+    through the custom numFmts table (format codes containing y/m/d
+    day-month-year tokens outside quoted literals)."""
+    if "xl/styles.xml" not in names:
+        return []
+    try:
+        st = ET.fromstring(zf.read("xl/styles.xml"))
+    except ET.ParseError as exc:
+        raise ValueError(f"malformed styles.xml: {exc}") from exc
+    custom_date: dict[int, bool] = {}
+    for nf in st.iter(f"{{{_S}}}numFmt"):
+        code = nf.get("formatCode") or ""
+        # strip quoted literals and color/condition brackets, then look
+        # for date tokens
+        bare = re.sub(r'"[^"]*"|\[[^\]]*\]', "", code).lower()
+        custom_date[int(nf.get("numFmtId", "-1"))] = bool(
+            re.search(r"[ymd]", bare) and not re.search(r"[#0?]", bare)
+        )
+    out: list[bool] = []
+    xfs = st.find(f"{{{_S}}}cellXfs")
+    for xf in ([] if xfs is None else xfs.findall(f"{{{_S}}}xf")):
+        fid = int(xf.get("numFmtId", "0"))
+        out.append(fid in _DATE_NUMFMT_IDS or custom_date.get(fid, False))
+    return out
+
+
+def extract_xlsx_typed(payload: bytes) -> list[list[tuple[str, str]]]:
+    """Rows of (kind, value) with kind in {'s','n','b','d'}: strings via
+    the sharedStrings/inline machinery, numbers verbatim, booleans
+    TRUE/FALSE, and DATES recognized through the style -> numFmt chain
+    and rendered ISO (the typed-table shape LLM record serialization
+    needs; plain extract_xlsx_cells flattens everything to text).
+    Single-sheet scope: the first sheet in workbook order."""
+    if payload[:8] == _OLE2_MAGIC:
+        raise NotImplementedError(
+            "legacy binary .xls (OLE2 compound file) unsupported"
+        )
+    if not sniff_xlsx(payload):
+        raise ValueError("not a ZIP-based OOXML payload")
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except zipfile.BadZipFile as exc:
+        raise ValueError(f"corrupt OOXML zip: {exc}") from exc
+    with zf:
+        names = set(zf.namelist())
+        if "EncryptedPackage" in names or "EncryptionInfo" in names:
+            raise NotImplementedError("encrypted OOXML package unsupported")
+        wb_part = _main_part(zf, names)
+        wb = ET.fromstring(zf.read(wb_part))
+        rels = _part_rels(zf, names, wb_part)
+        shared: list[str] = []
+        for _rid, (typ, tgt) in rels.items():
+            if typ == _REL_SHARED and tgt in names:
+                sst = ET.fromstring(zf.read(tgt))
+                shared = [_si_text(si) for si in sst.iter(f"{{{_S}}}si")]
+        date_styles = _style_is_date(zf, names)
+        sheets = wb.find(f"{{{_S}}}sheets")
+        if sheets is None:
+            raise ValueError("workbook has no sheets element")
+        first = sheets.find(f"{{{_S}}}sheet")
+        if first is None:
+            raise ValueError("workbook has no sheets")
+        rid = first.get(f"{{{_R}}}id")
+        if rid is None or rid not in rels:
+            raise ValueError("first sheet has no resolvable r:id")
+        ws = ET.fromstring(zf.read(rels[rid][1]))
+        out: list[list[tuple[str, str]]] = []
+        for row in ws.iter(f"{{{_S}}}row"):
+            cells: list[tuple[int, tuple[str, str]]] = []
+            for cno, c in enumerate(row.findall(f"{{{_S}}}c"), start=1):
+                ref = c.get("r")
+                col = cno
+                if ref:
+                    m = _CELL_REF.match(ref)
+                    if not m:
+                        raise ValueError(f"bad cell reference {ref!r}")
+                    col = _col_index(m.group(1))
+                ctype = c.get("t") or "n"
+                sidx = int(c.get("s", "-1"))
+                is_date = 0 <= sidx < len(date_styles) and date_styles[sidx]
+                if ctype in ("s", "inlineStr", "str"):
+                    cells.append((col, ("s", _cell_text(c, shared))))
+                elif ctype == "b":
+                    cells.append((col, ("b", _cell_text(c, shared))))
+                elif is_date:
+                    v = c.find(f"{{{_S}}}v")
+                    if v is None or v.text is None:
+                        raise ValueError("date-styled cell without value")
+                    cells.append(
+                        (col, ("d", serial_to_iso(int(float(v.text)))))
+                    )
+                else:
+                    cells.append((col, ("n", _cell_text(c, shared))))
+            cells.sort(key=lambda t: t[0])
+            out.append([kv for _c, kv in cells])
+        return out
+
+
+def encode_xlsx_table(
+    header: list[str], rows: list[list[object]]
+) -> bytes:
+    """Write a conforming one-sheet table: header strings via
+    sharedStrings, then typed data cells — str (inline), bool, int/float
+    (numeric), and ('date', serial) tuples as numbers styled with the
+    builtin date numFmtId 14 through a real styles.xml cellXfs chain."""
+    shared: list[str] = []
+    shared_idx: dict[str, int] = {}
+
+    def sref(text: str) -> int:
+        if text not in shared_idx:
+            shared_idx[text] = len(shared)
+            shared.append(text)
+        return shared_idx[text]
+
+    def cell_xml(ref: str, v: object) -> str:
+        if isinstance(v, tuple) and len(v) == 2 and v[0] == "date":
+            return f'<c r="{ref}" s="1"><v>{int(v[1])}</v></c>'
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return (
+            f'<c r="{ref}" t="inlineStr"><is>{_t_xml(str(v))}</is></c>'
+        )
+
+    rows_xml = []
+    hdr = "".join(
+        f'<c r="{_col_letters(cno + 1)}1" t="s"><v>{sref(h)}</v></c>'
+        for cno, h in enumerate(header)
+    )
+    rows_xml.append(f'<row r="1">{hdr}</row>')
+    for rno, row in enumerate(rows, start=2):
+        body = "".join(
+            cell_xml(f"{_col_letters(cno + 1)}{rno}", v)
+            for cno, v in enumerate(row)
+        )
+        rows_xml.append(f'<row r="{rno}">{body}</row>')
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{_S}"><sheetData>'
+        + "".join(rows_xml)
+        + "</sheetData></worksheet>"
+    )
+    styles = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<styleSheet xmlns="{_S}"><cellXfs count="2">'
+        '<xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/>'
+        "</cellXfs></styleSheet>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{_S}" xmlns:r="{_R}">'
+        '<sheets><sheet name="Data" sheetId="1" r:id="rIdS1"/></sheets>'
+        "</workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_REL}">'
+        f'<Relationship Id="rIdS1" Type="{_REL_WORKSHEET}"'
+        ' Target="worksheets/sheet1.xml"/>'
+        f'<Relationship Id="rIdSS" Type="{_REL_SHARED}"'
+        ' Target="sharedStrings.xml"/></Relationships>'
+    )
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<sst xmlns="{_S}" count="{len(shared)}"'
+        f' uniqueCount="{len(shared)}">'
+        + "".join(_si_xml(s) for s in shared)
+        + "</sst>"
+    )
+    ct = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType='
+        '"application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+        'sheet.main+xml"/>'
+        '<Override PartName="/xl/styles.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+        'styles+xml"/>'
+        '<Override PartName="/xl/sharedStrings.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+        'sharedStrings+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+        'worksheet+xml"/></Types>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        zf.writestr("_rels/.rels", _PKG_RELS)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/styles.xml", styles)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()

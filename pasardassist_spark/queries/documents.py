@@ -994,6 +994,113 @@ def doc_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_xlsx_records",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               doc_id % 4 + 2 AS n,
+               list_filter(string_split(text, ' '), w -> w != '') AS words
+        FROM documents
+    ),
+    rec AS (
+        SELECT doc_id,
+               CAST(i.i AS INTEGER) AS rec_no,
+               array_to_string(
+                   words[(len(words) * i.i) // n + 1
+                         : (len(words) * (i.i + 1)) // n],
+                   ' ') AS name,
+               CAST(doc_id * 7 + i.i * 13 AS BIGINT) AS qty,
+               CAST((doc_id % 100 + i.i) * 100 + 25 AS BIGINT) AS price_cents,
+               (doc_id + i.i) % 2 = 0 AS active,
+               CAST(DATE '1899-12-30'
+                    + CAST(40000 + doc_id % 1000 + i.i * 3 AS INTEGER)
+                    AS VARCHAR) AS since
+        FROM base JOIN (SELECT unnest(range(0, 6)) AS i) i ON i.i < n
+    )
+    SELECT doc_id, rec_no,
+           CAST(length(name) AS BIGINT) AS name_n_chars,
+           md5(name) AS name_md5,
+           qty, price_cents, active, since
+    FROM rec
+    """,
+)
+def doc_xlsx_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPED spreadsheet-to-records extraction (operators/xlsxtext.py
+    typed layer — the table-serialization shape LLM pipelines feed
+    tabular corpora through): each document becomes a conforming
+    one-sheet workbook of doc_id%4+2 records under a sharedStrings
+    header row — string names (word slices), integer and decimal
+    numerics, booleans, and DATES carried the way Excel really stores
+    them: plain numbers whose cell style points through styles.xml
+    cellXfs at the builtin date numFmtId 14, converted from 1900-system
+    serials (Lotus leap-bug epoch) to ISO.  The extractor resolves the
+    style->numFmt chain to type each cell and converts serials; the
+    oracle re-derives every field closed-form (DATE '1899-12-30' +
+    serial), so a broken style walk, a wrong epoch, or a mistyped cell
+    mismatches on 500 workbooks.  Scan → mapInPandas, one stage, zero
+    shuffle."""
+    from pasardassist_spark.operators.xlsxtext import (
+        encode_xlsx_table,
+        extract_xlsx_typed,
+    )
+
+    schema = (
+        "doc_id long, rec_no int, name_n_chars long, name_md5 string, "
+        "qty long, price_cents long, active boolean, since string"
+    )
+    header = ["name", "qty", "price", "active", "since"]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "rec_no": [], "name_n_chars": [],
+                "name_md5": [], "qty": [], "price_cents": [],
+                "active": [], "since": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = int(doc_id)
+                n = seed % 4 + 2
+                words = [w for w in text.split(" ") if w]
+                w_ = len(words)
+                rows = []
+                for i in range(n):
+                    rows.append([
+                        " ".join(words[w_ * i // n : w_ * (i + 1) // n]),
+                        seed * 7 + i * 13,
+                        float(seed % 100 + i) + 0.25,
+                        (seed + i) % 2 == 0,
+                        ("date", 40000 + seed % 1000 + i * 3),
+                    ])
+                payload = encode_xlsx_table(header, rows)
+                got = extract_xlsx_typed(payload)
+                if len(got) != n + 1 or got[0] != [("s", h) for h in header]:
+                    raise ValueError(
+                        f"doc {doc_id}: header/record shape mismatch"
+                    )
+                for i, cells in enumerate(got[1:]):
+                    kinds = [k for k, _v in cells]
+                    if kinds != ["s", "n", "n", "b", "d"]:
+                        raise ValueError(
+                            f"doc {doc_id} rec {i}: cell typing {kinds}"
+                        )
+                    name = cells[0][1]
+                    out["doc_id"].append(doc_id)
+                    out["rec_no"].append(i)
+                    out["name_n_chars"].append(len(name))
+                    out["name_md5"].append(
+                        hashlib.md5(name.encode("utf-8")).hexdigest()
+                    )
+                    out["qty"].append(int(cells[1][1]))
+                    out["price_cents"].append(round(float(cells[2][1]) * 100))
+                    out["active"].append(cells[3][1] == "TRUE")
+                    out["since"].append(cells[4][1])
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_batches, schema)
+
+
 @query("doc_pptx_extract", oracle=_oracle(3))
 def doc_pptx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PPTX text extraction end-to-end (operators/pptxtext.py): each

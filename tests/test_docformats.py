@@ -1048,3 +1048,72 @@ def test_pptx_error_contracts():
         zf.writestr("unrelated.txt", "x")
     with pytest.raises(ValueError, match="no main presentation part"):
         extract_pptx_slides(buf.getvalue())
+
+
+def test_xlsx_typed_records_and_date_serials():
+    from pasardassist_spark.operators.xlsxtext import (
+        encode_xlsx_table,
+        extract_xlsx_typed,
+        serial_to_iso,
+    )
+
+    hdr = ["name", "qty", "price", "active", "since"]
+    rows = [
+        ["alpha beta", 7, 3.25, True, ("date", 45000)],
+        ["", 0, 0.5, False, ("date", 59)],
+        ["<&> esc", 123456789, 2.0, True, ("date", 61)],
+    ]
+    t = extract_xlsx_typed(encode_xlsx_table(hdr, rows))
+    assert t[0] == [("s", h) for h in hdr]
+    assert t[1] == [("s", "alpha beta"), ("n", "7"), ("n", "3.25"),
+                    ("b", "TRUE"), ("d", "2023-03-15")]
+    # the Lotus leap bug: serial 59 is pre-bug (1900-02-28), 61 lands on
+    # 1900-03-01, and the phantom 60 is rejected by name
+    assert t[2][4] == ("d", "1900-02-28")
+    assert t[3][4] == ("d", "1900-03-01")
+    assert serial_to_iso(1) == "1900-01-01"
+    with pytest.raises(ValueError, match="phantom"):
+        serial_to_iso(60)
+
+
+def test_xlsx_custom_numfmt_date_detection():
+    """A CUSTOM numFmt whose code contains date tokens outside quoted
+    literals types its cells as dates; digit-bearing codes stay
+    numeric."""
+    from pasardassist_spark.operators.xlsxtext import (
+        encode_xlsx_table,
+        extract_xlsx_typed,
+    )
+
+    base = encode_xlsx_table(["h"], [[("date", 45000)]])
+    s = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    styles = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<styleSheet xmlns="{s}">'
+        '<numFmts count="2">'
+        '<numFmt numFmtId="164" formatCode="yyyy&quot;y&quot;-mm-dd"/>'
+        '<numFmt numFmtId="165" formatCode="#,##0.00 &quot;days&quot;"/>'
+        "</numFmts>"
+        '<cellXfs count="3"><xf numFmtId="0"/>'
+        '<xf numFmtId="164" applyNumberFormat="1"/>'
+        '<xf numFmtId="165" applyNumberFormat="1"/></cellXfs>'
+        "</styleSheet>"
+    )
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{s}"><sheetData>'
+        '<row r="1"><c r="A1" s="1"><v>45000</v></c>'
+        '<c r="B1" s="2"><v>45000</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(base)) as src, zipfile.ZipFile(buf, "w") as dst:
+        for name in src.namelist():
+            if name == "xl/styles.xml":
+                dst.writestr(name, styles)
+            elif name == "xl/worksheets/sheet1.xml":
+                dst.writestr(name, sheet)
+            else:
+                dst.writestr(name, src.read(name))
+    t = extract_xlsx_typed(buf.getvalue())
+    assert t == [[("d", "2023-03-15"), ("n", "45000")]]

@@ -31,8 +31,10 @@ N_REPLICAS = 10
 
 QUERIES = [
     "doc_xlsx_extract",
+    "doc_xlsx_records",
     "doc_pptx_extract",
     "doc_email_extract",
+    "doc_email_threads",
     "src_mbox_roundtrip",
     "pipeline_any_doc_extract",
     "text_lang_id_v2",
