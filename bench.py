@@ -230,6 +230,7 @@ EXTRA_NAMES = [
     "doc_pptx_extract",
     "doc_email_extract",
     "doc_email_threads",
+    "doc_email_attachments",
     "src_mbox_roundtrip",
     "text_lang_id_v2",
 ]

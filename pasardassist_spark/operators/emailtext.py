@@ -52,6 +52,8 @@ from pasardassist_spark.operators.feedtext import parse_rfc822_date
 __all__ = [
     "EmailDoc",
     "encode_email",
+    "encode_email_with_attachments",
+    "extract_attachments",
     "parse_email",
     "encode_mbox",
     "split_mbox",
@@ -284,8 +286,32 @@ def _decode_body(body: str, headers: dict[str, str], charset: str) -> str:
 # --------------------------------------------------------- MIME walking ---
 
 
-def _walk_entity(raw: str, leaves: list[tuple[str, str]]) -> None:
-    """Depth-first (ctype, text) leaves; non-text leaves are dropped."""
+def _disposition(headers: dict[str, str]) -> tuple[str, str | None]:
+    """(disposition-type, filename) from Content-Disposition (RFC 2183);
+    filename may carry RFC 2047 encoded-words (what real MUAs emit
+    despite RFC 2231)."""
+    raw = headers.get("content-disposition", "")
+    parts = raw.split(";")
+    dtype = parts[0].strip().lower()
+    fname = None
+    for p in parts[1:]:
+        k, eq, v = p.partition("=")
+        if eq and k.strip().lower() == "filename":
+            v = v.strip()
+            if len(v) >= 2 and v[0] == '"' and v[-1] == '"':
+                v = v[1:-1]
+            fname = decode_header_value(v)
+    return dtype, fname
+
+
+def _walk_entity(
+    raw: str,
+    leaves: list[tuple[str, str]],
+    attachments: list[tuple[str, str, bytes]] | None = None,
+) -> None:
+    """Depth-first (ctype, text) leaves; when ``attachments`` is given,
+    non-text leaves and Content-Disposition:attachment parts collect
+    (filename, ctype, decoded bytes) instead of being dropped."""
     head, body = _split_head_body(raw)
     headers = _parse_headers(head)
     ctype, params = _content_type(headers)
@@ -299,21 +325,46 @@ def _walk_entity(raw: str, leaves: list[tuple[str, str]]) -> None:
         for line in lines:
             if line.rstrip() == sep + "--":
                 if part_lines is not None:
-                    _walk_entity("\n".join(part_lines), leaves)
+                    _walk_entity("\n".join(part_lines), leaves, attachments)
                 part_lines = None
                 break
             if line.rstrip() == sep:
                 if part_lines is not None:
-                    _walk_entity("\n".join(part_lines), leaves)
+                    _walk_entity("\n".join(part_lines), leaves, attachments)
                 part_lines = []
                 continue
             if part_lines is not None:
                 part_lines.append(line)
         return
+    dtype, fname = _disposition(headers)
+    is_attachment = dtype == "attachment" or (
+        not ctype.startswith("text/") and attachments is not None
+    )
+    if is_attachment and attachments is not None:
+        cte = headers.get("content-transfer-encoding", "7bit").strip().lower()
+        if cte == "base64":
+            data = _b64_decode(body)
+        elif cte == "quoted-printable":
+            data = qp_decode(body)
+        else:
+            data = body.encode("utf-8")
+        attachments.append((fname or "", ctype, data))
+        return
     if ctype in ("text/plain", "text/html"):
         charset = params.get("charset", "us-ascii").lower()
         leaves.append((ctype, _decode_body(body, headers, charset)))
-    # other leaf types (attachments) are not text: dropped
+    # other leaf types without an attachments sink are dropped
+
+
+def extract_attachments(payload: bytes) -> list[tuple[str, str, bytes]]:
+    """(filename, ctype, decoded bytes) for every attachment part —
+    Content-Disposition:attachment or any non-text leaf — in depth-first
+    MIME order."""
+    raw = payload.decode("utf-8")
+    leaves: list[tuple[str, str]] = []
+    atts: list[tuple[str, str, bytes]] = []
+    _walk_entity(raw, leaves, atts)
+    return atts
 
 
 def parse_email(payload: bytes) -> EmailDoc:
@@ -504,3 +555,49 @@ def split_mbox(payload: bytes) -> list[bytes]:
             m = m[:-1]  # tolerate foreign classic-mbox framing
         out.append(m)
     return out
+
+
+def encode_email_with_attachments(
+    subject: str,
+    date_epoch: int,
+    body_text: str,
+    attachments: list[tuple[str, bytes]],
+    qp_body: bool = False,
+) -> bytes:
+    """Compose multipart/mixed: a text/plain body part (8bit or QP)
+    followed by one base64 attachment part per (filename, bytes), each
+    with a Content-Disposition filename (RFC 2047 B-encoded when
+    non-ASCII)."""
+    b = f"=_att_{date_epoch}_="
+    lines = [
+        "From: corpus-writer <writer@example.org>",
+        "To: corpus <corpus@example.org>",
+        f"Subject: {encode_header_value(subject)}",
+        f"Date: {format_rfc2822(date_epoch)}",
+        f"Message-ID: <att.{date_epoch}@example.org>",
+        "MIME-Version: 1.0",
+        f'Content-Type: multipart/mixed; boundary="{b}"',
+        "",
+        f"--{b}",
+        "Content-Type: text/plain; charset=utf-8",
+    ]
+    if qp_body:
+        lines += [
+            "Content-Transfer-Encoding: quoted-printable",
+            "",
+            qp_encode(body_text.encode("utf-8")),
+        ]
+    else:
+        lines += ["Content-Transfer-Encoding: 8bit", "", body_text]
+    for fname, data in attachments:
+        fn = encode_header_value(fname)
+        lines += [
+            f"--{b}",
+            "Content-Type: application/octet-stream",
+            "Content-Transfer-Encoding: base64",
+            f'Content-Disposition: attachment; filename="{fn}"',
+            "",
+            _b64_encode(data),
+        ]
+    lines.append(f"--{b}--")
+    return "\n".join(lines).encode("utf-8")

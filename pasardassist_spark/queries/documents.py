@@ -837,6 +837,99 @@ def doc_email_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_email_attachments",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               doc_id % 3 + 1 AS n,
+               list_filter(string_split(text, ' '), w -> w != '') AS words
+        FROM documents
+    ),
+    att AS (
+        SELECT doc_id,
+               CAST(i.i AS INTEGER) AS att_no,
+               'slice-' || i.i || '.txt' AS filename,
+               array_to_string(
+                   words[(len(words) * i.i) // n + 1
+                         : (len(words) * (i.i + 1)) // n],
+                   ' ') AS body
+        FROM base JOIN (SELECT unnest(range(0, 3)) AS i) i ON i.i < n
+    )
+    SELECT doc_id, att_no, filename,
+           'application/octet-stream' AS ctype,
+           CAST(octet_length(encode(body)) AS BIGINT) AS n_bytes,
+           md5(body) AS content_md5
+    FROM att
+    """,
+)
+def doc_email_attachments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attachment recovery from MIME messages (operators/emailtext.py —
+    the other half of mail-corpus ingestion: bodies become text,
+    attachments become payload rows for the multimodal pipeline): each
+    document composes ONE multipart/mixed message whose doc_id%3+1
+    base64 attachments carry word-slice payloads under Content-
+    Disposition filenames (body QP-encoded on odd docs); the extractor
+    walks the MIME tree collecting (filename, ctype, decoded bytes) for
+    every attachment part, and the oracle re-derives each slice's byte
+    length and md5 directly from documents.text — a wrong disposition
+    parse, base64 decode, or part-order walk mismatches on 500
+    messages.  Scan → mapInPandas, one stage, zero shuffle."""
+    from pasardassist_spark.operators.emailtext import (
+        encode_email_with_attachments,
+        extract_attachments,
+        parse_email,
+    )
+
+    schema = (
+        "doc_id long, att_no int, filename string, ctype string, "
+        "n_bytes long, content_md5 string"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "att_no": [], "filename": [], "ctype": [],
+                "n_bytes": [], "content_md5": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = int(doc_id)
+                n = seed % 3 + 1
+                words = [w for w in text.split(" ") if w]
+                w_ = len(words)
+                atts = [
+                    (
+                        f"slice-{i}.txt",
+                        " ".join(
+                            words[w_ * i // n : w_ * (i + 1) // n]
+                        ).encode("utf-8"),
+                    )
+                    for i in range(n)
+                ]
+                raw = encode_email_with_attachments(
+                    f"atts {seed}", 1700000000 + seed, "carrier body",
+                    atts, qp_body=bool(seed % 2),
+                )
+                if parse_email(raw).text != "carrier body":
+                    raise ValueError(f"doc {doc_id}: body part corrupted")
+                got = extract_attachments(raw)
+                if len(got) != n:
+                    raise ValueError(
+                        f"doc {doc_id}: wrote {n} attachments, got {len(got)}"
+                    )
+                for i, (fname, ctype, data) in enumerate(got):
+                    out["doc_id"].append(doc_id)
+                    out["att_no"].append(i)
+                    out["filename"].append(fname)
+                    out["ctype"].append(ctype)
+                    out["n_bytes"].append(len(data))
+                    out["content_md5"].append(hashlib.md5(data).hexdigest())
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_batches, schema)
+
+
+@query(
     "doc_email_threads",
     oracle="""
     WITH base AS (

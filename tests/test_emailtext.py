@@ -227,3 +227,26 @@ def test_threading_headers_roundtrip_and_jwz_rule():
     )
     d4 = parse_email(raw4)
     assert d4.msg_id == "m@x" and d4.in_reply_to == "r1@x"
+
+
+def test_attachment_extraction_and_disposition():
+    from pasardassist_spark.operators.emailtext import (
+        encode_email_with_attachments,
+        extract_attachments,
+    )
+
+    atts = [("a.txt", b"alpha bytes"), ("unicodé.bin", bytes(range(256))),
+            ("", b"")]
+    raw = encode_email_with_attachments("s", 1700000000, "the body", atts,
+                                        qp_body=True)
+    doc = parse_email(raw)
+    assert doc.text == "the body"
+    got = extract_attachments(raw)
+    assert [(f, d) for f, _c, d in got] == atts  # RFC 2047 filename decoded
+    assert all(c == "application/octet-stream" for _f, c, _d in got)
+    # encode_email's structure-3 binary part is also an attachment
+    got3 = extract_attachments(encode_email("s", 1700000000, "b", 3))
+    assert len(got3) == 1 and got3[0][0] == "digest.bin"
+    assert len(got3[0][2]) == 16
+    # plain messages carry none
+    assert extract_attachments(encode_email("s", 1700000000, "b", 0)) == []

@@ -35,6 +35,7 @@ QUERIES = [
     "doc_pptx_extract",
     "doc_email_extract",
     "doc_email_threads",
+    "doc_email_attachments",
     "src_mbox_roundtrip",
     "pipeline_any_doc_extract",
     "text_lang_id_v2",
