@@ -22,10 +22,32 @@ __all__ = ["sniff_document"]
 _LATEX_HINT = re.compile(
     r"\\(documentclass|begin|section|emph|textbf|usepackage)\b"
 )
+# RFC 5322 sniff: a header-shaped first line plus a blank-line-terminated
+# header block containing at least one identity header.  Deliberately
+# conservative — single-line text (the markdown/latex family's whole
+# input space here) can never match because the rule needs newlines.
+_HEADER_LINE = re.compile(r"^[A-Za-z][\w-]*:[ \t]")
+_EMAIL_IDENTITY = re.compile(
+    r"^(from|date|subject|message-id|received|return-path):", re.I | re.M
+)
+
+
+def _sniff_email(text: str) -> bool:
+    head, nl, _body = text.partition("\n\n")
+    if not nl and "\n" not in text:
+        return False
+    lines = head.split("\n")
+    if not _HEADER_LINE.match(lines[0]):
+        return False
+    headerish = sum(
+        1 for ln in lines if _HEADER_LINE.match(ln) or ln[:1] in (" ", "\t")
+    )
+    return headerish >= 2 and bool(_EMAIL_IDENTITY.search(head))
 
 
 def sniff_document(payload) -> str:
-    """Return one of pdf/docx/xlsx/pptx/epub/odt/rtf/latex/markdown/ics."""
+    """Return one of
+    pdf/docx/xlsx/pptx/epub/odt/rtf/latex/markdown/ics/email."""
     if isinstance(payload, (bytes, bytearray)):
         data = bytes(payload)
         if data[:5] == b"%PDF-":
@@ -66,6 +88,8 @@ def sniff_document(payload) -> str:
         return "rtf"
     if text.startswith("BEGIN:VCALENDAR"):
         return "ics"
+    if _sniff_email(text):
+        return "email"
     if _LATEX_HINT.search(text):
         return "latex"
     return "markdown"
@@ -109,6 +133,10 @@ def extract_document(payload) -> tuple[str, str]:
         from pasardassist_spark.operators.mdtext import extract_markdown_blocks
         text = payload if isinstance(payload, str) else bytes(payload).decode("utf-8")
         parts = extract_markdown_blocks(text)
+    elif fmt == "email":
+        from pasardassist_spark.operators.emailtext import parse_email
+        raw = payload.encode("utf-8") if isinstance(payload, str) else bytes(payload)
+        parts = [parse_email(raw).text]
     else:  # ics — events, not prose; the gate dead-letters it by name
         raise ValueError(f"no prose extraction for document format {fmt!r}")
     return fmt, " ".join(w for p in parts for w in p.split() if w)

@@ -585,10 +585,10 @@ def doc_feed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_any_doc_extract",
     oracle="""
     SELECT doc_id,
-           CASE doc_id % 8
+           CASE doc_id % 9
                WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'epub'
                WHEN 3 THEN 'markdown' WHEN 4 THEN 'latex' WHEN 5 THEN 'rtf'
-               WHEN 6 THEN 'xlsx' ELSE 'pptx'
+               WHEN 6 THEN 'xlsx' WHEN 7 THEN 'pptx' ELSE 'email'
            END AS fmt,
            CAST(length(norm) AS BIGINT) AS n_chars,
            md5(norm) AS text_md5
@@ -605,10 +605,11 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The document-format family as ONE dispatcher stage — the shape a
     real crawl pipeline runs (payloads arrive in mixed formats; a single
     map pass sniffs and routes): each document is written into the
-    format doc_id%8 selects (PDF, DOCX, EPUB, Markdown, LaTeX, RTF,
-    XLSX, PPTX), re-extracted by that format's conforming parser, and
-    reduced to the md5 of its whitespace-normalized text — which the
-    oracle computes directly from documents.text, so ALL EIGHT parsers
+    format doc_id%9 selects (PDF, DOCX, EPUB, Markdown, LaTeX, RTF,
+    XLSX, PPTX, RFC 5322 email), re-extracted by that format's
+    conforming parser, and reduced to the md5 of its
+    whitespace-normalized text — which the oracle computes directly
+    from documents.text, so ALL NINE parsers
     must reconstruct their input exactly for the single hash column to
     match on 500 mixed-format files. Zero shuffle; the per-format rates
     are in BASELINE.md's round-11/12 tables."""
@@ -638,6 +639,7 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_pptx,
         extract_pptx_slides,
     )
+    from pasardassist_spark.operators.emailtext import encode_email, parse_email
 
     def _rtf(parts):
         return encode_rtf(parts)
@@ -670,8 +672,15 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "xlsx": (encode_xlsx, extract_xlsx_cells),
         "pptx": (encode_pptx, extract_pptx_slides),
+        "email": (
+            lambda parts: encode_email(
+                "dispatch", 1700000000, " ".join(parts), len(parts)
+            ),
+            lambda raw: [parse_email(raw).text],
+        ),
     }
-    fmts = ["pdf", "docx", "epub", "markdown", "latex", "rtf", "xlsx", "pptx"]
+    fmts = ["pdf", "docx", "epub", "markdown", "latex", "rtf", "xlsx",
+            "pptx", "email"]
 
     schema = "doc_id long, fmt string, n_chars long, text_md5 string"
 
@@ -682,7 +691,7 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 seed = int(doc_id)
-                fmt = fmts[seed % 8]
+                fmt = fmts[seed % 9]
                 enc, ext = codecs[fmt]
                 n = seed % 3 + 2
                 words = [w for w in text.split(" ") if w]

@@ -1117,3 +1117,24 @@ def test_xlsx_custom_numfmt_date_detection():
                 dst.writestr(name, src.read(name))
     t = extract_xlsx_typed(buf.getvalue())
     assert t == [[("d", "2023-03-15"), ("n", "45000")]]
+
+
+def test_document_sniffer_email_rule():
+    from pasardassist_spark.operators.docsniff import (
+        extract_document,
+        sniff_document,
+    )
+    from pasardassist_spark.operators.emailtext import encode_email
+
+    raw = encode_email("hello", 1700000000, "body words here", 1)
+    assert sniff_document(raw) == "email"
+    fmt, text = extract_document(raw)
+    assert fmt == "email" and text == "body words here"
+    # single-line text can never match (no newlines) — markdown default
+    assert sniff_document("Subject: looks like a header") == "markdown"
+    # one header line alone is not enough
+    assert sniff_document("From: a@b\n\nnot mail, no identity pair") in (
+        "markdown", "latex",
+    )
+    # header block without any identity header stays markdown
+    assert sniff_document("Alpha: one\nBeta: two\n\nbody") == "markdown"
