@@ -231,6 +231,7 @@ EXTRA_NAMES = [
     "doc_email_extract",
     "doc_email_threads",
     "doc_email_attachments",
+    "pipeline_email_to_sft",
     "src_mbox_roundtrip",
     "text_lang_id_v2",
 ]

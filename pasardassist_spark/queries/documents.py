@@ -938,6 +938,64 @@ def doc_email_attachments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_batches, schema)
 
 
+def _thread_roundtrip(seed: int, text: str) -> dict:
+    """The binary-tree thread fixture shared by doc_email_threads and
+    pipeline_email_to_sft: compose seed%4+2 messages (word-slice bodies,
+    message i replying to (i-1)//2, threading identity split between
+    In-Reply-To and References), scramble the mailbox order, split and
+    re-parse.  Returns {msg_id: EmailDoc}."""
+    from pasardassist_spark.operators.emailtext import (
+        encode_email,
+        encode_mbox,
+        parse_email,
+        split_mbox,
+    )
+
+    n = seed % 4 + 2
+    words = [w for w in text.split(" ") if w]
+    w_ = len(words)
+    msgs = []
+    for i in range(n):
+        body = " ".join(words[w_ * i // n : w_ * (i + 1) // n])
+        mid = f"t{seed}.{i}@corpus"
+        if i == 0:
+            irt, refs = None, None
+        elif i % 2 == 1:
+            irt, refs = f"t{seed}.{(i - 1) // 2}@corpus", None
+        else:
+            # ancestor chain root..parent, parent LAST
+            chain, p = [], (i - 1) // 2
+            while True:
+                chain.append(p)
+                if p == 0:
+                    break
+                p = (p - 1) // 2
+            irt = None
+            refs = [f"t{seed}.{a}@corpus" for a in reversed(chain)]
+        msgs.append(
+            encode_email(
+                f"thread {seed} msg {i}",
+                1700000000 + seed * 131 + i * 67,
+                body,
+                seed + i,
+                msg_id=mid,
+                in_reply_to=irt,
+                references=refs,
+            )
+        )
+    scrambled = [msgs[(7 * j + 3) % n] for j in range(n)]
+    got = split_mbox(encode_mbox(scrambled))
+    if len(got) != n:
+        raise ValueError(f"doc {seed}: wrote {n} messages, split {len(got)}")
+    parsed = {}
+    for raw in got:
+        doc = parse_email(raw)
+        if doc.msg_id is None:
+            raise ValueError(f"doc {seed}: message without id")
+        parsed[doc.msg_id] = doc
+    return parsed
+
+
 @query(
     "doc_email_threads",
     oracle="""
@@ -983,13 +1041,6 @@ def doc_email_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback rule, or a broken walk mismatches on 500 mailboxes.  Scan →
     mapInPandas, one stage, zero shuffle (threads are mailbox-local —
     the partition-local shape real archives have)."""
-    from pasardassist_spark.operators.emailtext import (
-        encode_email,
-        encode_mbox,
-        parse_email,
-        split_mbox,
-    )
-
     schema = (
         "doc_id long, msg_id string, parent_id string, depth int, "
         "n_chars long, body_md5 string"
@@ -1003,50 +1054,7 @@ def doc_email_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 seed = int(doc_id)
-                n = seed % 4 + 2
-                words = [w for w in text.split(" ") if w]
-                w_ = len(words)
-                msgs = []
-                for i in range(n):
-                    body = " ".join(words[w_ * i // n : w_ * (i + 1) // n])
-                    mid = f"t{seed}.{i}@corpus"
-                    if i == 0:
-                        irt, refs = None, None
-                    elif i % 2 == 1:
-                        irt, refs = f"t{seed}.{(i - 1) // 2}@corpus", None
-                    else:
-                        # ancestor chain root..parent, parent LAST
-                        chain, p = [], (i - 1) // 2
-                        while True:
-                            chain.append(p)
-                            if p == 0:
-                                break
-                            p = (p - 1) // 2
-                        irt = None
-                        refs = [f"t{seed}.{a}@corpus" for a in reversed(chain)]
-                    msgs.append(
-                        encode_email(
-                            f"thread {seed} msg {i}",
-                            1700000000 + seed * 131 + i * 67,
-                            body,
-                            seed + i,
-                            msg_id=mid,
-                            in_reply_to=irt,
-                            references=refs,
-                        )
-                    )
-                scrambled = [msgs[(7 * j + 3) % n] for j in range(n)]
-                got = split_mbox(encode_mbox(scrambled))
-                if len(got) != n:
-                    raise ValueError(
-                        f"doc {doc_id}: wrote {n} messages, split {len(got)}"
-                    )
-                parsed = {}
-                for raw in got:
-                    doc = parse_email(raw)
-                    if doc.msg_id is None:
-                        raise ValueError(f"doc {doc_id}: message without id")
-                    parsed[doc.msg_id] = doc
+                parsed = _thread_roundtrip(seed, text)
                 for mid, doc in parsed.items():
                     depth, p, hops = 0, doc.in_reply_to, 0
                     while p is not None:
@@ -1064,6 +1072,117 @@ def doc_email_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["n_chars"].append(len(doc.text))
                     out["body_md5"].append(
                         hashlib.md5(doc.text.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_batches, schema)
+
+
+@query(
+    "pipeline_email_to_sft",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               doc_id % 4 + 2 AS n,
+               list_filter(string_split(text, ' '), w -> w != '') AS words
+        FROM documents
+    ),
+    paths(pn, leaf, path) AS (VALUES
+        (2, 1, [0, 1]),
+        (3, 1, [0, 1]), (3, 2, [0, 2]),
+        (4, 2, [0, 2]), (4, 3, [0, 1, 3]),
+        (5, 2, [0, 2]), (5, 3, [0, 1, 3]), (5, 4, [0, 1, 4])),
+    j AS (
+        SELECT b.doc_id, b.n, b.words, p.leaf, p.path
+        FROM base b JOIN paths p ON p.pn = b.n
+    ),
+    r AS (
+        SELECT doc_id, leaf,
+               len(path) AS n_turns,
+               array_to_string(list_transform(path, i ->
+                   '<|im_start|>' ||
+                   (CASE WHEN CAST(floor(log2(i + 1)) AS INTEGER) % 2 = 0
+                         THEN 'user' ELSE 'assistant' END) ||
+                   chr(10) ||
+                   array_to_string(
+                       words[(len(words) * i) // n + 1
+                             : (len(words) * (i + 1)) // n], ' ') ||
+                   '<|im_end|>' || chr(10)), '') AS rendered,
+               CAST(list_sum(list_transform(path, i ->
+                   CASE WHEN CAST(floor(log2(i + 1)) AS INTEGER) % 2 = 1
+                        THEN length(array_to_string(
+                            words[(len(words) * i) // n + 1
+                                  : (len(words) * (i + 1)) // n], ' '))
+                        ELSE 0 END)) AS BIGINT) AS assistant_chars
+        FROM j
+    )
+    SELECT doc_id,
+           't' || doc_id || '.' || leaf || '@corpus' AS leaf_id,
+           CAST(n_turns AS INTEGER) AS n_turns,
+           assistant_chars,
+           md5(rendered) AS rendered_md5
+    FROM r
+    """,
+)
+def pipeline_email_to_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mail-to-training-data composition end-to-end: thread mailboxes
+    (the doc_email_threads fixture — scrambled mboxrd, JWZ parent
+    resolution) are reconstructed into trees, every ROOT-TO-LEAF path
+    becomes one conversation (the Reddit/email-SFT convention), roles
+    alternate user/assistant by depth, and each conversation renders in
+    the ChatML template format_chat_sft uses, with the assistant
+    character mass (the loss-maskable span) computed alongside.  The
+    oracle enumerates the binary tree's paths per size as literal
+    tables and re-renders the identical strings from word slices — a
+    wrong parent, a missed leaf, or a role-parity slip mismatches the
+    hash on 500 mailboxes.  Scan → mapInPandas, one stage, zero
+    shuffle; leaves are thread-local so the fan-out is bounded by
+    thread size, never corpus size."""
+    schema = (
+        "doc_id long, leaf_id string, n_turns int, assistant_chars long, "
+        "rendered_md5 string"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "leaf_id": [], "n_turns": [],
+                "assistant_chars": [], "rendered_md5": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = int(doc_id)
+                parsed = _thread_roundtrip(seed, text)
+                parents = {m.in_reply_to for m in parsed.values()
+                           if m.in_reply_to is not None}
+                leaves = [mid for mid in parsed if mid not in parents]
+                for leaf in leaves:
+                    path, p, hops = [], leaf, 0
+                    while p is not None:
+                        if p not in parsed or hops > 64:
+                            raise ValueError(
+                                f"doc {doc_id}: broken chain at {p!r}"
+                            )
+                        path.append(p)
+                        hops += 1
+                        p = parsed[p].in_reply_to
+                    path.reverse()  # root -> leaf
+                    chunks, a_chars = [], 0
+                    for depth, mid in enumerate(path):
+                        role = "user" if depth % 2 == 0 else "assistant"
+                        body = parsed[mid].text
+                        if role == "assistant":
+                            a_chars += len(body)
+                        chunks.append(
+                            f"<|im_start|>{role}\n{body}<|im_end|>\n"
+                        )
+                    rendered = "".join(chunks)
+                    out["doc_id"].append(doc_id)
+                    out["leaf_id"].append(leaf)
+                    out["n_turns"].append(len(path))
+                    out["assistant_chars"].append(a_chars)
+                    out["rendered_md5"].append(
+                        hashlib.md5(rendered.encode("utf-8")).hexdigest()
                     )
             yield pd.DataFrame(out)
 

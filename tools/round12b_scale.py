@@ -36,6 +36,7 @@ QUERIES = [
     "doc_email_extract",
     "doc_email_threads",
     "doc_email_attachments",
+    "pipeline_email_to_sft",
     "src_mbox_roundtrip",
     "pipeline_any_doc_extract",
     "text_lang_id_v2",
