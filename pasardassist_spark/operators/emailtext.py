@@ -211,15 +211,30 @@ def decode_header_value(value: str) -> str:
 
 def encode_header_value(text: str, force: bool = False) -> str:
     """Subject as either plain ASCII or a chain of B-encoded words (what
-    real MUAs emit for non-ASCII; `force` exercises the path on ASCII)."""
+    real MUAs emit for non-ASCII; `force` exercises the path on ASCII).
+    Each encoded-word carries an INTEGRAL number of characters (RFC 2047
+    §5: a multibyte sequence must not straddle encoded-words, or each
+    word decodes to invalid utf-8 — found by the property test)."""
     if not force and all(32 <= ord(c) < 127 for c in text):
         return text
-    words = []
-    data = text.encode("utf-8")
-    for i in range(0, len(data), 30):
-        b64 = binascii.b2a_base64(data[i : i + 30], newline=False).decode()
-        words.append(f"=?utf-8?B?{b64}?=")
-    return " ".join(words)
+    words, chunk, size = [], [], 0
+    for ch in text:
+        b = len(ch.encode("utf-8"))
+        if size + b > 30 and chunk:
+            words.append(chunk)
+            chunk, size = [], 0
+        chunk.append(ch)
+        size += b
+    if chunk or not words:
+        words.append(chunk)
+    return " ".join(
+        "=?utf-8?B?"
+        + binascii.b2a_base64(
+            "".join(w).encode("utf-8"), newline=False
+        ).decode()
+        + "?="
+        for w in words
+    )
 
 
 # ------------------------------------------------------- header parsing ---

@@ -1,0 +1,114 @@
+"""Hypothesis property tests for the round-12 document codecs:
+encode→parse is the identity for every representable input, the QP and
+mbox layers are lossless on arbitrary bytes/text, and the parsers never
+escape their ValueError/NotImplementedError contracts on junk — the
+guarantees the fixture tests sample, proved over generated inputs."""
+
+from __future__ import annotations
+
+import quopri
+
+from hypothesis import given, settings, strategies as st
+
+from pasardassist_spark.operators.emailtext import (
+    decode_header_value,
+    encode_email,
+    encode_header_value,
+    encode_mbox,
+    format_rfc2822,
+    parse_email,
+    qp_decode,
+    qp_encode,
+    split_mbox,
+)
+from pasardassist_spark.operators.feedtext import parse_rfc822_date
+from pasardassist_spark.operators.pptxtext import (
+    encode_pptx,
+    extract_pptx_slides,
+)
+from pasardassist_spark.operators.xlsxtext import (
+    encode_xlsx,
+    extract_xlsx_cells,
+)
+
+# XML 1.0 cannot carry control chars; real documents don't either.
+# Surrogates excluded (not encodable to utf-8).
+xml_text = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs", "Cc"), blacklist_characters="\r"
+    ),
+    max_size=60,
+)
+body_text = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",), blacklist_characters="\r"
+    ),
+    max_size=120,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(xml_text, max_size=6))
+def test_xlsx_cells_roundtrip_property(cells):
+    assert extract_xlsx_cells(encode_xlsx(cells)) == cells
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(xml_text.map(lambda s: s.replace("\t", " ")), max_size=5))
+def test_pptx_slides_roundtrip_property(slides):
+    assert extract_pptx_slides(encode_pptx(slides)) == slides
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=300))
+def test_qp_lossless_on_arbitrary_bytes(data):
+    enc = qp_encode(data)
+    assert qp_decode(enc) == data
+    assert quopri.decodestring(enc.encode()) == data
+    assert all(len(line) <= 76 for line in enc.split("\n"))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.binary(max_size=200), max_size=5))
+def test_mbox_lossless_on_arbitrary_messages(msgs):
+    assert split_mbox(encode_mbox(msgs)) == msgs
+
+
+@settings(max_examples=60, deadline=None)
+@given(body_text, st.integers(0, 3), st.integers(0, 2**33))
+def test_email_roundtrip_property(body, structure, epoch):
+    raw = encode_email("s", epoch, body, structure)
+    doc = parse_email(raw)
+    assert doc.text == body
+    assert doc.date_epoch == epoch
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+        max_size=80,
+    )
+)
+def test_encoded_word_header_roundtrip_property(s):
+    assert decode_header_value(encode_header_value(s, force=True)) == s
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**35))
+def test_rfc2822_date_roundtrip_property(epoch):
+    assert parse_rfc822_date(format_rfc2822(epoch)) == epoch
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=1, max_size=120))
+def test_parsers_never_escape_error_contract(junk):
+    for fn in (extract_xlsx_cells, extract_pptx_slides):
+        try:
+            fn(junk)
+        except (ValueError, NotImplementedError):
+            pass
+    try:
+        parse_email(junk)
+    except (ValueError, NotImplementedError, UnicodeDecodeError):
+        pass
