@@ -262,3 +262,51 @@ def test_doc_gate_replayed_epoch_is_noop(spark, sf_dir, tmp_path):
     apply_doc_batch(chunks[0], 0, state, admitted)
     final = {r.doc_id for r in admitted_clean_docs(spark, admitted).collect()}
     assert final == both
+
+
+def test_mbox_archive_through_doc_gate(spark, sf_dir, tmp_path):
+    """The crawl-ingest composition end-to-end: an mboxrd archive written
+    by the sink, re-read message-per-row, and streamed through the
+    document gate — every clean distinct message body admits as
+    fmt='email' extracted text."""
+    import pandas as pd
+
+    from pasardassist_spark.operators.emailtext import encode_email
+    from pasardassist_spark.sources.mbox import read_mbox, write_mbox
+    from pasardassist_spark.streaming.docgate import (
+        admitted_clean_docs,
+        apply_doc_batch,
+        gopher_keep,
+    )
+
+    texts = [
+        r.text
+        for r in load(spark, sf_dir, "documents")
+        .orderBy("doc_id").limit(40)
+        .filter(gopher_keep(F.col("text")))
+        .limit(6).collect()
+    ]
+    assert len(texts) >= 4
+    msgs = [encode_email(f"m{i}", 1700000000 + i, t, i)
+            for i, t in enumerate(texts)]
+    msgs.append(msgs[0])  # an exact duplicate message
+    df = spark.createDataFrame(pd.DataFrame({"msg": msgs})).coalesce(1)
+    archive = tmp_path / "archive"
+    write_mbox(df, str(archive)).collect()
+
+    back = read_mbox(spark, str(archive)).select(
+        F.col("msg_no").cast("long").alias("doc_id"),
+        F.col("raw").alias("payload"),
+    )
+    apply_doc_batch(back, 0, str(tmp_path / "state"), str(tmp_path / "adm"))
+    adm = admitted_clean_docs(spark, str(tmp_path / "adm")).collect()
+    assert all(r.fmt == "email" for r in adm)
+    got = {" ".join(r.text.split()) for r in adm}
+    want = {" ".join(t.split()) for t in texts}
+    # every admitted body is a real source text, each at most once (the
+    # planted exact duplicate is gated), and the bulk admits — synthetic
+    # texts share vocabulary, so an occasional legitimate MinHash
+    # near-dup loss between DISTINCT texts is allowed
+    assert got <= want
+    assert len(adm) == len(got)
+    assert len(got) >= len(want) - 2
