@@ -234,6 +234,7 @@ EXTRA_NAMES = [
     "pipeline_email_to_sft",
     "src_mbox_roundtrip",
     "text_lang_id_v2",
+    "format_fim_spans",
 ]
 
 

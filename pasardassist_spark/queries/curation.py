@@ -1736,3 +1736,76 @@ def src_mbox_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, subject string, date_epoch long, n_chars long, "
         "body_md5 string",
     )
+
+
+@query(
+    "format_fim_spans",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               {_TOKS_SQL} AS words,
+               len({_TOKS_SQL}) AS w
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, w,
+               (w * (doc_id % 3 + 1)) // 6 AS a,
+               (w * (doc_id % 3 + 3)) // 6 AS b,
+               words
+        FROM t
+    ),
+    r AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode,
+               array_to_string(words[1:a], ' ') AS pre,
+               array_to_string(words[a+1:b], ' ') AS mid,
+               array_to_string(words[b+1:w], ' ') AS suf
+        FROM s
+    )
+    SELECT doc_id, mode,
+           CAST(length(mid) AS BIGINT) AS middle_chars,
+           md5(CASE WHEN mode = 'psm'
+                THEN '<|fim_prefix|>' || pre || '<|fim_suffix|>' || suf
+                     || '<|fim_middle|>' || mid
+                ELSE '<|fim_suffix|>' || suf || '<|fim_prefix|>' || pre
+                     || '<|fim_middle|>' || mid
+           END) AS rendered_md5
+    FROM r
+    """,
+)
+def format_fim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle span formatting (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle") —
+    the code-LLM data-prep sibling of format_chat_sft: each document
+    splits at closed-form word boundaries into prefix/middle/suffix and
+    renders with FIM sentinels, alternating the paper's PSM and SPM
+    orderings by doc parity (both are trained in practice; SPM is the
+    inference-cache-friendly one).  ENTIRELY JVM column math — split +
+    slice + concat inside the scan projection, zero Python, zero
+    shuffle — so at 100 TB it runs at scan speed.  The oracle
+    re-assembles the identical strings in SQL and md5-compares."""
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    w_ = F.size(words)
+    a = (w_ * (F.col("doc_id") % 3 + 1) / 6).cast("int")
+    b = (w_ * (F.col("doc_id") % 3 + 3) / 6).cast("int")
+    pre = F.array_join(F.slice(words, F.lit(1), a), " ")
+    mid = F.array_join(F.slice(words, a + F.lit(1), b - a), " ")
+    suf = F.array_join(F.slice(words, b + F.lit(1), w_ - b), " ")
+    psm = F.concat(
+        F.lit("<|fim_prefix|>"), pre, F.lit("<|fim_suffix|>"), suf,
+        F.lit("<|fim_middle|>"), mid,
+    )
+    spm = F.concat(
+        F.lit("<|fim_suffix|>"), suf, F.lit("<|fim_prefix|>"), pre,
+        F.lit("<|fim_middle|>"), mid,
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "psm").otherwise("spm").alias("mode"),
+        F.length(mid).cast("long").alias("middle_chars"),
+        F.md5(
+            F.when(F.col("doc_id") % 2 == 0, psm).otherwise(spm)
+            .cast("binary")
+        ).alias("rendered_md5"),
+    )
