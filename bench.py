@@ -228,6 +228,7 @@ EXTRA_NAMES = [
     "doc_xlsx_extract",
     "doc_xlsx_records",
     "doc_pptx_extract",
+    "doc_pptx_notes",
     "doc_email_extract",
     "doc_email_threads",
     "doc_email_attachments",

@@ -37,7 +37,12 @@ import re
 import zipfile
 import xml.etree.ElementTree as ET
 
-__all__ = ["encode_pptx", "extract_pptx_slides", "sniff_pptx"]
+__all__ = [
+    "encode_pptx",
+    "extract_pptx_slides",
+    "extract_pptx_notes",
+    "sniff_pptx",
+]
 
 _P = "http://schemas.openxmlformats.org/presentationml/2006/main"
 _A = "http://schemas.openxmlformats.org/drawingml/2006/main"
@@ -45,6 +50,7 @@ _R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
 _REL = "http://schemas.openxmlformats.org/package/2006/relationships"
 _REL_OFFICEDOC = f"{_R}/officeDocument"
 _REL_SLIDE = f"{_R}/slide"
+_REL_NOTES = f"{_R}/notesSlide"
 
 _OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 
@@ -161,6 +167,63 @@ def extract_pptx_slides(payload: bytes) -> list[str]:
         return out
 
 
+def extract_pptx_notes(payload: bytes) -> list[str | None]:
+    """One entry per slide in p:sldIdLst order: the slide's speaker
+    notes (the notesSlide part resolved through the SLIDE's own rels —
+    a third rels level under ppt/slides/_rels), or None when the slide
+    has none.  Notes text recovers through the same DrawingML walk as
+    slide bodies."""
+    if payload[:8] == _OLE2_MAGIC:
+        raise NotImplementedError(
+            "legacy binary .ppt (OLE2 compound file) unsupported"
+        )
+    if not sniff_pptx(payload):
+        raise ValueError("not a ZIP-based OOXML payload")
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except zipfile.BadZipFile as exc:
+        raise ValueError(f"corrupt OOXML zip: {exc}") from exc
+    with zf:
+        names = set(zf.namelist())
+        if "EncryptedPackage" in names or "EncryptionInfo" in names:
+            raise NotImplementedError("encrypted OOXML package unsupported")
+        pres_part = _main_part(zf, names)
+        try:
+            pres = ET.fromstring(zf.read(pres_part))
+        except ET.ParseError as exc:
+            raise ValueError(f"malformed PresentationML: {exc}") from exc
+        rels = _part_rels(zf, names, pres_part)
+        sld_lst = pres.find(f"{{{_P}}}sldIdLst")
+        if sld_lst is None:
+            return []
+        out: list[str | None] = []
+        for sld in sld_lst.findall(f"{{{_P}}}sldId"):
+            rid = sld.get(f"{{{_R}}}id")
+            if rid is None or rid not in rels:
+                raise ValueError(
+                    f"slide id {sld.get('id')!r} has no resolvable r:id"
+                )
+            slide_part = rels[rid][1]
+            srels = _part_rels(zf, names, slide_part)
+            note_tgt = next(
+                (t for _rid, (typ, t) in srels.items() if typ == _REL_NOTES),
+                None,
+            )
+            if note_tgt is None:
+                out.append(None)
+                continue
+            if note_tgt not in names:
+                raise ValueError(f"notesSlide part missing: {note_tgt}")
+            try:
+                nroot = ET.fromstring(zf.read(note_tgt))
+            except ET.ParseError as exc:
+                raise ValueError(
+                    f"malformed notesSlide {note_tgt}: {exc}"
+                ) from exc
+            out.append(_slide_text(nroot))
+        return out
+
+
 # --------------------------------------------------------------- writer ---
 
 _CT_TMPL = (
@@ -202,13 +265,20 @@ def _para_xml(text: str) -> str:
     return f"<a:p>{inner}</a:p>"
 
 
-def encode_pptx(slides: list[str]) -> bytes:
+def encode_pptx(
+    slides: list[str], notes: list[str | None] | None = None
+) -> bytes:
     """Write a conforming minimal .pptx: one slide per string.  Newlines
     alternate between in-paragraph a:br elements and a:p boundaries, and
     slide FILE numbering is deliberately reversed relative to deck order,
-    so only the sldIdLst walk reconstructs the input exactly."""
+    so only the sldIdLst walk reconstructs the input exactly.  ``notes``
+    (parallel to slides; None entries = no notes) writes real notesSlide
+    parts linked through each slide's own rels sidecar."""
     n = len(slides)
+    notes = notes or [None] * n
     slide_parts: list[tuple[str, str]] = []
+    note_parts: list[tuple[str, str]] = []
+    slide_rels: list[tuple[str, str]] = []  # (slide part, rels xml)
     rels_entries: list[str] = []
     sld_ids: list[str] = []
     for i, text in enumerate(slides):
@@ -235,6 +305,27 @@ def encode_pptx(slides: list[str]) -> bytes:
             f' Target="{fname}"/>'
         )
         sld_ids.append(f'<p:sldId id="{256 + i}" r:id="rIdSl{i + 1}"/>')
+        if notes[i] is not None:
+            nsegs = notes[i].split("\n")
+            nparas = [
+                "\n".join(nsegs[j : j + 2]) for j in range(0, len(nsegs), 2)
+            ]
+            nxml = (
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                f'<p:notes xmlns:p="{_P}" xmlns:a="{_A}"><p:cSld><p:spTree>'
+                "<p:sp><p:txBody>"
+                + "".join(_para_xml(np_) for np_ in nparas)
+                + "</p:txBody></p:sp></p:spTree></p:cSld></p:notes>"
+            )
+            note_parts.append((f"ppt/notesSlides/notesSlide{n - i}.xml", nxml))
+            slide_rels.append((
+                f"ppt/slides/_rels/slide{n - i}.xml.rels",
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                f'<Relationships xmlns="{_REL}">'
+                f'<Relationship Id="rIdN1" Type="{_REL_NOTES}"'
+                f' Target="../notesSlides/notesSlide{n - i}.xml"/>'
+                "</Relationships>",
+            ))
     pres = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f'<p:presentation xmlns:p="{_P}" xmlns:r="{_R}">'
@@ -251,6 +342,11 @@ def encode_pptx(slides: list[str]) -> bytes:
         '"application/vnd.openxmlformats-officedocument.presentationml.'
         'slide+xml"/>'
         for part, _xml in slide_parts
+    ) + "".join(
+        f'<Override PartName="/{part}" ContentType='
+        '"application/vnd.openxmlformats-officedocument.presentationml.'
+        'notesSlide+xml"/>'
+        for part, _xml in note_parts
     )
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
@@ -259,5 +355,9 @@ def encode_pptx(slides: list[str]) -> bytes:
         zf.writestr("ppt/presentation.xml", pres)
         zf.writestr("ppt/_rels/presentation.xml.rels", pres_rels)
         for part, xml in slide_parts:
+            zf.writestr(part, xml)
+        for part, xml in note_parts:
+            zf.writestr(part, xml)
+        for part, xml in slide_rels:
             zf.writestr(part, xml)
     return buf.getvalue()

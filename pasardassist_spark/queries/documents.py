@@ -1345,6 +1345,94 @@ def doc_pptx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_pptx_notes",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               doc_id % 3 + 1 AS n,
+               list_filter(string_split(text, ' '), w -> w != '') AS words
+        FROM documents
+    ),
+    sl AS (
+        SELECT doc_id,
+               CAST(i.i AS INTEGER) AS slide_no,
+               words[(len(words) * i.i) // n + 1
+                     : (len(words) * (i.i + 1)) // n] AS ws,
+               (doc_id + i.i) % 2 = 0 AS has_notes
+        FROM base JOIN (SELECT unnest(range(0, 3)) AS i) i ON i.i < n
+    )
+    SELECT doc_id, slide_no,
+           md5(array_to_string(ws, ' ')) AS slide_md5,
+           has_notes,
+           CASE WHEN has_notes
+                THEN md5(array_to_string(list_reverse(ws), ' '))
+           END AS notes_md5
+    FROM sl
+    """,
+)
+def doc_pptx_notes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speaker-notes recovery (operators/pptxtext.py): real decks carry
+    training-relevant text in notesSlide parts, resolved through a THIRD
+    rels level — presentation rels → slide → the slide's own rels
+    sidecar → notesSlide.  Every other slide of each deck gets a notes
+    part whose text is the slide's words REVERSED (so swapping slide and
+    note text, or attaching a note to the wrong slide, mismatches);
+    slides without notes must come back None.  The oracle re-derives
+    both hashes from word slices.  Scan → mapInPandas, one stage, zero
+    shuffle."""
+    from pasardassist_spark.operators.pptxtext import (
+        encode_pptx,
+        extract_pptx_notes,
+        extract_pptx_slides,
+    )
+
+    schema = (
+        "doc_id long, slide_no int, slide_md5 string, has_notes boolean, "
+        "notes_md5 string"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "slide_no": [], "slide_md5": [],
+                "has_notes": [], "notes_md5": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = int(doc_id)
+                n = seed % 3 + 1
+                words = [w for w in text.split(" ") if w]
+                w_ = len(words)
+                slides, notes = [], []
+                for i in range(n):
+                    ws = words[w_ * i // n : w_ * (i + 1) // n]
+                    slides.append(" ".join(ws))
+                    notes.append(
+                        " ".join(reversed(ws)) if (seed + i) % 2 == 0
+                        else None
+                    )
+                payload = encode_pptx(slides, notes)
+                got_s = extract_pptx_slides(payload)
+                got_n = extract_pptx_notes(payload)
+                if got_s != slides or len(got_n) != n:
+                    raise ValueError(f"doc {doc_id}: deck round-trip broke")
+                for i in range(n):
+                    out["doc_id"].append(doc_id)
+                    out["slide_no"].append(i)
+                    out["slide_md5"].append(
+                        hashlib.md5(got_s[i].encode("utf-8")).hexdigest()
+                    )
+                    out["has_notes"].append(got_n[i] is not None)
+                    out["notes_md5"].append(
+                        None if got_n[i] is None else
+                        hashlib.md5(got_n[i].encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_batches, schema)
+
+
 @query("doc_odt_extract", oracle=_oracle(4))
 def doc_odt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL ODT extraction end-to-end (operators/odttext.py — the

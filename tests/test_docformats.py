@@ -1138,3 +1138,24 @@ def test_document_sniffer_email_rule():
     )
     # header block without any identity header stays markdown
     assert sniff_document("Alpha: one\nBeta: two\n\nbody") == "markdown"
+
+
+def test_pptx_speaker_notes_roundtrip_and_rels_level():
+    from pasardassist_spark.operators.pptxtext import (
+        encode_pptx,
+        extract_pptx_notes,
+        extract_pptx_slides,
+    )
+
+    slides = ["first body", "second body", "third"]
+    notes = ["note one", None, "note\nthree lines\nhere"]
+    p = encode_pptx(slides, notes)
+    assert extract_pptx_slides(p) == slides  # notes never leak into slides
+    assert extract_pptx_notes(p) == notes
+    # slide order still follows sldIdLst, so notes attach to the RIGHT
+    # slide despite the reversed file numbering
+    import zipfile as _zf
+    with _zf.ZipFile(io.BytesIO(p)) as zf:
+        # deck slide 0 lives in slide3.xml; its notes in notesSlide3.xml
+        assert b"note one" in zf.read("ppt/notesSlides/notesSlide3.xml")
+    assert extract_pptx_notes(encode_pptx(["a"])) == [None]
