@@ -240,6 +240,28 @@ def encode_header_value(text: str, force: bool = False) -> str:
 # ------------------------------------------------------- header parsing ---
 
 
+def fold_header_value(value: str) -> str:
+    """RFC 5322 §2.2.3 folding for encoded-word chains: break at the
+    single-space boundaries between encoded-words so no line exceeds
+    ~76 chars.  Values containing anything but a chain of encoded-words
+    are returned untouched (folding a plain subject with doubled spaces
+    would not round-trip through unfolding)."""
+    parts = value.split(" ")
+    if len(parts) < 2 or not all(
+        p.startswith("=?") and p.endswith("?=") for p in parts
+    ):
+        return value
+    lines, cur = [], ""
+    for p in parts:
+        if cur and len(cur) + 1 + len(p) > 66:  # + 'Subject: ' stays < 78
+            lines.append(cur)
+            cur = p
+        else:
+            cur = f"{cur} {p}" if cur else p
+    lines.append(cur)
+    return "\n ".join(lines)
+
+
 def _split_head_body(raw: str) -> tuple[str, str]:
     for sep in ("\r\n\r\n", "\n\n"):
         k = raw.find(sep)
@@ -440,7 +462,7 @@ def encode_email(
     common = [
         "From: corpus-writer <writer@example.org>",
         "To: corpus <corpus@example.org>",
-        f"Subject: {subj}",
+        f"Subject: {fold_header_value(subj)}",
         f"Date: {format_rfc2822(date_epoch)}",
         f"Message-ID: <{msg_id or f'{structure}.{date_epoch}@example.org'}>",
     ]

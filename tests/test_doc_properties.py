@@ -112,3 +112,17 @@ def test_parsers_never_escape_error_contract(junk):
         parse_email(junk)
     except (ValueError, NotImplementedError, UnicodeDecodeError):
         pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+        min_size=40, max_size=200,
+    )
+)
+def test_long_encoded_subjects_fold_within_line_limit(s):
+    raw = encode_email(s, 1700000123, "b", 1)  # odd structure: B-encoded
+    head = raw.split(b"\n\n")[0].decode("utf-8")
+    assert all(len(line) <= 78 for line in head.split("\n"))
+    assert parse_email(raw).subject == s
