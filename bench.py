@@ -236,6 +236,7 @@ EXTRA_NAMES = [
     "src_mbox_roundtrip",
     "text_lang_id_v2",
     "format_fim_spans",
+    "doc_cfb_streams",
 ]
 
 

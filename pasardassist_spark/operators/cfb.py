@@ -1,0 +1,354 @@
+"""CFB / OLE2 compound-file container ([MS-CFB]) — the binary container
+under legacy Office (.doc/.xls/.ppt), MSI, and Outlook .msg files.  The
+document layers inside (WordDocument piece tables, Workbook BIFF) stay
+raise-by-name seams, but the CONTAINER walk every one of them needs
+first is fully stdlib-feasible and REAL here:
+
+- header validation (magic, byte order mark, sector/mini-sector shifts,
+  version 3 at 512-byte sectors and version 4 at 4096 both read);
+- the DIFAT: 109 header entries plus chained DIFAT sectors, locating
+  every FAT sector;
+- FAT sector chains (ENDOFCHAIN / FREESECT / FATSECT / DIFSECT
+  sentinels honored) for directory, miniFAT, and regular streams;
+- the directory tree: 128-byte entries, UTF-16 names, storages
+  traversed through their child's left/right sibling BINARY TREE (the
+  red-black tree readers walk, not a flat list), nested storages
+  yielding '/'-joined paths;
+- the mini stream: streams under the 4096-byte cutoff live in 64-byte
+  mini sectors inside the ROOT entry's stream, resolved through the
+  miniFAT — the double indirection every conforming reader implements.
+
+The writer synthesizes CONFORMING version-3 files (olefile and
+LibreOffice's import layer open them): streams above the cutoff through
+the FAT, below it through a real mini stream + miniFAT, directory
+siblings balanced by the spec's name ordering (length first, then
+upper-cased comparison).
+
+Out-of-scope-by-name: the document layers (WordDocument/Workbook
+streams) raise NotImplementedError in their format modules; malformed
+headers/chains raise ValueError here.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+
+__all__ = ["read_cfb", "write_cfb", "sniff_cfb"]
+
+MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+FREESECT = 0xFFFFFFFF
+ENDOFCHAIN = 0xFFFFFFFE
+FATSECT = 0xFFFFFFFD
+DIFSECT = 0xFFFFFFFC
+MINI_CUTOFF = 4096
+MINI_SHIFT = 6  # 64-byte mini sectors
+_MAX_CHAIN = 1 << 22  # cycle guard: no conforming file has 4M sectors
+
+
+def sniff_cfb(payload: bytes) -> bool:
+    return payload[:8] == MAGIC
+
+
+# ---------------------------------------------------------------- reader ---
+
+
+def _chain(fat: list[int], start: int, what: str) -> list[int]:
+    out, s = [], start
+    while s != ENDOFCHAIN:
+        if s in (FREESECT, FATSECT, DIFSECT) or s >= len(fat):
+            raise ValueError(f"cfb: broken {what} chain at sector {s:#x}")
+        out.append(s)
+        if len(out) > _MAX_CHAIN:
+            raise ValueError(f"cfb: {what} chain cycle")
+        s = fat[s]
+    return out
+
+
+def read_cfb(payload: bytes) -> list[tuple[str, bytes]]:
+    """('/'-joined path, stream bytes) for every stream, in directory
+    binary-tree order within each storage."""
+    if not sniff_cfb(payload):
+        raise ValueError("not a CFB/OLE2 compound file")
+    if len(payload) < 512:
+        raise ValueError("cfb: truncated header")
+    (
+        _magic, _clsid, _minor, major, bom, sshift, mshift, _res,
+        _ndir, nfat, dirstart, _trans, cutoff, ministart, nmini,
+        difstart, ndif,
+    ) = struct.unpack("<8s16sHHHHH6sIIIIIIIII", payload[:76])
+    if bom != 0xFFFE:
+        raise ValueError(f"cfb: bad byte-order mark {bom:#x}")
+    if major not in (3, 4) or sshift not in (9, 12):
+        raise ValueError(f"cfb: unsupported version {major}/shift {sshift}")
+    if mshift != MINI_SHIFT:
+        raise ValueError(f"cfb: unsupported mini shift {mshift}")
+    ssize = 1 << sshift
+
+    def sector(n: int) -> bytes:
+        off = 512 + n * ssize if major == 3 else (n + 1) * ssize
+        if off + ssize > len(payload):
+            raise ValueError(f"cfb: sector {n} beyond file end")
+        return payload[off : off + ssize]
+
+    # DIFAT: 109 header slots, then chained DIFAT sectors
+    difat = list(struct.unpack("<109I", payload[76:512]))
+    s, hops = difstart, 0
+    while s != ENDOFCHAIN and s != FREESECT:
+        raw = sector(s)
+        vals = struct.unpack(f"<{ssize // 4}I", raw)
+        difat.extend(vals[:-1])
+        s = vals[-1]
+        hops += 1
+        if hops > ndif + 4:
+            raise ValueError("cfb: DIFAT chain cycle")
+    fat_sectors = [x for x in difat if x != FREESECT][:nfat]
+    if len(fat_sectors) < nfat:
+        raise ValueError("cfb: DIFAT lists fewer FAT sectors than header")
+    fat: list[int] = []
+    for fs in fat_sectors:
+        fat.extend(struct.unpack(f"<{ssize // 4}I", sector(fs)))
+
+    def read_chain(start: int, size: int, what: str) -> bytes:
+        return b"".join(sector(x) for x in _chain(fat, start, what))[:size]
+
+    # directory entries
+    dir_raw = b"".join(sector(x) for x in _chain(fat, dirstart, "directory"))
+    entries = []
+    for i in range(len(dir_raw) // 128):
+        e = dir_raw[i * 128 : (i + 1) * 128]
+        (nlen,) = struct.unpack("<H", e[64:66])
+        otype = e[66]
+        left, right, child = struct.unpack("<III", e[68:80])
+        (start, size) = struct.unpack("<IQ", e[116:128])
+        name = e[: max(nlen - 2, 0)].decode("utf-16-le") if nlen >= 2 else ""
+        entries.append((name, otype, left, right, child, start, size))
+    if not entries or entries[0][1] != 5:
+        raise ValueError("cfb: first directory entry is not the root storage")
+
+    # the mini stream is the ROOT entry's chain; miniFAT maps mini sectors
+    root_start, root_size = entries[0][5], entries[0][6]
+    mini_stream = (
+        read_chain(root_start, root_size, "mini-stream")
+        if root_size and root_start != ENDOFCHAIN
+        else b""
+    )
+    minifat: list[int] = []
+    if nmini and ministart != ENDOFCHAIN:
+        for ms in _chain(fat, ministart, "miniFAT"):
+            minifat.extend(struct.unpack(f"<{ssize // 4}I", sector(ms)))
+
+    def read_mini(start: int, size: int) -> bytes:
+        out, s, hops = [], start, 0
+        while s != ENDOFCHAIN:
+            if s >= len(minifat):
+                raise ValueError(f"cfb: broken miniFAT chain at {s:#x}")
+            off = s << MINI_SHIFT
+            out.append(mini_stream[off : off + (1 << MINI_SHIFT)])
+            s = minifat[s]
+            hops += 1
+            if hops > _MAX_CHAIN:
+                raise ValueError("cfb: miniFAT chain cycle")
+        return b"".join(out)[:size]
+
+    NOSTREAM = 0xFFFFFFFF
+    out: list[tuple[str, bytes]] = []
+
+    def walk_tree(entry_id: int, prefix: str, depth: int) -> None:
+        """In-order walk of a storage's left/right sibling tree."""
+        if entry_id == NOSTREAM:
+            return
+        if depth > 64 or entry_id >= len(entries):
+            raise ValueError("cfb: directory tree too deep or id out of range")
+        name, otype, left, right, child, start, size = entries[entry_id]
+        walk_tree(left, prefix, depth + 1)
+        path = f"{prefix}{name}"
+        if otype == 2:  # stream
+            if size == 0:
+                out.append((path, b""))
+            elif size < cutoff:
+                out.append((path, read_mini(start, size)))
+            else:
+                out.append((path, read_chain(start, size, f"stream {name}")))
+        elif otype == 1:  # storage: recurse into its child tree
+            walk_tree(child, f"{path}/", depth + 1)
+        else:
+            raise ValueError(f"cfb: unexpected object type {otype} at {path}")
+        walk_tree(right, prefix, depth + 1)
+
+    walk_tree(entries[0][4], "", 0)  # root's child tree
+    return out
+
+
+# ---------------------------------------------------------------- writer ---
+
+
+def _name_key(name: str) -> tuple[int, str]:
+    """[MS-CFB] §2.6.4 sibling ordering: length first, then upper-case."""
+    return (len(name), name.upper())
+
+
+def _build_tree(ids_names: list[tuple[int, str]]) -> tuple[int, dict[int, tuple[int, int]]]:
+    """Balanced BST over (entry_id, name) by the spec ordering; returns
+    (subtree root id, {id: (left, right)})."""
+    NOSTREAM = 0xFFFFFFFF
+    links: dict[int, tuple[int, int]] = {}
+
+    def build(items: list[tuple[int, str]]) -> int:
+        if not items:
+            return NOSTREAM
+        mid = len(items) // 2
+        root = items[mid][0]
+        links[root] = (build(items[:mid]), build(items[mid + 1 :]))
+        return root
+
+    return build(sorted(ids_names, key=lambda t: _name_key(t[1]))), links
+
+
+def write_cfb(streams: list[tuple[str, bytes]]) -> bytes:
+    """Conforming version-3 compound file from ('/'-separated path,
+    bytes) streams; intermediate path components become storages."""
+    NOSTREAM = 0xFFFFFFFF
+    # build the storage hierarchy
+    storages: dict[tuple[str, ...], list] = {(): []}  # parent -> child keys
+    kind: dict[tuple[str, ...], str] = {}
+    data: dict[tuple[str, ...], bytes] = {}
+    for path, blob in streams:
+        parts = tuple(path.split("/"))
+        if any(p == "" for p in parts):
+            raise ValueError(f"cfb: empty path component in {path!r}")
+        if len(parts[-1].encode("utf-16-le")) > 62:
+            raise ValueError(f"cfb: name too long: {parts[-1]!r}")
+        for d in range(1, len(parts)):
+            st = parts[:d]
+            if kind.get(st, "storage") != "storage":
+                raise ValueError(f"cfb: {st!r} is both stream and storage")
+            if st not in kind:
+                kind[st] = "storage"
+                storages.setdefault(st, [])
+                storages[st[:-1]].append(st)
+        if parts in kind:
+            raise ValueError(f"cfb: duplicate path {path!r}")
+        kind[parts] = "stream"
+        data[parts] = blob
+        storages[parts[:-1]].append(parts)
+
+    # directory ids: 0 = root, then insertion order
+    order: list[tuple[str, ...]] = [()]
+
+    def collect(st: tuple[str, ...]) -> None:
+        for ch in storages.get(st, []):
+            order.append(ch)
+            if kind[ch] == "storage":
+                collect(ch)
+
+    collect(())
+    ids = {p: i for i, p in enumerate(order)}
+
+    # lay out stream payloads: big streams in regular sectors, small in
+    # the mini stream
+    big: list[bytes] = []          # 512-padded regular payload sectors
+    fat: list[int] = []
+    start_of: dict[tuple[str, ...], int] = {}
+
+    def alloc_chain(blob: bytes, sec: int) -> int:
+        first = len(fat) if sec == 512 else None
+        n = (len(blob) + sec - 1) // sec or 1
+        start = len(fat)
+        for k in range(n):
+            fat.append(start + k + 1 if k < n - 1 else ENDOFCHAIN)
+            big.append(blob[k * sec : (k + 1) * sec].ljust(sec, b"\x00"))
+        return start
+
+    mini_blob = bytearray()
+    minifat: list[int] = []
+    for p in order[1:]:
+        if kind[p] != "stream":
+            continue
+        blob = data[p]
+        if len(blob) == 0:
+            start_of[p] = ENDOFCHAIN
+        elif len(blob) < MINI_CUTOFF:
+            n = (len(blob) + 63) // 64
+            start_of[p] = len(minifat)
+            for k in range(n):
+                minifat.append(
+                    len(minifat) + 1 if k < n - 1 else ENDOFCHAIN
+                )
+                mini_blob += blob[k * 64 : (k + 1) * 64].ljust(64, b"\x00")
+        else:
+            start_of[p] = alloc_chain(blob, 512)
+
+    # the mini stream itself is the root's regular-sector chain
+    root_start = (
+        alloc_chain(bytes(mini_blob), 512) if mini_blob else ENDOFCHAIN
+    )
+
+    # miniFAT sectors
+    ministart, nmini = ENDOFCHAIN, 0
+    if minifat:
+        mf = b"".join(struct.pack("<I", x) for x in minifat)
+        ministart = alloc_chain(mf.ljust((len(mf) + 511) // 512 * 512, b"\xff"), 512)
+        nmini = (len(minifat) * 4 + 511) // 512
+
+    # directory entries
+    def entry(p: tuple[str, ...]) -> bytes:
+        if p == ():
+            name, otype = "Root Entry", 5
+            start, size = root_start, len(mini_blob)
+        else:
+            name = p[-1]
+            otype = 1 if kind[p] == "storage" else 2
+            start = start_of.get(p, ENDOFCHAIN) if otype == 2 else ENDOFCHAIN
+            size = len(data[p]) if otype == 2 else 0
+        kids = storages.get(p, []) if (p == () or kind[p] == "storage") else None
+        child = NOSTREAM
+        if kids:
+            child, _ = _build_tree([(ids[k], k[-1]) for k in kids])
+        parent = p[:-1] if p else None
+        left = right = NOSTREAM
+        if p != ():
+            siblings = storages[parent]
+            _root, links = _build_tree([(ids[k], k[-1]) for k in siblings])
+            left, right = links.get(ids[p], (NOSTREAM, NOSTREAM))
+        nm = name.encode("utf-16-le")
+        return struct.pack(
+            "<64sHBBIII16sIQQIQ",
+            nm + b"\x00\x00",
+            len(nm) + 2,
+            otype,
+            1,  # black
+            left, right, child,
+            b"\x00" * 16, 0, 0, 0,
+            start if start != ENDOFCHAIN else ENDOFCHAIN,
+            size,
+        )
+
+    dirs = b"".join(entry(p) for p in order)
+    dirs = dirs.ljust((len(dirs) + 511) // 512 * 512, b"\x00")
+    dirstart = alloc_chain(dirs, 512)
+
+    # FAT sectors themselves (mark with FATSECT), DIFAT in the header
+    n_payload = len(fat)
+    nfat = 0
+    while (n_payload + nfat) * 4 > nfat * 512:
+        nfat += 1
+    fat_start = len(fat)
+    for k in range(nfat):
+        fat.append(FATSECT)
+    if nfat > 109:
+        raise ValueError("cfb: file too large for header-only DIFAT (writer scope)")
+    fat_bytes = b"".join(struct.pack("<I", x) for x in fat)
+    fat_bytes = fat_bytes.ljust(nfat * 512, b"\xff")
+    difat = [fat_start + k for k in range(nfat)] + [FREESECT] * (109 - nfat)
+
+    header = struct.pack(
+        "<8s16sHHHHH6sIIIIIIIII",
+        MAGIC, b"\x00" * 16, 0x3E, 3, 0xFFFE, 9, MINI_SHIFT, b"\x00" * 6,
+        0,                # directory sector count (v3 writes 0)
+        nfat, dirstart, 0, MINI_CUTOFF, ministart, nmini,
+        ENDOFCHAIN, 0,    # no DIFAT sectors
+    ) + b"".join(struct.pack("<I", x) for x in difat)
+    assert len(header) == 512
+    body = b"".join(big) + fat_bytes
+    return header + body

@@ -52,6 +52,8 @@ def sniff_document(payload) -> str:
         data = bytes(payload)
         if data[:5] == b"%PDF-":
             return "pdf"
+        if data[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+            return "ole2"  # CFB container (legacy .doc/.xls/.ppt/.msg)
         if data[:4] == b"PK\x03\x04":
             head = data[:256]
             if b"application/epub+zip" in head:
@@ -137,6 +139,13 @@ def extract_document(payload) -> tuple[str, str]:
         from pasardassist_spark.operators.emailtext import parse_email
         raw = payload.encode("utf-8") if isinstance(payload, str) else bytes(payload)
         parts = [parse_email(raw).text]
+    elif fmt == "ole2":
+        # the CFB container walk is real (operators/cfb.py); the legacy
+        # document layers inside are the named seam
+        raise NotImplementedError(
+            "legacy OLE2 document layers (.doc/.xls/.ppt) unsupported — "
+            "container readable via operators/cfb.read_cfb"
+        )
     else:  # ics — events, not prose; the gate dead-letters it by name
         raise ValueError(f"no prose extraction for document format {fmt!r}")
     return fmt, " ".join(w for p in parts for w in p.split() if w)

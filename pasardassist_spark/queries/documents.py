@@ -1433,6 +1433,92 @@ def doc_pptx_notes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_batches, schema)
 
 
+@query(
+    "doc_cfb_streams",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, text, lang,
+               doc_id % 3 + 1 AS n,
+               list_filter(string_split(text, ' '), w -> w != '') AS words
+        FROM documents
+    ),
+    rows_ AS (
+        SELECT doc_id, 'body.txt' AS path, text AS content FROM base
+        UNION ALL
+        SELECT doc_id, 'meta/lang' AS path, lang AS content FROM base
+        UNION ALL
+        SELECT doc_id,
+               'part-' || i.i AS path,
+               array_to_string(
+                   words[(len(words) * i.i) // n + 1
+                         : (len(words) * (i.i + 1)) // n],
+                   ' ') AS content
+        FROM base JOIN (SELECT unnest(range(0, 3)) AS i) i ON i.i < n
+    )
+    SELECT doc_id, path,
+           CAST(octet_length(encode(content)) AS BIGINT) AS n_bytes,
+           md5(content) AS content_md5
+    FROM rows_
+    """,
+)
+def doc_cfb_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL CFB / OLE2 container walk end-to-end (operators/cfb.py — the
+    binary container under legacy Office, MSI, and .msg): each document
+    becomes a conforming version-3 compound file holding its full text
+    as a FAT-chained stream (>4096 bytes for most docs), doc_id%3+1
+    word-slice MINI streams (the miniFAT + root-mini-stream double
+    indirection), and a nested 'meta' STORAGE with the lang value — then
+    every stream is recovered through the DIFAT → FAT → directory
+    binary-tree → miniFAT walk a conforming reader performs.  The
+    oracle re-derives each stream's byte length and md5 directly from
+    the documents row, so a broken chain, a mis-walked sibling tree, or
+    a cutoff mistake mismatches on 500 real containers.  The legacy
+    document layers (WordDocument/Workbook) remain the named seam; the
+    container is no longer one.  Scan → mapInPandas, one stage, zero
+    shuffle."""
+    from pasardassist_spark.operators.cfb import read_cfb, write_cfb
+
+    schema = "doc_id long, path string, n_bytes long, content_md5 string"
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "path": [], "n_bytes": [], "content_md5": [],
+            }
+            for doc_id, text, lang in zip(
+                pdf["doc_id"], pdf["text"], pdf["lang"]
+            ):
+                seed = int(doc_id)
+                n = seed % 3 + 1
+                words = [w for w in text.split(" ") if w]
+                w_ = len(words)
+                streams = [("body.txt", text.encode("utf-8"))]
+                for i in range(n):
+                    streams.append((
+                        f"part-{i}",
+                        " ".join(
+                            words[w_ * i // n : w_ * (i + 1) // n]
+                        ).encode("utf-8"),
+                    ))
+                streams.append(("meta/lang", str(lang).encode("utf-8")))
+                got = read_cfb(write_cfb(streams))
+                if sorted(got) != sorted(streams):
+                    raise ValueError(
+                        f"doc {doc_id}: CFB round-trip mismatch"
+                    )
+                for path, blob in got:
+                    out["doc_id"].append(doc_id)
+                    out["path"].append(path)
+                    out["n_bytes"].append(len(blob))
+                    out["content_md5"].append(
+                        hashlib.md5(blob).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return d.mapInPandas(_batches, schema)
+
+
 @query("doc_odt_extract", oracle=_oracle(4))
 def doc_odt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL ODT extraction end-to-end (operators/odttext.py — the

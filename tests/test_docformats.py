@@ -1159,3 +1159,16 @@ def test_pptx_speaker_notes_roundtrip_and_rels_level():
         # deck slide 0 lives in slide3.xml; its notes in notesSlide3.xml
         assert b"note one" in zf.read("ppt/notesSlides/notesSlide3.xml")
     assert extract_pptx_notes(encode_pptx(["a"])) == [None]
+
+
+def test_document_sniffer_routes_ole2_and_gate_dead_letters_it():
+    from pasardassist_spark.operators.cfb import write_cfb
+    from pasardassist_spark.operators.docsniff import (
+        extract_document,
+        sniff_document,
+    )
+
+    payload = write_cfb([("WordDocument", b"\x00" * 128)])
+    assert sniff_document(payload) == "ole2"
+    with pytest.raises(NotImplementedError, match="container readable"):
+        extract_document(payload)
