@@ -237,6 +237,7 @@ EXTRA_NAMES = [
     "text_lang_id_v2",
     "format_fim_spans",
     "doc_cfb_streams",
+    "doc_legacy_extract",
 ]
 
 

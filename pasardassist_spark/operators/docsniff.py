@@ -47,13 +47,18 @@ def _sniff_email(text: str) -> bool:
 
 def sniff_document(payload) -> str:
     """Return one of
-    pdf/docx/xlsx/pptx/epub/odt/rtf/latex/markdown/ics/email."""
+    pdf/doc/ole2/docx/xlsx/pptx/epub/odt/rtf/latex/markdown/ics/email."""
     if isinstance(payload, (bytes, bytearray)):
         data = bytes(payload)
         if data[:5] == b"%PDF-":
             return "pdf"
         if data[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
-            return "ole2"  # CFB container (legacy .doc/.xls/.ppt/.msg)
+            # CFB container: disambiguate by directory streams (the
+            # same one-seek walk the zip family uses)
+            from pasardassist_spark.operators.cfb import read_cfb
+
+            names = {n for n, _b in read_cfb(data)}
+            return "doc" if "WordDocument" in names else "ole2"
         if data[:4] == b"PK\x03\x04":
             head = data[:256]
             if b"application/epub+zip" in head:
@@ -139,12 +144,16 @@ def extract_document(payload) -> tuple[str, str]:
         from pasardassist_spark.operators.emailtext import parse_email
         raw = payload.encode("utf-8") if isinstance(payload, str) else bytes(payload)
         parts = [parse_email(raw).text]
+    elif fmt == "doc":
+        from pasardassist_spark.operators.doctext import extract_doc_text
+
+        parts = extract_doc_text(bytes(payload)).split("\n")
     elif fmt == "ole2":
-        # the CFB container walk is real (operators/cfb.py); the legacy
-        # document layers inside are the named seam
+        # .xls Workbook / .ppt PowerPoint Document remain the named
+        # seam; the container walk itself is real (operators/cfb.py)
         raise NotImplementedError(
-            "legacy OLE2 document layers (.doc/.xls/.ppt) unsupported — "
-            "container readable via operators/cfb.read_cfb"
+            "legacy OLE2 document layer unsupported — container readable "
+            "via operators/cfb.read_cfb"
         )
     else:  # ics — events, not prose; the gate dead-letters it by name
         raise ValueError(f"no prose extraction for document format {fmt!r}")

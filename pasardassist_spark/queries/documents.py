@@ -585,10 +585,11 @@ def doc_feed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_any_doc_extract",
     oracle="""
     SELECT doc_id,
-           CASE doc_id % 9
+           CASE doc_id % 10
                WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'epub'
                WHEN 3 THEN 'markdown' WHEN 4 THEN 'latex' WHEN 5 THEN 'rtf'
-               WHEN 6 THEN 'xlsx' WHEN 7 THEN 'pptx' ELSE 'email'
+               WHEN 6 THEN 'xlsx' WHEN 7 THEN 'pptx' WHEN 8 THEN 'email'
+               ELSE 'doc'
            END AS fmt,
            CAST(length(norm) AS BIGINT) AS n_chars,
            md5(norm) AS text_md5
@@ -605,11 +606,11 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The document-format family as ONE dispatcher stage — the shape a
     real crawl pipeline runs (payloads arrive in mixed formats; a single
     map pass sniffs and routes): each document is written into the
-    format doc_id%9 selects (PDF, DOCX, EPUB, Markdown, LaTeX, RTF,
-    XLSX, PPTX, RFC 5322 email), re-extracted by that format's
-    conforming parser, and reduced to the md5 of its
+    format doc_id%10 selects (PDF, DOCX, EPUB, Markdown, LaTeX, RTF,
+    XLSX, PPTX, RFC 5322 email, legacy Word97 .doc), re-extracted by
+    that format's conforming parser, and reduced to the md5 of its
     whitespace-normalized text — which the oracle computes directly
-    from documents.text, so ALL NINE parsers
+    from documents.text, so ALL TEN parsers
     must reconstruct their input exactly for the single hash column to
     match on 500 mixed-format files. Zero shuffle; the per-format rates
     are in BASELINE.md's round-11/12 tables."""
@@ -640,6 +641,7 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_pptx_slides,
     )
     from pasardassist_spark.operators.emailtext import encode_email, parse_email
+    from pasardassist_spark.operators.doctext import encode_doc, extract_doc_text
 
     def _rtf(parts):
         return encode_rtf(parts)
@@ -678,9 +680,13 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             lambda raw: [parse_email(raw).text],
         ),
+        "doc": (
+            lambda parts: encode_doc("\n".join(parts)),
+            lambda raw: extract_doc_text(raw).split("\n"),
+        ),
     }
     fmts = ["pdf", "docx", "epub", "markdown", "latex", "rtf", "xlsx",
-            "pptx", "email"]
+            "pptx", "email", "doc"]
 
     schema = "doc_id long, fmt string, n_chars long, text_md5 string"
 
@@ -691,7 +697,7 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 seed = int(doc_id)
-                fmt = fmts[seed % 9]
+                fmt = fmts[seed % 10]
                 enc, ext = codecs[fmt]
                 n = seed % 3 + 2
                 words = [w for w in text.split(" ") if w]
@@ -1427,6 +1433,57 @@ def doc_pptx_notes(spark: SparkSession, sf_dir: str) -> DataFrame:
                         None if got_n[i] is None else
                         hashlib.md5(got_n[i].encode("utf-8")).hexdigest()
                     )
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_batches, schema)
+
+
+@query(
+    "doc_legacy_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           md5(text) AS text_md5
+    FROM documents
+    """,
+)
+def doc_legacy_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL legacy Word97 .doc extraction end-to-end
+    (operators/doctext.py over the operators/cfb.py container): each
+    document's text is written through a multi-piece PIECE TABLE that
+    alternates cp1252-compressed and UTF-16 pieces at irregular split
+    points (the fc bit-30 rule both ways), FIB offsets per [MS-DOC],
+    Clx/PlcPcd in the 1Table stream, all inside a conforming compound
+    file — then recovered through the documented read path: FIB
+    validation → table-stream selection → Clx walk → piece decode →
+    control-character mapping.  The oracle hashes documents.text
+    directly, so the FULL text must survive both the piece table and
+    the container on 500 real files.  Encrypted and non-Word layers
+    raise by name.  Scan → mapInPandas, one stage, zero shuffle."""
+    from pasardassist_spark.operators.doctext import (
+        encode_doc,
+        extract_doc_text,
+    )
+
+    schema = "doc_id long, n_chars long, text_md5 string"
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "n_chars": [], "text_md5": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                got = extract_doc_text(encode_doc(text))
+                if got != text:
+                    raise ValueError(
+                        f"doc {doc_id}: .doc round-trip mismatch"
+                    )
+                out["doc_id"].append(doc_id)
+                out["n_chars"].append(len(got))
+                out["text_md5"].append(
+                    hashlib.md5(got.encode("utf-8")).hexdigest()
+                )
             yield pd.DataFrame(out)
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")

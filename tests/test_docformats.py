@@ -1161,14 +1161,96 @@ def test_pptx_speaker_notes_roundtrip_and_rels_level():
     assert extract_pptx_notes(encode_pptx(["a"])) == [None]
 
 
-def test_document_sniffer_routes_ole2_and_gate_dead_letters_it():
+def test_document_sniffer_routes_ole2_and_doc():
     from pasardassist_spark.operators.cfb import write_cfb
     from pasardassist_spark.operators.docsniff import (
         extract_document,
         sniff_document,
     )
+    from pasardassist_spark.operators.doctext import encode_doc
 
-    payload = write_cfb([("WordDocument", b"\x00" * 128)])
-    assert sniff_document(payload) == "ole2"
+    # non-Word OLE2 (a Workbook) stays the named seam
+    xls = write_cfb([("Workbook", b"\x09\x08" + b"\x00" * 64)])
+    assert sniff_document(xls) == "ole2"
     with pytest.raises(NotImplementedError, match="container readable"):
-        extract_document(payload)
+        extract_document(xls)
+    # a real .doc extracts through the piece table
+    payload = encode_doc("legacy word text\nsecond paragraph")
+    assert sniff_document(payload) == "doc"
+    fmt, text = extract_document(payload)
+    assert fmt == "doc" and text == "legacy word text second paragraph"
+    # junk WordDocument stream fails loudly, not plausibly
+    with pytest.raises(ValueError, match="FIB"):
+        extract_document(write_cfb([("WordDocument", b"\x00" * 128)]))
+
+
+# ------------------------------------------------------------ legacy .doc --
+
+
+def test_doc_roundtrip_matrix():
+    from pasardassist_spark.operators.doctext import (
+        encode_doc,
+        extract_doc_text,
+    )
+
+    cases = [
+        "plain ascii words here " * 10,
+        "",
+        "short",
+        "tabs\there\nand newlines\n",
+        "unicodé beyond cp1252: ✓ 漢字 and mixed ascii runs " * 5,
+        "é cp1252-able but ✓ forces a unicode piece",
+        "x" * 36, "y" * 37, "z" * 38,  # piece-boundary edges
+    ]
+    for t in cases:
+        assert extract_doc_text(encode_doc(t)) == t, repr(t[:40])
+
+
+def test_doc_clx_with_prc_prefix_and_0table():
+    """A Clx carrying Prc (clxt=1) property blocks before the Pcdt must
+    still find the piece table, and fWhichTblStm=0 selects 0Table."""
+    import struct
+
+    from pasardassist_spark.operators.cfb import read_cfb, write_cfb
+    from pasardassist_spark.operators.doctext import (
+        encode_doc,
+        extract_doc_text,
+    )
+
+    base = encode_doc("prc prefixed text")
+    streams = dict(read_cfb(base))
+    clx = streams["1Table"]
+    prc = b"\x01" + struct.pack("<h", 4) + b"\xde\xad\xbe\xef"
+    wd = bytearray(streams["WordDocument"])
+    # repoint lcbClx (fcClx stays 0) and clear fWhichTblStm
+    struct.pack_into("<Ii", wd, 418, 0, len(prc) + len(clx))
+    struct.pack_into("<H", wd, 10, 0x0000)
+    payload = write_cfb(
+        [("WordDocument", bytes(wd)), ("0Table", prc + clx)]
+    )
+    assert extract_doc_text(payload) == "prc prefixed text"
+
+
+def test_doc_error_contracts():
+    import struct
+
+    from pasardassist_spark.operators.cfb import read_cfb, write_cfb
+    from pasardassist_spark.operators.doctext import (
+        encode_doc,
+        extract_doc_text,
+    )
+
+    with pytest.raises(ValueError, match="no WordDocument"):
+        extract_doc_text(write_cfb([("Workbook", b"\x00" * 8)]))
+    with pytest.raises(ValueError, match="FIB"):
+        extract_doc_text(write_cfb([("WordDocument", b"\x00" * 64)]))
+    base = encode_doc("some text")
+    streams = dict(read_cfb(base))
+    wd = bytearray(streams["WordDocument"])
+    struct.pack_into("<H", wd, 10, 0x0200 | 0x0100)  # fEncrypted
+    enc = write_cfb([("WordDocument", bytes(wd)), ("1Table", streams["1Table"])])
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        extract_doc_text(enc)
+    # missing table stream
+    with pytest.raises(ValueError, match="no 1Table"):
+        extract_doc_text(write_cfb([("WordDocument", streams["WordDocument"])]))
