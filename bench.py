@@ -238,6 +238,7 @@ EXTRA_NAMES = [
     "format_fim_spans",
     "doc_cfb_streams",
     "doc_legacy_extract",
+    "doc_xls_extract",
 ]
 
 

@@ -58,7 +58,11 @@ def sniff_document(payload) -> str:
             from pasardassist_spark.operators.cfb import read_cfb
 
             names = {n for n, _b in read_cfb(data)}
-            return "doc" if "WordDocument" in names else "ole2"
+            if "WordDocument" in names:
+                return "doc"
+            if "Workbook" in names or "Book" in names:
+                return "xls"
+            return "ole2"
         if data[:4] == b"PK\x03\x04":
             head = data[:256]
             if b"application/epub+zip" in head:
@@ -148,6 +152,13 @@ def extract_document(payload) -> tuple[str, str]:
         from pasardassist_spark.operators.doctext import extract_doc_text
 
         parts = extract_doc_text(bytes(payload)).split("\n")
+    elif fmt == "xls":
+        from pasardassist_spark.operators.xlstext import extract_xls_cells
+
+        parts = [
+            v for _s, _r, _c, kind, v in extract_xls_cells(bytes(payload))
+            if kind == "s"
+        ]
     elif fmt == "ole2":
         # .xls Workbook / .ppt PowerPoint Document remain the named
         # seam; the container walk itself is real (operators/cfb.py)

@@ -585,11 +585,11 @@ def doc_feed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_any_doc_extract",
     oracle="""
     SELECT doc_id,
-           CASE doc_id % 10
+           CASE doc_id % 11
                WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'epub'
                WHEN 3 THEN 'markdown' WHEN 4 THEN 'latex' WHEN 5 THEN 'rtf'
                WHEN 6 THEN 'xlsx' WHEN 7 THEN 'pptx' WHEN 8 THEN 'email'
-               ELSE 'doc'
+               WHEN 9 THEN 'doc' ELSE 'xls'
            END AS fmt,
            CAST(length(norm) AS BIGINT) AS n_chars,
            md5(norm) AS text_md5
@@ -606,11 +606,11 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The document-format family as ONE dispatcher stage — the shape a
     real crawl pipeline runs (payloads arrive in mixed formats; a single
     map pass sniffs and routes): each document is written into the
-    format doc_id%10 selects (PDF, DOCX, EPUB, Markdown, LaTeX, RTF,
-    XLSX, PPTX, RFC 5322 email, legacy Word97 .doc), re-extracted by
-    that format's conforming parser, and reduced to the md5 of its
-    whitespace-normalized text — which the oracle computes directly
-    from documents.text, so ALL TEN parsers
+    format doc_id%11 selects (PDF, DOCX, EPUB, Markdown, LaTeX, RTF,
+    XLSX, PPTX, RFC 5322 email, legacy Word97 .doc, legacy BIFF8 .xls),
+    re-extracted by that format's conforming parser, and reduced to the
+    md5 of its whitespace-normalized text — which the oracle computes
+    directly from documents.text, so ALL ELEVEN parsers
     must reconstruct their input exactly for the single hash column to
     match on 500 mixed-format files. Zero shuffle; the per-format rates
     are in BASELINE.md's round-11/12 tables."""
@@ -642,6 +642,7 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pasardassist_spark.operators.emailtext import encode_email, parse_email
     from pasardassist_spark.operators.doctext import encode_doc, extract_doc_text
+    from pasardassist_spark.operators.xlstext import encode_xls, extract_xls_cells
 
     def _rtf(parts):
         return encode_rtf(parts)
@@ -684,9 +685,17 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda parts: encode_doc("\n".join(parts)),
             lambda raw: extract_doc_text(raw).split("\n"),
         ),
+        "xls": (
+            lambda parts: encode_xls(
+                "S", [(i, 0, i) for i in range(len(parts))], list(parts)
+            ),
+            lambda raw: [
+                v for _s, _r, _c, k, v in extract_xls_cells(raw) if k == "s"
+            ],
+        ),
     }
     fmts = ["pdf", "docx", "epub", "markdown", "latex", "rtf", "xlsx",
-            "pptx", "email", "doc"]
+            "pptx", "email", "doc", "xls"]
 
     schema = "doc_id long, fmt string, n_chars long, text_md5 string"
 
@@ -697,7 +706,7 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 seed = int(doc_id)
-                fmt = fmts[seed % 10]
+                fmt = fmts[seed % 11]
                 enc, ext = codecs[fmt]
                 n = seed % 3 + 2
                 words = [w for w in text.split(" ") if w]
@@ -1484,6 +1493,106 @@ def doc_legacy_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["text_md5"].append(
                     hashlib.md5(got.encode("utf-8")).hexdigest()
                 )
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_batches, schema)
+
+
+@query(
+    "doc_xls_extract",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               doc_id % 4 + 1 AS n,
+               list_filter(string_split(text, ' '), w -> w != '') AS words
+        FROM documents
+    ),
+    slices AS (
+        SELECT doc_id, n, CAST(i.i AS INTEGER) AS i,
+               array_to_string(
+                   words[(len(words) * i.i) // n + 1
+                         : (len(words) * (i.i + 1)) // n],
+                   ' ') AS s
+        FROM base JOIN (SELECT unnest(range(0, 4)) AS i) i ON i.i < n
+    ),
+    rows_ AS (
+        SELECT doc_id, i AS row_, 0 AS col_, 's' AS kind,
+               md5(s) AS str_md5, CAST(NULL AS BIGINT) AS cents
+        FROM slices
+        UNION ALL
+        SELECT doc_id, CAST(n AS INTEGER), 0, 's', md5(s), NULL
+        FROM slices WHERE i = 0
+        UNION ALL
+        SELECT b.doc_id, CAST(j.j AS INTEGER), 1, 'n', NULL,
+               CAST((b.doc_id + j.j) * 100 + 25 AS BIGINT)
+        FROM base b JOIN (SELECT unnest(range(0, 2)) AS j) j ON TRUE
+    )
+    SELECT doc_id, row_, col_, kind, str_md5, cents FROM rows_
+    """,
+)
+def doc_xls_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL legacy BIFF8 .xls extraction end-to-end
+    (operators/xlstext.py over the operators/cfb.py container): each
+    document's word slices become SST strings referenced by LABELSST
+    cells — with a planted DUPLICATE cell sharing its isst, the shared-
+    string semantics — plus exact-cents NUMBER cells, the SST written
+    with deliberate mid-string CONTINUE splits whose fragments re-decide
+    their own compression.  Recovery walks BOF/EOF substream framing,
+    the BOUNDSHEET lbPlyPos offset, and the continuation-aware SST
+    parse; the oracle re-derives every cell closed-form, so a broken
+    CONTINUE boundary, a wrong flag restatement, or an isst slip
+    mismatches on 500 real workbooks.  Encrypted workbooks (FILEPASS)
+    raise by name.  Scan → mapInPandas, one stage, zero shuffle."""
+    from pasardassist_spark.operators.xlstext import (
+        encode_xls,
+        extract_xls_cells,
+    )
+
+    schema = (
+        "doc_id long, row_ int, col_ int, kind string, str_md5 string, "
+        "cents long"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "row_": [], "col_": [], "kind": [],
+                "str_md5": [], "cents": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = int(doc_id)
+                n = seed % 4 + 1
+                words = [w for w in text.split(" ") if w]
+                w_ = len(words)
+                strings = [
+                    " ".join(words[w_ * i // n : w_ * (i + 1) // n])
+                    for i in range(n)
+                ]
+                scells = [(i, 0, i) for i in range(n)] + [(n, 0, 0)]
+                ncells = [(j, 1, float(seed + j) + 0.25) for j in range(2)]
+                payload = encode_xls("Data", scells, strings, ncells)
+                got = extract_xls_cells(payload)
+                if len(got) != len(scells) + len(ncells):
+                    raise ValueError(
+                        f"doc {doc_id}: cell count {len(got)} != "
+                        f"{len(scells) + len(ncells)}"
+                    )
+                for sheet, row, col, kind, value in got:
+                    if sheet != "Data":
+                        raise ValueError(f"doc {doc_id}: sheet {sheet!r}")
+                    out["doc_id"].append(doc_id)
+                    out["row_"].append(row)
+                    out["col_"].append(col)
+                    out["kind"].append(kind)
+                    if kind == "s":
+                        out["str_md5"].append(
+                            hashlib.md5(value.encode("utf-8")).hexdigest()
+                        )
+                        out["cents"].append(None)
+                    else:
+                        out["str_md5"].append(None)
+                        out["cents"].append(round(float(value) * 100))
             yield pd.DataFrame(out)
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")

@@ -1169,11 +1169,17 @@ def test_document_sniffer_routes_ole2_and_doc():
     )
     from pasardassist_spark.operators.doctext import encode_doc
 
-    # non-Word OLE2 (a Workbook) stays the named seam
-    xls = write_cfb([("Workbook", b"\x09\x08" + b"\x00" * 64)])
-    assert sniff_document(xls) == "ole2"
+    # non-Word/Excel OLE2 (a PowerPoint) stays the named seam
+    ppt = write_cfb([("PowerPoint Document", b"\x00" * 64)])
+    assert sniff_document(ppt) == "ole2"
     with pytest.raises(NotImplementedError, match="container readable"):
-        extract_document(xls)
+        extract_document(ppt)
+    # a real BIFF8 workbook extracts its string cells
+    from pasardassist_spark.operators.xlstext import encode_xls
+    xls = encode_xls("S", [(0, 0, 0), (1, 0, 1)], ["cell one", "cell two"])
+    assert sniff_document(xls) == "xls"
+    fmt_x, text_x = extract_document(xls)
+    assert fmt_x == "xls" and text_x == "cell one cell two"
     # a real .doc extracts through the piece table
     payload = encode_doc("legacy word text\nsecond paragraph")
     assert sniff_document(payload) == "doc"
@@ -1254,3 +1260,116 @@ def test_doc_error_contracts():
     # missing table stream
     with pytest.raises(ValueError, match="no 1Table"):
         extract_doc_text(write_cfb([("WordDocument", streams["WordDocument"])]))
+
+
+# ------------------------------------------------------------ legacy .xls --
+
+
+def test_xls_roundtrip_and_continue_splits():
+    import struct
+
+    from pasardassist_spark.operators.cfb import read_cfb
+    from pasardassist_spark.operators.xlstext import (
+        encode_xls,
+        extract_xls_cells,
+    )
+
+    strings = ["", "a" * 200, "unicodé ✓ 漢字 mixed ascii tail " * 4,
+               ("x" * 44) + "✓" + ("y" * 44)]
+    scells = [(i, 0, i) for i in range(4)] + [(9, 9, 1)]  # shared isst
+    ncells = [(5, 1, 3.5), (6, 1, -2.25), (7, 1, 1e300)]
+    p = encode_xls("Sheet One", scells, strings, ncells)
+    got = extract_xls_cells(p)
+    want = [("Sheet One", r, c, "s", strings[i]) for r, c, i in scells] + [
+        ("Sheet One", r, c, "n", repr(float(v))) for r, c, v in ncells
+    ]
+    assert sorted(got) == sorted(want)
+    # the SST really split into CONTINUE records
+    wb = dict(read_cfb(p))["Workbook"]
+    ops, pos = [], 0
+    while pos + 4 <= len(wb):
+        op, ln = struct.unpack("<HH", wb[pos : pos + 4])
+        ops.append(op)
+        pos += 4 + ln
+    assert ops.count(0x003C) >= 4
+
+
+def test_xls_rk_and_boolerr_records():
+    """Hand-built worksheet records: both RK encodings (int and IEEE-
+    truncated, each /100) and BOOLERR booleans."""
+    import struct
+
+    from pasardassist_spark.operators.cfb import read_cfb, write_cfb
+    from pasardassist_spark.operators.xlstext import (
+        encode_xls,
+        extract_xls_cells,
+    )
+
+    base = encode_xls("S", [], ["u"])
+    wb = bytearray(dict(read_cfb(base))["Workbook"])
+
+    def rec(op, data):
+        return struct.pack("<HH", op, len(data)) + data
+
+    rk_int = (7 << 2) | 0x02                        # integer 7
+    rk_int_c = (1234 << 2) | 0x03                   # 1234/100 = 12.34
+    ieee = struct.unpack("<Q", struct.pack("<d", 2.5))[0]
+    rk_ieee = (ieee >> 32) & ~0x3                   # 2.5 (top 30 bits exact)
+    sheet = rec(0x0809, struct.pack("<HHHHII", 0x600, 0x10, 0, 0, 0, 0))
+    sheet += rec(0x027E, struct.pack("<HHHI", 0, 0, 0, rk_int))
+    sheet += rec(0x027E, struct.pack("<HHHI", 0, 1, 0, rk_int_c))
+    sheet += rec(0x027E, struct.pack("<HHHI", 0, 2, 0, rk_ieee))
+    sheet += rec(0x00BD, struct.pack("<HH", 1, 0)   # MULRK cols 0-1
+                 + struct.pack("<HI", 0, rk_int)
+                 + struct.pack("<HI", 0, rk_int_c)
+                 + struct.pack("<H", 1))
+    sheet += rec(0x0205, struct.pack("<HHHBB", 2, 0, 0, 1, 0))  # TRUE
+    sheet += rec(0x0205, struct.pack("<HHHBB", 2, 1, 0, 0, 0))  # FALSE
+    sheet += rec(0x000A, b"")
+    # splice: find globals EOF, append our sheet, fix lbPlyPos
+    pos, g_end = 0, None
+    while pos + 4 <= len(wb):
+        op, ln = struct.unpack("<HH", wb[pos : pos + 4])
+        if op == 0x0085:
+            bs_at = pos
+        if op == 0x000A:
+            g_end = pos + 4
+            break
+        pos += 4 + ln
+    new_wb = bytes(wb[:g_end]) + sheet
+    new_wb = bytearray(new_wb)
+    struct.pack_into("<I", new_wb, bs_at + 4, g_end)
+    p = write_cfb([("Workbook", bytes(new_wb))])
+    got = {(r, c): (k, v) for _s, r, c, k, v in extract_xls_cells(p)}
+    assert got[(0, 0)] == ("n", repr(7.0))
+    assert got[(0, 1)] == ("n", repr(12.34))
+    assert got[(0, 2)] == ("n", repr(2.5))
+    assert got[(1, 0)] == ("n", repr(7.0))
+    assert got[(1, 1)] == ("n", repr(12.34))
+    assert got[(2, 0)] == ("b", "TRUE")
+    assert got[(2, 1)] == ("b", "FALSE")
+
+
+def test_xls_error_contracts():
+    import struct
+
+    from pasardassist_spark.operators.cfb import read_cfb, write_cfb
+    from pasardassist_spark.operators.xlstext import (
+        encode_xls,
+        extract_xls_cells,
+    )
+
+    with pytest.raises(ValueError, match="no Workbook"):
+        extract_xls_cells(write_cfb([("WordDocument", b"\x00" * 8)]))
+    base = encode_xls("S", [(0, 0, 0)], ["x"])
+    wb = dict(read_cfb(base))["Workbook"]
+    # splice a FILEPASS record right after the globals BOF
+    bof_len = 4 + struct.unpack("<H", wb[2:4])[0]
+    fp = struct.pack("<HH", 0x002F, 2) + b"\x00\x00"
+    enc = write_cfb([("Workbook", wb[:bof_len] + fp + wb[bof_len:])])
+    with pytest.raises(NotImplementedError, match="FILEPASS"):
+        extract_xls_cells(enc)
+    # isst out of range
+    bad = encode_xls("S", [(0, 0, 5)], ["only one"])
+    with pytest.raises(ValueError, match="out of SST range"):
+        extract_xls_cells(bad)
