@@ -62,6 +62,8 @@ def sniff_document(payload) -> str:
                 return "doc"
             if "Workbook" in names or "Book" in names:
                 return "xls"
+            if "PowerPoint Document" in names:
+                return "ppt"
             return "ole2"
         if data[:4] == b"PK\x03\x04":
             head = data[:256]
@@ -159,6 +161,10 @@ def extract_document(payload) -> tuple[str, str]:
             v for _s, _r, _c, kind, v in extract_xls_cells(bytes(payload))
             if kind == "s"
         ]
+    elif fmt == "ppt":
+        from pasardassist_spark.operators.ppttext import extract_ppt_text
+
+        parts = extract_ppt_text(bytes(payload))
     elif fmt == "ole2":
         # .xls Workbook / .ppt PowerPoint Document remain the named
         # seam; the container walk itself is real (operators/cfb.py)

@@ -585,11 +585,11 @@ def doc_feed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_any_doc_extract",
     oracle="""
     SELECT doc_id,
-           CASE doc_id % 11
+           CASE doc_id % 12
                WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'epub'
                WHEN 3 THEN 'markdown' WHEN 4 THEN 'latex' WHEN 5 THEN 'rtf'
                WHEN 6 THEN 'xlsx' WHEN 7 THEN 'pptx' WHEN 8 THEN 'email'
-               WHEN 9 THEN 'doc' ELSE 'xls'
+               WHEN 9 THEN 'doc' WHEN 10 THEN 'xls' ELSE 'ppt'
            END AS fmt,
            CAST(length(norm) AS BIGINT) AS n_chars,
            md5(norm) AS text_md5
@@ -606,11 +606,11 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The document-format family as ONE dispatcher stage — the shape a
     real crawl pipeline runs (payloads arrive in mixed formats; a single
     map pass sniffs and routes): each document is written into the
-    format doc_id%11 selects (PDF, DOCX, EPUB, Markdown, LaTeX, RTF,
-    XLSX, PPTX, RFC 5322 email, legacy Word97 .doc, legacy BIFF8 .xls),
-    re-extracted by that format's conforming parser, and reduced to the
-    md5 of its whitespace-normalized text — which the oracle computes
-    directly from documents.text, so ALL ELEVEN parsers
+    format doc_id%12 selects (PDF, DOCX, EPUB, Markdown, LaTeX, RTF,
+    XLSX, PPTX, RFC 5322 email, legacy .doc/.xls/.ppt), re-extracted by
+    that format's conforming parser, and reduced to the md5 of its
+    whitespace-normalized text — which the oracle computes directly
+    from documents.text, so ALL TWELVE parsers
     must reconstruct their input exactly for the single hash column to
     match on 500 mixed-format files. Zero shuffle; the per-format rates
     are in BASELINE.md's round-11/12 tables."""
@@ -643,6 +643,7 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasardassist_spark.operators.emailtext import encode_email, parse_email
     from pasardassist_spark.operators.doctext import encode_doc, extract_doc_text
     from pasardassist_spark.operators.xlstext import encode_xls, extract_xls_cells
+    from pasardassist_spark.operators.ppttext import encode_ppt, extract_ppt_text
 
     def _rtf(parts):
         return encode_rtf(parts)
@@ -693,9 +694,10 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 v for _s, _r, _c, k, v in extract_xls_cells(raw) if k == "s"
             ],
         ),
+        "ppt": (encode_ppt, extract_ppt_text),
     }
     fmts = ["pdf", "docx", "epub", "markdown", "latex", "rtf", "xlsx",
-            "pptx", "email", "doc", "xls"]
+            "pptx", "email", "doc", "xls", "ppt"]
 
     schema = "doc_id long, fmt string, n_chars long, text_md5 string"
 
@@ -706,7 +708,7 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 seed = int(doc_id)
-                fmt = fmts[seed % 11]
+                fmt = fmts[seed % 12]
                 enc, ext = codecs[fmt]
                 n = seed % 3 + 2
                 words = [w for w in text.split(" ") if w]

@@ -1169,11 +1169,17 @@ def test_document_sniffer_routes_ole2_and_doc():
     )
     from pasardassist_spark.operators.doctext import encode_doc
 
-    # non-Word/Excel OLE2 (a PowerPoint) stays the named seam
-    ppt = write_cfb([("PowerPoint Document", b"\x00" * 64)])
-    assert sniff_document(ppt) == "ole2"
+    # OLE2 with an unrecognized document layer (.msg) stays the seam
+    msg = write_cfb([("__properties_version1.0", b"\x00" * 64)])
+    assert sniff_document(msg) == "ole2"
     with pytest.raises(NotImplementedError, match="container readable"):
-        extract_document(ppt)
+        extract_document(msg)
+    # a real .ppt extracts its text atoms
+    from pasardassist_spark.operators.ppttext import encode_ppt
+    ppt = encode_ppt(["atom one", "unicodé ✓ atom"])
+    assert sniff_document(ppt) == "ppt"
+    fmt_p, text_p = extract_document(ppt)
+    assert fmt_p == "ppt" and text_p == "atom one unicodé ✓ atom"
     # a real BIFF8 workbook extracts its string cells
     from pasardassist_spark.operators.xlstext import encode_xls
     xls = encode_xls("S", [(0, 0, 0), (1, 0, 1)], ["cell one", "cell two"])
@@ -1373,3 +1379,35 @@ def test_xls_error_contracts():
     bad = encode_xls("S", [(0, 0, 5)], ["only one"])
     with pytest.raises(ValueError, match="out of SST range"):
         extract_xls_cells(bad)
+
+
+def test_ppt_roundtrip_and_error_contracts():
+    import struct
+
+    from pasardassist_spark.operators.cfb import write_cfb
+    from pasardassist_spark.operators.ppttext import (
+        encode_ppt,
+        extract_ppt_text,
+    )
+
+    cases = [
+        ["plain ascii slide", "unicodé ✓ 漢字 slide", "", "multi\nline"],
+        [],
+        ["x" * 500],
+    ]
+    for texts in cases:
+        assert extract_ppt_text(encode_ppt(texts)) == texts
+    with pytest.raises(ValueError, match="no PowerPoint Document"):
+        extract_ppt_text(write_cfb([("Unrelated", b"\x00")]))
+    # truncated record body
+    bad = write_cfb([
+        ("PowerPoint Document", struct.pack("<HHI", 0, 0x0FA8, 99) + b"xy")
+    ])
+    with pytest.raises(ValueError, match="truncated record"):
+        extract_ppt_text(bad)
+    # encrypted marker raises by name
+    enc = write_cfb([
+        ("PowerPoint Document", struct.pack("<HHI", 0x0F, 0x2F14, 0))
+    ])
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        extract_ppt_text(enc)
