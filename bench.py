@@ -239,6 +239,7 @@ EXTRA_NAMES = [
     "doc_cfb_streams",
     "doc_legacy_extract",
     "doc_xls_extract",
+    "doc_msg_extract",
 ]
 
 

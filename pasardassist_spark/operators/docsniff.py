@@ -64,6 +64,8 @@ def sniff_document(payload) -> str:
                 return "xls"
             if "PowerPoint Document" in names:
                 return "ppt"
+            if any(n.startswith("__substg1.0_") for n in names):
+                return "msg"
             return "ole2"
         if data[:4] == b"PK\x03\x04":
             head = data[:256]
@@ -165,6 +167,10 @@ def extract_document(payload) -> tuple[str, str]:
         from pasardassist_spark.operators.ppttext import extract_ppt_text
 
         parts = extract_ppt_text(bytes(payload))
+    elif fmt == "msg":
+        from pasardassist_spark.operators.msgtext import extract_msg
+
+        parts = [extract_msg(bytes(payload)).body]
     elif fmt == "ole2":
         # .xls Workbook / .ppt PowerPoint Document remain the named
         # seam; the container walk itself is real (operators/cfb.py)

@@ -1411,3 +1411,27 @@ def test_ppt_roundtrip_and_error_contracts():
     ])
     with pytest.raises(NotImplementedError, match="encrypted"):
         extract_ppt_text(enc)
+
+
+def test_msg_extraction_and_sniffer_route():
+    from pasardassist_spark.operators.cfb import write_cfb
+    from pasardassist_spark.operators.docsniff import (
+        extract_document,
+        sniff_document,
+    )
+    from pasardassist_spark.operators.msgtext import encode_msg, extract_msg
+
+    p = encode_msg("subj", "the body words", "alice",
+                   ["a.txt", "ünicodé ✓.bin"])
+    d = extract_msg(p)
+    assert (d.subject, d.body, d.sender) == ("subj", "the body words", "alice")
+    assert d.attachments == ["a.txt", "ünicodé ✓.bin"]
+    assert sniff_document(p) == "msg"
+    fmt, text = extract_document(p)
+    assert fmt == "msg" and text == "the body words"
+    # missing optional properties come back empty, not raising
+    d2 = extract_msg(encode_msg("", ""))
+    assert d2.subject == "" and d2.attachments == []
+    # a property-less container is NOT a msg
+    with pytest.raises(ValueError, match="no MAPI property streams"):
+        extract_msg(write_cfb([("__properties_version1.0", b"\x00" * 16)]))
