@@ -112,21 +112,47 @@ def pack_bfd(
     two-phase prefix sum on the composite length/id key). Overflow docs
     (length > budget) get one pack each after the packed range.
     """
+    from pyspark import StorageLevel
+
     d = df.select(
         F.col(id_col).alias("_id").cast("long"),
         F.col(len_col).cast("long").alias("n_tokens"),
     )
+    # Materialize the (id, length) skeleton ONCE. The packing flow reads it
+    # from five distinct plan subtrees (histogram collect, two prefix-sum
+    # bounds actions, the ranked/offsets/shorter aggregates, the overflow
+    # branch); without this every pass re-runs the caller's upstream —
+    # typically a full-corpus tokenize, the dominant per-row cost (measured
+    # r13: 6 redundant tokenize passes = ~60% of query wall). Two longs per
+    # doc (~16 B/row) is cacheable at any corpus size; MEMORY_AND_DISK
+    # spills rather than recomputes on a tight cluster.
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
     ok = d.filter(F.col("n_tokens") <= budget)
-    # histogram + the id bound for the composite rank key, one pass
-    hrows = ok.groupBy("n_tokens").agg(
-        F.count(F.lit(1)).alias("c"), F.max("_id").alias("mx")
+    # ONE driver action for everything metadata-sized: the length
+    # histogram, the composite-key bound check, and the key ranges both
+    # exclusive_prefix_sum calls need (passed as ``bounds`` so neither
+    # runs its own min/max action — 3 corpus actions collapsed to 1).
+    hrows = d.groupBy("n_tokens").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min("_id").alias("mn"),
+        F.max("_id").alias("mx"),
     ).collect()
-    if any(r.mx >= _KEY_SHIFT for r in hrows):
+    okrows = [r for r in hrows if r.n_tokens <= budget]
+    overrows = [r for r in hrows if r.n_tokens > budget]
+    if any(r.mx >= _KEY_SHIFT for r in okrows):
         raise ValueError(
             f"pack_bfd: id exceeds the composite-key bound 2^40; "
             f"re-key ids densely first"
         )
-    hist = [(r.n_tokens, r.c) for r in hrows]
+    ok_bounds = (
+        min(r.n_tokens * _KEY_SHIFT + r.mn for r in okrows),
+        max(r.n_tokens * _KEY_SHIFT + r.mx for r in okrows),
+    ) if okrows else None
+    over_bounds = (
+        min(r.mn for r in overrows),
+        max(r.mx for r in overrows),
+    ) if overrows else None
+    hist = [(r.n_tokens, r.c) for r in okrows]
     strategies = spfhp_strategies(hist, budget, max_depth)
     blocks, n_packs = _layout_blocks(strategies)
     spark = df.sparkSession
@@ -142,7 +168,9 @@ def pack_bfd(
         ok.withColumn("_k", F.col("n_tokens") * _KEY_SHIFT + F.col("_id"))
         .withColumn("_one", F.lit(1))
     )
-    ranked = exclusive_prefix_sum(ranked, "_k", "_one", out="_grank")
+    ranked = exclusive_prefix_sum(
+        ranked, "_k", "_one", out="_grank", bounds=ok_bounds
+    )
     # rank within length = global rank - docs of strictly shorter lengths
     shorter = (
         ok.groupBy("n_tokens")
@@ -178,7 +206,11 @@ def pack_bfd(
     )
     over = d.filter(F.col("n_tokens") > budget)
     over_ranked = exclusive_prefix_sum(
-        over.withColumn("_one", F.lit(1)), "_id", "_one", out="_grank"
+        over.withColumn("_one", F.lit(1)),
+        "_id",
+        "_one",
+        out="_grank",
+        bounds=over_bounds,
     )
     overflow = over_ranked.select(
         F.col("_id").alias(id_col),

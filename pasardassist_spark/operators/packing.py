@@ -38,6 +38,7 @@ def exclusive_prefix_sum(
     value: str,
     out: str = "cum_before",
     n_buckets: int = 256,
+    bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Add ``out`` = sum of ``value`` over all rows with a STRICTLY smaller
     ``key`` (exclusive running total in global ``key`` order).
@@ -53,9 +54,14 @@ def exclusive_prefix_sum(
     clash = set(_INTERNAL) & set(df.columns)
     if clash:
         raise ValueError(f"columns collide with internal names: {sorted(clash)}")
-    bounds = df.agg(F.min(key), F.max(key)).first()
-    if bounds[0] is None:
-        return df.withColumn(out, F.lit(0).cast("long"))
+    if bounds is None:
+        # Callers that already know the key range (e.g. pack_bfd's
+        # histogram pass carries min/max ids per bin) pass ``bounds`` to
+        # skip this extra action over the input.
+        row = df.agg(F.min(key), F.max(key)).first()
+        if row[0] is None:
+            return df.withColumn(out, F.lit(0).cast("long"))
+        bounds = (int(row[0]), int(row[1]))
     lo, hi = bounds
     span = max(1, (int(hi) - int(lo)) // n_buckets + 1)
     b = F.floor((F.col(key) - F.lit(int(lo))) / F.lit(span)).cast("int")

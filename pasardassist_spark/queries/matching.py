@@ -943,11 +943,20 @@ def stat_theilsen_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-slope crossJoin combiner. 6-dp rounding absorbs the
     interpolation ulp.
 
-    Single-reducer bound: an exact median buffers all K^2/2 slopes in
-    one final reducer (~400 MB at the K=1e4 ceiling — survivable but
-    the bottleneck); past that, swap F.median for
-    percentile_approx(0.5, 1e-4-accuracy) whose sketch partial-merges
-    map-side, trading exactness for a rank-1e-4 bound."""
+    Slope median: exact_median_scalar (operators/medians.py) — the
+    banded two-pass selection. F.median would buffer all K^2/2 slopes
+    in ONE final reducer (~400 MB at the K=1e4 ceiling; measured as 98%
+    of this query's wall at bench scale). The banded form runs two
+    fully-parallel passes over the pair stage (count + certified
+    approx-quantile bracket, then strict-below count + a ~6e-4 * n
+    value band collected and selected at the exact global ranks) — same
+    exact result, nothing bigger than the band in any task. The
+    intercept median runs over the K gated points (metadata-scale by
+    design), where single-reducer F.median is free."""
+    from pyspark import StorageLevel
+
+    from pasardassist_spark.operators.medians import exact_median_scalar
+
     cust = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -959,7 +968,11 @@ def stat_theilsen_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate = F.conv(
         F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 4), 16, 10
     ).cast("long")
-    g = cust.filter(gate < _TS_GATE).select("x", "y")
+    # K gated points feed the pair stage twice (median passes) plus the
+    # intercept readout; persist so orders is scanned/aggregated once.
+    g = cust.filter(gate < _TS_GATE).select("x", "y").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = g.alias("a")
     b = g.alias("b")
     ax, ay = F.col("a.x"), F.col("a.y")
@@ -971,25 +984,21 @@ def stat_theilsen_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     sl = pairs.select(
         ((by - ay).cast("double") / (bx - ax).cast("double")).alias("slope")
     )
-    m = sl.agg(
-        F.median("slope").alias("slope"),
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-    )
-    ic = (
-        g.crossJoin(F.broadcast(m))
-        .groupBy("slope", "n_pairs")
-        .agg(
-            F.median(F.col("y").cast("double") - F.col("slope") * F.col("x")).alias(
-                "intercept"
-            ),
+    slope, n_pairs = exact_median_scalar(sl, "slope")
+    return (
+        g.agg(
             F.count(F.lit(1)).cast("long").alias("k_points"),
+            F.median(
+                F.col("y").cast("double")
+                - F.lit(slope).cast("double") * F.col("x")
+            ).alias("intercept"),
         )
-    )
-    return ic.select(
-        "k_points",
-        "n_pairs",
-        F.round("slope", 6).alias("slope"),
-        F.round("intercept", 6).alias("intercept"),
+        .select(
+            "k_points",
+            F.lit(n_pairs).cast("long").alias("n_pairs"),
+            F.round(F.lit(slope).cast("double"), 6).alias("slope"),
+            F.round("intercept", 6).alias("intercept"),
+        )
     )
 
 

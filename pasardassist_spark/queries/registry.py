@@ -159,6 +159,16 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     # r10 red fixed at the root — scalar projection + the Array/Map
     # output-column registry guard in tests/test_oracle_parity.py)
     "wordpiece_encode_corpus",
+    # r12 greens (CORRECTNESS_r12: 46 hash-green + 4 rows-only-by-design
+    # clean, 0 red at HEAD 066f2ca — the email shelf, the legacy-Office
+    # [MS-CFB] shelf, the XLSX/PPTX typed extracts, FIM, mbox, and the
+    # lang-ID v2 gate all recorded clean; the round-12 _FORCE_RECHECK set
+    # (docx/webdataset/feed/webp/dispatchers/curate_corpus) all re-greened)
+    "text_lang_id_v2", "src_mbox_roundtrip", "format_fim_spans",
+    "doc_email_extract", "doc_email_attachments", "doc_email_threads",
+    "pipeline_email_to_sft", "doc_xlsx_extract", "doc_xlsx_records",
+    "doc_pptx_extract", "doc_pptx_notes", "doc_legacy_extract",
+    "doc_xls_extract", "doc_msg_extract", "doc_cfb_streams",
 })
 
 # Entries whose implementation or oracle changed since their last green
@@ -169,19 +179,25 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # so the set starts empty.  Add a name here ONLY when its query fn or
 # oracle actually changed this round.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    # round 12: ADVICE fixes touching operator internals — DOCX nested
-    # tables walked once (operators/docxtext.py), WebDataset samples
-    # keyed at the FIRST dot (sources/webdataset.py), feed pubDate
-    # grammar accepts 2-digit years / missing seconds
-    # (operators/feedtext.py), WebP palette+predictor width tracking
-    # (operators/webpcodec.py).  Oracles re-derive from the same code
-    # paths, so each needs one fresh driver row.
-    "doc_docx_extract", "src_webdataset_roundtrip", "doc_feed_extract",
-    "mm_webp_decode", "pipeline_any_doc_extract",
+    # round 13: ADVICE fixes touching operator internals — email sniff
+    # tightened + markdown fallback (operators/docsniff.py), text/plain
+    # attachment-part body exclusion (operators/emailtext.py), CFB sibling
+    # walk made iterative (operators/cfb.py).  Oracles re-derive from the
+    # same code paths, so each needs one fresh driver row.
+    "doc_email_extract", "doc_email_attachments", "pipeline_any_doc_extract",
+    "doc_legacy_extract", "doc_cfb_streams", "src_mbox_roundtrip",
+    # round 13: PDF gained xref-stream/ObjStm containers + the filter tail
+    # (LZW/ASCII85/ASCIIHex/RunLength), fixtures now rotate both container
+    # kinds; .msg gained LZFu compressed-RTF bodies; XLSX gained the 1904
+    # date system with rotating fixtures.
+    "doc_pdf_extract", "doc_msg_extract", "doc_xlsx_records",
     "pipeline_doc_extract_clean",
-    # round 12: the language gate upgraded to the 20-language hashed
-    # trigram model (operators/langid.py) — query fn AND oracle changed.
-    "curate_corpus",
+    # round 13: the two r12 bench flags adjudicated REAL (idle re-measure
+    # confirmed, controls at +4-14% host drift only) and fixed at the
+    # design level — pack_bfd persists its (id, length) skeleton
+    # (operators/binpack.py), theilsen's slope median moved to the banded
+    # two-pass exact selection (operators/medians.py).
+    "stat_theilsen_line", "pack_bfd_assignments",
 })
 
 

@@ -624,11 +624,36 @@ def test_stratified_split_no_per_stratum_corpus_window(spark, sf_dir):
 def test_theilsen_pair_stage_is_gated_broadcast_nested_loop(spark, sf_dir):
     """The O(K^2) pair join is an explicit BroadcastNestedLoopJoin of
     the md5-gated K-row frame — never an ungated CartesianProduct, and
-    no sort-merge anywhere."""
+    no sort-merge anywhere. Since r13 the pair stage runs eagerly inside
+    exact_median_scalar (the banded median), so assert on the pair frame
+    the query builds, then on the returned readout plan (metadata-scale:
+    no data-sized join of any kind)."""
+    from pyspark.sql import functions as F
+
+    from pasardassist_spark.queries.matching import _TS_GATE
+    from pasardassist_spark.tables import load
+
+    cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("x"), F.sum("o_totalprice").alias("y"))
+    )
+    gate = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    g = cust.filter(gate < _TS_GATE).select("x", "y")
+    a, b = g.alias("a"), g.alias("b")
+    ax, ay, bx, by = F.col("a.x"), F.col("a.y"), F.col("b.x"), F.col("b.y")
+    pairs = a.join(
+        F.broadcast(b), ((ax < bx) | ((ax == bx) & (ay < by))) & (ax != bx)
+    )
+    pp = plan(pairs)
+    assert "BroadcastNestedLoopJoin" in pp
+    assert "CartesianProduct" not in pp
+    assert "SortMergeJoin" not in pp
     p = plan(REGISTRY["stat_theilsen_line"].fn(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in p
-    assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
 
 
 def test_bootstrap_single_aggregation_pass(spark, sf_dir):
