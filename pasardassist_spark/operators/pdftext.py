@@ -31,18 +31,36 @@ gaps), and the synthesized-fixture oracle relies on byte-exact
 reconstruction.  Positioning operators (``Td``/``TD``/``T*``/``Tm``) are
 consumed but deliberately not turned into whitespace heuristics.
 
-Clearly-named seams (real-world variants out of stdlib reach or out of
-scope for a text pass): encrypted documents (``/Encrypt``),
-cross-reference STREAMS (PDF 1.5+ ``/Type /XRef``; classic tables cover
-the fixture surface and most crawl PDFs carry a classic table or hybrid),
-and non-Flate filters (DCT/LZW/ASCII85) raise ``NotImplementedError`` by
-name.  Malformed structure raises ``ValueError``.
+PDF 1.5+ container support (round 13 — the post-2005 majority):
+
+- cross-reference STREAMS (``/Type /XRef``): binary rows laid out by
+  ``/W`` field widths over ``/Index`` subsections, Flate-compressed with
+  the PNG row predictors real writers apply (``/DecodeParms
+  /Predictor``), following ``/Prev`` chains that may alternate stream
+  and classic sections, plus HYBRID files (a classic table whose
+  trailer carries ``/XRefStm``);
+- OBJECT STREAMS (``/Type /ObjStm``): type-2 xref entries resolve into
+  the decompressed object stream via its ``N``/``First`` pair header,
+  including ``/Extends`` chains;
+- the stream-filter tail: ``LZWDecode`` (MSB-first early-change codes —
+  the TIFF discipline), ``ASCII85Decode``, ``ASCIIHexDecode``,
+  ``RunLengthDecode``, filter CASCADES (``/Filter`` arrays applied in
+  order with per-filter ``/DecodeParms``), and ``DCTDecode`` routed
+  through operators/jpegcodec.py (decoded image pixels).
+
+Remaining clearly-named seams: encrypted documents (``/Encrypt``),
+``JBIG2Decode``/``JPXDecode`` (image-only codecs out of pure-stdlib
+reach), and ``LZWDecode`` with ``/EarlyChange 0`` raise
+``NotImplementedError`` by name.  Malformed structure raises
+``ValueError``.
 
 The writer ``encode_pdf`` synthesizes CONFORMING single-font PDFs (catalog,
-page tree, Helvetica Type1, Flate-compressed content streams alternating
-``Tj``/``TJ`` forms, a correct xref table) so the extractor is exercised
-end-to-end on genuine files, the same fixture-synthesis pattern as
-operators/gifcodec.py / jpegcodec.py.
+page tree, Helvetica Type1, compressed content streams alternating
+``Tj``/``TJ`` forms) in BOTH container generations — classic xref table,
+or PDF-1.5 xref stream (predictor-12 Flate) + object stream holding every
+non-stream object — and with a rotating content-stream filter cascade, so
+the extractor is exercised end-to-end on genuine files, the same
+fixture-synthesis pattern as operators/gifcodec.py / jpegcodec.py.
 """
 
 from __future__ import annotations
@@ -261,8 +279,11 @@ class _Document:
     def __init__(self, payload: bytes):
         self.buf = payload
         self.offsets: dict[int, int] = {}
+        # type-2 xref entries: objnum -> (object-stream num, index within)
+        self.compressed: dict[int, tuple[int, int]] = {}
         self.trailer: dict[str, object] = {}
         self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, dict[int, object]] = {}
         self._parse_xref_chain()
         if "Encrypt" in self.trailer:
             raise NotImplementedError("encrypted PDF (/Encrypt) unsupported")
@@ -296,9 +317,7 @@ class _Document:
         if tok != b"xref":
             # an object at the xref offset => PDF 1.5 cross-reference stream
             if re.fullmatch(rb"\d+", tok):
-                raise NotImplementedError(
-                    "cross-reference streams (PDF 1.5 /Type /XRef) unsupported"
-                )
+                return self._parse_xref_stream(off)
             raise ValueError(f"expected xref table at offset {off}, got {tok!r}")
         while True:
             tok = lex.next_token()
@@ -313,12 +332,70 @@ class _Document:
                     raise ValueError("truncated xref entry")
                 lex.pos += 20 if entry[18:20] in (b"\r\n", b" \n", b" \r") else 18
                 num = start + i
-                if entry[17:18] == b"n" and num not in self.offsets:
+                if entry[17:18] == b"n" and not self._known(num):
                     self.offsets[num] = int(entry[0:10])
         if lex.next_token() != b"<<":
             raise ValueError("PDF trailer is not a dictionary")
         lex.pos -= 2
-        return lex.parse_object()  # type: ignore[return-value]
+        trailer: dict[str, object] = lex.parse_object()  # type: ignore[assignment]
+        # hybrid-reference file: the classic table's trailer points at an
+        # xref STREAM carrying the entries for compressed objects the
+        # table omits (ISO 32000-1 §7.5.8.4). Its entries fill gaps only.
+        xstm = trailer.get("XRefStm")
+        if xstm is not None:
+            self._parse_xref_stream(int(xstm))  # type: ignore[arg-type]
+        return trailer
+
+    def _known(self, num: int) -> bool:
+        return num in self.offsets or num in self.compressed
+
+    def _parse_xref_stream(self, off: int) -> dict[str, object]:
+        """PDF 1.5 cross-reference stream: /W-wide binary rows over
+        /Index subsections; types 0 (free), 1 (offset), 2 (in object
+        stream). Newest-section-wins matches the classic parser."""
+        obj = self._parse_object_at(off)
+        if not isinstance(obj, _Stream):
+            raise ValueError(f"xref stream at {off} is not a stream object")
+        sd = obj.dict
+        if self.resolve(sd.get("Type")) != "XRef":
+            raise ValueError("xref stream lacks /Type /XRef")
+        w = [int(self.resolve(x)) for x in self.resolve(sd.get("W")) or []]
+        if len(w) != 3 or any(x < 0 for x in w) or sum(w) == 0:
+            raise ValueError(f"bad xref stream /W {w!r}")
+        size = int(self.resolve(sd.get("Size")) or 0)
+        index = [int(self.resolve(x)) for x in
+                 self.resolve(sd.get("Index")) or [0, size]]
+        if len(index) % 2:
+            raise ValueError("xref stream /Index has odd length")
+        data = obj.decoded(self)
+        rowlen = sum(w)
+        if len(data) < rowlen * sum(index[1::2]):
+            raise ValueError("xref stream data shorter than /Index claims")
+        pos = 0
+        for s in range(0, len(index), 2):
+            start, count = index[s], index[s + 1]
+            for i in range(count):
+                row = data[pos : pos + rowlen]
+                pos += rowlen
+                fields = []
+                fp = 0
+                for width in w:
+                    fields.append(
+                        int.from_bytes(row[fp : fp + width], "big") if width else 0
+                    )
+                    fp += width
+                # a zero-width first field defaults the type to 1
+                ftype = fields[0] if w[0] else 1
+                num = start + i
+                if self._known(num):
+                    continue
+                if ftype == 1:
+                    self.offsets[num] = fields[1]
+                elif ftype == 2:
+                    self.compressed[num] = (fields[1], fields[2])
+                # type 0 (free) and unknown types: skipped (spec: treat
+                # unknown types as references to the null object)
+        return sd  # the stream dict doubles as the trailer dictionary
 
     # -- objects ------------------------------------------------------------
 
@@ -327,15 +404,14 @@ class _Document:
             v = self.get_object(v.num)
         return v
 
-    def get_object(self, num: int):
-        if num in self._cache:
-            return self._cache[num]
-        off = self.offsets.get(num)
-        if off is None:
-            raise ValueError(f"PDF object {num} not in xref table")
+    def _parse_object_at(self, off: int, expect_num: int | None = None):
+        """Parse ``N G obj ... endobj`` at a byte offset (streams
+        included). Used by get_object for type-1 entries and by the xref
+        parser before any entry table exists."""
         lex = _Lexer(self.buf, off)
-        if int(lex.next_token()) != num:
-            raise ValueError(f"xref offset for object {num} is wrong")
+        num = int(lex.next_token())
+        if expect_num is not None and num != expect_num:
+            raise ValueError(f"xref offset for object {expect_num} is wrong")
         lex.next_token()  # generation
         if lex.next_token() != b"obj":
             raise ValueError(f"object {num}: missing 'obj' keyword")
@@ -356,8 +432,265 @@ class _Document:
             if len(data) != length:
                 raise ValueError(f"object {num}: truncated stream")
             value = _Stream(value, data)  # type: ignore[assignment]
+        return value
+
+    def get_object(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        off = self.offsets.get(num)
+        if off is not None:
+            value = self._parse_object_at(off, expect_num=num)
+        else:
+            loc = self.compressed.get(num)
+            if loc is None:
+                raise ValueError(f"PDF object {num} not in xref table")
+            objs = self._load_objstm(loc[0])
+            if num not in objs:
+                raise ValueError(
+                    f"object {num} missing from object stream {loc[0]}"
+                )
+            value = objs[num]
         self._cache[num] = value
         return value
+
+    def _load_objstm(self, snum: int) -> dict[int, object]:
+        """Decode an object stream (/Type /ObjStm) to {objnum: value},
+        following /Extends chains (child entries win)."""
+        if snum in self._objstm_cache:
+            cached = self._objstm_cache[snum]
+            if cached is None:
+                raise ValueError(f"cyclic /Extends chain at object stream {snum}")
+            return cached
+        self._objstm_cache[snum] = None  # type: ignore[assignment]  # cycle guard
+        st = self.get_object(snum)
+        if not isinstance(st, _Stream):
+            raise ValueError(f"object stream {snum} is not a stream")
+        sd = st.dict
+        if self.resolve(sd.get("Type")) != "ObjStm":
+            raise ValueError(f"object {snum} lacks /Type /ObjStm")
+        n = int(self.resolve(sd.get("N")) or 0)
+        first = int(self.resolve(sd.get("First")) or 0)
+        data = st.decoded(self)
+        lex = _Lexer(data)
+        pairs = [
+            (int(lex.next_token()), int(lex.next_token())) for _ in range(n)
+        ]
+        objs: dict[int, object] = {}
+        ext = self.resolve(sd.get("Extends"))
+        if isinstance(sd.get("Extends"), _Ref):
+            objs.update(self._load_objstm(sd["Extends"].num))  # type: ignore[union-attr]
+        elif ext is not None:
+            raise ValueError("/Extends must be an indirect reference")
+        for onum, ooff in pairs:
+            sub = _Lexer(data, first + ooff)
+            objs[onum] = sub.parse_object()
+        self._objstm_cache[snum] = objs
+        return objs
+
+
+# ----------------------------------------------------------- filters ------
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    digits = bytearray()
+    for c in data:
+        if c == 0x3E:  # '>' EOD
+            break
+        if c in _WS:
+            continue
+        digits.append(c)
+    if len(digits) % 2:
+        digits.append(0x30)  # spec: odd count pads with 0
+    try:
+        return bytes.fromhex(digits.decode("ascii"))
+    except ValueError as exc:
+        raise ValueError(f"corrupt ASCIIHexDecode stream: {exc}") from exc
+
+
+def _asciihex_encode(data: bytes) -> bytes:
+    return data.hex().encode("ascii") + b">"
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    out = bytearray()
+    group: list[int] = []
+    i, n = 0, len(data)
+    if data[:2] == b"<~":  # Adobe frame start (optional in PDF)
+        i = 2
+    while i < n:
+        c = data[i]
+        if c == 0x7E:  # '~' begins the '~>' EOD marker
+            break
+        i += 1
+        if c in _WS:
+            continue
+        if c == 0x7A:  # 'z' == four zero bytes, only valid between groups
+            if group:
+                raise ValueError("ASCII85 'z' inside a group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise ValueError(f"bad ASCII85 character {c:#x}")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise ValueError("ASCII85 group overflows 32 bits")
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("ASCII85 trailing group of one character")
+        k = len(group)
+        v = 0
+        for g in group + [84] * (5 - k):  # pad with 'u'
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _ascii85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i : i + 4]
+        k = len(chunk)
+        v = int.from_bytes(chunk + b"\x00" * (4 - k), "big")
+        if v == 0 and k == 4:
+            out.append(0x7A)  # 'z'
+            continue
+        enc = bytearray(5)
+        for j in range(4, -1, -1):
+            enc[j] = 0x21 + v % 85
+            v //= 85
+        out += enc[: k + 1]
+    return bytes(out) + b"~>"
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        l = data[i]
+        i += 1
+        if l == 128:  # EOD
+            return bytes(out)
+        if l < 128:
+            if i + l + 1 > n:
+                raise ValueError("truncated RunLengthDecode literal run")
+            out += data[i : i + l + 1]
+            i += l + 1
+        else:
+            if i >= n:
+                raise ValueError("truncated RunLengthDecode repeat run")
+            out += data[i : i + 1] * (257 - l)
+            i += 1
+    raise ValueError("RunLengthDecode stream ended without EOD")
+
+
+def _runlength_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # repeat run?
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 126:
+            j += 1
+        if j > i + 1:  # >= 3 repeats pay for themselves
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+            continue
+        # literal run until the next >=3 repeat or 128 bytes
+        j = i
+        while j < n and j - i < 127:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)  # literal: length byte L copies L+1 bytes
+        out += data[i:j]
+        i = j
+    out.append(128)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode: MSB-first variable 9..12-bit codes, Clear=256,
+    EOD=257. ``early`` is /EarlyChange — 1 (default, the TIFF
+    discipline tiffcodec.py implements) widens one code early."""
+    if early != 1:
+        raise NotImplementedError("LZWDecode /EarlyChange 0 unsupported")
+    from pasardassist_spark.operators.tiffcodec import _lzw_decode_tiff
+
+    return _lzw_decode_tiff(data, 1 << 62)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    from pasardassist_spark.operators.tiffcodec import _lzw_encode_tiff
+
+    return _lzw_encode_tiff(data)
+
+
+def _apply_predictor(data: bytes, parms: dict) -> bytes:
+    """Undo the /Predictor pre-filter on Flate/LZW streams. Predictor 2 =
+    TIFF horizontal differencing; >= 10 = PNG row filters (each row led
+    by a filter-type byte). Real xref streams are almost always
+    predictor-12 (Up)."""
+    pred = int(parms.get("Predictor", 1) or 1)
+    if pred <= 1:
+        return data
+    colors = int(parms.get("Colors", 1) or 1)
+    bits = int(parms.get("BitsPerComponent", 8) or 8)
+    columns = int(parms.get("Columns", 1) or 1)
+    if bits != 8:
+        raise NotImplementedError(
+            f"/Predictor with BitsPerComponent {bits} unsupported"
+        )
+    bpp = colors  # bytes per pixel at 8 bits/component
+    rowlen = columns * colors
+    if pred == 2:  # TIFF horizontal differencing
+        out = bytearray(data)
+        for r in range(0, len(out), rowlen):
+            row_end = min(r + rowlen, len(out))
+            for i in range(r + bpp, row_end):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    # PNG predictors: rows of (1 filter byte + rowlen data bytes)
+    stride = rowlen + 1
+    if len(data) % stride:
+        raise ValueError("predictor stream length not a row multiple")
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for r in range(0, len(data), stride):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + stride])
+        if ft == 0:  # None
+            pass
+        elif ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG predictor filter type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
 
 
 class _Stream:
@@ -370,14 +703,39 @@ class _Stream:
         if filt is None:
             return self.raw
         filters = filt if isinstance(filt, list) else [filt]
+        parms_v = doc.resolve(self.dict.get("DecodeParms"))
+        if parms_v is None:
+            parms_list: list[dict] = [{}] * len(filters)
+        elif isinstance(parms_v, list):
+            parms_list = [doc.resolve(p) or {} for p in parms_v]
+            parms_list += [{}] * (len(filters) - len(parms_list))
+        else:
+            parms_list = [parms_v] + [{}] * (len(filters) - 1)
         data = self.raw
-        for f in filters:
+        for f, parms in zip(filters, parms_list):
             f = doc.resolve(f)
+            parms = {k: doc.resolve(v) for k, v in (parms or {}).items()}
             if f == "FlateDecode":
                 try:
                     data = zlib.decompress(data)
                 except zlib.error as exc:
                     raise ValueError(f"corrupt FlateDecode stream: {exc}") from exc
+                data = _apply_predictor(data, parms)
+            elif f == "LZWDecode":
+                data = _lzw_decode(data, int(parms.get("EarlyChange", 1) or 1))
+                data = _apply_predictor(data, parms)
+            elif f == "ASCIIHexDecode":
+                data = _asciihex_decode(data)
+            elif f == "ASCII85Decode":
+                data = _ascii85_decode(data)
+            elif f == "RunLengthDecode":
+                data = _runlength_decode(data)
+            elif f == "DCTDecode":
+                # image XObject payload: decoded form is the pixel raster
+                # (operators/jpegcodec.py — baseline AND progressive)
+                from pasardassist_spark.operators.jpegcodec import decode_jpeg
+
+                data = bytes(decode_jpeg(data).pixels)
             else:
                 raise NotImplementedError(f"PDF stream filter {f} unsupported")
         return data
@@ -495,53 +853,169 @@ def _content_stream(text: str) -> bytes:
     return b" ".join(parts)
 
 
-def encode_pdf(pages: list[str]) -> bytes:
-    """Write a conforming PDF-1.4: catalog, page tree, one Helvetica font,
-    one FlateDecode content stream per page, classic xref table."""
+# content-filter cascades the writer can emit: name -> (encode, /Filter)
+_CONTENT_FILTERS: dict[str, tuple] = {
+    "flate": (
+        lambda cs: zlib.compress(cs, 6),
+        b"/FlateDecode",
+    ),
+    "lzw": (
+        lambda cs: _lzw_encode(cs),
+        b"/LZWDecode",
+    ),
+    # /Filter arrays apply IN ORDER when decoding, so the writer applies
+    # the cascade in reverse: flate first, then ascii85 armor it.
+    "a85flate": (
+        lambda cs: _ascii85_encode(zlib.compress(cs, 6)),
+        b"[/ASCII85Decode /FlateDecode]",
+    ),
+    "rlhex": (
+        lambda cs: _asciihex_encode(_runlength_encode(cs)),
+        b"[/ASCIIHexDecode /RunLengthDecode]",
+    ),
+}
+
+
+def encode_pdf(
+    pages: list[str],
+    *,
+    xref_stream: bool = False,
+    content_filter: str = "flate",
+) -> bytes:
+    """Write a conforming PDF: catalog, page tree, one Helvetica font,
+    one compressed content stream per page.
+
+    ``xref_stream=False``: PDF-1.4 with a classic xref table.
+    ``xref_stream=True``: PDF-1.5 — every non-stream object lives in ONE
+    object stream (/Type /ObjStm), located through a /Type /XRef
+    cross-reference stream with /W [1 2 2] rows, predictor-12 (PNG Up)
+    pre-filtered then Flate-compressed — the layout Acrobat 6+ and pdfTeX
+    emit by default. Content-stream /Length stays an INDIRECT reference
+    whose target sits inside the object stream, so every extraction
+    exercises type-2 resolution.
+
+    ``content_filter`` picks the content-stream cascade: "flate", "lzw",
+    "a85flate" ([/ASCII85Decode /FlateDecode]) or "rlhex"
+    ([/ASCIIHexDecode /RunLengthDecode]).
+    """
     if not pages:
         raise ValueError("PDF needs at least one page")
+    if content_filter not in _CONTENT_FILTERS:
+        raise ValueError(f"unknown content filter {content_filter!r}")
+    enc, filter_name = _CONTENT_FILTERS[content_filter]
     n = len(pages)
     # object numbering: 1 catalog, 2 pages, 3 font, then (page, content)*
     objs: dict[int, bytes] = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
         3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     }
+    stream_nums: set[int] = set()
     kids = []
     for i in range(n):
         # page at 4+2i, its content stream at 5+2i, its /Length (kept
         # INDIRECT — exercises ref resolution inside stream dicts) at 4+2n+i
         pnum, cnum, lnum = 4 + 2 * i, 5 + 2 * i, 4 + 2 * n + i
         kids.append(b"%d 0 R" % pnum)
-        data = zlib.compress(_content_stream(pages[i]), 6)
+        data = enc(_content_stream(pages[i]))
         objs[pnum] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>" % cnum
         )
         objs[cnum] = (
-            b"<< /Length %d 0 R /Filter /FlateDecode >>\nstream\n" % lnum
+            b"<< /Length %d 0 R /Filter " % lnum
+            + filter_name
+            + b" >>\nstream\n"
             + data
             + b"\nendstream"
         )
+        stream_nums.add(cnum)
         objs[lnum] = b"%d" % len(data)
     objs[2] = (
         b"<< /Type /Pages /Kids [" + b" ".join(kids) + b"] /Count %d >>" % n
     )
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets: dict[int, int] = {}
-    for num in sorted(objs):
+    if not xref_stream:
+        out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets: dict[int, int] = {}
+        for num in sorted(objs):
+            offsets[num] = len(out)
+            out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+        xref_off = len(out)
+        max_num = max(objs)
+        out += b"xref\n0 %d\n" % (max_num + 1)
+        out += b"0000000000 65535 f \n"
+        for num in range(1, max_num + 1):
+            if num in offsets:
+                out += b"%010d 00000 n \n" % offsets[num]
+            else:
+                out += b"0000000000 65535 f \n"
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (max_num + 1, xref_off)
+        )
+        return bytes(out)
+    # ---- PDF 1.5: object stream + cross-reference stream -----------------
+    max_num = max(objs)
+    objstm_num, xref_num = max_num + 1, max_num + 2
+    packed = sorted(num for num in objs if num not in stream_nums)
+    header = bytearray()
+    body = bytearray()
+    inner_off: dict[int, int] = {}
+    for num in packed:
+        inner_off[num] = len(body)
+        body += objs[num] + b"\n"
+    for num in packed:
+        header += b"%d %d " % (num, inner_off[num])
+    objstm_payload = zlib.compress(bytes(header) + bytes(body), 6)
+    objstm_obj = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+        b"\nstream\n" % (len(packed), len(header), len(objstm_payload))
+        + objstm_payload
+        + b"\nendstream"
+    )
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(stream_nums):
         offsets[num] = len(out)
         out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    offsets[objstm_num] = len(out)
+    out += b"%d 0 obj\n" % objstm_num + objstm_obj + b"\nendobj\n"
     xref_off = len(out)
-    max_num = max(objs)
-    out += b"xref\n0 %d\n" % (max_num + 1)
-    out += b"0000000000 65535 f \n"
-    for num in range(1, max_num + 1):
-        if num in offsets:
-            out += b"%010d 00000 n \n" % offsets[num]
+    # /W [1 4 2] rows for objects 0..xref_num (4-byte offsets: content
+    # streams routinely push files past the 64 KiB a 2-byte field caps)
+    size = xref_num + 1
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            row = bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+        elif num in offsets or num == xref_num:
+            off = xref_off if num == xref_num else offsets[num]
+            row = bytes([1]) + off.to_bytes(4, "big") + (0).to_bytes(2, "big")
         else:
-            out += b"0000000000 65535 f \n"
-    out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (max_num + 1, xref_off)
+            row = (
+                bytes([2])
+                + objstm_num.to_bytes(4, "big")
+                + packed.index(num).to_bytes(2, "big")
+            )
+        rows += row
+    # PNG Up (filter type 2) predictor over 7-byte rows, then Flate —
+    # exactly what real writers emit for xref streams
+    stride = 7
+    pred = bytearray()
+    prev = bytes(stride)
+    for r in range(0, len(rows), stride):
+        row = rows[r : r + stride]
+        pred.append(2)
+        pred += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        prev = row
+    xref_payload = zlib.compress(bytes(pred), 6)
+    xref_obj = (
+        b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+        b"/Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 12 /Columns 7 >> /Length %d >>"
+        b"\nstream\n" % (size, len(xref_payload))
+        + xref_payload
+        + b"\nendstream"
     )
+    out += b"%d 0 obj\n" % xref_num + xref_obj + b"\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
     return bytes(out)

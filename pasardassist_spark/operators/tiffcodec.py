@@ -101,15 +101,38 @@ def _lzw_encode_tiff(data: bytes) -> bytes:
     out = bytearray()
     buf = 0
     nbits = 0
-    width = 9
+    # The code width for EVERY emission comes from a simulation of the
+    # decoder's schedule (append-entry-then-check on its one-entry-stale
+    # table count).  Deriving the width from the encoder's own table
+    # count agrees with the decoder mid-stream (the stale count cancels
+    # the post-insert off-by-one) but desyncs on trailing emissions with
+    # no insert between them — a flush or EOI landing exactly on a
+    # 2^w boundary was read at the wrong width (round-13 bug, hit by
+    # 1-in-hundreds of real text payloads).  Simulating the reader makes
+    # consistency hold by construction for every code, boundaries
+    # included, without touching the decoder real files depend on.
+    dec_width = 9
+    dec_len = 258
+    dec_prev = False
 
     def emit(code: int) -> None:
-        nonlocal buf, nbits
-        buf = (buf << width) | code
-        nbits += width
+        nonlocal buf, nbits, dec_width, dec_len, dec_prev
+        buf = (buf << dec_width) | code
+        nbits += dec_width
         while nbits >= 8:
             out.append((buf >> (nbits - 8)) & 0xFF)
             nbits -= 8
+        # advance the decoder simulation past this code
+        if code == _CLEAR:
+            dec_width, dec_len, dec_prev = 9, 258, False
+            return
+        if code == _EOI:
+            return
+        if dec_prev:
+            dec_len += 1
+        dec_prev = True
+        if dec_len + 1 >= (1 << dec_width) and dec_width < 12:
+            dec_width += 1
 
     table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
     next_code = 258
@@ -123,14 +146,10 @@ def _lzw_encode_tiff(data: bytes) -> bytes:
             emit(table[w])
             table[w + c] = next_code
             next_code += 1
-            # early change mirrors the decoder's bump point
-            if next_code + 1 > (1 << width) and width < 12:
-                width += 1
             if next_code >= 4094:
                 emit(_CLEAR)
                 table = {bytes([i]): i for i in range(256)}
                 next_code = 258
-                width = 9
             w = c
     if w:
         emit(table[w])

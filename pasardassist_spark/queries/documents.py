@@ -47,7 +47,8 @@ def _split_bounds(length: int, n: int) -> list[tuple[int, int]]:
 
 
 def _extract_rows(
-    it: Iterator[pd.DataFrame], n_mod: int, encode, extract
+    it: Iterator[pd.DataFrame], n_mod: int, encode, extract,
+    id_aware: bool = False,
 ) -> Iterator[pd.DataFrame]:
     for pdf in it:
         out: dict[str, list] = {
@@ -57,7 +58,7 @@ def _extract_rows(
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             n = int(doc_id) % n_mod + 1
             parts = [text[a:b] for a, b in _split_bounds(len(text), n)]
-            payload = encode(parts)
+            payload = encode(parts, int(doc_id)) if id_aware else encode(parts)
             got = extract(payload)
             if len(got) != n:
                 # raise, not assert (must survive python -O): a parser
@@ -106,22 +107,40 @@ def _oracle(n_mod: int) -> str:
 @query("doc_pdf_extract", oracle=_oracle(3))
 def doc_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PDF text extraction end-to-end (operators/pdftext.py): each
-    document's text is split into doc_id%3+1 pages, written as a
-    conforming PDF-1.4 (classic xref table, indirect /Length refs,
-    FlateDecode content streams alternating Tj and kerning-array TJ show
-    operators, octal-escaped non-ASCII), then re-extracted the conforming
-    way — startxref → xref → trailer → catalog → page tree → content
-    streams.  The oracle re-derives every page's length and md5 from
-    substring arithmetic, so any parser defect (xref offset, escape
-    decode, page order, TJ handling) hash-mismatches on 500 real PDFs.
-    Encrypted PDFs / xref streams / non-Flate filters raise by name
-    (module docstring); error paths pytest-pinned in
-    tests/test_docformats.py."""
+    document's text is split into doc_id%3+1 pages and written as a
+    conforming PDF, rotating BOTH container generations and the stream
+    filter by doc_id — odd ids get the PDF-1.5 layout (a /Type /XRef
+    cross-reference stream with predictor-12 Flate rows locating every
+    non-stream object inside a /Type /ObjStm object stream, the layout
+    of virtually all post-2005 PDFs), even ids the classic PDF-1.4
+    table; content streams cycle FlateDecode, LZWDecode,
+    [/ASCII85Decode /FlateDecode] and [/ASCIIHexDecode /RunLengthDecode]
+    cascades (doc_id%4), with indirect /Length refs whose targets sit
+    INSIDE the object stream on the 1.5 side (type-2 resolution on every
+    document).  Extraction is the conforming walk — startxref → xref
+    table or stream (/W rows, /Index subsections, /Prev chains) →
+    trailer → catalog → page tree → content streams.  The oracle
+    re-derives every page's length and md5 from substring arithmetic, so
+    any parser defect (xref row decode, predictor undo, ObjStm offset,
+    filter cascade, escape decode, page order, TJ handling)
+    hash-mismatches on 500 real PDFs — ~250 of them xref-stream files.
+    Encrypted PDFs / JPX / JBIG2 raise by name (module docstring);
+    hybrid /XRefStm, /Prev generation mixes, /Extends chains and the
+    filter codecs are hand-pinned in tests/test_pdf15.py."""
     from pasardassist_spark.operators.pdftext import encode_pdf, extract_pdf_pages
+
+    _FILTERS = ("flate", "lzw", "a85flate", "rlhex")
+
+    def enc(parts: list[str], doc_id: int) -> bytes:
+        return encode_pdf(
+            parts,
+            xref_stream=doc_id % 2 == 1,
+            content_filter=_FILTERS[doc_id % 4],
+        )
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(
-        lambda it: _extract_rows(it, 3, encode_pdf, extract_pdf_pages),
+        lambda it: _extract_rows(it, 3, enc, extract_pdf_pages, id_aware=True),
         _OUT_SCHEMA,
     )
 
@@ -225,7 +244,11 @@ def pipeline_doc_extract_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if seed % 2 == 0:
                     fmt, n = "pdf", seed % 3 + 1
                     parts = [text[a:b] for a, b in _split_bounds(len(text), n)]
-                    got = extract_pdf_pages(encode_pdf(parts))
+                    # rotate container generations: every other PDF is the
+                    # 1.5 xref-stream + ObjStm layout
+                    got = extract_pdf_pages(
+                        encode_pdf(parts, xref_stream=seed % 4 == 0)
+                    )
                 else:
                     fmt, n = "docx", seed % 4 + 1
                     parts = [text[a:b] for a, b in _split_bounds(len(text), n)]
@@ -649,7 +672,12 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         return encode_rtf(parts)
 
     codecs = {
-        "pdf": (encode_pdf, extract_pdf_pages),
+        # container rotation keyed off the part count (seed-derived, so
+        # deterministic): the sniffer must route BOTH PDF generations
+        "pdf": (
+            lambda parts: encode_pdf(parts, xref_stream=len(parts) % 2 == 1),
+            extract_pdf_pages,
+        ),
         "docx": (encode_docx, extract_docx_paragraphs),
         "epub": (encode_epub, extract_epub_chapters),
         "markdown": (

@@ -198,6 +198,11 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # (operators/binpack.py), theilsen's slope median moved to the banded
     # two-pass exact selection (operators/medians.py).
     "stat_theilsen_line", "pack_bfd_assignments",
+    # round 13: tiffcodec's LZW ENCODER width schedule now simulates the
+    # decoder (EOI-at-2^w-boundary fix found via the PDF LZWDecode
+    # reuse); fixture bytes change, decoded content doesn't — one fresh
+    # row to certify.
+    "mm_tiff_decode",
 })
 
 

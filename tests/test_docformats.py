@@ -68,21 +68,22 @@ def test_pdf_encrypted_rejected():
         extract_pdf_pages(bytes(payload))
 
 
-def test_pdf_xref_stream_rejected():
-    """startxref pointing at an object (not an xref keyword) is the
-    PDF 1.5 cross-reference-stream layout."""
+def test_pdf_startxref_at_non_xref_object_rejected():
+    """startxref pointing at an ordinary object (not an xref table and
+    not a /Type /XRef stream) must raise, not guess."""
     payload = encode_pdf(["x"])
     # point startxref at the first object (offset of "1 0 obj")
     first_obj = payload.index(b"1 0 obj")
     head, _, _ = payload.rpartition(b"startxref")
     broken = head + b"startxref\n%d\n%%%%EOF\n" % first_obj
-    with pytest.raises(NotImplementedError, match="cross-reference stream"):
+    with pytest.raises(ValueError, match="XRef|stream"):
         extract_pdf_pages(broken)
 
 
 def test_pdf_unknown_filter_rejected():
-    payload = encode_pdf(["x"]).replace(b"/FlateDecode", b"/LZWDecode\x20\x20")
-    with pytest.raises(NotImplementedError, match="LZWDecode"):
+    """JPXDecode (JPEG 2000) stays a named seam."""
+    payload = encode_pdf(["x"]).replace(b"/FlateDecode", b"/JPXDecode\x20\x20")
+    with pytest.raises(NotImplementedError, match="JPXDecode"):
         extract_pdf_pages(payload)
 
 
