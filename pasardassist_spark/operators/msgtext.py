@@ -11,9 +11,19 @@ cp1252), and collects attachment sub-storages (``__attach_version1.0_
 #NNNNNNNN``) by their long-filename property (0x3707).  Recipient and
 nameid storages are walked past, not tripped over.
 
+Real Outlook exports usually omit the plain 0x1000 body and carry it
+ONLY as PR_RTF_COMPRESSED (0x1009, binary type 0102) — LZFu compressed
+RTF per [MS-OXRTFCP] (operators/lzfu.py, decoder pinned against the
+spec's canonical vector).  When 0x1000 is absent the extractor
+decompresses 0x1009 and recovers the text through the real RTF
+extractor (operators/rtftext.py), dropping the final ``\\par`` newline
+artifact.  A present plain body always wins (it is authoritative when
+both exist).
+
 The writer synthesizes conforming property-stream layouts (alternating
-the two string types by content), so the reader is exercised
-end-to-end on genuine compound files.
+the two string types by content; optionally storing the body solely as
+compressed RTF), so the reader is exercised end-to-end on genuine
+compound files.
 """
 
 from __future__ import annotations
@@ -27,10 +37,12 @@ __all__ = ["MsgDoc", "encode_msg", "extract_msg"]
 
 _SUBJECT = 0x0037
 _BODY = 0x1000
+_RTF_COMPRESSED = 0x1009
 _SENDER = 0x0C1A
 _ATT_NAME = 0x3707
 _UNICODE = 0x001F
 _ASCII = 0x001E
+_BINARY = 0x0102
 
 _SUBSTG = re.compile(r"^__substg1\.0_([0-9A-F]{4})([0-9A-F]{4})$")
 _ATTACH = re.compile(r"^__attach_version1\.0_#([0-9A-F]{8})$")
@@ -56,6 +68,7 @@ def extract_msg(payload: bytes) -> MsgDoc:
     property streams; missing properties come back empty."""
     streams = read_cfb(payload)
     top: dict[int, str] = {}
+    rtf_compressed: bytes | None = None
     atts: dict[int, str] = {}
     saw_any = False
     for path, blob in streams:
@@ -64,6 +77,10 @@ def extract_msg(payload: bytes) -> MsgDoc:
         if not m:
             continue
         pid, ptype = int(m.group(1), 16), int(m.group(2), 16)
+        if len(parts) == 1 and pid == _RTF_COMPRESSED and ptype == _BINARY:
+            saw_any = True
+            rtf_compressed = blob
+            continue
         if ptype not in (_UNICODE, _ASCII):
             continue
         if len(parts) == 1:
@@ -75,9 +92,19 @@ def extract_msg(payload: bytes) -> MsgDoc:
                 atts[int(am.group(1), 16)] = _decode(blob, ptype)
     if not saw_any:
         raise ValueError("msg: no MAPI property streams found")
+    body = top.get(_BODY)
+    if body is None and rtf_compressed is not None:
+        from pasardassist_spark.operators.lzfu import decompress_lzfu
+        from pasardassist_spark.operators.rtftext import rtf_to_text
+
+        text = rtf_to_text(
+            decompress_lzfu(rtf_compressed).decode("latin-1")
+        )
+        # the document-final \par emits one trailing newline artifact
+        body = text[:-1] if text.endswith("\n") else text
     return MsgDoc(
         top.get(_SUBJECT, ""),
-        top.get(_BODY, ""),
+        body or "",
         top.get(_SENDER, ""),
         [atts[k] for k in sorted(atts)],
     )
@@ -111,12 +138,26 @@ def encode_msg(
     body: str,
     sender: str = "corpus writer",
     attachments: list[str] = (),
+    rtf_body: bool = False,
 ) -> bytes:
     """Conforming .msg property-stream layout; string type per property
-    decided by content (both types appear in any mixed corpus)."""
+    decided by content (both types appear in any mixed corpus).
+    ``rtf_body=True`` mimics real Outlook exports: NO plain 0x1000
+    stream — the body travels solely as PR_RTF_COMPRESSED (LZFu over a
+    real RTF render of the text)."""
+    if rtf_body:
+        from pasardassist_spark.operators.lzfu import compress_lzfu
+        from pasardassist_spark.operators.rtftext import encode_rtf
+
+        body_stream = (
+            f"__substg1.0_{_RTF_COMPRESSED:04X}{_BINARY:04X}",
+            compress_lzfu(encode_rtf([body]).encode("latin-1")),
+        )
+    else:
+        body_stream = _prop_stream(_BODY, body)
     streams = [
         _prop_stream(_SUBJECT, subject),
-        _prop_stream(_BODY, body),
+        body_stream,
         _prop_stream(_SENDER, sender),
     ]
     for i, fname in enumerate(attachments):

@@ -384,12 +384,22 @@ _DATE_NUMFMT_IDS = frozenset(range(14, 23)) | frozenset(range(45, 48))
 _EPOCH_1900 = (1899, 12, 30)
 
 
-def serial_to_iso(serial: int) -> str:
-    """Excel 1900-system date serial -> ISO date string (serials <= 59
-    use the pre-bug epoch 1899-12-31; the phantom serial 60 is rejected
-    by name)."""
+def serial_to_iso(serial: int, date1904: bool = False) -> str:
+    """Excel date serial -> ISO date string.
+
+    1900 system (default): serials <= 59 use the pre-bug epoch
+    1899-12-31; the phantom serial 60 (Lotus leap bug) is rejected by
+    name.  1904 system (``workbookPr/@date1904`` — Mac-authored
+    workbooks): serial 0 = 1904-01-01, NO leap bug, and every serial
+    sits 1,462 days behind its 1900-system reading — silently applying
+    the wrong system is a 4-year data-corruption bug, which is why the
+    extractor keys the conversion off the workbook declaration."""
     import datetime
 
+    if date1904:
+        return (
+            datetime.date(1904, 1, 1) + datetime.timedelta(days=serial)
+        ).isoformat()
     if serial == 60:
         raise ValueError(
             "serial 60 is the phantom 1900-02-29 (Lotus leap bug)"
@@ -452,6 +462,13 @@ def extract_xlsx_typed(payload: bytes) -> list[list[tuple[str, str]]]:
             raise NotImplementedError("encrypted OOXML package unsupported")
         wb_part = _main_part(zf, names)
         wb = ET.fromstring(zf.read(wb_part))
+        # the workbook's date system declaration (ECMA-376 §18.2.28):
+        # Mac-authored files set workbookPr/@date1904 and every serial
+        # shifts by 1,462 days
+        wpr = wb.find(f"{{{_S}}}workbookPr")
+        date1904 = wpr is not None and (
+            (wpr.get("date1904") or "").lower() in ("1", "true")
+        )
         rels = _part_rels(zf, names, wb_part)
         shared: list[str] = []
         for _rid, (typ, tgt) in rels.items():
@@ -492,7 +509,8 @@ def extract_xlsx_typed(payload: bytes) -> list[list[tuple[str, str]]]:
                     if v is None or v.text is None:
                         raise ValueError("date-styled cell without value")
                     cells.append(
-                        (col, ("d", serial_to_iso(int(float(v.text)))))
+                        (col, ("d", serial_to_iso(int(float(v.text)),
+                                                  date1904=date1904)))
                     )
                 else:
                     cells.append((col, ("n", _cell_text(c, shared))))
@@ -502,12 +520,15 @@ def extract_xlsx_typed(payload: bytes) -> list[list[tuple[str, str]]]:
 
 
 def encode_xlsx_table(
-    header: list[str], rows: list[list[object]]
+    header: list[str], rows: list[list[object]], date1904: bool = False
 ) -> bytes:
     """Write a conforming one-sheet table: header strings via
     sharedStrings, then typed data cells — str (inline), bool, int/float
     (numeric), and ('date', serial) tuples as numbers styled with the
-    builtin date numFmtId 14 through a real styles.xml cellXfs chain."""
+    builtin date numFmtId 14 through a real styles.xml cellXfs chain.
+    ``date1904=True`` declares the Mac 1904 date system via
+    workbookPr/@date1904 — serials the caller passes must already be in
+    that system (1,462 days behind their 1900-system values)."""
     shared: list[str] = []
     shared_idx: dict[str, int] = {}
 
@@ -552,9 +573,10 @@ def encode_xlsx_table(
         '<xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/>'
         "</cellXfs></styleSheet>"
     )
+    wpr = '<workbookPr date1904="1"/>' if date1904 else ""
     workbook = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-        f'<workbook xmlns="{_S}" xmlns:r="{_R}">'
+        f'<workbook xmlns="{_S}" xmlns:r="{_R}">{wpr}'
         '<sheets><sheet name="Data" sheetId="1" r:id="rIdS1"/></sheets>'
         "</workbook>"
     )

@@ -1299,13 +1299,16 @@ def doc_xlsx_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     header row — string names (word slices), integer and decimal
     numerics, booleans, and DATES carried the way Excel really stores
     them: plain numbers whose cell style points through styles.xml
-    cellXfs at the builtin date numFmtId 14, converted from 1900-system
-    serials (Lotus leap-bug epoch) to ISO.  The extractor resolves the
-    style->numFmt chain to type each cell and converts serials; the
-    oracle re-derives every field closed-form (DATE '1899-12-30' +
-    serial), so a broken style walk, a wrong epoch, or a mistyped cell
-    mismatches on 500 workbooks.  Scan → mapInPandas, one stage, zero
-    shuffle."""
+    cellXfs at the builtin date numFmtId 14, converted to ISO under the
+    workbook's DECLARED date system — even doc_ids the 1900 system
+    (Lotus leap-bug epoch), odd doc_ids the Mac 1904 system
+    (workbookPr/@date1904, serials 1,462 days behind).  Both fixture
+    variants encode the SAME calendar dates, so an extractor that
+    ignores the declaration silently corrupts every odd workbook's
+    dates by 4 years and hash-mismatches.  The oracle re-derives every
+    field closed-form (DATE '1899-12-30' + 1900-serial), so a broken
+    style walk, a wrong epoch, or a mistyped cell mismatches on 500
+    workbooks.  Scan → mapInPandas, one stage, zero shuffle."""
     from pasardassist_spark.operators.xlsxtext import (
         encode_xlsx_table,
         extract_xlsx_typed,
@@ -1327,6 +1330,10 @@ def doc_xlsx_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 seed = int(doc_id)
                 n = seed % 4 + 2
+                d1904 = seed % 2 == 1
+                # same calendar date either way: the 1904 system sits
+                # exactly 1,462 days behind the 1900 system
+                shift = 1462 if d1904 else 0
                 words = [w for w in text.split(" ") if w]
                 w_ = len(words)
                 rows = []
@@ -1336,9 +1343,9 @@ def doc_xlsx_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                         seed * 7 + i * 13,
                         float(seed % 100 + i) + 0.25,
                         (seed + i) % 2 == 0,
-                        ("date", 40000 + seed % 1000 + i * 3),
+                        ("date", 40000 + seed % 1000 + i * 3 - shift),
                     ])
-                payload = encode_xlsx_table(header, rows)
+                payload = encode_xlsx_table(header, rows, date1904=d1904)
                 got = extract_xlsx_typed(payload)
                 if len(got) != n + 1 or got[0] != [("s", h) for h in header]:
                     raise ValueError(
@@ -1656,10 +1663,16 @@ def doc_msg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     001E cp1252 and 001F UTF-16 string types decided by content),
     attachment long filenames collected from their numbered
     sub-storages in order, and a recipient storage planted for the
-    reader to walk past.  The oracle re-derives the body and attachment
-    names from the row, so a mis-parsed property id, a wrong string
-    type, or a storage mix-up mismatches on 500 real files.  Scan →
-    mapInPandas, one stage, zero shuffle."""
+    reader to walk past.  Round 13: odd doc_ids store the body the way
+    real Outlook exports do — NO plain 0x1000 stream, only
+    PR_RTF_COMPRESSED (0x1009): LZFu compressed RTF ([MS-OXRTFCP],
+    operators/lzfu.py, decoder pinned to the spec's canonical vector)
+    wrapping a real RTF render, recovered through the rtftext
+    extractor.  The oracle re-derives the body and attachment names
+    from the row, so a mis-parsed property id, a wrong string type, a
+    bad LZFu copy, or a storage mix-up mismatches on 500 real files —
+    half of them compressed-RTF-only.  Scan → mapInPandas, one stage,
+    zero shuffle."""
     from pasardassist_spark.operators.msgtext import encode_msg, extract_msg
 
     schema = (
@@ -1678,7 +1691,10 @@ def doc_msg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 body = " ".join(w for w in text.split(" ") if w)
                 atts = [f"file-{seed}-{i}.bin" for i in range(seed % 3)]
                 got = extract_msg(
-                    encode_msg(f"mail {seed}", body, "corpus", atts)
+                    encode_msg(
+                        f"mail {seed}", body, "corpus", atts,
+                        rtf_body=seed % 2 == 1,
+                    )
                 )
                 if got.body != body or got.attachments != atts:
                     raise ValueError(f"doc {doc_id}: .msg round-trip broke")

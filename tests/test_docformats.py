@@ -1077,6 +1077,37 @@ def test_xlsx_typed_records_and_date_serials():
         serial_to_iso(60)
 
 
+def test_xlsx_1904_date_system():
+    """workbookPr/@date1904 shifts every serial by exactly 1,462 days —
+    the silent 4-year corruption regression pin (VERDICT r12 #4)."""
+    from pasardassist_spark.operators.xlsxtext import (
+        encode_xlsx_table,
+        extract_xlsx_typed,
+        serial_to_iso,
+    )
+
+    # epoch + shift arithmetic
+    assert serial_to_iso(0, date1904=True) == "1904-01-01"
+    # no Lotus phantom in the 1904 system: serial 60 is a real day
+    assert serial_to_iso(60, date1904=True) == "1904-03-01"
+    # the 1,462-day equivalence: the same calendar date in both systems
+    for s1900 in (45000, 1462, 40000):
+        assert serial_to_iso(s1900) == serial_to_iso(
+            s1900 - 1462, date1904=True
+        )
+
+    hdr = ["since"]
+    rows = [[("date", 45000 - 1462)]]
+    t = extract_xlsx_typed(encode_xlsx_table(hdr, rows, date1904=True))
+    assert t[1] == [("d", "2023-03-15")]
+    # an extractor ignoring the declaration would read 2019-03-14
+    t1900 = extract_xlsx_typed(encode_xlsx_table(hdr, [[("date", 45000)]]))
+    assert t1900[1] == [("d", "2023-03-15")]
+    # explicit date1904="false"/absent means 1900 system
+    t_false = extract_xlsx_typed(encode_xlsx_table(hdr, [[("date", 45000)]]))
+    assert t_false[1][0][1] == "2023-03-15"
+
+
 def test_xlsx_custom_numfmt_date_detection():
     """A CUSTOM numFmt whose code contains date tokens outside quoted
     literals types its cells as dates; digit-bearing codes stay
