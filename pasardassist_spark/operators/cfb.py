@@ -34,7 +34,7 @@ from __future__ import annotations
 import io
 import struct
 
-__all__ = ["read_cfb", "write_cfb", "sniff_cfb"]
+__all__ = ["read_cfb", "cfb_directory", "write_cfb", "sniff_cfb"]
 
 MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 FREESECT = 0xFFFFFFFF
@@ -65,9 +65,11 @@ def _chain(fat: list[int], start: int, what: str) -> list[int]:
     return out
 
 
-def read_cfb(payload: bytes) -> list[tuple[str, bytes]]:
-    """('/'-joined path, stream bytes) for every stream, in directory
-    binary-tree order within each storage."""
+def _parse_structure(payload: bytes):
+    """Header + DIFAT + FAT + directory entries — the metadata walk both
+    the full reader and the directory-only sniff share.  Returns
+    (entries, fat, sector_fn, cutoff, ministart, nmini); NO stream bytes
+    are touched."""
     if not sniff_cfb(payload):
         raise ValueError("not a CFB/OLE2 compound file")
     if len(payload) < 512:
@@ -109,9 +111,6 @@ def read_cfb(payload: bytes) -> list[tuple[str, bytes]]:
     for fs in fat_sectors:
         fat.extend(struct.unpack(f"<{ssize // 4}I", sector(fs)))
 
-    def read_chain(start: int, size: int, what: str) -> bytes:
-        return b"".join(sector(x) for x in _chain(fat, start, what))[:size]
-
     # directory entries
     dir_raw = b"".join(sector(x) for x in _chain(fat, dirstart, "directory"))
     entries = []
@@ -125,6 +124,75 @@ def read_cfb(payload: bytes) -> list[tuple[str, bytes]]:
         entries.append((name, otype, left, right, child, start, size))
     if not entries or entries[0][1] != 5:
         raise ValueError("cfb: first directory entry is not the root storage")
+    return entries, fat, sector, ssize, cutoff, ministart, nmini
+
+
+_NOSTREAM = 0xFFFFFFFF
+
+
+def _iter_tree(entries):
+    """In-order iteration over every directory entry: yields
+    ('/'-joined path, otype, start, size).  Sibling chains walk
+    ITERATIVELY (explicit stack + visited-set cycle guard), so a
+    conforming-but-unbalanced tree — >64 siblings in one storage, which
+    real writers emit and olefile reads fine — never hits a recursion
+    cap; only STORAGE nesting is depth-capped (a path deeper than 64
+    components is a cycle in practice)."""
+
+    def walk(child_root: int, prefix: str, depth: int):
+        if depth > 64:
+            raise ValueError("cfb: storage nesting too deep (cycle?)")
+        stack: list[int] = []
+        visited: set[int] = set()
+        cur = child_root
+        while stack or cur != _NOSTREAM:
+            while cur != _NOSTREAM:
+                if cur >= len(entries):
+                    raise ValueError(
+                        f"cfb: directory id {cur} out of range"
+                    )
+                if cur in visited:
+                    raise ValueError("cfb: directory sibling tree cycle")
+                visited.add(cur)
+                stack.append(cur)
+                cur = entries[cur][2]  # left sibling
+            cur = stack.pop()
+            name, otype, _left, right, child, start, size = entries[cur]
+            path = f"{prefix}{name}"
+            if otype == 2:  # stream
+                yield path, otype, start, size
+            elif otype == 1:  # storage: descend into its child tree
+                yield from walk(child, f"{path}/", depth + 1)
+            else:
+                raise ValueError(
+                    f"cfb: unexpected object type {otype} at {path}"
+                )
+            cur = right
+
+    yield from walk(entries[0][4], "", 0)  # root's child tree
+
+
+def cfb_directory(payload: bytes) -> list[str]:
+    """'/'-joined stream paths in directory order — header + FAT +
+    directory walk ONLY, no stream bytes decoded.  This is the sniffing
+    interface: routing a legacy Office payload needs the names, and
+    decoding every stream just to list them doubled full-container work
+    on the ingest hot path (round-12 ADVICE)."""
+    entries, _fat, _sector, _ssize, _cutoff, _ministart, _nmini = (
+        _parse_structure(payload)
+    )
+    return [path for path, _t, _s, _z in _iter_tree(entries)]
+
+
+def read_cfb(payload: bytes) -> list[tuple[str, bytes]]:
+    """('/'-joined path, stream bytes) for every stream, in directory
+    binary-tree order within each storage."""
+    entries, fat, sector, ssize, cutoff, ministart, nmini = (
+        _parse_structure(payload)
+    )
+
+    def read_chain(start: int, size: int, what: str) -> bytes:
+        return b"".join(sector(x) for x in _chain(fat, start, what))[:size]
 
     # the mini stream is the ROOT entry's chain; miniFAT maps mini sectors
     root_start, root_size = entries[0][5], entries[0][6]
@@ -151,32 +219,14 @@ def read_cfb(payload: bytes) -> list[tuple[str, bytes]]:
                 raise ValueError("cfb: miniFAT chain cycle")
         return b"".join(out)[:size]
 
-    NOSTREAM = 0xFFFFFFFF
     out: list[tuple[str, bytes]] = []
-
-    def walk_tree(entry_id: int, prefix: str, depth: int) -> None:
-        """In-order walk of a storage's left/right sibling tree."""
-        if entry_id == NOSTREAM:
-            return
-        if depth > 64 or entry_id >= len(entries):
-            raise ValueError("cfb: directory tree too deep or id out of range")
-        name, otype, left, right, child, start, size = entries[entry_id]
-        walk_tree(left, prefix, depth + 1)
-        path = f"{prefix}{name}"
-        if otype == 2:  # stream
-            if size == 0:
-                out.append((path, b""))
-            elif size < cutoff:
-                out.append((path, read_mini(start, size)))
-            else:
-                out.append((path, read_chain(start, size, f"stream {name}")))
-        elif otype == 1:  # storage: recurse into its child tree
-            walk_tree(child, f"{path}/", depth + 1)
+    for path, _otype, start, size in _iter_tree(entries):
+        if size == 0:
+            out.append((path, b""))
+        elif size < cutoff:
+            out.append((path, read_mini(start, size)))
         else:
-            raise ValueError(f"cfb: unexpected object type {otype} at {path}")
-        walk_tree(right, prefix, depth + 1)
-
-    walk_tree(entries[0][4], "", 0)  # root's child tree
+            out.append((path, read_chain(start, size, f"stream {path}")))
     return out
 
 

@@ -27,12 +27,19 @@ _LATEX_HINT = re.compile(
 # conservative — single-line text (the markdown/latex family's whole
 # input space here) can never match because the rule needs newlines.
 _HEADER_LINE = re.compile(r"^[A-Za-z][\w-]*:[ \t]")
-_EMAIL_IDENTITY = re.compile(
-    r"^(from|date|subject|message-id|received|return-path):", re.I | re.M
-)
+_DATE_HEADER = re.compile(r"^date:[ \t]*(.+)$", re.I | re.M)
+_FROM_HEADER = re.compile(r"^from:[ \t]", re.I | re.M)
+_MSGID_HEADER = re.compile(r"^message-id:[ \t]", re.I | re.M)
 
 
 def _sniff_email(text: str) -> bool:
+    """Header-shaped first line + blank-line-terminated header block is
+    NOT enough: plain markdown/text whose head looks like a metadata
+    block ('Title: x\\nDate: 2024-01-01\\n\\nbody') used to pass and then
+    dead-letter in parse_email.  Require real mail identity — a
+    PARSEABLE RFC-2822 Date header, or a From:+Message-ID pair (ISO
+    dates like the markdown example above fail parsedate, so that class
+    now routes to markdown)."""
     head, nl, _body = text.partition("\n\n")
     if not nl and "\n" not in text:
         return False
@@ -42,7 +49,18 @@ def _sniff_email(text: str) -> bool:
     headerish = sum(
         1 for ln in lines if _HEADER_LINE.match(ln) or ln[:1] in (" ", "\t")
     )
-    return headerish >= 2 and bool(_EMAIL_IDENTITY.search(head))
+    if headerish < 2:
+        return False
+    m = _DATE_HEADER.search(head)
+    if m:
+        from email.utils import parsedate_to_datetime
+
+        try:
+            parsedate_to_datetime(m.group(1).strip())
+            return True
+        except (TypeError, ValueError):
+            pass
+    return bool(_FROM_HEADER.search(head) and _MSGID_HEADER.search(head))
 
 
 def sniff_document(payload) -> str:
@@ -53,11 +71,13 @@ def sniff_document(payload) -> str:
         if data[:5] == b"%PDF-":
             return "pdf"
         if data[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
-            # CFB container: disambiguate by directory streams (the
-            # same one-seek walk the zip family uses)
-            from pasardassist_spark.operators.cfb import read_cfb
+            # CFB container: disambiguate by the DIRECTORY ONLY (header
+            # + FAT + directory walk, no stream decode) — the routed
+            # extractor re-opens the container anyway, so sniffing must
+            # not pay for the payload twice (round-12 ADVICE)
+            from pasardassist_spark.operators.cfb import cfb_directory
 
-            names = {n for n, _b in read_cfb(data)}
+            names = set(cfb_directory(data))
             if "WordDocument" in names:
                 return "doc"
             if "Workbook" in names or "Book" in names:
@@ -151,7 +171,17 @@ def extract_document(payload) -> tuple[str, str]:
     elif fmt == "email":
         from pasardassist_spark.operators.emailtext import parse_email
         raw = payload.encode("utf-8") if isinstance(payload, str) else bytes(payload)
-        parts = [parse_email(raw).text]
+        try:
+            parts = [parse_email(raw).text]
+        except ValueError:
+            # header-shaped text that still isn't parseable mail: route
+            # down the plain-text path instead of dead-lettering a
+            # payload markdown extraction handles fine
+            from pasardassist_spark.operators.mdtext import extract_markdown_blocks
+
+            fmt = "markdown"
+            text = raw.decode("utf-8")
+            parts = extract_markdown_blocks(text)
     elif fmt == "doc":
         from pasardassist_spark.operators.doctext import extract_doc_text
 

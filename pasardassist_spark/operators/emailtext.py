@@ -377,15 +377,21 @@ def _walk_entity(
     is_attachment = dtype == "attachment" or (
         not ctype.startswith("text/") and attachments is not None
     )
-    if is_attachment and attachments is not None:
-        cte = headers.get("content-transfer-encoding", "7bit").strip().lower()
-        if cte == "base64":
-            data = _b64_decode(body)
-        elif cte == "quoted-printable":
-            data = qp_decode(body)
-        else:
-            data = body.encode("utf-8")
-        attachments.append((fname or "", ctype, data))
+    if is_attachment:
+        if attachments is not None:
+            cte = headers.get(
+                "content-transfer-encoding", "7bit"
+            ).strip().lower()
+            if cte == "base64":
+                data = _b64_decode(body)
+            elif cte == "quoted-printable":
+                data = qp_decode(body)
+            else:
+                data = body.encode("utf-8")
+            attachments.append((fname or "", ctype, data))
+        # without a sink, an explicit Content-Disposition:attachment leaf
+        # is SKIPPED, never collected as body text — a text/plain
+        # attachment preceding the real body must not become the message
         return
     if ctype in ("text/plain", "text/html"):
         charset = params.get("charset", "us-ascii").lower()

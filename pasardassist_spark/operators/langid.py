@@ -15,7 +15,7 @@ seed never hits carry each language's smoothing floor automatically, so
 scoring needs no sparse-miss branch: ONE ``element_at`` per trigram.
 
 Scoring is pure JVM column math (zero Python, zero shuffle): the doc's
-first 514 chars -> trigram array -> ``F.aggregate`` fold adding the
+first ``CAP`` chars -> trigram array -> ``F.aggregate`` fold adding the
 bucket's weight row into a 20-long vector -> struct-argmax (ties to the
 earlier language, the predict_lang contract).  Hash collisions are part
 of the model, exactly as in fasttext's hashing trick.

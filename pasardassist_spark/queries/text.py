@@ -767,7 +767,7 @@ def text_lang_id_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Han->zh, then hangul/cyrillic/arabic/greek/devanagari).  The dense
     1024x20 milli-nat weight matrix derives deterministically at import
     from embedded seed corpora (train-small/score-big); scoring is one
-    JVM F.aggregate fold over the doc's first 514 chars with a single
+    JVM F.aggregate fold over the doc's first LI.CAP chars with a single
     element_at per trigram — the model ships inside the plan as a folded
     literal, so 100 TB pays scan-speed column math, no broadcast, no
     join, no Python.  This ASCII corpus certifies the Latin trigram path

@@ -107,3 +107,64 @@ def test_error_contracts():
 )
 def test_cfb_roundtrip_property(streams):
     assert dict(read_cfb(write_cfb(streams))) == dict(streams)
+
+
+def test_unbalanced_sibling_chain_beyond_64(monkeypatch):
+    """A conforming but degenerate sibling tree (one right-leaning chain
+    of 150 entries in a single storage) must read fine — olefile accepts
+    these and some real writers emit them; the old recursive walk raised
+    at depth 64 (round-12 ADVICE)."""
+    from pasardassist_spark.operators import cfb as cfb_mod
+
+    NOSTREAM = 0xFFFFFFFF
+
+    def degenerate(ids_names):
+        items = sorted(ids_names, key=lambda t: cfb_mod._name_key(t[1]))
+        links = {}
+        for i, (id_, _name) in enumerate(items):
+            nxt = items[i + 1][0] if i + 1 < len(items) else NOSTREAM
+            links[id_] = (NOSTREAM, nxt)
+        return items[0][0], links
+
+    monkeypatch.setattr(cfb_mod, "_build_tree", degenerate)
+    streams = [(f"s{i:03d}", f"payload {i}".encode()) for i in range(150)]
+    payload = cfb_mod.write_cfb(streams)
+    monkeypatch.undo()
+    got = cfb_mod.read_cfb(payload)
+    assert sorted(got) == sorted(streams)
+    assert cfb_mod.cfb_directory(payload) == [p for p, _b in got]
+
+
+def test_sibling_cycle_raises(monkeypatch):
+    """A sibling chain that loops back must raise, not hang."""
+    from pasardassist_spark.operators import cfb as cfb_mod
+
+    NOSTREAM = 0xFFFFFFFF
+
+    def cyclic(ids_names):
+        items = sorted(ids_names, key=lambda t: cfb_mod._name_key(t[1]))
+        links = {}
+        for i, (id_, _name) in enumerate(items):
+            nxt = items[(i + 1) % len(items)][0]  # last loops to first
+            links[id_] = (NOSTREAM, nxt)
+        return items[0][0], links
+
+    monkeypatch.setattr(cfb_mod, "_build_tree", cyclic)
+    payload = cfb_mod.write_cfb([(f"s{i}", b"x") for i in range(5)])
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="cycle"):
+        cfb_mod.read_cfb(payload)
+    with pytest.raises(ValueError, match="cycle"):
+        cfb_mod.cfb_directory(payload)
+
+
+def test_cfb_directory_matches_read_paths():
+    from pasardassist_spark.operators.cfb import cfb_directory, read_cfb, write_cfb
+
+    streams = [
+        ("top", b"A" * 5000),
+        ("stor/a", b"mini"),
+        ("stor/deeper/b", b""),
+    ]
+    payload = write_cfb(streams)
+    assert cfb_directory(payload) == [p for p, _b in read_cfb(payload)]

@@ -126,3 +126,56 @@ def test_long_encoded_subjects_fold_within_line_limit(s):
     head = raw.split(b"\n\n")[0].decode("utf-8")
     assert all(len(line) <= 78 for line in head.split("\n"))
     assert parse_email(raw).subject == s
+
+
+def test_metadata_head_text_routes_to_markdown_not_email():
+    """Plain text whose head LOOKS like a header block (Title:/Date:
+    with an ISO date) must route to markdown — the old sniff sent it to
+    parse_email, which raised on the unparseable Date and dead-lettered
+    a perfectly extractable payload (round-12 ADVICE)."""
+    from pasardassist_spark.operators.docsniff import (
+        extract_document,
+        sniff_document,
+    )
+
+    md = "Title: my notes\nDate: 2024-01-01\n\nthe actual body text here"
+    assert sniff_document(md) == "markdown"
+    fmt, text = extract_document(md)
+    assert fmt == "markdown"
+    assert "actual body text" in text
+
+    # genuine mail still sniffs as email: parseable RFC-2822 Date
+    mail = (
+        "From: a@example.com\n"
+        "Date: Mon, 10 Jun 2024 09:00:00 +0000\n"
+        "Subject: hi\n"
+        "\n"
+        "body"
+    )
+    assert sniff_document(mail) == "email"
+    # ...or From + Message-ID without a Date header
+    mail2 = (
+        "From: a@example.com\n"
+        "Message-ID: <x1@example.com>\n"
+        "Subject: hi\n"
+        "\n"
+        "body"
+    )
+    assert sniff_document(mail2) == "email"
+
+
+def test_sniffed_email_that_fails_parse_falls_back_to_markdown():
+    """From+Message-ID sniffs as email, but parse_email requires a Date
+    header — the dispatcher must fall back to the markdown path instead
+    of dead-lettering."""
+    from pasardassist_spark.operators.docsniff import extract_document
+
+    payload = (
+        "From: someone\n"
+        "Message-ID: <y2@example.com>\n"
+        "\n"
+        "recoverable prose body"
+    )
+    fmt, text = extract_document(payload)
+    assert fmt == "markdown"
+    assert "recoverable prose body" in text

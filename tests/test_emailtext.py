@@ -250,3 +250,37 @@ def test_attachment_extraction_and_disposition():
     assert len(got3[0][2]) == 16
     # plain messages carry none
     assert extract_attachments(encode_email("s", 1700000000, "b", 0)) == []
+
+
+def test_text_attachment_before_body_not_selected_as_body():
+    """A text/plain part with Content-Disposition: attachment that
+    precedes the real body in depth-first order must NOT become the
+    message text, even without an attachments sink (round-12 ADVICE)."""
+    from pasardassist_spark.operators.emailtext import (
+        extract_attachments,
+        parse_email,
+    )
+
+    raw = (
+        "From: a@example.com\n"
+        "Date: Mon, 10 Jun 2024 09:00:00 +0000\n"
+        "Subject: attach order\n"
+        "MIME-Version: 1.0\n"
+        'Content-Type: multipart/mixed; boundary="B"\n'
+        "\n"
+        "--B\n"
+        "Content-Type: text/plain\n"
+        'Content-Disposition: attachment; filename="notes.txt"\n'
+        "\n"
+        "ATTACHED FILE CONTENT\n"
+        "--B\n"
+        "Content-Type: text/plain\n"
+        "\n"
+        "the real body\n"
+        "--B--\n"
+    ).encode()
+    doc = parse_email(raw)
+    assert doc.text.strip() == "the real body"
+    atts = extract_attachments(raw)
+    assert [a[0] for a in atts] == ["notes.txt"]
+    assert atts[0][2].strip() == b"ATTACHED FILE CONTENT"
