@@ -31,7 +31,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pasardassist_spark.queries.registry import query
 from pasardassist_spark.tables import load
 
@@ -1918,3 +1918,205 @@ def doc_ics_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(_batches, schema)
+
+
+# ------------------------------------------- streaming doc-gate driver row
+
+def _docgate_oracle() -> str:
+    from pasardassist_spark.queries.curation import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_RATIO,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPS,
+    )
+    from pasardassist_spark.queries.text import _TOKS_SQL
+
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    -- the doc-unique interleave token (every 3rd word) that makes
+    -- cross-doc shingle overlap zero by construction -- near-dup
+    -- admission never fires, so digest-dedup is the whole policy
+    uniq AS (
+        SELECT doc_id,
+               flatten(list_transform(range(1, len(toks) + 1),
+                   i -> CASE WHEN i % 3 = 0
+                             THEN [toks[i],
+                                   'qz' || CAST(doc_id AS VARCHAR) || 'x']
+                             ELSE [toks[i]] END)) AS toks
+        FROM base
+    ),
+    pay AS (
+        SELECT b.doc_id,
+               CASE WHEN b.doc_id % 11 = 5 AND p.doc_id IS NOT NULL
+                    THEN p.toks ELSE b.toks END AS toks,
+               b.doc_id % 7 = 3 AS dead,
+               CASE CAST(b.doc_id % 3 AS INTEGER)
+                    WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+                    ELSE 'markdown' END AS fmt
+        FROM uniq b LEFT JOIN uniq p ON p.doc_id = b.doc_id - 1
+    ),
+    txt AS (
+        SELECT doc_id, fmt, dead, toks,
+               array_to_string(toks, ' ') AS t
+        FROM pay
+    ),
+    g AS (
+        SELECT doc_id, fmt, dead, t,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(length(replace(t, ' ', '')) AS DOUBLE)
+                   / len(toks) AS mean_word_len,
+               (CAST(length(t) - length(replace(t, '#', '')) AS DOUBLE)
+                + (length(t) - length(replace(t, '...', ''))) / 3)
+                   / len(toks) AS symbol_ratio,
+               CAST(len(list_filter(toks,
+                        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                   / len(toks) AS alpha_ratio,
+               CAST(len(list_filter(toks, x -> x IN ({stops})))
+                    AS BIGINT) AS stop_hits
+        FROM txt
+    ),
+    kept AS (
+        SELECT doc_id, fmt, t FROM g
+        WHERE NOT dead
+          AND n_words >= {GOPHER_MIN_WORDS}
+          AND n_words <= {GOPHER_MAX_WORDS}
+          AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+          AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+          AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+          AND alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+          AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+    ),
+    ranked AS (
+        SELECT doc_id, fmt, t,
+               row_number() OVER (
+                   PARTITION BY md5(t)
+                   ORDER BY doc_id % 4, doc_id
+               ) AS rn
+        FROM kept
+    )
+    SELECT doc_id, fmt,
+           CAST(length(t) AS BIGINT) AS n_chars,
+           md5(t) AS text_md5
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query("streaming_docgate_readout", oracle=_docgate_oracle())
+def streaming_docgate_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming document-ingest gate (streaming/docgate.py) driven
+    end-to-end as a batch twin and read back — the drift_psi_readout
+    pattern giving the composite a driver row with a closed-form oracle.
+
+    Every document becomes a GENUINE container payload rotating the
+    format by doc_id%3 (PDF — both xref generations —, DOCX, markdown);
+    doc_id%7==3 rows become iCalendar payloads the dispatcher
+    dead-letters by name, and doc_id%11==5 rows carry the PREVIOUS
+    document's text (injected exact duplicates the dedup gate must
+    reject).  The payload corpus replays through apply_doc_batch in 4
+    epochs (doc_id%4), exercising extract -> dead-letter -> Gopher gate
+    -> generational dedup index exactly as the streaming foreachBatch
+    does; the readout is the admitted corpus (doc_id, fmt, n_chars,
+    text_md5).
+
+    The oracle re-derives admission closed-form: payload text (own or
+    prev), dead-letter exclusion, the Gopher keep-condition (identical
+    constants), and first-wins-in-replay-order per exact text digest
+    (epoch asc, id asc — the gate's min-id intra-batch rule).  Payload
+    text interleaves a doc-unique token every 3rd word, so every
+    5-shingle of every doc contains a token no other doc has —
+    cross-doc shingle overlap is ZERO by construction and the near-dup
+    band channel cannot fire (the raw word-soup corpus genuinely
+    band-collides, and sequential near-dup admission has no closed SQL
+    form); injected duplicates copy the previous doc's FINAL text, so
+    the digest channel fires for real.  The band/near-dup machinery
+    itself is equivalence-pinned in tests/test_docgate.py.  Sequential-composite caveat: replay runs 4
+    driver-side epochs, but each epoch is a distributed map+join plan —
+    at 100 TB this is foreachBatch cadence, not a driver loop over
+    rows."""
+    import shutil
+    import tempfile
+
+    from pasardassist_spark.operators.docxtext import encode_docx
+    from pasardassist_spark.operators.pdftext import encode_pdf
+    from pasardassist_spark.streaming.docgate import (
+        admitted_clean_docs,
+        apply_doc_batch,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    prev = d.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.col("text").alias("prev_text"),
+    )
+    joined = d.join(prev, "doc_id", "left")
+
+    def _synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            payloads: list[bytes] = []
+            for doc_id, text, prev_text in zip(
+                pdf["doc_id"], pdf["text"], pdf["prev_text"]
+            ):
+                seed = int(doc_id)
+                if seed % 7 == 3:
+                    payload = (
+                        b"BEGIN:VCALENDAR\nVERSION:2.0\nEND:VCALENDAR\n"
+                    )
+                else:
+                    dup = seed % 11 == 5 and prev_text is not None
+                    src = prev_text if dup else text
+                    src_seed = seed - 1 if dup else seed
+                    words: list[str] = []
+                    for i, w in enumerate(
+                        (x for x in src.split(" ") if x), 1
+                    ):
+                        words.append(w)
+                        if i % 3 == 0:
+                            words.append(f"qz{src_seed}x")
+                    body = " ".join(words)
+                    k = seed % 3
+                    if k == 0:
+                        payload = encode_pdf(
+                            [body], xref_stream=seed % 2 == 1
+                        )
+                    elif k == 1:
+                        payload = encode_docx([body])
+                    else:
+                        payload = body.encode("utf-8")
+                ids.append(seed)
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = joined.mapInPandas(
+        _synth, "doc_id long, payload binary"
+    ).localCheckpoint()
+
+    state_dir = tempfile.mkdtemp(prefix="docgate_state_")
+    admitted_dir = tempfile.mkdtemp(prefix="docgate_admitted_")
+    try:
+        for e in range(4):
+            apply_doc_batch(
+                payloads.filter(F.col("doc_id") % 4 == e),
+                e, state_dir, admitted_dir,
+            )
+        adm = admitted_clean_docs(spark, admitted_dir)
+        out = adm.select(
+            "doc_id",
+            "fmt",
+            F.length("text").cast("long").alias("n_chars"),
+            F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        )
+        # materialize before deleting the temp state it reads from
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.rmtree(admitted_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
