@@ -179,3 +179,111 @@ def test_sniffed_email_that_fails_parse_falls_back_to_markdown():
     fmt, text = extract_document(payload)
     assert fmt == "markdown"
     assert "recoverable prose body" in text
+
+
+# ------------------------- adversarial container prefixes (round-13 #8):
+# routing must be decided by STRUCTURE at position zero, never by a
+# magic-byte string appearing somewhere inside the payload — the
+# misrouting class a 100 TB crawl will present.
+
+
+def test_magic_bytes_mid_file_do_not_hijack_routing():
+    from pasardassist_spark.operators.docsniff import (
+        extract_document,
+        sniff_document,
+    )
+
+    for lure in ("%PDF-1.5", "PK\x03\x04", "{\\rtf1 nope}",
+                 "BEGIN:VCALENDAR"):
+        md = f"plain prose first, then a lure: {lure} and more words after"
+        assert sniff_document(md) == "markdown", lure
+        fmt, text = extract_document(md)
+        assert fmt == "markdown"
+        assert "plain prose first" in text
+
+
+def test_email_with_zip_and_pdf_magic_in_body_routes_as_email():
+    """ZIP-in-mbox shape: a genuine message whose BODY carries container
+    magic strings must parse as mail, not as a zip/pdf."""
+    from pasardassist_spark.operators.docsniff import (
+        extract_document,
+        sniff_document,
+    )
+
+    mail = (
+        "From: a@example.com\n"
+        "Date: Mon, 10 Jun 2024 09:00:00 +0000\n"
+        "Subject: containers\n"
+        "\n"
+        "attached inline markers PK\x03\x04 and %PDF-1.7 and "
+        "\\xd0\\xcf\\x11\\xe0 should not reroute this\n"
+    )
+    assert sniff_document(mail) == "email"
+    fmt, text = extract_document(mail)
+    assert fmt == "email"
+    assert "should not reroute" in text
+
+
+def test_binary_junk_with_ole2_magic_mid_payload_is_clean_deadletter():
+    """A payload that is neither valid UTF-8 text nor starts with any
+    container magic dead-letters with a clean ValueError — it must NOT
+    route to ole2 just because the magic appears at offset 10."""
+    import pytest
+
+    from pasardassist_spark.operators.docsniff import sniff_document
+
+    payload = b"garbage   " + b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\xff" * 20
+    with pytest.raises(ValueError, match="unrecognized binary"):
+        sniff_document(payload)
+
+
+def test_zip_entry_order_does_not_matter_for_ooxml_routing():
+    """OOXML routing reads the central directory part roots, so a
+    conforming docx whose [Content_Types].xml is NOT the first local
+    entry still routes as docx."""
+    import io
+    import zipfile
+
+    from pasardassist_spark.operators.docsniff import sniff_document
+    from pasardassist_spark.operators.docxtext import encode_docx
+
+    src = encode_docx(["some words here"])
+    with zipfile.ZipFile(io.BytesIO(src)) as zin:
+        items = [(n, zin.read(n)) for n in zin.namelist()]
+    # rewrite with entries reversed
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zout:
+        for n, blob in reversed(items):
+            zout.writestr(n, blob)
+    assert sniff_document(buf.getvalue()) == "docx"
+
+
+def test_pdf_header_required_at_position_zero():
+    """Junk-prefixed PDFs (magic within the first KB but not at byte 0)
+    are deliberately NOT accepted: xref offsets in such files are
+    ambiguous, and guessing corrupts; the dead-letter is clean."""
+    import pytest
+
+    from pasardassist_spark.operators.docsniff import sniff_document
+    from pasardassist_spark.operators.pdftext import encode_pdf
+
+    payload = b"JUNK" + encode_pdf(["text"])
+    with pytest.raises(ValueError, match="unrecognized binary|corrupt"):
+        sniff_document(payload)
+
+
+def test_mbox_like_from_line_then_headers_is_email():
+    """An mbox-framed single message (leading 'From ' separator line)
+    still parses as mail text after the framing line — the ZIP-in-mbox
+    shape where the attachment markers live in the body."""
+    from pasardassist_spark.operators.docsniff import sniff_document
+
+    mbox_msg = (
+        "Return-Path: <a@example.com>\n"
+        "From: a@example.com\n"
+        "Date: Mon, 10 Jun 2024 09:00:00 +0000\n"
+        "Subject: framed\n"
+        "\n"
+        "body with PK\x03\x04 marker\n"
+    )
+    assert sniff_document(mbox_msg) == "email"
