@@ -486,6 +486,103 @@ def ivf_topk(
     )
 
 
+def ivf_probe_curve(
+    emb: DataFrame,
+    sample_ids: list[int],
+    k: int,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, float]]:
+    """Recall@k as a function of n_probe, measured on a held-out query
+    sample against the PREBUILT index — the whole curve from ONE plan.
+
+    For each (held-out query, exact top-k neighbor) pair, compute the
+    centroid-cosine RANK of the list the neighbor is assigned to; recall
+    at probe depth p is simply the fraction of pairs with rank <= p, so
+    a single join + a <=n_lists-row histogram replaces n_lists separate
+    searches.  Everything query-sided is broadcast (sample x n_lists);
+    the only corpus-sized work is the exact ground-truth top-k over the
+    sample, which is the price of measuring recall at all.  Returns
+    [(p, recall)] for p = 1..n_lists, monotone nondecreasing."""
+    gt = brute_force_topk(emb, sample_ids, k, id_col, vec_col)
+    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    q = e.filter(F.col(id_col).isin(sample_ids)).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv")
+    )
+    rank_w = W.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("list_id"))
+    list_rank = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "q_id",
+            "list_id",
+            F.round(cosine(F.col("qv"), F.col("center")), 6).alias("c_cos"),
+        )
+        .withColumn("list_rank", F.row_number().over(rank_w))
+        .select("q_id", "list_id", "list_rank")
+    )
+    neighbor_list = assignments.select(
+        F.col(id_col).alias("neighbor_id"), "list_id"
+    )
+    hist_rows = (
+        gt.join(neighbor_list, "neighbor_id")
+        .join(F.broadcast(list_rank), ["q_id", "list_id"])
+        .groupBy("list_rank")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    n_lists = centroids.count()
+    total = len(sample_ids) * k
+    hist = {int(r.list_rank): int(r.n) for r in hist_rows}
+    curve: list[tuple[int, float]] = []
+    seen = 0
+    for p in range(1, n_lists + 1):
+        seen += hist.get(p, 0)
+        curve.append((p, seen / total if total else 0.0))
+    return curve
+
+
+def tune_n_probe(
+    emb: DataFrame,
+    target_recall: float,
+    k: int,
+    sample_size: int = 32,
+    n_lists: int = N_LISTS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+) -> tuple[int, float, list[tuple[int, float]]]:
+    """Target-recall probe selection at build time (VERDICT r12 #9): pick
+    the SMALLEST n_probe whose measured recall@k on a deterministic
+    hash-gated held-out sample meets ``target_recall``.  Returns
+    (n_probe, achieved_recall, full_curve); if even probing every list
+    misses the target (ground-truth ties straddling rounding), the full
+    scan n_probe = n_lists is returned with its achieved recall —
+    tuning never silently exceeds the index's own ceiling."""
+    if assignments is None or centroids is None:
+        assignments, centroids = ivf_assignments(emb, n_lists, id_col, vec_col)
+    n = emb.count()
+    denom = max(1, n // sample_size)
+    sample_ids = [
+        int(r[0])
+        for r in emb.select(id_col)
+        .filter(F.pmod(F.hash(F.col(id_col)), F.lit(denom)) == 0)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
+    ]
+    curve = ivf_probe_curve(
+        emb, sample_ids, k, assignments, centroids, id_col, vec_col
+    )
+    for p, r in curve:
+        if r >= target_recall:
+            return p, r, curve
+    return curve[-1][0], curve[-1][1], curve
+
+
 def _l2_normalize(e: DataFrame, vec: str = "v") -> DataFrame:
     """Divide each vector by its L2 norm (zero vectors dropped). After this,
     inner product == cosine, so PQ's additive dot-product approximation

@@ -1208,3 +1208,54 @@ def test_batch_by_length_rejects_bad_keys(spark):
     ]:
         with pytest.raises(ValueError, match=r"null|negative|>= 0|overflow"):
             batch_by_length(mk(rows), "doc_id", "n_tok", 4)
+
+
+def test_ivf_probe_autotune_minimal_monotone_and_achieving(spark, sf_dir):
+    """tune_n_probe picks the SMALLEST probe count meeting the target;
+    the curve is monotone; and ivf_topk at the chosen count actually
+    achieves the target recall on the same held-out sample."""
+    from pyspark.sql import functions as F
+
+    from pasardassist_spark.operators import similarity as S
+    from pasardassist_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    assignments, centroids = S.ivf_assignments(emb)
+    target = 0.85
+    p, achieved, curve = S.tune_n_probe(
+        emb, target, 10, assignments=assignments, centroids=centroids
+    )
+    # monotone nondecreasing, ends at the index ceiling
+    recalls = [r for _p, r in curve]
+    assert recalls == sorted(recalls)
+    assert achieved >= target
+    # minimality: p-1 misses the target (or p == 1)
+    if p > 1:
+        assert curve[p - 2][1] < target
+    assert curve[p - 1][1] == achieved
+
+    # end-to-end: a real search at the tuned probe count reaches the
+    # target on the tuner's own sample
+    n = emb.count()
+    denom = max(1, n // 32)
+    sample_ids = [
+        int(r[0])
+        for r in emb.select("vec_id")
+        .filter(F.pmod(F.hash(F.col("vec_id")), F.lit(denom)) == 0)
+        .orderBy("vec_id")
+        .limit(32)
+        .collect()
+    ]
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, sample_ids, 10).collect()
+    }
+    approx = {
+        (r.q_id, r.neighbor_id)
+        for r in S.ivf_topk(
+            emb, sample_ids, 10, n_probe=p,
+            assignments=assignments, centroids=centroids,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= target - 1e-9, recall
