@@ -1809,3 +1809,165 @@ def format_fim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("binary")
         ).alias("rendered_md5"),
     )
+
+
+# ------------------------------------------- budget-prefix data selection
+
+# Per-source token budget for curate_budget_select: small enough that the
+# take-while prefix genuinely cuts (each synthetic source carries ~25
+# docs x ~1k tokens at sf0.001), large enough that every source keeps >1
+# doc.
+SELECT_TOKEN_BUDGET = 4_000
+
+
+@query(
+    "curate_budget_select",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, source,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter({_TOKS_SQL},
+                        t -> t IN ({", ".join(f"'{w}'" for w in GOPHER_STOPS)})))
+                    AS DOUBLE) / len({_TOKS_SQL}) AS stop_density
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source, n_tokens,
+               round(stop_density, 6) AS stop_density,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY round(stop_density, 6) DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum_tokens
+        FROM m
+    )
+    SELECT doc_id, source, n_tokens, stop_density,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM r WHERE cum_tokens <= {SELECT_TOKEN_BUDGET}
+    """,
+)
+def curate_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data selection: per source, take documents in
+    quality order (stopword density desc — the cheap English-likeness
+    proxy; ties by doc_id) until the cumulative token count would pass
+    SELECT_TOKEN_BUDGET — the deterministic prefix form of
+    select-best-under-budget every curated pretraining mix runs per
+    domain (greedy-with-skip is a different, sequential operator; the
+    prefix form is the one with a closed form, and the one used when
+    the quality ordering dominates doc-size variance).
+
+    Plan: one groupBy-free pass — token counts and stop density are
+    scan-fused column math, the running total is a window cumsum over
+    (source, score, id) whose partial sort pushes below the single
+    source-keyed shuffle, and the budget cut is monotone (cumsum only
+    grows), so kept rows are exactly the maximal affordable prefix.
+    6-dp rounding on the score BEFORE ordering keeps both engines'
+    sort keys identical."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = X.tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPS)))
+            .cast("double") / F.size(toks),
+            6,
+        ).alias("stop_density"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.desc("stop_density"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        scored.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+        )
+        .filter(F.col("cum_tokens") <= SELECT_TOKEN_BUDGET)
+    )
+
+
+# ------------------------------------------- within-doc line dedup
+
+@query(
+    "text_dedup_lines",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks, len({_TOKS_SQL}) AS n
+        FROM documents
+    ),
+    l AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"array_to_string(toks[({i} * n // 6 + 1):(({i} + 1) * n // 6)], ' ')"
+                   f" AS l{i}" for i in range(6)
+               )}
+        FROM t
+    ),
+    p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN [l0, l1, l2, l3, l1, l5]
+                    ELSE [l0, l1, l2, l3, l4, l5] END AS ls
+        FROM l
+    ),
+    k AS (
+        SELECT doc_id, ls,
+               list_filter(ls, (x, i) -> list_position(ls, x) = i) AS kept
+        FROM p
+    )
+    SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           md5(array_to_string(kept, chr(10))) AS kept_md5
+    FROM k
+    """,
+)
+def text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-line REMOVAL, first occurrence kept —
+    the cleaning transform behind FineWeb's dup-line-chars signal
+    (curate_fineweb_filters SCORES the duplication; this op removes it,
+    the pair every crawl cleaner ships).  Same deterministic 6-line
+    restructure as the FineWeb query (newline-free word soup -> 6
+    near-equal token chunks; ids %4==0 plant line1 over line4 so the
+    removal genuinely fires on a quarter of the corpus).
+
+    Keep rule on both engines: line i survives iff its FIRST index in
+    the line array is i (array_position / list_position with the
+    index-aware lambda) — order-preserving first-occurrence dedup
+    without relying on either engine's distinct() ordering contract.
+    All JVM higher-order-function column math fused into the scan:
+    zero shuffle, zero Python."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = X.tokens(F.col("text"))
+    d2 = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    lines = F.array(*[
+        F.array_join(
+            F.slice(
+                F.col("toks"),
+                (F.col("n") * i / 6).cast("int") + 1,
+                ((F.col("n") * (i + 1) / 6).cast("int")
+                 - (F.col("n") * i / 6).cast("int")),
+            ),
+            " ",
+        )
+        for i in range(6)
+    ])
+    d3 = d2.select("doc_id", lines.alias("raw"))
+    ls = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.array(*[
+            F.element_at("raw", 2) if i == 4 else F.element_at("raw", i + 1)
+            for i in range(6)
+        ]),
+    ).otherwise(F.col("raw"))
+    d4 = d3.select("doc_id", ls.alias("ls"))
+    kept = F.filter(
+        F.col("ls"), lambda x, i: F.array_position(F.col("ls"), x) == i + 1
+    )
+    return d4.select(
+        "doc_id",
+        F.size("ls").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.array_join(kept, "\n").cast("binary")).alias("kept_md5"),
+    )

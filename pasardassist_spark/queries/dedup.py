@@ -865,3 +865,89 @@ def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+# --------------------------------------- content-defined chunk dedup
+
+@query("dedup_cdc_chunks")  # gear rolling hash is a prefix scan: rows-only
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-duplicate detection via FastCDC content-defined chunking
+    (operators/chunking.py — gear rolling hash, [64,1024]-byte
+    normalized chunks): byte spans SHARED between documents produce
+    identical chunks even at different offsets, the property fixed-size
+    blocking lacks and the reason dedup stores key on content-defined
+    digests.  Docs with doc_id%9==7 carry the PREVIOUS doc's middle
+    third spliced over their own (a genuine partial duplicate at a
+    shifted offset); the readout per doc is chunk count, byte count,
+    and the bytes sitting in chunks whose digest appears in >= 2
+    documents — the injected pairs must light up, everything else stays
+    dark.
+
+    Plan: payload synthesis + chunking is one Arrow map pass; duplicate
+    detection is a groupBy on chunk digest (the dedup-store partition
+    key at 100 TB) + one digest-keyed join back; readout re-groups by
+    doc.  No SQL oracle can exist (the gear hash is a sequential prefix
+    scan); the vectorized chunker is pinned against a byte-at-a-time
+    reference, invariants, and the resynchronization property in
+    tests/test_chunking.py."""
+    import pandas as pd
+
+    from pasardassist_spark.operators.chunking import cdc_chunks
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    prev = d.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.col("text").alias("prev_text"),
+    )
+    joined = d.join(prev, "doc_id", "left")
+
+    def _chunk(it):
+        for pdf in it:
+            out = {"doc_id": [], "start": [], "length": [], "digest": []}
+            for doc_id, text, prev_text in zip(
+                pdf["doc_id"], pdf["text"], pdf["prev_text"]
+            ):
+                seed = int(doc_id)
+                data = text.encode("utf-8")
+                if seed % 9 == 7 and prev_text is not None:
+                    # splice the WHOLE previous doc into the middle: a
+                    # genuine partial duplicate at a shifted offset
+                    pb = prev_text.encode("utf-8")
+                    a, b = len(data) // 3, 2 * len(data) // 3
+                    data = data[:a] + pb + data[b:]
+                for start, length, digest in cdc_chunks(data):
+                    out["doc_id"].append(seed)
+                    out["start"].append(start)
+                    out["length"].append(length)
+                    out["digest"].append(digest)
+            yield pd.DataFrame(out)
+
+    chunks = joined.mapInPandas(
+        _chunk, "doc_id long, start long, length long, digest string"
+    )
+    shared = (
+        chunks.groupBy("digest")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("digest")
+    )
+    flagged = chunks.join(shared, "digest", "left_semi").groupBy(
+        "doc_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("dup_chunks"),
+        F.sum("length").cast("long").alias("dup_bytes"),
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("length").cast("long").alias("n_bytes"),
+    )
+    return (
+        per_doc.join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_bytes",
+            F.coalesce("dup_chunks", F.lit(0)).cast("long").alias("dup_chunks"),
+            F.coalesce("dup_bytes", F.lit(0)).cast("long").alias("dup_bytes"),
+        )
+    )
