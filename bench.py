@@ -240,6 +240,15 @@ EXTRA_NAMES = [
     "doc_legacy_extract",
     "doc_xls_extract",
     "doc_msg_extract",
+    # round-13 debuts (cheap, map/window shaped). The two heavier r13
+    # composites are deliberately NOT anchored here: streaming_docgate_
+    # readout (~24 s: 4 foreachBatch epochs) and sim_ivf_autotune
+    # (~11 s: index build + exact ground truth) would add ~2 min per
+    # bench run for regression signal the driver correctness gate
+    # already provides.
+    "curate_budget_select",
+    "text_dedup_lines",
+    "dedup_cdc_chunks",
 ]
 
 

@@ -1971,3 +1971,144 @@ def text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("long").alias("n_kept"),
         F.md5(F.array_join(kept, "\n").cast("binary")).alias("kept_md5"),
     )
+
+
+# ------------------------------------------- robots.txt crawl gate
+
+# A synthesized-but-conforming robots.txt: comments, CRLF, a shared
+# user-agent group, an ignored sitemap field, empty-Disallow tolerance,
+# wildcard and end-anchored patterns. Parsed ONCE at import by the real
+# grammar (operators/robots.py); the query AND the oracle below both
+# consume the parsed rule table, so the distributed gate and DuckDB
+# evaluate identical regexes.
+ROBOTS_TXT = (
+    "# corpus crawl policy\r\n"
+    "User-agent: otherbot\r\n"
+    "Disallow: /\r\n"
+    "\r\n"
+    "User-agent: trainbot\r\n"
+    "User-agent: evalbot\r\n"
+    "Disallow: /private/\r\n"
+    "Allow: /private/pub/\r\n"
+    "Disallow: /*.zip$\r\n"
+    "Disallow: /p/*/draft\r\n"
+    "Allow: /p/\r\n"
+    "Disallow:\r\n"  # empty value: disallows nothing
+    "Sitemap: http://example.com/sitemap.xml\r\n"
+    "\r\n"
+    "User-agent: *\r\n"
+    "Disallow: /tmp/\r\n"
+)
+ROBOTS_UA = "trainbot"
+
+
+def _robots_oracle() -> str:
+    from pasardassist_spark.operators.robots import (
+        pattern_to_regex,
+        rules_for,
+    )
+
+    rules = rules_for(ROBOTS_TXT, ROBOTS_UA)
+    vals = ", ".join(
+        f"('{kind}', '{pat}', '{pattern_to_regex(pat)}', {len(pat)})"
+        for kind, pat in rules
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 6 AS INTEGER)
+                    WHEN 0 THEN '/p/' || CAST(doc_id // 7 AS VARCHAR)
+                    WHEN 1 THEN '/private/notes/' || CAST(doc_id AS VARCHAR)
+                    WHEN 2 THEN '/private/pub/' || CAST(doc_id AS VARCHAR)
+                    WHEN 3 THEN '/files/' || CAST(doc_id AS VARCHAR) || '.zip'
+                    WHEN 4 THEN '/p/' || CAST(doc_id AS VARCHAR) || '/draft'
+                    ELSE '/tmp/cache/' || CAST(doc_id AS VARCHAR)
+               END AS path
+        FROM documents
+    ),
+    r(kind, pattern, rx, plen) AS (VALUES {vals}),
+    m AS (
+        SELECT d.doc_id, d.path, r.kind, r.pattern,
+               row_number() OVER (
+                   PARTITION BY d.doc_id
+                   ORDER BY r.plen DESC,
+                            (r.kind = 'allow') DESC,
+                            r.pattern DESC
+               ) AS rn
+        FROM d JOIN r ON regexp_matches(d.path, r.rx)
+    ),
+    win AS (SELECT doc_id, kind, pattern FROM m WHERE rn = 1)
+    SELECT d.doc_id, d.path,
+           COALESCE(win.kind = 'allow', TRUE) AS allowed,
+           win.pattern AS matched_pattern
+    FROM d LEFT JOIN win ON d.doc_id = win.doc_id
+    """
+
+
+@query("curate_robots_gate", oracle=_robots_oracle())
+def curate_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl gate per RFC 9309 (operators/robots.py): the
+    policy file is parsed by the real grammar (group continuation,
+    comments, CRLF, empty-Disallow, unknown fields skipped; group
+    selection by product token with * fallback), each document's
+    synthesized path is judged by MOST-SPECIFIC-MATCH-WINS (longest
+    pattern in octets, allow wins ties, no match allows), and the
+    winning rule is emitted alongside the verdict — the audit column a
+    compliant crawler logs.
+
+    Plan: the rule table (a handful of rows however big the robots file
+    corpus — rules per host are small by construction) broadcasts into
+    one crossJoin + rlike filter; the per-path winner is a window over
+    (specificity, kind, pattern); unmatched paths default-allow through
+    a left join.  At 100 TB the rule table is keyed by host and the
+    crossJoin becomes a host-keyed broadcast join — same shape.  Both
+    engines evaluate the SAME anchored regexes, translated once by
+    pattern_to_regex."""
+    from pasardassist_spark.operators.robots import (
+        pattern_to_regex,
+        rules_for,
+    )
+
+    rules = rules_for(ROBOTS_TXT, ROBOTS_UA)
+    rules_df = spark.createDataFrame(
+        [
+            (kind, pat, pattern_to_regex(pat), len(pat))
+            for kind, pat in rules
+        ],
+        "kind string, pattern string, rx string, plen int",
+    )
+    d_ = F.col("doc_id")
+    path = (
+        F.when(d_ % 6 == 0,
+               F.concat(F.lit("/p/"), F.floor(d_ / 7).cast("string")))
+        .when(d_ % 6 == 1,
+              F.concat(F.lit("/private/notes/"), d_.cast("string")))
+        .when(d_ % 6 == 2,
+              F.concat(F.lit("/private/pub/"), d_.cast("string")))
+        .when(d_ % 6 == 3,
+              F.concat(F.lit("/files/"), d_.cast("string"), F.lit(".zip")))
+        .when(d_ % 6 == 4,
+              F.concat(F.lit("/p/"), d_.cast("string"), F.lit("/draft")))
+        .otherwise(F.concat(F.lit("/tmp/cache/"), d_.cast("string")))
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", path.alias("path")
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc("plen"),
+        F.desc(F.col("kind") == "allow"),
+        F.desc("pattern"),
+    )
+    winners = (
+        docs.crossJoin(F.broadcast(rules_df))
+        .filter(F.expr("path rlike rx"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "kind", "pattern")
+    )
+    return docs.join(winners, "doc_id", "left").select(
+        "doc_id",
+        "path",
+        F.coalesce(F.col("kind") == "allow", F.lit(True)).alias("allowed"),
+        F.col("pattern").alias("matched_pattern"),
+    )
