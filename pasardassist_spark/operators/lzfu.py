@@ -119,41 +119,23 @@ def decompress_lzfu(payload: bytes) -> bytes:
     raise ValueError("LZFu stream ended without the terminating reference")
 
 
-def _longest_match(d: bytearray, wp: int, data: bytes, pos: int) -> tuple[int, int]:
-    """Longest dictionary match (>= 2, <= 17 bytes) for data[pos:],
-    allowing overlapping runs that extend past the write pointer the way
-    the decoder reproduces them."""
-    best_off, best_len = 0, 0
-    limit = min(17, len(data) - pos)
-    if limit < 2:
-        return 0, 0
-    wmod = wp % _DICT
-    for off in range(_DICT):
-        if off == wmod:
-            continue  # that offset means END-OF-STREAM
-        # simulate the decoder's copy to honor overlaps correctly
-        k = 0
-        while k < limit:
-            src = (off + k) % _DICT
-            # bytes at/after wp were "written" by this very copy
-            if (src - wmod) % _DICT < k:
-                b = data[pos + (src - wmod) % _DICT]
-            else:
-                b = d[src]
-            if b != data[pos + k]:
-                break
-            k += 1
-        if k > best_len:
-            best_off, best_len = off, k
-            if k == limit:
-                break
-    return best_off, best_len
+_CHAIN_CAP = 32  # hash-chain candidates examined per position
 
 
 def compress_lzfu(data: bytes) -> bytes:
-    d = bytearray(_DICT)
-    d[: len(LZFU_DICT_INIT)] = LZFU_DICT_INIT
-    wp = len(LZFU_DICT_INIT)
+    """Greedy LZFu encoder with a 2-byte hash-chain match finder — the
+    naive scan-all-4096-offsets form cost O(n * dict) pure-Python ops
+    per document and showed up as a 30x bench regression on the .msg
+    fixture path; chains cap the search at _CHAIN_CAP recent
+    candidates, which finds the long matches that matter (the init
+    prefix and repeated RTF control words) at linear cost."""
+    # history = init prefix + everything written; the live dictionary is
+    # its last 4096 bytes. Matching against history positions mirrors
+    # the decoder exactly, including copies that overlap the write head.
+    history = bytearray(LZFU_DICT_INIT)
+    index: dict[bytes, list[int]] = {}
+    for p in range(len(history) - 1):
+        index.setdefault(bytes(history[p : p + 2]), []).append(p)
     body = bytearray()
     tokens: list[bytes] = []  # pending tokens for the current control byte
     flags = 0
@@ -167,27 +149,58 @@ def compress_lzfu(data: bytes) -> bytes:
             tokens.clear()
             flags = 0
 
+    def write_byte(b: int) -> None:
+        history.append(b)
+        p = len(history) - 2
+        if p >= 0:
+            key = bytes(history[p : p + 2])
+            chain = index.setdefault(key, [])
+            chain.append(p)
+            if len(chain) > 4 * _CHAIN_CAP:
+                del chain[: 2 * _CHAIN_CAP]
+
     pos = 0
-    while pos < len(data):
-        off, length = _longest_match(d, wp, data, pos)
-        if length >= 2:
+    n = len(data)
+    while pos < n:
+        best_p, best_len = -1, 0
+        limit = min(17, n - pos)
+        if limit >= 2:
+            wp = len(history)
+            wmod = wp % _DICT
+            lo = wp - _DICT  # window start (history positions >= lo valid)
+            key = data[pos : pos + 2]
+            for p in reversed(index.get(key, [])[-_CHAIN_CAP:]):
+                if p < lo or p < 0:
+                    continue
+                if p % _DICT == wmod:
+                    continue  # that offset encodes END-OF-STREAM
+                k = 2
+                while k < limit:
+                    src = p + k
+                    b = history[src] if src < wp else data[pos + (src - wp)]
+                    if b != data[pos + k]:
+                        break
+                    k += 1
+                if k > best_len:
+                    best_p, best_len = p, k
+                    if k == limit:
+                        break
+        if best_len >= 2:
             flags |= 1 << len(tokens)
-            ref = (off << 4) | (length - 2)
+            ref = ((best_p % _DICT) << 4) | (best_len - 2)
             tokens.append(bytes(((ref >> 8) & 0xFF, ref & 0xFF)))
-            for k in range(length):
-                d[wp % _DICT] = data[pos + k]
-                wp += 1
-            pos += length
+            for k in range(best_len):
+                write_byte(data[pos + k])
+            pos += best_len
         else:
             tokens.append(bytes([data[pos]]))
-            d[wp % _DICT] = data[pos]
-            wp += 1
+            write_byte(data[pos])
             pos += 1
         if len(tokens) == 8:
             flush()
     # terminating reference: offset == current write position
     flags |= 1 << len(tokens)
-    end = (wp % _DICT) << 4
+    end = (len(history) % _DICT) << 4
     tokens.append(bytes(((end >> 8) & 0xFF, end & 0xFF)))
     flush()
     payload = bytes(body)
