@@ -2120,3 +2120,129 @@ def streaming_docgate_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_dir, ignore_errors=True)
         shutil.rmtree(admitted_dir, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# --------------------------------------- attachment-recursion composite
+
+@query(
+    "pipeline_attachment_extract",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(doc_id % 3 AS INTEGER) AS n_att,
+               list_filter(string_split(text, ' '), w -> w != '') AS words
+        FROM documents
+    ),
+    split AS (
+        SELECT doc_id, n_att,
+               array_to_string(words[1 : len(words) // 2], ' ') AS body,
+               words[len(words) // 2 + 1 :] AS rest
+        FROM base
+    ),
+    att AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_transform(range(0, n_att),
+                       i -> array_to_string(
+                           rest[(len(rest) * i) // n_att + 1
+                                : (len(rest) * (i + 1)) // n_att], ' ')),
+                   '|') AS att_text
+        FROM split WHERE n_att > 0
+    )
+    SELECT s.doc_id,
+           CAST(s.n_att AS INTEGER) AS n_attachments,
+           md5(s.body) AS body_md5,
+           md5(COALESCE(a.att_text, '')) AS att_text_md5
+    FROM split s LEFT JOIN att a ON s.doc_id = a.doc_id
+    """,
+)
+def pipeline_attachment_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attachment RECURSION — the composite a real mail crawl runs:
+    each document becomes an RFC 5322 message whose first-half words are
+    the body and whose second half ships as doc_id%3 base64 attachments
+    that are GENUINE containers (DOCX for even attachment slots, PDF —
+    the 1.5 xref-stream generation — for odd).  Extraction walks the
+    full nested path: parse_email for the body, extract_attachments for
+    the decoded parts, then the SNIFF-ROUTED dispatcher
+    (operators/docsniff.py:extract_document) on each attachment's bytes
+    — exactly how container-in-container payloads surface on a crawl.
+    The oracle re-derives body and per-attachment text from word
+    arithmetic, so a broken base64 round-trip, a mis-sniffed container,
+    or a lost attachment order mismatches on 500 messages.  Scan →
+    mapInPandas, one stage, zero shuffle."""
+    from pasardassist_spark.operators.docsniff import extract_document
+    from pasardassist_spark.operators.docxtext import encode_docx
+    from pasardassist_spark.operators.emailtext import (
+        encode_email,
+        encode_email_with_attachments,
+        extract_attachments,
+        parse_email,
+    )
+    from pasardassist_spark.operators.pdftext import encode_pdf
+
+    schema = (
+        "doc_id long, n_attachments int, body_md5 string, "
+        "att_text_md5 string"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "n_attachments": [],
+                "body_md5": [], "att_text_md5": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = int(doc_id)
+                n_att = seed % 3
+                words = [w for w in text.split(" ") if w]
+                body = " ".join(words[: len(words) // 2])
+                rest = words[len(words) // 2 :]
+                atts: list[tuple[str, bytes]] = []
+                for i in range(n_att):
+                    part = " ".join(
+                        rest[len(rest) * i // n_att
+                             : len(rest) * (i + 1) // n_att]
+                    )
+                    if i % 2 == 0:
+                        atts.append(
+                            (f"part-{i}.docx", encode_docx([part]))
+                        )
+                    else:
+                        atts.append(
+                            (f"part-{i}.pdf",
+                             encode_pdf([part], xref_stream=True))
+                        )
+                if atts:
+                    payload = encode_email_with_attachments(
+                        f"att {seed}", 1_700_000_000 + seed, body, atts,
+                        qp_body=seed % 2 == 1,
+                    )
+                else:
+                    payload = encode_email(
+                        f"att {seed}", 1_700_000_000 + seed, body, 0
+                    )
+                msg = parse_email(payload)
+                got_body = " ".join(msg.text.split())
+                got_atts = []
+                for _fname, _ctype, blob in extract_attachments(payload):
+                    _fmt, att_text = extract_document(blob)
+                    got_atts.append(att_text)
+                if got_body != body or len(got_atts) != n_att:
+                    raise ValueError(
+                        f"doc {doc_id}: attachment recursion broke "
+                        f"({len(got_atts)} of {n_att} attachments)"
+                    )
+                out["doc_id"].append(doc_id)
+                out["n_attachments"].append(n_att)
+                out["body_md5"].append(
+                    hashlib.md5(got_body.encode("utf-8")).hexdigest()
+                )
+                out["att_text_md5"].append(
+                    hashlib.md5(
+                        "|".join(got_atts).encode("utf-8")
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_batches, schema)
