@@ -1277,3 +1277,217 @@ def dedup_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("ts"),
         (F.count(F.lit(1)) - 1).cast("bigint").alias("n_suppressed"),
     ).drop("burst")
+
+
+# ------------------------------------------------ survival analysis (KM)
+
+# Users whose last event falls within this many days of the corpus'
+# global maximum timestamp are CENSORED (still active at observation
+# end), not churned — the standard right-censoring rule.
+KM_CENSOR_DAYS = 7
+
+
+@query(
+    "surv_kaplan_meier",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(floor(epoch(max(ts) - min(ts)) / 86400.0) AS BIGINT)
+                   AS dur,
+               max(ts) AS last_ts
+        FROM events GROUP BY user_id
+    ),
+    g AS (SELECT max(ts) AS gmax FROM events),
+    f AS (
+        SELECT u.dur,
+               epoch(g.gmax - u.last_ts) >= {KM_CENSOR_DAYS} * 86400.0
+                   AS churned
+        FROM u CROSS JOIN g
+    ),
+    t AS (
+        SELECT dur,
+               CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d,
+               CAST(SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+                   AS c
+        FROM f GROUP BY dur
+    ),
+    r AS (
+        SELECT dur, d, c,
+               (SELECT COUNT(*) FROM f)
+               - COALESCE(SUM(d + c) OVER (
+                     ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS n_risk
+        FROM t
+    )
+    SELECT dur AS t_days, CAST(n_risk AS BIGINT) AS n_risk, d AS d_churn,
+           c AS c_censored,
+           round(exp(SUM(ln(GREATEST(1.0 - CAST(d AS DOUBLE) / n_risk,
+                                     1e-300)))
+                     OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)), 6)
+               AS survival
+    FROM r
+    """,
+)
+def surv_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over user lifetimes: duration = whole days
+    between a user's first and last event; users still active in the
+    final KM_CENSOR_DAYS days of the corpus are right-CENSORED (they
+    leave the risk set without counting as churn — dropping them instead
+    is the classic retention-analysis bias this estimator exists to
+    fix).  S(t) = prod over event times u <= t of (1 - d_u / n_u), with
+    n_u = subjects whose duration >= u.
+
+    Plan: one user-grain aggregate, a 1-row global-max broadcast, a
+    duration-grain aggregate (<= observation-window-days rows —
+    metadata-scale forever), then the risk-set and product both as
+    windows over that tiny frame.  The product runs as exp(sum(ln .))
+    with a 1e-300 floor (a 0-survival step underflows to round(.,6)=0
+    on both engines); 6-dp rounding absorbs libm ULP skew, the PSI
+    precedent."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.floor(
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            / 86400.0
+        ).cast("long").alias("dur"),
+        F.max("ts").alias("last_ts"),
+    )
+    g = ev.agg(F.max("ts").alias("gmax"))
+    f = u.crossJoin(F.broadcast(g)).select(
+        "dur",
+        (
+            (F.unix_timestamp("gmax") - F.unix_timestamp("last_ts"))
+            >= KM_CENSOR_DAYS * 86400.0
+        ).alias("churned"),
+    )
+    t = f.groupBy("dur").agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0))
+        .cast("long").alias("d"),
+        F.sum(F.when(F.col("churned"), 0).otherwise(1))
+        .cast("long").alias("c"),
+    )
+    total = f.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    w_before = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_upto = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = (
+        t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_before),
+                         F.lit(0)),
+        )
+    )
+    term = F.log(
+        F.greatest(
+            F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"),
+            F.lit(1e-300),
+        )
+    )
+    return r.select(
+        F.col("dur").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").alias("d_churn"),
+        F.col("c").alias("c_censored"),
+        F.round(F.exp(F.sum(term).over(w_upto)), 6).alias("survival"),
+    )
+
+
+# ------------------------------------------------ Gini / Lorenz curve
+
+@query(
+    "stat_gini_lorenz",
+    oracle="""
+    WITH s AS (
+        SELECT o_custkey, SUM(o_totalprice) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT spend,
+               row_number() OVER (ORDER BY spend, o_custkey) AS rk,
+               ntile(10) OVER (ORDER BY spend, o_custkey) AS decile
+        FROM s
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(spend) AS total,
+               SUM(rk * spend) AS weighted
+        FROM r
+    ),
+    dec AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               SUM(spend) AS dec_spend
+        FROM r GROUP BY decile
+    )
+    SELECT CAST(dec.decile AS INTEGER) AS decile, dec.n_cust,
+           round(CAST(SUM(dec.dec_spend) OVER (
+                     ORDER BY dec.decile ROWS UNBOUNDED PRECEDING)
+                 AS DOUBLE) / CAST(tot.total AS DOUBLE), 6)
+               AS cum_spend_share,
+           round((2.0 * CAST(tot.weighted AS DOUBLE)
+                  - (tot.n + 1) * CAST(tot.total AS DOUBLE))
+                 / (tot.n * CAST(tot.total AS DOUBLE)), 6) AS gini
+    FROM dec CROSS JOIN tot
+    """,
+)
+def stat_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Income-inequality lens on customer spend: the exact Gini
+    coefficient via the rank formula G = (2*sum(i*x_i) - (n+1)*sum(x))
+    / (n*sum(x)) over spend sorted ascending, plus the Lorenz curve at
+    deciles (cumulative spend share per NTILE(10) bucket) — the
+    concentration readout marketplace analytics put next to top-k
+    dashboards.  Rank products stay in exact decimal until the final
+    division (functions/money.py discipline); (spend, custkey) total
+    order makes row_number and ntile identical on both engines; tie
+    order cannot change the formula (equal x contribute the same sum
+    over any rank permutation).
+
+    Plan: customer-grain aggregate, one ordered window for ranks (the
+    decile frame is customer-count sized, far below the fact table),
+    1-row totals broadcast back — two shuffles end to end."""
+    s = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    w = Window.orderBy("spend", "o_custkey")
+    r = s.select(
+        "spend",
+        F.row_number().over(w).alias("rk"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    tot = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("spend").alias("total"),
+        F.sum(F.col("rk") * F.col("spend")).alias("weighted"),
+    )
+    dec = r.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("spend").alias("dec_spend"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_cust",
+            F.round(
+                F.sum("dec_spend").over(w_cum).cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("cum_spend_share"),
+            F.round(
+                (2.0 * F.col("weighted").cast("double")
+                 - (F.col("n") + 1) * F.col("total").cast("double"))
+                / (F.col("n") * F.col("total").cast("double")),
+                6,
+            ).alias("gini"),
+        )
+    )

@@ -168,6 +168,15 @@ def merge_into_bucketed_state(
     # Driver-side METADATA collect: at most N_STATE_BUCKETS small ints
     # (which partitions to merge), never data rows.
     touched = sorted(r["bucket"] for r in delta.select("bucket").distinct().collect())
+    if not touched:
+        # an EMPTY delta must be a no-op, not an empty generation: a
+        # zero-row partitionBy write stages no parquet footers, and the
+        # next read_state of that committed slot dies with
+        # UNABLE_TO_INFER_SCHEMA. A batch of pure rejects (every doc
+        # dead-lettered or gate-failed — e.g. a spam-only crawl window)
+        # is a legitimate epoch, found by the round-13 10x docgate
+        # replica whose token prefixing starved the Gopher gate.
+        return
     versions = _state_versions(state_dir)
     prev_dir = os.path.join(state_dir, versions[-1]) if versions else None
     if prev_dir is None:

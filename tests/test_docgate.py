@@ -310,3 +310,46 @@ def test_mbox_archive_through_doc_gate(spark, sf_dir, tmp_path):
     assert got <= want
     assert len(adm) == len(got)
     assert len(got) >= len(want) - 2
+
+
+def test_all_rejected_first_epoch_then_normal_epoch(spark, sf_dir, tmp_path):
+    """An epoch where EVERY payload dead-letters (or fails the gate)
+    must leave the dedup state readable: the empty delta is a no-op
+    merge, never an empty generation (which a later read_state could
+    not re-read — the round-13 UNABLE_TO_INFER_SCHEMA regression)."""
+    from pasardassist_spark.streaming.docgate import (
+        admitted_clean_docs,
+        apply_doc_batch,
+        gopher_keep,
+    )
+
+    state = str(tmp_path / "state")
+    adm = str(tmp_path / "adm")
+    dead_only = spark.createDataFrame(
+        [(i, b"BEGIN:VCALENDAR\nEND:VCALENDAR\n") for i in range(5)],
+        "doc_id long, payload binary",
+    )
+    apply_doc_batch(dead_only, 0, state, adm)
+    # the dead letters landed; nothing admitted
+    assert os.path.exists(os.path.join(adm, "_dead"))
+    texts = [
+        r.text
+        for r in load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(60)
+        .filter(gopher_keep(F.col("text")))
+        .orderBy("doc_id")
+        .limit(3)
+        .collect()
+    ]
+    assert len(texts) == 3, "fixture drift: too few gopher-clean docs"
+    from pasardassist_spark.operators.pdftext import encode_pdf
+
+    ok = spark.createDataFrame(
+        [(100 + i, encode_pdf([t], xref_stream=True))
+         for i, t in enumerate(texts)],
+        "doc_id long, payload binary",
+    )
+    apply_doc_batch(ok, 1, state, adm)  # must not raise
+    got = admitted_clean_docs(spark, adm)
+    assert got is not None and got.count() == 3
