@@ -1491,3 +1491,170 @@ def stat_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+# ------------------------------------------------ log-rank test (2 cohorts)
+
+_LR_Z_CRIT = 1.959964  # two-sided 5%, normal approx
+
+
+@query(
+    "surv_logrank_test",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS INTEGER) AS cohort,
+               CAST(floor(epoch(max(ts) - min(ts)) / 86400.0) AS BIGINT)
+                   AS dur,
+               max(ts) AS last_ts
+        FROM events GROUP BY user_id
+    ),
+    g AS (SELECT max(ts) AS gmax FROM events),
+    f AS (
+        SELECT u.cohort, u.dur,
+               epoch(g.gmax - u.last_ts) >= {KM_CENSOR_DAYS} * 86400.0
+                   AS churned
+        FROM u CROSS JOIN g
+    ),
+    t AS (
+        SELECT dur,
+               CAST(SUM(CASE WHEN cohort = 0 AND churned
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+               CAST(SUM(CASE WHEN cohort = 0 AND NOT churned
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN cohort = 1 AND churned
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+               CAST(SUM(CASE WHEN cohort = 1 AND NOT churned
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM f GROUP BY dur
+    ),
+    tot AS (
+        SELECT CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1_tot,
+               CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2_tot
+        FROM f
+    ),
+    r AS (
+        SELECT dur, d1, d2,
+               n1_tot - COALESCE(SUM(d1 + c1) OVER (
+                   ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS n1r,
+               n2_tot - COALESCE(SUM(d2 + c2) OVER (
+                   ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS n2r
+        FROM t CROSS JOIN tot
+    ),
+    s AS (
+        SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+               SUM(CAST(d1 + d2 AS DOUBLE) * n1r / (n1r + n2r)) AS e1,
+               SUM(CASE WHEN n1r + n2r > 1 THEN
+                       CAST(d1 + d2 AS DOUBLE) * n1r * n2r
+                       * (n1r + n2r - d1 - d2)
+                       / (CAST(n1r + n2r AS DOUBLE) * (n1r + n2r)
+                          * (n1r + n2r - 1))
+                   ELSE 0.0 END) AS v
+        FROM r
+        WHERE d1 + d2 > 0
+    )
+    SELECT o1, round(e1, 6) AS e1,
+           round((o1 - e1) / sqrt(v), 6) AS z,
+           round((o1 - e1) * (o1 - e1) / v, 6) AS chi2,
+           abs(round((o1 - e1) / sqrt(v), 6)) > {_LR_Z_CRIT} AS significant
+    FROM s
+    """,
+)
+def surv_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test: do the two deterministic user
+    cohorts (user_id parity — the classic hash holdout split) share a
+    churn survival curve?  The hypothesis-test companion to
+    surv_kaplan_meier, with the SAME duration/censoring definitions
+    (KM_CENSOR_DAYS) so the two readouts always agree on who is at
+    risk.  At each churn time: E1 = d * n1/n, V = d*n1*n2*(n-d) /
+    (n^2*(n-1)); Z = (O1 - E1)/sqrt(sum V), chi2 = Z^2.
+
+    Spark plan: identical scale shape to Kaplan-Meier — one user-grain
+    aggregate, one duration-grain aggregate (observation-window-sized
+    forever), a 1-row cohort-totals broadcast, prefix-sum windows on
+    the tiny frame.  Risk sets stay exact BIGINTs; each E/V term is
+    computed from integers (bit-identical on both engines) and only
+    the final sums are float, with 6-dp rounding absorbing association
+    order (the stat_moments precedent)."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.floor(
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            / 86400.0
+        ).cast("long").alias("dur"),
+        F.max("ts").alias("last_ts"),
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("cohort"), "dur", "last_ts"
+    )
+    g = ev.agg(F.max("ts").alias("gmax"))
+    f = u.crossJoin(F.broadcast(g)).select(
+        "cohort",
+        "dur",
+        (
+            (F.unix_timestamp("gmax") - F.unix_timestamp("last_ts"))
+            >= KM_CENSOR_DAYS * 86400.0
+        ).alias("churned"),
+    )
+    is1 = F.col("cohort") == 0
+    t = f.groupBy("dur").agg(
+        F.sum(F.when(is1 & F.col("churned"), 1).otherwise(0))
+        .cast("long").alias("d1"),
+        F.sum(F.when(is1 & ~F.col("churned"), 1).otherwise(0))
+        .cast("long").alias("c1"),
+        F.sum(F.when(~is1 & F.col("churned"), 1).otherwise(0))
+        .cast("long").alias("d2"),
+        F.sum(F.when(~is1 & ~F.col("churned"), 1).otherwise(0))
+        .cast("long").alias("c2"),
+    )
+    tot = f.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("long").alias("n1_tot"),
+        F.sum(F.when(~is1, 1).otherwise(0)).cast("long").alias("n2_tot"),
+    )
+    w_before = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = (
+        t.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n1r",
+            F.col("n1_tot")
+            - F.coalesce(F.sum(F.col("d1") + F.col("c1")).over(w_before),
+                         F.lit(0)),
+        )
+        .withColumn(
+            "n2r",
+            F.col("n2_tot")
+            - F.coalesce(F.sum(F.col("d2") + F.col("c2")).over(w_before),
+                         F.lit(0)),
+        )
+        .filter(F.col("d1") + F.col("d2") > 0)
+    )
+    nr = F.col("n1r") + F.col("n2r")
+    d = (F.col("d1") + F.col("d2")).cast("double")
+    s = r.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(d * F.col("n1r") / nr).alias("e1"),
+        F.sum(
+            F.when(
+                nr > 1,
+                d * F.col("n1r") * F.col("n2r") * (nr - F.col("d1") - F.col("d2"))
+                / (nr.cast("double") * nr * (nr - 1)),
+            ).otherwise(0.0)
+        ).alias("v"),
+    )
+    z = F.round((F.col("o1") - F.col("e1")) / F.sqrt(F.col("v")), 6)
+    return s.select(
+        "o1",
+        F.round("e1", 6).alias("e1"),
+        z.alias("z"),
+        F.round(
+            (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1"))
+            / F.col("v"),
+            6,
+        ).alias("chi2"),
+        (F.abs(z) > _LR_Z_CRIT).alias("significant"),
+    )

@@ -1138,3 +1138,334 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+# --------------------------------------- Kruskal-Wallis rank ANOVA (k groups)
+
+# chi-square 95% critical values for df = 1..10 (public table); the
+# events fan has ~6 types, so df stays well inside the literal CASE.
+_KW_CHI2_CRIT = {
+    1: 3.841459, 2: 5.991465, 3: 7.814728, 4: 9.487729, 5: 11.070498,
+    6: 12.591587, 7: 14.067140, 8: 15.507313, 9: 16.918978, 10: 18.307038,
+}
+_KW_CRIT_SQL = "CASE CAST(k - 1 AS INTEGER) " + " ".join(
+    f"WHEN {df} THEN {v}" for df, v in _KW_CHI2_CRIT.items()
+) + " ELSE 1e308 END"
+
+
+@query(
+    "stat_kruskal_wallis",
+    oracle=f"""
+    WITH g AS (
+        SELECT value, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY value, event_type
+    ),
+    vt AS (SELECT value, CAST(SUM(c) AS BIGINT) AS t FROM g GROUP BY value),
+    cv AS (
+        SELECT value, t,
+               2 * SUM(t) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) - t + 1 AS r2
+        FROM vt
+    ),
+    pg AS (
+        SELECT g.event_type,
+               CAST(SUM(g.c) AS BIGINT) AS n_g,
+               CAST(SUM(g.c * cv.r2) AS BIGINT) AS r2_g
+        FROM g JOIN cv USING (value)
+        GROUP BY g.event_type
+    ),
+    ties AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie3 FROM vt),
+    a AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               SUM(CAST(r2_g AS DOUBLE) * r2_g / n_g) AS sr
+        FROM pg
+    )
+    SELECT n, k,
+           round((3.0 * sr / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+                 / (1.0 - CAST(tie3 AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_stat,
+           round((3.0 * sr / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+                 / (1.0 - CAST(tie3 AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * n * n - n)), 6)
+               > {_KW_CRIT_SQL} AS significant
+    FROM a CROSS JOIN ties
+    """,
+)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H over all event types: the rank-based (heavy-tail
+    robust) counterpart of stat_anova_oneway, generalizing
+    stat_mannwhitney_u's 2-sample rank test to the full categorical fan.
+    Tie-corrected: H' = H / (1 - sum(t^3 - t)/(N^3 - N)).
+
+    Spark plan: one (value, event_type)-grain aggregate on the fact,
+    value-grain tie totals + ONE ordered prefix-sum window on the
+    distinct-value frame (the MW doubled-rank machinery — exact
+    integer average ranks, no per-row sort), a broadcast join back, a
+    k-row group aggregate.  Doubled rank sums stay BIGINT; only the
+    R2^2/n division is double (R2_g^2 exceeds int64 near N~2e9, cast
+    first — the spearman_rho discipline).  df = k-1 significance uses
+    the public chi-square critical table."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    vt = g.groupBy("value").agg(F.sum("c").cast("long").alias("t"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cv = vt.select(
+        "value",
+        "t",
+        (2 * F.sum("t").over(w) - F.col("t") + 1).alias("r2"),
+    )
+    pg = (
+        g.join(cv.select("value", "r2"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(F.col("c") * F.col("r2")).cast("long").alias("r2_g"),
+        )
+    )
+    ties = vt.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long").alias("tie3")
+    )
+    a = pg.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.col("r2_g").cast("double") * F.col("r2_g") / F.col("n_g")
+        ).alias("sr"),
+    )
+    n_d = F.col("n").cast("double")
+    h = F.round(
+        (3.0 * F.col("sr") / (n_d * (F.col("n") + 1)) - 3.0 * (F.col("n") + 1))
+        / (1.0 - F.col("tie3").cast("double") / (n_d * F.col("n") * F.col("n") - F.col("n"))),
+        6,
+    )
+    crit = F.lit(1e308)
+    for df_, v in reversed(_KW_CHI2_CRIT.items()):
+        crit = F.when((F.col("k") - 1).cast("int") == df_, F.lit(v)).otherwise(crit)
+    return a.crossJoin(F.broadcast(ties)).select(
+        "n", "k", h.alias("h_stat"), (h > crit).alias("significant")
+    )
+
+
+# ----------------------------------------------------- ROC AUC (rank formula)
+
+AUC_POS_TYPE = "purchase"
+
+
+@query(
+    "ml_auc_roc",
+    oracle=f"""
+    WITH g AS (
+        SELECT value,
+               CAST(COUNT(*) FILTER (event_type = '{AUC_POS_TYPE}')
+                    AS BIGINT) AS cnt_p,
+               CAST(COUNT(*) FILTER (event_type <> '{AUC_POS_TYPE}')
+                    AS BIGINT) AS cnt_n
+        FROM events GROUP BY value
+    ),
+    c AS (
+        SELECT cnt_p, cnt_p + cnt_n AS t,
+               SUM(cnt_p + cnt_n) OVER (ORDER BY value
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS ct
+        FROM g
+    ),
+    a AS (
+        SELECT CAST(SUM(cnt_p) AS BIGINT) AS n_pos,
+               CAST(SUM(t - cnt_p) AS BIGINT) AS n_neg,
+               CAST(SUM(cnt_p * (2 * ct - t + 1)) AS BIGINT) AS r2_pos
+        FROM c
+    )
+    SELECT n_pos, n_neg,
+           round(CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * n_pos * n_neg), 6) AS auc,
+           round(CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (CAST(n_pos AS DOUBLE) * n_neg) - 1.0, 6) AS gini_norm
+    FROM a
+    """,
+)
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC AUC of the `value` score against the
+    binary label "event is a {AUC_POS_TYPE}" — the standard
+    classifier-evaluation readout, computed distributed via the
+    rank/Mann-Whitney identity AUC = (R_pos - n_pos(n_pos+1)/2) /
+    (n_pos*n_neg) (ties contribute half, handled exactly by doubled
+    average ranks).  gini_norm = 2*AUC - 1 is the accompanying
+    normalized-Gini metric.
+
+    Spark plan: one value-grain aggregate on the fact, ONE prefix-sum
+    window over the distinct-value frame (the stat_mannwhitney_u
+    machinery — no per-row global sort), 1-row edge.  Everything stays
+    exact BIGINT until the final division, so the hash match certifies
+    rank arithmetic and tie handling bit-for-bit."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == AUC_POS_TYPE).cast("long"))
+        .cast("long").alias("cnt_p"),
+        F.sum((F.col("event_type") != AUC_POS_TYPE).cast("long"))
+        .cast("long").alias("cnt_n"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "cnt_p",
+        (F.col("cnt_p") + F.col("cnt_n")).alias("t"),
+        F.sum(F.col("cnt_p") + F.col("cnt_n")).over(w).alias("ct"),
+    )
+    a = c.agg(
+        F.sum("cnt_p").cast("long").alias("n_pos"),
+        F.sum(F.col("t") - F.col("cnt_p")).cast("long").alias("n_neg"),
+        F.sum(F.col("cnt_p") * (2 * F.col("ct") - F.col("t") + 1))
+        .cast("long").alias("r2_pos"),
+    )
+    num = (F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+    return a.select(
+        "n_pos",
+        "n_neg",
+        F.round(num / (2.0 * F.col("n_pos") * F.col("n_neg")), 6).alias("auc"),
+        F.round(
+            num / (F.col("n_pos").cast("double") * F.col("n_neg")) - 1.0, 6
+        ).alias("gini_norm"),
+    )
+
+
+# --------------------------------- Benjamini-Hochberg FDR over per-type tests
+
+# Abramowitz & Stegun 26.2.17 normal-tail polynomial (public constants);
+# both engines evaluate the IDENTICAL literal expression so the only
+# cross-engine noise is libm exp ULP, absorbed by 6-dp rounding.
+_AS_P = 0.2316419
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_SQRT_2PI = 2.5066282746310002
+FDR_Q = 0.05
+
+
+def _norm_sf_sql(z: str) -> str:
+    """1 - Phi(|z|) via A&S 26.2.17 as a SQL expression string."""
+    t = f"(1.0 / (1.0 + {_AS_P} * abs({z})))"
+    b5, b4, b3, b2, b1 = _AS_B[4], _AS_B[3], _AS_B[2], _AS_B[1], _AS_B[0]
+    poly = f"((((({b5} * {t} + {b4}) * {t} + {b3}) * {t} + {b2}) * {t} + {b1}) * {t})"
+    return f"(exp(-abs({z}) * abs({z}) / 2.0) / {_SQRT_2PI} * {poly})"
+
+
+def _norm_sf_col(z):
+    """The same polynomial as a Spark Column (identical arithmetic)."""
+    az = F.abs(z)
+    t = 1.0 / (1.0 + _AS_P * az)
+    b1, b2, b3, b4, b5 = _AS_B
+    poly = ((((b5 * t + b4) * t + b3) * t + b2) * t + b1) * t
+    return F.exp(-az * az / 2.0) / _SQRT_2PI * poly
+
+
+@query(
+    "stat_fdr_bh",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(value) AS s,
+               SUM(value * value) AS q
+        FROM events GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS big_n, SUM(s) AS big_s,
+               SUM(q) AS big_q, CAST(COUNT(*) AS BIGINT) AS m
+        FROM g
+    ),
+    z AS (
+        SELECT event_type, n, m,
+               (s / n - (big_s - s) / (big_n - n))
+               / sqrt(((q - s * s / n) / (n - 1)) / n
+                      + (((big_q - q) - (big_s - s) * (big_s - s)
+                          / (big_n - n)) / (big_n - n - 1))
+                        / (big_n - n)) AS zv
+        FROM g CROSS JOIN tot
+    ),
+    p AS (
+        SELECT event_type, n, m,
+               round(zv, 6) AS z,
+               round(2.0 * {_norm_sf_sql("zv")}, 6) AS p_raw
+        FROM z
+    ),
+    rk AS (
+        SELECT *, row_number() OVER (ORDER BY p_raw, event_type) AS i
+        FROM p
+    ),
+    adj AS (
+        SELECT event_type, n, z, p_raw,
+               round(LEAST(1.0, MIN(p_raw * m / i) OVER (
+                   ORDER BY i DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)), 6) AS p_adj
+        FROM rk
+    )
+    SELECT event_type, n, z, p_raw, p_adj,
+           p_adj <= {FDR_Q} AS rejected
+    FROM adj
+    """,
+)
+def stat_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR-adjusted p-values over the per-event-type
+    one-vs-rest Welch z-tests (mean `value` of the type vs all other
+    events) — the multiple-comparison gate a dashboard of k per-segment
+    tests needs before flagging anything.  p_adj(i) = min over j >= i
+    of p(j)*m/j (running min from the worst rank), rejected at q=5%.
+    Two-sided p from the A&S 26.2.17 normal-tail polynomial evaluated
+    as the IDENTICAL literal expression on both engines.
+
+    Spark plan: one partial-merging hash aggregate at event_type grain
+    (count/sum/sum-of-squares), a 1-row totals broadcast so the
+    "rest" moments are derived rather than re-scanned, then ranking +
+    the running-min window on the k-row frame — nothing after the
+    single fact shuffle is data-sized.  p-values are rounded to 6 dp
+    BEFORE ranking so both engines order the same keys."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("q"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("big_n"),
+        F.sum("s").alias("big_s"),
+        F.sum("q").alias("big_q"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    rn = F.col("big_n") - n
+    rs = F.col("big_s") - s
+    rq = F.col("big_q") - q
+    var_g = (q - s * s / n) / (n - 1)
+    var_r = (rq - rs * rs / rn) / (rn - 1)
+    zv = (s / n - rs / rn) / F.sqrt(var_g / n + var_r / rn)
+    p = g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        "m",
+        F.round(zv, 6).alias("z"),
+        F.round(2.0 * _norm_sf_col(zv), 6).alias("p_raw"),
+    )
+    rk = p.withColumn(
+        "i", F.row_number().over(Window.orderBy("p_raw", "event_type"))
+    )
+    w_tail = Window.orderBy(F.col("i").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    adj = rk.select(
+        "event_type",
+        "n",
+        "z",
+        "p_raw",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.min(F.col("p_raw") * F.col("m") / F.col("i")).over(w_tail),
+            ),
+            6,
+        ).alias("p_adj"),
+    )
+    return adj.select(
+        "event_type", "n", "z", "p_raw", "p_adj",
+        (F.col("p_adj") <= FDR_Q).alias("rejected"),
+    )

@@ -255,6 +255,7 @@ def _load_all() -> None:
         documents,
         enrichment,
         experiments,
+        lakeopt,
         library,
         matching,
         mining,

@@ -624,3 +624,83 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+
+# ------------------------------------------------- autocorrelation function
+
+ACF_MAX_LAG = 7
+
+_ACF_LAG_SQL = "\n    UNION ALL\n".join(
+    f"    SELECT {k} AS lag, x, lag(x, {k}) OVER (ORDER BY day) AS xl FROM d"
+    for k in range(1, ACF_MAX_LAG + 1)
+)
+
+
+@query(
+    "ts_acf",
+    oracle=f"""
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day, SUM(value) AS x
+        FROM events GROUP BY 1
+    ),
+    l AS (
+{_ACF_LAG_SQL}
+    ),
+    m AS (SELECT avg(x) AS mu FROM d),
+    den AS (
+        SELECT SUM((x - mu) * (x - mu)) AS s2 FROM d CROSS JOIN m
+    ),
+    num AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               SUM((x - mu) * (xl - mu)) AS nm
+        FROM l CROSS JOIN m
+        WHERE xl IS NOT NULL
+        GROUP BY lag
+    )
+    SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+           round(nm / s2, 6) AS acf
+    FROM num CROSS JOIN den
+    """,
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily total event value at lags
+    1..{ACF_MAX_LAG} — the seasonality/memory fingerprint read before
+    choosing a forecasting window (a weekly cycle shows as a lag-7
+    peak).  r_k = sum (x_t - mu)(x_t-k - mu) / sum (x_t - mu)^2 with
+    the global series mean mu.
+
+    Spark plan: ONE day-grain aggregate on the fact, then every window
+    (the {ACF_MAX_LAG} lag shifts share one ORDER BY day sort) runs on
+    the date-grain frame — bounded by the observation window (365
+    rows/year) at ANY corpus size, so the single-partition window is
+    metadata-scale forever, never data-sized.  The lag columns unpivot
+    via one stack() so the frame is scanned once; 6-dp rounding
+    absorbs the mu-propagation float noise (stat_moments precedent)."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum("value").alias("x")
+    )
+    w = Window.orderBy("day")
+    lag_cols = [F.lag("x", k).over(w).alias(f"xl{k}") for k in range(1, ACF_MAX_LAG + 1)]
+    wide = d.select("x", *lag_cols)
+    stack_args = ", ".join(f"{k}, xl{k}" for k in range(1, ACF_MAX_LAG + 1))
+    long = wide.select(
+        "x", F.expr(f"stack({ACF_MAX_LAG}, {stack_args}) AS (lag, xl)")
+    ).filter(F.col("xl").isNotNull())
+    m = d.agg(F.avg("x").alias("mu"))
+    den = d.crossJoin(F.broadcast(m)).agg(
+        F.sum((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))).alias("s2")
+    )
+    num = (
+        long.crossJoin(F.broadcast(m))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum((F.col("x") - F.col("mu")) * (F.col("xl") - F.col("mu"))).alias("nm"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        F.round(F.col("nm") / F.col("s2"), 6).alias("acf"),
+    )
