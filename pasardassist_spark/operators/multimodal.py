@@ -18,6 +18,7 @@ text-payload plumbing queries stay independently checkable.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -1240,3 +1241,90 @@ def tiff_page_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select(id_col).mapInPandas(_batches, schema)
+
+
+def attach_jpeg_exif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real JPEGs carrying a spec-faithful EXIF APP1 (operators/exif.py):
+    II/MM byte order rotates by id parity, GPS rationals use exact
+    integer pairs, and every 4th payload ALSO carries a decoy non-Exif
+    APP1 and a COM segment BEFORE the Exif one — the marker walk must
+    skip both (crawl JPEGs routinely lead with XMP APP1s).  All field
+    values are closed-form doc_id arithmetic so a SQL oracle re-derives
+    them without touching the container."""
+    from pasardassist_spark.operators import exif as EX
+    from pasardassist_spark.operators import jpegcodec
+    from pasardassist_spark.operators.imagecodec import Raster
+
+    schema = f"{id_col} long, payload binary"
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h = i % 8 + 4, (i * 3) % 8 + 4
+                v = np.full((h, w, 3), (2 * (i % 128)), dtype=np.uint8)
+                jpeg = jpegcodec.encode_jpeg(Raster(w, h, 3, v.tobytes()))
+                app1 = EX.encode_exif_app1(
+                    byte_order="II" if i % 2 == 0 else "MM",
+                    make=f"CamCo {i % 5}",
+                    model=f"DSLR-{i % 7}",
+                    orientation=i % 8 + 1,
+                    dt_original=(
+                        f"2021:{i % 12 + 1:02d}:{i % 28 + 1:02d} "
+                        f"{i % 24:02d}:{i * 7 % 60:02d}:{i * 13 % 60:02d}"
+                    ),
+                    lat_ref="N" if i % 2 == 0 else "S",
+                    lat_dms=((i % 90, 1), (i * 3 % 60, 1), (i * 77 % 60000, 1000)),
+                    lon_ref="W" if i % 3 == 0 else "E",
+                    lon_dms=((i % 180, 1), (i * 5 % 60, 1), (i * 131 % 60000, 1000)),
+                )
+                jpeg = EX.insert_app1(jpeg, app1)
+                if i % 4 == 0:
+                    # decoys spliced in FRONT of the Exif APP1
+                    decoy = b"XMP\x00 not exif"
+                    decoy_app1 = (
+                        b"\xff\xe1"
+                        + struct.pack(">H", len(decoy) + 2)
+                        + decoy
+                    )
+                    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+                    jpeg = EX.insert_app1(EX.insert_app1(jpeg, com), decoy_app1)
+                payloads.append(jpeg)
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(_batches, schema)
+
+
+def extract_exif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched EXIF extraction over (id, payload) rows — marker
+    headers only, O(header bytes) per image at any resolution."""
+    from pasardassist_spark.operators import exif as EX
+
+    schema = (
+        f"{id_col} long, byte_order string, make string, model string, "
+        "orientation int, dt_original string, lat_ref string, "
+        "lat_mas long, lon_ref string, lon_mas long"
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                id_col, "byte_order", "make", "model", "orientation",
+                "dt_original", "lat_ref", "lat_mas", "lon_ref", "lon_mas",
+            )}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                meta = EX.parse_exif(bytes(payload)) or {}
+                rows[id_col].append(doc_id)
+                rows["byte_order"].append(meta.get("byte_order"))
+                rows["make"].append(meta.get("make"))
+                rows["model"].append(meta.get("model"))
+                rows["orientation"].append(meta.get("orientation"))
+                rows["dt_original"].append(meta.get("dt_original"))
+                rows["lat_ref"].append(meta.get("lat_ref"))
+                rows["lat_mas"].append(meta.get("lat_mas"))
+                rows["lon_ref"].append(meta.get("lon_ref"))
+                rows["lon_mas"].append(meta.get("lon_mas"))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_batches, schema)

@@ -104,3 +104,43 @@ def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = write_avro(staged, tmp, codec="deflate").collect()
     assert sum(m.n_records for m in manifest) > 0
     return read_avro(spark, tmp, d.schema)
+
+
+@query(
+    "src_xml_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           text || ' <i lang="x''y">&tail ]]></i>' AS text,
+           lang, source, n_chars
+    FROM documents
+    """,
+)
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML connector, closed-loop on the documents table with the
+    hostile suffix INJECTED before export: every row's text gains
+    angle brackets, an ampersand-led entity-lookalike, a CDATA
+    terminator, and mixed quotes — the characters whose escaping is the
+    whole point of the format (sources/xmlio.py).  Write one shard per
+    partition, read back under the ORIGINAL explicit schema via
+    streaming iterparse, hash-compare against the same injection done
+    in SQL.  A lossy escape/unescape pair cannot survive the value
+    hash.  C0 control characters raise by name at the writer (XML 1.0
+    cannot carry them; documented seam)."""
+    from pyspark.sql import functions as F
+
+    from pasardassist_spark.sources.xmlio import read_xml, write_xml
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" <i lang=\"x'y\">&tail ]]></i>")
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    tmp = tempfile.mkdtemp(prefix="pasard_xml_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    manifest = write_xml(d.repartition(8, "doc_id"), tmp).collect()
+    assert sum(m.n_records for m in manifest) > 0
+    return read_xml(spark, tmp, d.schema)

@@ -1399,3 +1399,53 @@ def mm_midi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_batches, schema)
+
+
+@query(
+    "mm_exif_extract",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           'CamCo ' || CAST(doc_id % 5 AS VARCHAR) AS make,
+           'DSLR-' || CAST(doc_id % 7 AS VARCHAR) AS model,
+           CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+           '2021:' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+               || ':' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+               || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+               || ':' || lpad(CAST(doc_id * 7 % 60 AS VARCHAR), 2, '0')
+               || ':' || lpad(CAST(doc_id * 13 % 60 AS VARCHAR), 2, '0')
+               AS dt_original,
+           CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END AS lat_ref,
+           CAST((doc_id % 90) * 3600000 + (doc_id * 3 % 60) * 60000
+                + doc_id * 77 % 60000 AS BIGINT) AS lat_mas,
+           CASE WHEN doc_id % 3 = 0 THEN 'W' ELSE 'E' END AS lon_ref,
+           CAST((doc_id % 180) * 3600000 + (doc_id * 5 % 60) * 60000
+                + doc_id * 131 % 60000 AS BIGINT) AS lon_mas
+    FROM documents
+    """,
+)
+def mm_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction from real JPEG containers WITHOUT pixel
+    decode: every document gets a genuine JFIF payload (this repo's own
+    encoder) carrying a spec-faithful Exif APP1 — TIFF header with II/MM
+    byte order rotating by id parity, IFD0 (make/model/orientation),
+    Exif sub-IFD (DateTimeOriginal), GPS sub-IFD with exact-integer
+    RATIONAL coordinate triplets returned as milliarcseconds; every 4th
+    payload also leads with a decoy non-Exif APP1 + COM segment the
+    marker walk must skip (operators/exif.py).  This is the geo/time/
+    device readout a 100 TB image crawl runs on every asset at O(header
+    bytes) per image — entropy data is never touched, so cost is
+    independent of resolution.
+
+    Spark plan: two chained Arrow mapInPandas passes (fixture attach,
+    then extract), no shuffle at all — embarrassingly parallel, scales
+    with input splits.  The oracle re-derives all ten columns from
+    doc_id arithmetic, certifying both byte orders, sub-IFD pointer
+    walks, rational exactness, and decoy skipping in one hash."""
+    from pasardassist_spark.operators.multimodal import (
+        attach_jpeg_exif_payload,
+        extract_exif,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return extract_exif(attach_jpeg_exif_payload(d))
