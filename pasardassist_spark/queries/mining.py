@@ -848,3 +848,57 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("node"),
         F.col("core_degree").cast("long").alias("core_degree"),
     ).orderBy("node")
+
+
+# -------------------------------------------- IRLS logistic regression
+
+ML_LOGREG_POS = "purchase"
+
+
+@query("ml_logreg_irls")  # iterative Newton solve: no closed SQL form
+def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression (operators/glm.py): predict
+    "event is a {ML_LOGREG_POS}" from the event value, the hour of day,
+    and the user's log event count — the propensity-model shape every
+    marketplace runs.  Each IRLS iteration is ONE partial-merging hash
+    aggregate computing X^T(y-p) and X^T diag(p(1-p)) X JVM-side; the
+    driver solves the 4x4 system and folds the new coefficients back as
+    literals (the MLlib treeAggregate split).  The feature frame is
+    persisted once, so the whole fit is IRLS_ITERS cached scans — no
+    shuffle of data rows at any scale.
+
+    Rows-only by design (fixed-point iteration has no SQL form); the
+    distributed path is pinned against a sequential numpy IRLS twin on
+    identical rows to 1e-8 in tests/test_glm.py."""
+    from pasardassist_spark.operators.glm import irls_logistic
+
+    ev = load(spark, sf_dir, "events")
+    ucnt = ev.groupBy("user_id").agg(
+        F.log1p(F.count(F.lit(1))).alias("x_log_events")
+    )
+    feats = (
+        ev.join(ucnt, "user_id")
+        .select(
+            F.col("value").alias("x_value"),
+            (F.hour("ts") / 23.0).alias("x_hour"),
+            "x_log_events",
+            (F.col("event_type") == ML_LOGREG_POS).cast("double").alias("y"),
+        )
+        .persist()
+    )
+    try:
+        beta, se, n = irls_logistic(
+            feats, ["x_value", "x_hour", "x_log_events"], "y"
+        )
+    finally:
+        feats.unpersist()
+    names = ["intercept", "x_value", "x_hour", "x_log_events"]
+    rows = [
+        (name, float(round(b, 6)), float(round(s, 6)),
+         float(round(b / s, 4)), int(n))
+        for name, b, s in zip(names, beta, se)
+    ]
+    return spark.createDataFrame(
+        rows, "feature string, beta double, std_err double, "
+              "z double, n_rows long"
+    )
