@@ -249,6 +249,21 @@ EXTRA_NAMES = [
     "curate_budget_select",
     "text_dedup_lines",
     "dedup_cdc_chunks",
+    "surv_kaplan_meier",
+    "surv_logrank_test",
+    "stat_gini_lorenz",
+    "stat_kruskal_wallis",
+    "stat_fdr_bh",
+    "ml_auc_roc",
+    "ts_acf",
+    "lake_zorder_layout",
+    "lake_skipping_effectiveness",
+    "mm_exif_extract",
+    "mm_id3_tags",
+    "text_fix_mojibake",
+    "graph_khop_reach",
+    "ml_logreg_irls",
+    "src_xml_roundtrip",
 ]
 
 

@@ -902,3 +902,102 @@ def ml_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "feature string, beta double, std_err double, "
               "z double, n_rows long"
     )
+
+
+# ------------------------------------------------ k-hop BFS reachability
+
+KHOP_HOPS = 3
+KHOP_SEED_MOD = 97  # customers with custkey % 97 == 0 seed the BFS
+
+
+def _khop_oracle() -> str:
+    """Unrolled BFS CTE chain sharing KHOP_* constants with the plan."""
+    parts = [
+        """base AS (
+        SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT src, dst FROM base
+        UNION ALL
+        SELECT dst, src FROM base
+    ),
+    v0 AS (
+        SELECT DISTINCT src AS node FROM edges
+        WHERE src LIKE 'c%'
+          AND CAST(substr(src, 2) AS BIGINT) % {m} = 0
+    )""".replace("{m}", str(KHOP_SEED_MOD))
+    ]
+    prev_v, selects = "v0", ["SELECT 0 AS hop, COUNT(*) AS n_new FROM v0"]
+    for h in range(1, KHOP_HOPS + 1):
+        parts.append(
+            f"""f{h} AS (
+        SELECT DISTINCT e.dst AS node
+        FROM edges e JOIN {prev_v} v ON v.node = e.src
+        WHERE e.dst NOT IN (SELECT node FROM {prev_v})
+    ),
+    v{h} AS (
+        SELECT node FROM {prev_v} UNION SELECT node FROM f{h}
+    )"""
+        )
+        selects.append(f"SELECT {h}, COUNT(*) FROM f{h}")
+        prev_v = f"v{h}"
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + "\n    SELECT CAST(hop AS INTEGER) AS hop,"
+        + " CAST(n_new AS BIGINT) AS n_new FROM ("
+        + " UNION ALL ".join(selects) + ") AS hops"
+    )
+
+
+@query("graph_khop_reach", oracle=_khop_oracle())
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop BFS reach over the bipartite customer<->supplier trade
+    graph (same edge definition as graph_pagerank): seeds are the
+    1/{KHOP_SEED_MOD} customer sample, and each hop reports how many
+    NEW nodes become reachable — the blast-radius readout fraud and
+    supply-chain analyses run from a suspect seed set.
+
+    Iterative-graph shape at scale: BFS as joins — each hop is ONE
+    equi-join of the current frontier against the edge table plus a
+    distinct and an anti-join against the visited set, all hash-keyed
+    on the node id (the frontier never exceeds the node set, and the
+    edge table's partitioning is reused every hop).  {KHOP_HOPS} fixed
+    hops keep the lineage shallow; the oracle unrolls the identical
+    rounds from shared constants.  Exact integer counts end to end."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).repartition("src").localCheckpoint(eager=True)
+    visited = (
+        edges.select(F.col("src").alias("node"))
+        .filter(
+            F.col("node").startswith("c")
+            & (F.expr("CAST(substr(node, 2) AS BIGINT)") % KHOP_SEED_MOD == 0)
+        )
+        .distinct()
+    )
+    counts = [(0, visited.count())]
+    frontier = visited
+    for h in range(1, KHOP_HOPS + 1):
+        frontier = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        counts.append((h, frontier.count()))
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    return spark.createDataFrame(counts, "hop int, n_new long")

@@ -1449,3 +1449,211 @@ def mm_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     return extract_exif(attach_jpeg_exif_payload(d))
+
+
+@query(
+    "mm_id3_tags",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INTEGER)
+               AS version,
+           'Track ' || CAST(doc_id % 100 AS VARCHAR) AS title,
+           'Artist ' || CAST(doc_id % 13 AS VARCHAR) AS artist,
+           'Album ' || CAST(doc_id % 7 AS VARCHAR) AS album,
+           CAST(1970 + doc_id % 50 AS INTEGER) AS year,
+           CAST(doc_id % 20 + 1 AS VARCHAR) || '/12' AS track
+    FROM documents
+    """,
+)
+def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 tag extraction from MP3-shaped payloads WITHOUT touching
+    audio (operators/id3.py — the audio sibling of mm_exif_extract):
+    fixtures rotate ID3v2.3 (plain big-endian frame sizes, UTF-16-BOM
+    text — the Windows default) against ID3v2.4 (SYNCSAFE frame sizes,
+    UTF-8 text) by id parity, the classic cross-version parser trap;
+    the tag fronts a fake MPEG frame-sync body the parser must never
+    materialize.  Year comes from TYER on v2.3 and TDRC on v2.4, per
+    spec.  Extraction is O(tag bytes) however long the audio runs —
+    the metadata-indexing shape a 100 TB media crawl needs.
+
+    Spark plan: two chained Arrow map passes, no shuffle.  The oracle
+    re-derives all columns from doc_id arithmetic, so one hash
+    certifies both size disciplines and all three text encodings."""
+    from pasardassist_spark.operators import id3 as ID3
+
+    schema = (
+        "doc_id long, version int, title string, artist string, "
+        "album string, year int, track string"
+    )
+
+    def _build_and_parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "version", "title", "artist", "album",
+                "year", "track",
+            )}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                version = 3 if i % 2 == 0 else 4
+                encoding = 0x01 if version == 3 else 0x03
+                frames = {
+                    "TIT2": f"Track {i % 100}",
+                    "TPE1": f"Artist {i % 13}",
+                    "TALB": f"Album {i % 7}",
+                    ("TYER" if version == 3 else "TDRC"):
+                        str(1970 + i % 50),
+                    "TRCK": f"{i % 20 + 1}/12",
+                }
+                tag = ID3.encode_id3v2(
+                    version=version, encoding=encoding, frames=frames
+                )
+                payload = tag + b"\xff\xfb\x90\x00" + bytes(64)  # fake MPEG
+                meta = ID3.parse_id3(payload)
+                rows["doc_id"].append(doc_id)
+                rows["version"].append(meta["version"])
+                rows["title"].append(meta.get("TIT2"))
+                rows["artist"].append(meta.get("TPE1"))
+                rows["album"].append(meta.get("TALB"))
+                year = meta.get("TYER") or meta.get("TDRC")
+                rows["year"].append(int(year) if year else None)
+                rows["track"].append(meta.get("TRCK"))
+            yield pd.DataFrame(rows)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_build_and_parse, schema)
+
+
+# ----------------------------------------- streaming image gate driver row
+
+def _imagegate_oracle() -> str:
+    """Closed-form admission for the dHash gate replay: the fixture
+    encodes each image's 64-bit dHash as one 16-bit key replicated
+    across all four LSH bands, so two images are within the gate's
+    Hamming radius (<= 3) IFF their keys are EQUAL (distinct keys
+    differ in >= 4 bits by the 4x replication) — admission collapses
+    to first-wins per key in replay order (epoch asc, id asc), which
+    IS expressible in SQL."""
+    return """
+    WITH d AS (SELECT doc_id FROM documents),
+    k AS (
+        SELECT d.doc_id,
+               CAST((CASE WHEN d.doc_id % 5 = 2 AND p.doc_id IS NOT NULL
+                          THEN d.doc_id - 1 ELSE d.doc_id END) % 65536
+                    AS INTEGER) AS key16,
+               d.doc_id % 4 AS epoch
+        FROM d LEFT JOIN d p ON p.doc_id = d.doc_id - 1
+    ),
+    r AS (
+        SELECT doc_id, key16,
+               row_number() OVER (PARTITION BY key16
+                                  ORDER BY epoch, doc_id) AS rn
+        FROM k
+    )
+    SELECT doc_id, key16 FROM r WHERE rn = 1
+    """
+
+
+@query("streaming_imagegate_readout", oracle=_imagegate_oracle())
+def streaming_imagegate_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming perceptual image-dedup gate (streaming/imagegate.py)
+    driven end-to-end as a batch twin — the streaming_docgate_readout
+    pattern for the image side, giving the composite a driver row with
+    a closed-form oracle.
+
+    Every document becomes a REAL 9x8 image whose luminance gradients
+    encode a chosen 64-bit dHash EXACTLY (dhash bit(y,x) compares
+    adjacent downsample cells; at 9x8 the downsample is the identity,
+    so the fixture walks each row +-1 in gray to write each bit).  The
+    encoded hash replicates one 16-bit key across all four LSH bands:
+    distinct keys differ in >= 4 bits — STRICTLY outside the gate's
+    Hamming radius (MAX_DIST=3) — while doc_id%5==2 rows re-encode the
+    PREVIOUS document's raster in a DIFFERENT codec (PPM/BMP/PNG rotate
+    by id), landing at distance 0 through a different container.  The
+    corpus replays through apply_image_batch in 4 epochs (doc_id%4):
+    decode -> dHash -> band join against the generational index ->
+    epoch-keyed CAS admission, exactly as the streaming foreachBatch
+    runs it.  The oracle reduces admission to first-wins per key in
+    replay order — exact by the >= 4-bit separation argument, so the
+    hash certifies the real codecs, the dHash pipeline, band
+    decomposition, cross-epoch index persistence, AND cross-codec
+    perceptual equality in one row.  Near-radius (1..3-bit) semantics
+    have no closed SQL form and stay equivalence-pinned in
+    tests/test_imagegate.py.  Sequential-composite caveat: 4
+    driver-side epochs, each a distributed plan — foreachBatch cadence,
+    not a row loop."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pasardassist_spark.operators import imagecodec
+    from pasardassist_spark.operators.imagecodec import Raster
+    from pasardassist_spark.streaming.imagegate import (
+        admitted_images,
+        apply_image_batch,
+    )
+
+    def _raster_for_key(key16: int) -> Raster:
+        bits = key16 * 0x0001_0001_0001_0001
+        px = bytearray()
+        for y in range(8):
+            g = 128
+            row = [g]
+            for x in range(8):
+                g += 1 if (bits >> (y * 8 + x)) & 1 else -1
+                row.append(g)
+            for v in row:
+                px += bytes((v, v, v))
+        return Raster(9, 8, 3, bytes(px))
+
+    def _synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, has_prev in zip(pdf["doc_id"], pdf["has_prev"]):
+                i = int(doc_id)
+                key = (i - 1 if i % 5 == 2 and has_prev else i) % 65536
+                r = _raster_for_key(key)
+                k = i % 3
+                if k == 0:
+                    payload = imagecodec.encode_ppm(r)
+                elif k == 1:
+                    payload = imagecodec.encode_bmp(r)
+                else:
+                    payload = imagecodec.encode_png(r)
+                ids.append(i)
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    # prev-EXISTS via self-join (the oracle's rule — no contiguity
+    # assumption on doc_id)
+    prev = d.select((F.col("doc_id") + 1).alias("doc_id"),
+                    F.lit(True).alias("has_prev"))
+    joined = d.join(prev, "doc_id", "left").na.fill({"has_prev": False})
+    payloads = joined.mapInPandas(
+        _synth, "doc_id long, payload binary"
+    ).localCheckpoint()
+
+    state_dir = tempfile.mkdtemp(prefix="imggate_state_")
+    admitted_dir = tempfile.mkdtemp(prefix="imggate_admitted_")
+    try:
+        for e in range(4):
+            apply_image_batch(
+                payloads.filter(F.col("doc_id") % 4 == e),
+                e, state_dir, admitted_dir,
+            )
+        adm = admitted_images(spark, admitted_dir).join(
+            joined.select("doc_id", "has_prev"), "doc_id"
+        )
+        return adm.select(
+            "doc_id",
+            (
+                F.when(
+                    (F.col("doc_id") % 5 == 2) & F.col("has_prev"),
+                    F.col("doc_id") - 1,
+                ).otherwise(F.col("doc_id")) % 65536
+            ).cast("int").alias("key16"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.rmtree(admitted_dir, ignore_errors=True)

@@ -1787,3 +1787,55 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RAKE_TOP_K)
         .select("phrase", "n_occ", "score")
     )
+
+
+# ------------------------------------------------------- mojibake repair
+
+# Multi-byte probe covering 2-byte (latin accents), 3-byte (CJK), and a
+# combining sequence; built from escapes so the source file stays ASCII.
+MOJIBAKE_PROBE = " café naïve 日本語 ü"
+
+
+@query(
+    "text_fix_mojibake",
+    oracle=f"""
+    SELECT doc_id,
+           text || '{MOJIBAKE_PROBE}' AS text,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2
+                ELSE 0 END AS INTEGER) AS n_fixes
+    FROM documents
+    """,
+)
+def text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair closed-loop (operators/mojibake.py — the ftfy
+    fix every crawl pipeline runs first): each document gains a
+    multi-byte probe suffix, then a third of the corpus is corrupted
+    one generation (UTF-8 bytes read as latin-1: 'café' ->
+    'cafÃ©'), a third two generations (double mojibake), a
+    third left clean.  The repair loop must undo EXACTLY the applied
+    generations and leave clean rows untouched — the oracle is simply
+    the uncorrupted text, so any over- or under-repair breaks the hash.
+
+    Spark plan: corruption and repair are two chained Arrow map passes,
+    row-local, no shuffle — embarrassingly parallel at any scale.  The
+    clean-text safety argument (ASCII fixed point; real latin-1 text's
+    bytes are not valid UTF-8) is in the operator docstring and pinned
+    by tests/test_mojibake.py."""
+    from pasardassist_spark.operators.mojibake import fix_mojibake
+
+    def _corrupt(it):
+        import pandas as pd
+
+        for pdf in it:
+            out_text = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = text + MOJIBAKE_PROBE
+                gens = (1, 2, 0)[int(doc_id) % 3]
+                for _ in range(gens):
+                    s = s.encode("utf-8").decode("latin-1")
+                out_text.append(s)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "text": out_text})
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corrupted = d.mapInPandas(_corrupt, "doc_id long, text string")
+    return fix_mojibake(corrupted)
