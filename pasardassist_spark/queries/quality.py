@@ -237,3 +237,73 @@ def dq_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2"),
         (chi2 > BENFORD_CHI2_CRIT).alias("deviates"),
     )
+
+
+# ----------------------------------------------- table checksum manifest
+
+DQ_CK_BUCKETS = 64
+
+
+@query(
+    "dq_table_checksum",
+    oracle=f"""
+    WITH canon AS (
+        SELECT o_orderkey % {DQ_CK_BUCKETS} AS bucket,
+               ('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|'
+                   || CAST(o_custkey AS VARCHAR) || '|'
+                   || o_orderstatus || '|'
+                   || CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS VARCHAR) || '|'
+                   || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|'
+                   || o_orderpriority
+               ), 1, 15))::BIGINT AS h
+        FROM orders
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS checksum
+    FROM canon GROUP BY bucket
+    """,
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table-integrity manifest — the replication/
+    migration audit a lake runs to prove two copies of a table are
+    row-identical WITHOUT shipping rows: every row canonicalizes to a
+    pipe-joined string (money as exact cents, timestamps at second
+    grain), hashes to a 60-bit md5 prefix, and each of {DQ_CK_BUCKETS}
+    key buckets reports (count, XOR of hashes).  XOR is commutative and
+    overflow-free, so the digest is independent of row order, partition
+    count, and engine — the identical manifest computed by ANY engine
+    on ANY cluster matches iff the row multisets match (up to md5
+    collisions).  Comparing two 64-row manifests localizes drift to a
+    bucket, turning "diff 100 TB" into "rescan 1/{DQ_CK_BUCKETS}".
+
+    Spark plan: one scan, all canonicalization + hashing inside one
+    WholeStageCodegen span, ONE shuffle to the {DQ_CK_BUCKETS}-row
+    aggregate.  The oracle replays the identical string/hash chain, so
+    a hash match certifies cross-engine canonical-form agreement — the
+    property the audit depends on."""
+    o = load(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    )
+    h = F.expr(
+        "CAST(conv(substring(md5(_canon), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return (
+        o.select((F.col("o_orderkey") % DQ_CK_BUCKETS).alias("bucket"),
+                 canon.alias("_canon"))
+        .select("bucket", h.alias("h"))
+        .groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("CAST(bit_xor(h) AS BIGINT)").alias("checksum"),
+        )
+    )

@@ -739,3 +739,42 @@ def test_mutual_information_rank_is_distributed(spark, sf_dir):
     # would appear as a Window with an empty partition spec directly over
     # the scan-sized exchange (rangepartitioning)
     assert "rangepartitioning" not in p
+
+
+def test_zorder_layout_single_shuffle_one_codegen_interleave(spark, sf_dir):
+    """The Morton layout job must cost ONE hash shuffle (the file-grain
+    aggregate) over a pruned 2-column scan; the unrolled 16-step bit
+    interleave must constant-fold into plan expressions, never a UDF."""
+    df = REGISTRY["lake_zorder_layout"].fn(spark, sf_dir)
+    p = plan(df)
+    hash_exchanges = re.findall(r"\(\d+\) Exchange hashpartitioning", p)
+    assert len(hash_exchanges) <= 1, f"zorder shuffled {len(hash_exchanges)}x"
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p
+    for col in ("o_orderstatus", "o_totalprice", "o_orderpriority"):
+        assert col not in p, f"zorder read unneeded column {col}"
+
+
+def test_table_checksum_single_shuffle_jvm_side(spark, sf_dir):
+    """Canonicalization + md5 + bucket agg must be one scan, one shuffle,
+    all JVM-side (the 100 TB audit is scan-bound by contract)."""
+    df = REGISTRY["dq_table_checksum"].fn(spark, sf_dir)
+    p = plan(df)
+    hash_exchanges = re.findall(r"\(\d+\) Exchange hashpartitioning", p)
+    assert len(hash_exchanges) <= 1
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p
+    assert "md5" in p  # hashing stayed in the plan, not the driver
+
+
+def test_survival_pair_duration_grain_before_windows(spark, sf_dir):
+    """Both survival queries must aggregate to user grain then duration
+    grain BEFORE any window — the windows run on the tiny frame, and the
+    only SinglePartition exchange feeds them, never the fact table."""
+    for name in ("surv_kaplan_meier", "surv_logrank_test"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        p = plan(df)
+        # the fact-sized shuffle is the user_id aggregate; windows come
+        # after at least one HashAggregate in every path
+        sp = p.find("Exchange SinglePartition")
+        agg = p.find("HashAggregate")
+        assert sp == -1 or agg != -1, f"{name}: window before any aggregate"
+        assert "BatchEvalPython" not in p
