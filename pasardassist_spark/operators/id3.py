@@ -78,6 +78,8 @@ def parse_id3(payload: bytes) -> dict | None:
     audio stream after the tag are never materialized."""
     if payload[:3] != b"ID3":
         return None
+    if len(payload) < 10:
+        raise ValueError("truncated ID3 header")
     version = payload[3]
     if version not in (3, 4):
         raise ValueError(f"unsupported ID3v2.{version} tag")
