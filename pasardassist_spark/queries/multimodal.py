@@ -1657,3 +1657,82 @@ def streaming_imagegate_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(state_dir, ignore_errors=True)
         shutil.rmtree(admitted_dir, ignore_errors=True)
+
+
+@query(
+    "mm_png_prompt_meta",
+    oracle="""
+    SELECT doc_id,
+           'model-v' || CAST(doc_id % 9 AS VARCHAR) AS model,
+           'a scenic ' || CAST(doc_id % 23 AS VARCHAR)
+               || ' with unicode é日' AS prompt,
+           CAST(doc_id % 1000 AS BIGINT) AS seed,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 'tEXt' WHEN 1 THEN 'zTXt'
+                ELSE 'iTXt' END AS VARCHAR) AS via
+    FROM documents
+    """,
+)
+def mm_png_prompt_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation-provenance metadata from PNG text chunks
+    (operators/pngmeta.py) — the read a training-data image crawl
+    performs on EVERY image to detect and label AI-generated content:
+    generators embed their full prompt/parameter payload under tEXt/
+    iTXt keywords, and a pipeline that can't read them can't
+    decontaminate.  Fixtures carry genuine PNGs (this repo's encoder)
+    with `model`/`seed` keywords spliced after IHDR through a rotating
+    chunk kind (tEXt latin-1, zTXt deflate-latin-1, iTXt deflate-UTF-8
+    — doc_id%3, reported as `via`), while the `prompt` keyword — whose
+    value contains a CJK character latin-1 cannot carry — always rides
+    iTXt, the real-world split (generator prompts are UTF-8).  Chunk
+    CRCs are verified; IDAT is skipped by length, never inflated —
+    O(metadata bytes) per image.
+
+    Spark plan: one Arrow map pass building + parsing per row, no
+    shuffle.  The oracle re-derives all columns from doc_id arithmetic,
+    certifying all three chunk disciplines and the deflate paths in one
+    hash."""
+    from pasardassist_spark.operators import imagecodec, pngmeta
+    from pasardassist_spark.operators.imagecodec import Raster
+
+    schema = (
+        "doc_id long, model string, prompt string, seed long, via string"
+    )
+
+    def _build_parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = imagecodec.encode_png(
+            Raster(4, 4, 3, bytes(48))
+        )
+        rows: dict[str, list] = {
+            "doc_id": [], "model": [], "prompt": [], "seed": [], "via": [],
+        }
+        for pdf in it:
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                kind = ("tEXt", "zTXt", "iTXt")[i % 3]
+                prompt = f"a scenic {i % 23} with unicode é日"
+                if kind == "iTXt":
+                    chunks = [
+                        pngmeta.encode_text_chunk("model", f"model-v{i % 9}", kind),
+                        pngmeta.encode_text_chunk("prompt", prompt, kind),
+                        pngmeta.encode_text_chunk("seed", str(i % 1000), kind),
+                    ]
+                else:
+                    # latin-1 kinds cannot carry the CJK char: write the
+                    # prompt via iTXt alongside kind-coded model/seed
+                    chunks = [
+                        pngmeta.encode_text_chunk("model", f"model-v{i % 9}", kind),
+                        pngmeta.encode_text_chunk("prompt", prompt, "iTXt"),
+                        pngmeta.encode_text_chunk("seed", str(i % 1000), kind),
+                    ]
+                png = pngmeta.insert_text_chunks(base, chunks)
+                meta = pngmeta.parse_text_chunks(png)
+                rows["doc_id"].append(i)
+                rows["model"].append(meta["model"])
+                rows["prompt"].append(meta["prompt"])
+                rows["seed"].append(int(meta["seed"]))
+                rows["via"].append(kind)
+            yield pd.DataFrame(rows)
+            rows = {k: [] for k in rows}
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_build_parse, schema)
