@@ -264,6 +264,10 @@ EXTRA_NAMES = [
     "graph_khop_reach",
     "ml_logreg_irls",
     "src_xml_roundtrip",
+    "dq_table_checksum",
+    "mm_png_prompt_meta",
+    "stat_cohens_kappa",
+    "ts_holt_winters",
 ]
 
 

@@ -1469,3 +1469,79 @@ def stat_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n", "z", "p_raw", "p_adj",
         (F.col("p_adj") <= FDR_Q).alias("rejected"),
     )
+
+
+# ------------------------------------------------- Cohen's kappa agreement
+
+KAPPA_POS_TYPE = "purchase"
+
+
+@query(
+    "stat_cohens_kappa",
+    oracle=f"""
+    WITH m AS (SELECT avg(value) AS mu FROM events),
+    lab AS (
+        SELECT CASE WHEN value >= mu THEN 1 ELSE 0 END AS a,
+               CASE WHEN event_type = '{KAPPA_POS_TYPE}' THEN 1 ELSE 0 END
+                   AS b
+        FROM events CROSS JOIN m
+    ),
+    c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a * b) AS BIGINT) AS n11,
+               CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00,
+               CAST(SUM(a) AS BIGINT) AS na,
+               CAST(SUM(b) AS BIGINT) AS nb
+        FROM lab
+    )
+    SELECT n, n11, n00,
+           round(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
+           round((CAST(na AS DOUBLE) * nb + CAST(n - na AS DOUBLE)
+                  * (n - nb)) / (CAST(n AS DOUBLE) * n), 6) AS pe,
+           round((CAST(n11 + n00 AS DOUBLE) / n
+                  - (CAST(na AS DOUBLE) * nb + CAST(n - na AS DOUBLE)
+                     * (n - nb)) / (CAST(n AS DOUBLE) * n))
+                 / (1.0 - (CAST(na AS DOUBLE) * nb
+                           + CAST(n - na AS DOUBLE) * (n - nb))
+                          / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+    FROM c
+    """,
+)
+def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two binary labelings of the same events —
+    "value above the global mean" vs "event is a {KAPPA_POS_TYPE}" —
+    the chance-corrected agreement metric used to validate one cheap
+    labeler against another before trusting either at scale (the
+    weak-supervision QA step).  kappa = (po - pe)/(1 - pe) with po the
+    observed agreement and pe the marginal-product chance agreement.
+
+    Spark plan: a 1-row mean broadcast, then ONE hash aggregate
+    computing all contingency cells as integer sums — counts stay
+    BIGINT to the 1-row edge, so only the final three divisions are
+    float (6-dp rounded).  Scan-bound at any scale."""
+    ev = load(spark, sf_dir, "events")
+    m = ev.agg(F.avg("value").alias("mu"))
+    lab = ev.crossJoin(F.broadcast(m)).select(
+        F.when(F.col("value") >= F.col("mu"), 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == KAPPA_POS_TYPE, 1)
+        .otherwise(0).alias("b"),
+    )
+    c = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+        F.sum("a").cast("long").alias("na"),
+        F.sum("b").cast("long").alias("nb"),
+    )
+    n_d = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pe = (
+        F.col("na").cast("double") * F.col("nb")
+        + (F.col("n") - F.col("na")).cast("double") * (F.col("n") - F.col("nb"))
+    ) / (n_d * F.col("n"))
+    return c.select(
+        "n", "n11", "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )

@@ -704,3 +704,50 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.round(F.col("nm") / F.col("s2"), 6).alias("acf"),
     )
+
+
+# -------------------------------------------- Holt-Winters forecasting
+
+@query("ts_holt_winters")  # carried seasonal state: no closed SQL form
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters forecast of the next 7 days of total event
+    value (operators/forecast.py; alpha/beta/gamma = 0.3/0.1/0.2,
+    season 7) — the capacity-planning readout next to ts_acf's
+    diagnosis and ts_seasonal_decompose's explanation.
+
+    Scale shape: the only data-sized operation is the scan-fused daily
+    aggregate; the recurrence runs as ONE applyInPandas task over the
+    calendar-bounded day frame (365 rows/year forever — the
+    ts_seasonal_decompose note).  Rows-only by design (the seasonal
+    recurrence has no SQL form); the recurrence is pinned against a
+    sequential reference on identical series and a constructed
+    seasonal signal in tests/test_forecast.py."""
+    import pandas as pd
+
+    from pasardassist_spark.operators.forecast import (
+        HW_HORIZON,
+        holt_winters_additive,
+    )
+
+    d = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum("value").alias("x"))
+    )
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        fc, sse = holt_winters_additive(pdf["x"].to_numpy())
+        return pd.DataFrame(
+            {
+                "h": range(1, HW_HORIZON + 1),
+                "forecast": [round(float(v), 6) for v in fc],
+                "sse_insample": [round(float(sse), 6)] * HW_HORIZON,
+            }
+        )
+
+    return (
+        d.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(_fit, "h int, forecast double, sse_insample double")
+    )
