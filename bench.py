@@ -268,6 +268,8 @@ EXTRA_NAMES = [
     "mm_png_prompt_meta",
     "stat_cohens_kappa",
     "ts_holt_winters",
+    "stat_tost_equivalence",
+    "mm_wav_info_tags",
 ]
 
 

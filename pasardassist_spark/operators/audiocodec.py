@@ -492,3 +492,61 @@ def encode_wav_ima_adpcm_pcm(
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(body_riff)) + body_riff
+
+
+# ------------------------------------------------- RIFF LIST/INFO metadata
+
+# Standard INFO sub-chunk ids (public RIFF/multimedia spec):
+# INAM title, IART artist, ICRD creation date, ICMT comment, ISFT software
+INFO_IDS = ("INAM", "IART", "ICRD", "ICMT", "ISFT")
+
+
+def encode_wav_info(info: dict[str, str]) -> bytes:
+    """A serialized LIST/INFO chunk (latin-1 ZSTR values, word-aligned
+    sub-chunks — the RIFF discipline decode_wav's walk already obeys)."""
+    body = b"INFO"
+    for cid, value in info.items():
+        if len(cid) != 4:
+            raise ValueError(f"RIFF chunk id must be 4 chars: {cid!r}")
+        z = value.encode("latin-1") + b"\x00"
+        body += cid.encode("ascii") + struct.pack("<I", len(z)) + z
+        if len(z) & 1:
+            body += b"\x00"  # pad byte, excluded from declared size
+    return b"LIST" + struct.pack("<I", len(body)) + body
+
+
+def insert_wav_chunk(wav: bytes, chunk: bytes) -> bytes:
+    """Splice a serialized chunk right after the WAVE form type (before
+    fmt — legal per RIFF; parsers must walk, not assume offsets)."""
+    if not sniff_wav(wav):
+        raise ValueError("not a RIFF/WAVE payload")
+    out = wav[:12] + chunk + wav[12:]
+    return out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
+
+
+def parse_wav_info(payload: bytes) -> dict[str, str]:
+    """All LIST/INFO keyword→value pairs; the data chunk is skipped by
+    declared size, never decoded — O(metadata bytes) per file."""
+    if not sniff_wav(payload):
+        raise ValueError("not a RIFF/WAVE payload")
+    out: dict[str, str] = {}
+    pos = 12
+    ln = len(payload)
+    while pos + 8 <= ln:
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + csize]
+        if len(body) != csize:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"LIST" and body[:4] == b"INFO":
+            sub = 4
+            while sub + 8 <= len(body):
+                sid, ssize = struct.unpack_from("<4sI", body, sub)
+                sval = body[sub + 8 : sub + 8 + ssize]
+                if len(sval) != ssize:
+                    raise ValueError("truncated INFO sub-chunk")
+                out[sid.decode("ascii", "replace")] = (
+                    sval.split(b"\x00", 1)[0].decode("latin-1")
+                )
+                sub += 8 + ssize + (ssize & 1)
+        pos += 8 + csize + (csize & 1)
+    return out

@@ -1545,3 +1545,95 @@ def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
     )
+
+
+# ------------------------------------------ TOST equivalence (non-inferiority)
+
+_TOST_Z_CRIT = 1.644854  # one-sided 5%
+TOST_MARGIN_SD = 0.25  # equivalence margin: 0.25 reference-sample sd
+
+
+@query(
+    "stat_tost_equivalence",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               avg(value) AS m,
+               var_samp(value) AS v
+        FROM events
+        WHERE event_type IN ('{MW_SAMPLE_A}', '{MW_SAMPLE_B}')
+        GROUP BY event_type
+    ),
+    w AS (
+        SELECT
+            MAX(CASE WHEN event_type = '{MW_SAMPLE_A}' THEN n END) AS n_a,
+            MAX(CASE WHEN event_type = '{MW_SAMPLE_A}' THEN m END) AS m_a,
+            MAX(CASE WHEN event_type = '{MW_SAMPLE_A}' THEN v END) AS v_a,
+            MAX(CASE WHEN event_type = '{MW_SAMPLE_B}' THEN n END) AS n_b,
+            MAX(CASE WHEN event_type = '{MW_SAMPLE_B}' THEN m END) AS m_b,
+            MAX(CASE WHEN event_type = '{MW_SAMPLE_B}' THEN v END) AS v_b
+        FROM g
+    ),
+    s AS (
+        SELECT n_a, n_b, m_a - m_b AS diff,
+               sqrt(v_a / n_a + v_b / n_b) AS se,
+               {TOST_MARGIN_SD} * sqrt(v_b) AS margin
+        FROM w
+    )
+    SELECT n_a, n_b,
+           round(diff, 6) AS mean_diff,
+           round(margin, 6) AS margin,
+           round((diff + margin) / se, 6) AS t_lower,
+           round((diff - margin) / se, 6) AS t_upper,
+           round((diff + margin) / se, 6) > {_TOST_Z_CRIT}
+               AND round((diff - margin) / se, 6) < -{_TOST_Z_CRIT}
+               AS equivalent
+    FROM s
+    """,
+)
+def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test on the stat_welch_ttest samples: is the
+    mean '{MW_SAMPLE_A}' value PROVABLY WITHIN +-{TOST_MARGIN_SD} sd of
+    the '{MW_SAMPLE_B}' mean?  The inverse question to the t-test —
+    failing to reject H0 never demonstrates equivalence; TOST's two
+    one-sided tests against the margin do.  This is the readout that
+    certifies "the refactored pipeline's metric is unchanged" or "the
+    cheaper model is non-inferior", which no significance test answers.
+
+    Spark plan: identical to stat_welch_ttest — ONE partial-merging
+    hash aggregate over the filtered fact, closed-form arithmetic on
+    the 2-row frame; scan-bound at any scale.  The `equivalent` verdict
+    compares the 6-dp-ROUNDED statistics on both engines so the
+    boolean can never straddle a libm ULP."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(MW_SAMPLE_A, MW_SAMPLE_B)
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    is_a = F.col("event_type") == MW_SAMPLE_A
+    w = g.agg(
+        F.max(F.when(is_a, F.col("n"))).alias("n_a"),
+        F.max(F.when(is_a, F.col("m"))).alias("m_a"),
+        F.max(F.when(is_a, F.col("v"))).alias("v_a"),
+        F.max(F.when(~is_a, F.col("n"))).alias("n_b"),
+        F.max(F.when(~is_a, F.col("m"))).alias("m_b"),
+        F.max(F.when(~is_a, F.col("v"))).alias("v_b"),
+    )
+    diff = F.col("m_a") - F.col("m_b")
+    se = F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b"))
+    margin = TOST_MARGIN_SD * F.sqrt(F.col("v_b"))
+    t_lo = F.round((diff + margin) / se, 6)
+    t_hi = F.round((diff - margin) / se, 6)
+    return w.select(
+        "n_a",
+        "n_b",
+        F.round(diff, 6).alias("mean_diff"),
+        F.round(margin, 6).alias("margin"),
+        t_lo.alias("t_lower"),
+        t_hi.alias("t_upper"),
+        ((t_lo > _TOST_Z_CRIT) & (t_hi < -_TOST_Z_CRIT)).alias("equivalent"),
+    )

@@ -1736,3 +1736,71 @@ def mm_png_prompt_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_build_parse, schema)
+
+
+@query(
+    "mm_wav_info_tags",
+    oracle="""
+    SELECT doc_id,
+           'Take ' || CAST(doc_id % 40 AS VARCHAR) AS title,
+           'Performer ' || CAST(doc_id % 11 AS VARCHAR) AS artist,
+           CAST(1990 + doc_id % 35 AS VARCHAR) || '-'
+               || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') AS created,
+           'enc v' || CAST(doc_id % 5 AS VARCHAR) AS software,
+           CAST(16 + doc_id % 17 AS INTEGER) AS n_samples
+    FROM documents
+    """,
+)
+def mm_wav_info_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIFF LIST/INFO metadata from real WAV containers — the audio-file
+    sibling of mm_id3_tags (ID3 fronts MP3 streams; INFO rides inside
+    the WAV container itself).  Fixtures are genuine PCM16 WAVs (this
+    repo's encoder) with the LIST chunk spliced BEFORE fmt — legal RIFF
+    that breaks offset-assuming parsers — carrying INAM/IART/ICRD/ISFT
+    as zero-terminated word-aligned sub-chunks (odd-length values
+    exercise the pad-byte rule).  The data chunk is skipped by declared
+    size, never decoded; n_samples comes from the normal decode path to
+    prove the splice left the audio readable.
+
+    Spark plan: one Arrow map pass, no shuffle.  Oracle from doc_id
+    arithmetic certifies the sub-chunk walk, ZSTR termination, pad
+    bytes, and decode-after-splice in one hash."""
+    from pasardassist_spark.operators import audiocodec as AC
+
+    schema = (
+        "doc_id long, title string, artist string, created string, "
+        "software string, n_samples int"
+    )
+
+    def _build_parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "title": [], "artist": [], "created": [],
+                "software": [], "n_samples": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n = 16 + i % 17  # odd/even lengths rotate
+                wav = AC.encode_wav(
+                    AC.PcmAudio(8000, 1, [(j * 257 + i) % 4096 - 2048
+                                          for j in range(n)])
+                )
+                info = AC.encode_wav_info({
+                    "INAM": f"Take {i % 40}",
+                    "IART": f"Performer {i % 11}",
+                    "ICRD": f"{1990 + i % 35}-{i % 12 + 1:02d}",
+                    "ISFT": f"enc v{i % 5}",
+                })
+                wav = AC.insert_wav_chunk(wav, info)
+                meta = AC.parse_wav_info(wav)
+                decoded = AC.decode_wav(wav)
+                rows["doc_id"].append(i)
+                rows["title"].append(meta.get("INAM"))
+                rows["artist"].append(meta.get("IART"))
+                rows["created"].append(meta.get("ICRD"))
+                rows["software"].append(meta.get("ISFT"))
+                rows["n_samples"].append(len(decoded.samples))
+            yield pd.DataFrame(rows)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_build_parse, schema)
