@@ -136,17 +136,22 @@ def read_xml(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
             rows = []
             for blob in batch["content"]:
                 stream = io.BytesIO(bytes(blob))
-                for _, elem in ET.iterparse(stream, events=("end",)):
-                    if elem.tag != "r":
-                        continue
-                    row = {}
-                    for child in elem:
-                        if child.tag in dtypes:
-                            row[child.tag] = _text_to_cell(
-                                child.text or "", dtypes[child.tag]
-                            )
-                    rows.append([row.get(n) for n in names])
-                    elem.clear()
+                try:
+                    for _, elem in ET.iterparse(stream, events=("end",)):
+                        if elem.tag != "r":
+                            continue
+                        row = {}
+                        for child in elem:
+                            if child.tag in dtypes:
+                                row[child.tag] = _text_to_cell(
+                                    child.text or "", dtypes[child.tag]
+                                )
+                        rows.append([row.get(n) for n in names])
+                        elem.clear()
+                except ET.ParseError as exc:
+                    # ParseError subclasses SyntaxError, not ValueError —
+                    # normalize so callers see the textio error contract
+                    raise ValueError(f"malformed XML shard: {exc}") from exc
             if rows:
                 yield pd.DataFrame(rows, columns=names)
 

@@ -62,3 +62,20 @@ def test_unknown_elements_ignored(spark, tmp_path):
         "missing", F.lit(None).cast("string")).schema)
     r = back.collect()[0]
     assert r.i == 7 and r.missing is None
+
+
+def test_malformed_shard_raises_valueerror_not_parseerror(spark, tmp_path):
+    """A torn shard must surface the textio ValueError contract, not an
+    ElementTree ParseError (which subclasses SyntaxError and would look
+    like a code bug to a retry policy)."""
+    import os
+
+    df = spark.createDataFrame([Row(i=1, s="x")], "i long, s string")
+    path = str(tmp_path / "torn")
+    write_xml(df, path).collect()
+    shard = os.path.join(path, sorted(os.listdir(path))[0])
+    data = open(shard, "rb").read()
+    open(shard, "wb").write(data[: len(data) - 15])  # tear off the tail
+    with pytest.raises(Exception) as ei:
+        read_xml(spark, path, df.schema).collect()
+    assert "malformed XML shard" in str(ei.value)
