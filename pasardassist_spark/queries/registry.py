@@ -169,6 +169,25 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "pipeline_email_to_sft", "doc_xlsx_extract", "doc_xlsx_records",
     "doc_pptx_extract", "doc_pptx_notes", "doc_legacy_extract",
     "doc_xls_extract", "doc_msg_extract", "doc_cfb_streams",
+    # r13 greens (CORRECTNESS_r13: 44 hash-green + 6 rows-only-by-design
+    # clean, 0 red at HEAD 85dd5f2 — the stats/survival shelf, the
+    # multimodal metadata extractor quartet, the lake-layout pair, the
+    # XML source, mojibake repair, k-hop BFS, the two streaming gate
+    # readouts, and every r13 _FORCE_RECHECK re-green)
+    "curate_budget_select", "curate_robots_gate", "dq_table_checksum",
+    "graph_khop_reach", "lake_skipping_effectiveness", "lake_zorder_layout",
+    "ml_auc_roc", "mm_exif_extract", "mm_id3_tags", "mm_png_prompt_meta",
+    "mm_wav_info_tags", "pipeline_attachment_extract", "src_xml_roundtrip",
+    "stat_cohens_kappa", "stat_fdr_bh", "stat_gini_lorenz",
+    "stat_kruskal_wallis", "stat_tost_equivalence",
+    "streaming_docgate_readout", "streaming_imagegate_readout",
+    "surv_kaplan_meier", "surv_logrank_test", "text_dedup_lines",
+    "text_fix_mojibake", "ts_acf",
+    # r13 rows-only-by-design (FastCDC chunk boundaries, IRLS training,
+    # probe-curve tuning, Holt-Winters recurrence — no SQL form), driver
+    # row-checked clean in r13; semantics pytest-pinned
+    "dedup_cdc_chunks", "ml_logreg_irls", "sim_ivf_autotune",
+    "ts_holt_winters",
 })
 
 # Entries whose implementation or oracle changed since their last green
@@ -179,35 +198,9 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # so the set starts empty.  Add a name here ONLY when its query fn or
 # oracle actually changed this round.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    # round 13: ADVICE fixes touching operator internals — email sniff
-    # tightened + markdown fallback (operators/docsniff.py), text/plain
-    # attachment-part body exclusion (operators/emailtext.py), CFB sibling
-    # walk made iterative (operators/cfb.py).  Oracles re-derive from the
-    # same code paths, so each needs one fresh driver row.
-    "doc_email_extract", "doc_email_attachments", "pipeline_any_doc_extract",
-    "doc_legacy_extract", "doc_cfb_streams", "src_mbox_roundtrip",
-    # round 13: PDF gained xref-stream/ObjStm containers + the filter tail
-    # (LZW/ASCII85/ASCIIHex/RunLength), fixtures now rotate both container
-    # kinds; .msg gained LZFu compressed-RTF bodies; XLSX gained the 1904
-    # date system with rotating fixtures.
-    "doc_pdf_extract", "doc_msg_extract", "doc_xlsx_records",
-    "pipeline_doc_extract_clean",
-    # round 13: the two r12 bench flags adjudicated REAL (idle re-measure
-    # confirmed, controls at +4-14% host drift only) and fixed at the
-    # design level — pack_bfd persists its (id, length) skeleton
-    # (operators/binpack.py), theilsen's slope median moved to the banded
-    # two-pass exact selection (operators/medians.py).
-    "stat_theilsen_line", "pack_bfd_assignments",
-    # round 13: tiffcodec's LZW ENCODER width schedule now simulates the
-    # decoder (EOI-at-2^w-boundary fix found via the PDF LZWDecode
-    # reuse); fixture bytes change, decoded content doesn't — one fresh
-    # row to certify.
-    "mm_tiff_decode",
-    # round 13 (late session): merge_into_bucketed_state gained the
-    # empty-delta no-op (streaming/ingest.py) — the change is
-    # unreachable for non-empty deltas, but these archived greens
-    # consume that merge path, so each gets one fresh row anyway.
-    "st4_entity_fold", "dedup_incremental",
+    # round 14: starts empty — every r13 _FORCE_RECHECK name re-greened in
+    # CORRECTNESS_r13 and was archived above.  Add a name here ONLY when
+    # its query fn or oracle actually changed this round.
 })
 
 
