@@ -48,11 +48,21 @@ PDF 1.5+ container support (round 13 — the post-2005 majority):
   order with per-filter ``/DecodeParms``), and ``DCTDecode`` routed
   through operators/jpegcodec.py (decoded image pixels).
 
-Remaining clearly-named seams: encrypted documents (``/Encrypt``),
-``JBIG2Decode``/``JPXDecode`` (image-only codecs out of pure-stdlib
-reach), and ``LZWDecode`` with ``/EarlyChange 0`` raise
-``NotImplementedError`` by name.  Malformed structure raises
-``ValueError``.
+Encrypted documents (round 14): the standard security handler
+(operators/pdfcrypt.py — ISO 32000-1 §7.6.3, /V 1/2/4, RC4-40/128 and
+AES-128-CBC with per-object keys) opens owner-locked files with the
+default EMPTY user password and accepts an explicit user password via
+``extract_pdf_pages(payload, password=...)``; strings and streams
+decrypt before the filter tail, cross-reference streams and objects
+inside object streams are never individually decrypted (§7.5.7).
+
+Remaining clearly-named seams: AES-256 (``/V 5``, ``/R 5-6``),
+non-Standard security handlers, crypt filters beyond
+``/Identity /V2 /AESV2``, ``JBIG2Decode``/``JPXDecode`` (image-only
+codecs out of pure-stdlib reach), and ``LZWDecode`` with
+``/EarlyChange 0`` raise ``NotImplementedError`` by name.  A wrong
+password raises ``ValueError("PDF password incorrect")``; malformed
+structure raises ``ValueError``.
 
 The writer ``encode_pdf`` synthesizes CONFORMING single-font PDFs (catalog,
 page tree, Helvetica Type1, compressed content streams alternating
@@ -276,7 +286,7 @@ class _Lexer:
 
 
 class _Document:
-    def __init__(self, payload: bytes):
+    def __init__(self, payload: bytes, password: str = ""):
         self.buf = payload
         self.offsets: dict[int, int] = {}
         # type-2 xref entries: objnum -> (object-stream num, index within)
@@ -284,9 +294,71 @@ class _Document:
         self.trailer: dict[str, object] = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, dict[int, object]] = {}
+        self._handler = None  # StandardSecurityHandler once authenticated
+        self._encrypt_num: int | None = None
         self._parse_xref_chain()
         if "Encrypt" in self.trailer:
-            raise NotImplementedError("encrypted PDF (/Encrypt) unsupported")
+            self._init_encryption(password)
+
+    def _init_encryption(self, password: str) -> None:
+        """Authenticate the standard security handler (ISO 32000-1
+        §7.6.3).  The /Encrypt dictionary and the trailer /ID are
+        themselves never encrypted, so reading them through the normal
+        object machinery (handler still None) is conforming.  The
+        default empty password opens owner-locked files — the common
+        "permissions only" lock every reader opens."""
+        from pasardassist_spark.operators.pdfcrypt import (
+            StandardSecurityHandler,
+        )
+
+        encv = self.trailer.get("Encrypt")
+        if isinstance(encv, _Ref):
+            self._encrypt_num = encv.num
+        enc = self.resolve(encv)
+        if not isinstance(enc, dict):
+            raise ValueError("PDF /Encrypt is not a dictionary")
+        enc = {k: self.resolve(v) for k, v in enc.items()}
+        cf = enc.get("CF")
+        if isinstance(cf, dict):
+            enc["CF"] = {
+                k: {k2: self.resolve(v2) for k2, v2 in self.resolve(v).items()}
+                for k, v in cf.items()
+            }
+        ids = self.resolve(self.trailer.get("ID"))
+        id0 = bytes(ids[0]) if isinstance(ids, list) and ids else b""
+        self._handler = StandardSecurityHandler(
+            enc, id0, password.encode("latin-1")
+        )
+        # anything cached while parsing the xref chain was read without
+        # string decryption; drop it so re-reads go through the handler
+        self._cache.clear()
+
+    def _decrypt_value(self, value, num: int, gen: int):
+        """Apply per-object decryption to a freshly parsed FILE-LEVEL
+        object: strings and stream payloads are encrypted, names/numbers
+        are not, cross-reference streams are never encrypted, and
+        objects INSIDE object streams are protected by the container
+        stream's encryption, never individually (§7.5.7) — so callers
+        only route type-1 objects here."""
+        h = self._handler
+        if isinstance(value, bytes):
+            return h.decrypt_string(value, num, gen)
+        if isinstance(value, list):
+            return [self._decrypt_value(v, num, gen) for v in value]
+        if isinstance(value, _Stream):
+            d = {
+                k: self._decrypt_value(v, num, gen)
+                for k, v in value.dict.items()
+            }
+            raw = value.raw
+            if d.get("Type") != "XRef":
+                raw = h.decrypt_stream(raw, num, gen)
+            return _Stream(d, raw)
+        if isinstance(value, dict):
+            return {
+                k: self._decrypt_value(v, num, gen) for k, v in value.items()
+            }
+        return value
 
     # -- xref ---------------------------------------------------------------
 
@@ -353,7 +425,7 @@ class _Document:
         """PDF 1.5 cross-reference stream: /W-wide binary rows over
         /Index subsections; types 0 (free), 1 (offset), 2 (in object
         stream). Newest-section-wins matches the classic parser."""
-        obj = self._parse_object_at(off)
+        obj, _gen = self._parse_object_at(off)
         if not isinstance(obj, _Stream):
             raise ValueError(f"xref stream at {off} is not a stream object")
         sd = obj.dict
@@ -406,13 +478,15 @@ class _Document:
 
     def _parse_object_at(self, off: int, expect_num: int | None = None):
         """Parse ``N G obj ... endobj`` at a byte offset (streams
-        included). Used by get_object for type-1 entries and by the xref
-        parser before any entry table exists."""
+        included), returning ``(value, generation)`` — the generation
+        feeds the per-object decryption key when the file is encrypted.
+        Used by get_object for type-1 entries and by the xref parser
+        before any entry table exists."""
         lex = _Lexer(self.buf, off)
         num = int(lex.next_token())
         if expect_num is not None and num != expect_num:
             raise ValueError(f"xref offset for object {expect_num} is wrong")
-        lex.next_token()  # generation
+        gen = int(lex.next_token())
         if lex.next_token() != b"obj":
             raise ValueError(f"object {num}: missing 'obj' keyword")
         value = lex.parse_object()
@@ -432,14 +506,16 @@ class _Document:
             if len(data) != length:
                 raise ValueError(f"object {num}: truncated stream")
             value = _Stream(value, data)  # type: ignore[assignment]
-        return value
+        return value, gen
 
     def get_object(self, num: int):
         if num in self._cache:
             return self._cache[num]
         off = self.offsets.get(num)
         if off is not None:
-            value = self._parse_object_at(off, expect_num=num)
+            value, gen = self._parse_object_at(off, expect_num=num)
+            if self._handler is not None and num != self._encrypt_num:
+                value = self._decrypt_value(value, num, gen)
         else:
             loc = self.compressed.get(num)
             if loc is None:
@@ -802,13 +878,16 @@ def _page_text(doc: _Document, page: dict) -> str:
     return b"".join(chunks).decode("utf-8", errors="replace")
 
 
-def extract_pdf_pages(payload: bytes) -> list[str]:
+def extract_pdf_pages(payload: bytes, password: str = "") -> list[str]:
     """Parse a PDF the conforming way (xref → trailer → catalog → page
     tree → content streams) and return the text of each page in document
-    order.  See the module docstring for semantics and named seams."""
+    order.  ``password`` is the USER password for encrypted files — the
+    default empty string opens owner-locked documents (the common
+    permissions-only lock).  See the module docstring for semantics and
+    named seams."""
     if not sniff_pdf(payload):
         raise ValueError("not a PDF payload")
-    doc = _Document(payload)
+    doc = _Document(payload, password)
     root = doc.resolve(doc.trailer.get("Root"))
     if not isinstance(root, dict):
         raise ValueError("PDF trailer has no /Root catalog")
@@ -876,11 +955,29 @@ _CONTENT_FILTERS: dict[str, tuple] = {
 }
 
 
+def _serialize_encrypt_dict(enc: dict) -> bytes:
+    """Serialize the make_standard_encrypt_dict output as a PDF dict."""
+    parts = [
+        b"<< /Filter /Standard /V %d /R %d /Length %d"
+        % (enc["V"], enc["R"], enc["Length"]),
+        b"/O <" + bytes(enc["O"]).hex().encode() + b">",
+        b"/U <" + bytes(enc["U"]).hex().encode() + b">",
+        b"/P %d" % enc["P"],
+    ]
+    if enc["V"] == 4:
+        parts.append(
+            b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+            b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+        )
+    return b" ".join(parts) + b" >>"
+
+
 def encode_pdf(
     pages: list[str],
     *,
     xref_stream: bool = False,
     content_filter: str = "flate",
+    encrypt: str | None = None,
 ) -> bytes:
     """Write a conforming PDF: catalog, page tree, one Helvetica font,
     one compressed content stream per page.
@@ -897,12 +994,37 @@ def encode_pdf(
     ``content_filter`` picks the content-stream cascade: "flate", "lzw",
     "a85flate" ([/ASCII85Decode /FlateDecode]) or "rlhex"
     ([/ASCIIHexDecode /RunLengthDecode]).
-    """
+
+    ``encrypt`` adds the standard security handler with the owner-locked
+    profile (owner password "owner", EMPTY user password, /P -3904):
+    "rc4-40" (V1/R2), "rc4-128" (V2/R3) or "aes-128" (V4/R4 AESV2).
+    Encryption wraps the FILTERED bytes (decode order: decrypt, then
+    filters), all streams get per-object keys, the /Encrypt dictionary
+    and xref stream stay plaintext, and an /Info with an encrypted
+    /Title string rides along file-level so string decryption is
+    exercised too.  The file /ID is derived deterministically from the
+    page texts (fixtures must be byte-reproducible)."""
     if not pages:
         raise ValueError("PDF needs at least one page")
     if content_filter not in _CONTENT_FILTERS:
         raise ValueError(f"unknown content filter {content_filter!r}")
     enc, filter_name = _CONTENT_FILTERS[content_filter]
+    handler = None
+    enc_dict = None
+    id0 = b""
+    if encrypt is not None:
+        import hashlib
+
+        from pasardassist_spark.operators.pdfcrypt import (
+            StandardSecurityHandler,
+            make_standard_encrypt_dict,
+        )
+
+        id0 = hashlib.md5(
+            ("\x1f".join(pages) + "|" + encrypt).encode("utf-8")
+        ).digest()
+        enc_dict, _key = make_standard_encrypt_dict(encrypt, id0)
+        handler = StandardSecurityHandler(enc_dict, id0, b"")
     n = len(pages)
     # object numbering: 1 catalog, 2 pages, 3 font, then (page, content)*
     objs: dict[int, bytes] = {
@@ -917,6 +1039,8 @@ def encode_pdf(
         pnum, cnum, lnum = 4 + 2 * i, 5 + 2 * i, 4 + 2 * n + i
         kids.append(b"%d 0 R" % pnum)
         data = enc(_content_stream(pages[i]))
+        if handler is not None:
+            data = handler.encrypt_stream(data, cnum, 0)
         objs[pnum] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>" % cnum
@@ -933,6 +1057,28 @@ def encode_pdf(
     objs[2] = (
         b"<< /Type /Pages /Kids [" + b" ".join(kids) + b"] /Count %d >>" % n
     )
+    # encrypted files carry a file-level /Info whose /Title string is
+    # per-object encrypted, plus the (plaintext) /Encrypt dictionary;
+    # both must sit OUTSIDE any object stream (§7.5.7: the encryption
+    # dictionary is read before decryption is possible)
+    file_level_extra: set[int] = set()
+    trailer_extra = b""
+    if handler is not None:
+        info_num = max(objs) + 1
+        enc_num = info_num + 1
+        title = handler.encrypt_string(
+            b"pasardassist pdf fixture", info_num, 0
+        )
+        objs[info_num] = (
+            b"<< /Title <" + title.hex().encode() + b"> >>"
+        )
+        objs[enc_num] = _serialize_encrypt_dict(enc_dict)
+        file_level_extra = {info_num, enc_num}
+        idhex = id0.hex().encode()
+        trailer_extra = (
+            b" /Encrypt %d 0 R /Info %d 0 R /ID [<%s> <%s>]"
+            % (enc_num, info_num, idhex, idhex)
+        )
     if not xref_stream:
         out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
         offsets: dict[int, int] = {}
@@ -949,14 +1095,19 @@ def encode_pdf(
             else:
                 out += b"0000000000 65535 f \n"
         out += (
-            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (max_num + 1, xref_off)
+            b"trailer\n<< /Size %d /Root 1 0 R" % (max_num + 1)
+            + trailer_extra
+            + b" >>\nstartxref\n%d\n%%%%EOF\n" % xref_off
         )
         return bytes(out)
     # ---- PDF 1.5: object stream + cross-reference stream -----------------
     max_num = max(objs)
     objstm_num, xref_num = max_num + 1, max_num + 2
-    packed = sorted(num for num in objs if num not in stream_nums)
+    packed = sorted(
+        num
+        for num in objs
+        if num not in stream_nums and num not in file_level_extra
+    )
     header = bytearray()
     body = bytearray()
     inner_off: dict[int, int] = {}
@@ -966,6 +1117,11 @@ def encode_pdf(
     for num in packed:
         header += b"%d %d " % (num, inner_off[num])
     objstm_payload = zlib.compress(bytes(header) + bytes(body), 6)
+    if handler is not None:
+        # the object stream is a stream like any other: its container
+        # encryption is what protects the packed objects (§7.5.7 — no
+        # per-object encryption inside)
+        objstm_payload = handler.encrypt_stream(objstm_payload, objstm_num, 0)
     objstm_obj = (
         b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
         b"\nstream\n" % (len(packed), len(header), len(objstm_payload))
@@ -974,7 +1130,7 @@ def encode_pdf(
     )
     out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
-    for num in sorted(stream_nums):
+    for num in sorted(stream_nums | file_level_extra):
         offsets[num] = len(out)
         out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
     offsets[objstm_num] = len(out)
@@ -1009,10 +1165,11 @@ def encode_pdf(
         prev = row
     xref_payload = zlib.compress(bytes(pred), 6)
     xref_obj = (
-        b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
-        b"/Filter /FlateDecode "
+        b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R" % size
+        + trailer_extra
+        + b" /Filter /FlateDecode "
         b"/DecodeParms << /Predictor 12 /Columns 7 >> /Length %d >>"
-        b"\nstream\n" % (size, len(xref_payload))
+        b"\nstream\n" % len(xref_payload)
         + xref_payload
         + b"\nendstream"
     )

@@ -122,20 +122,34 @@ def doc_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailer → catalog → page tree → content streams.  The oracle
     re-derives every page's length and md5 from substring arithmetic, so
     any parser defect (xref row decode, predictor undo, ObjStm offset,
-    filter cascade, escape decode, page order, TJ handling)
+    filter cascade, escape decode, page order, TJ handling, standard
+    security handler key derivation or per-object decrypt)
     hash-mismatches on 500 real PDFs — ~250 of them xref-stream files.
-    Encrypted PDFs / JPX / JBIG2 raise by name (module docstring);
-    hybrid /XRefStm, /Prev generation mixes, /Extends chains and the
-    filter codecs are hand-pinned in tests/test_pdf15.py."""
+    ENCRYPTED variants rotate in by doc_id%5 (round 14): 3 → RC4
+    (V1/R2 40-bit and V2/R3 128-bit alternating), 4 → AES-128-CBC
+    (V4/R4 AESV2), all owner-locked (empty user password — the
+    permissions-only lock every conforming reader opens,
+    operators/pdfcrypt.py), and the %2/%5 interleave crosses encryption
+    with BOTH container generations.  AES-256 / wrong password / JPX /
+    JBIG2 raise by name (module docstring); hybrid /XRefStm, /Prev
+    generation mixes, /Extends chains, the filter codecs and the
+    crypto-vector pins are hand-tested in tests/test_pdf15.py and
+    tests/test_pdfcrypt.py."""
     from pasardassist_spark.operators.pdftext import encode_pdf, extract_pdf_pages
 
     _FILTERS = ("flate", "lzw", "a85flate", "rlhex")
 
     def enc(parts: list[str], doc_id: int) -> bytes:
+        mode = None
+        if doc_id % 5 == 3:
+            mode = "rc4-40" if (doc_id // 5) % 2 == 0 else "rc4-128"
+        elif doc_id % 5 == 4:
+            mode = "aes-128"
         return encode_pdf(
             parts,
             xref_stream=doc_id % 2 == 1,
             content_filter=_FILTERS[doc_id % 4],
+            encrypt=mode,
         )
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")

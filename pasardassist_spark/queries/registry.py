@@ -198,9 +198,15 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # so the set starts empty.  Add a name here ONLY when its query fn or
 # oracle actually changed this round.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    # round 14: starts empty — every r13 _FORCE_RECHECK name re-greened in
-    # CORRECTNESS_r13 and was archived above.  Add a name here ONLY when
-    # its query fn or oracle actually changed this round.
+    # round 14: the PDF parser gained the standard security handler
+    # (operators/pdfcrypt.py; pdftext.py _parse_object_at now carries the
+    # generation and get_object routes file-level objects through
+    # per-object decryption).  doc_pdf_extract also ROTATES encrypted
+    # fixtures in (doc_id%5).  Every archived green that consumes the
+    # changed read path gets one fresh driver row.
+    "doc_pdf_extract", "pipeline_doc_extract_clean",
+    "pipeline_any_doc_extract", "pipeline_attachment_extract",
+    "streaming_docgate_readout",
 })
 
 

@@ -60,11 +60,14 @@ def test_pdf_comments_skipped():
     assert lex.parse_object() == 42
 
 
-def test_pdf_encrypted_rejected():
+def test_pdf_dangling_encrypt_rejected():
+    """/Encrypt pointing at a missing object is malformed, not a seam:
+    the standard security handler (round 14) opens real encrypted files
+    (tests/test_pdfcrypt.py), so a torn /Encrypt raises ValueError."""
     payload = bytearray(encode_pdf(["x"]))
-    # graft /Encrypt into the trailer dict
+    # graft /Encrypt into the trailer dict, pointing at no object
     payload = payload.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
-    with pytest.raises(NotImplementedError, match="ncrypt"):
+    with pytest.raises(ValueError, match="not in xref"):
         extract_pdf_pages(bytes(payload))
 
 
