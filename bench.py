@@ -270,6 +270,8 @@ EXTRA_NAMES = [
     "ts_holt_winters",
     "stat_tost_equivalence",
     "mm_wav_info_tags",
+    # round-14 debuts
+    "mm_mp3_frames",
 ]
 
 

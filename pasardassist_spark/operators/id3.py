@@ -72,6 +72,24 @@ def encode_id3v2(
     return b"ID3" + bytes([version, 0, 0]) + _syncsafe(len(body)) + body
 
 
+def id3_tag_span(payload: bytes) -> int:
+    """Byte offset just past a leading ID3v2 tag (0 when there is none):
+    header (10) + syncsafe size + the 10-byte footer when the footer
+    flag (0x10) is set — the spec excludes both header and footer from
+    the declared size.  This is where the MPEG audio stream begins
+    (operators/mp3meta.py)."""
+    if payload[:3] != b"ID3":
+        return 0
+    if len(payload) < 10:
+        raise ValueError("truncated ID3 header")
+    span = 10 + _unsyncsafe(payload[6:10])
+    if payload[5] & 0x10:
+        span += 10
+    if span > len(payload):
+        raise ValueError("ID3 tag size exceeds file")
+    return span
+
+
 def parse_id3(payload: bytes) -> dict | None:
     """Extract text frames from an ID3v2.3/2.4 tag; None when the file
     carries no tag (common — not an error).  Unknown frames and the
@@ -83,6 +101,13 @@ def parse_id3(payload: bytes) -> dict | None:
     version = payload[3]
     if version not in (3, 4):
         raise ValueError(f"unsupported ID3v2.{version} tag")
+    flags = payload[5]
+    # ADVICE r13: flag-gated layouts change frame offsets/content — parse
+    # them wrong silently or raise by name; this repo raises by name.
+    if flags & 0x80:
+        raise NotImplementedError("ID3v2 unsynchronisation unsupported")
+    if flags & 0x40:
+        raise NotImplementedError("ID3v2 extended header unsupported")
     tag_size = _unsyncsafe(payload[6:10])
     end = 10 + tag_size
     if end > len(payload):
@@ -102,6 +127,14 @@ def parse_id3(payload: bytes) -> dict | None:
             raise ValueError("truncated ID3 frame")
         fid_s = fid.decode("ascii", "replace")
         if fid_s in _TEXT_FRAMES and size >= 1:
+            # ADVICE r13: the frame FORMAT flag byte gates compression /
+            # encryption / per-frame unsync / data-length prefixes —
+            # any of them shifts or transforms the body
+            fmt_flags = payload[pos + 9]
+            if fmt_flags:
+                raise NotImplementedError(
+                    f"ID3 frame format flags {fmt_flags:#04x} unsupported"
+                )
             enc, text = body[0], body[1:]
             if enc == 0x00:
                 val = text.decode("latin-1")

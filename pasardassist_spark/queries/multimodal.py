@@ -1523,6 +1523,108 @@ def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_build_and_parse, schema)
 
 
+@query(
+    "mm_mp3_frames",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN '1' WHEN 1 THEN '2' ELSE '2.5' END
+               AS version,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 24000
+                ELSE 8000 END AS INTEGER) AS sample_rate,
+           CASE doc_id % 4 WHEN 0 THEN 'stereo' WHEN 1 THEN 'joint'
+                WHEN 2 THEN 'dual' ELSE 'mono' END AS mode,
+           CAST(6 + doc_id % 10 AS INTEGER) AS n_frames,
+           CAST((6 + doc_id % 10)
+                * (CASE WHEN doc_id % 3 = 0 THEN 1152 ELSE 576 END)
+                * 1000000
+                // (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 24000
+                    ELSE 8000 END) AS BIGINT) AS duration_us,
+           CAST(CASE WHEN doc_id % 5 <= 1 THEN
+                (CASE (doc_id // 5) % 5 WHEN 0 THEN 64 WHEN 1 THEN 96
+                 WHEN 2 THEN 128 WHEN 3 THEN 160 ELSE 32 END)
+                END AS INTEGER) AS bitrate_kbps,
+           CASE WHEN doc_id % 5 <= 1 THEN 'none'
+                WHEN doc_id % 5 = 4 THEN 'vbri' ELSE 'xing' END
+               AS vbr_method,
+           CAST(CASE WHEN doc_id % 5 >= 2 THEN 6 + doc_id % 10 END
+                AS INTEGER) AS declared_frames
+    FROM documents
+    """,
+)
+def mm_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG audio frame-header metadata WITHOUT sample decode
+    (operators/mp3meta.py — completes the audio story the way EXIF /
+    PNG-text did for images: mm_id3_tags reads the prepended tag, this
+    walks the frames behind it).  Fixtures rotate all three version
+    clocks (MPEG-1 44.1 kHz / MPEG-2 24 kHz / MPEG-2.5 8 kHz — 1152 vs
+    576 samples per frame), all four channel modes, CBR against Xing
+    and Fraunhofer-VBRI variable-bitrate streams (doc_id%5; VBR frames
+    cycle three bitrate indices so the frame-length arithmetic is
+    exercised per frame, not per file), odd ids carry a real ID3v2 tag
+    the walker must skip by declared span, and ids %3==0 a trailing
+    128-byte ID3v1 "TAG" excluded from the walk.  Duration is exact
+    integer arithmetic (frames x samples-per-frame x 1e6 // rate), so
+    the oracle re-derives every column from doc_id — one hash certifies
+    sync walking, frame-length math, both VBR header locations and both
+    tag skips on 500 streams.  Layers I/II and free-format bitrate
+    raise by name; lost sync and mid-stream parameter changes raise
+    ValueError (a torn file dead-letters loudly, never counts wrong).
+
+    Spark plan: one Arrow map pass over doc ids, no shuffle — the
+    O(header-bytes) metadata-indexing shape of the extractor quartet
+    (VERDICT r13), now a quintet."""
+    from pasardassist_spark.operators import mp3meta as M
+    from pasardassist_spark.operators.id3 import encode_id3v2
+
+    schema = (
+        "doc_id long, version string, sample_rate int, mode string, "
+        "n_frames int, duration_us long, bitrate_kbps int, "
+        "vbr_method string, declared_frames int"
+    )
+    _VERS = (("1", 44100), ("2", 24000), ("2.5", 8000))
+    _MODES = ("stereo", "joint", "dual", "mono")
+    _CBR = (64, 96, 128, 160, 32)
+
+    def _build_and_parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "doc_id", "version", "sample_rate", "mode", "n_frames",
+            "duration_us", "bitrate_kbps", "vbr_method", "declared_frames",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                version, sr = _VERS[i % 3]
+                kind = i % 5
+                tag = (
+                    encode_id3v2(
+                        version=4, encoding=3,
+                        frames={"TIT2": f"Track {i % 100}"},
+                    )
+                    if i % 2 == 1
+                    else b""
+                )
+                payload = M.encode_mp3(
+                    version=version,
+                    sample_rate=sr,
+                    mode=_MODES[i % 4],
+                    n_frames=6 + i % 10,
+                    bitrate=_CBR[(i // 5) % 5],
+                    vbr="none" if kind <= 1 else
+                        ("vbri" if kind == 4 else "xing"),
+                    id3_tag=tag,
+                    id3v1=i % 3 == 0,
+                )
+                meta = M.parse_mp3(payload)
+                rows["doc_id"].append(doc_id)
+                for k in cols[1:]:
+                    rows[k].append(meta[k])
+            yield pd.DataFrame(rows)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_build_and_parse, schema)
+
+
 # ----------------------------------------- streaming image gate driver row
 
 def _imagegate_oracle() -> str:

@@ -82,6 +82,8 @@ def test_id3_junk_never_hangs(junk):
         ID3.parse_id3(b"ID3" + junk)
     except ValueError:
         pass
+    except NotImplementedError:
+        pass  # flag-gated layouts (unsync/extended header) raise by name
 
 
 @settings(max_examples=120, deadline=None)

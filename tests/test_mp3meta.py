@@ -1,0 +1,127 @@
+"""MPEG frame-header walk (operators/mp3meta.py) and the round-14
+ID3v2 flag-byte guards (ADVICE r13)."""
+
+import pytest
+
+from pasardassist_spark.operators.id3 import (
+    encode_id3v2,
+    id3_tag_span,
+    parse_id3,
+)
+from pasardassist_spark.operators.mp3meta import encode_mp3, parse_mp3
+
+
+def test_cbr_all_versions_and_modes():
+    for version, sr, spf in [("1", 44100, 1152), ("2", 24000, 576),
+                             ("2.5", 8000, 576)]:
+        for mode in ("stereo", "joint", "dual", "mono"):
+            m = parse_mp3(
+                encode_mp3(version=version, sample_rate=sr, mode=mode,
+                           n_frames=9, bitrate=64)
+            )
+            assert m["version"] == version
+            assert m["sample_rate"] == sr
+            assert m["mode"] == mode
+            assert m["n_frames"] == 9
+            assert m["duration_us"] == 9 * spf * 1_000_000 // sr
+            assert m["bitrate_kbps"] == 64
+            assert m["vbr_method"] == "none"
+            assert m["declared_frames"] is None
+
+
+@pytest.mark.parametrize("vbr", ["xing", "vbri"])
+@pytest.mark.parametrize("version,sr", [("1", 44100), ("2", 22050)])
+@pytest.mark.parametrize("mode", ["stereo", "mono"])
+def test_vbr_headers_both_locations(vbr, version, sr, mode):
+    """Xing offset depends on (version, mono) side-info size; VBRI is
+    fixed — all four geometries must locate."""
+    m = parse_mp3(
+        encode_mp3(version=version, sample_rate=sr, mode=mode,
+                   n_frames=11, vbr=vbr)
+    )
+    assert m["vbr_method"] == vbr
+    assert m["declared_frames"] == 11 == m["n_frames"]
+    assert m["bitrate_kbps"] is None  # bitrates cycle
+
+
+def test_tag_skips():
+    tag = encode_id3v2(version=3, encoding=1, frames={"TIT2": "t"})
+    payload = encode_mp3(n_frames=5, id3_tag=tag, id3v1=True)
+    m = parse_mp3(payload)
+    assert m["n_frames"] == 5
+    # the ID3v2 span helper agrees with the tag writer
+    assert id3_tag_span(payload) == len(tag)
+    assert id3_tag_span(b"no tag here") == 0
+
+
+def test_lost_sync_and_truncation():
+    good = encode_mp3(n_frames=3)
+    with pytest.raises(ValueError, match="trailing bytes"):
+        parse_mp3(good[:-10])
+    with pytest.raises(ValueError, match="sync"):
+        parse_mp3(good[:200] + b"\x00garbage" + good[200:])
+    with pytest.raises(ValueError, match="no audio frames"):
+        parse_mp3(encode_id3v2(version=4, encoding=3, frames={"TIT2": "x"}))
+
+
+def test_mid_stream_parameter_change_rejected():
+    a = encode_mp3(version="1", n_frames=2, bitrate=64)
+    b = encode_mp3(version="1", sample_rate=48000, n_frames=2, bitrate=64)
+    with pytest.raises(ValueError, match="changed mid-stream"):
+        parse_mp3(a + b)
+
+
+def test_layer_and_free_format_raise_by_name():
+    payload = bytearray(encode_mp3(n_frames=2))
+    layer2 = bytes([payload[0], (payload[1] & ~0b110) | (0b10 << 1)])
+    with pytest.raises(NotImplementedError, match="Layer II"):
+        parse_mp3(layer2 + bytes(payload[2:]))
+    free = bytes(payload[:2]) + bytes([payload[2] & 0x0F]) + bytes(payload[3:])
+    with pytest.raises(NotImplementedError, match="free-format"):
+        parse_mp3(free)
+
+
+def test_info_header_is_cbr_spelling():
+    payload = bytearray(encode_mp3(n_frames=6, vbr="xing",
+                                   vbr_bitrates=(96,)))
+    payload[payload.index(b"Xing"):payload.index(b"Xing") + 4] = b"Info"
+    m = parse_mp3(bytes(payload))
+    assert m["vbr_method"] == "info"
+    assert m["bitrate_kbps"] == 96  # single bitrate → nominal kept
+
+
+# -------------------------------------------- ID3 flag guards (ADVICE) ---
+
+
+def _flagged_tag(flag: int) -> bytes:
+    tag = bytearray(encode_id3v2(version=4, encoding=3,
+                                 frames={"TIT2": "x"}))
+    tag[5] |= flag
+    return bytes(tag)
+
+
+def test_id3_unsync_flag_raises_by_name():
+    with pytest.raises(NotImplementedError, match="unsynchronisation"):
+        parse_id3(_flagged_tag(0x80))
+
+
+def test_id3_extended_header_raises_by_name():
+    with pytest.raises(NotImplementedError, match="extended header"):
+        parse_id3(_flagged_tag(0x40))
+
+
+def test_id3_frame_format_flags_raise_by_name():
+    tag = bytearray(encode_id3v2(version=4, encoding=3,
+                                 frames={"TIT2": "x"}))
+    # frame header starts at 10: id(4) + size(4) + status + FORMAT
+    tag[19] = 0x08  # compression
+    with pytest.raises(NotImplementedError, match="format flags"):
+        parse_id3(bytes(tag))
+
+
+def test_id3_footer_flag_extends_span():
+    tag = bytearray(encode_id3v2(version=4, encoding=3,
+                                 frames={"TIT2": "x"}))
+    base = id3_tag_span(bytes(tag))
+    tag[5] |= 0x10
+    assert id3_tag_span(bytes(tag) + bytes(10)) == base + 10
