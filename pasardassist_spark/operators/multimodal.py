@@ -1177,12 +1177,17 @@ def tiff_page_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL multi-page TIFF decode: each row gets a genuine TIFF document
     rotating the full supported matrix by doc_id — byte order II/MM
     (doc_id % 2), compression none/LZW/PackBits (doc_id % 3), predictor
-    1/2 ((doc_id // 3) % 2), multi-strip (rows_per_strip 5), gray/RGB
-    (doc_id % 5 < 3 -> RGB), doc_id % 3 + 1 pages — with closed-form
-    pixels (x*7 + y*13 + c*29 + doc_id + 31*page) % 256, so the oracle
-    re-derives every page checksum while the decoder exercises the
-    TIFF-LZW early-change bit discipline, PackBits runs, horizontal
-    differencing, and the IFD chain on genuine files."""
+    1/2 ((doc_id // 3) % 2), TILED 16x16 grid vs 5-row strips
+    (doc_id % 7 < 3 → tiled, round 14 — edge-tile padding and
+    per-tile-row predictor both land on every shape), gray/RGB/PALETTE
+    (doc_id % 5: <3 RGB, 3 gray, 4 photometric-3 palette through the
+    deterministic ColorMap, decoding to mapped RGB), doc_id % 3 + 1
+    pages — with closed-form pixels (x*7 + y*13 + c*29 + doc_id +
+    31*page) % 256, so the oracle re-derives every page checksum
+    (palette sums map v -> v + (v*37)%256 + (v*91)%256) while the
+    decoder exercises the TIFF-LZW early-change bit discipline,
+    PackBits runs, horizontal differencing, tile blits, ColorMap
+    lookup, and the IFD chain on genuine files."""
     from pasardassist_spark.operators import tiffcodec
     from pasardassist_spark.operators.imagecodec import Raster
 
@@ -1199,6 +1204,8 @@ def tiff_page_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
               ).astype(np.uint8)
         return Raster(w, h, ch, px.tobytes())
 
+    _pal = np.array(tiffcodec.PALETTE_MAP, dtype=np.uint8)  # (256, 3)
+
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out: dict[str, list] = {
@@ -1209,24 +1216,40 @@ def tiff_page_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 seed = int(doc_id)
                 w = seed % 19 + 8
                 h = (seed * 3) % 17 + 8
+                palette = seed % 5 == 4
                 ch = 3 if seed % 5 < 3 else 1
                 n_pages = seed % 3 + 1
                 bo = "II" if seed % 2 == 0 else "MM"
                 comp = (1, 5, 32773)[seed % 3]
                 pred = 1 if (seed // 3) % 2 == 0 else 2
+                tiled = seed % 7 < 3
                 pages = [
                     _synth(w, h, ch, seed + 31 * pg) for pg in range(n_pages)
                 ]
                 payload = tiffcodec.encode_tiff(
                     pages, byte_order=bo, compression=comp,
-                    predictor=pred, rows_per_strip=5,
+                    predictor=pred,
+                    rows_per_strip=None if tiled else 5,
+                    tile=(16, 16) if tiled else None,
+                    palette=palette,
                 )
                 decoded = tiffcodec.decode_tiff_pages(payload)
-                if decoded != pages:
+                expected = pages if not palette else [
+                    Raster(
+                        p.width, p.height, 3,
+                        _pal[np.frombuffer(p.pixels, dtype=np.uint8)]
+                        .tobytes(),
+                    )
+                    for p in pages
+                ]
+                if decoded != expected:
                     # raise, not assert (must survive python -O)
                     raise ValueError(
                         f"TIFF round-trip mismatch for doc {doc_id}"
                     )
+                layout = f"{bo}-{comp}-{pred}" + ("-t" if tiled else "") + (
+                    "-p" if palette else ""
+                )
                 for pg, r in enumerate(decoded):
                     out["doc_id"].append(doc_id)
                     out["page_no"].append(pg)
@@ -1234,9 +1257,10 @@ def tiff_page_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     out["width"].append(r.width)
                     out["height"].append(r.height)
                     out["channels"].append(r.channels)
-                    out["layout"].append(f"{bo}-{comp}-{pred}")
+                    out["layout"].append(layout)
                     out["pixel_sum"].append(
-                        int(np.frombuffer(r.pixels, dtype=np.uint8).sum())
+                        int(np.frombuffer(r.pixels, dtype=np.uint8)
+                            .astype(np.int64).sum())
                     )
             yield pd.DataFrame(out)
 

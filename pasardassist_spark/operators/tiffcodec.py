@@ -17,17 +17,26 @@ What is REAL here:
   (TIFF-LZW: MSB-first variable 9→12-bit codes with the EARLY-CHANGE
   width bump at 2^n - 1, ClearCode 256 / EOI 257 — deliberately a
   different bit discipline from GIF's LSB-first LZW in gifcodec.py);
-- Predictor 2 (horizontal differencing) undone per row per channel;
+- Predictor 2 (horizontal differencing) undone per row per channel —
+  per TILE row inside tiles;
 - grayscale (Photometric 0/1, with 0 = WhiteIsZero inverted) and RGB,
-  8 bits per sample, chunky planar layout.
+  8 bits per sample, chunky planar layout;
+- TILED layout (round 14 — scanned-document TIFFs are frequently
+  tiled): TileWidth/TileLength (16-multiples per spec) over
+  TileOffsets/TileByteCounts, every tile a full padded raster whose
+  edge padding the blit discards, each tile an independent decompress
+  unit (the cluster-parallel layout, TIFF 6.0 §15);
+- PALETTE images (round 14, Photometric 3): 3 x 256-plane 16-bit
+  ColorMap lookup (high byte) expanding to RGB.
 
-Out-of-scope-by-name: tiles, planar configuration 2, 16-bit samples,
-palette TIFFs, JPEG-in-TIFF, Deflate/CCITT compressions, and BigTIFF
-raise ``NotImplementedError``; malformed structure raises ``ValueError``.
+Out-of-scope-by-name: planar configuration 2, 16-bit samples,
+JPEG-in-TIFF, Deflate/CCITT compressions, and BigTIFF raise
+``NotImplementedError``; malformed structure raises ``ValueError``.
 
 The writer synthesizes conforming fixtures across the full supported
-matrix (both endians × three compressions × predictor × multi-strip ×
-gray/RGB × multi-page) so every decode path runs on genuine files.
+matrix (both endians × three compressions × predictor × strip/TILE ×
+gray/RGB/PALETTE × multi-page) so every decode path runs on genuine
+files.
 """
 
 from __future__ import annotations
@@ -283,12 +292,10 @@ def _decode_ifd_raster(buf: bytes, bo: str, tags: dict[int, list]) -> Raster:
         raise NotImplementedError(f"TIFF bits-per-sample {bits} unsupported (8 only)")
     if planar != 1:
         raise NotImplementedError("TIFF planar configuration 2 unsupported")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF unsupported (strips only)")
-    if photometric == 3:
-        raise NotImplementedError("palette TIFF unsupported")
-    if photometric not in (0, 1, 2):
+    if photometric not in (0, 1, 2, 3):
         raise NotImplementedError(f"TIFF photometric {photometric} unsupported")
+    if photometric == 3 and spp != 1:
+        raise ValueError("palette TIFF must have one sample per pixel")
     if photometric == 2 and spp < 3:
         raise ValueError("RGB TIFF with fewer than 3 samples per pixel")
     if compression not in (1, 5, 32773):
@@ -297,42 +304,98 @@ def _decode_ifd_raster(buf: bytes, bo: str, tags: dict[int, list]) -> Raster:
         )
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF strip offsets/byte-counts missing or mismatched")
-    rows_per_strip = one(278, h)
-    row_bytes = w * spp
-    raster = bytearray()
-    for si, (soff, scnt) in enumerate(zip(offsets, counts)):
-        strip = buf[soff : soff + scnt]
-        if len(strip) != scnt:
-            raise ValueError("TIFF strip exceeds file bounds")
-        n_rows = min(rows_per_strip, h - si * rows_per_strip)
-        if n_rows <= 0:
-            raise ValueError("TIFF has more strips than rows")
-        expected = n_rows * row_bytes
+
+    def _decompress(chunk: bytes, expected: int) -> bytes:
         if compression == 1:
-            if len(strip) < expected:
-                raise ValueError("uncompressed TIFF strip too short")
-            data = strip[:expected]
-        elif compression == 5:
-            data = _lzw_decode_tiff(strip, expected)
+            if len(chunk) < expected:
+                raise ValueError("uncompressed TIFF segment too short")
+            return chunk[:expected]
+        if compression == 5:
+            data = _lzw_decode_tiff(chunk, expected)
             if len(data) != expected:
-                raise ValueError("TIFF LZW strip size mismatch")
-        else:
-            data = _packbits_decode(strip, expected)
-        raster += data
-    if len(raster) != h * row_bytes:
-        raise ValueError("TIFF strips do not cover the image")
-    px = bytearray(raster)
-    if predictor == 2:  # horizontal differencing: undo per row, per channel
-        for y in range(h):
-            base = y * row_bytes
-            for x in range(spp, row_bytes):
-                px[base + x] = (px[base + x] + px[base + x - spp]) & 0xFF
+                raise ValueError("TIFF LZW segment size mismatch")
+            return data
+        return _packbits_decode(chunk, expected)
+
+    row_bytes = w * spp
+    if 322 in tags or 323 in tags:
+        # tile grid walk (TIFF 6.0 §15): every tile is a full tw x tl
+        # raster — edge tiles carry padding the blit discards.  The
+        # predictor resets per tile ROW at tile width.
+        tw, tl = one(322), one(323)
+        if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+            raise ValueError(f"bad TIFF tile size {tw}x{tl}")
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError(
+                "TIFF tile offsets/byte-counts missing or mismatched"
+            )
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        if len(offsets) != across * down:
+            raise ValueError("TIFF tile count does not match the grid")
+        tile_row = tw * spp
+        px = bytearray(h * row_bytes)
+        for ti, (toff, tcnt) in enumerate(zip(offsets, counts)):
+            chunk = buf[toff : toff + tcnt]
+            if len(chunk) != tcnt:
+                raise ValueError("TIFF tile exceeds file bounds")
+            tile = bytearray(_decompress(chunk, tl * tile_row))
+            if predictor == 2:
+                for y in range(tl):
+                    base = y * tile_row
+                    for x in range(spp, tile_row):
+                        tile[base + x] = (
+                            tile[base + x] + tile[base + x - spp]
+                        ) & 0xFF
+            ty, tx = divmod(ti, across)
+            x0, y0 = tx * tw, ty * tl
+            n_cols = min(tw, w - x0) * spp
+            for y in range(min(tl, h - y0)):
+                dst = (y0 + y) * row_bytes + x0 * spp
+                src = y * tile_row
+                px[dst : dst + n_cols] = tile[src : src + n_cols]
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError(
+                "TIFF strip offsets/byte-counts missing or mismatched"
+            )
+        rows_per_strip = one(278, h)
+        raster = bytearray()
+        for si, (soff, scnt) in enumerate(zip(offsets, counts)):
+            strip = buf[soff : soff + scnt]
+            if len(strip) != scnt:
+                raise ValueError("TIFF strip exceeds file bounds")
+            n_rows = min(rows_per_strip, h - si * rows_per_strip)
+            if n_rows <= 0:
+                raise ValueError("TIFF has more strips than rows")
+            raster += _decompress(strip, n_rows * row_bytes)
+        if len(raster) != h * row_bytes:
+            raise ValueError("TIFF strips do not cover the image")
+        px = bytearray(raster)
+        if predictor == 2:  # horizontal differencing: undo per row/channel
+            for y in range(h):
+                base = y * row_bytes
+                for x in range(spp, row_bytes):
+                    px[base + x] = (px[base + x] + px[base + x - spp]) & 0xFF
     if photometric == 0:  # WhiteIsZero
         px = bytearray(255 - b for b in px)
+    if photometric == 3:
+        # ColorMap (tag 320): 3 x 2^bits 16-bit planes, all red then all
+        # green then all blue; 8-bit output takes the high byte
+        cmap = tags.get(320)
+        if not cmap or len(cmap) != 3 * 256:
+            raise ValueError("palette TIFF ColorMap missing or wrong size")
+        out = bytearray(w * h * 3)
+        for i in range(w * h):
+            v = px[i]
+            out[3 * i] = cmap[v] >> 8
+            out[3 * i + 1] = cmap[256 + v] >> 8
+            out[3 * i + 2] = cmap[512 + v] >> 8
+        return Raster(w, h, 3, bytes(out))
     channels = 3 if photometric == 2 else 1
     if photometric == 2 and spp > 3:  # drop extra samples (alpha)
         out = bytearray(w * h * 3)
@@ -373,15 +436,29 @@ def decode_tiff(payload: bytes) -> Raster:
 # --------------------------------------------------------------- writer ---
 
 
+#: deterministic 256-entry fixture palette: red ramps, green/blue walk
+#: coprime strides so neighbors differ in every plane
+PALETTE_MAP = tuple(
+    (i, (i * 37) % 256, (i * 91) % 256) for i in range(256)
+)
+
+
 def encode_tiff(
     pages: list[Raster],
     byte_order: str = "II",
     compression: int = 1,
     predictor: int = 1,
     rows_per_strip: int | None = None,
+    tile: tuple[int, int] | None = None,
+    palette: bool = False,
 ) -> bytes:
     """Multi-page TIFF writer over the supported matrix (fixture
-    generator).  Each page becomes one IFD with real strip layout."""
+    generator).  Each page becomes one IFD with real strip layout — or
+    a real TILE GRID when ``tile=(tw, tl)`` is given (spec: multiples
+    of 16; edge tiles zero-padded to full size, predictor per tile
+    row).  ``palette=True`` writes 1-channel pages as photometric-3
+    with the deterministic 16-bit PALETTE_MAP ColorMap (value*257),
+    which decodes to the mapped RGB raster."""
     if byte_order not in ("II", "MM"):
         raise ValueError("byte_order must be 'II' or 'MM'")
     if compression not in (1, 5, 32773):
@@ -390,6 +467,10 @@ def encode_tiff(
         raise ValueError(f"unsupported predictor {predictor}")
     if not pages:
         raise ValueError("TIFF needs at least one page")
+    if tile is not None and (tile[0] % 16 or tile[1] % 16 or min(tile) <= 0):
+        raise ValueError(f"TIFF tile size must be multiples of 16, got {tile}")
+    if palette and any(r.channels != 1 for r in pages):
+        raise ValueError("palette TIFF pages must be single-channel")
     bo = "<" if byte_order == "II" else ">"
     out = bytearray(
         b"II*\x00" if byte_order == "II" else b"MM\x00*"
@@ -399,29 +480,52 @@ def encode_tiff(
         w, h, spp = r.width, r.height, r.channels
         rps = rows_per_strip or h
         row_bytes = w * spp
-        px = bytearray(r.pixels)
-        if predictor == 2:
-            for y in range(h):
-                base = y * row_bytes
-                for x in range(row_bytes - 1, spp - 1, -1):
-                    px[base + x] = (px[base + x] - px[base + x - spp]) & 0xFF
-        strips: list[bytes] = []
-        for y0 in range(0, h, rps):
-            n_rows = min(rps, h - y0)
-            raw = bytes(px[y0 * row_bytes : (y0 + n_rows) * row_bytes])
+
+        def _compress(raw: bytes) -> bytes:
             if compression == 5:
-                strips.append(_lzw_encode_tiff(raw))
-            elif compression == 32773:
-                strips.append(_packbits_encode(raw))
-            else:
-                strips.append(raw)
-        strip_offsets = []
-        for s in strips:
-            strip_offsets.append(len(out))
+                return _lzw_encode_tiff(raw)
+            if compression == 32773:
+                return _packbits_encode(raw)
+            return raw
+
+        def _diff(buf: bytearray, width_bytes: int, n_rows: int) -> None:
+            for y in range(n_rows):
+                base = y * width_bytes
+                for x in range(width_bytes - 1, spp - 1, -1):
+                    buf[base + x] = (buf[base + x] - buf[base + x - spp]) & 0xFF
+
+        segments: list[bytes] = []
+        if tile is None:
+            px = bytearray(r.pixels)
+            if predictor == 2:
+                _diff(px, row_bytes, h)
+            for y0 in range(0, h, rps):
+                n_rows = min(rps, h - y0)
+                segments.append(_compress(
+                    bytes(px[y0 * row_bytes : (y0 + n_rows) * row_bytes])
+                ))
+        else:
+            tw, tl = tile
+            tile_row = tw * spp
+            src = r.pixels
+            for y0 in range(0, h, tl):
+                for x0 in range(0, w, tw):
+                    buf = bytearray(tl * tile_row)
+                    n_cols = min(tw, w - x0) * spp
+                    for y in range(min(tl, h - y0)):
+                        s = (y0 + y) * row_bytes + x0 * spp
+                        buf[y * tile_row : y * tile_row + n_cols] = (
+                            src[s : s + n_cols]
+                        )
+                    if predictor == 2:
+                        _diff(buf, tile_row, tl)
+                    segments.append(_compress(bytes(buf)))
+        seg_offsets = []
+        for s in segments:
+            seg_offsets.append(len(out))
             out += s
             if len(out) & 1:
                 out += b"\x00"  # word alignment
-        n_strips = len(strips)
 
         def arr_or_inline(values: list[int], etype: int) -> tuple[int, bytes]:
             size = _TYPE_SIZES[etype]
@@ -445,11 +549,20 @@ def encode_tiff(
         add(257, 4, [h])
         add(258, 3, [8] * spp)
         add(259, 3, [compression])
-        add(262, 3, [2 if spp == 3 else 1])
-        add(273, 4, strip_offsets)
+        add(262, 3, [3 if palette else (2 if spp == 3 else 1)])
         add(277, 3, [spp])
-        add(278, 4, [rps])
-        add(279, 4, [len(s) for s in strips])
+        if tile is None:
+            add(273, 4, seg_offsets)
+            add(278, 4, [rps])
+            add(279, 4, [len(s) for s in segments])
+        else:
+            add(322, 4, [tile[0]])
+            add(323, 4, [tile[1]])
+            add(324, 4, seg_offsets)
+            add(325, 4, [len(s) for s in segments])
+        if palette:
+            add(320, 3, [c * 257 for plane in range(3)
+                         for c in (e[plane] for e in PALETTE_MAP)])
         if predictor != 1:
             add(317, 3, [predictor])
         entries.sort()  # spec: entries in ascending tag order

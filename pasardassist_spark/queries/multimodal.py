@@ -1164,6 +1164,7 @@ def mm_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
                doc_id % 19 + 8 AS w,
                (doc_id * 3) % 17 + 8 AS h,
                CASE WHEN doc_id % 5 < 3 THEN 3 ELSE 1 END AS ch,
+               doc_id % 5 = 4 AS pal,
                doc_id % 3 + 1 AS n_pages,
                CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END
                    || '-' ||
@@ -1171,11 +1172,13 @@ def mm_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ELSE '32773' END
                    || '-' ||
                    CASE WHEN (doc_id // 3) % 2 = 0 THEN '1' ELSE '2' END
+                   || CASE WHEN doc_id % 7 < 3 THEN '-t' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 4 THEN '-p' ELSE '' END
                    AS layout
         FROM documents
     ),
     px AS (
-        SELECT b.doc_id, b.n_pages, b.w, b.h, b.ch, b.layout,
+        SELECT b.doc_id, b.n_pages, b.w, b.h, b.ch, b.pal, b.layout,
                CAST(pg.pg AS INTEGER) AS page_no,
                (x.x * 7 + y.y * 13 + c.c * 29 + b.doc_id + 31 * pg.pg)
                    % 256 AS v
@@ -1189,11 +1192,13 @@ def mm_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_pages AS INTEGER) AS n_pages,
            CAST(w AS INTEGER) AS width,
            CAST(h AS INTEGER) AS height,
-           CAST(ch AS INTEGER) AS channels,
+           CAST(CASE WHEN pal THEN 3 ELSE ch END AS INTEGER) AS channels,
            layout,
-           CAST(SUM(v) AS BIGINT) AS pixel_sum
+           CAST(SUM(CASE WHEN pal
+                         THEN v + (v * 37) % 256 + (v * 91) % 256
+                         ELSE v END) AS BIGINT) AS pixel_sum
     FROM px
-    GROUP BY doc_id, page_no, n_pages, w, h, ch, layout
+    GROUP BY doc_id, page_no, n_pages, w, h, ch, pal, layout
     """,
 )
 def mm_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1201,12 +1206,15 @@ def mm_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan/scientific format): every document gets a genuine multi-page
     TIFF rotating the full supported matrix by doc_id (II/MM byte order,
     none/TIFF-LZW/PackBits compression, horizontal-differencing
-    predictor, 5-row strips, gray/RGB, 1-3 pages). TIFF-LZW is
-    deliberately the OTHER bit discipline from GIF (MSB-first with the
-    early-change width bump), so both LZW families are certified
-    independently. The oracle re-derives every page's checksum from the
-    closed-form pixel formula; tiles/16-bit/palette/planar-2 variants
-    raise by name and are pytest-pinned (tests/test_tiffcodec.py)."""
+    predictor, 16x16 TILE grids vs 5-row strips — doc_id%7, round 14 —
+    gray/RGB/PALETTE — doc_id%5, photometric-3 ColorMap lookup — and
+    1-3 pages). TIFF-LZW is deliberately the OTHER bit discipline from
+    GIF (MSB-first with the early-change width bump), so both LZW
+    families are certified independently. The oracle re-derives every
+    page's checksum from the closed-form pixel formula (palette rows
+    re-map v through the deterministic ColorMap arithmetic);
+    16-bit/planar-2/BigTIFF variants raise by name and are pytest-pinned
+    (tests/test_tiffcodec.py)."""
     from pasardassist_spark.operators.multimodal import tiff_page_features
 
     d = load(spark, sf_dir, "documents").select("doc_id")

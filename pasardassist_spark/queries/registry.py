@@ -207,6 +207,10 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     "doc_pdf_extract", "pipeline_doc_extract_clean",
     "pipeline_any_doc_extract", "pipeline_attachment_extract",
     "streaming_docgate_readout",
+    # round 14: tiffcodec gained tile grids + palette ColorMap decode and
+    # mm_tiff_decode's fixtures/oracle rotate both in (doc_id%7 tiled,
+    # doc_id%5==4 palette).
+    "mm_tiff_decode",
 })
 
 

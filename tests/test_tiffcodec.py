@@ -131,7 +131,9 @@ def test_tiff_unsupported_paths_raise_by_name():
         decode_tiff(patch(258, 16))
     with pytest.raises(NotImplementedError, match="compression"):
         decode_tiff(patch(259, 7))  # JPEG-in-TIFF
-    with pytest.raises(NotImplementedError, match="palette"):
+    # photometric 3 without a ColorMap is now MALFORMED, not a seam
+    # (palette decode is real since round 14)
+    with pytest.raises(ValueError, match="ColorMap"):
         decode_tiff(patch(262, 3))
 
 
@@ -142,3 +144,54 @@ def test_tiff_truncation_and_garbage_raise():
             decode_tiff(payload[:cut])
     with pytest.raises(ValueError):
         decode_tiff(b"II+\x00garbage")
+
+
+# ------------------------------------------------- round 14: tiles/palette
+
+
+def test_tiled_roundtrip_full_matrix():
+    """16x16 tile grid across both endians, all compressions, both
+    predictors, gray+RGB, with edge tiles in both dimensions (26x24
+    over 16x16 -> 2x2 grid, right and bottom padding discarded)."""
+    for bo in ("II", "MM"):
+        for comp in (1, 5, 32773):
+            for pred in (1, 2):
+                for ch in (1, 3):
+                    pages = [_synth(26, 24, ch, s) for s in (3, 40)]
+                    payload = encode_tiff(
+                        pages, byte_order=bo, compression=comp,
+                        predictor=pred, tile=(16, 16),
+                    )
+                    assert decode_tiff_pages(payload) == pages
+
+
+def test_palette_roundtrip_maps_colormap():
+    from pasardassist_spark.operators.tiffcodec import PALETTE_MAP
+
+    for layout in (dict(rows_per_strip=5), dict(tile=(16, 16))):
+        gray = _synth(19, 17, 1, 7)
+        payload = encode_tiff([gray], compression=5, palette=True, **layout)
+        (got,) = decode_tiff_pages(payload)
+        assert (got.width, got.height, got.channels) == (19, 17, 3)
+        expected = b"".join(bytes(PALETTE_MAP[v]) for v in gray.pixels)
+        assert got.pixels == expected
+
+
+def test_tile_grid_errors():
+    pages = [_synth(26, 24, 1, 3)]
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(pages, tile=(10, 16))
+    payload = bytearray(encode_tiff(pages, tile=(16, 16)))
+    (ifd,) = struct.unpack_from("<I", payload, 4)
+    (n,) = struct.unpack_from("<H", payload, ifd)
+    for i in range(n):
+        pos = ifd + 2 + 12 * i
+        if struct.unpack_from("<H", payload, pos)[0] == 322:
+            struct.pack_into("<H", payload, pos + 8, 24)  # not 16-multiple
+    with pytest.raises(ValueError, match="tile size"):
+        decode_tiff(bytes(payload))
+
+
+def test_palette_requires_single_channel():
+    with pytest.raises(ValueError, match="single-channel"):
+        encode_tiff([_synth(8, 8, 3, 0)], palette=True)
