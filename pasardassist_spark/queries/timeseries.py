@@ -255,6 +255,159 @@ def st3_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_watermark_readout",
+    oracle="""
+    WITH e0 AS (
+        SELECT (event_id // 3) % 4 AS d, value
+        FROM events WHERE event_id % 3 = 0
+    ),
+    e1 AS (
+        -- the late batch: day-0 rows arrive after the watermark passed
+        -- their window end and are DROPPED; day-1/day-2 rows are late
+        -- by raw event time but their windows are still open, so they
+        -- count (the window-end drop rule this row exists to pin)
+        SELECT (event_id // 3) % 3 AS d, value
+        FROM events
+        WHERE event_id % 3 = 1 AND (event_id // 3) % 3 >= 1
+    ),
+    rows_all AS (
+        SELECT d, value FROM e0
+        UNION ALL SELECT d, value FROM e1
+        UNION ALL SELECT 3 AS d, 0.0 AS value  -- epoch-0 watermark sentinel
+        UNION ALL SELECT 3 AS d, 0.0 AS value  -- epoch-1 wedge sentinel
+    )
+    SELECT CAST(d AS INTEGER) AS day_no,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM rows_all GROUP BY d
+    """,
+)
+def streaming_watermark_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 (late data / watermark) driven END-TO-END and read back — the
+    docgate/imagegate readout pattern giving the watermark semantics a
+    driver row with a closed-form oracle (st3 pins stream==batch in
+    COMPLETE mode; this pins the APPEND-mode finalize-and-drop rule,
+    previously pytest-only).
+
+    Four event-time-controlled epochs replay through the watermarked
+    tumbling-day rollup (streaming/ingest.streaming_day_rollup,
+    watermark 2 days) as separate files under maxFilesPerTrigger=1,
+    with mtimes pinning batch order:
+
+    - epoch 0: event_id%3==0 rows spread over days 0-3 (hour 1-23), plus
+      a sentinel at day 3 23:00 that FIXES the max event time, so the
+      watermark entering later batches is exactly day 1 23:00;
+    - epoch 1 (the WEDGE): one more day-3-23:00 sentinel.  Its batch is
+      where day 0 gets evicted and emitted final (eviction runs with
+      the post-epoch-0 watermark; the wedge leaves the max — and hence
+      the watermark — unchanged).  Without the wedge, late day-0 rows
+      would land in the same batch as day 0's eviction and still merge
+      (measured: append mode drops only rows arriving AFTER their
+      window was evicted — the one-batch lag is the real engine
+      semantics this row pins);
+    - epoch 2: event_id%3==1 rows at noon of days 0-2 — ALL late by raw
+      event time, but only day-0's window is already closed: day-0 rows
+      must be dropped, day-1/day-2 rows must still count.  Dropping by
+      raw event time instead of window finality would flunk the oracle
+      on every day-1 row;
+    - epochs 3 and 4: single far-future sentinels (day 30, day 40) that
+      push the watermark past every real window so append mode emits
+      day 1-3 as FINAL — epoch 4 exists so day 3's eviction happens in
+      a deterministic data-bearing batch, not an optional flush batch.
+
+    The readout keeps day_no <= 3 (the sentinel windows are never
+    finalized deterministically, and they are scaffolding, not data).
+    The oracle re-derives every count/sum from event_id arithmetic —
+    one hash certifies watermark advancement, the window-end drop rule,
+    within-watermark late admission, and append-mode finality.  At
+    100 TB this is the production shape: files-per-trigger cadence,
+    state bounded by watermark eviction."""
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="pasard_wm_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        ev = load(spark, sf_dir, "events").select("event_id", "value")
+        base = "TIMESTAMP '2024-01-01 00:00:00'"
+        e0 = ev.filter("event_id % 3 = 0").selectExpr(
+            "event_id AS user_id",
+            f"{base} + make_interval(0, 0, 0, "
+            "CAST((event_id DIV 3) % 4 AS INT), "
+            "CAST((event_id DIV 3) % 23 + 1 AS INT), 0, 0) AS ts",
+            "value",
+        ).unionAll(
+            spark.range(1).selectExpr(
+                "CAST(-1 AS BIGINT) AS user_id",
+                f"{base} + make_interval(0, 0, 0, 3, 23, 0, 0) AS ts",
+                "CAST(0.0 AS DOUBLE) AS value",
+            )
+        )
+        late = ev.filter("event_id % 3 = 1").selectExpr(
+            "event_id AS user_id",
+            f"{base} + make_interval(0, 0, 0, "
+            "CAST((event_id DIV 3) % 3 AS INT), 12, 0, 0) AS ts",
+            "value",
+        )
+
+        def _sentinel(days: int, hours: int, uid: int) -> DataFrame:
+            return spark.range(1).selectExpr(
+                f"CAST({uid} AS BIGINT) AS user_id",
+                f"{base} + make_interval(0, 0, 0, {days}, {hours}, 0, 0)"
+                " AS ts",
+                "CAST(0.0 AS DOUBLE) AS value",
+            )
+
+        epochs = [
+            e0,
+            _sentinel(3, 23, -3),  # wedge: day 0 evicts here, max unchanged
+            late,
+            _sentinel(30, 0, -2),
+            _sentinel(40, 0, -2),
+        ]
+        for i, epoch in enumerate(epochs):
+            stage = os.path.join(work, f"stage{i}")
+            epoch.coalesce(1).write.parquet(stage)
+            (part,) = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+            dst = os.path.join(src, f"epoch{i}.parquet")
+            os.rename(os.path.join(stage, part), dst)
+            # batch order = (mtime, path): pin both
+            os.utime(dst, (1_700_000_000 + i * 1000,) * 2)
+        from pasardassist_spark.streaming.ingest import streaming_day_rollup
+
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = streaming_day_rollup(stream)  # watermark "2 days"
+        name = f"wm_readout_{os.getpid()}_{abs(hash(sf_dir)) % 10000}"
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return (
+            spark.table(name)
+            .select(
+                F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+                .cast("int")
+                .alias("day_no"),
+                "n_events",
+                "total_value",
+            )
+            .filter(F.col("day_no") <= 3)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "sess_gap_sessionize",
     oracle=f"""
     WITH m AS (
