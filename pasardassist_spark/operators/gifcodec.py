@@ -8,10 +8,12 @@ screen descriptor, global/local color tables, one image descriptor, and the
 variable-code-width LZW stream (9→12 bits, CLEAR/EOI, KwKwK case, 4096-slot
 dictionary reset). Decoded frames land in the same ``Raster`` type as every
 other codec, so dHash/resize/feature stages compose unchanged. Supported:
-non-interlaced single-frame GIF87a/89a with an 8-bit color table; interlace
-and animation raise NotImplementedError at the same seam a full build would
-plug a real decoder into. Extension blocks (graphic control, comment,
-application) are skipped per spec.
+single-frame GIF87a/89a with an 8-bit color table, ANIMATION (frame
+compositing with disposal methods and transparency), and — round 14 — the
+Appendix E four-pass INTERLACE row order on both the single-frame and
+animated paths (de-interlaced by a vectorized row scatter). Extension
+blocks (graphic control, comment, application) are handled or skipped per
+spec.
 
 The LZW width-change pairing follows giflib: the ENCODER widens when the
 next free slot exceeds ``1 << width`` (slot 513 is the first 10-bit
@@ -38,6 +40,18 @@ _MAX_CODE = 4096
 
 def sniff_gif(payload: bytes) -> bool:
     return payload[:6] in GIF_MAGICS
+
+
+def _interlace_order(h: int) -> "np.ndarray":
+    """Display-row indices in STORAGE order — the GIF89a Appendix E
+    four-pass interlace (rows 0,8,16.. then 4,12,20.. then 2,6,10..
+    then the odd rows).  De-interlacing assigns stored rows back to
+    these display positions; the writer gathers them in this order."""
+    return np.concatenate([
+        np.arange(0, h, 8), np.arange(4, h, 8),
+        np.arange(2, h, 4), np.arange(1, h, 2),
+    ])
+
 
 
 # ------------------------------------------------------------------ LZW --
@@ -217,8 +231,7 @@ def _decode_gif(payload: bytes) -> Raster:
         if block == 0x2C:  # image descriptor
             _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
             pos += 9
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF unsupported")
+            interlaced = bool(iflags & 0x40)
             table = global_table
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)
@@ -278,22 +291,43 @@ def _decode_gif(payload: bytes) -> Raster:
                 bad = int(ia[ia >= n_colors][0])
                 raise ValueError(f"GIF index {bad} beyond color table")
             pal = np.frombuffer(table, dtype=np.uint8).reshape(n_colors, 3)
+            if interlaced:
+                stored = ia.reshape(h, w)
+                disp = np.empty_like(stored)
+                disp[_interlace_order(h)] = stored
+                ia = disp.reshape(-1)
             return Raster(w, h, 3, pal[ia].tobytes())
         raise ValueError(f"unknown GIF block {block:#x}")
 
 
-def encode_gif(indices: bytes, width: int, height: int, palette: bytes) -> bytes:
+def encode_gif(
+    indices: bytes,
+    width: int,
+    height: int,
+    palette: bytes,
+    interlace: bool = False,
+) -> bytes:
     """Single-frame GIF89a writer: 256-entry global color table (palette
-    padded), real LZW stream in <=255-byte sub-blocks."""
+    padded), real LZW stream in <=255-byte sub-blocks.  ``interlace``
+    stores rows in the Appendix E four-pass order and sets the
+    descriptor flag."""
     if len(indices) != width * height:
         raise ValueError("index buffer does not match dimensions")
     if len(palette) % 3 or not 0 < len(palette) <= 768:
         raise ValueError("palette must be 1..256 RGB triplets")
+    if interlace:
+        indices = (
+            np.frombuffer(indices, dtype=np.uint8)
+            .reshape(height, width)[_interlace_order(height)]
+            .tobytes()
+        )
     pal = palette + b"\x00" * (768 - len(palette))
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
     out += pal
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+    )
     out.append(8)  # LZW min code size
     data = _lzw_encode(indices, 8)
     for i in range(0, len(data), 255):
@@ -379,8 +413,7 @@ def _decode_gif_frames(payload: bytes) -> tuple[int, int, list[Raster]]:
             raise ValueError(f"unknown GIF block {block:#x}")
         fx, fy, fw, fh, iflags = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
-        if iflags & 0x40:
-            raise NotImplementedError("interlaced GIF unsupported")
+        interlaced = bool(iflags & 0x40)
         if fx + fw > sw or fy + fh > sh:
             raise ValueError("GIF frame rectangle exceeds the canvas")
         table = global_table
@@ -416,6 +449,10 @@ def _decode_gif_frames(payload: bytes) -> tuple[int, int, list[Raster]]:
             )
         n_colors = len(table) // 3
         ia = np.frombuffer(idx, dtype=np.uint8).reshape(fh, fw)
+        if interlaced:
+            disp = np.empty_like(ia)
+            disp[_interlace_order(fh)] = ia
+            ia = disp
         opaque = (
             ia != transparent if transparent is not None
             else np.ones_like(ia, dtype=bool)
@@ -445,6 +482,7 @@ def encode_gif_animated(
     palette: bytes,
     disposals: list[int] | None = None,
     transparent_idx: int | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """Animated GIF89a writer (fixture generator): ``frames`` is a list of
     (x, y, w, h, indices) sub-rectangles composited in order; one global
@@ -467,8 +505,16 @@ def encode_gif_animated(
             gflags |= 1
             tidx = transparent_idx
         out += b"\x21\xf9\x04" + bytes((gflags, 0, 0, tidx)) + b"\x00"
-        out += b"\x2c" + struct.pack("<HHHHB", fx, fy, fw, fh, 0)
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", fx, fy, fw, fh, 0x40 if interlace else 0
+        )
         out.append(8)
+        if interlace:
+            indices = (
+                np.frombuffer(indices, dtype=np.uint8)
+                .reshape(fh, fw)[_interlace_order(fh)]
+                .tobytes()
+            )
         data = _lzw_encode(indices, 8)
         for i in range(0, len(data), 255):
             chunk = data[i : i + 255]

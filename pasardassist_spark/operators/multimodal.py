@@ -694,7 +694,14 @@ def attach_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     )
                     % 256
                 ).astype(np.uint8).tobytes()
-                payloads.append(gifcodec.encode_gif(idx, w, h, palette))
+                payloads.append(
+                    # odd ids store the Appendix E four-pass interlace
+                    # row order (round 14) — pure container layout, the
+                    # decoded raster and hence the oracle are unchanged
+                    gifcodec.encode_gif(
+                        idx, w, h, palette, interlace=seed % 2 == 1
+                    )
+                )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -1067,7 +1074,11 @@ def gif_sample_frames(df: DataFrame, k: int = 3, id_col: str = "doc_id") -> Data
                         np.uint8
                     )
                     frames.append((fr, fr, fw, fh, idx.tobytes()))
-                payload = gifcodec.encode_gif_animated(frames, w, h, pal)
+                # odd ids store every frame interlaced (round 14) — pure
+                # container layout, the composited canvases are unchanged
+                payload = gifcodec.encode_gif_animated(
+                    frames, w, h, pal, interlace=seed % 2 == 1
+                )
                 cw, ch, decoded = gifcodec.decode_gif_frames(payload)
                 if (cw, ch, len(decoded)) != (w, h, n):
                     raise ValueError(

@@ -211,6 +211,10 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # mm_tiff_decode's fixtures/oracle rotate both in (doc_id%7 tiled,
     # doc_id%5==4 palette).
     "mm_tiff_decode",
+    # round 14: gifcodec gained Appendix E interlace on both decode paths
+    # and attach_gif_payload rotates interlaced fixtures in (odd ids) —
+    # output unchanged by design, one fresh row each to certify.
+    "mm_gif_decode", "mm_gif_frames",
 })
 
 

@@ -83,13 +83,36 @@ def test_gif_small_palette_and_local_table_error_paths():
     assert r.pixels == bytes([0, 0, 0, 255, 255, 255, 255, 255, 255, 0, 0, 0])
 
 
-def test_gif_interlace_rejected():
-    payload = bytearray(encode_gif(_indices(8, 8), 8, 8, _pal_identity()))
-    # image descriptor flags byte: 6 (magic) + 7 (LSD) + 768 (palette)
-    # + 1 (0x2C) + 8 (x,y,w,h) = 790
-    payload[790] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_gif(bytes(payload))
+def test_gif_interlace_roundtrip():
+    """Appendix E four-pass interlace (round 14): the interlaced encoding
+    of a raster decodes identically to the progressive one, across
+    heights hitting every pass-count regime (h=1 pass 1 only, h<=4 no
+    pass-4-only rows, odd/even, > 8)."""
+    pal = _pal_identity()
+    for w, h in [(13, 1), (9, 2), (7, 3), (16, 4), (5, 5), (11, 8),
+                 (10, 17), (23, 29)]:
+        idx = bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w))
+        plain = decode_gif(encode_gif(idx, w, h, pal))
+        inter = decode_gif(encode_gif(idx, w, h, pal, interlace=True))
+        assert inter == plain, (w, h)
+    # the descriptor flag is really set (not silently ignored)
+    payload = encode_gif(_indices(8, 8), 8, 8, pal, interlace=True)
+    assert payload[790] & 0x40
+
+
+def test_gif_animated_interlace_roundtrip():
+    from pasardassist_spark.operators.gifcodec import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    pal = _pal_identity()
+    frames = [(0, 0, 8, 8, bytes(range(64))), (2, 2, 4, 4, bytes(range(16)))]
+    plain = decode_gif_frames(encode_gif_animated(frames, 8, 8, pal))
+    inter = decode_gif_frames(
+        encode_gif_animated(frames, 8, 8, pal, interlace=True)
+    )
+    assert inter == plain
 
 
 def test_gif_animation_rejected():
