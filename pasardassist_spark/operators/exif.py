@@ -194,17 +194,30 @@ def _find_exif_tiff(jpeg: bytes) -> bytes | None:
     if jpeg[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
-    while pos + 4 <= len(jpeg):
+    while pos + 2 <= len(jpeg):
         if jpeg[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
-        marker = jpeg[pos + 1]
+        # ADVICE r13: 0xFF fill bytes between segments are spec-legal
+        # padding (ITU T.81 §B.1.1.2) — skip them, or the fill byte
+        # reads as the marker and the walk silently desyncs
+        while pos < len(jpeg) and jpeg[pos] == 0xFF:
+            pos += 1
+        if pos >= len(jpeg):
+            return None
+        marker = jpeg[pos]
+        pos += 1
         if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no headers left
             return None
-        (seg_len,) = struct.unpack_from(">H", jpeg, pos + 2)
-        body = jpeg[pos + 4 : pos + 2 + seg_len]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn: standalone markers carry no length field
+            continue
+        if pos + 2 > len(jpeg):
+            raise ValueError("truncated JPEG segment header")
+        (seg_len,) = struct.unpack_from(">H", jpeg, pos)
+        body = jpeg[pos + 2 : pos + seg_len]
         if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
             return body[6:]
-        pos += 2 + seg_len
+        pos += seg_len
     return None
 
 

@@ -78,6 +78,23 @@ def irls_logistic(
             for j in range(i + 1):
                 H[i, j] = H[j, i] = row[f"h{i}_{j}"]
         beta = beta + np.linalg.solve(H, g)
+    # ADVICE r13: the loop's last H was built at the PENULTIMATE beta —
+    # one extra Hessian-only aggregate at the final beta, so std_err/z
+    # describe the reported coefficients, not the previous Newton step
+    eta = sum(
+        (F.col(c) * float(b) for c, b in zip(names[1:], beta[1:])),
+        F.lit(float(beta[0])),
+    )
+    p = _sigmoid_col(eta)
+    w = p * (1.0 - p)
+    aggs = []
+    for i, ci in enumerate(names):
+        for j, cj in enumerate(names[: i + 1]):
+            aggs.append(F.sum(F.col(ci) * F.col(cj) * w).alias(f"h{i}_{j}"))
+    row = feats.agg(*aggs).collect()[0]
+    for i in range(d):
+        for j in range(i + 1):
+            H[i, j] = H[j, i] = row[f"h{i}_{j}"]
     se = np.sqrt(np.diag(np.linalg.inv(H)))
     return beta, se, n
 

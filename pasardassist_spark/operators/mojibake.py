@@ -2,13 +2,15 @@
 applies before any text operator sees a byte.
 
 The dominant real-world corruption is UTF-8 bytes mis-decoded as a
-single-byte codepage (latin-1/cp1252): 'café' becomes 'cafÃ©', and a
-document that transits two broken hops becomes 'cafÃƒÂ©' (double
-mojibake).  The repair is the inverse round-trip, applied while it still
-makes progress:
+single-byte codepage (latin-1/cp1252): 'café' becomes 'cafÃ©', a
+cp1252 hop turns a curly quote into 'â€™', and a document that
+transits two broken hops becomes 'cafÃƒÂ©' (double mojibake).  The
+repair is the inverse round-trip, applied while it still makes
+progress:
 
-    while s.encode('latin-1') is possible AND those bytes are valid
-    UTF-8 AND decoding them changes the string: replace s.
+    while s encodes to latin-1 (or, failing that, cp1252 — the €/™
+    characters latin-1 lacks) AND those bytes are valid UTF-8 AND
+    decoding them changes the string: replace s.
 
 Safety: clean ASCII is a fixed point (the round-trip is the identity);
 clean text with genuine non-latin-1 characters (CJK, emoji) cannot
@@ -33,13 +35,25 @@ MAX_PASSES = 4
 
 
 def fix_mojibake_text(s: str) -> tuple[str, int]:
-    """Repair one string; returns (fixed, passes_applied)."""
+    """Repair one string; returns (fixed, passes_applied).
+
+    ADVICE r13: latin-1 alone misses the commonest real-world case —
+    cp1252 mojibake like 'â€™' for a curly quote, whose € and ™ have no
+    latin-1 codepoint.  When the latin-1 round-trip can't even start,
+    fall back to cp1252 (ftfy's sloppy-windows-1252 direction): if EVERY
+    character maps into cp1252 the text was plausibly decoded through
+    it, and the UTF-8 check then arbitrates exactly as for latin-1.
+    Genuine non-Western text (CJK, emoji) fails both encodes and stays
+    untouched."""
     n = 0
     for _ in range(MAX_PASSES):
         try:
             b = s.encode("latin-1")
         except UnicodeEncodeError:
-            break  # genuine non-latin-1 text: clean by construction
+            try:
+                b = s.encode("cp1252")
+            except UnicodeEncodeError:
+                break  # genuine non-single-byte text: clean by construction
         try:
             t = b.decode("utf-8")
         except UnicodeDecodeError:

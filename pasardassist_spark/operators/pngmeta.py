@@ -78,6 +78,10 @@ def parse_text_chunks(png: bytes) -> dict[str, str]:
         if len(body) != clen:
             raise ValueError("truncated PNG chunk")
         if ctype in (b"tEXt", b"zTXt", b"iTXt"):
+            # ADVICE r13: a file torn between chunk body and CRC must
+            # fail with the module's ValueError contract, not struct.error
+            if pos + 12 + clen > len(png):
+                raise ValueError("truncated PNG chunk")
             (crc,) = struct.unpack_from(">I", png, pos + 8 + clen)
             if crc != zlib.crc32(ctype + body) & 0xFFFFFFFF:
                 raise ValueError(f"bad CRC on {ctype.decode()} chunk")

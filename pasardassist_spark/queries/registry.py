@@ -215,6 +215,14 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # and attach_gif_payload rotates interlaced fixtures in (odd ids) —
     # output unchanged by design, one fresh row each to certify.
     "mm_gif_decode", "mm_gif_frames",
+    # round 14 ADVICE fixes touching operator internals: ID3 flag-byte
+    # guards (id3.py), PNG chunk-CRC bounds (pngmeta.py), cp1252
+    # mojibake fallback (mojibake.py), final-beta Hessian for IRLS
+    # standard errors (glm.py), JPEG fill-byte/standalone-marker walk
+    # (exif.py).  Outputs should be unchanged on the fixture corpora —
+    # one fresh driver row each certifies that.
+    "mm_id3_tags", "mm_png_prompt_meta", "text_fix_mojibake",
+    "ml_logreg_irls", "mm_exif_extract",
 })
 
 

@@ -109,3 +109,22 @@ def test_exact_mas_requires_integer_pairs():
     )
     meta = EX.parse_exif(jpeg)
     assert meta["lat_mas"] == 3_600_000 // 2 + 60_000 // 3 + 1_000 // 7
+
+
+def test_marker_walk_skips_fill_bytes_and_standalone_markers():
+    """ADVICE r13: 0xFF fill padding between segments (ITU T.81
+    §B.1.1.2) and length-less standalone markers (TEM, RSTn) must not
+    desync the header walk."""
+    import struct
+
+    from pasardassist_spark.operators.exif import _find_exif_tiff
+
+    tiff = b"II*\x00" + b"\x00" * 8
+    app1 = (
+        b"\xff\xe1" + struct.pack(">H", 2 + 6 + len(tiff))
+        + b"Exif\x00\x00" + tiff
+    )
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + app1 + b"\xff\xd9"
+    assert _find_exif_tiff(padded) == tiff
+    standalone = b"\xff\xd8" + b"\xff\x01" + b"\xff\xd0" + app1 + b"\xff\xd9"
+    assert _find_exif_tiff(standalone) == tiff

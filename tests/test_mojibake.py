@@ -49,3 +49,19 @@ def test_pass_cap_bounds_work():
     # one more call finishes the job (idempotent convergence)
     fixed2, n2 = fix_mojibake_text(fixed)
     assert fixed2 == "é" and n2 == 2
+
+
+def test_cp1252_mojibake_repairs():
+    """ADVICE r13: 'â€™' (a curly quote through a cp1252 hop) contains €
+    and ™, which latin-1 cannot encode — the cp1252 fallback must repair
+    it, one generation per hop."""
+    from pasardassist_spark.operators.mojibake import fix_mojibake_text
+
+    assert fix_mojibake_text("â€™") == ("’", 1)
+    two_hops = (
+        "’".encode("utf-8").decode("cp1252")
+        .encode("utf-8").decode("cp1252")
+    )
+    assert fix_mojibake_text(two_hops) == ("’", 2)
+    # sloppy direction still refuses genuine non-Western text
+    assert fix_mojibake_text("日本語") == ("日本語", 0)
