@@ -272,6 +272,7 @@ EXTRA_NAMES = [
     "mm_wav_info_tags",
     # round-14 debuts
     "mm_mp3_frames",
+    "doc_encrypted_extract",
 ]
 
 

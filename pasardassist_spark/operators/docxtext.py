@@ -24,9 +24,11 @@ What is REAL here:
   cell's paragraphs joining the output — real Word documents put a third
   of their text inside tables.
 
-Out-of-scope-by-name: legacy binary ``.doc`` (OLE2 compound files) and
-encrypted OOXML raise ``NotImplementedError``; malformed ZIP/XML raises
-``ValueError``.
+Password-protected OOXML (an agile-encrypted CFB container) decrypts via
+operators/ooxmlcrypt.py when a password is supplied (round 14) and raises
+``NotImplementedError`` by name without one.  Legacy binary ``.doc``
+(OLE2 compound files) raises ``NotImplementedError``; malformed ZIP/XML
+raises ``ValueError``.
 
 The writer ``encode_docx`` synthesizes CONFORMING minimal packages
 ([Content_Types].xml, _rels/.rels, word/document.xml with runs split at
@@ -58,10 +60,28 @@ def sniff_docx(payload: bytes) -> bool:
     return payload[:4] == b"PK\x03\x04"
 
 
-def extract_docx_paragraphs(payload: bytes) -> list[str]:
+def extract_docx_paragraphs(
+    payload: bytes, password: str | None = None
+) -> list[str]:
     """Return the document's paragraphs (body flow order, table cells
-    included) as a list of strings.  See module docstring for semantics."""
+    included) as a list of strings.  A password-protected package (an
+    agile-encrypted CFB container, operators/ooxmlcrypt.py) decrypts
+    transparently when ``password`` is given.  See module docstring for
+    semantics."""
     if payload[:8] == _OLE2_MAGIC:
+        from pasardassist_spark.operators.ooxmlcrypt import (
+            decrypt_ooxml_agile,
+            sniff_encrypted_ooxml,
+        )
+
+        if sniff_encrypted_ooxml(payload):
+            if password is None:
+                raise NotImplementedError(
+                    "password-protected OOXML requires a password"
+                )
+            return extract_docx_paragraphs(
+                decrypt_ooxml_agile(payload, password)
+            )
         raise NotImplementedError(
             "legacy binary .doc (OLE2 compound file) unsupported"
         )

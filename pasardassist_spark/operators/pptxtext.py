@@ -21,9 +21,11 @@ What is REAL here:
   concatenated, explicit line breaks ``a:br`` → ``\\n`` — the mapping
   python-pptx and LibreOffice use.
 
-Out-of-scope-by-name: legacy binary ``.ppt`` (OLE2 compound files) and
-encrypted OOXML raise ``NotImplementedError``; malformed ZIP/XML raises
-``ValueError``.
+Password-protected OOXML (an agile-encrypted CFB container) decrypts via
+operators/ooxmlcrypt.py when a password is supplied (round 14) and raises
+``NotImplementedError`` by name without one.  Legacy binary ``.ppt``
+(OLE2 compound files) raises ``NotImplementedError``; malformed ZIP/XML
+raises ``ValueError``.
 
 The writer ``encode_pptx`` synthesizes CONFORMING minimal packages
 (PowerPoint/LibreOffice open them) with split runs and real ``a:br``
@@ -123,10 +125,23 @@ def _slide_text(root: ET.Element) -> str:
     return "\n".join(paras)
 
 
-def extract_pptx_slides(payload: bytes) -> list[str]:
+def extract_pptx_slides(
+    payload: bytes, password: str | None = None
+) -> list[str]:
     """Return one text string per slide, in p:sldIdLst order.  See
     module docstring for semantics."""
     if payload[:8] == _OLE2_MAGIC:
+        from pasardassist_spark.operators.ooxmlcrypt import (
+            decrypt_ooxml_agile,
+            sniff_encrypted_ooxml,
+        )
+
+        if sniff_encrypted_ooxml(payload):
+            if password is None:
+                raise NotImplementedError(
+                    "password-protected OOXML requires a password"
+                )
+            return extract_pptx_slides(decrypt_ooxml_agile(payload, password))
         raise NotImplementedError(
             "legacy binary .ppt (OLE2 compound file) unsupported"
         )

@@ -28,9 +28,11 @@ What is REAL here:
   the ``r="B3"`` A1-style reference (row-major), the order a reader
   sees.
 
-Out-of-scope-by-name: legacy binary ``.xls`` (OLE2 compound files) and
-encrypted OOXML raise ``NotImplementedError``; malformed ZIP/XML raises
-``ValueError``.
+Password-protected OOXML (an agile-encrypted CFB container) decrypts via
+operators/ooxmlcrypt.py when a password is supplied (round 14) and raises
+``NotImplementedError`` by name without one.  Legacy binary ``.xls``
+(OLE2 compound files) raises ``NotImplementedError``; malformed ZIP/XML
+raises ``ValueError``.
 
 The writer ``encode_xlsx`` synthesizes CONFORMING minimal packages
 (Excel/LibreOffice open them): parts are distributed across 1-2 sheets
@@ -159,10 +161,25 @@ def _cell_text(c: ET.Element, shared: list[str]) -> str:
     return "" if v is None else (v.text or "")
 
 
-def extract_xlsx_cells(payload: bytes) -> list[str]:
+def extract_xlsx_cells(
+    payload: bytes, password: str | None = None
+) -> list[str]:
     """Return every cell's text, sheets in workbook order, cells
-    row-major within each sheet.  See module docstring for semantics."""
+    row-major within each sheet.  An agile-encrypted package decrypts
+    transparently when ``password`` is given
+    (operators/ooxmlcrypt.py).  See module docstring for semantics."""
     if payload[:8] == _OLE2_MAGIC:
+        from pasardassist_spark.operators.ooxmlcrypt import (
+            decrypt_ooxml_agile,
+            sniff_encrypted_ooxml,
+        )
+
+        if sniff_encrypted_ooxml(payload):
+            if password is None:
+                raise NotImplementedError(
+                    "password-protected OOXML requires a password"
+                )
+            return extract_xlsx_cells(decrypt_ooxml_agile(payload, password))
         raise NotImplementedError(
             "legacy binary .xls (OLE2 compound file) unsupported"
         )

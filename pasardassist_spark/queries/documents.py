@@ -1499,6 +1499,91 @@ def doc_pptx_notes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_batches, schema)
 
 
+@query("doc_encrypted_extract", oracle=_oracle(3))
+def doc_encrypted_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASSWORD-PROTECTED OOXML extraction end-to-end
+    (operators/ooxmlcrypt.py — [MS-OFFCRYPTO] agile encryption, round
+    14): each document's text is split into doc_id%3+1 parts, packed as
+    a conforming DOCX/XLSX/PPTX (doc_id%3), then wrapped in a REAL
+    agile-encrypted CFB container — SHA512/SHA256 hash chains rotating
+    by id, AES-128/256 rotating by id, spin counts 100/1000 by parity,
+    per-fixture unique password pw{doc_id%97} — and decrypted back
+    through the password-aware extractors (verifier check, package-key
+    unwrap, 4096-byte segment CBC with per-segment IVs, and the
+    HMAC-SHA512 data-integrity gate all on every document).  The oracle
+    is the same substring+md5 re-derivation as doc_pdf_extract: any
+    defect anywhere in the key-derivation/decrypt chain hash-mismatches
+    on 500 containers.  Wrong password / missing password / standard
+    (3.2) encryption raise by name (tests/test_ooxmlcrypt.py).
+
+    Spark plan: one Arrow map pass, no shuffle — the decrypt is
+    row-local and embarrassingly parallel at crawl scale."""
+    from pasardassist_spark.operators.docxtext import (
+        encode_docx,
+        extract_docx_paragraphs,
+    )
+    from pasardassist_spark.operators.ooxmlcrypt import encrypt_ooxml_agile
+    from pasardassist_spark.operators.pptxtext import (
+        encode_pptx,
+        extract_pptx_slides,
+    )
+    from pasardassist_spark.operators.xlsxtext import (
+        encode_xlsx,
+        extract_xlsx_cells,
+    )
+
+    _ENCODERS = (encode_docx, encode_xlsx, encode_pptx)
+    _EXTRACTORS = (
+        extract_docx_paragraphs,
+        extract_xlsx_cells,
+        extract_pptx_slides,
+    )
+
+    def enc(parts: list[str], doc_id: int) -> bytes:
+        return encrypt_ooxml_agile(
+            _ENCODERS[doc_id % 3](parts),
+            f"pw{doc_id % 97}",
+            spin_count=1000 if doc_id % 2 else 100,
+            key_bits=128 if doc_id % 4 < 2 else 256,
+            hash_algorithm="SHA256" if doc_id % 5 == 0 else "SHA512",
+        )
+
+    # _extract_rows takes one extract fn; here format AND password both
+    # depend on the row id, so the loop is inlined id-aware instead
+    def _rows(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "part_no": [], "n_parts": [],
+                "n_chars": [], "part_md5": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                n = i % 3 + 1
+                parts = [
+                    text[a:b] for a, b in _split_bounds(len(text), n)
+                ]
+                payload = enc(parts, i)
+                got = _EXTRACTORS[i % 3](payload, password=f"pw{i % 97}")
+                if got != parts:
+                    raise ValueError(
+                        f"doc {doc_id}: encrypted round-trip mismatch"
+                    )
+                for p, ptxt in enumerate(got):
+                    out["doc_id"].append(doc_id)
+                    out["part_no"].append(p)
+                    out["n_parts"].append(n)
+                    out["n_chars"].append(len(ptxt))
+                    out["part_md5"].append(
+                        _hl.md5(ptxt.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_rows, _OUT_SCHEMA)
+
+
 @query(
     "doc_legacy_extract",
     oracle="""
