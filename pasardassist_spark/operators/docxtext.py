@@ -70,7 +70,7 @@ def extract_docx_paragraphs(
     semantics."""
     if payload[:8] == _OLE2_MAGIC:
         from pasardassist_spark.operators.ooxmlcrypt import (
-            decrypt_ooxml_agile,
+            decrypt_ooxml,
             sniff_encrypted_ooxml,
         )
 
@@ -80,7 +80,7 @@ def extract_docx_paragraphs(
                     "password-protected OOXML requires a password"
                 )
             return extract_docx_paragraphs(
-                decrypt_ooxml_agile(payload, password)
+                decrypt_ooxml(payload, password)
             )
         raise NotImplementedError(
             "legacy binary .doc (OLE2 compound file) unsupported"

@@ -23,15 +23,23 @@ and the two dataIntegrity block keys are spec constants.  Data
 integrity (§2.3.4.14) is HMAC-SHA512 over the whole EncryptedPackage
 stream under an encrypted random HMAC key — written AND verified here.
 
+STANDARD encryption (§2.3.4.5-2.3.4.9 — the Office 2007 default, the
+binary-EncryptionInfo generation crawls hit most) is implemented too:
+fixed 50000-round SHA1 spin, the 0x36/0x5C key expansion, §2.3.4.9
+verifier check, and the package as one AES-ECB stream.
+``decrypt_ooxml`` routes by version header: 4.4 → agile, x.2+fAES →
+standard.
+
 Supported: cipherAlgorithm AES (128/192/256 — pdfcrypt's generic key
-schedule), ChainingModeCBC, hashAlgorithm SHA512/SHA384/SHA256/SHA1.
-Standard (2.x/3.2) and extensible encryption versions, other ciphers,
-and ChainingModeCFB raise NotImplementedError BY NAME; a wrong
-password raises ValueError("OOXML password incorrect").  The writer
-emits deterministic fixtures (salts/keys derived from the package and
-password) with a configurable spinCount — real writers use 100000;
-fixtures use less because 100k pure-Python SHA512 rounds measure the
-interpreter, not the walk.
+schedule), ChainingModeCBC (agile) / ECB (standard), hashAlgorithm
+SHA512/SHA384/SHA256/SHA1 (agile) / SHA1 (standard, per spec).
+Extensible encryption (x.3), CryptoAPI RC4 (x.2 without fAES), other
+ciphers, and ChainingModeCFB raise NotImplementedError BY NAME; a
+wrong password raises ValueError("OOXML password incorrect").  The
+writers emit deterministic fixtures (salts/keys derived from the
+package and password); the agile spinCount is configurable — real
+writers use 100000; fixtures use less because 100k pure-Python SHA512
+rounds measure the interpreter, not the walk.
 """
 
 from __future__ import annotations
@@ -53,6 +61,9 @@ __all__ = [
     "sniff_encrypted_ooxml",
     "encrypt_ooxml_agile",
     "decrypt_ooxml_agile",
+    "encrypt_ooxml_standard",
+    "decrypt_ooxml_standard",
+    "decrypt_ooxml",
 ]
 
 _ENC_NS = "http://schemas.microsoft.com/office/2006/encryption"
@@ -238,8 +249,8 @@ def decrypt_ooxml_agile(payload: bytes, password: str) -> bytes:
     major, minor, _flags = struct.unpack_from("<HHI", info, 0)
     if (major, minor) != (4, 4):
         raise NotImplementedError(
-            f"OOXML encryption version {major}.{minor} unsupported "
-            "(standard/extensible; only agile 4.4 is implemented)"
+            f"OOXML encryption version {major}.{minor} is not agile 4.4 "
+            "(decrypt_ooxml routes standard x.2 containers)"
         )
     try:
         root = ET.fromstring(info[8:].decode("utf-8"))
@@ -329,3 +340,155 @@ def decrypt_ooxml_agile(payload: bytes, password: str) -> bytes:
     if len(out) < total:
         raise ValueError("EncryptedPackage shorter than declared size")
     return bytes(out[:total])
+
+
+# ------------------------------------------- standard (ECMA) encryption ---
+# [MS-OFFCRYPTO] §2.3.4.5-2.3.4.9: the Office 2007 default.  A BINARY
+# EncryptionInfo (not XML): version 3.2/4.2 with the fCryptoAPI|fAES
+# flags, an EncryptionHeader naming ALG_ID AES + ALG_ID_HASH SHA1, and
+# an EncryptionVerifier.  The key derivation is a FIXED 50000-round
+# SHA1 spin followed by the HMAC-style 0x36/0x5C expansion (§2.3.4.7);
+# the package encrypts as ONE AES-ECB stream — no segments, no IV
+# (§2.3.4.6 via the §2.3.4.9 verifier discipline).
+
+_ALG_AES = {128: 0x660E, 192: 0x660F, 256: 0x6610}
+_ALG_AES_INV = {v: k for k, v in _ALG_AES.items()}
+_ALG_SHA1 = 0x8004
+_STD_SPIN = 50000  # fixed by the spec, not declared in the header
+
+
+def _ecb(key: bytes, data: bytes, encrypt: bool) -> bytes:
+    if len(data) % 16:
+        raise ValueError("OOXML ECB payload not block-aligned")
+    rk = _expand_key(key)
+    f = _encrypt_block if encrypt else _decrypt_block
+    return b"".join(f(rk, data[i : i + 16]) for i in range(0, len(data), 16))
+
+
+def _standard_key(salt: bytes, password: str, key_bits: int) -> bytes:
+    """§2.3.4.7: 50000-round SHA1 spin, block-0 append, then the
+    ipad/opad-style 0x36/0x5C expansion to the required key length."""
+    h = hashlib.sha1(salt + password.encode("utf-16-le")).digest()
+    for n in range(_STD_SPIN):
+        h = hashlib.sha1(struct.pack("<I", n) + h).digest()
+    h = hashlib.sha1(h + struct.pack("<I", 0)).digest()
+    buf1 = bytes(b ^ 0x36 for b in _fit(h, 64))
+    buf2 = bytes(b ^ 0x5C for b in _fit(h, 64))
+    x3 = hashlib.sha1(buf1).digest() + hashlib.sha1(buf2).digest()
+    return x3[: key_bits // 8]
+
+
+def encrypt_ooxml_standard(
+    package: bytes, password: str, *, key_bits: int = 128
+) -> bytes:
+    """Wrap a plaintext OOXML zip in a standard-encrypted (binary
+    EncryptionInfo, AES-ECB) CFB container — the pre-2013 Office
+    default on real crawls.  Deterministic like the agile writer."""
+    if key_bits not in _ALG_AES:
+        raise ValueError(f"standard encryption needs AES key bits, got {key_bits}")
+    seed = hashlib.sha512(
+        b"ooxml-std|" + password.encode("utf-8") + b"|" + package
+    ).digest()
+    salt = seed[:16]
+    verifier = seed[16:32]
+    key = _standard_key(salt, password, key_bits)
+    enc_verifier = _ecb(key, verifier, encrypt=True)
+    vhash = hashlib.sha1(verifier).digest()
+    enc_vhash = _ecb(key, _pad16(vhash), encrypt=True)
+    csp = "Microsoft Enhanced RSA and AES Cryptographic Provider"
+    header = struct.pack(
+        "<IIIIIIII",
+        0x24,            # flags: fCryptoAPI | fAES
+        0,               # sizeExtra
+        _ALG_AES[key_bits],
+        _ALG_SHA1,
+        key_bits,
+        0x18,            # providerType: RSA_AES
+        0, 0,            # reserved
+    ) + csp.encode("utf-16-le") + b"\x00\x00"
+    verifier_blob = (
+        struct.pack("<I", len(salt)) + salt
+        + enc_verifier
+        + struct.pack("<I", len(vhash))
+        + enc_vhash
+    )
+    info = (
+        struct.pack("<HHI", 4, 2, 0x24)
+        + struct.pack("<I", len(header))
+        + header
+        + verifier_blob
+    )
+    body = struct.pack("<Q", len(package)) + _ecb(
+        key, _pad16(package), encrypt=True
+    )
+    return write_cfb(
+        [("EncryptionInfo", info), ("EncryptedPackage", body)]
+    )
+
+
+def decrypt_ooxml_standard(payload: bytes, password: str) -> bytes:
+    """Inverse of encrypt_ooxml_standard; §2.3.4.9 verifier check."""
+    streams = dict(read_cfb(payload))
+    info = streams.get("EncryptionInfo")
+    enc_pkg = streams.get("EncryptedPackage")
+    if info is None or enc_pkg is None:
+        raise ValueError("not an encrypted OOXML container")
+    major, minor, flags = struct.unpack_from("<HHI", info, 0)
+    if minor != 2 or major not in (2, 3, 4):
+        raise NotImplementedError(
+            f"OOXML encryption version {major}.{minor} is not standard"
+        )
+    if not flags & 0x20:  # fAES
+        raise NotImplementedError(
+            "OOXML CryptoAPI RC4 encryption unsupported (no fAES flag)"
+        )
+    (hlen,) = struct.unpack_from("<I", info, 8)
+    header = info[12 : 12 + hlen]
+    alg_id, alg_hash, key_bits = struct.unpack_from("<III", header, 8)
+    if alg_id not in _ALG_AES_INV or _ALG_AES_INV[alg_id] != key_bits:
+        raise NotImplementedError(
+            f"OOXML standard cipher ALG_ID {alg_id:#x} unsupported"
+        )
+    if alg_hash != _ALG_SHA1:
+        raise NotImplementedError(
+            f"OOXML standard hash ALG_ID {alg_hash:#x} unsupported"
+        )
+    pos = 12 + hlen
+    (salt_size,) = struct.unpack_from("<I", info, pos)
+    salt = info[pos + 4 : pos + 4 + salt_size]
+    pos += 4 + salt_size
+    enc_verifier = info[pos : pos + 16]
+    pos += 16
+    (vhash_size,) = struct.unpack_from("<I", info, pos)
+    enc_vhash = info[pos + 4 : pos + 4 + 32]
+    key = _standard_key(salt, password, key_bits)
+    verifier = _ecb(key, enc_verifier, encrypt=False)
+    vhash = _ecb(key, enc_vhash, encrypt=False)[:vhash_size]
+    if hashlib.sha1(verifier).digest() != vhash:
+        raise ValueError("OOXML password incorrect")
+    (total,) = struct.unpack_from("<Q", enc_pkg, 0)
+    out = _ecb(key, enc_pkg[8 : 8 + (-(-total // 16)) * 16], encrypt=False)
+    if len(out) < total:
+        raise ValueError("EncryptedPackage shorter than declared size")
+    return out[:total]
+
+
+def decrypt_ooxml(payload: bytes, password: str) -> bytes:
+    """Version router: agile (4.4) or standard (2.2/3.2/4.2 with fAES);
+    extensible (x.3) and CryptoAPI-RC4 raise by name."""
+    streams = dict(read_cfb(payload))
+    info = streams.get("EncryptionInfo")
+    if info is None:
+        raise ValueError("not an encrypted OOXML container")
+    major, minor, _flags = struct.unpack_from("<HHI", info, 0)
+    if (major, minor) == (4, 4):
+        return decrypt_ooxml_agile(payload, password)
+    if minor == 2:
+        return decrypt_ooxml_standard(payload, password)
+    if minor == 3:
+        raise NotImplementedError(
+            "OOXML extensible encryption (x.3) unsupported"
+        )
+    raise NotImplementedError(
+        f"OOXML encryption version {major}.{minor} unsupported"
+    )

@@ -132,7 +132,7 @@ def extract_pptx_slides(
     module docstring for semantics."""
     if payload[:8] == _OLE2_MAGIC:
         from pasardassist_spark.operators.ooxmlcrypt import (
-            decrypt_ooxml_agile,
+            decrypt_ooxml,
             sniff_encrypted_ooxml,
         )
 
@@ -141,7 +141,7 @@ def extract_pptx_slides(
                 raise NotImplementedError(
                     "password-protected OOXML requires a password"
                 )
-            return extract_pptx_slides(decrypt_ooxml_agile(payload, password))
+            return extract_pptx_slides(decrypt_ooxml(payload, password))
         raise NotImplementedError(
             "legacy binary .ppt (OLE2 compound file) unsupported"
         )

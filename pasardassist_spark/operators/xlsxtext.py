@@ -170,7 +170,7 @@ def extract_xlsx_cells(
     (operators/ooxmlcrypt.py).  See module docstring for semantics."""
     if payload[:8] == _OLE2_MAGIC:
         from pasardassist_spark.operators.ooxmlcrypt import (
-            decrypt_ooxml_agile,
+            decrypt_ooxml,
             sniff_encrypted_ooxml,
         )
 
@@ -179,7 +179,7 @@ def extract_xlsx_cells(
                 raise NotImplementedError(
                     "password-protected OOXML requires a password"
                 )
-            return extract_xlsx_cells(decrypt_ooxml_agile(payload, password))
+            return extract_xlsx_cells(decrypt_ooxml(payload, password))
         raise NotImplementedError(
             "legacy binary .xls (OLE2 compound file) unsupported"
         )

@@ -1505,16 +1505,19 @@ def doc_encrypted_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/ooxmlcrypt.py — [MS-OFFCRYPTO] agile encryption, round
     14): each document's text is split into doc_id%3+1 parts, packed as
     a conforming DOCX/XLSX/PPTX (doc_id%3), then wrapped in a REAL
-    agile-encrypted CFB container — SHA512/SHA256 hash chains rotating
-    by id, AES-128/256 rotating by id, spin counts 100/1000 by parity,
-    per-fixture unique password pw{doc_id%97} — and decrypted back
-    through the password-aware extractors (verifier check, package-key
-    unwrap, 4096-byte segment CBC with per-segment IVs, and the
-    HMAC-SHA512 data-integrity gate all on every document).  The oracle
-    is the same substring+md5 re-derivation as doc_pdf_extract: any
-    defect anywhere in the key-derivation/decrypt chain hash-mismatches
-    on 500 containers.  Wrong password / missing password / standard
-    (3.2) encryption raise by name (tests/test_ooxmlcrypt.py).
+    encrypted CFB container rotating BOTH [MS-OFFCRYPTO] generations —
+    doc_id%7==3 gets STANDARD encryption (binary EncryptionInfo, fixed
+    50000-round SHA1 spin, 0x36/0x5C expansion, AES-ECB package: the
+    Office 2007 default), everything else AGILE (XML descriptor,
+    SHA512/SHA256 chains and AES-128/256 rotating by id, spin counts
+    100/1000 by parity, 4096-byte segment CBC with per-segment IVs,
+    HMAC-SHA512 data-integrity gate) — under a per-fixture unique
+    password pw{doc_id%97}, then decrypted back through the
+    password-aware extractors via the version router.  The oracle is
+    the same substring+md5 re-derivation as doc_pdf_extract: any defect
+    anywhere in either key-derivation/decrypt chain hash-mismatches on
+    500 containers.  Wrong password / missing password / extensible
+    (x.3) / CryptoAPI-RC4 raise by name (tests/test_ooxmlcrypt.py).
 
     Spark plan: one Arrow map pass, no shuffle — the decrypt is
     row-local and embarrassingly parallel at crawl scale."""
@@ -1522,7 +1525,10 @@ def doc_encrypted_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_docx,
         extract_docx_paragraphs,
     )
-    from pasardassist_spark.operators.ooxmlcrypt import encrypt_ooxml_agile
+    from pasardassist_spark.operators.ooxmlcrypt import (
+        encrypt_ooxml_agile,
+        encrypt_ooxml_standard,
+    )
     from pasardassist_spark.operators.pptxtext import (
         encode_pptx,
         extract_pptx_slides,
@@ -1540,9 +1546,15 @@ def doc_encrypted_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def enc(parts: list[str], doc_id: int) -> bytes:
+        package = _ENCODERS[doc_id % 3](parts)
+        password = f"pw{doc_id % 97}"
+        if doc_id % 7 == 3:
+            return encrypt_ooxml_standard(
+                package, password,
+                key_bits=128 if doc_id % 4 < 2 else 256,
+            )
         return encrypt_ooxml_agile(
-            _ENCODERS[doc_id % 3](parts),
-            f"pw{doc_id % 97}",
+            package, password,
             spin_count=1000 if doc_id % 2 else 100,
             key_bits=128 if doc_id % 4 < 2 else 256,
             hash_algorithm="SHA256" if doc_id % 5 == 0 else "SHA512",

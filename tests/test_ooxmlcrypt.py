@@ -74,7 +74,8 @@ def test_hmac_integrity_gate():
         decrypt_ooxml_agile(tampered, "p")
 
 
-def test_standard_encryption_raises_by_name():
+def test_agile_decryptor_rejects_standard_header_by_name():
+    """decrypt_ooxml_agile is version-strict; the router handles 3.2."""
     enc = encrypt_ooxml_agile(encode_docx(PARAS), "p")
     legacy = enc.replace(
         struct.pack("<HHI", 4, 4, 0x40), struct.pack("<HHI", 3, 2, 0x24), 1
@@ -123,3 +124,60 @@ def test_plain_ole2_still_routes_to_legacy_seam():
     doc = write_cfb([("WordDocument", b"\x00" * 64)])
     with pytest.raises(NotImplementedError, match="legacy binary"):
         extract_docx_paragraphs(doc)
+
+
+# ----------------------------------------------- standard (ECMA) family ---
+
+
+@pytest.mark.parametrize("key_bits", [128, 192, 256])
+def test_standard_roundtrip(key_bits):
+    from pasardassist_spark.operators.ooxmlcrypt import (
+        decrypt_ooxml,
+        decrypt_ooxml_standard,
+        encrypt_ooxml_standard,
+    )
+
+    pkg = encode_docx(PARAS)
+    enc = encrypt_ooxml_standard(pkg, "pw", key_bits=key_bits)
+    assert sniff_encrypted_ooxml(enc)
+    assert decrypt_ooxml_standard(enc, "pw") == pkg
+    assert decrypt_ooxml(enc, "pw") == pkg  # version router
+    assert enc == encrypt_ooxml_standard(pkg, "pw", key_bits=key_bits)
+    with pytest.raises(ValueError, match="password incorrect"):
+        decrypt_ooxml(enc, "nope")
+
+
+def test_standard_rc4_cryptoapi_raises_by_name():
+    from pasardassist_spark.operators.ooxmlcrypt import (
+        decrypt_ooxml,
+        encrypt_ooxml_standard,
+    )
+
+    enc = encrypt_ooxml_standard(encode_docx(PARAS), "pw")
+    # clear the fAES flag (0x20) in the version header's flags dword
+    no_aes = enc.replace(
+        struct.pack("<HHI", 4, 2, 0x24), struct.pack("<HHI", 4, 2, 0x04), 1
+    )
+    with pytest.raises(NotImplementedError, match="RC4"):
+        decrypt_ooxml(no_aes, "pw")
+
+
+def test_extensible_raises_by_name():
+    from pasardassist_spark.operators.ooxmlcrypt import (
+        decrypt_ooxml,
+        encrypt_ooxml_standard,
+    )
+
+    enc = encrypt_ooxml_standard(encode_docx(PARAS), "pw")
+    ext = enc.replace(
+        struct.pack("<HHI", 4, 2, 0x24), struct.pack("<HHI", 4, 3, 0x24), 1
+    )
+    with pytest.raises(NotImplementedError, match="extensible"):
+        decrypt_ooxml(ext, "pw")
+
+
+def test_standard_extractor_integration():
+    from pasardassist_spark.operators.ooxmlcrypt import encrypt_ooxml_standard
+
+    enc = encrypt_ooxml_standard(encode_docx(PARAS), "pw")
+    assert extract_docx_paragraphs(enc, password="pw") == PARAS
