@@ -273,6 +273,10 @@ EXTRA_NAMES = [
     # round-14 debuts
     "mm_mp3_frames",
     "doc_encrypted_extract",
+    "ts_page_hinkley",
+    "stat_mann_kendall",
+    "graph_link_prediction",
+    "ml_naive_bayes",
 ]
 
 

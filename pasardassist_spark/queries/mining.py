@@ -1001,3 +1001,226 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.append((h, frontier.count()))
         visited = visited.unionByName(frontier).localCheckpoint(eager=True)
     return spark.createDataFrame(counts, "hop int, n_new long")
+
+
+LINKPRED_TOP_K = 100
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH sp AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    deg AS (SELECT s, COUNT(*) AS d FROM sp GROUP BY s),
+    pairs AS (
+        SELECT a.s AS s1, b.s AS s2, COUNT(*) AS common
+        FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+        GROUP BY a.s, b.s
+    )
+    SELECT s1, s2,
+           CAST(common AS INTEGER) AS common_parts,
+           round(common * 1.0 / (d1.d + d2.d - common), 6) AS jaccard
+    FROM pairs
+    JOIN deg d1 ON d1.s = pairs.s1
+    JOIN deg d2 ON d2.s = pairs.s2
+    ORDER BY jaccard DESC, common DESC, s1, s2
+    LIMIT {LINKPRED_TOP_K}
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the supplier one-mode projection of the
+    bipartite supplier-part graph (Liben-Nowell & Kleinberg 2003's
+    common-neighbors / Jaccard scores — the recommender baseline):
+    candidate supplier pairs are scored by how many parts they co-supply
+    and by Jaccard over their part neighborhoods, top-K with a total
+    deterministic order.
+
+    Scale shape: the pair generation is an INVERTED-INDEX self-join on
+    part — and parts have BOUNDED supplier lists (TPC-H ships 4
+    suppliers per part; real co-occurrence graphs get the same bound by
+    dropping hub items), so candidate pairs are O(|parts| * list^2):
+    pair-linear, never all-pairs over suppliers.  One distinct, one
+    self-join shuffled on p, one groupBy, two broadcast-sized degree
+    joins, TakeOrdered for the top-K."""
+    sp = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    deg = sp.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a, b = sp.alias("a"), sp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(
+            F.col("a.s").alias("s1"), F.col("b.s").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    common = F.col("common")
+    return (
+        pairs.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1", "s2",
+            common.cast("int").alias("common_parts"),
+            F.round(
+                common * 1.0 / (F.col("d1") + F.col("d2") - common), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(
+            F.desc("jaccard"), F.desc("common_parts"), "s1", "s2"
+        )
+        .limit(LINKPRED_TOP_K)
+    )
+
+
+@query(
+    "ml_naive_bayes",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    train AS (SELECT * FROM tok WHERE doc_id % 5 != 0),
+    test AS (
+        SELECT doc_id, lang, tok, COUNT(*) AS c
+        FROM tok WHERE doc_id % 5 = 0
+        GROUP BY doc_id, lang, tok
+    ),
+    cnts AS (SELECT lang, tok, COUNT(*) AS cnt FROM train GROUP BY lang, tok),
+    tots AS (
+        SELECT lang, CAST(COUNT(*) AS DOUBLE) AS tot FROM train GROUP BY lang
+    ),
+    vsz AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM train),
+    priors AS (
+        SELECT a.lang,
+               CAST(round(ln(CAST(a.nd AS DOUBLE) / b.ntot), 6)
+                    AS DECIMAL(18,6)) AS prior6
+        FROM (SELECT lang, COUNT(DISTINCT doc_id) AS nd
+              FROM train GROUP BY lang) a
+        CROSS JOIN (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS ntot
+                    FROM train) b
+    ),
+    scored AS (
+        SELECT t.doc_id, t.lang AS lang_true, p.lang AS cand,
+               p.prior6 + SUM(t.c * CAST(round(ln(
+                   (COALESCE(c2.cnt, 0) + 1.0) / (tt.tot + vz.v)), 6)
+                   AS DECIMAL(18,6))) AS score
+        FROM test t
+        CROSS JOIN priors p
+        JOIN tots tt ON tt.lang = p.lang
+        CROSS JOIN vsz vz
+        LEFT JOIN cnts c2 ON c2.lang = p.lang AND c2.tok = t.tok
+        GROUP BY t.doc_id, t.lang, p.lang, p.prior6
+    ),
+    ranked AS (
+        SELECT doc_id, lang_true, cand, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand) AS rk
+        FROM scored
+    )
+    SELECT doc_id, lang_true, cand AS lang_pred,
+           CAST(score * 1000000 AS BIGINT) AS score_u,
+           lang_true = cand AS correct
+    FROM ranked WHERE rk = 1
+    """,
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes with Laplace smoothing, trained and
+    applied in one declarative plan (McCallum & Nigam 1998 — the
+    classic high-throughput text classifier a curation pipeline runs
+    for cheap labeling): docs split 80/20 by id, per-(lang, token)
+    counts from the train fold, and each test document scored as
+    ln prior + sum(c_w * ln((cnt+1)/(tot+V))) per language, argmax
+    with a deterministic tiebreak.
+
+    Cross-engine determinism: each term's log-probability is rounded
+    to 6 dp and cast to DECIMAL BEFORE the per-document sum (the
+    ts_cusum discipline), so the score aggregation is exact integer
+    arithmetic in any partition order and the argmax compares exact
+    decimals; scores emit as integer micro-units.
+
+    Scale shape: training is ONE groupBy over the token stream
+    (map-side combine absorbs Zipf skew); the model broadcasts (types
+    x langs, vocabulary-sized); scoring is a broadcast join on the
+    test token stream — the corpus shuffles once, the model never
+    re-shuffles the data."""
+    from pasardassist_spark.operators import text as X
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = d.select(
+        "doc_id", "lang", F.explode(X.tokens(F.col("text"))).alias("tok")
+    )
+    train = tok.filter(F.col("doc_id") % 5 != 0)
+    test = (
+        tok.filter(F.col("doc_id") % 5 == 0)
+        .groupBy("doc_id", F.col("lang").alias("lang_true"), "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cnts = train.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tots = train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("tot")
+    )
+    vsz = train.agg(F.countDistinct("tok").cast("double").alias("v"))
+    nd = train.groupBy("lang").agg(F.countDistinct("doc_id").alias("nd"))
+    ntot = train.agg(
+        F.countDistinct("doc_id").cast("double").alias("ntot")
+    )
+    priors = (
+        nd.crossJoin(F.broadcast(ntot))
+        .select(
+            "lang",
+            F.round(F.log(F.col("nd").cast("double") / F.col("ntot")), 6)
+            .cast("decimal(18,6)")
+            .alias("prior6"),
+        )
+    )
+    cand = priors.join(tots, "lang")  # (lang, prior6, tot) — 5 rows
+    c2 = cnts.select(
+        F.col("lang").alias("c_lang"), F.col("tok").alias("c_tok"), "cnt"
+    )
+    lp6 = (
+        F.round(
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+                / (F.col("tot") + F.col("v"))
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+    )
+    scored = (
+        test.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(vsz))
+        .join(
+            F.broadcast(c2),
+            (F.col("c_lang") == F.col("lang"))
+            & (F.col("c_tok") == F.col("tok")),
+            "left",
+        )
+        .groupBy("doc_id", "lang_true", "lang", "prior6")
+        .agg(F.sum(F.col("c") * lp6).alias("wsum"))
+        .select(
+            "doc_id", "lang_true", F.col("lang").alias("cand"),
+            (F.col("prior6") + F.col("wsum")).alias("score"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id", "lang_true",
+            F.col("cand").alias("lang_pred"),
+            (F.col("score") * 1000000).cast("bigint").alias("score_u"),
+            (F.col("lang_true") == F.col("cand")).alias("correct"),
+        )
+    )

@@ -751,3 +751,203 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("_g")
         .applyInPandas(_fit, "h int, forecast double, sse_insample double")
     )
+
+
+_PH_DELTA = "0.005000"      # Page-Hinkley magnitude allowance (decimal)
+_PH_LAMBDA_U = 50_000_000   # alarm threshold 50.0 value-units, micro-scaled
+
+
+@query(
+    "ts_page_hinkley",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    r AS (
+        SELECT event_type, day,
+               CAST(_value_dec AS DECIMAL(18,2)) AS v,
+               CAST(round(
+                   CAST(SUM(_value_dec) OVER wc AS DOUBLE)
+                   / COUNT(*) OVER wc, 6) AS DECIMAL(18,6)) AS xbar6
+        FROM d
+        WINDOW wc AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    m AS (
+        SELECT event_type, day, v, xbar6,
+               SUM(v - xbar6 - CAST({_PH_DELTA} AS DECIMAL(18,6))) OVER wc
+                   AS mt
+        FROM r
+        WINDOW wc AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           CAST(v AS DOUBLE) AS day_value,
+           CAST(mt * 1000000 AS BIGINT) AS ph_u,
+           CAST((mt - MIN(mt) OVER wc) * 1000000 AS BIGINT) AS ph_gap_u,
+           CAST((mt - MIN(mt) OVER wc) * 1000000 AS BIGINT)
+               > {_PH_LAMBDA_U} AS alarm
+    FROM m
+    WINDOW wc AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detection on the per-type daily value (Page
+    1954; the sequential test concept-drift monitors run on model
+    inputs at 100 TB): m_t accumulates deviations from the RUNNING mean
+    (minus a small allowance delta), and the gap m_t - min(m_1..t)
+    alarms when an upward level shift persists.
+
+    Determinism at any partitioning: the running mean is rounded to
+    6 dp and cast to DECIMAL BEFORE the deviation cumsum (the ts_cusum
+    discipline), so both stacked windows are exact decimal arithmetic
+    and the statistic is emitted in integer micro-units.  Cost: one
+    shuffle to the daily grain, then keyed windows over O(days) rows
+    per type."""
+    d = _daily(spark, sf_dir).select(
+        "event_type", "day",
+        F.col("_value_dec").cast("decimal(18,2)").alias("v"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = d.select(
+        "event_type", "day", "v",
+        F.round(
+            F.sum("v").over(wc).cast("double")
+            / F.count(F.lit(1)).over(wc), 6
+        ).cast("decimal(18,6)").alias("xbar6"),
+    )
+    delta = F.lit(_PH_DELTA).cast("decimal(18,6)")
+    m = r.select(
+        "event_type", "day", "v",
+        F.sum(F.col("v") - F.col("xbar6") - delta).over(wc).alias("mt"),
+    )
+    gap_u = ((F.col("mt") - F.min("mt").over(wc)) * 1000000).cast("bigint")
+    return m.select(
+        "event_type", "day",
+        F.col("v").cast("double").alias("day_value"),
+        (F.col("mt") * 1000000).cast("bigint").alias("ph_u"),
+        gap_u.alias("ph_gap_u"),
+        (gap_u > _PH_LAMBDA_U).alias("alarm"),
+    )
+
+
+@query(
+    "stat_mann_kendall",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    s AS (
+        SELECT a.event_type,
+               SUM(CASE WHEN b._value_dec > a._value_dec THEN 1
+                        WHEN b._value_dec < a._value_dec THEN -1
+                        ELSE 0 END) AS s_stat
+        FROM d a JOIN d b
+          ON a.event_type = b.event_type AND a.day < b.day
+        GROUP BY a.event_type
+    ),
+    n AS (
+        SELECT event_type, COUNT(*) AS n FROM d GROUP BY event_type
+    ),
+    ties AS (
+        SELECT event_type,
+               COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+        FROM (
+            SELECT event_type, COUNT(*) AS t
+            FROM d GROUP BY event_type, _value_dec
+        ) g
+        WHERE t > 1
+        GROUP BY event_type
+    )
+    SELECT n.event_type,
+           CAST(n.n AS INTEGER) AS n_days,
+           CAST(s.s_stat AS BIGINT) AS s_stat,
+           CAST(n.n * (n.n - 1) * (2 * n.n + 5)
+                - COALESCE(ties.tie_term, 0) AS BIGINT) AS var_s_x18,
+           round(CASE
+               WHEN s.s_stat > 0 THEN (s.s_stat - 1) / sqrt(
+                   (n.n * (n.n - 1) * (2 * n.n + 5)
+                    - COALESCE(ties.tie_term, 0)) / 18.0)
+               WHEN s.s_stat < 0 THEN (s.s_stat + 1) / sqrt(
+                   (n.n * (n.n - 1) * (2 * n.n + 5)
+                    - COALESCE(ties.tie_term, 0)) / 18.0)
+               ELSE 0.0 END, 6) AS z
+    FROM n JOIN s USING (event_type)
+    LEFT JOIN ties USING (event_type)
+    WHERE n.n >= 3
+    """,
+)
+def stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type on the daily value series
+    (Mann 1945; Kendall 1975 — the standard nonparametric "is this
+    metric trending" monitor): S = sum of sign(v_j - v_i) over ordered
+    day pairs, tie-corrected variance 18*Var(S) kept as an EXACT
+    integer (var_s_x18), and the continuity-corrected z statistic.
+
+    Scale shape: the pair sum runs on the DAILY grain — one shuffle
+    collapses raw events to |types| x |days| rows, and the self-join is
+    per-type over O(days^2) pairs of that bounded series (thousands of
+    pairs, not billions; a decade of days is ~13M pairs per type at
+    worst, still one task's work).  Sign comparisons are on exact
+    DECIMAL day values — no float enters until the final z."""
+    d = _daily(spark, sf_dir).select(
+        "event_type", "day",
+        F.col("_value_dec").cast("decimal(18,2)").alias("v"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.v") > F.col("a.v"), 1)
+                .when(F.col("b.v") < F.col("a.v"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    n = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = (
+        d.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    nn = F.col("n")
+    var18 = (
+        nn * (nn - 1) * (2 * nn + 5)
+        - F.coalesce(F.col("tie_term"), F.lit(0))
+    ).cast("bigint")
+    ss = F.col("s_stat")
+    sd = F.sqrt(var18.cast("double") / 18.0)
+    z = (
+        F.when(ss > 0, (ss - 1) / sd)
+        .when(ss < 0, (ss + 1) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        n.join(s, "event_type")
+        .join(t, "event_type", "left")
+        .filter(nn >= 3)
+        .select(
+            "event_type",
+            nn.cast("int").alias("n_days"),
+            ss.cast("bigint").alias("s_stat"),
+            var18.alias("var_s_x18"),
+            F.round(z, 6).alias("z"),
+        )
+    )
