@@ -277,6 +277,8 @@ EXTRA_NAMES = [
     "stat_mann_kendall",
     "graph_link_prediction",
     "ml_naive_bayes",
+    "ts_ljung_box",
+    "stat_seasonal_mann_kendall",
 ]
 
 

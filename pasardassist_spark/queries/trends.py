@@ -951,3 +951,241 @@ def stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("z"),
         )
     )
+
+
+@query(
+    "ts_ljung_box",
+    oracle=f"""
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day, SUM(value) AS x
+        FROM events GROUP BY 1
+    ),
+    l AS (
+{_ACF_LAG_SQL}
+    ),
+    m AS (SELECT avg(x) AS mu, CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    den AS (
+        SELECT SUM((x - mu) * (x - mu)) AS s2 FROM d CROSS JOIN m
+    ),
+    num AS (
+        SELECT lag, SUM((x - mu) * (xl - mu)) AS nm
+        FROM l CROSS JOIN m
+        WHERE xl IS NOT NULL
+        GROUP BY lag
+    ),
+    r AS (
+        SELECT lag,
+               CAST(round(nm / s2, 6) AS DECIMAL(18,6)) AS rk6
+        FROM num CROSS JOIN den
+    )
+    SELECT CAST(r.lag AS INTEGER) AS max_lag,
+           m.n AS n_days,
+           round(m.n * (m.n + 2) * SUM(
+               CAST(r2.rk6 * r2.rk6 AS DOUBLE) / (m.n - r2.lag)
+           ), 6) AS q_stat
+    FROM r JOIN r r2 ON r2.lag <= r.lag
+    CROSS JOIN m
+    GROUP BY r.lag, m.n
+    """,
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau white-noise test on the daily total-value
+    series (Ljung & Box 1978 — the residual-diagnostics companion to
+    ts_acf/ts_holt_winters): Q(m) = n(n+2) * sum_{{k<=m}} r_k^2/(n-k)
+    for every max-lag m up to ACF_MAX_LAG, using the same ACF
+    construction ts_acf certifies.
+
+    Determinism: each r_k is rounded to 6 dp and cast to DECIMAL before
+    squaring (so the cumulative lag sum is over exact values — the one
+    float reduction, nm/s2, crosses engines through the already-green
+    ts_acf expression shape).  Cost: the series is the daily grain
+    (O(days) rows); lags fan out via a union of O(m) windowed passes
+    over it, then a triangular join over m rows."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum("value").alias("x")
+    )
+    w = Window.orderBy("day")
+    lags = None
+    for k in range(1, ACF_MAX_LAG + 1):
+        part = d.select(
+            F.lit(k).alias("lag"), "x", F.lag("x", k).over(w).alias("xl")
+        )
+        lags = part if lags is None else lags.unionByName(part)
+    m = d.agg(
+        F.avg("x").alias("mu"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    mu, n = F.col("mu"), F.col("n")
+    den = d.crossJoin(F.broadcast(m)).agg(
+        F.sum((F.col("x") - mu) * (F.col("x") - mu)).alias("s2"),
+        F.first("n").alias("n"),
+    )
+    num = (
+        lags.crossJoin(F.broadcast(m))
+        .filter(F.col("xl").isNotNull())
+        .groupBy("lag")
+        .agg(F.sum((F.col("x") - mu) * (F.col("xl") - mu)).alias("nm"))
+    )
+    r = num.crossJoin(F.broadcast(den)).select(
+        "lag", "n",
+        F.round(F.col("nm") / F.col("s2"), 6)
+        .cast("decimal(18,6)")
+        .alias("rk6"),
+    )
+    r2 = r.select(
+        F.col("lag").alias("lag2"), F.col("rk6").alias("rk6_2")
+    )
+    return (
+        r.join(F.broadcast(r2), F.col("lag2") <= F.col("lag"))
+        .groupBy(F.col("lag").cast("int").alias("max_lag"), F.col("n"))
+        .agg(
+            F.round(
+                F.col("n")
+                * (F.col("n") + 2)
+                * F.sum(
+                    (F.col("rk6_2") * F.col("rk6_2")).cast("double")
+                    / (F.col("n") - F.col("lag2"))
+                ),
+                6,
+            ).alias("q_stat")
+        )
+        .withColumnRenamed("n", "n_days")
+    )
+
+
+@query(
+    "stat_seasonal_mann_kendall",
+    oracle=f"""
+    WITH d AS ({_DAILY_SQL}),
+    ds AS (
+        SELECT event_type, day, _value_dec,
+               CAST(dayofweek(day) AS INTEGER) AS season
+        FROM d
+    ),
+    s AS (
+        SELECT a.event_type, a.season,
+               SUM(CASE WHEN b._value_dec > a._value_dec THEN 1
+                        WHEN b._value_dec < a._value_dec THEN -1
+                        ELSE 0 END) AS sk
+        FROM ds a JOIN ds b
+          ON a.event_type = b.event_type AND a.season = b.season
+         AND a.day < b.day
+        GROUP BY a.event_type, a.season
+    ),
+    n AS (
+        SELECT event_type, season, COUNT(*) AS nk
+        FROM ds GROUP BY event_type, season
+    ),
+    ties AS (
+        SELECT event_type, season,
+               COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+        FROM (
+            SELECT event_type, season, COUNT(*) AS t
+            FROM ds GROUP BY event_type, season, _value_dec
+        ) g
+        WHERE t > 1
+        GROUP BY event_type, season
+    ),
+    per AS (
+        SELECT n.event_type, n.season, n.nk,
+               COALESCE(s.sk, 0) AS sk,
+               n.nk * (n.nk - 1) * (2 * n.nk + 5)
+                   - COALESCE(ties.tie_term, 0) AS vk18
+        FROM n
+        LEFT JOIN s USING (event_type, season)
+        LEFT JOIN ties USING (event_type, season)
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(SUM(nk) AS INTEGER) AS n_days,
+               CAST(SUM(sk) AS BIGINT) AS s_stat,
+               CAST(SUM(vk18) AS BIGINT) AS var_s_x18
+        FROM per GROUP BY event_type
+    )
+    SELECT event_type, n_days, s_stat, var_s_x18,
+           round(CASE
+               WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s_x18 / 18.0)
+               WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s_x18 / 18.0)
+               ELSE 0.0 END, 6) AS z
+    FROM agg
+    WHERE var_s_x18 > 0
+    """,
+)
+def stat_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall (Hirsch & Slack 1984 — the form
+    environmental/ops monitoring actually runs, because weekly cycles
+    masquerade as trend in the plain test): the pair statistic is
+    computed WITHIN each day-of-week season and summed, with per-season
+    tie-corrected variances adding; z gets the continuity correction.
+    Same exact-integer machinery as stat_mann_kendall (18*Var kept as
+    an integer; sign comparisons on exact decimals), same bounded
+    daily-grain self-join — now 7x smaller per season."""
+    d = _daily(spark, sf_dir).select(
+        "event_type", "day",
+        F.col("_value_dec").cast("decimal(18,2)").alias("v"),
+        F.dayofweek("day").cast("int").alias("season"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.season") == F.col("b.season"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.season").alias("season"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("b.v") > F.col("a.v"), 1)
+                .when(F.col("b.v") < F.col("a.v"), -1)
+                .otherwise(0)
+            ).alias("sk")
+        )
+    )
+    n = d.groupBy("event_type", "season").agg(
+        F.count(F.lit(1)).alias("nk")
+    )
+    t = (
+        d.groupBy("event_type", "season", "v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("event_type", "season")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    nk = F.col("nk")
+    per = (
+        n.join(s, ["event_type", "season"], "left")
+        .join(t, ["event_type", "season"], "left")
+        .select(
+            "event_type",
+            nk,
+            F.coalesce(F.col("sk"), F.lit(0)).alias("sk"),
+            (
+                nk * (nk - 1) * (2 * nk + 5)
+                - F.coalesce(F.col("tie_term"), F.lit(0))
+            ).alias("vk18"),
+        )
+    )
+    agg = per.groupBy("event_type").agg(
+        F.sum("nk").cast("int").alias("n_days"),
+        F.sum("sk").cast("bigint").alias("s_stat"),
+        F.sum("vk18").cast("bigint").alias("var_s_x18"),
+    )
+    ss = F.col("s_stat")
+    sd = F.sqrt(F.col("var_s_x18").cast("double") / 18.0)
+    z = (
+        F.when(ss > 0, (ss - 1) / sd)
+        .when(ss < 0, (ss + 1) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return agg.filter(F.col("var_s_x18") > 0).select(
+        "event_type", "n_days", "s_stat", "var_s_x18",
+        F.round(z, 6).alias("z"),
+    )
