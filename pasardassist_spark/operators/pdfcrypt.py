@@ -23,10 +23,24 @@ handler of ISO 32000-1 §7.6.3 for encryption versions /V 1, 2 and 4
   seam can reuse it; at 100 TB the decrypt belongs in a JVM-side
   codec, this is the per-payload correctness reference).
 
-Out of scope, raising NotImplementedError BY NAME: /V 5 (AES-256,
-R 5/6 — the SHA-2 handler family), non-Standard security handlers
-(public-key /Adobe.PubSec), and crypt filters other than /Identity,
-/V2, /AESV2.  A wrong (non-empty-user-password) file raises
+/V 5 (AES-256) is ALSO implemented — both revisions of the SHA-2
+handler family (ISO 32000-2 §7.6.4):
+
+- /R 6 — Algorithm 2.B, the hardened iterated SHA-256/384/512 hash
+  (64+ rounds of AES-128-CBC over password||K||udata with the
+  last-byte termination rule);
+- /R 5 — the deprecated Adobe Extension Level 3 single-pass SHA-256;
+- Algorithms 2.A / 8 / 9 — user and owner authentication against the
+  48-byte /U and /O entries (32-byte hash + validation salt + key
+  salt), file-key unwrap from /UE // /OE via AES-256-CBC with a zero
+  IV and no padding, and the /Perms AES-ECB integrity check ("adb"
+  signature, /P echo);
+- AESV3: strings and streams encrypt under the FILE key directly —
+  /V 5 defines no per-object rekey.
+
+Out of scope, raising NotImplementedError BY NAME: non-Standard
+security handlers (public-key /Adobe.PubSec), and crypt filters other
+than /Identity, /V2, /AESV2, /AESV3.  A wrong password raises
 ValueError("PDF password incorrect").
 """
 
@@ -228,11 +242,94 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     return bytes(out[:-padlen])
 
 
+def _cbc_nopad(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
+    """Raw AES-CBC over a block-aligned buffer — no padding, no IV
+    prefix (the /UE //OE key-wrap and Algorithm 2.B layouts)."""
+    if len(data) % 16:
+        raise ValueError("AES-CBC no-pad payload not block-aligned")
+    rk = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    if encrypt:
+        for i in range(0, len(data), 16):
+            prev = _encrypt_block(
+                rk, bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+            )
+            out += prev
+    else:
+        for i in range(0, len(data), 16):
+            block = data[i : i + 16]
+            out += bytes(a ^ b for a, b in zip(_decrypt_block(rk, block), prev))
+            prev = block
+    return bytes(out)
+
+
+def _ecb(key: bytes, data: bytes, encrypt: bool) -> bytes:
+    """Raw AES-ECB (the 16-byte /Perms entry)."""
+    if len(data) % 16:
+        raise ValueError("AES-ECB payload not block-aligned")
+    rk = _expand_key(key)
+    f = _encrypt_block if encrypt else _decrypt_block
+    return b"".join(f(rk, data[i : i + 16]) for i in range(0, len(data), 16))
+
+
 # --------------------------------------------- standard security handler --
 
 
 def _pad_password(pw: bytes) -> bytes:
     return (pw + PAD)[:32]
+
+
+try:  # fast AES for the 2.B inner loop when the host has it; the
+    # pure-Python block cipher stays the correctness reference and the
+    # fallback (equivalence cross-pinned in tests/test_pdfcrypt.py)
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher as _CgCipher,
+        algorithms as _cg_algorithms,
+        modes as _cg_modes,
+    )
+
+    def _cbc_encrypt_fast(key: bytes, iv: bytes, data: bytes) -> bytes:
+        enc = _CgCipher(
+            _cg_algorithms.AES(key), _cg_modes.CBC(iv)
+        ).encryptor()
+        return enc.update(data) + enc.finalize()
+
+except ImportError:  # pragma: no cover - container always has it
+
+    def _cbc_encrypt_fast(key: bytes, iv: bytes, data: bytes) -> bytes:
+        return _cbc_nopad(key, iv, data, encrypt=True)
+
+
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the R 6 hardened hash.
+
+    64+ rounds: each round AES-128-CBC-encrypts 64 repetitions of
+    password||K||udata under K's first 16 bytes (IV = next 16), picks
+    SHA-256/384/512 by sum(E[:16]) mod 3, and stops once round >= 64
+    and E's LAST byte <= round - 32.  Returns the first 32 bytes."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _cbc_encrypt_fast(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _hash_r5(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """The deprecated R 5 hash (Adobe Extension Level 3): one SHA-256."""
+    return hashlib.sha256(password + salt + udata).digest()
+
+
+def _v5_password(password: bytes) -> bytes:
+    """§7.6.4.3.2: UTF-8 password truncated to 127 bytes (SASLprep
+    normalization is a no-op for the ASCII passwords fixtures use)."""
+    return password[:127]
 
 
 def _compute_key(
@@ -303,10 +400,21 @@ class StandardSecurityHandler:
             )
         v = int(enc.get("V", 0))
         r = int(enc.get("R", 0))
-        if v == 5 or r in (5, 6):
-            raise NotImplementedError(
-                "PDF AES-256 encryption (/V 5, /R 5-6) unsupported"
+        self._v5 = v == 5
+        if self._v5:
+            if r not in (5, 6):
+                raise NotImplementedError(
+                    f"PDF /Encrypt /V 5 /R {r} unsupported"
+                )
+            self._init_v5(enc, r, password)
+            cf = enc.get("CF") or {}
+            self.stm_method = self._method(
+                cf, enc.get("StmF", "Identity"), v5=True
             )
+            self.str_method = self._method(
+                cf, enc.get("StrF", "Identity"), v5=True
+            )
+            return
         if v not in (1, 2, 4) or r not in (2, 3, 4):
             raise NotImplementedError(
                 f"PDF /Encrypt /V {v} /R {r} unsupported"
@@ -332,15 +440,52 @@ class StandardSecurityHandler:
         else:
             self.stm_method = self.str_method = "rc4"
 
+    def _init_v5(self, enc: dict, r: int, password: bytes) -> None:
+        """Algorithms 2.A / 8 / 9 / 13 — authenticate against the
+        48-byte /U and /O, unwrap the 256-bit file key from /UE //OE,
+        then verify the /Perms integrity entry."""
+        u = bytes(enc.get("U") or b"")
+        o = bytes(enc.get("O") or b"")
+        ue = bytes(enc.get("UE") or b"")
+        oe = bytes(enc.get("OE") or b"")
+        if len(u) < 48 or len(o) < 48 or len(ue) < 32 or len(oe) < 32:
+            raise ValueError("PDF /Encrypt lacks full /U //O //UE //OE")
+        pw = _v5_password(password)
+        hashf = _hash_2b if r == 6 else _hash_r5
+        self.n = 32
+        if hashf(pw, u[32:40]) == u[:32]:  # user password (Algorithm 8)
+            inter = hashf(pw, u[40:48])
+            self.key = _cbc_nopad(inter, b"\x00" * 16, ue[:32], encrypt=False)
+        elif hashf(pw, o[32:40], u[:48]) == o[:32]:  # owner (Algorithm 9)
+            inter = hashf(pw, o[40:48], u[:48])
+            self.key = _cbc_nopad(inter, b"\x00" * 16, oe[:32], encrypt=False)
+        else:
+            raise ValueError("PDF password incorrect")
+        perms = bytes(enc.get("Perms") or b"")
+        if len(perms) >= 16:
+            dec = _ecb(self.key, perms[:16], encrypt=False)
+            if dec[9:12] != b"adb":
+                raise ValueError("PDF /Perms integrity check failed")
+            p = int(enc.get("P", -1)) & 0xFFFFFFFF
+            if int.from_bytes(dec[:4], "little") != p:
+                raise ValueError("PDF /Perms does not match /P")
+
     @staticmethod
-    def _method(cf: dict, name) -> str:
+    def _method(cf: dict, name, v5: bool = False) -> str:
         if name == "Identity":
             return "identity"
         cfd = cf.get(str(name))
         if not isinstance(cfd, dict):
             raise ValueError(f"PDF crypt filter {name!r} missing from /CF")
-        cfm = cfd.get("CFM")
-        method = _CFM_METHODS.get(str(cfm))
+        cfm = str(cfd.get("CFM"))
+        if v5:
+            # /V 5 admits only Identity and AESV3 (§7.6.4.2)
+            if cfm != "AESV3":
+                raise NotImplementedError(
+                    f"PDF crypt filter /CFM {cfm!r} unsupported under /V 5"
+                )
+            return "aes"
+        method = _CFM_METHODS.get(cfm)
         if method is None:
             raise NotImplementedError(
                 f"PDF crypt filter /CFM {cfm!r} unsupported"
@@ -348,7 +493,10 @@ class StandardSecurityHandler:
         return method
 
     def _object_key(self, num: int, gen: int, aes: bool) -> bytes:
-        """Algorithm 1 — the per-object key."""
+        """Algorithm 1 — the per-object key.  /V 5 defines no per-object
+        rekey: AESV3 uses the file key directly."""
+        if self._v5:
+            return self.key
         h = hashlib.md5(
             self.key
             + (num & 0xFFFFFF).to_bytes(3, "little")
@@ -367,9 +515,16 @@ class StandardSecurityHandler:
         key = self._object_key(num, gen, aes=True)
         if encrypt:
             # deterministic IV: fixtures must be byte-reproducible (the
-            # registry oracle hashes them); uniqueness per object is
-            # what CBC needs and the per-object key provides
-            iv = hashlib.md5(key + b"iv").digest()
+            # registry oracle hashes them); uniqueness per object comes
+            # from the per-object key (V <= 4) or, under /V 5 where the
+            # file key is constant, from folding (num, gen) into the IV
+            salt = (
+                (num & 0xFFFFFF).to_bytes(3, "little")
+                + (gen & 0xFFFF).to_bytes(2, "little")
+                if self._v5
+                else b""
+            )
+            iv = hashlib.md5(key + salt + b"iv").digest()
             return aes_cbc_encrypt(key, iv, data)
         return aes_cbc_decrypt(key, data)
 
@@ -394,9 +549,59 @@ def make_standard_encrypt_dict(
     p: int = -3904,
 ) -> tuple[dict, bytes]:
     """Writer-side: build the /Encrypt dictionary values for ``mode``
-    ("rc4-40" → V1/R2, "rc4-128" → V2/R3, "aes-128" → V4/R4 AESV2) and
-    return (enc_dict, file_key).  The dict uses plain Python values
-    (bytes for /O //U); serialization is the caller's concern."""
+    ("rc4-40" → V1/R2, "rc4-128" → V2/R3, "aes-128" → V4/R4 AESV2,
+    "aes-256" → V5/R6 AESV3, "aes-256-r5" → V5/R5) and return
+    (enc_dict, file_key).  The dict uses plain Python values (bytes for
+    /O //U //OE //UE //Perms); serialization is the caller's concern.
+    All salts and the V5 file key derive deterministically from ``id0``
+    so fixtures stay byte-reproducible."""
+    if mode in ("aes-256", "aes-256-r5"):
+        r = 6 if mode == "aes-256" else 5
+        hashf = _hash_2b if r == 6 else _hash_r5
+        upw = _v5_password(user_pw)
+        opw = _v5_password(owner_pw)
+        seed = hashlib.sha256(id0 + b"|pdf-v5|" + mode.encode()).digest()
+        file_key = hashlib.sha256(seed + b"filekey").digest()
+        vs_u, ks_u = seed[:8], seed[8:16]
+        vs_o, ks_o = seed[16:24], seed[24:32]
+        u = hashf(upw, vs_u) + vs_u + ks_u
+        ue = _cbc_nopad(
+            hashf(upw, ks_u), b"\x00" * 16, file_key, encrypt=True
+        )
+        o = hashf(opw, vs_o, u) + vs_o + ks_o
+        oe = _cbc_nopad(
+            hashf(opw, ks_o, u), b"\x00" * 16, file_key, encrypt=True
+        )
+        perms_plain = (
+            (p & 0xFFFFFFFF).to_bytes(4, "little")
+            + b"\xff\xff\xff\xff"
+            + b"T"  # /EncryptMetadata true
+            + b"adb"
+            + seed[:4]
+        )
+        perms = _ecb(file_key, perms_plain, encrypt=True)
+        enc: dict = {
+            "Filter": "Standard",
+            "V": 5,
+            "R": r,
+            "Length": 256,
+            "O": o,
+            "U": u,
+            "OE": oe,
+            "UE": ue,
+            "Perms": perms,
+            "P": p,
+            "CF": {
+                "StdCF": {
+                    "CFM": "AESV3",
+                    "AuthEvent": "DocOpen",
+                    "Length": 32,
+                }
+            },
+            "StmF": "StdCF",
+            "StrF": "StdCF",
+        }
+        return enc, file_key
     if mode == "rc4-40":
         v, r, length = 1, 2, 40
     elif mode == "rc4-128":

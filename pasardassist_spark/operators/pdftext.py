@@ -969,6 +969,14 @@ def _serialize_encrypt_dict(enc: dict) -> bytes:
             b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
             b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF"
         )
+    elif enc["V"] == 5:
+        parts.append(b"/OE <" + bytes(enc["OE"]).hex().encode() + b">")
+        parts.append(b"/UE <" + bytes(enc["UE"]).hex().encode() + b">")
+        parts.append(b"/Perms <" + bytes(enc["Perms"]).hex().encode() + b">")
+        parts.append(
+            b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+            b"/Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+        )
     return b" ".join(parts) + b" >>"
 
 
@@ -997,7 +1005,8 @@ def encode_pdf(
 
     ``encrypt`` adds the standard security handler with the owner-locked
     profile (owner password "owner", EMPTY user password, /P -3904):
-    "rc4-40" (V1/R2), "rc4-128" (V2/R3) or "aes-128" (V4/R4 AESV2).
+    "rc4-40" (V1/R2), "rc4-128" (V2/R3), "aes-128" (V4/R4 AESV2),
+    "aes-256" (V5/R6 AESV3) or "aes-256-r5" (V5/R5).
     Encryption wraps the FILTERED bytes (decode order: decrypt, then
     filters), all streams get per-object keys, the /Encrypt dictionary
     and xref stream stay plaintext, and an /Info with an encrypted

@@ -202,8 +202,10 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # (operators/pdfcrypt.py; pdftext.py _parse_object_at now carries the
     # generation and get_object routes file-level objects through
     # per-object decryption).  doc_pdf_extract also ROTATES encrypted
-    # fixtures in (doc_id%5).  Every archived green that consumes the
-    # changed read path gets one fresh driver row.
+    # fixtures in (doc_id%5), including the AES-256 /V 5 /R 6 variant
+    # (alternating with AES-128 on the %5==4 slice).  Every archived
+    # green that consumes the changed read path gets one fresh driver
+    # row.
     "doc_pdf_extract", "pipeline_doc_extract_clean",
     "pipeline_any_doc_extract", "pipeline_attachment_extract",
     "streaming_docgate_readout",
