@@ -18,7 +18,11 @@ consumer (xls2csv, LibreOffice's import filter) walks:
 The writer synthesizes minimal conforming workbooks and DELIBERATELY
 splits the SST mid-string at irregular points, alternating fragment
 compression, so the reader's continuation logic is exercised on every
-document.  Encrypted workbooks (FILEPASS) raise by name.
+document.  Encrypted workbooks (FILEPASS) decrypt through
+operators/xlscrypt.py — RC4 standard (MD5, EncryptionVersionInfo 1.1)
+and RC4 CryptoAPI (SHA-1, vMajor 2-4), including Excel's well-known
+default password ``VelvetSweatshop`` tried automatically; XOR
+obfuscation raises by name there.
 """
 
 from __future__ import annotations
@@ -146,20 +150,28 @@ def _rk_value(raw: int) -> float:
     return val / 100.0 if div100 else val
 
 
-def extract_xls_cells(payload: bytes) -> list[tuple[str, int, int, str, str]]:
+def extract_xls_cells(
+    payload: bytes, password: str = ""
+) -> list[tuple[str, int, int, str, str]]:
     """(sheet, row, col, kind, value) rows — kind 's' (SST string), 'n'
-    (NUMBER/RK/MULRK, repr'd via repr(float)), 'b' (TRUE/FALSE)."""
+    (NUMBER/RK/MULRK, repr'd via repr(float)), 'b' (TRUE/FALSE).
+    FILEPASS-encrypted workbooks decrypt first (RC4 standard /
+    CryptoAPI, operators/xlscrypt.py; empty ``password`` also tries
+    Excel's default ``VelvetSweatshop``)."""
     streams = dict(read_cfb(payload))
     wb = streams.get("Workbook") or streams.get("Book")
     if wb is None:
         raise ValueError("OLE2 container has no Workbook stream")
+    from pasardassist_spark.operators.xlscrypt import decrypt_biff_stream
+
+    wb = decrypt_biff_stream(wb, password)
     # workbook globals substream
     sst_frags: list[bytes] = []
     in_sst = False
     sheets: list[tuple[str, int]] = []
     for _pos, opcode, data in _records(wb):
         if opcode == _FILEPASS:
-            raise NotImplementedError("encrypted .xls (FILEPASS) unsupported")
+            continue  # already consumed by decrypt_biff_stream
         if opcode == _SST:
             sst_frags = [data]
             in_sst = True
@@ -290,10 +302,18 @@ def encode_xls(
     string_cells: list[tuple[int, int, int]],  # (row, col, sst index)
     strings: list[str],
     number_cells: list[tuple[int, int, float]] = (),
+    encrypt: str | None = None,
+    password: str = "",
 ) -> bytes:
-    """Minimal conforming BIFF8 workbook: globals (BOF, BOUNDSHEET with
-    a fixed-up lbPlyPos, SST with mid-string CONTINUE splits, EOF) plus
-    one worksheet substream of LABELSST / NUMBER cells."""
+    """Minimal conforming BIFF8 workbook: globals (BOF, [FILEPASS,]
+    BOUNDSHEET with a fixed-up lbPlyPos, SST with mid-string CONTINUE
+    splits, EOF) plus one worksheet substream of LABELSST / NUMBER
+    cells.  ``encrypt`` = "standard" (RC4/MD5) or "cryptoapi"
+    (RC4/SHA-1) inserts FILEPASS right after the globals BOF and
+    RC4-encrypts every non-exempt span ([MS-XLS] §2.2.10.3); empty
+    ``password`` means Excel's default ``VelvetSweatshop`` (opens
+    without a prompt).  The salt derives deterministically from the
+    content so fixtures stay byte-reproducible."""
     sheet = _bof(0x0010)
     for row, col, isst in string_cells:
         sheet += _rec(_LABELSST, struct.pack("<HHHi", row, col, 0, isst))
@@ -304,10 +324,33 @@ def encode_xls(
     name8 = sheet_name.encode("latin-1")
     bs_data = struct.pack("<IHBB", 0, 0, len(sheet_name), 0) + name8
     globals_ = _bof(0x0005)
+    ks = None
+    if encrypt is not None:
+        import hashlib as _hashlib
+
+        from pasardassist_spark.operators.xlscrypt import (
+            DEFAULT_XLS_PASSWORD,
+            make_filepass,
+        )
+
+        pw = password or DEFAULT_XLS_PASSWORD
+        salt = _hashlib.md5(
+            b"xls-salt|" + encrypt.encode() + b"|" + b"\x1f".join(
+                s.encode("utf-8") for s in strings
+            )
+        ).digest()
+        fp_payload, ks = make_filepass(pw, salt, variant=encrypt)
+        globals_ += _rec(_FILEPASS, fp_payload)
     bs_at = len(globals_)
     globals_ += _rec(_BOUNDSHEET, bs_data)
     globals_ += _sst_records(strings)
     globals_ += _rec(_EOF, b"")
     wb = bytearray(globals_ + sheet)
     struct.pack_into("<I", wb, bs_at + 4, len(globals_))  # lbPlyPos fixup
+    if ks is not None:
+        from pasardassist_spark.operators.xlscrypt import (
+            encrypt_biff_stream,
+        )
+
+        wb = bytearray(encrypt_biff_stream(bytes(wb), ks))
     return write_cfb([("Workbook", bytes(wb))])

@@ -1692,8 +1692,13 @@ def doc_xls_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     the BOUNDSHEET lbPlyPos offset, and the continuation-aware SST
     parse; the oracle re-derives every cell closed-form, so a broken
     CONTINUE boundary, a wrong flag restatement, or an isst slip
-    mismatches on 500 real workbooks.  Encrypted workbooks (FILEPASS)
-    raise by name.  Scan → mapInPandas, one stage, zero shuffle."""
+    mismatches on 500 real workbooks.  ENCRYPTED workbooks rotate in by
+    doc_id%3 (round 14, operators/xlscrypt.py): 1 → FILEPASS RC4
+    standard (MD5 1.1), 2 → RC4 CryptoAPI (SHA-1 vMajor 2), both under
+    Excel's default VelvetSweatshop password (opens with no prompt) —
+    the 1024-byte rekey walk, exempt-span discipline and verifier check
+    run on two thirds of the corpus.  XOR obfuscation raises by name.
+    Scan → mapInPandas, one stage, zero shuffle."""
     from pasardassist_spark.operators.xlstext import (
         encode_xls,
         extract_xls_cells,
@@ -1721,7 +1726,10 @@ def doc_xls_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
                 scells = [(i, 0, i) for i in range(n)] + [(n, 0, 0)]
                 ncells = [(j, 1, float(seed + j) + 0.25) for j in range(2)]
-                payload = encode_xls("Data", scells, strings, ncells)
+                enc_mode = (None, "standard", "cryptoapi")[seed % 3]
+                payload = encode_xls(
+                    "Data", scells, strings, ncells, encrypt=enc_mode
+                )
                 got = extract_xls_cells(payload)
                 if len(got) != len(scells) + len(ncells):
                     raise ValueError(

@@ -209,6 +209,12 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     "doc_pdf_extract", "pipeline_doc_extract_clean",
     "pipeline_any_doc_extract", "pipeline_attachment_extract",
     "streaming_docgate_readout",
+    # round 14: xlstext gained FILEPASS RC4 decryption (operators/
+    # xlscrypt.py — extract_xls_cells now routes every workbook through
+    # decrypt_biff_stream, a pass-through when no FILEPASS is present)
+    # and doc_xls_extract ROTATES encrypted fixtures in (doc_id%3: RC4
+    # standard / RC4 CryptoAPI under the VelvetSweatshop default).
+    "doc_xls_extract",
     # round 14: tiffcodec gained tile grids + palette ColorMap decode and
     # mm_tiff_decode's fixtures/oracle rotate both in (doc_id%7 tiled,
     # doc_id%5==4 palette).
