@@ -1637,3 +1637,412 @@ def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         t_hi.alias("t_upper"),
         ((t_lo > _TOST_Z_CRIT) & (t_hi < -_TOST_Z_CRIT)).alias("equivalent"),
     )
+
+
+# --------------------------------- Friedman rank test (blocked designs)
+
+
+@query(
+    "stat_friedman",
+    oracle=f"""
+    WITH tot AS (SELECT COUNT(DISTINCT event_type) AS kt FROM events),
+    cell AS (
+        SELECT CAST(ts AS DATE) AS d, event_type,
+               round(SUM(value), 6) AS resp
+        FROM events GROUP BY 1, 2
+    ),
+    cb AS (
+        SELECT d FROM cell GROUP BY d
+        HAVING COUNT(*) = (SELECT kt FROM tot)
+    ),
+    c2 AS (SELECT cell.* FROM cell JOIN cb USING (d)),
+    rt AS (
+        SELECT d, resp, CAST(COUNT(*) AS BIGINT) AS t
+        FROM c2 GROUP BY d, resp
+    ),
+    rr AS (
+        SELECT d, resp, t,
+               2 * SUM(t) OVER (PARTITION BY d ORDER BY resp
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - t + 1 AS r2
+        FROM rt
+    ),
+    j AS (
+        SELECT c2.event_type, rr.r2
+        FROM c2 JOIN rr ON c2.d = rr.d AND c2.resp = rr.resp
+    ),
+    rj AS (
+        SELECT event_type, CAST(SUM(r2) AS BIGINT) AS r2_j,
+               CAST(COUNT(*) AS BIGINT) AS n_b
+        FROM j GROUP BY event_type
+    ),
+    ties AS (SELECT CAST(SUM(t*t*t - t) AS BIGINT) AS tie3 FROM rt),
+    a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(MAX(n_b) AS BIGINT) AS n,
+               SUM(CAST(r2_j AS DOUBLE) * r2_j) AS sr2
+        FROM rj
+    )
+    SELECT n, k,
+           round((3.0 * sr2 / (CAST(n AS DOUBLE) * k * (k + 1))
+                  - 3.0 * n * (k + 1))
+                 / (1.0 - CAST(tie3 AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * (k*k*k - k))), 6)
+               AS chi2_f,
+           round((3.0 * sr2 / (CAST(n AS DOUBLE) * k * (k + 1))
+                  - 3.0 * n * (k + 1))
+                 / (1.0 - CAST(tie3 AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * (k*k*k - k))), 6)
+               > {_KW_CRIT_SQL} AS significant
+    FROM a CROSS JOIN ties
+    """,
+)
+def stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test on the complete-block design days x event
+    types (response = 6-dp-rounded daily value sum): the repeated-
+    measures counterpart of stat_kruskal_wallis — "do the k treatments
+    differ once the per-day level is blocked out", the non-parametric
+    two-way layout every A/B-over-time readout reduces to.  Mid-ranks
+    within each block via the exact doubled-rank machinery (BIGINT
+    throughout); chi2_F = 3*sum(R2_j^2)/(n k (k+1)) - 3n(k+1) on
+    doubled rank sums, tie-corrected by C = 1 - sum(t^3-t)/(n(k^3-k)),
+    df = k-1 against the public chi-square table.
+
+    Spark plan: one (day, type) aggregate on the fact (the only
+    fact-scale shuffle — everything after runs on the ~days*k cell
+    frame), complete blocks kept by a windowed count against the global
+    type count, per-block prefix-sum ranks, a k-row edge.  Blocks scale
+    with DAYS, not rows, so the post-aggregate frame is metadata-sized
+    at any corpus scale.  Rounding the response to 6 dp BEFORE ranking
+    pins the cross-engine float-sum ulp (the ts_cusum discipline)."""
+    ev = load(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.round(F.sum("value"), 6).alias("resp"))
+    kt = cell.select(
+        F.countDistinct("event_type").cast("long").alias("kt")
+    )
+    complete = (
+        cell.groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .join(F.broadcast(kt), F.col("cnt") == F.col("kt"))
+        .select("d")
+    )
+    c2 = cell.join(F.broadcast(complete), "d")
+    rt = c2.groupBy("d", "resp").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    wb = (
+        Window.partitionBy("d")
+        .orderBy("resp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rr = rt.select(
+        "d", "resp",
+        "t", (2 * F.sum("t").over(wb) - F.col("t") + 1).alias("r2"),
+    )
+    rj = (
+        c2.join(rr.select("d", "resp", "r2"), ["d", "resp"])
+        .groupBy("event_type")
+        .agg(
+            F.sum("r2").cast("long").alias("r2_j"),
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+        )
+    )
+    ties = rt.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long").alias("tie3")
+    )
+    a = rj.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("n_b").cast("long").alias("n"),
+        F.sum(F.col("r2_j").cast("double") * F.col("r2_j")).alias("sr2"),
+    )
+    n_d = F.col("n").cast("double")
+    k_ = F.col("k")
+    chi2 = F.round(
+        (3.0 * F.col("sr2") / (n_d * k_ * (k_ + 1)) - 3.0 * F.col("n") * (k_ + 1))
+        / (
+            1.0
+            - F.col("tie3").cast("double")
+            / (n_d * (k_ * k_ * k_ - k_))
+        ),
+        6,
+    )
+    crit = F.lit(1e308)
+    for df_, v in reversed(_KW_CHI2_CRIT.items()):
+        crit = F.when((k_ - 1).cast("int") == df_, F.lit(v)).otherwise(crit)
+    return a.crossJoin(F.broadcast(ties)).select(
+        "n", "k", chi2.alias("chi2_f"), (chi2 > crit).alias("significant")
+    )
+
+
+# ----------------------- Brown-Forsythe homogeneity of variance (daily grain)
+
+
+@query(
+    "stat_brown_forsythe",
+    oracle="""
+    WITH cell AS (
+        SELECT event_type, round(SUM(value), 6) AS resp
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(resp, 0.5) AS med
+        FROM cell GROUP BY event_type
+    ),
+    z AS (
+        SELECT cell.event_type, abs(resp - med) AS z
+        FROM cell JOIN med USING (event_type)
+    ),
+    g AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+               AVG(z) AS zbar_g,
+               SUM(z * z) AS zz_g, SUM(z) AS zs_g
+        FROM z GROUP BY event_type
+    ),
+    a AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               SUM(zs_g) / SUM(n_g) AS zbar,
+               SUM(n_g * zbar_g * zbar_g) AS sb_raw,
+               SUM(zz_g - zs_g * zs_g / n_g) AS sw
+        FROM g
+    )
+    SELECT n, k,
+           round((CAST(n AS DOUBLE) - k) / (k - 1)
+                 * (sb_raw - n * zbar * zbar) / sw, 6) AS w_stat
+    FROM a
+    """,
+)
+def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe homogeneity-of-variance test (Levene with
+    median centering — robust to heavy tails) across event types on
+    the DAILY response grain: z = |daily sum - group median|, W =
+    ((N-k)/(k-1)) * between-group SS of z / within-group SS of z.
+    The variance-equality gate in front of stat_anova_oneway /
+    stat_welch_ttest: W large means pooled-variance tests are invalid
+    and the Welch forms are the right ones.
+
+    Spark plan: one (day, type) aggregate on the fact; the cell frame
+    scales with days*k, so the exact interpolated median per group
+    (F.percentile on the POST-AGGREGATE frame — never on raw rows) and
+    the two moment passes are metadata-sized at any corpus scale.
+    Between-SS uses the sum-form identity sum(n_g*(zbar_g - zbar)^2) =
+    sum(n_g*zbar_g^2) - N*zbar^2 evaluated identically in both engines;
+    response rounded to 6 dp before |.-med| (ts_cusum discipline)."""
+    ev = load(spark, sf_dir, "events")
+    cell = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.sum("value"), 6).alias("resp")
+    )
+    med = cell.groupBy("event_type").agg(
+        F.expr("percentile(resp, 0.5)").alias("med")
+    )
+    z = cell.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("resp") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.avg("z").alias("zbar_g"),
+        F.sum(F.col("z") * F.col("z")).alias("zz_g"),
+        F.sum("z").alias("zs_g"),
+    )
+    a = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (F.sum("zs_g") / F.sum("n_g")).alias("zbar"),
+        F.sum(F.col("n_g") * F.col("zbar_g") * F.col("zbar_g")).alias(
+            "sb_raw"
+        ),
+        F.sum(
+            F.col("zz_g") - F.col("zs_g") * F.col("zs_g") / F.col("n_g")
+        ).alias("sw"),
+    )
+    w = F.round(
+        (F.col("n").cast("double") - F.col("k"))
+        / (F.col("k") - 1)
+        * (F.col("sb_raw") - F.col("n") * F.col("zbar") * F.col("zbar"))
+        / F.col("sw"),
+        6,
+    )
+    return a.select("n", "k", w.alias("w_stat"))
+
+
+# ------------------------------------- Jarque-Bera normality (moment form)
+
+_JB_CRIT_2DF = 5.991465  # chi-square 95%, df=2 (public table)
+
+
+@query(
+    "stat_jarque_bera",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               AVG(value) AS m1, AVG(value * value) AS e2,
+               AVG(value * value * value) AS e3,
+               AVG(value * value * value * value) AS e4
+        FROM events GROUP BY event_type
+    ),
+    c AS (
+        SELECT event_type, n, m1,
+               e2 - m1 * m1 AS m2,
+               e3 - 3 * m1 * e2 + 2 * m1 * m1 * m1 AS m3,
+               e4 - 4 * m1 * e3 + 6 * m1 * m1 * e2
+                  - 3 * m1 * m1 * m1 * m1 AS m4
+        FROM m
+    )
+    SELECT event_type, n,
+           round(m3 / (m2 * sqrt(m2)), 6) AS skew_g1,
+           round(m4 / (m2 * m2) - 3.0, 6) AS kurt_g2,
+           round(n / 6.0 * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+                 + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0),
+                 6) AS jb_stat,
+           round(n / 6.0 * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+                 + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0),
+                 6) > {_JB_CRIT_2DF} AS non_normal
+    FROM c ORDER BY event_type
+    """,
+)
+def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per event type from raw moment sums:
+    JB = n/6 * (g1^2 + g2^2/4) with population skewness g1 =
+    m3/m2^1.5 and excess kurtosis g2 = m4/m2^2 - 3, df=2 chi-square
+    significance.  The distribution-shape gate in front of every
+    parametric test on the shelf (t/ANOVA assume normality; JB large
+    routes to the rank tests).
+
+    Spark plan: ONE map-side-combining hash aggregate of E[v..v^4] per
+    group — no window, no second pass; central moments from raw moments
+    by the SAME algebra in both engines (Spark's built-in skewness/
+    kurtosis and DuckDB's are DIFFERENT estimators — sample-corrected
+    vs population — so neither is used; the explicit moment algebra is
+    the cross-engine-exact form).  6-dp rounding absorbs merge-order
+    ulp (stat_moments contract)."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(v).alias("m1"),
+        F.avg(v * v).alias("e2"),
+        F.avg(v * v * v).alias("e3"),
+        F.avg(v * v * v * v).alias("e4"),
+    )
+    m1 = F.col("m1")
+    m2 = F.col("e2") - m1 * m1
+    m3 = F.col("e3") - 3 * m1 * F.col("e2") + 2 * m1 * m1 * m1
+    m4 = (
+        F.col("e4")
+        - 4 * m1 * F.col("e3")
+        + 6 * m1 * m1 * F.col("e2")
+        - 3 * m1 * m1 * m1 * m1
+    )
+    g1 = m3 / (m2 * F.sqrt(m2))
+    g2 = m4 / (m2 * m2) - 3.0
+    jb = F.round(F.col("n") / 6.0 * (g1 * g1 + g2 * g2 / 4.0), 6)
+    return (
+        m.select(
+            "event_type",
+            "n",
+            F.round(g1, 6).alias("skew_g1"),
+            F.round(g2, 6).alias("kurt_g2"),
+            jb.alias("jb_stat"),
+            (jb > _JB_CRIT_2DF).alias("non_normal"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------ Cramér's V association strength
+
+
+@query(
+    "stat_cramers_v",
+    oracle="""
+    WITH cells AS (
+        SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT seg, pri, n,
+               SUM(n) OVER (PARTITION BY seg) AS row_tot,
+               SUM(n) OVER (PARTITION BY pri) AS col_tot,
+               SUM(n) OVER () AS tot
+        FROM cells
+    ),
+    terms AS (
+        SELECT seg, pri, tot,
+               (CAST(n AS DOUBLE) - CAST(row_tot AS DOUBLE) * col_tot / tot)
+               * (CAST(n AS DOUBLE) - CAST(row_tot AS DOUBLE) * col_tot / tot)
+               / (CAST(row_tot AS DOUBLE) * col_tot / tot) AS term
+        FROM m
+    ),
+    srt AS (SELECT * FROM terms ORDER BY seg, pri),
+    agg AS (
+        SELECT CAST(MAX(tot) AS BIGINT) AS n_total,
+               CAST(COUNT(DISTINCT seg) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT pri) AS BIGINT) AS c,
+               SUM(term) AS chi2
+        FROM srt
+    )
+    SELECT n_total, r, c,
+           round(chi2, 6) AS chi2,
+           round(sqrt(round(chi2, 6) / (n_total *
+                 CASE WHEN r < c THEN r - 1 ELSE c - 1 END)), 6)
+               AS cramers_v
+    FROM agg
+    """,
+)
+def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the segment x priority contingency —
+    the normalized [0,1] association strength that makes
+    stat_chi2_independence's raw statistic comparable across tables of
+    different shape: V = sqrt(chi2 / (N * (min(r,c) - 1))).
+    Significance says "not independent"; V says "by how much".
+
+    Spark plan: same single fact-fact shuffle to the 25-cell
+    contingency as stat_chi2_independence, margins via window sums on
+    the tiny cell frame, chi2 folded over the SORTED cell list
+    (identical reduction order both engines), one edge row."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    m = cells.select(
+        "seg", "pri", "n",
+        F.sum("n").over(Window.partitionBy("seg")).alias("row_tot"),
+        F.sum("n").over(Window.partitionBy("pri")).alias("col_tot"),
+        F.sum("n").over(Window.partitionBy()).alias("tot"),
+    )
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("tot")
+    terms = m.select(
+        "seg", "pri", "tot",
+        ((F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e)
+        .alias("term"),
+    )
+    agg = terms.agg(
+        F.max("tot").cast("long").alias("n_total"),
+        F.countDistinct("seg").cast("long").alias("r"),
+        F.countDistinct("pri").cast("long").alias("c"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(seg, pri, term))), "
+            "cast(0.0 as double), (acc, x) -> acc + x.term)"
+        ).alias("chi2"),
+    )
+    mindim = F.when(F.col("r") < F.col("c"), F.col("r") - 1).otherwise(
+        F.col("c") - 1
+    )
+    return agg.select(
+        "n_total", "r", "c",
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(F.round(F.col("chi2"), 6) / (F.col("n_total") * mindim)), 6
+        ).alias("cramers_v"),
+    )

@@ -1,0 +1,128 @@
+"""Round-14 statistics additions: Friedman, Brown-Forsythe, Jarque-Bera,
+Cramér's V — each checked against an independent textbook twin computed
+directly from the raw tables (so a bug in the distributed assembly
+cannot self-confirm through the shared oracle algebra)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from pasardassist_spark.queries.registry import REGISTRY, _load_all
+from pasardassist_spark.tables import load
+
+_load_all()
+
+
+def _daily_cells(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(F.round(F.sum("value"), 6).alias("resp"))
+        .collect()
+    )
+
+
+def test_friedman_matches_textbook_midranks(spark, sf_dir):
+    """Mid-rank Friedman computed sequentially per block (lesser-count +
+    (ties+1)/2 form) must equal the doubled-rank distributed assembly."""
+    row = REGISTRY["stat_friedman"].fn(spark, sf_dir).collect()[0]
+    blocks: dict = defaultdict(dict)
+    for r in _daily_cells(spark, sf_dir):
+        blocks[r.d][r.event_type] = r.resp
+    k = len({t for v in blocks.values() for t in v})
+    bl = {d: v for d, v in blocks.items() if len(v) == k}
+    n = len(bl)
+    rj: dict = defaultdict(float)
+    tie3 = 0
+    for v in bl.values():
+        vals = sorted(v.values())
+        cnt = Counter(vals)
+        for c in cnt.values():
+            tie3 += c**3 - c
+        for t_name, val in v.items():
+            lesser = sum(1 for x in vals if x < val)
+            rj[t_name] += lesser + (cnt[val] + 1) / 2.0
+    chi2 = 12.0 / (n * k * (k + 1)) * sum(
+        r * r for r in rj.values()
+    ) - 3 * n * (k + 1)
+    chi2 /= 1 - tie3 / (n * (k**3 - k))
+    assert row.n == n and row.k == k
+    assert math.isclose(row.chi2_f, round(chi2, 6), abs_tol=2e-6)
+
+
+def test_brown_forsythe_matches_textbook(spark, sf_dir):
+    """W from per-group median-centered |z| computed sequentially."""
+    row = REGISTRY["stat_brown_forsythe"].fn(spark, sf_dir).collect()[0]
+    groups: dict = defaultdict(list)
+    for r in _daily_cells(spark, sf_dir):
+        groups[r.event_type].append(r.resp)
+
+    def interp_median(vs):
+        s = sorted(vs)
+        m = len(s)
+        if m % 2:
+            return s[m // 2]
+        return (s[m // 2 - 1] + s[m // 2]) / 2.0
+
+    z = {
+        t: [abs(x - interp_median(vs)) for x in vs]
+        for t, vs in groups.items()
+    }
+    big_n = sum(len(v) for v in z.values())
+    k = len(z)
+    zbar = sum(sum(v) for v in z.values()) / big_n
+    mean = lambda v: sum(v) / len(v)  # noqa: E731
+    sb = sum(len(v) * (mean(v) - zbar) ** 2 for v in z.values())
+    sw = sum(sum((x - mean(v)) ** 2 for x in v) for v in z.values())
+    w = (big_n - k) / (k - 1) * sb / sw
+    assert row.n == big_n and row.k == k
+    assert math.isclose(row.w_stat, round(w, 6), abs_tol=2e-6)
+
+
+def test_jarque_bera_matches_textbook(spark, sf_dir):
+    """Central moments from one collected group; population g1/g2."""
+    rows = {
+        r.event_type: r
+        for r in REGISTRY["stat_jarque_bera"].fn(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    vals = [
+        r.value
+        for r in ev.filter(F.col("event_type") == "click")
+        .select("value")
+        .collect()
+    ]
+    n = len(vals)
+    m1 = sum(vals) / n
+    c = [v - m1 for v in vals]
+    m2 = sum(x * x for x in c) / n
+    m3 = sum(x**3 for x in c) / n
+    m4 = sum(x**4 for x in c) / n
+    g1 = m3 / m2**1.5
+    g2 = m4 / m2**2 - 3
+    jb = n / 6 * (g1 * g1 + g2 * g2 / 4)
+    got = rows["click"]
+    assert got.n == n
+    assert math.isclose(got.skew_g1, round(g1, 6), abs_tol=2e-6)
+    assert math.isclose(got.kurt_g2, round(g2, 6), abs_tol=2e-6)
+    assert math.isclose(got.jb_stat, round(jb, 6), abs_tol=2e-5)
+
+
+def test_cramers_v_bounds_and_chi2_consistency(spark, sf_dir):
+    """V in [0,1]; V == sqrt(chi2/(N*min(r-1,c-1))) from the SAME row;
+    chi2 must equal stat_chi2_independence's statistic (shared
+    contingency)."""
+    row = REGISTRY["stat_cramers_v"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= row.cramers_v <= 1.0
+    expect = math.sqrt(
+        row.chi2 / (row.n_total * min(row.r - 1, row.c - 1))
+    )
+    assert math.isclose(row.cramers_v, round(expect, 6), abs_tol=2e-6)
+    chi2_row = (
+        REGISTRY["stat_chi2_independence"].fn(spark, sf_dir).collect()[0]
+    )
+    assert math.isclose(row.chi2, chi2_row.chi2, abs_tol=2e-6)
+    assert row.n_total == chi2_row.n_total
