@@ -1224,3 +1224,119 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang_true") == F.col("cand")).alias("correct"),
         )
     )
+
+
+# ------------------------------------ distributed k-means (full-corpus Lloyd)
+
+KMEANS_K = 4
+KMEANS_ITERS = 5
+
+
+@query("ml_kmeans")  # iterative Lloyd refinement: no closed SQL form
+def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus distributed k-means (Lloyd) over the embedding
+    vectors — k={KMEANS_K}, {KMEANS_ITERS} refinement sweeps,
+    deterministic init from the {KMEANS_K} lowest vec_ids.  This is the
+    DISTRIBUTED counterpart of the driver-sample Lloyd that trains the
+    IVF index (operators/similarity.py _kmeans_numpy): the clustering
+    itself as a product — corpus segmentation for mixture balancing and
+    per-cluster quality audits — rather than an index byproduct, so the
+    WHOLE corpus votes in every update, not a 100k sample.
+
+    Scale shape per sweep: assignment is a narrow projection evaluating
+    k squared distances per row (zip_with/aggregate over the vector
+    column against FROM_JSON centroid literals — JVM-side, no Python);
+    the update is one posexplode + (cluster, dim) hash aggregate whose
+    map-side combine reduces every partition to k*d partial sums, so
+    driver traffic per sweep is k*d doubles (the glm.py moment-solve
+    split).  No data-sized collect at any corpus size.  Centroids are
+    6-dp-rounded between sweeps, pinning the whole iteration
+    deterministic across partition layouts (ts_cusum discipline).
+    Output: one row per cluster — size, 6-dp inertia share, centroid
+    norm.  Sequential numpy twin in tests/test_round14_stats.py."""
+    import json as _json
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = emb.persist()
+    init = emb.orderBy("vec_id").limit(KMEANS_K).collect()
+    cents = [
+        [round(float(x), 6) for x in r.embedding] for r in init
+    ]
+
+    def dist_cols(cs):
+        cols = []
+        for j, c in enumerate(cs):
+            lit = F.from_json(F.lit(_json.dumps(c)), "array<double>")
+            d = F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    lit,
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            cols.append(d.alias(f"d{j}"))
+        return cols
+
+    def assigned(cs):
+        k = len(cs)
+        w = emb.select("vec_id", "embedding", *dist_cols(cs))
+        darr = F.array(*[F.col(f"d{j}") for j in range(k)])
+        return w.select(
+            "vec_id",
+            "embedding",
+            (F.array_position(darr, F.array_min(darr)) - 1)
+            .cast("int")
+            .alias("cluster"),
+            F.array_min(darr).alias("d_min"),
+        )
+
+    for _ in range(KMEANS_ITERS):
+        a = assigned(cents)
+        sums = (
+            a.select("cluster", F.posexplode("embedding"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.col("col").cast("double")).alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .collect()
+        )
+        by_c: dict[int, dict[int, tuple[float, int]]] = {}
+        for row in sums:
+            by_c.setdefault(row.cluster, {})[row.pos] = (row.s, row.n)
+        new = []
+        for j, old in enumerate(cents):
+            dims = by_c.get(j)
+            if not dims:  # empty cluster keeps its centroid
+                new.append(old)
+                continue
+            new.append(
+                [
+                    round(dims[p][0] / dims[p][1], 6)
+                    for p in range(len(old))
+                ]
+            )
+        cents = new
+
+    a = assigned(cents)
+    out = (
+        a.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("size"),
+            F.round(F.sum("d_min"), 6).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+    norms = spark.createDataFrame(
+        [
+            (j, round(sum(x * x for x in c) ** 0.5, 6))
+            for j, c in enumerate(cents)
+        ],
+        "cluster int, centroid_norm double",
+    )
+    emb.unpersist()
+    return out.join(F.broadcast(norms), "cluster").select(
+        "cluster", "size", "inertia", "centroid_norm"
+    )

@@ -1189,3 +1189,48 @@ def stat_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_days", "s_stat", "var_s_x18",
         F.round(z, 6).alias("z"),
     )
+
+
+# ------------------------------------- partial autocorrelation (PACF)
+
+PACF_MAX_LAG = ACF_MAX_LAG
+
+
+@query("ts_pacf")  # Durbin-Levinson recursion: no closed SQL form
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily total event value at lags
+    1..{PACF_MAX_LAG} via the Durbin-Levinson recursion — the AR-order
+    diagnostic read NEXT to ts_acf (ACF tails off + PACF cuts at p ⇒
+    AR(p); the pairing is how every Box-Jenkins identification step
+    starts).  phi_mm = (r_m - sum phi_{m-1,j} r_{m-j}) /
+    (1 - sum phi_{m-1,j} r_j), each level folding the previous
+    coefficients.
+
+    Scale shape: the ONLY data-sized work is ts_acf's single day-grain
+    fact aggregate (the distributed ACF assembly is reused verbatim);
+    the recursion runs driver-side on the <= {PACF_MAX_LAG}-element ACF
+    vector — metadata-scale forever, the glm.py "aggregate statistics,
+    solve small" split.  ACF values are 6-dp-rounded BEFORE the
+    recursion, so the recursion input (and hence output) is pinned
+    cross-run; results round to 6 dp.  Sequential Yule-Walker twin in
+    tests/test_round14_stats.py."""
+    acf_rows = ts_acf(spark, sf_dir).collect()
+    r = [1.0] + [
+        float(row.acf) for row in sorted(acf_rows, key=lambda x: x.lag)
+    ]
+    p = len(r) - 1
+    pacf: list[float] = []
+    prev: list[float] = []
+    for m in range(1, p + 1):
+        num = r[m] - sum(prev[j] * r[m - 1 - j] for j in range(m - 1))
+        den = 1.0 - sum(prev[j] * r[j + 1] for j in range(m - 1))
+        phi_mm = num / den
+        cur = [
+            prev[j] - phi_mm * prev[m - 2 - j] for j in range(m - 1)
+        ] + [phi_mm]
+        pacf.append(phi_mm)
+        prev = cur
+    return spark.createDataFrame(
+        [(k + 1, round(v, 6)) for k, v in enumerate(pacf)],
+        "lag int, pacf double",
+    )

@@ -126,3 +126,75 @@ def test_cramers_v_bounds_and_chi2_consistency(spark, sf_dir):
     )
     assert math.isclose(row.chi2, chi2_row.chi2, abs_tol=2e-6)
     assert row.n_total == chi2_row.n_total
+
+
+def test_pacf_matches_yule_walker(spark, sf_dir):
+    """Durbin-Levinson phi_mm must equal the last coefficient of the
+    order-m Yule-Walker solve (numpy Toeplitz system) — an independent
+    linear-algebra route to the same quantity."""
+    import numpy as np
+
+    acf = {
+        r.lag: r.acf
+        for r in REGISTRY["ts_acf"].fn(spark, sf_dir).collect()
+    }
+    pacf = {
+        r.lag: r.pacf
+        for r in REGISTRY["ts_pacf"].fn(spark, sf_dir).collect()
+    }
+    p = max(acf)
+    r = np.array([1.0] + [acf[k] for k in range(1, p + 1)])
+    for m in range(1, p + 1):
+        R = np.empty((m, m))
+        for i in range(m):
+            for j in range(m):
+                R[i, j] = r[abs(i - j)]
+        phi = np.linalg.solve(R, r[1 : m + 1])
+        assert math.isclose(pacf[m], round(float(phi[-1]), 6), abs_tol=2e-6)
+    assert math.isclose(pacf[1], round(acf[1], 6), abs_tol=2e-6)
+
+
+def test_kmeans_matches_sequential_lloyd(spark, sf_dir):
+    """The distributed Lloyd sweep (posexplode moment aggregate,
+    6-dp-rounded centroids) must reproduce a sequential numpy Lloyd
+    with the identical init, rounding, and tie-break."""
+    import numpy as np
+
+    from pasardassist_spark.queries.mining import KMEANS_ITERS, KMEANS_K
+
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r.vec_id)
+    X = np.array([[float(x) for x in r.embedding] for r in rows])
+    cents = np.round(X[:KMEANS_K].copy(), 6)
+    for _ in range(KMEANS_ITERS):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # first-min tie-break, same as Spark
+        new = cents.copy()
+        for j in range(KMEANS_K):
+            m = assign == j
+            if m.any():
+                new[j] = np.round(X[m].mean(axis=0), 6)
+        cents = new
+    d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    sizes = {j: int((assign == j).sum()) for j in range(KMEANS_K)}
+    inertia = {
+        j: float(d[assign == j].min(axis=1).sum()) for j in range(KMEANS_K)
+    }
+    got = {
+        r.cluster: r
+        for r in REGISTRY["ml_kmeans"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(sizes)
+    for j in range(KMEANS_K):
+        assert got[j].size == sizes[j], (j, got[j].size, sizes[j])
+        assert math.isclose(got[j].inertia, inertia[j], abs_tol=1e-4)
+        assert math.isclose(
+            got[j].centroid_norm,
+            round(float(np.sqrt((cents[j] ** 2).sum())), 6),
+            abs_tol=2e-6,
+        )
