@@ -1914,3 +1914,119 @@ def mm_wav_info_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_build_parse, schema)
+
+
+@query(
+    "mm_mp4_meta",
+    oracle="""
+    WITH base AS (SELECT doc_id FROM documents),
+    v AS (
+        SELECT doc_id, 1 AS track_id, 'vide' AS handler, 'avc1' AS codec,
+               CAST(320 + 16 * (doc_id % 8) AS INTEGER) AS width,
+               CAST(240 + 16 * (doc_id % 5) AS INTEGER) AS height,
+               CAST((doc_id % 10 + 1) * 1000 AS BIGINT) AS track_duration_ms
+        FROM base
+    ),
+    s AS (
+        SELECT doc_id, 2 AS track_id, 'soun' AS handler, 'mp4a' AS codec,
+               CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+               CAST(100 * (1 + doc_id % 7) AS BIGINT) AS track_duration_ms
+        FROM base WHERE doc_id % 3 >= 1
+    ),
+    x AS (
+        SELECT doc_id, 3 AS track_id, 'text' AS handler, 'tx3g' AS codec,
+               CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+               CAST(doc_id % 997 AS BIGINT) AS track_duration_ms
+        FROM base WHERE doc_id % 3 = 2
+    ),
+    u AS (SELECT * FROM v UNION ALL SELECT * FROM s UNION ALL SELECT * FROM x)
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+                ELSE '3gp4' END AS brand,
+           CAST(1000 + doc_id % 5000 AS BIGINT) AS movie_duration_ms,
+           track_id, handler, codec, width, height, track_duration_ms
+    FROM u
+    """,
+)
+def mm_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO base-media (MP4) box-tree metadata walk WITHOUT sample decode
+    (operators/mp4meta.py) — the container-indexing pass for crawled
+    video/audio, the sixth member of the no-decode metadata family
+    (ID3/MP3-frames, EXIF, PNG-text, WAV-INFO, and now the box tree all
+    modern video arrives in).  One output row per TRACK: handler fourcc,
+    first stsd codec tag, tkhd 16.16 presentation dimensions, and the
+    media duration rescaled to ms from the PER-TRACK mdhd timescale
+    (30 kHz video vs 48 kHz audio vs 1 kHz text — three different
+    clocks per file, so a timescale mix-up cannot cancel).
+
+    Fixtures rotate BOTH fullbox time widths (mvhd/tkhd/mdhd version
+    0 and 1 by doc_id//2%2), the size==1 + 64-bit largesize form on odd
+    moov boxes, a size==0 to-EOF trailing mdat, and a free + unknown
+    uuid box spliced between every top-level pair — the walker must
+    skip strictly by declared size.  1-3 tracks by doc_id%3.  The
+    oracle re-derives every column from doc_id arithmetic, so one hash
+    certifies all three size forms, both time widths, per-track clock
+    scaling and stsd entry addressing on 500 files.  Fragmented moof
+    raises by name; torn boxes raise ValueError.
+
+    Spark plan: one Arrow map pass over doc ids, no shuffle; the walk
+    reads O(metadata) bytes regardless of media size."""
+    from pasardassist_spark.operators.mp4meta import (
+        encode_mp4_meta,
+        parse_mp4_meta,
+    )
+
+    schema = (
+        "doc_id long, brand string, movie_duration_ms long, "
+        "track_id int, handler string, codec string, width int, "
+        "height int, track_duration_ms long"
+    )
+    _BRANDS = ("isom", "mp42", "3gp4")
+
+    def _build_parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "doc_id", "brand", "movie_duration_ms", "track_id",
+            "handler", "codec", "width", "height", "track_duration_ms",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                tracks = [
+                    (1, "vide", "avc1", 320 + 16 * (i % 8),
+                     240 + 16 * (i % 5), 30000, (i % 10 + 1) * 30000),
+                ]
+                if i % 3 >= 1:
+                    tracks.append(
+                        (2, "soun", "mp4a", 0, 0, 48000,
+                         4800 * (1 + i % 7))
+                    )
+                if i % 3 == 2:
+                    tracks.append((3, "text", "tx3g", 0, 0, 1000, i % 997))
+                payload = encode_mp4_meta(
+                    _BRANDS[i % 3],
+                    1000,
+                    1000 + i % 5000,
+                    tracks,
+                    version=(i // 2) % 2,
+                    moov_largesize=i % 2 == 1,
+                )
+                meta = parse_mp4_meta(payload)
+                if len(meta.tracks) != len(tracks):
+                    raise ValueError(
+                        f"doc {i}: track count {len(meta.tracks)}"
+                    )
+                for t in meta.tracks:
+                    rows["doc_id"].append(i)
+                    rows["brand"].append(meta.brand)
+                    rows["movie_duration_ms"].append(meta.duration_ms)
+                    rows["track_id"].append(t.track_id)
+                    rows["handler"].append(t.handler)
+                    rows["codec"].append(t.codec)
+                    rows["width"].append(t.width)
+                    rows["height"].append(t.height)
+                    rows["track_duration_ms"].append(t.duration_ms)
+            yield pd.DataFrame(rows)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_build_parse, schema)
