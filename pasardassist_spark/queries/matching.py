@@ -2046,3 +2046,149 @@ def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.round(F.col("chi2"), 6) / (F.col("n_total") * mindim)), 6
         ).alias("cramers_v"),
     )
+
+
+# ------------------------- two-sample Cramér-von Mises (rank form)
+
+CVM_CRIT_5PCT = 0.461  # asymptotic 95% point of the CvM limit law (public)
+
+
+@query(
+    "stat_cvm_2samp",
+    oracle=f"""
+    WITH g AS (
+        SELECT value,
+               CAST(COUNT(*) FILTER (event_type = '{MW_SAMPLE_A}')
+                    AS BIGINT) AS cnt_a,
+               CAST(COUNT(*) FILTER (event_type = '{MW_SAMPLE_B}')
+                    AS BIGINT) AS cnt_b
+        FROM events
+        WHERE event_type IN ('{MW_SAMPLE_A}', '{MW_SAMPLE_B}')
+        GROUP BY value
+    ),
+    c AS (
+        SELECT cnt_a, cnt_b, cnt_a + cnt_b AS t,
+               SUM(cnt_a + cnt_b) OVER w AS ct,
+               SUM(cnt_a) OVER w AS ca,
+               SUM(cnt_b) OVER w AS cb
+        FROM g
+        WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    terms AS (
+        SELECT cnt_a, cnt_b,
+               2 * ct - t + 1 AS r2,
+               -- sum over the within-sample index runs (closed form):
+               -- sum_{{i=a..b}} (r2-2i)^2 with a..b the sample's
+               -- cumulative slot range for this value
+               CASE WHEN cnt_a > 0 THEN
+                 CAST(cnt_a AS DOUBLE) * (2*ct - t + 1) * (2*ct - t + 1)
+                 - 4.0 * (2*ct - t + 1)
+                   * ((ca - cnt_a + 1 + ca) * cnt_a / 2)
+                 + 4.0 * ((ca*(ca+1)*(2*ca+1)
+                           - (ca-cnt_a)*(ca-cnt_a+1)*(2*(ca-cnt_a)+1)) / 6)
+               ELSE 0 END AS ua,
+               CASE WHEN cnt_b > 0 THEN
+                 CAST(cnt_b AS DOUBLE) * (2*ct - t + 1) * (2*ct - t + 1)
+                 - 4.0 * (2*ct - t + 1)
+                   * ((cb - cnt_b + 1 + cb) * cnt_b / 2)
+                 + 4.0 * ((cb*(cb+1)*(2*cb+1)
+                           - (cb-cnt_b)*(cb-cnt_b+1)*(2*(cb-cnt_b)+1)) / 6)
+               ELSE 0 END AS ub
+        FROM c
+    ),
+    a AS (
+        SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+               CAST(SUM(cnt_b) AS BIGINT) AS n_b,
+               SUM(ub) AS sua_b, SUM(ua) AS sua_a
+        FROM terms
+    )
+    SELECT n_a, n_b,
+           round((CAST(n_a AS DOUBLE) * sua_a + CAST(n_b AS DOUBLE) * sua_b)
+                 / (4.0 * (n_a + n_b) * n_a * n_b)
+                 - (4.0 * n_a * n_b - 1.0) / (6.0 * (n_a + n_b)), 6)
+               AS t_stat,
+           round((CAST(n_a AS DOUBLE) * sua_a + CAST(n_b AS DOUBLE) * sua_b)
+                 / (4.0 * (n_a + n_b) * n_a * n_b)
+                 - (4.0 * n_a * n_b - 1.0) / (6.0 * (n_a + n_b)), 6)
+               > {CVM_CRIT_5PCT} AS significant
+    FROM a
+    """,
+)
+def stat_cvm_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises T comparing the `value` distribution
+    of '{MW_SAMPLE_A}' vs '{MW_SAMPLE_B}' events — the INTEGRATED
+    distribution-distance companion to stat_ks_test's supremum form
+    (CvM weights the whole CDF gap, so it out-powers KS on spread-out
+    alternatives) and stat_mannwhitney_u's location form.  Rank
+    formula (Anderson 1962): T = U/(N n_a n_b) - (4 n_a n_b - 1)/(6N),
+    U = n_b sum_i (r_i - i)^2 + n_a sum_j (s_j - j)^2 over pooled ranks
+    r/s and within-sample indices i/j; ties take pooled MID-ranks
+    (doubled-rank integers), and each value's within-sample index run
+    a..b contributes the exact closed form c*r2^2 - 4*r2*sum(i) +
+    4*sum(i^2) — no per-row explosion, the sum-of-squares prefix
+    identity.
+
+    Spark plan: ONE value-grain aggregate on the fact, one ordered
+    prefix-sum window over the distinct-value frame carrying THREE
+    cumulative counters (pooled, per-sample slots), a 1-row edge — the
+    stat_mannwhitney_u machinery extended with the arithmetic-series
+    term.  All counters BIGINT; the squared terms assemble in double
+    from exactly-representable integers with the IDENTICAL expression
+    both engines."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(MW_SAMPLE_A, MW_SAMPLE_B)
+    )
+    g = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == MW_SAMPLE_A).cast("long"))
+        .cast("long").alias("cnt_a"),
+        F.sum((F.col("event_type") == MW_SAMPLE_B).cast("long"))
+        .cast("long").alias("cnt_b"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    t = F.col("cnt_a") + F.col("cnt_b")
+    c = g.select(
+        "cnt_a", "cnt_b",
+        (2 * F.sum(t).over(w) - t + 1).alias("r2"),
+        F.sum("cnt_a").over(w).alias("ca"),
+        F.sum("cnt_b").over(w).alias("cb"),
+    )
+
+    def run_term(cnt, cum):
+        # sum_{i=a..b}(r2-2i)^2, a = cum-cnt+1, b = cum (integer closed
+        # form, assembled in double identically to the SQL oracle)
+        a_ = cum - cnt
+        sum_i = (a_ + 1 + cum) * cnt / 2
+        sum_i2 = (
+            cum * (cum + 1) * (2 * cum + 1)
+            - a_ * (a_ + 1) * (2 * a_ + 1)
+        ) / 6
+        r2 = F.col("r2")
+        return F.when(
+            cnt > 0,
+            cnt.cast("double") * r2 * r2 - 4.0 * r2 * sum_i + 4.0 * sum_i2,
+        ).otherwise(F.lit(0.0))
+
+    terms = c.select(
+        "cnt_a", "cnt_b",
+        run_term(F.col("cnt_a"), F.col("ca")).alias("ua"),
+        run_term(F.col("cnt_b"), F.col("cb")).alias("ub"),
+    )
+    a = terms.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum("cnt_b").cast("long").alias("n_b"),
+        F.sum("ub").alias("sua_b"),
+        F.sum("ua").alias("sua_a"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    big_n = n_a + n_b
+    t_stat = F.round(
+        (n_a.cast("double") * F.col("sua_a") + n_b.cast("double") * F.col("sua_b"))
+        / (4.0 * big_n * n_a * n_b)
+        - (4.0 * n_a * n_b - 1.0) / (6.0 * big_n),
+        6,
+    )
+    return a.select(
+        "n_a", "n_b", t_stat.alias("t_stat"),
+        (t_stat > CVM_CRIT_5PCT).alias("significant"),
+    )

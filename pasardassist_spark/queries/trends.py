@@ -1234,3 +1234,103 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k + 1, round(v, 6)) for k, v in enumerate(pacf)],
         "lag int, pacf double",
     )
+
+
+# ---------------------------------- single change-point (binary split)
+
+
+@query(
+    "ts_changepoint",
+    oracle="""
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day, round(SUM(value), 6) AS x
+        FROM events GROUP BY 1
+    ),
+    c AS (
+        SELECT day, x,
+               ROW_NUMBER() OVER (ORDER BY day) AS k,
+               SUM(x) OVER w AS cs,
+               SUM(x * x) OVER w AS cq,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n,
+               SUM(x) OVER () AS ts_,
+               SUM(x * x) OVER () AS tq
+        FROM d
+        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    s AS (
+        SELECT day, k, n, cs, ts_,
+               (tq - ts_ * ts_ / n)
+               - ((cq - cs * cs / k)
+                  + ((tq - cq) - (ts_ - cs) * (ts_ - cs) / (n - k)))
+                   AS reduction
+        FROM c WHERE k < n
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS split_day,
+           CAST(k AS BIGINT) AS n_left,
+           CAST(n - k AS BIGINT) AS n_right,
+           round(cs / k, 6) AS mean_left,
+           round((ts_ - cs) / (n - k), 6) AS mean_right,
+           round(reduction, 6) AS ss_reduction
+    FROM s ORDER BY reduction DESC, k ASC LIMIT 1
+    """,
+)
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point in the daily total event value by exact
+    between-segment SS maximization — the first split of binary
+    segmentation, the level-shift detector paired with ts_page_hinkley
+    (PH streams and flags; this locates, offline, WHERE the mean moved):
+    argmax_k [ SST - (SSL(k) + SSR(k)) ] over all n-1 split points,
+    each segment SS from the prefix-sum identity sum((x-m)^2) =
+    sum(x^2) - sum(x)^2/len.
+
+    Spark plan: one day-grain aggregate on the fact; ONE ordered
+    cumulative window over the calendar-bounded day frame carries
+    sum/sum-of-squares prefixes, the totals ride the same frame as
+    unbounded window sums — crucially SST is taken from the SAME
+    sequential prefix chain (not a separate hash aggregate), so both
+    engines fold the identical addition order and the argmax compares
+    bitwise-identical doubles.  Ties break to the earliest split.
+    Day frame is metadata-scale at any corpus size (365 rows/year)."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("x")
+    )
+    wseq = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    x = F.col("x")
+    c = d.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("k"),
+        F.sum(x).over(wseq).alias("cs"),
+        F.sum(x * x).over(wseq).alias("cq"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        F.sum(x).over(wall).alias("ts_"),
+        F.sum(x * x).over(wall).alias("tq"),
+    )
+    k = F.col("k").cast("double")
+    n = F.col("n").cast("double")
+    sst = F.col("tq") - F.col("ts_") * F.col("ts_") / n
+    ssl = F.col("cq") - F.col("cs") * F.col("cs") / k
+    rs = F.col("ts_") - F.col("cs")
+    ssr = (F.col("tq") - F.col("cq")) - rs * rs / (n - k)
+    s = c.filter(F.col("k") < F.col("n")).select(
+        "day", "k", "n", "cs", "ts_",
+        (sst - (ssl + ssr)).alias("reduction"),
+    )
+    return (
+        s.orderBy(F.col("reduction").desc(), F.col("k").asc())
+        .limit(1)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+            F.col("k").cast("long").alias("n_left"),
+            (F.col("n") - F.col("k")).cast("long").alias("n_right"),
+            F.round(F.col("cs") / F.col("k"), 6).alias("mean_left"),
+            F.round(
+                (F.col("ts_") - F.col("cs")) / (F.col("n") - F.col("k")), 6
+            ).alias("mean_right"),
+            F.round(F.col("reduction"), 6).alias("ss_reduction"),
+        )
+    )

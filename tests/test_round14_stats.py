@@ -198,3 +198,74 @@ def test_kmeans_matches_sequential_lloyd(spark, sf_dir):
             round(float(np.sqrt((cents[j] ** 2).sum())), 6),
             abs_tol=2e-6,
         )
+
+
+def test_cvm_matches_sequential_reference(spark, sf_dir):
+    """Sequential Anderson-1962 T with pooled mid-ranks (the scipy
+    cramervonmises_2samp construction) on the collected samples."""
+    from pasardassist_spark.queries.matching import (
+        MW_SAMPLE_A,
+        MW_SAMPLE_B,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    xs, ys = [], []
+    for r in ev.collect():
+        if r.event_type == MW_SAMPLE_A:
+            xs.append(r.value)
+        elif r.event_type == MW_SAMPLE_B:
+            ys.append(r.value)
+    pooled = sorted([(v, 0) for v in xs] + [(v, 1) for v in ys])
+    vals = [p[0] for p in pooled]
+    # pooled mid-ranks (1-based)
+    from collections import Counter
+
+    cnt = Counter(vals)
+    first_at: dict = {}
+    seen = 0
+    for v in sorted(cnt):
+        first_at[v] = seen + 1
+        seen += cnt[v]
+    midrank = {v: first_at[v] + (cnt[v] - 1) / 2.0 for v in cnt}
+    rx = sorted(midrank[v] for v in xs)
+    ry = sorted(midrank[v] for v in ys)
+    n, m = len(xs), len(ys)
+    u = n * sum((r - (i + 1)) ** 2 for i, r in enumerate(rx)) + m * sum(
+        (s - (j + 1)) ** 2 for j, s in enumerate(ry)
+    )
+    big = n + m
+    t_ref = u / (n * m * big) - (4 * m * n - 1) / (6 * big)
+    row = REGISTRY["stat_cvm_2samp"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_a, row.n_b) == (n, m)
+    assert math.isclose(row.t_stat, round(t_ref, 6), abs_tol=2e-6)
+
+
+def test_changepoint_matches_brute_force(spark, sf_dir):
+    """Every split cost evaluated directly from collected daily sums
+    (mean-centered SS per segment) must pick the same argmax."""
+    days = sorted(
+        (r.day, r.x)
+        for r in load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("x"))
+        .collect()
+    )
+    xs = [x for _d, x in days]
+    n = len(xs)
+
+    def ss(seg):
+        m = sum(seg) / len(seg)
+        return sum((v - m) ** 2 for v in seg)
+
+    sst = ss(xs)
+    best = max(
+        ((sst - ss(xs[:k]) - ss(xs[k:]), -k) for k in range(1, n)),
+    )
+    red, k = best[0], -best[1]
+    row = REGISTRY["ts_changepoint"].fn(spark, sf_dir).collect()[0]
+    assert row.n_left == k and row.n_right == n - k
+    assert row.split_day == days[k - 1][0].strftime("%Y-%m-%d")
+    assert math.isclose(row.ss_reduction, round(red, 6), abs_tol=1e-3)
+    assert math.isclose(
+        row.mean_left, round(sum(xs[:k]) / k, 6), abs_tol=2e-6
+    )
