@@ -2030,3 +2030,130 @@ def mm_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_build_parse, schema)
+
+
+@query(
+    "mm_flac_ogg_meta",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'flac' ELSE 'ogg' END AS container,
+           CASE doc_id % 3 WHEN 0 THEN 'flac' WHEN 1 THEN 'vorbis'
+                ELSE 'opus' END AS codec,
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN CASE (doc_id // 3) % 4 WHEN 0 THEN 44100
+                     WHEN 1 THEN 48000 WHEN 2 THEN 96000 ELSE 22050 END
+                WHEN 1 THEN CASE (doc_id // 3) % 4 WHEN 0 THEN 44100
+                     WHEN 1 THEN 48000 WHEN 2 THEN 32000 ELSE 8000 END
+                ELSE CASE (doc_id // 3) % 3 WHEN 0 THEN 48000
+                     WHEN 1 THEN 16000 ELSE 24000 END
+           END AS INTEGER) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+           CAST(CASE doc_id % 3 WHEN 0 THEN
+                CASE (doc_id // 2) % 2 WHEN 0 THEN 16 ELSE 24 END
+                ELSE 0 END AS INTEGER) AS bits_per_sample,
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN
+                  ((CASE (doc_id // 3) % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                    WHEN 2 THEN 96000 ELSE 22050 END) * (1 + doc_id % 5)
+                   + doc_id % 997) * 1000
+                  // (CASE (doc_id // 3) % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                      WHEN 2 THEN 96000 ELSE 22050 END)
+                WHEN 1 THEN
+                  ((CASE (doc_id // 3) % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                    WHEN 2 THEN 32000 ELSE 8000 END) * (2 + doc_id % 4)
+                   + doc_id % 1009) * 1000
+                  // (CASE (doc_id // 3) % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                      WHEN 2 THEN 32000 ELSE 8000 END)
+                ELSE 500 + doc_id % 2000
+           END AS BIGINT) AS duration_ms,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 2 ELSE 0 END
+                AS INTEGER) AS tag_count
+    FROM documents
+    """,
+)
+def mm_flac_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC STREAMINFO / Vorbis-comment and Ogg (Vorbis + Opus)
+    identification-header metadata WITHOUT audio decode
+    (operators/flacmeta.py) — completes the audio container matrix next
+    to mm_mp3_frames (MPEG) and mm_mp4_meta (ISO-BMFF): the two open
+    formats crawled audio arrives in.  Fixtures rotate container by
+    doc_id%3 — FLAC (packed 20-bit rate / 3-bit channels / 5-bit bps /
+    36-bit total-samples STREAMINFO bitfield, KEY=value comment tags),
+    Ogg Vorbis (\\x01vorbis ident, granule = PCM samples at stream
+    rate), Ogg Opus (OpusHead, granule at 48 kHz MINUS the pre-skip —
+    the RFC 7845 rule, exercised with three different INPUT rates so
+    the 48 kHz clock cannot be confused with the ident rate) — across
+    four FLAC clocks, four Vorbis clocks, non-round sample counts
+    (doc_id%997 / %1009 offsets) and both channel layouts.  Every Ogg
+    page CRC-32 is verified on read and computed on write; torn pages,
+    bad CRCs and truncated STREAMINFO raise ValueError; Theora and
+    FLAC-in-Ogg raise by name.  Duration is exact integer arithmetic,
+    so the doc_id-arithmetic oracle certifies bitfield unpacking,
+    lacing, granule scaling and both comment layouts on 500 streams.
+
+    Spark plan: one Arrow map pass over doc ids, no shuffle."""
+    from pasardassist_spark.operators.flacmeta import (
+        encode_flac_meta,
+        encode_ogg,
+        parse_flac_meta,
+        parse_ogg_meta,
+    )
+
+    schema = (
+        "doc_id long, container string, codec string, sample_rate int, "
+        "channels int, bits_per_sample int, duration_ms long, "
+        "tag_count int"
+    )
+    _FLAC_RATES = (44100, 48000, 96000, 22050)
+    _VORB_RATES = (44100, 48000, 32000, 8000)
+    _OPUS_RATES = (48000, 16000, 24000)
+
+    def _build_parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "doc_id", "container", "codec", "sample_rate", "channels",
+            "bits_per_sample", "duration_ms", "tag_count",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                ch = 1 + i % 2
+                if i % 3 == 0:
+                    rate = _FLAC_RATES[(i // 3) % 4]
+                    total = rate * (1 + i % 5) + i % 997
+                    tags = [("TITLE", f"Track {i}")]
+                    if i % 2:
+                        tags.append(("ARTIST", f"Artist {i % 50}"))
+                    payload = encode_flac_meta(
+                        rate, ch, 16 if (i // 2) % 2 == 0 else 24,
+                        total, tags=tags,
+                    )
+                    m = parse_flac_meta(payload)
+                    rows["container"].append("flac")
+                    rows["codec"].append("flac")
+                    rows["sample_rate"].append(m.sample_rate)
+                    rows["channels"].append(m.channels)
+                    rows["bits_per_sample"].append(m.bits_per_sample)
+                    rows["duration_ms"].append(m.duration_ms)
+                    rows["tag_count"].append(len(m.tags))
+                else:
+                    if i % 3 == 1:
+                        codec, rate = "vorbis", _VORB_RATES[(i // 3) % 4]
+                        samples = rate * (2 + i % 4) + i % 1009
+                    else:
+                        codec, rate = "opus", _OPUS_RATES[(i // 3) % 3]
+                        samples = 48 * (500 + i % 2000)
+                    payload = encode_ogg(codec, rate, ch, samples)
+                    m = parse_ogg_meta(payload)
+                    rows["container"].append("ogg")
+                    rows["codec"].append(m.codec)
+                    rows["sample_rate"].append(m.sample_rate)
+                    rows["channels"].append(m.channels)
+                    rows["bits_per_sample"].append(0)
+                    rows["duration_ms"].append(m.duration_ms)
+                    rows["tag_count"].append(0)
+                rows["doc_id"].append(i)
+            yield pd.DataFrame(rows)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_build_parse, schema)
