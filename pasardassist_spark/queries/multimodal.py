@@ -2157,3 +2157,131 @@ def mm_flac_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_build_parse, schema)
+
+
+@query(
+    "mm_mkv_meta",
+    oracle="""
+    WITH base AS (SELECT doc_id FROM documents),
+    v AS (
+        SELECT doc_id, 1 AS track_number, 'video' AS kind,
+               CASE (doc_id // 3) % 3 WHEN 0 THEN 'V_VP9'
+                    WHEN 1 THEN 'V_VP8' ELSE 'V_MPEG4/ISO/AVC' END AS codec,
+               CAST(640 + 16 * (doc_id % 10) AS INTEGER) AS width,
+               CAST(360 + 8 * (doc_id % 10) AS INTEGER) AS height,
+               CAST(0 AS INTEGER) AS sample_rate,
+               CAST(0 AS INTEGER) AS channels
+        FROM base
+    ),
+    a AS (
+        SELECT doc_id, 2 AS track_number, 'audio' AS kind,
+               CASE doc_id % 2 WHEN 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END
+                   AS codec,
+               CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+               CAST(CASE doc_id % 2 WHEN 0 THEN 48000 ELSE 44100 END
+                    AS INTEGER) AS sample_rate,
+               CAST(1 + doc_id % 2 AS INTEGER) AS channels
+        FROM base WHERE doc_id % 3 >= 1
+    ),
+    s AS (
+        SELECT doc_id, 3 AS track_number, 'subtitle' AS kind,
+               'S_TEXT/UTF8' AS codec,
+               CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+               CAST(0 AS INTEGER) AS sample_rate,
+               CAST(0 AS INTEGER) AS channels
+        FROM base WHERE doc_id % 3 = 2
+    ),
+    u AS (SELECT * FROM v UNION ALL SELECT * FROM a UNION ALL SELECT * FROM s)
+    SELECT doc_id,
+           CASE doc_id % 2 WHEN 0 THEN 'webm' ELSE 'matroska' END AS doctype,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 50 * (100 + doc_id % 1000)
+                ELSE 1000 + doc_id % 10000 END AS BIGINT) AS duration_ms,
+           track_number, kind, codec, width, height, sample_rate, channels
+    FROM u
+    """,
+)
+def mm_mkv_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska/WebM (EBML) container metadata walk WITHOUT frame decode
+    (operators/ebmlmeta.py) — the open-web video container next to
+    mm_mp4_meta's ISO-BMFF: DocType, TimestampScale-scaled Duration,
+    and per-track number/type/CodecID plus Video{PixelWidth,
+    PixelHeight} or Audio{SamplingFrequency, Channels}.
+
+    Fixtures rotate BOTH DocTypes, the streamed-muxer UNKNOWN-SIZE
+    Segment on odd ids (all size bits set, extends to EOF — the form
+    live muxers emit), 4-byte vs 8-byte IEEE Duration floats (doc_id%4),
+    a NON-DEFAULT TimestampScale of 50 ms on doc_id%5==0 (so a walker
+    that assumes the 1 ms default scales duration 50x wrong), 1-3
+    tracks across three video and two audio CodecIDs, and a Cluster
+    stub every walker must skip by declared size.  The oracle
+    re-derives every column from doc_id arithmetic; torn elements raise
+    ValueError, foreign DocTypes and unknown-size non-Segment elements
+    raise by name.
+
+    Spark plan: one Arrow map pass over doc ids, no shuffle; O(metadata
+    bytes) regardless of media size."""
+    from pasardassist_spark.operators.ebmlmeta import (
+        encode_mkv_meta,
+        parse_mkv_meta,
+    )
+
+    schema = (
+        "doc_id long, doctype string, duration_ms long, "
+        "track_number int, kind string, codec string, width int, "
+        "height int, sample_rate int, channels int"
+    )
+    _VCODECS = ("V_VP9", "V_VP8", "V_MPEG4/ISO/AVC")
+
+    def _build_parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "doc_id", "doctype", "duration_ms", "track_number", "kind",
+            "codec", "width", "height", "sample_rate", "channels",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                tracks = [
+                    (1, "video", _VCODECS[(i // 3) % 3],
+                     640 + 16 * (i % 10), 360 + 8 * (i % 10), 0, 0),
+                ]
+                if i % 3 >= 1:
+                    tracks.append(
+                        (2, "audio",
+                         "A_OPUS" if i % 2 == 0 else "A_VORBIS", 0, 0,
+                         48000 if i % 2 == 0 else 44100, 1 + i % 2)
+                    )
+                if i % 3 == 2:
+                    tracks.append(
+                        (3, "subtitle", "S_TEXT/UTF8", 0, 0, 0, 0)
+                    )
+                if i % 5 == 0:
+                    dur, scale = 50 * (100 + i % 1000), 50_000_000
+                else:
+                    dur, scale = 1000 + i % 10000, 1_000_000
+                payload = encode_mkv_meta(
+                    "webm" if i % 2 == 0 else "matroska",
+                    dur,
+                    tracks,
+                    timescale_ns=scale,
+                    segment_unknown_size=i % 2 == 1,
+                    float32_duration=i % 4 == 2,
+                )
+                m = parse_mkv_meta(payload)
+                if len(m.tracks) != len(tracks):
+                    raise ValueError(f"doc {i}: track count")
+                for t in m.tracks:
+                    rows["doc_id"].append(i)
+                    rows["doctype"].append(m.doctype)
+                    rows["duration_ms"].append(m.duration_ms)
+                    rows["track_number"].append(t.number)
+                    rows["kind"].append(t.kind)
+                    rows["codec"].append(t.codec)
+                    rows["width"].append(t.width)
+                    rows["height"].append(t.height)
+                    rows["sample_rate"].append(t.sample_rate)
+                    rows["channels"].append(t.channels)
+            yield pd.DataFrame(rows)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_build_parse, schema)
