@@ -18,8 +18,11 @@ What is REAL here:
   (``table:table-cell``) contribute their paragraphs in flow order.
 
 Encrypted packages (manifest entries carrying ``manifest:encryption-
-data``) raise ``NotImplementedError``; malformed zip/XML raises
-``ValueError``.
+data``) decrypt through operators/odfcrypt.py — the ODF 1.2
+AES-256-CBC + PBKDF2 profile LibreOffice writes by default, with the
+sha256-1k checksum as the password gate; Blowfish-CFB and foreign
+algorithms raise ``NotImplementedError`` by name there.  Malformed
+zip/XML raises ``ValueError``.
 """
 
 from __future__ import annotations
@@ -41,7 +44,42 @@ def sniff_odt(payload: bytes) -> bool:
     return payload[:4] == b"PK\x03\x04" and _MIME.encode() in payload[:128]
 
 
-def extract_odt_paragraphs(payload: bytes) -> list[str]:
+def _parse_encryption_data(man: ET.Element) -> dict[str, dict]:
+    """full-path -> odfcrypt attrs for every encrypted manifest entry."""
+    out: dict[str, dict] = {}
+    for fe in man.findall(f"{{{_MANIFEST}}}file-entry"):
+        ed = fe.find(f"{{{_MANIFEST}}}encryption-data")
+        if ed is None:
+            continue
+        path = fe.get(f"{{{_MANIFEST}}}full-path", "")
+        alg = ed.find(f"{{{_MANIFEST}}}algorithm")
+        kd = ed.find(f"{{{_MANIFEST}}}key-derivation")
+        sk = ed.find(f"{{{_MANIFEST}}}start-key-generation")
+        if alg is None or kd is None:
+            raise ValueError(f"ODF encryption-data for {path!r} torn")
+        attrs = {
+            "algorithm": alg.get(f"{{{_MANIFEST}}}algorithm-name", ""),
+            "iv": alg.get(f"{{{_MANIFEST}}}initialisation-vector", ""),
+            "salt": kd.get(f"{{{_MANIFEST}}}salt", ""),
+            "iterations": kd.get(
+                f"{{{_MANIFEST}}}iteration-count", "100000"
+            ),
+            "derivation": kd.get(
+                f"{{{_MANIFEST}}}key-derivation-name", ""
+            ),
+            "checksum_type": ed.get(f"{{{_MANIFEST}}}checksum-type", ""),
+            "checksum": ed.get(f"{{{_MANIFEST}}}checksum", ""),
+            "size": fe.get(f"{{{_MANIFEST}}}size"),
+        }
+        if sk is not None:
+            attrs["start_key"] = sk.get(
+                f"{{{_MANIFEST}}}start-key-generation-name", ""
+            )
+        out[path] = attrs
+    return out
+
+
+def extract_odt_paragraphs(payload: bytes, password: str = "") -> list[str]:
     if payload[:4] != b"PK\x03\x04":
         raise ValueError("not a ZIP-based ODF payload")
     try:
@@ -52,17 +90,26 @@ def extract_odt_paragraphs(payload: bytes) -> list[str]:
         names = set(zf.namelist())
         if "mimetype" in names and zf.read("mimetype").strip() != _MIME.encode():
             raise ValueError("ODF mimetype is not an OpenDocument text")
+        encrypted: dict[str, dict] = {}
         if "META-INF/manifest.xml" in names:
             try:
                 man = ET.fromstring(zf.read("META-INF/manifest.xml"))
             except ET.ParseError as exc:
                 raise ValueError(f"malformed ODF manifest: {exc}") from exc
-            if man.find(f".//{{{_MANIFEST}}}encryption-data") is not None:
-                raise NotImplementedError("encrypted ODF package unsupported")
+            encrypted = _parse_encryption_data(man)
         if "content.xml" not in names:
             raise ValueError("ODF package has no content.xml")
+        raw = zf.read("content.xml")
+        if "content.xml" in encrypted:
+            from pasardassist_spark.operators.odfcrypt import (
+                odf_decrypt_member,
+            )
+
+            raw = odf_decrypt_member(
+                raw, password, encrypted["content.xml"]
+            )
         try:
-            root = ET.fromstring(zf.read("content.xml"))
+            root = ET.fromstring(raw)
         except ET.ParseError as exc:
             raise ValueError(f"malformed ODF content: {exc}") from exc
     body = root.find(f"{{{_OFFICE}}}body")
@@ -155,10 +202,14 @@ def _encode_run(text: str) -> str:
     return "".join(out)
 
 
-def encode_odt(paragraphs: list[str]) -> bytes:
+def encode_odt(paragraphs: list[str], password: str | None = None) -> bytes:
     """Conforming minimal .odt: stored mimetype first, manifest,
     content.xml with one text:p per string (spans, text:s for space
-    runs, tab/line-break elements)."""
+    runs, tab/line-break elements).  With ``password`` the content
+    member is encrypted per the ODF 1.2 AES-256-CBC + PBKDF2 profile
+    (operators/odfcrypt.py) and STORED; the manifest carries the
+    encryption-data element (salt/IV deterministic from the content
+    for byte-reproducible fixtures)."""
     body = "".join(f"<text:p>{_encode_run(p)}</text:p>" for p in paragraphs)
     content = (
         '<?xml version="1.0" encoding="UTF-8"?>'
@@ -166,14 +217,47 @@ def encode_odt(paragraphs: list[str]) -> bytes:
         f' xmlns:text="{_TEXT}" xmlns:table="{_TABLE}" office:version="1.2">'
         f"<office:body><office:text>{body}</office:text></office:body>"
         "</office:document-content>"
-    )
+    ).encode("utf-8")
+    enc_entry = ""
+    if password is not None:
+        import hashlib as _hashlib
+
+        from pasardassist_spark.operators.odfcrypt import (
+            odf_encrypt_member,
+        )
+
+        stored, a = odf_encrypt_member(
+            content, password, _hashlib.sha256(content).digest()
+        )
+        content = stored
+        enc_entry = (
+            '<manifest:file-entry manifest:full-path="content.xml"'
+            f' manifest:media-type="text/xml" manifest:size="{a["size"]}">'
+            f'<manifest:encryption-data'
+            f' manifest:checksum-type="{a["checksum_type"]}"'
+            f' manifest:checksum="{a["checksum"]}">'
+            f'<manifest:algorithm manifest:algorithm-name="{a["algorithm"]}"'
+            f' manifest:initialisation-vector="{a["iv"]}"/>'
+            f'<manifest:key-derivation manifest:key-derivation-name='
+            f'"{a["derivation"]}" manifest:salt="{a["salt"]}"'
+            f' manifest:iteration-count="{a["iterations"]}"'
+            f' manifest:key-size="{a["key_size"]}"/>'
+            f'<manifest:start-key-generation'
+            f' manifest:start-key-generation-name="{a["start_key"]}"'
+            f' manifest:key-size="32"/>'
+            "</manifest:encryption-data></manifest:file-entry>"
+        )
     manifest = (
         '<?xml version="1.0" encoding="UTF-8"?>'
         f'<manifest:manifest xmlns:manifest="{_MANIFEST}">'
         f'<manifest:file-entry manifest:full-path="/"'
         f' manifest:media-type="{_MIME}"/>'
-        '<manifest:file-entry manifest:full-path="content.xml"'
-        ' manifest:media-type="text/xml"/></manifest:manifest>'
+        + (
+            enc_entry
+            or '<manifest:file-entry manifest:full-path="content.xml"'
+            ' manifest:media-type="text/xml"/>'
+        )
+        + "</manifest:manifest>"
     )
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as zf:
@@ -183,6 +267,11 @@ def encode_odt(paragraphs: list[str]) -> bytes:
         )
         zf.writestr("META-INF/manifest.xml", manifest,
                     compress_type=zipfile.ZIP_DEFLATED)
-        zf.writestr("content.xml", content,
-                    compress_type=zipfile.ZIP_DEFLATED)
+        zf.writestr(
+            "content.xml", content,
+            compress_type=(
+                zipfile.ZIP_STORED if password is not None
+                else zipfile.ZIP_DEFLATED
+            ),
+        )
     return buf.getvalue()

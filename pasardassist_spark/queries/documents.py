@@ -1932,18 +1932,33 @@ def doc_odt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ODF package (stored mimetype first, manifest, content.xml), written
     through ODF's OWN whitespace model — multi-space runs as
     <text:s text:c='N'/>, tabs and newlines as their elements, runs
-    split into spans — which the extractor expands back exactly. Same
-    substring+md5 oracle as doc_docx_extract; encrypted-manifest and
+    split into spans — which the extractor expands back exactly.
+    ENCRYPTED packages rotate in on doc_id%3==2 (round 14,
+    operators/odfcrypt.py): the ODF 1.2 AES-256-CBC + PBKDF2 profile
+    with the sha256-1k checksum as the password gate, under the fixture
+    corpus password — a third of the corpus exercises key derivation,
+    member decrypt, checksum verification and the STORED-member layout
+    on every run.  Same substring+md5 oracle as doc_docx_extract;
+    Blowfish/foreign algorithms raise by name; wrong-password and
     flow-order (headings, table cells, lists) contracts pytest-pinned
-    in tests/test_docformats.py."""
+    in tests/test_docformats.py + tests/test_odfcrypt.py."""
     from pasardassist_spark.operators.odttext import (
         encode_odt,
         extract_odt_paragraphs,
     )
 
+    def enc(parts: list[str], doc_id: int) -> bytes:
+        return encode_odt(
+            parts, password="corpus-pw" if doc_id % 3 == 2 else None
+        )
+
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(
-        lambda it: _extract_rows(it, 4, encode_odt, extract_odt_paragraphs),
+        lambda it: _extract_rows(
+            it, 4, enc,
+            lambda p: extract_odt_paragraphs(p, "corpus-pw"),
+            id_aware=True,
+        ),
         _OUT_SCHEMA,
     )
 

@@ -215,6 +215,10 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # and doc_xls_extract ROTATES encrypted fixtures in (doc_id%3: RC4
     # standard / RC4 CryptoAPI under the VelvetSweatshop default).
     "doc_xls_extract",
+    # round 14: odttext gained ODF 1.2 AES-256-CBC+PBKDF2 decryption
+    # (operators/odfcrypt.py) and doc_odt_extract ROTATES encrypted
+    # fixtures in (doc_id%3==2 under the corpus password).
+    "doc_odt_extract",
     # round 14: tiffcodec gained tile grids + palette ColorMap decode and
     # mm_tiff_decode's fixtures/oracle rotate both in (doc_id%7 tiled,
     # doc_id%5==4 palette).

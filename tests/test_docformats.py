@@ -759,7 +759,9 @@ def test_odt_error_contracts():
         zf.writestr("content.xml", "<x/>")
     with pytest.raises(ValueError, match="mimetype"):
         extract_odt_paragraphs(buf.getvalue())
-    # encrypted manifest
+    # torn encryption-data (no algorithm/key-derivation children) —
+    # round 14: encryption is now SUPPORTED (operators/odfcrypt.py), so
+    # a structurally torn entry is a ValueError, not a named seam
     M = "urn:oasis:names:tc:opendocument:xmlns:manifest:1.0"
     buf = io.BytesIO()
     with z.ZipFile(buf, "w") as zf:
@@ -772,7 +774,7 @@ def test_odt_error_contracts():
             "</manifest:manifest>",
         )
         zf.writestr("content.xml", "<x/>")
-    with pytest.raises(NotImplementedError, match="encrypted"):
+    with pytest.raises(ValueError, match="torn"):
         extract_odt_paragraphs(buf.getvalue())
 
 

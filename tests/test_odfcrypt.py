@@ -1,0 +1,96 @@
+"""ODF 1.2 AES-256-CBC + PBKDF2 package encryption — operators/odfcrypt.py."""
+
+from __future__ import annotations
+
+import base64
+
+import pytest
+
+from pasardassist_spark.operators.odfcrypt import (
+    odf_decrypt_member,
+    odf_encrypt_member,
+)
+from pasardassist_spark.operators.odttext import (
+    encode_odt,
+    extract_odt_paragraphs,
+)
+
+PARAS = ["Hello  double-space", "tab\there", "café 中文 paragraph"]
+
+
+def test_package_roundtrip():
+    plain = encode_odt(PARAS)
+    enc = encode_odt(PARAS, password="s3cret")
+    assert enc != plain
+    assert extract_odt_paragraphs(enc, "s3cret") == PARAS
+    # plain packages ignore the password argument
+    assert extract_odt_paragraphs(plain, "anything") == PARAS
+
+
+def test_wrong_password_fails_closed():
+    enc = encode_odt(PARAS, password="s3cret")
+    for pw in ("wrong", ""):
+        with pytest.raises(ValueError, match="password incorrect"):
+            extract_odt_paragraphs(enc, pw)
+
+
+def test_member_roundtrip_and_checksum_gate():
+    data = b"some deflatable content " * 100
+    stored, attrs = odf_encrypt_member(data, "pw", b"seed")
+    assert odf_decrypt_member(stored, "pw", attrs) == data
+    # tampered checksum = password gate fires
+    bad = dict(attrs)
+    bad["checksum"] = base64.b64encode(bytes(32)).decode()
+    with pytest.raises(ValueError, match="password incorrect"):
+        odf_decrypt_member(stored, "pw", bad)
+    # size mismatch detected after inflate
+    bad2 = dict(attrs)
+    bad2["size"] = str(len(data) + 1)
+    with pytest.raises(ValueError, match="size mismatch"):
+        odf_decrypt_member(stored, "pw", bad2)
+
+
+def test_foreign_algorithms_raise_by_name():
+    data = b"x" * 64
+    stored, attrs = odf_encrypt_member(data, "pw", b"s")
+    blow = dict(attrs)
+    blow["algorithm"] = (
+        "urn:oasis:names:tc:opendocument:xmlns:manifest:1.0#blowfish"
+    )
+    with pytest.raises(NotImplementedError, match="Blowfish"):
+        odf_decrypt_member(stored, "pw", blow)
+    other = dict(attrs)
+    other["algorithm"] = "http://www.w3.org/2001/04/xmlenc#tripledes-cbc"
+    with pytest.raises(NotImplementedError, match="tripledes"):
+        odf_decrypt_member(stored, "pw", other)
+    argon = dict(attrs)
+    argon["derivation"] = "argon2id"
+    with pytest.raises(NotImplementedError, match="argon2id"):
+        odf_decrypt_member(stored, "pw", argon)
+    sk = dict(attrs)
+    sk["start_key"] = "http://www.w3.org/2000/09/xmldsig#sha1"
+    with pytest.raises(NotImplementedError, match="sha1"):
+        odf_decrypt_member(stored, "pw", sk)
+
+
+def test_torn_member():
+    stored, attrs = odf_encrypt_member(b"y" * 64, "pw", b"s")
+    with pytest.raises(ValueError, match="torn"):
+        odf_decrypt_member(stored[:-3], "pw", attrs)
+
+
+def test_deterministic_fixtures():
+    a = encode_odt(PARAS, password="pw")
+    b = encode_odt(PARAS, password="pw")
+    # zipfile stamps identical (default epoch) metadata; bytes repeat
+    assert a == b
+
+
+def test_encrypted_member_is_stored_not_deflated():
+    import io
+    import zipfile
+
+    enc = encode_odt(PARAS, password="pw")
+    with zipfile.ZipFile(io.BytesIO(enc)) as zf:
+        info = zf.getinfo("content.xml")
+        assert info.compress_type == zipfile.ZIP_STORED
