@@ -52,9 +52,8 @@ import xml.etree.ElementTree as ET
 
 from pasardassist_spark.operators.cfb import read_cfb, write_cfb
 from pasardassist_spark.operators.pdfcrypt import (
-    _decrypt_block,
-    _encrypt_block,
-    _expand_key,
+    _cbc_nopad as _pdf_cbc_nopad,
+    _ecb as _pdf_ecb,
 )
 
 __all__ = [
@@ -84,25 +83,12 @@ _OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 def _cbc(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
     """Raw AES-CBC, NO padding added or removed — OOXML pads with zeros
     and truncates by declared lengths ([MS-OFFCRYPTO], unlike PDF's
-    PKCS#7)."""
+    PKCS#7).  Delegates to pdfcrypt's fast-gated no-pad CBC (host
+    `cryptography` when importable, the FIPS-197 pure-Python reference
+    otherwise — equivalence pinned in tests/test_pdfcrypt.py)."""
     if len(data) % 16:
         raise ValueError("OOXML CBC payload not block-aligned")
-    rk = _expand_key(key)
-    out = bytearray()
-    prev = iv
-    if encrypt:
-        for i in range(0, len(data), 16):
-            block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-            prev = _encrypt_block(rk, block)
-            out += prev
-    else:
-        for i in range(0, len(data), 16):
-            block = data[i : i + 16]
-            out += bytes(
-                a ^ b for a, b in zip(_decrypt_block(rk, block), prev)
-            )
-            prev = block
-    return bytes(out)
+    return _pdf_cbc_nopad(key, iv, data, encrypt)
 
 
 def _pad16(data: bytes) -> bytes:
@@ -360,9 +346,7 @@ _STD_SPIN = 50000  # fixed by the spec, not declared in the header
 def _ecb(key: bytes, data: bytes, encrypt: bool) -> bytes:
     if len(data) % 16:
         raise ValueError("OOXML ECB payload not block-aligned")
-    rk = _expand_key(key)
-    f = _encrypt_block if encrypt else _decrypt_block
-    return b"".join(f(rk, data[i : i + 16]) for i in range(0, len(data), 16))
+    return _pdf_ecb(key, data, encrypt)
 
 
 def _standard_key(salt: bytes, password: str, key_bits: int) -> bytes:

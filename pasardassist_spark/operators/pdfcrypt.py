@@ -67,7 +67,7 @@ PAD = bytes(
 )
 
 
-def rc4(key: bytes, data: bytes) -> bytes:
+def _rc4_pure(key: bytes, data: bytes) -> bytes:
     """RC4 stream cipher (symmetric: encrypt == decrypt)."""
     s = list(range(256))
     j = 0
@@ -83,6 +83,30 @@ def rc4(key: bytes, data: bytes) -> bytes:
         s[i], s[j] = s[j], s[i]
         out[n] = c ^ s[(s[i] + s[j]) & 0xFF]
     return bytes(out)
+
+
+try:  # fast RC4 when the host has it (the xls FILEPASS rotation runs
+    # this over two thirds of the fixture corpus); the pure-Python form
+    # above stays the reference and fallback, equivalence pinned in
+    # tests/test_pdfcrypt.py
+    from cryptography.hazmat.decrepit.ciphers.algorithms import (
+        ARC4 as _ARC4,
+    )
+    from cryptography.hazmat.primitives.ciphers import Cipher as _Rc4Cipher
+
+    def rc4(key: bytes, data: bytes) -> bytes:
+        """RC4 stream cipher (symmetric: encrypt == decrypt)."""
+        try:
+            enc = _Rc4Cipher(_ARC4(key), mode=None).encryptor()
+        except ValueError:
+            # ARC4 admits only the standard key sizes; PDF per-object
+            # keys can be any of 6..16 bytes (min(n+5, 16)) — odd sizes
+            # take the reference implementation
+            return _rc4_pure(key, data)
+        return enc.update(data) + enc.finalize()
+
+except ImportError:  # pragma: no cover - container always has it
+    rc4 = _rc4_pure
 
 
 # ------------------------------------------------------------------ AES ---
@@ -207,7 +231,7 @@ def _decrypt_block(rk: list[bytes], block: bytes) -> bytes:
     )
 
 
-def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+def _aes_cbc_encrypt_pure(key: bytes, iv: bytes, data: bytes) -> bytes:
     """AES-CBC with PKCS#7 padding; returns iv + ciphertext (the PDF
     §7.6.2 string/stream layout)."""
     if len(iv) != 16:
@@ -224,7 +248,7 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+def _aes_cbc_decrypt_pure(key: bytes, data: bytes) -> bytes:
     """Inverse of aes_cbc_encrypt: data = iv + ciphertext, PKCS#7 pad
     stripped.  Raises ValueError on torn length or corrupt padding."""
     if len(data) < 32 or len(data) % 16:
@@ -242,9 +266,51 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     return bytes(out[:-padlen])
 
 
-def _cbc_nopad(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
+try:  # fast CBC for the stream/string layer when the host has it; the
+    # pure-Python forms above stay the reference and fallback
+    # (equivalence pinned in tests/test_pdfcrypt.py)
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher as _AesCipher,
+        algorithms as _aes_algorithms,
+        modes as _aes_modes,
+    )
+
+    def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+        """AES-CBC, PKCS#7 padded, iv-prefixed (§7.6.2 layout)."""
+        if len(iv) != 16:
+            raise ValueError("AES-CBC IV must be 16 bytes")
+        padlen = 16 - len(data) % 16
+        enc = _AesCipher(
+            _aes_algorithms.AES(key), _aes_modes.CBC(iv)
+        ).encryptor()
+        return iv + enc.update(
+            data + bytes([padlen]) * padlen
+        ) + enc.finalize()
+
+    def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+        """Inverse of aes_cbc_encrypt; ValueError on torn/corrupt pad."""
+        if len(data) < 32 or len(data) % 16:
+            raise ValueError(f"bad AES-CBC payload length {len(data)}")
+        dec = _AesCipher(
+            _aes_algorithms.AES(key), _aes_modes.CBC(data[:16])
+        ).decryptor()
+        out = dec.update(data[16:]) + dec.finalize()
+        padlen = out[-1]
+        if not 1 <= padlen <= 16 or out[-padlen:] != bytes([padlen]) * padlen:
+            raise ValueError("corrupt AES-CBC padding")
+        return out[:-padlen]
+
+except ImportError:  # pragma: no cover - container always has it
+    aes_cbc_encrypt = _aes_cbc_encrypt_pure
+    aes_cbc_decrypt = _aes_cbc_decrypt_pure
+
+
+def _cbc_nopad_pure(
+    key: bytes, iv: bytes, data: bytes, encrypt: bool
+) -> bytes:
     """Raw AES-CBC over a block-aligned buffer — no padding, no IV
-    prefix (the /UE //OE key-wrap and Algorithm 2.B layouts)."""
+    prefix (the /UE //OE key-wrap, Algorithm 2.B, ODF and OOXML
+    layouts)."""
     if len(data) % 16:
         raise ValueError("AES-CBC no-pad payload not block-aligned")
     rk = _expand_key(key)
@@ -264,13 +330,41 @@ def _cbc_nopad(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
     return bytes(out)
 
 
-def _ecb(key: bytes, data: bytes, encrypt: bool) -> bytes:
-    """Raw AES-ECB (the 16-byte /Perms entry)."""
+def _ecb_pure(key: bytes, data: bytes, encrypt: bool) -> bytes:
+    """Raw AES-ECB (the 16-byte /Perms entry, OOXML standard package)."""
     if len(data) % 16:
         raise ValueError("AES-ECB payload not block-aligned")
     rk = _expand_key(key)
     f = _encrypt_block if encrypt else _decrypt_block
     return b"".join(f(rk, data[i : i + 16]) for i in range(0, len(data), 16))
+
+
+try:  # fast no-pad CBC / ECB when the host has it (same contract as
+    # the pure forms above, which remain the reference and fallback;
+    # equivalence pinned in tests/test_pdfcrypt.py)
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher as _NpCipher,
+        algorithms as _np_algorithms,
+        modes as _np_modes,
+    )
+
+    def _cbc_nopad(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
+        if len(data) % 16:
+            raise ValueError("AES-CBC no-pad payload not block-aligned")
+        c = _NpCipher(_np_algorithms.AES(key), _np_modes.CBC(iv))
+        op = c.encryptor() if encrypt else c.decryptor()
+        return op.update(data) + op.finalize()
+
+    def _ecb(key: bytes, data: bytes, encrypt: bool) -> bytes:
+        if len(data) % 16:
+            raise ValueError("AES-ECB payload not block-aligned")
+        c = _NpCipher(_np_algorithms.AES(key), _np_modes.ECB())
+        op = c.encryptor() if encrypt else c.decryptor()
+        return op.update(data) + op.finalize()
+
+except ImportError:  # pragma: no cover - container always has it
+    _cbc_nopad = _cbc_nopad_pure
+    _ecb = _ecb_pure
 
 
 # --------------------------------------------- standard security handler --
@@ -392,7 +486,10 @@ class StandardSecurityHandler:
     (Algorithm 6) — the default empty password is the owner-locked case.
     """
 
-    def __init__(self, enc: dict, id0: bytes, password: bytes = b""):
+    def __init__(
+        self, enc: dict, id0: bytes, password: bytes = b"",
+        _file_key: bytes | None = None,
+    ):
         filt = enc.get("Filter")
         if filt != "Standard":
             raise NotImplementedError(
@@ -406,7 +503,14 @@ class StandardSecurityHandler:
                 raise NotImplementedError(
                     f"PDF /Encrypt /V 5 /R {r} unsupported"
                 )
-            self._init_v5(enc, r, password)
+            if _file_key is not None:
+                # writer fast-path: the fixture generator already holds
+                # the key from make_standard_encrypt_dict — skip the
+                # (deliberately slow) 2.B re-derivation; every READ
+                # still authenticates in full
+                self.n, self.key = 32, _file_key
+            else:
+                self._init_v5(enc, r, password)
             cf = enc.get("CF") or {}
             self.stm_method = self._method(
                 cf, enc.get("StmF", "Identity"), v5=True

@@ -1033,7 +1033,10 @@ def encode_pdf(
             ("\x1f".join(pages) + "|" + encrypt).encode("utf-8")
         ).digest()
         enc_dict, _key = make_standard_encrypt_dict(encrypt, id0)
-        handler = StandardSecurityHandler(enc_dict, id0, b"")
+        handler = StandardSecurityHandler(
+            enc_dict, id0, b"",
+            _file_key=_key if enc_dict["V"] == 5 else None,
+        )
     n = len(pages)
     # object numbering: 1 catalog, 2 pages, 3 font, then (page, content)*
     objs: dict[int, bytes] = {

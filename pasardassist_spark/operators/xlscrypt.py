@@ -115,16 +115,28 @@ class _Rc4Keystream:
         self._block = -1
         self._ks = b""
 
+    def _ks_for(self, block: int) -> bytes:
+        if block != self._block:
+            # RC4 over zeros == the raw keystream for this block
+            self._ks = rc4(self._fn(block), bytes(_REKEY_BLOCK))
+            self._block = block
+        return self._ks
+
     def xor(self, data: bytes, offset: int) -> bytes:
-        out = bytearray(data)
-        for i in range(len(out)):
-            pos = offset + i
-            block, within = divmod(pos, _REKEY_BLOCK)
-            if block != self._block:
-                # RC4 over zeros == the raw keystream for this block
-                self._ks = rc4(self._fn(block), bytes(_REKEY_BLOCK))
-                self._block = block
-            out[i] ^= self._ks[within]
+        """XOR ``data`` (at absolute stream ``offset``) with the
+        keystream — chunk-at-a-time big-int XOR, never per byte."""
+        out = bytearray()
+        i = 0
+        n = len(data)
+        while i < n:
+            block, within = divmod(offset + i, _REKEY_BLOCK)
+            take = min(n - i, _REKEY_BLOCK - within)
+            ks = self._ks_for(block)[within : within + take]
+            chunk = data[i : i + take]
+            out += (
+                int.from_bytes(chunk, "big") ^ int.from_bytes(ks, "big")
+            ).to_bytes(take, "big")
+            i += take
         return bytes(out)
 
 

@@ -126,14 +126,15 @@ def doc_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     security handler key derivation or per-object decrypt)
     hash-mismatches on 500 real PDFs — ~250 of them xref-stream files.
     ENCRYPTED variants rotate in by doc_id%5 (round 14): 3 → RC4
-    (V1/R2 40-bit and V2/R3 128-bit alternating), 4 → AES-128-CBC
-    (V4/R4 AESV2) and AES-256 (V5/R6 AESV3 — Algorithm 2.B hardened
-    hash, /UE key unwrap, /Perms check) alternating, all owner-locked
-    (empty user password — the permissions-only lock every conforming
-    reader opens, operators/pdfcrypt.py), and the %2/%5 interleave
-    crosses encryption with BOTH container generations.  Wrong
-    password / JPX / JBIG2 raise by name (module docstring); hybrid
-    /XRefStm, /Prev
+    (V1/R2 40-bit and V2/R3 128-bit alternating), 4 → the AES slice
+    cycling AES-128 (V4/R4 AESV2), AES-256 R5 (single-SHA-256) and
+    AES-256 R6 (V5 AESV3 — Algorithm 2.B hardened hash, /UE key
+    unwrap, /Perms check; density-capped at 1/25 because 2.B is a
+    deliberate KDF), all owner-locked (empty user password — the
+    permissions-only lock every conforming reader opens,
+    operators/pdfcrypt.py), and the %2/%5 interleave crosses
+    encryption with BOTH container generations.  Wrong password / JPX
+    / JBIG2 raise by name (module docstring); hybrid /XRefStm, /Prev
     generation mixes, /Extends chains, the filter codecs and the
     crypto-vector pins are hand-tested in tests/test_pdf15.py and
     tests/test_pdfcrypt.py."""
@@ -146,7 +147,12 @@ def doc_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         if doc_id % 5 == 3:
             mode = "rc4-40" if (doc_id // 5) % 2 == 0 else "rc4-128"
         elif doc_id % 5 == 4:
-            mode = "aes-128" if (doc_id // 5) % 2 == 0 else "aes-256"
+            # AES slice cycles the three handler generations; R6's
+            # hardened hash is a deliberate KDF (~4 ms/derivation), so
+            # its density is capped at 1/25 of the corpus to keep the
+            # bench anchor measuring Spark, not key stretching
+            mode = ("aes-128", "aes-128", "aes-256-r5", "aes-256-r5",
+                    "aes-256")[(doc_id // 5) % 5]
         return encode_pdf(
             parts,
             xref_stream=doc_id % 2 == 1,

@@ -259,9 +259,10 @@ def test_hash_2b_loop_contract():
 
 
 def test_aes256_cbc_cross_pinned_against_cryptography():
-    """The pure-Python AES-256 path (key schedule Nk=8, 14 rounds) that
-    Algorithm 2.B and the /UE //OE unwrap depend on, cross-checked
-    against the system `cryptography` implementation."""
+    """The PURE-Python AES-256 path (key schedule Nk=8, 14 rounds) that
+    the fast-gated helpers fall back to, cross-checked against the
+    system `cryptography` implementation — and the gated helpers must
+    agree with the pure forms byte-for-byte."""
     cryptography = pytest.importorskip("cryptography")  # noqa: F841
     from cryptography.hazmat.primitives.ciphers import (
         Cipher,
@@ -269,19 +270,51 @@ def test_aes256_cbc_cross_pinned_against_cryptography():
         modes,
     )
 
-    from pasardassist_spark.operators.pdfcrypt import _cbc_nopad, _ecb
+    from pasardassist_spark.operators.pdfcrypt import (
+        _cbc_nopad,
+        _cbc_nopad_pure,
+        _ecb,
+        _ecb_pure,
+    )
 
     key = bytes(range(32))
     iv = bytes(range(100, 116))
     data = hashlib.sha512(b"cross-pin").digest()  # 64 bytes, aligned
     ref = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
     expect = ref.update(data) + ref.finalize()
+    assert _cbc_nopad_pure(key, iv, data, encrypt=True) == expect
+    assert _cbc_nopad_pure(key, iv, expect, encrypt=False) == data
     assert _cbc_nopad(key, iv, data, encrypt=True) == expect
-    assert _cbc_nopad(key, iv, expect, encrypt=False) == data
     ref2 = Cipher(algorithms.AES(key), modes.ECB()).encryptor()
     expect2 = ref2.update(data) + ref2.finalize()
+    assert _ecb_pure(key, data, encrypt=True) == expect2
+    assert _ecb_pure(key, expect2, encrypt=False) == data
     assert _ecb(key, data, encrypt=True) == expect2
-    assert _ecb(key, expect2, encrypt=False) == data
+
+
+def test_fast_paths_match_pure_reference():
+    """rc4 / aes_cbc gated fast paths == the pure-Python reference
+    forms across key sizes (the odd PDF per-object sizes included)."""
+    from pasardassist_spark.operators.pdfcrypt import (
+        _aes_cbc_decrypt_pure,
+        _aes_cbc_encrypt_pure,
+        _rc4_pure,
+        aes_cbc_decrypt,
+        aes_cbc_encrypt,
+        rc4,
+    )
+
+    data = hashlib.sha512(b"parity").digest() + b"odd-tail"
+    for klen in (5, 8, 10, 13, 16):
+        key = hashlib.sha256(bytes([klen])).digest()[:klen]
+        assert rc4(key, data) == _rc4_pure(key, data)
+    for klen in (16, 24, 32):
+        key = hashlib.sha256(bytes([klen])).digest()[:klen]
+        iv = hashlib.md5(key).digest()
+        enc = aes_cbc_encrypt(key, iv, data)
+        assert enc == _aes_cbc_encrypt_pure(key, iv, data)
+        assert aes_cbc_decrypt(key, enc) == data
+        assert _aes_cbc_decrypt_pure(key, enc) == data
 
 
 def test_unknown_cfm_raises_by_name():
