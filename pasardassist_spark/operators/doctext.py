@@ -57,9 +57,13 @@ def sniff_doc(payload: bytes) -> bool:
     return sniff_cfb(payload)
 
 
-def extract_doc_text(payload: bytes) -> str:
+def extract_doc_text(payload: bytes, password: str = "") -> str:
     """The document's main text (CPs 0..ccpText), paragraph marks as
-    newlines, cell marks as tabs."""
+    newlines, cell marks as tabs.  fEncrypted documents decrypt through
+    operators/doccrypt.py (RC4 standard / CryptoAPI, 512-byte rekey,
+    FibBase and the Table-stream header plaintext; empty ``password``
+    also tries Word's VelvetSweatshop default); fObfuscation (XOR)
+    raises by name."""
     streams = dict(read_cfb(payload))
     wd = streams.get("WordDocument")
     if wd is None:
@@ -70,12 +74,29 @@ def extract_doc_text(payload: bytes) -> str:
     if wident != _WIDENT:
         raise ValueError(f"bad FIB wIdent {wident:#x}")
     (flags,) = struct.unpack("<H", wd[10:12])
-    if flags & 0x0100:  # fEncrypted
-        raise NotImplementedError("encrypted .doc unsupported")
     table_name = "1Table" if flags & 0x0200 else "0Table"
     table = streams.get(table_name)
     if table is None:
         raise ValueError(f".doc has no {table_name} stream")
+    if flags & 0x0100:  # fEncrypted
+        if flags & 0x8000:  # fObfuscation
+            raise NotImplementedError(
+                "XOR-obfuscated .doc (fObfuscation) unsupported"
+            )
+        from pasardassist_spark.operators.doccrypt import (
+            FIB_PLAINTEXT,
+            parse_word_encryption_header,
+        )
+
+        (lkey,) = struct.unpack("<I", wd[14:18])
+        if not 0 < lkey <= len(table):
+            raise ValueError(f"doc: bad FibBase.lKey {lkey}")
+        ks = parse_word_encryption_header(table[:lkey], password)
+        wd = wd[:FIB_PLAINTEXT] + ks.xor(
+            wd[FIB_PLAINTEXT:], FIB_PLAINTEXT
+        )
+        table = table[:lkey] + ks.xor(table[lkey:], lkey)
+        # the FIB beyond FibBase was encrypted: re-read nothing cached
     (ccp_text,) = struct.unpack("<i", wd[_OFF_RGLW + 12 : _OFF_RGLW + 16])
     fc_clx, lcb_clx = struct.unpack(
         "<Ii", wd[_OFF_FCCLX : _OFF_FCCLX + 8]
@@ -130,11 +151,18 @@ def _cp1252_able(s: str) -> bool:
         return False
 
 
-def encode_doc(text: str) -> bytes:
+def encode_doc(
+    text: str, encrypt: str | None = None, password: str = "",
+) -> bytes:
     """Minimal conforming .doc: the text is split into pieces at
     irregular boundaries, each piece stored compressed (cp1252) when
     representable and UTF-16 otherwise — both fc encodings exercised on
-    every document — with the Clx/PlcPcd in 1Table."""
+    every document — with the Clx/PlcPcd in 1Table.  ``encrypt`` =
+    "standard" / "cryptoapi" sets FibBase.fEncrypted, writes the RC4
+    encryption header at the head of 1Table (size in FibBase.lKey) and
+    encrypts both streams past their plaintext prefixes with the
+    512-byte-rekey keystream (operators/doccrypt.py); empty
+    ``password`` means Word's VelvetSweatshop default."""
     doc = text.replace("\n", "\r").replace("\t", "\x07")
     # irregular piece split: ~37-char pieces so most docs get several
     pieces = [doc[i : i + 37] for i in range(0, len(doc), 37)] or [""]
@@ -160,7 +188,25 @@ def encode_doc(text: str) -> bytes:
 
     fib = bytearray(_FIB_LEN)
     struct.pack_into("<HH", fib, 0, _WIDENT, _NFIB)
-    struct.pack_into("<H", fib, 10, 0x0200)  # fWhichTblStm = 1Table
+    flags = 0x0200  # fWhichTblStm = 1Table
+    header = b""
+    ks = None
+    if encrypt is not None:
+        import hashlib as _hashlib
+
+        from pasardassist_spark.operators.doccrypt import (
+            DEFAULT_DOC_PASSWORD,
+            make_word_encryption_header,
+        )
+
+        pw = password or DEFAULT_DOC_PASSWORD
+        salt = _hashlib.md5(
+            b"doc-salt|" + encrypt.encode() + b"|" + doc.encode("utf-8")
+        ).digest()
+        header, ks = make_word_encryption_header(pw, salt, encrypt)
+        flags |= 0x0100  # fEncrypted
+        struct.pack_into("<I", fib, 14, len(header))  # FibBase.lKey
+    struct.pack_into("<H", fib, 10, flags)
     struct.pack_into("<H", fib, 12, 0x00BF)  # nFibBack
     struct.pack_into("<H", fib, _FIB_BASE, _CSW)
     struct.pack_into("<H", fib, _OFF_RGLW - _RGLW - 2, _CSLW)
@@ -168,7 +214,15 @@ def encode_doc(text: str) -> bytes:
     struct.pack_into("<i", fib, _OFF_RGLW, text_start + sum(len(b) for b in blobs))
     struct.pack_into("<i", fib, _OFF_RGLW + 12, cps[-1])
     struct.pack_into("<H", fib, _OFF_RGFCLCB - 2, _CBRGFCLCB)
-    struct.pack_into("<Ii", fib, _OFF_FCCLX, 0, len(clx))
+    struct.pack_into("<Ii", fib, _OFF_FCCLX, len(header), len(clx))
 
     word_doc = bytes(fib) + b"".join(blobs)
-    return write_cfb([("WordDocument", word_doc), ("1Table", clx)])
+    table = header + clx
+    if ks is not None:
+        from pasardassist_spark.operators.doccrypt import FIB_PLAINTEXT
+
+        word_doc = word_doc[:FIB_PLAINTEXT] + ks.xor(
+            word_doc[FIB_PLAINTEXT:], FIB_PLAINTEXT
+        )
+        table = header + ks.xor(clx, len(header))
+    return write_cfb([("WordDocument", word_doc), ("1Table", table)])

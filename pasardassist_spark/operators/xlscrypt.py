@@ -108,17 +108,20 @@ def _cryptoapi_block_key(h0: bytes, block: int, key_bits: int) -> bytes:
 
 
 class _Rc4Keystream:
-    """Per-1024-byte-block RC4 keystream addressed by absolute offset."""
+    """Per-rekey-block RC4 keystream addressed by absolute offset.
+    BIFF8 re-keys every 1024 bytes; the Word binary format uses the
+    same construction with 512-byte blocks ([MS-DOC] §2.2.6.2)."""
 
-    def __init__(self, block_key_fn):
+    def __init__(self, block_key_fn, block_size: int = _REKEY_BLOCK):
         self._fn = block_key_fn
+        self._size = block_size
         self._block = -1
         self._ks = b""
 
     def _ks_for(self, block: int) -> bytes:
         if block != self._block:
             # RC4 over zeros == the raw keystream for this block
-            self._ks = rc4(self._fn(block), bytes(_REKEY_BLOCK))
+            self._ks = rc4(self._fn(block), bytes(self._size))
             self._block = block
         return self._ks
 
@@ -129,8 +132,8 @@ class _Rc4Keystream:
         i = 0
         n = len(data)
         while i < n:
-            block, within = divmod(offset + i, _REKEY_BLOCK)
-            take = min(n - i, _REKEY_BLOCK - within)
+            block, within = divmod(offset + i, self._size)
+            take = min(n - i, self._size - within)
             ks = self._ks_for(block)[within : within + take]
             chunk = data[i : i + take]
             out += (

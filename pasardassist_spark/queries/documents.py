@@ -1622,10 +1622,15 @@ def doc_legacy_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Clx/PlcPcd in the 1Table stream, all inside a conforming compound
     file — then recovered through the documented read path: FIB
     validation → table-stream selection → Clx walk → piece decode →
-    control-character mapping.  The oracle hashes documents.text
-    directly, so the FULL text must survive both the piece table and
-    the container on 500 real files.  Encrypted and non-Word layers
-    raise by name.  Scan → mapInPandas, one stage, zero shuffle."""
+    control-character mapping.  ENCRYPTED documents rotate in by
+    doc_id%3 (round 14, operators/doccrypt.py): 1 → fEncrypted RC4
+    standard, 2 → RC4 CryptoAPI, both under Word's VelvetSweatshop
+    default — the 512-byte rekey walk, FibBase/header plaintext spans
+    and lKey addressing run on two thirds of the corpus.  The oracle
+    hashes documents.text directly, so the FULL text must survive the
+    piece table, the container AND the cipher on 500 real files.
+    fObfuscation (XOR) and non-Word layers raise by name.  Scan →
+    mapInPandas, one stage, zero shuffle."""
     from pasardassist_spark.operators.doctext import (
         encode_doc,
         extract_doc_text,
@@ -1639,7 +1644,10 @@ def doc_legacy_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id": [], "n_chars": [], "text_md5": [],
             }
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                got = extract_doc_text(encode_doc(text))
+                enc_mode = (None, "standard", "cryptoapi")[
+                    int(doc_id) % 3
+                ]
+                got = extract_doc_text(encode_doc(text, encrypt=enc_mode))
                 if got != text:
                     raise ValueError(
                         f"doc {doc_id}: .doc round-trip mismatch"

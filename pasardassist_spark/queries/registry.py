@@ -219,6 +219,10 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # (operators/odfcrypt.py) and doc_odt_extract ROTATES encrypted
     # fixtures in (doc_id%3==2 under the corpus password).
     "doc_odt_extract",
+    # round 14: doctext gained fEncrypted RC4 decryption (operators/
+    # doccrypt.py, 512-byte rekey) and doc_legacy_extract ROTATES
+    # encrypted fixtures in (doc_id%3).
+    "doc_legacy_extract",
     # round 14: tiffcodec gained tile grids + palette ColorMap decode and
     # mm_tiff_decode's fixtures/oracle rotate both in (doc_id%7 tiled,
     # doc_id%5==4 palette).
