@@ -67,6 +67,21 @@ HEADLINE = [
 # every name here must be a registered query — tests/test_oracle_parity.py
 # guards membership so a typo cannot fail the driver's bench run.
 EXTRA_NAMES = [
+    # round-14 second-session debuts
+    "stat_friedman",
+    "stat_brown_forsythe",
+    "stat_jarque_bera",
+    "stat_cramers_v",
+    "stat_cvm_2samp",
+    "stat_runs_test",
+    "ts_changepoint",
+    "ts_pacf",
+    "ml_kmeans",
+    "ml_isotonic_calibration",
+    "samp_neyman_allocation",
+    "mm_mp4_meta",
+    "mm_flac_ogg_meta",
+    "mm_mkv_meta",
     "dedup_passages",
     "dedup_clusters",
     "split_by_cluster",

@@ -2192,3 +2192,154 @@ def stat_cvm_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a", "n_b", t_stat.alias("t_stat"),
         (t_stat > CVM_CRIT_5PCT).alias("significant"),
     )
+
+
+# -------------------------------- Wald-Wolfowitz runs test (randomness)
+
+_RUNS_Z_CRIT = 1.959964  # two-sided 5% normal point (public table)
+
+
+@query(
+    "stat_runs_test",
+    oracle=f"""
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day, round(SUM(value), 6) AS x
+        FROM events GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(x, 0.5) AS m FROM d),
+    s AS (
+        SELECT day, CASE WHEN x > m THEN 1 ELSE 0 END AS sgn
+        FROM d CROSS JOIN med WHERE x <> m
+    ),
+    r AS (
+        SELECT sgn,
+               CASE WHEN lag(sgn) OVER (ORDER BY day) IS DISTINCT FROM sgn
+                    THEN 1 ELSE 0 END AS is_new_run
+        FROM s
+    ),
+    a AS (
+        SELECT CAST(SUM(sgn) AS BIGINT) AS n1,
+               CAST(COUNT(*) - SUM(sgn) AS BIGINT) AS n2,
+               CAST(SUM(is_new_run) AS BIGINT) AS runs
+        FROM r
+    )
+    SELECT n1, n2, runs,
+           round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2)
+                           * (n1 + n2 - 1))), 6) AS z,
+           abs(round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2)
+                           * (n1 + n2 - 1))), 6)) > {_RUNS_Z_CRIT}
+               AS non_random
+    FROM a
+    """,
+)
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily total value
+    median-dichotomized (above/below, exact-median days dropped — the
+    standard convention): too FEW runs means level persistence
+    (trending/sticky regimes), too MANY means oscillation; either way
+    the i.i.d. assumption behind the shelf's parametric intervals is
+    violated, so this is the randomness gate read next to ts_acf.
+    R ~ N(2 n1 n2/(n1+n2) + 1, ...) under H0.
+
+    Spark plan: one day-grain aggregate on the fact; the exact
+    interpolated median, the single lag window and the 1-row edge all
+    run on the calendar-bounded day frame (metadata-scale forever).
+    Response rounded to 6 dp before the median compare (ts_cusum
+    discipline), counters BIGINT to the edge."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("x")
+    )
+    med = d.agg(F.expr("percentile(x, 0.5)").alias("m"))
+    s = (
+        d.crossJoin(F.broadcast(med))
+        .filter(F.col("x") != F.col("m"))
+        .select(
+            "day", (F.col("x") > F.col("m")).cast("int").alias("sgn")
+        )
+    )
+    w = Window.orderBy("day")
+    r = s.select(
+        "sgn",
+        F.when(
+            ~F.lag("sgn").over(w).eqNullSafe(F.col("sgn")), 1
+        ).otherwise(0).alias("is_new_run"),
+    )
+    a = r.agg(
+        F.sum("sgn").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("sgn")).cast("long").alias("n2"),
+        F.sum("is_new_run").cast("long").alias("runs"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    mu = 2.0 * n1 * n2 / n + 1
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / (n.cast("double") * n * (n - 1))
+    )
+    z = F.round((F.col("runs") - mu) / F.sqrt(var), 6)
+    return a.select(
+        "n1", "n2", "runs", z.alias("z"),
+        (F.abs(z) > _RUNS_Z_CRIT).alias("non_random"),
+    )
+
+
+# --------------------------- Neyman optimal stratified allocation
+
+NEYMAN_BUDGET = 1000
+
+
+@query(
+    "samp_neyman_allocation",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_h,
+               round(stddev_samp(value), 6) AS sd_h
+        FROM events GROUP BY event_type
+    ),
+    t AS (SELECT SUM(n_h * sd_h) AS denom FROM g)
+    SELECT event_type, n_h, sd_h,
+           round(n_h * sd_h / denom, 6) AS share,
+           CAST(floor({NEYMAN_BUDGET} * n_h * sd_h / denom) AS BIGINT)
+               AS alloc_floor
+    FROM g CROSS JOIN t ORDER BY event_type
+    """,
+)
+def samp_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation of a {NEYMAN_BUDGET}-row sampling
+    budget across event-type strata: n_h ∝ N_h σ_h — the
+    variance-minimizing design every stratified evaluation sample
+    (labeling budgets, eval-set construction) should use instead of
+    proportional allocation when strata differ in spread.  Outputs the
+    optimal share and its floor allocation per stratum (the
+    largest-remainder top-up is the caller's one-line driver-side
+    step; floor() is the rounding rule both engines define
+    identically).
+
+    Spark plan: ONE map-side-combining moment aggregate (count +
+    stddev per stratum), a k-row edge with a broadcast total.  σ_h
+    rounded to 6 dp before the ratio so the cross-engine
+    stddev merge-order ulp cannot leak into the shares (stat_moments
+    contract)."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_h"),
+    )
+    t = g.agg(F.sum(F.col("n_h") * F.col("sd_h")).alias("denom"))
+    share = F.col("n_h") * F.col("sd_h") / F.col("denom")
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "event_type", "n_h", "sd_h",
+            F.round(share, 6).alias("share"),
+            F.floor(NEYMAN_BUDGET * share).cast("long").alias(
+                "alloc_floor"
+            ),
+        )
+        .orderBy("event_type")
+    )

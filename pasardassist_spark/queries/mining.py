@@ -1340,3 +1340,81 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.join(F.broadcast(norms), "cluster").select(
         "cluster", "size", "inertia", "centroid_norm"
     )
+
+
+# ---------------------- isotonic calibration (pool adjacent violators)
+
+ISO_BINS = 64
+
+
+@query("ml_isotonic_calibration")  # PAVA pooling: no closed SQL form
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of the `value` score against the binary
+    label "event is a purchase" — the monotone-regression step every
+    quality-classifier score passes through before its threshold means
+    anything (curate_quality_classifier's scores are exactly this
+    shape): bin the score axis ({ISO_BINS} equi-width bins), take the
+    empirical positive rate per bin, then pool adjacent violators
+    (PAVA) so the calibrated rate is the L2-optimal non-decreasing fit
+    under bin weights.
+
+    Spark plan: one min/max edge + ONE bin-grain hash aggregate on the
+    fact (map-side combining; {ISO_BINS} rows out regardless of corpus
+    size), PAVA driver-side on the bounded bin frame — the glm.py
+    "aggregate statistics, solve small" split; nothing data-sized ever
+    reaches the driver.  Rates rounded to 6 dp BEFORE pooling so the
+    recursion input is pinned cross-run; pool means re-derive from
+    exact integer (pos, n) sums, not from the rounded rates.
+    Monotonicity / pool-mean / brute-force-PAVA twins in
+    tests/test_round14_stats.py."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    lohi = ev.agg(
+        F.min("score").alias("lo"), F.max("score").alias("hi")
+    ).collect()[0]
+    lo, hi = float(lohi.lo), float(lohi.hi)
+    width = (hi - lo) / ISO_BINS or 1.0
+    binned = ev.select(
+        F.least(
+            F.lit(ISO_BINS - 1),
+            F.floor((F.col("score") - lo) / width).cast("int"),
+        ).alias("bin_id"),
+        "y",
+    )
+    rows = (
+        binned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+        .orderBy("bin_id")
+        .collect()
+    )
+    # PAVA over the bounded bin frame: pools carry exact integer sums
+    pools: list[list] = []  # [start_bin, end_bin, n, pos]
+    for r in rows:
+        pools.append([r.bin_id, r.bin_id, r.n, r.pos])
+        while len(pools) >= 2 and (
+            pools[-2][3] * pools[-1][2] >= pools[-1][3] * pools[-2][2]
+        ):  # rate[-2] >= rate[-1] in exact integer cross-multiplication
+            b = pools.pop()
+            a = pools.pop()
+            pools.append([a[0], b[1], a[2] + b[2], a[3] + b[3]])
+    out = []
+    for start, end, n_pool, pos_pool in pools:
+        cal = round(pos_pool / n_pool, 6)
+        for r in rows:
+            if start <= r.bin_id <= end:
+                out.append(
+                    (
+                        int(r.bin_id),
+                        int(r.n),
+                        round(r.pos / r.n, 6),
+                        cal,
+                    )
+                )
+    return spark.createDataFrame(
+        out, "bin_id int, n long, raw_rate double, calibrated double"
+    )

@@ -269,3 +269,53 @@ def test_changepoint_matches_brute_force(spark, sf_dir):
     assert math.isclose(
         row.mean_left, round(sum(xs[:k]) / k, 6), abs_tol=2e-6
     )
+
+
+def test_isotonic_calibration_pava_properties(spark, sf_dir):
+    """Calibrated rates must be (a) non-decreasing in bin order,
+    (b) pool-mean-preserving (each constant segment's value equals the
+    weighted mean of its raw bins), and (c) equal to a brute-force
+    O(n^2) PAVA on the same (n, raw) inputs."""
+    rows = sorted(
+        REGISTRY["ml_isotonic_calibration"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.bin_id,
+    )
+    cal = [r.calibrated for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(cal, cal[1:]))
+    # reconstruct pools as maximal constant runs; check weighted means
+    i = 0
+    while i < len(rows):
+        j = i
+        while j + 1 < len(rows) and rows[j + 1].calibrated == rows[i].calibrated:
+            j += 1
+        seg = rows[i : j + 1]
+        wmean = sum(r.raw_rate * r.n for r in seg) / sum(r.n for r in seg)
+        # raw_rate is rounded 6dp; allow that noise times pool size
+        assert math.isclose(
+            rows[i].calibrated, wmean, abs_tol=5e-6
+        ), (i, j, rows[i].calibrated, wmean)
+        i = j + 1
+    # brute-force PAVA on (n, raw) must agree
+    n = [r.n for r in rows]
+    v = [r.raw_rate for r in rows]
+    w = list(n)
+    vals = list(v)
+    blocks = [[i, i] for i in range(len(v))]
+    changed = True
+    while changed:
+        changed = False
+        for k in range(len(vals) - 1):
+            if vals[k] > vals[k + 1] + 1e-15:
+                tot = w[k] + w[k + 1]
+                merged = (vals[k] * w[k] + vals[k + 1] * w[k + 1]) / tot
+                vals[k : k + 2] = [merged]
+                w[k : k + 2] = [tot]
+                blocks[k : k + 2] = [[blocks[k][0], blocks[k + 1][1]]]
+                changed = True
+                break
+    expect = {}
+    for (s, e), val in zip(blocks, vals):
+        for b in range(s, e + 1):
+            expect[rows[b].bin_id] = val
+    for r in rows:
+        assert math.isclose(r.calibrated, expect[r.bin_id], abs_tol=5e-6)
