@@ -68,6 +68,7 @@ HEADLINE = [
 # guards membership so a typo cannot fail the driver's bench run.
 EXTRA_NAMES = [
     # round-14 second-session debuts
+    "stat_permutation_paired",
     "stat_friedman",
     "stat_brown_forsythe",
     "stat_jarque_bera",

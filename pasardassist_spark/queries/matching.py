@@ -2343,3 +2343,116 @@ def samp_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ----------------- paired permutation test (seeded sign-flipping)
+
+PERM_N = 500
+
+
+@query(
+    "stat_permutation_paired",
+    oracle=f"""
+    WITH d AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_s,
+               round(SUM(value) FILTER (event_type = '{MW_SAMPLE_A}')
+                     - SUM(value) FILTER (event_type = '{MW_SAMPLE_B}'),
+                     6) AS diff
+        FROM events
+        WHERE event_type IN ('{MW_SAMPLE_A}', '{MW_SAMPLE_B}')
+        GROUP BY 1
+        HAVING COUNT(*) FILTER (event_type = '{MW_SAMPLE_A}') > 0
+           AND COUNT(*) FILTER (event_type = '{MW_SAMPLE_B}') > 0
+    ),
+    obs AS (SELECT round(AVG(diff), 6) AS t_obs,
+                   CAST(COUNT(*) AS BIGINT) AS n_days FROM d),
+    perm AS (
+        SELECT i.range AS i,
+               round(AVG(CASE WHEN instr('02468ace',
+                        substr(md5(day_s || '|' || i.range), 1, 1)) > 0
+                    THEN diff ELSE -diff END), 6) AS t_i
+        FROM d CROSS JOIN range({PERM_N}) i
+        GROUP BY i.range
+    )
+    SELECT n_days, t_obs,
+           CAST({PERM_N} AS BIGINT) AS n_perm,
+           round((1.0 + (SELECT COUNT(*) FROM perm, obs
+                         WHERE abs(t_i) >= abs(t_obs)))
+                 / ({PERM_N} + 1.0), 6) AS p_value
+    FROM obs
+    """,
+)
+def stat_permutation_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired permutation (sign-flipping) test: is the daily
+    '{MW_SAMPLE_A}' total different from the daily '{MW_SAMPLE_B}'
+    total?  Under H0 the within-day difference d_t is symmetric, so
+    every sign assignment is equally likely: T_i = mean(s_i(t) * d_t)
+    over {PERM_N} DETERMINISTIC draws (s from the md5(day||i) hex
+    parity — the samp_deterministic hash-gate convention, so the
+    "randomization" is reproducible under any partitioning and
+    identical in both engines), p = (1 + #|T_i| >= |T_obs|)/(N+1) with
+    the add-one rule.  The assumption-free companion to
+    stat_welch_ttest: no normality, no variance model — just
+    exchangeability.
+
+    Spark plan: one day-grain fact aggregate; the permutation fan is a
+    broadcast range({PERM_N}) cross join against the calendar-bounded
+    day frame (N*days rows — metadata-scale at any corpus size), one
+    grouped mean per draw, a 1-row edge.  Diffs and every T rounded to
+    6 dp before compares (ts_cusum discipline)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(MW_SAMPLE_A, MW_SAMPLE_B)
+    )
+    is_a = F.col("event_type") == MW_SAMPLE_A
+    d = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+            .alias("day_s")
+        )
+        .agg(
+            F.round(
+                F.sum(F.when(is_a, F.col("value")))
+                - F.sum(F.when(~is_a, F.col("value"))),
+                6,
+            ).alias("diff"),
+            F.sum(is_a.cast("int")).alias("ca"),
+            F.sum((~is_a).cast("int")).alias("cb"),
+        )
+        .filter((F.col("ca") > 0) & (F.col("cb") > 0))
+        .select("day_s", "diff")
+    )
+    obs = d.agg(
+        F.round(F.avg("diff"), 6).alias("t_obs"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    draws = spark.range(PERM_N).select(F.col("id").alias("i"))
+    sign = F.when(
+        F.instr(
+            F.lit("02468ace"),
+            F.substring(
+                F.md5(F.concat(F.col("day_s"), F.lit("|"), F.col("i"))),
+                1, 1,
+            ),
+        ) > 0,
+        F.col("diff"),
+    ).otherwise(-F.col("diff"))
+    perm = (
+        d.crossJoin(F.broadcast(draws))
+        .groupBy("i")
+        .agg(F.round(F.avg(sign), 6).alias("t_i"))
+    )
+    exceed = (
+        perm.crossJoin(F.broadcast(obs))
+        .filter(F.abs(F.col("t_i")) >= F.abs(F.col("t_obs")))
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return (
+        obs.crossJoin(F.broadcast(exceed))
+        .select(
+            "n_days", "t_obs",
+            F.lit(PERM_N).cast("long").alias("n_perm"),
+            F.round((1.0 + F.col("k")) / (PERM_N + 1.0), 6).alias(
+                "p_value"
+            ),
+        )
+    )
