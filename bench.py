@@ -69,6 +69,7 @@ HEADLINE = [
 EXTRA_NAMES = [
     # round-14 second-session debuts
     "stat_permutation_paired",
+    "graph_assortativity",
     "stat_friedman",
     "stat_brown_forsythe",
     "stat_jarque_bera",

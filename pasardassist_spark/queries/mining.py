@@ -1418,3 +1418,121 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "bin_id int, n long, raw_rate double, calibrated double"
     )
+
+
+# ------------------- degree assortativity (co-supply graph readout)
+
+
+@query(
+    "graph_assortativity",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1
+        JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                        AND l1.l_partkey < l2.l_partkey
+    ),
+    deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT a AS v FROM e UNION ALL SELECT b FROM e
+        ) GROUP BY v
+    ),
+    dir AS (
+        SELECT a AS u, b AS v FROM e
+        UNION ALL SELECT b, a FROM e
+    ),
+    j AS (
+        SELECT du.d AS d_u, dv.d AS d_v
+        FROM dir JOIN deg du ON dir.u = du.v
+                 JOIN deg dv ON dir.v = dv.v
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+               SUM(CAST(d_u AS DOUBLE)) AS sx, SUM(CAST(d_v AS DOUBLE)) AS sy,
+               SUM(CAST(d_u AS DOUBLE) * d_u) AS sxx,
+               SUM(CAST(d_v AS DOUBLE) * d_v) AS syy,
+               SUM(CAST(d_u AS DOUBLE) * d_v) AS sxy
+        FROM j
+    )
+    SELECT CAST(n2 / 2 AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CASE WHEN n2 > 0
+                 AND (n2 * sxx - sx * sx) * (n2 * syy - sy * sy) > 0
+                THEN round((n2 * sxy - sx * sy)
+                     / sqrt((n2 * sxx - sx * sx) * (n2 * syy - sy * sy)),
+                     6)
+           END AS assortativity
+    FROM m
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part CO-PURCHASE graph (parts
+    adjacent iff they appear in the same order): the Pearson
+    correlation of endpoint degrees over all directed edge instances —
+    Newman's r.  Positive means popular parts co-occur with popular
+    parts (social-network shape), negative means hub-and-spoke; the
+    one-number structural fingerprint read next to the triangle count
+    and k-core depth.  (The supplier co-supply graph the triangle
+    family uses is degenerate for THIS readout — the synthetic data
+    makes it complete, so every degree ties and r is undefined; the
+    part graph has real degree spread at every SF.)
+
+    Spark plan: one orderkey-bounded self-join builds the edge set
+    (never a part-level cartesian — per-order line counts bound the
+    fan), a degree aggregate, two broadcast joins back, ONE moment
+    aggregate; r assembles from guarded moment sums (zero variance →
+    NULL identically in both engines, instead of ANSI divide-by-zero).
+    Pearson's estimator is normalization-invariant, merge-order ulp
+    absorbed by 6-dp rounding."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
+    l2 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("b"))
+    edges = (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    direct = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    j = (
+        direct.join(
+            F.broadcast(
+                deg.withColumnRenamed("v", "u").withColumnRenamed("d", "d_u")
+            ),
+            "u",
+        )
+        .join(F.broadcast(deg.withColumnRenamed("d", "d_v")), "v")
+    )
+    nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    du = F.col("d_u").cast("double")
+    dv = F.col("d_v").cast("double")
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n2"),
+        F.sum(du).alias("sx"), F.sum(dv).alias("sy"),
+        F.sum(du * du).alias("sxx"), F.sum(dv * dv).alias("syy"),
+        F.sum(du * dv).alias("sxy"),
+    )
+    n2 = F.col("n2")
+    varx = n2 * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n2 * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (n2 > 0) & (varx * vary > 0),
+        F.round(
+            (n2 * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(varx * vary),
+            6,
+        ),
+    )
+    return m.crossJoin(F.broadcast(nodes)).select(
+        (n2 / 2).cast("long").alias("n_edges"),
+        "n_nodes",
+        r.alias("assortativity"),
+    )
