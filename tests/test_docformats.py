@@ -1298,7 +1298,11 @@ def test_doc_error_contracts():
     wd = bytearray(streams["WordDocument"])
     struct.pack_into("<H", wd, 10, 0x0200 | 0x0100)  # fEncrypted
     enc = write_cfb([("WordDocument", bytes(wd)), ("1Table", streams["1Table"])])
-    with pytest.raises(NotImplementedError, match="encrypted"):
+    # round 14: encryption is SUPPORTED (operators/doccrypt.py), so a
+    # forged fEncrypted flag with no header (lKey 0) is a torn-file
+    # ValueError, not a named seam; the real seam (fObfuscation) and
+    # the decrypt contracts are pinned in tests/test_doccrypt.py
+    with pytest.raises(ValueError, match="lKey"):
         extract_doc_text(enc)
     # missing table stream
     with pytest.raises(ValueError, match="no 1Table"):
