@@ -51,6 +51,13 @@ QUERIES = [
     "doc_pdf_extract",
     "doc_xls_extract",
     "doc_odt_extract",
+    "doc_legacy_extract",
+    # late second-session debuts
+    "stat_runs_test",
+    "samp_neyman_allocation",
+    "stat_permutation_paired",
+    "ml_isotonic_calibration",
+    "graph_assortativity",
 ]
 
 # queries reading orders/customer (stat_cramers_v) scale by replicating
@@ -81,6 +88,12 @@ def build_replica(spark) -> str:
         N_REPLICAS,
     ).write.mode("overwrite").parquet(os.path.join(base, "orders.parquet"))
     replicate_ids(
+        load(spark, SF_DIR, "lineitem"), ["l_orderkey", "l_partkey"],
+        N_REPLICAS,
+    ).write.mode("overwrite").parquet(
+        os.path.join(base, "lineitem.parquet")
+    )
+    replicate_ids(
         load(spark, SF_DIR, "customer"), ["c_custkey"], N_REPLICAS
     ).write.mode("overwrite").parquet(os.path.join(base, "customer.parquet"))
     return base
@@ -100,7 +113,7 @@ def time_query(qs, name, sf_dir) -> tuple[float, int]:
 if __name__ == "__main__":
     SPARK = get_spark("round14b-scale")
     qs = all_queries()
-    for t in ("documents", "events", "embeddings", "orders", "customer"):
+    for t in ("documents", "events", "embeddings", "orders", "customer", "lineitem"):
         load(SPARK, SF_DIR, t).count()
     sf1 = build_replica(SPARK)
     print(f"replica at {sf1}", file=sys.stderr)
