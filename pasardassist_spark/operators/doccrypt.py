@@ -104,7 +104,16 @@ def parse_word_encryption_header(
     header: bytes, password: str
 ) -> _Rc4Keystream:
     """Authenticate and return the 512-block keystream.  Tries the
-    caller's password, then (if empty) Word's VelvetSweatshop default."""
+    caller's password, then (if empty) Word's VelvetSweatshop default.
+    A torn header raises ValueError (the module contract), never
+    struct.error."""
+    try:
+        return _parse_word_header(header, password)
+    except struct.error as exc:
+        raise ValueError(f"doc: torn encryption header: {exc}") from exc
+
+
+def _parse_word_header(header: bytes, password: str) -> _Rc4Keystream:
     if len(header) < 4:
         raise ValueError("doc: torn encryption header")
     vmajor, vminor = struct.unpack("<HH", header[:4])

@@ -96,16 +96,23 @@ def parse_flac_meta(payload: bytes) -> FlacMeta:
             total = bits & ((1 << 36) - 1)
             si = (rate, channels, bps, total)
         elif btype == 4:  # VORBIS_COMMENT (little-endian inside)
-            (vlen,) = struct.unpack_from("<I", body, 0)
-            vendor = body[4 : 4 + vlen].decode("utf-8")
-            (n,) = struct.unpack_from("<I", body, 4 + vlen)
-            p = 8 + vlen
-            for _ in range(n):
-                (clen,) = struct.unpack_from("<I", body, p)
-                kv = body[p + 4 : p + 4 + clen].decode("utf-8")
-                p += 4 + clen
-                k, _, v = kv.partition("=")
-                tags.append((k.upper(), v))
+            try:
+                (vlen,) = struct.unpack_from("<I", body, 0)
+                vendor = body[4 : 4 + vlen].decode("utf-8")
+                (n,) = struct.unpack_from("<I", body, 4 + vlen)
+                p = 8 + vlen
+                for _ in range(n):
+                    (clen,) = struct.unpack_from("<I", body, p)
+                    if p + 4 + clen > len(body):
+                        raise ValueError("torn FLAC comment entry")
+                    kv = body[p + 4 : p + 4 + clen].decode("utf-8")
+                    p += 4 + clen
+                    k, _, v = kv.partition("=")
+                    tags.append((k.upper(), v))
+            except struct.error as exc:
+                raise ValueError(
+                    f"torn FLAC VORBIS_COMMENT block: {exc}"
+                ) from exc
         # all other block types skip by declared length
         pos += 4 + length
     if si is None:

@@ -212,7 +212,15 @@ def make_filepass(
 def parse_filepass(payload: bytes, password: str) -> _Rc4Keystream:
     """Authenticate ``password`` against a FILEPASS payload and return
     the keystream.  Tries the caller's password, then (if empty) Excel's
-    default ``VelvetSweatshop``."""
+    default ``VelvetSweatshop``.  A torn payload raises ValueError (the
+    module contract), never struct.error."""
+    try:
+        return _parse_filepass(payload, password)
+    except struct.error as exc:
+        raise ValueError(f"xls: torn FILEPASS record: {exc}") from exc
+
+
+def _parse_filepass(payload: bytes, password: str) -> _Rc4Keystream:
     if len(payload) < 2:
         raise ValueError("xls: truncated FILEPASS record")
     (wtype,) = struct.unpack("<H", payload[:2])
