@@ -1718,7 +1718,10 @@ def stat_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     cell = ev.groupBy(
         F.to_date("ts").alias("d"), "event_type"
-    ).agg(F.round(F.sum("value"), 6).alias("resp"))
+    ).agg(F.round(F.sum("value"), 6).alias("resp")).persist()
+    # ^ four consumers fork off the cell frame (type count, complete
+    # blocks, rank grain, rank-sum join): persist the days*k frame so
+    # the FACT scans once, not four times
     kt = cell.select(
         F.countDistinct("event_type").cast("long").alias("kt")
     )
@@ -1834,7 +1837,7 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     cell = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
         F.round(F.sum("value"), 6).alias("resp")
-    )
+    ).persist()  # median branch + z branch: one fact scan, not two
     med = cell.groupBy("event_type").agg(
         F.expr("percentile(resp, 0.5)").alias("med")
     )
@@ -2253,7 +2256,7 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
         F.round(F.sum("value"), 6).alias("x")
-    )
+    ).persist()  # median branch + sign branch: one fact scan
     med = d.agg(F.expr("percentile(x, 0.5)").alias("m"))
     s = (
         d.crossJoin(F.broadcast(med))
@@ -2330,10 +2333,14 @@ def samp_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_h"),
         F.round(F.stddev_samp("value"), 6).alias("sd_h"),
     )
-    t = g.agg(F.sum(F.col("n_h") * F.col("sd_h")).alias("denom"))
-    share = F.col("n_h") * F.col("sd_h") / F.col("denom")
+    # denominator as an unpartitioned window over the k-row stratum
+    # frame — ONE fact aggregate total (a g.agg() edge would fork the
+    # plan and scan the fact twice)
+    wall = Window.partitionBy()
+    denom = F.sum(F.col("n_h") * F.col("sd_h")).over(wall)
+    share = F.col("n_h") * F.col("sd_h") / denom
     return (
-        g.crossJoin(F.broadcast(t))
+        g
         .select(
             "event_type", "n_h", "sd_h",
             F.round(share, 6).alias("share"),
@@ -2420,6 +2427,7 @@ def stat_permutation_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("ca") > 0) & (F.col("cb") > 0))
         .select("day_s", "diff")
+        .persist()  # observed edge + permutation fan: one fact scan
     )
     obs = d.agg(
         F.round(F.avg("diff"), 6).alias("t_obs"),

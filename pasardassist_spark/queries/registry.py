@@ -219,6 +219,10 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # (operators/odfcrypt.py) and doc_odt_extract ROTATES encrypted
     # fixtures in (doc_id%3==2 under the corpus password).
     "doc_odt_extract",
+    # round 14: ts_acf gained a persist on its forked day frame (one
+    # fact scan instead of three; output unchanged by construction) —
+    # one fresh driver row certifies.
+    "ts_acf",
     # round 14: doctext gained fEncrypted RC4 decryption (operators/
     # doccrypt.py, 512-byte rekey) and doc_legacy_extract ROTATES
     # encrypted fixtures in (doc_id%3).

@@ -677,9 +677,13 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     via one stack() so the frame is scanned once; 6-dp rounding
     absorbs the mu-propagation float noise (stat_moments precedent)."""
     ev = load(spark, sf_dir, "events")
+    # three consumers (lag frame, mean, denominator) fork below: persist
+    # the calendar-bounded day frame so the FACT scans once, not thrice
+    # (Spark's cache manager dedups this persist across repeated calls
+    # by analyzed plan — the r13 note)
     d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
         F.sum("value").alias("x")
-    )
+    ).persist()
     w = Window.orderBy("day")
     lag_cols = [F.lag("x", k).over(w).alias(f"xl{k}") for k in range(1, ACF_MAX_LAG + 1)]
     wide = d.select("x", *lag_cols)

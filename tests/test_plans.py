@@ -778,3 +778,117 @@ def test_survival_pair_duration_grain_before_windows(spark, sf_dir):
         agg = p.find("HashAggregate")
         assert sp == -1 or agg != -1, f"{name}: window before any aggregate"
         assert "BatchEvalPython" not in p
+
+
+# ------------------------------- round-14 second-session plan shapes
+
+
+def test_stat_friedman_single_fact_scan(spark, sf_dir):
+    """Four consumers fork off the persisted cell frame: the FACT scans
+    exactly once; every downstream Exchange moves the metadata-scale
+    days*k frame only.  No fact-fact join anywhere."""
+    df = REGISTRY["stat_friedman"].fn(spark, sf_dir)
+    p = plan(df)
+    schemas = read_schemas(p)
+    assert len(schemas) == 1, f"fact scanned {len(schemas)}x"
+    assert set(schemas[0]) == {"ts", "event_type", "value"}
+    assert "SortMergeJoin" not in p
+
+
+def test_stat_jarque_bera_single_hash_aggregate(spark, sf_dir):
+    """One map-side-combining aggregate, one data shuffle, pruned scan."""
+    df = REGISTRY["stat_jarque_bera"].fn(spark, sf_dir)
+    p = plan(df)
+    # exactly one hash aggregate on the fact; the only other Exchange
+    # is the ORDER BY range partition of the 5-row output frame
+    import re as _re
+
+    assert len(_re.findall(r"hashpartitioning", p)) >= 1
+    assert len({m for m in _re.findall(r"hashpartitioning\(\w+", p)}) == 1
+    (schema,) = read_schemas(p)
+    assert schema == {"event_type", "value"}
+
+
+def test_samp_neyman_single_aggregate_window_denominator(spark, sf_dir):
+    """ONE fact aggregate; the denominator is an unpartitioned window
+    over the k-row stratum frame, not a second fact scan."""
+    df = REGISTRY["samp_neyman_allocation"].fn(spark, sf_dir)
+    p = plan(df)
+    assert len(read_schemas(p)) == 1
+    assert data_shuffle_count(p) == 1  # the stratum aggregate
+    assert "SortMergeJoin" not in p
+
+
+def test_cvm_prefix_window_single_value_grain_shuffle(spark, sf_dir):
+    """Value-grain aggregate then ONE ordered prefix window; no
+    per-row global sort of the fact."""
+    df = REGISTRY["stat_cvm_2samp"].fn(spark, sf_dir)
+    p = plan(df)
+    assert "SortMergeJoin" not in p
+    (schema,) = read_schemas(p)
+    assert schema == {"event_type", "value"}
+
+
+def test_kmeans_assignment_is_jvm_side(spark, sf_dir):
+    """The distance evaluation must stay in JVM expressions — no
+    Python row UDF in the assignment plan (posexplode + hash agg do
+    the update)."""
+    from pasardassist_spark.queries.mining import ml_kmeans  # noqa: F401
+
+    df = REGISTRY["ml_kmeans"].fn(spark, sf_dir)
+    # final frame is a tiny joined summary; assert the heavy child plan
+    # of the run left no Python UDF behind by rebuilding one assignment
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pasardassist_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select("embedding")
+    lit = F.from_json(F.lit(_json.dumps([0.0] * 64)), "array<double>")
+    d = emb.select(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"), lit,
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d0")
+    )
+    p = plan(d)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert df.count() > 0
+
+
+def test_mp4_flac_mkv_metadata_walks_fanout_only(spark, sf_dir):
+    """The container walks are one Arrow map pass over doc ids: the only
+    Exchange allowed is the DELIBERATE round-robin fan-out the table
+    loader applies to single-file fixture tables (tables.py
+    _FANOUT_TABLES) — never a hash/range repartition."""
+    for name in ("mm_mp4_meta", "mm_flac_ogg_meta", "mm_mkv_meta"):
+        p = plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "hashpartitioning" not in p, f"{name}: unexpected shuffle"
+        assert "rangepartitioning" not in p, f"{name}: unexpected sort"
+        assert shuffle_count(p) <= 1
+        (schema,) = read_schemas(p)
+        assert schema == {"doc_id"}, f"{name}: scan not pruned to ids"
+
+
+def test_assortativity_broadcast_degree_joins(spark, sf_dir):
+    """Degree joins back onto the directed edge list must broadcast
+    (degree frame is node-sized); the only SMJ risk is the edge build
+    self-join, which is orderkey-keyed."""
+    p = plan(REGISTRY["graph_assortativity"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_changepoint_single_sequential_window_chain(spark, sf_dir):
+    """One day-grain aggregate, then ONE single-partition window chain
+    carrying prefixes and totals; no second fact scan."""
+    df = REGISTRY["ts_changepoint"].fn(spark, sf_dir)
+    p = plan(df)
+    schemas = read_schemas(p)
+    assert len(schemas) == 1
+    assert set(schemas[0]) == {"ts", "value"}
+    assert data_shuffle_count(p) == 1  # the day aggregate
