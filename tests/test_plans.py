@@ -787,6 +787,11 @@ def test_stat_friedman_single_fact_scan(spark, sf_dir):
     """Four consumers fork off the persisted cell frame: the FACT scans
     exactly once; every downstream Exchange moves the metadata-scale
     days*k frame only.  No fact-fact join anywhere."""
+    # another test may have persisted the IDENTICAL day/cell frame
+    # (Spark's cache manager substitutes it into this plan, hiding
+    # the FileScan) — clear the cache so scan counting is
+    # order-independent
+    spark.catalog.clearCache()
     df = REGISTRY["stat_friedman"].fn(spark, sf_dir)
     p = plan(df)
     schemas = read_schemas(p)
@@ -812,6 +817,11 @@ def test_stat_jarque_bera_single_hash_aggregate(spark, sf_dir):
 def test_samp_neyman_single_aggregate_window_denominator(spark, sf_dir):
     """ONE fact aggregate; the denominator is an unpartitioned window
     over the k-row stratum frame, not a second fact scan."""
+    # another test may have persisted the IDENTICAL day/cell frame
+    # (Spark's cache manager substitutes it into this plan, hiding
+    # the FileScan) — clear the cache so scan counting is
+    # order-independent
+    spark.catalog.clearCache()
     df = REGISTRY["samp_neyman_allocation"].fn(spark, sf_dir)
     p = plan(df)
     assert len(read_schemas(p)) == 1
@@ -886,6 +896,11 @@ def test_assortativity_broadcast_degree_joins(spark, sf_dir):
 def test_changepoint_single_sequential_window_chain(spark, sf_dir):
     """One day-grain aggregate, then ONE single-partition window chain
     carrying prefixes and totals; no second fact scan."""
+    # another test may have persisted the IDENTICAL day/cell frame
+    # (Spark's cache manager substitutes it into this plan, hiding
+    # the FileScan) — clear the cache so scan counting is
+    # order-independent
+    spark.catalog.clearCache()
     df = REGISTRY["ts_changepoint"].fn(spark, sf_dir)
     p = plan(df)
     schemas = read_schemas(p)
