@@ -70,6 +70,7 @@ EXTRA_NAMES = [
     # round-14 second-session debuts
     "stat_permutation_paired",
     "graph_assortativity",
+    "stat_hodges_lehmann",
     "stat_friedman",
     "stat_brown_forsythe",
     "stat_jarque_bera",

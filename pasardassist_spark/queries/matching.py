@@ -2464,3 +2464,65 @@ def stat_permutation_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------- Hodges-Lehmann pseudo-median (Walsh averages)
+
+
+@query(
+    "stat_hodges_lehmann",
+    oracle="""
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day, round(SUM(value), 6) AS x
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT (a.x + b.x) / 2.0 AS walsh
+        FROM d a JOIN d b ON a.day <= b.day
+    )
+    SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(walsh, 0.5), 6) AS hl_estimate,
+           round((SELECT quantile_cont(x, 0.5) FROM d), 6) AS plain_median
+    FROM pairs
+    """,
+)
+def stat_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann pseudo-median of the daily total value: the
+    median of all n(n+1)/2 Walsh averages (x_i + x_j)/2, i <= j — the
+    location estimator the Wilcoxon signed-rank test inverts, ~30%
+    more efficient than the plain median under near-normal data while
+    keeping a 29% breakdown point.  Reported next to the plain median:
+    a large gap between the two is itself a skewness diagnostic.
+
+    Spark plan: one day-grain fact aggregate (persisted day frame),
+    then the Walsh pair frame via a day-keyed self-join — the pair
+    count grows with the CALENDAR squared, not the corpus (10 years =
+    ~6.7M pairs, one task's worth, forever), so the exact interpolated
+    median over pairs is bounded at any corpus size.  Inputs rounded
+    to 6 dp before pairing (ts_cusum discipline); both engines
+    interpolate the same (a+b)/2 midpoint arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("x")
+    ).persist()
+    a = d.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = d.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    pairs = a.join(b, F.col("da") <= F.col("db")).select(
+        ((F.col("xa") + F.col("xb")) / 2.0).alias("walsh")
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    pm = d.agg(F.expr("percentile(x, 0.5)").alias("pm"))
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("percentile(walsh, 0.5)").alias("hl"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(pm))
+        .select(
+            "n_days", "n_pairs",
+            F.round(F.col("hl"), 6).alias("hl_estimate"),
+            F.round(F.col("pm"), 6).alias("plain_median"),
+        )
+    )

@@ -319,3 +319,30 @@ def test_isotonic_calibration_pava_properties(spark, sf_dir):
             expect[rows[b].bin_id] = val
     for r in rows:
         assert math.isclose(r.calibrated, expect[r.bin_id], abs_tol=5e-6)
+
+
+def test_hodges_lehmann_matches_brute_force(spark, sf_dir):
+    """HL from an explicit O(n^2) Walsh-average enumeration of the
+    collected daily sums."""
+    days = [
+        r.x
+        for r in load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("x"))
+        .collect()
+    ]
+    walsh = sorted(
+        (a + b) / 2.0
+        for i, a in enumerate(days)
+        for b in days[i:]
+    )
+    m = len(walsh)
+    hl = (
+        walsh[m // 2]
+        if m % 2
+        else (walsh[m // 2 - 1] + walsh[m // 2]) / 2.0
+    )
+    row = REGISTRY["stat_hodges_lehmann"].fn(spark, sf_dir).collect()[0]
+    assert row.n_days == len(days)
+    assert row.n_pairs == len(days) * (len(days) + 1) // 2
+    assert math.isclose(row.hl_estimate, round(hl, 6), abs_tol=2e-6)
