@@ -188,6 +188,25 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     # row-checked clean in r13; semantics pytest-pinned
     "dedup_cdc_chunks", "ml_logreg_irls", "sim_ivf_autotune",
     "ts_holt_winters",
+    # r14 greens (CORRECTNESS_r14: 45 hash-green + 5 rows-only-by-design
+    # clean, 0 red at HEAD 9967297 — the encrypted-document matrix
+    # (OOXML agile+standard), the round-14 media walks (MP3 frames,
+    # MP4 boxes, FLAC/Ogg, MKV/EBML), the hypothesis-testing shelf,
+    # graph link-prediction/assortativity, naive Bayes, the watermark
+    # readout, and every r14 _FORCE_RECHECK re-green)
+    "doc_encrypted_extract", "graph_assortativity",
+    "graph_link_prediction", "ml_naive_bayes", "mm_flac_ogg_meta",
+    "mm_mkv_meta", "mm_mp3_frames", "mm_mp4_meta",
+    "samp_neyman_allocation", "stat_brown_forsythe", "stat_cramers_v",
+    "stat_cvm_2samp", "stat_friedman", "stat_hodges_lehmann",
+    "stat_jarque_bera", "stat_mann_kendall", "stat_permutation_paired",
+    "stat_runs_test", "stat_seasonal_mann_kendall",
+    "streaming_watermark_readout", "ts_changepoint", "ts_ljung_box",
+    "ts_page_hinkley",
+    # r14 rows-only-by-design (k-means training, isotonic PAVA, PACF
+    # recurrence — no SQL form), driver row-checked clean in r14;
+    # numpy/brute-force twins pytest-pinned
+    "ml_isotonic_calibration", "ml_kmeans", "ts_pacf",
 })
 
 # Entries whose implementation or oracle changed since their last green
@@ -198,51 +217,9 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # so the set starts empty.  Add a name here ONLY when its query fn or
 # oracle actually changed this round.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    # round 14: the PDF parser gained the standard security handler
-    # (operators/pdfcrypt.py; pdftext.py _parse_object_at now carries the
-    # generation and get_object routes file-level objects through
-    # per-object decryption).  doc_pdf_extract also ROTATES encrypted
-    # fixtures in (doc_id%5), including the AES-256 /V 5 /R 6 variant
-    # (alternating with AES-128 on the %5==4 slice).  Every archived
-    # green that consumes the changed read path gets one fresh driver
-    # row.
-    "doc_pdf_extract", "pipeline_doc_extract_clean",
-    "pipeline_any_doc_extract", "pipeline_attachment_extract",
-    "streaming_docgate_readout",
-    # round 14: xlstext gained FILEPASS RC4 decryption (operators/
-    # xlscrypt.py — extract_xls_cells now routes every workbook through
-    # decrypt_biff_stream, a pass-through when no FILEPASS is present)
-    # and doc_xls_extract ROTATES encrypted fixtures in (doc_id%3: RC4
-    # standard / RC4 CryptoAPI under the VelvetSweatshop default).
-    "doc_xls_extract",
-    # round 14: odttext gained ODF 1.2 AES-256-CBC+PBKDF2 decryption
-    # (operators/odfcrypt.py) and doc_odt_extract ROTATES encrypted
-    # fixtures in (doc_id%3==2 under the corpus password).
-    "doc_odt_extract",
-    # round 14: ts_acf gained a persist on its forked day frame (one
-    # fact scan instead of three; output unchanged by construction) —
-    # one fresh driver row certifies.
-    "ts_acf",
-    # round 14: doctext gained fEncrypted RC4 decryption (operators/
-    # doccrypt.py, 512-byte rekey) and doc_legacy_extract ROTATES
-    # encrypted fixtures in (doc_id%3).
-    "doc_legacy_extract",
-    # round 14: tiffcodec gained tile grids + palette ColorMap decode and
-    # mm_tiff_decode's fixtures/oracle rotate both in (doc_id%7 tiled,
-    # doc_id%5==4 palette).
-    "mm_tiff_decode",
-    # round 14: gifcodec gained Appendix E interlace on both decode paths
-    # and attach_gif_payload rotates interlaced fixtures in (odd ids) —
-    # output unchanged by design, one fresh row each to certify.
-    "mm_gif_decode", "mm_gif_frames",
-    # round 14 ADVICE fixes touching operator internals: ID3 flag-byte
-    # guards (id3.py), PNG chunk-CRC bounds (pngmeta.py), cp1252
-    # mojibake fallback (mojibake.py), final-beta Hessian for IRLS
-    # standard errors (glm.py), JPEG fill-byte/standalone-marker walk
-    # (exif.py).  Outputs should be unchanged on the fixture corpora —
-    # one fresh driver row each certifies that.
-    "mm_id3_tags", "mm_png_prompt_meta", "text_fix_mojibake",
-    "ml_logreg_irls", "mm_exif_extract",
+    # Round 15 starts empty: every r14 _FORCE_RECHECK name re-verified
+    # green in CORRECTNESS_r14 (45 hash-green + 5 clean rows-only, 0
+    # red).  Names are added below as round-15 changes land.
 })
 
 
