@@ -1089,7 +1089,7 @@ def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     tot = vocab.agg(F.sum("cnt").cast("double").alias("tot"))
     lp = (
-        tok.join(F.broadcast(vocab), "tok")
+        tok.join(vocab, "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

@@ -96,7 +96,7 @@ def mb_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = li.select("l_orderkey", "l_partkey").distinct()
     icnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
     freq = icnt.filter(F.col("c") >= MB_MIN_PAIR).select("l_partkey", "c")
-    items_f = items.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
+    items_f = items.join(freq.select("l_partkey"), "l_partkey")
     # basket count rides the plan as a broadcast 1-row frame (the oracle's
     # CROSS JOIN nb) — an eager .count() here would re-run the DISTINCT
     # shuffle at every plan construction.
@@ -116,10 +116,10 @@ def mb_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.join(
-            F.broadcast(freq.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1"))), "p1"
+            freq.select(F.col("l_partkey").alias("p1"), F.col("c").alias("c1")), "p1"
         )
         .join(
-            F.broadcast(freq.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2"))), "p2"
+            freq.select(F.col("l_partkey").alias("p2"), F.col("c").alias("c2")), "p2"
         )
         .crossJoin(F.broadcast(nb))
         .select(
@@ -1041,8 +1041,12 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers per part; real co-occurrence graphs get the same bound by
     dropping hub items), so candidate pairs are O(|parts| * list^2):
     pair-linear, never all-pairs over suppliers.  One distinct, one
-    self-join shuffled on p, one groupBy, two broadcast-sized degree
-    joins, TakeOrdered for the top-K."""
+    self-join shuffled on p, one groupBy, two degree joins, TakeOrdered
+    for the top-K.  The degree frame is O(|suppliers|) — fact-derived,
+    sf-proportional — so it carries NO forced broadcast hint: AQE
+    broadcasts it while it fits and degrades to a shuffled join at
+    scale, instead of failing on the 8 GB broadcast cap (r14 VERDICT
+    anti-pattern fix; plan-pinned in tests/test_plans_graph_degree.py)."""
     sp = (
         load(spark, sf_dir, "lineitem")
         .select(
@@ -1063,8 +1067,8 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
     common = F.col("common")
     return (
-        pairs.join(F.broadcast(d1), "s1")
-        .join(F.broadcast(d2), "s2")
+        pairs.join(d1, "s1")
+        .join(d2, "s2")
         .select(
             "s1", "s2",
             common.cast("int").alias("common_parts"),
@@ -1199,7 +1203,7 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         test.crossJoin(F.broadcast(cand))
         .crossJoin(F.broadcast(vsz))
         .join(
-            F.broadcast(c2),
+            c2,
             (F.col("c_lang") == F.col("lang"))
             & (F.col("c_tok") == F.col("tok")),
             "left",
@@ -1479,9 +1483,13 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark plan: one orderkey-bounded self-join builds the edge set
     (never a part-level cartesian — per-order line counts bound the
-    fan), a degree aggregate, two broadcast joins back, ONE moment
-    aggregate; r assembles from guarded moment sums (zero variance →
-    NULL identically in both engines, instead of ANSI divide-by-zero).
+    fan), a degree aggregate, two degree joins back (NO forced
+    broadcast hint — the degree frame is O(|parts|), fact-derived, so
+    AQE broadcasts it while small and degrades to a shuffled join at
+    scale instead of failing the 8 GB cap; r14 VERDICT anti-pattern
+    fix), ONE moment aggregate; r assembles from guarded moment sums
+    (zero variance → NULL identically in both engines, instead of ANSI
+    divide-by-zero).
     Pearson's estimator is normalization-invariant, merge-order ulp
     absorbed by 6-dp rounding."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -1504,12 +1512,10 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
     j = (
         direct.join(
-            F.broadcast(
-                deg.withColumnRenamed("v", "u").withColumnRenamed("d", "d_u")
-            ),
+            deg.withColumnRenamed("v", "u").withColumnRenamed("d", "d_u"),
             "u",
         )
-        .join(F.broadcast(deg.withColumnRenamed("d", "d_v")), "v")
+        .join(deg.withColumnRenamed("d", "d_v"), "v")
     )
     nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     du = F.col("d_u").cast("double")

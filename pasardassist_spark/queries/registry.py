@@ -220,6 +220,21 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # Round 15 starts empty: every r14 _FORCE_RECHECK name re-verified
     # green in CORRECTNESS_r14 (45 hash-green + 5 clean rows-only, 0
     # red).  Names are added below as round-15 changes land.
+    #
+    # round 15: the r14 VERDICT anti-pattern fix — forced F.broadcast
+    # hints dropped from every UNBOUNDED fact-derived frame (degree
+    # aggregates, corpus vocab / n-gram count tables, market-basket
+    # frequent items, naive-Bayes model counts).  Output is identical
+    # by construction (hints are physical-plan-only); AQE now picks
+    # broadcast while the frame is small and degrades to a shuffled
+    # join at scale instead of failing the 8 GB cap
+    # (tests/test_plans_graph_degree.py pins both directions).  One
+    # fresh driver row each certifies.
+    "graph_link_prediction", "graph_assortativity",
+    "text_unigram_logprob", "text_bigram_logprob", "text_tfidf_keywords",
+    "curate_kneser_ney_ppl", "text_pmi_collocations",
+    "text_keyphrase_rake", "curate_ccnet_buckets", "sketch_bloom_filter",
+    "mb_pair_lift", "ml_naive_bayes",
 })
 
 

@@ -207,7 +207,7 @@ def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit = t if hit is None else (hit & t)
     return (
         probes.join(
-            F.broadcast(w.select("word", F.lit(True).alias("in_corpus"))),
+            w.select("word", F.lit(True).alias("in_corpus")),
             "word",
             "left",
         )

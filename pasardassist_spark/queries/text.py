@@ -258,7 +258,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     tot = vocab.agg(F.sum("cnt").cast("double").alias("tot"))
     return (
-        tok.join(F.broadcast(vocab), "tok")
+        tok.join(vocab, "tok")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -442,7 +442,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
     lp = (
         bc.withColumn("tok", F.split(F.col("bg"), " ", 2)[0])
-        .join(F.broadcast(uc), "tok")
+        .join(uc, "tok")
         .crossJoin(F.broadcast(vv))
         .select(
             "bg",
@@ -450,7 +450,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        big.join(F.broadcast(lp), "bg")
+        big.join(lp, "bg")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -506,7 +506,7 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tok.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
     nd = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "tok")
+        tf.join(dfreq, "tok")
         .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",
@@ -1478,15 +1478,15 @@ def curate_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("c3") - D, F.lit(0.0)) + D * F.col("n1_fw") * p2
     ) / F.col("c_ctx")
     lp = (
-        tt.join(F.broadcast(ctx), ["w1", "w2"])
-        .join(F.broadcast(mid), ["w2", "w3"])
-        .join(F.broadcast(midden), "w2")
-        .join(F.broadcast(cont), "w3")
+        tt.join(ctx, ["w1", "w2"])
+        .join(mid, ["w2", "w3"])
+        .join(midden, "w2")
+        .join(cont, "w3")
         .crossJoin(F.broadcast(nbt))
         .select("tg", (F.log(p3) / F.log(F.lit(10.0))).alias("lp"))
     )
     return (
-        tri.join(F.broadcast(lp), "tg")
+        tri.join(lp, "tg")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),
@@ -1536,7 +1536,11 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     off one scan; the scoring join runs on the Zipf-truncated count
     tables (types << tokens) with the two scalar totals crossed in as
     literals-by-broadcast — the corpus itself never shuffles for
-    scoring, and top-k is a driver-side takeOrdered on the type table."""
+    scoring, and top-k is a driver-side takeOrdered on the type table.
+    The type-table joins carry NO forced broadcast hint (r15): the
+    unigram frames are fact-derived and unbounded, so AQE broadcasts
+    them while small and degrades to shuffled joins at vocab scale
+    instead of failing the 8 GB cap."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", X.tokens(F.col("text")).alias("toks")
     )
@@ -1562,8 +1566,8 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bc.filter(F.col("cb") >= PMI_MIN_COUNT)
         .select("bg", "cb", parts[0].alias("w1"), parts[1].alias("w2"))
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        .join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(nn))
         .crossJoin(F.broadcast(mm))
         .select("bg", "cb", F.round(pmi, 6).alias("pmi"))
@@ -1738,7 +1742,9 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     each document's token stream — a window PARTITIONED BY doc_id
     (thousands of rows per partition, never global), then everything
     downstream operates on the Zipf-bounded phrase/word type tables
-    with broadcast scoring joins."""
+    with scoring joins that carry no forced broadcast hint — the word
+    score table is fact-derived and unbounded, so AQE broadcasts it
+    while small and shuffles at scale (r15)."""
     from pyspark.sql import Window as W
 
     d = load(spark, sf_dir, "documents").select(
@@ -1775,7 +1781,7 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         distinct_p.select(
             "phrase", F.explode(F.split("phrase", " ")).alias("w")
         )
-        .join(F.broadcast(wscore), "w")
+        .join(wscore, "w")
         .groupBy("phrase")
         .agg(F.round(F.sum("score"), 6).alias("score"))
     )
