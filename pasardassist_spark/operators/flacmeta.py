@@ -268,6 +268,8 @@ def parse_ogg_meta(payload: bytes) -> OggMeta:
     while pos < len(payload):
         if payload[pos : pos + 4] != b"OggS":
             raise ValueError("lost Ogg page sync")
+        if pos + 27 > len(payload):
+            raise ValueError("torn Ogg page header")
         if payload[pos + 4] != 0:
             raise ValueError(f"Ogg version {payload[pos + 4]} unknown")
         granule, _serial, _seq, crc = struct.unpack_from(

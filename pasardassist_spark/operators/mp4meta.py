@@ -87,6 +87,8 @@ def _find(buf: bytes, pos: int, end: int, btype: str):
 
 def _fullbox(buf: bytes, pos: int) -> tuple[int, int]:
     """(version, body-after-version/flags offset)."""
+    if pos + 4 > len(buf):
+        raise ValueError("torn fullbox header")
     return buf[pos], pos + 4
 
 
@@ -109,9 +111,13 @@ def _tkhd(buf: bytes, pos: int, end: int) -> tuple[int, int, int]:
     """(track_id, width_int, height_int)."""
     v, p = _fullbox(buf, pos)
     if v == 1:
+        if p + 20 > end:
+            raise ValueError("torn tkhd v1")
         (track_id,) = struct.unpack_from(">I", buf, p + 16)
         fixed_at = p + 32 + 52  # post-duration reserved+layer+matrix
     elif v == 0:
+        if p + 12 > end:
+            raise ValueError("torn tkhd v0")
         (track_id,) = struct.unpack_from(">I", buf, p + 8)
         fixed_at = p + 20 + 52
     else:
@@ -125,8 +131,12 @@ def _tkhd(buf: bytes, pos: int, end: int) -> tuple[int, int, int]:
 def _mdhd(buf: bytes, pos: int, end: int) -> tuple[int, int]:
     v, p = _fullbox(buf, pos)
     if v == 1:
+        if p + 28 > end:
+            raise ValueError("torn mdhd v1")
         timescale, duration = struct.unpack_from(">IQ", buf, p + 16)
     elif v == 0:
+        if p + 16 > end:
+            raise ValueError("torn mdhd v0")
         timescale, duration = struct.unpack_from(">II", buf, p + 8)
     else:
         raise ValueError(f"mdhd version {v} unknown")
@@ -182,8 +192,12 @@ def parse_mp4_meta(payload: bytes) -> Mp4Meta:
                 stsd = _find(payload, stbl[0], stbl[1], "stsd")
                 if stsd is not None:
                     sp = stsd[0] + 4  # fullbox
+                    if sp + 4 > stsd[1]:
+                        raise ValueError("torn stsd")
                     (n_entries,) = struct.unpack_from(">I", payload, sp)
                     if n_entries > 0:
+                        if sp + 12 > stsd[1]:
+                            raise ValueError("torn stsd entry")
                         codec = payload[sp + 8 : sp + 12].decode(
                             "latin-1"
                         )

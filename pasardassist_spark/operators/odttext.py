@@ -61,8 +61,11 @@ def _parse_encryption_data(man: ET.Element) -> dict[str, dict]:
             "algorithm": alg.get(f"{{{_MANIFEST}}}algorithm-name", ""),
             "iv": alg.get(f"{{{_MANIFEST}}}initialisation-vector", ""),
             "salt": kd.get(f"{{{_MANIFEST}}}salt", ""),
+            # LibreOffice's writer default (and odfcrypt._ITERATIONS) is
+            # 1024 — a manifest omitting the attribute means 1024, not
+            # the PBKDF2-recommended 100k (r15 ADVICE fix)
             "iterations": kd.get(
-                f"{{{_MANIFEST}}}iteration-count", "100000"
+                f"{{{_MANIFEST}}}iteration-count", "1024"
             ),
             "derivation": kd.get(
                 f"{{{_MANIFEST}}}key-derivation-name", ""

@@ -2088,15 +2088,15 @@ CVM_CRIT_5PCT = 0.461  # asymptotic 95% point of the CvM limit law (public)
                  CAST(cnt_a AS DOUBLE) * (2*ct - t + 1) * (2*ct - t + 1)
                  - 4.0 * (2*ct - t + 1)
                    * ((ca - cnt_a + 1 + ca) * cnt_a / 2)
-                 + 4.0 * ((ca*(ca+1)*(2*ca+1)
-                           - (ca-cnt_a)*(ca-cnt_a+1)*(2*(ca-cnt_a)+1)) / 6)
+                 + 4.0 * ((CAST(ca AS DOUBLE)*(ca+1)*(2*ca+1)
+                           - CAST(ca-cnt_a AS DOUBLE)*(ca-cnt_a+1)*(2*(ca-cnt_a)+1)) / 6)
                ELSE 0 END AS ua,
                CASE WHEN cnt_b > 0 THEN
                  CAST(cnt_b AS DOUBLE) * (2*ct - t + 1) * (2*ct - t + 1)
                  - 4.0 * (2*ct - t + 1)
                    * ((cb - cnt_b + 1 + cb) * cnt_b / 2)
-                 + 4.0 * ((cb*(cb+1)*(2*cb+1)
-                           - (cb-cnt_b)*(cb-cnt_b+1)*(2*(cb-cnt_b)+1)) / 6)
+                 + 4.0 * ((CAST(cb AS DOUBLE)*(cb+1)*(2*cb+1)
+                           - CAST(cb-cnt_b AS DOUBLE)*(cb-cnt_b+1)*(2*(cb-cnt_b)+1)) / 6)
                ELSE 0 END AS ub
         FROM c
     ),
@@ -2162,9 +2162,15 @@ def stat_cvm_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
         # form, assembled in double identically to the SQL oracle)
         a_ = cum - cnt
         sum_i = (a_ + 1 + cum) * cnt / 2
+        # the cubic prefix term goes through DOUBLE: as a BIGINT product
+        # it overflows past ~1.66M rows per sample, where Spark (ANSI
+        # off) wraps silently while DuckDB errors — the 6-dp rounding
+        # absorbs the precision loss (r15 ADVICE fix; identical cast in
+        # the oracle)
+        cd, ad = cum.cast("double"), a_.cast("double")
         sum_i2 = (
-            cum * (cum + 1) * (2 * cum + 1)
-            - a_ * (a_ + 1) * (2 * a_ + 1)
+            cd * (cum + 1) * (2 * cum + 1)
+            - ad * (a_ + 1) * (2 * a_ + 1)
         ) / 6
         r2 = F.col("r2")
         return F.when(

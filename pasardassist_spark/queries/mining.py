@@ -1366,9 +1366,10 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact (map-side combining; {ISO_BINS} rows out regardless of corpus
     size), PAVA driver-side on the bounded bin frame — the glm.py
     "aggregate statistics, solve small" split; nothing data-sized ever
-    reaches the driver.  Rates rounded to 6 dp BEFORE pooling so the
-    recursion input is pinned cross-run; pool means re-derive from
-    exact integer (pos, n) sums, not from the rounded rates.
+    reaches the driver.  Pooling decisions AND pool means both derive
+    from exact integer (pos, n) cross-multiplication — the 6-dp
+    rounding applies only to the REPORTED raw_rate/calibrated columns,
+    never to the recursion input (r15 ADVICE docstring fix).
     Monotonicity / pool-mean / brute-force-PAVA twins in
     tests/test_round14_stats.py."""
     ev = load(spark, sf_dir, "events").select(

@@ -235,6 +235,15 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     "curate_kneser_ney_ppl", "text_pmi_collocations",
     "text_keyphrase_rake", "curate_ccnet_buckets", "sketch_bloom_filter",
     "mb_pair_lift", "ml_naive_bayes",
+    # round 15 ADVICE fixes touching operator/query internals: Ogg
+    # page-header bounds (flacmeta.py), MP4 box-end bounds for
+    # mdhd/tkhd/stsd (mp4meta.py), ODF manifest iteration-count default
+    # 1024 (odttext.py), CvM cubic prefix term through double in BOTH
+    # engines (matching.py + oracle).  Outputs unchanged on the fixture
+    # corpora (re-checked locally at sf0.001 + sf0.01); one fresh driver
+    # row each certifies.
+    "mm_flac_ogg_meta", "mm_mp4_meta", "doc_odt_extract",
+    "stat_cvm_2samp",
 })
 
 

@@ -120,3 +120,15 @@ def test_flac_unknown_blocks_skipped():
     m = parse_flac_meta(spliced)
     assert m.tags == (("TITLE", "t"),)
     assert m.duration_ms == 10
+
+
+def test_ogg_torn_mid_page_header():
+    """A payload truncated INSIDE the 27-byte page header (e.g. right
+    after 'OggS' + version) must raise ValueError, not leak
+    struct.error/IndexError (r15 ADVICE fix)."""
+    from pasardassist_spark.operators.flacmeta import encode_ogg
+
+    o = encode_ogg("opus", 48000, 1, 4800)
+    for cut in (5, 6, 20, 26):
+        with pytest.raises(ValueError, match="torn Ogg page header"):
+            parse_ogg_meta(o[:cut])

@@ -82,3 +82,40 @@ def test_unknown_boxes_skipped_by_size():
     extra = struct.pack(">I", 8 + 5) + b"wide!"[:4] + b"abcde"
     spliced = p[:ftyp_size] + extra + p[ftyp_size:]
     assert parse_mp4_meta(spliced).duration_ms == 777
+
+
+def test_lying_box_sizes_raise_not_misparse():
+    """A box declaring a size SMALLER than its fixed layout must raise
+    ValueError instead of reading bytes belonging to the following box
+    or leaking struct.error at EOF (r15 ADVICE fix: _mdhd/_tkhd/stsd
+    reads are bounded by the box end, mirroring _mvhd). End-to-end the
+    misaligned walk already surfaces clean ValueErrors; the helper-level
+    checks are exercised directly."""
+    from pasardassist_spark.operators.mp4meta import _mdhd, _tkhd
+
+    p = encode_mp4_meta("mp42", 1000, 100, TRACKS, mdat_to_eof=False)
+
+    def shrink(fourcc: str, newsize: int) -> bytes:
+        buf = bytearray(p)
+        at = buf.find(fourcc.encode())
+        assert at >= 4
+        struct.pack_into(">I", buf, at - 4, newsize)
+        return bytes(buf)
+
+    for fourcc in ("mdhd", "tkhd", "stsd"):
+        for size in (10, 12, 16):
+            with pytest.raises(ValueError):
+                parse_mp4_meta(shrink(fourcc, size))
+
+    # helper-level: content present in the buffer but box end lies short
+    # of the fixed layout -> must raise, never read past end
+    v0 = bytes([0, 0, 0, 0]) + bytes(16)
+    v1 = bytes([1, 0, 0, 0]) + bytes(28)
+    for ver, body, need in ((0, v0, 20), (1, v1, 32)):
+        with pytest.raises(ValueError, match="torn mdhd"):
+            _mdhd(body, 0, need - 1)
+        with pytest.raises(ValueError, match="torn tkhd"):
+            _tkhd(body, 0, 8 if ver == 0 else 12)
+    # and an empty fullbox at EOF
+    with pytest.raises(ValueError, match="torn fullbox"):
+        _mdhd(b"", 0, 0)

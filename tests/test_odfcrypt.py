@@ -94,3 +94,40 @@ def test_encrypted_member_is_stored_not_deflated():
     with zipfile.ZipFile(io.BytesIO(enc)) as zf:
         info = zf.getinfo("content.xml")
         assert info.compress_type == zipfile.ZIP_STORED
+
+
+def test_manifest_missing_iteration_count_defaults_1024():
+    """A manifest that OMITS manifest:iteration-count means the
+    LibreOffice writer default 1024 (odfcrypt._ITERATIONS), not the
+    PBKDF2-recommended 100k — a 100000 default would derive the wrong
+    key and misreport 'ODF password incorrect' (r15 ADVICE fix)."""
+    import re
+    import zipfile
+    from io import BytesIO
+
+    from pasardassist_spark.operators.odttext import (
+        _parse_encryption_data,
+    )
+
+    enc = encode_odt(PARAS, password="s3cret")
+    with zipfile.ZipFile(BytesIO(enc)) as z:
+        manifest = z.read("META-INF/manifest.xml").decode()
+    stripped = re.sub(r'\s+manifest:iteration-count="\d+"', "", manifest)
+    assert stripped != manifest
+    import xml.etree.ElementTree as ET
+
+    entries = _parse_encryption_data(ET.fromstring(stripped))
+    for attrs in entries.values():
+        assert attrs["iterations"] == "1024"
+    # and end-to-end: rewrite the package with the stripped manifest,
+    # extraction must still succeed under the writer's 1024 iterations
+    out = BytesIO()
+    with zipfile.ZipFile(BytesIO(enc)) as zin, zipfile.ZipFile(
+        out, "w", zipfile.ZIP_STORED
+    ) as zout:
+        for info in zin.infolist():
+            data = zin.read(info.filename)
+            if info.filename == "META-INF/manifest.xml":
+                data = stripped.encode()
+            zout.writestr(info, data)
+    assert extract_odt_paragraphs(out.getvalue(), "s3cret") == PARAS

@@ -289,15 +289,24 @@ def test_isotonic_calibration_pava_properties(spark, sf_dir):
         while j + 1 < len(rows) and rows[j + 1].calibrated == rows[i].calibrated:
             j += 1
         seg = rows[i : j + 1]
-        wmean = sum(r.raw_rate * r.n for r in seg) / sum(r.n for r in seg)
-        # raw_rate is rounded 6dp; allow that noise times pool size
+        # exact integer pool mean (pos recovered from the 6-dp rate —
+        # exact while n < 1e6, see below); calibrated is rounded 6dp
+        wmean = sum(int(round(r.raw_rate * r.n)) for r in seg) / sum(
+            r.n for r in seg
+        )
         assert math.isclose(
-            rows[i].calibrated, wmean, abs_tol=5e-6
+            rows[i].calibrated, wmean, abs_tol=5.1e-7
         ), (i, j, rows[i].calibrated, wmean)
         i = j + 1
-    # brute-force PAVA on (n, raw) must agree
+    # brute-force PAVA must pool on the EXACT (pos, n) integers the
+    # query pools on, not the 6-dp raw_rate (near-tie bins could
+    # legitimately diverge otherwise — r15 ADVICE fix).  pos is
+    # recovered exactly from the rounded rate while n < 1e6: the
+    # rounding error bound 5e-7 * n stays below 0.5.
     n = [r.n for r in rows]
-    v = [r.raw_rate for r in rows]
+    assert all(x < 1_000_000 for x in n)
+    pos = [int(round(r.raw_rate * r.n)) for r in rows]
+    v = [p / x for p, x in zip(pos, n)]
     w = list(n)
     vals = list(v)
     blocks = [[i, i] for i in range(len(v))]
@@ -318,7 +327,7 @@ def test_isotonic_calibration_pava_properties(spark, sf_dir):
         for b in range(s, e + 1):
             expect[rows[b].bin_id] = val
     for r in rows:
-        assert math.isclose(r.calibrated, expect[r.bin_id], abs_tol=5e-6)
+        assert math.isclose(r.calibrated, expect[r.bin_id], abs_tol=5.1e-7)
 
 
 def test_hodges_lehmann_matches_brute_force(spark, sf_dir):
