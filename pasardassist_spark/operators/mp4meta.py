@@ -22,11 +22,21 @@ the public 14496-12 structure:
   are skipped by declared size at every level — the walk never assumes
   a fixed layout.
 
-Fragmented files (a ``moof`` box — the DASH/CMAF layout whose duration
-lives in segment indexes) raise NotImplementedError BY NAME; a missing
-``moov``, torn box, or short payload raises ValueError (a damaged file
-dead-letters loudly, never parses wrong).  Sample DATA is never touched
-— the walk cost is O(metadata bytes), independent of media size.
+Fragmented files (``moof`` segments — the DASH/CMAF layout, screen
+recorders, live captures) are WALKED, not dead-lettered (r15): the
+``moov/mvex`` init data (``trex`` per-track sample-duration defaults,
+optional ``mehd`` whole-movie duration) plus every ``moof/traf``
+(``tfhd`` local defaults, ``trun`` runs with or without per-sample
+durations) accumulate per-track duration in media-timescale units, so
+duration/track readout works without decoding a single sample — the
+three duration sources (trun per-sample, tfhd default, trex default)
+all resolve per [14496-12 §8.8].  A track with NO duration source
+raises ValueError; ENCRYPTED fragments (``senc``/``saiz`` sample
+auxiliary, CENC ``pssh``) raise NotImplementedError BY NAME.  A
+missing ``moov``, torn box, or short payload raises ValueError (a
+damaged file dead-letters loudly, never parses wrong).  Sample DATA
+is never touched — the walk cost is O(metadata bytes), independent of
+media size.
 """
 
 from __future__ import annotations
@@ -143,10 +153,107 @@ def _mdhd(buf: bytes, pos: int, end: int) -> tuple[int, int]:
     return timescale, duration
 
 
+def _u32(buf: bytes, pos: int, end: int, what: str) -> int:
+    if pos + 4 > end:
+        raise ValueError(f"torn {what}")
+    return struct.unpack_from(">I", buf, pos)[0]
+
+
+def _mvex(buf: bytes, pos: int, end: int) -> tuple[int | None, dict[int, int]]:
+    """moov/mvex: (mehd fragment_duration | None, track_id ->
+    trex default_sample_duration)."""
+    mehd_dur: int | None = None
+    trex: dict[int, int] = {}
+    for t, b, e in _boxes(buf, pos, end):
+        if t == "mehd":
+            v, p = _fullbox(buf, b)
+            if v == 1:
+                if p + 8 > e:
+                    raise ValueError("torn mehd v1")
+                (mehd_dur,) = struct.unpack_from(">Q", buf, p)
+            else:
+                mehd_dur = _u32(buf, p, e, "mehd v0")
+        elif t == "trex":
+            _, p = _fullbox(buf, b)
+            track_id = _u32(buf, p, e, "trex")
+            # skip default_sample_description_index
+            trex[track_id] = _u32(buf, p + 8, e, "trex defaults")
+    return mehd_dur, trex
+
+
+def _traf_duration(
+    buf: bytes, pos: int, end: int, trex: dict[int, int]
+) -> tuple[int, int]:
+    """One traf: (track_id, summed sample duration in media units).
+
+    Resolution order per [14496-12 §8.8.7/8.8.8]: trun per-sample
+    durations (flag 0x100) > tfhd default_sample_duration (flag 0x8) >
+    the track's trex default.  tfhd flag 0x010000 = duration-is-empty.
+    """
+    tf = _find(buf, pos, end, "tfhd")
+    if tf is None:
+        raise ValueError("traf lacks tfhd")
+    b, e = tf
+    if b + 8 > e:
+        raise ValueError("torn tfhd")
+    verflags = struct.unpack_from(">I", buf, b)[0]
+    tf_flags = verflags & 0xFFFFFF
+    track_id = _u32(buf, b + 4, e, "tfhd track_id")
+    p = b + 8
+    if tf_flags & 0x000001:  # base_data_offset (u64)
+        p += 8
+    if tf_flags & 0x000002:  # sample_description_index
+        p += 4
+    tfhd_default: int | None = None
+    if tf_flags & 0x000008:
+        tfhd_default = _u32(buf, p, e, "tfhd default_sample_duration")
+        p += 4
+    if tf_flags & 0x010000:  # duration-is-empty
+        return track_id, 0
+    default = tfhd_default if tfhd_default is not None else trex.get(track_id)
+    total = 0
+    for t, tb, te in _boxes(buf, pos, end):
+        if t == "senc" or t == "saiz" or t == "saio":
+            raise NotImplementedError(
+                f"encrypted MP4 fragment ({t} sample auxiliary) unsupported"
+            )
+        if t != "trun":
+            continue
+        if tb + 8 > te:
+            raise ValueError("torn trun")
+        tr_flags = struct.unpack_from(">I", buf, tb)[0] & 0xFFFFFF
+        n_samples = _u32(buf, tb + 4, te, "trun sample_count")
+        q = tb + 8
+        if tr_flags & 0x000001:  # data_offset
+            q += 4
+        if tr_flags & 0x000004:  # first_sample_flags
+            q += 4
+        if tr_flags & 0x000100:  # per-sample durations
+            per = 4 * (
+                1
+                + bool(tr_flags & 0x000200)
+                + bool(tr_flags & 0x000400)
+                + bool(tr_flags & 0x000800)
+            )
+            if q + per * n_samples > te:
+                raise ValueError("torn trun sample table")
+            for k in range(n_samples):
+                total += struct.unpack_from(">I", buf, q + per * k)[0]
+        else:
+            if default is None:
+                raise ValueError(
+                    f"track {track_id}: no sample duration source "
+                    "(trun/tfhd/trex all silent)"
+                )
+            total += n_samples * default
+    return track_id, total
+
+
 def parse_mp4_meta(payload: bytes) -> Mp4Meta:
     end = len(payload)
     brand = ""
     moov = None
+    moofs: list[tuple[int, int]] = []
     for t, b, e in _boxes(payload, 0, end):
         if t == "ftyp":
             if e - b < 8:
@@ -155,9 +262,7 @@ def parse_mp4_meta(payload: bytes) -> Mp4Meta:
         elif t == "moov":
             moov = (b, e)
         elif t == "moof":
-            raise NotImplementedError(
-                "fragmented MP4 (moof segments) unsupported"
-            )
+            moofs.append((b, e))
     if moov is None:
         raise ValueError("MP4 has no moov box")
     mb, me = moov
@@ -167,6 +272,19 @@ def parse_mp4_meta(payload: bytes) -> Mp4Meta:
     timescale, duration = _mvhd(payload, *mv)
     if timescale == 0:
         raise ValueError("mvhd timescale is zero")
+    if _find(payload, mb, me, "pssh") is not None:
+        raise NotImplementedError("encrypted MP4 (CENC pssh) unsupported")
+    mehd_dur: int | None = None
+    trex: dict[int, int] = {}
+    mvex = _find(payload, mb, me, "mvex")
+    if mvex is not None:
+        mehd_dur, trex = _mvex(payload, *mvex)
+    frag_units: dict[int, int] = {}
+    for fb, fe in moofs:
+        for t, b, e in _boxes(payload, fb, fe):
+            if t == "traf":
+                tid, units = _traf_duration(payload, b, e, trex)
+                frag_units[tid] = frag_units.get(tid, 0) + units
     tracks: list[Mp4Track] = []
     for t, b, e in _boxes(payload, mb, me):
         if t != "trak":
@@ -201,6 +319,10 @@ def parse_mp4_meta(payload: bytes) -> Mp4Meta:
                         codec = payload[sp + 8 : sp + 12].decode(
                             "latin-1"
                         )
+        # fragmented layout: mdhd duration is typically 0 and the real
+        # duration lives in the accumulated moof sample runs (same
+        # media timescale)
+        mdur_units = mdur if mdur else frag_units.get(track_id, 0)
         tracks.append(
             Mp4Track(
                 track_id,
@@ -208,10 +330,17 @@ def parse_mp4_meta(payload: bytes) -> Mp4Meta:
                 codec,
                 w,
                 h,
-                mdur * 1000 // mts,
+                mdur_units * 1000 // mts,
             )
         )
-    return Mp4Meta(brand, timescale, duration * 1000 // timescale, tuple(tracks))
+    if duration == 0 and moofs:
+        if mehd_dur is not None:
+            movie_ms = mehd_dur * 1000 // timescale
+        else:
+            movie_ms = max((t.duration_ms for t in tracks), default=0)
+    else:
+        movie_ms = duration * 1000 // timescale
+    return Mp4Meta(brand, timescale, movie_ms, tuple(tracks))
 
 
 # ---------------------------------------------------------------- writer ---
@@ -318,4 +447,131 @@ def encode_mp4_meta(
     )
     if mdat_to_eof:
         out += struct.pack(">I", 0) + b"mdat" + b"\x00" * 32
+    return out
+
+
+def encode_fmp4_meta(
+    brand: str,
+    timescale: int,
+    duration_units: int,
+    tracks: list[tuple[int, str, str, int, int, int, int]],
+    *,
+    duration_source: list[str] | None = None,
+    n_fragments: int = 2,
+    mehd: bool = True,
+    version: int = 0,
+    trun_version: int = 0,
+    rich_runs: bool = False,
+) -> bytes:
+    """Fragmented (DASH/CMAF-style) ISO-BMFF skeleton for walk fixtures.
+
+    Same ``tracks`` rows as encode_mp4_meta; mvhd and every mdhd carry
+    duration 0 (the fragmented convention) so the parser MUST recover
+    durations from the moof side.  ``duration_source`` picks, per
+    track, where its duration lives: ``'trun'`` (per-sample durations,
+    flag 0x100), ``'tfhd'`` (default_sample_duration, flag 0x8), or
+    ``'trex'`` (mvex default) — defaults to cycling all three.
+    ``mehd`` controls whether the movie duration is announced in
+    mvex/mehd or must fall back to the max track duration.
+    ``rich_runs`` adds data_offset + first_sample_flags + per-sample
+    size/flags/composition-offset columns and a tfdt box, so walkers
+    must skip every optional field by flags, and a tfhd
+    default-base-is-moof + sample_description_index combination."""
+    if duration_source is None:
+        duration_source = [
+            ("trun", "tfhd", "trex")[i % 3] for i in range(len(tracks))
+        ]
+    zeroed = [
+        (tid, h, c, w, ht, mts, 0)
+        for (tid, h, c, w, ht, mts, _d) in tracks
+    ]
+    base = encode_mp4_meta(
+        brand, timescale, 0, zeroed, version=version, mdat_to_eof=False
+    )
+    # strip the trailing uuid box (keep it: walkers skip it anyway) and
+    # splice mvex into moov: rebuild moov with mvex appended
+    trexes = b""
+    for (tid, _h, _c, _w, _ht, _mts, mdur), src in zip(tracks, duration_source):
+        default = 1 if src == "trex" else 7  # 7 = decoy, must be ignored
+        trexes += _full(
+            "trex", 0, struct.pack(">IIIII", tid, 1, default, 0, 0)
+        )
+    mvex_body = b""
+    if mehd:
+        mvex_body += _full("mehd", 0, struct.pack(">I", duration_units))
+    mvex_body += trexes
+    mvex = _box("mvex", mvex_body)
+    # locate moov in base and append mvex to its body
+    at = base.find(b"moov")
+    (moov_size,) = struct.unpack_from(">I", base, at - 4)
+    moov_body = base[at + 4 : at - 4 + moov_size]
+    new_moov = _box("moov", moov_body + mvex)
+    out = base[: at - 4] + new_moov + base[at - 4 + moov_size :]
+    # fragments: each moof holds one traf per track + a tiny mdat
+    seq = 0
+    for f in range(n_fragments):
+        seq += 1
+        trafs = b""
+        for (tid, _h, _c, _w, _ht, _mts, mdur), src in zip(
+            tracks, duration_source
+        ):
+            units = mdur // n_fragments
+            if f == n_fragments - 1:
+                units = mdur - units * (n_fragments - 1)
+            tf_flags = 0x020000  # default-base-is-moof
+            tfhd_body = b""
+            if rich_runs:
+                tf_flags |= 0x000002  # sample_description_index
+                tfhd_body += struct.pack(">I", 1)
+            if src == "tfhd":
+                tf_flags |= 0x000008
+                tfhd_body += struct.pack(">I", 1)  # default duration 1
+            tfhd = _box(
+                "tfhd",
+                struct.pack(">I", tf_flags)
+                + struct.pack(">I", tid)
+                + tfhd_body,
+            )
+            traf_body = tfhd
+            if rich_runs:
+                traf_body += _full("tfdt", 0, struct.pack(">I", f * 1000))
+            if src == "trun":
+                k = min(3, units) or 1
+                per = [units // k] * k
+                per[-1] += units - sum(per)
+                tr_flags = 0x000100
+                head = b""
+                if rich_runs:
+                    tr_flags |= 0x000001 | 0x000004 | 0x000200 | 0x000400 | 0x000800
+                    head += struct.pack(">i", 512) + struct.pack(">I", 0)
+                table = b""
+                for d in per:
+                    table += struct.pack(">I", d)
+                    if rich_runs:
+                        table += struct.pack(">III", 64, 0, 0)
+                trun = _box(
+                    "trun",
+                    bytes([trun_version, 0, 0, 0])[:1]
+                    + struct.pack(">I", tr_flags)[1:]
+                    + struct.pack(">I", len(per))
+                    + head
+                    + table,
+                )
+            else:
+                # no per-sample durations: sample_count x default (1)
+                tr_flags = 0x000001 if rich_runs else 0
+                head = struct.pack(">i", 512) if rich_runs else b""
+                trun = _box(
+                    "trun",
+                    bytes([trun_version])
+                    + struct.pack(">I", tr_flags)[1:]
+                    + struct.pack(">I", units)
+                    + head,
+                )
+            traf_body += trun
+            trafs += _box("traf", traf_body)
+        moof = _box(
+            "moof", _full("mfhd", 0, struct.pack(">I", seq)) + trafs
+        )
+        out += moof + _box("mdat", b"\x00" * 16)
     return out

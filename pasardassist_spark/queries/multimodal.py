@@ -1966,12 +1966,18 @@ def mm_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     skip strictly by declared size.  1-3 tracks by doc_id%3.  The
     oracle re-derives every column from doc_id arithmetic, so one hash
     certifies all three size forms, both time widths, per-track clock
-    scaling and stsd entry addressing on 500 files.  Fragmented moof
-    raises by name; torn boxes raise ValueError.
+    scaling and stsd entry addressing on 500 files.  doc_id%5==3 files
+    are FRAGMENTED (r15): zero mvhd/mdhd durations, 1-3 moof segments,
+    duration sources cycling trun-per-sample/tfhd-default/trex-default
+    per track, rich optional-field runs on alternating files — same
+    expected values through a completely different recovery path.
+    Encrypted fragments (senc/pssh) raise by name; torn boxes raise
+    ValueError.
 
     Spark plan: one Arrow map pass over doc ids, no shuffle; the walk
     reads O(metadata) bytes regardless of media size."""
     from pasardassist_spark.operators.mp4meta import (
+        encode_fmp4_meta,
         encode_mp4_meta,
         parse_mp4_meta,
     )
@@ -2003,14 +2009,32 @@ def mm_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 if i % 3 == 2:
                     tracks.append((3, "text", "tx3g", 0, 0, 1000, i % 997))
-                payload = encode_mp4_meta(
-                    _BRANDS[i % 3],
-                    1000,
-                    1000 + i % 5000,
-                    tracks,
-                    version=(i // 2) % 2,
-                    moov_largesize=i % 2 == 1,
-                )
+                if i % 5 == 3:
+                    # FRAGMENTED rotation (r15): mvhd/mdhd durations all
+                    # zero, the same per-track durations recovered from
+                    # the moof side through all three sources (trun
+                    # per-sample / tfhd default / trex default cycling
+                    # by track index), movie duration via mvex/mehd —
+                    # the oracle is unchanged, so the hash certifies
+                    # the moof walk produces byte-identical readout
+                    payload = encode_fmp4_meta(
+                        _BRANDS[i % 3],
+                        1000,
+                        1000 + i % 5000,
+                        tracks,
+                        n_fragments=1 + i % 3,
+                        rich_runs=(i // 5) % 2 == 1,
+                        version=(i // 2) % 2,
+                    )
+                else:
+                    payload = encode_mp4_meta(
+                        _BRANDS[i % 3],
+                        1000,
+                        1000 + i % 5000,
+                        tracks,
+                        version=(i // 2) % 2,
+                        moov_largesize=i % 2 == 1,
+                    )
                 meta = parse_mp4_meta(payload)
                 if len(meta.tracks) != len(tracks):
                     raise ValueError(

@@ -51,11 +51,13 @@ def test_mdat_to_eof_size_zero():
     assert parse_mp4_meta(p).duration_ms == 100
 
 
-def test_fragmented_raises_by_name():
+def test_empty_moof_contributes_nothing():
+    """r15: moof segments are walked, not dead-lettered.  An empty moof
+    (no trafs) parses cleanly and adds no duration."""
     p = encode_mp4_meta("dash", 1000, 0, [], mdat_to_eof=False)
     p += struct.pack(">I", 8) + b"moof"
-    with pytest.raises(NotImplementedError, match="moof"):
-        parse_mp4_meta(p)
+    m = parse_mp4_meta(p)
+    assert m.duration_ms == 0 and m.tracks == ()
 
 
 def test_torn_and_missing_contracts():
@@ -119,3 +121,97 @@ def test_lying_box_sizes_raise_not_misparse():
     # and an empty fullbox at EOF
     with pytest.raises(ValueError, match="torn fullbox"):
         _mdhd(b"", 0, 0)
+
+
+# ---------------------------------------------------- fragmented (r15) ---
+
+
+FRAG_TRACKS = [
+    (1, "vide", "avc1", 640, 360, 30000, 150000),
+    (2, "soun", "mp4a", 0, 0, 48000, 264600),
+    (3, "text", "tx3g", 0, 0, 1000, 750),
+]
+
+
+@pytest.mark.parametrize("rich", [False, True])
+@pytest.mark.parametrize("mehd", [True, False])
+def test_fragmented_duration_recovery(rich, mehd):
+    """mvhd/mdhd all carry duration 0; the walk must recover each
+    track's duration from its moof sample runs — track 1 via trun
+    per-sample durations, track 2 via the tfhd default (beating the
+    decoy trex default), track 3 via the trex default — and the movie
+    duration from mehd when present, else the max track duration."""
+    from pasardassist_spark.operators.mp4meta import encode_fmp4_meta
+
+    p = encode_fmp4_meta(
+        "dash", 1000, 5500, FRAG_TRACKS,
+        n_fragments=3, mehd=mehd, rich_runs=rich,
+    )
+    m = parse_mp4_meta(p)
+    assert [(t.track_id, t.duration_ms) for t in m.tracks] == [
+        (1, 5000), (2, 5512), (3, 750),
+    ]
+    assert m.duration_ms == (5500 if mehd else 5512)
+    assert m.brand == "dash"
+
+
+def test_fragmented_no_duration_source_raises():
+    from pasardassist_spark.operators.mp4meta import encode_fmp4_meta
+
+    p = encode_fmp4_meta(
+        "dash", 1000, 100, [FRAG_TRACKS[2]],
+        duration_source=["trex"], n_fragments=1,
+    )
+    # surgically remove the trex box so tfhd/trun/trex are ALL silent
+    at = p.find(b"trex")
+    torn = p[: at - 4] + p[at - 4 + 32 :]
+    # fix the enclosing mvex + moov sizes (each shrinks by 32)
+    buf = bytearray(torn)
+    for fourcc in (b"mvex", b"moov"):
+        bat = buf.find(fourcc)
+        (old,) = struct.unpack_from(">I", buf, bat - 4)
+        struct.pack_into(">I", buf, bat - 4, old - 32)
+    with pytest.raises(ValueError, match="no sample duration source"):
+        parse_mp4_meta(bytes(buf))
+
+
+def test_encrypted_fragments_raise_by_name():
+    from pasardassist_spark.operators.mp4meta import _box, _full, encode_fmp4_meta
+
+    # CENC pssh in moov
+    p = encode_fmp4_meta("dash", 1000, 100, FRAG_TRACKS[:1], n_fragments=1)
+    at = p.find(b"moov")
+    (sz,) = struct.unpack_from(">I", p, at - 4)
+    pssh = _full("pssh", 0, bytes(16) + struct.pack(">I", 0))
+    body = p[at + 4 : at - 4 + sz]
+    patched = p[: at - 4] + _box("moov", body + pssh) + p[at - 4 + sz :]
+    with pytest.raises(NotImplementedError, match="pssh"):
+        parse_mp4_meta(patched)
+    # senc sample auxiliary inside a traf
+    p2 = encode_fmp4_meta("dash", 1000, 100, FRAG_TRACKS[:1], n_fragments=1)
+    at2 = p2.find(b"traf")
+    (sz2,) = struct.unpack_from(">I", p2, at2 - 4)
+    senc = _full("senc", 0, struct.pack(">I", 0))
+    body2 = p2[at2 + 4 : at2 - 4 + sz2]
+    inner = _box("traf", body2 + senc)
+    patched2 = bytearray(p2[: at2 - 4] + inner + p2[at2 - 4 + sz2 :])
+    # fix enclosing moof size
+    mat = patched2.find(b"moof")
+    (msz,) = struct.unpack_from(">I", patched2, mat - 4)
+    struct.pack_into(">I", patched2, mat - 4, msz + len(senc))
+    with pytest.raises(NotImplementedError, match="senc"):
+        parse_mp4_meta(bytes(patched2))
+
+
+def test_fragmented_torn_trun_raises():
+    from pasardassist_spark.operators.mp4meta import encode_fmp4_meta
+
+    p = encode_fmp4_meta(
+        "dash", 1000, 5500, FRAG_TRACKS[:1],
+        duration_source=["trun"], n_fragments=1,
+    )
+    # truncate inside the last trun sample table; re-declare the file's
+    # final mdat away so the tear lands in the trun
+    at = p.rfind(b"trun")
+    with pytest.raises(ValueError):
+        parse_mp4_meta(p[: at + 10])
