@@ -51,12 +51,45 @@ def _encode_text(s: str, encoding: int) -> bytes:
     raise ValueError(f"unsupported ID3 text encoding {encoding}")
 
 
+def _unsync_escape(data: bytes) -> bytes:
+    """Apply ID3v2 unsynchronisation: insert 0x00 after any 0xFF that a
+    naive MPEG sync scanner could misread (next byte 0x00 or 111xxxxx),
+    per id3.org id3v2.4.0-structure 6.1."""
+    out = bytearray()
+    n = len(data)
+    for i, b in enumerate(data):
+        out.append(b)
+        if b == 0xFF and (
+            i + 1 == n or data[i + 1] == 0x00 or data[i + 1] & 0xE0 == 0xE0
+        ):
+            out.append(0x00)
+    return bytes(out)
+
+
+def _unsync_remove(data: bytes) -> bytes:
+    """Reverse unsynchronisation: drop every 0x00 directly after 0xFF
+    (single left-to-right pass — exactly bytes.replace semantics)."""
+    return data.replace(b"\xff\x00", b"\xff")
+
+
 def encode_id3v2(
-    *, version: int, encoding: int, frames: dict[str, str], padding: int = 16
+    *,
+    version: int,
+    encoding: int,
+    frames: dict[str, str],
+    padding: int = 16,
+    unsync: bool = False,
+    extended_header: bool = False,
 ) -> bytes:
     """Build a complete ID3v2.{3,4} tag.  ``frames`` maps 4-char text
     frame ids to values; ``encoding`` is the text-encoding byte (UTF-8
-    is rejected for v2.3, per spec)."""
+    is rejected for v2.3, per spec).  ``unsync`` applies tag-level
+    unsynchronisation for v2.3 and frame-level (format flag 0x02, with
+    the tag-level announce bit) for v2.4 — the version split the spec
+    mandates; ``extended_header`` prepends the version's minimal
+    extended header (v2.3: 4-byte plain size excluding itself + flags
+    + padding-size; v2.4: syncsafe size including itself + flag-count
+    + flag byte)."""
     if version not in (3, 4):
         raise ValueError("only ID3v2.3 / v2.4 supported")
     if encoding == 0x03 and version == 3:
@@ -64,12 +97,28 @@ def encode_id3v2(
     body = b""
     for fid, value in frames.items():
         payload = _encode_text(value, encoding)
+        fmt_flag = 0
+        if unsync and version == 4:
+            payload = _unsync_escape(payload)
+            fmt_flag = 0x02
         size = _syncsafe(len(payload)) if version == 4 else struct.pack(
             ">I", len(payload)
         )
-        body += fid.encode("ascii") + size + b"\x00\x00" + payload
+        body += fid.encode("ascii") + size + bytes([0, fmt_flag]) + payload
     body += b"\x00" * padding
-    return b"ID3" + bytes([version, 0, 0]) + _syncsafe(len(body)) + body
+    flags = 0
+    if extended_header:
+        flags |= 0x40
+        if version == 3:
+            ext = struct.pack(">IHI", 6, 0, 0)  # size(excl) + flags + pad
+        else:
+            ext = _syncsafe(6) + bytes([1, 0])  # size(incl) + nflags + flags
+        body = ext + body
+    if unsync:
+        flags |= 0x80
+        if version == 3:
+            body = _unsync_escape(body)
+    return b"ID3" + bytes([version, 0, flags]) + _syncsafe(len(body)) + body
 
 
 def id3_tag_span(payload: bytes) -> int:
@@ -102,39 +151,66 @@ def parse_id3(payload: bytes) -> dict | None:
     if version not in (3, 4):
         raise ValueError(f"unsupported ID3v2.{version} tag")
     flags = payload[5]
-    # ADVICE r13: flag-gated layouts change frame offsets/content — parse
-    # them wrong silently or raise by name; this repo raises by name.
-    if flags & 0x80:
-        raise NotImplementedError("ID3v2 unsynchronisation unsupported")
-    if flags & 0x40:
-        raise NotImplementedError("ID3v2 extended header unsupported")
     tag_size = _unsyncsafe(payload[6:10])
     end = 10 + tag_size
     if end > len(payload):
         raise ValueError("ID3 tag size exceeds file")
+    # r15 (ADVICE r14 item 2): tag-level unsynchronisation and the
+    # extended header are now READ, not raised.  v2.3 unsyncs the whole
+    # tag body (frame sizes refer to de-unsynced data); v2.4 unsyncs
+    # per-frame (format flag 0x02, sizes refer to stored bytes).
+    buf = payload[10:end]
+    if flags & 0x80 and version == 3:
+        buf = _unsync_remove(buf)
+    if flags & 0x40:  # extended header
+        if version == 3:
+            if len(buf) < 4:
+                raise ValueError("torn ID3v2.3 extended header")
+            ext_size = struct.unpack(">I", buf[:4])[0]  # excludes itself
+            skip = 4 + ext_size
+        else:
+            if len(buf) < 4:
+                raise ValueError("torn ID3v2.4 extended header")
+            skip = _unsyncsafe(buf[:4])  # includes itself
+            if skip < 6:
+                raise ValueError("bad ID3v2.4 extended header size")
+        if skip > len(buf):
+            raise ValueError("ID3 extended header exceeds tag")
+        buf = buf[skip:]
     out: dict[str, str] = {"version": version}
-    pos = 10
+    pos = 0
+    end = len(buf)
     while pos + 10 <= end:
-        fid = payload[pos : pos + 4]
+        fid = buf[pos : pos + 4]
         if fid[0] == 0:  # padding reached
             break
-        raw_size = payload[pos + 4 : pos + 8]
+        raw_size = buf[pos + 4 : pos + 8]
         size = _unsyncsafe(raw_size) if version == 4 else struct.unpack(
             ">I", raw_size
         )[0]
-        body = payload[pos + 10 : pos + 10 + size]
+        body = buf[pos + 10 : pos + 10 + size]
         if len(body) != size:
             raise ValueError("truncated ID3 frame")
         fid_s = fid.decode("ascii", "replace")
         if fid_s in _TEXT_FRAMES and size >= 1:
             # ADVICE r13: the frame FORMAT flag byte gates compression /
             # encryption / per-frame unsync / data-length prefixes —
-            # any of them shifts or transforms the body
-            fmt_flags = payload[pos + 9]
-            if fmt_flags:
+            # anything beyond the v2.4 unsync / data-length bits shifts
+            # or transforms the body; those still raise by name
+            fmt_flags = buf[pos + 9]
+            known = 0x03 if version == 4 else 0x00
+            if fmt_flags & ~known:
                 raise NotImplementedError(
                     f"ID3 frame format flags {fmt_flags:#04x} unsupported"
                 )
+            if version == 4 and fmt_flags & 0x02:
+                body = _unsync_remove(body)
+            if version == 4 and fmt_flags & 0x01:
+                if len(body) < 4:
+                    raise ValueError("torn data-length indicator")
+                body = body[4:]  # syncsafe true-length prefix
+            if not body:
+                raise ValueError("truncated ID3 frame")
             enc, text = body[0], body[1:]
             if enc == 0x00:
                 val = text.decode("latin-1")

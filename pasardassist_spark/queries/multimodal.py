@@ -1479,8 +1479,11 @@ def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixtures rotate ID3v2.3 (plain big-endian frame sizes, UTF-16-BOM
     text — the Windows default) against ID3v2.4 (SYNCSAFE frame sizes,
     UTF-8 text) by id parity, the classic cross-version parser trap;
-    the tag fronts a fake MPEG frame-sync body the parser must never
-    materialize.  Year comes from TYER on v2.3 and TDRC on v2.4, per
+    doc_id%3==0 tags are UNSYNCHRONISED (tag-level FF-00 escaping on
+    v2.3, per-frame format-flag 0x02 on v2.4 — common in pre-2010
+    MP3s) and doc_id%5==0 tags carry the version's extended header
+    (r15); the tag fronts a fake MPEG frame-sync body the parser must
+    never materialize.  Year comes from TYER on v2.3 and TDRC on v2.4, per
     spec.  Extraction is O(tag bytes) however long the audio runs —
     the metadata-indexing shape a 100 TB media crawl needs.
 
@@ -1512,8 +1515,15 @@ def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
                         str(1970 + i % 50),
                     "TRCK": f"{i % 20 + 1}/12",
                 }
+                # r15 rotation: unsynchronised tags on doc_id%3==0
+                # (v2.3 tag-level / v2.4 frame-level escaping — the
+                # UTF-16 BOM's FF FE really gets escaped on the v2.3
+                # slice) and extended headers on doc_id%5==0, values
+                # unchanged so the same oracle hash certifies the
+                # un-escaping and the header skip
                 tag = ID3.encode_id3v2(
-                    version=version, encoding=encoding, frames=frames
+                    version=version, encoding=encoding, frames=frames,
+                    unsync=i % 3 == 0, extended_header=i % 5 == 0,
                 )
                 payload = tag + b"\xff\xfb\x90\x00" + bytes(64)  # fake MPEG
                 meta = ID3.parse_id3(payload)

@@ -244,6 +244,13 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # row each certifies.
     "mm_flac_ogg_meta", "mm_mp4_meta", "doc_odt_extract",
     "stat_cvm_2samp",
+    # round 15: mm_mp4_meta ALSO rotates fragmented (moof) fixtures in
+    # on doc_id%5==3 (operators/mp4meta.py gained the mvex/trex +
+    # tfhd/trun walk); mm_id3_tags rotates unsynchronised tags
+    # (doc_id%3==0) and extended headers (doc_id%5==0) in
+    # (operators/id3.py gained both reads).  Oracles unchanged — the
+    # hash certifies the new recovery paths produce identical values.
+    "mm_id3_tags",
 })
 
 

@@ -100,14 +100,13 @@ def _flagged_tag(flag: int) -> bytes:
     return bytes(tag)
 
 
-def test_id3_unsync_flag_raises_by_name():
-    with pytest.raises(NotImplementedError, match="unsynchronisation"):
-        parse_id3(_flagged_tag(0x80))
-
-
-def test_id3_extended_header_raises_by_name():
-    with pytest.raises(NotImplementedError, match="extended header"):
-        parse_id3(_flagged_tag(0x40))
+def test_id3_tag_level_flags_now_read():
+    """r15: the v2.4 tag-level unsync announce bit (frames carry their
+    own 0x02) and a hand-flipped extended-header bit with no actual
+    header both still need valid structure — the announce bit alone is
+    informational and parses clean."""
+    got = parse_id3(_flagged_tag(0x80))
+    assert got["TIT2"] == "x"
 
 
 def test_id3_frame_format_flags_raise_by_name():
@@ -125,3 +124,75 @@ def test_id3_footer_flag_extends_span():
     base = id3_tag_span(bytes(tag))
     tag[5] |= 0x10
     assert id3_tag_span(bytes(tag) + bytes(10)) == base + 10
+
+
+# ------------------------------------------- unsync + ext header (r15) ---
+
+
+@pytest.mark.parametrize("version,encoding", [(3, 0), (3, 1), (4, 1), (4, 3)])
+@pytest.mark.parametrize("ext", [False, True])
+def test_id3_unsync_roundtrip(version, encoding, ext):
+    """Tag-level (v2.3) and frame-level (v2.4) unsynchronisation must
+    roundtrip — including values whose encodings contain real 0xFF
+    bytes (latin-1 'y-diaeresis' = FF, the UTF-16 BOM FF FE, and FF
+    followed by 00 in UTF-16LE), with and without an extended header
+    in front of the first frame."""
+    frames = {"TIT2": "naïve ÿ title", "TPE1": "artistÿ"}
+    if encoding == 0:
+        frames = {k: v.replace("ï", "i") for k, v in frames.items()}
+    tag = encode_id3v2(
+        version=version, encoding=encoding, frames=frames,
+        unsync=True, extended_header=ext,
+    )
+    assert tag[5] & 0x80
+    if ext:
+        assert tag[5] & 0x40
+    got = parse_id3(tag)
+    assert got["version"] == version
+    for k, v in frames.items():
+        assert got[k] == v, (k, got[k], v)
+    # the stored tag really was escaped: raw body contains FF 00 pairs
+    if encoding == 1:
+        assert b"\xff\x00" in tag
+
+
+def test_id3_extended_header_skipped_both_versions():
+    for version in (3, 4):
+        tag = encode_id3v2(
+            version=version, encoding=1,
+            frames={"TALB": "album"}, extended_header=True,
+        )
+        got = parse_id3(tag)
+        assert got["TALB"] == "album"
+
+
+def test_id3_v24_data_length_indicator():
+    """Format flag 0x01 prepends a syncsafe true-length; the body must
+    be read past it."""
+    from pasardassist_spark.operators.id3 import _syncsafe
+
+    tag = bytearray(encode_id3v2(version=4, encoding=3,
+                                 frames={"TIT2": "x"}))
+    # frame at 10: insert 4-byte prefix into body, bump sizes
+    body_at = 20
+    old_size = tag[13 + 4]  # last syncsafe byte of 2-byte body
+    payload = bytes(tag[body_at : body_at + old_size])
+    new_body = _syncsafe(old_size) + payload
+    out = (
+        bytes(tag[:10])
+        + tag[10:14]
+        + _syncsafe(len(new_body))
+        + bytes([0, 0x01])
+        + new_body
+    )
+    out = out[:6] + _syncsafe(len(out) - 10) + out[10:]
+    got = parse_id3(out)
+    assert got["TIT2"] == "x"
+
+
+def test_id3_v23_compression_still_raises():
+    tag = bytearray(encode_id3v2(version=3, encoding=1,
+                                 frames={"TIT2": "x"}))
+    tag[19] = 0x80  # v2.3 compression bit
+    with pytest.raises(NotImplementedError, match="format flags"):
+        parse_id3(bytes(tag))
