@@ -19,8 +19,9 @@ What is REAL here:
 
 Encrypted packages (manifest entries carrying ``manifest:encryption-
 data``) decrypt through operators/odfcrypt.py — the ODF 1.2
-AES-256-CBC + PBKDF2 profile LibreOffice writes by default, with the
-sha256-1k checksum as the password gate; Blowfish-CFB and foreign
+AES-256-CBC + PBKDF2 profile LibreOffice writes by default (sha256-1k
+checksum as the password gate) AND the pre-1.2 OpenOffice Blowfish
+8-bit-CFB profile (SHA1 start key, SHA1/1K checksum — r15); foreign
 algorithms raise ``NotImplementedError`` by name there.  Malformed
 zip/XML raises ``ValueError``.
 """
@@ -205,12 +206,19 @@ def _encode_run(text: str) -> str:
     return "".join(out)
 
 
-def encode_odt(paragraphs: list[str], password: str | None = None) -> bytes:
+def encode_odt(
+    paragraphs: list[str],
+    password: str | None = None,
+    *,
+    legacy_blowfish: bool = False,
+) -> bytes:
     """Conforming minimal .odt: stored mimetype first, manifest,
     content.xml with one text:p per string (spans, text:s for space
     runs, tab/line-break elements).  With ``password`` the content
     member is encrypted per the ODF 1.2 AES-256-CBC + PBKDF2 profile
-    (operators/odfcrypt.py) and STORED; the manifest carries the
+    (operators/odfcrypt.py) and STORED; ``legacy_blowfish`` writes the
+    pre-1.2 OpenOffice profile instead (Blowfish 8-bit CFB, SHA1
+    start key, SHA1/1K checksum — r15).  The manifest carries the
     encryption-data element (salt/IV deterministic from the content
     for byte-reproducible fixtures)."""
     body = "".join(f"<text:p>{_encode_run(p)}</text:p>" for p in paragraphs)
@@ -227,9 +235,13 @@ def encode_odt(paragraphs: list[str], password: str | None = None) -> bytes:
 
         from pasardassist_spark.operators.odfcrypt import (
             odf_encrypt_member,
+            odf_encrypt_member_legacy,
         )
 
-        stored, a = odf_encrypt_member(
+        encrypt = (
+            odf_encrypt_member_legacy if legacy_blowfish else odf_encrypt_member
+        )
+        stored, a = encrypt(
             content, password, _hashlib.sha256(content).digest()
         )
         content = stored
@@ -247,7 +259,7 @@ def encode_odt(paragraphs: list[str], password: str | None = None) -> bytes:
             f' manifest:key-size="{a["key_size"]}"/>'
             f'<manifest:start-key-generation'
             f' manifest:start-key-generation-name="{a["start_key"]}"'
-            f' manifest:key-size="32"/>'
+            f' manifest:key-size="{20 if legacy_blowfish else 32}"/>'
             "</manifest:encryption-data></manifest:file-entry>"
         )
     manifest = (

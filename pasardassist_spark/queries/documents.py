@@ -1952,8 +1952,13 @@ def doc_odt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the sha256-1k checksum as the password gate, under the fixture
     corpus password — a third of the corpus exercises key derivation,
     member decrypt, checksum verification and the STORED-member layout
-    on every run.  Same substring+md5 oracle as doc_docx_extract;
-    Blowfish/foreign algorithms raise by name; wrong-password and
+    on every run.  The doc_id%6==5 half of the encrypted slice writes
+    the pre-1.2 OpenOffice Blowfish 8-bit-CFB profile instead (r15,
+    operators/blowfish.py — SHA1 start key, PBKDF2 to 16 bytes,
+    SHA1/1K checksum, stream mode so stored==deflated length), the
+    profile old .odt corpora actually hit.  Same substring+md5 oracle
+    as doc_docx_extract; foreign algorithms raise by name;
+    wrong-password and
     flow-order (headings, table cells, lists) contracts pytest-pinned
     in tests/test_docformats.py + tests/test_odfcrypt.py."""
     from pasardassist_spark.operators.odttext import (
@@ -1962,8 +1967,13 @@ def doc_odt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def enc(parts: list[str], doc_id: int) -> bytes:
+        # encrypted on doc_id%3==2; of those, doc_id%6==5 gets the
+        # LEGACY Blowfish-CFB profile (r15), the rest ODF 1.2 AES —
+        # both generations of the format under one oracle hash
         return encode_odt(
-            parts, password="corpus-pw" if doc_id % 3 == 2 else None
+            parts,
+            password="corpus-pw" if doc_id % 3 == 2 else None,
+            legacy_blowfish=doc_id % 6 == 5,
         )
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
