@@ -118,6 +118,12 @@ class _Rc4Keystream:
         self._block = -1
         self._ks = b""
 
+    def key_for_block(self, block: int) -> bytes:
+        """The raw RC4 key for an arbitrary block number — the hook
+        [MS-PPT] persist-object decryption uses (block = persistId,
+        one continuous RC4 run per object, no 1024-byte rekey)."""
+        return self._fn(block)
+
     def _ks_for(self, block: int) -> bytes:
         if block != self._block:
             # RC4 over zeros == the raw keystream for this block

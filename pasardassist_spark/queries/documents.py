@@ -744,7 +744,16 @@ def pipeline_any_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 v for _s, _r, _c, k, v in extract_xls_cells(raw) if k == "s"
             ],
         ),
-        "ppt": (encode_ppt, extract_ppt_text),
+        # encrypted decks rotate in on odd part counts (r15): the
+        # CryptSession10Container + persist-object RC4 CryptoAPI path,
+        # values unchanged so the same oracle hash certifies it
+        "ppt": (
+            lambda parts: encode_ppt(
+                parts,
+                password="corpus-pw" if len(parts) % 2 == 1 else None,
+            ),
+            lambda raw: extract_ppt_text(raw, "corpus-pw"),
+        ),
     }
     fmts = ["pdf", "docx", "epub", "markdown", "latex", "rtf", "xlsx",
             "pptx", "email", "doc", "xls", "ppt"]

@@ -251,6 +251,12 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # (operators/id3.py gained both reads).  Oracles unchanged — the
     # hash certifies the new recovery paths produce identical values.
     "mm_id3_tags",
+    # round 15: pipeline_any_doc_extract's ppt codec rotates ENCRYPTED
+    # decks in on odd part counts (operators/ppttext.py gained the
+    # CryptSession10Container + persist-object RC4 CryptoAPI read) and
+    # its odt-adjacent consumers ride the same documents.py file; the
+    # doc_odt_extract rotation gained the legacy Blowfish slice.
+    "pipeline_any_doc_extract",
 })
 
 

@@ -1446,12 +1446,44 @@ def test_ppt_roundtrip_and_error_contracts():
     ])
     with pytest.raises(ValueError, match="truncated record"):
         extract_ppt_text(bad)
-    # encrypted marker raises by name
+    # r15: a top-level empty CryptSession10Container is now parsed as a
+    # crypt header — torn (no verifier) -> ValueError, never misparse
     enc = write_cfb([
         ("PowerPoint Document", struct.pack("<HHI", 0x0F, 0x2F14, 0))
     ])
-    with pytest.raises(NotImplementedError, match="encrypted"):
+    with pytest.raises(ValueError):
         extract_ppt_text(enc)
+    # a NESTED crypt container is a layout the walk does not model
+    nested = write_cfb([
+        ("PowerPoint Document", struct.pack(
+            "<HHI", 0x0F, 0x03E8, 8
+        ) + struct.pack("<HHI", 0x0F, 0x2F14, 0))
+    ])
+    with pytest.raises(NotImplementedError, match="nested"):
+        extract_ppt_text(nested)
+
+
+def test_ppt_encrypted_roundtrip_and_gates():
+    """RC4 CryptoAPI encrypted decks (r15): the CryptSession10Container
+    wraps the same [MS-OFFCRYPTO] header .xls FILEPASS carries; persist
+    object decrypts with block = persistId."""
+    from pasardassist_spark.operators.ppttext import (
+        encode_ppt,
+        extract_ppt_text,
+    )
+
+    texts = ["plain ascii slide", "unicodé ✓ 漢字 slide", "multi\nline"]
+    enc = encode_ppt(texts, password="deckpw")
+    assert extract_ppt_text(enc, "deckpw") == texts
+    with pytest.raises(ValueError, match="ppt password incorrect"):
+        extract_ppt_text(enc, "wrong")
+    with pytest.raises(ValueError, match="ppt password incorrect"):
+        extract_ppt_text(enc)
+    # deterministic fixtures
+    assert enc == encode_ppt(texts, password="deckpw")
+    # the encrypted body really is ciphertext: text absent from stream
+    assert b"plain ascii slide" not in enc
+    assert "unicodé".encode("utf-16-le") not in enc
 
 
 def test_msg_extraction_and_sniffer_route():
