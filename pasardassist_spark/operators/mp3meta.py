@@ -26,10 +26,16 @@ From the public MPEG-1/2 audio framing layout (ISO/IEC 11172-3 §2.4.1
 - an ID3v2 tag may front the stream (operators/id3.py computes its
   span) and a 128-byte ID3v1 "TAG" may trail it.
 
-Layers I/II raise NotImplementedError by name (an .mp3 is Layer III;
-the walk is layer-specific only through samples-per-frame).  Lost
-sync, truncated frames, and mid-stream version/rate changes raise
-ValueError — a torn file should dead-letter loudly, not count wrong.
+All three MPEG audio layers are walked (r15 — Layer I broadcast
+feeds and Layer II DAB/.mp2 files show up in real crawls): Layer I
+frames are 4-byte slots (length = (12*bitrate/rate + pad) * 4,
+384 samples/frame), Layer II uses the 144 coefficient with 1152
+samples at every version, Layer III keeps the 144/72 version split.
+The layer-specific bitrate tables (11172-3 Annex B) are complete;
+Xing/VBRI VBR headers are Layer III conventions and are only looked
+for there.  Lost sync, truncated frames, and mid-stream
+version/layer/rate changes raise ValueError — a torn file should
+dead-letter loudly, not count wrong.
 """
 
 from __future__ import annotations
@@ -38,13 +44,50 @@ from pasardassist_spark.operators.id3 import id3_tag_span
 
 __all__ = ["encode_mp3", "parse_mp3"]
 
-# Layer III bitrate tables, kbps, index 1..14 (0 = free, 15 = bad)
+# bitrate tables, kbps, index 1..14 (0 = free, 15 = bad), keyed by
+# (mpeg1?, layer) per ISO/IEC 11172-3 / 13818-3 (MPEG-2 shares one
+# table for layers II and III)
 _BITRATES_V1 = (
     None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
 )
 _BITRATES_V2 = (
     None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160,
 )
+_BITRATES_V1_L1 = (
+    None, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448,
+)
+_BITRATES_V1_L2 = (
+    None, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384,
+)
+_BITRATES_V2_L1 = (
+    None, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256,
+)
+
+
+def _bitrate_table(version: str, layer: int):
+    if version == "1":
+        return {1: _BITRATES_V1_L1, 2: _BITRATES_V1_L2, 3: _BITRATES_V1}[
+            layer
+        ]
+    return _BITRATES_V2_L1 if layer == 1 else _BITRATES_V2
+
+
+def _frame_len(version: str, layer: int, bitrate: int, sample_rate: int,
+               padding: int) -> int:
+    if layer == 1:
+        return (12 * bitrate * 1000 // sample_rate + padding) * 4
+    if layer == 2:
+        return 144 * bitrate * 1000 // sample_rate + padding
+    coef = 144 if version == "1" else 72
+    return coef * bitrate * 1000 // sample_rate + padding
+
+
+def _samples_per_frame(version: str, layer: int) -> int:
+    if layer == 1:
+        return 384
+    if layer == 2:
+        return 1152
+    return 1152 if version == "1" else 576
 
 # sample rates by version key and 2-bit index
 _SAMPLE_RATES = {
@@ -57,20 +100,19 @@ _MODES = ("stereo", "joint", "dual", "mono")
 
 
 def _frame_header(version: str, bitrate: int, sample_rate: int,
-                  mode: str) -> tuple[bytes, int]:
-    """Serialize one Layer III header (padding 0); returns (header,
+                  mode: str, layer: int = 3) -> tuple[bytes, int]:
+    """Serialize one frame header (padding 0); returns (header,
     frame_length)."""
     vbits = {v: k for k, v in _VERSION_BITS.items()}[version]
-    table = _BITRATES_V1 if version == "1" else _BITRATES_V2
-    br_idx = table.index(bitrate)
+    br_idx = _bitrate_table(version, layer).index(bitrate)
     sr_idx = _SAMPLE_RATES[version].index(sample_rate)
     mode_idx = _MODES.index(mode)
+    lbits = {3: 0b01, 2: 0b10, 1: 0b11}[layer]
     b1 = 0xFF
-    b2 = 0xE0 | (vbits << 3) | (0b01 << 1) | 1  # layer III, no CRC
+    b2 = 0xE0 | (vbits << 3) | (lbits << 1) | 1  # no CRC
     b3 = (br_idx << 4) | (sr_idx << 2)  # padding 0, private 0
     b4 = mode_idx << 6
-    coef = 144 if version == "1" else 72
-    flen = coef * bitrate * 1000 // sample_rate
+    flen = _frame_len(version, layer, bitrate, sample_rate, 0)
     return bytes([b1, b2, b3, b4]), flen
 
 
@@ -91,9 +133,11 @@ def encode_mp3(
     vbr_bitrates: tuple[int, ...] = (64, 96, 128),
     id3_tag: bytes = b"",
     id3v1: bool = False,
+    layer: int = 3,
 ) -> bytes:
-    """Synthesize a conforming Layer III stream of ``n_frames`` frames
+    """Synthesize a conforming MPEG audio stream of ``n_frames`` frames
     with zeroed audio payloads (the parser never reads them).
+    ``layer`` 1/2/3 — VBR headers are Layer III only.
 
     ``vbr``: "none" (CBR at ``bitrate``), "xing" (bitrates cycle
     ``vbr_bitrates``; first frame carries a Xing header declaring
@@ -104,12 +148,14 @@ def encode_mp3(
         sample_rate = _SAMPLE_RATES[version][0]
     if vbr not in ("none", "xing", "vbri"):
         raise ValueError(f"unknown vbr mode {vbr!r}")
+    if layer != 3 and vbr != "none":
+        raise ValueError("Xing/VBRI headers are Layer III conventions")
     rates = [bitrate] * n_frames if vbr == "none" else [
         vbr_bitrates[i % len(vbr_bitrates)] for i in range(n_frames)
     ]
     frames: list[bytearray] = []
     for r in rates:
-        hdr, flen = _frame_header(version, r, sample_rate, mode)
+        hdr, flen = _frame_header(version, r, sample_rate, mode, layer)
         frame = bytearray(flen)
         frame[:4] = hdr
         frames.append(frame)
@@ -162,25 +208,22 @@ def _parse_header(buf: bytes, pos: int) -> dict:
     layer = {0b01: 3, 0b10: 2, 0b11: 1}.get((b2 >> 1) & 0b11)
     if layer is None:
         raise ValueError("reserved MPEG layer")
-    if layer != 3:
-        raise NotImplementedError(f"MPEG Layer {'I' * layer} unsupported")
     br_idx = (b3 >> 4) & 0xF
     if br_idx in (0, 15):
         raise NotImplementedError(
             "free-format / bad bitrate index unsupported"
         )
-    table = _BITRATES_V1 if version == "1" else _BITRATES_V2
-    bitrate = table[br_idx]
+    bitrate = _bitrate_table(version, layer)[br_idx]
     sr_idx = (b3 >> 2) & 0b11
     if sr_idx == 0b11:
         raise ValueError("reserved MPEG sample-rate index")
     sample_rate = _SAMPLE_RATES[version][sr_idx]
     padding = (b3 >> 1) & 1
     mode = _MODES[(b4 >> 6) & 0b11]
-    coef = 144 if version == "1" else 72
-    flen = coef * bitrate * 1000 // sample_rate + padding
+    flen = _frame_len(version, layer, bitrate, sample_rate, padding)
     return {
         "version": version,
+        "layer": layer,
         "bitrate": bitrate,
         "sample_rate": sample_rate,
         "mode": mode,
@@ -190,7 +233,10 @@ def _parse_header(buf: bytes, pos: int) -> dict:
 
 def _read_vbr_header(buf: bytes, pos: int, h: dict) -> tuple[str, int | None]:
     """(method, declared_frames) from the FIRST frame: Xing/Info after
-    the side info, or VBRI at its fixed offset."""
+    the side info, or VBRI at its fixed offset.  Layer III only — the
+    side-info layout the offsets rely on does not exist in I/II."""
+    if h["layer"] != 3:
+        return "none", None
     off = pos + 4 + _side_info_size(h["version"], h["mode"])
     magic = buf[off : off + 4]
     if magic in (b"Xing", b"Info"):
@@ -234,6 +280,7 @@ def parse_mp3(payload: bytes) -> dict:
         h = _parse_header(payload, pos)
         if (
             h["version"] != first["version"]
+            or h["layer"] != first["layer"]
             or h["sample_rate"] != first["sample_rate"]
             or h["mode"] != first["mode"]
         ):
@@ -243,9 +290,10 @@ def parse_mp3(payload: bytes) -> dict:
         pos += h["frame_len"]
     if pos != end:
         raise ValueError("trailing bytes after final MPEG frame")
-    spf = 1152 if first["version"] == "1" else 576
+    spf = _samples_per_frame(first["version"], first["layer"])
     return {
         "version": first["version"],
+        "layer": first["layer"],
         "sample_rate": first["sample_rate"],
         "mode": first["mode"],
         "n_frames": n_frames,

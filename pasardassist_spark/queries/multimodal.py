@@ -1544,16 +1544,26 @@ def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mm_mp3_frames",
     oracle="""
+    WITH lay AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 <= 1 AND doc_id % 7 = 0 THEN 2
+                    WHEN doc_id % 5 <= 1 AND doc_id % 7 = 1 THEN 1
+                    ELSE 3 END AS layer
+        FROM documents
+    )
     SELECT doc_id,
            CASE doc_id % 3 WHEN 0 THEN '1' WHEN 1 THEN '2' ELSE '2.5' END
                AS version,
+           CAST(layer AS INTEGER) AS layer,
            CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 24000
                 ELSE 8000 END AS INTEGER) AS sample_rate,
            CASE doc_id % 4 WHEN 0 THEN 'stereo' WHEN 1 THEN 'joint'
                 WHEN 2 THEN 'dual' ELSE 'mono' END AS mode,
            CAST(6 + doc_id % 10 AS INTEGER) AS n_frames,
            CAST((6 + doc_id % 10)
-                * (CASE WHEN doc_id % 3 = 0 THEN 1152 ELSE 576 END)
+                * (CASE WHEN layer = 1 THEN 384
+                        WHEN layer = 2 THEN 1152
+                        WHEN doc_id % 3 = 0 THEN 1152 ELSE 576 END)
                 * 1000000
                 // (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 24000
                     ELSE 8000 END) AS BIGINT) AS duration_us,
@@ -1566,7 +1576,7 @@ def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS vbr_method,
            CAST(CASE WHEN doc_id % 5 >= 2 THEN 6 + doc_id % 10 END
                 AS INTEGER) AS declared_frames
-    FROM documents
+    FROM lay
     """,
 )
 def mm_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1584,9 +1594,12 @@ def mm_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic (frames x samples-per-frame x 1e6 // rate), so
     the oracle re-derives every column from doc_id — one hash certifies
     sync walking, frame-length math, both VBR header locations and both
-    tag skips on 500 streams.  Layers I/II and free-format bitrate
-    raise by name; lost sync and mid-stream parameter changes raise
-    ValueError (a torn file dead-letters loudly, never counts wrong).
+    tag skips on 500 streams.  Layers I and II rotate onto the CBR
+    slices (r15 — 4-byte Layer I slots, the Layer II 1152-sample clock
+    at every version, and their own bitrate tables); free-format
+    bitrate raises by name; lost sync and mid-stream parameter changes
+    raise ValueError (a torn file dead-letters loudly, never counts
+    wrong).
 
     Spark plan: one Arrow map pass over doc ids, no shuffle — the
     O(header-bytes) metadata-indexing shape of the extractor quartet
@@ -1595,8 +1608,8 @@ def mm_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasardassist_spark.operators.id3 import encode_id3v2
 
     schema = (
-        "doc_id long, version string, sample_rate int, mode string, "
-        "n_frames int, duration_us long, bitrate_kbps int, "
+        "doc_id long, version string, layer int, sample_rate int, "
+        "mode string, n_frames int, duration_us long, bitrate_kbps int, "
         "vbr_method string, declared_frames int"
     )
     _VERS = (("1", 44100), ("2", 24000), ("2.5", 8000))
@@ -1605,8 +1618,9 @@ def mm_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _build_and_parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = (
-            "doc_id", "version", "sample_rate", "mode", "n_frames",
-            "duration_us", "bitrate_kbps", "vbr_method", "declared_frames",
+            "doc_id", "version", "layer", "sample_rate", "mode",
+            "n_frames", "duration_us", "bitrate_kbps", "vbr_method",
+            "declared_frames",
         )
         for pdf in it:
             rows: dict[str, list] = {k: [] for k in cols}
@@ -1622,6 +1636,14 @@ def mm_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if i % 2 == 1
                     else b""
                 )
+                # r15: Layer I/II rotate onto the CBR slices (VBR
+                # headers are Layer III conventions) — every existing
+                # CBR bitrate is valid in all five layer tables
+                layer = (
+                    2 if kind <= 1 and i % 7 == 0
+                    else 1 if kind <= 1 and i % 7 == 1
+                    else 3
+                )
                 payload = M.encode_mp3(
                     version=version,
                     sample_rate=sr,
@@ -1632,6 +1654,7 @@ def mm_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ("vbri" if kind == 4 else "xing"),
                     id3_tag=tag,
                     id3v1=i % 3 == 0,
+                    layer=layer,
                 )
                 meta = M.parse_mp3(payload)
                 rows["doc_id"].append(doc_id)

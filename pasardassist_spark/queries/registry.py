@@ -257,6 +257,10 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # its odt-adjacent consumers ride the same documents.py file; the
     # doc_odt_extract rotation gained the legacy Blowfish slice.
     "pipeline_any_doc_extract",
+    # round 15: mm_mp3_frames gained the layer column + Layer I/II
+    # rotation on the CBR slices (operators/mp3meta.py walks all three
+    # layers); oracle extended with the layer-aware duration clock.
+    "mm_mp3_frames",
 })
 
 

@@ -71,14 +71,50 @@ def test_mid_stream_parameter_change_rejected():
         parse_mp3(a + b)
 
 
-def test_layer_and_free_format_raise_by_name():
+def test_free_format_raises_by_name():
     payload = bytearray(encode_mp3(n_frames=2))
-    layer2 = bytes([payload[0], (payload[1] & ~0b110) | (0b10 << 1)])
-    with pytest.raises(NotImplementedError, match="Layer II"):
-        parse_mp3(layer2 + bytes(payload[2:]))
     free = bytes(payload[:2]) + bytes([payload[2] & 0x0F]) + bytes(payload[3:])
     with pytest.raises(NotImplementedError, match="free-format"):
         parse_mp3(free)
+
+
+@pytest.mark.parametrize("layer", [1, 2])
+@pytest.mark.parametrize("version,sr", [("1", 44100), ("2", 24000), ("2.5", 8000)])
+def test_layers_one_and_two_walk(layer, version, sr):
+    """r15: Layer I (4-byte slots, 384 samples/frame) and Layer II
+    (coef 144, 1152 samples at EVERY version) walk end-to-end with
+    their own bitrate tables; duration uses the layer's sample count."""
+    p = encode_mp3(
+        version=version, sample_rate=sr, layer=layer,
+        n_frames=9, bitrate=96, mode="mono",
+    )
+    m = parse_mp3(p)
+    assert m["layer"] == layer and m["n_frames"] == 9
+    spf = 384 if layer == 1 else 1152
+    assert m["duration_us"] == 9 * spf * 1_000_000 // sr
+    assert m["bitrate_kbps"] == 96
+    assert m["vbr_method"] == "none"
+
+
+def test_layer_one_padding_is_one_slot():
+    """Layer I padding adds a 4-byte SLOT, not a single byte."""
+    from pasardassist_spark.operators.mp3meta import _frame_len
+
+    base = _frame_len("1", 1, 96, 44100, 0)
+    assert _frame_len("1", 1, 96, 44100, 1) == base + 4
+    assert _frame_len("1", 3, 96, 44100, 1) == _frame_len("1", 3, 96, 44100, 0) + 1
+
+
+def test_mid_stream_layer_change_raises():
+    a = encode_mp3(n_frames=1, layer=2, bitrate=96)
+    b = encode_mp3(n_frames=1, layer=3, bitrate=96)
+    with pytest.raises(ValueError, match="changed mid-stream"):
+        parse_mp3(a + b)
+
+
+def test_vbr_header_rejected_outside_layer3():
+    with pytest.raises(ValueError, match="Layer III conventions"):
+        encode_mp3(n_frames=4, layer=2, vbr="xing")
 
 
 def test_info_header_is_cbr_spelling():
