@@ -85,6 +85,8 @@ EXTRA_NAMES = [
     "mm_mp4_meta",
     "mm_flac_ogg_meta",
     "mm_mkv_meta",
+    # round-15 debut
+    "mm_heif_meta",
     "dedup_passages",
     "dedup_clusters",
     "split_by_cluster",

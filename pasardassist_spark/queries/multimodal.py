@@ -2342,3 +2342,119 @@ def mm_mkv_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_build_parse, schema)
+
+
+@query(
+    "mm_heif_meta",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'heic' WHEN 1 THEN 'avif'
+                    ELSE 'mif1' END AS brand,
+               CASE doc_id % 3 WHEN 0 THEN 'hvc1' ELSE 'av01' END AS img,
+               CAST(320 + 16 * (doc_id % 8) AS INTEGER) AS w,
+               CAST(240 + 16 * (doc_id % 5) AS INTEGER) AS h,
+               CAST((doc_id % 4) * 90 AS INTEGER) AS rot,
+               CAST(CASE (doc_id // 3) % 3 WHEN 0 THEN 8 WHEN 1 THEN 10
+                    ELSE 12 END AS INTEGER) AS depth,
+               CAST(1 + CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END
+                      + CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END
+                    AS INTEGER) AS n_items
+        FROM documents
+    ),
+    items AS (
+        SELECT doc_id, brand, n_items, 1 AS item_id, img AS item_type,
+               w AS width, h AS height, rot AS rotation, depth AS bit_depth,
+               TRUE AS is_primary
+        FROM base
+        UNION ALL
+        SELECT doc_id, brand, n_items, 2, img, w // 4, h // 4,
+               CAST(NULL AS INTEGER), CAST(8 AS INTEGER), FALSE
+        FROM base WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id, brand, n_items, 3, 'Exif',
+               CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+               CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), FALSE
+        FROM base WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id, brand, n_items, CAST(item_id AS INTEGER) AS item_id,
+           item_type, width, height, rotation, bit_depth, is_primary
+    FROM items
+    """,
+)
+def mm_heif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEIF/AVIF still-image metadata walk WITHOUT pixel decode
+    (operators/heifmeta.py, r15 — the seventh no-decode metadata
+    family member): iPhone crawls arrive as HEIC and the modern web
+    increasingly as AVIF, and the indexing columns — per-item
+    dimensions, rotation, bit depth, the primary-item flag — live in
+    the ISO-BMFF ``meta`` box (pitm/iinf/iprp), never in the codec
+    payload.  One output row per ITEM: the primary hvc1/av01 image,
+    an optional half-size thumbnail (odd ids — its ispe must resolve
+    through ipma per-item, never leak onto the primary), and an
+    optional Exif metadata item (ids %3==2, all-NULL geometry).
+
+    Fixtures rotate all three brands, BOTH structure widths (ids %5==0
+    write the 32-bit pitm v1 / infe v3 / ipma v1 layouts with 15-bit
+    property indices; the rest the common 16-bit/7-bit forms),
+    rotation 0 as a VALUE distinct from no-irot NULL, three bit
+    depths, and shared-vs-private ipco properties.  The oracle
+    re-derives every column from doc_id arithmetic — one hash
+    certifies the fullbox meta walk, item enumeration, and the
+    ipma association algebra on 500 files.  Protected items raise by
+    name; torn boxes and out-of-range property indices raise
+    ValueError.
+
+    Spark plan: one Arrow map pass over doc ids, no shuffle; O(meta
+    bytes) per file regardless of image size — the plan shape that
+    indexes a 100 TB image crawl without touching a pixel."""
+    from pasardassist_spark.operators.heifmeta import (
+        encode_heif_meta,
+        parse_heif_meta,
+    )
+
+    schema = (
+        "doc_id long, brand string, n_items int, item_id int, "
+        "item_type string, width int, height int, rotation int, "
+        "bit_depth int, is_primary boolean"
+    )
+    _BRANDS = ("heic", "avif", "mif1")
+
+    def _build_parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "doc_id", "brand", "n_items", "item_id", "item_type",
+            "width", "height", "rotation", "bit_depth", "is_primary",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                img = "hvc1" if i % 3 == 0 else "av01"
+                w, h = 320 + 16 * (i % 8), 240 + 16 * (i % 5)
+                depth = (8, 10, 12)[(i // 3) % 3]
+                items = [(1, img, w, h, (i % 4) * 90, depth)]
+                if i % 2 == 1:
+                    items.append((2, img, w // 4, h // 4, None, 8))
+                if i % 3 == 2:
+                    items.append((3, "Exif", None, None, None, None))
+                payload = encode_heif_meta(
+                    _BRANDS[i % 3], items, 1, wide=i % 5 == 0
+                )
+                meta = parse_heif_meta(payload)
+                if meta.n_items != len(items):
+                    raise ValueError(f"doc {i}: item count {meta.n_items}")
+                for t in meta.items:
+                    rows["doc_id"].append(i)
+                    rows["brand"].append(meta.brand)
+                    rows["n_items"].append(meta.n_items)
+                    rows["item_id"].append(t.item_id)
+                    rows["item_type"].append(t.item_type)
+                    rows["width"].append(t.width)
+                    rows["height"].append(t.height)
+                    rows["rotation"].append(t.rotation)
+                    rows["bit_depth"].append(t.bit_depth)
+                    rows["is_primary"].append(t.is_primary)
+            yield pd.DataFrame(rows)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_build_parse, schema)
