@@ -45,7 +45,9 @@ def sniff_wav(payload: bytes) -> bool:
 
 def decode_wav(payload: bytes) -> PcmAudio:
     """Parse a RIFF/WAVE container: walk chunks (word-aligned), read fmt
-    (PCM 16-bit only), then the data chunk's interleaved samples. Error
+    (integer PCM at 8/16/24/32-bit — r15 widened from 16-only — plus
+    IEEE float, G.711, IMA ADPCM), then the data chunk's interleaved
+    samples, all narrowed into the PCM16 domain. Error
     surface: ValueError (malformed — struct.error from short headers is
     normalized into it) or NotImplementedError (unsupported format)."""
     try:
@@ -81,8 +83,10 @@ def _decode_wav(payload: bytes) -> PcmAudio:
             f"WAV format tag {tag} unsupported (PCM, IEEE float, G.711 "
             "A-law/mu-law, IMA ADPCM only)"
         )
-    if tag == 1 and bits != 16:
-        raise NotImplementedError(f"WAV bit depth {bits} unsupported (16 only)")
+    if tag == 1 and bits not in (8, 16, 24, 32):
+        raise NotImplementedError(
+            f"WAV bit depth {bits} unsupported (8/16/24/32 integer PCM)"
+        )
     if tag == 3 and bits not in (32, 64):
         raise NotImplementedError(
             f"float WAV bit depth {bits} unsupported (32/64 only)"
@@ -114,7 +118,26 @@ def _decode_wav(payload: bytes) -> PcmAudio:
             "decode, not an inline column)"
         )
     if tag == 1:
-        samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+        if bits == 16:
+            samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+        elif bits == 8:
+            # 8-bit WAV is UNSIGNED with midpoint 128 (the RIFF rule);
+            # widen into the PCM16 domain
+            samples = [(b - 128) << 8 for b in data[:n]]
+        elif bits == 24:
+            # packed signed little-endian 3-byte; truncate to the top
+            # 16 bits (the dither-free sox/ffmpeg narrowing)
+            raw = data[: n * 3]
+            samples = [
+                (
+                    int.from_bytes(raw[i : i + 3], "little", signed=True)
+                ) >> 8
+                for i in range(0, n * 3, 3)
+            ]
+        else:  # 32-bit integer PCM
+            samples = [
+                v >> 16 for v in struct.unpack(f"<{n}i", data[: n * 4])
+            ]
     else:
         # IEEE float in [-1, 1] -> PCM16 domain: clip, scale by 32767,
         # round half even (the ffmpeg/sox normalization) — deterministic,
@@ -130,6 +153,41 @@ def _decode_wav(payload: bytes) -> PcmAudio:
 def _round_half_even(x: float) -> float:
     # builtin round() IS banker's rounding for floats; named for intent
     return round(x)
+
+
+def encode_wav_depth(audio: PcmAudio, bits: int) -> bytes:
+    """Integer-PCM writer at 8/24/32-bit depth (fixture generator):
+    widens the PCM16 samples so decode_wav's narrowing recovers them
+    EXACTLY (8-bit drops the low byte — callers quantize first)."""
+    if bits == 16:
+        return encode_wav(audio)
+    if bits == 8:
+        data = bytes(((s >> 8) + 128) & 0xFF for s in audio.samples)
+    elif bits == 24:
+        data = b"".join(
+            (s << 8).to_bytes(3, "little", signed=True)
+            for s in audio.samples
+        )
+    elif bits == 32:
+        data = struct.pack(
+            f"<{len(audio.samples)}i", *[s << 16 for s in audio.samples]
+        )
+    else:
+        raise ValueError(f"unsupported integer PCM depth {bits}")
+    width = bits // 8
+    byte_rate = audio.sample_rate * audio.channels * width
+    fmt = struct.pack(
+        "<HHIIHH", 1, audio.channels, audio.sample_rate, byte_rate,
+        audio.channels * width, bits,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
 
 
 def encode_wav(audio: PcmAudio) -> bytes:

@@ -26,9 +26,12 @@ format, RFC 3533 Ogg framing, RFC 7845 Opus-in-Ogg):
   the RFC 7845 rule).
 
 Torn blocks/pages, a bad Ogg CRC, or a truncated STREAMINFO raise
-ValueError by message; non-audio Ogg payloads (Theora, FLAC-in-Ogg)
-raise NotImplementedError BY NAME.  Audio frames are never touched —
-the walk is O(metadata + page headers).
+ValueError by message; the FLAC-to-Ogg mapping (xiph's public spec:
+packet 0 = 0x7F 'FLAC' + version + header-count + a verbatim fLaC
+STREAMINFO) is READ (r15) so Ogg-wrapped FLAC radio rips index like
+their native siblings; non-audio Ogg payloads (Theora) raise
+NotImplementedError BY NAME.  Audio frames are never touched — the
+walk is O(metadata + page headers).
 """
 
 from __future__ import annotations
@@ -57,7 +60,7 @@ class FlacMeta(NamedTuple):
 
 
 class OggMeta(NamedTuple):
-    codec: str  # 'vorbis' | 'opus'
+    codec: str  # 'vorbis' | 'opus' | 'flac' (Ogg-mapped)
     sample_rate: int  # ident-header rate (Opus: input rate)
     channels: int
     pre_skip: int  # opus only, 0 for vorbis
@@ -250,6 +253,34 @@ def encode_ogg(
         )
         comment = b"OpusTags" + struct.pack("<I", 4) + b"pasa" + struct.pack("<I", 0)
         granule = duration_samples + pre_skip  # 48 kHz ticks
+    elif codec == "flac":
+        bits = (
+            (sample_rate << 44)
+            | ((channels - 1) << 41)
+            | ((16 - 1) << 36)
+            | duration_samples
+        )
+        streaminfo = (
+            struct.pack(">HH", 4096, 4096)
+            + (0).to_bytes(3, "big")
+            + (0).to_bytes(3, "big")
+            + bits.to_bytes(8, "big")
+            + bytes(16)  # md5 of unencoded audio (zero for fixtures)
+        )
+        ident = (
+            b"\x7fFLAC\x01\x00"
+            + struct.pack(">H", 1)  # one more header packet follows
+            + b"fLaC"
+            + bytes([0x00])  # STREAMINFO, not last
+            + (34).to_bytes(3, "big")
+            + streaminfo
+        )
+        comment = (
+            bytes([0x84])  # VORBIS_COMMENT, last
+            + (13).to_bytes(3, "big")
+            + struct.pack("<I", 4) + b"pasa" + struct.pack("<I", 0) + b"\x00"
+        )
+        granule = duration_samples
     else:
         raise ValueError(f"unknown ogg codec {codec!r}")
     p0 = _ogg_page(serial, 0, 0, [ident], header_type=0x02)  # BOS
@@ -311,7 +342,32 @@ def parse_ogg_meta(payload: bytes) -> OggMeta:
         dur = max(0, last_granule - pre_skip) * 1000 // 48000
         return OggMeta("opus", rate, channels, pre_skip, dur, n_pages)
     if first_packet[:5] == b"\x7fFLAC":
-        raise NotImplementedError("FLAC-in-Ogg mapping unsupported")
+        # xiph FLAC-to-Ogg mapping: 0x7F 'FLAC' major minor, u16 BE
+        # header-packet count, then a byte-verbatim fLaC capture +
+        # STREAMINFO block; granule position counts SAMPLES
+        if len(first_packet) < 9 + 4 + 4 + 34:
+            raise ValueError("torn Ogg-FLAC ident packet")
+        major = first_packet[5]
+        if major != 1:
+            raise NotImplementedError(
+                f"Ogg-FLAC mapping version {major} unsupported"
+            )
+        if first_packet[9:13] != b"fLaC":
+            raise ValueError("Ogg-FLAC ident lacks fLaC capture")
+        if first_packet[13] & 0x7F != 0:
+            raise ValueError("Ogg-FLAC first block is not STREAMINFO")
+        if int.from_bytes(first_packet[14:17], "big") != 34:
+            raise ValueError("Ogg-FLAC STREAMINFO length != 34")
+        body = first_packet[17 : 17 + 34]
+        bits = int.from_bytes(body[10:18], "big")
+        rate = bits >> 44
+        channels = ((bits >> 41) & 0x7) + 1
+        if rate == 0:
+            raise ValueError("Ogg-FLAC sample rate is zero")
+        return OggMeta(
+            "flac", rate, channels, 0,
+            last_granule * 1000 // rate, n_pages,
+        )
     if first_packet[:7] == b"\x80theora":
         raise NotImplementedError("Ogg Theora video unsupported")
     raise NotImplementedError(

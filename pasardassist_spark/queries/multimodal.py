@@ -1901,9 +1901,11 @@ def mm_wav_info_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     repo's encoder) with the LIST chunk spliced BEFORE fmt — legal RIFF
     that breaks offset-assuming parsers — carrying INAM/IART/ICRD/ISFT
     as zero-terminated word-aligned sub-chunks (odd-length values
-    exercise the pad-byte rule).  The data chunk is skipped by declared
-    size, never decoded; n_samples comes from the normal decode path to
-    prove the splice left the audio readable.
+    exercise the pad-byte rule).  Integer-PCM depth rotates
+    16/8/24/32-bit by doc_id%4 (r15 — decode narrows all depths into
+    the PCM16 domain).  The data chunk is skipped by declared size,
+    never decoded; n_samples comes from the normal decode path to
+    prove the splice left the audio readable at every depth.
 
     Spark plan: one Arrow map pass, no shuffle.  Oracle from doc_id
     arithmetic certifies the sub-chunk walk, ZSTR termination, pad
@@ -1924,9 +1926,16 @@ def mm_wav_info_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
                 n = 16 + i % 17  # odd/even lengths rotate
-                wav = AC.encode_wav(
-                    AC.PcmAudio(8000, 1, [(j * 257 + i) % 4096 - 2048
-                                          for j in range(n)])
+                # r15: integer-PCM depth rotates 16/8/24/32 by doc_id%4
+                # — n_samples (the only decode-derived column) is
+                # depth-invariant, so the oracle hash also certifies
+                # the widened depth decode
+                depth = (16, 8, 24, 32)[i % 4]
+                samples = [(j * 257 + i) % 4096 - 2048 for j in range(n)]
+                if depth == 8:
+                    samples = [(s >> 8) << 8 for s in samples]
+                wav = AC.encode_wav_depth(
+                    AC.PcmAudio(8000, 1, samples), depth
                 )
                 info = AC.encode_wav_info({
                     "INAM": f"Take {i % 40}",
@@ -2094,7 +2103,9 @@ def mm_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CASE doc_id % 3 WHEN 0 THEN 'flac' ELSE 'ogg' END AS container,
-           CASE doc_id % 3 WHEN 0 THEN 'flac' WHEN 1 THEN 'vorbis'
+           CASE doc_id % 3 WHEN 0 THEN 'flac'
+                WHEN 1 THEN CASE WHEN (doc_id // 3) % 5 = 4
+                                 THEN 'flac' ELSE 'vorbis' END
                 ELSE 'opus' END AS codec,
            CAST(CASE doc_id % 3
                 WHEN 0 THEN CASE (doc_id // 3) % 4 WHEN 0 THEN 44100
@@ -2143,8 +2154,11 @@ def mm_flac_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     four FLAC clocks, four Vorbis clocks, non-round sample counts
     (doc_id%997 / %1009 offsets) and both channel layouts.  Every Ogg
     page CRC-32 is verified on read and computed on write; torn pages,
-    bad CRCs and truncated STREAMINFO raise ValueError; Theora and
-    FLAC-in-Ogg raise by name.  Duration is exact integer arithmetic,
+    bad CRCs and truncated STREAMINFO raise ValueError; Theora raises
+    by name.  The (doc_id//3)%5==4 sub-slice of the vorbis rotation
+    maps FLAC INTO Ogg (r15, the xiph mapping: 0x7F FLAC ident packet
+    wrapping a verbatim STREAMINFO, granule counting samples) — the
+    radio-rip layout old Ogg corpora actually carry.  Duration is exact integer arithmetic,
     so the doc_id-arithmetic oracle certifies bitfield unpacking,
     lacing, granule scaling and both comment layouts on 500 streams.
 
@@ -2195,7 +2209,11 @@ def mm_flac_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows["tag_count"].append(len(m.tags))
                 else:
                     if i % 3 == 1:
-                        codec, rate = "vorbis", _VORB_RATES[(i // 3) % 4]
+                        # r15: the (doc_id//3)%5==4 sub-slice maps FLAC
+                        # into Ogg (xiph mapping packet, same clock and
+                        # sample formulas as the vorbis slice)
+                        codec = "flac" if (i // 3) % 5 == 4 else "vorbis"
+                        rate = _VORB_RATES[(i // 3) % 4]
                         samples = rate * (2 + i % 4) + i % 1009
                     else:
                         codec, rate = "opus", _OPUS_RATES[(i // 3) % 3]

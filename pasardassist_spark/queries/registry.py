@@ -261,6 +261,12 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # rotation on the CBR slices (operators/mp3meta.py walks all three
     # layers); oracle extended with the layer-aware duration clock.
     "mm_mp3_frames",
+    # round 15: mm_flac_ogg_meta's vorbis slice gained the FLAC-in-Ogg
+    # sub-rotation (flacmeta.py reads the xiph mapping; codec column
+    # oracle extended); mm_wav_info_tags rotates 8/24/32-bit integer
+    # PCM depths in (audiocodec.py widened decode; n_samples is
+    # depth-invariant so the oracle is unchanged).
+    "mm_wav_info_tags",
 })
 
 

@@ -91,9 +91,8 @@ def test_ogg_foreign_codecs_raise_by_name():
     page = _ogg_page(7, 0, 0, [b"\x80theora" + bytes(10)], 0x02)
     with pytest.raises(NotImplementedError, match="Theora"):
         parse_ogg_meta(page)
-    page = _ogg_page(7, 0, 0, [b"\x7fFLAC" + bytes(10)], 0x02)
-    with pytest.raises(NotImplementedError, match="FLAC-in-Ogg"):
-        parse_ogg_meta(page)
+    # FLAC-in-Ogg is READ since r15; a short 0x7F FLAC ident is now a
+    # torn-input ValueError (test_ogg_flac_torn_ident_raises)
 
 
 def test_ogg_255_lacing_run():
@@ -132,3 +131,39 @@ def test_ogg_torn_mid_page_header():
     for cut in (5, 6, 20, 26):
         with pytest.raises(ValueError, match="torn Ogg page header"):
             parse_ogg_meta(o[:cut])
+
+
+def test_ogg_flac_mapping_roundtrip():
+    """r15: the xiph FLAC-to-Ogg mapping is read — ident packet 0x7F
+    'FLAC' + version + header-count wrapping a byte-verbatim
+    STREAMINFO; granule counts samples at the STREAMINFO rate."""
+    from pasardassist_spark.operators.flacmeta import encode_ogg
+
+    p = encode_ogg("flac", 44100, 2, 44100 * 3 + 123)
+    m = parse_ogg_meta(p)
+    assert m.codec == "flac" and m.sample_rate == 44100 and m.channels == 2
+    assert m.duration_ms == (44100 * 3 + 123) * 1000 // 44100
+    assert m.pre_skip == 0 and m.n_pages == 3
+    # unsupported mapping version raises by name
+    at = p.find(b"\x7fFLAC")
+    bad = bytearray(p)
+    bad[at + 5] = 2
+    import struct as _s
+
+    # recompute the page CRC after the version flip
+    page_end = bad.find(b"OggS", 4)
+    page = bytearray(bad[:page_end])
+    _s.pack_into("<I", page, 22, 0)
+    from pasardassist_spark.operators.flacmeta import _ogg_crc
+
+    _s.pack_into("<i", bad, 22, _ogg_crc(bytes(page)) - (1 << 32) if _ogg_crc(bytes(page)) >= (1 << 31) else _ogg_crc(bytes(page)))
+    with pytest.raises(NotImplementedError, match="mapping version 2"):
+        parse_ogg_meta(bytes(bad))
+
+
+def test_ogg_flac_torn_ident_raises():
+    from pasardassist_spark.operators.flacmeta import _ogg_page
+
+    short = _ogg_page(9, 0, 0, [b"\x7fFLAC\x01\x00" + bytes(10)], 0x02)
+    with pytest.raises(ValueError, match="torn Ogg-FLAC ident"):
+        parse_ogg_meta(short)
