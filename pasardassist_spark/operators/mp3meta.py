@@ -32,8 +32,10 @@ frames are 4-byte slots (length = (12*bitrate/rate + pad) * 4,
 384 samples/frame), Layer II uses the 144 coefficient with 1152
 samples at every version, Layer III keeps the 144/72 version split.
 The layer-specific bitrate tables (11172-3 Annex B) are complete;
-Xing/VBRI VBR headers are Layer III conventions and are only looked
-for there.  Lost sync, truncated frames, and mid-stream
+FREE-FORMAT streams (bitrate index 0) recover their fixed frame size
+by scanning to the next consistent syncword, per 11172-3 §2.4.2.3
+(r15 — bitrate_kbps reads NULL); Xing/VBRI VBR headers are Layer III
+conventions and are only looked for there.  Lost sync, truncated frames, and mid-stream
 version/layer/rate changes raise ValueError — a torn file should
 dead-letter loudly, not count wrong.
 """
@@ -134,6 +136,7 @@ def encode_mp3(
     id3_tag: bytes = b"",
     id3v1: bool = False,
     layer: int = 3,
+    free_frame_size: int | None = None,
 ) -> bytes:
     """Synthesize a conforming MPEG audio stream of ``n_frames`` frames
     with zeroed audio payloads (the parser never reads them).
@@ -155,8 +158,15 @@ def encode_mp3(
     ]
     frames: list[bytearray] = []
     for r in rates:
-        hdr, flen = _frame_header(version, r, sample_rate, mode, layer)
-        frame = bytearray(flen)
+        if free_frame_size is not None:
+            if vbr != "none":
+                raise ValueError("free format is CBR by definition")
+            hdr, _ = _frame_header(version, 32, sample_rate, mode, layer)
+            hdr = bytes([hdr[0], hdr[1], hdr[2] & 0x0F, hdr[3]])  # br_idx 0
+            frame = bytearray(free_frame_size)
+        else:
+            hdr, flen = _frame_header(version, r, sample_rate, mode, layer)
+            frame = bytearray(flen)
         frame[:4] = hdr
         frames.append(frame)
     if vbr != "none":
@@ -209,18 +219,22 @@ def _parse_header(buf: bytes, pos: int) -> dict:
     if layer is None:
         raise ValueError("reserved MPEG layer")
     br_idx = (b3 >> 4) & 0xF
-    if br_idx in (0, 15):
-        raise NotImplementedError(
-            "free-format / bad bitrate index unsupported"
-        )
-    bitrate = _bitrate_table(version, layer)[br_idx]
+    if br_idx == 15:
+        raise ValueError("bad MPEG bitrate index 15")
+    # br_idx 0 = FREE FORMAT (r15): the bitrate is unstated and the
+    # frame length must be recovered by scanning to the next sync
+    bitrate = None if br_idx == 0 else _bitrate_table(version, layer)[br_idx]
     sr_idx = (b3 >> 2) & 0b11
     if sr_idx == 0b11:
         raise ValueError("reserved MPEG sample-rate index")
     sample_rate = _SAMPLE_RATES[version][sr_idx]
     padding = (b3 >> 1) & 1
     mode = _MODES[(b4 >> 6) & 0b11]
-    flen = _frame_len(version, layer, bitrate, sample_rate, padding)
+    flen = (
+        None
+        if bitrate is None
+        else _frame_len(version, layer, bitrate, sample_rate, padding)
+    )
     return {
         "version": version,
         "layer": layer,
@@ -229,6 +243,30 @@ def _parse_header(buf: bytes, pos: int) -> dict:
         "mode": mode,
         "frame_len": flen,
     }
+
+
+def _next_sync(buf: bytes, start: int, end: int, first: dict) -> int | None:
+    """Offset of the next frame header CONSISTENT with ``first``
+    (version/layer/rate/mode) — the free-format length recovery of
+    ISO 11172-3 §2.4.2.3 ("the bit rate is constant and the decoder
+    deduces the frame size from the distance between syncwords")."""
+    i = start
+    while i + 4 <= end:
+        if buf[i] == 0xFF and (buf[i + 1] & 0xE0) == 0xE0:
+            try:
+                h = _parse_header(buf, i)
+            except (ValueError, NotImplementedError):
+                i += 1
+                continue
+            if (
+                h["version"] == first["version"]
+                and h["layer"] == first["layer"]
+                and h["sample_rate"] == first["sample_rate"]
+                and h["mode"] == first["mode"]
+            ):
+                return i
+        i += 1
+    return None
 
 
 def _read_vbr_header(buf: bytes, pos: int, h: dict) -> tuple[str, int | None]:
@@ -285,9 +323,13 @@ def parse_mp3(payload: bytes) -> dict:
             or h["mode"] != first["mode"]
         ):
             raise ValueError("MPEG stream parameters changed mid-stream")
+        flen = h["frame_len"]
+        if flen is None:  # free format: scan to the next sync
+            nxt = _next_sync(payload, pos + 4, end, first)
+            flen = (nxt if nxt is not None else end) - pos
         bitrates.add(h["bitrate"])
         n_frames += 1
-        pos += h["frame_len"]
+        pos += flen
     if pos != end:
         raise ValueError("trailing bytes after final MPEG frame")
     spf = _samples_per_frame(first["version"], first["layer"])

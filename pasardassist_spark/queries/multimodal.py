@@ -1567,7 +1567,7 @@ def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * 1000000
                 // (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 24000
                     ELSE 8000 END) AS BIGINT) AS duration_us,
-           CAST(CASE WHEN doc_id % 5 <= 1 THEN
+           CAST(CASE WHEN doc_id % 5 <= 1 AND doc_id % 7 != 2 THEN
                 (CASE (doc_id // 5) % 5 WHEN 0 THEN 64 WHEN 1 THEN 96
                  WHEN 2 THEN 128 WHEN 3 THEN 160 ELSE 32 END)
                 END AS INTEGER) AS bitrate_kbps,
@@ -1596,8 +1596,10 @@ def mm_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     sync walking, frame-length math, both VBR header locations and both
     tag skips on 500 streams.  Layers I and II rotate onto the CBR
     slices (r15 — 4-byte Layer I slots, the Layer II 1152-sample clock
-    at every version, and their own bitrate tables); free-format
-    bitrate raises by name; lost sync and mid-stream parameter changes
+    at every version, and their own bitrate tables), and the i%7==2
+    CBR sub-slice is FREE FORMAT (bitrate index 0 — frame size
+    recovered by scanning to the next consistent syncword,
+    bitrate_kbps NULL); lost sync and mid-stream parameter changes
     raise ValueError (a torn file dead-letters loudly, never counts
     wrong).
 
@@ -1644,6 +1646,9 @@ def mm_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     else 1 if kind <= 1 and i % 7 == 1
                     else 3
                 )
+                # r15: the i%7==2 CBR sub-slice is FREE FORMAT (bitrate
+                # index 0, fixed frame size recovered by sync scan,
+                # bitrate_kbps NULL)
                 payload = M.encode_mp3(
                     version=version,
                     sample_rate=sr,
@@ -1655,6 +1660,9 @@ def mm_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     id3_tag=tag,
                     id3v1=i % 3 == 0,
                     layer=layer,
+                    free_frame_size=(
+                        120 + i % 40 if kind <= 1 and i % 7 == 2 else None
+                    ),
                 )
                 meta = M.parse_mp3(payload)
                 rows["doc_id"].append(doc_id)

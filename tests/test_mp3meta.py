@@ -71,11 +71,30 @@ def test_mid_stream_parameter_change_rejected():
         parse_mp3(a + b)
 
 
-def test_free_format_raises_by_name():
+def test_free_format_walks_by_sync_scan():
+    """r15: bitrate index 0 = free format; the fixed frame size is
+    recovered from the distance between consistent syncwords and
+    bitrate_kbps reads None."""
+    p = encode_mp3(
+        version="1", sample_rate=44100, n_frames=7,
+        free_frame_size=137, id3v1=True,
+    )
+    m = parse_mp3(p)
+    assert m["n_frames"] == 7 and m["bitrate_kbps"] is None
+    assert m["duration_us"] == 7 * 1152 * 1_000_000 // 44100
+    # bad index 15 is a ValueError (malformed), not a named seam
     payload = bytearray(encode_mp3(n_frames=2))
-    free = bytes(payload[:2]) + bytes([payload[2] & 0x0F]) + bytes(payload[3:])
-    with pytest.raises(NotImplementedError, match="free-format"):
-        parse_mp3(free)
+    bad = bytes(payload[:2]) + bytes([(payload[2] & 0x0F) | 0xF0]) + bytes(
+        payload[3:]
+    )
+    with pytest.raises(ValueError, match="bitrate index 15"):
+        parse_mp3(bad)
+
+
+def test_free_format_single_frame_runs_to_end():
+    p = encode_mp3(n_frames=1, free_frame_size=200)
+    m = parse_mp3(p)
+    assert m["n_frames"] == 1 and m["bitrate_kbps"] is None
 
 
 @pytest.mark.parametrize("layer", [1, 2])
