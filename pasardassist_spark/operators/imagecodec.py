@@ -239,15 +239,180 @@ def decode_bmp(payload: bytes) -> Raster:
     # dib_to_rgb's length check and silently decode header bytes as pixels.
     if not 14 + hdr_size <= data_off <= len(payload):
         raise ValueError(f"bad BMP pixel-data offset {data_off}")
-    if compression != 0:
+    if compression not in (0, 1):
         raise NotImplementedError(f"BMP compression {compression} unsupported")
-    if bpp not in (24, 32):
+    if bpp not in (1, 4, 8, 24, 32):
         raise NotImplementedError(f"BMP bpp {bpp} unsupported")
+    if compression == 1 and bpp != 8:
+        raise ValueError(f"BI_RLE8 requires 8 bpp, got {bpp}")
     top_down = h < 0
     h = abs(h)
     _check_dims(w, h)
+    if bpp in (1, 4, 8):
+        # indexed color (r15): BGRX palette follows the info header
+        (colors_used,) = struct.unpack_from("<I", payload, 46)
+        n_colors = colors_used or (1 << bpp)
+        if n_colors > (1 << bpp):
+            raise ValueError(f"BMP declares {n_colors} colors at {bpp} bpp")
+        pal_off = 14 + hdr_size
+        pal = payload[pal_off : pal_off + 4 * n_colors]
+        if len(pal) < 4 * n_colors:
+            raise ValueError("torn BMP color table")
+        if compression == 1:
+            idx = _bmp_rle8(payload, data_off, w, h, top_down)
+        else:
+            idx = _bmp_unpack_indexed(payload, data_off, w, h, bpp, top_down)
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("BMP pixel index beyond color table")
+        table = np.frombuffer(pal, dtype=np.uint8).reshape(n_colors, 4)
+        rgb = table[idx][:, :, [2, 1, 0]]  # BGRX -> RGB
+        return Raster(w, h, 3, rgb.tobytes())
     bypp = bpp // 8
     return Raster(w, h, 3, dib_to_rgb(payload, data_off, w, h, bypp, top_down))
+
+
+def _bmp_unpack_indexed(
+    payload: bytes, data_off: int, w: int, h: int, bpp: int, top_down: bool
+) -> "np.ndarray":
+    """(h, w) uint8 index matrix, top-down, from packed 1/4/8-bit rows
+    (rows padded to 4-byte boundaries, bottom-up unless h was
+    negative)."""
+    stride = ((w * bpp + 31) // 32) * 4
+    raw = payload[data_off : data_off + stride * h]
+    if len(raw) != stride * h:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    if bpp == 8:
+        idx = rows[:, :w]
+    elif bpp == 4:
+        hi = rows >> 4
+        lo = rows & 0x0F
+        idx = np.empty((h, stride * 2), dtype=np.uint8)
+        idx[:, 0::2] = hi
+        idx[:, 1::2] = lo
+        idx = idx[:, :w]
+    else:  # 1-bit
+        idx = np.unpackbits(rows, axis=1)[:, :w]
+    return idx if top_down else idx[::-1]
+
+
+def _bmp_rle8(
+    payload: bytes, data_off: int, w: int, h: int, top_down: bool
+) -> "np.ndarray":
+    """(h, w) uint8 index matrix from a BI_RLE8 stream: encoded runs
+    (count, value), escapes 0x00 00 end-of-line / 0x00 01 end-of-bitmap
+    / 0x00 02 dx,dy delta (skipped pixels read index 0) / 0x00 n>=3
+    absolute mode (n literals, word-aligned).  RLE streams are
+    bottom-up per the format; a run overflowing its row is torn."""
+    idx = np.zeros((h, w), dtype=np.uint8)
+    pos = data_off
+    x = y = 0  # y counts from the BOTTOM row
+    n = len(payload)
+    while True:
+        if pos + 2 > n:
+            raise ValueError("torn BMP RLE8 stream")
+        c, v = payload[pos], payload[pos + 1]
+        pos += 2
+        if c > 0:
+            if y >= h or x + c > w:
+                raise ValueError("BMP RLE8 run overflows row")
+            idx[h - 1 - y, x : x + c] = v
+            x += c
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            if pos + 2 > n:
+                raise ValueError("torn BMP RLE8 delta")
+            x += payload[pos]
+            y += payload[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                raise ValueError("BMP RLE8 delta out of bounds")
+        else:  # absolute mode: v literal indices, word-aligned
+            if y >= h or x + v > w:
+                raise ValueError("BMP RLE8 absolute run overflows row")
+            lit = payload[pos : pos + v]
+            if len(lit) != v:
+                raise ValueError("torn BMP RLE8 absolute run")
+            idx[h - 1 - y, x : x + v] = np.frombuffer(lit, dtype=np.uint8)
+            x += v
+            pos += v + (v & 1)  # pad to word
+    return idx[::-1] if top_down else idx
+
+
+def encode_bmp_indexed(
+    r: Raster, bpp: int = 8, *, rle: bool = False
+) -> bytes:
+    """Indexed-color BMP writer (r15 fixture generator): builds the
+    palette from the raster's distinct colors (<= 2^bpp required) and
+    packs 1/4/8-bit rows bottom-up, optionally BI_RLE8-compressed
+    (8 bpp only; encoded runs + one absolute-mode run per row start
+    when profitable is NOT attempted — fixtures emit simple runs)."""
+    if bpp not in (1, 4, 8):
+        raise ValueError(f"indexed BMP bpp must be 1/4/8, got {bpp}")
+    if rle and bpp != 8:
+        raise ValueError("BI_RLE8 requires 8 bpp")
+    px = np.frombuffer(r.pixels, dtype=np.uint8)
+    if r.channels == 1:
+        px = np.repeat(px, 3)
+    rgb = px.reshape(r.height, r.width, 3)
+    colors, inverse = np.unique(
+        rgb.reshape(-1, 3), axis=0, return_inverse=True
+    )
+    if len(colors) > (1 << bpp):
+        raise ValueError(
+            f"{len(colors)} distinct colors exceed {1 << bpp}-entry palette"
+        )
+    idx = inverse.reshape(r.height, r.width).astype(np.uint8)
+    pal = b"".join(
+        bytes((int(c[2]), int(c[1]), int(c[0]), 0)) for c in colors
+    )
+    if rle:
+        body = bytearray()
+        for row in idx[::-1]:  # bottom-up
+            x = 0
+            while x < r.width:
+                run = 1
+                while (
+                    x + run < r.width
+                    and row[x + run] == row[x]
+                    and run < 255
+                ):
+                    run += 1
+                body += bytes((run, int(row[x])))
+                x += run
+            body += b"\x00\x00"  # end of line
+        body += b"\x00\x01"  # end of bitmap
+        raster = bytes(body)
+        compression = 1
+    else:
+        stride = ((r.width * bpp + 31) // 32) * 4
+        rows = np.zeros((r.height, stride), dtype=np.uint8)
+        if bpp == 8:
+            rows[:, : r.width] = idx[::-1]
+        elif bpp == 4:
+            flip = idx[::-1]
+            padded_w = stride * 2
+            wide = np.zeros((r.height, padded_w), dtype=np.uint8)
+            wide[:, : r.width] = flip
+            rows = (wide[:, 0::2] << 4) | wide[:, 1::2]
+        else:
+            flip = idx[::-1]
+            wide = np.zeros((r.height, stride * 8), dtype=np.uint8)
+            wide[:, : r.width] = flip
+            rows = np.packbits(wide, axis=1)
+        raster = rows.tobytes()
+        compression = 0
+    data_off = 14 + 40 + len(pal)
+    file_size = data_off + len(raster)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, r.width, r.height, 1, bpp, compression,
+        len(raster), 2835, 2835, len(colors), 0,
+    )
+    return header + info + pal + raster
 
 
 def encode_bmp(r: Raster) -> bytes:

@@ -1768,7 +1768,19 @@ def streaming_imagegate_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if k == 0:
                     payload = imagecodec.encode_ppm(r)
                 elif k == 1:
-                    payload = imagecodec.encode_bmp(r)
+                    # r15: the BMP slice sub-rotates 24-bit / indexed-8
+                    # / BI_RLE8 — same pixels, so admissions (and the
+                    # oracle) are unchanged while the palette and RLE
+                    # decode paths run under the driver hash
+                    sub = (i // 3) % 3
+                    if sub == 0:
+                        payload = imagecodec.encode_bmp(r)
+                    elif sub == 1:
+                        payload = imagecodec.encode_bmp_indexed(r, 8)
+                    else:
+                        payload = imagecodec.encode_bmp_indexed(
+                            r, 8, rle=True
+                        )
                 else:
                     payload = imagecodec.encode_png(r)
                 ids.append(i)

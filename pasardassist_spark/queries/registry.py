@@ -267,6 +267,12 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # PCM depths in (audiocodec.py widened decode; n_samples is
     # depth-invariant so the oracle is unchanged).
     "mm_wav_info_tags",
+    # round 15: streaming_imagegate_readout's BMP slice sub-rotates
+    # indexed-8 and BI_RLE8 containers in (imagecodec.py gained the
+    # palette + RLE8 decode); pixels identical, oracle unchanged.
+    # mm_mp3_frames (already above) additionally gained the free-format
+    # sub-slice with a NULLed bitrate oracle.
+    "streaming_imagegate_readout",
 })
 
 

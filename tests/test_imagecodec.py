@@ -75,10 +75,79 @@ def test_bmp_top_down_and_32bpp():
     assert d == C.Raster(w, h, 3, pixels_rgb)
 
 
-def test_bmp_compressed_rejected():
+def test_bmp_unknown_compression_rejected():
     payload = bytearray(C.encode_bmp(C.Raster(1, 1, 3, b"\x01\x02\x03")))
-    struct.pack_into("<I", payload, 30, 1)  # BI_RLE8
+    struct.pack_into("<I", payload, 30, 3)  # BI_BITFIELDS
     with pytest.raises(NotImplementedError):
+        C.decode_bmp(bytes(payload))
+    # RLE8 is read since r15 but REQUIRES 8 bpp — a 24-bpp RLE header
+    # is malformed, not a seam
+    struct.pack_into("<I", payload, 30, 1)
+    with pytest.raises(ValueError, match="requires 8 bpp"):
+        C.decode_bmp(bytes(payload))
+
+
+def test_bmp_indexed_roundtrips_all_depths():
+    """r15: 1/4/8-bit indexed BMPs with BGRX color tables, packed rows
+    padded to 4-byte boundaries, decoded through the palette."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for w, h, bpp in [(9, 8, 8), (16, 5, 4), (33, 7, 1), (3, 2, 8)]:
+        ncol = min(1 << bpp, 7)
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        idx = rng.integers(0, ncol, (h, w))
+        r = C.Raster(w, h, 3, pal[idx].astype(np.uint8).tobytes())
+        payload = C.encode_bmp_indexed(r, bpp)
+        assert C.sniff_format(payload) == "bmp"
+        assert C.decode(payload) == r
+
+
+def test_bmp_rle8_roundtrip_and_escapes():
+    """BI_RLE8 encoded runs + EOL/EOD escapes roundtrip; delta and
+    absolute-mode escapes decode from a hand-built stream."""
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    pal = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+    idx = np.repeat(rng.integers(0, 5, (6, 4)), 3, axis=1)  # runs
+    r = C.Raster(12, 6, 3, pal[idx].astype(np.uint8).tobytes())
+    assert C.decode(C.encode_bmp_indexed(r, 8, rle=True)) == r
+    # hand-built 4x2 stream: absolute run, delta skip, EOL, run, EOD
+    pal2 = bytes((0, 0, 0, 0)) + bytes((10, 20, 30, 0))  # BGRX x2
+    rle = bytes(
+        [0, 3, 1, 1, 1, 0,  # absolute: 3 literals + pad
+         0, 2, 1, 0,        # delta dx=1 (skipped pixel = index 0)
+         0, 0,              # EOL
+         4, 1,              # run of 4 x index 1
+         0, 1]              # EOD
+    )
+    data_off = 14 + 40 + len(pal2)
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(rle), 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 4, 2, 1, 8, 1, len(rle), 0, 0, 2, 0
+    )
+    d = C.decode_bmp(header + info + pal2 + rle)
+    import numpy as np
+
+    got = np.frombuffer(d.pixels, dtype=np.uint8).reshape(2, 4, 3)
+    # bottom row: 3 literal index-1 + 1 skipped (index 0)
+    assert got[1].tolist() == [[30, 20, 10]] * 3 + [[0, 0, 0]]
+    assert got[0].tolist() == [[30, 20, 10]] * 4
+
+
+def test_bmp_rle8_torn_raises():
+    r = C.Raster(4, 2, 3, bytes(24))
+    payload = C.encode_bmp_indexed(r, 8, rle=True)
+    with pytest.raises(ValueError, match="torn BMP RLE8"):
+        C.decode_bmp(payload[:-3])
+
+
+def test_bmp_index_beyond_palette_raises():
+    r = C.Raster(2, 1, 3, bytes((1, 1, 1, 2, 2, 2)))
+    payload = bytearray(C.encode_bmp_indexed(r, 8))
+    struct.pack_into("<I", payload, 46, 1)  # colors_used -> 1
+    with pytest.raises(ValueError, match="beyond the color table|beyond color table|beyond"):
         C.decode_bmp(bytes(payload))
 
 

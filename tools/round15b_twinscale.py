@@ -145,10 +145,46 @@ if __name__ == "__main__":
     spark = get_spark("round15b-twinscale")
     docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
     docs.count()
+    # Gate-aware replication: replicate_documents PREFIXES every token,
+    # which destroys the stopwords the Gopher gate requires (10x corpus
+    # -> 0 admitted, first run of this harness).  Instead intersperse a
+    # replica-and-doc-unique token every 3rd word — the docgate
+    # readout's own construction: stopwords survive (gate passes) while
+    # every 5-shingle carries a token no other replica has (near-dup
+    # bands cannot fire across replicas).
+    def replicate_for_gate(d, n):
+        # n=1 gives the sf0.1 baseline the SAME marker construction,
+        # so the two scales compare like-for-like
+        r = d.crossJoin(F.broadcast(
+            spark.range(n).select(F.col("id").alias("_rep"))
+        ))
+        words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        marker = F.concat(
+            F.lit("qzr"), F.col("_rep").cast("string"),
+            F.lit("d"), F.col("doc_id").cast("string"), F.lit("x"),
+        )
+        tagged = F.array_join(
+            F.flatten(
+                F.transform(
+                    words,
+                    lambda w, i: F.when(
+                        i % 3 == 2, F.array(w, marker)
+                    ).otherwise(F.array(w)),
+                )
+            ),
+            " ",
+        )
+        return r.select(
+            (F.col("doc_id") + F.col("_rep") * F.lit(10_000_000)).alias(
+                "doc_id"
+            ),
+            tagged.alias("text"),
+        )
+
     results = []
     for label, d in (
-        ("sf0.1", docs),
-        ("sf1", replicate_documents(docs, N_REPLICAS)),
+        ("sf0.1", replicate_for_gate(docs, 1)),
+        ("sf1", replicate_for_gate(docs, N_REPLICAS)),
     ):
         results.append(run_doc_gate(spark, d, label))
         print(json.dumps(results[-1]), flush=True)
