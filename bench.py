@@ -85,8 +85,10 @@ EXTRA_NAMES = [
     "mm_mp4_meta",
     "mm_flac_ogg_meta",
     "mm_mkv_meta",
-    # round-15 debut
+    # round-15 debuts
     "mm_heif_meta",
+    "mm_aiff_meta",
+    "mm_ico_meta",
     "dedup_passages",
     "dedup_clusters",
     "split_by_cluster",

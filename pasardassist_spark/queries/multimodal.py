@@ -2496,3 +2496,206 @@ def mm_heif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_build_parse, schema)
+
+
+@query(
+    "mm_aiff_meta",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 2 THEN 'aifc' ELSE 'aiff' END AS form,
+               CAST(CASE doc_id % 6 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                    WHEN 2 THEN 22050 WHEN 3 THEN 96000 WHEN 4 THEN 8000
+                    ELSE 11025 END AS INTEGER) AS sample_rate
+        FROM documents
+    )
+    SELECT doc_id, form,
+           CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+           sample_rate,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16
+                WHEN 2 THEN 24 ELSE 32 END AS INTEGER) AS bits_per_sample,
+           CAST(sample_rate * (1 + doc_id % 4) + doc_id % 997 AS BIGINT)
+               AS n_frames,
+           CAST((sample_rate * (1 + doc_id % 4) + doc_id % 997) * 1000
+                // sample_rate AS BIGINT) AS duration_ms,
+           CASE WHEN doc_id % 2 = 1
+                THEN 'Take ' || CAST(doc_id % 40 AS VARCHAR) END AS name,
+           CASE WHEN doc_id % 5 = 0
+                THEN 'Perf ' || CAST(doc_id % 11 AS VARCHAR) END AS author
+    FROM base
+    """,
+)
+def mm_aiff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIFF/AIFF-C audio metadata WITHOUT sample decode
+    (operators/aiffmeta.py, r15 — the big-endian EA-IFF-85 sibling of
+    mm_wav_info_tags, closing the audio container matrix: MP3, MP4,
+    FLAC, Ogg, WAV, and now the .aif/.aifc that pre-2000s Mac and
+    pro-audio corpora carry).  The headline hazard is COMM's sample
+    rate: an 80-BIT IEEE 754 EXTENDED float (15-bit exponent biased
+    16383, EXPLICIT integer bit) — six clocks rotate through it,
+    including the canonical 44100 = 0x400E AC44...  AIFF-C fixtures
+    (ids %3==2) carry FVER + the NONE compression tag (codecs raise by
+    name); NAME rides odd ids (odd byte lengths exercise the IFF pad
+    rule), AUTH ids %5==0, and the SSND stub is skipped by size.
+
+    The oracle re-derives every column from doc_id arithmetic — one
+    hash certifies the chunk walk, the extended-float decode, both
+    form layouts and the text-chunk pad rule on 500 files.
+
+    Spark plan: one Arrow map pass over doc ids, no shuffle; O(header
+    bytes) per file however long the audio runs."""
+    from pasardassist_spark.operators.aiffmeta import (
+        encode_aiff_meta,
+        parse_aiff_meta,
+    )
+
+    schema = (
+        "doc_id long, form string, channels int, sample_rate int, "
+        "bits_per_sample int, n_frames long, duration_ms long, "
+        "name string, author string"
+    )
+    _RATES = (44100, 48000, 22050, 96000, 8000, 11025)
+
+    def _build_parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "doc_id", "form", "channels", "sample_rate",
+            "bits_per_sample", "n_frames", "duration_ms", "name",
+            "author",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rate = _RATES[i % 6]
+                payload = encode_aiff_meta(
+                    form="aifc" if i % 3 == 2 else "aiff",
+                    channels=1 + i % 2,
+                    sample_rate=rate,
+                    bits=(8, 16, 24, 32)[i % 4],
+                    n_frames=rate * (1 + i % 4) + i % 997,
+                    name=f"Take {i % 40}" if i % 2 == 1 else None,
+                    author=f"Perf {i % 11}" if i % 5 == 0 else None,
+                )
+                m = parse_aiff_meta(payload)
+                rows["doc_id"].append(i)
+                rows["form"].append(m.form)
+                rows["channels"].append(m.channels)
+                rows["sample_rate"].append(m.sample_rate)
+                rows["bits_per_sample"].append(m.bits_per_sample)
+                rows["n_frames"].append(m.n_frames)
+                rows["duration_ms"].append(m.duration_ms)
+                rows["name"].append(m.name)
+                rows["author"].append(m.author)
+            yield pd.DataFrame(rows)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_build_parse, schema)
+
+
+@query(
+    "mm_ico_meta",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 3 THEN 'cursor' ELSE 'icon' END
+                   AS kind,
+               CAST(1 + doc_id % 3 AS INTEGER) AS n_entries
+        FROM documents
+    ),
+    ent AS (
+        SELECT doc_id, kind, n_entries, CAST(e.k AS INTEGER) AS entry_no,
+               doc_id % 4 = 1 AND e.k = 0 AS big,
+               (doc_id + e.k) % 5 = 0 AS png5,
+               CAST(e.k AS INTEGER) AS k
+        FROM base, (SELECT unnest(range(3)) AS k) e
+        WHERE e.k < n_entries
+    ),
+    shaped AS (
+        SELECT doc_id, kind, n_entries, entry_no,
+               CASE WHEN big THEN 256
+                    ELSE CASE k WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 48 END
+               END AS w,
+               big OR png5 AS is_png,
+               CASE WHEN big OR png5 THEN 32
+                    ELSE CASE k WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 24 END
+               END AS bpp
+        FROM ent
+    )
+    SELECT doc_id, kind, n_entries, entry_no,
+           CAST(w AS INTEGER) AS width, CAST(w AS INTEGER) AS height,
+           CAST(bpp AS INTEGER) AS bpp,
+           CASE WHEN is_png THEN 'png' ELSE 'dib' END AS fmt,
+           CAST(CASE WHEN is_png THEN 57
+                ELSE 40
+                     + CASE WHEN bpp <= 8 THEN 4 * (1 << bpp) ELSE 0 END
+                     + (((w * bpp + 31) // 32) * 4
+                        + ((w + 31) // 32) * 4) * w
+                END AS BIGINT) AS size_bytes
+    FROM shaped
+    """,
+)
+def mm_ico_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICO/CUR (favicon) directory metadata WITHOUT pixel decode
+    (operators/icometa.py, r15): favicons are the most-fetched image
+    class on the web, and crawls index them from the ICONDIR alone —
+    per-entry dimensions (the 0-means-256 sentinel cross-checked
+    against the embedded PNG IHDR / DIB header), bit depth, payload
+    format, and declared size.  The two classic traps are pinned by
+    the oracle: the 256px entry whose directory bytes read 0, and the
+    DIB whose biHeight counts the XOR **and** AND masks (real height
+    is half).  Fixtures rotate 1-3 entries (16/32/48 px ladder), a
+    256px PNG member on ids %4==1, PNG-vs-DIB by (id+entry)%5, icon
+    vs cursor type, and palette/truecolor depths; size_bytes is
+    re-derived closed-form (DIB stride + palette arithmetic, the
+    constant 57-byte PNG header stub), so one hash certifies the
+    directory walk, both payload sniffs and the mask/stride math on
+    500 files.
+
+    Spark plan: one Arrow map pass over doc ids, no shuffle."""
+    from pasardassist_spark.operators.icometa import (
+        encode_ico,
+        parse_ico_meta,
+    )
+
+    schema = (
+        "doc_id long, kind string, n_entries int, entry_no int, "
+        "width int, height int, bpp int, fmt string, size_bytes long"
+    )
+
+    def _build_parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "doc_id", "kind", "n_entries", "entry_no", "width",
+            "height", "bpp", "fmt", "size_bytes",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n = 1 + i % 3
+                spec = []
+                for k in range(n):
+                    big = i % 4 == 1 and k == 0
+                    png = big or (i + k) % 5 == 0
+                    w = 256 if big else (16, 32, 48)[k]
+                    bpp = 32 if png else (4, 8, 24)[k]
+                    spec.append((w, w, bpp, "png" if png else "dib"))
+                payload = encode_ico(
+                    spec, kind="cursor" if i % 7 == 3 else "icon"
+                )
+                m = parse_ico_meta(payload)
+                if m.n_entries != n:
+                    raise ValueError(f"doc {i}: entry count {m.n_entries}")
+                for k, e in enumerate(m.entries):
+                    rows["doc_id"].append(i)
+                    rows["kind"].append(m.kind)
+                    rows["n_entries"].append(n)
+                    rows["entry_no"].append(k)
+                    rows["width"].append(e.width)
+                    rows["height"].append(e.height)
+                    rows["bpp"].append(e.bpp)
+                    rows["fmt"].append(e.fmt)
+                    rows["size_bytes"].append(e.size_bytes)
+            yield pd.DataFrame(rows)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_build_parse, schema)

@@ -1,0 +1,71 @@
+"""ICO/CUR directory metadata walk — operators/icometa.py (r15)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from pasardassist_spark.operators.icometa import (
+    encode_ico,
+    parse_ico_meta,
+    sniff_ico,
+)
+
+
+def test_multi_entry_roundtrip_with_256_sentinel():
+    p = encode_ico([
+        (16, 16, 4, "dib"), (32, 32, 8, "dib"),
+        (256, 256, 32, "png"), (48, 48, 24, "dib"),
+    ])
+    assert sniff_ico(p)
+    m = parse_ico_meta(p)
+    assert m.kind == "icon" and m.n_entries == 4
+    assert [(e.width, e.height, e.bpp, e.fmt) for e in m.entries] == [
+        (16, 16, 4, "dib"), (32, 32, 8, "dib"),
+        (256, 256, 32, "png"), (48, 48, 24, "dib"),
+    ]
+    # the 256 entry really is the 0 sentinel in the directory
+    assert p[6 + 16 * 2] == 0 and p[6 + 16 * 2 + 1] == 0
+
+
+def test_cursor_type():
+    assert parse_ico_meta(
+        encode_ico([(32, 32, 1, "dib")], kind="cursor")
+    ).kind == "cursor"
+
+
+def test_dib_height_is_halved():
+    """biHeight counts XOR + AND masks; an odd biHeight is torn."""
+    p = bytearray(encode_ico([(16, 16, 8, "dib")]))
+    img_off = struct.unpack_from("<I", p, 6 + 12)[0]
+    # biHeight currently 32; sanity then break it
+    assert struct.unpack_from("<i", p, img_off + 8)[0] == 32
+    struct.pack_into("<i", p, img_off + 8, 33)
+    with pytest.raises(ValueError, match="not twice"):
+        parse_ico_meta(bytes(p))
+
+
+def test_directory_image_mismatch_raises():
+    p = bytearray(encode_ico([(16, 16, 8, "dib")]))
+    p[6] = 17  # directory width lies
+    with pytest.raises(ValueError, match="directory width 17 != image"):
+        parse_ico_meta(bytes(p))
+
+
+def test_bounds_and_torn():
+    p = encode_ico([(16, 16, 8, "dib")])
+    with pytest.raises(ValueError, match="out of bounds"):
+        parse_ico_meta(p[:-10])
+    with pytest.raises(ValueError, match="not an ICO"):
+        parse_ico_meta(b"\x01\x00\x01\x00\x01\x00")
+    bad = bytearray(p)
+    struct.pack_into("<I", bad, 6 + 12, 2)  # offset inside the directory
+    with pytest.raises(ValueError, match="out of bounds"):
+        parse_ico_meta(bytes(bad))
+
+
+def test_sniff_rejects_lookalikes():
+    assert not sniff_ico(b"BM\x00\x00\x00\x00")
+    assert not sniff_ico(struct.pack("<HHH", 0, 3, 1))
+    assert not sniff_ico(struct.pack("<HHH", 0, 1, 999))
