@@ -89,6 +89,7 @@ EXTRA_NAMES = [
     "mm_heif_meta",
     "mm_aiff_meta",
     "mm_ico_meta",
+    "mm_svg_meta",
     "dedup_passages",
     "dedup_clusters",
     "split_by_cluster",

@@ -2699,3 +2699,117 @@ def mm_ico_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(_build_parse, schema)
+
+
+@query(
+    "mm_svg_meta",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               doc_id % 9 = 4 AS no_attrs,
+               doc_id % 2 = 0 AS has_vb,
+               doc_id % 4 AS unit,
+               CAST(320 + 16 * (doc_id % 8) AS DOUBLE) AS vbw,
+               CAST(240 + 16 * (doc_id % 5) AS DOUBLE) AS vbh
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN no_attrs THEN CASE WHEN has_vb THEN vbw END
+                ELSE CASE unit
+                     WHEN 0 THEN 100 + doc_id % 60
+                     WHEN 1 THEN 4 * (34 + doc_id % 20)
+                     WHEN 2 THEN 96 * (1 + doc_id % 5)
+                END END AS DOUBLE) AS width_px,
+           CAST(CASE WHEN no_attrs THEN CASE WHEN has_vb THEN vbh END
+                ELSE CASE unit
+                     WHEN 0 THEN 50 + doc_id % 40
+                     WHEN 1 THEN 4 * (20 + doc_id % 15)
+                     WHEN 2 THEN 96 * (1 + doc_id % 3)
+                END END AS DOUBLE) AS height_px,
+           CASE WHEN has_vb THEN vbw END AS view_w,
+           CASE WHEN has_vb THEN vbh END AS view_h,
+           CAST(doc_id % 7 AS INTEGER) AS n_paths,
+           CAST(doc_id % 3 AS INTEGER) AS n_texts,
+           CAST(doc_id % 2 AS INTEGER) AS n_images,
+           doc_id % 11 = 5 OR doc_id % 13 = 6 AS has_script,
+           CASE WHEN doc_id % 4 != 0
+                THEN 'Logo ' || CAST(doc_id % 30 AS VARCHAR) END AS title
+    FROM base
+    """,
+)
+def mm_svg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SVG intrinsic-size + structure metadata WITHOUT rasterization
+    (operators/svgmeta.py, r15): the one first-class web image format
+    the codec family didn't cover — a crawl indexes SVGs by resolved
+    intrinsic dimensions and by whether they carry ACTIVE content
+    (<script> or on* handlers turn an 'image' into a security-relevant
+    document).  CSS unit resolution rotates px / pt (x4/3) / in (x96)
+    with numbers chosen so every resolved value is an exact integer
+    (no cross-engine rounding seam; mm/cm resolution is pytest-pinned
+    where ties cannot bite the driver hash); the %-unit slice reads
+    NULL (no intrinsic resolution), ids %9==4 omit width/height
+    entirely and fall back to the viewBox extent per the browser rule,
+    and ids %2==0 carry a viewBox.  Element counts walk
+    namespace-agnostically; has_script fires on script elements OR
+    event-handler attributes.  DTD/entity payloads are REJECTED before
+    parse (billion-laughs hardening, pytest-pinned).
+
+    Spark plan: one Arrow map pass over doc ids, no shuffle."""
+    from pasardassist_spark.operators.svgmeta import (
+        encode_svg,
+        parse_svg_meta,
+    )
+
+    schema = (
+        "doc_id long, width_px double, height_px double, view_w double, "
+        "view_h double, n_paths int, n_texts int, n_images int, "
+        "has_script boolean, title string"
+    )
+
+    def _build_parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "doc_id", "width_px", "height_px", "view_w", "view_h",
+            "n_paths", "n_texts", "n_images", "has_script", "title",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                unit = i % 4
+                if i % 9 == 4:
+                    w = h = None
+                elif unit == 0:
+                    w, h = f"{100 + i % 60}px", f"{50 + i % 40}px"
+                elif unit == 1:
+                    w = f"{3 * (34 + i % 20)}pt"
+                    h = f"{3 * (20 + i % 15)}pt"
+                elif unit == 2:
+                    w, h = f"{1 + i % 5}in", f"{1 + i % 3}in"
+                else:
+                    w, h = f"{30 + i % 70}%", f"{20 + i % 60}%"
+                vb = (
+                    f"0 0 {320 + 16 * (i % 8)} {240 + 16 * (i % 5)}"
+                    if i % 2 == 0
+                    else None
+                )
+                payload = encode_svg(
+                    width=w, height=h, view_box=vb,
+                    n_paths=i % 7, n_texts=i % 3, n_images=i % 2,
+                    script=i % 11 == 5, onload=i % 13 == 6,
+                    title=f"Logo {i % 30}" if i % 4 != 0 else None,
+                )
+                m = parse_svg_meta(payload)
+                rows["doc_id"].append(i)
+                rows["width_px"].append(m.width_px)
+                rows["height_px"].append(m.height_px)
+                rows["view_w"].append(m.view_w)
+                rows["view_h"].append(m.view_h)
+                rows["n_paths"].append(m.n_paths)
+                rows["n_texts"].append(m.n_texts)
+                rows["n_images"].append(m.n_images)
+                rows["has_script"].append(m.has_script)
+                rows["title"].append(m.title)
+            yield pd.DataFrame(rows)
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_build_parse, schema)
