@@ -876,7 +876,11 @@ def test_mp4_flac_mkv_metadata_walks_fanout_only(spark, sf_dir):
     Exchange allowed is the DELIBERATE round-robin fan-out the table
     loader applies to single-file fixture tables (tables.py
     _FANOUT_TABLES) — never a hash/range repartition."""
-    for name in ("mm_mp4_meta", "mm_flac_ogg_meta", "mm_mkv_meta"):
+    for name in (
+        "mm_mp4_meta", "mm_flac_ogg_meta", "mm_mkv_meta",
+        # r15 debuts: same fan-out-only contract
+        "mm_heif_meta", "mm_aiff_meta", "mm_ico_meta", "mm_svg_meta",
+    ):
         p = plan(REGISTRY[name].fn(spark, sf_dir))
         assert "hashpartitioning" not in p, f"{name}: unexpected shuffle"
         assert "rangepartitioning" not in p, f"{name}: unexpected sort"
