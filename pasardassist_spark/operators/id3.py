@@ -25,6 +25,12 @@ from __future__ import annotations
 import struct
 
 _TEXT_FRAMES = ("TIT2", "TPE1", "TALB", "TYER", "TDRC", "TRCK")
+# ID3v2.2 uses 3-character frame ids; map them onto the v2.3+ names so
+# one readout covers all tag generations (id3v2-00 spec §4.2)
+_V22_FRAMES = {
+    "TT2": "TIT2", "TP1": "TPE1", "TAL": "TALB",
+    "TYE": "TYER", "TRK": "TRCK",
+}
 
 
 def _syncsafe(n: int) -> bytes:
@@ -90,10 +96,27 @@ def encode_id3v2(
     extended header (v2.3: 4-byte plain size excluding itself + flags
     + padding-size; v2.4: syncsafe size including itself + flag-count
     + flag byte)."""
-    if version not in (3, 4):
-        raise ValueError("only ID3v2.3 / v2.4 supported")
-    if encoding == 0x03 and version == 3:
+    if version not in (2, 3, 4):
+        raise ValueError("only ID3v2.2 / v2.3 / v2.4 supported")
+    if encoding == 0x03 and version != 4:
         raise ValueError("UTF-8 text encoding requires ID3v2.4")
+    if version == 2:
+        if unsync or extended_header:
+            raise ValueError(
+                "v2.2 fixtures: unsync/extended header not modeled"
+            )
+        inv = {v: k for k, v in _V22_FRAMES.items()}
+        body = b""
+        for fid, value in frames.items():
+            fid22 = inv.get(fid, fid[:3])
+            payload = _encode_text(value, encoding)
+            body += (
+                fid22.encode("ascii")
+                + len(payload).to_bytes(3, "big")
+                + payload
+            )
+        body += b"\x00" * padding
+        return b"ID3" + bytes([2, 0, 0]) + _syncsafe(len(body)) + body
     body = b""
     for fid, value in frames.items():
         payload = _encode_text(value, encoding)
@@ -148,7 +171,7 @@ def parse_id3(payload: bytes) -> dict | None:
     if len(payload) < 10:
         raise ValueError("truncated ID3 header")
     version = payload[3]
-    if version not in (3, 4):
+    if version not in (2, 3, 4):
         raise ValueError(f"unsupported ID3v2.{version} tag")
     flags = payload[5]
     tag_size = _unsyncsafe(payload[6:10])
@@ -160,8 +183,13 @@ def parse_id3(payload: bytes) -> dict | None:
     # tag body (frame sizes refer to de-unsynced data); v2.4 unsyncs
     # per-frame (format flag 0x02, sizes refer to stored bytes).
     buf = payload[10:end]
-    if flags & 0x80 and version == 3:
+    if flags & 0x80 and version in (2, 3):
+        # v2.2 and v2.3 unsync the whole tag body
         buf = _unsync_remove(buf)
+    if version == 2 and flags & 0x40:
+        # the v2.2 compression announce bit — no scheme was ever
+        # defined, so a tag carrying it is unreadable by spec
+        raise NotImplementedError("ID3v2.2 compression bit unsupported")
     if flags & 0x40:  # extended header
         if version == 3:
             if len(buf) < 4:
@@ -180,6 +208,30 @@ def parse_id3(payload: bytes) -> dict | None:
     out: dict[str, str] = {"version": version}
     pos = 0
     end = len(buf)
+    if version == 2:
+        # 3-char ids, 3-byte big-endian sizes, NO flag bytes (r15)
+        while pos + 6 <= end:
+            fid22 = buf[pos : pos + 3]
+            if fid22[0] == 0:
+                break
+            size = int.from_bytes(buf[pos + 3 : pos + 6], "big")
+            body = buf[pos + 6 : pos + 6 + size]
+            if len(body) != size:
+                raise ValueError("truncated ID3 frame")
+            fid_s = _V22_FRAMES.get(fid22.decode("ascii", "replace"))
+            if fid_s and size >= 1:
+                enc, text = body[0], body[1:]
+                if enc == 0x00:
+                    val = text.decode("latin-1")
+                elif enc == 0x01:
+                    val = text.decode("utf-16")
+                else:
+                    raise ValueError(
+                        f"unsupported ID3v2.2 text encoding {enc}"
+                    )
+                out[fid_s] = val.rstrip("\x00")
+            pos += 6 + size
+        return out
     while pos + 10 <= end:
         fid = buf[pos : pos + 4]
         if fid[0] == 0:  # padding reached

@@ -1463,7 +1463,8 @@ def mm_exif_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_id3_tags",
     oracle="""
     SELECT doc_id,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INTEGER)
+           CAST(CASE WHEN doc_id % 10 = 6 THEN 2
+                     WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INTEGER)
                AS version,
            'Track ' || CAST(doc_id % 100 AS VARCHAR) AS title,
            'Artist ' || CAST(doc_id % 13 AS VARCHAR) AS artist,
@@ -1481,9 +1482,11 @@ def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     UTF-8 text) by id parity, the classic cross-version parser trap;
     doc_id%3==0 tags are UNSYNCHRONISED (tag-level FF-00 escaping on
     v2.3, per-frame format-flag 0x02 on v2.4 — common in pre-2010
-    MP3s) and doc_id%5==0 tags carry the version's extended header
-    (r15); the tag fronts a fake MPEG frame-sync body the parser must
-    never materialize.  Year comes from TYER on v2.3 and TDRC on v2.4, per
+    MP3s), doc_id%5==0 tags carry the version's extended header, and
+    doc_id%10==6 tags are ID3v2.2 (3-char ids, 3-byte sizes, no flag
+    bytes — the pre-2003 generation, TT2/TP1/TAL/TYE/TRK mapped onto
+    the modern names) (r15); the tag fronts a fake MPEG frame-sync
+    body the parser must never materialize.  Year comes from TYER on v2.3 and TDRC on v2.4, per
     spec.  Extraction is O(tag bytes) however long the audio runs —
     the metadata-indexing shape a 100 TB media crawl needs.
 
@@ -1505,13 +1508,16 @@ def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
             )}
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
-                version = 3 if i % 2 == 0 else 4
-                encoding = 0x01 if version == 3 else 0x03
+                # r15: ids %10==6 write ID3v2.2 (3-char frame ids,
+                # 3-byte sizes, no flag bytes — the pre-2003 rip
+                # generation), mapped onto the v2.3+ names on read
+                version = 2 if i % 10 == 6 else (3 if i % 2 == 0 else 4)
+                encoding = 0x01 if version in (2, 3) else 0x03
                 frames = {
                     "TIT2": f"Track {i % 100}",
                     "TPE1": f"Artist {i % 13}",
                     "TALB": f"Album {i % 7}",
-                    ("TYER" if version == 3 else "TDRC"):
+                    ("TYER" if version in (2, 3) else "TDRC"):
                         str(1970 + i % 50),
                     "TRCK": f"{i % 20 + 1}/12",
                 }
@@ -1523,7 +1529,8 @@ def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # un-escaping and the header skip
                 tag = ID3.encode_id3v2(
                     version=version, encoding=encoding, frames=frames,
-                    unsync=i % 3 == 0, extended_header=i % 5 == 0,
+                    unsync=i % 3 == 0 and version != 2,
+                    extended_header=i % 5 == 0 and version != 2,
                 )
                 payload = tag + b"\xff\xfb\x90\x00" + bytes(64)  # fake MPEG
                 meta = ID3.parse_id3(payload)

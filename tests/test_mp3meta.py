@@ -251,3 +251,40 @@ def test_id3_v23_compression_still_raises():
     tag[19] = 0x80  # v2.3 compression bit
     with pytest.raises(NotImplementedError, match="format flags"):
         parse_id3(bytes(tag))
+
+
+def test_id3_v22_roundtrip_and_mapping():
+    """r15: ID3v2.2 — 3-char frame ids, 3-byte big-endian sizes, no
+    flag bytes — reads through the v2.3+ name mapping."""
+    tag = encode_id3v2(version=2, encoding=1, frames={
+        "TIT2": "Old Rip", "TPE1": "Artist ÿ", "TALB": "Al",
+        "TYER": "1999", "TRCK": "3/12",
+    })
+    assert tag[3] == 2 and b"TT2" in tag and b"TIT2" not in tag
+    m = parse_id3(tag)
+    assert m["version"] == 2 and m["TIT2"] == "Old Rip"
+    assert m["TPE1"] == "Artist ÿ" and m["TYER"] == "1999"
+    # latin-1 path too
+    m0 = parse_id3(encode_id3v2(version=2, encoding=0,
+                                frames={"TIT2": "plain"}))
+    assert m0["TIT2"] == "plain"
+
+
+def test_id3_v22_compression_bit_raises():
+    tag = bytearray(encode_id3v2(version=2, encoding=0,
+                                 frames={"TIT2": "x"}))
+    tag[5] |= 0x40  # the never-defined v2.2 compression announce bit
+    with pytest.raises(NotImplementedError, match="compression bit"):
+        parse_id3(bytes(tag))
+
+
+def test_id3_v22_truncated_frame_raises():
+    tag = encode_id3v2(version=2, encoding=0, frames={"TIT2": "hello"},
+                       padding=0)
+    cut = bytearray(tag[:-3])
+    # keep the declared tag size honest so the frame walk sees the cut
+    from pasardassist_spark.operators.id3 import _syncsafe
+
+    cut[6:10] = _syncsafe(len(cut) - 10)
+    with pytest.raises(ValueError, match="truncated ID3 frame"):
+        parse_id3(bytes(cut))
