@@ -1199,23 +1199,26 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tie-corrected: H' = H / (1 - sum(t^3 - t)/(N^3 - N)).
 
     Spark plan: one (value, event_type)-grain aggregate on the fact,
-    value-grain tie totals + ONE ordered prefix-sum window on the
-    distinct-value frame (the MW doubled-rank machinery — exact
-    integer average ranks, no per-row sort), a broadcast join back, a
-    k-row group aggregate.  Doubled rank sums stay BIGINT; only the
-    R2^2/n division is double (R2_g^2 exceeds int64 near N~2e9, cast
-    first — the spearman_rho discipline).  df = k-1 significance uses
-    the public chi-square critical table."""
+    value-grain tie totals + the two-phase DISTRIBUTED inclusive prefix
+    sum (operators/packing.py — range-bucketed windows + a broadcast
+    offsets join, never a single-task global sort even at a 100 TB
+    value domain) carrying the MW doubled-rank machinery — exact
+    integer average ranks, no per-row sort — then a broadcast join
+    back and a k-row group aggregate.  Doubled rank sums stay BIGINT;
+    only the R2^2/n division is double (R2_g^2 exceeds int64 near
+    N~2e9, cast first — the spearman_rho discipline).  df = k-1
+    significance uses the public chi-square critical table."""
+    from pasardassist_spark.operators.packing import inclusive_prefix_sum
+
     ev = load(spark, sf_dir, "events")
     g = ev.groupBy("value", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
     vt = g.groupBy("value").agg(F.sum("c").cast("long").alias("t"))
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    cv = vt.select(
+    cv = inclusive_prefix_sum(vt, "value", ["t"], out=["_ct"]).select(
         "value",
         "t",
-        (2 * F.sum("t").over(w) - F.col("t") + 1).alias("r2"),
+        (2 * F.col("_ct") - F.col("t") + 1).alias("r2"),
     )
     pg = (
         g.join(cv.select("value", "r2"), "value")
@@ -1296,11 +1299,15 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     average ranks).  gini_norm = 2*AUC - 1 is the accompanying
     normalized-Gini metric.
 
-    Spark plan: one value-grain aggregate on the fact, ONE prefix-sum
-    window over the distinct-value frame (the stat_mannwhitney_u
-    machinery — no per-row global sort), 1-row edge.  Everything stays
+    Spark plan: one value-grain aggregate on the fact, then the
+    two-phase DISTRIBUTED inclusive prefix sum over the distinct-value
+    frame (operators/packing.py — range-bucketed windows + a broadcast
+    offsets join; the stat_ks_test machinery, no single-task global
+    sort even at a 100 TB score domain), 1-row edge.  Everything stays
     exact BIGINT until the final division, so the hash match certifies
     rank arithmetic and tie handling bit-for-bit."""
+    from pasardassist_spark.operators.packing import inclusive_prefix_sum
+
     ev = load(spark, sf_dir, "events")
     g = ev.groupBy("value").agg(
         F.sum((F.col("event_type") == AUC_POS_TYPE).cast("long"))
@@ -1308,11 +1315,11 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("event_type") != AUC_POS_TYPE).cast("long"))
         .cast("long").alias("cnt_n"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    c = g.select(
+    g = g.withColumn("_t", F.col("cnt_p") + F.col("cnt_n"))
+    c = inclusive_prefix_sum(g, "value", ["_t"], out=["ct"]).select(
         "cnt_p",
-        (F.col("cnt_p") + F.col("cnt_n")).alias("t"),
-        F.sum(F.col("cnt_p") + F.col("cnt_n")).over(w).alias("ct"),
+        F.col("_t").alias("t"),
+        "ct",
     )
     a = c.agg(
         F.sum("cnt_p").cast("long").alias("n_pos"),
@@ -2132,13 +2139,17 @@ def stat_cvm_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
     4*sum(i^2) — no per-row explosion, the sum-of-squares prefix
     identity.
 
-    Spark plan: ONE value-grain aggregate on the fact, one ordered
-    prefix-sum window over the distinct-value frame carrying THREE
-    cumulative counters (pooled, per-sample slots), a 1-row edge — the
-    stat_mannwhitney_u machinery extended with the arithmetic-series
-    term.  All counters BIGINT; the squared terms assemble in double
-    from exactly-representable integers with the IDENTICAL expression
-    both engines."""
+    Spark plan: ONE value-grain aggregate on the fact, then the
+    two-phase DISTRIBUTED inclusive prefix sum (operators/packing.py —
+    range-bucketed windows + a broadcast offsets join; the stat_ks_test
+    machinery, no single-task global sort) carrying BOTH per-sample
+    cumulative slot counters in one pass (the pooled counter is their
+    exact integer sum), a 1-row edge — extended with the
+    arithmetic-series term.  All counters BIGINT; the squared terms
+    assemble in double from exactly-representable integers with the
+    IDENTICAL expression both engines."""
+    from pasardassist_spark.operators.packing import inclusive_prefix_sum
+
     ev = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin(MW_SAMPLE_A, MW_SAMPLE_B)
     )
@@ -2148,13 +2159,15 @@ def stat_cvm_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("event_type") == MW_SAMPLE_B).cast("long"))
         .cast("long").alias("cnt_b"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
     t = F.col("cnt_a") + F.col("cnt_b")
-    c = g.select(
+    # ct = ca + cb exactly (both BIGINT), so two cumulated columns in
+    # ONE two-phase pass reconstruct all three counters
+    c = inclusive_prefix_sum(
+        g, "value", ["cnt_a", "cnt_b"], out=["ca", "cb"]
+    ).select(
         "cnt_a", "cnt_b",
-        (2 * F.sum(t).over(w) - t + 1).alias("r2"),
-        F.sum("cnt_a").over(w).alias("ca"),
-        F.sum("cnt_b").over(w).alias("cb"),
+        (2 * (F.col("ca") + F.col("cb")) - t + 1).alias("r2"),
+        "ca", "cb",
     )
 
     def run_term(cnt, cum):

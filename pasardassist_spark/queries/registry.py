@@ -207,6 +207,10 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     # recurrence — no SQL form), driver row-checked clean in r14;
     # numpy/brute-force twins pytest-pinned
     "ml_isotonic_calibration", "ml_kmeans", "ts_pacf",
+    # r15 greens (CORRECTNESS_r15: 46 hash-green + 4 rows-only-by-design
+    # re-row-checked, 0 red — the r15 debut codec readouts plus every
+    # r15 _FORCE_RECHECK re-green)
+    "mm_heif_meta", "mm_aiff_meta", "mm_ico_meta", "mm_svg_meta",
 })
 
 # Entries whose implementation or oracle changed since their last green
@@ -217,62 +221,20 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # so the set starts empty.  Add a name here ONLY when its query fn or
 # oracle actually changed this round.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    # Round 15 starts empty: every r14 _FORCE_RECHECK name re-verified
-    # green in CORRECTNESS_r14 (45 hash-green + 5 clean rows-only, 0
-    # red).  Names are added below as round-15 changes land.
+    # Round 16 rotation: every r15 _FORCE_RECHECK name re-verified green
+    # in CORRECTNESS_r15 (46 hash-green + 4 clean rows-only, 0 red), so
+    # the r15 set is cleared.  Names below changed THIS round.
     #
-    # round 15: the r14 VERDICT anti-pattern fix — forced F.broadcast
-    # hints dropped from every UNBOUNDED fact-derived frame (degree
-    # aggregates, corpus vocab / n-gram count tables, market-basket
-    # frequent items, naive-Bayes model counts).  Output is identical
-    # by construction (hints are physical-plan-only); AQE now picks
-    # broadcast while the frame is small and degrades to a shuffled
-    # join at scale instead of failing the 8 GB cap
-    # (tests/test_plans_graph_degree.py pins both directions).  One
-    # fresh driver row each certifies.
-    "graph_link_prediction", "graph_assortativity",
-    "text_unigram_logprob", "text_bigram_logprob", "text_tfidf_keywords",
-    "curate_kneser_ney_ppl", "text_pmi_collocations",
-    "text_keyphrase_rake", "curate_ccnet_buckets", "sketch_bloom_filter",
-    "mb_pair_lift", "ml_naive_bayes",
-    # round 15 ADVICE fixes touching operator/query internals: Ogg
-    # page-header bounds (flacmeta.py), MP4 box-end bounds for
-    # mdhd/tkhd/stsd (mp4meta.py), ODF manifest iteration-count default
-    # 1024 (odttext.py), CvM cubic prefix term through double in BOTH
-    # engines (matching.py + oracle).  Outputs unchanged on the fixture
-    # corpora (re-checked locally at sf0.001 + sf0.01); one fresh driver
-    # row each certifies.
-    "mm_flac_ogg_meta", "mm_mp4_meta", "doc_odt_extract",
-    "stat_cvm_2samp",
-    # round 15: mm_mp4_meta ALSO rotates fragmented (moof) fixtures in
-    # on doc_id%5==3 (operators/mp4meta.py gained the mvex/trex +
-    # tfhd/trun walk); mm_id3_tags rotates unsynchronised tags
-    # (doc_id%3==0) and extended headers (doc_id%5==0) in
-    # (operators/id3.py gained both reads).  Oracles unchanged — the
-    # hash certifies the new recovery paths produce identical values.
-    "mm_id3_tags",
-    # round 15: pipeline_any_doc_extract's ppt codec rotates ENCRYPTED
-    # decks in on odd part counts (operators/ppttext.py gained the
-    # CryptSession10Container + persist-object RC4 CryptoAPI read) and
-    # its odt-adjacent consumers ride the same documents.py file; the
-    # doc_odt_extract rotation gained the legacy Blowfish slice.
-    "pipeline_any_doc_extract",
-    # round 15: mm_mp3_frames gained the layer column + Layer I/II
-    # rotation on the CBR slices (operators/mp3meta.py walks all three
-    # layers); oracle extended with the layer-aware duration clock.
-    "mm_mp3_frames",
-    # round 15: mm_flac_ogg_meta's vorbis slice gained the FLAC-in-Ogg
-    # sub-rotation (flacmeta.py reads the xiph mapping; codec column
-    # oracle extended); mm_wav_info_tags rotates 8/24/32-bit integer
-    # PCM depths in (audiocodec.py widened decode; n_samples is
-    # depth-invariant so the oracle is unchanged).
-    "mm_wav_info_tags",
-    # round 15: streaming_imagegate_readout's BMP slice sub-rotates
-    # indexed-8 and BI_RLE8 containers in (imagecodec.py gained the
-    # palette + RLE8 decode); pixels identical, oracle unchanged.
-    # mm_mp3_frames (already above) additionally gained the free-format
-    # sub-slice with a NULLed bitrate oracle.
-    "streaming_imagegate_readout",
+    # round 16: the r15 VERDICT's last scale-killer class — the three
+    # rank statistics whose cumulative counters ran through a
+    # single-partition Window.orderBy("value") — migrated onto the
+    # two-phase distributed inclusive prefix sum
+    # (operators/packing.py, the stat_ks_test machinery).  Values are
+    # identical by construction (same exact BIGINT rank arithmetic,
+    # RANGE-frame tie handling preserved); a plan test
+    # (tests/test_plans.py::test_rank_statistics_no_single_partition_value_window)
+    # pins the bucketed shape.  One fresh driver row each certifies.
+    "ml_auc_roc", "stat_kruskal_wallis", "stat_cvm_2samp",
 })
 
 

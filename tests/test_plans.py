@@ -911,3 +911,29 @@ def test_changepoint_single_sequential_window_chain(spark, sf_dir):
     assert len(schemas) == 1
     assert set(schemas[0]) == {"ts", "value"}
     assert data_shuffle_count(p) == 1  # the day aggregate
+
+
+# ---------------------------------------------------- round-16 operators
+
+
+@pytest.mark.parametrize(
+    "name", ["ml_auc_roc", "stat_kruskal_wallis", "stat_cvm_2samp"]
+)
+def test_rank_statistics_no_single_partition_value_window(spark, sf_dir, name):
+    """The r15 VERDICT's last scale-killer class: these rank statistics
+    used to cumulate over ``Window.orderBy("value")`` with no
+    partitionBy — a single-task sort of the whole distinct-value domain.
+    Migrated onto the two-phase distributed prefix sum
+    (operators/packing.py): every window in the plan must either
+    PARTITION by the range bucket ``_pb`` (the row-level cumsum, hash
+    exchange) or ORDER by ``_pb`` (the n_buckets-row offsets frame —
+    metadata-sized by construction). A window spec ordering by the raw
+    value with no partition column is the regression."""
+    p = plan(REGISTRY[name].fn(spark, sf_dir))
+    assert "hashpartitioning(_pb" in p, f"{name}: bucket window lost:\n{p}"
+    specs = re.findall(r"windowspecdefinition\((\w+)#\d+", p)
+    for col in specs:
+        assert col == "_pb", (
+            f"{name}: window over {col!r} is not the two-phase bucket "
+            f"shape:\n{p}"
+        )
