@@ -108,6 +108,7 @@ class PasarQueryService:
         did_profiles: DataFrame | None = None,
         collections: DataFrame | None = None,
         token_rates: DataFrame | None = None,
+        token_prices: DataFrame | None = None,
         platform_addresses: tuple[str, ...] = (),
     ) -> None:
         self.tokens = tokens
@@ -120,6 +121,10 @@ class PasarQueryService:
         # (chain, token) -> rate dim (the reference's token_rates collection,
         # refreshed from price feeds — S6); always broadcast-sized.
         self.token_rates = token_rates
+        # append-only platform price feed (the reference's tokens_price
+        # collection, one row per feed tick); platform_price() reads its
+        # latest row.
+        self.token_prices = token_prices
         # marketplace contract addresses (getAllPasarAddress): transfers
         # to/from these are order mechanics, not user transfers.
         self.platform_addresses = platform_addresses
@@ -728,6 +733,56 @@ class PasarQueryService:
             r = r.filter(F.col("chain") == chain)
         return r.orderBy("chain", "token")
 
+    # -- latest platform price (app.controller.ts:28-38, GET /price and
+    # -- /feeds/api/v1/price; app.service.ts:40-44) ---------------------------
+    def platform_price(self) -> DataFrame:
+        """getPrice: the single most recent row of the tokens_price feed —
+        the reference's `findOne({}, {sort: {timestamp: -1}})`. Spark
+        form: a global argmax over the append-only feed (latest_per_key on
+        a constant key — ONE map-side-combined partial-agg shuffle of one
+        row per task; never a global sort, never a driver-side loop).
+        Deterministic under equal timestamps via the token tie-break."""
+        if self.token_prices is None:
+            raise ValueError("token_prices frame not loaded")
+        order = [F.desc("timestamp")]
+        if "token" in self.token_prices.columns:
+            order.append(F.asc("token"))
+        return latest_per_key(
+            self.token_prices.withColumn("_k", F.lit(1)), ["_k"], order
+        ).drop("_k")
+
+    # -- marketplace order detail (app.controller.ts:103-110,
+    # -- app.service.ts:759-777) ----------------------------------------------
+    def collectible_of_marketplace(self, chain: str, order_id: int) -> DataFrame:
+        """getCollectibleOfMarketplace: the single marketplace order keyed
+        by (chain, orderId), with its token embedded — the reference's
+        $match + $lookup(tokens by uniqueKey) + preserve-null $unwind.
+
+        Spark shape: the (chain, orderId) point filter pushes to the
+        orders scan (partition/row-group pruning at scale); the tokens
+        side is first SEMI-narrowed by the matched order's uniqueKey (a
+        broadcast left-semi — the huge fact is never shuffled), and the
+        resulting <=1-row token frame broadcast-LEFT-joins back so a
+        missing token still yields the order row (the preserveNull
+        semantics). Token columns are prefixed ``token_`` (the $unwind
+        subdocument flattened)."""
+        o = self.orders.filter(
+            (F.col("chain") == chain) & (F.col("orderId") == order_id)
+        )
+        tok = self.tokens.select(
+            *[F.col(c).alias(f"token_{c}") for c in self.tokens.columns]
+        )
+        tok_matched = tok.join(
+            F.broadcast(o.select(F.col("uniqueKey").alias("_uk"))),
+            tok.token_uniqueKey == F.col("_uk"),
+            "left_semi",
+        )
+        return o.join(
+            F.broadcast(tok_matched),
+            o.uniqueKey == tok_matched.token_uniqueKey,
+            "left",
+        )
+
     # -- collection statistics (tasks.common.ts:124-154 / §3.3) -------------
     def collection_stats(self) -> DataFrame:
         """One shuffle replaces 4 queries/collection x N collections."""
@@ -1248,3 +1303,68 @@ class PasarQueryService:
             F.col("price").alias("latest_price"),
         )
         return t.join(latest, t.uniqueKey == latest.o_uk, "left").drop("o_uk")
+
+
+# -- route -> builder parity table (app.controller.ts:23-430) ----------------
+# Every @Get/@Post route the reference exposes, mapped to the
+# PasarQueryService method that computes its payload. Several routes share a
+# builder deliberately: the reference fans one query family out over
+# near-identical endpoints (the four market stickers are ONE single-pass
+# aggregate here; the five wallet-collectible views are one builder with a
+# mode switch). tests/test_api.py::test_route_builder_parity enumerates this
+# table, asserts every method exists, and — when the reference checkout is
+# present — diffs the route list against app.controller.ts so a new route
+# can never go silently unmapped.
+ROUTES: dict[str, str] = {
+    "/check": "check",
+    "/feeds/api/v1/price": "platform_price",
+    "/price": "platform_price",
+    "/getTokenOrderByTokenId": "token_order_by_token_id",
+    "/getTransHistoryByTokenId": "transactions",
+    "/getLatestBids": "latest_bids",
+    "/getEarnedByAddress": "earnings",
+    "/getTodayEarnedByAddress": "earnings",
+    "/getEarnedListByAddress": "earnings_list",
+    "/getTokenPriceHistory": "price_history",
+    "/getDidByAddress": "did_by_address",
+    "/getRecentOnSale": "recent_on_sale",
+    "/checkFirstSale": "check_first_sale",
+    "/listCollectibles": "list_collectibles",
+    "/marketplace": "marketplace",
+    "/getCollectibleOfMarketplace": "collectible_of_marketplace",
+    "/listNFTs": "list_nfts",
+    "/listTransactions": "transactions",
+    "/getTransactionsOfToken": "transactions",
+    "/getPriceHistoryOfToken": "price_history",
+    "/getCollectibleInfo": "token_detail",
+    "/getCollectiblesOfCollection": "collectibles_of_collection",
+    "/listCollections": "collections_list",
+    "/getCollectionInfo": "collection_info",
+    "/getStatisticsOfCollection": "collection_stats",
+    "/listCollectibleOfCollection": "collectibles_of_collection",
+    "/quickSearch": "quick_search",
+    "/searchTokens": "search_tokens",
+    "/searchMarketplace": "search_marketplace",
+    "/getStatisticsByWalletAddr": "wallet_statistics",
+    "/getCollectionsByWalletAddr": "collections_list",
+    "/getListedCollectiblesByWalletAddr": "collectibles_by_wallet",
+    "/getOwnedCollectiblesByWalletAddr": "collectibles_by_wallet",
+    "/getBidsCollectiblesByWalletAddr": "bids_by_wallet",
+    "/getMintedCollectiblesByWalletAddr": "collectibles_by_wallet",
+    "/getSoldCollectiblesByWalletAddr": "collectibles_by_wallet",
+    "/getItems": "market_totals",
+    "/getTransactions": "market_totals",
+    "/getOwners": "market_totals",
+    "/getTradingVolume": "market_totals",
+    "/reGetTokenDetail": "re_get_token_detail",
+    "/getStatisticsOfUser": "user_statistics",
+    "/listTransactionsOfUser": "transactions_of_user",
+    "/getIncomesOfUser": "incomes_of_user",
+    "/getTokensCount": "token_counts",
+    "/getPoolRewards": "pool_rewards",
+    "/getBidsHistory": "bids_history",
+    "/getAttributesOfCollection": "attributes_of_collection",
+    "/getV1MarketNFTByWalletAddr": "v1_market_by_wallet",
+    "/getQuotedTokensRate": "quoted_tokens_rate",
+    "/listFeedsChannel": "feeds_channels",
+}

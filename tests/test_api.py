@@ -716,3 +716,94 @@ def test_re_get_token_detail_resets_dead_letters(spark):
     updated2, n2 = PasarQueryService.re_get_token_detail(updated)
     assert n2 == 0
     assert {r.unique_key: r.retry_times for r in updated2.collect()} == got
+
+
+def test_platform_price_latest_row(spark):
+    """GET /price and /feeds/api/v1/price (app.controller.ts:28-38,
+    app.service.ts:40-44): findOne sorted by timestamp desc — the single
+    most recent feed tick, token tie-break when timestamps collide."""
+    from pasardassist_spark.api import PasarQueryService
+    from pasardassist_spark.api.schemas import ORDERS_SCHEMA, TOKENS_SCHEMA
+
+    prices = spark.createDataFrame(
+        [
+            ("ELA", 2.5, 1000),
+            ("ELA", 3.0, 3000),
+            ("BTC", 9.9, 3000),  # same ts: token asc -> BTC wins the tie
+            ("ELA", 2.7, 2000),
+        ],
+        "token string, price double, timestamp long",
+    )
+    s = PasarQueryService(
+        spark.createDataFrame([], TOKENS_SCHEMA),
+        spark.createDataFrame([], ORDERS_SCHEMA),
+        token_prices=prices,
+    )
+    rows = s.platform_price().collect()
+    assert len(rows) == 1
+    assert (rows[0].token, rows[0].price, rows[0].timestamp) == ("BTC", 9.9, 3000)
+    with pytest.raises(ValueError):
+        PasarQueryService(
+            spark.createDataFrame([], TOKENS_SCHEMA),
+            spark.createDataFrame([], ORDERS_SCHEMA),
+        ).platform_price()
+
+
+def test_collectible_of_marketplace(svc):
+    """getCollectibleOfMarketplace (app.controller.ts:103-110,
+    app.service.ts:759-777): the (chain, orderId) order row with its token
+    embedded; a missing token preserves the order row (the
+    preserveNullAndEmptyArrays $unwind)."""
+    rows = svc.collectible_of_marketplace("ela", 2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.orderId == 2 and r.uniqueKey == "ela-c1-1"
+    assert r.token_name == "Cool Cat" and r.token_tokenOwner == "alice"
+    # no such order on that chain -> empty, not an error
+    assert svc.collectible_of_marketplace("eth", 2).count() == 0
+    # wrong chain for an existing orderId is NOT matched (composite key)
+    assert svc.collectible_of_marketplace("ela", 5).count() == 0
+
+
+def test_collectible_of_marketplace_missing_token(spark):
+    from pasardassist_spark.api import PasarQueryService
+    from pasardassist_spark.api.schemas import ORDERS_SCHEMA, TOKENS_SCHEMA
+
+    orders = spark.createDataFrame(
+        [_order(orderId=9, chain="ela", baseToken="c9", tokenId="9",
+                uniqueKey="ela-c9-9", sellerAddr="zoe")],
+        ORDERS_SCHEMA,
+    )
+    s = PasarQueryService(spark.createDataFrame([], TOKENS_SCHEMA), orders)
+    rows = s.collectible_of_marketplace("ela", 9).collect()
+    assert len(rows) == 1 and rows[0].token_name is None
+
+
+def test_route_builder_parity():
+    """Every reference endpoint must map to an implemented builder — the
+    51/51 parity gate. The route list is pinned as a literal
+    (service.ROUTES); when the reference checkout is available the literal
+    is diffed against app.controller.ts, so a route added there can never
+    go silently unmapped here."""
+    import os
+    import re
+
+    from pasardassist_spark.api import service
+
+    assert len(service.ROUTES) == 51
+    missing = sorted(
+        m for m in set(service.ROUTES.values())
+        if not callable(getattr(service.PasarQueryService, m, None))
+    )
+    assert not missing, f"routes map to nonexistent builders: {missing}"
+
+    controller = "/root/reference/src/modules/app/app.controller.ts"
+    if not os.path.exists(controller):
+        pytest.skip("reference checkout not present; literal list still checked")
+    with open(controller) as f:
+        ref_routes = re.findall(r"@(?:Get|Post)\('([^']+)'\)", f.read())
+    assert sorted(ref_routes) == sorted(service.ROUTES), (
+        "route drift vs app.controller.ts: "
+        f"ref-only={sorted(set(ref_routes) - set(service.ROUTES))}, "
+        f"repo-only={sorted(set(service.ROUTES) - set(ref_routes))}"
+    )
