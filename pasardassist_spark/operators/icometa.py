@@ -67,6 +67,7 @@ def parse_ico_meta(payload: bytes) -> IcoMeta:
     if 6 + 16 * cnt > len(payload):
         raise ValueError("torn ICONDIRENTRY table")
     entries: list[IcoEntry] = []
+    claimed: list[tuple[int, int, int]] = []  # (img_off, end, entry idx)
     for k in range(cnt):
         off = 6 + 16 * k
         dw, dh, _colors, _res, _p1, p2, size, img_off = struct.unpack_from(
@@ -74,6 +75,13 @@ def parse_ico_meta(payload: bytes) -> IcoMeta:
         )
         if img_off < 6 + 16 * cnt or img_off + size > len(payload):
             raise ValueError(f"ICO entry {k} payload out of bounds")
+        for lo, hi, j in claimed:
+            if img_off < hi and lo < img_off + size:
+                raise ValueError(
+                    f"ICO entry {k} payload [{img_off}, {img_off + size}) "
+                    f"overlaps entry {j}'s [{lo}, {hi})"
+                )
+        claimed.append((img_off, img_off + size, k))
         body = payload[img_off : img_off + size]
         if body[:8] == _PNG_MAGIC:
             if len(body) < 24 or body[12:16] != b"IHDR":

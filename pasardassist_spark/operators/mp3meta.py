@@ -241,6 +241,7 @@ def _parse_header(buf: bytes, pos: int) -> dict:
         "bitrate": bitrate,
         "sample_rate": sample_rate,
         "mode": mode,
+        "padding": padding,
         "frame_len": flen,
     }
 
@@ -267,6 +268,36 @@ def _next_sync(buf: bytes, start: int, end: int, first: dict) -> int | None:
                 return i
         i += 1
     return None
+
+
+def _free_format_base(buf: bytes, pos: int, end: int, first: dict) -> int:
+    """Padding-normalized free-format frame length, validated as STABLE
+    across up to 3 consecutive frames (the usual free-format heuristic):
+    a sync-like bit pattern inside real (non-zeroed) audio payload would
+    otherwise mis-measure the first frame and cascade into wrong
+    n_frames/duration silently.  ISO 11172-3 §2.4.2.3 fixes the
+    free-format bitrate for the whole stream, so the recovered length —
+    net of each frame's padding slot — must agree frame-to-frame; a
+    disagreement raises instead of guessing."""
+    slot = 4 if first["layer"] == 1 else 1
+    bases: list[int] = []
+    p = pos
+    for _ in range(3):
+        if p >= end:
+            break
+        h = _parse_header(buf, p)
+        nxt = _next_sync(buf, p + 4, end, first)
+        span = (nxt if nxt is not None else end) - p
+        bases.append(span - h["padding"] * slot)
+        if nxt is None:
+            break
+        p = nxt
+    if len(set(bases)) > 1:
+        raise ValueError(
+            "free-format frame length unstable across consecutive frames "
+            f"(padding-normalized lengths {bases})"
+        )
+    return bases[0]
 
 
 def _read_vbr_header(buf: bytes, pos: int, h: dict) -> tuple[str, int | None]:
@@ -314,6 +345,8 @@ def parse_mp3(payload: bytes) -> dict:
     vbr_method, declared = _read_vbr_header(payload, pos, first)
     n_frames = 0
     bitrates: set[int] = set()
+    free_base: int | None = None
+    free_slot = 4 if first["layer"] == 1 else 1
     while pos < end:
         h = _parse_header(payload, pos)
         if (
@@ -324,9 +357,13 @@ def parse_mp3(payload: bytes) -> dict:
         ):
             raise ValueError("MPEG stream parameters changed mid-stream")
         flen = h["frame_len"]
-        if flen is None:  # free format: scan to the next sync
-            nxt = _next_sync(payload, pos + 4, end, first)
-            flen = (nxt if nxt is not None else end) - pos
+        if flen is None:  # free format: stability-validated recovered length
+            if free_base is None:
+                free_base = _free_format_base(payload, pos, end, first)
+            # frame size is DEDUCED (constant base + this frame's padding
+            # slot), never re-scanned — a sync-like byte pair inside the
+            # payload cannot shift the walk mid-stream
+            flen = free_base + h["padding"] * free_slot
         bitrates.add(h["bitrate"])
         n_frames += 1
         pos += flen

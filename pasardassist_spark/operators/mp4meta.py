@@ -263,6 +263,11 @@ def parse_mp4_meta(payload: bytes) -> Mp4Meta:
             moov = (b, e)
         elif t == "moof":
             moofs.append((b, e))
+        elif t == "pssh":
+            # DASH/CMAF commonly carries pssh TOP-LEVEL, not inside moov
+            raise NotImplementedError(
+                "encrypted MP4 (top-level CENC pssh) unsupported"
+            )
     if moov is None:
         raise ValueError("MP4 has no moov box")
     mb, me = moov
@@ -501,12 +506,17 @@ def encode_fmp4_meta(
         mvex_body += _full("mehd", 0, struct.pack(">I", duration_units))
     mvex_body += trexes
     mvex = _box("mvex", mvex_body)
-    # locate moov in base and append mvex to its body
-    at = base.find(b"moov")
-    (moov_size,) = struct.unpack_from(">I", base, at - 4)
-    moov_body = base[at + 4 : at - 4 + moov_size]
-    new_moov = _box("moov", moov_body + mvex)
-    out = base[: at - 4] + new_moov + base[at - 4 + moov_size :]
+    # locate moov by walking the top-level boxes (a raw bytes.find could
+    # match the fourcc inside an earlier box payload, e.g. a handler name)
+    moov_span = next(
+        ((b, e) for t, b, e in _boxes(base, 0, len(base)) if t == "moov"),
+        None,
+    )
+    if moov_span is None:
+        raise ValueError("encode_fmp4_meta: base has no top-level moov")
+    body_start, body_end = moov_span  # _boxes yields BODY bounds
+    new_moov = _box("moov", base[body_start:body_end] + mvex)
+    out = base[: body_start - 8] + new_moov + base[body_end:]
     # fragments: each moof holds one traf per track + a tiny mdat
     seq = 0
     for f in range(n_fragments):

@@ -140,8 +140,8 @@ def encode_ppt(texts: list[str], password: str | None = None) -> bytes:
     """One SlideListWithText container per text, its atom encoded 8-bit
     when cp1252-representable and UTF-16 otherwise — both atom types
     appear in any mixed corpus.  With ``password`` the Document
-    container is RC4-CryptoAPI encrypted as persist object
-    {_PERSIST_ID} behind a CryptSession10Container (salt deterministic
+    container is RC4-CryptoAPI encrypted as persist object 1
+    (_PERSIST_ID) behind a CryptSession10Container (salt deterministic
     from the content for byte-reproducible fixtures)."""
     slwts = []
     for t in texts:

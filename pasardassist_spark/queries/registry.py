@@ -235,6 +235,13 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # (tests/test_plans.py::test_rank_statistics_no_single_partition_value_window)
     # pins the bucketed shape.  One fresh driver row each certifies.
     "ml_auc_roc", "stat_kruskal_wallis", "stat_cvm_2samp",
+    # round 16 ADVICE fixes touching codec internals: top-level pssh CENC
+    # detection + _boxes-walked moov locate (mp4meta.py), free-format
+    # frame-length stability validation + deduced-not-rescanned frame walk
+    # (mp3meta.py), entry-payload overlap guard (icometa.py).  Outputs
+    # unchanged on the fixture corpora (re-checked locally at sf0.001 +
+    # sf0.01); one fresh driver row each certifies.
+    "mm_mp4_meta", "mm_mp3_frames", "mm_ico_meta",
 })
 
 

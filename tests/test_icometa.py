@@ -69,3 +69,20 @@ def test_sniff_rejects_lookalikes():
     assert not sniff_ico(b"BM\x00\x00\x00\x00")
     assert not sniff_ico(struct.pack("<HHH", 0, 3, 1))
     assert not sniff_ico(struct.pack("<HHH", 0, 1, 999))
+
+
+def test_overlapping_entry_payloads_raise():
+    """r16 (ADVICE): two directory entries whose payload byte ranges
+    overlap are corrupt — the docstring's overlap claim is now enforced,
+    not just bounds-per-entry."""
+    p = bytearray(encode_ico([(16, 16, 8, "dib"), (16, 16, 8, "dib")]))
+    # point entry 1 at entry 0's offset (same size -> full overlap)
+    (off0,) = struct.unpack_from("<I", p, 6 + 12)
+    struct.pack_into("<I", p, 6 + 16 + 12, off0)
+    with pytest.raises(ValueError, match="overlaps"):
+        parse_ico_meta(bytes(p))
+    # partial overlap (entry 1 starts mid-way through entry 0) raises too
+    p2 = bytearray(encode_ico([(16, 16, 8, "dib"), (16, 16, 8, "dib")]))
+    struct.pack_into("<I", p2, 6 + 16 + 12, off0 + 8)
+    with pytest.raises(ValueError):
+        parse_ico_meta(bytes(p2))

@@ -288,3 +288,31 @@ def test_id3_v22_truncated_frame_raises():
     cut[6:10] = _syncsafe(len(cut) - 10)
     with pytest.raises(ValueError, match="truncated ID3 frame"):
         parse_id3(bytes(cut))
+
+
+def test_free_format_unstable_length_raises():
+    """r16 (ADVICE): the recovered free-format frame length must be
+    stable across consecutive frames; two runs with different sizes (or
+    a sync-like bit pattern inside a frame payload) raise loudly instead
+    of silently mis-counting frames."""
+    a = encode_mp3(version="1", sample_rate=44100, n_frames=2,
+                   free_frame_size=137)
+    b = encode_mp3(version="1", sample_rate=44100, n_frames=2,
+                   free_frame_size=150)
+    with pytest.raises(ValueError, match="unstable"):
+        parse_mp3(a + b)
+
+
+def test_free_format_embedded_fake_sync_raises():
+    """A header-consistent byte pattern INSIDE a frame payload used to
+    mis-measure the frame and cascade into wrong n_frames; the 3-frame
+    stability check turns that into a loud ValueError."""
+    p = bytearray(
+        encode_mp3(version="1", sample_rate=44100, n_frames=4,
+                   free_frame_size=137)
+    )
+    # copy the real 4-byte header into the middle of frame 2's payload
+    f2 = len(p) - 4 * 137  # frames are back-to-back, no tags
+    p[f2 + 137 + 60 : f2 + 137 + 64] = p[:4]
+    with pytest.raises(ValueError, match="unstable"):
+        parse_mp3(bytes(p))

@@ -215,3 +215,17 @@ def test_fragmented_torn_trun_raises():
     at = p.rfind(b"trun")
     with pytest.raises(ValueError):
         parse_mp4_meta(p[: at + 10])
+
+
+def test_top_level_pssh_raises_by_name():
+    """r16 (ADVICE): DASH/CMAF files commonly carry pssh TOP-LEVEL, not
+    inside moov — that placement must hit the same named CENC seam."""
+    from pasardassist_spark.operators.mp4meta import _full, encode_fmp4_meta
+
+    p = encode_fmp4_meta("dash", 1000, 100, FRAG_TRACKS[:1], n_fragments=1)
+    pssh = _full("pssh", 0, bytes(16) + struct.pack(">I", 0))
+    # insert after ftyp (before moov) as a top-level box
+    (ftyp_sz,) = struct.unpack_from(">I", p, 0)
+    patched = p[:ftyp_sz] + pssh + p[ftyp_sz:]
+    with pytest.raises(NotImplementedError, match="pssh"):
+        parse_mp4_meta(patched)
