@@ -24,6 +24,17 @@ becomes a single ``MERGE INTO``; the surrounding streaming topology is
 unchanged. Generations also give the poor-man's time travel the reference
 lacks entirely.
 
+Scale rule for the bucket count (measured, BASELINE.md round-16 100x twin):
+bucket count bounds per-batch I/O only when a batch's keys are
+CONCENTRATED relative to the key space (time-correlated arrivals,
+key-range bucketing). A batch whose keys hash-spray across every bucket
+touches the whole store regardless of bucket count — and raising the
+count then only adds per-file/task overhead (16 -> 256 buckets made the
+100x fixed-probe batch 1.5x SLOWER). For uniformly-spraying workloads the
+next decade is an LSM-shaped merge policy on this same layout: append
+per-bucket DELTA files each batch (O(batch) per batch) and fold them into
+the base on an amortized compaction cadence.
+
 Crash safety: a generation only counts once its ``_COMMITTED`` marker
 exists, written after both the Spark write and the hard-links complete into
 a STAGING dir that is then os.rename()d into its version slot — a crash
