@@ -359,6 +359,22 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             warm[name] = min(warm.get(name, dt), dt)
 
+    # Host-contention control (VERDICT r15 #7): the same anchor query,
+    # re-measured at fixed points spread across the long extras pass, makes
+    # the record self-adjudicating — when THIS round's control runs slower
+    # than last round's recorded control on unchanged anchor code, the
+    # per-query flags below are host shadow (page-cache/thermal state from
+    # prior workloads), not regressions. Median of the samples, not min:
+    # the control's job is to MEASURE contention, so it must not be robust
+    # to it.
+    CONTROL = "q1_pricing_summary"
+    control_samples: list[float] = []
+
+    def _control_sample() -> None:
+        t0 = time.perf_counter()
+        qs[CONTROL](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        control_samples.append(round(time.perf_counter() - t0, 3))
+
     # Regression anchors for the operator additions: timed outside the
     # headline totals (so cross-round totals stay comparable and
     # dedup_clusters' driver-side CC iteration doesn't dominate the
@@ -369,11 +385,13 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     for _ in range(2):
+        _control_sample()
         for name in EXTRA_NAMES:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             extras[name] = min(extras.get(name, dt), dt)
+    _control_sample()
 
     # Silver-layout paths for the two slowest warm queries (both fact⋈fact):
     # the one-time bucketed write is the standing lake layout (untimed —
@@ -572,11 +590,38 @@ def main() -> None:
         prev = {}  # cross-sf comparison is meaningless; don't fake deltas
     prev_times = {**prev.get("queries_warm", {}), **prev.get("queries_extra", {})}
     cur_times = {**warm, **extras}
+
+    # Control readout + shadow/real adjudication. ratio_vs_prev compares
+    # this run's control median to the PREVIOUS recorded run's — the anchor
+    # query code rarely changes, so a ratio well above 1 means the host ran
+    # this whole record slower (the r13-r15 "shadow" regime: BASELINE.md
+    # adjudicated ~all such flags NOT REAL). A flagged query is then
+    # classified `shadow` unless it grew 25% beyond what the host ratio
+    # explains — those are the flags worth a tools/round15_ab.py-style
+    # isolated re-measure.
+    control_median = sorted(control_samples)[len(control_samples) // 2]
+    prev_control = (prev.get("host_control") or {}).get("median_s")
+    control_ratio = (
+        round(control_median / prev_control, 3) if prev_control else None
+    )
+    host_control = {
+        "anchor": CONTROL,
+        "samples": control_samples,
+        "median_s": control_median,
+        "prev_median_s": prev_control,
+        "ratio_vs_prev": control_ratio,
+    }
+    shadow_bar = (control_ratio or 1.0) * 1.25
     regressions = {
         name: {
             "prev_s": p,
             "cur_s": cur,
             "delta_pct": round((cur - p) / p * 100, 1),
+            "verdict": (
+                "unadjudicated" if control_ratio is None
+                else "shadow" if cur / p <= shadow_bar
+                else "real_suspect"
+            ),
         }
         for name, cur in cur_times.items()
         if (p := prev_times.get(name)) and cur - p > 0.5 and (cur - p) / p > 0.25
@@ -601,6 +646,7 @@ def main() -> None:
         "sf": sf,
         "regressions": regressions,
         "regressions_vs": prev.get("round"),
+        "host_control": host_control,
     }
 
     # The driver records only the LAST 2000 characters of stdout and parses
@@ -621,6 +667,10 @@ def main() -> None:
         "extras_total": round(sum(extras.values()), 3),
         "ann": ann,
         "regressions_n": len(regressions),
+        "regressions_real_suspect": sorted(
+            n for n, r in regressions.items() if r["verdict"] == "real_suspect"
+        )[:5],
+        "host_contention": control_ratio,
         "regressions_top": {
             n: regressions[n]["delta_pct"]
             for n in sorted(

@@ -7,10 +7,12 @@ from pasardassist_spark.streaming.dynamic import (
     registered_collections,
 )
 from pasardassist_spark.streaming.ingest import (
+    append_into_bucketed_state,
     maintain_entity_state,
     maintain_latest_state,
     merge_into_bucketed_state,
     read_event_stream,
+    read_lsm_state,
     read_state,
     streaming_day_rollup,
 )
@@ -24,6 +26,8 @@ __all__ = [
     "maintain_entity_state",
     "maintain_latest_state",
     "merge_into_bucketed_state",
+    "append_into_bucketed_state",
+    "read_lsm_state",
     "read_state",
     "streaming_day_rollup",
     "streaming_dedup",

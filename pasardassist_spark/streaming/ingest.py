@@ -217,6 +217,107 @@ def merge_into_bucketed_state(
     apply_retention(state_dir, _state_versions(state_dir)[:-1], keep_generations)
 
 
+LSM_LAYERS_MARKER = "_LSM_LAYERS"  # delta layers since the last compaction
+
+
+def _lsm_layers(gen_dir: str) -> int:
+    p = os.path.join(gen_dir, LSM_LAYERS_MARKER)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as fh:
+        return int(fh.read().strip())
+
+
+def append_into_bucketed_state(
+    batch_state: DataFrame,
+    state_dir: str,
+    keys: Sequence[str],
+    fold,
+    keep_generations: int = 2,
+    epoch_id: int | None = None,
+    compact_every: int = 8,
+) -> None:
+    """LSM-shaped MERGE for uniformly-spraying batches (the BASELINE.md
+    round-16 100x finding): when a batch's keys hash-spray across every
+    bucket, the eager merge (merge_into_bucketed_state) rereads and
+    rewrites the WHOLE store each batch — touched-state is all state. This
+    policy instead APPENDS the batch as a delta layer (one file per
+    touched bucket, O(batch) write; every prior file hard-links forward,
+    O(1) I/O each) and folds the layers down only on an amortized
+    compaction cadence (every ``compact_every``-th append rewrites the
+    store folded — O(state)/compact_every amortized per batch).
+
+    ``fold(df) -> df`` must be an IDEMPOTENT, order-insensitive reduction
+    of a state-schema frame to its fix point (latest_per_key,
+    dropDuplicates, a groupBy re-aggregation) — the unary form of the
+    eager path's binary ``combine`` (combine(a, b) == fold(a UNION b)), so
+    the two policies are interchangeable per table. Readers of an LSM
+    table MUST read through :func:`read_lsm_state`, which applies the same
+    fold over base+layers; read cost grows with layer count, which
+    ``compact_every`` bounds.
+
+    Same atomicity (full staging + commit marker + CAS rename), epoch
+    replay guard, retention, and empty-delta no-op as the eager merge.
+    """
+    spark = batch_state.sparkSession
+    versions = _state_versions(state_dir)
+    if epoch_id is not None and versions:
+        applied = _applied_epoch(os.path.join(state_dir, versions[-1]))
+        if applied is not None and applied >= epoch_id:
+            return  # replay of an already-applied epoch
+    delta = batch_state.withColumn("bucket", _bucket_of(keys))
+    if delta.select("bucket").limit(1).count() == 0:
+        return  # empty delta: no-op, never an empty generation
+    prev_dir = os.path.join(state_dir, versions[-1]) if versions else None
+    layers = _lsm_layers(prev_dir) if prev_dir else 0
+    compacting = prev_dir is not None and layers + 1 >= compact_every
+    os.makedirs(state_dir, exist_ok=True)
+    tmp_dir = os.path.join(state_dir, f".lsm-{os.getpid()}")
+    if prev_dir is None or compacting:
+        # compaction epoch (or first write): fold base + layers + delta to
+        # the fix point and rewrite — the amortized O(state) pass
+        frames = delta.drop("bucket")
+        if prev_dir is not None:
+            frames = frames.unionByName(
+                spark.read.parquet(prev_dir).drop("bucket")
+            )
+        merged = fold(frames).withColumn("bucket", _bucket_of(keys))
+        merged.repartition(*keys).write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(tmp_dir)
+        new_layers = 0
+    else:
+        # append epoch: one delta file per touched bucket (repartition by
+        # the bucket column -> each bucket's rows land in ONE task), then
+        # hard-link every prior file forward — O(batch + #files) total
+        delta.repartition(F.col("bucket")).write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(tmp_dir)
+        for d in os.listdir(prev_dir):
+            if d.startswith("bucket="):
+                _link_tree(os.path.join(prev_dir, d), os.path.join(tmp_dir, d))
+        new_layers = layers + 1
+    with open(os.path.join(tmp_dir, LSM_LAYERS_MARKER), "w") as fh:
+        fh.write(str(new_layers))
+    if epoch_id is not None:
+        with open(os.path.join(tmp_dir, EPOCH_MARKER), "w") as fh:
+            fh.write(str(epoch_id))
+    commit(tmp_dir)
+    publish_staged(tmp_dir, state_dir)
+    apply_retention(state_dir, _state_versions(state_dir)[:-1], keep_generations)
+
+
+def read_lsm_state(
+    spark: SparkSession, state_dir: str, fold, version: int | str | None = None
+):
+    """Read an LSM state table folded to its fix point: the committed
+    generation's base + unmerged delta layers, reduced by the table's
+    ``fold`` (the same one its appends use). Returns None before the
+    first generation, like read_state."""
+    df = read_state(spark, state_dir, version)
+    return None if df is None else fold(df)
+
+
 def maintain_latest_state(
     stream: DataFrame,
     state_dir: str,
@@ -239,15 +340,20 @@ def maintain_latest_state(
     O(batch + touched-state), not O(state).
 
     ``backend`` selects the sink: ``"generations"`` = the portable
-    parquet generation store; ``"delta"`` = a transactional Delta
-    ``MERGE INTO`` (streaming/delta_sink.py; requires delta-spark, raises
-    otherwise); ``"auto"`` = delta when installed, else generations — the
-    same code deploys on a Delta cluster and in this container. The delta
-    path derives its MERGE condition from ``order_cols`` (the string-column
+    parquet generation store (eager per-batch merge); ``"lsm"`` = the
+    same store under the append-delta policy
+    (:func:`append_into_bucketed_state` — right when batch keys spray
+    across all buckets; read the table back through
+    :func:`read_lsm_state` with the matching latest_per_key fold);
+    ``"delta"`` = a transactional Delta ``MERGE INTO``
+    (streaming/delta_sink.py; requires delta-spark, raises otherwise);
+    ``"auto"`` = delta when installed, else generations — the same code
+    deploys on a Delta cluster and in this container. The delta path
+    derives its MERGE condition from ``order_cols`` (the string-column
     form of the default ``order`` argmax); a custom ``order`` needs
     matching ``order_cols``.
     """
-    if backend not in ("auto", "generations", "delta"):
+    if backend not in ("auto", "generations", "delta", "lsm"):
         raise ValueError(f"unknown backend {backend!r}")
     if backend == "auto":
         from pasardassist_spark.streaming.delta_sink import delta_available
@@ -264,6 +370,16 @@ def maintain_latest_state(
             )
 
             merge_latest_into_delta(batch_latest, state_dir, keys, order_cols)
+            return
+
+        if backend == "lsm":
+            append_into_bucketed_state(
+                batch_latest,
+                state_dir,
+                keys,
+                lambda df: latest_per_key(df, list(keys), ordering),
+                keep_generations,
+            )
             return
 
         def combine(prev: DataFrame, delta: DataFrame) -> DataFrame:
