@@ -43,6 +43,11 @@ def ks_distance(
     """
     from pasardassist_spark.operators.packing import inclusive_prefix_sum
 
+    # The counts frame is consumed THREE times (the prefix sum's row and
+    # offsets branches + the totals aggregate); persist it so the fact is
+    # scanned once (§18 single-fact-scan discipline — the frame is
+    # distinct-value-grain by contract, bounded)
+    counts = counts.persist()
     # both cumulative counts in ONE two-phase pass: the window sums share
     # the single (bucket, value) sort and the offsets broadcast
     g = inclusive_prefix_sum(
@@ -190,7 +195,8 @@ def mannwhitney_u(
     """
     from pasardassist_spark.operators.packing import inclusive_prefix_sum
 
-    with_t = counts.withColumn("_t", F.col(cnt_a) + F.col(cnt_b))
+    # consumed twice by the prefix sum's branches; value-grain, bounded
+    with_t = counts.withColumn("_t", F.col(cnt_a) + F.col(cnt_b)).persist()
     g = inclusive_prefix_sum(with_t, value_col, ["_t"], out=["_ct"])
     agg = g.agg(
         F.sum(cnt_a).cast("long").alias("n_a"),
@@ -263,6 +269,10 @@ def spearman_rho(df: DataFrame, x: str, y: str) -> DataFrame:
     """
     from pasardassist_spark.operators.packing import inclusive_prefix_sum
 
+    # consumed by both rank maps AND the ranked join (3+ lineages); the
+    # docstring's int64 bound already caps this frame at ~1.3M rows
+    df = df.select(x, y).persist()
+
     def rank_map(col: str) -> DataFrame:
         g = df.groupBy(col).agg(F.count(F.lit(1)).alias("_t"))
         c = inclusive_prefix_sum(g, col, ["_t"], out=["_ct"])
@@ -273,7 +283,7 @@ def spearman_rho(df: DataFrame, x: str, y: str) -> DataFrame:
         )
 
     ranked = (
-        df.select(x, y)
+        df
         .join(rank_map(x), x)
         .join(rank_map(y), y)
     )

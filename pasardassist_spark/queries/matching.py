@@ -1211,10 +1211,13 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasardassist_spark.operators.packing import inclusive_prefix_sum
 
     ev = load(spark, sf_dir, "events")
+    # g feeds both the tie totals and the per-group rank sums; vt feeds
+    # the prefix sum's two branches and the tie cube — persist both
+    # value-grain frames so the fact scans once (§18)
     g = ev.groupBy("value", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
-    vt = g.groupBy("value").agg(F.sum("c").cast("long").alias("t"))
+    ).persist()
+    vt = g.groupBy("value").agg(F.sum("c").cast("long").alias("t")).persist()
     cv = inclusive_prefix_sum(vt, "value", ["t"], out=["_ct"]).select(
         "value",
         "t",
@@ -1315,7 +1318,9 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("event_type") != AUC_POS_TYPE).cast("long"))
         .cast("long").alias("cnt_n"),
     )
-    g = g.withColumn("_t", F.col("cnt_p") + F.col("cnt_n"))
+    # the prefix sum consumes its input twice (rows + offsets branches);
+    # persist the value-grain frame so the fact scans once (§18)
+    g = g.withColumn("_t", F.col("cnt_p") + F.col("cnt_n")).persist()
     c = inclusive_prefix_sum(g, "value", ["_t"], out=["ct"]).select(
         "cnt_p",
         F.col("_t").alias("t"),
@@ -2158,7 +2163,7 @@ def stat_cvm_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("cnt_a"),
         F.sum((F.col("event_type") == MW_SAMPLE_B).cast("long"))
         .cast("long").alias("cnt_b"),
-    )
+    ).persist()  # consumed by both prefix-sum branches (§18: 1 fact scan)
     t = F.col("cnt_a") + F.col("cnt_b")
     # ct = ca + cb exactly (both BIGINT), so two cumulated columns in
     # ONE two-phase pass reconstruct all three counters

@@ -242,6 +242,13 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # unchanged on the fixture corpora (re-checked locally at sf0.001 +
     # sf0.01); one fresh driver row each certifies.
     "mm_mp4_meta", "mm_mp3_frames", "mm_ico_meta",
+    # round 16 §18 fix found by the plan suite after the migration: the
+    # two-phase prefix sum consumes its input twice, so the value-grain
+    # counts frames are now persisted (one fact scan) in the three
+    # migrated queries AND in the shared drift operators (ks_distance,
+    # mannwhitney_u, spearman_rho) — same values, new plan; one fresh
+    # driver row each certifies.
+    "stat_ks_test", "stat_mannwhitney_u", "stat_spearman_corr",
 })
 
 

@@ -95,6 +95,56 @@ def st1_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_state(spark, f"{tmp}/state")
 
 
+@query(
+    "st9_lsm_replay",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn FROM events
+    ) WHERE rn = 1
+    """,
+)
+def st9_lsm_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSM merge policy (r16, streaming/ingest.append_into_bucketed_
+    state) as a driver-checked query: replay the events log in 4
+    micro-batches through the append-delta path with compact_every=3 —
+    so the run crosses BOTH an append epoch and a compaction epoch — and
+    return the read-through-fold state. The oracle is the same batch
+    argmax as st1_stream_replay's, so the hash certifies that the
+    delta-layer + amortized-compaction policy reaches the identical fix
+    point as the eager merge (policy interchangeability, the
+    BASELINE.md round-16 100x-probe finding's fix)."""
+    import shutil
+    import tempfile
+
+    from pasardassist_spark.operators.latest import latest_per_key
+    from pasardassist_spark.streaming import (
+        append_into_bucketed_state,
+        read_lsm_state,
+    )
+
+    def fold(df: DataFrame) -> DataFrame:
+        return latest_per_key(df, ["user_id"], [F.desc("ts"), F.desc("event_id")])
+
+    ev = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="pasard_lsm_")
+    try:
+        for b in range(4):
+            batch = ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == b)
+            append_into_bucketed_state(
+                fold(batch), f"{tmp}/state", ["user_id"], fold,
+                epoch_id=b, compact_every=3,
+            )
+        out = read_lsm_state(spark, f"{tmp}/state", fold)
+        # materialize before the tempdir delete (library.py precedent)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def latest_state_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST4/A6 batch view: entity state as latest-event-per-key (the order
     state machine Created->{Filled,Cancelled}, tasks.service.ts:367-373,

@@ -830,8 +830,11 @@ def test_samp_neyman_single_aggregate_window_denominator(spark, sf_dir):
 
 
 def test_cvm_prefix_window_single_value_grain_shuffle(spark, sf_dir):
-    """Value-grain aggregate then ONE ordered prefix window; no
-    per-row global sort of the fact."""
+    """Value-grain aggregate then the two-phase bucketed prefix sum (r16
+    migration); the counts frame is persisted so the two prefix-sum
+    branches share ONE fact scan."""
+    spark.catalog.clearCache()  # scan counting must not see another
+    # test's cached twin of the same counts frame
     df = REGISTRY["stat_cvm_2samp"].fn(spark, sf_dir)
     p = plan(df)
     assert "SortMergeJoin" not in p
