@@ -318,3 +318,82 @@ def pack_and_split(
         )
         .drop("cum_before")
     )
+
+
+def distributed_row_number(
+    df: DataFrame,
+    bucket_key,
+    order,
+    out: str = "rk",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Global ROW_NUMBER over a composite total order, distributed — the
+    two-phase counterpart of ``row_number().over(Window.orderBy(...))``
+    (whose unpartitioned form is a single-task sort of the whole frame,
+    the same 100 TB wall the prefix sums avoid).
+
+    ``order`` is the full ordering column list (must be a TOTAL order —
+    give it a unique tiebreaker, exactly as the single-node form needs
+    for determinism). ``bucket_key`` is a NUMERIC Column that is
+    MONOTONE NON-DECREASING in that order (for ``ORDER BY x`` pass
+    ``F.col("x")``; for ``ORDER BY x DESC`` pass ``-F.col("x")``; any
+    monotone cast works — equal-order rows may share a coarse bucket,
+    and a lossy-but-monotone cast like decimal->double only ever merges
+    neighbors into one bucket, never reorders across buckets, so
+    correctness needs only monotonicity, not injectivity). Phase 1
+    numbers rows WITHIN each range bucket (hash-partitioned window);
+    phase 2 cumsums the n_buckets row counts (metadata window) and
+    broadcasts each bucket's global offset back. One shuffle + one tiny
+    broadcast, same as the prefix sums.
+    """
+    internal = {"_pb", "_rn", "_boff", "_bcnt"}
+    clash = internal & set(df.columns)
+    if clash:
+        raise ValueError(f"columns collide with internal names: {sorted(clash)}")
+    bk = bucket_key.cast("double")
+    row = df.agg(F.min(bk), F.max(bk)).first()
+    if row[0] is None:
+        return df.withColumn(out, F.lit(None).cast("long"))
+    lo, hi = float(row[0]), float(row[1])
+    span = max((hi - lo) / n_buckets, 1e-300)
+    b = F.least(
+        F.floor((bk - F.lit(lo)) / F.lit(span)), F.lit(n_buckets - 1)
+    ).cast("int")
+    with_b = df.withColumn("_pb", b)
+    w_in = W.partitionBy("_pb").orderBy(*order)
+    local = with_b.withColumn("_rn", F.row_number().over(w_in))
+    w_off = W.orderBy("_pb").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        with_b.groupBy("_pb")
+        .agg(F.count(F.lit(1)).alias("_bcnt"))
+        .withColumn("_boff", F.coalesce(F.sum("_bcnt").over(w_off), F.lit(0)))
+        .drop("_bcnt")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pb")
+        .withColumn(out, (F.col("_boff") + F.col("_rn")).cast("long"))
+        .drop("_pb", "_rn", "_boff")
+    )
+
+
+def ntile_from_rank(rk, n, k: int):
+    """SQL NTILE(k) computed arithmetically from a global row number
+    ``rk`` (1-based) and the total row count ``n`` — exact integer
+    arithmetic matching the standard definition both Spark and DuckDB
+    implement: the first n % k tiles hold ceil(n/k) rows, the rest
+    floor(n/k). Lets a distributed row number replace the single-task
+    ``ntile().over(Window.orderBy(...))`` without changing one output
+    value (differentially pinned against F.ntile in the tests).
+    """
+    def idiv(a, b):  # exact long floor-division for non-negative a, b>0
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    base = idiv(n, F.lit(k))
+    rem = n - base * k
+    cut = rem * (base + 1)
+    # ceil(a/b) = floor((a + b - 1) / b), exact in longs
+    in_big = idiv(rk + base, base + 1)
+    in_small = rem + idiv(
+        rk - cut + F.greatest(base, F.lit(1)) - 1, F.greatest(base, F.lit(1))
+    )
+    return F.when(rk <= cut, in_big).otherwise(in_small).cast("int")

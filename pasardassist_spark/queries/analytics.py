@@ -1447,20 +1447,33 @@ def stat_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     order cannot change the formula (equal x contribute the same sum
     over any rank permutation).
 
-    Plan: customer-grain aggregate, one ordered window for ranks (the
-    decile frame is customer-count sized, far below the fact table),
-    1-row totals broadcast back — two shuffles end to end."""
+    Plan (r16): the global spend rank runs as the DISTRIBUTED two-phase
+    row number (operators/packing.distributed_row_number — bucketed by
+    the spend double-cast, which is monotone; exact decimal order within
+    buckets) with the decile computed arithmetically from (rk, n)
+    (ntile_from_rank, value-identical to SQL NTILE) — no single-task
+    sort of the customer grain. The ranked frame is persisted: the
+    totals and the decile rollup share one fact scan."""
+    from pasardassist_spark.operators.packing import (
+        distributed_row_number,
+        ntile_from_rank,
+    )
+
     s = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("spend"))
-    )
-    w = Window.orderBy("spend", "o_custkey")
-    r = s.select(
+    ).persist()
+    n_rows = s.count()
+    r = distributed_row_number(
+        s, F.col("spend").cast("double"), ["spend", "o_custkey"], out="rk"
+    ).select(
         "spend",
-        F.row_number().over(w).alias("rk"),
-        F.ntile(10).over(w).alias("decile"),
-    )
+        "rk",
+        ntile_from_rank(F.col("rk"), F.lit(n_rows).cast("long"), 10).alias(
+            "decile"
+        ),
+    ).persist()
     tot = r.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("spend").alias("total"),

@@ -390,13 +390,23 @@ _RFM_ANCHOR = "2001-12-31"
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency (days since last order at a
     fixed anchor), frequency, and exact-decimal monetary total, each
-    quintiled by NTILE over a TOTAL order (metric + custkey tiebreak, so
-    the tiling is deterministic across engines and reruns), then rolled
-    up to the 125-cell segment grid. NTILE needs a global sort of the
-    customer grain — fine at any scale because the grain is units, not
-    events; with quantile cutpoints instead, the sort would drop to an
-    approx-percentile pass, traded here for exact driver-matchable
-    tiles."""
+    quintiled over a TOTAL order (metric + custkey tiebreak, so the
+    tiling is deterministic across engines and reruns), then rolled up
+    to the 125-cell segment grid.
+
+    r16: the three NTILEs run as DISTRIBUTED row numbers
+    (operators/packing.distributed_row_number — range-bucketed windows +
+    broadcast offsets; descending metrics bucket by the negated key) with
+    the tile computed arithmetically (ntile_from_rank, value-identical to
+    SQL NTILE by the standard first-(n%k)-tiles-get-ceil definition the
+    DuckDB oracle also implements) — no single-task sort of the customer
+    grain, which at 100 TB is billions of units. The customer frame is
+    persisted: three rank passes + the final rollup share one fact scan."""
+    from pasardassist_spark.operators.packing import (
+        distributed_row_number,
+        ntile_from_rank,
+    )
+
     orders = load(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.datediff(
@@ -405,21 +415,25 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r_days"),
         F.count(F.lit(1)).alias("f_orders"),
         F.sum(dec2("o_totalprice")).alias("m_total"),
+    ).persist()
+    n = per_cust.count()  # persisted-frame action; also the NTILE total
+    ranked = distributed_row_number(
+        per_cust, F.col("r_days"), ["r_days", "o_custkey"], out="_rk_r"
     )
-    scored = per_cust.select(
-        "o_custkey",
-        "r_days",
-        "f_orders",
+    ranked = distributed_row_number(
+        ranked, -F.col("f_orders"),
+        [F.col("f_orders").desc(), F.col("o_custkey")], out="_rk_f",
+    )
+    ranked = distributed_row_number(
+        ranked, -F.col("m_total").cast("double"),
+        [F.col("m_total").desc(), F.col("o_custkey")], out="_rk_m",
+    )
+    n_lit = F.lit(n).cast("long")
+    scored = ranked.select(
         "m_total",
-        F.ntile(5)
-        .over(Window.orderBy("r_days", "o_custkey"))
-        .alias("r"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("f_orders").desc(), "o_custkey"))
-        .alias("f"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("m_total").desc(), "o_custkey"))
-        .alias("m"),
+        ntile_from_rank(F.col("_rk_r"), n_lit, 5).alias("r"),
+        ntile_from_rank(F.col("_rk_f"), n_lit, 5).alias("f"),
+        ntile_from_rank(F.col("_rk_m"), n_lit, 5).alias("m"),
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -249,6 +249,13 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # mannwhitney_u, spearman_rho) — same values, new plan; one fresh
     # driver row each certifies.
     "stat_ks_test", "stat_mannwhitney_u", "stat_spearman_corr",
+    # round 16 extension of the same migration to the NTILE family: the
+    # customer-grain quintile/decile tilings now run as the distributed
+    # two-phase row number with the tile computed arithmetically
+    # (packing.distributed_row_number + ntile_from_rank, differentially
+    # pinned against F.ntile) — oracles unchanged (SQL NTILE), values
+    # hash-identical at sf0.001 + sf0.01; fresh driver rows certify.
+    "rfm_segments", "stat_gini_lorenz",
 })
 
 

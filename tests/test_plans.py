@@ -940,3 +940,19 @@ def test_rank_statistics_no_single_partition_value_window(spark, sf_dir, name):
             f"{name}: window over {col!r} is not the two-phase bucket "
             f"shape:\n{p}"
         )
+
+
+@pytest.mark.parametrize("name", ["rfm_segments", "stat_gini_lorenz"])
+def test_ntile_queries_no_single_partition_sort(spark, sf_dir, name):
+    """r16: the customer-grain NTILEs run as the distributed two-phase
+    row number (arithmetic tile) — every window over the CUSTOMER grain
+    must carry the range-bucket shape, same contract as the rank
+    statistics. (gini's Lorenz cumsum over the 10-row decile frame is
+    metadata-sized by construction and stays a plain ordered window.)"""
+    spark.catalog.clearCache()
+    p = plan(REGISTRY[name].fn(spark, sf_dir))
+    assert "hashpartitioning(_pb" in p, f"{name}: bucket window lost"
+    allowed = {"_pb", "decile"}
+    specs = re.findall(r"windowspecdefinition\((\w+)#\d+", p)
+    for col in specs:
+        assert col in allowed, f"{name}: window over {col!r}:\n{p}"
