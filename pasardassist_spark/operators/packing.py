@@ -320,6 +320,15 @@ def pack_and_split(
     )
 
 
+# Below this row count a single-task ordered window is CHEAPER than the
+# two-phase shape (3 fixed jobs: bounds agg, bucketed shuffle, offsets
+# broadcast — ~1.3 s overhead each on local[32] vs milliseconds for a
+# sub-million-row sort); above it the single task becomes the 100 TB wall.
+# Callers that already know their grain count dispatch on this (the
+# rfm/gini pattern: count once for the NTILE arithmetic, branch on it).
+SINGLE_SORT_MAX_ROWS = 5_000_000
+
+
 def distributed_row_number(
     df: DataFrame,
     bucket_key,

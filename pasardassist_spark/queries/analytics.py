@@ -1447,14 +1447,18 @@ def stat_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     order cannot change the formula (equal x contribute the same sum
     over any rank permutation).
 
-    Plan (r16): the global spend rank runs as the DISTRIBUTED two-phase
-    row number (operators/packing.distributed_row_number — bucketed by
-    the spend double-cast, which is monotone; exact decimal order within
-    buckets) with the decile computed arithmetically from (rk, n)
-    (ntile_from_rank, value-identical to SQL NTILE) — no single-task
-    sort of the customer grain. The ranked frame is persisted: the
-    totals and the decile rollup share one fact scan."""
+    Plan (r16): strategy picked by the MEASURED customer count (needed
+    for the NTILE arithmetic anyway). Below packing.SINGLE_SORT_MAX_ROWS
+    the plain ordered window wins (fixed two-phase jobs cost more than
+    the whole query at sf0.1); above it the global spend rank runs as
+    the DISTRIBUTED two-phase row number (bucketed by the spend
+    double-cast, which is monotone; exact decimal order within buckets)
+    with the decile computed arithmetically (ntile_from_rank,
+    value-identical to SQL NTILE) — the customer grain never funnels
+    through one task. The ranked frame is persisted either way: the
+    totals and the decile rollup share one pass."""
     from pasardassist_spark.operators.packing import (
+        SINGLE_SORT_MAX_ROWS,
         distributed_row_number,
         ntile_from_rank,
     )
@@ -1465,15 +1469,23 @@ def stat_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("o_totalprice").alias("spend"))
     ).persist()
     n_rows = s.count()
-    r = distributed_row_number(
-        s, F.col("spend").cast("double"), ["spend", "o_custkey"], out="rk"
-    ).select(
-        "spend",
-        "rk",
-        ntile_from_rank(F.col("rk"), F.lit(n_rows).cast("long"), 10).alias(
-            "decile"
-        ),
-    ).persist()
+    if n_rows <= SINGLE_SORT_MAX_ROWS:
+        w = Window.orderBy("spend", "o_custkey")
+        r = s.select(
+            "spend",
+            F.row_number().over(w).alias("rk"),
+            F.ntile(10).over(w).alias("decile"),
+        ).persist()
+    else:
+        r = distributed_row_number(
+            s, F.col("spend").cast("double"), ["spend", "o_custkey"], out="rk"
+        ).select(
+            "spend",
+            "rk",
+            ntile_from_rank(
+                F.col("rk"), F.lit(n_rows).cast("long"), 10
+            ).alias("decile"),
+        ).persist()
     tot = r.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("spend").alias("total"),

@@ -394,15 +394,20 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiling is deterministic across engines and reruns), then rolled up
     to the 125-cell segment grid.
 
-    r16: the three NTILEs run as DISTRIBUTED row numbers
-    (operators/packing.distributed_row_number — range-bucketed windows +
-    broadcast offsets; descending metrics bucket by the negated key) with
-    the tile computed arithmetically (ntile_from_rank, value-identical to
-    SQL NTILE by the standard first-(n%k)-tiles-get-ceil definition the
-    DuckDB oracle also implements) — no single-task sort of the customer
-    grain, which at 100 TB is billions of units. The customer frame is
-    persisted: three rank passes + the final rollup share one fact scan."""
+    r16: the tiling strategy is picked by the MEASURED customer count
+    (the count is needed for the tile arithmetic anyway). Below
+    packing.SINGLE_SORT_MAX_ROWS the plain ordered windows win (the
+    two-phase shape costs ~4 s of fixed jobs at sf0.1 vs 0.8 s total —
+    BASELINE.md round-16 re-anchor note); above it the three NTILEs run
+    as DISTRIBUTED row numbers (packing.distributed_row_number —
+    range-bucketed windows + broadcast offsets; descending metrics
+    bucket by the negated key) with the tile computed arithmetically
+    (ntile_from_rank, value-identical to SQL NTILE — differentially
+    pinned), so the customer grain — billions of units at 100 TB —
+    never funnels through one task. Both branches are value-identical;
+    the oracle hash certifies whichever runs."""
     from pasardassist_spark.operators.packing import (
+        SINGLE_SORT_MAX_ROWS,
         distributed_row_number,
         ntile_from_rank,
     )
@@ -417,24 +422,36 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec2("o_totalprice")).alias("m_total"),
     ).persist()
     n = per_cust.count()  # persisted-frame action; also the NTILE total
-    ranked = distributed_row_number(
-        per_cust, F.col("r_days"), ["r_days", "o_custkey"], out="_rk_r"
-    )
-    ranked = distributed_row_number(
-        ranked, -F.col("f_orders"),
-        [F.col("f_orders").desc(), F.col("o_custkey")], out="_rk_f",
-    )
-    ranked = distributed_row_number(
-        ranked, -F.col("m_total").cast("double"),
-        [F.col("m_total").desc(), F.col("o_custkey")], out="_rk_m",
-    )
-    n_lit = F.lit(n).cast("long")
-    scored = ranked.select(
-        "m_total",
-        ntile_from_rank(F.col("_rk_r"), n_lit, 5).alias("r"),
-        ntile_from_rank(F.col("_rk_f"), n_lit, 5).alias("f"),
-        ntile_from_rank(F.col("_rk_m"), n_lit, 5).alias("m"),
-    )
+    if n <= SINGLE_SORT_MAX_ROWS:
+        scored = per_cust.select(
+            "m_total",
+            F.ntile(5).over(Window.orderBy("r_days", "o_custkey")).alias("r"),
+            F.ntile(5)
+            .over(Window.orderBy(F.col("f_orders").desc(), "o_custkey"))
+            .alias("f"),
+            F.ntile(5)
+            .over(Window.orderBy(F.col("m_total").desc(), "o_custkey"))
+            .alias("m"),
+        )
+    else:
+        ranked = distributed_row_number(
+            per_cust, F.col("r_days"), ["r_days", "o_custkey"], out="_rk_r"
+        )
+        ranked = distributed_row_number(
+            ranked, -F.col("f_orders"),
+            [F.col("f_orders").desc(), F.col("o_custkey")], out="_rk_f",
+        )
+        ranked = distributed_row_number(
+            ranked, -F.col("m_total").cast("double"),
+            [F.col("m_total").desc(), F.col("o_custkey")], out="_rk_m",
+        )
+        n_lit = F.lit(n).cast("long")
+        scored = ranked.select(
+            "m_total",
+            ntile_from_rank(F.col("_rk_r"), n_lit, 5).alias("r"),
+            ntile_from_rank(F.col("_rk_f"), n_lit, 5).alias("f"),
+            ntile_from_rank(F.col("_rk_m"), n_lit, 5).alias("m"),
+        )
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("m_total").cast("double").alias("segment_value"),

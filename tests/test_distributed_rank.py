@@ -89,3 +89,20 @@ def test_plan_is_bucketed_not_single_partition(spark):
 
     specs = re.findall(r"windowspecdefinition\((\w+)#\d+", plan)
     assert specs and all(c == "_pb" for c in specs), specs
+
+
+@pytest.mark.parametrize("name", ["rfm_segments", "stat_gini_lorenz"])
+def test_distributed_branch_matches_oracle(spark, name, monkeypatch):
+    """The adaptive dispatch's DISTRIBUTED branch (forced via threshold 0)
+    must hash-match the same DuckDB NTILE oracle the plain-window branch
+    matches — both strategies are value-identical."""
+    from pasardassist_spark.operators import packing
+    from pasardassist_spark.queries.registry import REGISTRY, _load_all
+    from tests.conftest import SF_DIR
+    from tests.oracle_compare import assert_matches_oracle
+
+    _load_all()
+    monkeypatch.setattr(packing, "SINGLE_SORT_MAX_ROWS", 0)
+    spark.catalog.clearCache()
+    spec = REGISTRY[name]
+    assert_matches_oracle(spec.fn(spark, SF_DIR), spec.oracle, SF_DIR, name=name)

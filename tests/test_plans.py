@@ -943,12 +943,17 @@ def test_rank_statistics_no_single_partition_value_window(spark, sf_dir, name):
 
 
 @pytest.mark.parametrize("name", ["rfm_segments", "stat_gini_lorenz"])
-def test_ntile_queries_no_single_partition_sort(spark, sf_dir, name):
-    """r16: the customer-grain NTILEs run as the distributed two-phase
-    row number (arithmetic tile) — every window over the CUSTOMER grain
-    must carry the range-bucket shape, same contract as the rank
-    statistics. (gini's Lorenz cumsum over the 10-row decile frame is
-    metadata-sized by construction and stays a plain ordered window.)"""
+def test_ntile_queries_distribute_above_threshold(spark, sf_dir, name, monkeypatch):
+    """r16: the customer-grain NTILEs dispatch on the measured count —
+    plain windows below packing.SINGLE_SORT_MAX_ROWS (cheaper at small
+    n), the distributed two-phase row number above it. Force the
+    distributed branch (threshold 0) and pin that every window over the
+    CUSTOMER grain carries the range-bucket shape. (gini's Lorenz cumsum
+    over the 10-row decile frame is metadata-sized by construction and
+    stays a plain ordered window.)"""
+    from pasardassist_spark.operators import packing
+
+    monkeypatch.setattr(packing, "SINGLE_SORT_MAX_ROWS", 0)
     spark.catalog.clearCache()
     p = plan(REGISTRY[name].fn(spark, sf_dir))
     assert "hashpartitioning(_pb" in p, f"{name}: bucket window lost"
@@ -956,3 +961,8 @@ def test_ntile_queries_no_single_partition_sort(spark, sf_dir, name):
     specs = re.findall(r"windowspecdefinition\((\w+)#\d+", p)
     for col in specs:
         assert col in allowed, f"{name}: window over {col!r}:\n{p}"
+    # and at the testdata grain the dispatch takes the cheap branch
+    monkeypatch.setattr(packing, "SINGLE_SORT_MAX_ROWS", 5_000_000)
+    spark.catalog.clearCache()
+    p_small = plan(REGISTRY[name].fn(spark, sf_dir))
+    assert "hashpartitioning(_pb" not in p_small, f"{name}: small-n branch lost"
