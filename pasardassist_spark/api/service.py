@@ -738,18 +738,18 @@ class PasarQueryService:
     def platform_price(self) -> DataFrame:
         """getPrice: the single most recent row of the tokens_price feed —
         the reference's `findOne({}, {sort: {timestamp: -1}})`. Spark
-        form: a global argmax over the append-only feed (latest_per_key on
-        a constant key — ONE map-side-combined partial-agg shuffle of one
-        row per task; never a global sort, never a driver-side loop).
+        form: global top-1 via orderBy().limit(1), which plans
+        TakeOrderedAndProject — per-partition top-1 merged on the driver,
+        O(partitions) rows moved, never a whole-feed single-task window
+        (the constant-key latest_per_key form compiles to exactly that
+        unpartitioned WindowExec; plan pinned in tests/test_api.py).
         Deterministic under equal timestamps via the token tie-break."""
         if self.token_prices is None:
             raise ValueError("token_prices frame not loaded")
         order = [F.desc("timestamp")]
         if "token" in self.token_prices.columns:
             order.append(F.asc("token"))
-        return latest_per_key(
-            self.token_prices.withColumn("_k", F.lit(1)), ["_k"], order
-        ).drop("_k")
+        return self.token_prices.orderBy(*order).limit(1)
 
     # -- marketplace order detail (app.controller.ts:103-110,
     # -- app.service.ts:759-777) ----------------------------------------------

@@ -75,12 +75,6 @@ def parse_ico_meta(payload: bytes) -> IcoMeta:
         )
         if img_off < 6 + 16 * cnt or img_off + size > len(payload):
             raise ValueError(f"ICO entry {k} payload out of bounds")
-        for lo, hi, j in claimed:
-            if img_off < hi and lo < img_off + size:
-                raise ValueError(
-                    f"ICO entry {k} payload [{img_off}, {img_off + size}) "
-                    f"overlaps entry {j}'s [{lo}, {hi})"
-                )
         claimed.append((img_off, img_off + size, k))
         body = payload[img_off : img_off + size]
         if body[:8] == _PNG_MAGIC:
@@ -120,6 +114,21 @@ def parse_ico_meta(payload: bytes) -> IcoMeta:
                     f"image {axis} {actual}"
                 )
         entries.append(IcoEntry(int(w), int(h), int(bpp), fmt, size))
+    # PARTIAL-overlap check, O(n log n) (cnt is attacker-controlled up to
+    # 65535 — the per-pair scan was quadratic): sort claimed ranges and
+    # compare neighbors. Entries ALIASING the exact same bytes (identical
+    # offset+size — deduplicating encoders emit these) are legal; only a
+    # partial overlap is corrupt.
+    distinct = sorted({(lo, hi) for lo, hi, _ in claimed})
+    by_range = {}
+    for lo, hi, k in claimed:
+        by_range.setdefault((lo, hi), k)
+    for (alo, ahi), (blo, bhi) in zip(distinct, distinct[1:]):
+        if blo < ahi:
+            raise ValueError(
+                f"ICO entry {by_range[(blo, bhi)]} payload [{blo}, {bhi}) "
+                f"overlaps entry {by_range[(alo, ahi)]}'s [{alo}, {ahi})"
+            )
     return IcoMeta("icon" if typ == 1 else "cursor", cnt, tuple(entries))
 
 

@@ -515,8 +515,16 @@ def encode_fmp4_meta(
     if moov_span is None:
         raise ValueError("encode_fmp4_meta: base has no top-level moov")
     body_start, body_end = moov_span  # _boxes yields BODY bounds
+    # header is 8 bytes (size32 + fourcc) or 16 (size==1 + largesize):
+    # locate it by where the fourcc actually sits, not by assumption
+    if base[body_start - 4 : body_start] == b"moov":
+        hdr_start = body_start - 8
+    elif base[body_start - 12 : body_start - 8] == b"moov":
+        hdr_start = body_start - 16  # largesize header form
+    else:
+        raise ValueError("encode_fmp4_meta: cannot locate moov header")
     new_moov = _box("moov", base[body_start:body_end] + mvex)
-    out = base[: body_start - 8] + new_moov + base[body_end:]
+    out = base[:hdr_start] + new_moov + base[body_end:]
     # fragments: each moof holds one traf per track + a tiny mdat
     seq = 0
     for f in range(n_fragments):

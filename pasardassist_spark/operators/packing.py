@@ -335,6 +335,7 @@ def distributed_row_number(
     order,
     out: str = "rk",
     n_buckets: int = 256,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Global ROW_NUMBER over a composite total order, distributed — the
     two-phase counterpart of ``row_number().over(Window.orderBy(...))``
@@ -354,16 +355,36 @@ def distributed_row_number(
     phase 2 cumsums the n_buckets row counts (metadata window) and
     broadcasts each bucket's global offset back. One shuffle + one tiny
     broadcast, same as the prefix sums.
+
+    Contract: ``bucket_key`` must evaluate NON-NULL and non-NaN on every
+    row — null/NaN don't order against numbers, so no bucket placement
+    can match the single-node window's NULLS FIRST/LAST rule for an
+    arbitrary ``order``; a null bucket key RAISES (filter or coalesce
+    first) rather than silently misranking. ``bounds`` (min, max of the
+    double-cast bucket key) skips the bounds aggregation when the
+    caller already knows the range — e.g. one combined agg computing
+    several rank passes' bounds over a shared persisted frame.
     """
     internal = {"_pb", "_rn", "_boff", "_bcnt"}
     clash = internal & set(df.columns)
     if clash:
         raise ValueError(f"columns collide with internal names: {sorted(clash)}")
     bk = bucket_key.cast("double")
-    row = df.agg(F.min(bk), F.max(bk)).first()
-    if row[0] is None:
-        return df.withColumn(out, F.lit(None).cast("long"))
-    lo, hi = float(row[0]), float(row[1])
+    bk = F.when(
+        bk.isNull() | F.isnan(bk),
+        F.raise_error(F.lit(
+            "distributed_row_number: bucket_key is null/NaN on some row — "
+            "null does not order against numbers, so bucket placement "
+            "would silently diverge from the single-node window form; "
+            "filter or coalesce the key first"
+        )).cast("double"),
+    ).otherwise(bk)
+    if bounds is None:
+        row = df.agg(F.min(bk), F.max(bk)).first()
+        if row[0] is None:
+            return df.withColumn(out, F.lit(None).cast("long"))
+        bounds = (float(row[0]), float(row[1]))
+    lo, hi = bounds
     span = max((hi - lo) / n_buckets, 1e-300)
     b = F.least(
         F.floor((bk - F.lit(lo)) / F.lit(span)), F.lit(n_buckets - 1)

@@ -434,17 +434,26 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("m"),
         )
     else:
-        ranked = distributed_row_number(
-            per_cust, F.col("r_days"), ["r_days", "o_custkey"], out="_rk_r"
-        )
-        ranked = distributed_row_number(
-            ranked, -F.col("f_orders"),
-            [F.col("f_orders").desc(), F.col("o_custkey")], out="_rk_f",
-        )
-        ranked = distributed_row_number(
-            ranked, -F.col("m_total").cast("double"),
-            [F.col("m_total").desc(), F.col("o_custkey")], out="_rk_m",
-        )
+        # one combined bounds pass over the PERSISTED customer frame —
+        # without it each rank pass would run its own min/max action over
+        # a lineage stacking the previous passes' shuffles
+        keys = {
+            "_rk_r": (F.col("r_days"), ["r_days", "o_custkey"]),
+            "_rk_f": (-F.col("f_orders"),
+                      [F.col("f_orders").desc(), F.col("o_custkey")]),
+            "_rk_m": (-F.col("m_total").cast("double"),
+                      [F.col("m_total").desc(), F.col("o_custkey")]),
+        }
+        b = per_cust.agg(
+            *[f(k.cast("double")) for k, _ in keys.values()
+              for f in (F.min, F.max)]
+        ).first()
+        ranked = per_cust
+        for i, (out_col, (bk, order)) in enumerate(keys.items()):
+            ranked = distributed_row_number(
+                ranked, bk, order, out=out_col,
+                bounds=(float(b[2 * i]), float(b[2 * i + 1])),
+            )
         n_lit = F.lit(n).cast("long")
         scored = ranked.select(
             "m_total",

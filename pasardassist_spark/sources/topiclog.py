@@ -69,16 +69,38 @@ def _partition_files(path: str) -> dict[int, str]:
     return out
 
 
+# line-count cache: file path -> (inode, bytes_counted, lines). The stream
+# reader polls end_offsets() once per micro-batch; without this a capped
+# catch-up over a large topic re-reads EVERY byte of every segment on every
+# trigger (O(total topic size) per batch). Appends keep the inode, so only
+# the appended suffix is counted (O(new bytes)); write_topic publishes by
+# rename (new inode), which forces a full recount of that file.
+_COUNT_CACHE: dict[str, tuple[int, int, int]] = {}
+
+
+def _count_lines(f: str) -> int:
+    st = os.stat(f)
+    ino, size = st.st_ino, st.st_size
+    cached = _COUNT_CACHE.get(f)
+    if cached and cached[0] == ino and cached[1] == size:
+        return cached[2]
+    start, lines = (cached[1], cached[2]) if (
+        cached and cached[0] == ino and cached[1] < size
+    ) else (0, 0)
+    with open(f, "rb") as fh:
+        fh.seek(start)
+        for _ in fh:
+            lines += 1
+    _COUNT_CACHE[f] = (ino, size, lines)
+    return lines
+
+
 def end_offsets(path: str) -> dict[int, int]:
-    """Current end offset (line count) per partition — the topic head."""
-    heads: dict[int, int] = {}
-    for part, f in _partition_files(path).items():
-        n = 0
-        with open(f, "rb") as fh:
-            for _ in fh:
-                n += 1
-        heads[part] = n
-    return heads
+    """Current end offset (line count) per partition — the topic head.
+    Incremental: only bytes appended since the last call are read."""
+    return {
+        part: _count_lines(f) for part, f in _partition_files(path).items()
+    }
 
 
 def _read_slice(sl: _Slice) -> Iterator[tuple]:
@@ -197,36 +219,14 @@ class TopicLogDataSource(DataSource):
         return _StreamReader(self.options)
 
 
-def write_topic(rows: Sequence[tuple], path: str, n_partitions: int = 4) -> None:
-    """Fixture/ingest helper: lay ``rows`` of (key, value_json, timestamp)
-    out as a topic — partition by hash(key) % n (Kafka's default sticky
-    keyed partitioner shape, so one key's records stay ordered within one
-    partition), offsets in arrival order. Files are written to temp names
-    and os.rename()d so a concurrent reader never sees a torn segment."""
-    import zlib
-
-    os.makedirs(path, exist_ok=True)
-    parts: dict[int, list[str]] = {p: [] for p in range(n_partitions)}
-    for key, value, ts in rows:
-        p = (
-            zlib.crc32(str(key).encode()) % n_partitions
-            if key is not None
-            else 0
-        )
-        parts[p].append(
-            json.dumps({"key": key, "value": value, "timestamp": ts})
-        )
-    for p, lines in parts.items():
-        tmp = os.path.join(path, f".p{p}.jsonl.tmp")
-        with open(tmp, "w") as fh:
-            fh.write("\n".join(lines) + ("\n" if lines else ""))
-        os.rename(tmp, os.path.join(path, f"p{p}.jsonl"))
-
-
-def append_topic(rows: Sequence[tuple], path: str, n_partitions: int = 4) -> None:
-    """Append more (key, value_json, timestamp) records to an existing
-    topic — the live-tail half of an ST1 catch-up/cutover test. Appends
-    are whole-line writes flushed per partition; offsets keep growing."""
+def _partition_records(
+    rows: Sequence[tuple], n_partitions: int
+) -> dict[int, list[str]]:
+    """The keyed-partitioner contract shared by write_topic and
+    append_topic: partition = crc32(key) % n (None-keyed records go to
+    partition 0), record encoded as one JSON line. ONE implementation —
+    a divergence between the seed write and the live-tail append would
+    silently split a key's records across partitions."""
     import zlib
 
     buf: dict[int, list[str]] = {}
@@ -239,7 +239,30 @@ def append_topic(rows: Sequence[tuple], path: str, n_partitions: int = 4) -> Non
         buf.setdefault(p, []).append(
             json.dumps({"key": key, "value": value, "timestamp": ts})
         )
-    for p, lines in buf.items():
+    return buf
+
+
+def write_topic(rows: Sequence[tuple], path: str, n_partitions: int = 4) -> None:
+    """Fixture/ingest helper: lay ``rows`` of (key, value_json, timestamp)
+    out as a topic — partition by hash(key) % n (Kafka's default sticky
+    keyed partitioner shape, so one key's records stay ordered within one
+    partition), offsets in arrival order. Files are written to temp names
+    and os.rename()d so a concurrent reader never sees a torn segment."""
+    os.makedirs(path, exist_ok=True)
+    buf = _partition_records(rows, n_partitions)
+    for p in range(n_partitions):
+        lines = buf.get(p, [])
+        tmp = os.path.join(path, f".p{p}.jsonl.tmp")
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(lines) + ("\n" if lines else ""))
+        os.rename(tmp, os.path.join(path, f"p{p}.jsonl"))
+
+
+def append_topic(rows: Sequence[tuple], path: str, n_partitions: int = 4) -> None:
+    """Append more (key, value_json, timestamp) records to an existing
+    topic — the live-tail half of an ST1 catch-up/cutover test. Appends
+    are whole-line writes flushed per partition; offsets keep growing."""
+    for p, lines in _partition_records(rows, n_partitions).items():
         with open(os.path.join(path, f"p{p}.jsonl"), "a") as fh:
             fh.write("\n".join(lines) + "\n")
             fh.flush()

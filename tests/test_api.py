@@ -742,6 +742,11 @@ def test_platform_price_latest_row(spark):
     rows = s.platform_price().collect()
     assert len(rows) == 1
     assert (rows[0].token, rows[0].price, rows[0].timestamp) == ("BTC", 9.9, 3000)
+    # scale shape: global top-1 must plan TakeOrderedAndProject (per-
+    # partition top-1), never an unpartitioned whole-feed window
+    p = s.platform_price()._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p, p
+    assert "Window" not in p, p
     with pytest.raises(ValueError):
         PasarQueryService(
             spark.createDataFrame([], TOKENS_SCHEMA),

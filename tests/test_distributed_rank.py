@@ -106,3 +106,15 @@ def test_distributed_branch_matches_oracle(spark, name, monkeypatch):
     spark.catalog.clearCache()
     spec = REGISTRY[name]
     assert_matches_oracle(spec.fn(spark, SF_DIR), spec.oracle, SF_DIR, name=name)
+
+
+def test_null_bucket_key_raises_loudly(spark):
+    """A null/NaN bucket key cannot be placed consistently with the
+    single-node window's NULLS FIRST/LAST rule, so it must RAISE (r16
+    review: F.least used to clamp nulls silently into the last bucket,
+    misranking them)."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 5.0)], "id long, v double"
+    )
+    with pytest.raises(Exception, match="null"):
+        distributed_row_number(df, F.col("v"), ["v", "id"]).collect()

@@ -73,11 +73,17 @@ def test_sniff_rejects_lookalikes():
 
 def test_overlapping_entry_payloads_raise():
     """r16 (ADVICE): two directory entries whose payload byte ranges
-    overlap are corrupt — the docstring's overlap claim is now enforced,
-    not just bounds-per-entry."""
+    PARTIALLY overlap are corrupt — the docstring's overlap claim is now
+    enforced, not just bounds-per-entry. (Exact aliasing — identical
+    offset AND size — stays legal, tested below.)"""
     p = bytearray(encode_ico([(16, 16, 8, "dib"), (16, 16, 8, "dib")]))
-    # point entry 1 at entry 0's offset (same size -> full overlap)
+    # entry 1 at entry 0's offset with a size 8 bytes LARGER: same start,
+    # different end -> partial overlap (the shared prefix still parses as
+    # the same 16x16 DIB, so the dimension cross-check passes and the
+    # overlap guard is what fires)
     (off0,) = struct.unpack_from("<I", p, 6 + 12)
+    (size0,) = struct.unpack_from("<I", p, 6 + 8)
+    struct.pack_into("<I", p, 6 + 16 + 8, size0 + 8)
     struct.pack_into("<I", p, 6 + 16 + 12, off0)
     with pytest.raises(ValueError, match="overlaps"):
         parse_ico_meta(bytes(p))
@@ -86,3 +92,41 @@ def test_overlapping_entry_payloads_raise():
     struct.pack_into("<I", p2, 6 + 16 + 12, off0 + 8)
     with pytest.raises(ValueError):
         parse_ico_meta(bytes(p2))
+
+
+def test_aliased_identical_payloads_are_legal():
+    """Two entries pointing at the EXACT same bytes (identical offset and
+    size — deduplicating encoders emit these) must parse; only a PARTIAL
+    overlap is corrupt (r16 review fix)."""
+    p = bytearray(encode_ico([(16, 16, 8, "dib"), (16, 16, 8, "dib")]))
+    (off0,) = struct.unpack_from("<I", p, 6 + 12)
+    (size0,) = struct.unpack_from("<I", p, 6 + 8)
+    struct.pack_into("<I", p, 6 + 16 + 8, size0)
+    struct.pack_into("<I", p, 6 + 16 + 12, off0)  # same offset AND size
+    m = parse_ico_meta(bytes(p))
+    assert m.n_entries == 2
+    assert m.entries[0] == m.entries[1]
+
+
+def test_overlap_guard_is_not_quadratic():
+    """cnt is attacker-controlled; the overlap guard must stay O(n log n).
+    64 entries is the sniff cap, but parse accepts larger directories —
+    time a 4000-entry synthetic directory (all aliasing one payload) and
+    require it to finish fast (the per-pair scan took ~0.17 s here and
+    grew quadratically)."""
+    import time
+
+    one = encode_ico([(16, 16, 8, "dib")])
+    (off0,) = struct.unpack_from("<I", one, 6 + 12)
+    (size0,) = struct.unpack_from("<I", one, 6 + 8)
+    body = one[off0 : off0 + size0]
+    n = 4000
+    out = bytearray(struct.pack("<HHH", 0, 1, n))
+    base = 6 + 16 * n
+    for _ in range(n):
+        out += struct.pack("<BBBBHHII", 16, 16, 0, 0, 1, 8, size0, base)
+    out += body
+    t0 = time.perf_counter()
+    m = parse_ico_meta(bytes(out))
+    assert m.n_entries == n
+    assert time.perf_counter() - t0 < 2.0
