@@ -32,6 +32,24 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 _INTERNAL = ("_pb", "_run", "_boff", "_btot")
 
 
+def _guard_null_key(key: str, bucket, fn: str):
+    """Wrap a bucket expression so a null/NaN ``key`` RAISES instead of
+    yielding a null bucket that the offsets inner join would silently
+    drop — the same loud-failure contract as distributed_row_number
+    (null does not order against numbers, so no bucket placement can
+    match the single-node window's NULLS FIRST/LAST rule)."""
+    kd = F.col(key).cast("double")
+    return F.when(
+        kd.isNull() | F.isnan(kd),
+        F.raise_error(F.lit(
+            f"{fn}: key '{key}' is null/NaN on some row — the range "
+            "bucket would be null and the row silently dropped by the "
+            "offsets join, diverging from the single-node window's "
+            "NULLS FIRST rule; filter or coalesce the key first"
+        )).cast("int"),
+    ).otherwise(bucket)
+
+
 def exclusive_prefix_sum(
     df: DataFrame,
     key: str,
@@ -58,13 +76,28 @@ def exclusive_prefix_sum(
         # Callers that already know the key range (e.g. pack_bfd's
         # histogram pass carries min/max ids per bin) pass ``bounds`` to
         # skip this extra action over the input.
-        row = df.agg(F.min(key), F.max(key)).first()
+        row = df.agg(F.min(key), F.max(key), F.count(F.lit(1))).first()
         if row[0] is None:
+            if row[2]:
+                raise ValueError(
+                    f"exclusive_prefix_sum: key '{key}' is null on every "
+                    "row; filter or coalesce the key first"
+                )
             return df.withColumn(out, F.lit(0).cast("long"))
+        import math
+        if math.isnan(float(row[1])):
+            raise ValueError(
+                f"exclusive_prefix_sum: key '{key}' is NaN on some row; "
+                "filter the key first"
+            )
         bounds = (int(row[0]), int(row[1]))
     lo, hi = bounds
     span = max(1, (int(hi) - int(lo)) // n_buckets + 1)
-    b = F.floor((F.col(key) - F.lit(int(lo))) / F.lit(span)).cast("int")
+    b = _guard_null_key(
+        key,
+        F.floor((F.col(key) - F.lit(int(lo))) / F.lit(span)).cast("int"),
+        "exclusive_prefix_sum",
+    )
     with_b = df.withColumn("_pb", b)
     # phase 1: EXCLUSIVE cumsum within each range bucket (parallel). The
     # RANGE frame ending at -1 sums keys strictly below this row's key, so
@@ -124,14 +157,29 @@ def inclusive_prefix_sum(
     clash = internal & set(df.columns)
     if clash:
         raise ValueError(f"columns collide with internal names: {sorted(clash)}")
-    bounds = df.agg(F.min(key), F.max(key)).first()
+    bounds = df.agg(F.min(key), F.max(key), F.count(F.lit(1))).first()
     if bounds[0] is None:
+        if bounds[2]:
+            raise ValueError(
+                f"inclusive_prefix_sum: key '{key}' is null on every "
+                "row; filter or coalesce the key first"
+            )
         for o in outs:
             df = df.withColumn(o, F.lit(0).cast("long"))
         return df
-    lo, hi = bounds
+    import math
+    if math.isnan(float(bounds[1])):
+        raise ValueError(
+            f"inclusive_prefix_sum: key '{key}' is NaN on some row; "
+            "filter the key first"
+        )
+    lo, hi = bounds[0], bounds[1]
     span = max(1, (int(hi) - int(lo)) // n_buckets + 1)
-    b = F.floor((F.col(key) - F.lit(int(lo))) / F.lit(span)).cast("int")
+    b = _guard_null_key(
+        key,
+        F.floor((F.col(key) - F.lit(int(lo))) / F.lit(span)).cast("int"),
+        "inclusive_prefix_sum",
+    )
     with_b = df.withColumn("_pb", b)
     w_in = (
         W.partitionBy("_pb").orderBy(key).rangeBetween(W.unboundedPreceding, 0)

@@ -89,8 +89,18 @@ def _count_lines(f: str) -> int:
     ) else (0, 0)
     with open(f, "rb") as fh:
         fh.seek(start)
-        for _ in fh:
-            lines += 1
+        # count only b'\n'-TERMINATED lines: a concurrent append can flush
+        # at a buffer boundary mid-record, and iterating lines would count
+        # that torn tail as a full line — admitting an offset whose
+        # json.loads then fails the micro-batch. A torn tail has no
+        # newline yet, so newline-counting never admits it; the resume
+        # cursor still advances to EOF, and the record's newline (flushed
+        # later) is counted by the next incremental pass.
+        while True:
+            chunk = fh.read(1 << 20)
+            if not chunk:
+                break
+            lines += chunk.count(b"\n")
     _COUNT_CACHE[f] = (ino, size, lines)
     return lines
 
@@ -188,9 +198,15 @@ class _StreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         # resync the admission anchor with the engine's offsets (restart /
-        # in-flight replay, where initialOffset is not consulted)
-        for p, v in _as_strkeys(end).items():
-            self._last[p] = max(self._last.get(p, 0), v)
+        # in-flight replay, where initialOffset is not consulted). START
+        # matters too: after a clean-stop restart with a trigger cap, the
+        # fresh reader's first latestOffset() regresses below the
+        # checkpointed position (its anchor is empty) — maxing with start
+        # re-pins the anchor at the checkpoint so the regression costs at
+        # most ONE empty batch instead of a cap-sized climb from 0.
+        for d in (start, end):
+            for p, v in _as_strkeys(d).items():
+                self._last[p] = max(self._last.get(p, 0), v)
         return _plan(self.path, _as_strkeys(start), _as_strkeys(end))
 
     def read(self, partition: _Slice) -> Iterator[tuple]:

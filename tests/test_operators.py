@@ -479,6 +479,41 @@ def test_exclusive_prefix_sum_distributed(spark):
     assert exclusive_prefix_sum(empty, "k", "v").count() == 0
 
 
+def test_prefix_sum_null_key_raises_loudly(spark):
+    """A null/NaN key would get a null range bucket that the offsets
+    inner join silently DROPS (r17 review) — both prefix-sum forms must
+    raise instead, same contract as distributed_row_number."""
+    import pytest as _pytest
+
+    from pasardassist_spark.operators.packing import (
+        exclusive_prefix_sum,
+        inclusive_prefix_sum,
+    )
+
+    mixed = spark.createDataFrame(
+        [(1.0, 2), (None, 3), (5.0, 4)], "k double, v long"
+    )
+    with _pytest.raises(Exception, match="null"):
+        exclusive_prefix_sum(mixed, "k", "v").collect()
+    with _pytest.raises(Exception, match="null"):
+        inclusive_prefix_sum(mixed, "k", "v").collect()
+    # all-null keys: caught eagerly on the driver (min/max agg sees it)
+    all_null = spark.createDataFrame([(None, 2)], "k double, v long")
+    with _pytest.raises(ValueError, match="null on every row"):
+        exclusive_prefix_sum(all_null, "k", "v")
+    with _pytest.raises(ValueError, match="null on every row"):
+        inclusive_prefix_sum(all_null, "k", "v")
+    # NaN keys: max() propagates NaN, caught on the driver pre-shuffle
+    nan = spark.createDataFrame(
+        [(1.0, 2), (float("nan"), 3)], "k double, v long"
+    )
+    with _pytest.raises(ValueError, match="NaN"):
+        inclusive_prefix_sum(nan, "k", "v")
+    # bounds-provided path (skips the driver agg): row-level guard fires
+    with _pytest.raises(Exception, match="null"):
+        exclusive_prefix_sum(mixed, "k", "v", bounds=(1, 5)).collect()
+
+
 def test_split_by_cluster_no_leakage(spark, sf_dir):
     """The split invariant that motivates the operator: every near-dup
     PAIR lands wholly in one split — no test document has a near-dup in

@@ -128,3 +128,34 @@ def test_topic_batch_read_matches_store(spark, sf_dir, tmp_path):
     )
     for r in per.collect():
         assert r.mx == r.n - 1, "offsets must be dense per partition"
+
+
+def test_torn_tail_line_never_admitted(tmp_path):
+    """end_offsets must count only newline-TERMINATED lines: a concurrent
+    writer can flush mid-record at a buffer boundary, and admitting the
+    torn fragment as an offset makes _read_slice's json.loads fail the
+    micro-batch (r17 review). The torn tail is admitted only once its
+    newline lands, including through the incremental count cache."""
+    import json
+    import os
+
+    from pasardassist_spark.sources.topiclog import end_offsets
+
+    topic = tmp_path / "topic"
+    os.makedirs(topic)
+    f = topic / "p0.jsonl"
+    full = json.dumps({"key": "k", "value": "v", "timestamp": 1}) + "\n"
+    torn = '{"key": "k", "va'  # flushed mid-record, no newline yet
+    with open(f, "w") as fh:
+        fh.write(full * 2)
+        fh.write(torn)
+    assert end_offsets(str(topic)) == {0: 2}, "torn tail must not count"
+    # writer completes the record: the suffix (tail remainder + newline)
+    # is counted by the incremental pass, not a full recount
+    with open(f, "a") as fh:
+        fh.write('lue": "v2", "timestamp": 2}\n')
+    assert end_offsets(str(topic)) == {0: 3}
+    # and another torn fragment after it still isn't admitted
+    with open(f, "a") as fh:
+        fh.write('{"key"')
+    assert end_offsets(str(topic)) == {0: 3}

@@ -56,11 +56,24 @@ def main() -> int:
     spark = get_spark(app_name="full-sweep")
     names = sorted(REGISTRY)
     results: dict[str, dict] = {}
-    if os.path.exists(out + ".jsonl"):  # resume past recorded names
+    if os.path.exists(out + ".jsonl"):  # resume past recorded GREEN names
         with open(out + ".jsonl") as f:
             for line in f:
                 rec = json.loads(line)
-                results[rec.pop("name")] = rec
+                nm = rec.pop("name")
+                # only green rows are resumable: a query fixed after a red
+                # sweep must RE-RUN, not carry its stale red into the
+                # regenerated artifact (r17 review)
+                # LAST line per name wins (a rerun appends a fresh row):
+                # a red latest row evicts any earlier green one
+                if all(
+                    v.get("ok")
+                    for v in rec.values()
+                    if isinstance(v, dict)
+                ):
+                    results[nm] = rec
+                else:
+                    results.pop(nm, None)
     jsonl = open(out + ".jsonl", "a")
 
     def run_oracle_budgeted(sql: str, sf_dir: str):
@@ -117,6 +130,12 @@ def main() -> int:
                         "trace": traceback.format_exc()[-1500:],
                     }
             row[sf]["sec"] = round(time.time() - t0, 2)
+        # several queries persist() intermediates that outlive their
+        # terminal action (the returned plan references them, so the
+        # operator can't unpersist eagerly); one long session running all
+        # ~300 queries would accumulate those blocks for its lifetime —
+        # drop them between entries (queries are independent; r17 review)
+        spark.catalog.clearCache()
         results[name] = row
         jsonl.write(json.dumps({"name": name, **row}) + "\n")
         jsonl.flush()
