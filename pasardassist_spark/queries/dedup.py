@@ -544,9 +544,16 @@ SETJOIN_TAU = 0.9
 SETJOIN_N = 3  # shingle width: set elements are 3-word n-grams
 
 
-@query(
-    "dedup_setjoin_prefix",
-    oracle=f"""
+# The fully-NAIVE all-pairs form of this oracle (list_intersect over
+# every doc_id < doc_id pair — no candidate generation of any kind).
+# It exceeds the sweep's DuckDB wall budget at sf0.1 (O(n^2) pairs),
+# so the registered oracle below enumerates candidates by shingle
+# equi-join instead — LOSSLESS for tau > 0 (jaccard >= 0.9 needs >= 1
+# shared shingle, and every sharing pair is enumerated; no prefix
+# pruning, so the Spark side's prefix filter is still independently
+# certified). The naive form stays the small-SF certificate via
+# tests/test_oracle_parity.py::test_setjoin_naive_allpairs_oracle.
+SETJOIN_NAIVE_ORACLE = f"""
     WITH t AS (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -571,6 +578,40 @@ SETJOIN_N = 3  # shingle width: set elements are 3-word n-grams
     FROM p
     WHERE sa + sb - i > 0
       AND CAST(i AS DOUBLE) / (sa + sb - i) >= {SETJOIN_TAU}
+    """
+
+
+@query(
+    "dedup_setjoin_prefix",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   [array_to_string(tk[i:i+{SETJOIN_N - 1}], ' ')
+                    FOR i IN range(1, len(tk) - {SETJOIN_N - 2})])) AS sh
+        FROM t WHERE len(tk) >= {SETJOIN_N}
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM s GROUP BY doc_id),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS i
+        FROM s a JOIN s b USING (sh)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM p JOIN sz sa ON sa.doc_id = doc_a
+           JOIN sz sb ON sb.doc_id = doc_b
+    WHERE sa.n + sb.n - i > 0
+      AND CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {SETJOIN_TAU}
     """,
 )
 def dedup_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -269,9 +269,18 @@ def drift_psi_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINK_MAX_DIST = 4
 
 
-@query(
-    "link_records_clusters",
-    oracle=f"""
+# The fully-NAIVE form (one node per PART ROW, no collapse): the dense
+# fuzzy graph (2.1M edges at sf0.1) makes its min-label recursive CTE
+# accumulate O(cluster^2) (node,label) pairs — 150+ s, past the sweep's
+# DuckDB wall budget. The registered oracle below collapses exact
+# (brand, name) duplicates to one group node first — LOSSLESS (distance
+# 0 pairs are always edges, and every member of a group has identical
+# distances to every other name) and still an independent construction
+# (SQL GROUP BY collapse + recursive min-label fixpoint vs the engine's
+# length-band blocking + large-star/small-star rounds). The naive form
+# stays the small-SF certificate via
+# tests/test_oracle_parity.py::test_link_naive_uncollapsed_oracle.
+LINK_NAIVE_ORACLE = f"""
     WITH RECURSIVE edges AS (
         SELECT a.p_partkey AS src, b.p_partkey AS dst
         FROM part a JOIN part b
@@ -292,6 +301,38 @@ _LINK_MAX_DIST = 4
            c.cluster_id,
            p.p_partkey = c.cluster_id AS is_canonical
     FROM part p JOIN comp c ON p.p_partkey = c.p_partkey
+    """
+
+
+@query(
+    "link_records_clusters",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+        SELECT p_brand, p_name, MIN(p_partkey) AS gid
+        FROM part GROUP BY p_brand, p_name
+    ),
+    edges AS (
+        SELECT a.gid AS src, b.gid AS dst
+        FROM g a JOIN g b
+          ON a.p_brand = b.p_brand AND a.gid <> b.gid
+        WHERE levenshtein(a.p_name, b.p_name) <= {_LINK_MAX_DIST}
+    ),
+    reach(node, label) AS (
+        SELECT gid, gid FROM g
+        UNION
+        SELECT e.dst, r.label
+        FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+        SELECT node AS gid, MIN(label) AS cluster_id
+        FROM reach GROUP BY node
+    )
+    SELECT p.p_partkey,
+           c.cluster_id,
+           p.p_partkey = c.cluster_id AS is_canonical
+    FROM part p
+    JOIN g ON g.p_brand = p.p_brand AND g.p_name = p.p_name
+    JOIN comp c ON c.gid = g.gid
     """,
 )
 def link_records_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

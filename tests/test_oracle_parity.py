@@ -132,3 +132,33 @@ def test_bench_names_are_registered_queries():
         if bench.EXTRA_NAMES.count(n) > 1
     ]
     assert not dupes, f"duplicate bench extras: {dupes}"
+
+
+def test_setjoin_naive_allpairs_oracle(spark, sf_dir):
+    """The registered dedup_setjoin_prefix oracle enumerates candidates by
+    shingle equi-join (feasible at sf0.1); THIS pin keeps the fully-naive
+    all-pairs certificate — no candidate generation at all — at pytest
+    SF, so the equi-join rewrite can never mask a recall loss."""
+    from pasardassist_spark.queries.dedup import SETJOIN_NAIVE_ORACLE
+    from tests.oracle_compare import assert_matches_oracle
+
+    spec = REGISTRY["dedup_setjoin_prefix"]
+    assert_matches_oracle(
+        spec.fn(spark, sf_dir), SETJOIN_NAIVE_ORACLE, sf_dir,
+        name="dedup_setjoin_prefix[naive]",
+    )
+
+
+def test_link_naive_uncollapsed_oracle(spark, sf_dir):
+    """The registered link_records_clusters oracle collapses exact
+    (brand, name) duplicates before the fixpoint (feasible at sf0.1);
+    THIS pin keeps the one-node-per-row certificate at pytest SF, so the
+    collapse step itself stays independently verified."""
+    from pasardassist_spark.queries.library import LINK_NAIVE_ORACLE
+    from tests.oracle_compare import assert_matches_oracle
+
+    spec = REGISTRY["link_records_clusters"]
+    assert_matches_oracle(
+        spec.fn(spark, sf_dir), LINK_NAIVE_ORACLE, sf_dir,
+        name="link_records_clusters[naive]",
+    )
