@@ -49,6 +49,21 @@ class FileEventSource:
         )
 
 
+def project_event_value(raw: DataFrame, value_ddl: str) -> DataFrame:
+    """The SINGLE value-decoding projection shared by TopicEventSource and
+    KafkaEventSource: parse the JSON ``value`` column against the events
+    DDL and restore the TIMESTAMP event time from epoch micros — the same
+    normalization contract as the batch scan. ONE implementation, so the
+    Kafka swap is provably only the reader construction: every pipeline
+    downstream of either source consumes the identical plan."""
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), value_ddl).alias("v")
+    ).select("v.*")
+    if dict(parsed.dtypes).get("ts") == "bigint":
+        parsed = parsed.withColumn("ts", F.expr("timestamp_micros(ts)"))
+    return parsed
+
+
 class TopicEventSource:
     """Kafka-shaped source (position = per-partition offsets, cap =
     offsets/trigger). ``value`` is the event row as JSON with ``ts`` in
@@ -74,12 +89,73 @@ class TopicEventSource:
         r = spark.readStream.format("topiclog").option("path", self.topic_dir)
         if self.max_offsets_per_trigger is not None:
             r = r.option("maxOffsetsPerTrigger", self.max_offsets_per_trigger)
-        parsed = r.load().select(
-            F.from_json(F.col("value"), self.value_ddl).alias("v")
-        ).select("v.*")
-        if dict(parsed.dtypes).get("ts") == "bigint":
-            parsed = parsed.withColumn("ts", F.expr("timestamp_micros(ts)"))
-        return parsed
+        return project_event_value(r.load(), self.value_ddl)
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka-0-10 connector is on the session's
+    classpath (the cluster deployment). Mirror of
+    streaming/delta_sink.delta_available — gate, don't assume."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 - JVM probe
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:  # noqa: BLE001 - any JVM lookup failure means absent
+        return False
+
+
+class KafkaEventSource:
+    """Real Kafka twin of :class:`TopicEventSource` — the swap-point the
+    topiclog docstring promises. Identical value contract (JSON events
+    row, ``ts`` epoch micros), identical rate-cap option name
+    (maxOffsetsPerTrigger), and the IDENTICAL downstream projection via
+    :func:`project_event_value` — the only delta is the reader
+    construction (``format("kafka")`` + broker options). Import-gated
+    exactly like streaming/delta_sink: this container has no
+    spark-sql-kafka jar, so stream() raises an actionable error here and
+    tests pin (a) the gate and (b) projection conformance on the Kafka
+    wire schema (key/value BINARY + topic/partition/offset/timestamp),
+    which needs no broker. Reference analog: the live event subscription
+    S2 (tasks.service.ts:92-101)."""
+
+    def __init__(
+        self,
+        bootstrap_servers: str,
+        topic: str,
+        value_ddl: str,
+        max_offsets_per_trigger: int | None = None,
+        starting_offsets: str = "earliest",
+    ):
+        self.bootstrap_servers = bootstrap_servers
+        self.topic = topic
+        self.value_ddl = value_ddl
+        self.max_offsets_per_trigger = max_offsets_per_trigger
+        self.starting_offsets = starting_offsets
+
+    def reader(self, spark: SparkSession):
+        """The format("kafka") reader, options configured — split from
+        stream() so the construction is testable without a broker."""
+        r = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", self.bootstrap_servers)
+            .option("subscribe", self.topic)
+            .option("startingOffsets", self.starting_offsets)
+        )
+        if self.max_offsets_per_trigger is not None:
+            r = r.option("maxOffsetsPerTrigger", self.max_offsets_per_trigger)
+        return r
+
+    def stream(self, spark: SparkSession) -> DataFrame:
+        if not kafka_available(spark):
+            raise RuntimeError(
+                "KafkaEventSource needs the spark-sql-kafka-0-10 connector "
+                "on the classpath (spark.jars.packages="
+                "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version>); "
+                "in environments without it use TopicEventSource, which "
+                "implements the same offset/cap/value contract"
+            )
+        return project_event_value(self.reader(spark).load(), self.value_ddl)
 
 
 def events_to_topic_rows(rows, ts_col: str = "ts") -> list[tuple]:

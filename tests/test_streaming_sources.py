@@ -159,3 +159,56 @@ def test_torn_tail_line_never_admitted(tmp_path):
     with open(f, "a") as fh:
         fh.write('{"key"')
     assert end_offsets(str(topic)) == {0: 3}
+
+
+def test_kafka_twin_gate(spark):
+    """KafkaEventSource is the import-gated format("kafka") swap of
+    TopicEventSource (mirror of delta_sink's gating): without the
+    spark-sql-kafka jar stream() must raise an ACTIONABLE error naming
+    the package, never fall through to a broken reader."""
+    from pasardassist_spark.streaming.sources import (
+        KafkaEventSource,
+        kafka_available,
+    )
+
+    src = KafkaEventSource(
+        "broker:9092", "events", VALUE_DDL, max_offsets_per_trigger=100
+    )
+    # reader construction itself needs no jar — options are lazy
+    assert src.reader(spark) is not None
+    if kafka_available(spark):
+        pytest.skip("kafka connector present: gate test is for its absence")
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        src.stream(spark)
+
+
+def test_kafka_wire_projection_conformance(spark, sf_dir):
+    """The projection both sources share (project_event_value) must decode
+    Kafka's WIRE schema — key/value BINARY plus topic/partition/offset/
+    timestamp/timestampType — to the canonical events rows, with no
+    broker involved: build that exact frame from the same records the
+    topic carries and pin row equality against the batch table. With
+    this green, swapping TopicEventSource for KafkaEventSource changes
+    only the reader construction (same option name for the rate cap,
+    same value contract, same downstream plan)."""
+    from pasardassist_spark.streaming.sources import project_event_value
+
+    ev = load(spark, sf_dir, "events").select(*COLS).limit(200)
+    want = {tuple(r) for r in ev.collect()}
+    recs = events_to_topic_rows(ev.collect())
+    wire = spark.createDataFrame(
+        [
+            (
+                k.encode(), v.encode(), "events", hash(k) % 4, i,
+                None, 0,
+            )
+            for i, (k, v, _ts) in enumerate(recs)
+        ],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp, timestampType int",
+    )
+    got_df = project_event_value(wire, VALUE_DDL)
+    assert [f.name for f in got_df.schema.fields] == COLS
+    assert dict(got_df.dtypes)["ts"] == "timestamp"
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == want
