@@ -211,6 +211,10 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     # re-row-checked, 0 red — the r15 debut codec readouts plus every
     # r15 _FORCE_RECHECK re-green)
     "mm_heif_meta", "mm_aiff_meta", "mm_ico_meta", "mm_svg_meta",
+    # r16 greens (CORRECTNESS_r16: 46 hash-green + 4 rows-only-by-design
+    # sketch re-checks, 0 red — the LSM replay debut plus every r16
+    # _FORCE_RECHECK re-green)
+    "st9_lsm_replay",
 })
 
 # Entries whose implementation or oracle changed since their last green
@@ -221,41 +225,30 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # so the set starts empty.  Add a name here ONLY when its query fn or
 # oracle actually changed this round.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    # Round 16 rotation: every r15 _FORCE_RECHECK name re-verified green
-    # in CORRECTNESS_r15 (46 hash-green + 4 clean rows-only, 0 red), so
-    # the r15 set is cleared.  Names below changed THIS round.
+    # Round 17 rotation: every r16 _FORCE_RECHECK name re-verified green
+    # in CORRECTNESS_r16 (46 hash-green + 4 clean rows-only sketches,
+    # 0 red), so the r16 set is cleared.  Names below changed THIS round.
     #
-    # round 16: the r15 VERDICT's last scale-killer class — the three
-    # rank statistics whose cumulative counters ran through a
-    # single-partition Window.orderBy("value") — migrated onto the
-    # two-phase distributed inclusive prefix sum
-    # (operators/packing.py, the stat_ks_test machinery).  Values are
-    # identical by construction (same exact BIGINT rank arithmetic,
-    # RANGE-frame tie handling preserved); a plan test
-    # (tests/test_plans.py::test_rank_statistics_no_single_partition_value_window)
-    # pins the bucketed shape.  One fresh driver row each certifies.
-    "ml_auc_roc", "stat_kruskal_wallis", "stat_cvm_2samp",
-    # round 16 ADVICE fixes touching codec internals: top-level pssh CENC
-    # detection + _boxes-walked moov locate (mp4meta.py), free-format
-    # frame-length stability validation + deduced-not-rescanned frame walk
-    # (mp3meta.py), entry-payload overlap guard (icometa.py).  Outputs
-    # unchanged on the fixture corpora (re-checked locally at sf0.001 +
-    # sf0.01); one fresh driver row each certifies.
-    "mm_mp4_meta", "mm_mp3_frames", "mm_ico_meta",
-    # round 16 §18 fix found by the plan suite after the migration: the
-    # two-phase prefix sum consumes its input twice, so the value-grain
-    # counts frames are now persisted (one fact scan) in the three
-    # migrated queries AND in the shared drift operators (ks_distance,
-    # mannwhitney_u, spearman_rho) — same values, new plan; one fresh
-    # driver row each certifies.
+    # round 17: oracle rewrites for the two entries whose deliberately-
+    # naive DuckDB SQLs exceeded the sweep budget at sf0.1 — setjoin's
+    # all-pairs form became a shingle equi-join (lossless for tau > 0),
+    # linkage's one-node-per-row fixpoint collapses exact (brand, name)
+    # duplicates first.  The naive forms remain pytest certificates
+    # (tests/test_oracle_parity.py).  Fresh driver rows certify the new
+    # oracles; both hash-checked locally at sf0.01 + sf0.1.
+    "dedup_setjoin_prefix", "link_records_clusters",
+    # round 17 review fix in the shared two-phase prefix-sum machinery
+    # (operators/packing.py): null/NaN keys now RAISE instead of being
+    # silently dropped by the offsets join (same contract as
+    # distributed_row_number).  Values unchanged on null-free testdata,
+    # plan gains the guard branch; one fresh driver row per registered
+    # consumer certifies.  Inclusive-form consumers (rank statistics):
     "stat_ks_test", "stat_mannwhitney_u", "stat_spearman_corr",
-    # round 16 extension of the same migration to the NTILE family: the
-    # customer-grain quintile/decile tilings now run as the distributed
-    # two-phase row number with the tile computed arithmetically
-    # (packing.distributed_row_number + ntile_from_rank, differentially
-    # pinned against F.ntile) — oracles unchanged (SQL NTILE), values
-    # hash-identical at sf0.001 + sf0.01; fresh driver rows certify.
-    "rfm_segments", "stat_gini_lorenz",
+    "stat_kruskal_wallis", "ml_auc_roc", "stat_cvm_2samp",
+    # exclusive-form consumers (packing / rank layouts):
+    "pack_training_sequences", "pack_split_segments", "batch_by_length",
+    "split_stratified_exact", "sess_concurrency", "stat_mutual_information",
+    "pack_bfd_assignments",
 })
 
 
