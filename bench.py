@@ -67,6 +67,11 @@ HEADLINE = [
 # every name here must be a registered query — tests/test_oracle_parity.py
 # guards membership so a typo cannot fail the driver's bench run.
 EXTRA_NAMES = [
+    # round-17 debuts: the privacy release-audit shelf
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "privacy_t_closeness",
+    "privacy_suppress_release",
     # round-14 second-session debuts
     "stat_permutation_paired",
     "graph_assortativity",

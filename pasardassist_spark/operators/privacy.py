@@ -1,0 +1,154 @@
+"""Privacy release auditing for training-data pipelines: k-anonymity,
+l-diversity, t-closeness, and the suppression release step.
+
+Before a curated corpus leaves the pipeline, the standard privacy audit
+asks three questions about its quasi-identifier (QI) columns (Sweeney,
+"k-Anonymity: A Model for Protecting Privacy", IJUFKS 2002;
+Machanavajjhala et al., "l-Diversity", ICDE 2006; Li et al.,
+"t-Closeness", ICDE 2007 — all public literature; no reference analog,
+this is LLM-pipeline extension surface like the dedup/text shelves):
+
+- is every QI equivalence class at least k rows (re-identification)?
+- does every class carry at least l distinct sensitive values
+  (homogeneity attack)? Both the distinct count and the ENTROPY form
+  (effective number of values, exp(H)) are computed — entropy catches a
+  class whose l values are 99%-dominated by one.
+- is every class's sensitive-value distribution within total-variation
+  distance t of the global distribution (skewness attack)? For a
+  categorical sensitive attribute with uniform ground distance, the
+  Earth Mover's Distance of the t-closeness paper IS the TVD.
+
+Scale shape: everything is one hash shuffle at the QI (or QI x value)
+grain plus metadata-sized joins. t_closeness avoids the naive
+class x value grid entirely: values ABSENT from a class contribute
+q(v) each, and sum_absent q(v) = 1 - sum_present q(v), so one
+value-grain equi-join + one QI-grain aggregate computes the exact TVD —
+the DuckDB oracles build the naive grid, so the closed form is
+differentially certified, not self-checked. No window functions, no
+driver collects; class readouts are QI-cardinality-sized.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def k_anonymity_classes(
+    df: DataFrame, qi: Sequence[str], k: int
+) -> DataFrame:
+    """Per-equivalence-class readout: QI columns, ``class_size``, and
+    ``meets_k``. A release is k-anonymous iff every row is true."""
+    return df.groupBy(*qi).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size"),
+        (F.count(F.lit(1)) >= k).alias("meets_k"),
+    )
+
+
+def l_diversity(
+    df: DataFrame, qi: Sequence[str], sensitive: str, l_min: int
+) -> DataFrame:
+    """Per-class distinct AND entropy l-diversity of ``sensitive``.
+
+    ``entropy_l`` = exp(H) with H the Shannon entropy of the class's
+    sensitive-value distribution, via the one-pass identity
+    H = ln(N) - (sum c_v ln c_v) / N over the class-value counts —
+    two stacked aggregates, no window, no second scan."""
+    cv = df.groupBy(*qi, sensitive).agg(F.count(F.lit(1)).alias("_c"))
+    n = F.sum("_c").cast("long")
+    h = F.log(n.cast("double")) - (
+        F.sum(F.col("_c").cast("double") * F.log(F.col("_c").cast("double")))
+        / n.cast("double")
+    )
+    return cv.groupBy(*qi).agg(
+        n.alias("class_size"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+        F.round(F.exp(h), 6).alias("entropy_l"),
+        (F.count(F.lit(1)) >= l_min).alias("meets_l"),
+    )
+
+
+def t_closeness(
+    df: DataFrame, qi: Sequence[str], sensitive: str, t_max: float
+) -> DataFrame:
+    """Per-class total-variation distance between the class's
+    sensitive-value distribution and the global one; ``meets_t``
+    compares the 6-dp ROUNDED distance (the engine-exact contract the
+    oracle mirrors).
+
+    Exact-integer inside: with N the total row count, n_c the class
+    size, cvn/gv the class/global value counts,
+
+        TVD = [ sum_{v in class} |cvn*N - gv*n_c|
+                + (n_c*N - sum_{v in class} gv*n_c) ] / (2 * n_c * N)
+
+    — the second term is the mass of values the class never exhibits
+    (computed by complement, so no class x value grid is materialized at
+    any scale), and the whole numerator is a BIGINT: the only float op
+    is the final division, so the 6-dp round is bit-identical to the
+    oracle's naive-grid form. ``sensitive`` must be non-null (null
+    never equi-joins; band/categorize nulls upstream)."""
+    # ONE fact scan: the class-value counts frame (QI x value grain,
+    # bounded) is persisted and every other input — global value
+    # distribution, class sizes, grand total — derives from it (§18
+    # single-fact-scan discipline; the sweep/session owner bounds the
+    # cache, queries are independent)
+    cv = df.groupBy(*qi, sensitive).agg(
+        F.count(F.lit(1)).cast("long").alias("_cv")
+    ).persist()
+    glob = cv.groupBy(sensitive).agg(F.sum("_cv").alias("_gv"))
+    sizes = cv.groupBy(*qi).agg(F.sum("_cv").alias("_nc"))
+    tot = cv.agg(F.sum("_cv").alias("_N"))
+    # value-grain equi-join (glob is value-cardinality-sized; AQE
+    # broadcasts it — no manual hint, it is fact-derived), then the QI
+    # join/groupBy pair shares one hash partitioning; the 1-row total is
+    # the standard broadcast-constant crossJoin
+    j = (
+        cv.join(glob, sensitive)
+        .join(sizes, list(qi))
+        .crossJoin(F.broadcast(tot))
+    )
+    term = F.abs(F.col("_cv") * F.col("_N") - F.col("_gv") * F.col("_nc"))
+    qterm = F.col("_gv") * F.col("_nc")
+    agg = j.groupBy(*qi).agg(
+        F.first("_nc").alias("class_size"),
+        F.first("_N").alias("_Ntot"),
+        (
+            F.sum(term)
+            + (F.first("_nc") * F.first("_N") - F.sum(qterm))
+        ).alias("_num"),
+    )
+    tvd = F.round(
+        F.col("_num").cast("double")
+        / (
+            2.0
+            * F.col("class_size").cast("double")
+            * F.col("_Ntot").cast("double")
+        ),
+        6,
+    )
+    return agg.select(
+        *qi,
+        F.col("class_size"),
+        tvd.alias("tvd"),
+        (tvd <= t_max).alias("meets_t"),
+    )
+
+
+def suppress_release(
+    df: DataFrame, qi: Sequence[str], k: int
+) -> DataFrame:
+    """The release step: rows in classes below ``k`` get their QI columns
+    suppressed (nulled), everything else passes through — the minimal
+    generalization that makes the release k-anonymous (suppressed rows
+    form one merged class). Adds ``suppressed``; QI columns keep their
+    types (null = suppressed). One QI-grain aggregate joined back on the
+    QI key (AQE broadcasts the class table when small; no manual hint —
+    it is fact-derived and unbounded in general)."""
+    sizes = df.groupBy(*qi).agg(F.count(F.lit(1)).alias("_sz"))
+    out = df.join(sizes, list(qi))
+    keep = F.col("_sz") >= k
+    for c in qi:
+        out = out.withColumn(c, F.when(keep, F.col(c)))
+    return out.withColumn("suppressed", ~keep).drop("_sz")

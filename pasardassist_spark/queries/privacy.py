@@ -1,0 +1,156 @@
+"""Privacy release audit queries (operators/privacy.py) over the
+customer microdata: quasi-identifiers (c_nationkey, c_mktsegment),
+sensitive attribute = the account-balance band floor(c_acctbal/2000).
+
+No reference analog (the reference releases marketplace data as-is);
+this is LLM-pipeline extension surface — the audit a curated corpus
+passes before leaving the pipeline — on the same footing as the
+dedup/text shelves. Thresholds are module constants so the oracles and
+engines share one source of truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pasardassist_spark.operators import privacy as P
+from pasardassist_spark.queries.registry import query
+from pasardassist_spark.tables import load
+
+QI = ("c_nationkey", "c_mktsegment")
+K_ANON = 5
+L_DIVERSE = 3
+T_CLOSE = 0.35
+BAND = 2000.0
+
+_BAND_SQL = "CAST(floor(c_acctbal / 2000.0) AS INTEGER)"
+
+
+def _banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        *QI,
+        F.floor(F.col("c_acctbal") / F.lit(BAND)).cast("int").alias("band"),
+    )
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           COUNT(*) >= {K_ANON} AS meets_k
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-QI-class k-anonymity readout (k = K_ANON): a release is
+    k-anonymous iff every class has meets_k. One hash aggregate at the
+    QI grain; readout is QI-cardinality-sized."""
+    return P.k_anonymity_classes(
+        load(spark, sf_dir, "customer"), list(QI), K_ANON
+    )
+
+
+@query(
+    "privacy_l_diversity",
+    oracle=f"""
+    WITH cv AS (
+        SELECT c_nationkey, c_mktsegment, {_BAND_SQL} AS band,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(SUM(c) AS BIGINT) AS class_size,
+           CAST(COUNT(*) AS BIGINT) AS l_distinct,
+           round(exp(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c)), 6) AS entropy_l,
+           COUNT(*) >= {L_DIVERSE} AS meets_l
+    FROM cv
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct + entropy l-diversity of the balance band per QI class
+    (l = L_DIVERSE). entropy_l = exp(H), the effective number of
+    sensitive values — it drops below l_distinct when one value
+    dominates the class. Two stacked hash aggregates, no window."""
+    return P.l_diversity(_banded(spark, sf_dir), list(QI), "band", L_DIVERSE)
+
+
+@query(
+    "privacy_t_closeness",
+    oracle=f"""
+    WITH b AS (
+        SELECT c_nationkey, c_mktsegment, {_BAND_SQL} AS band FROM customer
+    ),
+    cls AS (
+        SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM b GROUP BY 1, 2
+    ),
+    vals AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS gv FROM b GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+    cv AS (
+        SELECT c_nationkey, c_mktsegment, band, CAST(COUNT(*) AS BIGINT) AS cvn
+        FROM b GROUP BY 1, 2, 3
+    ),
+    grid AS (
+        -- the NAIVE class x value grid (absent values appear with cvn = 0),
+        -- deliberately different from the engine's complement form
+        SELECT cls.c_nationkey, cls.c_mktsegment, cls.class_size,
+               vals.gv, tot.n, COALESCE(cv.cvn, 0) AS cvn
+        FROM cls CROSS JOIN vals CROSS JOIN tot
+        LEFT JOIN cv ON cv.c_nationkey = cls.c_nationkey
+                    AND cv.c_mktsegment = cls.c_mktsegment
+                    AND cv.band = vals.band
+    )
+    SELECT c_nationkey, c_mktsegment, class_size,
+           round(CAST(SUM(abs(cvn * n - gv * class_size)) AS DOUBLE)
+                 / (2.0 * class_size * n), 6) AS tvd,
+           round(CAST(SUM(abs(cvn * n - gv * class_size)) AS DOUBLE)
+                 / (2.0 * class_size * n), 6) <= {T_CLOSE} AS meets_t
+    FROM grid
+    GROUP BY c_nationkey, c_mktsegment, class_size, n
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class total-variation distance of the balance-band
+    distribution vs the global one (t = T_CLOSE) — the categorical EMD
+    of the t-closeness paper. The engine computes the absent-value mass
+    by complement (never a class x value grid); the oracle builds the
+    naive grid, so the closed form is differentially certified. The
+    numerator is exact BIGINT arithmetic on both sides — the single
+    float division makes the 6-dp rounds bit-identical."""
+    return P.t_closeness(
+        _banded(spark, sf_dir), list(QI), "band", T_CLOSE
+    )
+
+
+@query(
+    "privacy_suppress_release",
+    oracle=f"""
+    WITH sz AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT c.c_custkey,
+           CASE WHEN sz.n >= {K_ANON} THEN c.c_nationkey END AS c_nationkey,
+           CASE WHEN sz.n >= {K_ANON} THEN c.c_mktsegment END AS c_mktsegment,
+           sz.n < {K_ANON} AS suppressed
+    FROM customer c
+    JOIN sz ON sz.c_nationkey = c.c_nationkey
+           AND sz.c_mktsegment = c.c_mktsegment
+    """,
+)
+def privacy_suppress_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release step: QI columns of classes below K_ANON are nulled
+    (suppressed rows merge into one class), everything else passes
+    through — row-grain output, one QI aggregate joined back (AQE
+    broadcasts the class table when small)."""
+    out = P.suppress_release(
+        load(spark, sf_dir, "customer").select("c_custkey", *QI),
+        list(QI),
+        K_ANON,
+    )
+    return out.select("c_custkey", *QI, "suppressed")

@@ -306,6 +306,7 @@ def _load_all() -> None:
         matching,
         mining,
         multimodal,
+        privacy,
         quality,
         relational,
         sampling,

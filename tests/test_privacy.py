@@ -1,0 +1,120 @@
+"""Privacy release audit operators (operators/privacy.py): k-anonymity,
+l-diversity (distinct + entropy), t-closeness TVD, suppression release —
+pinned against hand-computed ground truth on small frames; the registered
+queries are additionally oracle-hashed by test_oracle_parity."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pasardassist_spark.operators.privacy import (
+    k_anonymity_classes,
+    l_diversity,
+    suppress_release,
+    t_closeness,
+)
+
+
+def _micro(spark):
+    # two QI classes: ("a", 1) has 6 rows (meets k=5), ("b", 2) has 2
+    rows = [("a", 1, v) for v in (10, 10, 10, 10, 10, 20)]
+    rows += [("b", 2, v) for v in (10, 30)]
+    return spark.createDataFrame(rows, "seg string, nat int, s int")
+
+
+def test_k_anonymity_classes(spark):
+    got = {
+        (r.seg, r.nat): (r.class_size, r.meets_k)
+        for r in k_anonymity_classes(_micro(spark), ["seg", "nat"], 5).collect()
+    }
+    assert got == {("a", 1): (6, True), ("b", 2): (2, False)}
+
+
+def test_l_diversity_distinct_and_entropy(spark):
+    got = {
+        (r.seg, r.nat): r
+        for r in l_diversity(_micro(spark), ["seg", "nat"], "s", 2).collect()
+    }
+    a = got[("a", 1)]
+    # class a: counts {10: 5, 20: 1} -> l_distinct 2, dominated entropy
+    assert (a.class_size, a.l_distinct, a.meets_l) == (6, 2, True)
+    h = -(5 / 6) * math.log(5 / 6) - (1 / 6) * math.log(1 / 6)
+    assert abs(a.entropy_l - round(math.exp(h), 6)) < 1e-9
+    assert a.entropy_l < a.l_distinct, "dominance must lower effective l"
+    b = got[("b", 2)]
+    # class b: uniform over 2 values -> entropy_l == l_distinct == 2
+    assert (b.l_distinct, round(b.entropy_l, 6)) == (2, 2.0)
+
+
+def test_t_closeness_matches_bruteforce_grid(spark):
+    df = _micro(spark)
+    rows = df.collect()
+    total = len(rows)
+    glob = {}
+    for r in rows:
+        glob[r.s] = glob.get(r.s, 0) + 1
+    got = {
+        (r.seg, r.nat): r
+        for r in t_closeness(df, ["seg", "nat"], "s", 0.35).collect()
+    }
+    for key in {("a", 1), ("b", 2)}:
+        cls = [r for r in rows if (r.seg, r.nat) == key]
+        n_c = len(cls)
+        cv = {}
+        for r in cls:
+            cv[r.s] = cv.get(r.s, 0) + 1
+        tvd = 0.5 * sum(
+            abs(cv.get(v, 0) / n_c - g / total) for v, g in glob.items()
+        )
+        r = got[key]
+        assert r.class_size == n_c
+        assert abs(r.tvd - round(tvd, 6)) < 1e-9, key
+        assert r.meets_t == (r.tvd <= 0.35)
+
+
+def test_suppress_release_invariants(spark):
+    out = suppress_release(_micro(spark), ["seg", "nat"], 5)
+    rows = out.collect()
+    assert len(rows) == 8, "row grain preserved"
+    kept = [r for r in rows if not r.suppressed]
+    supp = [r for r in rows if r.suppressed]
+    assert len(kept) == 6 and len(supp) == 2
+    assert all(r.seg == "a" and r.nat == 1 for r in kept)
+    assert all(r.seg is None and r.nat is None for r in supp), (
+        "suppressed rows must null the whole QI tuple"
+    )
+    # post-release k-anonymity: every released class (incl. the merged
+    # suppressed class) is >= k... unless the suppressed remainder is
+    # itself < k, which the caller sees via the flag
+    sizes = (
+        out.groupBy("seg", "nat").count().collect()
+    )
+    assert {(r.seg, r.nat): r["count"] for r in sizes} == {
+        ("a", 1): 6, (None, None): 2
+    }
+
+
+def test_privacy_queries_shapes(spark, sf_dir):
+    """The registered queries on real testdata: class readouts at QI
+    grain, release at row grain, thresholds applied."""
+    from pasardassist_spark.queries.privacy import (
+        privacy_k_anonymity,
+        privacy_suppress_release,
+        privacy_t_closeness,
+    )
+    from pasardassist_spark.tables import load
+
+    n_cust = load(spark, sf_dir, "customer").count()
+    k = privacy_k_anonymity(spark, sf_dir)
+    n_classes = k.count()
+    assert n_classes <= 25 * 5
+    t = privacy_t_closeness(spark, sf_dir)
+    assert t.count() == n_classes
+    assert t.filter((F.col("tvd") < 0) | (F.col("tvd") > 1)).count() == 0
+    rel = privacy_suppress_release(spark, sf_dir)
+    assert rel.count() == n_cust
+    # suppressed rows = rows of classes below k
+    small = k.filter(~F.col("meets_k")).agg(F.sum("class_size")).first()[0]
+    assert rel.filter("suppressed").count() == (small or 0)
