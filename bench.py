@@ -72,6 +72,7 @@ EXTRA_NAMES = [
     "privacy_l_diversity",
     "privacy_t_closeness",
     "privacy_suppress_release",
+    "privacy_dp_counts",
     # round-14 second-session debuts
     "stat_permutation_paired",
     "graph_assortativity",

@@ -152,3 +152,42 @@ def suppress_release(
     for c in qi:
         out = out.withColumn(c, F.when(keep, F.col(c)))
     return out.withColumn("suppressed", ~keep).drop("_sz")
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    qi: Sequence[str],
+    epsilon: float,
+    seed: str = "dp1",
+) -> DataFrame:
+    """Differentially-private count release (Dwork et al., "Calibrating
+    Noise to Sensitivity in Private Data Analysis", TCC 2006): per-QI
+    counts plus Laplace(1/epsilon) noise (count queries have sensitivity
+    1 under row addition/removal).
+
+    DETERMINIZATION CAVEAT, by design: the uniform draw is derived from
+    md5(seed || QI tuple) — 52 bits of the digest mapped to (0, 1) — so
+    the release is reproducible and differentially testable (the DuckDB
+    oracle recomputes the identical digest), exactly like the repo's
+    seeded reservoir samplers. A production release MUST swap the digest
+    for a fresh entropy source; the mechanism, sensitivity, and inverse-
+    CDF transform are unchanged by that swap.
+
+    noisy = count - (1/eps) * sign(u - 0.5) * ln(1 - 2|u - 0.5|),
+    u = (digest52 + 0.5) / 2^52  (the +0.5 keeps u strictly inside
+    (0, 1), so the log never sees 0). One QI-grain aggregate; the noise
+    is a scalar expression on the metadata-sized readout."""
+    key = F.concat_ws("|", F.lit(seed), *[F.col(c).cast("string") for c in qi])
+    u = (
+        (F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double") + 0.5)
+        / F.lit(float(1 << 52))
+    )
+    lap = (
+        -(1.0 / epsilon)
+        * F.signum(u - 0.5)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    return df.groupBy(*qi).agg(
+        F.count(F.lit(1)).cast("long").alias("true_count"),
+        F.round(F.count(F.lit(1)) + lap, 6).alias("noisy_count"),
+    )

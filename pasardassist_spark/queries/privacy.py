@@ -154,3 +154,42 @@ def privacy_suppress_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         K_ANON,
     )
     return out.select("c_custkey", *QI, "suppressed")
+
+
+DP_EPSILON = 1.0
+DP_SEED = "dp1"
+
+
+@query(
+    "privacy_dp_counts",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+               (CAST(CONCAT('0x', substr(md5(
+                    concat_ws('|', '{DP_SEED}',
+                              CAST(c_nationkey AS VARCHAR), c_mktsegment)
+                ), 1, 13)) AS UBIGINT) + 0.5) / 4503599627370496.0 AS u
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(n AS BIGINT) AS true_count,
+           round(n + -(1.0 / {DP_EPSILON}) * sign(u - 0.5)
+                     * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_count
+    FROM g
+    """,
+)
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism DP release of the per-QI counts
+    (operators/privacy.py:dp_noisy_counts, epsilon = DP_EPSILON,
+    sensitivity 1). Seeded md5-derived noise so the release is
+    reproducible and the oracle recomputes the identical digest — see
+    the operator's determinization caveat. true_count is emitted
+    alongside for the differential check; a real release would project
+    it away."""
+    return P.dp_noisy_counts(
+        load(spark, sf_dir, "customer").select(*QI),
+        list(QI),
+        DP_EPSILON,
+        seed=DP_SEED,
+    )

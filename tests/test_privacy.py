@@ -118,3 +118,26 @@ def test_privacy_queries_shapes(spark, sf_dir):
     # suppressed rows = rows of classes below k
     small = k.filter(~F.col("meets_k")).agg(F.sum("class_size")).first()[0]
     assert rel.filter("suppressed").count() == (small or 0)
+
+
+def test_dp_noisy_counts_laplace_shape(spark):
+    """The seeded Laplace mechanism: noise is nonzero, two-sided across
+    groups, centered near 0, and scales like 1/epsilon (same seed ->
+     10x epsilon shrinks every group's noise exactly 10x)."""
+    from pasardassist_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(g, i) for g in range(200) for i in range(3)], "g int, i int"
+    )
+    out = {r.g: r.noisy_count - r.true_count
+           for r in dp_noisy_counts(df, ["g"], 1.0).collect()}
+    noises = list(out.values())
+    assert all(n != 0 for n in noises)
+    pos = sum(1 for n in noises if n > 0)
+    assert 60 <= pos <= 140, "signs should be roughly balanced"
+    mean = sum(noises) / len(noises)
+    assert abs(mean) < 0.35, f"Laplace(1) mean over 200 draws, got {mean}"
+    tight = {r.g: r.noisy_count - r.true_count
+             for r in dp_noisy_counts(df, ["g"], 10.0).collect()}
+    for g, n in out.items():
+        assert abs(tight[g] - n / 10) < 2e-5, "noise must scale as 1/eps"
