@@ -73,6 +73,7 @@ EXTRA_NAMES = [
     "privacy_t_closeness",
     "privacy_suppress_release",
     "privacy_dp_counts",
+    "privacy_t_closeness_ordered",
     # round-14 second-session debuts
     "stat_permutation_paired",
     "graph_assortativity",

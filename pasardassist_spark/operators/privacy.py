@@ -191,3 +191,70 @@ def dp_noisy_counts(
         F.count(F.lit(1)).cast("long").alias("true_count"),
         F.round(F.count(F.lit(1)) + lap, 6).alias("noisy_count"),
     )
+
+
+def t_closeness_ordered(
+    df: DataFrame, qi: Sequence[str], sensitive: str, t_max: float
+) -> DataFrame:
+    """t-closeness for an ORDERED (numeric/ordinal) sensitive attribute —
+    the second metric of Li et al. 2007: the 1-D Earth Mover's Distance
+    with unit ground distance between adjacent values,
+
+        EMD = (1 / (m - 1)) * sum_i | sum_{j <= i} (p_c(v_j) - q(v_j)) |
+
+    over the m GLOBAL distinct values in order. Unlike the categorical
+    TVD, the cumulative difference carries across values a class never
+    exhibits, so the class x value grid is inherent to the metric — and
+    bounded: the grid is (QI cardinality) x (sensitive-value domain),
+    never row-scale, and the per-class window runs over m rows (the
+    value domain), never over data. Exact-integer inside: the cumulative
+    numerator sum_{j<=i} (cvn_j*N - gv_j*n_c) is a BIGINT; one float
+    division + 6-dp round at the end, bit-identical to the oracle's
+    self-join cumulative."""
+    cv = df.groupBy(*qi, sensitive).agg(
+        F.count(F.lit(1)).cast("long").alias("_cv")
+    ).persist()
+    glob = cv.groupBy(sensitive).agg(F.sum("_cv").alias("_gv"))
+    sizes = cv.groupBy(*qi).agg(F.sum("_cv").alias("_nc"))
+    tot = cv.agg(
+        F.sum("_cv").alias("_N"),
+        F.count_distinct(sensitive).alias("_m"),
+    )
+    grid = (
+        sizes.crossJoin(F.broadcast(glob))
+        .join(cv, [*qi, sensitive], "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_cvn", F.coalesce(F.col("_cv"), F.lit(0)))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*qi).orderBy(sensitive).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = F.sum(
+        F.col("_cvn") * F.col("_N") - F.col("_gv") * F.col("_nc")
+    ).over(w)
+    stepped = grid.withColumn("_acum", F.abs(cum))
+    agg = stepped.groupBy(*qi).agg(
+        F.first("_nc").alias("class_size"),
+        F.first("_N").alias("_Nt"),
+        F.first("_m").alias("_mv"),
+        F.sum("_acum").alias("_num"),
+    )
+    # m == 1 (degenerate single-value domain): every class's distribution
+    # equals the global one, EMD is 0 by definition — not 0/0
+    emd = F.when(F.col("_mv") > 1, F.round(
+        F.col("_num").cast("double")
+        / (
+            (F.col("_mv") - F.lit(1)).cast("double")
+            * F.col("class_size").cast("double")
+            * F.col("_Nt").cast("double")
+        ),
+        6,
+    )).otherwise(F.lit(0.0))
+    return agg.select(
+        *qi,
+        F.col("class_size"),
+        emd.alias("emd"),
+        (emd <= t_max).alias("meets_t"),
+    )

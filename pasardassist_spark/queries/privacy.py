@@ -193,3 +193,67 @@ def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         DP_EPSILON,
         seed=DP_SEED,
     )
+
+
+@query(
+    "privacy_t_closeness_ordered",
+    oracle=f"""
+    WITH b AS (
+        SELECT c_nationkey, c_mktsegment, {_BAND_SQL} AS band FROM customer
+    ),
+    cls AS (
+        SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM b GROUP BY 1, 2
+    ),
+    vals AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS gv FROM b GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT band) AS BIGINT) AS m FROM b),
+    cv AS (
+        SELECT c_nationkey, c_mktsegment, band, CAST(COUNT(*) AS BIGINT) AS cvn
+        FROM b GROUP BY 1, 2, 3
+    ),
+    grid AS (
+        SELECT cls.c_nationkey, cls.c_mktsegment, cls.class_size,
+               vals.band, vals.gv, tot.n, tot.m, COALESCE(cv.cvn, 0) AS cvn
+        FROM cls CROSS JOIN vals CROSS JOIN tot
+        LEFT JOIN cv ON cv.c_nationkey = cls.c_nationkey
+                    AND cv.c_mktsegment = cls.c_mktsegment
+                    AND cv.band = vals.band
+    ),
+    -- NAIVE quadratic cumulative: each grid row re-sums every value at or
+    -- below its band via a self-join (no window function), deliberately
+    -- different from the engine's ordered-window prefix
+    cum AS (
+        SELECT g.c_nationkey, g.c_mktsegment, g.class_size, g.n, g.m, g.band,
+               abs(SUM(g2.cvn * g2.n - g2.gv * g2.class_size)) AS acum
+        FROM grid g
+        JOIN grid g2 ON g2.c_nationkey = g.c_nationkey
+                    AND g2.c_mktsegment = g.c_mktsegment
+                    AND g2.band <= g.band
+        GROUP BY 1, 2, 3, 4, 5, 6
+    )
+    SELECT c_nationkey, c_mktsegment, class_size,
+           CASE WHEN m > 1
+                THEN round(CAST(SUM(acum) AS DOUBLE)
+                           / ((m - 1) * class_size * n), 6)
+                ELSE 0.0 END AS emd,
+           CASE WHEN m > 1
+                THEN round(CAST(SUM(acum) AS DOUBLE)
+                           / ((m - 1) * class_size * n), 6)
+                ELSE 0.0 END <= {T_CLOSE} AS meets_t
+    FROM cum
+    GROUP BY c_nationkey, c_mktsegment, class_size, n, m
+    """,
+)
+def privacy_t_closeness_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-attribute t-closeness (the 1-D EMD of Li et al. 2007) of
+    the balance band per QI class: cumulative-difference mass over the
+    GLOBAL ordered band domain, normalized by (m-1). The engine runs one
+    ordered window over the m-row value domain per class (the grid is
+    QI-cardinality x band-domain, never row-scale); the oracle re-derives
+    each cumulative with a naive quadratic self-join — no window — so the
+    prefix construction is differentially certified. Exact BIGINT
+    cumulative numerators on both sides."""
+    return P.t_closeness_ordered(
+        _banded(spark, sf_dir), list(QI), "band", T_CLOSE
+    )

@@ -141,3 +141,30 @@ def test_dp_noisy_counts_laplace_shape(spark):
              for r in dp_noisy_counts(df, ["g"], 10.0).collect()}
     for g, n in out.items():
         assert abs(tight[g] - n / 10) < 2e-5, "noise must scale as 1/eps"
+
+
+def test_t_closeness_ordered_matches_bruteforce(spark):
+    """Ordered EMD vs a hand-rolled cumulative over the global value
+    domain — including a class that never exhibits the middle value
+    (the cumulative must carry across it)."""
+    from pasardassist_spark.operators.privacy import t_closeness_ordered
+
+    rows = [("a", v) for v in (1, 1, 2, 3)] + [("b", v) for v in (1, 3, 3, 3)]
+    df = spark.createDataFrame(rows, "g string, s int")
+    got = {r.g: r for r in t_closeness_ordered(df, ["g"], "s", 0.3).collect()}
+    total, dom = 8, [1, 2, 3]
+    glob = {1: 3, 2: 1, 3: 4}
+    for g, vals in (("a", {1: 2, 2: 1, 3: 1}), ("b", {1: 1, 3: 3})):
+        n_c = sum(vals.values())
+        cum, acc = 0.0, 0.0
+        for v in dom:
+            acc += vals.get(v, 0) / n_c - glob[v] / total
+            cum += abs(acc)
+        emd = cum / (len(dom) - 1)
+        assert abs(got[g].emd - round(emd, 6)) < 1e-9, g
+        assert got[g].meets_t == (got[g].emd <= 0.3)
+    # degenerate single-value domain: EMD 0, not 0/0
+    one = spark.createDataFrame([("a", 5), ("b", 5)], "g string, s int")
+    assert all(
+        r.emd == 0.0 for r in t_closeness_ordered(one, ["g"], "s", 0.3).collect()
+    )
