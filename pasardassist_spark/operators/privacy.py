@@ -18,21 +18,33 @@ this is LLM-pipeline extension surface like the dedup/text shelves):
   categorical sensitive attribute with uniform ground distance, the
   Earth Mover's Distance of the t-closeness paper IS the TVD.
 
+Null contract (r17 review): a null in a QI column is a legitimate
+equivalence-class value — groupBy keeps null groups, and every internal
+join runs on a STRUCT of the QI columns (struct equality is null-safe),
+so null-QI classes are audited and released like any other instead of
+silently vanishing at an equi-join. A null in the SENSITIVE column
+RAISES loudly (same convention as packing's bucket-key guard): the
+class-value machinery joins on the sensitive value, and no silent
+placement could be right — band/categorize nulls into an explicit value
+upstream.
+
 Scale shape: everything is one hash shuffle at the QI (or QI x value)
 grain plus metadata-sized joins. t_closeness avoids the naive
 class x value grid entirely: values ABSENT from a class contribute
 q(v) each, and sum_absent q(v) = 1 - sum_present q(v), so one
 value-grain equi-join + one QI-grain aggregate computes the exact TVD —
 the DuckDB oracles build the naive grid, so the closed form is
-differentially certified, not self-checked. No window functions, no
-driver collects; class readouts are QI-cardinality-sized.
+differentially certified, not self-checked. No driver collects; class
+readouts are QI-cardinality-sized.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+_QI_KEY = "_qik"
 
 
 def k_anonymity_classes(
@@ -54,7 +66,11 @@ def l_diversity(
     ``entropy_l`` = exp(H) with H the Shannon entropy of the class's
     sensitive-value distribution, via the one-pass identity
     H = ln(N) - (sum c_v ln c_v) / N over the class-value counts —
-    two stacked aggregates, no window, no second scan."""
+    two stacked aggregates, no window, no second scan. A null sensitive
+    value counts as one distinct value here (groupBy keeps it; no join
+    is involved), consistent with the t-closeness forms REJECTING nulls
+    — diversity of a column that still has nulls is answerable, distance
+    between distributions with an implicit null bucket is not."""
     cv = df.groupBy(*qi, sensitive).agg(F.count(F.lit(1)).alias("_c"))
     n = F.sum("_c").cast("long")
     h = F.log(n.cast("double")) - (
@@ -67,6 +83,52 @@ def l_diversity(
         F.round(F.exp(h), 6).alias("entropy_l"),
         (F.count(F.lit(1)) >= l_min).alias("meets_l"),
     )
+
+
+def _guard_sensitive(df: DataFrame, sensitive: str, fn: str) -> DataFrame:
+    """Replace ``sensitive`` with a loud-failure wrapper: evaluating a
+    null raises (packing's bucket-key convention) — the class-value
+    joins run on this column and would otherwise silently drop or
+    mis-score the row."""
+    dt = df.schema[sensitive].dataType.simpleString()
+    c = F.col(sensitive)
+    return df.withColumn(
+        sensitive,
+        F.when(
+            c.isNull(),
+            F.raise_error(F.lit(
+                f"{fn}: sensitive column '{sensitive}' is null on some "
+                "row — null never equi-joins, so the class-value "
+                "machinery would silently drop or mis-score it; "
+                "band/categorize nulls into an explicit value upstream"
+            )).cast(dt),
+        ).otherwise(c),
+    )
+
+
+def _class_value_counts(
+    df: DataFrame, qi: Sequence[str], sensitive: str, fn: str
+):
+    """Shared scaffold of both t-closeness forms: ONE fact scan into the
+    persisted class-value counts frame (QI x value grain, bounded), with
+    the global value distribution and the class sizes derived from it
+    (§18 single-fact-scan discipline; the sweep/session owner bounds the
+    cache, queries are independent). The QI tuple is carried as one
+    STRUCT column ``_qik`` so every downstream join is null-safe."""
+    guarded = _guard_sensitive(df, sensitive, fn)
+    cv = (
+        guarded.withColumn(_QI_KEY, F.struct(*qi))
+        .groupBy(_QI_KEY, sensitive)
+        .agg(F.count(F.lit(1)).cast("long").alias("_cv"))
+        .persist()
+    )
+    glob = cv.groupBy(sensitive).agg(F.sum("_cv").alias("_gv"))
+    sizes = cv.groupBy(_QI_KEY).agg(F.sum("_cv").alias("_nc"))
+    return cv, glob, sizes
+
+
+def _unpack_qi(qi: Sequence[str]) -> list:
+    return [F.col(_QI_KEY)[c].alias(c) for c in qi]
 
 
 def t_closeness(
@@ -87,18 +149,9 @@ def t_closeness(
     (computed by complement, so no class x value grid is materialized at
     any scale), and the whole numerator is a BIGINT: the only float op
     is the final division, so the 6-dp round is bit-identical to the
-    oracle's naive-grid form. ``sensitive`` must be non-null (null
-    never equi-joins; band/categorize nulls upstream)."""
-    # ONE fact scan: the class-value counts frame (QI x value grain,
-    # bounded) is persisted and every other input — global value
-    # distribution, class sizes, grand total — derives from it (§18
-    # single-fact-scan discipline; the sweep/session owner bounds the
-    # cache, queries are independent)
-    cv = df.groupBy(*qi, sensitive).agg(
-        F.count(F.lit(1)).cast("long").alias("_cv")
-    ).persist()
-    glob = cv.groupBy(sensitive).agg(F.sum("_cv").alias("_gv"))
-    sizes = cv.groupBy(*qi).agg(F.sum("_cv").alias("_nc"))
+    oracle's naive-grid form. Null sensitive values RAISE; null QI
+    values form an audited class like any other (struct-keyed joins)."""
+    cv, glob, sizes = _class_value_counts(df, qi, sensitive, "t_closeness")
     tot = cv.agg(F.sum("_cv").alias("_N"))
     # value-grain equi-join (glob is value-cardinality-sized; AQE
     # broadcasts it — no manual hint, it is fact-derived), then the QI
@@ -106,12 +159,12 @@ def t_closeness(
     # the standard broadcast-constant crossJoin
     j = (
         cv.join(glob, sensitive)
-        .join(sizes, list(qi))
+        .join(sizes, _QI_KEY)
         .crossJoin(F.broadcast(tot))
     )
     term = F.abs(F.col("_cv") * F.col("_N") - F.col("_gv") * F.col("_nc"))
     qterm = F.col("_gv") * F.col("_nc")
-    agg = j.groupBy(*qi).agg(
+    agg = j.groupBy(_QI_KEY).agg(
         F.first("_nc").alias("class_size"),
         F.first("_N").alias("_Ntot"),
         (
@@ -129,67 +182,10 @@ def t_closeness(
         6,
     )
     return agg.select(
-        *qi,
+        *_unpack_qi(qi),
         F.col("class_size"),
         tvd.alias("tvd"),
         (tvd <= t_max).alias("meets_t"),
-    )
-
-
-def suppress_release(
-    df: DataFrame, qi: Sequence[str], k: int
-) -> DataFrame:
-    """The release step: rows in classes below ``k`` get their QI columns
-    suppressed (nulled), everything else passes through — the minimal
-    generalization that makes the release k-anonymous (suppressed rows
-    form one merged class). Adds ``suppressed``; QI columns keep their
-    types (null = suppressed). One QI-grain aggregate joined back on the
-    QI key (AQE broadcasts the class table when small; no manual hint —
-    it is fact-derived and unbounded in general)."""
-    sizes = df.groupBy(*qi).agg(F.count(F.lit(1)).alias("_sz"))
-    out = df.join(sizes, list(qi))
-    keep = F.col("_sz") >= k
-    for c in qi:
-        out = out.withColumn(c, F.when(keep, F.col(c)))
-    return out.withColumn("suppressed", ~keep).drop("_sz")
-
-
-def dp_noisy_counts(
-    df: DataFrame,
-    qi: Sequence[str],
-    epsilon: float,
-    seed: str = "dp1",
-) -> DataFrame:
-    """Differentially-private count release (Dwork et al., "Calibrating
-    Noise to Sensitivity in Private Data Analysis", TCC 2006): per-QI
-    counts plus Laplace(1/epsilon) noise (count queries have sensitivity
-    1 under row addition/removal).
-
-    DETERMINIZATION CAVEAT, by design: the uniform draw is derived from
-    md5(seed || QI tuple) — 52 bits of the digest mapped to (0, 1) — so
-    the release is reproducible and differentially testable (the DuckDB
-    oracle recomputes the identical digest), exactly like the repo's
-    seeded reservoir samplers. A production release MUST swap the digest
-    for a fresh entropy source; the mechanism, sensitivity, and inverse-
-    CDF transform are unchanged by that swap.
-
-    noisy = count - (1/eps) * sign(u - 0.5) * ln(1 - 2|u - 0.5|),
-    u = (digest52 + 0.5) / 2^52  (the +0.5 keeps u strictly inside
-    (0, 1), so the log never sees 0). One QI-grain aggregate; the noise
-    is a scalar expression on the metadata-sized readout."""
-    key = F.concat_ws("|", F.lit(seed), *[F.col(c).cast("string") for c in qi])
-    u = (
-        (F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double") + 0.5)
-        / F.lit(float(1 << 52))
-    )
-    lap = (
-        -(1.0 / epsilon)
-        * F.signum(u - 0.5)
-        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
-    )
-    return df.groupBy(*qi).agg(
-        F.count(F.lit(1)).cast("long").alias("true_count"),
-        F.round(F.count(F.lit(1)) + lap, 6).alias("noisy_count"),
     )
 
 
@@ -210,32 +206,29 @@ def t_closeness_ordered(
     value domain), never over data. Exact-integer inside: the cumulative
     numerator sum_{j<=i} (cvn_j*N - gv_j*n_c) is a BIGINT; one float
     division + 6-dp round at the end, bit-identical to the oracle's
-    self-join cumulative."""
-    cv = df.groupBy(*qi, sensitive).agg(
-        F.count(F.lit(1)).cast("long").alias("_cv")
-    ).persist()
-    glob = cv.groupBy(sensitive).agg(F.sum("_cv").alias("_gv"))
-    sizes = cv.groupBy(*qi).agg(F.sum("_cv").alias("_nc"))
+    self-join cumulative. Null sensitive values RAISE; null QI values
+    form an audited class like any other (struct-keyed grid join)."""
+    cv, glob, sizes = _class_value_counts(
+        df, qi, sensitive, "t_closeness_ordered"
+    )
     tot = cv.agg(
         F.sum("_cv").alias("_N"),
         F.count_distinct(sensitive).alias("_m"),
     )
     grid = (
         sizes.crossJoin(F.broadcast(glob))
-        .join(cv, [*qi, sensitive], "left")
+        .join(cv, [_QI_KEY, sensitive], "left")
         .crossJoin(F.broadcast(tot))
         .withColumn("_cvn", F.coalesce(F.col("_cv"), F.lit(0)))
     )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy(*qi).orderBy(sensitive).rowsBetween(
+    w = W.partitionBy(_QI_KEY).orderBy(sensitive).rowsBetween(
         W.unboundedPreceding, 0
     )
     cum = F.sum(
         F.col("_cvn") * F.col("_N") - F.col("_gv") * F.col("_nc")
     ).over(w)
     stepped = grid.withColumn("_acum", F.abs(cum))
-    agg = stepped.groupBy(*qi).agg(
+    agg = stepped.groupBy(_QI_KEY).agg(
         F.first("_nc").alias("class_size"),
         F.first("_N").alias("_Nt"),
         F.first("_m").alias("_mv"),
@@ -253,8 +246,77 @@ def t_closeness_ordered(
         6,
     )).otherwise(F.lit(0.0))
     return agg.select(
-        *qi,
+        *_unpack_qi(qi),
         F.col("class_size"),
         emd.alias("emd"),
         (emd <= t_max).alias("meets_t"),
+    )
+
+
+def suppress_release(
+    df: DataFrame, qi: Sequence[str], k: int
+) -> DataFrame:
+    """The release step: rows in classes below ``k`` get their QI columns
+    suppressed (nulled), everything else passes through — the minimal
+    generalization that makes the release k-anonymous (suppressed rows
+    form one merged class). Adds ``suppressed``; QI columns keep their
+    types (null = suppressed). One QI-grain aggregate joined back on the
+    STRUCT of the QI key (null-safe — a row with a null QI value belongs
+    to that null-valued class and is released/suppressed by ITS size,
+    never dropped; AQE broadcasts the class table when small, no manual
+    hint — it is fact-derived and unbounded in general)."""
+    keyed = df.withColumn(_QI_KEY, F.struct(*qi))
+    sizes = keyed.groupBy(_QI_KEY).agg(F.count(F.lit(1)).alias("_sz"))
+    out = keyed.join(sizes, _QI_KEY)
+    keep = F.col("_sz") >= k
+    for c in qi:
+        out = out.withColumn(c, F.when(keep, F.col(c)))
+    return out.withColumn("suppressed", ~keep).drop("_sz", _QI_KEY)
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    qi: Sequence[str],
+    epsilon: float,
+    seed: str = "dp1",
+) -> DataFrame:
+    """Differentially-private count release (Dwork et al., "Calibrating
+    Noise to Sensitivity in Private Data Analysis", TCC 2006): per-QI
+    counts plus Laplace(1/epsilon) noise (count queries have sensitivity
+    1 under row addition/removal).
+
+    DETERMINIZATION CAVEAT, by design: the uniform draw is derived from
+    md5 over the QI tuple — 52 bits of the digest mapped to (0, 1) — so
+    the release is reproducible and differentially testable (the DuckDB
+    oracle recomputes the identical digest), exactly like the repo's
+    seeded reservoir samplers. A production release MUST swap the digest
+    for a fresh entropy source; the mechanism, sensitivity, and inverse-
+    CDF transform are unchanged by that swap. The key is COLLISION-FREE
+    over distinct QI tuples (r17 review): each component is itself
+    md5-hashed (fixed width, so a separator inside a value cannot
+    re-frame the tuple) and nulls map to a token no digest can equal —
+    ('a|b', 'c') vs ('a', 'b|c') and ('a', null) vs (null, 'a') all draw
+    independent noise.
+
+    noisy = count - (1/eps) * sign(u - 0.5) * ln(1 - 2|u - 0.5|),
+    u = (digest52 + 0.5) / 2^52  (the +0.5 keeps u strictly inside
+    (0, 1), so the log never sees 0). One QI-grain aggregate; the noise
+    is a scalar expression on the metadata-sized readout."""
+    comps = [
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("null"))
+        for c in qi
+    ]
+    key = F.concat_ws("|", F.lit(seed), *comps)
+    u = (
+        (F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double") + 0.5)
+        / F.lit(float(1 << 52))
+    )
+    lap = (
+        -(1.0 / epsilon)
+        * F.signum(u - 0.5)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    return df.groupBy(*qi).agg(
+        F.count(F.lit(1)).cast("long").alias("true_count"),
+        F.round(F.count(F.lit(1)) + lap, 6).alias("noisy_count"),
     )

@@ -165,9 +165,12 @@ DP_SEED = "dp1"
     oracle=f"""
     WITH g AS (
         SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+               -- per-component md5 (fixed width) + null token: the key is
+               -- collision-free over distinct QI tuples (r17 review)
                (CAST(CONCAT('0x', substr(md5(
                     concat_ws('|', '{DP_SEED}',
-                              CAST(c_nationkey AS VARCHAR), c_mktsegment)
+                              coalesce(md5(CAST(c_nationkey AS VARCHAR)), 'null'),
+                              coalesce(md5(c_mktsegment), 'null'))
                 ), 1, 13)) AS UBIGINT) + 0.5) / 4503599627370496.0 AS u
         FROM customer
         GROUP BY c_nationkey, c_mktsegment

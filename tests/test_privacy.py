@@ -168,3 +168,71 @@ def test_t_closeness_ordered_matches_bruteforce(spark):
     assert all(
         r.emd == 0.0 for r in t_closeness_ordered(one, ["g"], "s", 0.3).collect()
     )
+
+
+def test_null_qi_classes_audited_not_dropped(spark):
+    """r17 review: a null QI value is a legitimate equivalence class —
+    the struct-keyed joins must audit and release it, never drop it at
+    an equi-join."""
+    from pasardassist_spark.operators.privacy import (
+        dp_noisy_counts as dpc,
+        t_closeness as tc,
+        t_closeness_ordered as tco,
+    )
+
+    rows = [("a", 1, 10), ("a", 1, 20), (None, 1, 10), (None, 1, 10),
+            ("a", None, 20)]
+    df = spark.createDataFrame(rows, "seg string, nat int, s int")
+    for fn, val_col in ((tc, "tvd"), (tco, "emd")):
+        out = fn(df, ["seg", "nat"], "s", 0.5).collect()
+        keys = {(r.seg, r.nat) for r in out}
+        assert keys == {("a", 1), (None, 1), ("a", None)}, fn.__name__
+        sizes = {(r.seg, r.nat): r.class_size for r in out}
+        assert sizes[(None, 1)] == 2 and sizes[("a", None)] == 1
+        assert all(r[val_col] is not None for r in out)
+    # t_closeness on the null-QI class: counts {10: 2}, global
+    # {10: 3, 20: 2} -> TVD = 0.5*(|1-0.6| + 0.4) = 0.4
+    tvd = {(r.seg, r.nat): r.tvd
+           for r in tc(df, ["seg", "nat"], "s", 0.5).collect()}
+    assert abs(tvd[(None, 1)] - 0.4) < 1e-9
+    # suppression: the null-QI classes are below k and must be RELEASED
+    # as suppressed rows, not silently dropped
+    rel = suppress_release(df, ["seg", "nat"], 2).collect()
+    assert len(rel) == 5, "row grain preserved through null QI"
+    # classes: ("a",1)=2 >= 2 keep; (None,1)=2 keep; ("a",None)=1 suppress
+    assert sum(1 for r in rel if r.suppressed) == 1
+
+
+def test_null_sensitive_raises_loudly(spark):
+    """r17 review: the t-closeness forms join on the sensitive value, so
+    a null there must RAISE (packing's bucket-key convention), never
+    silently drop or mis-score."""
+    import pytest as _pytest
+
+    from pasardassist_spark.operators.privacy import (
+        t_closeness as tc,
+        t_closeness_ordered as tco,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", None), ("b", 20)], "g string, s int"
+    )
+    for fn in (tc, tco):
+        with _pytest.raises(Exception, match="null"):
+            fn(df, ["g"], "s", 0.5).collect()
+
+
+def test_dp_key_is_collision_free(spark):
+    """r17 review: separator-containing values and null-vs-value swaps
+    must draw INDEPENDENT noise — ('a|b','c') vs ('a','b|c') and
+    ('a',null) vs (null,'a') formerly collided through concat_ws."""
+    from pasardassist_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [("a|b", "c"), ("a", "b|c"), ("a", None), (None, "a")],
+        "x string, y string",
+    )
+    out = dp_noisy_counts(df, ["x", "y"], 1.0).collect()
+    assert len(out) == 4, "null QI groups must be released too"
+    noises = sorted(round(r.noisy_count - r.true_count, 6) for r in out)
+    assert len(set(noises)) == 4, f"colliding draws: {noises}"
