@@ -74,6 +74,7 @@ EXTRA_NAMES = [
     "privacy_suppress_release",
     "privacy_dp_counts",
     "privacy_t_closeness_ordered",
+    "streaming_kanon_readout",
     # round-14 second-session debuts
     "stat_permutation_paired",
     "graph_assortativity",

@@ -260,3 +260,58 @@ def privacy_t_closeness_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.t_closeness_ordered(
         _banded(spark, sf_dir), list(QI), "band", T_CLOSE
     )
+
+
+KANON_STREAM_QI = ("event_type", "qi_bucket")
+KANON_STREAM_K = 400
+
+
+@query(
+    "streaming_kanon_readout",
+    oracle=f"""
+    SELECT event_type,
+           CAST(user_id % 50 AS BIGINT) AS qi_bucket,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           COUNT(*) >= {KANON_STREAM_K} AS meets_k
+    FROM events
+    GROUP BY event_type, user_id % 50
+    """,
+)
+def streaming_kanon_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming privacy monitor end-to-end (streaming/privacy.py):
+    the events log replayed via readStream -> foreachBatch partial-count
+    MERGE into the generational state store, then the k-anonymity
+    readout derived from the final state. The oracle is the batch
+    groupBy — incremental-maintenance-equals-batch as a driver-checked
+    query, the st8 pattern applied to the release-audit shelf. QI here
+    is (event_type, user_id mod 50): a plausible released tuple with
+    classes on both sides of k at every test SF."""
+    import os
+    import tempfile
+
+    from pasardassist_spark.streaming.privacy import (
+        k_anonymity_from_state,
+        maintain_k_anonymity,
+    )
+
+    ev_schema = load(spark, sf_dir, "events").schema
+    tmp = tempfile.mkdtemp(prefix="pasard_kanon_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src, "events.parquet"))
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .parquet(src)
+        .select(
+            "event_type",
+            F.pmod(F.col("user_id"), F.lit(50)).cast("long").alias("qi_bucket"),
+        )
+    )
+    q = maintain_k_anonymity(
+        stream, KANON_STREAM_QI, f"{tmp}/state", f"{tmp}/ckpt"
+    )
+    q.processAllAvailable()
+    q.stop()
+    return k_anonymity_from_state(
+        spark, f"{tmp}/state", KANON_STREAM_QI, KANON_STREAM_K
+    )
