@@ -966,3 +966,28 @@ def test_ntile_queries_distribute_above_threshold(spark, sf_dir, name, monkeypat
     spark.catalog.clearCache()
     p_small = plan(REGISTRY[name].fn(spark, sf_dir))
     assert "hashpartitioning(_pb" not in p_small, f"{name}: small-n branch lost"
+
+
+def test_privacy_tvd_single_fact_scan_no_data_cartesian(spark, sf_dir):
+    """The privacy TVD forms must (a) scan the customer fact ONCE — the
+    class-value counts frame is persisted and the global/size/total
+    inputs derive from it — and (b) carry no cartesian product except
+    the 1-row broadcast-constant totals crossJoin. A second FileScan
+    materialization or a non-broadcast nested loop is the 100 TB
+    regression."""
+    for name in ("privacy_t_closeness", "privacy_t_closeness_ordered"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.collect()  # materialize the cache so the executed plan is real
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p, f"{name}: data-side cartesian"
+        assert "InMemoryTableScan" in p, f"{name}: class-value cache lost"
+        spark.catalog.clearCache()
+
+
+def test_privacy_kanon_scan_prunes_to_qi(spark, sf_dir):
+    """privacy_k_anonymity reads ONLY the two QI columns of the 5-column
+    customer table — a full-width scan for a 2-column groupBy is the
+    column-pruning regression."""
+    p = plan(REGISTRY["privacy_k_anonymity"].fn(spark, sf_dir))
+    (schema,) = read_schemas(p)
+    assert schema == {"c_nationkey", "c_mktsegment"}
