@@ -75,6 +75,7 @@ EXTRA_NAMES = [
     "privacy_dp_counts",
     "privacy_t_closeness_ordered",
     "streaming_kanon_readout",
+    "privacy_mondrian_release",
     # round-14 second-session debuts
     "stat_permutation_paired",
     "graph_assortativity",

@@ -315,3 +315,27 @@ def streaming_kanon_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_from_state(
         spark, f"{tmp}/state", KANON_STREAM_QI, KANON_STREAM_K
     )
+
+
+MONDRIAN_K = 50
+
+
+@query("privacy_mondrian_release")  # recursive median-cut: rows-only
+def privacy_mondrian_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian multidimensional k-anonymization
+    (operators/mondrian.py, k = MONDRIAN_K) over the numeric QI pair
+    (c_acctbal, c_nationkey): every row's QI values generalize to its
+    leaf partition's [lo, hi] ranges; every class >= k by construction.
+    Recursive median-cut has no SQL form (the driver records rows-only);
+    the k guarantee, the partition property, the range-containment
+    invariant, and the 1-D interval-disjointness of the cut structure
+    are pytest-pinned in tests/test_mondrian.py."""
+    from pasardassist_spark.operators.mondrian import mondrian_anonymize
+
+    return mondrian_anonymize(
+        load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_nationkey"
+        ),
+        ["c_acctbal", "c_nationkey"],
+        MONDRIAN_K,
+    )
