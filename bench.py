@@ -76,6 +76,7 @@ EXTRA_NAMES = [
     "privacy_t_closeness_ordered",
     "streaming_kanon_readout",
     "privacy_mondrian_release",
+    "stat_fleiss_kappa",
     # round-14 second-session debuts
     "stat_permutation_paired",
     "graph_assortativity",

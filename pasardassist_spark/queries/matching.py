@@ -2550,3 +2550,109 @@ def stat_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pm"), 6).alias("plain_median"),
         )
     )
+
+
+FLEISS_RATERS = 4
+
+
+@query(
+    "stat_fleiss_kappa",
+    oracle=f"""
+    WITH cv AS (
+        SELECT l_orderkey, l_returnflag, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    subj AS (
+        SELECT l_orderkey, SUM(c) AS n, SUM(c * c) AS s2
+        FROM cv GROUP BY 1
+        HAVING SUM(c) = {FLEISS_RATERS}
+    ),
+    a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nsub,
+               CAST(SUM(s2) AS BIGINT) AS ssum
+        FROM subj
+    ),
+    g AS (
+        SELECT CAST(SUM(gj * gj) AS BIGINT) AS b
+        FROM (
+            SELECT cv.l_returnflag, SUM(cv.c) AS gj
+            FROM cv JOIN subj USING (l_orderkey)
+            GROUP BY cv.l_returnflag
+        )
+    )
+    SELECT nsub AS n_subjects,
+           CAST({FLEISS_RATERS} AS BIGINT) AS n_raters,
+           round(CAST(ssum - nsub * {FLEISS_RATERS} AS DOUBLE)
+                 / (nsub * {FLEISS_RATERS} * ({FLEISS_RATERS} - 1)), 6)
+               AS p_bar,
+           round(CAST(b AS DOUBLE)
+                 / (CAST(nsub * {FLEISS_RATERS} AS DOUBLE)
+                    * (nsub * {FLEISS_RATERS})), 6) AS p_bar_e,
+           round(CAST((ssum - nsub * {FLEISS_RATERS})
+                      * (nsub * {FLEISS_RATERS})
+                      - b * ({FLEISS_RATERS} - 1) AS DOUBLE)
+                 / (({FLEISS_RATERS} - 1)
+                    * (CAST(nsub * {FLEISS_RATERS} AS DOUBLE)
+                       * (nsub * {FLEISS_RATERS}) - b)), 6) AS kappa
+    FROM a CROSS JOIN g
+    """,
+)
+def stat_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) — chance-corrected agreement among a
+    FIXED number of raters per subject, the multi-rater generalization
+    of stat_cohens_kappa. Framing: each {FLEISS_RATERS}-line order is a
+    subject, its line items the raters, l_returnflag (A/N/R) the rated
+    category — "do an order's lines agree on return status".
+
+    Exact-integer kernel: with A = sum of per-subject squared category
+    counts, B = sum of squared global category counts, N subjects and
+    n raters,
+
+        kappa = [ (A - Nn) * Nn - B * (n - 1) ]
+                / [ (n - 1) * ((Nn)^2 - B) ]
+
+    — every intermediate is BIGINT (fits comfortably to ~10^9 subjects;
+    beyond that switch the two products to DOUBLE, the formula is
+    unchanged), so the single float division makes the 6-dp rounds
+    bit-identical to the oracle. Spark plan: two stacked hash
+    aggregates (order x flag counts, then per-order moments), a
+    semi-join for the eligible-subject category totals, and two 1-row
+    broadcast constants. Scan-bound at any scale."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    cv = li.groupBy("l_orderkey", "l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    subj = (
+        cv.groupBy("l_orderkey")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+        )
+        .filter(F.col("n") == FLEISS_RATERS)
+    )
+    a = subj.agg(
+        F.count(F.lit(1)).cast("long").alias("nsub"),
+        F.sum("s2").cast("long").alias("ssum"),
+    )
+    g = (
+        cv.join(subj.select("l_orderkey"), "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(F.sum("c").alias("gj"))
+        .agg(F.sum(F.col("gj") * F.col("gj")).cast("long").alias("b"))
+    )
+    one = a.crossJoin(F.broadcast(g))
+    n = F.lit(FLEISS_RATERS)
+    nn = F.col("nsub") * n
+    p_bar = (F.col("ssum") - nn).cast("double") / (nn * (n - 1))
+    p_bar_e = F.col("b").cast("double") / (nn.cast("double") * nn)
+    kappa = (
+        ((F.col("ssum") - nn) * nn - F.col("b") * (n - 1)).cast("double")
+        / ((n - 1) * (nn.cast("double") * nn - F.col("b")))
+    )
+    return one.select(
+        F.col("nsub").alias("n_subjects"),
+        n.cast("long").alias("n_raters"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_bar_e, 6).alias("p_bar_e"),
+        F.round(kappa, 6).alias("kappa"),
+    )

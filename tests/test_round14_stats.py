@@ -355,3 +355,40 @@ def test_hodges_lehmann_matches_brute_force(spark, sf_dir):
     assert row.n_days == len(days)
     assert row.n_pairs == len(days) * (len(days) + 1) // 2
     assert math.isclose(row.hl_estimate, round(hl, 6), abs_tol=2e-6)
+
+
+def test_fleiss_kappa_hand_cases(spark, tmp_path):
+    """Fleiss 1971 worked cases on a synthetic lineitem shape: perfect
+    agreement -> kappa 1; a hand-computed mixed table matches the exact
+    rational formula; subjects with the wrong rater count are excluded."""
+    import math
+
+    from pasardassist_spark.queries.matching import stat_fleiss_kappa
+
+    rows = []
+    # 3 subjects with 4 raters: (AAAA), (AANN), (RRRR); plus one 3-rater
+    # subject that must be EXCLUDED
+    for ok, flags in ((1, "AAAA"), (2, "AANN"), (3, "RRRR"), (4, "AAA")):
+        rows += [(ok, f) for f in flags]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_returnflag string")
+    df.write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = stat_fleiss_kappa(spark, str(tmp_path)).first()
+    assert (got.n_subjects, got.n_raters) == (3, 4)
+    # A = 16 + (4+4) + 16 = 40; N=3, n=4; G = (A:6, N:2, R:4), B = 56
+    a_, n_, nsub = 40, 4, 3
+    b_ = 6 * 6 + 2 * 2 + 4 * 4
+    p_bar = (a_ - nsub * n_) / (nsub * n_ * (n_ - 1))
+    p_bar_e = b_ / (nsub * n_) ** 2
+    kappa = (p_bar - p_bar_e) / (1 - p_bar_e)
+    assert math.isclose(got.p_bar, round(p_bar, 6))
+    assert math.isclose(got.p_bar_e, round(p_bar_e, 6))
+    assert math.isclose(got.kappa, round(kappa, 6))
+    # perfect agreement: every subject unanimous -> kappa == 1
+    uni = spark.createDataFrame(
+        [(ok, f) for ok, fl in ((1, "AAAA"), (2, "NNNN"), (3, "RRRR"))
+         for f in fl],
+        "l_orderkey long, l_returnflag string",
+    )
+    (tmp_path / "uni").mkdir()
+    uni.write.parquet(str(tmp_path / "uni" / "lineitem.parquet"))
+    assert stat_fleiss_kappa(spark, str(tmp_path / "uni")).first().kappa == 1.0
