@@ -58,7 +58,7 @@ def mondrian_anonymize(
         bad = n.isNull() | F.isnan(n.cast("double"))
         guard = bad if guard is None else (guard | bad)
     dt_by_col = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    work = df.withColumn(
+    active = df.withColumn(
         "_lbl",
         F.when(
             guard,
@@ -68,22 +68,51 @@ def mondrian_anonymize(
                 "band/categorize nulls upstream"
             )).cast("long"),
         ).otherwise(F.lit(1).cast("long")),
-    ).withColumn("_done", F.lit(False))
+    )
+    done_parts: list[DataFrame] = []
 
     # global ranges normalize the widest-dimension choice (paper §4);
-    # one metadata aggregate over the input
-    g = df.agg(*[
-        f for c in qi
-        for f in (F.min(F.col(c).cast("double")).alias(f"_glo_{c}"),
-                  F.max(F.col(c).cast("double")).alias(f"_ghi_{c}"))
-    ]).first()
+    # one metadata aggregate over the input — which also adjudicates the
+    # degenerate inputs EAGERLY (r17 review): an empty frame returns the
+    # empty release, an all-null QI column raises the contract error here
+    # instead of a bare TypeError at float(None)
+    g = df.agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        *[
+            f for c in qi
+            for f in (F.min(F.col(c).cast("double")).alias(f"_glo_{c}"),
+                      F.max(F.col(c).cast("double")).alias(f"_ghi_{c}"))
+        ],
+    ).first()
+    keep_cols = [c for c in df.columns if c not in set(qi)]
+    if g["_cnt"] == 0:
+        out_schema = keep_cols + [
+            f"{c}_{s}" for c in qi for s in ("lo", "hi")
+        ] + ["class_id", "class_size"]
+        empty = df
+        for c in qi:
+            empty = empty.withColumnRenamed(c, f"{c}_lo").withColumn(
+                f"{c}_hi", F.col(f"{c}_lo")
+            )
+        return (
+            empty.withColumn("class_id", F.lit(1).cast("long"))
+            .withColumn("class_size", F.lit(0).cast("long"))
+            .select(*out_schema)
+            .limit(0)
+        )
+    for c in qi:
+        if g[f"_glo_{c}"] is None:
+            raise ValueError(
+                f"mondrian_anonymize: QI column '{c}' is null on every "
+                "row — null does not order against a median split; "
+                "band/categorize nulls upstream"
+            )
     gspan = {
         c: max(float(g[f"_ghi_{c}"]) - float(g[f"_glo_{c}"]), 1e-300)
         for c in qi
     }
 
     for _ in range(MAX_ROUNDS):
-        active = work.filter(~F.col("_done"))
         # per-partition stats: count, min/max and median per dimension
         stats = active.groupBy("_lbl").agg(
             F.count(F.lit(1)).alias("_n"),
@@ -153,17 +182,21 @@ def mondrian_anonymize(
             # exact side check, can never split again -> leaf
             (~F.coalesce(F.col("_valid"), F.lit(False))).alias("_done"),
         )
-        # localCheckpoint(eager) cuts the lineage every round — the
-        # iterative plan otherwise GROWS (stats-join + union per round;
-        # the r17 first cut hit the JVM's 1 GB plan-string ceiling at
-        # sf0.01), and eager materialization makes the count below a
-        # cache read (the components.py round discipline)
-        work = stepped.unionByName(
-            work.filter(F.col("_done"))
-        ).localCheckpoint(eager=True)
-        # the loop's ONLY driver action: one scalar per round
-        n_active = work.filter(~F.col("_done")).count()
-        if n_active == 0:
+        # ONE localCheckpoint(eager) per round cuts the iterative lineage
+        # (the first cut hit the JVM's 1 GB plan-string ceiling without
+        # it — the components.py round discipline) and materializes only
+        # THIS round's rows. Finished leaves split off here and are never
+        # rewritten in later rounds (r17 review: the union-everything form
+        # re-checkpointed every done row once per remaining round —
+        # O(N x rounds) write I/O; this form writes each row's finishing
+        # state once, at the cost of each round's checkpoint blocks
+        # staying referenced by its done slice until the job ends).
+        stepped = stepped.localCheckpoint(eager=True)
+        done_parts.append(stepped.filter(F.col("_done")).drop("_done"))
+        active = stepped.filter(~F.col("_done")).drop("_done")
+        # the loop's ONLY driver action: one scalar over checkpointed
+        # blocks per round
+        if active.count() == 0:
             break
     else:
         raise RuntimeError(
@@ -171,6 +204,9 @@ def mondrian_anonymize(
             "(rows/k implies a deeper tree than any real frame produces)"
         )
 
+    work = done_parts[0]
+    for part in done_parts[1:]:
+        work = work.unionByName(part)
     # leaf generalization: replace each QI value with its class range
     leaves = work.groupBy("_lbl").agg(
         F.count(F.lit(1)).cast("long").alias("class_size"),
@@ -181,9 +217,8 @@ def mondrian_anonymize(
             )
         ],
     )
-    keep = [c for c in df.columns if c not in set(qi)]
     out = work.join(leaves, "_lbl").select(
-        *keep,
+        *keep_cols,
         *[F.col(f"{c}_{s}").cast(dt_by_col[c]) for c in qi for s in ("lo", "hi")],
         F.col("_lbl").cast("long").alias("class_id"),
         F.col("class_size"),

@@ -2600,8 +2600,8 @@ FLEISS_RATERS = 4
 def stat_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fleiss' kappa (Fleiss 1971) — chance-corrected agreement among a
     FIXED number of raters per subject, the multi-rater generalization
-    of stat_cohens_kappa. Framing: each {FLEISS_RATERS}-line order is a
-    subject, its line items the raters, l_returnflag (A/N/R) the rated
+    of stat_cohens_kappa. Framing: each FLEISS_RATERS(=4)-line order is
+    a subject, its line items the raters, l_returnflag (A/N/R) the rated
     category — "do an order's lines agree on return status".
 
     Exact-integer kernel: with A = sum of per-subject squared category

@@ -289,23 +289,22 @@ def streaming_kanon_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from pasardassist_spark.streaming.ingest import read_event_stream
     from pasardassist_spark.streaming.privacy import (
         k_anonymity_from_state,
         maintain_k_anonymity,
     )
 
-    ev_schema = load(spark, sf_dir, "events").schema
     tmp = tempfile.mkdtemp(prefix="pasard_kanon_")
     src = os.path.join(tmp, "src")
     os.makedirs(src)
     os.symlink(f"{sf_dir}/events.parquet", os.path.join(src, "events.parquet"))
-    stream = (
-        spark.readStream.schema(ev_schema)
-        .parquet(src)
-        .select(
-            "event_type",
-            F.pmod(F.col("user_id"), F.lit(50)).cast("long").alias("qi_bucket"),
-        )
+    # read_event_stream, not a hand-declared schema: the stream schema
+    # must come from the FILES (ts encodes as TIMESTAMP(NANOS)-as-long on
+    # some testdata generations — the drift case ingest.py stages for)
+    stream = read_event_stream(spark, src).select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(50)).cast("long").alias("qi_bucket"),
     )
     q = maintain_k_anonymity(
         stream, KANON_STREAM_QI, f"{tmp}/state", f"{tmp}/ckpt"

@@ -79,3 +79,16 @@ def test_null_qi_raises_loudly(spark):
         mondrian_anonymize(df, ["v"], 1).count()
     with pytest.raises(ValueError, match="k must be"):
         mondrian_anonymize(df, ["v"], 0)
+
+
+def test_degenerate_inputs(spark):
+    """r17 review: an empty frame returns the empty release with the full
+    output schema (not a TypeError at float(None)); an all-null QI column
+    raises the contract error eagerly on the driver."""
+    empty = spark.createDataFrame([], "id int, v double")
+    out = mondrian_anonymize(empty, ["v"], 2)
+    assert out.count() == 0
+    assert out.columns == ["id", "v_lo", "v_hi", "class_id", "class_size"]
+    all_null = spark.createDataFrame([(1, None), (2, None)], "id int, v double")
+    with pytest.raises(ValueError, match="null on every"):
+        mondrian_anonymize(all_null, ["v"], 1)
