@@ -7,13 +7,18 @@ numeric quasi-identifier space until no partition can split without
 dropping below k, then generalizing each row's QI values to its leaf
 partition's ranges.
 
-Variant implemented: RELAXED single-dimension Mondrian — each round a
-partition attempts one cut on its widest (globally normalized) QI
-dimension at the partition median, ties going left (<= median); if
-either side would fall below k the partition becomes a LEAF (the strict
-variant would retry other dimensions; the relaxed form is the standard
-scalable simplification and still guarantees every class >= k, it may
-just stop one level earlier on pathological ties).
+Variants implemented: RELAXED single-dimension Mondrian (default) —
+each round a partition attempts one cut on its widest (globally
+normalized) QI dimension at the partition median, ties going left
+(<= median); if either side would fall below k the partition becomes a
+LEAF. STRICT (``strict=True``) — a failed widest-dimension cut falls
+back to the next-widest dimension whose median cut leaves both sides
+>= k; only a partition where EVERY dimension's cut fails becomes a
+leaf (the paper's allowable-cut loop). On tie-pathological data the
+strict form keeps splitting where relaxed stops, yielding finer
+classes (better utility) for one extra conditional-count per dimension
+in the same per-round side-count aggregate — the round count and
+shuffle count per round are unchanged.
 
 Distributed shape — the k-means/connected-components house pattern:
 a driver loop of at most ~log2(N/k) + slack ROUNDS, each round two hash
@@ -37,8 +42,23 @@ PCTL_ACCURACY = 10_000
 MAX_ROUNDS = 64  # >= log2(rows/k) for any conceivable frame; loop exits early
 
 
+def _internal_names(qi: Sequence[str]) -> set[str]:
+    """Every internal/output column name the operator generates — inputs
+    carrying any of these would silently corrupt labels or shadow a user
+    column, so mondrian_anonymize raises on intersection up front (the
+    packing operators' _INTERNAL contract)."""
+    fixed = {"_lbl", "_done", "_dim", "_cut", "_side", "_valid", "_n", "_m",
+             "_sn", "class_id", "class_size"}
+    per_dim = {
+        f"{p}{c}" for c in qi
+        for p in ("_lo_", "_hi_", "_med_", "_glo_", "_ghi_", "_r_", "_w_")
+    }
+    out = {f"{c}_{s}" for c in qi for s in ("lo", "hi")}
+    return fixed | per_dim | out
+
+
 def mondrian_anonymize(
-    df: DataFrame, qi: Sequence[str], k: int
+    df: DataFrame, qi: Sequence[str], k: int, strict: bool = False
 ) -> DataFrame:
     """Return ``df``'s rows with their QI columns GENERALIZED to the
     Mondrian leaf ranges: for each numeric QI column ``c``, output
@@ -46,12 +66,24 @@ def mondrian_anonymize(
     exact value, plus ``class_id`` (heap label) and ``class_size``.
     Every class is >= k by construction (checked exactly per cut).
 
+    ``strict=True`` enables the allowable-cut fallback: a partition
+    whose widest-dimension cut fails the exact side check retries the
+    remaining dimensions in width order within the SAME round (one
+    conditional side-count per dimension in the same aggregate), and
+    only becomes a leaf when every dimension's median cut fails.
+
     ``qi`` columns must be numeric and non-null (nulls don't order
     against a median; band/categorize upstream — the same contract as
     the audit shelf's sensitive column, enforced loudly)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     qi = list(qi)
+    clash = set(df.columns) & _internal_names(qi)
+    if clash:
+        raise ValueError(
+            "mondrian_anonymize: input columns collide with internal/"
+            f"output names: {sorted(clash)} — rename them upstream"
+        )
     guard = None
     for c in qi:
         n = F.col(c)
@@ -100,6 +132,15 @@ def mondrian_anonymize(
             .select(*out_schema)
             .limit(0)
         )
+    if g["_cnt"] < k:
+        # 0 < N < k: the root partition can never split AND can never
+        # satisfy k — k-anonymity is unattainable without suppressing the
+        # whole frame, so fail loudly instead of emitting a class of
+        # size N < k under a docstring that promises >= k (r17 ADVICE).
+        raise ValueError(
+            f"mondrian_anonymize: input has {g['_cnt']} rows < k={k} — "
+            "k-anonymity is unattainable (suppress or lower k upstream)"
+        )
     for c in qi:
         if g[f"_glo_{c}"] is None:
             raise ValueError(
@@ -126,33 +167,111 @@ def mondrian_anonymize(
                 )
             ],
         )
-        # widest normalized dimension + its median as the cut plan; a
+        # normalized widths rank the candidate dimensions (paper §4); a
         # partition under 2k can never produce two >= k sides
-        width_structs = [
-            F.struct(
-                ((F.col(f"_hi_{c}") - F.col(f"_lo_{c}")) / F.lit(gspan[c]))
-                .alias("w"),
-                F.lit(c).alias("dim"),
-            )
+        width = {
+            c: ((F.col(f"_hi_{c}") - F.col(f"_lo_{c}")) / F.lit(gspan[c]))
             for c in qi
-        ]
-        # greatest() needs >= 2 args; 1-D Mondrian has only one candidate
-        width_struct = (
-            F.greatest(*width_structs) if len(qi) > 1 else width_structs[0]
-        )
-        plan = stats.select(
-            "_lbl",
-            F.when(F.col("_n") >= 2 * k, width_struct["dim"]).alias("_dim"),
-            *[F.col(f"_med_{c}") for c in qi],
-        ).filter(F.col("_dim").isNotNull())
-        cut_val = None
-        for c in qi:
-            v = F.when(F.col("_dim") == c, F.col(f"_med_{c}"))
-            cut_val = v if cut_val is None else F.coalesce(cut_val, v)
-        plan = plan.select("_lbl", "_dim", cut_val.alias("_cut"))
+        }
+        if not strict:
+            # RELAXED: plan only the widest dimension's cut, count its
+            # sides exactly, gate validity — a failed cut leafs the
+            # partition this round.
+            width_structs = [
+                F.struct(width[c].alias("w"), F.lit(c).alias("dim"))
+                for c in qi
+            ]
+            # greatest() needs >= 2 args; 1-D has only one candidate
+            width_struct = (
+                F.greatest(*width_structs)
+                if len(qi) > 1 else width_structs[0]
+            )
+            plan = stats.select(
+                "_lbl",
+                F.when(
+                    F.col("_n") >= 2 * k, width_struct["dim"]
+                ).alias("_dim"),
+                *[F.col(f"_med_{c}") for c in qi],
+            ).filter(F.col("_dim").isNotNull())
+            cut_val = None
+            for c in qi:
+                v = F.when(F.col("_dim") == c, F.col(f"_med_{c}"))
+                cut_val = v if cut_val is None else F.coalesce(cut_val, v)
+            plan = plan.select("_lbl", "_dim", cut_val.alias("_cut"))
 
-        # tentative sides (ties left), exact side counts, validity gate
-        tent = active.join(plan, "_lbl", "left")
+            # tentative sides (ties left), exact side counts, validity
+            tent = active.join(plan, "_lbl", "left")
+            side_expr = None
+            for c in qi:
+                s = F.when(
+                    F.col("_dim") == c,
+                    (F.col(c).cast("double") > F.col("_cut")).cast("int"),
+                )
+                side_expr = (
+                    s if side_expr is None else F.coalesce(side_expr, s)
+                )
+            tent = tent.withColumn("_side", side_expr)
+            plan2 = (
+                tent.filter(F.col("_side").isNotNull())
+                .groupBy("_lbl", "_side")
+                .agg(F.count(F.lit(1)).alias("_sn"))
+                .groupBy("_lbl")
+                .agg(
+                    ((F.count(F.lit(1)) == 2) & (F.min("_sn") >= k))
+                    .alias("_valid")
+                )
+                .filter(F.col("_valid"))
+                .join(plan, "_lbl")
+                .select("_lbl", "_dim", "_cut")
+            )
+        else:
+            # STRICT: carry every dimension's median onto the rows once,
+            # count every dimension's right side EXACTLY in one
+            # aggregate, and commit the widest dimension whose cut
+            # leaves both sides >= k — a partition leafs only when all
+            # dimensions fail (LeFevre 2006's allowable-cut loop). Same
+            # two row-sized shuffles per round as the relaxed path.
+            meds = stats.filter(F.col("_n") >= 2 * k).select(
+                "_lbl",
+                *[F.col(f"_med_{c}") for c in qi],
+                *[width[c].alias(f"_w_{c}") for c in qi],
+            )
+            tent = active.join(meds, "_lbl")
+            counts = tent.groupBy("_lbl").agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(
+                        (F.col(c).cast("double") > F.col(f"_med_{c}"))
+                        .cast("long")
+                    ).alias(f"_r_{c}")
+                    for c in qi
+                ],
+                *[F.first(f"_med_{c}").alias(f"_med_{c}") for c in qi],
+                *[F.first(f"_w_{c}").alias(f"_w_{c}") for c in qi],
+            )
+            # greatest() ignores NULL candidates: invalid dims drop out,
+            # all-invalid partitions plan no cut and leaf below
+            cand = [
+                F.when(
+                    (F.col(f"_r_{c}") >= k)
+                    & (F.col("_n") - F.col(f"_r_{c}") >= k),
+                    F.struct(
+                        F.col(f"_w_{c}").alias("w"),
+                        F.lit(c).alias("dim"),
+                        F.col(f"_med_{c}").alias("cut"),
+                    ),
+                )
+                for c in qi
+            ]
+            chosen = F.greatest(*cand) if len(qi) > 1 else cand[0]
+            plan2 = counts.select(
+                "_lbl",
+                chosen["dim"].alias("_dim"),
+                chosen["cut"].alias("_cut"),
+            ).filter(F.col("_dim").isNotNull())
+
+        # apply the committed cuts; everything un-planned is a leaf
+        stepped_src = active.join(plan2, "_lbl", "left")
         side_expr = None
         for c in qi:
             s = F.when(
@@ -160,27 +279,16 @@ def mondrian_anonymize(
                 (F.col(c).cast("double") > F.col("_cut")).cast("int"),
             )
             side_expr = s if side_expr is None else F.coalesce(side_expr, s)
-        tent = tent.withColumn("_side", side_expr)
-        sides = (
-            tent.filter(F.col("_side").isNotNull())
-            .groupBy("_lbl", "_side")
-            .agg(F.count(F.lit(1)).alias("_sn"))
-            .groupBy("_lbl")
-            .agg(
-                (
-                    (F.count(F.lit(1)) == 2) & (F.min("_sn") >= k)
-                ).alias("_valid")
-            )
-        )
-        stepped = tent.join(sides, "_lbl", "left").select(
+        stepped = stepped_src.select(
             *df.columns,
             F.when(
-                F.coalesce(F.col("_valid"), F.lit(False)),
-                F.col("_lbl") * 2 + F.col("_side"),
+                F.col("_dim").isNotNull(),
+                F.col("_lbl") * 2 + side_expr,
             ).otherwise(F.col("_lbl")).alias("_lbl"),
-            # a partition that planned no cut, or whose cut failed the
-            # exact side check, can never split again -> leaf
-            (~F.coalesce(F.col("_valid"), F.lit(False))).alias("_done"),
+            # a partition that committed no cut (none planned, or — in
+            # relaxed form — its one cut failed the exact side check)
+            # can never split again -> leaf
+            F.col("_dim").isNull().alias("_done"),
         )
         # ONE localCheckpoint(eager) per round cuts the iterative lineage
         # (the first cut hit the JVM's 1 GB plan-string ceiling without

@@ -287,6 +287,7 @@ def streaming_kanon_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     is (event_type, user_id mod 50): a plausible released tuple with
     classes on both sides of k at every test SF."""
     import os
+    import shutil
     import tempfile
 
     from pasardassist_spark.streaming.ingest import read_event_stream
@@ -296,24 +297,42 @@ def streaming_kanon_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tmp = tempfile.mkdtemp(prefix="pasard_kanon_")
-    src = os.path.join(tmp, "src")
-    os.makedirs(src)
-    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src, "events.parquet"))
-    # read_event_stream, not a hand-declared schema: the stream schema
-    # must come from the FILES (ts encodes as TIMESTAMP(NANOS)-as-long on
-    # some testdata generations — the drift case ingest.py stages for)
-    stream = read_event_stream(spark, src).select(
-        "event_type",
-        F.pmod(F.col("user_id"), F.lit(50)).cast("long").alias("qi_bucket"),
-    )
-    q = maintain_k_anonymity(
-        stream, KANON_STREAM_QI, f"{tmp}/state", f"{tmp}/ckpt"
-    )
-    q.processAllAvailable()
-    q.stop()
-    return k_anonymity_from_state(
-        spark, f"{tmp}/state", KANON_STREAM_QI, KANON_STREAM_K
-    )
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        # abspath: os.symlink resolves a RELATIVE target against the
+        # link's directory, not the cwd, and the registry contract allows
+        # any sf_dir path (r17 ADVICE)
+        os.symlink(
+            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+            os.path.join(src, "events.parquet"),
+        )
+        # read_event_stream, not a hand-declared schema: the stream schema
+        # must come from the FILES (ts encodes as TIMESTAMP(NANOS)-as-long
+        # on some testdata generations — the drift case ingest.py stages)
+        stream = read_event_stream(spark, src).select(
+            "event_type",
+            F.pmod(F.col("user_id"), F.lit(50)).cast("long")
+            .alias("qi_bucket"),
+        )
+        q = maintain_k_anonymity(
+            stream, KANON_STREAM_QI, f"{tmp}/state", f"{tmp}/ckpt"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            # a mid-replay failure must not leak a running stream
+            q.stop()
+        out = k_anonymity_from_state(
+            spark, f"{tmp}/state", KANON_STREAM_QI, KANON_STREAM_K
+        )
+        # the readout is lazily planned over {tmp}/state parquet, so the
+        # state dir must outlive the returned DataFrame's first action —
+        # materialize the small readout before removing it
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 MONDRIAN_K = 50

@@ -92,3 +92,73 @@ def test_degenerate_inputs(spark):
     all_null = spark.createDataFrame([(1, None), (2, None)], "id int, v double")
     with pytest.raises(ValueError, match="null on every"):
         mondrian_anonymize(all_null, ["v"], 1)
+
+
+def test_n_below_k_raises(spark):
+    """r17 ADVICE: 0 < N < k means the root can never split AND never
+    satisfy k — the operator must refuse, not emit a class of size N."""
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "id int, v double"
+    )
+    with pytest.raises(ValueError, match="unattainable"):
+        mondrian_anonymize(df, ["v"], 5)
+
+
+def test_internal_name_clash_raises(spark):
+    """r17 ADVICE: input columns colliding with internal/output names
+    fail loudly (the packing operators' _INTERNAL contract)."""
+    for bad in ("class_id", "_lbl", "v_lo"):
+        df = spark.createDataFrame(
+            [(float(i), i) for i in range(8)], f"v double, `{bad}` int"
+        )
+        with pytest.raises(ValueError, match="collide"):
+            mondrian_anonymize(df, ["v"], 2)
+
+
+def _release_invariants(out, src, qi, k):
+    n = src.count()
+    assert out.count() == n
+    cls = out.groupBy("class_id").agg(
+        F.count(F.lit(1)).alias("n"), F.first("class_size").alias("sz")
+    )
+    assert cls.filter(
+        (F.col("n") < k) | (F.col("n") != F.col("sz"))
+    ).count() == 0
+    assert cls.agg(F.sum("n")).first()[0] == n
+    j = out.join(src, src.columns[0])
+    cond = None
+    for c in qi:
+        bad = (F.col(c) < F.col(f"{c}_lo")) | (F.col(c) > F.col(f"{c}_hi"))
+        cond = bad if cond is None else (cond | bad)
+    assert j.filter(cond).count() == 0
+    return cls.count()
+
+
+def test_strict_splits_where_relaxed_stops(spark):
+    """The tie-pathological fixture from the module note: the widest
+    dimension ('z', massively tied at its median) always fails the exact
+    side check; relaxed leafs the root, strict falls back to the uniform
+    dimension and keeps splitting — finer classes, same k guarantee."""
+    rows = [(i, 0.0 if i < 15 else 1000.0, float(i)) for i in range(16)]
+    src = spark.createDataFrame(rows, "id int, z double, a double")
+    relaxed = mondrian_anonymize(src, ["z", "a"], 4)
+    strict = mondrian_anonymize(src, ["z", "a"], 4, strict=True)
+    n_relaxed = _release_invariants(relaxed, src, ["z", "a"], 4)
+    n_strict = _release_invariants(strict, src, ["z", "a"], 4)
+    assert n_relaxed == 1, "widest-dim tie must leaf the relaxed root"
+    assert n_strict == 4, "strict retries the uniform dim at every level"
+
+
+def test_strict_invariants_on_customer(spark, sf_dir):
+    src = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    k = 25
+    qi = ["c_acctbal", "c_nationkey"]
+    strict = mondrian_anonymize(src, qi, k, strict=True)
+    n_strict = _release_invariants(strict, src, qi, k)
+    relaxed_n = (
+        mondrian_anonymize(src, qi, k).select("class_id").distinct().count()
+    )
+    # strict never produces COARSER classes than relaxed
+    assert n_strict >= relaxed_n
