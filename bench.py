@@ -350,11 +350,23 @@ def main() -> None:
     # codegen compile), then a warm pass measuring steady-state execution —
     # the number that scales with data volume on a long-lived cluster, where
     # one-time compile cost amortizes to zero.
+    # Persist hygiene (r17 VERDICT): several operators persist()
+    # intermediates that outlive their terminal action (the returned plan
+    # references them, so the operator cannot unpersist eagerly — the
+    # full_sweep.py rationale). One long session timing 26 headline + ~230
+    # extras entries would accumulate those blocks for its whole lifetime,
+    # shadow-taxing every later entry. Drop them BETWEEN entries, outside
+    # each timed window; queries are independent, so this also keeps the
+    # warm numbers honest (no cross-pass cached-plan reuse).
+    def _clear() -> None:
+        spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        _clear()
 
     # Warm: per-query MIN over two passes. The box this runs on is shared;
     # a single pass occasionally catches a multi-second host-contention
@@ -368,6 +380,7 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             warm[name] = min(warm.get(name, dt), dt)
+            _clear()
 
     # Host-contention control (VERDICT r15 #7): the same anchor query,
     # re-measured at fixed points spread across the long extras pass, makes
@@ -401,6 +414,7 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             extras[name] = min(extras.get(name, dt), dt)
+            _clear()
     _control_sample()
 
     # Silver-layout paths for the two slowest warm queries (both fact⋈fact):
@@ -424,6 +438,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             best = dt if best is None else min(best, dt)
+            _clear()
         extras[name] = best
 
     def _min2(run) -> float:
@@ -434,6 +449,7 @@ def main() -> None:
             run()
             dt = round(time.perf_counter() - t0, 3)
             best = dt if best is None else min(best, dt)
+            _clear()
         return best
 
     # Library-operator regression rows (no registry slot — the driver
@@ -637,6 +653,25 @@ def main() -> None:
         if (p := prev_times.get(name)) and cur - p > 0.5 and (cur - p) / p > 0.25
     }
 
+    # Extras runtime budget (r17 VERDICT #7): extras_total drifted
+    # 234 -> 275 s across r16 -> r17 with only ~13 s of new queries; the
+    # budget line makes the bench itself flag that drift instead of
+    # round-over-round judging. Evaluated only on a settled host
+    # (control ratio <= 1.05) — a contended record says nothing about
+    # the code. Raise the budget deliberately when new queries land,
+    # never implicitly.
+    EXTRAS_BUDGET_S = 250.0
+    extras_total = round(sum(extras.values()), 3)
+    extras_budget = {
+        "budget_s": EXTRAS_BUDGET_S,
+        "total_s": extras_total,
+        "within": (
+            extras_total < EXTRAS_BUDGET_S
+            if (control_ratio is None or control_ratio <= 1.05)
+            else None  # host-contended record: budget not evaluable
+        ),
+    }
+
     result = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -657,6 +692,7 @@ def main() -> None:
         "regressions": regressions,
         "regressions_vs": prev.get("round"),
         "host_control": host_control,
+        "extras_budget": extras_budget,
     }
 
     # The driver records only the LAST 2000 characters of stdout and parses
@@ -674,7 +710,8 @@ def main() -> None:
         "value_baseline_subset_warm": result["value_baseline_subset_warm"],
         "n_queries": len(HEADLINE),
         "n_extras": len(extras),
-        "extras_total": round(sum(extras.values()), 3),
+        "extras_total": extras_total,
+        "extras_budget": extras_budget,
         "ann": ann,
         "regressions_n": len(regressions),
         "regressions_real_suspect": sorted(

@@ -92,14 +92,48 @@ def a3_distinct_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a3_approx_distinct")  # HLL sketches differ per engine: rows-only check
-def a3_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 at-scale variant: approx_count_distinct (HLL) — the 100 TB answer
-    to the reference's exact distinct scans. No oracle: HLL estimates are
-    engine-specific; correctness is bounded-error, asserted in tests/."""
-    o = load(spark, sf_dir, "orders")
+def approx_distinct_buyers(o: DataFrame) -> DataFrame:
+    """The raw 100 TB operator: approx_count_distinct (HLL) per status —
+    what production runs instead of the exact distinct scan."""
     return o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey").alias("approx_buyers")
+    )
+
+
+@query(
+    "a3_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_buyers,
+           TRUE AS approx_within_tol
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a3_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 at-scale variant, ORACLE-GATED (r17 VERDICT #2): HLL register
+    values are engine-specific, so the raw estimate can't hash-match
+    DuckDB — but Spark's HLL is deterministic for fixed data (hash +
+    per-register max; merge is a commutative max, so partitioning can't
+    change it), which makes `|approx - exact| <= 3*rsd*exact` a
+    deterministic certificate (default rsd 0.05 -> 15% tolerance,
+    ~9 sigma; observed error here is <2%). The exact count doubles as
+    the oracle-checkable payload; production runs the approx-only raw
+    form (approx_distinct_buyers above, error-bounded in tests/)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_buyers"),
+            F.approx_count_distinct("o_custkey").alias("_approx"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_buyers",
+            (
+                F.abs(F.col("_approx") - F.col("n_buyers"))
+                <= 0.15 * F.col("n_buyers")
+            ).alias("approx_within_tol"),
+        )
     )
 
 
@@ -391,22 +425,69 @@ def a13_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a13_percentiles_approx")  # no oracle: DuckDB's approx sketch differs;
-# bounded-error vs the exact form is asserted in tests/test_oracle_parity.py
-def a13_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB form of `a13_percentiles`: approx_percentile buffers a
-    bounded sketch per group instead of every value, so executor memory is
-    O(accuracy), not O(rows/group). Same output shape as the exact twin —
-    use the exact form as the oracle-checkable baseline at test scale, this
-    one in production; tests bound the divergence (quantile rank error
-    <= 1/accuracy)."""
-    ev = load(spark, sf_dir, "events")
-    acc = 10_000
+A13_APPROX_ACC = 10_000
+
+
+def approx_percentiles(ev: DataFrame) -> DataFrame:
+    """The raw 100 TB operator: approx_percentile buffers a bounded
+    sketch per group instead of every value, so executor memory is
+    O(accuracy), not O(rows/group). Same output shape as the exact
+    a13_percentiles twin; rank error <= n/accuracy."""
+    acc = A13_APPROX_ACC
     return ev.groupBy("event_type").agg(
         F.expr(f"approx_percentile(value, 0.5, {acc})").alias("p50"),
         F.expr(f"approx_percentile(value, 0.9, {acc})").alias("p90"),
         F.expr(f"approx_percentile(value, 0.99, {acc})").alias("p99"),
         F.max("value").alias("vmax"),
+    )
+
+
+@query(
+    "a13_percentiles_approx",
+    oracle="""
+    SELECT event_type,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok,
+           MAX(value) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def a13_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approx-percentile twin, ORACLE-GATED via the rank-tolerance
+    bracket (r17 VERDICT #2): approx_percentile's published guarantee is
+    an actual data value whose RANK is within n/accuracy of the target,
+    so the exact interpolated percentiles at q -/+ delta (delta = 0.02
+    >> 1/accuracy + 1/n at every test SF) bracket any conforming answer
+    — `approx BETWEEN exact(q-delta) AND exact(q+delta)` is a
+    deterministic certificate a SQL oracle can pin as literal TRUE.
+    vmax is exact on both sides. Production runs the approx-only raw
+    form (approx_percentiles above); the tighter 1/accuracy rank bound
+    stays pytest-pinned (tests/test_oracle_parity.py)."""
+    ev = load(spark, sf_dir, "events")
+    acc = A13_APPROX_ACC
+    d = 0.02
+    pct = F.expr(
+        "percentile(value, array("
+        f"{0.5 - d}, {0.5 + d}, {0.9 - d}, {0.9 + d}, {0.99 - d}, 1.0))"
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr(f"approx_percentile(value, 0.5, {acc})").alias("_p50"),
+            F.expr(f"approx_percentile(value, 0.9, {acc})").alias("_p90"),
+            F.expr(f"approx_percentile(value, 0.99, {acc})").alias("_p99"),
+            pct.alias("_b"),
+            F.max("value").alias("vmax"),
+        )
+        .select(
+            "event_type",
+            F.col("_p50").between(F.col("_b")[0], F.col("_b")[1])
+            .alias("p50_ok"),
+            F.col("_p90").between(F.col("_b")[2], F.col("_b")[3])
+            .alias("p90_ok"),
+            F.col("_p99").between(F.col("_b")[4], F.col("_b")[5])
+            .alias("p99_ok"),
+            "vmax",
+        )
     )
 
 

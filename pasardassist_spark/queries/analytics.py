@@ -218,16 +218,69 @@ def space_saving_topk(
     return summaries.groupBy(key_col).agg(F.sum("est").alias("est"))
 
 
-@query("hh_space_saving")  # sketch output: rows-only driver check by design
+# hh_space_saving's verification key: a deterministic re-key with
+# SCALE-INVARIANT heavy shares (user_id is near-uniform at sf >= 0.01, so
+# no raw key is guaranteed-heavy at capacity 64 there) — every third
+# user's events collapse onto user_id % 7, giving 7 keys ~1/21 of all
+# events each (plus any raw key that happens to clear the bar, e.g. at
+# sf0.001); everything else keeps its own key, far below n/capacity.
+def _hh_ss_key():
+    return F.when(
+        F.col("user_id") % 3 == 0, F.col("user_id") % 7
+    ).otherwise(F.col("user_id"))
+
+
+_HH_SS_KEY_SQL = (
+    "CASE WHEN user_id % 3 = 0 THEN user_id % 7 ELSE user_id END"
+)
+
+
+@query(
+    "hh_space_saving",
+    oracle=f"""
+    WITH k AS (SELECT {_HH_SS_KEY_SQL} AS hot_key FROM events),
+    c AS (SELECT hot_key, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM k GROUP BY hot_key)
+    SELECT hot_key, cnt, TRUE AS in_sketch, TRUE AS bounds_ok
+    FROM c WHERE cnt * {SKETCH_CAPACITY} > (SELECT COUNT(*) FROM k)
+    """,
+)
 def hh_space_saving(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Misra-Gries sketch candidates for the heavy-hitter query above —
-    the bounded-state scale path. The containment guarantee (every exact
-    heavy hitter is in the sketch output) is asserted in
-    tests/test_operators.py; estimates are sketch-specific so the driver
-    records a rows-only check."""
-    ev = load(spark, sf_dir, "events")
-    return space_saving_topk(ev, "user_id").orderBy(
-        F.desc("est"), "user_id"
+    """Misra-Gries space-saving sketch, ORACLE-GATED on its published
+    guarantee (r17 VERDICT #2): every key with true count > n/capacity
+    MUST appear in the merged summary with
+    `est <= true <= est + n/capacity` (per-partition undercounts sum to
+    at most n/capacity). The query runs the sketch over a deterministic
+    skewed re-key (_hh_ss_key above — 7 keys at ~1/21 of all events, so
+    the guaranteed-heavy set is non-empty at EVERY test SF), joins it to
+    the exact counts, and emits the guaranteed-heavy keys with their
+    exact counts plus the two guarantee booleans — all of which a SQL
+    oracle pins exactly. The raw sketch output stays the production form
+    (space_saving_topk above; containment + bound also pytest-asserted
+    in tests/test_operators.py)."""
+    ev = load(spark, sf_dir, "events").select(
+        _hh_ss_key().cast("long").alias("hot_key")
+    )
+    sketch = space_saving_topk(ev, "hot_key")
+    exact = ev.groupBy("hot_key").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = ev.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * SKETCH_CAPACITY > F.col("_n"))
+        .join(sketch, "hot_key", "left")
+        .select(
+            "hot_key",
+            "cnt",
+            F.col("est").isNotNull().alias("in_sketch"),
+            F.coalesce(
+                (F.col("est") <= F.col("cnt"))
+                & (
+                    F.col("cnt")
+                    <= F.col("est") + F.col("_n") / SKETCH_CAPACITY
+                ),
+                F.lit(False),  # a dropped key fails the gate loudly
+            ).alias("bounds_ok"),
+        )
     )
 
 
@@ -433,30 +486,58 @@ def gs_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Incremental distinct maintenance via mergeable HLL sketches.
 # ---------------------------------------------------------------------------
-@query("hll_user_rollup")  # sketch estimates are engine-specific: rows-only
-def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental distinct-user maintenance: per-DAY HyperLogLog sketches
+def hll_weekly_estimates(ev: DataFrame) -> DataFrame:
+    """The raw 100 TB operator: per-DAY HyperLogLog sketches
     (Datasketches HLL, lgConfigK=12) merged into per-week user estimates
     with hll_union_agg — the pre-aggregated-distinct lake pattern. At
     100 TB the daily sketch table is the standing gold artifact (O(days)
     rows x ~2.5 KB); each new day appends ONE sketch row and every
     re-aggregation window (week, month, all-time) is a metadata-scale
     merge — history is never rescanned, which an exact count_distinct
-    can never avoid. Estimate error vs exact is bounded in
-    tests/test_operators.py; the driver records a rows-only check since
-    no SQL oracle can reproduce the sketch registers."""
-    ev = load(spark, sf_dir, "events")
+    can never avoid."""
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    return (
-        daily.groupBy(F.date_trunc("week", "day").alias("week"))
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
-            F.sum("n_events").alias("n_events"),
-        )
-        .orderBy("week")
+    return daily.groupBy(F.date_trunc("week", "day").alias("week")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+@query(
+    "hll_user_rollup",
+    oracle="""
+    SELECT date_trunc('week', ts) AS week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS est_within_tol,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly HLL rollup, ORACLE-GATED (r17 VERDICT #2): register
+    contents are engine-specific, but Spark's Datasketches HLL is
+    deterministic for fixed data (per-register max; union is a register
+    max — order-free), so `|est - exact| <= 10% * exact` at lgK=12
+    (rel. SE ~1.6%; observed <2% here) is a deterministic certificate,
+    and the exact weekly distinct count is the oracle-checkable payload.
+    Production runs the estimate-only raw form (hll_weekly_estimates
+    above; the tighter 5% bound and merge-equals-direct mergeability
+    stay pytest-pinned in tests/test_operators.py)."""
+    ev = load(spark, sf_dir, "events")
+    est = hll_weekly_estimates(ev)
+    exact = ev.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    return exact.join(est, "week").select(
+        "week",
+        "n_users",
+        (
+            F.abs(F.col("est_users") - F.col("n_users"))
+            <= 0.10 * F.col("n_users")
+        ).alias("est_within_tol"),
+        "n_events",
     )
 
 

@@ -1172,24 +1172,67 @@ def src_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_tfrecord(spark, tmp, d.schema)
 
 
-@query("pack_bfd_assignments")  # driver-side histogram greedy: rows-only
+@query(
+    "pack_bfd_assignments",
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(0 AS BIGINT) AS dup_assignments,
+           CAST(0 AS BIGINT) AS over_budget_packs,
+           CAST(0 AS BIGINT) AS over_depth_packs,
+           CAST(0 AS BIGINT) AS bad_overflow_packs
+    FROM t
+    """,
+)
 def pack_bfd_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No-split sequence packing (Krell et al. 2021, SPFHP; see
-    operators/binpack.py): every document assigned whole to a
-    PACK_BUDGET-token pack, <= 16 docs per pack. The depth cap is the efficiency/attention-mask-cost knob: this corpus has 10-token docs, so caps below ~budget/min_len floor the padding (measured here: depth 8 -> 0.79 fill, 16 -> 0.91, uncapped -> 0.99). The NP-hard greedy runs
-    on the <= 512-bin length histogram driver-side; corpus-sized work is
-    one groupBy + the two-phase prefix-sum rank + broadcast block math.
-    Not SQL-expressible (the greedy is sequential over bins), so this is
-    a rows-only driver row; validity (pack sums <= budget, depth cap,
-    exactly-once assignment, efficiency >= 0.9, exact equality with a
-    pure-Python end-to-end reference) is pytest-pinned."""
+    operators/binpack.py), ORACLE-GATED via its feasibility certificate
+    (r17 VERDICT #2): the greedy itself is sequential over the length
+    histogram (no SQL form), but its CONTRACT is fully SQL-pinnable —
+    every document assigned exactly once (n_docs and total token mass
+    match the corpus, zero duplicate ids), every packed pack within the
+    PACK_BUDGET token budget and the 16-doc depth cap, every overflow
+    pack a singleton. A dropped/duplicated doc or an overfilled pack
+    breaks the hash. The per-doc assignment output stays the production
+    form (operators/binpack.pack_bfd; exact equality with a pure-Python
+    reference, fill >= 0.9, and the depth-cap sweep are pytest-pinned
+    in tests/test_round9_ops.py)."""
     from pasardassist_spark.operators.binpack import pack_bfd
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     d = d.select(
         "doc_id", X.token_count(X.tokens(F.col("text"))).alias("n_tokens")
     )
-    return pack_bfd(d, "doc_id", "n_tokens", PACK_BUDGET, max_depth=16)
+    asg = pack_bfd(d, "doc_id", "n_tokens", PACK_BUDGET, max_depth=16)
+    packs = asg.groupBy("pack_id", "overflow").agg(
+        F.sum("n_tokens").alias("_toks"),
+        F.count(F.lit(1)).alias("_depth"),
+    )
+    pack_viol = packs.agg(
+        F.sum(
+            ((~F.col("overflow")) & (F.col("_toks") > PACK_BUDGET))
+            .cast("long")
+        ).alias("over_budget_packs"),
+        F.sum(
+            ((~F.col("overflow")) & (F.col("_depth") > 16)).cast("long")
+        ).alias("over_depth_packs"),
+        F.sum(
+            (F.col("overflow") & (F.col("_depth") != 1)).cast("long")
+        ).alias("bad_overflow_packs"),
+    )
+    doc_viol = asg.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id"))
+        .alias("dup_assignments"),
+    )
+    return doc_viol.crossJoin(F.broadcast(pack_viol)).select(
+        "n_docs", "total_tokens", "dup_assignments",
+        "over_budget_packs", "over_depth_packs", "bad_overflow_packs",
+    )
 
 
 # --------------------------------------------------------- FineWeb filters

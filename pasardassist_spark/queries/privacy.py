@@ -338,22 +338,70 @@ def streaming_kanon_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
 MONDRIAN_K = 50
 
 
-@query("privacy_mondrian_release")  # recursive median-cut: rows-only
+@query(
+    "privacy_mondrian_release",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS k_violations,
+           CAST(0 AS BIGINT) AS size_mismatches,
+           CAST(0 AS BIGINT) AS range_violations,
+           CAST(0 AS BIGINT) AS out_of_range_rows
+    FROM customer
+    """,
+)
 def privacy_mondrian_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mondrian multidimensional k-anonymization
     (operators/mondrian.py, k = MONDRIAN_K) over the numeric QI pair
-    (c_acctbal, c_nationkey): every row's QI values generalize to its
-    leaf partition's [lo, hi] ranges; every class >= k by construction.
-    Recursive median-cut has no SQL form (the driver records rows-only);
-    the k guarantee, the partition property, the range-containment
-    invariant, and the 1-D interval-disjointness of the cut structure
-    are pytest-pinned in tests/test_mondrian.py."""
+    (c_acctbal, c_nationkey), ORACLE-GATED via the release audit (r17
+    VERDICT #2): the recursive median-cut has no SQL form AND its cut
+    values come from percentile_approx sketch merges (release boundaries
+    are not partition-order-invariant), so the release itself can never
+    hash-match — but its k-anonymity CONTRACT can: run the constructive
+    half, then audit it — row grain preserved (n_rows = |customer|),
+    every class >= k with a class_size consistent with the actual class
+    count, lo <= hi on every range, and every original QI value inside
+    its released [lo, hi] (re-joined to the source on c_custkey). Any
+    broken cut, dropped row, or under-k leaf breaks the hash. The
+    per-row release stays the production form (mondrian_anonymize;
+    interval disjointness and the strict-variant utility ordering are
+    pytest-pinned in tests/test_mondrian.py)."""
     from pasardassist_spark.operators.mondrian import mondrian_anonymize
 
-    return mondrian_anonymize(
-        load(spark, sf_dir, "customer").select(
-            "c_custkey", "c_acctbal", "c_nationkey"
-        ),
-        ["c_acctbal", "c_nationkey"],
-        MONDRIAN_K,
+    src = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    rel = mondrian_anonymize(
+        src, ["c_acctbal", "c_nationkey"], MONDRIAN_K
+    )
+    cls = rel.groupBy("class_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("class_size").alias("_szmin"),
+        F.max("class_size").alias("_szmax"),
+    )
+    cls_viol = cls.agg(
+        F.sum((F.col("_n") < MONDRIAN_K).cast("long"))
+        .alias("k_violations"),
+        F.sum(
+            ((F.col("_n") != F.col("_szmin"))
+             | (F.col("_n") != F.col("_szmax"))).cast("long")
+        ).alias("size_mismatches"),
+    )
+    row_viol = rel.join(src, "c_custkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            ((F.col("c_acctbal_lo") > F.col("c_acctbal_hi"))
+             | (F.col("c_nationkey_lo") > F.col("c_nationkey_hi")))
+            .cast("long")
+        ).alias("range_violations"),
+        F.sum(
+            ((F.col("c_acctbal") < F.col("c_acctbal_lo"))
+             | (F.col("c_acctbal") > F.col("c_acctbal_hi"))
+             | (F.col("c_nationkey") < F.col("c_nationkey_lo"))
+             | (F.col("c_nationkey") > F.col("c_nationkey_hi")))
+            .cast("long")
+        ).alias("out_of_range_rows"),
+    )
+    return row_viol.crossJoin(F.broadcast(cls_viol)).select(
+        "n_rows", "k_violations", "size_mismatches",
+        "range_violations", "out_of_range_rows",
     )

@@ -249,6 +249,14 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     "pack_training_sequences", "pack_split_segments", "batch_by_length",
     "split_stratified_exact", "sess_concurrency", "stat_mutual_information",
     "pack_bfd_assignments",
+    # round 18: the seven rows-only -> oracle conversions (r17 VERDICT
+    # #2) — each entry's OUTPUT changed to its deterministic verification
+    # form (guarantee certificates / audit aggregates / the unrolled-LPA
+    # exact oracle) and gained an oracle; all seven hash-checked locally
+    # at sf0.001 + sf0.01 before registration. Fresh driver rows certify.
+    "a3_approx_distinct", "a13_percentiles_approx", "hh_space_saving",
+    "hll_user_rollup", "privacy_mondrian_release",
+    "graph_label_propagation",
 })
 
 

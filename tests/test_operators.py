@@ -642,11 +642,20 @@ def test_space_saving_contains_exact_heavy_hitters(spark, sf_dir):
     from pasardassist_spark.queries.analytics import (
         hh_heavy_hitters,
         hh_space_saving,
+        space_saving_topk,
     )
+    from pasardassist_spark.tables import load
 
+    ev = load(spark, sf_dir, "events")
     exact = {r.user_id for r in hh_heavy_hitters(spark, sf_dir).collect()}
-    sketch = {r.user_id for r in hh_space_saving(spark, sf_dir).collect()}
+    sketch = {
+        r.user_id for r in space_saving_topk(ev, "user_id").collect()
+    }
     assert exact <= sketch, f"sketch dropped heavy hitters: {exact - sketch}"
+    # the registered query is the oracle-gated verification form (r18):
+    # every guaranteed-heavy derived key present with both booleans true
+    ver = hh_space_saving(spark, sf_dir).collect()
+    assert ver and all(r.in_sketch and r.bounds_ok for r in ver)
 
 
 def test_space_saving_skewed_guarantee(spark):
@@ -696,11 +705,17 @@ def test_hll_weekly_merge_error_bound(spark, sf_dir):
     """Merged daily sketches must estimate weekly distinct users within
     HLL error at lgConfigK=12 (rel. std err ~1.6%; assert 5%), and the
     merge must equal sketching the week directly (mergeability)."""
-    from pasardassist_spark.queries.analytics import hll_user_rollup
+    from pasardassist_spark.queries.analytics import (
+        hll_user_rollup,
+        hll_weekly_estimates,
+    )
     from pasardassist_spark.tables import load
 
-    got = {str(r.week): r.est_users for r in hll_user_rollup(spark, sf_dir).collect()}
     ev = load(spark, sf_dir, "events")
+    got = {
+        str(r.week): r.est_users
+        for r in hll_weekly_estimates(ev).collect()
+    }
     exact = {
         str(r.week): r.u
         for r in ev.groupBy(F.date_trunc("week", "ts").alias("week"))
@@ -717,6 +732,9 @@ def test_hll_weekly_merge_error_bound(spark, sf_dir):
         .collect()
     }
     assert got == direct, "daily-sketch merge != direct weekly sketch"
+    # the registered query is the oracle-gated verification form (r18)
+    ver = hll_user_rollup(spark, sf_dir).collect()
+    assert ver and all(r.est_within_tol for r in ver)
 
 
 def test_funnel_requires_stage_order(spark):

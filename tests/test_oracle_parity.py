@@ -63,9 +63,20 @@ def test_a13_approx_within_rank_tolerance(spark, sf_dir):
 
     from pasardassist_spark.tables import load
 
+    from pasardassist_spark.queries.aggregates import approx_percentiles
+
     exact = {r.event_type: r for r in REGISTRY["a13_percentiles"].fn(spark, sf_dir).collect()}
-    approx = {r.event_type: r for r in REGISTRY["a13_percentiles_approx"].fn(spark, sf_dir).collect()}
+    # the raw production twin (the registered query is the oracle-gated
+    # bracket form since r18; its booleans are asserted below too)
+    approx = {
+        r.event_type: r
+        for r in approx_percentiles(
+            load(spark, sf_dir, "events")
+        ).collect()
+    }
     assert set(exact) == set(approx)
+    gated = REGISTRY["a13_percentiles_approx"].fn(spark, sf_dir).collect()
+    assert gated and all(r.p50_ok and r.p90_ok and r.p99_ok for r in gated)
     ev = load(spark, sf_dir, "events").select("event_type", "value").cache()
     counts = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
     try:

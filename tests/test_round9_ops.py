@@ -862,10 +862,18 @@ def test_pack_bfd_distributed_matches_reference(spark):
 
 
 def test_pack_bfd_query_validity(spark, sf_dir):
-    from pasardassist_spark.queries.registry import REGISTRY, _load_all
+    """Per-assignment validity of the raw packing (the registered query
+    is the oracle-gated audit aggregate since r18 — same input chain)."""
+    from pasardassist_spark.operators.binpack import pack_bfd
+    from pasardassist_spark.operators import text as X
+    from pasardassist_spark.queries.curation import PACK_BUDGET
+    from pasardassist_spark.tables import load
 
-    _load_all()
-    out = REGISTRY["pack_bfd_assignments"].fn(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        X.token_count(X.tokens(F.col("text"))).alias("n_tokens"),
+    )
+    out = pack_bfd(d, "doc_id", "n_tokens", PACK_BUDGET, max_depth=16)
     rows = out.collect()
     n_docs = len(rows)
     assert len({r.doc_id for r in rows}) == n_docs  # exactly once
