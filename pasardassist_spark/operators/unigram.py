@@ -225,6 +225,57 @@ def prune_vocab(
 
 # ----------------------------------------------------------------- train
 
+# Scale-adaptive strategy switch shared with operators/bpe.py (see
+# bpe.DRIVER_TYPES_MAX): corpus-sized work is the one word_types
+# groupBy; when the type table is metadata-scale the EM refinement runs
+# sequentially on the driver over the SAME _lattice_counts kernel the
+# distributed E-step executes per Arrow batch, while the 10-100 M-type
+# regime (100 TB corpora) keeps the distributed loop unchanged.
+DRIVER_TYPES_MAX = 100_000
+
+
+def _seed_vocab_seq(
+    types: list[tuple[str, int]], n_seeds: int, max_piece_len: int
+) -> dict[str, float]:
+    """seed_vocab over collected types — same top-(freq desc, piece asc)
+    selection, same single-char coverage, exact integer frequencies so
+    the normalized probabilities are bit-identical to the Spark path."""
+    freq_all: dict[str, int] = {}
+    for word, cnt in types:
+        n = len(word)
+        for ln in range(1, max_piece_len + 1):
+            for s in range(n - ln + 1):
+                piece = word[s : s + ln]
+                freq_all[piece] = freq_all.get(piece, 0) + cnt
+    top = sorted(freq_all.items(), key=lambda kv: (-kv[1], kv[0]))[:n_seeds]
+    freq = {p: float(f) for p, f in top}
+    for p, f in freq_all.items():
+        if len(p) == 1:
+            freq.setdefault(p, float(f))
+    if not freq:
+        raise ValueError("unigram seeding needs a non-empty corpus")
+    total = sum(freq.values())
+    return {p: f / total for p, f in freq.items()}
+
+
+def _em_step_seq(
+    types: list[tuple[str, int]],
+    probs: dict[str, float],
+    max_len: int,
+) -> tuple[dict[str, float], dict[str, float], float]:
+    """em_step over collected types: the identical forward-backward
+    kernel, accumulated driver-side instead of via the piece groupBy."""
+    counts: dict[str, float] = {}
+    loglik = 0.0
+    for word, cnt in types:
+        ec, ll = _lattice_counts(word, cnt, probs, max_len)
+        loglik += ll
+        for p, c in ec.items():
+            counts[p] = counts.get(p, 0.0) + c
+    total = sum(counts.values())
+    new_probs = {p: c / total for p, c in counts.items() if c > 0.0}
+    return new_probs, counts, loglik
+
 
 def train_unigram(
     types_df: DataFrame,
@@ -233,18 +284,36 @@ def train_unigram(
     max_piece_len: int = MAX_PIECE_LEN,
     shrink: float = 0.7,
     em_iters_per_round: int = 2,
+    driver_types_max: int = DRIVER_TYPES_MAX,
 ) -> tuple[dict[str, float], list[float]]:
     """Full training loop; returns (piece -> prob, log-likelihood history).
 
     The history records the corpus log-likelihood measured at the START
     of each E-step; within a prune round it is non-decreasing (EM's
-    guarantee, pytest-pinned)."""
+    guarantee, pytest-pinned).
+
+    ``driver_types_max``: type tables at or below this size run the EM
+    loop sequentially on the driver (see DRIVER_TYPES_MAX); pass 0 to
+    force the distributed loop (the tests' A/B lever)."""
     types_df = types_df.cache()
-    probs = seed_vocab(types_df, n_seeds, max_piece_len)
+    seq_types: list[tuple[str, int]] | None = None
+    if types_df.count() <= driver_types_max:
+        seq_types = [
+            (r["word"], int(r["cnt"])) for r in types_df.collect()
+        ]
+        types_df.unpersist()
+        probs = _seed_vocab_seq(seq_types, n_seeds, max_piece_len)
+    else:
+        probs = seed_vocab(types_df, n_seeds, max_piece_len)
     history: list[float] = []
     while True:
         for _ in range(em_iters_per_round):
-            probs, counts, ll = em_step(types_df, probs, max_piece_len)
+            if seq_types is not None:
+                probs, counts, ll = _em_step_seq(
+                    seq_types, probs, max_piece_len
+                )
+            else:
+                probs, counts, ll = em_step(types_df, probs, max_piece_len)
             history.append(ll)
         if len(probs) <= vocab_size:
             break
@@ -259,6 +328,8 @@ def train_unigram(
             probs = pruned
             break
         probs = pruned
+    if seq_types is None:
+        types_df.unpersist()
     return probs, history
 
 

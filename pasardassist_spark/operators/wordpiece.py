@@ -39,6 +39,62 @@ CHECKPOINT_EVERY = 2
 UNK = "[UNK]"
 CONT = "##"
 
+# Scale-adaptive strategy switch shared with operators/bpe.py (see
+# bpe.DRIVER_TYPES_MAX for the rationale): corpus-sized work is the one
+# word-type groupBy; a metadata-scale type table refines sequentially
+# on the driver with semantics the differential tests pin, a 10-100 M
+# type table (the 100 TB regime) runs the distributed loop unchanged.
+DRIVER_TYPES_MAX = 100_000
+
+
+def _train_wp_seq(
+    types: list[tuple[list[str], int]], n_merges: int
+) -> list[tuple[str, str, float]]:
+    """Sequential WordPiece refinement over a collected type table —
+    the exact driver-side scoring the distributed loop already does
+    (same count identity, same float64 score, same tiebreak), minus the
+    per-round Spark job."""
+    merges: list[tuple[str, str, float]] = []
+    for _ in range(n_merges):
+        pair_n: dict[tuple[str, str], int] = {}
+        lasts: dict[str, int] = {}
+        for syms, cnt in types:
+            for pair in zip(syms, syms[1:]):
+                pair_n[pair] = pair_n.get(pair, 0) + cnt
+            if syms:
+                lasts[syms[-1]] = lasts.get(syms[-1], 0) + cnt
+        # count(s) = pair counts where s is LEFT + words ending in s
+        # (the identity the distributed round derives from its one pass)
+        sym_n: dict[str, int] = {}
+        for (left, _right), n in pair_n.items():
+            sym_n[left] = sym_n.get(left, 0) + n
+        for s, n in lasts.items():
+            sym_n[s] = sym_n.get(s, 0) + n
+        best = None  # (-score, left, right): ties (score desc, lexical)
+        for (left, right), n in pair_n.items():
+            if n < 2:  # a score over singletons is noise
+                continue
+            score = float(n) / (float(sym_n[left]) * float(sym_n[right]))
+            key = (-score, left, right)
+            if best is None or key < best:
+                best = key
+        if best is None:
+            break
+        score, left, right = -best[0], best[1], best[2]
+        merges.append((left, right, score))
+        joined = left + _strip_cont(right)
+        nxt: list[tuple[list[str], int]] = []
+        for syms, cnt in types:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = joined
+                else:
+                    out.append(s)
+            nxt.append((out, cnt))
+        types = nxt
+    return merges
+
 
 def _wp_symbols(word_col) -> F.Column:
     """Initial WordPiece symbolization: first char plain, every later
@@ -55,7 +111,10 @@ def _strip_cont(sym: str) -> str:
 
 
 def train_wordpiece(
-    corpus: DataFrame, text_col: str, n_merges: int
+    corpus: DataFrame,
+    text_col: str,
+    n_merges: int,
+    driver_types_max: int = DRIVER_TYPES_MAX,
 ) -> list[tuple[str, str, float]]:
     """Learn ``n_merges`` WordPiece merges; returns [(left, right, score)]
     in merge order. Deterministic: ties break on (score desc, left,
@@ -90,6 +149,12 @@ def train_wordpiece(
         .select(_wp_symbols(F.col("w")).alias("syms"), "cnt")
         .localCheckpoint()
     )
+    if types_df.count() <= driver_types_max:  # count of a materialized RDD
+        rows = types_df.collect()
+        types_df.unpersist()
+        return _train_wp_seq(
+            [(list(r["syms"]), int(r["cnt"])) for r in rows], n_merges
+        )
     # adjacent pairs + one (last_symbol, NULL) marker row per word, so a
     # single explode/groupBy computes numerator AND denominator inputs
     pairs_and_last = F.concat(
@@ -166,7 +231,10 @@ def _apply_merge_wp(types_df: DataFrame, left: str, right: str) -> DataFrame:
 
 
 def wordpiece_vocab(
-    corpus: DataFrame, text_col: str, n_merges: int
+    corpus: DataFrame,
+    text_col: str,
+    n_merges: int,
+    driver_types_max: int = DRIVER_TYPES_MAX,
 ) -> tuple[list[str], list[tuple[str, str, float]]]:
     """Train and assemble the shipped vocab: [UNK], then every observed
     initial/continuation character (sorted), then each merge's product
@@ -174,7 +242,7 @@ def wordpiece_vocab(
     (vocab list, merges)."""
     from pasardassist_spark.operators.text import tokens
 
-    merges = train_wordpiece(corpus, text_col, n_merges)
+    merges = train_wordpiece(corpus, text_col, n_merges, driver_types_max)
     chars = (
         corpus.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .select(F.explode(_wp_symbols(F.col("w"))).alias("s"))
