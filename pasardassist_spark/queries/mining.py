@@ -203,11 +203,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-order-dependent at ~1e-15; final 6-dp rounding absorbs it."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
+    # Internal node ids are PACKED LONGS (customer 2k, supplier 2k+1):
+    # every shuffle and join in the iteration carries an 8-byte key with
+    # cheap hashing instead of a variable-length string — the display
+    # form ('c<k>'/'s<k>') is built once at the output edge over O(nodes)
+    # rows. Measured at 10x edges (tools/round18_scale.py): the
+    # string-keyed plan ran 5.6x at 10x; long keys cut both scales.
     base = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
@@ -242,7 +248,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumnRenamed("node_", "node")
         )
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
+    return ranks.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), F.shiftright("node", 1).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), F.shiftright("node", 1).cast("string"))
+        )
+        .alias("node"),
+        F.round("rank", 6).alias("rank"),
+    )
 
 
 # ------------------------------------------------------- knn classification
