@@ -225,38 +225,29 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # so the set starts empty.  Add a name here ONLY when its query fn or
 # oracle actually changed this round.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    # Round 17 rotation: every r16 _FORCE_RECHECK name re-verified green
-    # in CORRECTNESS_r16 (46 hash-green + 4 clean rows-only sketches,
-    # 0 red), so the r16 set is cleared.  Names below changed THIS round.
+    # Round 18 rotation: every r17 _FORCE_RECHECK name re-verified green
+    # in CORRECTNESS_r17 (44 hash-green + 6 clean rows-only, 0 red), so
+    # the r17 set is cleared.  Names below changed THIS round.
     #
-    # round 17: oracle rewrites for the two entries whose deliberately-
-    # naive DuckDB SQLs exceeded the sweep budget at sf0.1 — setjoin's
-    # all-pairs form became a shingle equi-join (lossless for tau > 0),
-    # linkage's one-node-per-row fixpoint collapses exact (brand, name)
-    # duplicates first.  The naive forms remain pytest certificates
-    # (tests/test_oracle_parity.py).  Fresh driver rows certify the new
-    # oracles; both hash-checked locally at sf0.01 + sf0.1.
-    "dedup_setjoin_prefix", "link_records_clusters",
-    # round 17 review fix in the shared two-phase prefix-sum machinery
-    # (operators/packing.py): null/NaN keys now RAISE instead of being
-    # silently dropped by the offsets join (same contract as
-    # distributed_row_number).  Values unchanged on null-free testdata,
-    # plan gains the guard branch; one fresh driver row per registered
-    # consumer certifies.  Inclusive-form consumers (rank statistics):
-    "stat_ks_test", "stat_mannwhitney_u", "stat_spearman_corr",
-    "stat_kruskal_wallis", "ml_auc_roc", "stat_cvm_2samp",
-    # exclusive-form consumers (packing / rank layouts):
-    "pack_training_sequences", "pack_split_segments", "batch_by_length",
-    "split_stratified_exact", "sess_concurrency", "stat_mutual_information",
-    "pack_bfd_assignments",
-    # round 18: the seven rows-only -> oracle conversions (r17 VERDICT
-    # #2) — each entry's OUTPUT changed to its deterministic verification
-    # form (guarantee certificates / audit aggregates / the unrolled-LPA
+    # the seven rows-only -> oracle conversions (r17 VERDICT #2) — each
+    # entry's OUTPUT changed to its deterministic verification form
+    # (guarantee certificates / audit aggregates / the unrolled-LPA
     # exact oracle) and gained an oracle; all seven hash-checked locally
     # at sf0.001 + sf0.01 before registration. Fresh driver rows certify.
     "a3_approx_distinct", "a13_percentiles_approx", "hh_space_saving",
-    "hll_user_rollup", "privacy_mondrian_release",
+    "hll_user_rollup", "pack_bfd_assignments", "privacy_mondrian_release",
     "graph_label_propagation",
+    # scale-adaptive tokenizer training (r17 VERDICT #4): metadata-scale
+    # type tables refine driver-side, A/B'd bit-identical against the
+    # forced-distributed loop at sf0.001 + sf0.01
+    # (tests/test_tokenizer_hybrid.py); fresh driver rows certify the
+    # sequential path end-to-end.
+    "bpe_train_merge_table", "unigram_train_vocab", "wordpiece_train_vocab",
+    "unigram_encode_corpus", "wordpiece_encode_corpus",
+    # packed-long node ids through the PageRank iteration (r18 scale
+    # work); output display form unchanged, hash-checked locally at
+    # sf0.001 + sf0.01 against the unchanged unrolled oracle.
+    "graph_pagerank",
 })
 
 
