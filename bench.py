@@ -67,6 +67,11 @@ HEADLINE = [
 # every name here must be a registered query — tests/test_oracle_parity.py
 # guards membership so a typo cannot fail the driver's bench run.
 EXTRA_NAMES = [
+    # round-18 debuts
+    "stat_cochran_q",
+    "text_good_turing",
+    "privacy_dp_topk",
+    "graph_adamic_adar",
     # round-17 debuts: the privacy release-audit shelf
     "privacy_k_anonymity",
     "privacy_l_diversity",

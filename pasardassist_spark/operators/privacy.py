@@ -320,3 +320,61 @@ def dp_noisy_counts(
         F.count(F.lit(1)).cast("long").alias("true_count"),
         F.round(F.count(F.lit(1)) + lap, 6).alias("noisy_count"),
     )
+
+
+def dp_topk(
+    df: DataFrame,
+    qi: Sequence[str],
+    k: int,
+    epsilon: float,
+    seed: str = "dptk1",
+) -> DataFrame:
+    """One-shot differentially-private top-k selection by the Gumbel-max
+    mechanism (Durfee & Rogers, "Practical Differentially Private Top-k
+    Selection with Pay-what-you-get Composition", NeurIPS 2019): add
+    independent Gumbel(2k/epsilon) noise to each category's count and
+    release the k noisiest-largest — provably equivalent to k peeling
+    rounds of the exponential mechanism at total budget epsilon for
+    sensitivity-1 counts, in ONE pass with no sequential re-scoring.
+
+    Same DETERMINIZATION CAVEAT as dp_noisy_counts (seeded md5-derived
+    uniforms, collision-free per-component keying, swap for fresh
+    entropy in production): g = -scale * ln(-ln(u)) is the inverse-CDF
+    Gumbel draw, u strictly inside (0, 1) so neither log sees 0.
+
+    Plan: one QI-grain hash aggregate (corpus-sized work), then the
+    rank runs on the CATEGORY readout — metadata-sized by the same
+    argument as dp_noisy_counts' release, so the unpartitioned
+    row_number window is a single reducer over a bounded frame, not a
+    data-scale sort. Ties in noisy score break on the QI columns
+    (continuous noise makes real ties measure-zero; the tiebreak keeps
+    the release deterministic anyway)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    scale = 2.0 * k / epsilon
+    comps = [
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("null"))
+        for c in qi
+    ]
+    key = F.concat_ws("|", F.lit(seed), *comps)
+    u = (
+        (F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double") + 0.5)
+        / F.lit(float(1 << 52))
+    )
+    gumbel = -scale * F.log(-F.log(u))
+    scored = df.groupBy(*qi).agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    ).withColumn("_noisy", F.col("true_count") + gumbel)
+    w = Window.orderBy(F.desc("_noisy"), *[F.col(c) for c in qi])
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            *qi,
+            F.col("rank").cast("long").alias("rank"),
+            "true_count",
+            F.round("_noisy", 6).alias("noisy_score"),
+        )
+    )

@@ -2656,3 +2656,141 @@ def stat_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_bar_e, 6).alias("p_bar_e"),
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+COCHRAN_YEARS = (1996, 1997, 1998)
+
+
+@query(
+    "stat_cochran_q",
+    oracle=f"""
+    WITH x AS (
+        SELECT o_custkey,
+               year(o_orderdate) AS y,
+               CAST(MAX(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hit
+        FROM orders
+        WHERE year(o_orderdate) IN {COCHRAN_YEARS}
+        GROUP BY 1, 2
+    ),
+    subj AS (
+        SELECT o_custkey,
+               CAST(SUM(hit) AS BIGINT) AS l
+        FROM x GROUP BY 1
+        HAVING COUNT(*) = {len(COCHRAN_YEARS)}
+    ),
+    g AS (
+        SELECT CAST(SUM(x.hit) AS BIGINT) AS gi
+        FROM x JOIN subj USING (o_custkey)
+        GROUP BY x.y
+    ),
+    gs AS (
+        SELECT CAST(SUM(gi) AS BIGINT) AS gsum,
+               CAST(SUM(gi * gi) AS BIGINT) AS g2
+        FROM g
+    ),
+    ls AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nsub,
+               CAST(SUM(l) AS BIGINT) AS lsum,
+               CAST(SUM(l * l) AS BIGINT) AS l2
+        FROM subj
+    )
+    SELECT nsub AS n_subjects,
+           CAST({len(COCHRAN_YEARS)} AS BIGINT) AS k_treatments,
+           CAST({len(COCHRAN_YEARS)} - 1 AS BIGINT) AS dof,
+           CASE WHEN {len(COCHRAN_YEARS)} * lsum - l2 > 0
+                THEN round(CAST(({len(COCHRAN_YEARS)} - 1)
+                           * ({len(COCHRAN_YEARS)} * g2 - gsum * gsum)
+                           AS DOUBLE)
+                           / ({len(COCHRAN_YEARS)} * lsum - l2), 6)
+                ELSE NULL END AS q_stat
+    FROM ls CROSS JOIN gs
+    """,
+)
+def stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q (Cochran 1950) — the k-related-samples test for
+    BINARY outcomes, completing the agreement/matched-design family next
+    to stat_fleiss_kappa (categorical agreement) and the McNemar-style
+    pair tests. Framing: subjects are customers active in all
+    COCHRAN_YEARS (complete blocks — Cochran requires every subject
+    under every treatment), treatment y's binary outcome is "placed at
+    least one 1-URGENT order in year y"; Q tests whether the urgent
+    rate differs across the years.
+
+    Exact-integer kernel: with column totals G_i, row totals L_j,
+    k treatments,
+
+        Q = (k-1) * (k * sum(G_i^2) - (sum G_i)^2)
+            / (k * sum(L_j) - sum(L_j^2))
+
+    — every intermediate is BIGINT so the single float division makes
+    the 6-dp rounds bit-identical to the oracle; Q ~ chi2(k-1) under
+    H0. The denominator is 0 iff every subject answers all-0s or
+    all-1s (no discordant blocks); Q is undefined then and the readout
+    emits NULL rather than a fabricated 0 (the loud-contract
+    convention). Spark plan: one (customer, year) hash aggregate over
+    the date-pruned scan, a HAVING-filtered per-subject aggregate, a
+    semi-join for eligible column totals, then two 1-row broadcast
+    constants — the stat_fleiss_kappa shape, scan-bound at any scale.
+
+    Reference parity: the reference ships no inferential statistics
+    (its analytics surface is count/sum dashboards,
+    src/modules/app/app.service.ts); this operator belongs to the
+    experiment-analysis extension shelf.
+    """
+    k = len(COCHRAN_YEARS)
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    x = (
+        o.filter(F.year("o_orderdate").isin(*COCHRAN_YEARS))
+        .groupBy(
+            "o_custkey", F.year("o_orderdate").alias("y")
+        )
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("hit")
+        )
+    )
+    subj = (
+        x.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("hit").cast("long").alias("l"),
+        )
+        .filter(F.col("rows") == k)
+        .select("o_custkey", "l")
+    )
+    g = (
+        x.join(subj.select("o_custkey"), "o_custkey")
+        .groupBy("y")
+        .agg(F.sum("hit").cast("long").alias("gi"))
+        .agg(
+            F.sum("gi").cast("long").alias("gsum"),
+            F.sum(F.col("gi") * F.col("gi")).cast("long").alias("g2"),
+        )
+    )
+    ls = subj.agg(
+        F.count(F.lit(1)).cast("long").alias("nsub"),
+        F.sum("l").cast("long").alias("lsum"),
+        F.sum(F.col("l") * F.col("l")).cast("long").alias("l2"),
+    )
+    kk = F.lit(k)
+    denom = kk * F.col("lsum") - F.col("l2")
+    q = (
+        ((kk - 1) * (kk * F.col("g2") - F.col("gsum") * F.col("gsum")))
+        .cast("double")
+        / denom
+    )
+    return (
+        ls.crossJoin(F.broadcast(g))
+        .select(
+            F.col("nsub").alias("n_subjects"),
+            kk.cast("long").alias("k_treatments"),
+            (kk - 1).cast("long").alias("dof"),
+            F.when(denom > 0, F.round(q, 6)).alias("q_stat"),
+        )
+    )

@@ -1623,3 +1623,201 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes",
         r.alias("assortativity"),
     )
+
+
+# -------------------------------------------------------- Adamic-Adar
+
+LP_KNN_K = 5   # directed kNN degree; mutual edges are a subset
+LP_TOPN = 50
+
+
+def _adamic_adar_oracle() -> str:
+    """Naive all-pairs + wedge-enumeration SQL over the same mutual-kNN
+    graph, from shared constants (the knn_label_classify distance and
+    tie-break conventions)."""
+    return f"""
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+    e AS (SELECT vec_id,
+                 [x / sqrt(list_dot_product(v, v)) FOR x IN v] AS nv
+          FROM e0),
+    scored AS (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               round(list_dot_product(a.nv, b.nv), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+        SELECT i, j FROM (
+            SELECT i, j, ROW_NUMBER() OVER (
+                PARTITION BY i ORDER BY cosine DESC, j ASC
+            ) AS rn FROM scored
+        ) WHERE rn <= {LP_KNN_K}
+    ),
+    edge AS MATERIALIZED (
+        SELECT p.i AS a, p.j AS b
+        FROM knn p JOIN knn q ON p.i = q.j AND p.j = q.i
+        WHERE p.i < p.j
+    ),
+    adj AS MATERIALIZED (
+        SELECT a AS n, b AS nbr FROM edge UNION ALL SELECT b, a FROM edge
+    ),
+    deg AS MATERIALIZED (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY n
+    ),
+    wedge AS (
+        SELECT x.n AS a, y.n AS b, x.nbr AS z
+        FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.n < y.n
+    ),
+    cand AS (
+        SELECT w.a, w.b,
+               CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+               SUM(1.0 / ln(dz.d)) AS aa
+        FROM wedge w
+        JOIN deg dz ON dz.n = w.z
+        LEFT JOIN edge ON edge.a = w.a AND edge.b = w.b
+        WHERE edge.a IS NULL
+        GROUP BY w.a, w.b
+    ),
+    final AS (
+        SELECT cand.a, cand.b, common_neighbors,
+               round(aa, 6) AS adamic_adar,
+               round(CAST(common_neighbors AS DOUBLE)
+                     / (da.d + db.d - common_neighbors), 6) AS jaccard
+        FROM cand
+        JOIN deg da ON da.n = cand.a
+        JOIN deg db ON db.n = cand.b
+    )
+    SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY adamic_adar DESC, a, b
+           ) AS BIGINT) AS rank,
+           CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           common_neighbors, adamic_adar, jaccard
+    FROM final
+    QUALIFY rank <= {LP_TOPN}
+    """
+
+
+@query("graph_adamic_adar", oracle=_adamic_adar_oracle())
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003; Liben-Nowell &
+    Kleinberg 2003) over the MUTUAL-kNN graph of the embeddings table:
+    vectors are adjacent iff each is in the other's LP_KNN_K cosine
+    nearest neighbors (the standard mutual-kNN sparsification — degree
+    bounded by K by construction, so the wedge stage needs NO hub cap);
+    every non-adjacent pair at distance 2 is scored by common-neighbor
+    count, Adamic-Adar sum(1/ln deg(z)), and neighborhood Jaccard, and
+    the LP_TOPN highest-AA candidates are released under a
+    (rounded-score, a, b) total order. Complements
+    graph_link_prediction (plain common/Jaccard over co-supply pairs,
+    no candidate exclusion): AA weights RARE shared neighbors higher
+    and releases only genuinely-new pairs (anti-join of the edge set)
+    — "which vectors does the neighborhood evidence almost connect",
+    the candidate-mining half of the semantic-dedup family
+    (dedup_semantic says which ARE near-dups).
+
+    Cosine ranks on the 6-dp round with a vec_id tiebreak (the
+    knn_label_classify conventions — total orders keep both engines'
+    kNN sets identical); AA ranks on its 6-dp round (float sums
+    order-differ at ~1e-15 across engines), pair tiebreak, rank
+    assigned after the TakeOrdered limit over LP_TOPN rows.
+
+    Scale shape: the all-pairs scorer broadcasts one side (the fixture
+    is metadata-scale; at corpus scale swap it for the IVF candidate
+    path of operators/similarity.py exactly as knn_label_classify
+    documents — the mutual-join, wedge, and scoring layers are
+    unchanged). Per-vector top-k is a WindowGroupLimit pushdown, the
+    mutual filter a self-equi-join on the directed kNN (O(N*K) rows),
+    wedges bounded by K^2 * N, and every join after the scorer is
+    hash-keyed on vector ids."""
+    from pyspark.sql import Window
+
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # normalize ONCE per vector (two-step select so the norm stays a
+    # materialized alias — round-12 note: HOF lambdas re-evaluate
+    # captured subtrees per element), so the 4M-pair scorer runs a
+    # single zip_with dot instead of three plus a sqrt per pair
+    e0 = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).select(
+        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("_n")
+    )
+    e = e0.select(
+        "vec_id",
+        F.transform("v", lambda x: x / F.col("_n")).alias("nv"),
+    )
+    q = e.select(F.col("vec_id").alias("i"), F.col("nv").alias("qv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("i") != F.col("vec_id"))
+        .select(
+            "i",
+            F.col("vec_id").alias("j"),
+            F.round(dot(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("i").orderBy(F.desc("cosine"), F.asc("j"))
+    knn = (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= LP_KNN_K)
+        .select("i", "j")
+    )
+    rev = knn.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    edges = (
+        knn.join(rev, ["i", "j"])
+        .filter(F.col("i") < F.col("j"))
+        .select(F.col("i").alias("a"), F.col("j").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    adj = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("n"), F.col("b").alias("nbr"))
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    x = adj
+    y = adj.select(F.col("n").alias("b2"), F.col("nbr").alias("nbr"))
+    wedge = (
+        x.join(y, "nbr")
+        .filter(F.col("n") < F.col("b2"))
+        .join(
+            deg.withColumnRenamed("n", "nbr"), "nbr"
+        )
+    )
+    cand = (
+        wedge.join(
+            edges, (wedge.n == edges.a) & (wedge.b2 == edges.b), "left_anti"
+        )
+        .groupBy(F.col("n").alias("a"), F.col("b2").alias("b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(1.0 / F.log(F.col("d").cast("double"))).alias("_aa"),
+        )
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("_da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("_db"))
+    out = (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a", "b", "common_neighbors",
+            F.round("_aa", 6).alias("adamic_adar"),
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("_da") + F.col("_db") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    top = out.orderBy(F.desc("adamic_adar"), "a", "b").limit(LP_TOPN)
+    w = Window.orderBy(F.desc("adamic_adar"), "a", "b")
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select(
+        "rank",
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "common_neighbors", "adamic_adar", "jaccard",
+    )

@@ -405,3 +405,56 @@ def privacy_mondrian_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows", "k_violations", "size_mismatches",
         "range_violations", "out_of_range_rows",
     )
+
+
+DP_TOPK_K = 10
+DP_TOPK_SEED = "dptk1"
+
+
+@query(
+    "privacy_dp_topk",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+               (CAST(CONCAT('0x', substr(md5(
+                    concat_ws('|', '{DP_TOPK_SEED}',
+                              coalesce(md5(CAST(c_nationkey AS VARCHAR)), 'null'),
+                              coalesce(md5(c_mktsegment), 'null'))
+                ), 1, 13)) AS UBIGINT) + 0.5) / 4503599627370496.0 AS u
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    ),
+    s AS (
+        SELECT c_nationkey, c_mktsegment, CAST(n AS BIGINT) AS true_count,
+               n + -(2.0 * {DP_TOPK_K} / {DP_EPSILON}) * ln(-ln(u)) AS noisy
+        FROM g
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY noisy DESC, c_nationkey, c_mktsegment
+           ) AS BIGINT) AS rank,
+           true_count,
+           round(noisy, 6) AS noisy_score
+    FROM s
+    QUALIFY rank <= {DP_TOPK_K}
+    """,
+)
+def privacy_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private top-k QI categories by the Gumbel-max
+    mechanism (operators/privacy.py:dp_topk — Durfee & Rogers 2019:
+    count + Gumbel(2k/epsilon) noise, take the k noisiest-largest,
+    equivalent to k peeled exponential-mechanism rounds at total budget
+    epsilon). Completes the DP release pair next to privacy_dp_counts
+    (Laplace point release): counts answer "how many per class",
+    top-k answers "WHICH classes dominate" without the full histogram's
+    budget. Seeded md5-derived noise as in dp_counts, so the release is
+    reproducible and the oracle recomputes the identical digest (see
+    the operator's determinization caveat). true_count emitted for the
+    differential check; a real release projects it away."""
+    return P.dp_topk(
+        load(spark, sf_dir, "customer").select(*QI),
+        list(QI),
+        DP_TOPK_K,
+        DP_EPSILON,
+        seed=DP_TOPK_SEED,
+    )

@@ -215,6 +215,15 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     # sketch re-checks, 0 red — the LSM replay debut plus every r16
     # _FORCE_RECHECK re-green)
     "st9_lsm_replay",
+    # r17 greens (CORRECTNESS_r17: 44 hash-green + 6 rows-only clean,
+    # 0 red — the privacy shelf debut, Fleiss' kappa, the streaming
+    # k-anon readout; judge independently re-ran 12 of them).
+    # privacy_mondrian_release re-enters via _FORCE_RECHECK (its output
+    # changed to the r18 audit form).
+    "stat_fleiss_kappa", "privacy_k_anonymity", "privacy_l_diversity",
+    "privacy_t_closeness", "privacy_suppress_release", "privacy_dp_counts",
+    "privacy_t_closeness_ordered", "streaming_kanon_readout",
+    "privacy_mondrian_release",
 })
 
 # Entries whose implementation or oracle changed since their last green

@@ -1845,3 +1845,120 @@ def text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     corrupted = d.mapInPandas(_corrupt, "doc_id long, text string")
     return fix_mojibake(corrupted)
+
+
+# ------------------------------------------------- Good-Turing smoothing
+
+GT_MAX_R = 10
+
+
+@query(
+    "text_good_turing",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+    ),
+    wc AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS r
+        FROM w WHERE word <> '' GROUP BY doc_id, word
+    ),
+    nr AS (
+        SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r
+        FROM wc GROUP BY r
+    ),
+    tot AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens FROM nr),
+    p0 AS (
+        SELECT round(CAST(COALESCE(
+                   (SELECT n_r FROM nr WHERE r = 1), 0) AS DOUBLE)
+                   / n_tokens, 6) AS p_unseen
+        FROM tot
+    )
+    SELECT a.r,
+           a.n_r,
+           b.n_r AS n_r_next,
+           CASE WHEN b.n_r IS NOT NULL
+                THEN round((a.r + 1) * CAST(b.n_r AS DOUBLE) / a.n_r, 6)
+                END AS r_star,
+           p0.p_unseen
+    FROM nr a
+    LEFT JOIN nr b ON b.r = a.r + 1
+    CROSS JOIN p0
+    WHERE a.r <= {GT_MAX_R}
+    """,
+)
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency smoothing (Good 1953; Gale & Sampson 1995's
+    "Simple Good-Turing" readout): the count-of-counts table N_r, the
+    Turing-adjusted counts r* = (r+1) N_{r+1} / N_r for the low-r head
+    (r <= GT_MAX_R), and the unseen-mass estimate p0 = N_1 / N — the
+    classical smoothing companion to curate_kneser_ney_ppl (KN absolute
+    discounting) and the head-of-distribution twin of text_zipf_alpha.
+    The species key is the (document, word) pair over the token sample
+    — the species-richness framing over keyed occurrences — because the
+    synthetic corpus's global vocabulary is 31 heavily-repeated types
+    with NO low-r head (min corpus count 26 at sf0.01), while the
+    within-document grain has the full singleton/doubleton structure GT
+    exists for. r* is NULL where N_{r+1} = 0 (the raw estimator is
+    undefined there; Gale & Sampson's log-linear fallback needs a
+    regression the low-r head doesn't — emitting NULL keeps the release
+    honest rather than fabricating a smoothed value).
+
+    Scale shape: the corpus-sized work is the ONE (doc, word) groupBy;
+    N_r is a second aggregate over that table (output <= max key count
+    — tens of rows), the r/r+1 self-join and the total-token constant
+    are metadata-scale, and every division happens on the final tiny
+    readout. Scan-bound at 100 TB.
+
+    Reference parity: no text statistics in the reference (search
+    regexes only, src/modules/app/app.service.ts:446-474); LLM-pipeline
+    extension shelf (vocabulary-coverage diagnostics before tokenizer
+    training).
+    """
+    from pasardassist_spark.operators.text import tokens
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    wc = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+        .select("r")
+    )
+    nr = wc.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    tot = nr.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens")
+    )
+    n1 = nr.filter(F.col("r") == 1).agg(
+        F.coalesce(F.sum("n_r"), F.lit(0)).cast("long").alias("n1")
+    )
+    p0 = (
+        tot.crossJoin(F.broadcast(n1))
+        .select(
+            F.round(
+                F.col("n1").cast("double") / F.col("n_tokens"), 6
+            ).alias("p_unseen")
+        )
+    )
+    nxt = nr.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next")
+    )
+    return (
+        nr.filter(F.col("r") <= GT_MAX_R)
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(p0))
+        .select(
+            "r",
+            "n_r",
+            "n_r_next",
+            F.when(
+                F.col("n_r_next").isNotNull(),
+                F.round(
+                    (F.col("r") + 1)
+                    * F.col("n_r_next").cast("double")
+                    / F.col("n_r"),
+                    6,
+                ),
+            ).alias("r_star"),
+            "p_unseen",
+        )
+    )

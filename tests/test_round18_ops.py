@@ -1,0 +1,172 @@
+"""Round-18 debut operators: Cochran's Q, Good-Turing smoothing,
+DP top-k (Gumbel-max), and mutual-kNN Adamic-Adar link prediction.
+Each is oracle-gated in the driver window; these pytests pin the
+from-first-principles semantics and the release contracts."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from pasardassist_spark.queries.matching import COCHRAN_YEARS, stat_cochran_q
+from pasardassist_spark.queries.mining import (
+    LP_KNN_K,
+    LP_TOPN,
+    graph_adamic_adar,
+)
+from pasardassist_spark.queries.privacy import (
+    DP_EPSILON,
+    DP_TOPK_K,
+    privacy_dp_topk,
+)
+from pasardassist_spark.queries.text import GT_MAX_R, text_good_turing
+
+
+def test_cochran_q_first_principles(spark, sf_dir):
+    """Recompute Q with pandas from the raw parquet and compare."""
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o[o.o_orderdate.dt.year.isin(COCHRAN_YEARS)]
+    x = (
+        o.assign(y=o.o_orderdate.dt.year,
+                 hit=(o.o_orderpriority == "1-URGENT").astype(int))
+        .groupby(["o_custkey", "y"])["hit"].max().reset_index()
+    )
+    complete = x.groupby("o_custkey").filter(
+        lambda g: len(g) == len(COCHRAN_YEARS)
+    )
+    k = len(COCHRAN_YEARS)
+    g = complete.groupby("y")["hit"].sum()
+    l = complete.groupby("o_custkey")["hit"].sum()
+    denom = k * l.sum() - (l * l).sum()
+    q_exp = (k - 1) * (k * (g * g).sum() - g.sum() ** 2) / denom
+    row = stat_cochran_q(spark, sf_dir).collect()[0]
+    assert row["n_subjects"] == complete.o_custkey.nunique()
+    assert row["k_treatments"] == k
+    assert row["dof"] == k - 1
+    assert row["q_stat"] == pytest.approx(round(q_exp, 6), abs=2e-6)
+
+
+def test_good_turing_first_principles(spark, sf_dir):
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    from collections import Counter
+
+    keyed = Counter()
+    for doc_id, text in zip(d.doc_id, d.text):
+        for w in text.strip().split():
+            if w:
+                keyed[(doc_id, w)] += 1
+    nr = Counter(keyed.values())
+    n_tokens = sum(r * n for r, n in nr.items())
+    p0 = round(nr.get(1, 0) / n_tokens, 6)
+    rows = {r["r"]: r for r in text_good_turing(spark, sf_dir).collect()}
+    assert set(rows) == {r for r in nr if r <= GT_MAX_R}
+    for r, row in rows.items():
+        assert row["n_r"] == nr[r]
+        assert row["p_unseen"] == pytest.approx(p0, abs=2e-6)
+        if nr.get(r + 1):
+            exp = round((r + 1) * nr[r + 1] / nr[r], 6)
+            assert row["r_star"] == pytest.approx(exp, abs=2e-6)
+        else:
+            assert row["r_star"] is None
+
+
+def test_dp_topk_release_contract(spark, sf_dir):
+    rows = privacy_dp_topk(spark, sf_dir).orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(1, DP_TOPK_K + 1))
+    # true counts agree with the exact aggregate
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    exact = cust.groupby(["c_nationkey", "c_mktsegment"]).size()
+    for r in rows:
+        assert r["true_count"] == exact[(r["c_nationkey"], r["c_mktsegment"])]
+    # reproducible (seeded noise): a second run is identical
+    again = privacy_dp_topk(spark, sf_dir).orderBy("rank").collect()
+    assert rows == again
+    # the Gumbel perturbation is bounded-from-count in distribution
+    # terms but each released score must exceed the count minus nothing
+    # deterministic — just sanity: score is finite and rank-ordered
+    scores = [r["noisy_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(math.isfinite(s) for s in scores)
+
+
+def test_dp_topk_k_guard(spark):
+    from pasardassist_spark.operators.privacy import dp_topk
+
+    df = spark.createDataFrame([("a",)], "c string")
+    with pytest.raises(ValueError, match="k must be"):
+        dp_topk(df, ["c"], 0, 1.0)
+
+
+def test_adamic_adar_release_contract(spark, sf_dir):
+    rows = graph_adamic_adar(spark, sf_dir).orderBy("rank").collect()
+    assert 0 < len(rows) <= LP_TOPN
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["a"] < r["b"]
+        assert r["common_neighbors"] >= 1
+        assert 0.0 < r["jaccard"] <= 1.0
+        # AA of cn common neighbors each of degree <= 2*LP_KNN_K (mutual
+        # graph degree bound... mutual degree <= LP_KNN_K) is at least
+        # cn / ln(LP_KNN_K) lower-bounded and positive
+        assert r["adamic_adar"] > 0
+    key = [(-r["adamic_adar"], r["a"], r["b"]) for r in rows]
+    assert key == sorted(key)
+
+
+def test_adamic_adar_excludes_edges_and_matches_bruteforce(spark, sf_dir):
+    """Recompute the mutual-kNN graph + AA scores with numpy/pandas and
+    compare the released pairs and 6-dp scores."""
+    import numpy as np
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ids = emb.vec_id.to_numpy()
+    v = np.stack(emb.embedding.to_numpy()).astype(float)
+    nv = v / np.sqrt((v * v).sum(axis=1, keepdims=True))
+    cos = np.round(nv @ nv.T, 6)
+    np.fill_diagonal(cos, -np.inf)
+    n = len(ids)
+    order = np.lexsort((ids[None, :].repeat(n, 0), -cos), axis=1)
+    knn = {
+        ids[i]: {ids[j] for j in order[i][:LP_KNN_K]} for i in range(n)
+    }
+    edges = {
+        (min(a, b), max(a, b))
+        for a in knn
+        for b in knn[a]
+        if a in knn[b]
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    cand = {}
+    for z, nbrs in adj.items():
+        dz = len(nbrs)
+        for a in nbrs:
+            for b in nbrs:
+                if a < b and (a, b) not in edges:
+                    cn, aa = cand.get((a, b), (0, 0.0))
+                    cand[(a, b)] = (cn + 1, aa + 1.0 / math.log(dz))
+    exp = {
+        (a, b): (
+            cn,
+            round(aa, 6),
+            round(cn / (len(adj[a]) + len(adj[b]) - cn), 6),
+        )
+        for (a, b), (cn, aa) in cand.items()
+    }
+    got = graph_adamic_adar(spark, sf_dir).collect()
+    for r in got:
+        pair = (r["a"], r["b"])
+        assert pair not in edges
+        cn, aa, jc = exp[pair]
+        assert r["common_neighbors"] == cn
+        assert r["adamic_adar"] == pytest.approx(aa, abs=2e-6)
+        assert r["jaccard"] == pytest.approx(jc, abs=2e-6)
+    # the released set IS the top-LP_TOPN by (aa desc, a, b)
+    ranked = sorted(exp.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    assert {(r["a"], r["b"]) for r in got} == {
+        p for p, _ in ranked[: len(got)]
+    }
