@@ -69,6 +69,8 @@ HEADLINE = [
 EXTRA_NAMES = [
     # round-18 debuts
     "stat_cochran_q",
+    "stat_dunn_posthoc",
+    "src_arrow_ipc_roundtrip",
     "text_good_turing",
     "privacy_dp_topk",
     "graph_adamic_adar",

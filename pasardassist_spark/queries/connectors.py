@@ -144,3 +144,35 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = write_xml(d.repartition(8, "doc_id"), tmp).collect()
     assert sum(m.n_records for m in manifest) > 0
     return read_xml(spark, tmp, d.schema)
+
+
+@query(
+    "src_arrow_ipc_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def src_arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC (Feather v2) source/sink, closed-loop
+    (sources/arrowipc.py): export the documents table as 8 .arrow
+    shards (the on-disk layout HuggingFace datasets ships corpora in),
+    read them back under the ORIGINAL explicit schema with the
+    binaryFile + footer-indexed decoder, and hash-compare against the
+    parquet table. Write is task-parallel (shard per partition), read
+    is task-parallel (shard per task); the only collect is the 8-row
+    shard manifest. Type-fidelity across the full scalar/temporal/
+    nested matrix is pinned separately in tests/test_arrowipc.py.
+    Extends the interchange family: JSONL, WARC, TFRecord, Avro,
+    Arrow."""
+    from pasardassist_spark.sources.arrowipc import (
+        read_arrow_ipc,
+        write_arrow_ipc,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    staged = d.repartition(8, "doc_id")
+    tmp = tempfile.mkdtemp(prefix="pasard_arrow_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    manifest = write_arrow_ipc(staged, tmp).collect()
+    assert sum(m.n_records for m in manifest) > 0
+    return read_arrow_ipc(spark, tmp, d.schema)

@@ -21,6 +21,8 @@ Determinism contracts (shared with the DuckDB oracles):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pasardassist_spark.operators import text as X
@@ -2793,4 +2795,187 @@ def stat_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (kk - 1).cast("long").alias("dof"),
             F.when(denom > 0, F.round(q, 6)).alias("q_stat"),
         )
+    )
+
+
+# ------------------------------------- Dunn's post-hoc (after Kruskal-Wallis)
+
+
+def _qnorm(p: float) -> float:
+    """Inverse standard-normal CDF, Acklam's 2003 rational approximation
+    (public algorithm, |relative error| < 1.15e-9) — enough to define
+    6-dp critical-value literals shared by both engines; pytest pins it
+    against the textbook quantiles."""
+    a = (-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00)
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"qnorm domain: {p}")
+    plow = 0.02425
+    if p < plow:
+        q = math.sqrt(-2.0 * math.log(p))
+        return (((((c[0]*q+c[1])*q+c[2])*q+c[3])*q+c[4])*q+c[5]) / \
+            ((((d[0]*q+d[1])*q+d[2])*q+d[3])*q+1.0)
+    if p <= 1.0 - plow:
+        q = p - 0.5
+        r = q * q
+        return (((((a[0]*r+a[1])*r+a[2])*r+a[3])*r+a[4])*r+a[5])*q / \
+            (((((b[0]*r+b[1])*r+b[2])*r+b[3])*r+b[4])*r+1.0)
+    q = math.sqrt(-2.0 * math.log(1.0 - p))
+    return -(((((c[0]*q+c[1])*q+c[2])*q+c[3])*q+c[4])*q+c[5]) / \
+        ((((d[0]*q+d[1])*q+d[2])*q+d[3])*q+1.0)
+
+
+# Bonferroni two-sided alpha=0.05 critical z per number of pairwise
+# comparisons m = k(k-1)/2, k <= 10 groups (the KW critical-table range)
+_DUNN_CRIT = {m: round(_qnorm(1.0 - 0.025 / m), 6) for m in range(1, 46)}
+_DUNN_CRIT_SQL = "CASE CAST(m AS INTEGER) " + " ".join(
+    f"WHEN {m} THEN {v}" for m, v in _DUNN_CRIT.items()
+) + " ELSE 1e308 END"
+
+
+@query(
+    "stat_dunn_posthoc",
+    oracle=f"""
+    WITH g AS (
+        SELECT value, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY value, event_type
+    ),
+    vt AS (SELECT value, CAST(SUM(c) AS BIGINT) AS t FROM g GROUP BY value),
+    cv AS (
+        SELECT value, t,
+               2 * SUM(t) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) - t + 1 AS r2
+        FROM vt
+    ),
+    pg AS (
+        SELECT g.event_type,
+               CAST(SUM(g.c) AS BIGINT) AS n_g,
+               CAST(SUM(g.c * cv.r2) AS BIGINT) AS r2_g
+        FROM g JOIN cv USING (value)
+        GROUP BY g.event_type
+    ),
+    ties AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie3 FROM vt),
+    tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS m
+        FROM pg
+    )
+    SELECT a.event_type AS group_a, b.event_type AS group_b,
+           a.n_g AS n_a, b.n_g AS n_b,
+           round(CAST(a.r2_g AS DOUBLE) / (2 * a.n_g), 6) AS mean_rank_a,
+           round(CAST(b.r2_g AS DOUBLE) / (2 * b.n_g), 6) AS mean_rank_b,
+           m AS n_comparisons,
+           round((CAST(a.r2_g AS DOUBLE) / (2 * a.n_g)
+                  - CAST(b.r2_g AS DOUBLE) / (2 * b.n_g))
+                 / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12.0
+                         - CAST(tie3 AS DOUBLE) / (12.0 * (n - 1)))
+                        * (1.0 / a.n_g + 1.0 / b.n_g)), 6) AS z,
+           abs(round((CAST(a.r2_g AS DOUBLE) / (2 * a.n_g)
+                  - CAST(b.r2_g AS DOUBLE) / (2 * b.n_g))
+                 / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12.0
+                         - CAST(tie3 AS DOUBLE) / (12.0 * (n - 1)))
+                        * (1.0 / a.n_g + 1.0 / b.n_g)), 6))
+               > {_DUNN_CRIT_SQL} AS significant
+    FROM pg a JOIN pg b ON a.event_type < b.event_type
+    CROSS JOIN ties CROSS JOIN tot
+    """,
+)
+def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise rank test (Dunn 1964) — the follow-up
+    stat_kruskal_wallis lacks: KW's H says SOME event types differ in
+    value distribution; Dunn says WHICH pairs, via tie-corrected mean-
+    rank z statistics under a Bonferroni family-wise gate (the
+    conservative default for all-pairs follow-up; critical values from
+    the shared _DUNN_CRIT table, Acklam inverse-normal, pytest-pinned
+    against textbook quantiles).
+
+        z_ab = (Rbar_a - Rbar_b)
+               / sqrt((N(N+1)/12 - sum(t^3 - t)/(12(N-1)))
+                      * (1/n_a + 1/n_b))
+
+    with Rbar from the SAME exact-integer doubled-rank machinery as KW
+    (value-grain counts + distributed inclusive prefix sum — average
+    ranks without a per-row sort), so the mean ranks are exact halves
+    and the only float ops are the final division/sqrt; 6-dp rounds are
+    bit-identical to the oracle, and |z| gates on the ROUNDED value.
+
+    Spark plan: the KW aggregates verbatim (fact scans once into the
+    persisted value-grain frame), then the k-group summary self-joins
+    into k(k-1)/2 pair rows — metadata-scale — with two broadcast
+    1-row constants. Scan-bound at any scale."""
+    from pasardassist_spark.operators.packing import inclusive_prefix_sum
+
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).persist()
+    vt = g.groupBy("value").agg(F.sum("c").cast("long").alias("t")).persist()
+    cv = inclusive_prefix_sum(vt, "value", ["t"], out=["_ct"]).select(
+        "value", (2 * F.col("_ct") - F.col("t") + 1).alias("r2")
+    )
+    pg = (
+        g.join(cv, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n_g"),
+            F.sum(F.col("c") * F.col("r2")).cast("long").alias("r2_g"),
+        )
+    )
+    ties = vt.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long").alias("tie3")
+    )
+    tot = pg.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2)
+        .cast("long").alias("m"),
+    )
+    a = pg.select(
+        F.col("event_type").alias("group_a"),
+        F.col("n_g").alias("n_a"),
+        F.col("r2_g").alias("r2_a"),
+    )
+    b = pg.select(
+        F.col("event_type").alias("group_b"),
+        F.col("n_g").alias("n_b"),
+        F.col("r2_g").alias("r2_b"),
+    )
+    pairs = (
+        a.join(b, F.col("group_a") < F.col("group_b"))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(tot))
+    )
+    n_d = F.col("n").cast("double")
+    ra = F.col("r2_a").cast("double") / (2 * F.col("n_a"))
+    rb = F.col("r2_b").cast("double") / (2 * F.col("n_b"))
+    z = F.round(
+        (ra - rb)
+        / F.sqrt(
+            (
+                n_d * (F.col("n") + 1) / 12.0
+                - F.col("tie3").cast("double") / (12.0 * (F.col("n") - 1))
+            )
+            * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        ),
+        6,
+    )
+    crit = F.lit(1e308)
+    for m_, v in reversed(_DUNN_CRIT.items()):
+        crit = F.when(F.col("m").cast("int") == m_, F.lit(v)).otherwise(crit)
+    return pairs.select(
+        "group_a", "group_b", "n_a", "n_b",
+        F.round(ra, 6).alias("mean_rank_a"),
+        F.round(rb, 6).alias("mean_rank_b"),
+        F.col("m").alias("n_comparisons"),
+        z.alias("z"),
+        (F.abs(z) > crit).alias("significant"),
     )

@@ -170,3 +170,38 @@ def test_adamic_adar_excludes_edges_and_matches_bruteforce(spark, sf_dir):
     assert {(r["a"], r["b"]) for r in got} == {
         p for p, _ in ranked[: len(got)]
     }
+
+
+def test_qnorm_textbook_quantiles():
+    from pasardassist_spark.queries.matching import _qnorm
+
+    assert _qnorm(0.975) == pytest.approx(1.959964, abs=1e-6)
+    assert _qnorm(0.995) == pytest.approx(2.575829, abs=1e-6)
+    assert _qnorm(0.5) == pytest.approx(0.0, abs=1e-9)
+    assert _qnorm(0.0228) == pytest.approx(-1.9991, abs=1e-3)
+    with pytest.raises(ValueError):
+        _qnorm(0.0)
+
+
+def test_dunn_first_principles(spark, sf_dir):
+    """Recompute tie-corrected Dunn z with pandas average ranks."""
+    from pasardassist_spark.queries.matching import stat_dunn_posthoc
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["value", "event_type"]]
+    ev["rank"] = ev["value"].rank(method="average")
+    n = len(ev)
+    t = ev.groupby("value").size()
+    tie_term = (t**3 - t).sum() / (12.0 * (n - 1))
+    g = ev.groupby("event_type").agg(n_g=("rank", "size"),
+                                     mean_rank=("rank", "mean"))
+    rows = stat_dunn_posthoc(spark, sf_dir).collect()
+    ks = len(g)
+    assert len(rows) == ks * (ks - 1) // 2
+    for r in rows:
+        ga, gb = g.loc[r["group_a"]], g.loc[r["group_b"]]
+        assert r["n_a"] == ga.n_g and r["n_b"] == gb.n_g
+        assert r["mean_rank_a"] == pytest.approx(ga.mean_rank, abs=2e-6)
+        z = (ga.mean_rank - gb.mean_rank) / math.sqrt(
+            (n * (n + 1) / 12.0 - tie_term) * (1.0 / ga.n_g + 1.0 / gb.n_g)
+        )
+        assert r["z"] == pytest.approx(round(z, 6), abs=2e-6)
