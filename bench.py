@@ -68,6 +68,11 @@ HEADLINE = [
 # guards membership so a typo cannot fail the driver's bench run.
 EXTRA_NAMES = [
     # round-18 debuts
+    "stat_mcnemar",
+    "stat_kendall_tau",
+    "stat_cronbach_alpha",
+    "privacy_randomized_response",
+    "ml_ridge_normal_eq",
     "stat_cochran_q",
     "stat_dunn_posthoc",
     "src_arrow_ipc_roundtrip",

@@ -378,3 +378,66 @@ def dp_topk(
             F.round("_noisy", 6).alias("noisy_score"),
         )
     )
+
+
+def randomized_response(
+    df: DataFrame,
+    truth_col: str,
+    group_cols: list[str],
+    p_truth: float,
+    seed: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Warner's randomized response (Warner 1965) — LOCAL differential
+    privacy, completing the shelf's central-DP releases (dp_noisy_counts,
+    dp_topk) with the mechanism that runs on the RESPONDENT's side: each
+    row reports its true binary ``truth_col`` with probability
+    ``p_truth`` and the flipped value otherwise, so no single reported
+    bit reveals the truth (epsilon = ln(p/(1-p)) per response), yet the
+    group-level rate is recoverable by debiasing:
+
+        pi_hat = (observed_rate - (1 - p)) / (2p - 1)
+
+    Same DETERMINIZATION CAVEAT as dp_noisy_counts: the coin is a seeded
+    md5 digest over ``key_cols``, 52 bits mapped to (0, 1), so the
+    release is reproducible and the DuckDB oracle recomputes the
+    identical flips. ``key_cols`` MUST identify rows uniquely (a
+    respondent id): a repeated key draws the SAME coin for every row
+    sharing it, correlating flips and biasing the estimator. A
+    production deployment swaps the digest for respondent-side entropy;
+    the mechanism and estimator are unchanged by that swap.
+
+    One row-local flip expression folded into a single group-grain hash
+    aggregate — scan-bound at any scale. Returns per group: n,
+    reported_yes, the debiased estimate, and the true rate (emitted for
+    the differential/utility check; a real release projects it away).
+    """
+    if not 0.5 < p_truth < 1.0:
+        raise ValueError(f"p_truth must be in (0.5, 1), got {p_truth}")
+    keys = list(key_cols)
+    comps = [
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("null"))
+        for c in keys
+    ]
+    key = F.concat_ws("|", F.lit(seed), *comps)
+    u = (
+        (F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double") + 0.5)
+        / F.lit(float(1 << 52))
+    )
+    truth = F.col(truth_col).cast("int")
+    reported = F.when(u < F.lit(p_truth), truth).otherwise(1 - truth)
+    g = df.select(
+        *group_cols, truth.alias("_t"), reported.alias("_r")
+    ).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_r").cast("long").alias("reported_yes"),
+        F.sum("_t").cast("long").alias("_true_yes"),
+    )
+    obs = F.col("reported_yes").cast("double") / F.col("n")
+    est = (obs - (1.0 - p_truth)) / (2.0 * p_truth - 1.0)
+    return g.select(
+        *group_cols, "n", "reported_yes",
+        F.round(est, 6).alias("est_rate"),
+        F.round(F.col("_true_yes").cast("double") / F.col("n"), 6)
+        .alias("true_rate"),
+    )

@@ -1764,3 +1764,140 @@ def surv_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chi2"),
         (F.abs(z) > _LR_Z_CRIT).alias("significant"),
     )
+
+
+@query(
+    "stat_durbin_watson",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events
+        GROUP BY 1, 2
+    ),
+    lagd AS (
+        SELECT event_type, x, y,
+               x - lag(x) OVER (PARTITION BY event_type ORDER BY x) AS dx,
+               y - lag(y) OVER (PARTITION BY event_type ORDER BY x) AS dy
+        FROM daily
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(dy * dy) AS BIGINT) AS sdy2,
+               CAST(SUM(dx * dy) AS BIGINT) AS sdxdy,
+               CAST(SUM(dx * dx) AS BIGINT) AS sdx2
+        FROM lagd GROUP BY 1
+    ),
+    f AS (
+        SELECT event_type, n, sy, sx, sxx, sxy, syy, sdy2, sdxdy, sdx2,
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b
+        FROM g
+    ),
+    h AS (
+        SELECT event_type, n, b, sdy2, sdxdy, sdx2, syy, sxy, sxx, sx, sy,
+               (CAST(sy AS DOUBLE) - b * sx) / n AS a
+        FROM f
+    )
+    SELECT event_type,
+           n AS n_days,
+           round(b, 6) AS slope,
+           round((sdy2 - 2.0 * b * sdxdy + b * b * sdx2)
+                 / (syy + n * (a * a) + b * b * sxx
+                    - 2.0 * a * sy - 2.0 * b * sxy + 2.0 * a * b * sx),
+                 6) AS dw
+    FROM h
+    """,
+)
+def stat_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson first-order autocorrelation test (Durbin & Watson
+    1950) on the residuals of each event type's daily-volume trend fit —
+    the diagnostic that belongs NEXT TO stat_linreg: a trend fit whose
+    residuals are serially correlated has understated standard errors,
+    and DW ~ 2(1 - rho_1) is the classic readout (DW << 2 -> positive
+    autocorrelation, >> 2 -> negative).
+
+    Exact kernel — no residual is ever materialized: with e_t =
+    y_t - a - b x_t, both DW sums EXPAND into the sufficient statistics,
+
+        num = sum (dy - b dx)^2  = sdy2 - 2b sdxdy + b^2 sdx2
+        den = sum e^2 = syy + n a^2 + b^2 sxx - 2a sy - 2b sxy + 2ab sx
+
+    where every s* is an exact BIGINT over integer day offsets and
+    integer daily counts (lag deltas via one window over the DAILY
+    grain, which is calendar-bounded metadata after the first
+    aggregate, never over the events themselves). The float tail (the
+    b and a divisions and the two quadratic forms) is the identical
+    expression tree on both engines -> 6-dp bit-identical rounds.
+
+    Plan: one fact-scan hash aggregate to daily grain, one bounded
+    window, one group aggregate. Scan-bound at 100 TB; the window's
+    partitions are ~700 rows regardless of data scale.
+
+    Reference parity: no inferential statistics in the reference;
+    extension shelf next to stat_linreg / stat_mann_kendall.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit(_LR_ANCHOR).cast("date")
+            ).alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("x")
+    lagd = daily.select(
+        "event_type", "x", "y",
+        (F.col("x") - F.lag("x").over(w)).alias("dx"),
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+    )
+    g = lagd.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("sdy2"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sdxdy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sdx2"),
+    )
+    b = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    f = g.select("*", b.alias("b"))
+    a = (F.col("sy").cast("double") - F.col("b") * F.col("sx")) / F.col("n")
+    h = f.select("*", a.alias("a"))
+    num = (
+        F.col("sdy2")
+        - 2.0 * F.col("b") * F.col("sdxdy")
+        + F.col("b") * F.col("b") * F.col("sdx2")
+    )
+    den = (
+        F.col("syy")
+        + F.col("n") * (F.col("a") * F.col("a"))
+        + F.col("b") * F.col("b") * F.col("sxx")
+        - 2.0 * F.col("a") * F.col("sy")
+        - 2.0 * F.col("b") * F.col("sxy")
+        + 2.0 * F.col("a") * F.col("b") * F.col("sx")
+    )
+    return h.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(F.col("b"), 6).alias("slope"),
+        F.round(num / den, 6).alias("dw"),
+    )

@@ -2979,3 +2979,379 @@ def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > crit).alias("significant"),
     )
+
+
+# ------------------------------------------------- McNemar paired test
+
+MCNEMAR_YEARS = (1996, 1997)
+
+
+@query(
+    "stat_mcnemar",
+    oracle=f"""
+    WITH x AS (
+        SELECT o_custkey,
+               CAST(MAX(CASE WHEN year(o_orderdate) = {MCNEMAR_YEARS[0]}
+                             AND o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS before_hit,
+               CAST(MAX(CASE WHEN year(o_orderdate) = {MCNEMAR_YEARS[1]}
+                             AND o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS after_hit
+        FROM orders
+        WHERE year(o_orderdate) IN {MCNEMAR_YEARS}
+        GROUP BY 1
+        HAVING COUNT(DISTINCT year(o_orderdate)) = 2
+    ),
+    c AS (
+        SELECT
+            CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            CAST(SUM(CASE WHEN before_hit = 0 AND after_hit = 1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS b01,
+            CAST(SUM(CASE WHEN before_hit = 1 AND after_hit = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS c10
+        FROM x
+    )
+    SELECT n_pairs, b01, c10,
+           CASE WHEN b01 + c10 > 0
+                THEN round(CAST((abs(b01 - c10) - 1)
+                                * (abs(b01 - c10) - 1) AS DOUBLE)
+                           / (b01 + c10), 6)
+                ELSE NULL END AS chi2_cc
+    FROM c
+    """,
+)
+def stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (McNemar 1947) — the PAIRED two-sample test for
+    binary outcomes, completing the matched-design family between
+    stat_cochran_q (k related samples; McNemar is its k=2 special case)
+    and stat_cohens_kappa. Framing: subjects are customers active in
+    BOTH MCNEMAR_YEARS; the paired binary outcome is "placed at least
+    one 1-URGENT order" in each year; only the DISCORDANT pairs
+    (b01 = gained urgency, c10 = lost it) carry information about the
+    marginal change.
+
+    Exact-integer kernel with Edwards' continuity correction:
+        chi2 = (|b - c| - 1)^2 / (b + c)   ~ chi2(1) under H0
+    — numerator and denominator are BIGINT, one float division, so the
+    6-dp rounds are bit-identical to the oracle. b + c = 0 (no
+    discordant pairs) leaves the statistic undefined -> NULL, the same
+    loud-degenerate contract as stat_cochran_q.
+
+    Spark plan: one customer-grain conditional aggregate over the
+    date-pruned orders scan (the pivot is two MAX(CASE) columns — no
+    join between the years), then a 1-row count aggregate. Scan-bound
+    at any scale; the only shuffle is the customer-grain hash.
+
+    Reference parity: the reference ships no inferential statistics
+    (src/modules/app/app.service.ts is count/sum dashboards); this is
+    the experiment-analysis extension shelf.
+    """
+    y0, y1 = MCNEMAR_YEARS
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    yr = F.year("o_orderdate")
+    x = (
+        o.filter(yr.isin(*MCNEMAR_YEARS))
+        .groupBy("o_custkey")
+        .agg(
+            F.countDistinct(yr).alias("yrs"),
+            F.max(
+                F.when(
+                    (yr == y0) & (F.col("o_orderpriority") == "1-URGENT"), 1
+                ).otherwise(0)
+            ).cast("long").alias("before_hit"),
+            F.max(
+                F.when(
+                    (yr == y1) & (F.col("o_orderpriority") == "1-URGENT"), 1
+                ).otherwise(0)
+            ).cast("long").alias("after_hit"),
+        )
+        .filter(F.col("yrs") == 2)
+    )
+    c = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            ((F.col("before_hit") == 0) & (F.col("after_hit") == 1)).cast("int")
+        ).cast("long").alias("b01"),
+        F.sum(
+            ((F.col("before_hit") == 1) & (F.col("after_hit") == 0)).cast("int")
+        ).cast("long").alias("c10"),
+    )
+    disc = F.col("b01") + F.col("c10")
+    num = (F.abs(F.col("b01") - F.col("c10")) - 1)
+    return c.select(
+        "n_pairs", "b01", "c10",
+        F.when(
+            disc > 0,
+            F.round((num * num).cast("double") / disc, 6),
+        ).alias("chi2_cc"),
+    )
+
+
+# ------------------------------------------------- Kendall's tau-b
+
+@query(
+    "stat_kendall_tau",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(l_quantity AS BIGINT) AS xv,
+               CAST(l_linenumber AS BIGINT) AS yv,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT
+            CAST(SUM(CASE WHEN a.xv < b.xv AND a.yv < b.yv
+                          THEN a.n * b.n ELSE 0 END) AS BIGINT) AS conc,
+            CAST(SUM(CASE WHEN a.xv < b.xv AND a.yv > b.yv
+                          THEN a.n * b.n ELSE 0 END) AS BIGINT) AS disc
+        FROM cells a CROSS JOIN cells b
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+    tx AS (
+        SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n1
+        FROM (SELECT SUM(n) AS t FROM cells GROUP BY xv)
+    ),
+    ty AS (
+        SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n2
+        FROM (SELECT SUM(n) AS t FROM cells GROUP BY yv)
+    )
+    SELECT nn AS n, conc, disc,
+           n1 AS tie_pairs_x, n2 AS tie_pairs_y,
+           round(CAST(conc - disc AS DOUBLE)
+                 / sqrt(CAST(nn * (nn - 1) / 2 - n1 AS DOUBLE)
+                        * CAST(nn * (nn - 1) / 2 - n2 AS DOUBLE)),
+                 6) AS tau_b
+    FROM pairs CROSS JOIN tot CROSS JOIN tx CROSS JOIN ty
+    """,
+)
+def stat_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b (Kendall 1945, the tie-corrected form) between
+    order quantity and line position — the third rank-correlation next
+    to stat_spearman_corr (rank Pearson) and stat_mann_kendall (trend
+    tau against time). tau-b = (C - D) / sqrt((n0 - n1)(n0 - n2)) with
+    n0 = n(n-1)/2 and n1/n2 the tied-pair counts per variable.
+
+    Scale design — the CONTINGENCY-CELL form, not the O(n^2) pair scan:
+    both variables are low-cardinality discrete (quantity 1..50 x
+    linenumber 1..7 = at most 350 cells at ANY data scale), so the
+    concordant/discordant pair totals collapse to one cell-grain hash
+    aggregate over the fact scan followed by a broadcast self-join of
+    the metadata-sized cell table (C = sum over cell pairs with both
+    strictly greater of n_a * n_b — every pair is counted once via the
+    xv < xv' ordering). Tie terms come from the row/column marginals of
+    the same cell table. Every count is BIGINT (n^2-scale products fit
+    comfortably: sf100's 600M rows -> n0 ~ 1.8e17 < 2^63); the single
+    float expression (one division, one sqrt) is evaluated identically
+    by the oracle, so the 6-dp rounds are bit-identical. 100 TB: one
+    shuffle at 350-cell grain — scan-bound.
+
+    Reference parity: no inferential statistics in the reference
+    (src/modules/app/app.service.ts); extension shelf.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("xv"),
+        F.col("l_linenumber").cast("long").alias("yv"),
+    )
+    cells = li.groupBy("xv", "yv").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a, b = [
+        F.broadcast(cells).alias(s) for s in ("a", "b")
+    ]
+    pairs = (
+        a.crossJoin(b)
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("a.xv") < F.col("b.xv"))
+                    & (F.col("a.yv") < F.col("b.yv")),
+                    F.col("a.n") * F.col("b.n"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("conc"),
+            F.sum(
+                F.when(
+                    (F.col("a.xv") < F.col("b.xv"))
+                    & (F.col("a.yv") > F.col("b.yv")),
+                    F.col("a.n") * F.col("b.n"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("disc"),
+        )
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("nn"))
+    tx = (
+        cells.groupBy("xv").agg(F.sum("n").alias("t"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("n1")
+        )
+    )
+    ty = (
+        cells.groupBy("yv").agg(F.sum("n").alias("t"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("n2")
+        )
+    )
+    one = (
+        pairs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    n0 = F.col("nn") * (F.col("nn") - 1) / 2
+    tau = (F.col("conc") - F.col("disc")).cast("double") / F.sqrt(
+        (n0 - F.col("n1")).cast("double") * (n0 - F.col("n2")).cast("double")
+    )
+    return one.select(
+        F.col("nn").alias("n"), "conc", "disc",
+        F.col("n1").alias("tie_pairs_x"),
+        F.col("n2").alias("tie_pairs_y"),
+        F.round(tau, 6).alias("tau_b"),
+    )
+
+
+# ------------------------------------------------- Cronbach's alpha
+
+CRONBACH_ITEMS = 4
+
+
+@query(
+    "stat_cronbach_alpha",
+    oracle=f"""
+    WITH eligible AS (
+        SELECT l_orderkey
+        FROM lineitem GROUP BY 1
+        HAVING COUNT(*) = {CRONBACH_ITEMS}
+           AND COUNT(DISTINCT l_linenumber) = {CRONBACH_ITEMS}
+           AND MIN(l_linenumber) = 1
+           AND MAX(l_linenumber) = {CRONBACH_ITEMS}
+    ),
+    x AS (
+        SELECT l.l_orderkey,
+               CAST(l.l_linenumber AS BIGINT) AS item,
+               CAST(l.l_quantity AS BIGINT) AS score
+        FROM lineitem l JOIN eligible USING (l_orderkey)
+    ),
+    item_stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(score) AS BIGINT) AS s,
+               CAST(SUM(score * score) AS BIGINT) AS q
+        FROM x GROUP BY item
+    ),
+    item_var AS (
+        SELECT CAST(SUM(CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s) /
+                    (CAST(MIN(n) AS DOUBLE) * MIN(n)) AS DOUBLE)
+               AS sum_item_var,
+               CAST(MIN(n) AS BIGINT) AS n_subjects
+        FROM item_stats
+    ),
+    totals AS (
+        SELECT CAST(SUM(score) AS BIGINT) AS t
+        FROM x GROUP BY l_orderkey
+    ),
+    tot_var AS (
+        SELECT (CAST(COUNT(*) AS DOUBLE) * SUM(t * t)
+                - CAST(SUM(t) AS DOUBLE) * SUM(t))
+               / (CAST(COUNT(*) AS DOUBLE) * COUNT(*)) AS total_var
+        FROM totals
+    )
+    SELECT n_subjects,
+           CAST({CRONBACH_ITEMS} AS BIGINT) AS k_items,
+           round(sum_item_var, 6) AS sum_item_var,
+           round(total_var, 6) AS total_var,
+           round(({CRONBACH_ITEMS} / ({CRONBACH_ITEMS} - 1.0))
+                 * (1.0 - sum_item_var / total_var), 6) AS alpha
+    FROM item_var CROSS JOIN tot_var
+    """,
+)
+def stat_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha (Cronbach 1951) — internal-consistency
+    reliability over a subjects x items score matrix, completing the
+    agreement family next to stat_cohens_kappa / stat_fleiss_kappa
+    (categorical) with the INTERVAL-scale reliability coefficient.
+    Framing (the Fleiss layout): subjects are orders whose line-number
+    SET is exactly 1..CRONBACH_ITEMS (a complete subject x item
+    matrix — count alone is not enough, the synthetic lineitem's
+    l_linenumber is not always sequential), item i is line position i,
+    the score is the line's quantity; alpha asks how consistently the
+    positions "rate" the order's size.
+
+        alpha = k/(k-1) * (1 - sum_i var(item_i) / var(total))
+
+    Exact kernel: quantities are integral, so every sum/sum-of-squares
+    is BIGINT; population variances are formed as (n*Q - S^2)/n^2 with
+    the n*Q products in DOUBLE (sf100 magnitudes overflow BIGINT there,
+    and the double form is what the oracle states — identical IEEE
+    expression tree, 6-dp bit-identical rounds).
+
+    Spark plan: one orderkey-grain HAVING aggregate for eligibility
+    (semi-join back to the fact scan), then two aggregates over the
+    eligible rows — item grain (k rows) and subject grain — combined
+    through broadcast 1-row frames. Two fact-scan hash shuffles total,
+    both at natural grain; scan-bound at any scale.
+
+    Reference parity: no reliability statistics in the reference;
+    extension shelf.
+    """
+    k = CRONBACH_ITEMS
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("item"),
+        F.col("l_quantity").cast("long").alias("score"),
+    )
+    eligible = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.countDistinct("item").alias("cd"),
+            F.min("item").alias("mn"),
+            F.max("item").alias("mx"),
+        )
+        .filter(
+            (F.col("c") == k)
+            & (F.col("cd") == k)
+            & (F.col("mn") == 1)
+            & (F.col("mx") == k)
+        )
+        .select("l_orderkey")
+    )
+    x = li.join(eligible, "l_orderkey")
+    item_stats = x.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("score").cast("long").alias("s"),
+        F.sum(F.col("score") * F.col("score")).cast("long").alias("q"),
+    )
+    item_var = item_stats.agg(
+        (
+            F.sum(
+                F.col("n").cast("double") * F.col("q")
+                - F.col("s").cast("double") * F.col("s")
+            )
+            / (F.min("n").cast("double") * F.min("n"))
+        ).alias("sum_item_var"),
+        F.min("n").cast("long").alias("n_subjects"),
+    )
+    totals = x.groupBy("l_orderkey").agg(
+        F.sum("score").cast("long").alias("t")
+    )
+    tot_var = totals.agg(
+        (
+            (
+                F.count(F.lit(1)).cast("double")
+                * F.sum(F.col("t") * F.col("t"))
+                - F.sum("t").cast("double") * F.sum("t")
+            )
+            / (F.count(F.lit(1)).cast("double") * F.count(F.lit(1)))
+        ).alias("total_var")
+    )
+    one = item_var.crossJoin(F.broadcast(tot_var))
+    alpha = (k / (k - 1.0)) * (
+        1.0 - F.col("sum_item_var") / F.col("total_var")
+    )
+    return one.select(
+        "n_subjects",
+        F.lit(k).cast("long").alias("k_items"),
+        F.round("sum_item_var", 6).alias("sum_item_var"),
+        F.round("total_var", 6).alias("total_var"),
+        F.round(alpha, 6).alias("alpha"),
+    )

@@ -1821,3 +1821,127 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").cast("long").alias("b"),
         "common_neighbors", "adamic_adar", "jaccard",
     )
+
+
+# ------------------------------------------------ ridge (normal equations)
+
+RIDGE_LAMBDA = 1_000_000.0
+
+
+@query(
+    "ml_ridge_normal_eq",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE)                               AS n,
+               CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE) AS sx1,
+               CAST(CAST(SUM(CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE) AS sx2,
+               CAST(CAST(SUM(CAST(l_quantity AS BIGINT)
+                             * CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE) AS sx1x1,
+               CAST(CAST(SUM(CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+                             * CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE) AS sx2x2,
+               CAST(CAST(SUM(CAST(l_quantity AS BIGINT)
+                             * CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE) AS sx1x2,
+               CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(l_quantity AS BIGINT)
+                             * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE) AS sx1y,
+               CAST(CAST(SUM(CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+                             * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS DOUBLE) AS sx2y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT n, sx1, sx2, sy, sx1y, sx2y, sx1x2 AS c,
+               sx1x1 + {RIDGE_LAMBDA} AS a,
+               sx2x2 + {RIDGE_LAMBDA} AS b
+        FROM s
+    ),
+    d AS (
+        SELECT n, sy, sx1y, sx2y,
+               n * (a * b - c * c) - sx1 * (sx1 * b - c * sx2)
+                 + sx2 * (sx1 * c - a * sx2) AS det,
+               sy * (a * b - c * c) - sx1 * (sx1y * b - c * sx2y)
+                 + sx2 * (sx1y * c - a * sx2y) AS det0,
+               n * (sx1y * b - c * sx2y) - sy * (sx1 * b - c * sx2)
+                 + sx2 * (sx1 * sx2y - sx1y * sx2) AS det1,
+               n * (a * sx2y - sx1y * c) - sx1 * (sx1 * sx2y - sx1y * sx2)
+                 + sy * (sx1 * c - a * sx2) AS det2
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           {RIDGE_LAMBDA} AS ridge_lambda,
+           round(det0 / det, 6) AS b0_cents,
+           round(det1 / det, 6) AS b1_cents_per_qty,
+           round(det2 / det, 6) AS b2_cents_per_disc100
+    FROM d
+    """,
+)
+def ml_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression by the CLOSED-FORM normal equations (Hoerl &
+    Kennard 1970): extendedprice (cents) on quantity and discount
+    (x100), intercept unpenalized, lambda = RIDGE_LAMBDA on the two
+    slopes. Completes the linear-model pair next to ml_logreg_irls
+    (iterative, rows-only): with a FIXED small feature set the Gram
+    matrix is 9 numbers, so the whole fit is ONE scan-bound aggregate
+    plus a driver-free 3x3 Cramer solve expressed as scalar arithmetic
+    — fully SQL-expressible, hence oracle-gated where IRLS cannot be.
+
+    Determinism contract: every Gram sum is exact BIGINT (cents /
+    quantity / discount-percent are integral; sf100 magnitudes peak at
+    ~3e17 < 2^63), cast to DOUBLE once, and the Cramer determinants are
+    the IDENTICAL expression tree on both engines — the only float ops
+    after the casts — so the 6-dp rounds are bit-identical.
+
+    100 TB: a single map-side-combinable aggregate (no grouping key);
+    the fit never shuffles more than one partial-sum row per partition.
+    The same shape extends to any fixed feature set k by k x k Cramer /
+    driver-side solve of the k x k system — the scan stays the only
+    data-sized term.
+
+    Reference parity: no regression surface in the reference
+    (src/modules/app/app.service.ts is count/sum dashboards); ML
+    extension shelf.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long").alias("x2"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").alias("y"),
+    )
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("long").cast("double").alias("sx1"),
+        F.sum("x2").cast("long").cast("double").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").cast("double").alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").cast("double").alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").cast("double").alias("sx1x2"),
+        F.sum("y").cast("long").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").cast("double").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").cast("double").alias("sx2y"),
+    )
+    lam = F.lit(RIDGE_LAMBDA)
+    m = s.select(
+        "n", "sx1", "sx2", "sy", "sx1y", "sx2y",
+        F.col("sx1x2").alias("c"),
+        (F.col("sx1x1") + lam).alias("a"),
+        (F.col("sx2x2") + lam).alias("b"),
+    )
+    n, sx1, sx2 = F.col("n"), F.col("sx1"), F.col("sx2")
+    sy, sx1y, sx2y = F.col("sy"), F.col("sx1y"), F.col("sx2y")
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    det = n * (a * b - c * c) - sx1 * (sx1 * b - c * sx2) + sx2 * (
+        sx1 * c - a * sx2
+    )
+    det0 = sy * (a * b - c * c) - sx1 * (sx1y * b - c * sx2y) + sx2 * (
+        sx1y * c - a * sx2y
+    )
+    det1 = n * (sx1y * b - c * sx2y) - sy * (sx1 * b - c * sx2) + sx2 * (
+        sx1 * sx2y - sx1y * sx2
+    )
+    det2 = n * (a * sx2y - sx1y * c) - sx1 * (sx1 * sx2y - sx1y * sx2) + sy * (
+        sx1 * c - a * sx2
+    )
+    return m.select(
+        n.cast("long").alias("n"),
+        lam.alias("ridge_lambda"),
+        F.round(det0 / det, 6).alias("b0_cents"),
+        F.round(det1 / det, 6).alias("b1_cents_per_qty"),
+        F.round(det2 / det, 6).alias("b2_cents_per_disc100"),
+    )

@@ -458,3 +458,67 @@ def privacy_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         DP_EPSILON,
         seed=DP_TOPK_SEED,
     )
+
+
+RR_P = 0.75
+RR_SEED = "rr-v1"
+
+
+@query(
+    "privacy_randomized_response",
+    oracle=f"""
+    WITH x AS (
+        SELECT c_nationkey,
+               CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS t,
+               (CAST(CONCAT('0x', substr(md5(
+                    concat_ws('|', '{RR_SEED}',
+                              coalesce(md5(CAST(c_custkey AS VARCHAR)),
+                                       'null'))
+                ), 1, 13)) AS UBIGINT) + 0.5) / 4503599627370496.0 AS u
+        FROM customer
+    ),
+    f AS (
+        SELECT c_nationkey, t,
+               CASE WHEN u < {RR_P} THEN t ELSE 1 - t END AS r
+        FROM x
+    ),
+    g AS (
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r) AS BIGINT) AS reported_yes,
+               CAST(SUM(t) AS BIGINT) AS true_yes
+        FROM f GROUP BY 1
+    )
+    SELECT c_nationkey, n, reported_yes,
+           round((CAST(reported_yes AS DOUBLE) / n - (1.0 - {RR_P}))
+                 / (2.0 * {RR_P} - 1.0), 6) AS est_rate,
+           round(CAST(true_yes AS DOUBLE) / n, 6) AS true_rate
+    FROM g
+    """,
+)
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner's randomized-response release
+    (operators/privacy.py:randomized_response — Warner 1965): LOCAL
+    differential privacy for the per-nation AUTOMOBILE-segment rate.
+    Each customer reports their true segment membership with probability
+    RR_P and the flip otherwise (respondent-side noise, epsilon =
+    ln(p/(1-p)) ~ 1.10 per response); the per-nation rate is recovered
+    by the debiasing estimator. Completes the DP sub-shelf's third leg:
+    dp_counts (central, Laplace), dp_topk (central, Gumbel-max), and
+    now the local model where the curator never sees a true bit.
+
+    Seeded md5 coin keyed on c_custkey (row-unique, so flips are
+    independent) — reproducible, the oracle recomputes identical flips;
+    see the operator's determinization caveat. true_rate emitted for
+    the utility check; a real release projects it away."""
+    return P.randomized_response(
+        load(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_nationkey",
+            (F.col("c_mktsegment") == "AUTOMOBILE").cast("int").alias("is_auto"),
+        ),
+        "is_auto",
+        ["c_nationkey"],
+        RR_P,
+        RR_SEED,
+        key_cols=["c_custkey"],
+    )

@@ -205,3 +205,174 @@ def test_dunn_first_principles(spark, sf_dir):
             (n * (n + 1) / 12.0 - tie_term) * (1.0 / ga.n_g + 1.0 / gb.n_g)
         )
         assert r["z"] == pytest.approx(round(z, 6), abs=2e-6)
+
+
+# ---------------------------------------------------------------- batch 2
+
+
+def test_mcnemar_first_principles(spark, sf_dir):
+    """Recompute b01/c10/chi2 with pandas from the raw parquet."""
+    from pasardassist_spark.queries.matching import MCNEMAR_YEARS, stat_mcnemar
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o[o.o_orderdate.dt.year.isin(MCNEMAR_YEARS)]
+    y0, y1 = MCNEMAR_YEARS
+    o = o.assign(y=o.o_orderdate.dt.year,
+                 hit=(o.o_orderpriority == "1-URGENT").astype(int))
+    piv = o.groupby(["o_custkey", "y"])["hit"].max().unstack()
+    piv = piv.dropna()
+    b01 = int(((piv[y0] == 0) & (piv[y1] == 1)).sum())
+    c10 = int(((piv[y0] == 1) & (piv[y1] == 0)).sum())
+    row = stat_mcnemar(spark, sf_dir).collect()[0]
+    assert row["n_pairs"] == len(piv)
+    assert (row["b01"], row["c10"]) == (b01, c10)
+    if b01 + c10 > 0:
+        assert row["chi2_cc"] == pytest.approx(
+            (abs(b01 - c10) - 1) ** 2 / (b01 + c10), abs=1e-6
+        )
+    else:
+        assert row["chi2_cc"] is None
+
+
+def test_kendall_tau_vs_scipy_formula(spark, sf_dir):
+    """tau-b via the cell-pair form equals the direct pandas corr."""
+    from pasardassist_spark.queries.matching import stat_kendall_tau
+
+    import numpy as np
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_linenumber"]
+    )
+    # tau-b from the contingency table (no scipy in the container):
+    # C/D via the 2-D suffix-sum of the cell counts, ties from marginals
+    ct = pd.crosstab(li.l_quantity.astype(int),
+                     li.l_linenumber.astype(int)).to_numpy().astype(np.int64)
+    conc = disc = 0
+    R, Cn = ct.shape
+    for i in range(R):
+        for j in range(Cn):
+            conc += ct[i, j] * ct[i + 1:, j + 1:].sum()
+            disc += ct[i, j] * ct[i + 1:, :j].sum()
+    n = ct.sum()
+    n0 = n * (n - 1) // 2
+    tx = sum(t * (t - 1) // 2 for t in ct.sum(axis=1))
+    ty = sum(t * (t - 1) // 2 for t in ct.sum(axis=0))
+    expected = (conc - disc) / math.sqrt(float(n0 - tx) * float(n0 - ty))
+    row = stat_kendall_tau(spark, sf_dir).collect()[0]
+    assert row["n"] == len(li)
+    assert row["tau_b"] == pytest.approx(expected, abs=1e-6)
+    # pair identity: conc+disc+ties <= n0; tie columns positive
+    n0 = row["n"] * (row["n"] - 1) // 2
+    assert row["conc"] + row["disc"] <= n0
+    assert 0 < row["tie_pairs_x"] < n0 and 0 < row["tie_pairs_y"] < n0
+
+
+def test_cronbach_alpha_first_principles(spark, sf_dir):
+    """alpha from the pandas pivot (population variances) matches."""
+    from pasardassist_spark.queries.matching import (
+        CRONBACH_ITEMS,
+        stat_cronbach_alpha,
+    )
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    want = list(range(1, CRONBACH_ITEMS + 1))
+    keep = li.groupby("l_orderkey")["l_linenumber"].apply(
+        lambda s: sorted(s) == want
+    )
+    x = li[li.l_orderkey.isin(keep[keep].index)]
+    piv = x.pivot_table(index="l_orderkey", columns="l_linenumber",
+                        values="l_quantity")
+    item_var = piv.var(ddof=0).sum()
+    tot_var = piv.sum(axis=1).var(ddof=0)
+    k = CRONBACH_ITEMS
+    expected = k / (k - 1) * (1 - item_var / tot_var)
+    row = stat_cronbach_alpha(spark, sf_dir).collect()[0]
+    assert row["n_subjects"] == len(piv)
+    assert row["alpha"] == pytest.approx(expected, abs=1e-5)
+
+
+def test_randomized_response_debias_and_privacy(spark, sf_dir):
+    """The debiased estimate must beat the raw reported rate as an
+    estimator of the true rate (utility), and the flip coin must flip a
+    nontrivial share of rows (privacy: reported != truth somewhere)."""
+    from pasardassist_spark.queries.privacy import (
+        RR_P,
+        privacy_randomized_response,
+    )
+
+    rows = privacy_randomized_response(spark, sf_dir).collect()
+    assert rows
+    n_tot = sum(r["n"] for r in rows)
+    rep_tot = sum(r["reported_yes"] for r in rows)
+    true_tot = sum(round(r["true_rate"] * r["n"]) for r in rows)
+    # the flip rate should be ~(1-p): reported-yes mass moves toward 1/2
+    obs = rep_tot / n_tot
+    truth = true_tot / n_tot
+    assert abs(obs - 0.5) < abs(truth - 0.5) + 1e-9  # noise pulls to 1/2
+    # aggregate debiased estimate within 5pp of the truth at any test SF
+    est_tot = sum(r["est_rate"] * r["n"] for r in rows) / n_tot
+    assert abs(est_tot - truth) < 0.05
+    # per-group estimates are finite and the formula inverts the mixing
+    for r in rows:
+        raw = r["reported_yes"] / r["n"]
+        assert r["est_rate"] == pytest.approx(
+            (raw - (1 - RR_P)) / (2 * RR_P - 1), abs=1e-6
+        )
+
+
+def test_ridge_normal_eq_vs_numpy(spark, sf_dir):
+    """Closed-form Cramer solve equals numpy's ridge solution."""
+    import numpy as np
+
+    from pasardassist_spark.queries.mining import (
+        RIDGE_LAMBDA,
+        ml_ridge_normal_eq,
+    )
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_discount", "l_extendedprice"],
+    )
+    x1 = li.l_quantity.to_numpy().astype(np.int64)
+    x2 = np.round(li.l_discount.to_numpy() * 100).astype(np.int64)
+    y = np.round(li.l_extendedprice.to_numpy() * 100).astype(np.int64)
+    X = np.stack([np.ones_like(x1), x1, x2], axis=1).astype(float)
+    pen = np.diag([0.0, RIDGE_LAMBDA, RIDGE_LAMBDA])
+    beta = np.linalg.solve(X.T @ X + pen, X.T @ y.astype(float))
+    row = ml_ridge_normal_eq(spark, sf_dir).collect()[0]
+    assert row["n"] == len(li)
+    assert row["b0_cents"] == pytest.approx(beta[0], rel=1e-6, abs=1e-4)
+    assert row["b1_cents_per_qty"] == pytest.approx(beta[1], rel=1e-6)
+    assert row["b2_cents_per_disc100"] == pytest.approx(beta[2], rel=1e-6)
+
+
+def test_durbin_watson_first_principles(spark, sf_dir):
+    """DW from explicit residuals (pandas) equals the expanded form."""
+    from pasardassist_spark.queries.analytics import stat_durbin_watson
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    anchor = pd.Timestamp("2024-01-01")
+    ev = ev.assign(x=(ev.ts.dt.normalize() - anchor).dt.days)
+    daily = ev.groupby(["event_type", "x"]).size().rename("y").reset_index()
+    out = {r["event_type"]: r for r in
+           stat_durbin_watson(spark, sf_dir).collect()}
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("x")
+        n = len(g)
+        b, a = None, None
+        import numpy as np
+
+        coef = np.polyfit(g.x.to_numpy(float), g.y.to_numpy(float), 1)
+        b, a = coef[0], coef[1]
+        e = g.y.to_numpy(float) - (a + b * g.x.to_numpy(float))
+        dw = np.sum(np.diff(e) ** 2) / np.sum(e**2)
+        row = out[et]
+        assert row["n_days"] == n
+        assert row["slope"] == pytest.approx(b, abs=1e-5)
+        assert row["dw"] == pytest.approx(dw, abs=1e-5)
+        # DW lives in [0, 4]
+        assert 0.0 <= row["dw"] <= 4.0
