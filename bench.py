@@ -68,6 +68,11 @@ HEADLINE = [
 # guards membership so a typo cannot fail the driver's bench run.
 EXTRA_NAMES = [
     # round-18 debuts
+    "stat_jonckheere",
+    "stat_effect_sizes",
+    "graph_hits",
+    "ts_forecast_accuracy",
+    "text_yule_k",
     "stat_mcnemar",
     "stat_kendall_tau",
     "stat_cronbach_alpha",

@@ -264,9 +264,14 @@ def label_propagation(
         .union(e.select(F.col("_b"), F.col("_a")))
         .union(nodes.select(F.col("_v"), F.col("_v")))
         .repartition(n_part, "_nbr")
-        # localCheckpoint, not persist: a registered query cannot
-        # unpersist after its consumer materializes (mining.py pattern)
-        .localCheckpoint(eager=True)
+        .sortWithinPartitions("_nbr")
+        # persist, NOT localCheckpoint (r18): the checkpointed
+        # LogicalRDD drops outputPartitioning/outputOrdering, so every
+        # round's join re-shuffled and re-sorted the whole adjacency —
+        # the InMemoryRelation keeps both, so each round moves only the
+        # node-sized labels frame. Cache hygiene is the session owner's
+        # (bench/sweep clearCache between entries).
+        .persist()
     )
     labels = nodes.select("_v", F.col("_v").alias("_lbl"))
     for it in range(max_iter):

@@ -176,3 +176,36 @@ def src_arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest = write_arrow_ipc(staged, tmp).collect()
     assert sum(m.n_records for m in manifest) > 0
     return read_arrow_ipc(spark, tmp, d.schema)
+
+
+@query(
+    "src_msgpack_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def src_msgpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MessagePack stream source/sink, closed-loop
+    (sources/msgpackio.py): export the documents table as 8 row-map
+    stream shards (spec-faithful hand-rolled codec — smallest-width
+    integers, fixstr/str8-32 UTF-8 lengths, fixmap framing), read them
+    back under the ORIGINAL explicit schema with the binaryFile +
+    mapInPandas decoder, and hash-compare against the parquet table.
+    Certifies the full binary path (every integer width the spec
+    allows, multi-byte UTF-8 in str lengths, nil nulls) on real free
+    text. Write is task-parallel (shard per partition), read is
+    task-parallel (shard per task); the only collect is the 8-row shard
+    manifest. Extends the interchange shelf to six formats: JSONL,
+    WARC, TFRecord, Avro, Arrow IPC, MessagePack."""
+    from pasardassist_spark.sources.msgpackio import (
+        read_msgpack,
+        write_msgpack,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    staged = d.repartition(8, "doc_id")
+    tmp = tempfile.mkdtemp(prefix="pasard_msgpack_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    manifest = write_msgpack(staged, tmp).collect()
+    assert sum(m.n_records for m in manifest) > 0
+    return read_msgpack(spark, tmp, d.schema)

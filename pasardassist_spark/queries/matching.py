@@ -3355,3 +3355,284 @@ def stat_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_var", 6).alias("total_var"),
         F.round(alpha, 6).alias("alpha"),
     )
+
+
+# ------------------------------------------- Jonckheere-Terpstra trend
+
+JT_PRIORITIES = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+)
+
+
+@query(
+    "stat_jonckheere",
+    oracle=f"""
+    WITH x AS (
+        SELECT CASE o_orderpriority
+                 WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+                 WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+                 WHEN '5-LOW' THEN 5 END AS g,
+               CAST(l_quantity AS BIGINT) AS v
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    cells AS (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS n
+        FROM x GROUP BY 1, 2
+    ),
+    jt2 AS (
+        SELECT CAST(SUM(CASE
+                   WHEN a.g < b.g AND a.v < b.v THEN 2 * a.n * b.n
+                   WHEN a.g < b.g AND a.v = b.v THEN a.n * b.n
+                   ELSE 0 END) AS BIGINT) AS jt2
+        FROM cells a CROSS JOIN cells b
+    ),
+    gm AS (
+        SELECT CAST(SUM(t) AS BIGINT) AS nn,
+               CAST(SUM(t * t) AS BIGINT) AS s2,
+               CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS sg25,
+               CAST(SUM(t * (t - 1)) AS BIGINT) AS sg_p2,
+               CAST(SUM(t * (t - 1) * (t - 2)) AS BIGINT) AS sg_p3
+        FROM (SELECT SUM(n) AS t FROM cells GROUP BY g)
+    ),
+    vm AS (
+        SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS sv25,
+               CAST(SUM(t * (t - 1)) AS BIGINT) AS sv_p2,
+               CAST(SUM(t * (t - 1) * (t - 2)) AS BIGINT) AS sv_p3
+        FROM (SELECT SUM(n) AS t FROM cells GROUP BY v)
+    ),
+    f AS (
+        SELECT nn, jt2, s2, sg25, sg_p2, sg_p3, sv25, sv_p2, sv_p3,
+               (CAST(nn AS DOUBLE) * (nn - 1) * (2 * nn + 5)
+                - sg25 - sv25) / 72.0
+               + CAST(sg_p3 AS DOUBLE) * sv_p3
+                 / (36.0 * nn * (nn - 1.0) * (nn - 2.0))
+               + CAST(sg_p2 AS DOUBLE) * sv_p2 / (8.0 * nn * (nn - 1.0))
+               AS var_jt
+        FROM jt2 CROSS JOIN gm CROSS JOIN vm
+    )
+    SELECT nn AS n,
+           round(jt2 / 2.0, 6) AS jt_stat,
+           round((CAST(nn AS DOUBLE) * nn - s2) / 4.0, 6) AS e_jt,
+           round(var_jt, 6) AS var_jt,
+           round((jt2 / 2.0 - (CAST(nn AS DOUBLE) * nn - s2) / 4.0)
+                 / sqrt(var_jt), 6) AS z
+    FROM f
+    """,
+)
+def stat_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED-alternatives trend
+    (Jonckheere 1954; Terpstra 1952) — does line quantity trend
+    monotonically across the five ordered order-priority levels? The
+    ordered-groups member of the rank family: Kruskal-Wallis asks "any
+    difference", JT asks "a monotone one", with strictly more power
+    when the ordering is real.
+
+        JT = sum over group pairs g1 < g2 of the Mann-Whitney count
+             #(x1 < x2) + 0.5 #(x1 = x2)
+
+    computed in the CONTINGENCY-CELL form (the stat_kendall_tau scale
+    pattern: priority x quantity is <= 250 cells at any data scale, so
+    the pair sums collapse to one cell-grain hash aggregate + a
+    broadcast self-join; 2*JT stays integer). The normal approximation
+    uses the FULL tie-corrected variance (Hollander & Wolfe eq. 6.19):
+    three closed-form terms over exact BIGINT group/value marginal
+    power sums (the one cross-product that exceeds 2^63 is formed in
+    DOUBLE from exact factors — one multiply, identical both engines).
+    z = (JT - E[JT]) / sqrt(Var); E[JT] = (N^2 - sum n_i^2)/4.
+
+    100 TB: one fact-scan aggregate at 250-cell grain; everything after
+    is metadata arithmetic. Scan-bound.
+
+    Reference parity: no inferential statistics in the reference;
+    extension shelf (completes the ordered/unordered k-sample pair with
+    stat_kruskal_wallis).
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    g = None
+    for i, p in enumerate(JT_PRIORITIES, start=1):
+        c = F.when(F.col("o_orderpriority") == p, i)
+        g = c if g is None else F.coalesce(g, c)
+    x = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        g.alias("g"), F.col("l_quantity").cast("long").alias("v")
+    )
+    cells = x.groupBy("g", "v").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = F.broadcast(cells).alias("a"), F.broadcast(cells).alias("b")
+    jt2 = a.crossJoin(b).agg(
+        F.sum(
+            F.when(
+                (F.col("a.g") < F.col("b.g"))
+                & (F.col("a.v") < F.col("b.v")),
+                2 * F.col("a.n") * F.col("b.n"),
+            )
+            .when(
+                (F.col("a.g") < F.col("b.g"))
+                & (F.col("a.v") == F.col("b.v")),
+                F.col("a.n") * F.col("b.n"),
+            )
+            .otherwise(F.lit(0))
+        ).cast("long").alias("jt2")
+    )
+    t = F.col("t")
+    gm = (
+        cells.groupBy("g").agg(F.sum("n").alias("t"))
+        .agg(
+            F.sum(t).cast("long").alias("nn"),
+            F.sum(t * t).cast("long").alias("s2"),
+            F.sum(t * (t - 1) * (2 * t + 5)).cast("long").alias("sg25"),
+            F.sum(t * (t - 1)).cast("long").alias("sg_p2"),
+            F.sum(t * (t - 1) * (t - 2)).cast("long").alias("sg_p3"),
+        )
+    )
+    vm = (
+        cells.groupBy("v").agg(F.sum("n").alias("t"))
+        .agg(
+            F.sum(t * (t - 1) * (2 * t + 5)).cast("long").alias("sv25"),
+            F.sum(t * (t - 1)).cast("long").alias("sv_p2"),
+            F.sum(t * (t - 1) * (t - 2)).cast("long").alias("sv_p3"),
+        )
+    )
+    one = jt2.crossJoin(F.broadcast(gm)).crossJoin(F.broadcast(vm))
+    nn = F.col("nn")
+    var_jt = (
+        (nn.cast("double") * (nn - 1) * (2 * nn + 5)
+         - F.col("sg25") - F.col("sv25")) / 72.0
+        + F.col("sg_p3").cast("double") * F.col("sv_p3")
+        / (36.0 * nn * (nn - 1.0) * (nn - 2.0))
+        + F.col("sg_p2").cast("double") * F.col("sv_p2")
+        / (8.0 * nn * (nn - 1.0))
+    )
+    f = one.select("nn", "jt2", "s2", var_jt.alias("var_jt"))
+    e_jt = (F.col("nn").cast("double") * F.col("nn") - F.col("s2")) / 4.0
+    return f.select(
+        F.col("nn").alias("n"),
+        F.round(F.col("jt2") / 2.0, 6).alias("jt_stat"),
+        F.round(e_jt, 6).alias("e_jt"),
+        F.round("var_jt", 6).alias("var_jt"),
+        F.round(
+            (F.col("jt2") / 2.0 - e_jt) / F.sqrt(F.col("var_jt")), 6
+        ).alias("z"),
+    )
+
+
+# ------------------------------------------------- two-sample effect sizes
+
+ES_GROUP_A = "1-URGENT"
+ES_GROUP_B = "5-LOW"
+
+
+@query(
+    "stat_effect_sizes",
+    oracle=f"""
+    WITH x AS (
+        SELECT o_orderpriority AS p, CAST(l_quantity AS BIGINT) AS v
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority IN ('{ES_GROUP_A}', '{ES_GROUP_B}')
+    ),
+    s AS (
+        SELECT
+            CAST(SUM(CASE WHEN p = '{ES_GROUP_A}' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN p = '{ES_GROUP_A}' THEN v ELSE 0 END)
+                 AS BIGINT) AS s1,
+            CAST(SUM(CASE WHEN p = '{ES_GROUP_A}' THEN v * v ELSE 0 END)
+                 AS BIGINT) AS q1,
+            CAST(SUM(CASE WHEN p = '{ES_GROUP_B}' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n2,
+            CAST(SUM(CASE WHEN p = '{ES_GROUP_B}' THEN v ELSE 0 END)
+                 AS BIGINT) AS s2,
+            CAST(SUM(CASE WHEN p = '{ES_GROUP_B}' THEN v * v ELSE 0 END)
+                 AS BIGINT) AS q2
+        FROM x
+    ),
+    f AS (
+        SELECT n1, n2,
+               CAST(s1 AS DOUBLE) / n1 AS m1,
+               CAST(s2 AS DOUBLE) / n2 AS m2,
+               (q1 - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1.0) AS v1,
+               (q2 - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1.0) AS v2
+        FROM s
+    ),
+    h AS (
+        SELECT n1, n2, m1, m2, v1, v2,
+               sqrt(((n1 - 1.0) * v1 + (n2 - 1.0) * v2) / (n1 + n2 - 2.0))
+                   AS sp
+        FROM f
+    )
+    SELECT n1, n2,
+           round(m1 - m2, 6) AS mean_diff,
+           round((m1 - m2) / sp, 6) AS cohens_d,
+           round((1.0 - 3.0 / (4.0 * (n1 + n2 - 2.0) - 1.0))
+                 * ((m1 - m2) / sp), 6) AS hedges_g,
+           round((m1 - m2) / sqrt(v2), 6) AS glass_delta
+    FROM h
+    """,
+)
+def stat_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample standardized effect sizes for line quantity between
+    the extreme priority classes: Cohen's d (pooled-SD standardized
+    mean difference, Cohen 1988), Hedges' g (the small-sample
+    bias-corrected d, Hedges 1981, J = 1 - 3/(4 df - 1)), and Glass's
+    delta (control-group SD). The magnitude readouts that belong NEXT
+    TO the decision tests (stat_welch_ttest says whether the difference
+    is distinguishable from noise; these say whether it is big enough
+    to matter) — the pair every experiment dashboard reports together.
+
+    Exact kernel: one conditional aggregate collects both groups'
+    count/sum/sum-of-squares as BIGINTs in a single fact pass (no
+    per-group shuffle — the filter keeps two priority classes and the
+    CASE splits them); sample variances, the pooled SD, and the three
+    ratios are one shared float expression tree -> 6-dp bit-identical.
+    Scan-bound at any scale.
+
+    Reference parity: no inferential statistics in the reference;
+    extension shelf.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    x = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_orderpriority").isin(ES_GROUP_A, ES_GROUP_B))
+        .select(
+            F.col("o_orderpriority").alias("p"),
+            F.col("l_quantity").cast("long").alias("v"),
+        )
+    )
+    in_a = F.col("p") == ES_GROUP_A
+    in_b = F.col("p") == ES_GROUP_B
+    v = F.col("v")
+    s = x.agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(in_a, v).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(in_a, v * v).otherwise(0)).cast("long").alias("q1"),
+        F.sum(F.when(in_b, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(in_b, v).otherwise(0)).cast("long").alias("s2"),
+        F.sum(F.when(in_b, v * v).otherwise(0)).cast("long").alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = F.col("s1").cast("double") / n1
+    m2 = F.col("s2").cast("double") / n2
+    v1 = (F.col("q1") - F.col("s1").cast("double") * F.col("s1") / n1) / (
+        n1 - 1.0
+    )
+    v2 = (F.col("q2") - F.col("s2").cast("double") * F.col("s2") / n2) / (
+        n2 - 1.0
+    )
+    f = s.select("n1", "n2", m1.alias("m1"), m2.alias("m2"),
+                 v1.alias("v1"), v2.alias("v2"))
+    sp = F.sqrt(
+        ((F.col("n1") - 1.0) * F.col("v1") + (F.col("n2") - 1.0) * F.col("v2"))
+        / (F.col("n1") + F.col("n2") - 2.0)
+    )
+    h = f.select("*", sp.alias("sp"))
+    d = (F.col("m1") - F.col("m2")) / F.col("sp")
+    j = 1.0 - 3.0 / (4.0 * (F.col("n1") + F.col("n2") - 2.0) - 1.0)
+    return h.select(
+        "n1", "n2",
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(j * d, 6).alias("hedges_g"),
+        F.round(
+            (F.col("m1") - F.col("m2")) / F.sqrt(F.col("v2")), 6
+        ).alias("glass_delta"),
+    )

@@ -223,16 +223,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     deg = edges.groupBy("src").agg(F.sum("w").alias("outw"))
-    # Transition matrix, partitioned once on src and materialized so all
-    # three rounds reuse it (localCheckpoint, not persist: a registered
-    # query cannot unpersist after its consumer materializes, and
-    # checkpoint blocks are freed by the ContextCleaner once the frame
-    # goes out of scope — measured 4.3 s vs 7.0 s recomputing at sf0.1).
+    # Transition matrix: partitioned AND sorted on src once, then
+    # persisted. persist — not localCheckpoint — is load-bearing here:
+    # the checkpointed LogicalRDD drops outputPartitioning/outputOrdering,
+    # so every iteration's sort-merge join RE-SHUFFLED and RE-SORTED the
+    # full edge-sized frame (measured 7.2x wall at 10x edges,
+    # tools/round18_scale.py); the InMemoryRelation keeps both
+    # properties, so each round's join needs ZERO exchange and ZERO sort
+    # on the big side — only the node-sized ranks frame moves. Cache
+    # hygiene: bench/sweep clearCache between entries (the cache manager
+    # dedups by analyzed plan within a session).
     trans = (
         edges.join(deg, "src")
         .select("src", "dst", (F.col("w") / F.col("outw")).alias("p"))
         .repartition("src")
-        .localCheckpoint(eager=True)
+        .sortWithinPartitions("src")
+        .persist()
     )
     n = deg.count()  # node count: metadata-scale scalar
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
@@ -1057,9 +1063,16 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = base.unionByName(
-        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).repartition("src").localCheckpoint(eager=True)
+    # partitioned+sorted persist, not localCheckpoint: the checkpointed
+    # LogicalRDD drops partitioning metadata, so every hop's join
+    # re-shuffled and re-sorted the whole edge frame (the graph_pagerank
+    # round-18 lesson); the InMemoryRelation keeps both, so each hop
+    # moves only the frontier.
+    edges = (
+        base.unionByName(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).repartition("src").sortWithinPartitions("src").persist()
+    )
     visited = (
         edges.select(F.col("src").alias("node"))
         .filter(
@@ -1945,3 +1958,134 @@ def ml_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(det1 / det, 6).alias("b1_cents_per_qty"),
         F.round(det2 / det, 6).alias("b2_cents_per_disc100"),
     )
+
+
+# -------------------------------------------------------- HITS (hubs/auth)
+
+HITS_ITERS = 2
+
+
+def _hits_oracle() -> str:
+    """Unrolled fixed-iteration HITS SQL generated from HITS_ITERS, the
+    same constant the Spark plan uses, so the definitions cannot drift
+    (the _pagerank_oracle pattern)."""
+    ctes = []
+    prev_h = "h0"
+    for t in range(1, HITS_ITERS + 1):
+        ctes.append(f"""a{t} AS (
+        SELECT e.s AS node, SUM(e.w * h.score) AS score
+        FROM edges e JOIN {prev_h} h ON h.node = e.c
+        GROUP BY e.s
+    ),
+    a{t}n AS (
+        SELECT node, score / (SELECT SUM(score) FROM a{t}) AS score FROM a{t}
+    ),
+    h{t} AS (
+        SELECT e.c AS node, SUM(e.w * a.score) AS score
+        FROM edges e JOIN a{t}n a ON a.node = e.s
+        GROUP BY e.c
+    ),
+    h{t}n AS (
+        SELECT node, score / (SELECT SUM(score) FROM h{t}) AS score FROM h{t}
+    )""")
+        prev_h = f"h{t}n"
+    return f"""
+    WITH edges AS (
+        SELECT o_custkey AS c, l_suppkey AS s,
+               CAST(COUNT(*) AS DOUBLE) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    nc AS (SELECT COUNT(DISTINCT c) AS n FROM edges),
+    h0 AS (
+        SELECT c AS node, 1.0 / (SELECT n FROM nc) AS score
+        FROM (SELECT DISTINCT c FROM edges)
+    ),
+    {", ".join(ctes)}
+    SELECT 'c' || CAST(node AS VARCHAR) AS node, 'hub' AS kind,
+           round(score, 6) AS score
+    FROM h{HITS_ITERS}n
+    UNION ALL
+    SELECT 's' || CAST(node AS VARCHAR) AS node, 'authority' AS kind,
+           round(score, 6) AS score
+    FROM a{HITS_ITERS}n
+    """
+
+
+@query("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg, "Authoritative Sources in a
+    Hyperlinked Environment", JACM 1999) over the DIRECTED bipartite
+    customer->supplier trade graph: customers are pure hubs, suppliers
+    pure authorities, edge weight = lineitem count. Completes the
+    link-analysis pair next to graph_pagerank (stationary-flow
+    centrality): HITS separates "points at important things" from "is
+    pointed at by important things", which PageRank conflates.
+
+    Variant note: per-round L1 (sum) normalization instead of the
+    paper's L2 — identical ranking (normalization only rescales), and
+    the normalizer stays a plain SUM so the unrolled DuckDB oracle is
+    the same expression tree; 6-dp rounding absorbs the ~1e-15
+    partial-order float noise exactly as in graph_pagerank.
+
+    Scale shape: the weighted edge list collapses once (one shuffle);
+    each of the HITS_ITERS rounds is two join+aggregate Pregel steps
+    (edges x hubs on the customer key, edges x authorities on the
+    supplier key). Scores are O(nodes); the two normalizer scalars per
+    round are 1-row broadcast constants. 3 rounds x 2 steps keeps the
+    lineage shallow (no checkpoint needed — the pagerank discipline).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    # Two persisted copies, each partitioned+sorted on its round's join
+    # key (the graph_pagerank lesson: localCheckpoint drops partitioning
+    # metadata and re-shuffles the edge frame every round; the
+    # InMemoryRelation keeps it, so each Pregel step moves only the
+    # node-sized score frame). 2x edge memory, zero per-round edge
+    # shuffles — the classic iterative-graph trade.
+    edges = base.repartition("c").sortWithinPartitions("c").persist()
+    edges_s = base.repartition("s").sortWithinPartitions("s").persist()
+    nc = edges.select("c").distinct().count()
+    hubs = edges.select("c").distinct().select(
+        F.col("c").alias("node"), F.lit(1.0 / nc).alias("score")
+    )
+    auth = None
+    for _ in range(HITS_ITERS):
+        a = (
+            edges.join(hubs, edges.c == hubs.node)
+            .groupBy(F.col("s").alias("node_"))
+            .agg(F.sum(F.col("w") * F.col("score")).alias("score"))
+            .withColumnRenamed("node_", "node")
+        )
+        asum = a.agg(F.sum("score").alias("_t"))
+        auth = a.crossJoin(F.broadcast(asum)).select(
+            "node", (F.col("score") / F.col("_t")).alias("score")
+        )
+        h = (
+            edges_s.join(auth, edges_s.s == auth.node)
+            .groupBy(F.col("c").alias("node_"))
+            .agg(F.sum(F.col("w") * F.col("score")).alias("score"))
+            .withColumnRenamed("node_", "node")
+        )
+        hsum = h.agg(F.sum("score").alias("_t"))
+        hubs = h.crossJoin(F.broadcast(hsum)).select(
+            "node", (F.col("score") / F.col("_t")).alias("score")
+        )
+    hub_out = hubs.select(
+        F.concat(F.lit("c"), F.col("node").cast("string")).alias("node"),
+        F.lit("hub").alias("kind"),
+        F.round("score", 6).alias("score"),
+    )
+    auth_out = auth.select(
+        F.concat(F.lit("s"), F.col("node").cast("string")).alias("node"),
+        F.lit("authority").alias("kind"),
+        F.round("score", 6).alias("score"),
+    )
+    return hub_out.unionByName(auth_out)

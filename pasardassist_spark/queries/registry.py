@@ -257,6 +257,13 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # work); output display form unchanged, hash-checked locally at
     # sf0.001 + sf0.01 against the unchanged unrolled oracle.
     "graph_pagerank",
+    # r18 second-session scale fix: the iterative-graph frames moved
+    # from localCheckpoint (drops partitioning metadata -> full
+    # re-shuffle+sort of the edge frame every round) to
+    # repartition+sortWithinPartitions+persist; results are invariant
+    # (hash-checked locally at sf0.001 + sf0.01) but the executed plans
+    # changed, so the driver re-certifies.
+    "graph_khop_reach",
 })
 
 

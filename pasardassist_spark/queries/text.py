@@ -1962,3 +1962,77 @@ def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_unseen",
         )
     )
+
+
+# ------------------------------------------------ Yule's K lexical richness
+
+@query(
+    "text_yule_k",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS m
+        FROM tok GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT doc_id,
+               CAST(SUM(m) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS v,
+               CAST(SUM(m * m) AS BIGINT) AS smm
+        FROM tf GROUP BY 1
+    )
+    SELECT doc_id,
+           n AS n_tokens,
+           v AS v_types,
+           round(CAST(v AS DOUBLE) / n, 6) AS ttr,
+           round(10000.0 * (smm - n) / (CAST(n AS DOUBLE) * n), 6) AS yule_k
+    FROM g
+    """,
+)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-richness profile: type-token ratio and
+    Yule's characteristic K (Yule, "The Statistical Study of Literary
+    Vocabulary", 1944) — K = 10^4 (sum_m m^2 V_m - N) / N^2 over the
+    document's word-frequency spectrum. K is the repeated-vocabulary
+    concentration measure that, unlike TTR, is (asymptotically) length-
+    invariant — the standard pair for corpus-quality gates: high K =
+    repetitive template text, TTR collapsing with length = boilerplate.
+    Complements text_repetition (surface n-gram repeats) and
+    text_token_stats (raw counts) with the spectrum-based readout.
+
+    Exact kernel: both aggregates (doc x token term frequencies, then
+    the per-doc spectrum moments sum m, count, sum m^2) are BIGINT; the
+    K and TTR expressions are single float trees identical on both
+    engines -> 6-dp bit-identical. Tokenization is the corpus-standard
+    whitespace contract (operators/text.py:tokens == _TOKS_SQL).
+
+    Scale shape: one (doc, token)-grain hash aggregate over the
+    exploded scan with map-side combine, then one doc-grain aggregate —
+    the text_token_stats shape; no window, no join. Scan-bound.
+
+    Reference parity: no text analytics in the reference; LLM-pipeline
+    text shelf.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    g = tf.groupBy("doc_id").agg(
+        F.sum("m").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("smm"),
+    )
+    return g.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("v_types"),
+        F.round(F.col("v").cast("double") / F.col("n"), 6).alias("ttr"),
+        F.round(
+            10000.0 * (F.col("smm") - F.col("n"))
+            / (F.col("n").cast("double") * F.col("n")), 6
+        ).alias("yule_k"),
+    )

@@ -1338,3 +1338,124 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("reduction"), 6).alias("ss_reduction"),
         )
     )
+
+
+# ---------------------------------------------- forecast accuracy metrics
+
+@query(
+    "ts_forecast_accuracy",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    lagd AS (
+        SELECT d, y,
+               lag(y, 1) OVER (ORDER BY d) AS f_naive,
+               lag(y, 7) OVER (ORDER BY d) AS f_snaive
+        FROM daily
+    ),
+    ev AS (
+        SELECT * FROM lagd WHERE f_naive IS NOT NULL AND f_snaive IS NOT NULL
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(abs(y - f_naive)) AS HUGEINT) AS sae_naive,
+               CAST(SUM(abs(y - f_snaive)) AS HUGEINT) AS sae_snaive,
+               CAST(SUM(CAST(y - f_naive AS HUGEINT)
+                        * (y - f_naive)) AS HUGEINT) AS sse_naive,
+               CAST(SUM(CAST(y - f_snaive AS HUGEINT)
+                        * (y - f_snaive)) AS HUGEINT) AS sse_snaive,
+               CAST(SUM(y) AS HUGEINT) AS sy
+        FROM ev
+    )
+    SELECT m,
+           round(CAST(sae_naive AS DOUBLE) / m / 100.0, 6) AS mae_naive_usd,
+           round(CAST(sae_snaive AS DOUBLE) / m / 100.0, 6) AS mae_snaive_usd,
+           round(CAST(sae_snaive AS DOUBLE) / CAST(sae_naive AS DOUBLE), 6)
+               AS mase_snaive,
+           round(CAST(sae_snaive AS DOUBLE) / CAST(sy AS DOUBLE), 6)
+               AS wape_snaive,
+           round(sqrt(CAST(sse_snaive AS DOUBLE) / CAST(sse_naive AS DOUBLE)),
+                 6) AS theil_u2
+    FROM s
+    """,
+)
+def ts_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy scoreboard (Hyndman & Koehler, "Another look at
+    measures of forecast accuracy", IJF 2006) for the two standard
+    baseline forecasters of the daily revenue series: naive-1 (previous
+    observed day) and seasonal-naive-7 (a week back), scored on the days
+    where both are defined. The metrics a forecasting pipeline actually
+    gates on:
+
+    - MAE (both, in dollars),
+    - MASE = MAE(snaive) / MAE(naive-1) — Hyndman's scale-free form
+      with the in-sample naive as the scaling benchmark,
+    - WAPE = sum|e| / sum y,
+    - Theil's U2 = sqrt(SSE(snaive) / SSE(naive-1)).
+
+    Determinism contract: daily revenue in CENTS is an exact BIGINT
+    (o_totalprice routes through DECIMAL(18,2) — the repo's
+    double-parquet convention), absolute-error sums are exact integers,
+    and the squared-error sums go through 128-bit integers (HUGEINT /
+    Spark DECIMAL(38,0) — sf100 daily-cents deltas square past 2^63).
+    Every ratio is a single float expression over those exact sums,
+    identical on both engines -> 6-dp bit-identical.
+
+    Scale shape: one fact-scan hash aggregate to daily grain; the lag
+    window runs over the calendar-bounded daily frame (metadata-sized
+    at any corpus scale), then one 1-row aggregate. Scan-bound.
+
+    Reference parity: the reference's stats cron
+    (src/modules/tasks/tasks.service.ts) recomputes dashboards but has
+    no forecast evaluation; extension shelf next to ts_holt_winters.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("tp"),
+    )
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        (F.sum("tp") * 100).cast("long").alias("y")
+    )
+    w = Window.orderBy("d")
+    lagd = daily.select(
+        "d", "y",
+        F.lag("y", 1).over(w).alias("f_naive"),
+        F.lag("y", 7).over(w).alias("f_snaive"),
+    ).filter(F.col("f_naive").isNotNull() & F.col("f_snaive").isNotNull())
+    d19 = "decimal(19,0)"
+    e1 = F.col("y") - F.col("f_naive")
+    e7 = F.col("y") - F.col("f_snaive")
+    s = lagd.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.abs(e1)).cast("decimal(38,0)").alias("sae_naive"),
+        F.sum(F.abs(e7)).cast("decimal(38,0)").alias("sae_snaive"),
+        F.sum(e1.cast(d19) * e1.cast(d19)).cast("decimal(38,0)")
+        .alias("sse_naive"),
+        F.sum(e7.cast(d19) * e7.cast(d19)).cast("decimal(38,0)")
+        .alias("sse_snaive"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+    )
+    return s.select(
+        "m",
+        F.round(F.col("sae_naive").cast("double") / F.col("m") / 100.0, 6)
+        .alias("mae_naive_usd"),
+        F.round(F.col("sae_snaive").cast("double") / F.col("m") / 100.0, 6)
+        .alias("mae_snaive_usd"),
+        F.round(
+            F.col("sae_snaive").cast("double")
+            / F.col("sae_naive").cast("double"), 6
+        ).alias("mase_snaive"),
+        F.round(
+            F.col("sae_snaive").cast("double") / F.col("sy").cast("double"), 6
+        ).alias("wape_snaive"),
+        F.round(
+            F.sqrt(
+                F.col("sse_snaive").cast("double")
+                / F.col("sse_naive").cast("double")
+            ), 6
+        ).alias("theil_u2"),
+    )

@@ -376,3 +376,174 @@ def test_durbin_watson_first_principles(spark, sf_dir):
         assert row["dw"] == pytest.approx(dw, abs=1e-5)
         # DW lives in [0, 4]
         assert 0.0 <= row["dw"] <= 4.0
+
+
+def test_hits_first_principles(spark, sf_dir):
+    """Recompute 2-round L1-normalized HITS with pandas/numpy."""
+    import numpy as np
+
+    from pasardassist_spark.queries.mining import HITS_ITERS, graph_hits
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey"])
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    e = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    w = (e.groupby(["o_custkey", "l_suppkey"]).size()
+         .rename("w").reset_index())
+    custs = sorted(w.o_custkey.unique())
+    supps = sorted(w.l_suppkey.unique())
+    ci = {c: i for i, c in enumerate(custs)}
+    si = {s: i for i, s in enumerate(supps)}
+    M = np.zeros((len(custs), len(supps)))
+    for r in w.itertuples():
+        M[ci[r.o_custkey], si[r.l_suppkey]] = r.w
+    h = np.full(len(custs), 1.0 / len(custs))
+    for _ in range(HITS_ITERS):
+        a = M.T @ h
+        a /= a.sum()
+        h = M @ a
+        h /= h.sum()
+    out = {r["node"]: r for r in graph_hits(spark, sf_dir).collect()}
+    assert len(out) == len(custs) + len(supps)
+    for c in custs[:50]:
+        r = out[f"c{c}"]
+        assert r["kind"] == "hub"
+        assert r["score"] == pytest.approx(h[ci[c]], abs=2e-6)
+    for s in supps[:50]:
+        r = out[f"s{s}"]
+        assert r["kind"] == "authority"
+        assert r["score"] == pytest.approx(a[si[s]], abs=2e-6)
+    # L1 normalization: each side sums to ~1
+    assert sum(r["score"] for r in out.values() if r["kind"] == "hub") \
+        == pytest.approx(1.0, abs=1e-3)
+
+
+def test_forecast_accuracy_first_principles(spark, sf_dir):
+    """Recompute the four metrics from the pandas daily series."""
+    import numpy as np
+
+    from pasardassist_spark.queries.trends import ts_forecast_accuracy
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"])
+    daily = (o.assign(c=np.round(o.o_totalprice * 100).astype(np.int64))
+             .groupby("o_orderdate")["c"].sum().sort_index())
+    y = daily.to_numpy()
+    f1, f7 = y[6:-1], y[:-7]
+    yy = y[7:]
+    e1, e7 = yy - f1, yy - f7
+    row = ts_forecast_accuracy(spark, sf_dir).collect()[0]
+    assert row["m"] == len(yy)
+    assert row["mae_naive_usd"] == pytest.approx(
+        np.abs(e1).mean() / 100, abs=1e-4)
+    assert row["mase_snaive"] == pytest.approx(
+        np.abs(e7).sum() / np.abs(e1).sum(), abs=1e-6)
+    assert row["wape_snaive"] == pytest.approx(
+        np.abs(e7).sum() / yy.sum(), abs=1e-6)
+    assert row["theil_u2"] == pytest.approx(
+        float(np.sqrt((e7.astype(float) ** 2).sum()
+                      / (e1.astype(float) ** 2).sum())), abs=1e-6)
+
+
+def test_yule_k_known_values(spark, sf_dir):
+    """Hand-check the spectrum formula on a few docs + invariants."""
+    from collections import Counter
+
+    from pasardassist_spark.queries.text import text_yule_k
+
+    rows = text_yule_k(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(rows) == len(docs)
+    for rec in docs.head(25).itertuples():
+        toks = rec.text.strip().split()
+        c = Counter(toks)
+        n, v = len(toks), len(c)
+        smm = sum(m * m for m in c.values())
+        r = by_id[rec.doc_id]
+        assert (r["n_tokens"], r["v_types"]) == (n, v)
+        assert r["ttr"] == pytest.approx(v / n, abs=1e-6)
+        assert r["yule_k"] == pytest.approx(1e4 * (smm - n) / n**2, abs=1e-4)
+        assert r["yule_k"] >= 0.0
+
+
+def test_jonckheere_first_principles(spark, sf_dir):
+    """Recompute 2*JT, E, and the tie-corrected variance with pandas."""
+    import numpy as np
+
+    from pasardassist_spark.queries.matching import (
+        JT_PRIORITIES,
+        stat_jonckheere,
+    )
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderpriority"])
+    x = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    gmap = {p: i + 1 for i, p in enumerate(JT_PRIORITIES)}
+    x["g"] = x.o_orderpriority.map(gmap)
+    x["v"] = x.l_quantity.astype(int)
+    cells = x.groupby(["g", "v"]).size().rename("n").reset_index()
+    jt2 = 0
+    arr = cells.to_numpy()
+    for g1, v1, n1 in arr:
+        for g2, v2, n2 in arr:
+            if g1 < g2:
+                if v1 < v2:
+                    jt2 += 2 * n1 * n2
+                elif v1 == v2:
+                    jt2 += n1 * n2
+    N = len(x)
+    ni = x.groupby("g").size().to_numpy()
+    tj = x.groupby("v").size().to_numpy()
+    e = (N * N - (ni**2).sum()) / 4
+    var = (
+        (N * (N - 1) * (2 * N + 5)
+         - (ni * (ni - 1) * (2 * ni + 5)).sum()
+         - (tj * (tj - 1) * (2 * tj + 5)).sum()) / 72.0
+        + float((ni * (ni - 1) * (ni - 2)).sum())
+        * float((tj * (tj - 1) * (tj - 2)).sum())
+        / (36.0 * N * (N - 1) * (N - 2))
+        + float((ni * (ni - 1)).sum()) * float((tj * (tj - 1)).sum())
+        / (8.0 * N * (N - 1))
+    )
+    row = stat_jonckheere(spark, sf_dir).collect()[0]
+    assert row["n"] == N
+    assert row["jt_stat"] == pytest.approx(jt2 / 2, abs=1e-6)
+    assert row["e_jt"] == pytest.approx(e, abs=1e-4)
+    assert row["var_jt"] == pytest.approx(var, rel=1e-9)
+    assert row["z"] == pytest.approx((jt2 / 2 - e) / np.sqrt(var), abs=1e-5)
+
+
+def test_effect_sizes_first_principles(spark, sf_dir):
+    """Cohen's d / Hedges' g / Glass's delta against pandas."""
+    import numpy as np
+
+    from pasardassist_spark.queries.matching import (
+        ES_GROUP_A,
+        ES_GROUP_B,
+        stat_effect_sizes,
+    )
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderpriority"])
+    x = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    a = x[x.o_orderpriority == ES_GROUP_A].l_quantity.to_numpy(float)
+    b = x[x.o_orderpriority == ES_GROUP_B].l_quantity.to_numpy(float)
+    n1, n2 = len(a), len(b)
+    v1, v2 = a.var(ddof=1), b.var(ddof=1)
+    sp = np.sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+    d = (a.mean() - b.mean()) / sp
+    j = 1 - 3 / (4 * (n1 + n2 - 2) - 1)
+    row = stat_effect_sizes(spark, sf_dir).collect()[0]
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert row["mean_diff"] == pytest.approx(a.mean() - b.mean(), abs=1e-5)
+    assert row["cohens_d"] == pytest.approx(d, abs=1e-6)
+    assert row["hedges_g"] == pytest.approx(j * d, abs=1e-6)
+    assert row["glass_delta"] == pytest.approx(
+        (a.mean() - b.mean()) / np.sqrt(v2), abs=1e-6)
