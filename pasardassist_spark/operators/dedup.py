@@ -117,7 +117,14 @@ def lsh_band_signatures(
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any LSH band bucket."""
     sh = shingles(df, text_col, id_col)
-    bs = lsh_band_signatures(minhash_signatures(sh, id_col), id_col)
+    # persist: the band-signature frame feeds BOTH sides of the bucket
+    # self-join, and Catalyst cannot share the subtree across a self-join
+    # (ReuseExchange needs identical output attributes) — without staging,
+    # the scan + shingle explode + 8-permutation min-hash aggregate runs
+    # TWICE (r18 plan audit: 2 parquet scans). The staged frame is the
+    # decision-sized proxy (id, band, short sig string), never raw text;
+    # cache hygiene is the session owner's (bench/sweep clearCache).
+    bs = lsh_band_signatures(minhash_signatures(sh, id_col), id_col).persist()
     a = bs.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = bs.select(F.col(id_col).alias("doc_b"), "band", "sig")
     return (
@@ -221,9 +228,12 @@ def simhash_near_pairs(
             for q in range(n_blocks)
         ]
     )
+    # persist: both sides of the slice-bucket self-join consume this frame;
+    # unstaged, the whole upstream signature computation (token explode +
+    # ``bits`` vote sums) runs twice (r18 plan audit). 4 small rows per doc.
     blocks = sig.select(F.col(id_col), "simhash", F.explode(slices).alias("blk")).select(
         F.col(id_col), "simhash", F.col("blk.q").alias("q"), F.col("blk.key").alias("key")
-    )
+    ).persist()
     a = blocks.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "q", "key")
     b = blocks.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "q", "key")
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
@@ -253,11 +263,14 @@ def jaccard_pairs(
     """Set-similarity join: distinct n-gram inverted index within blocking
     keys, pair counts by shared shingles, Jaccard >= threshold."""
     toks = tokens(F.col(text_col))
+    # persist: three consumers (sizes, both join sides) would otherwise
+    # re-run the scan + tokenize + n-gram explode three times (r18).
     grams = (
         df.filter(F.size(toks) >= n)
         .select(
             F.col(id_col), *block_cols, F.explode(F.array_distinct(word_ngrams(toks, n))).alias("g")
         )
+        .persist()
     )
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.select(F.col(id_col).alias("doc_a"), *[F.col(c).alias(f"a_{c}") for c in block_cols], "g")
@@ -456,7 +469,14 @@ def prefix_filtered_jaccard_pairs(
     t = df.select(F.col(id_col).alias("_id"), elems.alias("toks")).filter(
         F.size("toks") > 0
     )
-    tok = t.select("_id", F.explode("toks").alias("token"))
+    # persist: ``tok`` feeds the vocabulary count AND the rarity join, and
+    # ``pre`` (below) feeds FOUR consumers (both sides of the prefix-token
+    # candidate self-join plus the sa/sb verification sides). Unstaged, the
+    # scan + tokenize + shingle + rarity-sort subtree re-ran for every
+    # consumer — 16 parquet scans of ``documents`` in the r18 plan audit.
+    # Staged frames are decision-sized proxies (id, shingle tokens, sizes);
+    # cache hygiene is the session owner's (bench/sweep clearCache).
+    tok = t.select("_id", F.explode("toks").alias("token")).persist()
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df_"))
     # per-doc tokens sorted by global rarity; prefix keeps the rarest
     # |x| - ceil(t*|x|) + 1
@@ -480,7 +500,7 @@ def prefix_filtered_jaccard_pairs(
         "stoks",
         "sz",
         F.slice("stoks", 1, plen.cast("int")).alias("prefix"),
-    )
+    ).persist()
     inv = pre.select("_id", F.explode("prefix").alias("token"))
     cand = (
         inv.alias("a")
@@ -628,14 +648,18 @@ def containment_pairs(
     Returns ``(src_id, dst_id, n_src, n_shared, containment)`` with
     src != dst, containment exact and rounded to 6 dp.
     """
+    # persist: four consumers (sizes, the df aggregate, and both candidate
+    # join sides via ``shared``) re-derived the scan + shingle + md5 chain
+    # four times unstaged (r18 plan audit). 24 bytes per shingle occurrence
+    # — the digest proxy, never text.
     sh = shingles(df, text_col, id_col, ngram).select(
         F.col(id_col).alias("_id"), F.md5("shingle").alias("dig")
-    )
+    ).persist()
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_src"))
     shared = sh.join(
         sh.groupBy("dig").agg(F.count(F.lit(1)).alias("_df")).filter("_df >= 2"),
         "dig",
-    ).drop("_df")
+    ).drop("_df").persist()
     pairs = (
         shared.select(F.col("_id").alias("src_id"), "dig")
         .join(shared.select(F.col("_id").alias("dst_id"), "dig"), "dig")

@@ -2058,11 +2058,19 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     auth = None
     for _ in range(HITS_ITERS):
+        # persist each step's node-sized score frame: the L1 normalizer
+        # is a separate aggregate consumed via crossJoin(broadcast(.)),
+        # so WITHOUT staging every normalization re-evaluates its whole
+        # upstream lineage twice — compounding to 2^(2*HITS_ITERS) = 16x
+        # re-runs of the base lineitem x orders join (r18 plan audit:
+        # this query alone cost 18.5 s; the staged form computes each
+        # step once). Frames are O(nodes) doubles — trivially cacheable.
         a = (
             edges.join(hubs, edges.c == hubs.node)
             .groupBy(F.col("s").alias("node_"))
             .agg(F.sum(F.col("w") * F.col("score")).alias("score"))
             .withColumnRenamed("node_", "node")
+            .persist()
         )
         asum = a.agg(F.sum("score").alias("_t"))
         auth = a.crossJoin(F.broadcast(asum)).select(
@@ -2073,6 +2081,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("c").alias("node_"))
             .agg(F.sum(F.col("w") * F.col("score")).alias("score"))
             .withColumnRenamed("node_", "node")
+            .persist()
         )
         hsum = h.agg(F.sum("score").alias("_t"))
         hubs = h.crossJoin(F.broadcast(hsum)).select(
