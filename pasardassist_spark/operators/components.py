@@ -133,9 +133,21 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     n_nodes, n_edges, n_triangles.
     """
     ea, eb = F.col(a), F.col(b)
+    # persist the staged frames (r18): unstaged, the plan evaluated the
+    # caller's ``edges`` subtree 14 times — deg twice, da/db twice each
+    # through deg, oriented once per wedge side (5 edge-evals each), the
+    # semi-join right side, and the two scalar counts. For the query-layer
+    # callers ``edges`` is an expensive lineitem self-join + distinct, so
+    # the re-derivation dominated the whole query. Each staged frame is
+    # O(m): edges, node degrees, oriented edges. Cache hygiene is the
+    # session owner's (bench/sweep clearCache between entries; the cache
+    # manager dedups persists by analyzed plan, so a caller-persisted
+    # input is not double-cached).
+    edges = edges.persist()
     deg = (
         edges.select(ea.alias("v")).unionAll(edges.select(eb.alias("v")))
         .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+        .persist()
     )
     # rank = sortable (degree, id) struct; orient edge low -> high
     da = deg.select(F.col("v").alias(a), F.struct(F.col("d"), F.col("v")).alias("_ra"))
@@ -146,6 +158,7 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
             F.when(F.col("_ra") < F.col("_rb"), ea).otherwise(eb).alias("src"),
             F.when(F.col("_ra") < F.col("_rb"), eb).otherwise(ea).alias("dst"),
         )
+        .persist()
     )
     w1 = oriented.select(F.col("src"), F.col("dst").alias("_v1"))
     w2 = oriented.select(F.col("src"), F.col("dst").alias("_v2"))
@@ -206,6 +219,10 @@ def triangle_count_doulion(
         16,
         10,
     ).cast("long")
+    # persist the pre-gate edge set (r18): both the sampled counter and
+    # the n_edges scalar consume it; unstaged, the caller's co-occurrence
+    # self-join ran twice more on top of triangle_count's internal reuse.
+    edges = edges.persist()
     sampled = edges.filter(gate < (p_bp * 65536 + 5000) // 10000)
     tc = triangle_count(sampled, a, b).select(
         F.col("n_edges").alias("n_edges_sampled"),

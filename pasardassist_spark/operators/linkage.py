@@ -100,7 +100,13 @@ def link_records(
     ~156x fewer comparisons).
     """
     keys = list(block_keys)
-    types = df.groupBy(*keys, text_col).agg(F.min(id_col).alias("_rep"))
+    # persist (r18): ``types`` feeds both sides of the fuzzy band
+    # self-join plus the member-edge join — unstaged, the type-collapse
+    # groupBy re-ran 3x. O(types) rows (the collapse's whole point is
+    # types << records). Cache hygiene is the session owner's clearCache.
+    types = (
+        df.groupBy(*keys, text_col).agg(F.min(id_col).alias("_rep")).persist()
+    )
     rep_pairs = fuzzy_pairs(types, keys, "_rep", text_col, max_dist).select(
         "id_a", "id_b"
     )
@@ -112,6 +118,13 @@ def link_records(
     comp = connected_components(
         rep_pairs.unionByName(member_edges), "id_a", "id_b"
     ).withColumnRenamed("node", id_col)
+    # NOT persisted (r18): ``out`` feeds the survivorship aggregate and
+    # the winners join, but persisting it was A/B-measured SLOWER at both
+    # 32 and 8 cores (+13-16%) — the staged frame materializes the full
+    # payload width (df's text columns), defeating the per-consumer
+    # column pruning that makes the double evaluation cheap. The
+    # components input is checkpoint-backed, so the re-run is two narrow
+    # joins, not a re-derivation.
     out = df.join(comp, id_col, "left").withColumn(
         "cluster_id", F.coalesce("component", F.col(id_col))
     ).drop("component")

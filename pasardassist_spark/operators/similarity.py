@@ -1027,12 +1027,16 @@ def mine_hard_negatives(
             F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x
         )
     )
+    # persist (r18): ``e`` feeds BOTH sides of the same-list candidate
+    # self-join — unstaged, the scan + ArrowEvalPython list assignment +
+    # HOF norm ran twice. O(N) rows; hygiene via session clearCache.
     e = (
         emb.select(
             F.col(id_col), as_double(F.col(vec_col)).alias("v"), F.col(label_col)
         )
         .join(assignments, id_col)
         .withColumn("nrm", norm)
+        .persist()
     )
     a = e.select(
         F.col(id_col).alias("anchor_id"),

@@ -93,9 +93,17 @@ def mb_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers — support/lift are single exact divisions at the edge,
     rounded to 6 dp."""
     li = load(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # persist (r18): ``items`` (one full DISTINCT shuffle) feeds the item
+    # counts, both pair-join sides (via items_f), and the basket count —
+    # unstaged it re-shuffled lineitem ~7x; ``freq`` feeds four join
+    # sides. items is (basket, item) id pairs — the decision proxy, and
+    # MEMORY_AND_DISK persist spills rather than OOMs at scale. Cache
+    # hygiene is the session owner's clearCache.
+    items = li.select("l_orderkey", "l_partkey").distinct().persist()
     icnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    freq = icnt.filter(F.col("c") >= MB_MIN_PAIR).select("l_partkey", "c")
+    freq = (
+        icnt.filter(F.col("c") >= MB_MIN_PAIR).select("l_partkey", "c").persist()
+    )
     items_f = items.join(freq.select("l_partkey"), "l_partkey")
     # basket count rides the plan as a broadcast 1-row frame (the oracle's
     # CROSS JOIN nb) — an eager .count() here would re-run the DISTINCT
@@ -1055,11 +1063,18 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds from shared constants.  Exact integer counts end to end."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
+    # Internal node ids are PACKED LONGS (customer 2k, supplier 2k+1) —
+    # the graph_pagerank round-18 lesson ('c<k>' string keys measured
+    # 5.6x at 10x edges): every hop's join and distinct then hashes an
+    # 8-byte key instead of a variable-length string. The output is hop
+    # COUNTS only and the packing is a bijection, so the result is
+    # unchanged (the oracle keeps the string form — differentially
+    # certified, not assumed).
     base = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -1076,8 +1091,8 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = (
         edges.select(F.col("src").alias("node"))
         .filter(
-            F.col("node").startswith("c")
-            & (F.expr("CAST(substr(node, 2) AS BIGINT)") % KHOP_SEED_MOD == 0)
+            (F.col("node") % 2 == 0)
+            & (F.shiftright("node", 1) % KHOP_SEED_MOD == 0)
         )
         .distinct()
     )
@@ -1147,7 +1162,13 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    deg = sp.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    # persist (r18): ``sp`` (a distinct — one full shuffle of lineitem's
+    # supplier-part projection) feeds BOTH sides of the inverted-index
+    # self-join plus the degree aggregate, and ``deg`` feeds two join
+    # sides — unstaged, sp evaluated 4x. Both frames are id-sized
+    # proxies; cache hygiene is the session owner's clearCache.
+    sp = sp.persist()
+    deg = sp.groupBy("s").agg(F.count(F.lit(1)).alias("d")).persist()
     a, b = sp.alias("a"), sp.alias("b")
     pairs = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
@@ -1589,17 +1610,24 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     l1 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
     l2 = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("b"))
+    # persist (r18): unstaged, the co-purchase self-join + distinct
+    # re-evaluated ~8x — degree aggregate x2, both directions of the
+    # direct frame, each degree join side, and the node count. Staged
+    # frames are O(m)/O(n) id+degree proxies; cache hygiene is the
+    # session owner's (bench/sweep clearCache).
     edges = (
         l1.join(l2, "l_orderkey")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+        .persist()
     )
     deg = (
         edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .persist()
     )
     direct = edges.select(
         F.col("a").alias("u"), F.col("b").alias("v")
@@ -1786,10 +1814,17 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("i").alias("a"), F.col("j").alias("b"))
         .localCheckpoint(eager=True)
     )
+    # persist (r18): ``adj`` feeds both wedge sides plus the degree
+    # aggregate and ``deg`` feeds three join sides (wedge weight, da,
+    # db) — unstaged, each consumer re-ran the union/groupBy shuffle.
+    # Both frames are O(N*K) id rows (K = LP_KNN_K). Cache hygiene is
+    # the session owner's clearCache.
     adj = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).select(F.col("a").alias("n"), F.col("b").alias("nbr"))
-    deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ).select(F.col("a").alias("n"), F.col("b").alias("nbr")).persist()
+    deg = (
+        adj.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d")).persist()
+    )
     x = adj
     y = adj.select(F.col("n").alias("b2"), F.col("nbr").alias("nbr"))
     wedge = (

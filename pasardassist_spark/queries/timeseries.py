@@ -784,7 +784,12 @@ def sess_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasardassist_spark.operators.packing import exclusive_prefix_sum
     from pasardassist_spark.streaming.sessions import sessionize_batch
 
-    sess = sessionize_batch(load(spark, sf_dir, "events"))
+    # persist (r18): the session frame feeds BOTH delta sides, and the
+    # chain above the prefix sum is evaluated again by the prefix sum's
+    # internal bounds action and by the two perday consumers — unstaged,
+    # the events window sessionization re-ran ~6x. Both staged frames
+    # are aggregates (O(sessions) / O(days)); hygiene via clearCache.
+    sess = sessionize_batch(load(spark, sf_dir, "events")).persist()
     deltas = sess.select(
         F.col("session_start").alias("t"), F.lit(1).alias("dl")
     ).unionByName(
@@ -814,6 +819,7 @@ def sess_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("starts").cast("bigint").alias("n_starts"),
             F.max_by("conc", "t").cast("bigint").alias("end_level"),
         )
+        .persist()
     )
     bounds = perday.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     spine = bounds.select(
