@@ -927,19 +927,32 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
+    # packed-long internal node ids (customer 2k, supplier 2k+1 — the
+    # graph_pagerank r18 lesson): every peeling round's degree aggregate
+    # and two semi-joins hash an 8-byte key instead of a 'c<k>'/'s<k>'
+    # string. The display form is rebuilt at the O(core-nodes) edge and
+    # the ORDER BY runs on the final string, so output rows AND order are
+    # unchanged (bijective packing; oracle keeps the string form).
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_custkey", "l_suppkey")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= KCORE_MIN_W)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
         )
     )
     core = kcore(edges, KCORE_K, max_iter=KCORE_ROUNDS)
     return core.select(
-        F.col("node").alias("node"),
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), F.shiftright("node", 1).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), F.shiftright("node", 1).cast("string"))
+        )
+        .alias("node"),
         F.col("core_degree").cast("long").alias("core_degree"),
     ).orderBy("node")
 
