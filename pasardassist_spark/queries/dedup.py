@@ -963,9 +963,13 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["digest"].append(digest)
             yield pd.DataFrame(out)
 
+    # persist (r18): three consumers (the shared-digest aggregate, the
+    # semi-join left side, the per-doc rollup) — unstaged, the Python
+    # chunking pass (the dominant cost, a JVM->Python boundary per guide
+    # §4) ran three times. Chunk rows are digest proxies, never payload.
     chunks = joined.mapInPandas(
         _chunk, "doc_id long, start long, length long, digest string"
-    )
+    ).persist()
     shared = (
         chunks.groupBy("digest")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
