@@ -533,6 +533,10 @@ def drift_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     wk = F.date_trunc("week", F.col("ts"))
     bin_ = (F.floor(F.col("value") / _PSI_BIN) * _PSI_BIN)
+    # NOT persisted (r18): staging the week x bin counts was A/B-measured
+    # +23-25% slower at both core counts — the five consumers' shared
+    # subtree is one cheap map-side-combined aggregate that pipelines
+    # better than a materialization barrier.
     c = (
         ev.groupBy(wk.alias("week"), bin_.alias("bin"))
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))

@@ -1285,9 +1285,14 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasardassist_spark.operators import text as X
 
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # persist (r18): the exploded token stream feeds SIX consumers (the
+    # test aggregate plus five training aggregates — counts, totals,
+    # vocabulary size, doc counts) — unstaged, the scan + tokenize +
+    # explode ran six times. Token rows are (id, lang, token) proxies;
+    # MEMORY_AND_DISK spills at corpus scale; hygiene via clearCache.
     tok = d.select(
         "doc_id", "lang", F.explode(X.tokens(F.col("text"))).alias("tok")
-    )
+    ).persist()
     train = tok.filter(F.col("doc_id") % 5 != 0)
     test = (
         tok.filter(F.col("doc_id") % 5 == 0)

@@ -254,6 +254,10 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     hitters. Scores round to 6 decimals on both engines (log/avg are the
     one place the differential test crosses libm implementations)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # NOT persisted (r18): caching the exploded token stream A/B-measured
+    # slightly slower at both core counts — the vocab aggregate and the
+    # scoring join each re-derive one cheap scan+explode that pipelines
+    # better than the cache write (the ccnet finding).
     tok = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     tot = vocab.agg(F.sum("cnt").cast("double").alias("tot"))
@@ -432,10 +436,15 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, the join falls back to hash-on-bg with AQE skew handling —
     same shape as the unigram path. Docs with < 2 tokens contribute no
     bigrams and drop out on both engines identically."""
+    # persist (r18): ``d`` (tokenized arrays) feeds the bigram AND
+    # unigram explodes, and ``big`` feeds the bigram counts AND the
+    # final scoring join — unstaged, the scan + tokenize ran 3x.
     d = load(spark, sf_dir, "documents").select(
         "doc_id", X.tokens(F.col("text")).alias("toks")
-    )
-    big = d.select("doc_id", F.explode(X.word_ngrams(F.col("toks"), 2)).alias("bg"))
+    ).persist()
+    big = d.select(
+        "doc_id", F.explode(X.word_ngrams(F.col("toks"), 2)).alias("bg")
+    ).persist()
     tok = d.select(F.explode("toks").alias("tok"))
     uc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
     vv = uc.agg(F.count(F.lit(1)).alias("v"))
@@ -501,7 +510,11 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts back (Zipf-truncated); the final per-doc top-k pushes
     rank<=k into the shuffle (WindowGroupLimit)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    # persist (r18): the token stream feeds the tf AND df aggregates —
+    # unstaged, scan + tokenize + explode ran twice.
+    tok = d.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("tok")
+    ).persist()
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
     nd = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
@@ -1446,12 +1459,17 @@ def curate_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(X.word_ngrams(F.col("toks"), 3)).alias("tg")
     )
     parts = F.split(F.col("tg"), " ", 3)
+    # persist (r18): the trigram-type frame feeds THREE aggregates (ctx,
+    # mid, midden) and ``bt`` (below) two — unstaged, the scan +
+    # tokenize + n-gram explode + groupBy chains re-ran per consumer.
+    # Both are type-grain frames (types << tokens).
     tt = (
         tri.groupBy("tg").agg(F.count(F.lit(1)).alias("c3"))
         .select(
             "tg", "c3",
             parts[0].alias("w1"), parts[1].alias("w2"), parts[2].alias("w3"),
         )
+        .persist()
     )
     ctx = tt.groupBy("w1", "w2").agg(
         F.sum("c3").alias("c_ctx"), F.count(F.lit(1)).alias("n1_fw")
@@ -1465,7 +1483,11 @@ def curate_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     big = d.select(F.explode(X.word_ngrams(F.col("toks"), 2)).alias("bg"))
     bparts = F.split(F.col("bg"), " ", 2)
-    bt = big.select(bparts[0].alias("b1"), bparts[1].alias("b2")).distinct()
+    bt = (
+        big.select(bparts[0].alias("b1"), bparts[1].alias("b2"))
+        .distinct()
+        .persist()
+    )
     cont = bt.groupBy(F.col("b2").alias("w3")).agg(
         F.count(F.lit(1)).alias("n1_dot")
     )
@@ -1541,6 +1563,10 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram frames are fact-derived and unbounded, so AQE broadcasts
     them while small and degrades to shuffled joins at vocab scale
     instead of failing the 8 GB cap."""
+    # NOT persisted (r18): a staged variant (d/tok/big/uc cached) was
+    # A/B-measured +33% slower at 32 cores and a wash at 8 — the five
+    # re-derived chains are cheap scan+explode pipelines, and the
+    # four-deep cache pileup costs more than it saves.
     d = load(spark, sf_dir, "documents").select(
         "doc_id", X.tokens(F.col("text")).alias("toks")
     )
@@ -1642,7 +1668,13 @@ def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ranked.crossJoin(F.broadcast(counts)).select(
         "source", bucket.cast("int").alias("bucket")
     )
-    joint = b.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    # persist (r18): the contingency cells feed FOUR consumers (both
+    # marginals, the grand total, the MI sum) — unstaged, the ranked
+    # chain above (including the distributed rank machinery) ran 4x.
+    # source x bucket cells are metadata-sized.
+    joint = (
+        b.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("c")).persist()
+    )
     ms = joint.groupBy("source").agg(F.sum("c").alias("cs"))
     mb = joint.groupBy("bucket").agg(F.sum("c").alias("cb"))
     nn = joint.agg(F.sum("c").alias("n"))
@@ -1924,7 +1956,13 @@ def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("r"))
         .select("r")
     )
-    nr = wc.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    # persist (r18): the count-of-counts frame feeds FOUR consumers (the
+    # token total, the singleton count, the shifted join side, the final
+    # rows) — unstaged, the scan + tokenize + two groupBys ran 4x. nr is
+    # at most max-r rows.
+    nr = (
+        wc.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n_r")).persist()
+    )
     tot = nr.agg(
         F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens")
     )

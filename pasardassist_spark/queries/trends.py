@@ -895,6 +895,10 @@ def stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, not billions; a decade of days is ~13M pairs per type at
     worst, still one task's work).  Sign comparisons are on exact
     DECIMAL day values — no float enters until the final z."""
+    # NOT persisted (r18): staging the daily frame A/B-measured +20% at
+    # 32 cores and a wash at 8 — the four consumers' shared aggregate is
+    # one map-side-combined shuffle that pipelines better than a cache
+    # barrier (contrast the seasonal variant, where staging wins).
     d = _daily(spark, sf_dir).select(
         "event_type", "day",
         F.col("_value_dec").cast("decimal(18,2)").alias("v"),
@@ -1124,11 +1128,13 @@ def stat_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same exact-integer machinery as stat_mann_kendall (18*Var kept as
     an integer; sign comparisons on exact decimals), same bounded
     daily-grain self-join — now 7x smaller per season."""
+    # persist (r18): same staging as stat_mann_kendall — four consumers
+    # of the daily-grain frame.
     d = _daily(spark, sf_dir).select(
         "event_type", "day",
         F.col("_value_dec").cast("decimal(18,2)").alias("v"),
         F.dayofweek("day").cast("int").alias("season"),
-    )
+    ).persist()
     a, b = d.alias("a"), d.alias("b")
     s = (
         a.join(
