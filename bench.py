@@ -375,8 +375,16 @@ def main() -> None:
     # shadow-taxing every later entry. Drop them BETWEEN entries, outside
     # each timed window; queries are independent, so this also keeps the
     # warm numbers honest (no cross-pass cached-plan reuse).
+    # r19: release_all = clearCache + unpersist of localCheckpoint block
+    # RDDs, which clearCache alone leaves pinned for the session lifetime
+    # (pasardassist_spark/caching.py — VERDICT r18 item 9). Same boundary,
+    # same timing semantics (runs OUTSIDE every timed window); strictly
+    # more hygiene, so a checkpointing query can no longer shadow-tax its
+    # successors' memory either.
+    from pasardassist_spark.caching import release_all
+
     def _clear() -> None:
-        spark.catalog.clearCache()
+        release_all(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -570,8 +578,12 @@ def main() -> None:
     }
 
     t0 = time.perf_counter()
-    rot = S.opq_rotation(emb, DIM)  # round-12: OPQ alternation in build
-    books = S.pq_codebooks(emb, DIM, rotation=rot)
+    # r19: one shared training-sample collect (identical matrix -> the
+    # rotation/books/codes are unchanged; the build previously collected
+    # the same sample twice)
+    trainX = S.pq_training_matrix(emb)
+    rot = S.opq_rotation(emb, DIM, sample_X=trainX)  # round-12: OPQ alternation
+    books = S.pq_codebooks(emb, DIM, rotation=rot, sample_X=trainX)
     codes = S.pq_encode(emb, books, rotation=rot).persist()
     codes.count()
     build_s = round(time.perf_counter() - t0, 3)
@@ -689,11 +701,21 @@ def main() -> None:
         ),
     }
 
+    # Stable per-query number (VERDICT r18 item 8): min over all three
+    # timed executions (1 cold + 2 warm) — the steady-state cost with the
+    # cold pass's host-stall/JIT jitter removed. ADDITIVE: `value` and
+    # `queries` keep their cold single-pass semantics for cross-round
+    # comparability; adjudicate per-query regressions on queries_min3
+    # (full record) / value_min3 (summary line) instead of cold noise.
+    min3 = {name: min(timings[name], warm[name]) for name in HEADLINE}
+
     result = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min3": min3,
+        "value_min3": round(sum(min3.values()), 3),
         "queries_warm": warm,
         "queries_extra": extras,
         "ann": ann,
@@ -723,6 +745,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "value_warm": result["value_warm"],
+        "value_min3": result["value_min3"],
         "value_baseline_subset": result["value_baseline_subset"],
         "value_baseline_subset_warm": result["value_baseline_subset_warm"],
         "n_queries": len(HEADLINE),

@@ -115,22 +115,37 @@ def lsh_band_signatures(
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Candidate near-duplicate pairs: docs sharing any LSH band bucket."""
+    """Candidate near-duplicate pairs: docs sharing any LSH band bucket.
+
+    Bucket grouping, not a self-join (r19): collect each (band, sig)
+    bucket's member ids with ONE groupBy and emit the id < id pairs with
+    a per-bucket explode. The r18 self-join form evaluated the whole
+    scan + shingle + 8-permutation min-hash subtree once PER SIDE
+    (Catalyst cannot reuse a subtree across a self-join); the r18 persist
+    fixed the duplicate work but its materialization barrier + cache
+    write cost ~1 s at local[32] (driver-measured 2.34 -> 3.34 s). The
+    grouped form computes the subtree exactly once with no persist and
+    shuffles the band rows once instead of twice. Candidate volume is
+    unchanged (per-bucket quadratic); a bucket is a full 2-minhash band
+    signature, so hot buckets are true near-dup clusters — the pair
+    explode for a cluster of m docs emits from m rows after the first
+    explode, and pathological clusters should be exact-deduped upstream
+    (the same caveat the join form's AQE skew-split carried)."""
     sh = shingles(df, text_col, id_col)
-    # persist: the band-signature frame feeds BOTH sides of the bucket
-    # self-join, and Catalyst cannot share the subtree across a self-join
-    # (ReuseExchange needs identical output attributes) — without staging,
-    # the scan + shingle explode + 8-permutation min-hash aggregate runs
-    # TWICE (r18 plan audit: 2 parquet scans). The staged frame is the
-    # decision-sized proxy (id, band, short sig string), never raw text;
-    # cache hygiene is the session owner's (bench/sweep clearCache).
-    bs = lsh_band_signatures(minhash_signatures(sh, id_col), id_col).persist()
-    a = bs.select(F.col(id_col).alias("doc_a"), "band", "sig")
-    b = bs.select(F.col(id_col).alias("doc_b"), "band", "sig")
+    bs = lsh_band_signatures(minhash_signatures(sh, id_col), id_col)
+    buckets = (
+        bs.groupBy("band", "sig")
+        .agg(F.collect_list(F.col(id_col)).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
     return (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode("_ids").alias("doc_a"), "_ids")
+        .select(
+            "doc_a",
+            F.explode(
+                F.filter(F.col("_ids"), lambda y: y > F.col("doc_a"))
+            ).alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -228,9 +243,15 @@ def simhash_near_pairs(
             for q in range(n_blocks)
         ]
     )
-    # persist: both sides of the slice-bucket self-join consume this frame;
-    # unstaged, the whole upstream signature computation (token explode +
-    # ``bits`` vote sums) runs twice (r18 plan audit). 4 small rows per doc.
+    # persist + bucket SELF-JOIN — deliberately NOT the bucket-grouping
+    # form minhash_lsh_pairs uses (r19, measured): slice keys are only
+    # ``width`` bits of the signature, so one hot key can own a large
+    # fraction of the corpus (sf0.1: max bucket 1639 of 5000 docs,
+    # 2.4 M candidate pairs, 1.3 M of them inside the single hot bucket).
+    # collect_list would put that whole bucket's quadratic explode in ONE
+    # task (isolated A/B: +20-25% at both 8 and 32 cores); the equi-join
+    # keeps it splittable (AQE skew-split), and the persist keeps the
+    # expensive vote-sum subtree single-evaluation across the two sides.
     blocks = sig.select(F.col(id_col), "simhash", F.explode(slices).alias("blk")).select(
         F.col(id_col), "simhash", F.col("blk.q").alias("q"), F.col("blk.key").alias("key")
     ).persist()

@@ -199,7 +199,16 @@ def mondrian_anonymize(
                 cut_val = v if cut_val is None else F.coalesce(cut_val, v)
             plan = plan.select("_lbl", "_dim", cut_val.alias("_cut"))
 
-            # tentative sides (ties left), exact side counts, validity
+            # tentative sides (ties left), exact side counts, validity.
+            # Validity is ONE aggregate on _lbl: with _side in {0, 1},
+            # right = sum, left = n - sum, and (right >= k AND
+            # left >= k) is exactly the old two-stage "2 sides present
+            # AND min side >= k" gate for k >= 1 — one shuffle per round
+            # instead of two (r19, guide §2.4). Join strategy for the
+            # per-label plan frames stays with the planner: they are
+            # O(active partitions) rows, which grows to N/2k at the
+            # deepest level — AQE broadcasts them while they are small
+            # without capping the scale story the way a hint would.
             tent = active.join(plan, "_lbl", "left")
             side_expr = None
             for c in qi:
@@ -211,17 +220,22 @@ def mondrian_anonymize(
                     s if side_expr is None else F.coalesce(side_expr, s)
                 )
             tent = tent.withColumn("_side", side_expr)
+            # _dim/_cut are per-label constants (joined from plan), so
+            # first() re-emits them from the same aggregate — no second
+            # join back to plan, whose stats subtree would re-evaluate
+            # (Catalyst does not reuse an aggregate across two consumers).
             plan2 = (
                 tent.filter(F.col("_side").isNotNull())
-                .groupBy("_lbl", "_side")
-                .agg(F.count(F.lit(1)).alias("_sn"))
                 .groupBy("_lbl")
                 .agg(
-                    ((F.count(F.lit(1)) == 2) & (F.min("_sn") >= k))
-                    .alias("_valid")
+                    F.count(F.lit(1)).alias("_n"),
+                    F.sum("_side").alias("_r"),
+                    F.first("_dim").alias("_dim"),
+                    F.first("_cut").alias("_cut"),
                 )
-                .filter(F.col("_valid"))
-                .join(plan, "_lbl")
+                .filter(
+                    (F.col("_r") >= k) & (F.col("_n") - F.col("_r") >= k)
+                )
                 .select("_lbl", "_dim", "_cut")
             )
         else:

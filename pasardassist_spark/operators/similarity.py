@@ -597,6 +597,25 @@ def _l2_normalize(e: DataFrame, vec: str = "v") -> DataFrame:
 OPQ_ITERS = 8
 
 
+def pq_training_matrix(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The L2-normalized driver training sample shared by OPQ rotation
+    training and PQ codebook training. Factored out (r19): opq_rotation
+    and pq_codebooks each collected this exact matrix themselves, so an
+    IVF-PQ build paid the sample count + collect twice — pass the result
+    through ``sample_X`` to both and the corpus is scanned once for all
+    PQ training. Same expression tree as before, so the shared matrix is
+    bit-identical to what each trainer collected on its own (rotation,
+    codebooks, codes, and therefore search results are unchanged)."""
+    e = _l2_normalize(
+        emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    )
+    return _collect_training_matrix(e, id_col, "v")
+
+
 def opq_rotation(
     emb: DataFrame,
     dim: int,
@@ -605,6 +624,7 @@ def opq_rotation(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = OPQ_ITERS,
+    sample_X=None,
 ) -> list[list[float]]:
     """Non-parametric OPQ rotation (Ge et al., "Optimized Product
     Quantization", CVPR 2013 §4; the FAISS ``OPQMatrix`` training loop):
@@ -630,10 +650,11 @@ def opq_rotation(
 
     assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
     sub = dim // m
-    e = _l2_normalize(
-        emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    X = (
+        sample_X
+        if sample_X is not None
+        else pq_training_matrix(emb, id_col, vec_col)
     )
-    X = _collect_training_matrix(e, id_col, "v")
     M = np.eye(dim)  # apply convention: rotated = X @ M
     for _ in range(iters):
         Xr = X @ M
@@ -701,6 +722,7 @@ def pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rotation: list[list[float]] | None = None,
+    sample_X=None,
 ) -> list[list[list[float]]]:
     """Train per-subspace k-means codebooks on L2-normalized vectors.
 
@@ -713,12 +735,14 @@ def pq_codebooks(
     """
     assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
     sub = dim // m
-    e = _l2_normalize(
-        emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
-    )
     # one sample collect feeds all m subspace fits — the corpus is scanned
-    # once for training no matter how many subspaces
-    X = _collect_training_matrix(e, id_col, "v")
+    # once for training no matter how many subspaces (and not at all when
+    # the caller shares a pq_training_matrix via sample_X)
+    X = (
+        sample_X
+        if sample_X is not None
+        else pq_training_matrix(emb, id_col, vec_col)
+    )
     if rotation is not None:
         import numpy as np
 
@@ -795,6 +819,7 @@ def ivfpq_topk(
     centroids: DataFrame | None = None,
     codes: DataFrame | None = None,
     rotation: list[list[float]] | None = None,
+    sample_X=None,
 ) -> DataFrame:
     """IVF-PQ ANN (Jégou et al., "Product Quantization for Nearest Neighbor
     Search", TPAMI 2011): IVF prunes the corpus to n_probe lists, asymmetric
@@ -815,7 +840,9 @@ def ivfpq_topk(
     """
     sub = dim // m
     if books is None:
-        books = pq_codebooks(emb, dim, m, pq_k, id_col, vec_col, rotation)
+        books = pq_codebooks(
+            emb, dim, m, pq_k, id_col, vec_col, rotation, sample_X=sample_X
+        )
     if assignments is None or centroids is None:
         assignments, centroids = ivf_assignments(emb, n_lists, id_col, vec_col)
     if codes is None:

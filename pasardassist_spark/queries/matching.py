@@ -146,24 +146,65 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").select(
         "p_brand", "p_partkey", "p_name", F.length("p_name").alias("name_len")
     )
-    cand = band_self_join(
-        p,
-        keys=["p_brand"],
-        id_col="p_partkey",
+    # r19 (guide §8: decide with small rows, move big rows once): the
+    # edit-distance decision depends only on the NAME PAIR, never on the
+    # ids, so run the banded candidate generation + thresholded
+    # levenshtein once per DISTINCT name pair (vocabulary-sized: the
+    # catalog-name regime, |names| << |rows|) and fan the row ids back in
+    # with two equi-joins. The r18 row-level form evaluated levenshtein
+    # once per candidate ROW pair — 8.0M calls at sf0.1 versus ~2k here
+    # (64 distinct names), and its join shuffled every candidate row;
+    # the id-level joins below carry only (brand, name, id) and emit
+    # survivors directly. Lossless: the match table M is symmetric and
+    # includes the dist-0 diagonal, and each qualifying (id_a < id_b)
+    # row pair matches M in exactly one orientation, so the output rows
+    # are identical to the naive brand-blocked predicate the oracle
+    # states. Degenerate worst case (all names unique) reduces to the
+    # old row-level plan shape, so the rewrite is never asymptotically
+    # worse. The distinct-name frame feeds 3 consumers (both band sides
+    # + the diagonal) — persisted, decision-sized (r18 staging rule).
+    names = p.select(F.col("p_name").alias("nm"), "name_len").distinct().persist()
+    cand_nm = band_self_join(
+        names,
+        keys=[],
+        id_col="nm",
         value_col="name_len",
         eps=float(FUZZY_MAX_DIST),
-        carry=["p_name"],
     )
     # thresholded levenshtein: banded DP that abandons a pair the moment
     # the distance provably exceeds the bound (returns -1) — O(k·n) per
-    # pair instead of O(n²), the dominant cost of the candidate pass
-    dist = F.levenshtein(
-        F.col("p_name_a"), F.col("p_name_b"), threshold=FUZZY_MAX_DIST
+    # pair instead of O(n²)
+    d = F.levenshtein(F.col("id_a"), F.col("id_b"), threshold=FUZZY_MAX_DIST)
+    half = cand_nm.select(
+        F.col("id_a").alias("nm_a"), F.col("id_b").alias("nm_b"), d.alias("d")
+    ).filter(F.col("d") >= 0)
+    m = half.unionByName(
+        half.select(
+            F.col("nm_b").alias("nm_a"), F.col("nm_a").alias("nm_b"), "d"
+        )
+    ).unionByName(
+        names.select(
+            F.col("nm").alias("nm_a"),
+            F.col("nm").alias("nm_b"),
+            F.lit(0).cast("integer").alias("d"),
+        )
     )
+    a = p.select("p_brand", F.col("p_partkey").alias("id_a"), F.col("p_name").alias("nm_a"))
+    b = p.select("p_brand", F.col("p_partkey").alias("id_b"), F.col("p_name").alias("nm_b"))
+    # no broadcast hint on m: it is fact-derived (vocabulary-pair-sized,
+    # unbounded if names are unique) — AQE broadcasts it at runtime while
+    # it is small (the repo-wide degree/vocab-join contract,
+    # tests/test_plans_graph_degree.py)
     return (
-        cand.select(F.col("p_brand").alias("brand"), "id_a", "id_b", dist.alias("d"))
-        .filter(F.col("d") >= 0)
-        .select("brand", "id_a", "id_b", F.col("d").cast("long").alias("dist"))
+        a.join(m, "nm_a")
+        .join(b, ["p_brand", "nm_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            "id_a",
+            "id_b",
+            F.col("d").cast("long").alias("dist"),
+        )
     )
 
 

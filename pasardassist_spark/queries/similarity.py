@@ -83,8 +83,12 @@ def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-isotropic corpus and decisive on anisotropic data (BASELINE.md
     round 12)."""
     emb = load(spark, sf_dir, "embeddings")
-    rot = S.opq_rotation(emb, DIM)
-    return S.ivfpq_topk(emb, QUERY_IDS, K, DIM, rotation=rot)
+    # r19: one training-sample collect shared by the OPQ alternation and
+    # the codebook fits (identical matrix -> identical rotation/books/
+    # codes/results; the build previously collected it twice)
+    X = S.pq_training_matrix(emb)
+    rot = S.opq_rotation(emb, DIM, sample_X=X)
+    return S.ivfpq_topk(emb, QUERY_IDS, K, DIM, rotation=rot, sample_X=X)
 
 
 @query(

@@ -134,8 +134,12 @@ def main() -> int:
         # terminal action (the returned plan references them, so the
         # operator can't unpersist eagerly); one long session running all
         # ~300 queries would accumulate those blocks for its lifetime —
-        # drop them between entries (queries are independent; r17 review)
-        spark.catalog.clearCache()
+        # drop them between entries (queries are independent; r17 review).
+        # r19: release_all also drops localCheckpoint block RDDs, which
+        # clearCache leaves pinned (pasardassist_spark/caching.py).
+        from pasardassist_spark.caching import release_all
+
+        release_all(spark)
         results[name] = row
         jsonl.write(json.dumps({"name": name, **row}) + "\n")
         jsonl.flush()
