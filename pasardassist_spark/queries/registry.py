@@ -224,6 +224,16 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "privacy_t_closeness", "privacy_suppress_release", "privacy_dp_counts",
     "privacy_t_closeness_ordered", "streaming_kanon_readout",
     "privacy_mondrian_release",
+    # r18 greens (CORRECTNESS_r18: 45 hash-green + 5 rows-only-by-design
+    # tokenizer rows, 0 red — the 16 r18 debuts below all hash-green on
+    # their first driver row; the r18 _FORCE_RECHECK set re-greened and
+    # is cleared for r19)
+    "stat_jonckheere", "stat_effect_sizes", "graph_hits",
+    "ts_forecast_accuracy", "text_yule_k", "stat_mcnemar",
+    "stat_kendall_tau", "stat_cronbach_alpha", "privacy_randomized_response",
+    "ml_ridge_normal_eq", "stat_cochran_q", "stat_dunn_posthoc",
+    "src_arrow_ipc_roundtrip", "text_good_turing", "privacy_dp_topk",
+    "graph_adamic_adar",
 })
 
 # Entries whose implementation or oracle changed since their last green
@@ -234,36 +244,40 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
 # so the set starts empty.  Add a name here ONLY when its query fn or
 # oracle actually changed this round.
 _FORCE_RECHECK: frozenset[str] = frozenset({
-    # Round 18 rotation: every r17 _FORCE_RECHECK name re-verified green
-    # in CORRECTNESS_r17 (44 hash-green + 6 clean rows-only, 0 red), so
-    # the r17 set is cleared.  Names below changed THIS round.
+    # Round 19 rotation: every r18 _FORCE_RECHECK name re-verified green
+    # in CORRECTNESS_r18 (45 hash-green + 5 clean rows-only tokenizer
+    # rows, 0 red), so the r18 set is cleared.
     #
-    # the seven rows-only -> oracle conversions (r17 VERDICT #2) — each
-    # entry's OUTPUT changed to its deterministic verification form
-    # (guarantee certificates / audit aggregates / the unrolled-LPA
-    # exact oracle) and gained an oracle; all seven hash-checked locally
-    # at sf0.001 + sf0.01 before registration. Fresh driver rows certify.
-    "a3_approx_distinct", "a13_percentiles_approx", "hh_space_saving",
-    "hll_user_rollup", "pack_bfd_assignments", "privacy_mondrian_release",
-    "graph_label_propagation",
-    # scale-adaptive tokenizer training (r17 VERDICT #4): metadata-scale
-    # type tables refine driver-side, A/B'd bit-identical against the
-    # forced-distributed loop at sf0.001 + sf0.01
-    # (tests/test_tokenizer_hybrid.py); fresh driver rows certify the
-    # sequential path end-to-end.
-    "bpe_train_merge_table", "unigram_train_vocab", "wordpiece_train_vocab",
-    "unigram_encode_corpus", "wordpiece_encode_corpus",
-    # packed-long node ids through the PageRank iteration (r18 scale
-    # work); output display form unchanged, hash-checked locally at
-    # sf0.001 + sf0.01 against the unchanged unrolled oracle.
-    "graph_pagerank",
-    # r18 second-session scale fix: the iterative-graph frames moved
-    # from localCheckpoint (drops partitioning metadata -> full
-    # re-shuffle+sort of the edge frame every round) to
-    # repartition+sortWithinPartitions+persist; results are invariant
-    # (hash-checked locally at sf0.001 + sf0.01) but the executed plans
-    # changed, so the driver re-certifies.
-    "graph_khop_reach",
+    # (a) The r18 ADVICE gap: queries whose fn changed in the r18
+    # optimization commits (staging persists, packed-long kcore keys,
+    # reverted-with-notes edits) without entering the r18 recheck window
+    # — the driver never re-certified them. All were oracle-green
+    # locally during r18; fresh driver rows close the audit gap.
+    "graph_kcore", "graph_triangle_count", "graph_triangle_doulion",
+    "graph_assortativity", "graph_link_prediction", "mb_pair_lift",
+    "sess_concurrency", "ml_naive_bayes", "stat_mann_kendall",
+    "stat_seasonal_mann_kendall", "stat_mutual_information",
+    "text_unigram_logprob", "text_bigram_logprob", "text_tfidf_keywords",
+    "text_pmi_collocations", "curate_kneser_ney_ppl",
+    "curate_ccnet_buckets", "drift_history", "dedup_cdc_chunks",
+    "dedup_ngram_jaccard", "dedup_containment", "dedup_setjoin_prefix",
+    "link_records_clusters",
+    # (b) Round-19 optimization changes, each oracle-rematched locally at
+    # sf0.01 + sf0.1 before landing:
+    # - minhash bucket-grouping (pair generation without the self-join or
+    #   the r18 persist) — also flows into the cluster queries;
+    "dedup_minhash_lsh", "dedup_clusters", "split_by_cluster",
+    # - simhash_near_pairs: r19 measured the bucket-group form 20-25%
+    #   slower (hot-slice skew) and kept the r18 join+persist — changed
+    #   vs the r17-green form, so it still needs one driver row;
+    "dedup_simhash_pairs",
+    # - distinct-name-pair levenshtein (decide-small, fan ids back);
+    "dedup_fuzzy_levenshtein",
+    # - mondrian per-round validity fused into one aggregate;
+    "privacy_mondrian_release",
+    # - shared PQ training sample (bit-identical matrix, results
+    #   unchanged; rows-only row re-certifies the build path).
+    "sim_ivfpq_ann",
 })
 
 
