@@ -278,6 +278,11 @@ _FORCE_RECHECK: frozenset[str] = frozenset({
     # - shared PQ training sample (bit-identical matrix, results
     #   unchanged; rows-only row re-certifies the build path).
     "sim_ivfpq_ann",
+    # - the documents fan-out pushdown fence (tables.py): results
+    #   invariant (always-true partition-id filter) but the executed
+    #   plan of the heavy-gate query changed materially, so the driver
+    #   re-certifies it (the r18 khop precedent).
+    "curate_corpus",
 })
 
 

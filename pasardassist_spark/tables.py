@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -156,6 +156,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         target = spark.sparkContext.defaultParallelism
         if _max_scan_tasks(f"{sf_dir}/{name}.parquet") < target:
             df = df.repartition(target)
+            if name == "documents":
+                # Pushdown fence (r19, measured): Catalyst pushes every
+                # deterministic filter BELOW this repartition, so a query
+                # gating on a heavy text expression (quality score, the
+                # char-trigram language model, tokenize-and-count) ran
+                # that expression inside the ONE scan task the single-
+                # row-group file allows — serializing exactly the work
+                # the fan-out exists to spread (curate_corpus: 2.2 s ->
+                # 0.9 s warm at 32c once fenced). A filter on
+                # spark_partition_id() is always true (ids are
+                # non-negative), deterministic in value, and — being
+                # formally non-deterministic to the optimizer — blocks
+                # predicate pushdown through it while leaving column
+                # pruning intact (verified: the scan still reads only
+                # referenced columns). Nothing useful is lost below: a
+                # single-row-group parquet file cannot row-group-prune,
+                # and this branch does not exist on a real multi-file
+                # lake. Scoped to documents: its consumers gate on heavy
+                # text math; embeddings filters are cheap id predicates
+                # that benefit from staying at the scan.
+                df = df.filter(F.spark_partition_id() >= 0)
     return df
 
 
