@@ -689,7 +689,16 @@ def main() -> None:
     # (control ratio <= 1.05) — a contended record says nothing about
     # the code. Raise the budget deliberately when new queries land,
     # never implicitly.
-    EXTRAS_BUDGET_S = 250.0
+    # r19 re-pin (VERDICT r18 item 7). Accounting: the 250 s budget was
+    # pinned BEFORE the 16 r18 debuts landed (~+42 s measured on the r18
+    # settled driver host), so it was red on every clean run — a budget
+    # that is always red is no budget. This round's optimizations removed
+    # ~50 s from the extras pass (fuzzy-levenshtein −9, mondrian −2,
+    # ivfpq build −1.3, plus the settled-host haze delta); the settled
+    # r19 measurement (host_control 0.93) is 265.8 s across 247 rows.
+    # 290 = measured + ~9% headroom: green on a clean run, red on ~10%
+    # real drift. Raise deliberately when debuts land, never implicitly.
+    EXTRAS_BUDGET_S = 290.0
     extras_total = round(sum(extras.values()), 3)
     extras_budget = {
         "budget_s": EXTRAS_BUDGET_S,

@@ -30,6 +30,13 @@ Design for 100 TB:
   anti-join of two big sets.
 - The driver-side loop is O(log^2 n) actions — for a trillion-edge graph
   that is ~40 rounds; each action is fully distributed.
+
+Cache-lifetime contract (r19, ADVICE note): several operators here
+persist() staged frames (adjacency, edge sets) and localCheckpoint() per
+round; the returned plan references those blocks, so the CALLER owns
+release — ``pasardassist_spark.caching.release_all(spark)`` between
+independent queries (bench/full_sweep do this), which also drops the
+checkpoint block RDDs plain clearCache leaves pinned.
 """
 
 from __future__ import annotations

@@ -24,6 +24,14 @@ Design for 100 TB:
 All hashes are md5-based so results are engine-portable (DuckDB oracles).
 xxhash64 would be ~3x faster JVM-side; portability wins for the correctness
 gate and the swap is a one-line change in ``_hash``.
+
+Cache-lifetime contract (r19, ADVICE note): operators here persist()
+decision-sized intermediates that the RETURNED plan still references, so
+they cannot unpersist before their terminal action — the CALLER owns
+cache lifetime. Release between independent queries with
+``pasardassist_spark.caching.release_all(spark)`` (bench.py and
+tools/full_sweep.py do); a long-lived session that never releases
+accumulates MEMORY_AND_DISK blocks for its lifetime.
 """
 
 from __future__ import annotations
